@@ -1,0 +1,49 @@
+"""Vector math over ARRAY<FLOAT>/ARRAY<DOUBLE> embedding columns.
+
+Pure ``F.zip_with``/``F.aggregate`` expressions — JVM-side, no UDF, so a
+100 TB embeddings scan does brute-force scoring inside whole-stage
+codegen.  All arithmetic is DOUBLE with a left-fold accumulation order,
+which makes results bit-identical to a DuckDB ``list_reduce`` oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Left-fold sum of elementwise double products."""
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def literal_vector(values: list[float]) -> Column:
+    """A constant query vector as an ARRAY<DOUBLE> literal."""
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def sign_bucket(a: Column | str, num_dims: int = 8) -> Column:
+    """Deterministic coarse LSH bucket: sign bits of the first N dims.
+
+    The scale path for ANN — partition the corpus by bucket, search only
+    the query's bucket (plus Hamming-1 neighbors if recall requires).
+    """
+    v = _c(a)
+    bits = [
+        F.when(F.element_at(v, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(num_dims)
+    ]
+    return F.concat(*bits)

@@ -1,0 +1,99 @@
+"""Tests for the text-analysis and vector expression surfaces."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from cloud_optimized_data_pipelines_spark.functions import text as T
+from cloud_optimized_data_pipelines_spark.functions import vectors as V
+
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame(
+        [("the quick  brown fox",), ("",), ("  ",), ("one",)], "t string"
+    )
+    rows = df.select(
+        T.token_count("t").alias("n"), T.bpe_token_count("t").alias("b")
+    ).collect()
+    assert [r.n for r in rows] == [4, 0, 0, 1]
+    assert rows[0].b == 4
+
+
+def test_bpe_tokens_split_symbols(spark):
+    df = spark.createDataFrame([("don't stop-me now123",)], "t string")
+    # don | ' | t | stop | - | me | now | 123
+    assert df.select(T.bpe_token_count("t").alias("n")).collect()[0].n == 8
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "t string")
+    rows = df.select(T.word_shingles("t", 3).alias("s")).collect()
+    assert rows[0].s == ["a b c", "b c d"]
+    assert rows[1].s == ["a b"]  # short doc -> whole text as one shingle
+
+
+def test_ratios_and_quality(spark):
+    df = spark.createDataFrame([("the cat, and the dog!",)], "t string")
+    r = df.select(
+        T.punct_ratio("t").alias("p"),
+        T.stopword_ratio("t").alias("s"),
+        T.quality_score("t").alias("q"),
+    ).collect()[0]
+    assert abs(r.p - 2 / 21) < 1e-9
+    # tokens: the cat, and the dog! -> lowered ['the','cat,','and','the','dog!']
+    # stopword hits: the, and, the = 3 of 5
+    assert abs(r.s - 0.6) < 1e-9
+    assert 0.0 <= r.q <= 1.0
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is in the house and it is big",),
+            ("el perro y la casa de los gatos",),
+            ("xyzzy plugh qwerty",),
+        ],
+        "t string",
+    )
+    got = [r.l for r in df.select(T.detect_language("t").alias("l")).collect()]
+    assert got == ["en", "es", "und"]
+
+
+def test_minhash_similar_docs_share_components(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy dog again and again tonight"
+    c = "completely different words appear within this unrelated document text"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "id int, t string")
+    rows = df.select("id", T.minhash_signature("t", 16).alias("sig")).collect()
+    sig = {r.id: r.sig for r in rows}
+    overlap_ab = sum(x == y for x, y in zip(sig[1], sig[2]))
+    overlap_ac = sum(x == y for x, y in zip(sig[1], sig[3]))
+    assert overlap_ab > overlap_ac
+    assert overlap_ab >= 8  # ~0.79 true Jaccard
+
+
+def test_lsh_bands_deterministic(spark):
+    df = spark.createDataFrame([("a b c d e f g",)], "t string")
+    sig = T.minhash_signature("t", 16)
+    bands = df.select(T.lsh_band_hashes(sig, 4, 4).alias("b")).collect()[0].b
+    assert len(bands) == 4
+    assert [x.band for x in bands] == [0, 1, 2, 3]
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>")
+    r = df.select(
+        V.dot("a", "b").alias("d"),
+        V.cosine_similarity("a", "b").alias("c"),
+        V.sign_bucket("a", 3).alias("bk"),
+    ).collect()[0]
+    assert r.d == 32.0
+    expected = 32.0 / (math.sqrt(14) * math.sqrt(77))
+    assert abs(r.c - expected) < 1e-12
+    assert r.bk == "111"
+
+
+def test_doc_fingerprint_equal_for_equal_text(spark):
+    df = spark.createDataFrame([(1, "a b c d e"), (2, "a b c d e")], "id int, t string")
+    fps = [r.f for r in df.select(T.doc_fingerprint("t").alias("f")).collect()]
+    assert fps[0] == fps[1] and fps[0] is not None
