@@ -1,0 +1,61 @@
+"""Sinks (SURVEY K1-K6).
+
+The reference's terminal sink POSTs each STAC item to a REST ingestor
+with an OAuth2 bearer token, printing instead under ``dry_run``
+(``lambdas/submit-stac/handler.py:80-127``); oversized items are
+side-filed to S3 first (``build-stac/handler.py:44-55``).
+
+Spark-first shape: the REST sink is a ``foreachPartition`` with one
+token fetch + one HTTP session per partition (amortized, bounded
+concurrency = task parallelism); the dry-run gate swaps in a console
+sink at plan level (F11).  File sinks are plain DataFrame writers.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TokenFetcher = Callable[[], str]
+Poster = Callable[[str, str], None]  # (token, item_json) -> None
+
+
+def write_jsonl(items: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines table sink — the batch-mode stand-in for the ingestor
+    (and the reference's side-file spill target, K2)."""
+    items.select("item_json").write.mode(mode).text(path)
+
+
+def submit_items(
+    items: DataFrame,
+    poster: Poster,
+    token_fetcher: TokenFetcher = lambda: "",
+    dry_run: bool = False,
+) -> None:
+    """K4: REST POST sink with per-partition token amortization.
+
+    ``poster`` wraps ``requests.post(f"{api}/ingestions", ...)`` in prod
+    and a list-append fake in tests.  Rows with ``dry_run`` true are
+    printed, not posted (submit-stac/handler.py:121-124).
+    """
+    if dry_run:
+        items.select("item_json").show(truncate=False)
+        return
+
+    payloads = items.select(
+        "item_json", F.coalesce(F.col("dry_run"), F.lit(False)).alias("dry_run")
+    )
+
+    def _post(part: Iterable) -> None:
+        token: str | None = None
+        for r in part:
+            if r.dry_run:
+                print(r.item_json)
+                continue
+            if token is None:
+                token = token_fetcher()  # once per partition (handler.py:40-78)
+            poster(token, r.item_json)
+
+    payloads.foreachPartition(_post)

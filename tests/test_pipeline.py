@@ -1,0 +1,170 @@
+"""End-to-end pipeline tests — the no2-monthly job (SURVEY section 7.3)
+and the transfer golden semantics (FIXTURES.md #8), CMR link explosion."""
+
+import json
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from cloud_optimized_data_pipelines_spark.plans.pipeline import (
+    PipelineSpec,
+    compile_many,
+    compile_pipeline,
+)
+from cloud_optimized_data_pipelines_spark.schemas import GRANULE_SCHEMA, INVENTORY_SCHEMA
+from cloud_optimized_data_pipelines_spark.operators.transfer import (
+    execute_copies,
+    plan_transfer,
+)
+from cloud_optimized_data_pipelines_spark.sources.cmr import DATA_REL
+
+
+def make_inventory(spark):
+    rows = [
+        ("veda-staging", "no2-monthly/OMI_trno2_0.10x0.10_202201_Col3_V4.tif", 10, datetime(2022, 1, 1)),
+        ("veda-staging", "no2-monthly/OMI_trno2_0.10x0.10_202202_Col3_V4.tif", 10, datetime(2022, 2, 1)),
+        ("veda-staging", "no2-monthly/README.md", 1, datetime(2022, 1, 1)),
+        ("veda-staging", "other-prefix/OMI_trno2_0.10x0.10_202203_Col3_V4.tif", 10, datetime(2022, 3, 1)),
+    ]
+    return spark.createDataFrame(rows, INVENTORY_SCHEMA)
+
+
+def test_no2_monthly_end_to_end(spark):
+    """Inventory scan -> regex filter -> enrich -> extract_dates(month)
+    -> item id -> STAC item struct -> JSON, row-for-row checkable."""
+    spec = PipelineSpec(
+        collection="no2-monthly",
+        discovery="s3",
+        prefix="no2-monthly/",
+        filename_regex=r"^.*\.tif$",
+        datetime_range="month",
+    )
+    items = compile_pipeline(spec, inventory=make_inventory(spark))
+    rows = sorted(items.collect(), key=lambda r: r.s3_filename)
+    assert len(rows) == 2  # README filtered out, other-prefix pruned
+    r = rows[0]
+    assert r.item.id == "OMI_trno2_0.10x0.10_202201_Col3_V4"
+    assert r.item.collection == "no2-monthly"
+    assert r.start_datetime == datetime(2022, 1, 1)
+    assert r.end_datetime == datetime(2022, 1, 31)
+    assert r.date_error is None and not r.needs_spill
+    item = json.loads(r.item_json)
+    assert item["properties"]["start_datetime"] == "2022-01-01T00:00:00Z"
+    assert item["properties"]["end_datetime"] == "2022-01-31T00:00:00Z"
+    assert "datetime" not in item["properties"]  # single is NULL for ranges
+    asset = item["assets"]["cog_default"]
+    assert asset["href"].endswith("202201_Col3_V4.tif")
+    assert asset["roles"] == ["data", "layer"]
+
+
+def test_list_input_unions_plans(spark):
+    specs = [
+        PipelineSpec(collection="no2-monthly", prefix="no2-monthly/", filename_regex=r"^.*\.tif$"),
+        PipelineSpec(collection="other", prefix="other-prefix/", filename_regex=r"^.*\.tif$"),
+    ]
+    items = compile_many(specs, inventory=make_inventory(spark))
+    got = {r.item.collection for r in items.collect()}
+    assert got == {"no2-monthly", "other"}
+    assert items.count() == 3
+
+
+def test_cmr_pipeline_explodes_and_filters_links(spark):
+    granules = spark.createDataFrame(
+        [
+            (
+                "G1-X", "OMDOAO3e", "003",
+                datetime(2022, 1, 1), datetime(2022, 1, 2),
+                [-180.0, -90.0, 180.0, 90.0],
+                [
+                    (DATA_REL, "s3://bucket/OMDOAO3e_2022m0101.he5"),
+                    ("http://other/rel#", "s3://bucket/decoy.he5"),
+                    (DATA_REL, "https://example.com/OMDOAO3e_2022m0101.he5.html"),
+                ],
+            ),
+            (
+                "G2-X", "OMDOAO3e", "003",
+                datetime(1990, 1, 1), datetime(1990, 1, 2),  # outside temporal
+                [-180.0, -90.0, 180.0, 90.0],
+                [(DATA_REL, "s3://bucket/old.he5")],
+            ),
+        ],
+        GRANULE_SCHEMA,
+    )
+    spec = PipelineSpec(
+        collection="OMDOAO3e",
+        discovery="cmr",
+        version="003",
+        temporal=("2021-01-01T00:00:00Z", "2023-01-01T00:00:00Z"),
+        include=r"^.*\.he5$",
+    )
+    items = compile_pipeline(spec, granules=granules)
+    rows = items.collect()
+    assert len(rows) == 1
+    assert rows[0].s3_filename == "s3://bucket/OMDOAO3e_2022m0101.he5"
+    assert rows[0].granule_id == "G1-X"
+
+
+def test_transfer_golden(spark, tmp_path):
+    """FIXTURES.md #8: upload rows rewritten + copied unless target exists."""
+    events = spark.createDataFrame(
+        [
+            ("collA", "s3://src/dirX/file_2020.tif", True),
+            ("collA", "s3://src/dirX/exists_2020.tif", True),
+            ("collB", "s3://src/dirY/skip_2020.tif", False),
+        ],
+        "collection string, s3_filename string, upload boolean",
+    )
+    target_inventory = spark.createDataFrame(
+        [("veda-store", "collA/exists_2020.tif"), ("other-bucket", "collA/file_2020.tif")],
+        "bucket string, key string",
+    )
+    planned = plan_transfer(events, target_inventory, "veda-store").cache()
+    by_coll = {(r.collection, r.source_url): r for r in planned.collect()}
+
+    r1 = by_coll[("collA", "s3://src/dirX/file_2020.tif")]
+    assert r1.s3_filename == "s3://veda-store/collA/file_2020.tif"
+    assert r1.needs_copy is True  # same key exists only in ANOTHER bucket
+
+    r2 = by_coll[("collA", "s3://src/dirX/exists_2020.tif")]
+    assert r2.s3_filename == "s3://veda-store/collA/exists_2020.tif"
+    assert r2.needs_copy is False  # idempotent re-run skips the copy
+
+    r3 = by_coll[("collB", "s3://src/dirY/skip_2020.tif")]
+    assert r3.s3_filename == "s3://src/dirY/skip_2020.tif"  # untouched
+    assert r3.needs_copy is False
+
+    copies = []
+    execute_copies(planned, lambda sb, sk, db, dk: copies.append((sb, sk, db, dk)))
+    # foreachPartition on local mode still runs in the driver process for
+    # this test path; on a cluster copy_fn must be serializable
+    assert spark.sparkContext.parallelize([1]).count() == 1  # sanity
+
+
+def test_transfer_copy_execution_local(spark, tmp_path):
+    """Physical copy via a filesystem copy_fn, end to end."""
+    src = tmp_path / "src" / "dirX"
+    src.mkdir(parents=True)
+    (src / "file_2020.tif").write_bytes(b"payload")
+    dst_root = tmp_path / "dst"
+    dst_root.mkdir()
+
+    events = spark.createDataFrame(
+        [("collA", f"s3://src/dirX/file_2020.tif", True)],
+        "collection string, s3_filename string, upload boolean",
+    )
+    empty_inv = spark.createDataFrame([], "bucket string, key string")
+    planned = plan_transfer(events, empty_inv, "veda-store")
+
+    src_root = str(tmp_path / "src")
+    dst_str = str(dst_root)
+
+    def copy_fn(sb, sk, db, dk):
+        import os
+        import shutil
+
+        dst_path = os.path.join(dst_str, dk)
+        os.makedirs(os.path.dirname(dst_path), exist_ok=True)
+        shutil.copyfile(os.path.join(src_root, sk), dst_path)
+
+    execute_copies(planned, copy_fn)
+    assert (dst_root / "collA" / "file_2020.tif").read_bytes() == b"payload"
