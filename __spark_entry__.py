@@ -3,36 +3,72 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the no2-monthly metadata pipeline (SURVEY section 7.3)
+    end-to-end — inventory scan -> anchored regex -> enrich ->
+    extract_dates(month) -> item id -> STAC item struct + JSON."""
+    from pyspark.sql import functions as F
+
+    from cloud_optimized_data_pipelines_spark.plans.pipeline import (
+        PipelineSpec,
+        compile_pipeline,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    inventory = orders.select(
+        F.lit("veda-staging").alias("bucket"),
+        F.concat(
+            F.lit("no2-monthly/OMI_trno2_0.10x0.10_"),
+            F.date_format("o_orderdate", "yyyyMM"),
+            F.lit("_Col3_V4.tif"),
+        ).alias("key"),
+        F.col("o_orderkey").alias("size"),
+        F.col("o_orderdate").alias("last_modified"),
+    ).distinct()
+    spec = PipelineSpec(
+        collection="no2-monthly",
+        discovery="s3",
+        prefix="no2-monthly/",
+        filename_regex=r"^.*\.tif$",
+        datetime_range="month",
+    )
+    items = compile_pipeline(spec, inventory=inventory)
+    return items.select(
+        "s3_filename",
+        F.col("item.id").alias("item_id"),
+        "start_datetime",
+        "end_datetime",
+        "item_json",
+        "needs_spill",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md section 2 (plus
+    the training-data extensions).  See
+    cloud_optimized_data_pipelines_spark/queries.py."""
+    from cloud_optimized_data_pipelines_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (same column names/types)."""
+    from cloud_optimized_data_pipelines_spark.queries import ORACLE
+
+    return dict(ORACLE)

@@ -83,20 +83,24 @@ def extract_dates(filename: Column | str, datetime_range: Column | str | None = 
     m_start, m_end = month_range(single)
     y_start, y_end = year_range(single)
 
-    null_ts = F.lit(None).cast("timestamp")
+    # all outputs normalized to TIMESTAMP_NTZ: session-timezone-proof
+    # (values were parsed as naive UTC wall clocks — regex.py:52-53)
+    null_ts = F.lit(None).cast("timestamp_ntz")
     start = (
         F.when(n > 1, F.element_at(sorted_dates, 1))
         .when((n == 1) & (rng == "month"), m_start)
         .when((n == 1) & (rng == "year"), y_start)
         .otherwise(null_ts)
-    )
+    ).cast("timestamp_ntz")
     end = (
         F.when(n > 1, F.element_at(sorted_dates, -1))
         .when((n == 1) & (rng == "month"), m_end)
         .when((n == 1) & (rng == "year"), y_end)
         .otherwise(null_ts)
-    )
-    single_out = F.when((n == 1) & (rng.isNull() | ~rng.isin("month", "year")), single)
+    ).cast("timestamp_ntz")
+    single_out = F.when(
+        (n == 1) & (rng.isNull() | ~rng.isin("month", "year")), single
+    ).cast("timestamp_ntz")
     error = F.when(
         n == 0,
         F.concat(

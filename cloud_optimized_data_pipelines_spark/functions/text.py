@@ -148,14 +148,16 @@ def minhash_signature(text: Column | str, num_hashes: int = 16, n: int = 3) -> C
     the LSH band join.
     """
     shingles = word_shingles(text, n)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-            )
-            for i in range(num_hashes)
-        ]
-    )
+
+    def component(i: int) -> Column:
+        # NB: single-arg lambda — a two-arg lambda would make Spark bind
+        # the second parameter to the array index
+        prefix = f"{i}:"
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    return F.array(*[component(i) for i in range(num_hashes)])
 
 
 def lsh_band_hashes(signature: Column, num_bands: int, rows_per_band: int) -> Column:

@@ -1,0 +1,213 @@
+"""Deduplication operators for the training-data pipeline surface.
+
+No reference counterpart (extension per SURVEY section 7.7).  Four
+families, each picked for a different scale/recall trade-off:
+
+- **exact**: group on content (or md5 fingerprint) — one shuffle,
+  map-side partial aggregation, the 100 TB workhorse.
+- **n-gram Jaccard**: exact similarity join via an inverted shingle
+  index — no quadratic blow-up; candidate pairs only for docs sharing
+  at least one shingle, verified with the exact Jaccard formula.
+- **MinHash + LSH**: sub-linear near-dup at corpus scale — signatures
+  are md5-family minima computed in codegen (functions/text.py), the
+  band join is the only shuffle, verification is optional.
+- **SimHash**: Hamming-proximate fingerprints for near-identical text.
+
+All hashing is md5-based so every operator is bit-reproducible across
+engines (DuckDB-oracle checkable) and across Spark versions — no
+dependence on JVM hash seeds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cloud_optimized_data_pipelines_spark.functions.text import (
+    lsh_band_hashes,
+    minhash_signature,
+    word_shingles,
+)
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact content value.
+
+    ``groupBy(content).agg(min(id))`` — partial aggregation halves the
+    shuffle; at 100 TB prefer grouping on ``md5(content)`` (64x smaller
+    shuffle keys for long documents) via :func:`exact_dedup_by_hash`.
+    """
+    keep = df.groupBy(content_col).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, [content_col, id_col], "left_semi")
+
+
+def exact_dedup_by_hash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact dedup shuffling md5 digests instead of full documents."""
+    hashed = df.withColumn("_h", F.md5(F.col(content_col)))
+    w = Window.partitionBy("_h").orderBy(F.col(id_col))
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Inverted index: one row per (doc, distinct shingle)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity join on word n-grams.
+
+    Plan shape (the scalable classic):
+      shingle explode -> self-equi-join on shingle (id_a < id_b)
+      -> count common shingles per pair -> join per-doc set sizes
+      -> jaccard = common / (|A| + |B| - common) >= threshold
+
+    ``max_shingle_freq`` drops ubiquitous shingles before the join —
+    the skew guard at corpus scale (a shingle appearing in 1M docs
+    would otherwise emit 10^12 candidate pairs).
+    """
+    idx = shingle_index(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = idx.groupBy("shingle").agg(F.count("*").alias("_f"))
+        idx = (
+            idx.join(freq.filter(F.col("_f") <= max_shingle_freq), "shingle")
+            .drop("_f")
+        )
+    sizes = idx.groupBy("doc").agg(F.count("*").alias("set_size"))
+
+    a = idx.alias("a")
+    b = idx.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH.
+
+    Signature computation is pure codegen (no shuffle); the only wide
+    op is the equi-join on (band, bucket).  With b bands of r rows the
+    detection threshold is ~(1/b)^(1/r); 4 bands x 4 rows ~= 0.71.
+    Output: (doc_a, doc_b, n_shared_bands).
+    """
+    rows_per_band = num_hashes // num_bands
+    # Aggregate formulation: explode shingles once, take per-doc minima of
+    # the i-th hash family as 16 agg columns.  Equivalent to the per-row
+    # minhash_signature expression but (a) each md5 is computed once, not
+    # re-inlined per band by projection collapse (codegen blowup), and
+    # (b) the plan is a plain partial-agg shuffle that scales to corpora
+    # where a single document's shingle array would be huge.
+    idx = shingle_index(df, id_col, text_col, n)
+    sig_cols = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"_s{i}")
+        for i in range(num_hashes)
+    ]
+    sig = idx.groupBy("doc").agg(*sig_cols)
+    bands = []
+    for b in range(num_bands):
+        cols = [F.col(f"_s{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
+        )
+    banded = sig.select(
+        "doc", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Drop near-duplicates: keep the lowest id of every LSH candidate
+    cluster (union-find approximated by min-id propagation over the
+    candidate edge list — one pass is exact for star-shaped clusters,
+    which covers the overwhelming majority of near-dup groups)."""
+    pairs = minhash_lsh_candidates(df, id_col, text_col, num_hashes, num_bands, n)
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 32  # md5-hex prefix of 8 chars -> 32 bits; fits INT/BIGINT
+
+
+def simhash(text_col, bits: int = SIMHASH_BITS):
+    """SimHash over whitespace tokens, md5-derived per-token hashes.
+
+    For each bit position, sum +1/-1 across token hashes; the sign
+    vector packs into a BIGINT.  Pure expression (transform/aggregate),
+    bit-identical across engines.
+    """
+    from cloud_optimized_data_pipelines_spark.functions.text import tokens
+
+    toks = tokens(text_col)
+    # per-token 32-bit hash from the md5 hex prefix
+    h = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
+    def bit_sum(b: int):
+        # two-arg merge lambda only — extra defaulted params would change
+        # the lambda arity Spark infers
+        mask = 1 << b
+        return F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(h(t).bitwiseAND(F.lit(mask)) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    bit_sums = [bit_sum(b) for b in range(bits)]
+    out = F.lit(0).cast("long")
+    for b, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out

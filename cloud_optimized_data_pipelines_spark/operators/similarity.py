@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (extension, SURVEY 7.7).
+
+Two tiers:
+- **brute-force cosine top-k** — the exactness baseline; one codegen'd
+  pass over the corpus, a single top-k sort.  At 100 TB this is a
+  full-scan-per-query: fine for batch scoring, wrong for online lookup.
+- **sign-bucket ANN** — deterministic hyperplane-sign buckets (the
+  IVF/LSH scale path): corpus pre-partitioned by bucket, a query probes
+  only its own bucket (optionally Hamming-1 neighbors).  Bucketing is a
+  pure column expression, so the "index build" is a partitioned write.
+
+Embedding near-dup detection composes the same pieces: self-join within
+buckets, cosine >= threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cloud_optimized_data_pipelines_spark.functions.vectors import (
+    cosine_similarity,
+    literal_vector,
+    sign_bucket,
+)
+
+
+def brute_force_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    ``orderBy(desc).limit(k)`` compiles to TakeOrderedAndProject — a
+    per-partition top-k + driver merge, NOT a global sort: the shuffle
+    moves k rows per partition, so this scales to any corpus size.
+    """
+    q = literal_vector(query)
+    cos = cosine_similarity(F.col(vec_col), q)
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (
+        df.select(F.col(id_col), cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def with_sign_bucket(df: DataFrame, vec_col: str, num_dims: int = 8) -> DataFrame:
+    """Attach the ANN bucket (pre-partitioning step of the index build).
+
+    Prod usage: ``.write.partitionBy('bucket')`` so a query reads ONE
+    partition — partition pruning does the index lookup.
+    """
+    return df.withColumn("bucket", sign_bucket(F.col(vec_col), num_dims))
+
+
+def ann_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    num_dims: int = 8,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: score only the query's sign-bucket.
+
+    Recall loss is bounded by bucket balance; raise ``num_dims`` for
+    smaller buckets (faster, lower recall), lower it for the reverse.
+    """
+    qbucket = "".join("1" if v >= 0 else "0" for v in query[:num_dims])
+    bucketed = with_sign_bucket(df, vec_col, num_dims).filter(
+        F.col("bucket") == qbucket
+    )
+    return brute_force_topk(bucketed, vec_col, query, k, id_col, round_digits)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_dims: int = 8,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Near-duplicate embedding pairs: bucketed self-join + cosine gate.
+
+    The sign-bucket equi-join keeps the candidate set ~1/2^d of the
+    quadratic cross — the standard blocking trick; exact cosine then
+    verifies.  (Vectors whose near-dups straddle a hyperplane are
+    missed — the recall/cost dial is num_dims.)
+    """
+    b = with_sign_bucket(df, vec_col, num_dims).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket"
+    )
+    left = b.alias("l")
+    right = b.alias("r")
+    cos = cosine_similarity(F.col("l.vec"), F.col("r.vec"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,1089 @@
+"""The engine's query surface — every SURVEY section-2 operator (plus the
+training-data extensions) as a named (spark, sf_dir) -> DataFrame query
+with a matching DuckDB oracle SQL string.
+
+Conventions that make the oracle hash-match exact:
+- Money aggregates run in DECIMAL (exact, order-independent) and are
+  cast to DECIMAL(38,4)/(38,6) on BOTH sides; doubles only where the
+  computation is an identical IEEE expression per row (ratios, cosine
+  left-folds) so both engines produce the same bits.
+- Every computed column is aliased identically in Spark and SQL.
+- Where Spark produces INT (size, year), the result is cast to BIGINT
+  to match DuckDB's len()/date_part types — and DuckDB integer sums are
+  cast down from HUGEINT to BIGINT.
+- Content hashing is md5 (bit-identical across engines).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloud_optimized_data_pipelines_spark.functions.dates import extract_dates
+from cloud_optimized_data_pipelines_spark.functions.ids import item_id
+from cloud_optimized_data_pipelines_spark.functions import text as T
+from cloud_optimized_data_pipelines_spark.functions import vectors as V
+from cloud_optimized_data_pipelines_spark.operators import dedup as D
+from cloud_optimized_data_pipelines_spark.operators import similarity as S
+from cloud_optimized_data_pipelines_spark.operators.transfer import plan_transfer
+from cloud_optimized_data_pipelines_spark.sources import cmr as cmr_src
+from cloud_optimized_data_pipelines_spark.sources import inventory as inv_src
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+# parquet TIMESTAMP(NANOS) columns (no native Spark type): read as long
+# via legacy.parquet.nanosAsLong, floor-divided to microseconds below —
+# exactly DuckDB's ns->us truncation, keeping oracle values identical.
+_NANO_TS_COLUMNS = {"events": ["ts"]}
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    # runtime-settable; applied here too so driver-provided sessions
+    # (not built by session.get_spark) read the testdata identically
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    dfs = {}
+    for t in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        for c in _NANO_TS_COLUMNS.get(t, []):
+            if dict(df.dtypes).get(c) == "bigint":
+                df = df.withColumn(
+                    c,
+                    F.timestamp_micros(F.expr(f"{c} div 1000")).cast(
+                        "timestamp_ntz"
+                    ),
+                )
+        df.createOrReplaceTempView(t)
+        dfs[t] = df
+    return dfs
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return reg
+
+
+# ---------------------------------------------------------------------------
+# Generic relational surface (SURVEY sections 2.4-2.6) — native Catalyst.
+# Spark side uses spark.sql so the engine's SQL front door is exercised;
+# plans are pure built-in operators (hash agg, SMJ/BHJ, window, topk).
+# ---------------------------------------------------------------------------
+
+_Q1 = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST((1 - CAST(l_discount AS DECIMAL(8,6))) * (1 + CAST(l_tax AS DECIMAL(8,6))) AS DECIMAL(19,12))) AS DECIMAL(38,6)) AS sum_charge,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", _Q1)
+def q1(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q1)
+
+
+_Q3 = """
+SELECT
+  o_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", _Q3)
+def q3(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q3)
+
+
+_Q5 = """
+SELECT
+  n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+@query("q5_local_supplier_volume", _Q5)
+def q5(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q5)
+
+
+_TOPK_PER_CUST = """
+SELECT c_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT c_custkey, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM customer JOIN orders ON c_custkey = o_custkey
+) t
+WHERE rn <= 3
+"""
+
+
+@query("window_topk_per_customer", _TOPK_PER_CUST)
+def topk_per_customer(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_spend,
+       LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+FROM orders
+"""
+
+
+@query("window_running_total", _RUNNING)
+def running_total(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_RUNNING)
+
+
+_ROLLUP = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal,
+       COUNT(*) AS n_suppliers
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@query("agg_rollup_supplier", _ROLLUP)
+def rollup_supplier(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_ROLLUP)
+
+
+_DISTINCT = """
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@query("agg_distinct_by_segment", _DISTINCT)
+def distinct_by_segment(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_DISTINCT)
+
+
+_SETOPS = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+@query("set_ops_customers", _SETOPS)
+def set_ops(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_SETOPS)
+
+
+_TOP20 = """
+SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+@query("sort_limit_top20_orders", _TOP20)
+def top20(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_TOP20)
+
+
+_SEMI_ANTI = """
+SELECT 'with_orders' AS segment, COUNT(*) AS n FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'without_orders' AS segment, COUNT(*) AS n FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+@query("join_semi_anti_customers", _SEMI_ANTI)
+def semi_anti(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    semi = t["customer"].join(
+        t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left_semi"
+    )
+    anti = t["customer"].join(
+        t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left_anti"
+    )
+    return semi.agg(
+        F.lit("with_orders").alias("segment"), F.count("*").alias("n")
+    ).unionAll(
+        anti.agg(F.lit("without_orders").alias("segment"), F.count("*").alias("n"))
+    )
+
+
+# --- events: streaming-shape batch queries (SURVEY section 2.8) ------------
+
+_HOURLY = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("events_hourly_window", _HOURLY)
+def events_hourly(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("total_value"),
+        )
+    )
+
+
+_EVENT_DEDUP = """
+SELECT event_id, user_id, event_type, ts FROM (
+  SELECT event_id, user_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) t WHERE rn = 1
+"""
+
+
+@query("events_dedup_first_per_key", _EVENT_DEDUP)
+def events_dedup(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+_JSON_PROPS = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("events_json_extract", _JSON_PROPS)
+def events_json(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("total_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+_ASOF = """
+SELECT v.event_id, v.user_id, v.ts,
+       MAX(c.ts) AS last_click_ts
+FROM events v
+LEFT JOIN events c
+  ON c.user_id = v.user_id AND c.event_type = 'click' AND c.ts <= v.ts
+WHERE v.event_type = 'purchase'
+GROUP BY v.event_id, v.user_id, v.ts
+"""
+
+
+@query("asof_join_last_click", _ASOF)
+def asof_join(spark, sf_dir):
+    """As-of join (engine extension): for each purchase, the most recent
+    click by the same user.  Expressed as equi-join on user + range
+    predicate + max aggregation — the shuffle is keyed on user_id, so
+    it scales with user cardinality, not the quadratic time range."""
+    t = load_tables(spark, sf_dir)
+    v = t["events"].filter(F.col("event_type") == "purchase").alias("v")
+    c = (
+        t["events"]
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts")
+        )
+        .alias("c")
+    )
+    return (
+        v.join(
+            c,
+            (F.col("c_user_id") == F.col("v.user_id"))
+            & (F.col("c_ts") <= F.col("v.ts")),
+            "left",
+        )
+        .groupBy("v.event_id", "v.user_id", "v.ts")
+        .agg(F.max("c_ts").alias("last_click_ts"))
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-operator queries (SURVEY section 2.1-2.3, 2.7) — the engine's own
+# operators driven from the star schema, checked against an INDEPENDENT
+# date-math oracle (not a re-implementation of the regexes).
+# ---------------------------------------------------------------------------
+
+_EXTRACT_DATES = """
+WITH inv AS (
+  SELECT o_orderkey,
+    CASE CAST(o_orderkey % 4 AS INT)
+      WHEN 0 THEN 's3://veda/coll/OMI_' || strftime(o_orderdate, '%Y-%m-%d') || '_V4.tif'
+      WHEN 1 THEN 's3://veda/coll/OMI_' || strftime(o_orderdate, '%Y%m%d') || '_V4.tif'
+      WHEN 2 THEN 's3://veda/coll/OMI_' || strftime(o_orderdate, '%Y%m') || '_V4.tif'
+      ELSE 's3://veda/coll/OMI_' || strftime(o_orderdate, '%Y%m%d') || '_to_'
+           || strftime(o_orderdate + INTERVAL 10 DAY, '%Y%m%d') || '_V4.tif'
+    END AS s3_filename,
+    CASE CAST(o_orderkey % 4 AS INT)
+      WHEN 1 THEN 'month' WHEN 2 THEN 'year' ELSE NULL
+    END AS datetime_range,
+    o_orderdate
+  FROM orders
+)
+SELECT o_orderkey, s3_filename,
+  CASE CAST(o_orderkey % 4 AS INT)
+    WHEN 0 THEN NULL
+    WHEN 1 THEN date_trunc('month', o_orderdate)::TIMESTAMP
+    WHEN 2 THEN date_trunc('year', o_orderdate)::TIMESTAMP
+    ELSE o_orderdate
+  END AS start_datetime,
+  CASE CAST(o_orderkey % 4 AS INT)
+    WHEN 0 THEN NULL
+    WHEN 1 THEN last_day(o_orderdate)::TIMESTAMP
+    WHEN 2 THEN (date_trunc('year', o_orderdate) + INTERVAL 11 MONTH + INTERVAL 30 DAY)::TIMESTAMP
+    ELSE o_orderdate + INTERVAL 10 DAY
+  END AS end_datetime,
+  CASE WHEN CAST(o_orderkey % 4 AS INT) = 0 THEN o_orderdate ELSE NULL END AS single_datetime
+FROM inv
+"""
+
+
+@query("c1_extract_dates", _EXTRACT_DATES)
+def c1_extract_dates(spark, sf_dir):
+    """extract_dates over filenames synthesized from o_orderdate; the
+    oracle derives expectations from date math, independently of the
+    regex strategy implementation (true cross-check)."""
+    t = load_tables(spark, sf_dir)
+    key = (F.col("o_orderkey") % 4).cast("int")
+    fname = (
+        F.when(key == 0, F.concat(F.lit("s3://veda/coll/OMI_"), F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit("_V4.tif")))
+        .when(key == 1, F.concat(F.lit("s3://veda/coll/OMI_"), F.date_format("o_orderdate", "yyyyMMdd"), F.lit("_V4.tif")))
+        .when(key == 2, F.concat(F.lit("s3://veda/coll/OMI_"), F.date_format("o_orderdate", "yyyyMM"), F.lit("_V4.tif")))
+        .otherwise(
+            F.concat(
+                F.lit("s3://veda/coll/OMI_"),
+                F.date_format("o_orderdate", "yyyyMMdd"),
+                F.lit("_to_"),
+                F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 10 DAY"), "yyyyMMdd"),
+                F.lit("_V4.tif"),
+            )
+        )
+    )
+    rng = F.when(key == 1, F.lit("month")).when(key == 2, F.lit("year"))
+    inv = t["orders"].select(
+        "o_orderkey", fname.alias("s3_filename"), rng.alias("datetime_range")
+    )
+    d = extract_dates(F.col("s3_filename"), F.col("datetime_range"))
+    return inv.select(
+        "o_orderkey",
+        "s3_filename",
+        d["start_datetime"].alias("start_datetime"),
+        d["end_datetime"].alias("end_datetime"),
+        d["single_datetime"].alias("single_datetime"),
+    )
+
+
+_ITEM_ID = """
+SELECT p_partkey,
+  regexp_extract(fn, 's3://([^/]*)/(.+).tif$', 1) || '-' ||
+  regexp_extract(fn, 's3://([^/]*)/(.+).tif$', 2) AS item_id
+FROM (
+  SELECT p_partkey,
+         's3://bucket-' || CAST(p_partkey % 7 AS VARCHAR) || '/parts/p_'
+         || CAST(p_partkey AS VARCHAR) || '_' || p_brand || '.nc.tif' AS fn
+  FROM part
+) t
+"""
+
+
+@query("c4_item_id", _ITEM_ID)
+def c4_item_id(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    fn = F.concat(
+        F.lit("s3://bucket-"),
+        (F.col("p_partkey") % 7).cast("string"),
+        F.lit("/parts/p_"),
+        F.col("p_partkey").cast("string"),
+        F.lit("_"),
+        F.col("p_brand"),
+        F.lit(".nc.tif"),
+    )
+    return t["part"].select(
+        "p_partkey",
+        item_id(fn, r"s3://([^/]*)/(.+).tif$").alias("item_id"),
+    )
+
+
+_DISCOVERY = """
+SELECT 'parts' AS collection,
+       's3://veda-staging/' || key AS s3_filename,
+       FALSE AS upload
+FROM (
+  SELECT 'parts/p_' || CAST(p_partkey AS VARCHAR) || '_'
+         || CAST(p_size AS VARCHAR) || '.tif' AS key
+  FROM part
+) t
+WHERE key LIKE 'parts/%' AND regexp_matches(key, '^parts/p_.*\\.tif$')
+"""
+
+
+@query("s2_discovery_enrich", _DISCOVERY)
+def s2_discovery(spark, sf_dir):
+    """S1+S2+F1: inventory scan -> anchored regex -> enriched records,
+    via the engine's inventory source operators."""
+    t = load_tables(spark, sf_dir)
+    inventory = t["part"].select(
+        F.lit("veda-staging").alias("bucket"),
+        F.concat(
+            F.lit("parts/p_"),
+            F.col("p_partkey").cast("string"),
+            F.lit("_"),
+            F.col("p_size").cast("string"),
+            F.lit(".tif"),
+        ).alias("key"),
+        F.lit(0).cast("long").alias("size"),
+        F.lit(None).cast("timestamp").alias("last_modified"),
+    )
+    discovered = inv_src.discover(inventory, prefix="parts/", filename_regex=r"^parts/p_.*\.tif$")
+    enriched = inv_src.enrich(discovered, prefix="parts/")
+    return enriched.select("collection", "s3_filename", "upload")
+
+
+_LINKS = """
+SELECT collection, granule_id, link.href AS s3_filename
+FROM (
+  SELECT 'OMDOAO3e' AS collection,
+         'G' || CAST(o_orderkey AS VARCHAR) || '-X' AS granule_id,
+         [
+           {'rel': 'http://esipfed.org/ns/fedsearch/1.1/data#',
+            'href': 's3://cmr/o_' || CAST(o_orderkey AS VARCHAR) || '.he5'},
+           {'rel': 'http://esipfed.org/ns/fedsearch/1.1/browse#',
+            'href': 's3://cmr/o_' || CAST(o_orderkey AS VARCHAR) || '.png'},
+           {'rel': 'http://esipfed.org/ns/fedsearch/1.1/data#',
+            'href': 'https://example.com/o_' || CAST(o_orderkey AS VARCHAR) || '.html'}
+         ] AS links
+  FROM orders WHERE o_orderkey % 10 = 0
+) g, UNNEST(g.links) AS u(link)
+WHERE link.rel = 'http://esipfed.org/ns/fedsearch/1.1/data#'
+  AND regexp_matches(link.href, '^.*\\.he5$')
+"""
+
+
+@query("s4_link_explode", _LINKS)
+def s4_links(spark, sf_dir):
+    """S4+F2+F3: granule links flatten + rel/include filters via the
+    engine's CMR source operator."""
+    t = load_tables(spark, sf_dir)
+    okey = F.col("o_orderkey").cast("string")
+    granules = (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.concat(F.lit("G"), okey, F.lit("-X")).alias("granule_id"),
+            F.lit("OMDOAO3e").alias("collection"),
+            F.lit(None).cast("string").alias("version"),
+            F.lit(None).cast("timestamp").alias("time_start"),
+            F.lit(None).cast("timestamp").alias("time_end"),
+            F.lit(None).cast("array<double>").alias("bbox"),
+            F.array(
+                F.struct(
+                    F.lit(cmr_src.DATA_REL).alias("rel"),
+                    F.concat(F.lit("s3://cmr/o_"), okey, F.lit(".he5")).alias("href"),
+                ),
+                F.struct(
+                    F.lit("http://esipfed.org/ns/fedsearch/1.1/browse#").alias("rel"),
+                    F.concat(F.lit("s3://cmr/o_"), okey, F.lit(".png")).alias("href"),
+                ),
+                F.struct(
+                    F.lit(cmr_src.DATA_REL).alias("rel"),
+                    F.concat(F.lit("https://example.com/o_"), okey, F.lit(".html")).alias("href"),
+                ),
+            ).alias("links"),
+        )
+    )
+    out = cmr_src.explode_links(granules, mode="data", include=r"^.*\.he5$")
+    return out.select("collection", "granule_id", "s3_filename")
+
+
+_TRANSFER = """
+WITH ev AS (
+  SELECT p_partkey, p_brand AS collection,
+         's3://src/parts/p_' || CAST(p_partkey AS VARCHAR) || '_2020.tif' AS src_url,
+         (p_size % 2 = 0) AS upload
+  FROM part
+), tgt AS (
+  SELECT 'veda-store' AS bucket,
+         p_brand || '/p_' || CAST(p_partkey AS VARCHAR) || '_2020.tif' AS key
+  FROM part WHERE p_partkey % 5 = 0
+)
+SELECT ev.p_partkey,
+  CASE WHEN ev.upload
+       THEN 's3://veda-store/' || ev.collection || '/p_' || CAST(ev.p_partkey AS VARCHAR) || '_2020.tif'
+       ELSE ev.src_url END AS s3_filename,
+  (ev.upload AND tgt.key IS NULL) AS needs_copy
+FROM ev LEFT JOIN tgt
+  ON tgt.key = ev.collection || '/p_' || CAST(ev.p_partkey AS VARCHAR) || '_2020.tif'
+"""
+
+
+@query("k3_transfer_plan", _TRANSFER)
+def k3_transfer(spark, sf_dir):
+    """K3/F6/F7/J2: upload gate + existence anti-check + URL rewrite via
+    the engine's transfer operator."""
+    t = load_tables(spark, sf_dir)
+    pk = F.col("p_partkey").cast("string")
+    events = t["part"].select(
+        "p_partkey",
+        F.col("p_brand").alias("collection"),
+        F.concat(F.lit("s3://src/parts/p_"), pk, F.lit("_2020.tif")).alias("s3_filename"),
+        (F.col("p_size") % 2 == 0).alias("upload"),
+    )
+    target_inv = (
+        t["part"]
+        .filter(F.col("p_partkey") % 5 == 0)
+        .select(
+            F.lit("veda-store").alias("bucket"),
+            F.concat(F.col("p_brand"), F.lit("/p_"), pk, F.lit("_2020.tif")).alias("key"),
+        )
+    )
+    planned = plan_transfer(events, target_inv, "veda-store")
+    return planned.select("p_partkey", "s3_filename", "needs_copy")
+
+
+_CONFIG_JOIN = """
+SELECT d.doc_id, d.source AS collection, c.variable_name
+FROM documents d
+LEFT JOIN (
+  SELECT DISTINCT source, 'var_' || source AS variable_name FROM documents
+) c ON c.source = d.source
+"""
+
+
+@query("j1_config_join", _CONFIG_JOIN)
+def j1_config(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    config = (
+        t["documents"]
+        .select("source")
+        .distinct()
+        .select(
+            F.col("source").alias("collection"),
+            F.concat(F.lit("var_"), F.col("source")).alias("variable_name"),
+        )
+    )
+    docs = t["documents"].select("doc_id", F.col("source").alias("collection"))
+    from cloud_optimized_data_pipelines_spark.sources.config import with_config
+
+    return with_config(docs, config).select("doc_id", "collection", "variable_name")
+
+
+_EXTENT = """
+WITH d AS (
+  SELECT CAST(o_orderkey % 4 AS INT) AS coll_bucket,
+    CASE CAST(o_orderkey % 4 AS INT)
+      WHEN 0 THEN o_orderdate
+      WHEN 1 THEN date_trunc('month', o_orderdate)::TIMESTAMP
+      WHEN 2 THEN date_trunc('year', o_orderdate)::TIMESTAMP
+      ELSE o_orderdate
+    END AS s,
+    CASE CAST(o_orderkey % 4 AS INT)
+      WHEN 0 THEN o_orderdate
+      WHEN 1 THEN last_day(o_orderdate)::TIMESTAMP
+      WHEN 2 THEN (date_trunc('year', o_orderdate) + INTERVAL 11 MONTH + INTERVAL 30 DAY)::TIMESTAMP
+      ELSE o_orderdate + INTERVAL 10 DAY
+    END AS e
+  FROM orders
+)
+SELECT coll_bucket, MIN(s) AS temporal_start, MAX(e) AS temporal_end, COUNT(*) AS n_items
+FROM d GROUP BY coll_bucket
+"""
+
+
+@query("a3_collection_extent", _EXTENT)
+def a3_extent(spark, sf_dir):
+    """A3 (engine improvement over the reference's hand-maintained
+    collection extents): aggregate item datetimes per collection."""
+    items = c1_extract_dates(spark, sf_dir)
+    return (
+        items.select(
+            (F.col("o_orderkey") % 4).cast("int").alias("coll_bucket"),
+            F.coalesce("start_datetime", "single_datetime").alias("s"),
+            F.coalesce("end_datetime", "single_datetime").alias("e"),
+        )
+        .groupBy("coll_bucket")
+        .agg(
+            F.min("s").alias("temporal_start"),
+            F.max("e").alias("temporal_end"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_SPILL = """
+SELECT doc_id, (n_chars + 49 >= 1024) AS needs_spill
+FROM documents
+"""
+
+
+@query("k2_spill_flag", _SPILL)
+def k2_spill(spark, sf_dir):
+    """K2: the 256KiB side-file rule (demo limit 1KiB so both branches
+    occur), via the engine's payload-size scalar."""
+    from cloud_optimized_data_pipelines_spark.functions.json_utils import spill_required
+
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", spill_required(F.col("text"), 1024).alias("needs_spill")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions (SURVEY section 7.7) — dedup, similarity
+# search, text analysis, multimodal.  Oracles replicate the md5-based
+# hashing exactly (DuckDB SQL), so even MinHash/SimHash are hash-checked.
+# ---------------------------------------------------------------------------
+
+# shared DuckDB CTE: whitespace tokens + distinct word-3-gram shingles
+_DUCK_SHINGLES = """
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM {src}
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) >= 3
+         THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                            i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+         ELSE [array_to_string(tk, ' ')] END AS shingles
+  FROM toks
+)
+"""
+
+_DEDUP_EXACT = """
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+)
+SELECT doc_id, md5(text) AS text_md5
+FROM docs2
+QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+"""
+
+
+@query("dedup_exact", _DEDUP_EXACT)
+def dedup_exact_q(spark, sf_dir):
+    """Exact dedup on a corpus with injected duplicates (every doc twice,
+    shifted ids): keeps exactly the original 500 lowest-id rows."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    doubled = docs.unionAll(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    kept = D.exact_dedup_by_hash(doubled, "text", "doc_id")
+    return kept.select("doc_id", F.md5("text").alias("text_md5"))
+
+
+_MINHASH_SIG_DUCK = ", ".join(
+    f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))" for i in range(16)
+)
+_MINHASH_LSH = f"""
+WITH {_DUCK_SHINGLES.format(src="documents")},
+sig AS (
+  SELECT doc_id, [{_MINHASH_SIG_DUCK}] AS sig FROM sh
+),
+bands AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS bucket
+  FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@query("dedup_minhash_lsh", _MINHASH_LSH)
+def dedup_minhash_q(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return D.minhash_lsh_candidates(
+        t["documents"], "doc_id", "text", num_hashes=16, num_bands=4, n=3
+    )
+
+
+_JACCARD = f"""
+WITH {_DUCK_SHINGLES.format(src="documents")},
+idx AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS set_size FROM idx GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common, sa.set_size AS size_a, sb.set_size AS size_b,
+       common / (sa.set_size + sb.set_size - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE common / (sa.set_size + sb.set_size - common) >= 0.2
+"""
+
+
+@query("dedup_ngram_jaccard", _JACCARD)
+def dedup_jaccard_q(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    out = D.ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.2)
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("common").cast("long").alias("common"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        "jaccard",
+    )
+
+
+def _duck_tok_hash(var: str = "t") -> str:
+    return f"(('0x' || substr(md5({var}), 1, 8))::BIGINT"
+
+
+_SIMHASH_TERMS = " + ".join(
+    f"CASE WHEN 2 * len(list_filter(tk, t -> ({_duck_tok_hash()} >> {b}) & 1 = 1))) > len(tk) "
+    f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+    for b in range(32)
+)
+_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+)
+SELECT doc_id, CAST({_SIMHASH_TERMS} AS BIGINT) AS simhash
+FROM toks
+"""
+
+
+@query("text_simhash", _SIMHASH)
+def simhash_q(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", D.simhash(F.col("text")).alias("simhash")
+    )
+
+
+_DUCK_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "z -> z[1]::DOUBLE * z[2]::DOUBLE), (x, y) -> x + y)"
+)
+
+_ANN_TOPK = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round({_DUCK_DOT.format(a="e.embedding", b="q.qv")}
+             / (sqrt({_DUCK_DOT.format(a="e.embedding", b="e.embedding")})
+                * sqrt({_DUCK_DOT.format(a="q.qv", b="q.qv")})), 6) AS cos
+FROM embeddings e CROSS JOIN q
+ORDER BY {_DUCK_DOT.format(a="e.embedding", b="q.qv")}
+         / (sqrt({_DUCK_DOT.format(a="e.embedding", b="e.embedding")})
+            * sqrt({_DUCK_DOT.format(a="q.qv", b="q.qv")})) DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("similarity_bruteforce_topk", _ANN_TOPK)
+def ann_topk_q(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 vector, via a crossJoin
+    with the (broadcast) query row — no driver collect."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].alias("e")
+    q = (
+        t["embeddings"]
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+        .alias("q")
+    )
+    cos = V.cosine_similarity(F.col("e.embedding"), F.col("q.qv"))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select(F.col("e.vec_id").alias("vec_id"), cos.alias("_cos_exact"))
+        .orderBy(F.desc("_cos_exact"), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round(F.col("_cos_exact"), 6).alias("cos"))
+    )
+
+
+_DUCK_BUCKET = "concat(" + ", ".join(
+    f"CASE WHEN {{v}}[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(4)
+) + ")"
+
+_NEAR_DUP = f"""
+WITH b AS (
+  SELECT vec_id AS id, embedding AS vec, {_DUCK_BUCKET.format(v="embedding")} AS bucket
+  FROM embeddings
+)
+SELECT l.id AS id_a, r.id AS id_b,
+       round({_DUCK_DOT.format(a="l.vec", b="r.vec")}
+             / (sqrt({_DUCK_DOT.format(a="l.vec", b="l.vec")})
+                * sqrt({_DUCK_DOT.format(a="r.vec", b="r.vec")})), 6) AS cos
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
+WHERE round({_DUCK_DOT.format(a="l.vec", b="r.vec")}
+            / (sqrt({_DUCK_DOT.format(a="l.vec", b="l.vec")})
+               * sqrt({_DUCK_DOT.format(a="r.vec", b="r.vec")})), 6) >= 0.2
+"""
+
+
+@query("similarity_embedding_near_dup", _NEAR_DUP)
+def near_dup_q(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return S.embedding_near_dup_pairs(
+        t["embeddings"], "embedding", "vec_id", threshold=0.2, num_dims=4
+    )
+
+
+_DUCK_LTOKS = (
+    "list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), "
+    "t -> lower(t))"
+)
+
+
+def _duck_lang_count(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])
+    return f"len(list_filter(ltoks, t -> list_contains([{words}], t)))"
+
+
+_LANG_CASE = (
+    "CASE WHEN best = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN c_{lang} = best THEN '{lang}'" for lang in T.LANG_ORDER
+    )
+    + " END"
+)
+
+_LANG_ID = f"""
+WITH t1 AS (SELECT doc_id, lang, {_DUCK_LTOKS} AS ltoks FROM documents),
+t2 AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{_duck_lang_count(lang)} AS c_{lang}" for lang in T.LANG_ORDER)}
+  FROM t1
+),
+t3 AS (
+  SELECT doc_id, lang, c_en, c_es, c_de, c_fr,
+         greatest(c_en, c_es, c_de, c_fr) AS best
+  FROM t2
+)
+SELECT doc_id, lang, {_LANG_CASE} AS pred,
+       (lang = {_LANG_CASE}) AS agree
+FROM t3
+"""
+
+
+@query("text_lang_id", _LANG_ID)
+def lang_id_q(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    pred = T.detect_language(F.col("text"))
+    return t["documents"].select(
+        "doc_id", "lang", pred.alias("pred"), (F.col("lang") == pred).alias("agree")
+    )
+
+
+_TEXT_QUALITY = """
+WITH t1 AS (
+  SELECT doc_id, text,
+    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) AS n_punct,
+    CAST(length(text) AS DOUBLE) AS n_chars_d,
+    CAST(len(list_filter(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), t -> lower(t)),
+         t -> list_contains(['the','and','of','to','in','is','that','it','for','was'], t))) AS DOUBLE) AS sw_hits
+  FROM documents
+),
+t2 AS (
+  SELECT doc_id, n_tokens, bpe_tokens,
+    CASE WHEN n_chars_d > 0 THEN n_punct / n_chars_d ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_tokens > 0 THEN sw_hits / n_tokens ELSE 0.0 END AS stopword_ratio
+  FROM t1
+)
+SELECT doc_id, n_tokens, bpe_tokens,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round((least(n_tokens / 20.0, 1.0)
+              + (1.0 - least(punct_ratio * 4.0, 1.0))
+              + least(stopword_ratio * 4.0, 1.0)) / 3.0, 6) AS quality
+FROM t2
+"""
+
+
+@query("text_quality", _TEXT_QUALITY)
+def text_quality_q(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        T.bpe_token_count("text").cast("long").alias("bpe_tokens"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+_FINGERPRINT = f"""
+WITH {_DUCK_SHINGLES.format(src="documents")}
+SELECT doc_id, list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
+FROM sh
+"""
+
+
+@query("text_fingerprint", _FINGERPRINT)
+def fingerprint_q(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", T.doc_fingerprint("text", 3).alias("fingerprint")
+    )
+
+
+_TOKEN_TOP20 = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT UNNEST(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                t -> lower(t))) AS token
+  FROM documents
+) t
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
+@query("text_token_top20", _TOKEN_TOP20)
+def token_top20_q(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    toks = F.explode(
+        F.transform(T.tokens(F.col("text")), lambda x: F.lower(x))
+    ).alias("token")
+    return (
+        t["documents"]
+        .select(toks)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+_MULTIMODAL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+@query("multimodal_payload_meta", _MULTIMODAL)
+def multimodal_meta_q(spark, sf_dir):
+    """Binary-payload metadata path (JVM-side; the text column stands in
+    for an opaque payload).  The pandas-UDF feature extraction over the
+    same payloads is exercised in tests/test_multimodal.py (not
+    SQL-expressible)."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import payload_meta
+
+    t = load_tables(spark, sf_dir)
+    payloads = t["documents"].select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return payload_meta(payloads).select(
+        "doc_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "payload_md5",
+    )

@@ -46,6 +46,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
+        # the synthetic testdata carries TIMESTAMP(NANOS) parquet columns
+        # (events.ts) which Spark has no native type for: read as long,
+        # converted to microsecond timestamps in queries.load_tables
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # DuckDB-oracle parity: all timestamps are naive (NTZ); with the
+        # session pinned to UTC the semantics are unchanged
+        .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
