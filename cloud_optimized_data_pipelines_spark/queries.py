@@ -1087,3 +1087,49 @@ def multimodal_meta_q(spark, sf_dir):
         F.col("n_bytes").cast("long").alias("n_bytes"),
         "payload_md5",
     )
+
+
+_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id, ts, CAST(value AS DECIMAL(18,6)) AS value,
+         epoch_us(ts) AS us
+  FROM events
+),
+b AS (
+  SELECT *, CASE WHEN us - lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w >= 3600000000::BIGINT
+            THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM b
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(value) AS DECIMAL(38,6)) AS total_value
+FROM s GROUP BY user_id, sess
+"""
+
+
+@query("sessionize_batch_events", _SESSIONIZE)
+def sessionize_q(spark, sf_dir):
+    """Sessionization (batch form of the applyInPandasWithState streaming
+    operator in streaming/sessionize.py): 1-hour-gap user sessions."""
+    from cloud_optimized_data_pipelines_spark.streaming.sessionize import (
+        sessionize_batch,
+    )
+
+    t = load_tables(spark, sf_dir)
+    events = t["events"].withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    out = sessionize_batch(events, gap_seconds=3600)
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("decimal(38,6)").alias("total_value"),
+    )

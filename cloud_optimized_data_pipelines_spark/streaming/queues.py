@@ -1,0 +1,137 @@
+"""Queue semantics as Structured Streaming (SURVEY section 2.8 T1-T7).
+
+The reference chains its stages through SQS: batch size 10, batching
+windows 20-30 s, visibility timeout 900 s, DLQs after 3-5 receives
+(``deploy/cdk/queue_stack.py:22-57``), a proxy lambda draining each
+batch into the next state machine (``lambdas/proxy/handler.py:7-16``).
+
+Spark-first mapping:
+- a "queue" is a parquet directory written by the upstream stage and
+  consumed with ``readStream`` (file source) — exactly-once per
+  micro-batch, which strictly dominates SQS's at-least-once (T6);
+- the batching window is the trigger interval; batch size is
+  ``maxFilesPerTrigger`` (T1);
+- the proxy's drain-and-run is ``foreachBatch`` (T2);
+- per-record failure capture + DLQ is a try/except in the batch
+  function writing to a quarantine table with an ``attempts`` column;
+  rows exceeding ``max_attempts`` stop being retried (T3-T5).
+
+Batch mode (plans/pipeline.py) needs none of this — operator
+pipelining replaces the queue hops entirely; this module exists for
+the reference's *resumable/incremental* operating mode.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def enqueue(df: DataFrame, queue_path: str) -> None:
+    """Producer side: append the stage output to a queue table."""
+    df.write.mode("append").parquet(queue_path)
+
+
+def stream_queue(
+    spark: SparkSession,
+    queue_path: str,
+    schema,
+    max_files_per_trigger: int = 10,
+) -> DataFrame:
+    """Consumer side: the queue as an unbounded stream (T1).
+
+    ``maxFilesPerTrigger`` mirrors the reference's SQS batch size; the
+    trigger interval is chosen at ``run_stage`` time.
+    """
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(queue_path)
+    )
+
+
+def run_stage(
+    stream: DataFrame,
+    stage_fn: Callable[[DataFrame], DataFrame],
+    output_path: str,
+    checkpoint_path: str,
+    quarantine_path: str | None = None,
+    max_attempts: int = 3,
+    trigger_seconds: int | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """T2-T5: micro-batch drain -> stage -> next queue, with quarantine.
+
+    A batch that fails entirely is retried by Spark's checkpoint replay
+    (at-least-once per batch, exactly-once on the sink via idempotent
+    parquet task commits).  Rows the stage itself marks bad (non-null
+    ``error`` column) are split off to the quarantine table with an
+    attempt counter instead of poisoning the queue — the DLQ analog.
+    """
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        out = stage_fn(batch)
+        if quarantine_path is not None and "error" in out.columns:
+            bad = out.filter(F.col("error").isNotNull())
+            if "attempts" in out.columns:
+                bad = bad.withColumn("attempts", F.col("attempts") + 1)
+            else:
+                bad = bad.withColumn("attempts", F.lit(1))
+            (
+                bad.filter(F.col("attempts") <= max_attempts)
+                .write.mode("append")
+                .parquet(quarantine_path)
+            )
+            out = out.filter(F.col("error").isNull())
+        out.write.mode("append").parquet(output_path)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming extension surface: watermarked tumbling-window counts
+    (no reference counterpart — SQS flows are unordered and untimed;
+    SURVEY 2.8 closing note)."""
+    # watermarks require TIMESTAMP (with zone); sessions are pinned UTC
+    # so the NTZ -> LTZ cast is value-preserving
+    events = events.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w").start.alias("window_start"),
+            F.col("w").end.alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup with bounded state (dropDuplicatesWithinWatermark):
+    the exactly-once ingestion guard the reference delegates to its STAC
+    ingestor's idempotent POST (SURVEY section 7 'at-least-once')."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    return events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+        keys
+    )

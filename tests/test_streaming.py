@@ -1,0 +1,121 @@
+"""Streaming-mode tests: queue tables, micro-batch stages, quarantine,
+watermarked windows, streaming dedup — against the events test table."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from cloud_optimized_data_pipelines_spark.streaming.queues import (
+    dedup_within_watermark,
+    enqueue,
+    run_stage,
+    stream_queue,
+    windowed_event_counts,
+)
+
+
+def _await(query, timeout=60):
+    query.awaitTermination(timeout * 1000)
+
+
+def test_queue_stage_end_to_end(spark, sf_dir, tmp_path):
+    """Producer -> queue -> micro-batch stage -> output queue, with the
+    bad rows quarantined (the reference's cogify_queue -> DLQ shape)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(200)
+    qdir = str(tmp_path / "queue")
+    enqueue(events.withColumn("ts", F.col("ts").cast("long")), qdir)
+
+    schema = spark.read.parquet(qdir).schema
+    stream = stream_queue(spark, qdir, schema, max_files_per_trigger=10)
+    assert stream.isStreaming
+
+    def stage(batch):
+        return batch.withColumn(
+            "error",
+            F.when(F.col("event_type") == "error", F.lit("simulated failure")),
+        )
+
+    out_dir = str(tmp_path / "out")
+    qr_dir = str(tmp_path / "quarantine")
+    q = run_stage(
+        stream,
+        stage,
+        out_dir,
+        str(tmp_path / "ckpt"),
+        quarantine_path=qr_dir,
+        available_now=True,
+    )
+    _await(q)
+
+    out = spark.read.parquet(out_dir)
+    quarantined = spark.read.parquet(qr_dir)
+    n_bad = events.filter(F.col("event_type") == "error").count()
+    assert out.count() == 200 - n_bad
+    assert quarantined.count() == n_bad
+    assert quarantined.select(F.max("attempts")).collect()[0][0] == 1
+    assert out.filter(F.col("event_type") == "error").count() == 0
+
+
+def test_windowed_counts_with_watermark(spark, sf_dir, tmp_path):
+    """Watermarked tumbling windows over a real event stream; closed
+    windows match the batch groupBy exactly."""
+    from cloud_optimized_data_pipelines_spark.queries import load_tables
+
+    events = load_tables(spark, sf_dir)["events"]
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_queue(spark, src, schema, max_files_per_trigger=100)
+    agg = windowed_event_counts(stream, "1 hour", "2 hours")
+    out = str(tmp_path / "agg_out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = spark.read.parquet(out)
+    # append mode emits only watermark-closed windows; every emitted row
+    # must equal its batch-mode counterpart
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").start.alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    joined = got.select("window_start", "event_type", "n_events").join(
+        batch.withColumnRenamed("n_events", "expected"),
+        ["window_start", "event_type"],
+    )
+    assert joined.count() > 0
+    assert joined.filter(F.col("n_events") != F.col("expected")).count() == 0
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    rows = [
+        (1, "u1", "click", "2024-01-01 10:00:00"),
+        (1, "u1", "click", "2024-01-01 10:00:05"),  # dup id within watermark
+        (2, "u1", "view", "2024-01-01 10:01:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts_s string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp_ntz")).drop("ts_s")
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    stream = stream_queue(spark, src, spark.read.parquet(src).schema, 10)
+    deduped = dedup_within_watermark(stream, ["event_id"], "1 hour")
+    out = str(tmp_path / "out")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert got.filter(F.col("event_id") == 1).count() == 1
