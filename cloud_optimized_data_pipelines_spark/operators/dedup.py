@@ -52,9 +52,20 @@ def exact_dedup_by_hash(df: DataFrame, content_col: str, id_col: str) -> DataFra
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition an under-partitioned input up to the cluster's
+    parallelism.  A small corpus arriving as one parquet file would
+    otherwise run the whole shingle/hash pipeline on a single core; at
+    real scale (many input splits) this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Inverted index: one row per (doc, distinct shingle)."""
-    return df.select(
+    return _spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     )

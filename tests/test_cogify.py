@@ -1,0 +1,102 @@
+"""Cogify stage: config broadcast join, mapInPandas batch shape, output
+URL rewrite, per-record error capture, routed-pipeline integration."""
+
+import configparser
+
+from pyspark.sql import functions as F
+
+from cloud_optimized_data_pipelines_spark.operators.cogify import cogify_stage
+from cloud_optimized_data_pipelines_spark.operators.routing import split_cogify
+from cloud_optimized_data_pipelines_spark.sources.config import (
+    cogify_config_from_ini,
+    parse_affine,
+)
+
+
+def make_config(spark, tmp_path):
+    ini = tmp_path / "cfg.ini"
+    cp = configparser.ConfigParser()
+    cp["OMDOAO3e"] = {
+        "variable_name": "ColumnAmountO3",
+        "group": "Grid",
+        "affine_transformation": "(-180.0, 0.25, 0, 90.0, 0, -0.25)",
+    }
+    cp["GPM_3IMERGM"] = {"variable_name": "precipitation"}
+    with open(ini, "w") as f:
+        cp.write(f)
+    return cogify_config_from_ini(spark, str(ini))
+
+
+def test_parse_affine_replaces_eval():
+    assert parse_affine("(-180.0, 0.25, 0, 90.0, 0, -0.25)") == (
+        -180.0, 0.25, 0.0, 90.0, 0.0, -0.25,
+    )
+    assert parse_affine(None) is None
+    try:
+        parse_affine("__import__('os').system('true')")
+        raise AssertionError("expected rejection")
+    except (ValueError, SyntaxError):
+        pass
+
+
+def test_config_from_ini(spark, tmp_path):
+    cfg = make_config(spark, tmp_path)
+    rows = {r.collection: r for r in cfg.collect()}
+    assert rows["OMDOAO3e"].variable_name == "ColumnAmountO3"
+    assert rows["OMDOAO3e"].group == "Grid"
+    assert rows["GPM_3IMERGM"].affine_transformation is None
+
+
+def test_cogify_stage_rewrites_urls(spark, tmp_path):
+    cfg = make_config(spark, tmp_path)
+    events = spark.createDataFrame(
+        [
+            ("OMDOAO3e", "s3://src/omi/OMI-Aura_2022m0101.he5", True),
+            ("GPM_3IMERGM", "s3://src/gpm/3B-MO_2022m0201.HDF5", True),
+        ],
+        "collection string, s3_filename string, cogify boolean",
+    )
+    out = {r.collection: r for r in cogify_stage(events, cfg).collect()}
+    assert (
+        out["OMDOAO3e"].s3_filename
+        == "s3://veda-data-store/OMDOAO3e/OMI-Aura_2022m0101.tif"
+    )
+    assert out["OMDOAO3e"].cogify_error is None
+    assert (
+        out["GPM_3IMERGM"].s3_filename
+        == "s3://veda-data-store/GPM_3IMERGM/3B-MO_2022m0201.tif"
+    )
+
+
+def test_cogify_per_record_error_capture(spark, tmp_path):
+    cfg = spark.createDataFrame(
+        [("BAD", None, None, None, None, None, "not-a-tuple")],
+        "collection string, variable_name string, group string, x_variable string, "
+        "y_variable string, src_crs string, affine_transformation string",
+    )
+    events = spark.createDataFrame(
+        [("BAD", "s3://src/x_2020.nc", True), ("BAD", "s3://src/y_2021.nc", True)],
+        "collection string, s3_filename string, cogify boolean",
+    )
+    rows = cogify_stage(events, cfg).collect()
+    assert len(rows) == 2
+    assert all(r.cogify_error and "ValueError" in r.cogify_error for r in rows)
+    # failed records keep their source URL (no partial rewrite)
+    assert {r.s3_filename for r in rows} == {"s3://src/x_2020.nc", "s3://src/y_2021.nc"}
+
+
+def test_routed_pipeline_with_cogify_branch(spark, tmp_path):
+    """F9 integration: cogify rows go through the raster stage, others
+    pass through; the union preserves both."""
+    cfg = make_config(spark, tmp_path)
+    events = spark.createDataFrame(
+        [
+            ("OMDOAO3e", "s3://src/omi/a_2022m0101.he5", True),
+            ("no2-monthly", "s3://src/no2/b_202201.tif", False),
+        ],
+        "collection string, s3_filename string, cogify boolean",
+    )
+    routed = split_cogify(events, lambda df: cogify_stage(df, cfg))
+    got = {r.collection: r.s3_filename for r in routed.collect()}
+    assert got["OMDOAO3e"] == "s3://veda-data-store/OMDOAO3e/a_2022m0101.tif"
+    assert got["no2-monthly"] == "s3://src/no2/b_202201.tif"
