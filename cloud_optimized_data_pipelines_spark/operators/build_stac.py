@@ -61,6 +61,31 @@ def derive_datetimes(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_from_granules(events: DataFrame, granules: DataFrame) -> DataFrame:
+    """J3: CMR metadata enrichment join (utils/stac.py:118).
+
+    The reference fetches each granule's JSON by concept id, one HTTP
+    call per item, limited to 1 result (W3).  Here: a broadcast left
+    join on granule_id that fills start/end datetimes from the granule's
+    temporal range for CMR-routed events (F10: granule_id non-null).
+    """
+    g = granules.select(
+        F.col("granule_id").alias("_gid"),
+        F.col("time_start").alias("_g_start"),
+        F.col("time_end").alias("_g_end"),
+    )
+    joined = events.join(
+        F.broadcast(g), events["granule_id"] == F.col("_gid"), "left"
+    )
+    return (
+        joined.withColumn(
+            "start_datetime", F.coalesce("start_datetime", "_g_start")
+        )
+        .withColumn("end_datetime", F.coalesce("end_datetime", "_g_end"))
+        .drop("_gid", "_g_start", "_g_end")
+    )
+
+
 def build_items(events: DataFrame, spill_limit: int = 256 * 1024) -> DataFrame:
     """Assemble the STAC-item struct + serialized JSON + spill flag.
 

@@ -398,29 +398,22 @@ GROUP BY v.event_id, v.user_id, v.ts
 @query("asof_join_last_click", _ASOF)
 def asof_join(spark, sf_dir):
     """As-of join (engine extension): for each purchase, the most recent
-    click by the same user.  Expressed as equi-join on user + range
-    predicate + max aggregation — the shuffle is keyed on user_id, so
-    it scales with user cardinality, not the quadratic time range."""
+    click by the same user — union+window formulation (one shuffle,
+    linear state; see operators/relational.asof_join). The oracle uses
+    the equivalent range-join+max SQL."""
+    from cloud_optimized_data_pipelines_spark.operators.relational import asof_join
+
     t = load_tables(spark, sf_dir)
-    v = t["events"].filter(F.col("event_type") == "purchase").alias("v")
-    c = (
-        t["events"]
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts")
-        )
-        .alias("c")
+    purchases = t["events"].filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
     )
-    return (
-        v.join(
-            c,
-            (F.col("c_user_id") == F.col("v.user_id"))
-            & (F.col("c_ts") <= F.col("v.ts")),
-            "left",
-        )
-        .groupBy("v.event_id", "v.user_id", "v.ts")
-        .agg(F.max("c_ts").alias("last_click_ts"))
-        .select("event_id", "user_id", "ts", "last_click_ts")
+    clicks = t["events"].filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_time="ts", right_time="ts",
+        right_values=["ts"], suffix="_click",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("ts_click").alias("last_click_ts")
     )
 
 
@@ -1328,3 +1321,171 @@ def approx_distinct(spark, sf_dir):
         F.approx_count_distinct("o_custkey").alias("approx_customers"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining SURVEY section-2 line items as oracle-checked queries:
+# S3 (CMR predicate pushdown shape), C7 (URL parse), A1 (array extent),
+# J3 (granule enrichment join).
+# ---------------------------------------------------------------------------
+
+_CMR_PREDICATES = """
+WITH g AS (
+  SELECT 'G' || CAST(o_orderkey AS STRING) AS granule_id,
+         'OMDOAO3e' AS collection, '003' AS version,
+         o_orderdate AS time_start,
+         o_orderdate + INTERVAL 1 DAY AS time_end,
+         [CAST(CAST(o_orderkey % 360 AS INT) AS DOUBLE) - 180.0,
+          CAST(CAST(o_orderkey % 170 AS INT) AS DOUBLE) - 85.0,
+          CAST(CAST(o_orderkey % 360 AS INT) AS DOUBLE) - 170.0,
+          CAST(CAST(o_orderkey % 170 AS INT) AS DOUBLE) - 75.0] AS bbox
+  FROM orders
+)
+SELECT granule_id, time_start
+FROM g
+WHERE collection = 'OMDOAO3e' AND version = '003'
+  AND time_start >= TIMESTAMP '1996-01-01 00:00:00'
+  AND time_start <= TIMESTAMP '1999-01-01 00:00:00'
+  AND bbox[1] <= 90.0 AND bbox[3] >= -90.0
+  AND bbox[2] <= 45.0 AND bbox[4] >= -45.0
+"""
+
+
+@query("s3_cmr_predicates", _CMR_PREDICATES)
+def cmr_predicates_q(spark, sf_dir):
+    """S3/F4/F5: the CMR temporal + bbox + collection/version predicates
+    via the engine's query_granules operator."""
+    t = load_tables(spark, sf_dir)
+    okey = F.col("o_orderkey")
+    granules = t["orders"].select(
+        F.concat(F.lit("G"), okey.cast("string")).alias("granule_id"),
+        F.lit("OMDOAO3e").alias("collection"),
+        F.lit("003").alias("version"),
+        F.col("o_orderdate").alias("time_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("time_end"),
+        F.array(
+            (okey % 360).cast("int").cast("double") - 180.0,
+            (okey % 170).cast("int").cast("double") - 85.0,
+            (okey % 360).cast("int").cast("double") - 170.0,
+            (okey % 170).cast("int").cast("double") - 75.0,
+        ).alias("bbox"),
+        F.lit(None).cast(
+            "array<struct<rel:string,href:string>>"
+        ).alias("links"),
+    )
+    hits = cmr_src.query_granules(
+        granules,
+        collection="OMDOAO3e",
+        version="003",
+        temporal=("1996-01-01T00:00:00Z", "1999-01-01T00:00:00Z"),
+        bounding_box=(-90.0, -45.0, 90.0, 45.0),
+    )
+    return hits.select("granule_id", "time_start")
+
+
+_URL_PARSE = """
+SELECT p_partkey,
+       regexp_extract(url, '^[a-z0-9]+://([^/]+)', 1) AS bucket,
+       regexp_extract(url, '^[a-z0-9]+://[^/]+/(.*)$', 1) AS key,
+       regexp_extract(url, '([^/]+)$', 1) AS filename
+FROM (
+  SELECT p_partkey,
+         's3://bucket-' || CAST(CAST(p_partkey % 5 AS INT) AS STRING)
+         || '/parts/deep/p_' || CAST(p_partkey AS STRING) || '.tif' AS url
+  FROM part
+) t
+"""
+
+
+@query("c7_url_parse", _URL_PARSE)
+def url_parse_q(spark, sf_dir):
+    """C7/C8: urlparse semantics via the engine's URL scalars (the oracle
+    uses the equivalent regexes — DuckDB has no parse_url)."""
+    from cloud_optimized_data_pipelines_spark.functions.ids import path_basename
+    from cloud_optimized_data_pipelines_spark.functions.urls import url_bucket, url_key
+
+    t = load_tables(spark, sf_dir)
+    url = F.concat(
+        F.lit("s3://bucket-"),
+        (F.col("p_partkey") % 5).cast("int").cast("string"),
+        F.lit("/parts/deep/p_"),
+        F.col("p_partkey").cast("string"),
+        F.lit(".tif"),
+    )
+    return t["part"].select(
+        "p_partkey",
+        url_bucket(url).alias("bucket"),
+        url_key(url).alias("key"),
+        path_basename(url).alias("filename"),
+    )
+
+
+_ARRAY_EXTENT = """
+SELECT vec_id,
+       list_min(embedding) AS dim_min,
+       list_max(embedding) AS dim_max,
+       CAST(len(embedding) AS BIGINT) AS n_dims
+FROM embeddings
+"""
+
+
+@query("a1_array_extent", _ARRAY_EXTENT)
+def array_extent_q(spark, sf_dir):
+    """A1: min/max over array columns (the raster-extent analog,
+    cogify/handler.py:96-101) — array_min/array_max, no UDF."""
+    t = load_tables(spark, sf_dir)
+    return t["embeddings"].select(
+        "vec_id",
+        F.array_min("embedding").alias("dim_min"),
+        F.array_max("embedding").alias("dim_max"),
+        F.size("embedding").cast("long").alias("n_dims"),
+    )
+
+
+_GRANULE_ENRICH = """
+WITH ev AS (
+  SELECT 'G' || CAST(o_orderkey AS STRING) AS granule_id, o_orderkey
+  FROM orders WHERE o_orderkey % 3 = 0
+), g AS (
+  SELECT 'G' || CAST(o_orderkey AS STRING) AS granule_id,
+         o_orderdate AS time_start,
+         o_orderdate + INTERVAL 1 DAY AS time_end
+  FROM orders WHERE o_orderkey % 6 = 0
+)
+SELECT ev.o_orderkey, g.time_start AS start_datetime, g.time_end AS end_datetime
+FROM ev LEFT JOIN g ON g.granule_id = ev.granule_id
+"""
+
+
+@query("j3_granule_enrichment", _GRANULE_ENRICH)
+def granule_enrichment_q(spark, sf_dir):
+    """J3: CMR metadata enrichment as a broadcast left join filling item
+    datetimes from granule temporal ranges (only half the events have a
+    matching granule — the others stay NULL)."""
+    from cloud_optimized_data_pipelines_spark.operators.build_stac import (
+        enrich_from_granules,
+    )
+
+    t = load_tables(spark, sf_dir)
+    okey = F.col("o_orderkey")
+    events = (
+        t["orders"]
+        .filter(okey % 3 == 0)
+        .select(
+            F.concat(F.lit("G"), okey.cast("string")).alias("granule_id"),
+            "o_orderkey",
+            F.lit(None).cast("timestamp_ntz").alias("start_datetime"),
+            F.lit(None).cast("timestamp_ntz").alias("end_datetime"),
+        )
+    )
+    granules = (
+        t["orders"]
+        .filter(okey % 6 == 0)
+        .select(
+            F.concat(F.lit("G"), okey.cast("string")).alias("granule_id"),
+            F.col("o_orderdate").alias("time_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("time_end"),
+        )
+    )
+    out = enrich_from_granules(events, granules)
+    return out.select("o_orderkey", "start_datetime", "end_datetime")
