@@ -80,6 +80,41 @@ def ann_topk(
     return brute_force_topk(bucketed, vec_col, query, k, id_col, round_digits)
 
 
+def ann_topk_by_id(
+    df: DataFrame,
+    vec_col: str,
+    query_id,
+    k: int = 10,
+    id_col: str = "vec_id",
+    num_dims: int = 8,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k where the query vector is a corpus row.
+
+    Fully distributed: the single query row is broadcast and the bucket
+    equality is the join key, so the scored candidate set is ~1/2^d of
+    the corpus and never leaves the executors.  At 100 TB with the
+    corpus ``.write.partitionBy('bucket')``-ed, the bucket filter is
+    partition pruning — the physical index lookup.
+    """
+    b = with_sign_bucket(df, vec_col, num_dims)
+    q = (
+        b.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("_qv"), F.col("bucket").alias("_qb"))
+    )
+    cos = cosine_similarity(F.col(vec_col), F.col("_qv"))
+    out = (
+        b.join(F.broadcast(q), F.col("bucket") == F.col("_qb"))
+        .select(F.col(id_col), cos.alias("_cos_exact"))
+        .orderBy(F.desc("_cos_exact"), F.col(id_col))
+        .limit(k)
+    )
+    final = F.col("_cos_exact")
+    if round_digits is not None:
+        final = F.round(final, round_digits)
+    return out.select(id_col, final.alias("cos"))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,

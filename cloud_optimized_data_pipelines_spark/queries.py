@@ -924,6 +924,34 @@ _DUCK_BUCKET = "concat(" + ", ".join(
     f"CASE WHEN {{v}}[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(4)
 ) + ")"
 
+_ANN_BUCKET_TOPK = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_DUCK_BUCKET.format(v="embedding")} AS bucket
+  FROM embeddings
+),
+q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT vec_id,
+       round({_DUCK_DOT.format(a="b.embedding", b="q.qv")}
+             / (sqrt({_DUCK_DOT.format(a="b.embedding", b="b.embedding")})
+                * sqrt({_DUCK_DOT.format(a="q.qv", b="q.qv")})), 6) AS cos
+FROM b JOIN q ON b.bucket = q.qb
+ORDER BY {_DUCK_DOT.format(a="b.embedding", b="q.qv")}
+         / (sqrt({_DUCK_DOT.format(a="b.embedding", b="b.embedding")})
+            * sqrt({_DUCK_DOT.format(a="q.qv", b="q.qv")})) DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("similarity_ann_topk", _ANN_BUCKET_TOPK)
+def ann_bucket_topk_q(spark, sf_dir):
+    """Sign-bucket ANN top-10 (the IVF/LSH scale path): only the query's
+    bucket (~1/2^4 of the corpus) is scored."""
+    t = load_tables(spark, sf_dir)
+    return S.ann_topk_by_id(
+        t["embeddings"], "embedding", 0, k=10, num_dims=4
+    )
+
+
 _NEAR_DUP = f"""
 WITH b AS (
   SELECT vec_id AS id, embedding AS vec, {_DUCK_BUCKET.format(v="embedding")} AS bucket

@@ -97,3 +97,20 @@ def test_doc_fingerprint_equal_for_equal_text(spark):
     df = spark.createDataFrame([(1, "a b c d e"), (2, "a b c d e")], "id int, t string")
     fps = [r.f for r in df.select(T.doc_fingerprint("t").alias("f")).collect()]
     assert fps[0] == fps[1] and fps[0] is not None
+
+
+def test_ann_topk_by_id_matches_bucket_bruteforce(spark):
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    vecs = [
+        (0, [1.0, 1.0, 1.0, 1.0]),   # bucket 1111 (query)
+        (1, [2.0, 1.0, 1.0, 1.0]),   # bucket 1111
+        (2, [1.0, 2.0, 3.0, 4.0]),   # bucket 1111
+        (3, [-1.0, 1.0, 1.0, 1.0]),  # bucket 0111 — excluded by ANN
+    ]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    got = {r.vec_id: r.cos for r in S.ann_topk_by_id(
+        df, "embedding", 0, k=10, num_dims=4).collect()}
+    assert set(got) == {0, 1, 2}  # same-bucket only
+    assert got[0] == 1.0
+    assert all(-1.0 <= c <= 1.0 for c in got.values())
