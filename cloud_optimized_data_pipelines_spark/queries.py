@@ -732,6 +732,50 @@ def j1_config(spark, sf_dir):
     return with_config(docs, config).select("doc_id", "collection", "variable_name")
 
 
+_J4_COLLECTION = """
+SELECT d.doc_id, d.source AS collection, c.time_density, c.is_periodic,
+       CAST(c.n_docs AS BIGINT) AS n_docs
+FROM documents d
+LEFT JOIN (
+  SELECT source,
+         CASE WHEN COUNT(*) % 3 = 0 THEN 'month'
+              WHEN COUNT(*) % 3 = 1 THEN 'day' ELSE 'year' END AS time_density,
+         COUNT(*) % 2 = 0 AS is_periodic,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY source
+) c ON c.source = d.source
+"""
+
+
+@query("j4_collection_join", _J4_COLLECTION)
+def j4_collection(spark, sf_dir):
+    """J4 collection-metadata join (OPERATING.md:9-24): items enriched
+    from a collections dimension (dashboard:time_density /
+    dashboard:is_periodic analog), broadcast left join — the dim is
+    thousands of rows at most, so no fact shuffle at any scale."""
+    t = load_tables(spark, sf_dir)
+    coll = (
+        t["documents"]
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "source",
+            F.when(F.col("n_docs") % 3 == 0, F.lit("month"))
+            .when(F.col("n_docs") % 3 == 1, F.lit("day"))
+            .otherwise(F.lit("year"))
+            .alias("time_density"),
+            (F.col("n_docs") % 2 == 0).alias("is_periodic"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+    return (
+        t["documents"]
+        .select("doc_id", F.col("source").alias("collection"), "source")
+        .join(F.broadcast(coll), "source", "left")
+        .select("doc_id", "collection", "time_density", "is_periodic", "n_docs")
+    )
+
+
 _EXTENT = """
 WITH d AS (
   SELECT CAST(o_orderkey % 4 AS INT) AS coll_bucket,
