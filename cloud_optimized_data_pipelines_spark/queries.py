@@ -220,10 +220,39 @@ LIMIT 100
 
 @query("q18_large_volume_customer", _Q18)
 def q18(spark, sf_dir):
-    """TPC-H Q18 shape: agg-filtered semi-join back onto the fact —
-    exercises the left-semi rewrite of IN (subquery) plus a top-k."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q18)
+    """TPC-H Q18 shape: agg-filtered join back onto the fact + top-k.
+
+    Hand-shaped rather than the naive IN-subquery SQL: Catalyst
+    rewrites `o_orderkey IN (SELECT ... HAVING)` into TWO copies of
+    the lineitem aggregation (the semi-join is pushed to both the
+    orders and lineitem branches), tripling fact work.  Aggregating
+    lineitem ONCE and joining the (already >300-filtered, therefore
+    tiny) result to orders+customer reads the 100 TB fact a single
+    time — same rows, the plan you'd want on a cluster."""
+    t = load_tables(spark, sf_dir)
+    qty = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        qty.join(t["orders"], qty.l_orderkey == t["orders"].o_orderkey)
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(100)
+    )
 
 
 _TOPK_PER_CUST = """
@@ -884,7 +913,10 @@ def dedup_exact_q(spark, sf_dir):
 
 
 _MINHASH_SIG_DUCK = ", ".join(
-    f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))" for i in range(16)
+    f"list_min(list_transform(shingles, s -> "
+    f"('0x' || substr(md5(s), 1, 14))::BIGINT"
+    f" + {i} * ('0x' || substr(md5(s), 17, 14))::BIGINT))"
+    for i in range(16)
 )
 _MINHASH_LSH = f"""
 WITH {_DUCK_SHINGLES.format(src="documents")},
