@@ -32,10 +32,13 @@ def path_basename(c: Column | str) -> Column:
 def path_stem(c: Column | str) -> Column:
     """``pathlib.Path(x).stem``: basename minus the last suffix only.
 
-    ``foo.nc.tif -> foo.nc``; ``.bashrc -> .bashrc``; ``foo -> foo``.
+    ``foo.nc.tif -> foo.nc``; ``.bashrc -> .bashrc``; ``foo -> foo``;
+    ``foo. -> foo.`` (pathlib counts a suffix only when at least one
+    character follows the dot — hence ``[^.]+``, not ``[^.]*``; caught
+    by the hypothesis fuzz in tests/test_properties.py).
     """
     base = path_basename(c)
-    stripped = F.regexp_extract(base, r"^(.+)\.[^.]*$", 1)
+    stripped = F.regexp_extract(base, r"^(.+)\.[^.]+$", 1)
     return F.when(stripped != "", stripped).otherwise(base)
 
 

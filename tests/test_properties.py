@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis) for the signature scalars.
+
+The reference ships only 13 golden cases for ``extract_dates``
+(lambdas/build-stac/tests/test_regex.py:8-136) and none for the path
+scalars' edge space.  Here we fuzz the engine's column expressions
+against pure-Python models implementing the reference algorithm
+(lambdas/build-stac/utils/regex.py:30-83, pathlib.Path.stem) verbatim.
+
+Each hypothesis example generates a BATCH of rows so one Spark job
+amortizes over ~40 cases; examples are capped to keep the suite fast.
+"""
+
+from __future__ import annotations
+
+import calendar
+import re
+from datetime import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cloud_optimized_data_pipelines_spark.functions.dates import extract_dates
+from cloud_optimized_data_pipelines_spark.functions.ids import path_stem
+
+# --- pure-Python model of regex.py:30-83 -----------------------------------
+
+_STRATS = [
+    (r"_(\d{4}-\d{2}-\d{2})", "%Y-%m-%d"),
+    (r"_(\d{8})", "%Y%m%d"),
+    (r"_(\d{6})", "%Y%m"),
+    (r"_(\d{4})", "%Y"),
+]
+
+
+def _model_extract(fname: str, rng: str | None):
+    dates: list[datetime] = []
+    for rgx, fmt in _STRATS:
+        matches = re.findall(rgx, fname)
+        if matches:
+            dates = [datetime.strptime(m, fmt) for m in matches]
+            break
+    if not dates:
+        return ("error", None, None, None)
+    dates.sort()
+    if len(dates) > 1:
+        return (None, dates[0], dates[-1], None)
+    d = dates[0]
+    if rng == "month":
+        last = calendar.monthrange(d.year, d.month)[1]
+        return (None, d.replace(day=1), d.replace(day=last), None)
+    if rng == "year":
+        return (None, d.replace(month=1, day=1), d.replace(month=12, day=31), None)
+    return (None, None, None, d)
+
+
+# --- generators -------------------------------------------------------------
+
+_dates = st.dates(min_value=datetime(1000, 1, 1).date(), max_value=datetime(2999, 12, 31).date())
+
+
+@st.composite
+def _date_token(draw):
+    d = draw(_dates)
+    kind = draw(st.sampled_from(["iso", "d8", "d6", "d4"]))
+    if kind == "iso":
+        return f"_{d:%Y-%m-%d}"
+    if kind == "d8":
+        return f"_{d:%Y%m%d}"
+    if kind == "d6":
+        return f"_{d:%Y%m}"
+    return f"_{d.year:04d}"
+
+
+_sep = st.text(alphabet="abcXYZ", min_size=0, max_size=6)
+
+
+@st.composite
+def _filename_case(draw):
+    toks = draw(st.lists(_date_token(), min_size=0, max_size=3))
+    seps = [draw(_sep) for _ in range(len(toks) + 1)]
+    name = seps[0]
+    for t, s in zip(toks, seps[1:]):
+        name += t + s
+    rng = draw(st.sampled_from([None, "month", "year", "bogus"]))
+    return (f"s3://bkt/{name}.tif", rng)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(st.lists(_filename_case(), min_size=1, max_size=40))
+def test_extract_dates_matches_reference_model(spark, cases):
+    df = spark.createDataFrame(cases, "fname string, rng string")
+    rows = df.select(
+        "fname", "rng", extract_dates("fname", F.col("rng")).alias("d")
+    ).collect()
+    assert len(rows) == len(cases)
+    for r in rows:
+        err, start, end, single = _model_extract(r.fname, r.rng)
+        got = r.d
+        if err:
+            assert got.error is not None, r.fname
+            assert got.start_datetime is None and got.single_datetime is None
+        else:
+            assert got.error is None, (r.fname, got.error)
+            assert got.start_datetime == start, (r.fname, r.rng)
+            assert got.end_datetime == end, (r.fname, r.rng)
+            assert got.single_datetime == single, (r.fname, r.rng)
+
+
+# --- Path.stem semantics ----------------------------------------------------
+
+_name_chars = st.text(alphabet="abcXYZ019._-", min_size=1, max_size=20)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(st.lists(_name_chars, min_size=1, max_size=40))
+def test_path_stem_matches_pathlib(spark, names):
+    from pathlib import PurePosixPath
+
+    # filter out names that are pure dots ('.', '..') — never valid keys
+    names = [n for n in names if n.strip(".")] or ["x.tif"]
+    paths = [f"s3://b/pre/fix/{n}" for n in names]
+    df = spark.createDataFrame([(p,) for p in paths], "p string")
+    got = [r.s for r in df.select(path_stem("p").alias("s")).collect()]
+    want = [PurePosixPath(p).stem for p in paths]
+    assert got == want
