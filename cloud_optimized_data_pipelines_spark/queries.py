@@ -1255,6 +1255,49 @@ def multimodal_meta_q(spark, sf_dir):
     )
 
 
+_FRAME_SAMPLE = """
+SELECT doc_id AS asset_id, CAST(UNNEST(range(0, n_chars % 50 + 1, 10)) AS BIGINT) AS frame_index
+FROM documents
+"""
+
+
+@query("multimodal_frame_sample", _FRAME_SAMPLE)
+def multimodal_frame_sample_q(spark, sf_dir):
+    """Video frame sampling as a pure-column explode (documents stand in
+    for video assets; n_frames derived deterministically from n_chars).
+    The per-frame decode then rides the mapInPandas path."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    t = load_tables(spark, sf_dir)
+    assets = t["documents"].select(
+        F.col("doc_id").alias("asset_id"),
+        (F.col("n_chars") % 50 + 1).alias("n_frames"),
+    )
+    return frame_sample_plan(assets, every_n=10, id_col="asset_id").select(
+        "asset_id", F.col("frame_index").cast("long").alias("frame_index")
+    )
+
+
+@query("multimodal_extract_features")
+def multimodal_features_q(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (deterministic stub decoder — container has no image/audio libs).
+    Python UDF stage: not SQL-expressible, rows-only check."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    t = load_tables(spark, sf_dir)
+    assets = t["documents"].select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("text").alias("modality"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return extract_features(assets)
+
+
 _SESSIONIZE = """
 WITH e AS (
   SELECT user_id, event_id, ts, CAST(value AS DECIMAL(18,6)) AS value,
