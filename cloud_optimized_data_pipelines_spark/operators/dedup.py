@@ -125,6 +125,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def lsh_banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """(doc, band, bucket) rows — the LSH index shared by the candidate
+    and dedup paths.
+
+    Aggregate formulation: explode shingles once, take per-doc minima of
+    the i-th hash family as 16 agg columns.  Equivalent to the per-row
+    minhash_signature expression but (a) each md5 is computed once, not
+    re-inlined per band by projection collapse (codegen blowup), and
+    (b) the plan is a plain partial-agg shuffle that scales to corpora
+    where a single document's shingle array would be huge.
+
+    Hash family is Carter-Wegman double hashing: ONE md5 per shingle,
+    family member i is h1 + i*h2 (h1/h2 = 56-bit halves of the digest —
+    overflow-free in 64-bit for i<=15 on both engines).  Codegen CSE
+    computes the md5 once across all 16 partial_min aggregates; the old
+    md5(f"{i}:shingle") family cost 16 digests per occurrence and
+    measured 35% slower at sf0.1.
+    """
+    rows_per_band = num_hashes // num_bands
+    idx = shingle_index(df, id_col, text_col, n)
+    h1 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 14), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(F.col("shingle")), 17, 14), 16, 10).cast("long")
+    sig_cols = [
+        F.min(h1 + F.lit(i) * h2).alias(f"_s{i}") for i in range(num_hashes)
+    ]
+    sig = idx.groupBy("doc").agg(*sig_cols)
+    bands = []
+    for b in range(num_bands):
+        cols = [F.col(f"_s{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
+        )
+    return sig.select(
+        "doc", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -139,37 +183,13 @@ def minhash_lsh_candidates(
     op is the equi-join on (band, bucket).  With b bands of r rows the
     detection threshold is ~(1/b)^(1/r); 4 bands x 4 rows ~= 0.71.
     Output: (doc_a, doc_b, n_shared_bands).
-    """
-    rows_per_band = num_hashes // num_bands
-    # Aggregate formulation: explode shingles once, take per-doc minima of
-    # the i-th hash family as 16 agg columns.  Equivalent to the per-row
-    # minhash_signature expression but (a) each md5 is computed once, not
-    # re-inlined per band by projection collapse (codegen blowup), and
-    # (b) the plan is a plain partial-agg shuffle that scales to corpora
-    # where a single document's shingle array would be huge.
-    idx = shingle_index(df, id_col, text_col, n)
-    # Carter-Wegman double hashing: ONE md5 per shingle, family member i
-    # is h1 + i*h2 (h1/h2 = 56-bit halves of the digest — overflow-free
-    # in 64-bit for i<=15 on both engines).  Codegen CSE computes the
-    # md5 once across all 16 partial_min aggregates; the old
-    # md5(f"{i}:shingle") family cost 16 digests per occurrence and
-    # measured 35% slower at sf0.1.
-    h1 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 14), 16, 10).cast("long")
-    h2 = F.conv(F.substring(F.md5(F.col("shingle")), 17, 14), 16, 10).cast("long")
-    sig_cols = [
-        F.min(h1 + F.lit(i) * h2).alias(f"_s{i}") for i in range(num_hashes)
-    ]
-    sig = idx.groupBy("doc").agg(*sig_cols)
-    bands = []
-    for b in range(num_bands):
-        cols = [F.col(f"_s{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        bands.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
-        )
-    banded = sig.select(
-        "doc", F.explode(F.array(*bands)).alias("bb")
-    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
+    NOTE: pair ENUMERATION is quadratic in bucket occupancy by nature
+    (measured: a 100x-replicated corpus yields 153M pairs) — for
+    dedup-at-scale use :func:`minhash_lsh_dedup`, which never
+    materializes pairs; reserve this for bounded-bucket analysis.
+    """
+    banded = lsh_banded(df, id_col, text_col, num_hashes, num_bands, n)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -193,11 +213,25 @@ def minhash_lsh_dedup(
     n: int = 3,
 ) -> DataFrame:
     """Drop near-duplicates: keep the lowest id of every LSH candidate
-    cluster (union-find approximated by min-id propagation over the
-    candidate edge list — one pass is exact for star-shaped clusters,
-    which covers the overwhelming majority of near-dup groups)."""
-    pairs = minhash_lsh_candidates(df, id_col, text_col, num_hashes, num_bands, n)
-    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    cluster (union-find approximated by min-id propagation — one pass is
+    exact for star-shaped clusters, which covers the overwhelming
+    majority of near-dup groups).
+
+    O(n), never enumerates pairs: a doc is dropped iff some bucket it
+    occupies contains a lower id — i.e. ``doc > min(doc) over its
+    (band, bucket)`` — identical losers to the pair formulation
+    (doc_b of any candidate pair) at a tiny fraction of the cost when
+    buckets are dense (100x-replica stress: pair path emits 153M rows,
+    this path one window over 4n rows).
+    """
+    banded = lsh_banded(df, id_col, text_col, num_hashes, num_bands, n)
+    w = Window.partitionBy("band", "bucket")
+    losers = (
+        banded.withColumn("_min", F.min("doc").over(w))
+        .filter(F.col("doc") > F.col("_min"))
+        .select(F.col("doc").alias(id_col))
+        .distinct()
+    )
     return df.join(losers, id_col, "left_anti")
 
 

@@ -114,3 +114,26 @@ def test_ann_topk_by_id_matches_bucket_bruteforce(spark):
     assert set(got) == {0, 1, 2}  # same-bucket only
     assert got[0] == 1.0
     assert all(-1.0 <= c <= 1.0 for c in got.values())
+
+
+def test_minhash_dedup_equals_pair_formulation(spark):
+    from pyspark.sql import functions as F
+    from cloud_optimized_data_pipelines_spark.operators import dedup as D
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "an entirely different second document about spark and parquet files",
+        "a third unique document mentioning streaming watermarks and state",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        for rep in range(4):  # 4 exact replicas of each -> dense buckets
+            rows.append((rep * 100 + i, t))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    kept = {r.doc_id for r in D.minhash_lsh_dedup(df, "doc_id", "text").collect()}
+    pairs = D.minhash_lsh_candidates(df, "doc_id", "text")
+    pair_losers = {r.doc_id for r in
+                   pairs.select(F.col("doc_b").alias("doc_id")).distinct().collect()}
+    assert kept == {r.doc_id for r in df.collect()} - pair_losers
+    assert kept == {0, 1, 2}  # lowest id of each replica clique survives
