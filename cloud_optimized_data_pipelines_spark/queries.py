@@ -1255,6 +1255,36 @@ def multimodal_meta_q(spark, sf_dir):
     )
 
 
+_PERCENTILES = """
+SELECT c_mktsegment,
+       percentile(o_totalprice, 0.5) AS p50,
+       percentile(o_totalprice, 0.9) AS p90,
+       COUNT(*) AS n
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+_PERCENTILES_DUCK = """
+SELECT c_mktsegment,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("agg_percentiles", _PERCENTILES_DUCK)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated quantiles per segment (Spark `percentile` ==
+    DuckDB `quantile_cont`, bit-identical linear interpolation).  Exact
+    percentile buffers each group's values — at 100 TB switch to
+    `approx_percentile` (t-digest, mergeable partial agg); kept exact
+    here because the oracle gate demands bit equality."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_PERCENTILES)
+
+
 _FRAME_SAMPLE = """
 SELECT doc_id AS asset_id, CAST(UNNEST(range(0, n_chars % 50 + 1, 10)) AS BIGINT) AS frame_index
 FROM documents
