@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "similarity_bruteforce_topk",
+    "similarity_ann_topk",
     "text_quality",
 ]
 
