@@ -974,6 +974,47 @@ def dedup_jaccard_q(spark, sf_dir):
     )
 
 
+_JACCARD_GUARDED = f"""
+WITH {_DUCK_SHINGLES.format(src="documents")},
+idx0 AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
+freq AS (SELECT shingle FROM idx0 GROUP BY shingle HAVING COUNT(*) <= 10),
+idx AS (SELECT idx0.* FROM idx0 JOIN freq USING (shingle)),
+sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS set_size FROM idx GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common, sa.set_size AS size_a, sb.set_size AS size_b,
+       common / (sa.set_size + sb.set_size - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE common / (sa.set_size + sb.set_size - common) >= 0.2
+"""
+
+
+@query("dedup_ngram_jaccard_guarded", _JACCARD_GUARDED)
+def dedup_jaccard_guarded_q(spark, sf_dir):
+    """The 100 TB form of the Jaccard join: shingles occurring in more
+    than `max_shingle_freq` docs are dropped before the self-join — the
+    skew guard that bounds per-shingle pair fan-out (a 1M-doc posting
+    list would otherwise emit 10^12 candidates).  Jaccard is then exact
+    over the pruned shingle space on BOTH engines."""
+    t = load_tables(spark, sf_dir)
+    out = D.ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", n=3, threshold=0.2, max_shingle_freq=10
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("common").cast("long").alias("common"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        "jaccard",
+    )
+
+
 def _duck_tok_hash(var: str = "t") -> str:
     return f"(('0x' || substr(md5({var}), 1, 8))::BIGINT"
 

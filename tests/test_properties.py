@@ -132,3 +132,64 @@ def test_path_stem_matches_pathlib(spark, names):
     got = [r.s for r in df.select(path_stem("p").alias("s")).collect()]
     want = [PurePosixPath(p).stem for p in paths]
     assert got == want
+
+
+# --- per-row item_id regex semantics ----------------------------------------
+
+_ID_PATTERNS = [
+    None,
+    r"([A-Z]+)_(\d+)",
+    r"(\d{4})",
+    r"(?:pre)_([a-z]+)",
+    r"([a-z]+)-([a-z]+)-([a-z]+)",
+    r"\((\d+)\)",
+    r"([a-z]+)(\d+)?",
+    r"(\d+)\.(\d+)\.(\d+)\.(\d+)",
+]
+
+
+def _model_item_id(path: str, rgx: str | None) -> str:
+    import re as _re
+    from pathlib import PurePosixPath
+
+    if rgx is None:
+        return PurePosixPath(path).stem
+    n = min(4, _re.compile(rgx).groups)
+    m = _re.search(rgx, path)
+    parts = []
+    for i in range(1, n + 1):
+        v = m.group(i) if m else None
+        if v:
+            parts.append(v)
+    return "-".join(parts)
+
+
+_fname_text = st.text(alphabet="abcABC019_-().", min_size=1, max_size=24)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    st.lists(
+        st.tuples(_fname_text, st.sampled_from(_ID_PATTERNS)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_item_id_per_row_matches_re_model(spark, cases):
+    from cloud_optimized_data_pipelines_spark.functions.ids import item_id_per_row
+
+    rows = [(f"s3://b/{name}.tif", rgx) for name, rgx in cases
+            if name.strip(".")]  # skip all-dot basenames (never valid keys)
+    if not rows:
+        rows = [("s3://b/x.tif", None)]
+    df = spark.createDataFrame(rows, "p string, rgx string")
+    got = [
+        r.i
+        for r in df.select(item_id_per_row("p", F.col("rgx")).alias("i")).collect()
+    ]
+    want = [_model_item_id(p, rgx) for p, rgx in rows]
+    assert got == want
