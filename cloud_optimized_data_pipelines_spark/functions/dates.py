@@ -77,41 +77,51 @@ def extract_dates(filename: Column | str, datetime_range: Column | str | None = 
     dates = F.coalesce(
         *[_strategy_dates(filename, p, f) for p, f in DATE_REGEX_STRATEGIES]
     )
-    sorted_dates = F.array_sort(dates)
-    n = F.coalesce(F.size(dates), F.lit(0))
-    single = F.element_at(sorted_dates, 1)
-    m_start, m_end = month_range(single)
-    y_start, y_end = year_range(single)
 
-    # all outputs normalized to TIMESTAMP_NTZ: session-timezone-proof
-    # (values were parsed as naive UTC wall clocks — regex.py:52-53)
-    null_ts = F.lit(None).cast("timestamp_ntz")
-    start = (
-        F.when(n > 1, F.element_at(sorted_dates, 1))
-        .when((n == 1) & (rng == "month"), m_start)
-        .when((n == 1) & (rng == "year"), y_start)
-        .otherwise(null_ts)
-    ).cast("timestamp_ntz")
-    end = (
-        F.when(n > 1, F.element_at(sorted_dates, -1))
-        .when((n == 1) & (rng == "month"), m_end)
-        .when((n == 1) & (rng == "year"), y_end)
-        .otherwise(null_ts)
-    ).cast("timestamp_ntz")
-    single_out = F.when(
-        (n == 1) & (rng.isNull() | ~rng.isin("month", "year")), single
-    ).cast("timestamp_ntz")
-    error = F.when(
-        n == 0,
-        F.concat(
-            F.lit("No dates provided in filename='"),
-            filename,
-            F.lit("'. At least one date in format yyyy-mm-dd is required."),
-        ),
-    )
-    return F.struct(
-        start.alias("start_datetime"),
-        end.alias("end_datetime"),
-        single_out.alias("single_datetime"),
-        error.alias("error"),
+    def build(sorted_dates: Column) -> Column:
+        n = F.coalesce(F.size(sorted_dates), F.lit(0))
+        single = F.element_at(sorted_dates, 1)
+        m_start, m_end = month_range(single)
+        y_start, y_end = year_range(single)
+
+        # all outputs normalized to TIMESTAMP_NTZ: session-timezone-proof
+        # (values were parsed as naive UTC wall clocks — regex.py:52-53)
+        null_ts = F.lit(None).cast("timestamp_ntz")
+        start = (
+            F.when(n > 1, F.element_at(sorted_dates, 1))
+            .when((n == 1) & (rng == "month"), m_start)
+            .when((n == 1) & (rng == "year"), y_start)
+            .otherwise(null_ts)
+        ).cast("timestamp_ntz")
+        end = (
+            F.when(n > 1, F.element_at(sorted_dates, -1))
+            .when((n == 1) & (rng == "month"), m_end)
+            .when((n == 1) & (rng == "year"), y_end)
+            .otherwise(null_ts)
+        ).cast("timestamp_ntz")
+        single_out = F.when(
+            (n == 1) & (rng.isNull() | ~rng.isin("month", "year")), single
+        ).cast("timestamp_ntz")
+        error = F.when(
+            n == 0,
+            F.concat(
+                F.lit("No dates provided in filename='"),
+                filename,
+                F.lit("'. At least one date in format yyyy-mm-dd is required."),
+            ),
+        )
+        return F.struct(
+            start.alias("start_datetime"),
+            end.alias("end_datetime"),
+            single_out.alias("single_datetime"),
+            error.alias("error"),
+        )
+
+    # let-binding via a single-element transform: the 4-strategy regex
+    # coalesce is evaluated ONCE per row and bound to the lambda var —
+    # referencing `dates` directly from each struct field re-inlines the
+    # whole regex subtree 4+ times (codegen CSE does not cover these
+    # higher-order expressions; measured 8x slower at 15M rows).
+    return F.element_at(
+        F.transform(F.array(F.array_sort(dates)), build), 1
     )
