@@ -235,6 +235,78 @@ def minhash_lsh_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def cluster_labels(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a bipartite (doc, bucket) graph by
+    iterative min-label propagation: doc labels flow to buckets
+    (groupBy min), bucket minima flow back to docs, until fixpoint.
+
+    Never materializes doc-doc pairs — per iteration the work is two
+    aggregations over the edge list (O(edges)), and iterations are
+    bounded by cluster diameter (near-dup clusters are shallow; 20
+    covers any realistic corpus).  ``localCheckpoint`` truncates the
+    lineage each round so the plan doesn't grow with iterations — the
+    standard Spark iterative-algorithm pattern.
+
+    Input: (doc, bkt) rows.  Output: (doc, label) where label = min doc
+    id of the doc's component.
+    """
+    labels = edges.select("doc").distinct().withColumn("label", F.col("doc"))
+    for _ in range(max_iter):
+        bucket_min = (
+            edges.join(labels, "doc")
+            .groupBy("bkt")
+            .agg(F.min("label").alias("_bmin"))
+        )
+        new_labels = (
+            edges.join(bucket_min, "bkt")
+            .groupBy("doc")
+            .agg(F.min("_bmin").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "doc")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def minhash_lsh_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    n: int = 3,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Assign every doc a near-dup ``cluster_id`` (min doc id of its
+    connected component in the LSH collision graph).
+
+    Unlike :func:`minhash_lsh_dedup` (one bucket-min pass — exact for
+    star clusters), this follows CHAINS: A~B and B~C put A,B,C in one
+    cluster even when A,C never collide.  Iterative — genuinely not
+    SQL-expressible (DuckDB recursive CTEs forbid aggregates in the
+    recursive term), so its query entry is rows-only checked.
+    """
+    banded = lsh_banded(df, id_col, text_col, num_hashes, num_bands, n)
+    edges = banded.select(
+        "doc", F.concat_ws("#", "band", "bucket").alias("bkt")
+    )
+    labels = cluster_labels(edges, max_iter)
+    return (
+        df.join(labels, df[id_col] == labels.doc, "left")
+        .drop("doc")
+        .withColumn("cluster_id", F.coalesce(F.col("label"), F.col(id_col)))
+        .drop("label")
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 
 SIMHASH_BITS = 32  # md5-hex prefix of 8 chars -> 32 bits; fits INT/BIGINT

@@ -974,6 +974,20 @@ def dedup_jaccard_q(spark, sf_dir):
     )
 
 
+@query("dedup_lsh_clusters")
+def dedup_lsh_clusters_q(spark, sf_dir):
+    """Near-dup cluster assignment: connected components over the LSH
+    collision graph via iterative min-label propagation (follows A~B~C
+    chains).  Iterative with a driver convergence check — not
+    SQL-expressible (recursive CTEs forbid aggregates in the recursive
+    term), rows-only checked; component semantics unit-tested in
+    tests/test_text_vectors.py."""
+    t = load_tables(spark, sf_dir)
+    return D.minhash_lsh_clusters(
+        t["documents"].select("doc_id", "text"), "doc_id", "text"
+    ).select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+
+
 _JACCARD_GUARDED = f"""
 WITH {_DUCK_SHINGLES.format(src="documents")},
 idx0 AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),

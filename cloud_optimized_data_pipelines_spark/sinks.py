@@ -28,6 +28,34 @@ def write_jsonl(items: DataFrame, path: str, mode: str = "overwrite") -> None:
     items.select("item_json").write.mode(mode).text(path)
 
 
+def write_partitioned_items(
+    items: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("collection", "year"),
+    mode: str = "overwrite",
+    target_file_rows: int | None = None,
+) -> None:
+    """Scale-layout parquet sink: hive-partitioned by collection (and
+    optionally item year), so downstream reads prune whole directories
+    — the engine-side analog of the reference's one-prefix-per-
+    collection S3 layout (``{output_bucket}/{collection}/{filename}``,
+    cogify/handler.py:43).
+
+    At 100 TB the partition columns are the access pattern: a dashboard
+    query for one collection/date range scans only its directories
+    (Catalyst PartitionFilters, no footer reads elsewhere).
+    ``target_file_rows`` optionally repartitions within partitions to
+    bound output file count (small-files guard: without it, every task
+    writes a file per partition value it holds).
+    """
+    out = items
+    if target_file_rows is not None:
+        # one shuffle keyed on the partition columns: each output dir is
+        # written by few tasks instead of all of them
+        out = out.repartition(*[F.col(c) for c in partition_cols])
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def submit_items(
     items: DataFrame,
     poster: Poster,

@@ -110,3 +110,38 @@ def test_granules_from_fetcher(spark):
     df = granules_from_fetcher(spark, fake_fetch, collection="OMDOAO3e")
     assert df.schema == GRANULE_SCHEMA
     assert df.count() == 1
+
+
+def test_write_partitioned_items_layout_and_pruning(spark, tmp_path):
+    """Hive layout per (collection, year) + Catalyst partition pruning
+    on read-back — the 100 TB access-pattern sink."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cloud_optimized_data_pipelines_spark.sinks import write_partitioned_items
+
+    rows = [
+        ("no2-monthly", 2020, "a", 1.0),
+        ("no2-monthly", 2021, "b", 2.0),
+        ("co2-daily", 2020, "c", 3.0),
+        ("co2-daily", 2020, "d", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "collection string, year int, item_id string, v double"
+    )
+    out = str(tmp_path / "items")
+    write_partitioned_items(df, out, ("collection", "year"), target_file_rows=1000)
+
+    dirs = sorted(os.listdir(out))
+    assert "collection=co2-daily" in dirs and "collection=no2-monthly" in dirs
+    assert sorted(os.listdir(f"{out}/collection=co2-daily")) == ["year=2020"]
+
+    back = spark.read.parquet(out)
+    assert back.count() == 4
+    pruned = back.filter(
+        (F.col("collection") == "co2-daily") & (F.col("year") == 2020)
+    )
+    assert pruned.count() == 2
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

@@ -137,3 +137,34 @@ def test_minhash_dedup_equals_pair_formulation(spark):
                    pairs.select(F.col("doc_b").alias("doc_id")).distinct().collect()}
     assert kept == {r.doc_id for r in df.collect()} - pair_losers
     assert kept == {0, 1, 2}  # lowest id of each replica clique survives
+
+
+def test_cluster_labels_follows_chains(spark):
+    from cloud_optimized_data_pipelines_spark.operators.dedup import cluster_labels
+
+    # bipartite graph: docs 1-2 share bucket x, 2-3 share y (chain!),
+    # 9-10 share z (separate component), 7 isolated in its own bucket
+    edges = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (2, "y"), (3, "y"), (9, "z"), (10, "z"), (7, "w")],
+        "doc int, bkt string",
+    )
+    got = {r.doc: r.label for r in cluster_labels(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9, 10: 9, 7: 7}
+
+
+def test_minhash_lsh_clusters_on_replicas(spark):
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        minhash_lsh_clusters,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "an entirely different second document about spark and parquet files",
+    ]
+    rows = [(rep * 10 + i, t) for i, t in enumerate(base) for rep in range(3)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = minhash_lsh_clusters(df, "doc_id", "text").collect()
+    clusters = {}
+    for r in out:
+        clusters.setdefault(r.cluster_id, set()).add(r.doc_id)
+    assert clusters == {0: {0, 10, 20}, 1: {1, 11, 21}}
