@@ -250,6 +250,10 @@ def cluster_labels(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     Input: (doc, bkt) rows.  Output: (doc, label) where label = min doc
     id of the doc's component.
     """
+    # materialize the edge list ONCE — every iteration references it
+    # twice, and without this the full upstream lineage (LSH banding:
+    # shingle explode + signature agg) re-executes per reference
+    edges = edges.localCheckpoint(eager=True)
     labels = edges.select("doc").distinct().withColumn("label", F.col("doc"))
     for _ in range(max_iter):
         bucket_min = (
