@@ -255,6 +255,50 @@ def q18(spark, sf_dir):
     )
 
 
+_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@query("q4_order_priority", _Q4)
+def q4(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join against the
+    fact, then a tiny agg (late-shipped lineitem stands in for the
+    commit/receipt columns the synthetic schema lacks)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q4)
+
+
+_Q14 = """
+SELECT
+  CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))
+        ELSE CAST(0 AS DECIMAL(31,8)) END) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DOUBLE)
+  AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+@query("q14_promo_effect", _Q14)
+def q14(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregate ratio over a broadcast
+    dimension join.  Sums run exact in DECIMAL; only the final ratio is
+    DOUBLE (one identical IEEE division on both engines)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q14)
+
+
 _TOPK_PER_CUST = """
 SELECT c_custkey, o_orderkey, o_totalprice, rn
 FROM (
