@@ -53,6 +53,10 @@ def get_spark(
         # DuckDB-oracle parity: all timestamps are naive (NTZ); with the
         # session pinned to UTC the semantics are unchanged
         .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
+        # Python Data Source API pushdown (the CMR connector translates
+        # collection/version/temporal predicates into catalog-side
+        # parameters — sources/cmr_datasource.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
