@@ -235,6 +235,52 @@ def minhash_lsh_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def minhash_lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production near-dup pipeline: LSH candidate generation +
+    exact Jaccard verification restricted to candidates.
+
+    The all-pairs Jaccard join is quadratic in posting-list length; here
+    the shingle self-join is SEMI-JOINED to the (sub-linear) LSH
+    candidate set first, so exact similarity is only computed for pairs
+    that already collide in a band — the standard candidates-then-verify
+    composition.  Output: (doc_a, doc_b, jaccard) with jaccard >=
+    threshold, where jaccard is exact over the full shingle sets.
+    """
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, num_bands, n
+    ).select("doc_a", "doc_b")
+    idx = shingle_index(df, id_col, text_col, n)
+    sizes = idx.groupBy("doc").agg(F.count("*").alias("set_size"))
+    a = idx.select(F.col("doc").alias("doc_a"), "shingle")
+    b = idx.select(F.col("doc").alias("doc_b"), "shingle")
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def cluster_labels(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over a bipartite (doc, bucket) graph by
     iterative min-label propagation: doc labels flow to buckets

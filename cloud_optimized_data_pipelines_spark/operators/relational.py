@@ -21,6 +21,37 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    num_salts: int = 16,
+) -> DataFrame:
+    """Skew-proof equi-join: spread each hot key of the large side over
+    ``num_salts`` shuffle partitions.
+
+    Large side gets a deterministic salt from its OTHER columns
+    (xxhash64 over the full row), so one hot key's rows land in
+    num_salts different reducers; the small side is replicated
+    num_salts times with every salt value.  Join keys become
+    (key, salt) — same result set as the plain join.
+
+    AQE's skew-join split handles most cases at runtime; explicit
+    salting remains for aggregation-free pipelines, stateful streaming
+    joins (no AQE), and keys hot enough that a single post-split
+    partition still overflows.
+    """
+    salt = (F.abs(F.xxhash64(*[F.col(c) for c in large.columns])) % num_salts).alias(
+        "_salt"
+    )
+    l = large.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(num_salts)]))
+    )
+    return l.join(s, [on, "_salt"], how).drop("_salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -1018,6 +1018,49 @@ def dedup_jaccard_q(spark, sf_dir):
     )
 
 
+_LSH_VERIFIED = f"""
+WITH {_DUCK_SHINGLES.format(src="documents")},
+sig AS (
+  SELECT doc_id, [{_MINHASH_SIG_DUCK}] AS sig FROM sh
+),
+bands AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS bucket
+  FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+idx AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS set_size FROM idx GROUP BY doc),
+common AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM cand c
+  JOIN idx a ON a.doc = c.doc_a
+  JOIN idx b ON b.doc = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       common / (sa.set_size + sb.set_size - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE common / (sa.set_size + sb.set_size - common) >= 0.2
+"""
+
+
+@query("dedup_lsh_verified", _LSH_VERIFIED)
+def dedup_lsh_verified_q(spark, sf_dir):
+    """Candidates-then-verify: exact Jaccard computed ONLY for LSH
+    band collisions — the production near-dup composition (sub-linear
+    candidate generation, exact verification)."""
+    t = load_tables(spark, sf_dir)
+    return D.minhash_lsh_verified_pairs(
+        t["documents"], "doc_id", "text", threshold=0.2
+    )
+
+
 @query("dedup_lsh_clusters")
 def dedup_lsh_clusters_q(spark, sf_dir):
     """Near-dup cluster assignment: connected components over the LSH

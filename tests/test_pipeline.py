@@ -168,3 +168,34 @@ def test_transfer_copy_execution_local(spark, tmp_path):
 
     execute_copies(planned, copy_fn)
     assert (dst_root / "collA" / "file_2020.tif").read_bytes() == b"payload"
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Skew salting must be result-invariant: same rows as the plain
+    equi-join, hot key spread across salt partitions."""
+    from pyspark.sql import functions as F
+
+    from cloud_optimized_data_pipelines_spark.operators.relational import salted_join
+
+    # 90% of fact rows share one hot key
+    fact = spark.createDataFrame(
+        [(1 if i % 10 else 2, f"v{i}") for i in range(1000)], "k int, v string"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], "k int, name string")
+
+    plain = fact.join(dim, "k").select("k", "v", "name")
+    salted = salted_join(fact, dim, "k").select("k", "v", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    assert salted.count() == 1000
+
+    # the hot key's rows really do carry multiple salt values
+    salts = (
+        fact.withColumn(
+            "_salt", F.abs(F.xxhash64(*[F.col(c) for c in fact.columns])) % 16
+        )
+        .filter(F.col("k") == 1)
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert salts > 4
