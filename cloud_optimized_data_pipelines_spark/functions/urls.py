@@ -19,13 +19,24 @@ def _c(c: Column | str) -> Column:
 
 
 def url_bucket(url: Column | str) -> Column:
-    """Hostname component — ``urlparse(url).hostname`` (bucket for s3://)."""
-    return F.parse_url(_c(url), F.lit("HOST"))
+    """Hostname component — ``urlparse(url).hostname`` (bucket for s3://).
+
+    Regexp-based rather than ``parse_url(HOST)``: Spark's parse_url
+    (java.net.URI) NULLs out hosts urlparse accepts (e.g. the all-
+    numeric reg-name ``0.0`` — caught by the hypothesis fuzz), and
+    ``.hostname`` additionally LOWERCASES and strips userinfo/port.
+    Still a pure codegen expression.
+    """
+    return F.lower(
+        F.regexp_extract(_c(url), r"^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:]*)", 1)
+    )
 
 
 def url_key(url: Column | str) -> Column:
     """Path component without the leading '/' — ``urlparse(url).path[1:]``."""
-    return F.regexp_replace(F.parse_url(_c(url), F.lit("PATH")), r"^/", "")
+    return F.regexp_replace(
+        F.regexp_extract(_c(url), r"^[^:/?#]+://[^/?#]*([^?#]*)", 1), r"^/", ""
+    )
 
 
 def s3_url(bucket: Column | str, key: Column | str) -> Column:

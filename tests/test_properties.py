@@ -193,3 +193,47 @@ def test_item_id_per_row_matches_re_model(spark, cases):
     ]
     want = [_model_item_id(p, rgx) for p, rgx in rows]
     assert got == want
+
+
+# --- URL parse semantics ----------------------------------------------------
+
+_host = st.text(alphabet="abXY01-.", min_size=1, max_size=12).filter(
+    lambda h: not h.startswith((".", "-"))
+    and not h.endswith((".", "-"))
+    and ".." not in h
+)
+_seg = st.text(alphabet="abcXYZ019_-.", min_size=1, max_size=10).filter(
+    lambda s: s.strip(".")
+)
+
+
+@st.composite
+def _url_case(draw):
+    scheme = draw(st.sampled_from(["s3", "https", "http"]))
+    host = draw(_host)
+    segs = draw(st.lists(_seg, min_size=1, max_size=4))
+    return f"{scheme}://{host}/" + "/".join(segs)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(st.lists(_url_case(), min_size=1, max_size=40))
+def test_url_parse_matches_urllib(spark, urls):
+    from urllib.parse import urlparse
+
+    from cloud_optimized_data_pipelines_spark.functions.urls import (
+        url_bucket,
+        url_key,
+    )
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = df.select(
+        "u", url_bucket("u").alias("b"), url_key("u").alias("k")
+    ).collect()
+    for r in rows:
+        p = urlparse(r.u)
+        assert r.b == p.hostname, r.u
+        assert r.k == p.path[1:], r.u
