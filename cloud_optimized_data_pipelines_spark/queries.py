@@ -1516,6 +1516,48 @@ def sessionize_q(spark, sf_dir):
     )
 
 
+_GAP_STATS_SPARK = """
+WITH g AS (
+  SELECT user_id,
+         unix_micros(CAST(ts AS TIMESTAMP_LTZ))
+           - LAG(unix_micros(CAST(ts AS TIMESTAMP_LTZ)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, COUNT(gap_us) AS n_gaps,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       percentile(gap_us, 0.5) AS p50_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+_GAP_STATS_DUCK = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       quantile_cont(gap_us, 0.5) AS p50_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@query("events_gap_stats", _GAP_STATS_DUCK)
+def events_gap_stats(spark, sf_dir):
+    """Inter-event gap distribution per user: lag over event-time order
+    + exact median — the cadence profile behind sessionization gap
+    tuning.  One shuffle (partitionBy user); with the session pinned to
+    UTC, unix_micros(NTZ→LTZ cast) == DuckDB epoch_us exactly."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_GAP_STATS_SPARK)
+
+
 # ---------------------------------------------------------------------------
 # Additional relational coverage: cube, subqueries (correlated EXISTS +
 # scalar), conditional pivot, range join, string/date scalar functions,

@@ -168,3 +168,31 @@ def test_minhash_lsh_clusters_on_replicas(spark):
     for r in out:
         clusters.setdefault(r.cluster_id, set()).add(r.doc_id)
     assert clusters == {0: {0, 10, 20}, 1: {1, 11, 21}}
+
+
+def test_ann_index_build_prunes_partitions(spark, tmp_path):
+    """The ANN 'index build' is a partitioned write: reading one bucket
+    back must hit only that bucket's directory (partition pruning =
+    the physical index lookup)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from cloud_optimized_data_pipelines_spark.operators.similarity import (
+        with_sign_bucket,
+    )
+
+    vecs = [(i, [float(b0), float(b1), 1.0])
+            for i, (b0, b1) in enumerate([(1, 1), (1, -1), (-1, 1), (-1, -1)] * 5)]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    out = str(tmp_path / "ann_index")
+    with_sign_bucket(df, "embedding", num_dims=2).write.partitionBy(
+        "bucket"
+    ).parquet(out)
+
+    assert sorted(d for d in os.listdir(out) if d.startswith("bucket=")) == [
+        "bucket=00", "bucket=01", "bucket=10", "bucket=11",
+    ]
+    back = spark.read.parquet(out).filter(F.col("bucket") == "10")
+    assert back.count() == 5
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
