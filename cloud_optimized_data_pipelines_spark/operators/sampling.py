@@ -1,0 +1,43 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Splits must be REPRODUCIBLE (same row → same split on every run, every
+engine, any partitioning) — so they hash content, never use RNG state.
+``df.sample``/``rand()`` are partition-order dependent; md5 is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column | str, num_buckets: int = 100) -> Column:
+    """Stable bucket in [0, num_buckets) from the md5 of the key —
+    bit-identical across engines (DuckDB: ('0x'||substr(md5(k),1,8))::
+    BIGINT % n) and independent of partitioning."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return (h % num_buckets).alias("bucket")
+
+
+def deterministic_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, int],
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row a named split by hash bucket, e.g.
+    ``{"train": 90, "val": 5, "test": 5}`` (weights sum to 100).
+
+    Pure column expression — no shuffle, no RNG; adding data later
+    never reassigns existing rows.
+    """
+    total = sum(weights.values())
+    b = hash_bucket(key, total)
+    expr = None
+    acc = 0
+    for name, w in weights.items():
+        acc += w
+        cond = b < acc
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(split_col, expr)

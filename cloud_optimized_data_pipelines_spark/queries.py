@@ -1018,6 +1018,36 @@ def dedup_jaccard_q(spark, sf_dir):
     )
 
 
+_TRAIN_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+FROM b
+"""
+
+
+@query("text_train_val_split", _TRAIN_SPLIT)
+def train_val_split_q(spark, sf_dir):
+    """Deterministic 90/5/5 split by doc_id md5 bucket — reproducible
+    across runs/engines/partitionings (rand()/df.sample are not), and
+    stable under corpus growth: new rows never reassign old ones."""
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return deterministic_split(
+        t["documents"].select("doc_id"),
+        "doc_id",
+        {"train": 90, "val": 5, "test": 5},
+    )
+
+
 _LSH_VERIFIED = f"""
 WITH {_DUCK_SHINGLES.format(src="documents")},
 sig AS (

@@ -196,3 +196,18 @@ def test_ann_index_build_prunes_partitions(spark, tmp_path):
     assert back.count() == 5
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_deterministic_split_stable_under_growth(spark):
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        deterministic_split,
+    )
+
+    w = {"train": 90, "val": 5, "test": 5}
+    small = spark.createDataFrame([(i,) for i in range(200)], "id int")
+    big = spark.createDataFrame([(i,) for i in range(400)], "id int")
+    s1 = {r.id: r.split for r in deterministic_split(small, "id", w).collect()}
+    s2 = {r.id: r.split for r in deterministic_split(big, "id", w).collect()}
+    # adding rows never reassigns existing ones
+    assert all(s2[i] == s1[i] for i in s1)
+    assert set(s2.values()) == {"train", "val", "test"}
