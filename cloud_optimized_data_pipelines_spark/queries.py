@@ -1371,6 +1371,50 @@ def fingerprint_q(spark, sf_dir):
     )
 
 
+_DOC_TOP_TOKENS = """
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                t -> lower(t))) AS token
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok GROUP BY doc_id, token
+),
+rk AS (
+  SELECT doc_id, token, n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, token) AS rn
+  FROM cnt
+)
+SELECT doc_id, token, n, CAST(rn AS BIGINT) AS rn FROM rk WHERE rn <= 3
+"""
+
+
+@query("text_doc_top_tokens", _DOC_TOP_TOKENS)
+def doc_top_tokens_q(spark, sf_dir):
+    """Per-doc top-3 tokens (keyword extraction baseline): explode →
+    partial-agg count → per-key window rank.  The window partitions by
+    doc_id, so rank state never crosses documents — embarrassingly
+    parallel at any corpus size."""
+    t = load_tables(spark, sf_dir)
+    toks = F.explode(
+        F.transform(T.tokens(F.col("text")), lambda x: F.lower(x))
+    ).alias("token")
+    cnt = (
+        t["documents"]
+        .select("doc_id", toks)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), "token")
+    return (
+        cnt.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "n", "rn")
+    )
+
+
 _TOKEN_TOP20 = """
 SELECT token, CAST(COUNT(*) AS BIGINT) AS n
 FROM (
