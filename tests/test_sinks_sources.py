@@ -145,3 +145,33 @@ def test_write_partitioned_items_layout_and_pruning(spark, tmp_path):
     assert pruned.count() == 2
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_stac_ingestor_writer_stages_and_manifests(spark, tmp_path):
+    """Two-phase sink: staged per-partition jsonl + driver-side manifest
+    (only manifested files count — retried attempts can't double-send)."""
+    import json as _json
+    import os
+
+    from cloud_optimized_data_pipelines_spark import sinks_datasource
+
+    sinks_datasource.register(spark)
+    items = spark.createDataFrame(
+        [(f'{{"id": "item-{i}"}}',) for i in range(20)], "item_json string"
+    ).repartition(4)
+    staging = str(tmp_path / "staging")
+    items.write.format("stac_ingestor").option("staging_dir", staging).mode(
+        "append"
+    ).save()
+
+    manifest = _json.load(open(os.path.join(staging, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 20
+    assert len(manifest["files"]) == 4
+    # every manifested file exists and rows add up
+    total = 0
+    for f in manifest["files"]:
+        with open(f["path"]) as fh:
+            lines = [ln for ln in fh if ln.strip()]
+        assert len(lines) == f["rows"]
+        total += len(lines)
+    assert total == 20
