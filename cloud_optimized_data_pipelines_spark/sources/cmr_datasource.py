@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -134,6 +135,53 @@ class CmrReader(DataSourceReader):
             )
 
 
+def _granule_tuple(g: dict):
+    return (
+        g["granule_id"],
+        g["collection"],
+        g["version"],
+        _parse_ts(g["time_start"]),
+        float(g["bbox"][0]),
+        float(g["bbox"][1]),
+        float(g["bbox"][2]),
+        float(g["bbox"][3]),
+        g["href"],
+    )
+
+
+class CmrStreamReader(SimpleDataSourceStreamReader):
+    """Incremental discovery: each micro-batch emits granules the
+    catalog added since the last committed offset — the reference's
+    re-run-discovery-on-a-schedule loop (OPERATING.md) as a Structured
+    Streaming source with exactly-once offsets.
+
+    Offset = count of catalog entries already emitted (CMR returns
+    results in stable insertion order; prod would track the CMR
+    ``revision_date`` cursor instead)."""
+
+    def __init__(self, options):
+        self.fixture_path = options.get("fixture_path")
+
+    def _catalog(self) -> list[dict]:
+        with open(self.fixture_path) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        cat = self._catalog()
+        i = start["index"]
+        return [_granule_tuple(g) for g in cat[i:]], {"index": len(cat)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay for recovery
+        return [
+            _granule_tuple(g)
+            for g in self._catalog()[start["index"] : end["index"]]
+        ]
+
+
 class CmrDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -144,6 +192,9 @@ class CmrDataSource(DataSource):
 
     def reader(self, schema: StructType) -> CmrReader:
         return CmrReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> CmrStreamReader:
+        return CmrStreamReader(self.options)
 
 
 def register(spark) -> None:

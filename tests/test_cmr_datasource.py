@@ -75,3 +75,50 @@ def test_cmr_source_options_without_filters(spark, tmp_path):
     )
     assert df.count() == 10
     assert {r.collection for r in df.collect()} == {"MOD13A1"}
+
+
+def test_cmr_stream_reader_incremental(spark, tmp_path):
+    """Streaming discovery: first run drains the catalog; a second run
+    from the same checkpoint emits ONLY granules added in between."""
+    register(spark)
+    fixture = str(tmp_path / "catalog.jsonl")
+    _write_fixture(fixture, n=10)
+    out = str(tmp_path / "discovered")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("cmr")
+            .option("fixture_path", fixture)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 10
+
+    # catalog grows by 5 granules; incremental offsets pick up ONLY them
+    with open(fixture, "a") as fh:
+        for i in range(10, 15):
+            fh.write(
+                json.dumps(
+                    {
+                        "granule_id": f"G{i:04d}",
+                        "collection": "MOD13A1",
+                        "version": "003",
+                        "time_start": "2020-01-15T00:00:00Z",
+                        "bbox": [-180, -90, 180, 90],
+                        "href": f"https://x/g{i}.nc",
+                    }
+                )
+                + "\n"
+            )
+    drain()
+    back = spark.read.parquet(out)
+    assert back.count() == 15
+    assert back.select("granule_id").distinct().count() == 15
