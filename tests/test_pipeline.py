@@ -199,3 +199,43 @@ def test_salted_join_matches_plain_join(spark):
         .count()
     )
     assert salts > 4
+
+
+def test_passthrough_keys_roundtrip_all_stages(spark):
+    """SURVEY risk register: unknown event keys must survive
+    discovery -> routing -> transfer -> item assembly byte-faithfully
+    (the reference's `{**event}` spread at s3-discovery/handler.py:54)."""
+    from cloud_optimized_data_pipelines_spark.plans.pipeline import (
+        PipelineSpec,
+        compile_pipeline,
+    )
+    from cloud_optimized_data_pipelines_spark.sources.inventory import (
+        local_inventory,
+    )
+
+    event = {
+        "collection": "no2-monthly",
+        "discovery": "s3",
+        "prefix": "no2/",
+        "filename_regex": r"^.*_\d{6}\.tif$",
+        "datetime_range": "month",
+        # unknown keys — must pass through untouched
+        "custom_flag": "yes",
+        "producer": "team-x/π",
+    }
+    inv = spark.createDataFrame(
+        [("b", "no2/OMI_trno2_202001.tif"), ("b", "no2/OMI_trno2_202002.tif")],
+        "bucket string, key string",
+    )
+    from pyspark.sql import functions as F
+
+    inventory = inv.select(
+        "bucket", "key", F.concat(F.lit("s3://b/"), F.col("key")).alias("s3_filename")
+    )
+    spec = PipelineSpec.from_event(event)
+    items = compile_pipeline(spec, inventory=inventory)
+    rows = items.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.extra["custom_flag"] == "yes"
+        assert r.extra["producer"] == "team-x/π"
