@@ -175,3 +175,25 @@ def test_stac_ingestor_writer_stages_and_manifests(spark, tmp_path):
         assert len(lines) == f["rows"]
         total += len(lines)
     assert total == 20
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from cloud_optimized_data_pipelines_spark.operators.compact import (
+        compact_parquet,
+        table_file_stats,
+    )
+
+    path = str(tmp_path / "queue_table")
+    # simulate a streaming queue: 20 tiny appends -> >=20 files
+    for i in range(20):
+        spark.createDataFrame([(i, f"v{i}")], "id int, v string").write.mode(
+            "append"
+        ).parquet(path)
+    before, _ = table_file_stats(path)
+    assert before >= 20
+
+    b, a = compact_parquet(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert b == before and a == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 20
+    assert {r.id for r in back.collect()} == set(range(20))
