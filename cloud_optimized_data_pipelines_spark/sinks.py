@@ -56,6 +56,32 @@ def write_partitioned_items(
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: tuple[str, ...],
+    num_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet: ``repartitionByRange`` + per-file sort
+    on the cluster columns, so every file covers a DISJOINT value range
+    and its footer min/max statistics actually prune.
+
+    The cheap version of Z-ordering for single-dimension access
+    patterns: a predicate on the cluster column skips whole files (and
+    row groups within them) instead of reading 100 TB of footers'
+    worth of overlapping ranges.  Verified in tests by reading the
+    written footers' min/max back via DuckDB parquet_metadata.
+    """
+    cols = [F.col(c) for c in cluster_cols]
+    (
+        df.repartitionByRange(num_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def submit_items(
     items: DataFrame,
     poster: Poster,

@@ -197,3 +197,32 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 20
     assert {r.id for r in back.collect()} == set(range(20))
+
+
+def test_range_clustered_write_has_disjoint_file_ranges(spark, tmp_path):
+    """Footer stats must be prunable: per-file [min,max] of the cluster
+    column may not overlap (checked via DuckDB parquet_metadata)."""
+    import duckdb
+
+    from cloud_optimized_data_pipelines_spark.sinks import write_range_clustered
+
+    df = spark.range(0, 10000).selectExpr(
+        "cast(id % 9973 as bigint) as k", "cast(id as string) as payload"
+    )
+    out = str(tmp_path / "clustered")
+    write_range_clustered(df, out, ("k",), num_files=8)
+
+    con = duckdb.connect()
+    stats = con.execute(
+        f"""
+        SELECT file_name,
+               MIN(stats_min_value::BIGINT) AS lo,
+               MAX(stats_max_value::BIGINT) AS hi
+        FROM parquet_metadata('{out}/*.parquet')
+        WHERE path_in_schema = 'k'
+        GROUP BY file_name ORDER BY lo
+        """
+    ).fetchall()
+    assert len(stats) == 8
+    for (f1, lo1, hi1), (f2, lo2, hi2) in zip(stats, stats[1:]):
+        assert hi1 < lo2, f"overlapping ranges: {f1} [{lo1},{hi1}] vs {f2} [{lo2},{hi2}]"
