@@ -1526,6 +1526,44 @@ def multimodal_frame_sample_q(spark, sf_dir):
     )
 
 
+@query("k1_cogify_stage")
+def k1_cogify_stage_q(spark, sf_dir):
+    """The routed raster branch end-to-end: broadcast config join +
+    mapInPandas cogify (stub decoder — no GDAL in container) + output
+    URL rewrite.  Python UDF stage: rows-only check; the Spark-side
+    plumbing is golden-tested in tests/test_cogify.py."""
+    from cloud_optimized_data_pipelines_spark.operators.cogify import cogify_stage
+
+    t = load_tables(spark, sf_dir)
+    events = t["documents"].select(
+        F.col("source").alias("collection"),
+        F.concat(
+            F.lit("s3://src-bucket/"),
+            F.col("source"),
+            F.lit("/doc_"),
+            F.col("doc_id").cast("string"),
+            F.lit(".nc"),
+        ).alias("s3_filename"),
+    )
+    config = (
+        t["documents"]
+        .select("source")
+        .distinct()
+        .select(
+            F.col("source").alias("collection"),
+            F.concat(F.lit("var_"), F.col("source")).alias("variable_name"),
+            F.lit(None).cast("string").alias("group"),
+            F.lit(None).cast("string").alias("affine_transformation"),
+        )
+    )
+    out = cogify_stage(events, config)
+    return out.select(
+        "collection",
+        "s3_filename",
+        F.col("cogify_error").isNotNull().alias("failed"),
+    )
+
+
 @query("multimodal_extract_features")
 def multimodal_features_q(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary payloads
