@@ -299,6 +299,415 @@ def q14(spark, sf_dir):
     return spark.sql(_Q14)
 
 
+# -- Remaining TPC-H shapes, adapted to the reduced synthetic schema ------
+# (no partsupp / commitdate / shipmode / container columns — each query
+# keeps the plan shape that makes the original interesting: correlated
+# scalar subqueries, decorrelated EXISTS/NOT EXISTS, scalar-vs-global
+# comparisons, disjunctive pushdown.  All money math stays DECIMAL-exact;
+# avg-style predicates are rewritten multiplicative (5*qty*cnt < sum) so
+# no engine-specific decimal-division scale rules leak into results.)
+
+_Q2 = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+FROM part, ps, supplier, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size BETWEEN 10 AND 30 AND p_type = 'STANDARD'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM ps ps2, supplier s2, nation n2, region r2
+    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@query("q2_min_cost_supplier", _Q2)
+def q2(spark, sf_dir):
+    """TPC-H Q2 shape: correlated scalar MIN subquery over a derived
+    part-supplier relation (partsupp reconstructed from lineitem).
+    Catalyst decorrelates the = (SELECT MIN ...) into an aggregate +
+    join on the correlation key."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q2)
+
+
+_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DECIMAL(38,6)) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6)) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+  WHERE ((r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')
+      OR (r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                       AND TIMESTAMP '1997-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q7_volume_shipping", _Q7)
+def q7(spark, sf_dir):
+    """TPC-H Q7 shape: the nation+region dimension chain joined twice
+    (supplier side and customer side) with a disjunctive cross-region
+    predicate, grouped by derived year."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q7)
+
+
+_Q8 = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(31,8)) END) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6)) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                        AND TIMESTAMP '1997-12-31 00:00:00'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@query("q8_market_share", _Q8)
+def q8(spark, sf_dir):
+    """TPC-H Q8 shape: eight-way join with the nation dimension joined
+    twice, conditional-share ratio.  Sums stay DECIMAL; only the final
+    ratio is one identical IEEE division per group."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q8)
+
+
+_Q9 = """
+SELECT nation, o_year, CAST(SUM(amount) AS DECIMAL(38,8)) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))
+         - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@query("q9_product_profit", _Q9)
+def q9(spark, sf_dir):
+    """TPC-H Q9 shape: profit = revenue - cost (retailprice stands in
+    for the missing ps_supplycost), substring part filter, grouped by
+    supplier nation and order year."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q9)
+
+
+_Q10 = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS revenue,
+       CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal, n_name, c_mktsegment
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("q10_returned_items", _Q10)
+def q10(spark, sf_dir):
+    """TPC-H Q10 shape: one-quarter returned-item revenue per customer,
+    top 20 — fact join with two dims, agg, TakeOrderedAndProject."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q10)
+
+
+_Q11 = """
+SELECT l_partkey AS ps_partkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS part_value
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY l_partkey
+HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 2000 > (
+  SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE')
+ORDER BY part_value DESC, ps_partkey
+"""
+
+
+@query("q11_important_parts", _Q11)
+def q11(spark, sf_dir):
+    """TPC-H Q11 shape: group-value vs global-total scalar subquery in
+    HAVING (fraction rewritten multiplicative: value*100 > total, exact
+    in DECIMAL).  The subquery plans once as an uncorrelated scalar."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q11)
+
+
+_Q12 = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@query("q12_late_lines_priority", _Q12)
+def q12(spark, sf_dir):
+    """TPC-H Q12 shape: priority-class pivot counts over late-shipped
+    lines (returnflag stands in for the missing shipmode; lateness is a
+    cross-column l_shipdate > o_orderdate + interval predicate that
+    can only be applied post-join)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q12)
+
+
+_Q13 = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("q13_customer_distribution", _Q13)
+def q13(spark, sf_dir):
+    """TPC-H Q13 shape: left outer join with an extra join-side filter
+    (must stay in the ON clause, not WHERE), then an agg-of-agg
+    histogram."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q13)
+
+
+_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DECIMAL(38,6)) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@query("q15_top_supplier", _Q15)
+def q15(spark, sf_dir):
+    """TPC-H Q15 shape: CTE reused as both join input and scalar-MAX
+    subquery — exact-DECIMAL equality against the max makes the result
+    engine-independent."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q15)
+
+
+_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%0')
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@query("q16_supplier_part_count", _Q16)
+def q16(spark, sf_dir):
+    """TPC-H Q16 shape: COUNT(DISTINCT) per part attribute triple with a
+    NOT IN (null-safe anti-join) supplier exclusion list."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q16)
+
+
+_Q17 = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#2'
+  AND p_size <= 20
+  AND CAST(l_quantity AS DECIMAL(12,2)) * 5
+      * (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(12,2))) FROM lineitem l3 WHERE l3.l_partkey = p_partkey)
+"""
+
+
+@query("q17_small_qty_revenue", _Q17)
+def q17(spark, sf_dir):
+    """TPC-H Q17 shape: per-part 'quantity < 0.2 * avg(quantity)'
+    rewritten multiplicative (5*qty*cnt < sum) so the correlated scalar
+    aggregates stay DECIMAL-exact on both engines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q17)
+
+
+_Q19 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@query("q19_disjunctive_revenue", _Q19)
+def q19(spark, sf_dir):
+    """TPC-H Q19 shape: three-way disjunction mixing both join sides.
+    Catalyst extracts the common l_quantity/p_size bounds so part of
+    the filter still pushes below the join."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q19)
+
+
+_Q20 = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT li.l_suppkey
+  FROM lineitem li
+  WHERE li.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    AND li.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND li.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY li.l_suppkey, li.l_partkey
+  HAVING SUM(CAST(li.l_quantity AS DECIMAL(12,2))) * 2 > (
+    SELECT SUM(CAST(l2.l_quantity AS DECIMAL(12,2)))
+    FROM lineitem l2
+    WHERE l2.l_suppkey = li.l_suppkey AND l2.l_partkey = li.l_partkey)
+)
+ORDER BY s_suppkey
+"""
+
+
+@query("q20_promo_suppliers", _Q20)
+def q20(spark, sf_dir):
+    """TPC-H Q20 shape: nested IN subqueries where the inner grouped
+    query's HAVING holds a correlated scalar aggregate ('shipped more
+    than half of this part's all-time volume in 1997')."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q20)
+
+
+_Q21 = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 30 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@query("q21_waiting_supplier", _Q21)
+def q21(spark, sf_dir):
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS double correlation on the
+    same fact ('the only late supplier in a multi-supplier order' —
+    shipdate vs orderdate stands in for the missing receipt/commit
+    dates) → left-semi then left-anti join in the plan."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q21)
+
+
+_Q22 = """
+SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS totacctbal
+FROM (
+  SELECT CAST(c_custkey % 7 AS BIGINT) AS cntrycode, c_acctbal
+  FROM customer
+  WHERE c_custkey % 7 IN (0, 1, 2, 3)
+    AND CAST(c_acctbal AS DECIMAL(12,2)) * (
+        SELECT CAST(COUNT(*) AS BIGINT) FROM customer c2
+        WHERE c2.c_acctbal > 0.0 AND c2.c_custkey % 7 IN (0, 1, 2, 3)) > (
+        SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(12,2))) FROM customer c3
+        WHERE c3.c_acctbal > 0.0 AND c3.c_custkey % 7 IN (0, 1, 2, 3))
+    AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+) custsale
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+@query("q22_idle_customers", _Q22)
+def q22(spark, sf_dir):
+    """TPC-H Q22 shape: above-average balance (exact multiplicative
+    rewrite: bal*cnt > sum) + anti-join on urgent orders, grouped by a
+    derived country code (custkey mod — the synthetic schema has no
+    phone column)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q22)
+
+
 _TOPK_PER_CUST = """
 SELECT c_custkey, o_orderkey, o_totalprice, rn
 FROM (
