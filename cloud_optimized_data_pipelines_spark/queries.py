@@ -334,10 +334,56 @@ LIMIT 100
 def q2(spark, sf_dir):
     """TPC-H Q2 shape: correlated scalar MIN subquery over a derived
     part-supplier relation (partsupp reconstructed from lineitem).
-    Catalyst decorrelates the = (SELECT MIN ...) into an aggregate +
-    join on the correlation key."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q2)
+
+    Hand-shaped: the naive SQL plans the ps CTE (a full fact
+    aggregation) TWICE — once for the outer join, once inside the
+    decorrelated MIN — 9 parquet scans total.  Here ps is aggregated
+    once, restricted to EUROPE suppliers via a broadcast of the dim
+    chain, and the per-part minimum comes from a window over the
+    already-aggregated (tiny) ps relation: ONE lineitem scan."""
+    t = load_tables(spark, sf_dir)
+    ps = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias(
+                "ps_supplycost"
+            )
+        )
+    )
+    eu_supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_ps = ps.join(
+        F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = eu_ps.withColumn(
+        "min_cost", F.min("ps_supplycost").over(w)
+    ).filter(F.col("ps_supplycost") == F.col("min_cost"))
+    parts = t["part"].filter(
+        F.col("p_size").between(10, 30) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        best.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            "ps_supplycost",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
 
 
 _Q7 = """
@@ -594,9 +640,46 @@ WHERE p_brand = 'Brand#2'
 def q17(spark, sf_dir):
     """TPC-H Q17 shape: per-part 'quantity < 0.2 * avg(quantity)'
     rewritten multiplicative (5*qty*cnt < sum) so the correlated scalar
-    aggregates stay DECIMAL-exact on both engines."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q17)
+    aggregates stay DECIMAL-exact on both engines.
+
+    Hand-shaped: Catalyst plans the two correlated scalar subqueries as
+    two SEPARATE unfiltered full-fact aggregations (grouping ALL parts,
+    then broadcasting the result — an OOM at real scale) plus the fact
+    scan itself: 3 lineitem reads.  Here the fact is narrowed by the
+    broadcast part filter first, then per-part cnt and sum come from
+    window functions over the partkey — ONE fact scan, one shuffle
+    (per-part groups are bounded: ~30 lines/part at every sf)."""
+    t = load_tables(spark, sf_dir)
+    parts = (
+        t["part"]
+        .filter((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20))
+        .select("p_partkey")
+    )
+    li = t["lineitem"].join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("cnt", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "sum_qty",
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).over(w),
+        )
+        .filter(
+            F.expr(
+                "CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt"
+                " < CAST(sum_qty AS DECIMAL(35,2))"
+            )
+        )
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
 
 
 _Q19 = """
@@ -641,9 +724,38 @@ ORDER BY s_suppkey
 def q20(spark, sf_dir):
     """TPC-H Q20 shape: nested IN subqueries where the inner grouped
     query's HAVING holds a correlated scalar aggregate ('shipped more
-    than half of this part's all-time volume in 1997')."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q20)
+    than half of this (supplier, part)'s all-time volume in 1997').
+
+    Hand-shaped: the SQL form scans lineitem twice (1997 groups + the
+    correlated all-time sum).  A single conditional aggregation —
+    sum(qty) filtered to 1997 alongside sum(qty) overall, same groups —
+    merges the correlation into ONE fact scan."""
+    t = load_tables(spark, sf_dir)
+    promo = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    g = (
+        t["lineitem"]
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                    & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz")),
+                    F.col("l_quantity").cast("decimal(12,2)"),
+                )
+            ).alias("qty_1997"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty_all"),
+        )
+        .filter(F.col("qty_1997") * 2 > F.col("qty_all"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(g, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
 
 
 _Q21 = """
@@ -672,9 +784,52 @@ def q21(spark, sf_dir):
     """TPC-H Q21 shape: EXISTS + NOT EXISTS double correlation on the
     same fact ('the only late supplier in a multi-supplier order' —
     shipdate vs orderdate stands in for the missing receipt/commit
-    dates) → left-semi then left-anti join in the plan."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q21)
+    dates).
+
+    Hand-shaped: Catalyst turns the two correlations into a left-semi
+    AND a left-anti join, each re-scanning lineitem (3 fact scans, 2
+    orders scans).  Both correlations are per-order set properties, so
+    one (order, supplier) aggregation + a window over the order
+    computes 'how many suppliers / how many late suppliers in this
+    order' with ONE scan of each table."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].join(
+        t["orders"].filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"),
+                1,
+            ).otherwise(0)
+        ).alias("late_lines")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_late_supp",
+            F.sum((F.col("late_lines") > 0).cast("int")).over(w),
+        )
+        .filter(
+            (F.col("late_lines") > 0)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
+    )
+    return (
+        flagged.join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.sum("late_lines").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
 
 
 _Q22 = """
