@@ -25,6 +25,9 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q18_large_volume_customer",
+    "q9_product_profit",
+    "q17_small_qty_revenue",
+    "q21_waiting_supplier",
     "window_topk_per_customer",
     "agg_rollup_supplier",
     # events / streaming-shape
