@@ -115,6 +115,103 @@ def ann_topk_by_id(
     return out.select(id_col, final.alias("cos"))
 
 
+def _sq_dist(v, c) -> F.Column:
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_lists(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Argmin-squared-L2 list assignment against broadcast centroid
+    literals — one codegen'd expression, no UDF, no shuffle."""
+    dists = F.array(
+        *[_sq_dist(F.col(vec_col), literal_vector(c)) for c in centroids]
+    )
+    return df.withColumn(
+        "list_id",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+
+
+def ivf_build(
+    df: DataFrame,
+    vec_col: str,
+    k_lists: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic IVF coarse quantizer (the second ANN scale path,
+    complementing the sign-bucket LSH).
+
+    Seeds are the ``k_lists`` rows with the smallest md5(id) — a
+    reproducible pseudo-random sample, no RNG state — then ``iters``
+    Lloyd steps run as pure DataFrame ops: assignment is a codegen'd
+    argmin expression, centroid update is one groupBy with per-dimension
+    ``avg``.  Centroids (k x dim doubles) live on the driver exactly as
+    a real IVF index's metadata would; the corpus-side product is the
+    ``list_id`` column — at 100 TB you'd ``.write.partitionBy('list_id')``
+    so probes become partition pruning.
+    """
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    seeds = (
+        df.select(vec_col, id_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k_lists)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+    for _ in range(iters):
+        assigned = _assign_lists(df, vec_col, centroids)
+        rows = (
+            assigned.groupBy("list_id")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        updated = {r["list_id"]: [r[f"c{i}"] for i in range(dim)] for r in rows}
+        centroids = [
+            updated.get(i, centroids[i]) for i in range(len(centroids))
+        ]
+    return _assign_lists(df, vec_col, centroids), centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    k_lists: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    assigned: DataFrame | None = None,
+    centroids: list[list[float]] | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """IVF probe: rank centroids driver-side (k x dim floats — trivial),
+    score only the ``nprobe`` nearest inverted lists.  ``nprobe ==
+    k_lists`` degrades gracefully to exact brute force; the recall/cost
+    dial is nprobe, independent of corpus size."""
+    if assigned is None or centroids is None:
+        assigned, centroids = ivf_build(df, vec_col, k_lists, iters, id_col)
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: (
+            sum((a - b) ** 2 for a, b in zip(query, centroids[i])),
+            i,
+        ),
+    )
+    probe = ranked[: max(1, nprobe)]
+    cand = assigned.filter(F.col("list_id").isin(probe))
+    return brute_force_topk(cand, vec_col, query, k, id_col, round_digits)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,

@@ -1810,6 +1810,19 @@ def ann_bucket_topk_q(spark, sf_dir):
     )
 
 
+@query("similarity_ivf_topk")
+def ivf_topk_q(spark, sf_dir):
+    """IVF ANN top-10 (second scale path): deterministic k-means lists,
+    nprobe=4 of 16 probed.  Rows-only: the approximate result depends
+    on the learned centroids (not SQL-expressible); recall vs brute
+    force and the nprobe==k_lists exactness degeneracy are pytest-
+    checked in tests/test_similarity.py."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return S.ivf_topk(emb, "embedding", qv, k=10, k_lists=16, nprobe=4)
+
+
 _NEAR_DUP = f"""
 WITH b AS (
   SELECT vec_id AS id, embedding AS vec, {_DUCK_BUCKET.format(v="embedding")} AS bucket

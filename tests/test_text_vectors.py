@@ -211,3 +211,68 @@ def test_deterministic_split_stable_under_growth(spark):
     # adding rows never reassigns existing ones
     assert all(s2[i] == s1[i] for i in s1)
     assert set(s2.values()) == {"train", "val", "test"}
+
+
+def test_ivf_exact_when_probing_all_lists(spark, sf_dir):
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    assigned, cents = S.ivf_build(emb, "embedding", k_lists=8, iters=1)
+    exact = [
+        r["vec_id"]
+        for r in S.brute_force_topk(emb, "embedding", qv, k=10).collect()
+    ]
+    full_probe = [
+        r["vec_id"]
+        for r in S.ivf_topk(
+            emb, "embedding", qv, k=10, k_lists=8, nprobe=8,
+            assigned=assigned, centroids=cents,
+        ).collect()
+    ]
+    assert full_probe == exact
+
+
+def test_ivf_partial_probe_prunes_and_recalls(spark, sf_dir):
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    assigned, cents = S.ivf_build(emb, "embedding", k_lists=16, iters=2)
+    # determinism: a rebuild yields identical assignments
+    assigned2, cents2 = S.ivf_build(emb, "embedding", k_lists=16, iters=2)
+    assert cents == cents2
+    assert (
+        assigned.select("vec_id", "list_id")
+        .exceptAll(assigned2.select("vec_id", "list_id"))
+        .count()
+        == 0
+    )
+    # every list is assigned something reasonable (no single mega-list)
+    sizes = {
+        r["list_id"]: r["n"]
+        for r in assigned.groupBy("list_id").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(sizes.values())
+    assert total == emb.count()
+    assert max(sizes.values()) < total  # partitioned at all
+    # nprobe=4/16 scans a strict subset but still finds most true neighbors
+    ranked = sorted(
+        range(len(cents)),
+        key=lambda i: (sum((a - b) ** 2 for a, b in zip(qv, cents[i])), i),
+    )
+    probed = ranked[:4]
+    scanned = sum(sizes.get(i, 0) for i in probed)
+    assert scanned < total
+    exact = {
+        r["vec_id"]
+        for r in S.brute_force_topk(emb, "embedding", qv, k=10).collect()
+    }
+    approx = {
+        r["vec_id"]
+        for r in S.ivf_topk(
+            emb, "embedding", qv, k=10, k_lists=16, nprobe=4,
+            assigned=assigned, centroids=cents,
+        ).collect()
+    }
+    assert len(exact & approx) >= 5  # recall@10 >= 0.5 on this corpus
