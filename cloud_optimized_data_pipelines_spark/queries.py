@@ -927,6 +927,26 @@ def rollup_supplier(spark, sf_dir):
     return spark.sql(_ROLLUP)
 
 
+_GROUPING_SETS = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@query("agg_grouping_sets_orders", _GROUPING_SETS)
+def grouping_sets_orders(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form under ROLLUP/CUBE) with
+    GROUPING() markers disambiguating real NULLs from subtotal rows —
+    one Expand + single hash aggregate in the plan."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS)
+
+
 _DISTINCT = """
 SELECT c_mktsegment,
        COUNT(DISTINCT c_nationkey) AS n_nations,
