@@ -1,0 +1,93 @@
+"""Bucketed-table layout: the join shuffle must actually disappear."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_optimized_data_pipelines_spark.operators.bucketing import (
+    co_bucketed_join,
+    write_bucketed,
+)
+
+
+def _reset_table(spark, name):
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # the in-memory catalog forgets tables between sessions but the
+    # warehouse directory persists — clear stale locations
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    _reset_table(spark, "b_orders")
+    _reset_table(spark, "b_lineitem")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    write_bucketed(
+        lineitem, "b_lineitem", ["l_orderkey"], 4, sort_cols=["l_orderkey"]
+    )
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_co_bucketed_join_has_no_exchange(spark, bucketed_tables, sf_dir):
+    o_tab, l_tab = bucketed_tables
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the non-broadcast path so the test sees the SMJ shape
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table(o_tab)
+            .join(
+                spark.table(l_tab),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_section = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan
+        # co-located buckets: no shuffle below the join on either side
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        # and the values are right
+        raw = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .join(
+                spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, raw.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucket_pruned_point_lookup(spark, bucketed_tables):
+    o_tab, _ = bucketed_tables
+    # bucket pruning: an equality predicate on the bucket column scans
+    # only the matching bucket's files.  (The planner auto-disables
+    # bucketed scans when nothing downstream uses the partitioning —
+    # turn that off so the point lookup keeps the bucketed layout.)
+    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        df = spark.table(o_tab).filter(F.col("o_orderkey") == 42)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 4" in plan
+        assert df.count() == 1
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
+        )
