@@ -119,3 +119,60 @@ def test_dedup_within_watermark_stream(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 2
     assert got.filter(F.col("event_id") == 1).count() == 1
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    """Stream-stream attribution join: streaming result rows must be a
+    subset-equal of the batch interval join over the same data."""
+    from cloud_optimized_data_pipelines_spark.queries import load_tables
+    from cloud_optimized_data_pipelines_spark.streaming.queues import (
+        attribution_interval_join,
+    )
+
+    events = load_tables(spark, sf_dir)["events"]
+    src = str(tmp_path / "ssj_src")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    views = stream_queue(spark, src, schema, 1000).filter(
+        F.col("event_type") == "view"
+    )
+    clicks = stream_queue(spark, src, schema, 1000).filter(
+        F.col("event_type") == "click"
+    )
+    joined = attribution_interval_join(views, clicks, max_delay="1 hour")
+    out = str(tmp_path / "ssj_out")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = spark.read.parquet(out).select("imp_event_id", "conv_event_id")
+
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vk"),
+        F.col("event_id").alias("imp_event_id"),
+        F.col("ts").alias("vts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("ck"),
+        F.col("event_id").alias("conv_event_id"),
+        F.col("ts").alias("cts"),
+    )
+    batch = v.join(
+        c,
+        (F.col("vk") == F.col("ck"))
+        & (F.col("cts") >= F.col("vts"))
+        & (F.col("cts") <= F.col("vts") + F.expr("INTERVAL 1 hour")),
+    ).select("imp_event_id", "conv_event_id")
+
+    assert got.count() > 0
+    # every emitted pair is correct, and (availableNow over a static
+    # source) nothing within the watermark horizon was dropped
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
