@@ -927,6 +927,49 @@ def rollup_supplier(spark, sf_dir):
     return spark.sql(_ROLLUP)
 
 
+_UNPIVOT = """
+SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+"""
+
+
+@query("unpivot_part_metrics", _UNPIVOT)
+def unpivot_part_metrics(spark, sf_dir):
+    """Wide-to-long melt.  Spark side uses stack() — ONE scan of the
+    table producing N rows per input row via Expand (the oracle's
+    UNION ALL form, which is what naive SQL gives you, scans N times)."""
+    t = load_tables(spark, sf_dir)
+    return t["part"].select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'retailprice', CAST(p_retailprice AS DOUBLE),"
+            " 'size', CAST(p_size AS DOUBLE))"
+        ).alias("metric", "value"),
+    )
+
+
+_LATERAL_TOP2 = """
+SELECT c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer, LATERAL (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+  FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2) t
+"""
+
+
+@query("join_lateral_top2_orders", _LATERAL_TOP2)
+def lateral_top2_orders(spark, sf_dir):
+    """Correlated LATERAL derived table with per-row ORDER BY ... LIMIT
+    — Catalyst decorrelates it into a ranked window join (same result
+    as the window_topk form, arrived at from SQL the user would
+    actually write)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_LATERAL_TOP2)
+
+
 _GROUPING_SETS = """
 SELECT o_orderpriority, o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
