@@ -91,3 +91,30 @@ def test_bucket_pruned_point_lookup(spark, bucketed_tables):
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
         )
+
+
+def test_window_over_bucketed_table_needs_no_exchange(spark, bucketed_tables):
+    # the q21 fix claimed in SCALE.md: a window partitioned by the
+    # bucket column consumes the bucketed layout directly
+    from pyspark.sql import Window
+
+    _, l_tab = bucketed_tables
+    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        w = Window.partitionBy("l_orderkey")
+        df = (
+            spark.table(l_tab)
+            .withColumn("n_lines", F.count(F.lit(1)).over(w))
+            .filter(F.col("n_lines") > 3)
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
+        )
