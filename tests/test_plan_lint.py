@@ -1,0 +1,56 @@
+"""Engine-wide physical-plan lint.
+
+Every registered query's executed plan is checked for the two patterns
+that silently destroy 100 TB scalability:
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` on two large
+  inputs — O(n*m) row pairs;
+- ``BatchEvalPython`` — row-at-a-time Python UDF in the plan (the
+  sanctioned extension points are Arrow-batched: mapInPandas /
+  ArrowEvalPython).
+
+Queries whose SEMANTICS are a deliberate exception are listed with the
+reason, so adding a new offender fails loudly.
+"""
+
+import re
+
+import pytest
+
+from cloud_optimized_data_pipelines_spark.queries import QUERIES
+
+# deliberate exceptions: query -> reason
+NESTED_LOOP_OK = {
+    # single-row broadcast side (scalar subquery result or literal
+    # query row) — the nested loop touches n x 1 rows
+    "q11_important_parts": "scalar subquery join (1-row broadcast)",
+    "q15_top_supplier": "scalar MAX subquery (1-row broadcast)",
+    "q22_idle_customers": "two scalar subqueries (1-row broadcasts)",
+    "similarity_bruteforce_topk": "literal query vector vs corpus",
+    "k2_spill_flag": "config literal cross (1-row)",
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_plan_has_no_scale_hazards(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    if name not in NESTED_LOOP_OK:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert (
+            "BroadcastNestedLoopJoin" not in plan
+        ), f"{name}: nested-loop join"
+
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in plan (use Arrow-batched"
+        " mapInPandas / pandas_udf)"
+    )
+
+    # every scan must prune columns: no table here is wider than 12
+    # columns after projection pushdown, so a wider scan output means
+    # pruning broke.  (FileScan's [output] list prints in full —
+    # ReadSchema is display-truncated and can't be parsed reliably.)
+    for m in re.finditer(r"FileScan parquet[^\[\n]*\[([^\]]*)\]", plan):
+        ncols = len(m.group(1).split(",")) if m.group(1) else 0
+        assert ncols <= 12, f"{name}: scan reads {ncols} columns"
