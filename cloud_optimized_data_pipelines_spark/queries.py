@@ -1883,7 +1883,9 @@ def ivf_topk_q(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return S.ivf_topk(emb, "embedding", qv, k=10, k_lists=16, nprobe=4)
+    # iters=1 keeps the registered entry cheap (each Lloyd step is a
+    # driver collect); the 2-iter quality path is exercised in tests
+    return S.ivf_topk(emb, "embedding", qv, k=10, k_lists=16, nprobe=4, iters=1)
 
 
 _NEAR_DUP = f"""
