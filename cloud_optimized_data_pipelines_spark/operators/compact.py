@@ -53,5 +53,53 @@ def compact_parquet(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+    # same-session readers must not resolve the pre-swap file listing
+    spark.catalog.refreshByPath(path)
     after, _ = table_file_stats(path)
+    return before, after
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates,
+    keys: list[str],
+) -> tuple[int, int]:
+    """MERGE INTO for plain parquet: upsert ``updates`` into the table
+    at ``target_path`` by ``keys`` (match -> replace, no match ->
+    insert) with the same rewrite-then-swap atomicity as compaction.
+
+    This is the table-level form of the reference's collection upsert
+    (`scripts/collection.py:32-54` POSTs each collection JSON to an
+    ingestor that upserts by id — SURVEY K5); here the whole operation
+    is one distributed anti-join + union, no per-record round trips.
+
+    Plan shape: updates are typically tiny vs the table, so the
+    left-anti join broadcasts the UPDATE side and the table is read
+    once, streamed straight back out — cost is one table rewrite, the
+    floor for formats without row-level deletes.  (Delta/Iceberg would
+    turn this into a metadata commit + matched-file rewrite; not in
+    this container — the join shape is the part that transfers.)
+
+    Returns (rows_before, rows_after).
+    """
+    from pyspark.sql import functions as F
+
+    target = spark.read.parquet(target_path)
+    before = target.count()
+    missing = [c for c in target.columns if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates missing target columns: {missing}")
+    kept = target.join(F.broadcast(updates.select(*keys)), on=keys, how="left_anti")
+    merged = kept.unionByName(updates.select(*target.columns))
+    tmp = target_path.rstrip("/") + "._merging"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = target_path.rstrip("/") + "._old"
+    os.rename(target_path, old)
+    os.rename(tmp, target_path)
+    shutil.rmtree(old)
+    # drop the cached file listing for the path — readers in THIS
+    # session would otherwise resolve the pre-swap files
+    spark.catalog.refreshByPath(target_path)
+    after = spark.read.parquet(target_path).count()
     return before, after

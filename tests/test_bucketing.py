@@ -118,3 +118,38 @@ def test_window_over_bucketed_table_needs_no_exchange(spark, bucketed_tables):
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
         )
+
+
+def test_merge_upsert_by_key(spark, sf_dir, tmp_path):
+    from cloud_optimized_data_pipelines_spark.operators.compact import (
+        merge_upsert,
+    )
+
+    target = str(tmp_path / "upsert_target")
+    spark.read.parquet(f"{sf_dir}/supplier.parquet").write.parquet(target)
+    orig = spark.read.parquet(target)
+    n0 = orig.count()
+    # snapshot before the swap — orig's resolved plan points at files
+    # the merge will atomically replace
+    untouched_before = set(
+        map(tuple, orig.filter(F.col("s_suppkey") != 0).collect())
+    )
+
+    updates = spark.createDataFrame(
+        [(0, "Supplier#UPDATED", 3, 999.99), (10_000_001, "Supplier#NEW", 1, 1.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    before, after = merge_upsert(spark, target, updates, keys=["s_suppkey"])
+    assert (before, after) == (n0, n0 + 1)
+
+    merged = spark.read.parquet(target)
+    assert merged.filter(F.col("s_suppkey") == 0).first()["s_name"] == "Supplier#UPDATED"
+    assert merged.filter(F.col("s_name") == "Supplier#NEW").count() == 1
+    # untouched rows survive byte-identical
+    untouched_after = set(
+        map(
+            tuple,
+            merged.filter(~F.col("s_suppkey").isin(0, 10_000_001)).collect(),
+        )
+    )
+    assert untouched_after == untouched_before
