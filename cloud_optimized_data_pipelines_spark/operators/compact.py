@@ -103,3 +103,38 @@ def merge_upsert(
     spark.catalog.refreshByPath(target_path)
     after = spark.read.parquet(target_path).count()
     return before, after
+
+
+def delete_where(
+    spark: SparkSession,
+    target_path: str,
+    predicate: str,
+) -> tuple[int, int]:
+    """DELETE FROM for plain parquet: rewrite the table without rows
+    matching ``predicate`` (a SQL boolean expression), atomic-swap like
+    the other maintenance ops.  Completes the insert (append) / upsert
+    (merge_upsert) / delete / compact maintenance set.
+
+    At 100 TB with a partitioned layout, Catalyst prunes partitions the
+    predicate can't touch from the scan — but this plain-parquet form
+    still rewrites every surviving row; a lakehouse format would drop
+    whole matched files by footer stats first.  Returns
+    (rows_before, rows_deleted).
+    """
+    from pyspark.sql import functions as F
+
+    target = spark.read.parquet(target_path)
+    before = target.count()
+    # SQL DELETE semantics: remove rows where the predicate is TRUE;
+    # rows where it evaluates NULL are kept (a bare ~pred would drop
+    # them too, since filter discards NULLs)
+    kept = target.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+    tmp = target_path.rstrip("/") + "._deleting"
+    kept.write.mode("overwrite").parquet(tmp)
+    old = target_path.rstrip("/") + "._old"
+    os.rename(target_path, old)
+    os.rename(tmp, target_path)
+    shutil.rmtree(old)
+    spark.catalog.refreshByPath(target_path)
+    after = spark.read.parquet(target_path).count()
+    return before, before - after

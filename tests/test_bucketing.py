@@ -153,3 +153,40 @@ def test_merge_upsert_by_key(spark, sf_dir, tmp_path):
         )
     )
     assert untouched_after == untouched_before
+
+
+def test_delete_where_predicate(spark, sf_dir, tmp_path):
+    from cloud_optimized_data_pipelines_spark.operators.compact import (
+        delete_where,
+    )
+
+    target = str(tmp_path / "delete_target")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").write.parquet(target)
+    n0 = spark.read.parquet(target).count()
+    expect_deleted = (
+        spark.read.parquet(target)
+        .filter("o_orderstatus = 'F'")
+        .count()
+    )
+    before, deleted = delete_where(spark, target, "o_orderstatus = 'F'")
+    assert (before, deleted) == (n0, expect_deleted)
+    remaining = spark.read.parquet(target)
+    assert remaining.filter("o_orderstatus = 'F'").count() == 0
+    assert remaining.count() == n0 - expect_deleted
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    from cloud_optimized_data_pipelines_spark.operators.compact import (
+        delete_where,
+    )
+
+    target = str(tmp_path / "null_del_target")
+    spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 99.0)], "id long, score double"
+    ).write.parquet(target)
+    before, deleted = delete_where(spark, target, "score > 50")
+    # only id=3 is deleted; id=2 (NULL predicate) must survive
+    assert (before, deleted) == (3, 1)
+    assert sorted(
+        r["id"] for r in spark.read.parquet(target).collect()
+    ) == [1, 2]
