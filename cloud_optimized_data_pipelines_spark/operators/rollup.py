@@ -1,0 +1,119 @@
+"""Hypertable-style continuous aggregate: materialized time-bucket
+rollups plus an exact late-tail merge.
+
+The 100 TB pattern: a dashboard that aggregates an append-only event
+stream cannot re-scan history per query (the reference re-derives its
+dashboard series from raw granules each run — see
+/root/reference/README.md pipeline diagram; at Spark scale that is a
+full-table scan per refresh).  Instead we keep a *mergeable partial
+state* per (time bucket, dims) — count / decimal sum / min / max — that
+is:
+
+- **exact** under re-aggregation (counts and decimal sums are
+  associative+commutative; min/max idempotent), so merging a
+  materialized rollup with a freshly-aggregated raw tail equals a
+  direct aggregation over all raw rows, bit-for-bit;
+- **incremental**: only the tail since the materialization watermark is
+  scanned (pushed-down timestamp predicate → partition/row-group
+  pruning on the raw table);
+- **derived-late**: avg is NOT stored — it is re-derived as sum/count
+  after the merge (storing avg would make the state non-mergeable).
+
+Scale design: the rollup table is ~|buckets × dims| rows regardless of
+raw volume, so the merge aggregation is tiny; the only big-data touch
+is the tail scan, bounded by the re-materialization cadence.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Partial-state columns a rollup carries.  `sum_value` stays DECIMAL so
+# re-aggregation is order-independent (double sums are not).
+_STATE_COLS = ("n", "sum_value", "min_value", "max_value")
+
+
+def hourly_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    dims: Sequence[str] = ("event_type",),
+    val_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Partial (mergeable) aggregate state per (time bucket, dims)."""
+    return events.groupBy(
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket"), *dims
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(val_col).cast("decimal(18,6)")).alias("sum_value"),
+        F.min(val_col).alias("min_value"),
+        F.max(val_col).alias("max_value"),
+    )
+
+
+def merge_rollups(*partials: DataFrame) -> DataFrame:
+    """Re-aggregate any number of partial rollups into final form.
+
+    Exactness: SUM over DECIMAL partial sums and SUM over counts are
+    order-independent; MIN/MAX fold idempotently.  A bucket split
+    across partials (e.g. the materialization cutoff landing mid-hour)
+    merges to the same state as if aggregated once.
+    """
+    dims = [c for c in partials[0].columns if c not in _STATE_COLS and c != "bucket"]
+    unioned = reduce(lambda a, b: a.unionByName(b), partials)
+    total = F.sum("sum_value").cast("decimal(38,6)")
+    n = F.sum("n").cast("long")
+    return unioned.groupBy("bucket", *dims).agg(
+        n.alias("n_events"),
+        total.alias("total_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+        (total.cast("double") / n).alias("avg_value"),
+    )
+
+
+def materialize_rollup(
+    spark: SparkSession,
+    events: DataFrame,
+    path: str,
+    cutoff: Column | str,
+    ts_col: str = "ts",
+    dims: Sequence[str] = ("event_type",),
+    val_col: str = "value",
+) -> DataFrame:
+    """Write the rollup of rows strictly before ``cutoff`` to ``path``,
+    partitioned by bucket date (query-side partition pruning), and
+    return the written frame re-read."""
+    cut = F.lit(cutoff) if isinstance(cutoff, str) else cutoff
+    rolled = hourly_rollup(
+        events.filter(F.col(ts_col) < cut), ts_col, dims, val_col
+    ).withColumn("bucket_date", F.to_date("bucket"))
+    rolled.write.mode("overwrite").partitionBy("bucket_date").parquet(path)
+    return spark.read.parquet(path).drop("bucket_date")
+
+
+def continuous_aggregate(
+    events: DataFrame,
+    cutoff: Column | str,
+    materialized: DataFrame | None = None,
+    ts_col: str = "ts",
+    dims: Sequence[str] = ("event_type",),
+    val_col: str = "value",
+) -> DataFrame:
+    """Final per-bucket aggregate = materialized rollup (history)
+    merged with a fresh rollup of the raw tail (``ts >= cutoff``).
+
+    When ``materialized`` is None the history partial is computed
+    in-flight (used by the oracle-checked query entry so the whole
+    computation is one deterministic plan)."""
+    cut = F.lit(cutoff) if isinstance(cutoff, str) else cutoff
+    if materialized is None:
+        materialized = hourly_rollup(
+            events.filter(F.col(ts_col) < cut), ts_col, dims, val_col
+        )
+    tail = hourly_rollup(events.filter(F.col(ts_col) >= cut), ts_col, dims, val_col)
+    return merge_rollups(materialized, tail)

@@ -2650,3 +2650,34 @@ def granule_enrichment_q(spark, sf_dir):
     )
     out = enrich_from_granules(events, granules)
     return out.select("o_orderkey", "start_datetime", "end_datetime")
+
+
+_ROLLUP_MERGE = """
+SELECT
+  date_trunc('hour', ts) AS bucket,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+    / COUNT(*) AS avg_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+@query("rollup_hourly_merge", _ROLLUP_MERGE)
+def rollup_hourly_merge_q(spark, sf_dir):
+    """Hypertable-style continuous aggregate (operators/rollup.py): a
+    materialized-history partial rollup merged with a fresh raw-tail
+    rollup.  The oracle is the DIRECT aggregation over all raw rows —
+    proving the mergeable-state path (count/decimal-sum/min/max partials,
+    avg re-derived post-merge) is exact, including the cutoff landing
+    mid-bucket so the same hour exists in both partials."""
+    from cloud_optimized_data_pipelines_spark.operators.rollup import (
+        continuous_aggregate,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return continuous_aggregate(t["events"], "2024-01-25 13:30:00")

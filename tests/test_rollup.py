@@ -1,0 +1,96 @@
+"""Hypertable rollup: materialized partials + exact late-tail merge."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from cloud_optimized_data_pipelines_spark.operators.rollup import (
+    continuous_aggregate,
+    hourly_rollup,
+    materialize_rollup,
+    merge_rollups,
+)
+from cloud_optimized_data_pipelines_spark.queries import load_tables
+
+CUTOFF = "2024-01-20 07:45:00"  # deliberately mid-hour
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_tables(spark, sf_dir)["events"]
+
+
+def direct_agg(events):
+    """The ground truth: one aggregation over all raw rows."""
+    return merge_rollups(hourly_rollup(events))
+
+
+def test_merge_equals_direct_aggregation(spark, events):
+    merged = continuous_aggregate(events, CUTOFF).collect()
+    direct = direct_agg(events).collect()
+    key = lambda r: (r["bucket"], r["event_type"])  # noqa: E731
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, direct))
+
+
+def test_cutoff_hour_split_across_partials_merges_exactly(events):
+    """The bucket containing the cutoff appears in BOTH partials; its
+    merged state must equal the direct state (counts/sums add)."""
+    hour = "2024-01-20 07:00:00"
+    merged = (
+        continuous_aggregate(events, CUTOFF)
+        .filter(F.col("bucket") == F.lit(hour).cast("timestamp_ntz"))
+        .collect()
+    )
+    direct = (
+        direct_agg(events)
+        .filter(F.col("bucket") == F.lit(hour).cast("timestamp_ntz"))
+        .collect()
+    )
+    assert len(merged) > 0, "cutoff hour empty — fixture drifted"
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, direct))
+
+
+def test_materialized_rollup_roundtrip(spark, events, tmp_path):
+    """Materialize history to parquet (partitioned by bucket date), then
+    merge with the raw tail — still equals direct aggregation."""
+    path = str(tmp_path / "rollup")
+    hist = materialize_rollup(spark, events, path, CUTOFF)
+    merged = continuous_aggregate(events, CUTOFF, materialized=hist).collect()
+    direct = direct_agg(events).collect()
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, direct))
+
+
+def test_tail_scan_filter_is_pushed_down(spark, events, tmp_path):
+    """The only raw scan the merge pays is the tail; its timestamp
+    predicate must reach the parquet reader (row-group pruning at
+    scale).  The shared testdata stores ts as TIMESTAMP(NANOS) (read as
+    long + rewritten, which blocks pushdown), so this asserts over a
+    production-layout copy with a native timestamp column."""
+    raw_path = str(tmp_path / "events_native")
+    events.write.parquet(raw_path)
+    native = spark.read.parquet(raw_path)
+    plan = (
+        continuous_aggregate(native, CUTOFF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # the plan reads exactly one table, so every parquet scan is events
+    # (the Location path is elided when long, so don't match on it)
+    scans = [m.group(0) for m in re.finditer(r"FileScan parquet[^\n]*", plan)]
+    assert scans, "expected events FileScan nodes in plan"
+    for s in scans:
+        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", s)
+        assert pushed and "ts" in pushed.group(1)
+
+
+def test_rollup_state_is_tiny(events):
+    """State size is |buckets × dims|, independent of raw row count —
+    the reason the merge agg is cheap at 100 TB."""
+    n_state = hourly_rollup(events).count()
+    n_raw = events.count()
+    n_hours = 31 * 24
+    n_types = events.select("event_type").distinct().count()
+    assert n_state <= n_hours * n_types
+    assert n_state < n_raw
