@@ -1,0 +1,149 @@
+"""Mergeable sketches — the pre-aggregation layer a 100 TB engine needs.
+
+Exact distinct counts and heavy hitters over 100 TB require a shuffle of
+every key; sketches replace that with fixed-size mergeable state that
+rolls up like any other partial aggregate (per file, per day, per
+partition), then merges cheaply at query time.
+
+Three tiers, by guarantee:
+
+- **KMV (k-minimum-values)** distinct sketch: the k smallest portable
+  (md5-based) hash values of the distinct keys.  Merge = k smallest of
+  the distinct union — *exactly* equals the sketch built in one pass,
+  so the daily-partial path is bit-identical to the direct path and the
+  DuckDB oracle can verify it cross-engine.  Estimate: (k-1)/u_k.
+- **CMS (count-min sketch)** frequency sketch, built as a DataFrame
+  (depth × width counter grid via groupBy) from the same portable hash
+  family — deterministic across engines, so estimates (not just error
+  bounds) hash-match the oracle.  Point estimates only ever
+  OVER-count (min over depth rows of colliding counters).
+- **DataSketches HLL** (`hll_sketch_agg`/`hll_union_agg`): the
+  production-scale path — 2-4 KB state per group at any cardinality,
+  JVM-side, mergeable.  Opaque binary (no cross-engine oracle), so it
+  is accuracy-gated in pytest against exact counts instead.
+
+All three are pure DataFrame plans: partial aggregation map-side, one
+shuffle on the group keys, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TWO_32 = float(1 << 32)
+
+
+def portable_hash32(col: Column | str, salt: Column | None = None) -> Column:
+    """Uniform hash in [0, 2^32) from md5 — bit-identical in DuckDB via
+    ('0x' || substr(md5(x), 1, 8))::BIGINT (see sampling.hash_bucket)."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = c.cast("string")
+    if salt is not None:
+        s = F.concat(salt.cast("string"), F.lit(":"), s)
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def kmv_partial(
+    df: DataFrame,
+    key: str,
+    dims: Sequence[str] = (),
+    k: int = 64,
+    out: str = "kmv",
+) -> DataFrame:
+    """Per-dims partial sketch: sorted array of the k smallest distinct
+    32-bit hashes of ``key``.  Fixed ≤k longs of state per group."""
+    h = portable_hash32(key)
+    return df.groupBy(*dims).agg(
+        F.slice(F.array_sort(F.collect_set(h)), 1, k).alias(out)
+    )
+
+
+def kmv_merge(
+    partials: DataFrame,
+    dims: Sequence[str] = (),
+    k: int = 64,
+    col: str = "kmv",
+) -> DataFrame:
+    """Merge partial sketches (k smallest of the distinct union) —
+    exactly the sketch a single pass over the union would build."""
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(col)))), 1, k
+    )
+    return partials.groupBy(*dims).agg(merged.alias(col))
+
+
+def kmv_estimate(sketch: Column | str, k: int = 64) -> Column:
+    """Distinct-count estimate: exact when the group had < k distinct
+    keys (the sketch IS the distinct hash set), else (k-1)/u_k with
+    u_k = kth smallest hash normalized to (0,1]."""
+    s = F.col(sketch) if isinstance(sketch, str) else sketch
+    kth = F.element_at(s, k).cast("double")
+    return F.when(F.size(s) < k, F.size(s).cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(TWO_32) / kth
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (DataFrame-native, portable hash family)
+# ---------------------------------------------------------------------------
+
+
+def cms_build(
+    df: DataFrame, key: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """The sketch as a (row_idx, bucket) → count grid: depth×width cells
+    regardless of input size.  One explode (map-side, no extra shuffle
+    beyond the cell groupBy) + partial-aggregated count."""
+    i = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i")
+    exploded = df.select(F.col(key), i)
+    bucket = (portable_hash32(key, salt=F.col("i")) % width).alias("bucket")
+    return exploded.groupBy("i", bucket).agg(F.count("*").alias("c"))
+
+
+def cms_probe(
+    sketch: DataFrame, keys: DataFrame, key: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Estimate each key's frequency: min over the depth rows of that
+    key's counter cell.  ``keys`` is small (the candidate set) so the
+    probe side broadcasts; never over-counts less than truth."""
+    i = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i")
+    probes = keys.select("*", i).withColumn(
+        "bucket", portable_hash32(key, salt=F.col("i")) % width
+    )
+    joined = sketch.join(F.broadcast(probes), ["i", "bucket"])
+    group_cols = [c for c in keys.columns]
+    return joined.groupBy(*group_cols).agg(
+        F.min("c").cast("long").alias("cms_estimate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DataSketches HLL (production path)
+# ---------------------------------------------------------------------------
+
+
+def hll_partial(
+    df: DataFrame, key: str, dims: Sequence[str] = (), lgk: int = 12
+) -> DataFrame:
+    """Per-dims HLL sketch binary (~2^lgk bytes cap) — store these in a
+    rollup table; they merge across any partitioning of the input."""
+    return df.groupBy(*dims).agg(
+        F.hll_sketch_agg(F.col(key).cast("string"), F.lit(lgk)).alias("hll")
+    )
+
+
+def hll_merge_estimate(partials: DataFrame, dims: Sequence[str] = ()) -> DataFrame:
+    """Union partial sketches and estimate distinct counts."""
+    return partials.groupBy(*dims).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col("hll"), F.lit(False))
+        ).alias("est_uniques")
+    )

@@ -2681,3 +2681,110 @@ def rollup_hourly_merge_q(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return continuous_aggregate(t["events"], "2024-01-25 13:30:00")
+
+
+_KMV_UNIQUES = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+  FROM events WHERE user_id IS NOT NULL
+), s AS (
+  SELECT event_type, list_sort(list(hv))[1:64] AS kmv
+  FROM h GROUP BY event_type
+), x AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_uniques
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+)
+SELECT s.event_type,
+       CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS DOUBLE)
+            ELSE 63.0 * 4294967296.0 / CAST(kmv[64] AS DOUBLE) END AS est_uniques,
+       x.exact_uniques
+FROM s JOIN x USING (event_type)
+"""
+
+
+@query("sketch_kmv_uniques", _KMV_UNIQUES)
+def sketch_kmv_uniques_q(spark, sf_dir):
+    """KMV distinct sketch (operators/sketches.py): Spark builds DAILY
+    partial sketches and merges them; the oracle builds the sketch in
+    ONE pass.  They hash-match because k-smallest-of-distinct-union is
+    exactly mergeable — the cross-engine proof that the rollup path
+    loses nothing.  exact_uniques rides along for scale context."""
+    from cloud_optimized_data_pipelines_spark.operators import sketches as SK
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    daily = SK.kmv_partial(
+        ev.withColumn("day", F.to_date("ts")),
+        "user_id",
+        dims=("event_type", "day"),
+        k=64,
+    )
+    merged = SK.kmv_merge(daily, dims=("event_type",), k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_uniques")
+    )
+    return merged.select(
+        "event_type", SK.kmv_estimate("kmv", k=64).alias("est_uniques")
+    ).join(F.broadcast(exact), "event_type")
+
+
+_CMS_HEAVY = """
+WITH ints AS (SELECT unnest(range(4)) AS i),
+cells AS (
+  SELECT i,
+         ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 512 AS bucket,
+         COUNT(*) AS c
+  FROM events, ints
+  WHERE user_id IS NOT NULL
+  GROUP BY 1, 2
+), top AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 20
+), probes AS (
+  SELECT t.user_id, t.exact_n, ints.i,
+         ('0x' || substr(md5(CAST(ints.i AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)), 1, 8))::BIGINT % 512 AS bucket
+  FROM top t, ints
+)
+SELECT p.user_id, p.exact_n, CAST(MIN(s.c) AS BIGINT) AS cms_estimate
+FROM probes p JOIN cells s ON s.i = p.i AND s.bucket = p.bucket
+GROUP BY p.user_id, p.exact_n
+"""
+
+
+@query("sketch_cms_heavy_hitters", _CMS_HEAVY)
+def sketch_cms_heavy_q(spark, sf_dir):
+    """Count-min sketch built AS a DataFrame (4×512 counter grid,
+    portable md5 hash family) probed for the top-20 users.  Estimates —
+    not just bounds — hash-match the oracle because both engines build
+    the identical sketch.  cms_estimate ≥ exact_n always (collisions
+    only ever add)."""
+    from cloud_optimized_data_pipelines_spark.operators import sketches as SK
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    sketch = SK.cms_build(ev, "user_id", depth=4, width=512)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(20)
+    )
+    return SK.cms_probe(sketch, top, "user_id", depth=4, width=512)
+
+
+@query("sketch_hll_daily_uniques")
+def sketch_hll_daily_q(spark, sf_dir):
+    """Production-path distinct rollup: per-day DataSketches HLL
+    partials (hll_sketch_agg) unioned per event_type
+    (hll_union_agg).  Opaque binary state → no SQL oracle (rows-only);
+    accuracy vs exact is pytest-gated in test_sketches.py."""
+    from cloud_optimized_data_pipelines_spark.operators import sketches as SK
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    daily = SK.hll_partial(
+        ev.withColumn("day", F.to_date("ts")), "user_id", dims=("event_type", "day")
+    )
+    return SK.hll_merge_estimate(daily, dims=("event_type",))

@@ -1,0 +1,131 @@
+"""Mergeable sketches: exact-merge properties, accuracy gates, plans."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from cloud_optimized_data_pipelines_spark.operators import sketches as SK
+from cloud_optimized_data_pipelines_spark.queries import load_tables
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_tables(spark, sf_dir)["events"].filter(F.col("user_id").isNotNull())
+
+
+def test_kmv_daily_merge_equals_direct_sketch(events):
+    """The KMV merge property: k-smallest of the distinct union of
+    daily partials IS the one-pass sketch — arrays bit-equal."""
+    daily = SK.kmv_partial(
+        events.withColumn("day", F.to_date("ts")),
+        "user_id",
+        dims=("event_type", "day"),
+        k=64,
+    )
+    merged = {
+        r["event_type"]: r["kmv"]
+        for r in SK.kmv_merge(daily, dims=("event_type",), k=64).collect()
+    }
+    direct = {
+        r["event_type"]: r["kmv"]
+        for r in SK.kmv_partial(events, "user_id", dims=("event_type",), k=64).collect()
+    }
+    assert merged == direct and len(direct) > 0
+
+
+def test_kmv_estimate_accuracy(spark, events):
+    est = (
+        SK.kmv_partial(events, "user_id", dims=("event_type",), k=64)
+        .select("event_type", SK.kmv_estimate("kmv", k=64).alias("est"))
+        .collect()
+    )
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in est:
+        rel = abs(r["est"] - exact[r["event_type"]]) / exact[r["event_type"]]
+        assert rel < 0.25, (r["event_type"], r["est"], exact[r["event_type"]])
+
+
+def test_kmv_small_group_is_exact(spark):
+    """Groups with < k distinct keys: the sketch is the whole hash set,
+    estimate falls back to the exact distinct count."""
+    df = spark.range(40).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 10).alias("k")
+    )
+    rows = (
+        SK.kmv_partial(df, "k", dims=("g",), k=64)
+        .select("g", SK.kmv_estimate("kmv", k=64).alias("est"))
+        .collect()
+    )
+    assert {r["g"]: r["est"] for r in rows} == {0: 5.0, 1: 5.0}
+
+
+def test_cms_never_undercounts_and_bounded_state(events):
+    sketch = SK.cms_build(events, "user_id", depth=4, width=512)
+    assert sketch.count() <= 4 * 512  # fixed-size state, any input volume
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(20)
+    )
+    n_total = events.count()
+    probed = SK.cms_probe(sketch, top, "user_id", depth=4, width=512).collect()
+    assert len(probed) == top.count()  # ≤20 when the sf has fewer users
+    for r in probed:
+        assert r["cms_estimate"] >= r["exact_n"]  # collisions only add
+        # classic CMS bound with depth=4: err ≤ e·N/width w.h.p.;
+        # generous 2× slack keeps the deterministic fixture stable
+        assert r["cms_estimate"] - r["exact_n"] <= 2 * 2.718 * n_total / 512
+
+
+def test_cms_probe_broadcasts_candidates(events):
+    sketch = SK.cms_build(events, "user_id", depth=4, width=512)
+    top = events.groupBy("user_id").agg(F.count("*").alias("exact_n")).limit(5)
+    plan = (
+        SK.cms_probe(sketch, top, "user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hll_daily_merge_matches_exact_within_tolerance(events):
+    daily = SK.hll_partial(
+        events.withColumn("day", F.to_date("ts")), "user_id", dims=("event_type", "day")
+    )
+    est = {
+        r["event_type"]: r["est_uniques"]
+        for r in SK.hll_merge_estimate(daily, dims=("event_type",)).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(est[t] - n) / n < 0.05, (t, est[t], n)
+
+
+def test_hll_merge_is_partitioning_invariant(events):
+    """HLL register state depends on the hashed SET, not row order or
+    grouping — merging day partials equals the one-pass estimate."""
+    daily = SK.hll_partial(
+        events.withColumn("day", F.to_date("ts")), "user_id", dims=("event_type", "day")
+    )
+    via_days = {
+        r["event_type"]: r["est_uniques"]
+        for r in SK.hll_merge_estimate(daily, dims=("event_type",)).collect()
+    }
+    one_pass = {
+        r["event_type"]: r["est"]
+        for r in SK.hll_partial(events, "user_id", dims=("event_type",))
+        .select("event_type", F.hll_sketch_estimate("hll").alias("est"))
+        .collect()
+    }
+    assert via_days == one_pass
