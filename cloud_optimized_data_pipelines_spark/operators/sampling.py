@@ -41,3 +41,30 @@ def deterministic_split(
         cond = b < acc
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return df.withColumn(split_col, expr)
+
+
+def sample_stratified(
+    df: DataFrame,
+    key: str,
+    strata: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    precision: int = 10_000,
+) -> DataFrame:
+    """Per-stratum deterministic downsampling: keep a row iff its hash
+    bucket falls under its stratum's threshold — e.g. rebalance a
+    web-scale corpus by language without an RNG.
+
+    Properties the threshold construction buys (all tested):
+    - reproducible across runs/engines/partitionings (md5, not rand);
+    - NESTED: the 30% sample is a strict subset of the 60% sample, so
+      growing a training mix never churns already-selected rows;
+    - pure narrow filter — no shuffle, safe under predicate pushdown.
+    """
+    b = hash_bucket(key, precision)
+    thresh: Column = F.lit(int(default_rate * precision))
+    for val, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata) == val, F.lit(int(rate * precision))
+        ).otherwise(thresh)
+    return df.filter(b < thresh)

@@ -2788,3 +2788,27 @@ def sketch_hll_daily_q(spark, sf_dir):
         ev.withColumn("day", F.to_date("ts")), "user_id", dims=("event_type", "day")
     )
     return SK.hll_merge_estimate(daily, dims=("event_type",))
+
+
+_STRATIFIED = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 <
+      CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 8000 ELSE 10000 END
+"""
+
+
+@query("sample_stratified_docs", _STRATIFIED)
+def sample_stratified_docs_q(spark, sf_dir):
+    """Training-mix rebalancing (operators/sampling.py): deterministic
+    per-language downsampling — 30% of the English majority, 80% of zh,
+    everything else kept.  Threshold-on-md5 construction: reproducible
+    across engines AND nested (raising a rate only ever adds rows)."""
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        sample_stratified,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return sample_stratified(
+        t["documents"], "doc_id", "lang", {"en": 0.3, "zh": 0.8}
+    ).select("doc_id", "lang", "source")
