@@ -117,3 +117,76 @@ def continuous_aggregate(
         )
     tail = hourly_rollup(events.filter(F.col(ts_col) >= cut), ts_col, dims, val_col)
     return merge_rollups(materialized, tail)
+
+
+def append_stream_rollup(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    dims: Sequence[str] = ("event_type",),
+    val_col: str = "value",
+):
+    """Continuous ingestion into the rollup: each micro-batch appends
+    its OWN partial states (several partial rows per bucket are fine —
+    mergeable state makes append-only correct, no update-in-place, no
+    read-modify-write race).  Exactly-once via the stream checkpoint;
+    ``compact_rollup`` folds the accumulated partials back to one row
+    per (bucket, dims) when the table grows.
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        (
+            hourly_rollup(batch_df, ts_col, dims, val_col)
+            .withColumn("bucket_date", F.to_date("bucket"))
+            .write.mode("append")
+            .partitionBy("bucket_date")
+            .parquet(path)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rollup_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Query-time view over the (possibly multi-partial) rollup table."""
+    return merge_rollups(spark.read.parquet(path).drop("bucket_date"))
+
+
+def compact_rollup(spark: SparkSession, path: str) -> tuple[int, int]:
+    """Fold accumulated per-batch partials to one partial row per
+    (bucket, dims): re-aggregate partial state (NOT the final form — 
+    compaction must stay mergeable) and atomically swap the table.
+    Returns (rows_before, rows_after)."""
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    before = df.count()
+    dims = [
+        c for c in df.columns if c not in _STATE_COLS and c not in ("bucket", "bucket_date")
+    ]
+    folded = (
+        df.groupBy("bucket", *dims)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value").cast("decimal(18,6)").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .withColumn("bucket_date", F.to_date("bucket"))
+    )
+    tmp = path.rstrip("/") + "._compacting"
+    folded.write.mode("overwrite").partitionBy("bucket_date").parquet(tmp)
+    old = path.rstrip("/") + "._old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    spark.catalog.refreshByPath(path)
+    return before, spark.read.parquet(path).count()

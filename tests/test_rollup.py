@@ -94,3 +94,37 @@ def test_rollup_state_is_tiny(events):
     n_types = events.select("event_type").distinct().count()
     assert n_state <= n_hours * n_types
     assert n_state < n_raw
+
+
+def test_stream_ingestion_then_compaction(spark, events, tmp_path):
+    """Micro-batches append per-batch partials (append-only, no
+    read-modify-write); the merged view equals direct aggregation after
+    EVERY stage: multi-partial, and post-compaction."""
+    from cloud_optimized_data_pipelines_spark.operators.rollup import (
+        append_stream_rollup,
+        compact_rollup,
+        read_rollup_merged,
+    )
+
+    src = str(tmp_path / "src")
+    # several small files → several micro-batches → repeated buckets
+    events.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rollup_path = str(tmp_path / "rollup_stream")
+    q = append_stream_rollup(stream, rollup_path, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    direct = direct_agg(events).collect()
+    merged = read_rollup_merged(spark, rollup_path).collect()
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, direct))
+
+    before, after = compact_rollup(spark, rollup_path)
+    assert after <= before  # partial rows folded (equal if 1 batch/bucket)
+    n_buckets = read_rollup_merged(spark, rollup_path).count()
+    assert after == n_buckets  # exactly one partial row per bucket now
+    compacted = read_rollup_merged(spark, rollup_path).collect()
+    assert sorted(map(tuple, compacted)) == sorted(map(tuple, direct))
