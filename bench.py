@@ -38,6 +38,9 @@ HEADLINE = [
     "k3_transfer_plan",
     "s4_link_explode",
     # training-data extensions
+    "rollup_hourly_merge",
+    "sketch_kmv_uniques",
+    "sample_stratified_docs",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
