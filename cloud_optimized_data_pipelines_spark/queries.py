@@ -2812,3 +2812,69 @@ def sample_stratified_docs_q(spark, sf_dir):
     return sample_stratified(
         t["documents"], "doc_id", "lang", {"en": 0.3, "zh": 0.8}
     ).select("doc_id", "lang", "source")
+
+
+_CHUNKS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), st AS (
+  SELECT doc_id, t,
+         UNNEST(range(0,
+                      GREATEST(CAST(ceil((len(t) - 64) / 48.0) AS BIGINT), 0) * 48 + 1,
+                      48)) AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST(start // 48 AS BIGINT) AS chunk_idx,
+       array_to_string(t[start + 1 : start + 64], ' ') AS chunk_text,
+       CAST(LEAST(64, len(t) - start) AS BIGINT) AS n_tokens
+FROM st
+"""
+
+
+@query("text_chunk_sliding", _CHUNKS)
+def text_chunk_sliding_q(spark, sf_dir):
+    """Sliding-window chunking (operators/packing.py): 64-token windows,
+    stride 48 (16 overlap), as pure tokenize-once + explode-starts +
+    slice — map-side only, no shuffle, no Python."""
+    from cloud_optimized_data_pipelines_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return chunk_documents(t["documents"], size=64, overlap=16)
+
+
+_PACKS = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens, shard,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id, n_tokens, shard,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+       CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
+FROM c
+"""
+
+
+@query("text_pack_sequences", _PACKS)
+def text_pack_sequences_q(spark, sf_dir):
+    """Sequence packing (operators/packing.py): concat-and-split into
+    512-token budgets across 16 hash-sharded streams.  The global
+    cumsum (single-partition window, the scale trap) is replaced by
+    per-shard windows — bounded partitions, same training semantics."""
+    from cloud_optimized_data_pipelines_spark.operators.packing import (
+        pack_documents,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return pack_documents(t["documents"], budget=512, n_shards=16)
