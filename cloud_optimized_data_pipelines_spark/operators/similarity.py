@@ -247,3 +247,63 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def ivf_write_index(
+    spark,
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    k_lists: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Persist the IVF index: the assigned corpus partitioned by
+    ``list_id`` (hive layout → probes are PARTITION PRUNING, not a
+    filter over the full corpus) plus the centroid table.
+
+    This is the amortization the in-memory ``ivf_topk`` cannot give:
+    build once (the only full-corpus work), then every query reads just
+    its nprobe list directories.  Returns the centroids.
+    """
+    assigned, centroids = ivf_build(df, vec_col, k_lists, iters, id_col)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/lists"
+    )
+    cent_rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(centroids)
+    ]
+    spark.createDataFrame(
+        cent_rows, "list_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Probe a persisted IVF index: rank centroids driver-side (k x dim
+    doubles from the tiny centroid table), then scan ONLY the nprobe
+    nearest list partitions.  The list_id filter is a partition filter
+    (plan-asserted in tests) — scan cost is corpus_size * nprobe /
+    k_lists regardless of total index size."""
+    cent = {
+        r["list_id"]: r["centroid"]
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    ranked = sorted(
+        cent,
+        key=lambda i: (sum((a - b) ** 2 for a, b in zip(query, cent[i])), i),
+    )
+    probe = ranked[: max(1, nprobe)]
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("list_id").isin(probe)
+    )
+    return brute_force_topk(lists, vec_col, query, k, id_col, round_digits)

@@ -276,3 +276,35 @@ def test_ivf_partial_probe_prunes_and_recalls(spark, sf_dir):
         ).collect()
     }
     assert len(exact & approx) >= 5  # recall@10 >= 0.5 on this corpus
+
+
+def test_ivf_persisted_index_prunes_and_matches_inmemory(spark, sf_dir, tmp_path):
+    """ivf_write_index + ivf_topk_indexed: the probe scan must carry a
+    list_id PARTITION filter (directory pruning, not data filtering),
+    and results must equal the in-memory ivf_topk with identical
+    centroids/nprobe."""
+    import re
+
+    from pyspark.sql import functions as F
+    from cloud_optimized_data_pipelines_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+    from cloud_optimized_data_pipelines_spark.queries import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    query_vec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    path = str(tmp_path / "ivf")
+    centroids = ivf_write_index(spark, emb, path, k_lists=8, iters=1)
+
+    got = ivf_topk_indexed(spark, path, query_vec, k=5, nprobe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "list_id" in m.group(1), plan[:1500]
+
+    want = ivf_topk(
+        emb, "embedding", query_vec, k=5, k_lists=8, nprobe=2, iters=1
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert len(centroids) == 8
