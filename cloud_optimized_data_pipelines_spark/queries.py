@@ -2878,3 +2878,66 @@ def text_pack_sequences_q(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return pack_documents(t["documents"], budget=512, n_shards=16)
+
+
+@query("agg_approx_percentile")
+def agg_approx_percentile_q(spark, sf_dir):
+    """Mergeable approximate percentiles (percentile_approx /
+    Greenwald-Khanna): the fixed-accuracy counterpart to the exact
+    `agg_percentiles` entry — GK summaries merge across partitions, so
+    this is the 100 TB path where an exact global sort-percentile is a
+    full shuffle.  Spark's GK and DuckDB's t-digest disagree in the
+    last digits by design → rows-only here; accuracy vs exact is
+    pytest-gated (test_sketches.py, ±1% of the value range)."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
+        F.count("*").alias("n"),
+    )
+
+
+_BPE_PAIRS = """
+WITH words AS (
+  SELECT UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+  FROM documents
+), pairs AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair
+  FROM words, LATERAL (SELECT UNNEST(range(1, len(w))) AS i) t
+  WHERE len(w) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 30
+"""
+
+
+@query("text_bpe_pair_counts", _BPE_PAIRS)
+def text_bpe_pair_counts_q(spark, sf_dir):
+    """The statistics step of BPE tokenizer training: corpus-wide
+    counts of adjacent symbol pairs inside words (the pair with the
+    max count becomes the next merge rule).  Pure columns: tokenize →
+    explode words → explode substring pairs → one hash agg + top-k.
+    A full training loop is this aggregation per merge iteration, with
+    the chosen merge applied via regexp_replace — each iteration one
+    scan + one shuffle of pair-sized rows, nothing driver-side except
+    the argmax."""
+    t = load_tables(spark, sf_dir)
+    words = (
+        t["documents"]
+        .select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(30)
+    )

@@ -129,3 +129,91 @@ def test_hll_merge_is_partitioning_invariant(events):
         .collect()
     }
     assert via_days == one_pass
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    from cloud_optimized_data_pipelines_spark.queries import QUERIES, load_tables
+
+    approx = {
+        r["l_returnflag"]: (r["p50_approx"], r["p95_approx"])
+        for r in QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
+    }
+    li = load_tables(spark, sf_dir)["lineitem"]
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p95"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    lo, hi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
+    span = hi - lo
+    for flag, (a50, a95) in approx.items():
+        e50, e95 = exact[flag]
+        assert abs(a50 - e50) <= 0.01 * span, (flag, a50, e50)
+        assert abs(a95 - e95) <= 0.01 * span, (flag, a95, e95)
+
+
+def test_streamed_sketch_partials_merge_to_one_pass(spark, events, tmp_path):
+    """Sketches over streams: per-micro-batch KMV and HLL partials
+    appended (streaming/partials.py), merged at read time — identical
+    to the one-pass batch sketch over the same rows."""
+    from cloud_optimized_data_pipelines_spark.streaming.partials import (
+        append_stream_partials,
+    )
+
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def make_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    kmv_path = str(tmp_path / "kmv")
+    q1 = append_stream_partials(
+        make_stream(),
+        kmv_path,
+        str(tmp_path / "ck1"),
+        lambda b: SK.kmv_partial(b, "user_id", dims=("event_type",), k=32),
+    )
+    hll_path = str(tmp_path / "hll")
+    q2 = append_stream_partials(
+        make_stream(),
+        hll_path,
+        str(tmp_path / "ck2"),
+        lambda b: SK.hll_partial(b, "user_id", dims=("event_type",)),
+    )
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    streamed_kmv = {
+        r["event_type"]: list(r["kmv"])
+        for r in SK.kmv_merge(
+            spark.read.parquet(kmv_path), dims=("event_type",), k=32
+        ).collect()
+    }
+    direct_kmv = {
+        r["event_type"]: list(r["kmv"])
+        for r in SK.kmv_partial(events, "user_id", dims=("event_type",), k=32).collect()
+    }
+    assert streamed_kmv == direct_kmv
+
+    streamed_hll = {
+        r["event_type"]: r["est_uniques"]
+        for r in SK.hll_merge_estimate(
+            spark.read.parquet(hll_path), dims=("event_type",)
+        ).collect()
+    }
+    one_pass = {
+        r["event_type"]: r["est"]
+        for r in SK.hll_partial(events, "user_id", dims=("event_type",))
+        .select("event_type", F.hll_sketch_estimate("hll").alias("est"))
+        .collect()
+    }
+    assert streamed_hll == one_pass
