@@ -390,3 +390,31 @@ def simhash(text_col, bits: int = SIMHASH_BITS):
     for b, s in enumerate(bit_sums):
         out = out + F.when(s > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
     return out
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    content_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Continual-ingest dedup: keep a new document only if its content
+    digest is (a) unseen in the historical corpus and (b) the first of
+    its digest within the batch (ties by smallest id).
+
+    The corpus side reduces to DISTINCT digests BEFORE the anti-join —
+    at 100 TB you keep exactly that digest table materialized (16 bytes
+    a row) instead of ever re-reading corpus text; history is never
+    re-deduped.  Both the anti-join and the within-batch window shuffle
+    digests, not documents.
+    """
+    digest = F.md5(F.col(content_col))
+    seen = corpus.select(digest.alias("__digest")).distinct()
+    batch = new_batch.withColumn("__digest", digest)
+    w = Window.partitionBy("__digest").orderBy(id_col)
+    return (
+        batch.join(seen, "__digest", "left_anti")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__digest", "__rn")
+    )

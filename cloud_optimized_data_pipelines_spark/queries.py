@@ -2941,3 +2941,101 @@ def text_bpe_pair_counts_q(spark, sf_dir):
         .orderBy(F.desc("n"), "pair")
         .limit(30)
     )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+_PII_REDACT = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' contact bob@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.42.7' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' call 415-555-1234' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_IP_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_IP_RE}', '<IP>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM seeded
+"""
+
+
+@query("text_pii_redact", _PII_REDACT)
+def text_pii_redact_q(spark, sf_dir):
+    """Corpus PII scrubbing: email/IP/phone redaction + per-doc counts,
+    all regexp_replace/regexp_count columns (Java and RE2 agree on
+    these character-class patterns — part of the oracle contract).  The
+    synthetic corpus carries no PII, so deterministic markers are
+    planted on id-modulo rows IN BOTH ENGINES, making the counts and
+    the redacted-text md5 a real cross-engine check."""
+    t = load_tables(spark, sf_dir)
+    did = F.col("doc_id")
+    seeded = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 7 == 0, F.lit(" contact bob@example.com")).otherwise(""),
+            F.when(did % 11 == 0, F.lit(" from 10.0.42.7")).otherwise(""),
+            F.when(did % 13 == 0, F.lit(" call 415-555-1234")).otherwise(""),
+        ).alias("text"),
+    )
+    txt = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(txt, _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count(txt, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(txt, F.lit(_IP_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(txt, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+_INCR_DEDUP = """
+WITH corpus AS (
+  SELECT md5(text) AS d FROM documents WHERE doc_id < 2500 GROUP BY 1
+), batch AS (
+  SELECT doc_id, lang, md5(text) AS d FROM documents WHERE doc_id >= 2500
+), fresh AS (
+  SELECT b.doc_id, b.lang, b.d FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.d = b.d)
+)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY d ORDER BY doc_id) AS rn
+  FROM fresh
+) t WHERE rn = 1
+"""
+
+
+@query("dedup_incremental", _INCR_DEDUP)
+def dedup_incremental_q(spark, sf_dir):
+    """Continual-ingest dedup (operators/dedup.py::incremental_dedup):
+    the new batch (doc_id >= 2500) is anti-joined against the distinct
+    digest set of the historical corpus, then first-per-digest within
+    the batch.  History is never re-deduped; only digests shuffle."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    t = load_tables(spark, sf_dir)
+    corpus = t["documents"].filter(F.col("doc_id") < 2500)
+    batch = t["documents"].filter(F.col("doc_id") >= 2500).select(
+        "doc_id", "lang", "text"
+    )
+    return incremental_dedup(batch, corpus, "text", "doc_id").select(
+        "doc_id", "lang"
+    )
