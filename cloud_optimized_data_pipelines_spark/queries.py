@@ -1573,14 +1573,24 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 @query("dedup_exact", _DEDUP_EXACT)
 def dedup_exact_q(spark, sf_dir):
     """Exact dedup on a corpus with injected duplicates (every doc twice,
-    shifted ids): keeps exactly the original 500 lowest-id rows."""
+    shifted ids): keeps exactly the original 500 lowest-id rows.
+
+    Since this query's output only needs (id, digest), the text column
+    is dropped BEFORE the dedup window — the shuffle moves 16-byte
+    digests, never documents (D.exact_dedup_by_hash keeps the general
+    carry-all-columns form for consumers that need the kept rows)."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"].select("doc_id", "text")
     doubled = docs.unionAll(
         docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     )
-    kept = D.exact_dedup_by_hash(doubled, "text", "doc_id")
-    return kept.select("doc_id", F.md5("text").alias("text_md5"))
+    w = Window.partitionBy("text_md5").orderBy("doc_id")
+    return (
+        doubled.select("doc_id", F.md5("text").alias("text_md5"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 _MINHASH_SIG_DUCK = ", ".join(
