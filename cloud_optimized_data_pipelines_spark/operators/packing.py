@@ -41,7 +41,9 @@ def chunk_documents(
     if not 0 <= overlap < size:
         raise ValueError(f"need 0 <= overlap < size, got {overlap=} {size=}")
     stride = size - overlap
-    toks = T.tokens(F.col(text_col))
+    # NULL text = empty doc (one empty chunk) — explode of a NULL
+    # starts array would otherwise silently DROP the document
+    toks = T.tokens(F.coalesce(F.col(text_col), F.lit("")))
     # last window start: the largest stride multiple that still adds
     # new tokens — ceil((n_tok - size) / stride) strides past 0
     n_tok = F.size(toks)
@@ -83,7 +85,8 @@ def pack_documents(
     pack_id, pack_offset) — offset = the document's first-token
     position inside its pack, so a trainer can slice exactly."""
     shard = hash_bucket(id_col, n_shards)
-    n_tokens = T.token_count(F.col(text_col))
+    # NULL text = 0 tokens, not a NULL that poisons the running sum
+    n_tokens = T.token_count(F.coalesce(F.col(text_col), F.lit("")))
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)

@@ -87,3 +87,12 @@ def test_pack_determinism_under_repartition(spark, sf_dir):
         map(tuple, pack_documents(docs.repartition(7), budget=512).collect())
     )
     assert a == b
+
+
+def test_null_text_is_empty_doc(spark):
+    df = spark.createDataFrame([(1, None), (2, "a b c")], "doc_id long, text string")
+    chunks = chunk_documents(df, size=4, overlap=1).collect()
+    by_doc = {r["doc_id"]: r for r in chunks}
+    assert by_doc[1]["chunk_text"] == "" and by_doc[1]["n_tokens"] == 0
+    packs = {r["doc_id"]: r for r in pack_documents(df, budget=4).collect()}
+    assert packs[1]["n_tokens"] == 0 and packs[1]["pack_id"] is not None
