@@ -3049,3 +3049,21 @@ def dedup_incremental_q(spark, sf_dir):
     return incremental_dedup(batch, corpus, "text", "doc_id").select(
         "doc_id", "lang"
     )
+
+
+@query("text_bpe_merges")
+def text_bpe_merges_q(spark, sf_dir):
+    """Full BPE tokenizer training (operators/bpe.py): 8 merge rules
+    learned over the documents corpus.  Iterative algorithm (argmax
+    collect per iteration, like IVF's Lloyd step) → rows-only; exact
+    parity with a pure-Python reference BPE is pytest-gated
+    (test_bpe.py).  Iterations run on the distinct-WORD table, not the
+    corpus — the reason this is tractable at 100 TB."""
+    from cloud_optimized_data_pipelines_spark.operators.bpe import bpe_train
+
+    t = load_tables(spark, sf_dir)
+    rules, _vocab = bpe_train(t["documents"], n_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(rules)],
+        "rank int, left string, right string, merged string",
+    )
