@@ -66,11 +66,11 @@ def pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
-    """Leftmost-first non-overlapping merge of (a, b) → a||b in every
-    symbol array — a pure column fold, no shuffle."""
-    merged = F.aggregate(
-        F.col("syms"),
+def merge_fold(arr, a: str, b: str):
+    """Column expression: leftmost-first non-overlapping merge of
+    (a, b) → a||b over a symbol array — a pure fold, no shuffle."""
+    return F.aggregate(
+        arr,
         F.array().cast("array<string>"),
         lambda acc, x: F.when(
             (F.size(acc) > 0)
@@ -82,7 +82,28 @@ def apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
             ),
         ).otherwise(F.concat(acc, F.array(x))),
     )
-    return vocab.withColumn("syms", merged)
+
+
+def apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
+    """Apply one merge rule to every word's symbol array."""
+    return vocab.withColumn("syms", merge_fold(F.col("syms"), a, b))
+
+
+def bpe_encode(text_col, rules: list[tuple[str, str]]):
+    """Tokenize text with learned rules: per word, start from
+    characters and replay the merges in training order.  The whole
+    encoder compiles to ONE column expression (len(rules) nested
+    folds inside a transform) — tokenizing a 100 TB corpus is a
+    map-only scan, no Python, no shuffle."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+
+    def encode_word(w):
+        arr = F.split(w, "")
+        for a, b in rules:
+            arr = merge_fold(arr, a, b)
+        return arr
+
+    return F.flatten(F.transform(T.tokens(F.coalesce(c, F.lit(""))), encode_word))
 
 
 def bpe_train(

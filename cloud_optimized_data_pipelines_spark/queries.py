@@ -3067,3 +3067,53 @@ def text_bpe_merges_q(spark, sf_dir):
         [(i, a, b, a + b) for i, (a, b) in enumerate(rules)],
         "rank int, left string, right string, merged string",
     )
+
+
+_WINDOW_RANKS = """
+SELECT c_custkey,
+       c_mktsegment,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       PERCENT_RANK() OVER w AS prnk,
+       CUME_DIST() OVER w AS cdist,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       LEAD(c_custkey, 1) OVER w AS next_custkey,
+       FIRST_VALUE(c_custkey) OVER w AS top_custkey
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+@query("window_rank_functions", _WINDOW_RANKS)
+def window_rank_functions_q(spark, sf_dir):
+    """The full analytic-ranking surface in one pass: rank/dense_rank/
+    percent_rank/cume_dist/ntile/lead/first_value share ONE window
+    frame, so Catalyst plans a single sort per partition — adding
+    functions to a shared frame is free at scale, re-sorting per
+    function is not."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_WINDOW_RANKS)
+
+
+@query("text_bpe_encode_stats")
+def text_bpe_encode_stats_q(spark, sf_dir):
+    """Train-then-apply: learn 8 merges, re-tokenize the corpus with
+    the compiled single-expression encoder (operators/bpe.py::
+    bpe_encode — map-only, no shuffle), report per-doc compression.
+    Iterative training step → rows-only; encoder parity with the
+    trained vocab is pytest-gated."""
+    from cloud_optimized_data_pipelines_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    t = load_tables(spark, sf_dir)
+    rules, _ = bpe_train(t["documents"], n_merges=8)
+    enc = bpe_encode("text", rules)
+    return t["documents"].select(
+        "doc_id",
+        F.length(F.regexp_replace(F.coalesce("text", F.lit("")), r"\s+", ""))
+        .cast("long")
+        .alias("n_chars"),
+        F.size(enc).cast("long").alias("n_bpe_tokens"),
+    )

@@ -91,3 +91,35 @@ def test_word_table_is_vocab_sized(spark, sf_dir):
         F.sum(F.size(F.split(F.coalesce("text", F.lit("")), r"\s+")))
     ).first()[0]
     assert n_words < n_tokens  # iterations run on the small table
+
+
+def test_encode_replays_training_merges(spark):
+    """bpe_encode on the training corpus must reproduce the trained
+    vocab's symbol sequences word-for-word."""
+    from cloud_optimized_data_pipelines_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    rules, vocab = bpe_train(docs, n_merges=8)
+    trained = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+
+    single_words = spark.createDataFrame(
+        [(w,) for w in trained], "text string"
+    )
+    encoded = {
+        r["text"]: list(r["enc"])
+        for r in single_words.select(
+            "text", bpe_encode("text", rules).alias("enc")
+        ).collect()
+    }
+    assert encoded == trained
+
+
+def test_encode_is_plan_clean(spark):
+    from cloud_optimized_data_pipelines_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame([(1, "lower newest")], "doc_id long, text string")
+    out = df.select(bpe_encode("text", [("e", "r"), ("n", "e")]).alias("enc"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
