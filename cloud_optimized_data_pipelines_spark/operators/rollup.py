@@ -190,3 +190,23 @@ def compact_rollup(spark: SparkSession, path: str) -> tuple[int, int]:
     shutil.rmtree(old)
     spark.catalog.refreshByPath(path)
     return before, spark.read.parquet(path).count()
+
+
+def cascade_rollup(partials: DataFrame, bucket: str = "day") -> DataFrame:
+    """Derive a coarser-grain partial rollup FROM a finer one — daily
+    from hourly, monthly from daily — by re-truncating the bucket and
+    re-aggregating partial state.  No raw scan: the input is already
+    |buckets × dims|-sized, so a whole grain hierarchy costs a few
+    sketch-table aggregations.  Output stays partial (mergeable), so
+    cascades compose: hour → day → month."""
+    dims = [
+        c for c in partials.columns if c not in _STATE_COLS and c != "bucket"
+    ]
+    return partials.groupBy(
+        F.date_trunc(bucket, F.col("bucket")).alias("bucket"), *dims
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_value").cast("decimal(18,6)").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )

@@ -3117,3 +3117,36 @@ def text_bpe_encode_stats_q(spark, sf_dir):
         .alias("n_chars"),
         F.size(enc).cast("long").alias("n_bpe_tokens"),
     )
+
+
+_ROLLUP_CASCADE = """
+SELECT
+  CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+    / COUNT(*) AS avg_value
+FROM events
+GROUP BY CAST(date_trunc('day', ts) AS TIMESTAMP), event_type
+"""
+
+
+@query("rollup_cascade_daily", _ROLLUP_CASCADE)
+def rollup_cascade_daily_q(spark, sf_dir):
+    """Grain cascade (operators/rollup.py::cascade_rollup): the DAILY
+    aggregate is derived from HOURLY partials by re-truncation +
+    partial re-aggregation — the raw table is scanned once for the
+    hourly grain and never again.  Oracle = direct daily aggregation
+    over raw rows, proving the cascade is exact."""
+    from cloud_optimized_data_pipelines_spark.operators.rollup import (
+        cascade_rollup,
+        hourly_rollup,
+        merge_rollups,
+    )
+
+    t = load_tables(spark, sf_dir)
+    hourly = hourly_rollup(t["events"])
+    return merge_rollups(cascade_rollup(hourly, "day"))

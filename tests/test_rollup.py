@@ -128,3 +128,20 @@ def test_stream_ingestion_then_compaction(spark, events, tmp_path):
     assert after == n_buckets  # exactly one partial row per bucket now
     compacted = read_rollup_merged(spark, rollup_path).collect()
     assert sorted(map(tuple, compacted)) == sorted(map(tuple, direct))
+
+
+def test_cascade_composes_hour_day_month(spark, events):
+    """hour → day → month cascades equal direct aggregation at every
+    grain (partial state stays mergeable through re-truncation)."""
+    from cloud_optimized_data_pipelines_spark.operators.rollup import (
+        cascade_rollup,
+        hourly_rollup,
+        merge_rollups,
+    )
+
+    hourly = hourly_rollup(events)
+    daily = cascade_rollup(hourly, "day")
+    monthly = cascade_rollup(daily, "month")
+    via_cascade = merge_rollups(monthly).collect()
+    direct = merge_rollups(hourly_rollup(events, bucket="month")).collect()
+    assert sorted(map(tuple, via_cascade)) == sorted(map(tuple, direct))
