@@ -14,11 +14,11 @@ BY, Iceberg sort orders) apply; here it is expressed as a pure column
 expression + ``repartitionByRange`` — no table format required, and the
 code is all JVM-side (shift/and/or bit ops inside whole-stage codegen).
 
-Scale notes: values are first bucketed into 2^bits equi-width cells
-from a one-pass global min/max; on heavily skewed data substitute
-quantile boundaries (approxQuantile + width_bucket over the same code
-path) so cells carry comparable row counts.  The write costs one range
-shuffle — identical to any clustered write.
+Scale notes: values are bucketed into 2^bits cells either equi-width
+(one min/max pass — ``write_zorder_clustered``) or equi-population
+(approxQuantile boundaries — ``write_zorder_quantile``, for skewed
+columns where width cells would collapse onto the dense region).  The
+write costs one range shuffle — identical to any clustered write.
 """
 
 from __future__ import annotations
@@ -111,3 +111,41 @@ def files_matching(
     """Files whose footer [min,max] intersects predicate [lo, hi] — the
     set a stats-pruning reader must open."""
     return [f for f, fl, fh in ranges if not (fh < lo or fl > hi)]
+
+
+def quantile_cells(df: DataFrame, column: str, bits: int) -> Column:
+    """Skew-resistant cell assignment: cell = rank among 2^bits - 1
+    approxQuantile boundaries (driver-side list, error 1e-3 — a
+    GK-sketch pass, not a sort).  Equal-POPULATION cells where
+    ``bucketize``'s equal-WIDTH cells would put 99% of a skewed column
+    into one cell and erase the curve's resolution there.  The rank is
+    a fold over the literal boundary array — pure codegen."""
+    n = 1 << bits
+    bounds = df.approxQuantile(column, [i / n for i in range(1, n)], 0.001)
+    return F.aggregate(
+        F.lit(bounds),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.when(F.col(column) >= b, 1).otherwise(0),
+    )
+
+
+def write_zorder_quantile(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    num_files: int,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """``write_zorder_clustered`` with quantile (equal-population)
+    cells — use when clustered columns are skewed."""
+    cells = [quantile_cells(df, c, bits) for c in cluster_cols]
+    z = morton_code(cells, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -75,3 +75,35 @@ def test_zorder_plan_stays_jvm_side(grid):
     )
     plan = z._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quantile_cells_survive_skew(spark, tmp_path):
+    """On a heavily skewed column, equal-WIDTH cells collapse (most
+    rows share cell 0 → no curve resolution → a probe in the dense
+    region touches every file); equal-POPULATION (quantile) cells keep
+    pruning."""
+    from cloud_optimized_data_pipelines_spark.operators.zorder import (
+        write_zorder_quantile,
+    )
+
+    df = spark.range(65536).select(
+        # zipf-ish: x = 1e6/(k+1) concentrates mass at small values
+        (F.lit(1_000_000) / (F.col("id") % 4096 + 1)).cast("long").alias("x"),
+        (F.col("id") % 256).alias("y"),
+        F.md5(F.col("id").cast("string")).alias("pay"),
+    )
+    wpath, qpath = str(tmp_path / "w"), str(tmp_path / "q")
+    write_zorder_clustered(df, wpath, ("x", "y"), num_files=N_FILES, bits=8)
+    write_zorder_quantile(df, qpath, ("x", "y"), num_files=N_FILES, bits=8)
+
+    probe = (240, 260)  # thin slab inside the dense low-x region
+    width_touch = len(files_matching(file_ranges(wpath, "x"), *probe))
+    quant_touch = len(files_matching(file_ranges(qpath, "x"), *probe))
+    assert width_touch == N_FILES  # equal-width layout degenerated
+    assert quant_touch <= N_FILES // 2  # quantile layout still prunes
+
+    # the uniform dimension keeps pruning under either layout
+    for p in (wpath, qpath):
+        assert len(files_matching(file_ranges(p, "y"), 0, 15)) <= 2 * int(
+            N_FILES**0.5
+        )
