@@ -109,12 +109,18 @@ def continuous_aggregate(
 
     When ``materialized`` is None the history partial is computed
     in-flight (used by the oracle-checked query entry so the whole
-    computation is one deterministic plan)."""
+    computation is one deterministic plan) — with the cutoff side as an
+    extra GROUPING flag, so one raw scan produces both partials (two
+    filtered branches would scan events twice)."""
     cut = F.lit(cutoff) if isinstance(cutoff, str) else cutoff
     if materialized is None:
-        materialized = hourly_rollup(
-            events.filter(F.col(ts_col) < cut), ts_col, dims, val_col
+        both = hourly_rollup(
+            events.withColumn("__tail", F.col(ts_col) >= cut),
+            ts_col,
+            (*dims, "__tail"),
+            val_col,
         )
+        return merge_rollups(both.drop("__tail"))
     tail = hourly_rollup(events.filter(F.col(ts_col) >= cut), ts_col, dims, val_col)
     return merge_rollups(materialized, tail)
 

@@ -60,26 +60,34 @@ def test_materialized_rollup_roundtrip(spark, events, tmp_path):
 
 
 def test_tail_scan_filter_is_pushed_down(spark, events, tmp_path):
-    """The only raw scan the merge pays is the tail; its timestamp
-    predicate must reach the parquet reader (row-group pruning at
-    scale).  The shared testdata stores ts as TIMESTAMP(NANOS) (read as
-    long + rewritten, which blocks pushdown), so this asserts over a
-    production-layout copy with a native timestamp column."""
+    """With a MATERIALIZED history, the only raw scan the merge pays is
+    the tail; its timestamp predicate must reach the parquet reader
+    (row-group pruning at scale).  (The in-flight path instead does ONE
+    full scan with the cutoff as a grouping flag — no second scan to
+    push into.)  The shared testdata stores ts as TIMESTAMP(NANOS)
+    (read as long + rewritten, which blocks pushdown), so this asserts
+    over a production-layout copy with a native timestamp column."""
     raw_path = str(tmp_path / "events_native")
     events.write.parquet(raw_path)
     native = spark.read.parquet(raw_path)
+    hist = materialize_rollup(spark, native, str(tmp_path / "hist"), CUTOFF)
     plan = (
-        continuous_aggregate(native, CUTOFF)
+        continuous_aggregate(native, CUTOFF, materialized=hist)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     import re
 
-    # the plan reads exactly one table, so every parquet scan is events
+    # two tables in the plan: the materialized rollup (no ts column)
+    # and raw events — identify the raw scans by ts in their ReadSchema
     # (the Location path is elided when long, so don't match on it)
-    scans = [m.group(0) for m in re.finditer(r"FileScan parquet[^\n]*", plan)]
-    assert scans, "expected events FileScan nodes in plan"
+    scans = [
+        m.group(0)
+        for m in re.finditer(r"FileScan parquet[^\n]*", plan)
+        if "ts:" in m.group(0)
+    ]
+    assert scans, "expected raw events FileScan nodes in plan"
     for s in scans:
         pushed = re.search(r"PushedFilters: \[([^\]]*)\]", s)
         assert pushed and "ts" in pushed.group(1)
