@@ -3150,3 +3150,94 @@ def rollup_cascade_daily_q(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     hourly = hourly_rollup(t["events"])
     return merge_rollups(cascade_rollup(hourly, "day"))
+
+
+_FUNNEL = """
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(COUNT(t_view) AS BIGINT) AS stage_view,
+  CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT) AS stage_click,
+  CAST(COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END) AS BIGINT) AS stage_purchase
+FROM stages
+"""
+
+
+@query("events_funnel_conversion", _FUNNEL)
+def events_funnel_q(spark, sf_dir):
+    """Ordered funnel (view → click → purchase): first-touch timestamps
+    per stage in ONE conditional aggregation pass, then ordering
+    predicates — no per-stage self-joins (the naive 3-way join shuffles
+    the fact three times; this shuffles user-sized rows once)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    first = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
+    stages = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    ordered_click = F.col("t_click") > F.col("t_view")
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("stage_view"),
+        F.count(F.when(ordered_click, 1)).alias("stage_click"),
+        F.count(
+            F.when((F.col("t_purchase") > F.col("t_click")) & ordered_click, 1)
+        ).alias("stage_purchase"),
+    )
+
+
+_RETENTION = """
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_day
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id,
+         f.cohort_day,
+         date_diff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS TIMESTAMP)) AS day_offset
+  FROM events e JOIN firsts f USING (user_id)
+  WHERE e.user_id IS NOT NULL
+)
+SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM activity
+WHERE day_offset IN (0, 1, 7)
+GROUP BY cohort_day, day_offset
+"""
+
+
+@query("events_retention_cohorts", _RETENTION)
+def events_retention_q(spark, sf_dir):
+    """Cohort retention (D0/D1/D7): cohort = first active day per user
+    (one agg), activity joined back on the user key — both shuffles are
+    user-sized, the fact is scanned twice but never self-joined on
+    time.  Day arithmetic via datediff, identical in both engines."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset").isin(0, 1, 7))
+        .groupBy("cohort_day", F.col("day_offset").cast("long").alias("day_offset"))
+        .agg(F.count("*").alias("active_users"))
+    )
