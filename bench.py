@@ -33,6 +33,8 @@ HEADLINE = [
     # events / streaming-shape
     "events_hourly_window",
     "asof_join_last_click",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
     # reference-pipeline operators
     "c1_extract_dates",
     "k3_transfer_plan",
