@@ -3241,3 +3241,39 @@ def events_retention_q(spark, sf_dir):
         .groupBy("cohort_day", F.col("day_offset").cast("long").alias("day_offset"))
         .agg(F.count("*").alias("active_users"))
     )
+
+
+_MODERN_AGGS = """
+WITH agg AS (
+  SELECT event_type,
+         CAST(count_if(value > 100) AS BIGINT) AS n_big,
+         median(value) AS med_value
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY event_type
+), best AS (
+  SELECT event_type, user_id AS biggest_user FROM (
+    SELECT event_type, user_id,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value DESC, event_id DESC) AS rn
+    FROM events WHERE user_id IS NOT NULL
+  ) t WHERE rn = 1
+)
+SELECT agg.event_type, agg.n_big, agg.med_value, best.biggest_user
+FROM agg JOIN best USING (event_type)
+"""
+
+
+@query("agg_modern_functions", _MODERN_AGGS)
+def agg_modern_functions_q(spark, sf_dir):
+    """Modern aggregate surface: count_if, exact median (==
+    percentile_cont 0.5, bit-identical to DuckDB median on doubles),
+    and deterministic max_by via a (value, event_id) struct key —
+    struct comparison breaks value ties by the unique event id, which
+    the oracle mirrors with a ROW_NUMBER window."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).alias("n_big"),
+        F.median("value").alias("med_value"),
+        F.max_by("user_id", F.struct("value", "event_id")).alias("biggest_user"),
+    )
