@@ -120,10 +120,10 @@ _Q1 = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST((1 - CAST(l_discount AS DECIMAL(8,6))) * (1 + CAST(l_tax AS DECIMAL(8,6))) AS DECIMAL(19,12))) AS DECIMAL(38,6)) AS sum_charge,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST((1 - CAST(l_discount AS DECIMAL(8,6))) * (1 + CAST(l_tax AS DECIMAL(8,6))) AS DECIMAL(19,12))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -140,7 +140,7 @@ def q1(spark, sf_dir):
 _Q3 = """
 SELECT
   o_orderkey,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS revenue,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
   o_orderdate,
   o_orderpriority
 FROM customer
@@ -162,7 +162,7 @@ def q3(spark, sf_dir):
 _Q5 = """
 SELECT
   n_name,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS revenue
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -182,7 +182,7 @@ def q5(spark, sf_dir):
 
 _Q6 = """
 SELECT
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS revenue,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -203,8 +203,8 @@ def q6(spark, sf_dir):
 
 _Q18 = """
 SELECT c_custkey, o_orderkey, o_orderdate,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_qty
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_qty
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -247,8 +247,11 @@ def q18(spark, sf_dir):
             "c_custkey",
             "o_orderkey",
             "o_orderdate",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
-            "total_qty",
+            F.col("o_totalprice")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
         )
         .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
         .limit(100)
@@ -313,7 +316,8 @@ WITH ps AS (
          MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost
   FROM lineitem GROUP BY l_partkey, l_suppkey
 )
-SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+       CAST(ps_supplycost AS DOUBLE) AS ps_supplycost
 FROM part, ps, supplier, nation, region
 WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
   AND p_size BETWEEN 10 AND 30 AND p_type = 'STANDARD'
@@ -377,7 +381,7 @@ def q2(spark, sf_dir):
         best.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
-            "ps_supplycost",
+            F.col("ps_supplycost").cast("double").alias("ps_supplycost"),
         )
         .orderBy(
             F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
@@ -388,7 +392,7 @@ def q2(spark, sf_dir):
 
 _Q7 = """
 SELECT supp_nation, cust_nation, l_year,
-       CAST(SUM(volume) AS DECIMAL(38,6)) AS revenue
+       CAST(CAST(SUM(volume) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
@@ -454,7 +458,7 @@ def q8(spark, sf_dir):
 
 
 _Q9 = """
-SELECT nation, o_year, CAST(SUM(amount) AS DECIMAL(38,8)) AS sum_profit
+SELECT nation, o_year, CAST(CAST(SUM(amount) AS DECIMAL(38,8)) AS DOUBLE) AS sum_profit
 FROM (
   SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
          CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))
@@ -481,8 +485,8 @@ def q9(spark, sf_dir):
 
 _Q10 = """
 SELECT c_custkey, c_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS revenue,
-       CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal, n_name, c_mktsegment
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal, n_name, c_mktsegment
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -506,7 +510,7 @@ def q10(spark, sf_dir):
 
 _Q11 = """
 SELECT l_partkey AS ps_partkey,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS part_value
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS part_value
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
@@ -586,7 +590,7 @@ WITH revenue AS (
     AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, CAST(total_revenue AS DECIMAL(38,6)) AS total_revenue
+SELECT s_suppkey, s_name, CAST(CAST(total_revenue AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue
 FROM supplier JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 ORDER BY s_suppkey
@@ -683,7 +687,7 @@ def q17(spark, sf_dir):
 
 
 _Q19 = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS revenue,
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -834,7 +838,7 @@ def q21(spark, sf_dir):
 
 _Q22 = """
 SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS totacctbal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS totacctbal
 FROM (
   SELECT CAST(c_custkey % 7 AS BIGINT) AS cntrycode, c_acctbal
   FROM customer
@@ -867,7 +871,7 @@ _TOPK_PER_CUST = """
 SELECT c_custkey, o_orderkey, o_totalprice, rn
 FROM (
   SELECT c_custkey, o_orderkey,
-         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
          ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
   FROM customer JOIN orders ON c_custkey = o_custkey
 ) t
