@@ -82,7 +82,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact Jaccard similarity join on word n-grams.
 
@@ -93,7 +93,12 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_freq`` drops ubiquitous shingles before the join —
     the skew guard at corpus scale (a shingle appearing in 1M docs
-    would otherwise emit 10^12 candidate pairs).
+    would otherwise emit 10^12 candidate pairs).  Guarded BY DEFAULT
+    (1000): the unguarded all-postings join is opt-in via
+    ``max_shingle_freq=None`` and is only safe on bounded corpora.
+    Pruned shingles are near-stopword n-grams carrying little
+    discriminative signal; Jaccard is then exact over the pruned
+    shingle space (oracles apply the identical pruning).
     """
     idx = shingle_index(df, id_col, text_col, n)
     if max_shingle_freq is not None:

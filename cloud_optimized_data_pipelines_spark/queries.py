@@ -3,10 +3,15 @@ training-data extensions) as a named (spark, sf_dir) -> DataFrame query
 with a matching DuckDB oracle SQL string.
 
 Conventions that make the oracle hash-match exact:
-- Money aggregates run in DECIMAL (exact, order-independent) and are
-  cast to DECIMAL(38,4)/(38,6) on BOTH sides; doubles only where the
-  computation is an identical IEEE expression per row (ratios, cosine
-  left-folds) so both engines produce the same bits.
+- Money aggregates run in DECIMAL (exact, order-independent) internally,
+  and only the FINAL emitted value is cast to DOUBLE on BOTH sides, so
+  both engines produce identical IEEE bits regardless of how each
+  serializes declared decimal scale.  This conversion is bit-identical
+  while the unscaled decimal fits in 2^53 (true through sf1 at
+  DECIMAL(38,6); for larger scale probes compare the decimal's
+  canonical string instead).  Doubles appear mid-expression only where
+  the computation is an identical IEEE expression per row (ratios,
+  cosine left-folds).
 - Every computed column is aliased identically in Spark and SQL.
 - Where Spark produces INT (size, year), the result is cast to BIGINT
   to match DuckDB's len()/date_part types — and DuckDB integer sums are
@@ -891,7 +896,10 @@ def topk_per_customer(spark, sf_dir):
         .select(
             "c_custkey",
             "o_orderkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+            F.col("o_totalprice")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("o_totalprice"),
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") <= 3)
@@ -900,9 +908,9 @@ def topk_per_customer(spark, sf_dir):
 
 _RUNNING = """
 SELECT o_custkey, o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_spend,
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS running_spend,
        LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
 FROM orders
 """
@@ -916,7 +924,7 @@ def running_total(spark, sf_dir):
 
 _ROLLUP = """
 SELECT r_name, n_name,
-       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal,
+       CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_bal,
        COUNT(*) AS n_suppliers
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
@@ -956,7 +964,7 @@ def unpivot_part_metrics(spark, sf_dir):
 _LATERAL_TOP2 = """
 SELECT c_custkey, t.o_orderkey, t.o_totalprice
 FROM customer, LATERAL (
-  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+  SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
   FROM orders
   WHERE o_custkey = c_custkey
   ORDER BY o_totalprice DESC, o_orderkey
@@ -977,7 +985,7 @@ def lateral_top2_orders(spark, sf_dir):
 _GROUPING_SETS = """
 SELECT o_orderpriority, o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price,
        CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
        CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
 FROM orders
@@ -1025,7 +1033,7 @@ def set_ops(spark, sf_dir):
 
 
 _TOP20 = """
-SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
 """
 
@@ -1067,7 +1075,7 @@ _HOURLY = """
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 """
@@ -1086,6 +1094,7 @@ def events_hourly(spark, sf_dir):
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)"))
             .cast("decimal(38,6)")
+            .cast("double")
             .alias("total_value"),
         )
     )
@@ -1732,6 +1741,42 @@ def dedup_lsh_verified_q(spark, sf_dir):
     )
 
 
+_LSH_SURVIVORS = f"""
+WITH {_DUCK_SHINGLES.format(src="documents")},
+sig AS (
+  SELECT doc_id, [{_MINHASH_SIG_DUCK}] AS sig FROM sh
+),
+bands AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS bucket
+  FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)
+),
+losers AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, bucket) AS m
+    FROM bands
+  ) WHERE doc_id > m
+)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+"""
+
+
+@query("dedup_lsh_survivors", _LSH_SURVIVORS)
+def dedup_lsh_survivors_q(spark, sf_dir):
+    """The PRIMARY at-scale LSH dedup form (operators/dedup.py::
+    minhash_lsh_dedup): keep the lowest id per occupied (band, bucket),
+    drop everything else — one window over 4n index rows, NO pair
+    materialization (pair enumeration is O(bucket-occupancy^2);
+    measured 283 s vs 22 s at the 100x stress probe, SCALE.md).
+    ``dedup_minhash_lsh`` remains registered as the bounded pair-level
+    diagnostic."""
+    t = load_tables(spark, sf_dir)
+    return D.minhash_lsh_dedup(
+        t["documents"], "doc_id", "text", num_hashes=16, num_bands=4, n=3
+    ).select("doc_id", "lang")
+
+
 @query("dedup_lsh_clusters")
 def dedup_lsh_clusters_q(spark, sf_dir):
     """Near-dup cluster assignment: connected components over the LSH
@@ -2257,7 +2302,7 @@ s AS (
 )
 SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(value) AS DECIMAL(38,6)) AS total_value
+       CAST(CAST(SUM(value) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
 FROM s GROUP BY user_id, sess
 """
 
@@ -2280,7 +2325,10 @@ def sessionize_q(spark, sf_dir):
         "session_start",
         "session_end",
         F.col("n_events").cast("long").alias("n_events"),
-        F.col("total_value").cast("decimal(38,6)").alias("total_value"),
+        F.col("total_value")
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("total_value"),
     )
 
 
@@ -2335,7 +2383,7 @@ def events_gap_stats(spark, sf_dir):
 _CUBE = """
 SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
@@ -2363,7 +2411,7 @@ def exists_subquery(spark, sf_dir):
 
 
 _SCALAR_SUB = """
-SELECT p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS p_retailprice
+SELECT p_partkey, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS p_retailprice
 FROM part
 WHERE p_retailprice > (
   SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM part
@@ -2671,7 +2719,7 @@ SELECT
   date_trunc('hour', ts) AS bucket,
   event_type,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value,
   MIN(value) AS min_value,
   MAX(value) AS max_value,
   CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
@@ -2694,7 +2742,10 @@ def rollup_hourly_merge_q(spark, sf_dir):
     )
 
     t = load_tables(spark, sf_dir)
-    return continuous_aggregate(t["events"], "2024-01-25 13:30:00")
+    out = continuous_aggregate(t["events"], "2024-01-25 13:30:00")
+    return out.withColumn(
+        "total_value", F.col("total_value").cast("double")
+    )
 
 
 _KMV_UNIQUES = """
@@ -3020,9 +3071,13 @@ def text_pii_redact_q(spark, sf_dir):
 
 _INCR_DEDUP = """
 WITH corpus AS (
-  SELECT md5(text) AS d FROM documents WHERE doc_id < 2500 GROUP BY 1
+  SELECT md5(text) AS d FROM documents WHERE doc_id % 4 <> 0 GROUP BY 1
 ), batch AS (
-  SELECT doc_id, lang, md5(text) AS d FROM documents WHERE doc_id >= 2500
+  SELECT doc_id, lang, md5(text) AS d FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 100000, lang, md5(text) FROM documents WHERE doc_id % 8 = 1
+  UNION ALL
+  SELECT doc_id + 200000, lang, md5(text) FROM documents WHERE doc_id % 16 = 4
 ), fresh AS (
   SELECT b.doc_id, b.lang, b.d FROM batch b
   WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.d = b.d)
@@ -3038,17 +3093,35 @@ SELECT doc_id, lang FROM (
 @query("dedup_incremental", _INCR_DEDUP)
 def dedup_incremental_q(spark, sf_dir):
     """Continual-ingest dedup (operators/dedup.py::incremental_dedup):
-    the new batch (doc_id >= 2500) is anti-joined against the distinct
-    digest set of the historical corpus, then first-per-digest within
-    the batch.  History is never re-deduped; only digests shuffle."""
+    a new batch is anti-joined against the distinct digest set of the
+    historical corpus, then first-per-digest within the batch.  History
+    is never re-deduped; only digests shuffle.
+
+    The fixture is scale-proportional (modular split, nonzero at every
+    sf) and exercises all three paths: re-ingested history dups
+    (doc_id%8==1, shifted ids — dropped by the anti-join), in-batch
+    dups (doc_id%16==4 shifted — dropped by first-per-digest), and
+    genuinely new docs (doc_id%4==0 — survive)."""
     from cloud_optimized_data_pipelines_spark.operators.dedup import (
         incremental_dedup,
     )
 
     t = load_tables(spark, sf_dir)
-    corpus = t["documents"].filter(F.col("doc_id") < 2500)
-    batch = t["documents"].filter(F.col("doc_id") >= 2500).select(
-        "doc_id", "lang", "text"
+    docs = t["documents"]
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "lang", "text")
+        .unionAll(
+            docs.filter(F.col("doc_id") % 8 == 1).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "lang", "text"
+            )
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 16 == 4).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "lang", "text"
+            )
+        )
     )
     return incremental_dedup(batch, corpus, "text", "doc_id").select(
         "doc_id", "lang"
@@ -3128,7 +3201,7 @@ SELECT
   CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
   event_type,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value,
   MIN(value) AS min_value,
   MAX(value) AS max_value,
   CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
@@ -3153,7 +3226,10 @@ def rollup_cascade_daily_q(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     hourly = hourly_rollup(t["events"])
-    return merge_rollups(cascade_rollup(hourly, "day"))
+    out = merge_rollups(cascade_rollup(hourly, "day"))
+    return out.withColumn(
+        "total_value", F.col("total_value").cast("double")
+    )
 
 
 _FUNNEL = """

@@ -22,8 +22,16 @@ def test_queue_stage_end_to_end(spark, sf_dir, tmp_path):
     """Producer -> queue -> micro-batch stage -> output queue, with the
     bad rows quarantined (the reference's cogify_queue -> DLQ shape)."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(200)
+    # queue payloads carry epoch micros regardless of how the parquet
+    # declares ts (bigint nanos in older testdata, timestamp[us] now)
+    if dict(events.dtypes)["ts"] != "bigint":
+        events = events.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+        )
+    else:
+        events = events.withColumn("ts", F.col("ts").cast("long"))
     qdir = str(tmp_path / "queue")
-    enqueue(events.withColumn("ts", F.col("ts").cast("long")), qdir)
+    enqueue(events, qdir)
 
     schema = spark.read.parquet(qdir).schema
     stream = stream_queue(spark, qdir, schema, max_files_per_trigger=10)

@@ -27,7 +27,9 @@ def norm_cell(v):
     if isinstance(v, float):
         return f"{v!r}"
     if isinstance(v, Decimal):
-        return str(v.normalize())
+        # NO normalize(): the driver hasher serializes decimals at
+        # declared scale, so "138014.00" != "138014" must FAIL here too.
+        return f"Decimal:{v}"
     if isinstance(v, list):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return repr(v)
@@ -82,6 +84,15 @@ def main():
         dt = time.time() - t0
         if sorted(scols) != sorted(dcols):
             print(f"FAIL  {name}: columns {sorted(scols)} vs {sorted(dcols)}")
+            failures.append(name)
+            continue
+        # engine convention: decimals stay internal, outputs are DOUBLE —
+        # a decimal output column is exactly the class the driver hasher
+        # serializes differently per engine, so it is an error here.
+        dec_cols = [c for c, t in sdf.dtypes if t.startswith("decimal")]
+        if dec_cols:
+            print(f"FAIL  {name}: decimal output columns {dec_cols} "
+                  "(final-cast to DOUBLE on both sides)")
             failures.append(name)
             continue
         if len(srows) != len(drows):
