@@ -56,20 +56,50 @@ def _have_raster_libs() -> bool:
         return False
 
 
-def _fake_cogify(payload_path: str, variable_name: str | None, affine) -> bytes:
-    """Deterministic stand-in for download->read->cog_translate: encodes
-    the inputs into a small byte blob so tests can assert the config
-    reached the worker.  Swap for the rasterio path when GDAL exists."""
-    desc = f"COG[{os.path.basename(payload_path)}|{variable_name}|{affine}]"
-    return desc.encode()
+def _stub_decode(payload_path: str, variable_name: str | None):
+    """Deterministic STAND-IN for the netCDF4/HDF5 variable read
+    (handler.py:81-96) — netCDF4 is not in this container.  Synthesizes
+    a small raster whose shape/values derive only from (path, variable)
+    via md5, with nodata holes, so the rest of the pipeline (affine,
+    tiling, deflate, overviews, upload naming) runs for real and is
+    byte-reproducible.  Swap for ``Dataset(path)[variable][:]`` when
+    netCDF4 exists."""
+    import hashlib
+
+    import numpy as np
+
+    seed = hashlib.md5(
+        f"{os.path.basename(payload_path)}|{variable_name}".encode()
+    ).digest()
+    h = 80 + seed[0]  # 80..335 rows
+    w = 80 + seed[1]
+    y = np.arange(h, dtype=np.float32)[:, None]
+    x = np.arange(w, dtype=np.float32)[None, :]
+    base = np.float32(int.from_bytes(seed[2:4], "little") % 1000)
+    arr = base + y * np.float32(0.25) + x * np.float32(0.5)
+    nodata = np.float32(-9999.0)
+    arr[(y + x) % 97 == 0] = nodata  # fill-value holes like masked vars
+    return arr, float(nodata)
 
 
-def _real_cogify(payload_path, variable_name, group, affine):  # pragma: no cover
+def _real_decode(payload_path, variable_name, group):  # pragma: no cover
     raise NotImplementedError(
-        "rasterio/netCDF4 are not installed in this container; wire "
-        "upload_file_obj + netCDF read + cog_translate here "
-        "(cogify/handler.py:81-167 semantics)"
+        "netCDF4 is not installed in this container; wire the granule "
+        "download + Dataset(group)[variable] read here "
+        "(cogify/handler.py:62-96 semantics)"
     )
+
+
+def _cogify_bytes(payload_path: str, variable_name: str | None, affine) -> bytes:
+    """decode (stubbed) -> encode (REAL pure-numpy COG, operators/
+    geotiff.py): tiled 256x256 deflate float32 + 2x overviews, GeoTIFF
+    tags for EPSG:4326, GDAL nodata — the reference output profile
+    (handler.py:133-159) without GDAL."""
+    from cloud_optimized_data_pipelines_spark.operators.geotiff import encode_cog
+
+    arr, nodata = _stub_decode(payload_path, variable_name)
+    geotransform = tuple(affine) if affine is not None else None
+    return encode_cog(arr, geotransform=geotransform, nodata=nodata)
 
 
 def cogify_stage(
@@ -104,7 +134,7 @@ def cogify_stage(
             for _, row in pdf.iterrows():
                 try:
                     affine = parse_affine(row["affine_transformation"])
-                    blob = _fake_cogify(
+                    blob = _cogify_bytes(
                         row["s3_filename"], row["variable_name"], affine
                     )
                     stem = os.path.splitext(os.path.basename(row["s3_filename"]))[0]

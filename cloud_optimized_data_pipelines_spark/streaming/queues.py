@@ -98,6 +98,53 @@ def run_stage(
     return writer.start()
 
 
+def retry_route_batch(
+    df: DataFrame,
+    id_col: str,
+    permanent_fail,
+    max_attempts: int = 3,
+    flaky_prob_hex: str = "3",
+) -> DataFrame:
+    """Batch analog of the T3-T5 retry/DLQ loop, fully oracle-checkable.
+
+    Deterministic failure model (no RNG — bit-reproducible across
+    engines): an attempt ``i`` on row ``id`` fails iff ``permanent_fail``
+    holds (reference: a poison message that DLQs after max receives) OR
+    the first hex digit of ``md5(id || ':' || i)`` is <= ``flaky_prob_hex``
+    (transient failure, ~25% per attempt at the default).  Rows are
+    retried up to ``max_attempts`` times; first success wins.
+
+    Output adds ``attempts`` (bigint — receives consumed, exactly the
+    SQS receive count) and ``status`` ('delivered' | 'dlq').  Pure
+    column expressions — codegen scan, no shuffle, no state: at 100 TB
+    this is the cheapest possible formulation of the routing decision.
+    """
+    idc = F.col(id_col).cast("string")
+    succ = [
+        (~permanent_fail)
+        & (
+            F.substring(F.md5(F.concat(idc, F.lit(f":{i}"))), 1, 1)
+            > flaky_prob_hex
+        )
+        for i in range(1, max_attempts + 1)
+    ]
+    # a row that succeeds at attempt i consumed exactly i receives; a
+    # row that never succeeds consumed max_attempts and parks in the DLQ
+    delivered = succ[0]
+    for s in succ[1:]:
+        delivered = delivered | s
+    first_ok = F.lit(None).cast("bigint")
+    for i in range(max_attempts, 0, -1):
+        first_ok = F.when(succ[i - 1], F.lit(i).cast("bigint")).otherwise(
+            first_ok
+        )
+    return df.withColumn(
+        "attempts", F.coalesce(first_ok, F.lit(max_attempts).cast("bigint"))
+    ).withColumn(
+        "status", F.when(delivered, F.lit("delivered")).otherwise(F.lit("dlq"))
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",
