@@ -45,7 +45,9 @@ HEADLINE = [
     "sample_stratified_docs",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_lsh_survivors",
     "dedup_ngram_jaccard",
+    "streaming_dlq_routing",
     "similarity_bruteforce_topk",
     "similarity_ann_topk",
     "text_quality",
