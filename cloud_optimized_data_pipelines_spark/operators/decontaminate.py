@@ -1,0 +1,60 @@
+"""Train/test decontamination for training-data pipelines.
+
+No reference counterpart (extension per SURVEY section 7.7): the
+standard eval-contamination control from public LLM training reports
+(GPT-3 appendix C, The Pile, PaLM): a training document is
+CONTAMINATED if it shares at least one word n-gram with any held-out
+evaluation document, and is either dropped or flagged before training.
+
+Scale shape (the part that matters at 100 TB):
+
+- The eval/test side is always tiny relative to the corpus (thousands
+  of docs).  Its DISTINCT shingle set is built once and broadcast —
+  the contamination check on the 100 TB train side is then a
+  broadcast semi/inner join against the scan, no fact-side shuffle
+  except the per-doc hit count (doc-keyed, partial-aggregated).
+- n defaults to 5 here (the synthetic corpus is word-soup; public
+  pipelines use 8-13-gram windows — one knob).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cloud_optimized_data_pipelines_spark.operators.dedup import shingle_index
+
+
+def test_shingle_set(test: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """The held-out side's distinct n-gram set (small: broadcast it)."""
+    return shingle_index(test, id_col, text_col, n).select("shingle").distinct()
+
+
+def contamination_flags(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """Flag train docs sharing >= 1 word n-gram with the test set.
+
+    Adds ``n_hits`` (distinct shared shingles, bigint) and
+    ``contaminated`` (bool).  shingle_index emits per-doc DISTINCT
+    shingles, so a plain count after the join counts distinct matches
+    without a count_distinct aggregate.
+    """
+    tsh = test_shingle_set(test, id_col, text_col, n)
+    if broadcast_test:
+        tsh = F.broadcast(tsh)
+    hits = (
+        shingle_index(train, id_col, text_col, n)
+        .join(tsh, "shingle")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    out = train.join(hits, train[id_col] == hits["doc"], "left").drop("doc")
+    return out.withColumn(
+        "n_hits", F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    ).withColumn("contaminated", F.col("n_hits") > 0)

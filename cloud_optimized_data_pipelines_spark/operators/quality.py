@@ -1,0 +1,83 @@
+"""Corpus quality filtering — Gopher/MassiveText-style document rules.
+
+No reference counterpart (extension per SURVEY section 7.7).  Implements
+the word-statistics subset of the public MassiveText quality filters
+(Rae et al. 2021, "Scaling Language Models", table A1): word count
+bounds, mean word length bounds, and a repetition signal (fraction of
+the document taken by its single most frequent word).  Documents
+failing any rule get ``keep = false``; the decision thresholds are
+arguments so a pipeline can tune per-source.
+
+Scale shape: one explode + two doc-keyed hash aggregations (word
+counts, then doc stats) — both partial-aggregated, shuffle keyed on
+(doc, word) then doc.  No windows, no joins against the corpus, no
+Python.  The explode's row blow-up (one row per token) is the standard
+inverted-index cost already paid by dedup; at 100 TB the stage is
+scan + two map-side-combined shuffles of count-sized rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cloud_optimized_data_pipelines_spark.functions.text import tokens
+
+
+def word_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc word statistics: n_words, n_unique_words, top_word_cnt,
+    char_sum (sum of word lengths, for mean word length)."""
+    words = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("word"))
+    per_word = words.groupBy("doc", "word").agg(F.count("*").alias("cnt"))
+    return per_word.groupBy("doc").agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_unique_words"),
+        F.max("cnt").cast("long").alias("top_word_cnt"),
+        F.sum(F.length("word") * F.col("cnt")).cast("long").alias("char_sum"),
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_top_word_frac: float = 0.2,
+) -> DataFrame:
+    """MassiveText word-level rules as one declarative pass.
+
+    Adds n_words, n_unique_words, mean_word_len, top_word_frac and the
+    combined ``keep`` flag.  Empty documents (no tokens) are kept in
+    the output with zero counts and keep=false — filters must never
+    silently drop rows they rejected."""
+    stats = word_stats(df, id_col, text_col)
+    out = df.join(stats, df[id_col] == stats["doc"], "left").drop("doc")
+    n_words = F.coalesce(F.col("n_words"), F.lit(0)).cast("long")
+    mean_len = F.when(
+        n_words > 0, F.col("char_sum").cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        n_words > 0,
+        F.col("top_word_cnt").cast("double") / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        out.withColumn("n_words", n_words)
+        .withColumn(
+            "n_unique_words",
+            F.coalesce(F.col("n_unique_words"), F.lit(0)).cast("long"),
+        )
+        .withColumn("mean_word_len", mean_len)
+        .withColumn("top_word_frac", top_frac)
+        .withColumn(
+            "keep",
+            (n_words >= min_words)
+            & (n_words <= max_words)
+            & (mean_len >= min_mean_word_len)
+            & (mean_len <= max_mean_word_len)
+            & (top_frac < max_top_word_frac),
+        )
+        .drop("top_word_cnt", "char_sum")
+    )

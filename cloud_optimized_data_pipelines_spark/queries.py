@@ -3410,6 +3410,130 @@ def agg_modern_functions_q(spark, sf_dir):
     )
 
 
+_DUCK_SHINGLES5 = """
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) >= 5
+         THEN list_distinct(list_transform(range(1, len(tk) - 3),
+                            i -> array_to_string(list_slice(tk, i, i + 4), ' ')))
+         ELSE [array_to_string(tk, ' ')] END AS shingles
+  FROM toks
+)
+"""
+
+_DECONTAMINATE = f"""
+WITH {_DUCK_SHINGLES5},
+split AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+),
+test_sh AS (
+  SELECT DISTINCT UNNEST(shingles) AS shingle
+  FROM sh JOIN split USING (doc_id) WHERE bucket >= 95
+),
+train AS (
+  SELECT sh.doc_id FROM sh JOIN split USING (doc_id) WHERE bucket < 90
+),
+hits AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM (SELECT sh.doc_id, UNNEST(shingles) AS shingle
+        FROM sh JOIN split USING (doc_id) WHERE bucket < 90) t
+  JOIN test_sh USING (shingle)
+  GROUP BY t.doc_id
+)
+SELECT train.doc_id,
+       COALESCE(hits.n_hits, 0) AS n_hits,
+       COALESCE(hits.n_hits, 0) > 0 AS contaminated
+FROM train LEFT JOIN hits USING (doc_id)
+"""
+
+
+@query("text_decontaminate", _DECONTAMINATE)
+def text_decontaminate_q(spark, sf_dir):
+    """Eval-set decontamination (operators/decontaminate.py): train
+    docs (md5 bucket < 90) are flagged when they share any word 5-gram
+    with the held-out test split (bucket >= 95) — the GPT-3/Pile
+    contamination control.  The test-side shingle set is broadcast; the
+    train side pays one scan + a doc-keyed count.  Same deterministic
+    split rule as text_train_val_split."""
+    from cloud_optimized_data_pipelines_spark.operators.decontaminate import (
+        contamination_flags,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].withColumn("bucket", hash_bucket("doc_id"))
+    train = docs.filter(F.col("bucket") < 90).select("doc_id", "text")
+    test = docs.filter(F.col("bucket") >= 95).select("doc_id", "text")
+    out = contamination_flags(train, test, "doc_id", "text", n=5)
+    return out.select("doc_id", "n_hits", "contaminated")
+
+
+_GOPHER = """
+WITH words AS (
+  SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+per_word AS (
+  SELECT doc_id, word, COUNT(*) AS cnt FROM words GROUP BY doc_id, word
+),
+stats AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_unique_words,
+         CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+         CAST(SUM(length(word) * cnt) AS BIGINT) AS char_sum
+  FROM per_word GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_words, 0) AS n_words,
+       COALESCE(s.n_unique_words, 0) AS n_unique_words,
+       CASE WHEN COALESCE(s.n_words, 0) > 0
+            THEN CAST(s.char_sum AS DOUBLE) / CAST(s.n_words AS DOUBLE)
+            ELSE 0.0 END AS mean_word_len,
+       CASE WHEN COALESCE(s.n_words, 0) > 0
+            THEN CAST(s.top_cnt AS DOUBLE) / CAST(s.n_words AS DOUBLE)
+            ELSE 0.0 END AS top_word_frac,
+       COALESCE(s.n_words, 0) >= 50 AND COALESCE(s.n_words, 0) <= 100000
+         AND (CASE WHEN COALESCE(s.n_words, 0) > 0
+                   THEN CAST(s.char_sum AS DOUBLE) / CAST(s.n_words AS DOUBLE)
+                   ELSE 0.0 END) >= 3.0
+         AND (CASE WHEN COALESCE(s.n_words, 0) > 0
+                   THEN CAST(s.char_sum AS DOUBLE) / CAST(s.n_words AS DOUBLE)
+                   ELSE 0.0 END) <= 10.0
+         AND (CASE WHEN COALESCE(s.n_words, 0) > 0
+                   THEN CAST(s.top_cnt AS DOUBLE) / CAST(s.n_words AS DOUBLE)
+                   ELSE 0.0 END) < 0.2 AS keep
+FROM documents d LEFT JOIN stats s USING (doc_id)
+"""
+
+
+@query("text_gopher_quality", _GOPHER)
+def text_gopher_quality_q(spark, sf_dir):
+    """MassiveText/Gopher word-level quality rules (operators/
+    quality.py): word-count bounds, mean-word-length bounds, and the
+    top-word repetition fraction, combined into a keep flag.  One
+    explode + two partial-aggregated doc-keyed shuffles — no joins
+    against the corpus, no Python."""
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        gopher_quality_flags,
+    )
+
+    t = load_tables(spark, sf_dir)
+    out = gopher_quality_flags(t["documents"], "doc_id", "text")
+    return out.select(
+        "doc_id", "n_words", "n_unique_words", "mean_word_len",
+        "top_word_frac", "keep",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order.  The driver's correctness harness grades the FIRST
 # 50 registrations only (CORRECTNESS_r01/r02 both cut off at 50), so the

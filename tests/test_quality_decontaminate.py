@@ -1,0 +1,72 @@
+"""Gopher-style quality rules (operators/quality.py) and train/test
+decontamination (operators/decontaminate.py)."""
+
+from pyspark.sql import functions as F
+
+from cloud_optimized_data_pipelines_spark.operators.decontaminate import (
+    contamination_flags,
+)
+from cloud_optimized_data_pipelines_spark.operators.quality import (
+    gopher_quality_flags,
+    word_stats,
+)
+
+
+def test_word_stats_basic(spark):
+    df = spark.createDataFrame(
+        [(1, "a bb a ccc"), (2, ""), (3, "x " * 60)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc: r for r in word_stats(df, "doc_id", "text").collect()}
+    assert rows[1].n_words == 4
+    assert rows[1].n_unique_words == 3
+    assert rows[1].top_word_cnt == 2  # "a" twice
+    assert rows[1].char_sum == 1 + 2 + 1 + 3
+    assert 2 not in rows  # empty doc has no words
+    assert rows[3].n_words == 60 and rows[3].n_unique_words == 1
+
+
+def test_gopher_flags_rules(spark):
+    good = " ".join(f"word{i % 30}" for i in range(80))  # 80 words, len ~6
+    short = "just a few words"
+    repetitive = " ".join(["spam"] * 80)
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, repetitive), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_flags(df, "doc_id", "text").collect()}
+    assert out[1].keep
+    assert not out[2].keep  # below min_words
+    assert not out[3].keep  # top_word_frac == 1.0
+    assert out[4].n_words == 0 and not out[4].keep  # null text kept as row
+    assert len(out) == 4
+
+
+def test_contamination_flags(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # shares 5-gram w/ test
+            (2, "one two three four five six"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in contamination_flags(train, test, "doc_id", "text", n=5).collect()}
+    assert out[1].contaminated and out[1].n_hits == 1
+    assert not out[2].contaminated and out[2].n_hits == 0
+
+
+def test_contamination_short_test_doc(spark):
+    """Test docs shorter than n collapse to a whole-doc shingle — they
+    only match identically-short train docs, never silently vanish."""
+    train = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc plus extra words here")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    out = {r.doc_id: r for r in contamination_flags(train, test, "doc_id", "text", n=5).collect()}
+    assert out[1].contaminated  # exact short-doc match
+    assert not out[2].contaminated
