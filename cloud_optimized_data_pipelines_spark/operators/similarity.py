@@ -15,7 +15,7 @@ buckets, cosine >= threshold.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cloud_optimized_data_pipelines_spark.functions.vectors import (
@@ -113,6 +113,61 @@ def ann_topk_by_id(
     if round_digits is not None:
         final = F.round(final, round_digits)
     return out.select(id_col, final.alias("cos"))
+
+
+def ivf_probe_fixed(
+    df: DataFrame,
+    vec_col: str,
+    query_id,
+    k: int = 10,
+    id_col: str = "vec_id",
+    k_lists: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Spherical IVF probe with FIXED centroids (the first ``k_lists``
+    corpus vectors by id) — no Lloyd iterations, hence no driver
+    collect and a bit-reproducible result (cross-engine oracle-
+    checkable, unlike the learned-centroid :func:`ivf_topk` whose
+    float-averaged centroids depend on reduction order).
+
+    Plan: assignment is a broadcast crossJoin against k_lists rows +
+    one per-vector window (argmax cosine, ties to lowest centroid id);
+    the probe scores only vectors assigned to the query's ``nprobe``
+    nearest lists.  At 100 TB the assignment is a scan-side map stage
+    and the candidate set is ~nprobe/k_lists of the corpus; persisting
+    the assignment partitioned by list id turns the probe into
+    partition pruning (see :func:`ivf_write_index`).
+    """
+    cents = df.filter(F.col(id_col) < k_lists).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    scored = df.crossJoin(F.broadcast(cents)).withColumn(
+        "_cos_c", cosine_similarity(F.col(vec_col), F.col("cvec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos_c"), F.col("cid"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+    q = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qv")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("_cos_q", cosine_similarity(F.col("cvec"), F.col("_qv")))
+        .orderBy(F.desc("_cos_q"), F.col("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cid")
+        .crossJoin(F.broadcast(q))
+        .withColumn("_cos", cosine_similarity(F.col(vec_col), F.col("_qv")))
+        .orderBy(F.desc("_cos"), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round(F.col("_cos"), 6).alias("cos"))
+    )
 
 
 def _sq_dist(v, c) -> F.Column:

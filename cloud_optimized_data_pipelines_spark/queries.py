@@ -1932,6 +1932,56 @@ def ann_bucket_topk_q(spark, sf_dir):
     )
 
 
+_IVF_PROBE = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_DUCK_DOT.format(a="e.embedding", b="c.cvec")}
+           / (sqrt({_DUCK_DOT.format(a="e.embedding", b="e.embedding")})
+              * sqrt({_DUCK_DOT.format(a="c.cvec", b="c.cvec")})) AS cos_c
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS rn
+    FROM scored
+  ) t WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM cents CROSS JOIN q
+  ORDER BY {_DUCK_DOT.format(a="cvec", b="qv")}
+           / (sqrt({_DUCK_DOT.format(a="cvec", b="cvec")})
+              * sqrt({_DUCK_DOT.format(a="qv", b="qv")})) DESC, cid
+  LIMIT 4
+)
+SELECT a.vec_id,
+       round({_DUCK_DOT.format(a="a.embedding", b="q.qv")}
+             / (sqrt({_DUCK_DOT.format(a="a.embedding", b="a.embedding")})
+                * sqrt({_DUCK_DOT.format(a="q.qv", b="q.qv")})), 6) AS cos
+FROM assigned a JOIN probe USING (cid) CROSS JOIN q
+ORDER BY {_DUCK_DOT.format(a="a.embedding", b="q.qv")}
+         / (sqrt({_DUCK_DOT.format(a="a.embedding", b="a.embedding")})
+            * sqrt({_DUCK_DOT.format(a="q.qv", b="q.qv")})) DESC, a.vec_id
+LIMIT 10
+"""
+
+
+@query("similarity_ivf_probe", _IVF_PROBE)
+def ivf_probe_q(spark, sf_dir):
+    """IVF probe with FIXED spherical centroids (operators/similarity.py
+    ::ivf_probe_fixed): assignment + nprobe=4/16 pruned scoring, fully
+    oracle-checkable because nothing depends on reduction order — the
+    cross-engine proof of the IVF pruning semantics that the learned-
+    centroid ivf_topk (rows-only) can't give."""
+    t = load_tables(spark, sf_dir)
+    return S.ivf_probe_fixed(
+        t["embeddings"], "embedding", 0, k=10, k_lists=16, nprobe=4
+    )
+
+
 @query("similarity_ivf_topk")
 def ivf_topk_q(spark, sf_dir):
     """IVF ANN top-10 (second scale path): deterministic k-means lists,

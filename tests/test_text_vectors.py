@@ -308,3 +308,45 @@ def test_ivf_persisted_index_prunes_and_matches_inmemory(spark, sf_dir, tmp_path
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert len(centroids) == 8
+
+
+def test_ivf_probe_fixed_exact_when_probing_all_lists(spark, sf_dir):
+    """nprobe == k_lists degenerates to exact brute force — the pruning
+    is the ONLY approximation in the fixed-centroid IVF path."""
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [
+        r["vec_id"]
+        for r in S.brute_force_topk(emb, "embedding", qv, k=10).collect()
+    ]
+    full = [
+        r["vec_id"]
+        for r in S.ivf_probe_fixed(
+            emb, "embedding", 0, k=10, k_lists=8, nprobe=8
+        ).collect()
+    ]
+    assert full == exact
+
+
+def test_ivf_probe_fixed_partial_recall(spark, sf_dir):
+    """nprobe=4/16 must still recall most of the exact top-10 (spherical
+    assignment concentrates near-neighbours in the query's lists) and
+    always recalls the query vector itself."""
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {
+        r["vec_id"]
+        for r in S.brute_force_topk(emb, "embedding", qv, k=10).collect()
+    }
+    got = [
+        r["vec_id"]
+        for r in S.ivf_probe_fixed(
+            emb, "embedding", 0, k=10, k_lists=16, nprobe=4
+        ).collect()
+    ]
+    assert 0 in got
+    assert len(set(got) & exact) >= 5
