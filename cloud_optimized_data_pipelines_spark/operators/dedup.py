@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from cloud_optimized_data_pipelines_spark.functions.text import (
     lsh_band_hashes,
     minhash_signature,
+    tokens,
     word_shingles,
 )
 
@@ -128,6 +129,90 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
     )
+
+
+def positional_shingle_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Position-carrying inverted index: one row per (doc, pos, n-gram)
+    occurrence — NOT distinct (unlike :func:`shingle_index`), because
+    span detection needs every occurrence.  Docs shorter than n words
+    emit nothing (no span of length n exists in them)."""
+    toks = tokens(F.col(text_col))
+    k = F.size(toks)
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - F.lit(n - 1)),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.concat_ws(" ", F.slice(toks, i, n)).alias("shingle"),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<pos BIGINT, shingle STRING>>)"))
+    return (
+        _spread(df)
+        .select(F.col(id_col).alias("doc"), F.explode(grams).alias("g"))
+        .select("doc", F.col("g.pos").alias("pos"), F.col("g.shingle").alias("shingle"))
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    max_shingle_freq: int | None = 1000,
+    min_span_tokens: int | None = None,
+) -> DataFrame:
+    """Cross-document duplicated SPANS (ExactSubstr dedup, Lee et al.
+    2021 "Deduplicating Training Data Makes Language Models Better"):
+    maximal runs of shared word n-grams between document pairs, with
+    token positions — the operator behind cut-the-span (rather than
+    drop-the-doc) dedup.
+
+    Plan: positional shingle self-join (skew-guarded like
+    :func:`ngram_jaccard_pairs`), then the diagonal-run trick — two
+    matches belong to the same maximal span iff they share the
+    alignment diagonal ``pos_a - pos_b`` and their positions are
+    consecutive, so ``pos_a - row_number()`` over (pair, diag, pos_a)
+    is constant per span.  One window + one aggregate; positions make
+    runs mergeable without any sequential scan.  Output:
+    (doc_a, doc_b, start_a, start_b, span_tokens).
+    """
+    idx = positional_shingle_index(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = idx.groupBy("shingle").agg(F.count("*").alias("_f"))
+        idx = idx.join(
+            freq.filter(F.col("_f") <= max_shingle_freq), "shingle"
+        ).drop("_f")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    ).select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+        F.col("a.pos").alias("pos_a"),
+        F.col("b.pos").alias("pos_b"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = m.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+    spans = (
+        runs.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count("*") + F.lit(n - 1)).cast("long").alias("span_tokens"),
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    )
+    if min_span_tokens is not None:
+        spans = spans.filter(F.col("span_tokens") >= min_span_tokens)
+    return spans
 
 
 def lsh_banded(

@@ -3460,6 +3460,44 @@ def agg_modern_functions_q(spark, sf_dir):
     )
 
 
+_SUBSTR_SPANS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, i AS pos, array_to_string(list_slice(tk, i, i + 7), ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(tk) - 6)) AS t(i)
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT *, pos_a - ROW_NUMBER() OVER (
+      PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+  FROM m
+)
+SELECT doc_a, doc_b,
+       MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+       CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+FROM runs GROUP BY doc_a, doc_b, diag, grp
+"""
+
+
+@query("dedup_substring_spans", _SUBSTR_SPANS)
+def dedup_substring_spans_q(spark, sf_dir):
+    """ExactSubstr span dedup (operators/dedup.py::duplicate_spans):
+    maximal cross-document duplicated word-8-gram runs with positions —
+    the cut-the-span operator (Lee et al. 2021), detected with the
+    diagonal-run trick (one window + one aggregate, no sequential
+    scan).  The shingle self-join is skew-guarded exactly like
+    dedup_ngram_jaccard."""
+    t = load_tables(spark, sf_dir)
+    return D.duplicate_spans(t["documents"], "doc_id", "text", n=8)
+
+
 _DUCK_SHINGLES5 = """
 toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk

@@ -70,3 +70,28 @@ def test_contamination_short_test_doc(spark):
     out = {r.doc_id: r for r in contamination_flags(train, test, "doc_id", "text", n=5).collect()}
     assert out[1].contaminated  # exact short-doc match
     assert not out[2].contaminated
+
+
+def test_duplicate_spans_maximal_runs(spark):
+    """Two docs sharing one contiguous 12-token region yield exactly ONE
+    maximal span of 12 tokens (run-merged across 5 consecutive 8-gram
+    matches), not 5 fragment rows; disjoint docs yield nothing."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 {shared} a4 a5"),
+            (2, f"b1 {shared} b2 b3 b4 b5"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = duplicate_spans(df, "doc_id", "text", n=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.span_tokens == 12
+    assert r.start_a == 4 and r.start_b == 2  # 1-based token positions
