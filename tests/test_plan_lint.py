@@ -28,6 +28,10 @@ NESTED_LOOP_OK = {
     "q22_idle_customers": "two scalar subqueries (1-row broadcasts)",
     "similarity_bruteforce_topk": "literal query vector vs corpus",
     "k2_spill_flag": "config literal cross (1-row)",
+    "similarity_ivf_probe": (
+        "IVF assignment crossJoin vs k_lists-row broadcast centroid set"
+        " + 1-row query vector — n x 16 and n x 1 nested loops"
+    ),
 }
 
 
