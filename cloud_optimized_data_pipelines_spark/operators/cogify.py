@@ -83,23 +83,101 @@ def _stub_decode(payload_path: str, variable_name: str | None):
 
 
 def _real_decode(payload_path, variable_name, group):  # pragma: no cover
-    raise NotImplementedError(
-        "netCDF4 is not installed in this container; wire the granule "
-        "download + Dataset(group)[variable] read here "
-        "(cogify/handler.py:62-96 semantics)"
-    )
+    """HDF5-backed netCDF-4 read via the real library when present
+    (cogify/handler.py:81-96 semantics)."""
+    from netCDF4 import Dataset
+
+    src = Dataset(payload_path, "r")
+    if group is None:
+        variable = src[variable_name][:]
+        nodata = variable.fill_value
+    else:
+        variable = src.groups[group][variable_name]
+        nodata = variable._FillValue
+        variable = variable[:]
+    import numpy as np
+
+    return np.asarray(variable), float(nodata)
 
 
-def _cogify_bytes(payload_path: str, variable_name: str | None, affine) -> bytes:
-    """decode (stubbed) -> encode (REAL pure-numpy COG, operators/
-    geotiff.py): tiled 256x256 deflate float32 + 2x overviews, GeoTIFF
-    tags for EPSG:4326, GDAL nodata — the reference output profile
-    (handler.py:133-159) without GDAL."""
+def _decode(
+    payload_path: str,
+    variable_name: str | None,
+    group: str | None,
+    x_variable: str | None = None,
+    y_variable: str | None = None,
+):
+    """Decode chain, most-real-first:
+
+    1. A local file with classic-netCDF magic (``CDF\\x01``/``CDF\\x02``)
+       is decoded FOR REAL by the pure-numpy reader
+       (sources/netcdf_classic.py) — variable, fill value, and the x/y
+       coordinate bbox when configured (handler.py:97-101).
+    2. Other real files fall through to netCDF4 when installed.
+    3. A non-existent path (the synthetic-fixture case) uses the
+       deterministic stub so the rest of the pipeline still runs.
+
+    Returns (array2d, nodata, bbox | None).
+    """
+    if os.path.isfile(payload_path):
+        with open(payload_path, "rb") as f:
+            buf = f.read()
+        if buf[:3] == b"CDF":
+            from cloud_optimized_data_pipelines_spark.sources.netcdf_classic import (
+                read_variable,
+            )
+
+            arr, fill = read_variable(buf, variable_name)
+            arr = arr.squeeze()
+            if arr.ndim != 2:
+                raise ValueError(
+                    f"{variable_name!r} is {arr.ndim}-D after squeeze; "
+                    "cogify needs a 2-D raster"
+                )
+            bbox = None
+            if x_variable and y_variable:
+                xs, _ = read_variable(buf, x_variable)
+                ys, _ = read_variable(buf, y_variable)
+                bbox = (
+                    float(xs.min()),
+                    float(ys.min()),
+                    float(xs.max()),
+                    float(ys.max()),
+                )
+            return arr, (float(fill) if fill is not None else None), bbox
+        if _have_raster_libs():  # pragma: no cover - lib-dependent
+            arr, nodata = _real_decode(payload_path, variable_name, None)
+            return arr, nodata, None
+        raise ValueError(
+            "file exists but is not classic netCDF and netCDF4/rasterio "
+            "are not installed (HDF5-backed netCDF-4 needs the real libs)"
+        )
+    arr, nodata = _stub_decode(payload_path, variable_name)
+    return arr, nodata, None
+
+
+def _cogify_bytes(
+    payload_path: str,
+    variable_name: str | None,
+    affine,
+    group: str | None = None,
+    x_variable: str | None = None,
+    y_variable: str | None = None,
+) -> bytes:
+    """decode (real for classic netCDF, stub otherwise) -> encode (REAL
+    pure-numpy COG, operators/geotiff.py): tiled 256x256 deflate float32
+    + 2x overviews, GeoTIFF tags for EPSG:4326, GDAL nodata — the
+    reference output profile (handler.py:133-159) without GDAL."""
     from cloud_optimized_data_pipelines_spark.operators.geotiff import encode_cog
 
-    arr, nodata = _stub_decode(payload_path, variable_name)
+    arr, nodata, bbox = _decode(
+        payload_path, variable_name, group, x_variable, y_variable
+    )
     geotransform = tuple(affine) if affine is not None else None
-    return encode_cog(arr, geotransform=geotransform, nodata=nodata)
+    kwargs = {}
+    if bbox is not None:
+        kwargs["bbox"] = bbox
+    return encode_cog(arr, geotransform=geotransform, nodata=nodata, **kwargs)
 
 
 def cogify_stage(
@@ -120,11 +198,16 @@ def cogify_stage(
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
 
     joined = with_config(events, config)
+    for optional in ("group", "x_variable", "y_variable"):
+        if optional not in joined.columns:
+            joined = joined.withColumn(optional, F.lit(None).cast("string"))
     in_cols = [
         "collection",
         "s3_filename",
         "variable_name",
         "group",
+        "x_variable",
+        "y_variable",
         "affine_transformation",
     ]
 
@@ -135,7 +218,12 @@ def cogify_stage(
                 try:
                     affine = parse_affine(row["affine_transformation"])
                     blob = _cogify_bytes(
-                        row["s3_filename"], row["variable_name"], affine
+                        row["s3_filename"],
+                        row["variable_name"],
+                        affine,
+                        group=row["group"],
+                        x_variable=row["x_variable"],
+                        y_variable=row["y_variable"],
                     )
                     stem = os.path.splitext(os.path.basename(row["s3_filename"]))[0]
                     out_names.append(

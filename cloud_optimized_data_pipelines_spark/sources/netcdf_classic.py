@@ -1,0 +1,279 @@
+"""Pure-numpy reader/writer for CLASSIC netCDF (CDF-1 / CDF-2).
+
+The reference's cogify stage reads one 2-D variable (+ optional x/y
+coordinate vectors and a fill value) out of a netCDF file
+(``lambdas/cogify/handler.py:81-103``).  netCDF4/HDF5 is not available
+in this container, but the *classic* netCDF format (magic ``CDF\\x01``
+/ ``CDF\\x02``) is a small, fully public binary layout (the NetCDF
+Classic Format Specification), so this module implements it directly:
+
+- :func:`read_header` parses dims / global attrs / variable metadata;
+- :func:`read_variable` materializes a named variable as a numpy array
+  (big-endian on disk, row-major; record variables stitched across
+  records), with its ``_FillValue`` attribute when present;
+- :func:`write_classic` emits a minimal standards-conforming CDF-1
+  file (dims, per-variable attrs, non-record variables) so tests can
+  round-trip real bytes without any external library.
+
+HDF5-backed netCDF-4 files still require the real libraries and stay
+behind the import-try in ``operators/cogify.py``.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_MAGIC1 = b"CDF\x01"
+_MAGIC2 = b"CDF\x02"
+
+_NC_DIMENSION = 0x0A
+_NC_VARIABLE = 0x0B
+_NC_ATTRIBUTE = 0x0C
+
+# nc_type -> (numpy dtype (big-endian), size)
+_TYPES = {
+    1: ("i1", 1),  # NC_BYTE
+    2: ("S1", 1),  # NC_CHAR
+    3: (">i2", 2),  # NC_SHORT
+    4: (">i4", 4),  # NC_INT
+    5: (">f4", 4),  # NC_FLOAT
+    6: (">f8", 8),  # NC_DOUBLE
+}
+_INV_TYPES = {"int8": 1, "int16": 3, "int32": 4, "float32": 5, "float64": 6}
+
+
+def _pad4(n: int) -> int:
+    return (4 - n % 4) % 4
+
+
+@dataclass
+class NcVar:
+    name: str
+    dimids: list[int]
+    nc_type: int
+    vsize: int
+    begin: int
+    attrs: dict = field(default_factory=dict)
+
+
+@dataclass
+class NcHeader:
+    version: int
+    numrecs: int
+    dims: list[tuple[str, int]]
+    gatts: dict
+    variables: dict[str, NcVar]
+
+    def shape(self, var: NcVar) -> tuple[int, ...]:
+        return tuple(self.dims[d][1] for d in var.dimids)
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def u32(self) -> int:
+        (v,) = struct.unpack_from(">I", self.buf, self.pos)
+        self.pos += 4
+        return v
+
+    def u64(self) -> int:
+        (v,) = struct.unpack_from(">Q", self.buf, self.pos)
+        self.pos += 8
+        return v
+
+    def name(self) -> str:
+        n = self.u32()
+        s = self.buf[self.pos : self.pos + n].decode("utf-8")
+        self.pos += n + _pad4(n)
+        return s
+
+    def values(self, nc_type: int, nelems: int):
+        dt, sz = _TYPES[nc_type]
+        nbytes = sz * nelems
+        raw = self.buf[self.pos : self.pos + nbytes]
+        self.pos += nbytes + _pad4(nbytes)
+        if nc_type == 2:
+            return raw.decode("utf-8", errors="replace")
+        return np.frombuffer(raw, dtype=dt).tolist()
+
+    def att_list(self) -> dict:
+        tag = self.u32()
+        count = self.u32()
+        if tag == 0 and count == 0:
+            return {}
+        if tag != _NC_ATTRIBUTE:
+            raise ValueError(f"bad attribute-list tag 0x{tag:x}")
+        out = {}
+        for _ in range(count):
+            nm = self.name()
+            t = self.u32()
+            n = self.u32()
+            vals = self.values(t, n)
+            out[nm] = vals if isinstance(vals, str) or len(vals) != 1 else vals[0]
+        return out
+
+
+def read_header(buf: bytes) -> NcHeader:
+    if buf[:4] not in (_MAGIC1, _MAGIC2):
+        raise ValueError("not a classic netCDF (CDF-1/CDF-2) file")
+    version = buf[3]
+    r = _Reader(buf)
+    r.pos = 4
+    numrecs = r.u32()  # 0xFFFFFFFF = STREAMING
+    # dim_list
+    tag, count = r.u32(), r.u32()
+    dims: list[tuple[str, int]] = []
+    if tag == _NC_DIMENSION:
+        for _ in range(count):
+            dims.append((r.name(), r.u32()))
+    elif not (tag == 0 and count == 0):
+        raise ValueError(f"bad dim-list tag 0x{tag:x}")
+    gatts = r.att_list()
+    # var_list
+    tag, count = r.u32(), r.u32()
+    variables: dict[str, NcVar] = {}
+    if tag == _NC_VARIABLE:
+        for _ in range(count):
+            nm = r.name()
+            ndims = r.u32()
+            dimids = [r.u32() for _ in range(ndims)]
+            vatts = r.att_list()
+            nc_type = r.u32()
+            vsize = r.u32()
+            begin = r.u64() if version == 2 else r.u32()
+            variables[nm] = NcVar(nm, dimids, nc_type, vsize, begin, vatts)
+    elif not (tag == 0 and count == 0):
+        raise ValueError(f"bad var-list tag 0x{tag:x}")
+    return NcHeader(version, numrecs, dims, gatts, variables)
+
+
+def read_variable(buf: bytes, name: str):
+    """Return (numpy array in native byte order, fill_value | None)."""
+    hdr = read_header(buf)
+    if name not in hdr.variables:
+        raise KeyError(
+            f"variable {name!r} not in file (has {sorted(hdr.variables)})"
+        )
+    var = hdr.variables[name]
+    dt, sz = _TYPES[var.nc_type]
+    shape = hdr.shape(var)
+    is_record = bool(var.dimids) and hdr.dims[var.dimids[0]][1] == 0
+    if is_record:
+        # record dim (size 0): numrecs slabs of vsize apart
+        per_rec = tuple(hdr.dims[d][1] for d in var.dimids[1:])
+        n_per = int(np.prod(per_rec)) if per_rec else 1
+        recs = []
+        for rec in range(hdr.numrecs):
+            off = var.begin + rec * var.vsize
+            recs.append(
+                np.frombuffer(buf, dtype=dt, count=n_per, offset=off)
+            )
+        arr = np.stack(recs).reshape((hdr.numrecs,) + per_rec)
+    else:
+        n = int(np.prod(shape)) if shape else 1
+        arr = np.frombuffer(buf, dtype=dt, count=n, offset=var.begin)
+        arr = arr.reshape(shape)
+    fill = var.attrs.get("_FillValue")
+    return np.ascontiguousarray(arr).astype(dt.lstrip(">")), fill
+
+
+def write_classic(
+    variables: dict[str, tuple[np.ndarray, dict]],
+    dims: list[tuple[str, int]] | None = None,
+    gatts: dict | None = None,
+) -> bytes:
+    """Minimal CDF-1 writer (non-record variables only): each entry is
+    ``name -> (array, attrs)``; dims are derived from array shapes when
+    not given.  Used by tests to produce REAL classic-netCDF bytes for
+    the decode path."""
+    arrays = {n: np.asarray(a) for n, (a, _) in variables.items()}
+    if dims is None:
+        dims = []
+        seen = {}
+        for n, a in arrays.items():
+            for ax, size in enumerate(a.shape):
+                key = (n, ax)
+                seen[key] = len(dims)
+                dims.append((f"{n}_d{ax}", size))
+        dimids = {n: [seen[(n, ax)] for ax in range(arrays[n].ndim)] for n in arrays}
+    else:
+        # match dims by size, in order of first fit
+        dimids = {}
+        for n, a in arrays.items():
+            ids = []
+            for size in a.shape:
+                ids.append(next(i for i, (_, s) in enumerate(dims) if s == size))
+            dimids[n] = ids
+
+    def enc_name(s: str) -> bytes:
+        b = s.encode()
+        return struct.pack(">I", len(b)) + b + b"\x00" * _pad4(len(b))
+
+    def enc_values(vals) -> tuple[int, bytes]:
+        if isinstance(vals, str):
+            b = vals.encode()
+            return 2, struct.pack(">I", len(b)) + b + b"\x00" * _pad4(len(b))
+        arr = np.asarray(vals)
+        t = _INV_TYPES[str(arr.dtype)]
+        dt, sz = _TYPES[t]
+        raw = arr.astype(dt).tobytes()
+        return t, struct.pack(">I", arr.size) + raw + b"\x00" * _pad4(len(raw))
+
+    def enc_attrs(attrs: dict) -> bytes:
+        if not attrs:
+            return struct.pack(">II", 0, 0)
+        out = struct.pack(">II", _NC_ATTRIBUTE, len(attrs))
+        for k, v in attrs.items():
+            t, payload = enc_values(v)
+            out += enc_name(k) + struct.pack(">I", t) + payload
+        return out
+
+    header = _MAGIC1 + struct.pack(">I", 0)  # numrecs=0 (no record vars)
+    header += struct.pack(">II", _NC_DIMENSION, len(dims))
+    for nm, size in dims:
+        header += enc_name(nm) + struct.pack(">I", size)
+    header += enc_attrs(gatts or {})
+
+    # variable metadata needs data offsets — two passes
+    var_meta = []
+    for n, (a, attrs) in variables.items():
+        arr = arrays[n]
+        t = _INV_TYPES[str(arr.dtype)]
+        dt, sz = _TYPES[t]
+        nbytes = arr.size * sz
+        vsize = nbytes + _pad4(nbytes)
+        var_meta.append((n, dimids[n], attrs, t, vsize, arr.astype(dt)))
+
+    def var_entry(n, ids, attrs, t, vsize, begin) -> bytes:
+        out = enc_name(n) + struct.pack(">I", len(ids))
+        out += b"".join(struct.pack(">I", i) for i in ids)
+        out += enc_attrs(attrs)
+        out += struct.pack(">III", t, vsize, begin)
+        return out
+
+    # sizing pass with begin=0, then real pass
+    probe = struct.pack(">II", _NC_VARIABLE, len(var_meta)) + b"".join(
+        var_entry(n, ids, attrs, t, vsize, 0)
+        for n, ids, attrs, t, vsize, _ in var_meta
+    )
+    data_start = len(header) + len(probe)
+    begins = []
+    off = data_start
+    for _, _, _, _, vsize, _ in var_meta:
+        begins.append(off)
+        off += vsize
+    body = struct.pack(">II", _NC_VARIABLE, len(var_meta)) + b"".join(
+        var_entry(n, ids, attrs, t, vsize, begin)
+        for (n, ids, attrs, t, vsize, _), begin in zip(var_meta, begins)
+    )
+    out = bytearray(header + body)
+    for (_, _, _, _, vsize, arr), begin in zip(var_meta, begins):
+        raw = arr.tobytes()
+        assert len(out) == begin
+        out += raw + b"\x00" * _pad4(len(raw))
+    return bytes(out)

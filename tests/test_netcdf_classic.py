@@ -1,0 +1,105 @@
+"""Pure-numpy classic netCDF reader/writer (sources/netcdf_classic.py)
+and the real-decode cogify path it unlocks."""
+
+import numpy as np
+import pytest
+
+from cloud_optimized_data_pipelines_spark.sources.netcdf_classic import (
+    read_header,
+    read_variable,
+    write_classic,
+)
+
+
+def _sample_file():
+    var = np.arange(20, dtype=np.float32).reshape(4, 5) * np.float32(1.5)
+    lat = np.array([40.0, 30.0, 20.0, 10.0])
+    lon = np.array([-100.0, -95.0, -90.0, -85.0, -80.0])
+    buf = write_classic(
+        {
+            "no2": (var, {"_FillValue": np.float32(-9999.0), "units": "ppb"}),
+            "lat": (lat, {}),
+            "lon": (lon, {}),
+        },
+        dims=[("lat", 4), ("lon", 5)],
+        gatts={"title": "synthetic granule"},
+    )
+    return buf, var, lat, lon
+
+
+def test_roundtrip_header_and_values():
+    buf, var, lat, lon = _sample_file()
+    assert buf[:4] == b"CDF\x01"
+    hdr = read_header(buf)
+    assert hdr.dims == [("lat", 4), ("lon", 5)]
+    assert hdr.gatts["title"] == "synthetic granule"
+    assert hdr.variables["no2"].attrs["units"] == "ppb"
+    arr, fill = read_variable(buf, "no2")
+    assert arr.dtype == np.float32 and fill == np.float32(-9999.0)
+    np.testing.assert_array_equal(arr, var)
+    la, f = read_variable(buf, "lat")
+    assert f is None
+    np.testing.assert_array_equal(la, lat)
+
+
+def test_reader_rejects_non_cdf_and_unknown_variable():
+    buf, *_ = _sample_file()
+    with pytest.raises(ValueError):
+        read_header(b"NOTCDF__" + buf)
+    with pytest.raises(KeyError):
+        read_variable(buf, "missing_var")
+
+
+def test_cogify_real_decode_from_classic_netcdf(tmp_path):
+    """End-to-end without any stub: classic-netCDF bytes on disk ->
+    variable + fill + coordinate bbox decoded for real -> byte-valid
+    COG whose raster equals the source variable."""
+    from cloud_optimized_data_pipelines_spark.operators.cogify import (
+        _cogify_bytes,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.geotiff import (
+        read_tiff_meta,
+    )
+
+    buf, var, lat, lon = _sample_file()
+    nc = tmp_path / "granule.nc"
+    nc.write_bytes(buf)
+    blob = _cogify_bytes(
+        str(nc), "no2", None, x_variable="lon", y_variable="lat"
+    )
+    top = read_tiff_meta(blob)[0]
+    np.testing.assert_array_equal(top["array"], var.astype(np.float32))
+    assert top["nodata"] == ["-9999.0"]
+    # bbox from the coordinate variables: x in [-100,-80], y in [10,40]
+    assert top["tiepoint"][3:5] == [-100.0, 40.0]
+    assert top["pixel_scale"][0] == pytest.approx(((-80.0) - (-100.0)) / 5)
+    assert top["pixel_scale"][1] == pytest.approx((40.0 - 10.0) / 4)
+
+
+def test_cogify_stage_runs_real_files(spark, tmp_path):
+    """The mapInPandas stage decodes real local classic-netCDF granules
+    (no stub involved) and rewrites output URLs without error."""
+    from cloud_optimized_data_pipelines_spark.operators.cogify import (
+        cogify_stage,
+    )
+
+    buf, *_ = _sample_file()
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"granule_{i}.nc"
+        p.write_bytes(buf)
+        paths.append(str(p))
+    events = spark.createDataFrame(
+        [("no2-monthly", p, True) for p in paths],
+        "collection string, s3_filename string, cogify boolean",
+    )
+    config = spark.createDataFrame(
+        [("no2-monthly", "no2", None, "lon", "lat", None, None)],
+        "collection string, variable_name string, group string, "
+        "x_variable string, y_variable string, src_crs string, "
+        "affine_transformation string",
+    )
+    rows = cogify_stage(events, config).collect()
+    assert len(rows) == 3
+    assert all(r.cogify_error is None for r in rows)
+    assert all(r.s3_filename.endswith(".tif") for r in rows)
