@@ -147,3 +147,61 @@ def hll_merge_estimate(partials: DataFrame, dims: Sequence[str] = ()) -> DataFra
             F.hll_union_agg(F.col("hll"), F.lit(False))
         ).alias("est_uniques")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-min-rank quantile sample (deterministic bottom-k sampling)
+# ---------------------------------------------------------------------------
+
+
+def kmin_sample_partial(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    dims: Sequence[str] = (),
+    k: int = 64,
+    out: str = "sample",
+) -> DataFrame:
+    """Per-dims quantile-sketch partial: the k rows with the SMALLEST
+    md5 rank of ``id_col``, kept as a sorted array of (rank, value)
+    structs.  Because md5 is a fixed uniform permutation of row ids,
+    the kept rows are a uniform without-replacement sample — but
+    deterministic (same input -> same sample on every engine, any
+    partitioning), unlike reservoir sampling.  Fixed <= k state per
+    group, mergeable like KMV: k-smallest-of-union == one-pass."""
+    rank = F.md5(F.col(id_col).cast("string"))
+    pair = F.struct(rank.alias("r"), F.col(value_col).cast("double").alias("v"))
+    return df.groupBy(*dims).agg(
+        F.slice(F.array_sort(F.collect_list(pair)), 1, k).alias(out)
+    )
+
+
+def kmin_sample_merge(
+    partials: DataFrame,
+    dims: Sequence[str] = (),
+    k: int = 64,
+    col: str = "sample",
+) -> DataFrame:
+    """Merge partials: k smallest ranks of the union — exactly the
+    sample a single pass over the union would keep."""
+    merged = F.slice(
+        F.array_sort(F.flatten(F.collect_list(col))), 1, k
+    )
+    return partials.groupBy(*dims).agg(merged.alias(col))
+
+
+def kmin_sample_quantile(sketch: Column | str, q: float) -> Column:
+    """Quantile estimate from the sample: linear-interpolated
+    percentile over the sampled values (matches percentile_cont /
+    DuckDB quantile_cont semantics on doubles)."""
+    s = F.col(sketch) if isinstance(sketch, str) else sketch
+    vals = F.transform(s, lambda x: x["v"])
+    n = F.size(vals)
+    sorted_vals = F.array_sort(vals)
+    pos = (n.cast("double") - F.lit(1.0)) * F.lit(float(q))
+    lo = F.floor(pos).cast("int")
+    hi = F.ceil(pos).cast("int")
+    frac = pos - lo.cast("double")
+    vlo = F.element_at(sorted_vals, lo + 1)
+    vhi = F.element_at(sorted_vals, hi + 1)
+    return vlo + (vhi - vlo) * frac

@@ -3460,6 +3460,62 @@ def agg_modern_functions_q(spark, sf_dir):
     )
 
 
+_QUANTILE_SAMPLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events
+),
+samp AS (SELECT event_type, value FROM ranked WHERE rn <= 64),
+est AS (
+  SELECT event_type,
+         quantile_cont(CAST(value AS DOUBLE), 0.5) AS est_median,
+         CAST(COUNT(*) AS BIGINT) AS sample_n
+  FROM samp GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, median(CAST(value AS DOUBLE)) AS exact_median
+  FROM events GROUP BY event_type
+)
+SELECT est.event_type, est.sample_n, est.est_median, ex.exact_median
+FROM est JOIN ex USING (event_type)
+"""
+
+
+@query("sketch_quantile_sample", _QUANTILE_SAMPLE)
+def sketch_quantile_sample_q(spark, sf_dir):
+    """Deterministic bottom-k quantile sample (operators/sketches.py::
+    kmin_sample_*): the 64 smallest-md5-ranked rows per group are a
+    uniform without-replacement sample that is mergeable (k smallest of
+    the union) and engine-reproducible — no reservoir RNG.  Spark
+    builds DAILY partials and MERGES them; the oracle samples in one
+    pass — they hash-match because merge == one-pass, the same
+    cross-engine proof as sketch_kmv_uniques.  exact_median rides along
+    for error context."""
+    from cloud_optimized_data_pipelines_spark.operators import sketches as SK
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    daily = SK.kmin_sample_partial(
+        ev.withColumn("day", F.to_date("ts")),
+        "event_id",
+        "value",
+        dims=("event_type", "day"),
+        k=64,
+    )
+    merged = SK.kmin_sample_merge(daily, dims=("event_type",), k=64)
+    est = merged.select(
+        "event_type",
+        F.size("sample").cast("long").alias("sample_n"),
+        SK.kmin_sample_quantile("sample", 0.5).alias("est_median"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.median(F.col("value").cast("double")).alias("exact_median")
+    )
+    return est.join(exact, "event_type")
+
+
 _SUBSTR_SPANS = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk

@@ -217,3 +217,40 @@ def test_streamed_sketch_partials_merge_to_one_pass(spark, events, tmp_path):
         .collect()
     }
     assert streamed_hll == one_pass
+
+
+def test_kmin_sample_merge_equals_direct(events):
+    """Bottom-k rank sample merge property: k smallest ranks of the
+    union of daily partials IS the one-pass sample — struct arrays
+    equal, so quantile estimates from either path are identical."""
+    daily = SK.kmin_sample_partial(
+        events.withColumn("day", F.to_date("ts")),
+        "event_id",
+        "value",
+        dims=("event_type", "day"),
+        k=64,
+    )
+    merged = {
+        r["event_type"]: r["sample"]
+        for r in SK.kmin_sample_merge(daily, dims=("event_type",), k=64).collect()
+    }
+    direct = {
+        r["event_type"]: r["sample"]
+        for r in SK.kmin_sample_partial(
+            events, "event_id", "value", dims=("event_type",), k=64
+        ).collect()
+    }
+    assert merged == direct and len(direct) > 0
+
+
+def test_kmin_sample_quantile_is_close(spark, events):
+    """64-point sample median lands near the exact median (uniform
+    sample; loose 25%-relative gate keeps the test deterministic)."""
+    sk = SK.kmin_sample_partial(
+        events, "event_id", "value", dims=("event_type",), k=64
+    ).select("event_type", SK.kmin_sample_quantile("sample", 0.5).alias("est"))
+    exact = events.groupBy("event_type").agg(
+        F.median(F.col("value").cast("double")).alias("ex")
+    )
+    for r in sk.join(exact, "event_type").collect():
+        assert abs(r.est - r.ex) <= 0.25 * max(abs(r.ex), 1.0)
