@@ -215,6 +215,61 @@ def duplicate_spans(
     return spans
 
 
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 10,
+    prefix_len: int = 40,
+    n: int = 3,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Bounded edit-distance similarity join (fuzzy dedup of short
+    fields — titles, names, keys): candidate pairs must share at least
+    one word n-gram of the compared prefix (the standard q-gram filter:
+    an edit touches at most n grams, so low-distance strings MUST share
+    grams), then candidates are verified with exact levenshtein —
+    engine-native on both sides, integer-exact cross-engine.
+
+    Same skew guard as the Jaccard join; the verify step runs only on
+    the blocked candidates, never all pairs.
+    """
+    prefix = F.substring(F.col(text_col), 1, prefix_len)
+    pref = _spread(df).select(
+        F.col(id_col).alias("doc"), prefix.alias("_pref")
+    )
+    idx = pref.select(
+        "doc", F.explode(word_shingles(F.col("_pref"), n)).alias("shingle")
+    )
+    if max_shingle_freq is not None:
+        freq = idx.groupBy("shingle").agg(F.count("*").alias("_f"))
+        idx = idx.join(
+            freq.filter(F.col("_f") <= max_shingle_freq), "shingle"
+        ).drop("_f")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    pa = pref.select(F.col("doc").alias("doc_a"), F.col("_pref").alias("_pa"))
+    pb = pref.select(F.col("doc").alias("doc_b"), F.col("_pref").alias("_pb"))
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn(
+            "distance", F.levenshtein(F.col("_pa"), F.col("_pb")).cast("long")
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select("doc_a", "doc_b", "distance")
+    )
+
+
 def lsh_banded(
     df: DataFrame,
     id_col: str,

@@ -3460,6 +3460,49 @@ def agg_modern_functions_q(spark, sf_dir):
     )
 
 
+_FUZZY_PAIRS = """
+WITH pref AS (
+  SELECT doc_id, substr(text, 1, 40) AS p FROM documents
+),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(p, '\\s+'), x -> x <> '') AS tk
+  FROM pref
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(tk) >= 3
+         THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                            i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+         ELSE [array_to_string(tk, ' ')] END AS shingles
+  FROM toks
+),
+idx AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc < b.doc
+)
+SELECT doc_a, doc_b,
+       CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS distance
+FROM cand
+JOIN pref pa ON pa.doc_id = doc_a
+JOIN pref pb ON pb.doc_id = doc_b
+WHERE levenshtein(pa.p, pb.p) <= 10
+"""
+
+
+@query("dedup_fuzzy_prefix", _FUZZY_PAIRS)
+def dedup_fuzzy_prefix_q(spark, sf_dir):
+    """Bounded edit-distance join (operators/dedup.py::fuzzy_pairs):
+    doc pairs whose 40-char prefixes are within levenshtein 10 — q-gram
+    blocking (shared word 3-gram required, skew-guarded) then exact
+    engine-native levenshtein verification on candidates only.
+    Integer distances are bit-identical across engines."""
+    t = load_tables(spark, sf_dir)
+    return D.fuzzy_pairs(
+        t["documents"], "doc_id", "text", max_distance=10, prefix_len=40, n=3
+    )
+
+
 _QUANTILE_SAMPLE = """
 WITH ranked AS (
   SELECT event_type, value,

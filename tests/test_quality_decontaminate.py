@@ -95,3 +95,21 @@ def test_duplicate_spans_maximal_runs(spark):
     assert (r.doc_a, r.doc_b) == (1, 2)
     assert r.span_tokens == 12
     assert r.start_a == 4 and r.start_b == 2  # 1-based token positions
+
+
+def test_fuzzy_pairs_blocking_and_verify(spark):
+    from cloud_optimized_data_pipelines_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tail"),
+            (2, "the quick brown fox jumped over the lazy dog tail"),  # 2 edits
+            (3, "a completely different document about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = fuzzy_pairs(df, "doc_id", "text", max_distance=10, prefix_len=40).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert 0 < r.distance <= 3
