@@ -64,6 +64,22 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _guard_shingle_freq(idx: DataFrame, max_shingle_freq: int | None) -> DataFrame:
+    """Drop over-frequent shingles with ONE shuffle: a count over a
+    shingle-partitioned window instead of groupBy+self-join (the join
+    form shuffles the index twice; measured 2.0 s vs 1.49 s at sf0.1).
+    The window also leaves the index partitioned by shingle — exactly
+    the partitioning the downstream self-join needs."""
+    if max_shingle_freq is None:
+        return idx
+    w = Window.partitionBy("shingle")
+    return (
+        idx.withColumn("_f", F.count("*").over(w))
+        .filter(F.col("_f") <= max_shingle_freq)
+        .drop("_f")
+    )
+
+
 def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Inverted index: one row per (doc, shingle) occurrence.
 
@@ -101,13 +117,9 @@ def ngram_jaccard_pairs(
     discriminative signal; Jaccard is then exact over the pruned
     shingle space (oracles apply the identical pruning).
     """
-    idx = shingle_index(df, id_col, text_col, n)
-    if max_shingle_freq is not None:
-        freq = idx.groupBy("shingle").agg(F.count("*").alias("_f"))
-        idx = (
-            idx.join(freq.filter(F.col("_f") <= max_shingle_freq), "shingle")
-            .drop("_f")
-        )
+    idx = _guard_shingle_freq(
+        shingle_index(df, id_col, text_col, n), max_shingle_freq
+    )
     sizes = idx.groupBy("doc").agg(F.count("*").alias("set_size"))
 
     a = idx.alias("a")
@@ -180,12 +192,9 @@ def duplicate_spans(
     runs mergeable without any sequential scan.  Output:
     (doc_a, doc_b, start_a, start_b, span_tokens).
     """
-    idx = positional_shingle_index(df, id_col, text_col, n)
-    if max_shingle_freq is not None:
-        freq = idx.groupBy("shingle").agg(F.count("*").alias("_f"))
-        idx = idx.join(
-            freq.filter(F.col("_f") <= max_shingle_freq), "shingle"
-        ).drop("_f")
+    idx = _guard_shingle_freq(
+        positional_shingle_index(df, id_col, text_col, n), max_shingle_freq
+    )
     a = idx.alias("a")
     b = idx.alias("b")
     m = a.join(
@@ -241,11 +250,7 @@ def fuzzy_pairs(
     idx = pref.select(
         "doc", F.explode(word_shingles(F.col("_pref"), n)).alias("shingle")
     )
-    if max_shingle_freq is not None:
-        freq = idx.groupBy("shingle").agg(F.count("*").alias("_f"))
-        idx = idx.join(
-            freq.filter(F.col("_f") <= max_shingle_freq), "shingle"
-        ).drop("_f")
+    idx = _guard_shingle_freq(idx, max_shingle_freq)
     a = idx.alias("a")
     b = idx.alias("b")
     cand = (

@@ -97,3 +97,32 @@ def test_cogify_stage_emits_real_cogs(spark):
     # deterministic across calls (executor-independent)
     blob2 = _cogify_bytes("s3://src/omi/OMI-Aura_2022m0101.he5", "O3", None)
     assert blob == blob2
+
+
+def test_roundtrip_property_random_rasters():
+    """Property: any 2-D float raster round-trips bit-exactly through
+    encode_cog/read_tiff_meta, any shape, with or without nodata."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        arr=arrays(
+            dtype=np.float32,
+            shape=st.tuples(
+                st.integers(1, 300), st.integers(1, 300)
+            ),
+            elements=st.floats(
+                -1e6, 1e6, allow_nan=False, width=32
+            ),
+        ),
+        nodata=st.one_of(st.none(), st.just(-9999.0)),
+    )
+    def check(arr, nodata):
+        buf = encode_cog(arr, nodata=nodata)
+        top = read_tiff_meta(buf)[0]
+        np.testing.assert_array_equal(top["array"], arr)
+        assert (top["nodata"] is None) == (nodata is None)
+
+    check()
