@@ -230,26 +230,42 @@ def fuzzy_pairs(
     text_col: str,
     max_distance: int = 10,
     prefix_len: int = 40,
-    n: int = 3,
+    q: int = 3,
     max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
     """Bounded edit-distance similarity join (fuzzy dedup of short
-    fields — titles, names, keys): candidate pairs must share at least
-    one word n-gram of the compared prefix (the standard q-gram filter:
-    an edit touches at most n grams, so low-distance strings MUST share
-    grams), then candidates are verified with exact levenshtein —
-    engine-native on both sides, integer-exact cross-engine.
+    fields — titles, names, keys) with the classic character-q-gram
+    filter (Gravano et al. 2001, "Approximate String Joins in a
+    Database (Almost) for Free"): one edit destroys at most q char
+    q-grams, so strings within levenshtein ``max_distance`` share at
+    least ``min_len - q + 1 - max_distance*q`` q-grams — for the
+    defaults (40-char prefixes, q=3, d=10) that bound is 8 > 0, i.e.
+    candidate generation is COMPLETE: every true pair is blocked into
+    the verify step, where exact engine-native levenshtein decides
+    (integer-exact cross-engine).
 
-    Same skew guard as the Jaccard join; the verify step runs only on
-    the blocked candidates, never all pairs.
+    Same single-shuffle skew guard as the Jaccard join; verification
+    runs only on blocked candidates, never all pairs.  NOTE: the guard
+    can drop ubiquitous grams and with them the completeness bound —
+    set ``max_shingle_freq=None`` when the guarantee matters more than
+    skew safety.
     """
     prefix = F.substring(F.col(text_col), 1, prefix_len)
     pref = _spread(df).select(
         F.col(id_col).alias("doc"), prefix.alias("_pref")
     )
-    idx = pref.select(
-        "doc", F.explode(word_shingles(F.col("_pref"), n)).alias("shingle")
+    p = F.col("_pref")
+    n_grams = F.length(p) - F.lit(q - 1)
+    grams = F.array_distinct(
+        F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: p.substr(i, F.lit(q)),
+            ),
+        ).otherwise(F.array(p))
     )
+    idx = pref.select("doc", F.explode(grams).alias("shingle"))
     idx = _guard_shingle_freq(idx, max_shingle_freq)
     a = idx.alias("a")
     b = idx.alias("b")

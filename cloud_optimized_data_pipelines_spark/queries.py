@@ -3464,17 +3464,13 @@ _FUZZY_PAIRS = """
 WITH pref AS (
   SELECT doc_id, substr(text, 1, 40) AS p FROM documents
 ),
-toks AS (
-  SELECT doc_id, list_filter(string_split_regex(p, '\\s+'), x -> x <> '') AS tk
-  FROM pref
-),
 sh AS (
   SELECT doc_id,
-    CASE WHEN len(tk) >= 3
-         THEN list_distinct(list_transform(range(1, len(tk) - 1),
-                            i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
-         ELSE [array_to_string(tk, ' ')] END AS shingles
-  FROM toks
+    CASE WHEN length(p) >= 3
+         THEN list_distinct(list_transform(range(1, length(p) - 1),
+                            i -> substr(p, i, 3)))
+         ELSE [p] END AS shingles
+  FROM pref
 ),
 idx AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
 cand AS (
@@ -3493,13 +3489,14 @@ WHERE levenshtein(pa.p, pb.p) <= 10
 @query("dedup_fuzzy_prefix", _FUZZY_PAIRS)
 def dedup_fuzzy_prefix_q(spark, sf_dir):
     """Bounded edit-distance join (operators/dedup.py::fuzzy_pairs):
-    doc pairs whose 40-char prefixes are within levenshtein 10 — q-gram
-    blocking (shared word 3-gram required, skew-guarded) then exact
+    doc pairs whose 40-char prefixes are within levenshtein 10 —
+    character-3-gram blocking (COMPLETE for these bounds: 40 - 3 + 1 -
+    10*3 = 8 shared grams guaranteed, Gravano et al.) then exact
     engine-native levenshtein verification on candidates only.
     Integer distances are bit-identical across engines."""
     t = load_tables(spark, sf_dir)
     return D.fuzzy_pairs(
-        t["documents"], "doc_id", "text", max_distance=10, prefix_len=40, n=3
+        t["documents"], "doc_id", "text", max_distance=10, prefix_len=40, q=3
     )
 
 

@@ -113,3 +113,20 @@ def test_fuzzy_pairs_blocking_and_verify(spark):
     r = rows[0]
     assert (r.doc_a, r.doc_b) == (1, 2)
     assert 0 < r.distance <= 3
+
+
+def test_fuzzy_pairs_char_blocking_completeness(spark):
+    """A pair whose EVERY word is edited (word-shingle blocking would
+    miss it) still blocks via character q-grams — the Gravano bound in
+    action — and verifies within distance."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alphaX betaX gammaX delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = fuzzy_pairs(df, "doc_id", "text", max_distance=10, prefix_len=40).collect()
+    assert len(rows) == 1 and rows[0].distance == 3
