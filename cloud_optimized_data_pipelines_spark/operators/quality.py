@@ -81,3 +81,48 @@ def gopher_quality_flags(
         )
         .drop("top_word_cnt", "char_sum")
     )
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """CCNet-style language-model quality proxy: mean log-probability of
+    each document under the corpus's own unigram distribution (low =
+    rare-token soup / junk; high = stereotypical text).
+
+    Cross-engine float determinism is engineered: per-token log-probs
+    are log(count/total) of EXACT integer counts (identical doubles on
+    any engine), and the per-doc sum is a left fold over the
+    token-sorted array — not a shuffle-order-dependent SUM().  Plan:
+    explode -> (token) count join (broadcast-sized vocab) -> per-doc
+    sorted collect + fold.  Two doc-keyed shuffles, vocab broadcast.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        words.join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc",
+            "word",
+            F.log(
+                F.col("cnt").cast("double") / F.col("total").cast("double")
+            ).alias("logp"),
+        )
+    )
+    per_doc = scored.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("word", "logp"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["logp"],
+        ).alias("sum_logp"),
+    )
+    return per_doc.select(
+        F.col("doc").alias(id_col),
+        "n_tokens",
+        (F.col("sum_logp") / F.col("n_tokens").cast("double")).alias(
+            "mean_logprob"
+        ),
+    )

@@ -3460,6 +3460,47 @@ def agg_modern_functions_q(spark, sf_dir):
     )
 
 
+_UNIGRAM_LP = """
+WITH words AS (
+  SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+vocab AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
+tot AS (SELECT SUM(cnt) AS total FROM vocab),
+scored AS (
+  SELECT doc_id, word,
+         ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
+  FROM words JOIN vocab USING (word) CROSS JOIN tot
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         list_reduce(
+           list_transform(
+             list_sort(list(struct_pack(w := word, l := logp))), s -> s.l),
+           (a, b) -> a + b) AS sum_logp
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, sum_logp / CAST(n_tokens AS DOUBLE) AS mean_logprob
+FROM per_doc
+"""
+
+
+@query("text_unigram_logprob", _UNIGRAM_LP)
+def text_unigram_logprob_q(spark, sf_dir):
+    """CCNet-style LM quality proxy (operators/quality.py::
+    unigram_logprob): mean log-prob under the corpus's own unigram
+    distribution.  Engineered float determinism: log of exact integer
+    ratios, summed by a left fold over the token-SORTED array on both
+    engines (a plain SUM() would be shuffle-order-dependent and could
+    differ in the last ulp)."""
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        unigram_logprob,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return unigram_logprob(t["documents"], "doc_id", "text")
+
+
 _FUZZY_PAIRS = """
 WITH pref AS (
   SELECT doc_id, substr(text, 1, 40) AS p FROM documents

@@ -1,6 +1,7 @@
 """Gopher-style quality rules (operators/quality.py) and train/test
 decontamination (operators/decontaminate.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from cloud_optimized_data_pipelines_spark.operators.decontaminate import (
@@ -132,3 +133,29 @@ def test_fuzzy_pairs_char_blocking_completeness(spark):
     # 3 inserted chars shift the 40-char prefix window, so the truncated
     # prefixes differ by more than the 3 raw edits — but well within 10
     assert len(rows) == 1 and 0 < rows[0].distance <= 10
+
+
+def test_unigram_logprob_orders_junk_below_common(spark):
+    """Docs made of corpus-common words score higher mean log-prob than
+    a rare-token doc; n_tokens and the probability simplex hold."""
+    import math
+
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        unigram_logprob,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the cat cat sat"),
+            (2, "the cat sat"),
+            (3, "zxqv wkrp jjjj"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logprob(df, "doc_id", "text").collect()}
+    assert out[1].n_tokens == 6 and out[3].n_tokens == 3
+    # common-word docs beat the rare-token doc
+    assert out[1].mean_logprob > out[3].mean_logprob
+    assert out[2].mean_logprob > out[3].mean_logprob
+    # hand-check doc 3: three singleton tokens over a 12-token corpus
+    assert out[3].mean_logprob == pytest.approx(math.log(1 / 12))
