@@ -32,6 +32,7 @@ NESTED_LOOP_OK = {
         "IVF assignment crossJoin vs k_lists-row broadcast centroid set"
         " + 1-row query vector — n x 16 and n x 1 nested loops"
     ),
+    "text_unigram_logprob": "corpus-total scalar crossJoin (1-row broadcast)",
 }
 
 
