@@ -191,6 +191,13 @@ def duplicate_spans(
     is constant per span.  One window + one aggregate; positions make
     runs mergeable without any sequential scan.  Output:
     (doc_a, doc_b, start_a, start_b, span_tokens).
+
+    At-scale order of operations: run :func:`exact_dedup_by_hash`
+    FIRST — byte-identical duplicates make the true span set quadratic
+    in the replica count (output-bound, measured in SCALE.md), and
+    exact dedup removes them for one digest shuffle.  On raw
+    duplicate-heavy corpora, ``max_shingle_freq`` bounds per-shingle
+    fan-out instead.
     """
     idx = _guard_shingle_freq(
         positional_shingle_index(df, id_col, text_col, n), max_shingle_freq
