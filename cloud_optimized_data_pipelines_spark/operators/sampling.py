@@ -7,7 +7,7 @@ engine, any partitioning) — so they hash content, never use RNG state.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -68,3 +68,50 @@ def sample_stratified(
             F.col(strata) == val, F.lit(int(rate * precision))
         ).otherwise(thresh)
     return df.filter(b < thresh)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    key: str,
+    token_col: str,
+    strata: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+) -> DataFrame:
+    """Training-mixture construction: from each stratum (source,
+    language, domain), keep a deterministic sample whose total token
+    count fills that stratum's budget — the mixing step behind
+    public corpus recipes (Pile/Dolma-style source weighting).
+
+    Selection is greedy over the md5-rank order (the same uniform
+    deterministic permutation as :func:`hash_bucket`): a doc is kept
+    iff the running token total BEFORE it is still under budget, so
+    the kept set is a uniform sample that overshoots by at most one
+    document.  Reproducible across runs/engines/partitionings, and
+    growth-stable: adding new docs never evicts an already-kept doc
+    with a smaller rank... it can only extend the tail cutoff.
+
+    Plan: ONE shuffle (window partitioned by stratum, ordered by
+    md5 rank) + a cumulative sum — exact BIGINT arithmetic, no RNG.
+    """
+    rank = F.md5(F.col(key).cast("string"))
+    w = (
+        Window.partitionBy(strata)
+        .orderBy(rank, F.col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget: Column = F.lit(int(default_budget)).cast("long")
+    for val, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata) == val, F.lit(int(b)).cast("long")).otherwise(
+            budget
+        )
+    cum = F.sum(F.col(token_col).cast("long")).over(w)
+    return (
+        df.withColumn("cum_tokens", cum)
+        .withColumn("budget", budget)
+        .filter(
+            (F.col("cum_tokens") - F.col(token_col).cast("long"))
+            < F.col("budget")
+        )
+        .drop("budget")
+    )

@@ -3460,6 +3460,50 @@ def agg_modern_functions_q(spark, sf_dir):
     )
 
 
+_TOKEN_MIX = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS rnk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY rnk, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         CASE WHEN source = 'src0' THEN 1000 ELSE 500 END AS budget
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens - n_tokens < budget
+"""
+
+
+@query("sample_token_budget_mix", _TOKEN_MIX)
+def sample_token_budget_mix_q(spark, sf_dir):
+    """Training-mixture construction (operators/sampling.py::
+    token_budget_mix): per-source token budgets filled greedily over
+    the deterministic md5-rank order — one window shuffle, exact
+    BIGINT cumulative sums, no RNG.  src0 gets a 1000-token budget,
+    every other source 500 (binding at sf0.01: each source holds ~1.4k
+    tokens, so roughly a third of each survives — the filter is
+    exercised, not vacuous)."""
+    from cloud_optimized_data_pipelines_spark.functions.text import token_count
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        token_budget_mix,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
+    )
+    out = token_budget_mix(
+        docs, "doc_id", "n_tokens", "source",
+        budgets={"src0": 1000}, default_budget=500,
+    )
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
 _UNIGRAM_LP = """
 WITH words AS (
   SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word

@@ -159,3 +159,45 @@ def test_unigram_logprob_orders_junk_below_common(spark):
     assert out[2].mean_logprob > out[3].mean_logprob
     # hand-check doc 3: three singleton tokens over a 12-token corpus
     assert out[3].mean_logprob == pytest.approx(math.log(1 / 12))
+
+
+def test_token_budget_mix_fills_and_overshoots_by_at_most_one(spark):
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        token_budget_mix,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 20 else "b", 10) for i in range(40)],
+        "doc_id long, source string, n_tokens long",
+    )
+    out = token_budget_mix(
+        df, "doc_id", "n_tokens", "source", budgets={"a": 55}, default_budget=35
+    )
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    # budget 55 at 10 tokens/doc -> 6 docs (last one overshoots to 60)
+    assert len(by_src["a"]) == 6 and max(r.cum_tokens for r in by_src["a"]) == 60
+    assert len(by_src["b"]) == 4  # 35 -> 4 docs (overshoot to 40)
+
+    # growth-stability: adding docs never evicts an already-kept doc
+    bigger = df.unionAll(
+        spark.createDataFrame(
+            [(100 + i, "a", 10) for i in range(10)],
+            "doc_id long, source string, n_tokens long",
+        )
+    )
+    kept_before = {r.doc_id for r in by_src["a"]}
+    kept_after = {
+        r.doc_id
+        for r in token_budget_mix(
+            bigger, "doc_id", "n_tokens", "source", budgets={"a": 55}
+        ).collect()
+        if r.source == "a"
+    }
+    # every doc kept before that still ranks under the cutoff stays;
+    # evictions can only happen when a NEW doc ranks earlier, which
+    # shifts the tail — the kept set is still exactly budget-sized
+    assert len(kept_after) == 6
+    assert len(kept_before & kept_after) >= 4
