@@ -87,9 +87,10 @@ def token_budget_mix(
     deterministic permutation as :func:`hash_bucket`): a doc is kept
     iff the running token total BEFORE it is still under budget, so
     the kept set is a uniform sample that overshoots by at most one
-    document.  Reproducible across runs/engines/partitionings, and
-    growth-stable: adding new docs never evicts an already-kept doc
-    with a smaller rank... it can only extend the tail cutoff.
+    document.  Reproducible across runs/engines/partitionings.
+    Unlike pure rate splits, budget fills are only APPROXIMATELY
+    growth-stable: a newly added doc ranking before the cutoff
+    displaces the tail doc (the budget total is what's invariant).
 
     Plan: ONE shuffle (window partitioned by stratum, ordered by
     md5 rank) + a cumulative sum — exact BIGINT arithmetic, no RNG.
