@@ -152,6 +152,44 @@ def read_header(buf: bytes) -> NcHeader:
     return NcHeader(version, numrecs, dims, gatts, variables)
 
 
+def _record_layout(hdr: NcHeader) -> tuple[list[NcVar], int]:
+    """Record variables (header order) and the per-record stride.
+
+    Per the NetCDF Classic Format Specification, records of ALL record
+    variables are interleaved: record r holds one slab of each record
+    variable, so the stride between consecutive records of one variable
+    is the SUM of the (4-byte padded) vsize over every record variable.
+    Special case from the spec: with exactly ONE record variable the
+    slabs are packed without padding, so the stride is the unpadded
+    slab size.
+    """
+    rec_vars = [
+        v
+        for v in hdr.variables.values()
+        if v.dimids and hdr.dims[v.dimids[0]][1] == 0
+    ]
+    if len(rec_vars) == 1:
+        v = rec_vars[0]
+        _, sz = _TYPES[v.nc_type]
+        n_per = 1
+        for d in v.dimids[1:]:
+            n_per *= hdr.dims[d][1]
+        return rec_vars, n_per * sz
+    return rec_vars, sum(v.vsize for v in rec_vars)
+
+
+def _resolve_numrecs(hdr: NcHeader, buf: bytes) -> int:
+    """numrecs, deriving it from the file size when the header carries
+    the 0xFFFFFFFF STREAMING sentinel (writer didn't know the count)."""
+    if hdr.numrecs != 0xFFFFFFFF:
+        return hdr.numrecs
+    rec_vars, recsize = _record_layout(hdr)
+    if not rec_vars or recsize == 0:
+        return 0
+    first = min(v.begin for v in rec_vars)
+    return (len(buf) - first) // recsize
+
+
 def read_variable(buf: bytes, name: str):
     """Return (numpy array in native byte order, fill_value | None)."""
     hdr = read_header(buf)
@@ -164,16 +202,21 @@ def read_variable(buf: bytes, name: str):
     shape = hdr.shape(var)
     is_record = bool(var.dimids) and hdr.dims[var.dimids[0]][1] == 0
     if is_record:
-        # record dim (size 0): numrecs slabs of vsize apart
+        # record dim (size 0): numrecs interleaved slabs, recsize apart
+        _, recsize = _record_layout(hdr)
+        numrecs = _resolve_numrecs(hdr, buf)
         per_rec = tuple(hdr.dims[d][1] for d in var.dimids[1:])
         n_per = int(np.prod(per_rec)) if per_rec else 1
-        recs = []
-        for rec in range(hdr.numrecs):
-            off = var.begin + rec * var.vsize
-            recs.append(
-                np.frombuffer(buf, dtype=dt, count=n_per, offset=off)
-            )
-        arr = np.stack(recs).reshape((hdr.numrecs,) + per_rec)
+        if numrecs == 0:
+            arr = np.zeros((0,) + per_rec, dtype=dt)
+        else:
+            recs = []
+            for rec in range(numrecs):
+                off = var.begin + rec * recsize
+                recs.append(
+                    np.frombuffer(buf, dtype=dt, count=n_per, offset=off)
+                )
+            arr = np.stack(recs).reshape((numrecs,) + per_rec)
     else:
         n = int(np.prod(shape)) if shape else 1
         arr = np.frombuffer(buf, dtype=dt, count=n, offset=var.begin)
@@ -186,11 +229,17 @@ def write_classic(
     variables: dict[str, tuple[np.ndarray, dict]],
     dims: list[tuple[str, int]] | None = None,
     gatts: dict | None = None,
+    var_dims: dict[str, list[str]] | None = None,
 ) -> bytes:
-    """Minimal CDF-1 writer (non-record variables only): each entry is
-    ``name -> (array, attrs)``; dims are derived from array shapes when
-    not given.  Used by tests to produce REAL classic-netCDF bytes for
-    the decode path."""
+    """Minimal CDF-1 writer: each entry is ``name -> (array, attrs)``;
+    dims are derived from array shapes when not given.  A dim of size 0
+    is the record (UNLIMITED) dimension; variables whose first dim is
+    the record dim are record variables and their first axis length is
+    the record count (records are interleaved per the spec).  Pass
+    ``var_dims`` (variable -> list of dim names) to bind axes by name;
+    without it axes bind by first-fit on size, which is rejected as
+    ambiguous when two supplied dims share a size.  Used by tests to
+    produce REAL classic-netCDF bytes for the decode path."""
     arrays = {n: np.asarray(a) for n, (a, _) in variables.items()}
     if dims is None:
         dims = []
@@ -201,14 +250,49 @@ def write_classic(
                 seen[key] = len(dims)
                 dims.append((f"{n}_d{ax}", size))
         dimids = {n: [seen[(n, ax)] for ax in range(arrays[n].ndim)] for n in arrays}
+    elif var_dims is not None:
+        # unambiguous: bind each axis to a named dim
+        by_name = {nm: i for i, (nm, _) in enumerate(dims)}
+        dimids = {}
+        for n, a in arrays.items():
+            ids = [by_name[nm] for nm in var_dims[n]]
+            for ax, i in enumerate(ids):
+                size = dims[i][1]
+                want = a.shape[ax]
+                if size != want and not (size == 0 and ax == 0):
+                    raise ValueError(
+                        f"{n}: axis {ax} has length {want}, dim "
+                        f"{dims[i][0]!r} has size {size}"
+                    )
+            dimids[n] = ids
     else:
-        # match dims by size, in order of first fit
+        # match dims by size, first fit — ambiguous with repeated sizes
+        sizes = [s for _, s in dims]
+        if len(set(sizes)) != len(sizes):
+            raise ValueError(
+                "dims with repeated sizes are ambiguous under first-fit "
+                "matching; pass var_dims to bind axes by name"
+            )
         dimids = {}
         for n, a in arrays.items():
             ids = []
             for size in a.shape:
                 ids.append(next(i for i, (_, s) in enumerate(dims) if s == size))
             dimids[n] = ids
+
+    rec_names = [
+        n
+        for n in variables
+        if dimids[n] and dims[dimids[n][0]][1] == 0
+    ]
+    numrecs = 0
+    if rec_names:
+        counts = {arrays[n].shape[0] for n in rec_names}
+        if len(counts) != 1:
+            raise ValueError(
+                f"record variables disagree on record count: {counts}"
+            )
+        numrecs = counts.pop()
 
     def enc_name(s: str) -> bytes:
         b = s.encode()
@@ -233,21 +317,27 @@ def write_classic(
             out += enc_name(k) + struct.pack(">I", t) + payload
         return out
 
-    header = _MAGIC1 + struct.pack(">I", 0)  # numrecs=0 (no record vars)
+    header = _MAGIC1 + struct.pack(">I", numrecs)
     header += struct.pack(">II", _NC_DIMENSION, len(dims))
     for nm, size in dims:
         header += enc_name(nm) + struct.pack(">I", size)
     header += enc_attrs(gatts or {})
 
     # variable metadata needs data offsets — two passes
+    # entries: (name, dimids, attrs, nc_type, vsize, nbytes, arr, is_rec)
     var_meta = []
     for n, (a, attrs) in variables.items():
         arr = arrays[n]
         t = _INV_TYPES[str(arr.dtype)]
         dt, sz = _TYPES[t]
-        nbytes = arr.size * sz
+        is_rec = n in rec_names
+        if is_rec:
+            n_per = int(np.prod(arr.shape[1:])) if arr.ndim > 1 else 1
+            nbytes = n_per * sz  # one record's slab
+        else:
+            nbytes = arr.size * sz
         vsize = nbytes + _pad4(nbytes)
-        var_meta.append((n, dimids[n], attrs, t, vsize, arr.astype(dt)))
+        var_meta.append((n, dimids[n], attrs, t, vsize, nbytes, arr.astype(dt), is_rec))
 
     def var_entry(n, ids, attrs, t, vsize, begin) -> bytes:
         out = enc_name(n) + struct.pack(">I", len(ids))
@@ -259,21 +349,41 @@ def write_classic(
     # sizing pass with begin=0, then real pass
     probe = struct.pack(">II", _NC_VARIABLE, len(var_meta)) + b"".join(
         var_entry(n, ids, attrs, t, vsize, 0)
-        for n, ids, attrs, t, vsize, _ in var_meta
+        for n, ids, attrs, t, vsize, _, _, _ in var_meta
     )
     data_start = len(header) + len(probe)
-    begins = []
+    single_rec = len(rec_names) == 1
+    begins = [0] * len(var_meta)
     off = data_start
-    for _, _, _, _, vsize, _ in var_meta:
-        begins.append(off)
-        off += vsize
+    for i, (_, _, _, _, vsize, _, _, is_rec) in enumerate(var_meta):
+        if not is_rec:
+            begins[i] = off
+            off += vsize
+    # record vars: begin = their slab's offset within record 0
+    for i, (_, _, _, _, vsize, nbytes, _, is_rec) in enumerate(var_meta):
+        if is_rec:
+            begins[i] = off
+            off += nbytes if single_rec else vsize
     body = struct.pack(">II", _NC_VARIABLE, len(var_meta)) + b"".join(
         var_entry(n, ids, attrs, t, vsize, begin)
-        for (n, ids, attrs, t, vsize, _), begin in zip(var_meta, begins)
+        for (n, ids, attrs, t, vsize, _, _, _), begin in zip(var_meta, begins)
     )
     out = bytearray(header + body)
-    for (_, _, _, _, vsize, arr), begin in zip(var_meta, begins):
+    for (_, _, _, _, _, _, arr, is_rec), begin in zip(var_meta, begins):
+        if is_rec:
+            continue
         raw = arr.tobytes()
         assert len(out) == begin
         out += raw + b"\x00" * _pad4(len(raw))
+    # record section: records of ALL record variables interleaved; with
+    # exactly one record variable the slabs are packed unpadded (spec)
+    rec_metas = [m for m in var_meta if m[7]]
+    for rec in range(numrecs):
+        for _, _, _, _, _, _, arr, _ in rec_metas:
+            # slice (not index) so 1-D arrays keep their big-endian
+            # byte order — arr[rec] would be a native-endian scalar
+            raw = arr[rec : rec + 1].tobytes()
+            out += raw
+            if not single_rec:
+                out += b"\x00" * _pad4(len(raw))
     return bytes(out)

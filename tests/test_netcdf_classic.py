@@ -42,6 +42,77 @@ def test_roundtrip_header_and_values():
     np.testing.assert_array_equal(la, lat)
 
 
+def test_roundtrip_two_record_variables_interleaved():
+    """Records of ALL record variables are interleaved (spec): the
+    stride is sum(vsize) over record vars, not one variable's vsize.
+    time (1 f8/rec) + no2 (6 f4/rec) over 3 records exercises it."""
+    time = np.array([0.0, 1.0, 2.0])
+    no2 = np.arange(18, dtype=np.float32).reshape(3, 2, 3)
+    buf = write_classic(
+        {"time": (time, {}), "no2": (no2, {"units": "ppb"})},
+        dims=[("time", 0), ("y", 2), ("x", 3)],
+        var_dims={"time": ["time"], "no2": ["time", "y", "x"]},
+    )
+    hdr = read_header(buf)
+    assert hdr.numrecs == 3
+    t, _ = read_variable(buf, "time")
+    np.testing.assert_array_equal(t, time)
+    v, _ = read_variable(buf, "no2")
+    np.testing.assert_array_equal(v, no2)
+
+
+def test_roundtrip_single_record_variable_unpadded():
+    """With exactly one record variable the record slabs are packed
+    without 4-byte padding (spec special case): int16 x 3 per record
+    gives a 6-byte slab whose header vsize is 8."""
+    data = np.arange(12, dtype=np.int16).reshape(4, 3)
+    buf = write_classic(
+        {"counts": (data, {})},
+        dims=[("time", 0), ("x", 3)],
+        var_dims={"counts": ["time", "x"]},
+    )
+    hdr = read_header(buf)
+    assert hdr.variables["counts"].vsize == 8  # padded in header
+    v, _ = read_variable(buf, "counts")
+    np.testing.assert_array_equal(v, data)
+
+
+def test_streaming_numrecs_sentinel_derived_from_file_size():
+    time = np.array([0.0, 1.0, 2.0, 3.0])
+    no2 = np.arange(8, dtype=np.float32).reshape(4, 2)
+    buf = bytearray(
+        write_classic(
+            {"time": (time, {}), "no2": (no2, {})},
+            dims=[("time", 0), ("x", 2)],
+            var_dims={"time": ["time"], "no2": ["time", "x"]},
+        )
+    )
+    buf[4:8] = b"\xff\xff\xff\xff"  # numrecs = STREAMING
+    v, _ = read_variable(bytes(buf), "no2")
+    np.testing.assert_array_equal(v, no2)
+    t, _ = read_variable(bytes(buf), "time")
+    np.testing.assert_array_equal(t, time)
+
+
+def test_square_grid_dims_bind_by_name():
+    """Two dims of equal size (square grid) are ambiguous under
+    first-fit: rejected without var_dims, exact with var_dims."""
+    grid = np.arange(16, dtype=np.float32).reshape(4, 4)
+    with pytest.raises(ValueError, match="ambiguous"):
+        write_classic(
+            {"z": (grid, {})}, dims=[("lat", 4), ("lon", 4)]
+        )
+    buf = write_classic(
+        {"z": (grid, {})},
+        dims=[("lat", 4), ("lon", 4)],
+        var_dims={"z": ["lat", "lon"]},
+    )
+    hdr = read_header(buf)
+    assert [hdr.dims[d][0] for d in hdr.variables["z"].dimids] == ["lat", "lon"]
+    v, _ = read_variable(buf, "z")
+    np.testing.assert_array_equal(v, grid)
+
+
 def test_reader_rejects_non_cdf_and_unknown_variable():
     buf, *_ = _sample_file()
     with pytest.raises(ValueError):
