@@ -115,7 +115,10 @@ def ngram_jaccard_pairs(
     ``max_shingle_freq=None`` and is only safe on bounded corpora.
     Pruned shingles are near-stopword n-grams carrying little
     discriminative signal; Jaccard is then exact over the pruned
-    shingle space (oracles apply the identical pruning).
+    shingle space.  Registered queries keep Spark and oracle in
+    lock-step: a guarded call pairs with an oracle applying the same
+    HAVING COUNT(*) <= k shingle filter, an unguarded call
+    (max_shingle_freq=None) with an unpruned oracle.
     """
     idx = _guard_shingle_freq(
         shingle_index(df, id_col, text_col, n), max_shingle_freq
@@ -231,6 +234,77 @@ def duplicate_spans(
     return spans
 
 
+def _fuzzy_prefixes(
+    df: DataFrame, id_col: str, text_col: str, prefix_len: int
+) -> DataFrame:
+    prefix = F.substring(F.col(text_col), 1, prefix_len)
+    return _spread(df).select(F.col(id_col).alias("doc"), prefix.alias("_pref"))
+
+
+def fuzzy_prefix_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_len: int = 40,
+    q: int = 3,
+) -> DataFrame:
+    """Distinct character-q-gram inverted index over text prefixes —
+    the blocking index behind :func:`fuzzy_pairs`, exposed so callers
+    can also feed it to :func:`guard_prune_stats`."""
+    pref = _fuzzy_prefixes(df, id_col, text_col, prefix_len)
+    p = F.col("_pref")
+    n_grams = F.length(p) - F.lit(q - 1)
+    grams = F.array_distinct(
+        F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: p.substr(i, F.lit(q)),
+            ),
+        ).otherwise(F.array(p))
+    )
+    return pref.select("doc", F.explode(grams).alias("shingle"))
+
+
+def guard_prune_stats(idx: DataFrame, max_shingle_freq: int) -> DataFrame:
+    """One-row report of what :func:`_guard_shingle_freq` would drop
+    from a (doc, shingle) index — the alarm channel for the guard's
+    recall trade.
+
+    The frequency guard fails SILENT at high duplication: on a corpus
+    where every q-gram is ubiquitous (mass replicas), it prunes every
+    posting, candidate generation emits zero pairs, and "no fuzzy
+    duplicates" is indistinguishable from "guard ate the index".  A
+    pipeline should run this (same single count-over-window shuffle
+    shape as the guard itself) and alarm when ``pruned_frac`` nears 1.0
+    or ``docs_zero_grams`` is material, then either raise the guard,
+    switch to the unguarded join on a sampled stratum, or exact-dedup
+    first.
+
+    Columns: total_grams, pruned_grams, pruned_frac, docs_total,
+    docs_zero_grams (docs whose EVERY gram is pruned — unjoinable, full
+    recall loss for that doc).
+    """
+    w = Window.partitionBy("shingle")
+    per_doc = (
+        idx.withColumn("_f", F.count("*").over(w))
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("grams"),
+            F.sum((F.col("_f") > max_shingle_freq).cast("long")).alias("pruned"),
+        )
+    )
+    return per_doc.agg(
+        F.sum("grams").cast("long").alias("total_grams"),
+        F.sum("pruned").cast("long").alias("pruned_grams"),
+        (F.sum("pruned") / F.sum("grams")).alias("pruned_frac"),
+        F.count("*").cast("long").alias("docs_total"),
+        F.sum((F.col("pruned") == F.col("grams")).cast("long")).alias(
+            "docs_zero_grams"
+        ),
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     id_col: str,
@@ -255,24 +329,13 @@ def fuzzy_pairs(
     runs only on blocked candidates, never all pairs.  NOTE: the guard
     can drop ubiquitous grams and with them the completeness bound —
     set ``max_shingle_freq=None`` when the guarantee matters more than
-    skew safety.
+    skew safety, and run :func:`guard_prune_stats` over
+    :func:`fuzzy_prefix_index` to measure the drop: at high duplication
+    the guard prunes EVERY posting and this join silently returns zero
+    pairs.
     """
-    prefix = F.substring(F.col(text_col), 1, prefix_len)
-    pref = _spread(df).select(
-        F.col(id_col).alias("doc"), prefix.alias("_pref")
-    )
-    p = F.col("_pref")
-    n_grams = F.length(p) - F.lit(q - 1)
-    grams = F.array_distinct(
-        F.when(
-            n_grams >= 1,
-            F.transform(
-                F.sequence(F.lit(1), n_grams),
-                lambda i: p.substr(i, F.lit(q)),
-            ),
-        ).otherwise(F.array(p))
-    )
-    idx = pref.select("doc", F.explode(grams).alias("shingle"))
+    pref = _fuzzy_prefixes(df, id_col, text_col, prefix_len)
+    idx = fuzzy_prefix_index(df, id_col, text_col, prefix_len, q)
     idx = _guard_shingle_freq(idx, max_shingle_freq)
     a = idx.alias("a")
     b = idx.alias("b")

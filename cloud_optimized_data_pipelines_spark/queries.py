@@ -1656,8 +1656,13 @@ WHERE common / (sa.set_size + sb.set_size - common) >= 0.2
 
 @query("dedup_ngram_jaccard", _JACCARD)
 def dedup_jaccard_q(spark, sf_dir):
+    """UNGUARDED variant (max_shingle_freq=None, matching an oracle with
+    no frequency pruning); the at-scale skew-guarded form is the
+    separately registered dedup_ngram_jaccard_guarded."""
     t = load_tables(spark, sf_dir)
-    out = D.ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.2)
+    out = D.ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", n=3, threshold=0.2, max_shingle_freq=None
+    )
     return out.select(
         "doc_a",
         "doc_b",
@@ -3557,7 +3562,9 @@ sh AS (
          ELSE [p] END AS shingles
   FROM pref
 ),
-idx AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
+idx0 AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
+freq AS (SELECT shingle FROM idx0 GROUP BY shingle HAVING COUNT(*) <= 1000),
+idx AS (SELECT idx0.* FROM idx0 JOIN freq USING (shingle)),
 cand AS (
   SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
   FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc < b.doc
@@ -3646,10 +3653,12 @@ WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
   FROM documents
 ),
-idx AS (
+idx0 AS (
   SELECT doc_id, i AS pos, array_to_string(list_slice(tk, i, i + 7), ' ') AS shingle
   FROM toks, UNNEST(range(1, len(tk) - 6)) AS t(i)
 ),
+freq AS (SELECT shingle FROM idx0 GROUP BY shingle HAVING COUNT(*) <= 1000),
+idx AS (SELECT idx0.* FROM idx0 JOIN freq USING (shingle)),
 m AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
@@ -3673,8 +3682,9 @@ def dedup_substring_spans_q(spark, sf_dir):
     maximal cross-document duplicated word-8-gram runs with positions —
     the cut-the-span operator (Lee et al. 2021), detected with the
     diagonal-run trick (one window + one aggregate, no sequential
-    scan).  The shingle self-join is skew-guarded exactly like
-    dedup_ngram_jaccard."""
+    scan).  The shingle self-join runs with the default skew guard
+    (max_shingle_freq=1000) and the oracle applies the identical
+    HAVING COUNT(*) <= 1000 pruning."""
     t = load_tables(spark, sf_dir)
     return D.duplicate_spans(t["documents"], "doc_id", "text", n=8)
 

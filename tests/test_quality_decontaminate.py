@@ -135,6 +135,55 @@ def test_fuzzy_pairs_char_blocking_completeness(spark):
     assert len(rows) == 1 and 0 < rows[0].distance <= 10
 
 
+def test_guard_prune_stats_alarms_on_replica_corpus(spark):
+    """The silent-failure mode made loud: on a 100x-replica corpus a
+    freq guard of 50 prunes EVERY posting (every q-gram appears in all
+    100 docs), fuzzy_pairs returns zero pairs, and guard_prune_stats
+    reports pruned_frac == 1.0 with every doc zero-grammed — the signal
+    a pipeline must alarm on instead of reading 'no fuzzy dups'."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        fuzzy_pairs,
+        fuzzy_prefix_index,
+        guard_prune_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(100)],
+        "doc_id long, text string",
+    )
+    pairs = fuzzy_pairs(
+        df, "doc_id", "text", max_distance=10, prefix_len=40, max_shingle_freq=50
+    )
+    assert pairs.count() == 0  # complete, silent recall loss
+    stats = guard_prune_stats(
+        fuzzy_prefix_index(df, "doc_id", "text", prefix_len=40, q=3), 50
+    ).collect()[0]
+    assert stats.docs_total == 100
+    assert stats.pruned_grams == stats.total_grams > 0
+    assert stats.pruned_frac == 1.0
+    assert stats.docs_zero_grams == 100
+
+
+def test_guard_prune_stats_clean_corpus_reports_zero(spark):
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        fuzzy_prefix_index,
+        guard_prune_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = guard_prune_stats(
+        fuzzy_prefix_index(df, "doc_id", "text"), 1000
+    ).collect()[0]
+    assert stats.pruned_grams == 0 and stats.docs_zero_grams == 0
+    assert stats.pruned_frac == 0.0
+
+
 def test_unigram_logprob_orders_junk_below_common(spark):
     """Docs made of corpus-common words score higher mean log-prob than
     a rare-token doc; n_tokens and the probability simplex hold."""
