@@ -77,6 +77,7 @@ def token_budget_mix(
     strata: str,
     budgets: dict[str, int],
     default_budget: int = 0,
+    bucket_hex: int = 2,
 ) -> DataFrame:
     """Training-mixture construction: from each stratum (source,
     language, domain), keep a deterministic sample whose total token
@@ -92,27 +93,64 @@ def token_budget_mix(
     growth-stable: a newly added doc ranking before the cutoff
     displaces the tail doc (the budget total is what's invariant).
 
-    Plan: ONE shuffle (window partitioned by stratum, ordered by
-    md5 rank) + a cumulative sum — exact BIGINT arithmetic, no RNG.
+    The naive plan — ``Window.partitionBy(strata).orderBy(rank)`` with
+    a running sum — serializes each stratum through ONE task (a 5-source
+    100 TB corpus would push ~20 TB through a single window partition),
+    so the cumsum is computed in TWO passes over rank-prefix buckets
+    instead (same sharding idea as ``pack_documents``):
+
+    1. bucket each doc by the first ``bucket_hex`` hex chars of its md5
+       rank — buckets are contiguous rank ranges, so per-stratum rank
+       order == (bucket, rank) order;
+    2. aggregate per-(stratum, bucket) token sums — map-side partial
+       agg, output is metadata-sized (strata x 16^bucket_hex rows);
+    3. prefix-sum that tiny summary per stratum and broadcast-join the
+       per-bucket base back; buckets whose base already exceeds the
+       budget are dropped BEFORE the shuffle (most of a large corpus
+       never moves);
+    4. in-bucket cumsum with ``Window.partitionBy(strata, bucket)`` —
+       parallelism is strata x 16^bucket_hex tasks, each seeing
+       ~1/16^bucket_hex of a stratum; ``cum_tokens`` = bucket base +
+       in-bucket running sum, bit-identical to the single-window form.
+
+    ``bucket_hex=2`` (256 buckets) suits test scale; at 100 TB use 4
+    (65536 buckets → ~300 MB window partitions for a 5-source corpus).
+    Exact BIGINT arithmetic, no RNG, kept set identical to the
+    single-window definition.
     """
+    tok = F.col(token_col).cast("long")
     rank = F.md5(F.col(key).cast("string"))
-    w = (
-        Window.partitionBy(strata)
-        .orderBy(rank, F.col(key))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = df.withColumn("_rnk", rank).withColumn(
+        "_bkt", F.substring("_rnk", 1, bucket_hex)
     )
     budget: Column = F.lit(int(default_budget)).cast("long")
     for val, b in sorted(budgets.items()):
         budget = F.when(F.col(strata) == val, F.lit(int(b)).cast("long")).otherwise(
             budget
         )
-    cum = F.sum(F.col(token_col).cast("long")).over(w)
+    bucket_sums = ranked.groupBy(strata, "_bkt").agg(F.sum(tok).alias("_bsum"))
+    wb = (
+        Window.partitionBy(strata)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = bucket_sums.select(
+        strata,
+        "_bkt",
+        F.coalesce(F.sum("_bsum").over(wb), F.lit(0)).cast("long").alias("_base"),
+    )
+    win = (
+        Window.partitionBy(strata, "_bkt")
+        .orderBy("_rnk", F.col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        df.withColumn("cum_tokens", cum)
-        .withColumn("budget", budget)
-        .filter(
-            (F.col("cum_tokens") - F.col(token_col).cast("long"))
-            < F.col("budget")
+        ranked.join(F.broadcast(bases), [strata, "_bkt"])
+        .withColumn("_budget", budget)
+        .filter(F.col("_base") < F.col("_budget"))
+        .withColumn(
+            "cum_tokens", (F.col("_base") + F.sum(tok).over(win)).cast("long")
         )
-        .drop("budget")
+        .filter((F.col("cum_tokens") - tok) < F.col("_budget"))
+        .drop("_rnk", "_bkt", "_base", "_budget")
     )

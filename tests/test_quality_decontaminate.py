@@ -135,6 +135,38 @@ def test_fuzzy_pairs_char_blocking_completeness(spark):
     assert len(rows) == 1 and 0 < rows[0].distance <= 10
 
 
+def test_token_budget_mix_no_full_stratum_window(spark):
+    """Scale guard: the only window over the FULL data must partition by
+    (stratum, rank-bucket) — a window partitioned by the stratum alone
+    serializes each stratum through one task (~20 TB/task at the 100 TB
+    design point).  The per-stratum-only window is allowed solely over
+    the metadata-sized per-bucket aggregate."""
+    import re
+
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        token_budget_mix,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "src%d" % (i % 3), 10 + i % 7) for i in range(200)],
+        "doc_id long, source string, n_tokens long",
+    )
+    out = token_budget_mix(
+        df, "doc_id", "n_tokens", "source", {"src0": 300}, default_budget=200
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in plan"
+    full_data = [s for s in specs if "_bkt" in s and "_rnk" in s]
+    assert full_data, "full-data cumsum window must partition by (strata, _bkt)"
+    # stratum-only windows may only run over the per-bucket token sums
+    for s in specs:
+        if s not in full_data:
+            assert "_bsum" in plan and "_rnk" not in s, (
+                "window partitioned by stratum alone over full data: " + s
+            )
+
+
 def test_guard_prune_stats_alarms_on_replica_corpus(spark):
     """The silent-failure mode made loud: on a 100x-replica corpus a
     freq guard of 50 prunes EVERY posting (every q-gram appears in all
