@@ -83,7 +83,9 @@ def gopher_quality_flags(
     )
 
 
-def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, min_count: int = 1
+) -> DataFrame:
     """CCNet-style language-model quality proxy: mean log-probability of
     each document under the corpus's own unigram distribution (low =
     rare-token soup / junk; high = stereotypical text).
@@ -91,26 +93,54 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Cross-engine float determinism is engineered: per-token log-probs
     are log(count/total) of EXACT integer counts (identical doubles on
     any engine), and the per-doc sum is a left fold over the
-    token-sorted array — not a shuffle-order-dependent SUM().  Plan:
-    explode -> (token) count join (broadcast-sized vocab) -> per-doc
-    sorted collect + fold.  Two doc-keyed shuffles, vocab broadcast.
+    token-sorted array — not a shuffle-order-dependent SUM().
+
+    Plan: explode -> token-count join on ``word`` -> per-doc sorted
+    collect + fold.  The vocab side carries NO broadcast hint: a
+    web-scale corpus's unigram vocabulary is hundreds of millions of
+    rows — far past broadcast limits — and the explode already paid
+    the word-keyed shuffle the join reuses, so AQE picks broadcast
+    only when the vocab actually fits.  ``min_count`` (CCNet's answer
+    to the long tail) folds words seen fewer than min_count times into
+    one OOV bucket scored at the pooled tail mass
+    ``log(oov_cnt/total)`` — thresholding is what bounds the vocab in
+    production; the two 1-row scalars (total, oov) stay broadcast.
     """
     words = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("word")
     )
     vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
-    scored = (
-        words.join(F.broadcast(vocab), "word")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "doc",
-            "word",
-            F.log(
-                F.col("cnt").cast("double") / F.col("total").cast("double")
-            ).alias("logp"),
+    if min_count > 1:
+        kept = vocab.filter(F.col("cnt") >= min_count)
+        oov = vocab.filter(F.col("cnt") < min_count).agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("oov_cnt")
         )
-    )
+        scored = (
+            words.join(kept, "word", "left")
+            .crossJoin(F.broadcast(total))
+            .crossJoin(F.broadcast(oov))
+            .select(
+                "doc",
+                "word",
+                F.log(
+                    F.coalesce(F.col("cnt"), F.col("oov_cnt")).cast("double")
+                    / F.col("total").cast("double")
+                ).alias("logp"),
+            )
+        )
+    else:
+        scored = (
+            words.join(vocab, "word")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "doc",
+                "word",
+                F.log(
+                    F.col("cnt").cast("double") / F.col("total").cast("double")
+                ).alias("logp"),
+            )
+        )
     per_doc = scored.groupBy("doc").agg(
         F.count("*").cast("long").alias("n_tokens"),
         F.aggregate(

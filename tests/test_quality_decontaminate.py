@@ -135,6 +135,50 @@ def test_fuzzy_pairs_char_blocking_completeness(spark):
     assert len(rows) == 1 and 0 < rows[0].distance <= 10
 
 
+def test_unigram_logprob_min_count_oov_bucket(spark):
+    """min_count folds sub-threshold words into one OOV bucket scored
+    at the pooled tail mass log(oov_cnt/total) — the CCNet-style
+    thresholding that bounds the vocab at corpus scale."""
+    import math
+
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        unigram_logprob,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa aa aa bb"), (2, "aa cc")],
+        "doc_id long, text string",
+    )
+    # counts: aa=4, bb=1, cc=1; total=6; min_count=2 -> oov mass 2
+    out = {
+        r.doc_id: r
+        for r in unigram_logprob(df, "doc_id", "text", min_count=2).collect()
+    }
+    lp_aa = math.log(4 / 6)
+    lp_oov = math.log(2 / 6)
+    assert out[1].mean_logprob == pytest.approx((3 * lp_aa + lp_oov) / 4)
+    assert out[2].mean_logprob == pytest.approx((lp_aa + lp_oov) / 2)
+
+
+def test_unigram_logprob_vocab_join_not_hint_broadcast(spark):
+    """The word-count join must not carry a mandatory broadcast hint —
+    a web-scale unigram vocab is past broadcast limits.  (AQE may still
+    CHOOSE broadcast at runtime for a small vocab; the assert is on the
+    logical plan's hints, not the adaptive physical choice.)"""
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        unigram_logprob,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa cc")], "doc_id long, text string"
+    )
+    out = unigram_logprob(df, "doc_id", "text")
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one mandatory broadcast: the 1-row total scalar cross
+    # join; the word-vocab equi-join must be hint-free
+    assert optimized.count("strategy=broadcast") == 1
+
+
 def test_token_budget_mix_no_full_stratum_window(spark):
     """Scale guard: the only window over the FULL data must partition by
     (stratum, rank-bucket) — a window partitioned by the stratum alone
