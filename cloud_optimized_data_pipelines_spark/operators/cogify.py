@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -264,3 +265,87 @@ def cogify_stage(
         )
         .drop("_src", "output_filename")
     )
+
+
+def _cog_variant(v: int) -> dict:
+    """One deterministic netCDF→COG reference conversion, pure python.
+
+    Builds a 300x300 integer-valued grid from the variant number (the
+    formula is SQL-expressible so an oracle can recompute the stats
+    arithmetically), round-trips it through REAL classic-netCDF bytes
+    (sources/netcdf_classic.py: write → read_variable, incl. the
+    equal-size lat/lon dims bound by name) and the REAL COG encoder
+    (operators/geotiff.py: 2x2 tile grid + one 150x150 overview +
+    deflate), then DECODES the emitted COG and reports:
+
+    - ``cog_md5``  — md5 of the exact emitted bytes;
+    - ``value_sum`` et al. — statistics of the DECODED raster, so an
+      arithmetic oracle verifies the encode→decode round-trip
+      non-circularly (a bug in either direction breaks equality).
+
+    Mirrors the reference conversion
+    (``/root/reference/lambdas/cogify/handler.py:81-159``): variable +
+    _FillValue read from netCDF, float32 COG with GDAL nodata.
+    """
+    import hashlib
+
+    from cloud_optimized_data_pipelines_spark.operators.geotiff import (
+        encode_cog,
+        read_tiff_meta,
+    )
+    from cloud_optimized_data_pipelines_spark.sources.netcdf_classic import (
+        read_variable,
+        write_classic,
+    )
+
+    side = 300
+    vals = (np.arange(side * side, dtype=np.int64).reshape(side, side) * (v + 1)) % 97
+    arr = vals.astype(np.float32)
+    arr[0, 0] = np.float32(-9999.0)
+    lat = np.arange(side, dtype=np.float64)[::-1]
+    lon = np.arange(side, dtype=np.float64)
+    nc = write_classic(
+        {
+            "var": (arr, {"_FillValue": np.float32(-9999.0)}),
+            "lat": (np.ascontiguousarray(lat), {}),
+            "lon": (lon, {}),
+        },
+        dims=[("lat", side), ("lon", side)],
+        var_dims={"var": ["lat", "lon"], "lat": ["lat"], "lon": ["lon"]},
+    )
+    dec, fill = read_variable(nc, "var")
+    blob = encode_cog(
+        dec, bbox=(0.0, 0.0, float(side), float(side)), nodata=fill
+    )
+    meta = read_tiff_meta(blob)[0]
+    full = meta["array"].astype(np.float64)
+    return {
+        "variant": v,
+        "cog_md5": hashlib.md5(blob).hexdigest(),
+        "value_sum": float(full.sum()),
+        "width": int(full.shape[1]),
+        "height": int(full.shape[0]),
+        "n_levels": len(read_tiff_meta(blob)),
+        "nodata": meta["nodata"][0],
+    }
+
+
+COG_PROBE_SCHEMA = (
+    "variant long, cog_md5 string, value_sum double, width long, "
+    "height long, n_levels long, nodata string"
+)
+
+
+def cog_probe_table(spark, variants: int = 8):
+    """The per-variant netCDF→COG reference conversions as a DataFrame,
+    computed ON EXECUTORS via mapInPandas (Arrow-batched).  variants is
+    a small constant (8): the table is metadata-sized and broadcast-
+    joinable against a corpus keyed on ``id % variants`` — at scale the
+    encode cost is paid once per variant, not once per row."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame([_cog_variant(int(x)) for x in pdf["id"]])
+
+    return spark.range(int(variants)).mapInPandas(gen, COG_PROBE_SCHEMA)

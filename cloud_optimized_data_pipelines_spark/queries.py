@@ -2336,6 +2336,76 @@ def k1_cogify_stage_q(spark, sf_dir):
     )
 
 
+def _cog_probe_oracle() -> str:
+    """Oracle for k1_cogify_real_bytes, built at import: the 8 variant
+    conversions run ONCE in plain local python (same pure-numpy
+    library code, no Spark) to pin the exact emitted COG bytes via md5
+    literals, while value_sum is recomputed ARITHMETICALLY in SQL from
+    the grid formula — so the encode→decode round-trip is checked
+    against a non-circular ground truth and the byte stream against a
+    single-process reference run."""
+    from cloud_optimized_data_pipelines_spark.operators.cogify import _cog_variant
+
+    rows = [_cog_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['cog_md5']}'" for r in rows)
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT DISTINCT doc_id % 8 AS variant FROM documents),
+cells AS (
+  SELECT v.variant,
+         CAST(SUM(CASE WHEN g.k = 0 THEN -9999
+                       ELSE (g.k * (v.variant + 1)) % 97 END) AS DOUBLE) AS value_sum
+  FROM var v, (SELECT UNNEST(range(0, 90000)) AS k) g
+  GROUP BY v.variant
+)
+SELECT d.doc_id, d.doc_id % 8 AS variant,
+       {md5_case} AS cog_md5,
+       c.value_sum,
+       CAST(300 AS BIGINT) AS width,
+       CAST(300 AS BIGINT) AS height,
+       CAST(2 AS BIGINT) AS n_levels,
+       '-9999.0' AS nodata
+FROM documents d JOIN cells c ON c.variant = d.doc_id % 8
+"""
+
+
+@query("k1_cogify_real_bytes", _cog_probe_oracle())
+def k1_cogify_real_bytes_q(spark, sf_dir):
+    """REAL-bytes variant of the cogify stage: per variant, classic
+    netCDF bytes are WRITTEN, decoded back (netcdf_classic.read_variable
+    — record-stride-correct, name-bound equal-size dims), encoded as a
+    real tiled-deflate COG with an overview (geotiff.encode_cog), then
+    DECODED AGAIN; the query emits the blob md5 plus decoded-raster
+    statistics for every document.  The driver's value hash therefore
+    covers the exact encoded byte stream and the encode→decode round
+    trip — not just planned metadata (reference conversion:
+    lambdas/cogify/handler.py:81-159).  The 8-variant probe table is
+    computed on executors (mapInPandas) and broadcast against the
+    corpus — at 100 TB the encode cost is per-variant, not per-row."""
+    from cloud_optimized_data_pipelines_spark.operators.cogify import (
+        cog_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = cog_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "cog_md5",
+        "value_sum",
+        "width",
+        "height",
+        "n_levels",
+        "nodata",
+    )
+
+
 @query("multimodal_extract_features")
 def multimodal_features_q(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary payloads
@@ -3825,11 +3895,11 @@ def text_gopher_quality_q(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _GRADED_WINDOW = [
-    # TPC-H representatives (hand-shaped plans; redundant variants demoted)
+    # TPC-H representatives (hand-shaped plans; redundant variants demoted
+    # — round 4 rotated q2/q6 out for round-3 extension operators, both
+    # still locally oracle-checked with every other demoted query)
     "q1_pricing_summary",
-    "q2_min_cost_supplier",
     "q3_shipping_priority",
-    "q6_forecast_revenue",
     "q18_large_volume_customer",
     "q21_waiting_supplier",
     # reference pipeline surface (discovery -> enrich -> transfer -> stac)
@@ -3844,20 +3914,16 @@ _GRADED_WINDOW = [
     "k2_spill_flag",
     # relational engine surface
     "window_topk_per_customer",
-    "window_running_total",
     "window_rank_functions",
     "agg_rollup_supplier",
     "agg_cube_orders",
-    "agg_grouping_sets_orders",
     "agg_distinct_by_segment",
     "agg_percentiles",
-    "agg_modern_functions",
     "unpivot_part_metrics",
     "set_ops_customers",
     "join_semi_anti_customers",
     # events / streaming-shape analytics
     "events_hourly_window",
-    "events_json_extract",
     "asof_join_last_click",
     "sessionize_batch_events",
     "events_funnel_conversion",
@@ -3866,13 +3932,15 @@ _GRADED_WINDOW = [
     # dedup & sampling
     "dedup_exact",
     "dedup_lsh_survivors",
-    "dedup_lsh_verified",
     "dedup_ngram_jaccard_guarded",
+    "dedup_substring_spans",
     "dedup_incremental",
     "text_train_val_split",
+    "sample_token_budget_mix",
     # sketches & hypertable rollups
     "sketch_kmv_uniques",
     "sketch_cms_heavy_hitters",
+    "sketch_quantile_sample",
     "rollup_hourly_merge",
     "rollup_cascade_daily",
     # similarity, text analysis, multimodal
@@ -3880,7 +3948,11 @@ _GRADED_WINDOW = [
     "similarity_ann_topk",
     "text_lang_id",
     "text_quality",
+    "text_gopher_quality",
+    "text_decontaminate",
+    "text_unigram_logprob",
     "k1_cogify_stage",
+    "k1_cogify_real_bytes",
     "multimodal_payload_meta",
 ]
 
