@@ -101,6 +101,32 @@ def _real_decode(payload_path, variable_name, group):  # pragma: no cover
     return np.asarray(variable), float(nodata)
 
 
+def _finish_decode(
+    read_variable, buf, variable_name, group, x_variable, y_variable
+):
+    """Shared tail of the real decode paths: 2-D squeeze, fill value,
+    and the x/y coordinate-variable bbox (handler.py:97-101)."""
+    kwargs = {"group": group} if group else {}
+    arr, fill = read_variable(buf, variable_name, **kwargs)
+    arr = arr.squeeze()
+    if arr.ndim != 2:
+        raise ValueError(
+            f"{variable_name!r} is {arr.ndim}-D after squeeze; "
+            "cogify needs a 2-D raster"
+        )
+    bbox = None
+    if x_variable and y_variable:
+        xs, _ = read_variable(buf, x_variable, **kwargs)
+        ys, _ = read_variable(buf, y_variable, **kwargs)
+        bbox = (
+            float(xs.min()),
+            float(ys.min()),
+            float(xs.max()),
+            float(ys.max()),
+        )
+    return arr, (float(fill) if fill is not None else None), bbox
+
+
 def _decode(
     payload_path: str,
     variable_name: str | None,
@@ -114,7 +140,12 @@ def _decode(
        is decoded FOR REAL by the pure-numpy reader
        (sources/netcdf_classic.py) — variable, fill value, and the x/y
        coordinate bbox when configured (handler.py:97-101).
-    2. Other real files fall through to netCDF4 when installed.
+    2. A local file with HDF5 magic (netCDF-4 / HDF-EOS5, the
+       reference's GPM IMERG and OMI inputs with group paths,
+       handler.py:81-93 + example.ini:13-24) goes to the netCDF4
+       library when installed, else is decoded FOR REAL by the
+       pure-numpy HDF5 reader (sources/hdf5_lite.py: v1/v2 object
+       headers, group traversal, contiguous + chunked/deflate/shuffle).
     3. A non-existent path (the synthetic-fixture case) uses the
        deterministic stub so the rest of the pipeline still runs.
 
@@ -128,30 +159,25 @@ def _decode(
                 read_variable,
             )
 
-            arr, fill = read_variable(buf, variable_name)
-            arr = arr.squeeze()
-            if arr.ndim != 2:
-                raise ValueError(
-                    f"{variable_name!r} is {arr.ndim}-D after squeeze; "
-                    "cogify needs a 2-D raster"
-                )
-            bbox = None
-            if x_variable and y_variable:
-                xs, _ = read_variable(buf, x_variable)
-                ys, _ = read_variable(buf, y_variable)
-                bbox = (
-                    float(xs.min()),
-                    float(ys.min()),
-                    float(xs.max()),
-                    float(ys.max()),
-                )
-            return arr, (float(fill) if fill is not None else None), bbox
-        if _have_raster_libs():  # pragma: no cover - lib-dependent
-            arr, nodata = _real_decode(payload_path, variable_name, None)
-            return arr, nodata, None
+            return _finish_decode(
+                read_variable, buf, variable_name, None, x_variable, y_variable
+            )
+        if buf[:8] == b"\x89HDF\r\n\x1a\n":
+            # HDF5-backed netCDF-4 / HDF-EOS5 (the reference's GPM IMERG
+            # and OMI inputs, group paths per example.ini:13-24): real
+            # library first, pure-numpy hdf5_lite decode otherwise
+            if _have_raster_libs():  # pragma: no cover - lib-dependent
+                arr, nodata = _real_decode(payload_path, variable_name, group)
+                return arr, nodata, None
+            from cloud_optimized_data_pipelines_spark.sources.hdf5_lite import (
+                read_variable,
+            )
+
+            return _finish_decode(
+                read_variable, buf, variable_name, group, x_variable, y_variable
+            )
         raise ValueError(
-            "file exists but is not classic netCDF and netCDF4/rasterio "
-            "are not installed (HDF5-backed netCDF-4 needs the real libs)"
+            "file exists but is neither classic netCDF nor HDF5"
         )
     arr, nodata = _stub_decode(payload_path, variable_name)
     return arr, nodata, None

@@ -1,0 +1,183 @@
+"""Pure-numpy HDF5 reader/writer (sources/hdf5_lite.py) and the
+netCDF-4 group-path cogify decode it unlocks (S6)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from cloud_optimized_data_pipelines_spark.sources import hdf5_lite as H
+
+
+def _sample_file(chunks=None, compress=True):
+    arr = np.arange(200, dtype=np.float32).reshape(10, 20) * np.float32(1.5)
+    lat = np.linspace(50.0, 41.0, 10)
+    lon = np.linspace(-100.0, -81.0, 20)
+    buf = H.write_hdf5(
+        {
+            "Grid/precip": (
+                arr,
+                {"_FillValue": np.float32(-9999.0), "units": "mm/hr"},
+            ),
+            "Grid/lat": (lat, {}),
+            "Grid/lon": (lon, {}),
+            "counts": (np.array([1, 2, 3], dtype=np.int32), {}),
+        },
+        chunks=chunks,
+        compress=compress,
+    )
+    return buf, arr, lat, lon
+
+
+def test_contiguous_roundtrip_with_groups_and_attrs():
+    buf, arr, lat, lon = _sample_file()
+    assert buf[:8] == b"\x89HDF\r\n\x1a\n"
+    assert H.list_datasets(buf, "Grid") == ["lat", "lon", "precip"]
+    a, fill = H.read_variable(buf, "precip", group="Grid")
+    np.testing.assert_array_equal(a, arr)
+    assert a.dtype == np.float32 and fill == np.float32(-9999.0)
+    la, f = H.read_variable(buf, "Grid/lat")  # path form also works
+    assert f is None
+    np.testing.assert_array_equal(la, lat)
+    c, _ = H.read_variable(buf, "counts")
+    np.testing.assert_array_equal(c, [1, 2, 3])
+    attrs = H.read_attrs(buf, "precip", group="Grid")
+    assert attrs["units"] == "mm/hr"
+
+
+def test_chunked_deflate_roundtrip_including_edge_chunks():
+    """4x8 chunks over a 10x20 array: interior, right-edge, bottom-edge
+    and corner chunks all decode; deflate is actually applied."""
+    buf, arr, *_ = _sample_file(chunks={"Grid/precip": (4, 8)})
+    plain, *_ = _sample_file(chunks={"Grid/precip": (4, 8)}, compress=False)
+    assert len(buf) < len(plain)  # deflate really ran
+    a, fill = H.read_variable(buf, "precip", group="Grid")
+    np.testing.assert_array_equal(a, arr)
+    b, _ = H.read_variable(plain, "precip", group="Grid")
+    np.testing.assert_array_equal(b, arr)
+
+
+def test_big_endian_and_integer_dtypes():
+    be = np.arange(12, dtype=">f8").reshape(3, 4)
+    i16 = np.array([[-5, 7], [9, -11]], dtype=np.int16)
+    buf = H.write_hdf5({"be": (be, {}), "i16": (i16, {})})
+    a, _ = H.read_variable(buf, "be")
+    np.testing.assert_array_equal(a, be.astype("<f8"))
+    assert a.dtype.byteorder in ("=", "<")  # native out
+    b, _ = H.read_variable(buf, "i16")
+    np.testing.assert_array_equal(b, i16)
+    assert b.dtype == np.int16
+
+
+def test_structural_spec_invariants():
+    """Independent structural checks against the PUBLIC format spec, so
+    writer and reader can't agree on a private dialect: signatures at
+    declared addresses, little-endian superblock fields, heap/B-tree
+    signatures reachable from the root symbol-table entry."""
+    buf, *_ = _sample_file(chunks={"Grid/precip": (4, 8)})
+    # superblock v0 fields
+    assert buf[8] == 0 and buf[13] == 8 and buf[14] == 8
+    eof = struct.unpack_from("<Q", buf, 40)[0]
+    assert eof == len(buf)
+    root_header = struct.unpack_from("<Q", buf, 56 + 8)[0]
+    assert buf[root_header] == 1  # v1 object header version byte
+    root_btree = struct.unpack_from("<Q", buf, 80)[0]
+    root_heap = struct.unpack_from("<Q", buf, 88)[0]
+    assert buf[root_btree : root_btree + 4] == b"TREE"
+    assert buf[root_heap : root_heap + 4] == b"HEAP"
+    # every SNOD signature is reachable and well-formed
+    assert buf.count(b"SNOD") >= 2  # root + Grid
+    # chunk B-tree node type 1 exists for the chunked dataset
+    i = buf.find(b"TREE")
+    types = set()
+    while i != -1:
+        types.add(buf[i + 4])
+        i = buf.find(b"TREE", i + 4)
+    assert types == {0, 1}
+
+
+def test_chunk_btree_key_layout_matches_spec():
+    """Chunk index keys are (size u32, mask u32, offsets u64 x (rank+1))
+    with a past-the-end final key — decode one by hand and check the
+    first chunk's raw bytes inflate to the chunk block."""
+    arr = np.arange(64, dtype=np.float32).reshape(8, 8)
+    buf = H.write_hdf5({"v": (arr, {})}, chunks={"v": (4, 4)})
+    # find the type-1 TREE node
+    i = buf.find(b"TREE")
+    while buf[i + 4] != 1:
+        i = buf.find(b"TREE", i + 4)
+    n = struct.unpack_from("<H", buf, i + 6)[0]
+    assert n == 4
+    off = i + 24
+    size = struct.unpack_from("<I", buf, off)[0]
+    coords = struct.unpack_from("<QQQ", buf, off + 8)
+    addr = struct.unpack_from("<Q", buf, off + 8 + 24)[0]
+    assert coords[:2] == (0, 0) and coords[2] == 0
+    block = zlib.decompress(buf[addr : addr + size])
+    np.testing.assert_array_equal(
+        np.frombuffer(block, dtype=np.float32).reshape(4, 4), arr[:4, :4]
+    )
+
+
+def test_reader_rejects_non_hdf5_and_missing_paths():
+    buf, *_ = _sample_file()
+    with pytest.raises(ValueError):
+        H.superblock(b"NOTHDF__" + buf)
+    with pytest.raises(KeyError):
+        H.read_variable(buf, "missing", group="Grid")
+    with pytest.raises(KeyError):
+        H.read_variable(buf, "precip", group="NoSuchGroup")
+
+
+def test_cogify_decodes_hdf5_group_path(tmp_path):
+    """S6 end-to-end: an HDF5-backed granule with a netCDF-4-style
+    group path decodes through _cogify_bytes — variable + _FillValue +
+    coordinate bbox — and encodes a byte-valid COG."""
+    from cloud_optimized_data_pipelines_spark.operators.cogify import (
+        _cogify_bytes,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.geotiff import (
+        read_tiff_meta,
+    )
+
+    buf, arr, lat, lon = _sample_file(chunks={"Grid/precip": (4, 8)})
+    p = tmp_path / "granule.h5"
+    p.write_bytes(buf)
+    blob = _cogify_bytes(
+        str(p), "precip", None, group="Grid",
+        x_variable="lon", y_variable="lat",
+    )
+    top = read_tiff_meta(blob)[0]
+    np.testing.assert_array_equal(top["array"], arr)
+    assert top["nodata"] == ["-9999.0"]
+    assert top["tiepoint"][3:5] == [-100.0, 50.0]
+
+
+def test_cogify_stage_runs_hdf5_granules(spark, tmp_path):
+    """The mapInPandas stage decodes real HDF5 granules via the config
+    table's group column (example.ini group-path semantics)."""
+    from cloud_optimized_data_pipelines_spark.operators.cogify import (
+        cogify_stage,
+    )
+
+    buf, *_ = _sample_file(chunks={"Grid/precip": (4, 8)})
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"granule_{i}.h5"
+        p.write_bytes(buf)
+        paths.append(str(p))
+    events = spark.createDataFrame(
+        [("gpm-imerg", p, True) for p in paths],
+        "collection string, s3_filename string, cogify boolean",
+    )
+    config = spark.createDataFrame(
+        [("gpm-imerg", "precip", "Grid", "lon", "lat", None, None)],
+        "collection string, variable_name string, group string, "
+        "x_variable string, y_variable string, src_crs string, "
+        "affine_transformation string",
+    )
+    rows = cogify_stage(events, config).collect()
+    assert len(rows) == 3
+    assert all(r.cogify_error is None for r in rows)
+    assert all(r.s3_filename.endswith(".tif") for r in rows)
