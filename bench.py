@@ -46,11 +46,17 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_lsh_survivors",
+    # NOTE r04: dedup_ngram_jaccard is now the UNGUARDED form (its
+    # oracle applies no pruning); the skew-guarded production form is
+    # benched separately as dedup_ngram_jaccard_guarded
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_guarded",
     "streaming_dlq_routing",
     "similarity_bruteforce_topk",
     "similarity_ann_topk",
     "text_quality",
+    "text_gopher_quality",
+    "sample_token_budget_mix",
 ]
 
 

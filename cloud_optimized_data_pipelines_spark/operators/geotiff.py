@@ -290,7 +290,10 @@ def read_tiff_meta(buf: bytes) -> list[dict]:
                 )
         (ifd_off,) = struct.unpack_from("<I", buf, ifd_off + 2 + 12 * n)
         w, h = tags[_IMAGEWIDTH][0], tags[_IMAGELENGTH][0]
+        # TileWidth and TileLength are independent tags (TIFF 6.0) —
+        # this encoder emits square tiles, but decode any valid file
         tile = tags[_TILEWIDTH][0]
+        tile_len = tags[_TILELENGTH][0]
         ncols = -(-w // tile)
         arr = np.zeros((h, w), dtype="<f4")
         for idx, (off, cnt) in enumerate(
@@ -298,17 +301,18 @@ def read_tiff_meta(buf: bytes) -> list[dict]:
         ):
             block = np.frombuffer(
                 zlib.decompress(buf[off : off + cnt]), dtype="<f4"
-            ).reshape(tile, tile)
+            ).reshape(tile_len, tile)
             ty, tx = divmod(idx, ncols)
-            y0, x0 = ty * tile, tx * tile
-            arr[y0 : y0 + tile, x0 : x0 + tile] = block[
-                : min(tile, h - y0), : min(tile, w - x0)
+            y0, x0 = ty * tile_len, tx * tile
+            arr[y0 : y0 + tile_len, x0 : x0 + tile] = block[
+                : min(tile_len, h - y0), : min(tile, w - x0)
             ]
         out.append(
             {
                 "width": w,
                 "height": h,
                 "tile": tile,
+                "tile_length": tile_len,
                 "is_overview": bool(tags.get(_NEWSUBFILETYPE, [0])[0] & 1),
                 "compression": tags[_COMPRESSION][0],
                 "sample_format": tags[_SAMPLEFORMAT][0],

@@ -250,6 +250,9 @@ def _messages_v2(buf: bytes, addr: int):
     size0 = _u(buf, off, 1 << (flags & 0x03))
     off += 1 << (flags & 0x03)
     creation_tracked = bool(flags & 0x04)
+    # "size of chunk 0" covers messages + gap, NOT the prefix/checksum;
+    # a continuation message's length covers the whole OCHK block
+    # (signature + messages + gap + checksum)
     blocks = [(off, size0, False)]
     while blocks:
         off, size, chk = blocks.pop(0)
@@ -258,7 +261,7 @@ def _messages_v2(buf: bytes, addr: int):
                 raise ValueError("bad OCHK signature")
             off += 4
             size -= 8  # signature + trailing checksum
-        end = off + size - 4  # gap/checksum tail
+        end = off + size
         while off + 4 <= end:
             mtype = buf[off]
             msize = _u(buf, off + 1, 2)

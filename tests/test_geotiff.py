@@ -126,3 +126,55 @@ def test_roundtrip_property_random_rasters():
         assert (top["nodata"] is None) == (nodata is None)
 
     check()
+
+
+def test_reader_handles_non_square_tiles():
+    """TileWidth and TileLength are independent TIFF 6.0 tags; a valid
+    file with 8x4 tiles (w x h) must reshape as (tile_length,
+    tile_width).  Hand-built single-IFD TIFF: 8 wide, 8 tall, two
+    stacked 8x4 tiles."""
+    import struct
+    import zlib
+
+    arr = _ramp(8, 8)
+    tiles = [arr[:4, :], arr[4:, :]]
+    blobs = [zlib.compress(t.astype("<f4").tobytes()) for t in tiles]
+
+    def entry(tag, typ, vals):
+        fmt = {3: "H", 4: "I"}[typ]
+        raw = struct.pack("<" + fmt * len(vals), *vals)
+        raw = raw.ljust(4, b"\x00")
+        return struct.pack("<HHI", tag, typ, len(vals)) + raw[:4]
+
+    # layout: header(8) + IFD + tile data
+    ntags = 11
+    ifd_size = 2 + 12 * ntags + 4
+    data0 = 8 + ifd_size
+    offs = [data0, data0 + len(blobs[0])]
+    tags = [
+        entry(256, 4, [8]),               # ImageWidth
+        entry(257, 4, [8]),               # ImageLength
+        entry(258, 3, [32]),              # BitsPerSample
+        entry(259, 3, [8]),               # Compression: deflate
+        entry(262, 3, [1]),               # Photometric
+        entry(277, 3, [1]),               # SamplesPerPixel
+        entry(322, 3, [8]),               # TileWidth
+        entry(323, 3, [4]),               # TileLength  != width
+        entry(324, 4, offs)[:8] + struct.pack("<I", 0),  # placeholder
+        entry(325, 4, [len(b) for b in blobs])[:8] + struct.pack("<I", 0),
+        entry(339, 3, [3]),               # SampleFormat: float
+    ]
+    # multi-value LONG tags (2 values = 8 bytes) need an offset — put
+    # them after the tile data
+    arrays_off = data0 + sum(len(b) for b in blobs)
+    tags[8] = struct.pack("<HHII", 324, 4, 2, arrays_off)
+    tags[9] = struct.pack("<HHII", 325, 4, 2, arrays_off + 8)
+    buf = b"II\x2a\x00" + struct.pack("<I", 8)
+    buf += struct.pack("<H", ntags) + b"".join(tags) + struct.pack("<I", 0)
+    assert len(buf) == data0
+    buf += b"".join(blobs)
+    buf += struct.pack("<II", *offs)
+    buf += struct.pack("<II", *[len(b) for b in blobs])
+    top = read_tiff_meta(buf)[0]
+    assert top["tile"] == 8 and top["tile_length"] == 4
+    np.testing.assert_array_equal(top["array"], arr)

@@ -181,3 +181,59 @@ def test_cogify_stage_runs_hdf5_granules(spark, tmp_path):
     assert len(rows) == 3
     assert all(r.cogify_error is None for r in rows)
     assert all(r.s3_filename.endswith(".tif") for r in rows)
+
+
+def test_v2_superblock_ohdr_compact_links():
+    """'Latest-format' files (H5F_LIBVER_LATEST — some GPM/OMI
+    granules): superblock v2 + OHDR root group with compact Link
+    messages.  The fixture is hand-assembled from the public spec
+    (independent of the module's own v0 writer), referencing a dataset
+    written with v1 machinery."""
+    import struct
+
+    # dataset: v1 object header + contiguous data, via the writer's
+    # building blocks
+    arr = np.arange(6, dtype=np.float32).reshape(2, 3)
+    v0 = H.write_hdf5({"d": (arr, {"_FillValue": np.float32(-5.0)})})
+    # lift the dataset object header + data out of the v0 file by
+    # re-resolving, then rebuild a fresh file image by hand
+    body = bytearray(b"\x00" * 48)  # superblock v2 placeholder
+    data_addr = len(body)
+    body += arr.tobytes()
+    msgs = [
+        (0x0001, H._ds_message(arr.shape)),
+        (0x0003, H._dt_message(arr.dtype)),
+        (0x0005, H._fill_message(None)),
+        (0x0008, struct.pack("<BBQQ", 3, 1, data_addr, arr.nbytes)),
+        (0x000C, H._attr_message("_FillValue", np.float32(-5.0))),
+    ]
+    while len(body) % 8:
+        body += b"\x00"
+    ds_header = len(body)
+    body += H._object_header_v1(msgs)
+
+    # root group: OHDR v2, one hard Link message "precip" -> ds_header
+    name = b"precip"
+    link = bytes([1, 0x08, 0])  # version, flags(link-type present), type=0 hard
+    link += bytes([len(name)]) + name + struct.pack("<Q", ds_header)
+    msg = bytes([0x06]) + struct.pack("<H", len(link)) + bytes([0]) + link
+    chunk0 = msg  # no gap
+    ohdr = b"OHDR" + bytes([2, 0]) + bytes([len(chunk0)]) + chunk0
+    ohdr += b"\x00" * 4  # checksum (unchecked by reader)
+    while len(body) % 8:
+        body += b"\x00"
+    root = len(body)
+    body += ohdr
+
+    sb = H.MAGIC + bytes([2, 8, 8, 0])
+    sb += struct.pack("<QQQQ", 0, H.UNDEF, len(body), root)
+    sb += b"\x00" * 4  # checksum (unchecked)
+    assert len(sb) == 48
+    body[0:48] = sb
+    buf = bytes(body)
+
+    assert H.superblock(buf) == (2, root)
+    assert H.list_datasets(buf) == ["precip"]
+    a, fill = H.read_variable(buf, "precip")
+    np.testing.assert_array_equal(a, arr)
+    assert fill == np.float32(-5.0)
