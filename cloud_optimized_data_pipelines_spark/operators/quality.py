@@ -156,3 +156,152 @@ def unigram_logprob(
             "mean_logprob"
         ),
     )
+
+
+def ngram_repetition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_ns: tuple[int, ...] = (2, 3),
+    dup_ns: tuple[int, ...] = (5,),
+    max_top_frac: dict[int, float] | None = None,
+    max_dup_frac: dict[int, float] | None = None,
+) -> DataFrame:
+    """Gopher/MassiveText repetition rules (Rae et al. 2021, table A1
+    second half): n-gram repetition coverage per document.
+
+    Exact, cross-engine-checkable definitions (documented because the
+    oracle recomputes them):
+
+    - ``top{n}_char_frac`` = cnt * length(gram) / length(text) for the
+      single most frequent word n-gram (ties broken by largest gram
+      string, so max(struct(cnt, gram)) is deterministic on any
+      engine);
+    - ``dup{n}_char_frac`` = sum over n-grams occurring more than once
+      of cnt * length(gram), / length(text).  Overlapping occurrences
+      each count their full character span — a faithful repetition
+      signal with an exactly specifiable oracle (Gopher's prose
+      definition does not pin down overlap handling).
+
+    ``keep`` applies the A1 thresholds (defaults: top-2 0.20, top-3
+    0.18, dup-5 0.15).  Integer counts and lengths are exact; the only
+    floats are the final divisions.
+
+    Plan: ONE explode of all requested n-gram sizes tagged by n ->
+    (doc, n, gram) count -> per-doc conditional aggregation -> join
+    back to the corpus (docs too short for any n-gram keep zero
+    fractions).  Two partial-aggregated shuffles, no windows over the
+    corpus, no Python.
+    """
+    max_top_frac = max_top_frac or {2: 0.20, 3: 0.18}
+    max_dup_frac = max_dup_frac or {5: 0.15}
+    ns = sorted(set(top_ns) | set(dup_ns))
+    toks = tokens(F.col(text_col))
+    k = F.size(toks)
+    empty = F.expr(
+        "CAST(array() AS ARRAY<STRUCT<n INT, gram STRING>>)"
+    )
+    def _gram_part(n: int):
+        # NOTE: the lambda must be unary — F.transform treats a binary
+        # lambda as f(element, array_index)
+        return F.when(
+            k >= n,
+            F.transform(
+                F.sequence(F.lit(1), k - F.lit(n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).cast("int").alias("n"),
+                    F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
+                ),
+            ),
+        ).otherwise(empty)
+
+    parts = [_gram_part(n) for n in ns]
+    grams = (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.flatten(F.array(*parts))).alias("g"))
+        .select("doc", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
+    counts = grams.groupBy("doc", "n", "gram").agg(F.count("*").alias("cnt"))
+    gchars = F.col("cnt") * F.length("gram")
+    aggs = []
+    for n in top_ns:
+        aggs.append(
+            F.max(
+                F.when(F.col("n") == n, F.struct(F.col("cnt"), F.col("gram")))
+            ).alias(f"_top{n}")
+        )
+    for n in dup_ns:
+        aggs.append(
+            F.sum(
+                F.when((F.col("n") == n) & (F.col("cnt") > 1), gchars).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias(f"_dup{n}")
+        )
+    per_doc = counts.groupBy("doc").agg(*aggs)
+    out = df.join(per_doc, df[id_col] == per_doc["doc"], "left").drop("doc")
+    text_len = F.length(text_col).cast("double")
+    keep = F.lit(True)
+    for n in top_ns:
+        top_chars = (
+            F.col(f"_top{n}.cnt") * F.length(F.col(f"_top{n}.gram"))
+        ).cast("double")
+        frac = F.coalesce(top_chars / text_len, F.lit(0.0))
+        out = out.withColumn(f"top{n}_char_frac", frac)
+        keep = keep & (F.col(f"top{n}_char_frac") <= max_top_frac[n])
+    for n in dup_ns:
+        frac = F.coalesce(F.col(f"_dup{n}").cast("double") / text_len, F.lit(0.0))
+        out = out.withColumn(f"dup{n}_char_frac", frac)
+        keep = keep & (F.col(f"dup{n}_char_frac") <= max_dup_frac[n])
+    drop = [f"_top{n}" for n in top_ns] + [f"_dup{n}" for n in dup_ns]
+    return out.withColumn("keep", keep).drop(*drop)
+
+
+def line_repetition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    line_sep: str = "\n",
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+) -> DataFrame:
+    """Gopher duplicate-line rules: ``dup_line_frac`` = (lines -
+    distinct lines) / lines and ``dup_line_char_frac`` = characters in
+    ALL occurrences of lines appearing more than once / total line
+    characters.  Empty lines are dropped before counting.  Same
+    two-shuffle partial-agg shape as :func:`word_stats`."""
+    lines = F.filter(F.split(F.col(text_col), F.lit(line_sep)), lambda x: x != "")
+    exploded = df.select(
+        F.col(id_col).alias("doc"), F.explode(lines).alias("line")
+    )
+    per_line = exploded.groupBy("doc", "line").agg(F.count("*").alias("cnt"))
+    per_doc = per_line.groupBy("doc").agg(
+        F.sum("cnt").cast("long").alias("n_lines"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(F.col("cnt") * F.length("line")).cast("long").alias("chars"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.length("line")).otherwise(0))
+        .cast("long")
+        .alias("dup_chars"),
+    )
+    out = df.join(per_doc, df[id_col] == per_doc["doc"], "left").drop("doc")
+    n_lines = F.coalesce(F.col("n_lines"), F.lit(0)).cast("long")
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.col("n_distinct")).cast("double") / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    dup_char_frac = F.when(
+        F.coalesce(F.col("chars"), F.lit(0)) > 0,
+        F.col("dup_chars").cast("double") / F.col("chars").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        out.withColumn("n_lines", n_lines)
+        .withColumn("dup_line_frac", dup_line_frac)
+        .withColumn("dup_line_char_frac", dup_char_frac)
+        .withColumn(
+            "keep",
+            (F.col("dup_line_frac") <= max_dup_line_frac)
+            & (F.col("dup_line_char_frac") <= max_dup_line_char_frac),
+        )
+        .drop("n_distinct", "chars", "dup_chars")
+    )

@@ -3883,6 +3883,120 @@ def text_gopher_quality_q(spark, sf_dir):
     )
 
 
+_NGRAM_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, nn.n AS n,
+         array_to_string(list_slice(tk, t.i, t.i + nn.n - 1), ' ') AS gram
+  FROM toks, (VALUES (2), (3), (5)) AS nn(n),
+       UNNEST(range(1, len(tk) - nn.n + 2)) AS t(i)
+),
+c AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM g GROUP BY doc_id, n, gram),
+r AS (SELECT doc_id, n, cnt * length(gram) AS chars,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                ORDER BY cnt DESC, gram DESC) AS rn
+      FROM c),
+top2 AS (SELECT doc_id, chars FROM r WHERE n = 2 AND rn = 1),
+top3 AS (SELECT doc_id, chars FROM r WHERE n = 3 AND rn = 1),
+dup5 AS (SELECT doc_id,
+                SUM(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS chars
+         FROM c WHERE n = 5 GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(CAST(t2.chars AS DOUBLE) / length(d.text), 0.0) AS top2_char_frac,
+       COALESCE(CAST(t3.chars AS DOUBLE) / length(d.text), 0.0) AS top3_char_frac,
+       COALESCE(CAST(d5.chars AS DOUBLE) / length(d.text), 0.0) AS dup5_char_frac,
+       (COALESCE(CAST(t2.chars AS DOUBLE) / length(d.text), 0.0) <= 0.20
+        AND COALESCE(CAST(t3.chars AS DOUBLE) / length(d.text), 0.0) <= 0.18
+        AND COALESCE(CAST(d5.chars AS DOUBLE) / length(d.text), 0.0) <= 0.15) AS keep
+FROM documents d
+LEFT JOIN top2 t2 USING (doc_id)
+LEFT JOIN top3 t3 USING (doc_id)
+LEFT JOIN dup5 d5 USING (doc_id)
+"""
+
+
+@query("text_ngram_repetition", _NGRAM_REPETITION)
+def text_ngram_repetition_q(spark, sf_dir):
+    """Gopher repetition coverage (operators/quality.py::
+    ngram_repetition): top-2/top-3-gram and duplicate-5-gram character
+    fractions with the table-A1 thresholds.  All counts/lengths are
+    exact integers; the fractions are single final divisions, and the
+    top-gram tie-break (largest gram among max counts) makes
+    max(struct(cnt, gram)) deterministic cross-engine."""
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        ngram_repetition,
+    )
+
+    t = load_tables(spark, sf_dir)
+    out = ngram_repetition(t["documents"], "doc_id", "text")
+    return out.select(
+        "doc_id", "top2_char_frac", "top3_char_frac", "dup5_char_frac", "keep"
+    )
+
+
+def _bm25_oracle(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle mirroring operators/ranking.py::bm25_scores with the SAME
+    float-determinism discipline: integer aggregates into a fixed
+    expression tree (constants embedded at Python-double precision via
+    repr), avgdl as SUM/COUNT not AVG, per-term columns added in
+    sorted-term order."""
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    score_terms = " + ".join(
+        f"COALESCE(SUM(CASE WHEN term = '{t}' THEN sc END), 0.0)"
+        for t in sorted(set(terms))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+words AS (SELECT doc_id, UNNEST(tk) AS term FROM toks),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM words WHERE term IN ({tlist}) GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT t.doc_id, t.term,
+         ln((CAST(st.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+            / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+         * (CAST(t.tf AS DOUBLE) * {k1 + 1.0!r})
+         / (CAST(t.tf AS DOUBLE)
+            + {k1!r} * ({1.0 - b!r} + {b!r} * CAST(d.dl AS DOUBLE) / st.avgdl)) AS sc
+  FROM tf t
+  JOIN dfreq f USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats st
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, {score_terms} AS score
+FROM s GROUP BY doc_id
+"""
+
+
+_BM25_TERMS = ["spark", "table", "query", "window"]
+
+
+@query("text_bm25_scores", _bm25_oracle(_BM25_TERMS))
+def text_bm25_scores_q(spark, sf_dir):
+    """Okapi BM25 relevance of every document against a fixed 4-term
+    query (operators/ranking.py::bm25_scores) — the lexical-retrieval
+    baseline next to embedding similarity.  Bit-identical doubles by
+    construction: integer tf/df/N/dl aggregates, avgdl = SUM/COUNT,
+    fixed-order per-term addition."""
+    from cloud_optimized_data_pipelines_spark.operators.ranking import (
+        bm25_scores,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return bm25_scores(t["documents"], "doc_id", "text", _BM25_TERMS)
+
+
 # ---------------------------------------------------------------------------
 # Registration order.  The driver's correctness harness grades the FIRST
 # 50 registrations only (CORRECTNESS_r01/r02 both cut off at 50), so the

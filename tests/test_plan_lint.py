@@ -33,6 +33,7 @@ NESTED_LOOP_OK = {
         " + 1-row query vector — n x 16 and n x 1 nested loops"
     ),
     "text_unigram_logprob": "corpus-total scalar crossJoin (1-row broadcast)",
+    "text_bm25_scores": "N/avgdl corpus-stats scalar crossJoin (1-row broadcast)",
 }
 
 

@@ -326,3 +326,100 @@ def test_token_budget_mix_fills_and_overshoots_by_at_most_one(spark):
     # shifts the tail — the kept set is still exactly budget-sized
     assert len(kept_after) == 6
     assert len(kept_before & kept_after) >= 4
+
+
+def test_ngram_repetition_flags_repetitive_doc(spark):
+    """A doc dominated by one repeated phrase trips the top-2-gram and
+    dup-5-gram rules; a diverse doc keeps."""
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        ngram_repetition,
+    )
+
+    rep = "spam ham " * 20  # "spam ham" 2-gram everywhere
+    # long diverse doc: every n-gram unique, top-gram mass tiny
+    div = " ".join(f"w{i}x{i * 7 % 13}" for i in range(80))
+    df = spark.createDataFrame(
+        [(1, rep.strip()), (2, div)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in ngram_repetition(df, "doc_id", "text").collect()}
+    assert out[1].top2_char_frac > 0.2 and not out[1].keep
+    assert out[1].dup5_char_frac > 0.15
+    assert out[2].dup5_char_frac == 0.0 and out[2].keep
+
+
+def test_ngram_repetition_exact_values(spark):
+    """cnt * len(gram) / len(text) against a hand computation, incl.
+    the deterministic tie-break (largest gram among max counts)."""
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        ngram_repetition,
+    )
+
+    text = "x y x y z"  # 2-grams: "x y"(2), "y x"(1), "y z"(1)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = ngram_repetition(df, "doc_id", "text").collect()[0]
+    assert r.top2_char_frac == pytest.approx(2 * len("x y") / len(text))
+    # dup5: only one 5-gram, cnt=1 -> 0
+    assert r.dup5_char_frac == 0.0
+
+
+def test_ngram_repetition_short_doc_zero_fracs(spark):
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        ngram_repetition,
+    )
+
+    df = spark.createDataFrame([(1, "single")], "doc_id long, text string")
+    r = ngram_repetition(df, "doc_id", "text").collect()[0]
+    assert r.top2_char_frac == 0.0 and r.dup5_char_frac == 0.0 and r.keep
+
+
+def test_line_repetition_duplicate_lines(spark):
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        line_repetition,
+    )
+
+    text = "copy me\nunique one\ncopy me\ncopy me\nanother"
+    df = spark.createDataFrame([(1, text), (2, "a\nb\nc")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in line_repetition(df, "doc_id", "text").collect()}
+    r = out[1]
+    assert r.n_lines == 5
+    assert r.dup_line_frac == pytest.approx((5 - 3) / 5)
+    chars = 3 * len("copy me") + len("unique one") + len("another")
+    assert r.dup_line_char_frac == pytest.approx(3 * len("copy me") / chars)
+    assert not r.keep
+    assert out[2].dup_line_frac == 0.0 and out[2].keep
+
+
+def test_bm25_orders_by_relevance_and_length(spark):
+    """More on-topic term mass ranks higher; BM25's length norm ranks a
+    short on-topic doc above a long one with equal tf; off-topic docs
+    are absent from the output."""
+    from cloud_optimized_data_pipelines_spark.operators.ranking import (
+        bm25_scores,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark table spark table spark"),
+            (2, "spark table " + "filler " * 30),
+            (3, "nothing relevant here at all"),
+            (4, "table"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in
+            bm25_scores(df, "doc_id", "text", ["spark", "table"]).collect()}
+    assert 3 not in rows
+    assert rows[1].n_hits == 2 and rows[4].n_hits == 1
+    assert rows[1].score > rows[2].score > 0
+    assert rows[1].score > rows[4].score
+
+
+def test_bm25_rejects_empty_query(spark):
+    from cloud_optimized_data_pipelines_spark.operators.ranking import (
+        bm25_scores,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_scores(df, "doc_id", "text", [])
