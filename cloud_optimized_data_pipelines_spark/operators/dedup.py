@@ -153,18 +153,25 @@ def positional_shingle_index(
     occurrence — NOT distinct (unlike :func:`shingle_index`), because
     span detection needs every occurrence.  Docs shorter than n words
     emit nothing (no span of length n exists in them)."""
-    toks = tokens(F.col(text_col))
-    k = F.size(toks)
-    grams = F.when(
-        k >= n,
-        F.transform(
-            F.sequence(F.lit(1), k - F.lit(n - 1)),
-            lambda i: F.struct(
-                i.cast("long").alias("pos"),
-                F.concat_ws(" ", F.slice(toks, i, n)).alias("shingle"),
+    # let-bind the token array (single-element transform) — an inlined
+    # tokens() would re-split the text once per emitted gram, O(k^2)
+    # per doc (see functions/text.py::word_shingles)
+    def _grams(toks):
+        k = F.size(toks)
+        return F.when(
+            k >= n,
+            F.transform(
+                F.sequence(F.lit(1), k - F.lit(n - 1)),
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.concat_ws(" ", F.slice(toks, i, n)).alias("shingle"),
+                ),
             ),
-        ),
-    ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<pos BIGINT, shingle STRING>>)"))
+        ).otherwise(
+            F.expr("CAST(array() AS ARRAY<STRUCT<pos BIGINT, shingle STRING>>)")
+        )
+
+    grams = F.transform(F.array(tokens(F.col(text_col))), _grams)[0]
     return (
         _spread(df)
         .select(F.col(id_col).alias("doc"), F.explode(grams).alias("g"))

@@ -196,11 +196,19 @@ def ngram_repetition(
     max_top_frac = max_top_frac or {2: 0.20, 3: 0.18}
     max_dup_frac = max_dup_frac or {5: 0.15}
     ns = sorted(set(top_ns) | set(dup_ns))
-    toks = tokens(F.col(text_col))
+    # materialize the token array as a REAL column before the lambdas:
+    # codegen common-subexpression elimination does not reach inside
+    # higher-order functions, so tokens() inlined in the transform
+    # below would re-split the text once per emitted gram — O(tokens^2)
+    # per doc (the c1_extract_dates lesson; measured 217 s -> linear
+    # after this hoist at the 100x probe)
+    toked = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tk"))
+    toks = F.col("_tk")
     k = F.size(toks)
     empty = F.expr(
         "CAST(array() AS ARRAY<STRUCT<n INT, gram STRING>>)"
     )
+
     def _gram_part(n: int):
         # NOTE: the lambda must be unary — F.transform treats a binary
         # lambda as f(element, array_index)
@@ -217,7 +225,7 @@ def ngram_repetition(
 
     parts = [_gram_part(n) for n in ns]
     grams = (
-        df.select(F.col(id_col).alias("doc"), F.explode(F.flatten(F.array(*parts))).alias("g"))
+        toked.select("doc", F.explode(F.flatten(F.array(*parts))).alias("g"))
         .select("doc", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
     )
     counts = grams.groupBy("doc", "n", "gram").agg(F.count("*").alias("cnt"))
