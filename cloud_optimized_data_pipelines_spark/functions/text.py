@@ -87,12 +87,21 @@ def punct_ratio(text: Column | str) -> Column:
     )
 
 
+def _lowered_tokens(text: Column | str) -> Column:
+    return F.transform(tokens(text), lambda t: F.lower(t))
+
+
 def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    """Let-bound (see :func:`word_shingles`): the lowered token array is
+    computed once, not once per reference."""
     sw = F.array(*[F.lit(w) for w in (stopwords or _ENGLISH_STOPWORDS)])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    n = F.size(toks)
-    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+    def build(toks: Column) -> Column:
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        n = F.size(toks)
+        return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+    return F.transform(F.array(_lowered_tokens(text)), build)[0]
 
 
 def quality_score(text: Column | str) -> Column:
@@ -116,7 +125,7 @@ def quality_score(text: Column | str) -> Column:
 
 def lang_scores(text: Column | str) -> dict[str, Column]:
     """Stopword-hit count per language (the n-gram-free langid heuristic)."""
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    toks = _lowered_tokens(text)
     out: dict[str, Column] = {}
     for lang in LANG_ORDER:
         sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
@@ -126,16 +135,32 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
 
 def detect_language(text: Column | str) -> Column:
     """argmax over lang_scores with fixed LANG_ORDER tie-break;
-    'und' (undetermined) when no stopword hits at all."""
-    scores = lang_scores(text)
-    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
-    result = F.lit("und")
-    # build reverse so earlier languages win ties via later .when override
-    for lang in reversed(LANG_ORDER):
-        result = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(
-            result
-        )
-    return result
+    'und' (undetermined) when no stopword hits at all.
+
+    Double let-binding: the lowered token array is computed once, the
+    per-language hit counts once (as one bound array) — the naive
+    composition re-evaluated the token split and each language filter
+    per reference (~18 evaluations/row across argmax + tie-break)."""
+
+    def build_scores(toks: Column) -> Column:
+        def hits(lang: str) -> Column:
+            sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+            return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+        return F.array(*[hits(lang) for lang in LANG_ORDER])
+
+    def build_argmax(sarr: Column) -> Column:
+        best = F.array_max(sarr)
+        result = F.lit("und")
+        # build reverse so earlier languages win ties via later override
+        for idx in reversed(range(len(LANG_ORDER))):
+            result = F.when(
+                (best > 0) & (sarr[idx] == best), F.lit(LANG_ORDER[idx])
+            ).otherwise(result)
+        return result
+
+    scores_arr = F.transform(F.array(_lowered_tokens(text)), build_scores)[0]
+    return F.transform(F.array(scores_arr), build_argmax)[0]
 
 
 def doc_fingerprint(text: Column | str, n: int = 3) -> Column:
@@ -156,17 +181,19 @@ def minhash_signature(text: Column | str, num_hashes: int = 16, n: int = 3) -> C
     estimation, and pure codegen — the 100 TB path never shuffles until
     the LSH band join.
     """
-    shingles = word_shingles(text, n)
+    def build(shingles: Column) -> Column:
+        def component(i: int) -> Column:
+            # NB: single-arg lambda — a two-arg lambda would make Spark
+            # bind the second parameter to the array index
+            prefix = f"{i}:"
+            return F.array_min(
+                F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+            )
 
-    def component(i: int) -> Column:
-        # NB: single-arg lambda — a two-arg lambda would make Spark bind
-        # the second parameter to the array index
-        prefix = f"{i}:"
-        return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
-        )
+        return F.array(*[component(i) for i in range(num_hashes)])
 
-    return F.array(*[component(i) for i in range(num_hashes)])
+    # let-bound: the shingle array is built once, not once per hash
+    return F.transform(F.array(word_shingles(text, n)), build)[0]
 
 
 def lsh_band_hashes(signature: Column, num_bands: int, rows_per_band: int) -> Column:
