@@ -1,19 +1,26 @@
-"""Pure-numpy reader/writer for CLASSIC netCDF (CDF-1 / CDF-2).
+"""Pure-numpy reader/writer for CLASSIC netCDF (CDF-1 / CDF-2 / CDF-5).
 
 The reference's cogify stage reads one 2-D variable (+ optional x/y
 coordinate vectors and a fill value) out of a netCDF file
 (``lambdas/cogify/handler.py:81-103``).  netCDF4/HDF5 is not available
 in this container, but the *classic* netCDF format (magic ``CDF\\x01``
-/ ``CDF\\x02``) is a small, fully public binary layout (the NetCDF
-Classic Format Specification), so this module implements it directly:
+/ ``CDF\\x02``, plus the PnetCDF 64-bit-data variant ``CDF\\x05``)
+is a small, fully public binary layout (the NetCDF Classic Format
+Specification and the NetCDF 64-bit Data Format Specification), so
+this module implements it directly:
 
 - :func:`read_header` parses dims / global attrs / variable metadata;
 - :func:`read_variable` materializes a named variable as a numpy array
   (big-endian on disk, row-major; record variables stitched across
   records), with its ``_FillValue`` attribute when present;
 - :func:`write_classic` emits a minimal standards-conforming CDF-1
-  file (dims, per-variable attrs, non-record variables) so tests can
-  round-trip real bytes without any external library.
+  (or, with ``version=5``, CDF-5) file so tests can round-trip real
+  bytes without any external library.
+
+CDF-5 per the spec: every NON_NEG field (counts, name lengths, dim
+sizes, dimids, vsize, numrecs) widens to 64 bits, offsets are 64-bit,
+and the unsigned / 64-bit integer types (NC_UBYTE..NC_UINT64) become
+available.
 
 HDF5-backed netCDF-4 files still require the real libraries and stay
 behind the import-try in ``operators/cogify.py``.
@@ -28,6 +35,7 @@ import numpy as np
 
 _MAGIC1 = b"CDF\x01"
 _MAGIC2 = b"CDF\x02"
+_MAGIC5 = b"CDF\x05"
 
 _NC_DIMENSION = 0x0A
 _NC_VARIABLE = 0x0B
@@ -41,8 +49,22 @@ _TYPES = {
     4: (">i4", 4),  # NC_INT
     5: (">f4", 4),  # NC_FLOAT
     6: (">f8", 8),  # NC_DOUBLE
+    # CDF-5 only:
+    7: ("u1", 1),  # NC_UBYTE
+    8: (">u2", 2),  # NC_USHORT
+    9: (">u4", 4),  # NC_UINT
+    10: (">i8", 8),  # NC_INT64
+    11: (">u8", 8),  # NC_UINT64
 }
 _INV_TYPES = {"int8": 1, "int16": 3, "int32": 4, "float32": 5, "float64": 6}
+_INV_TYPES_V5 = {
+    **_INV_TYPES,
+    "uint8": 7,
+    "uint16": 8,
+    "uint32": 9,
+    "int64": 10,
+    "uint64": 11,
+}
 
 
 def _pad4(n: int) -> int:
@@ -72,9 +94,14 @@ class NcHeader:
 
 
 class _Reader:
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, version: int = 1):
         self.buf = buf
         self.pos = 0
+        self.version = version
+
+    def nn(self) -> int:
+        """NON_NEG per spec: 32-bit in CDF-1/2, 64-bit in CDF-5."""
+        return self.u64() if self.version == 5 else self.u32()
 
     def u32(self) -> int:
         (v,) = struct.unpack_from(">I", self.buf, self.pos)
@@ -87,7 +114,7 @@ class _Reader:
         return v
 
     def name(self) -> str:
-        n = self.u32()
+        n = self.nn()
         s = self.buf[self.pos : self.pos + n].decode("utf-8")
         self.pos += n + _pad4(n)
         return s
@@ -103,7 +130,7 @@ class _Reader:
 
     def att_list(self) -> dict:
         tag = self.u32()
-        count = self.u32()
+        count = self.nn()
         if tag == 0 and count == 0:
             return {}
         if tag != _NC_ATTRIBUTE:
@@ -112,40 +139,40 @@ class _Reader:
         for _ in range(count):
             nm = self.name()
             t = self.u32()
-            n = self.u32()
+            n = self.nn()
             vals = self.values(t, n)
             out[nm] = vals if isinstance(vals, str) or len(vals) != 1 else vals[0]
         return out
 
 
 def read_header(buf: bytes) -> NcHeader:
-    if buf[:4] not in (_MAGIC1, _MAGIC2):
-        raise ValueError("not a classic netCDF (CDF-1/CDF-2) file")
+    if buf[:4] not in (_MAGIC1, _MAGIC2, _MAGIC5):
+        raise ValueError("not a classic netCDF (CDF-1/CDF-2/CDF-5) file")
     version = buf[3]
-    r = _Reader(buf)
+    r = _Reader(buf, version)
     r.pos = 4
-    numrecs = r.u32()  # 0xFFFFFFFF = STREAMING
+    numrecs = r.nn()  # all-ones = STREAMING
     # dim_list
-    tag, count = r.u32(), r.u32()
+    tag, count = r.u32(), r.nn()
     dims: list[tuple[str, int]] = []
     if tag == _NC_DIMENSION:
         for _ in range(count):
-            dims.append((r.name(), r.u32()))
+            dims.append((r.name(), r.nn()))
     elif not (tag == 0 and count == 0):
         raise ValueError(f"bad dim-list tag 0x{tag:x}")
     gatts = r.att_list()
     # var_list
-    tag, count = r.u32(), r.u32()
+    tag, count = r.u32(), r.nn()
     variables: dict[str, NcVar] = {}
     if tag == _NC_VARIABLE:
         for _ in range(count):
             nm = r.name()
-            ndims = r.u32()
-            dimids = [r.u32() for _ in range(ndims)]
+            ndims = r.nn()
+            dimids = [r.nn() for _ in range(ndims)]
             vatts = r.att_list()
             nc_type = r.u32()
-            vsize = r.u32()
-            begin = r.u64() if version == 2 else r.u32()
+            vsize = r.nn()
+            begin = r.u64() if version in (2, 5) else r.u32()
             variables[nm] = NcVar(nm, dimids, nc_type, vsize, begin, vatts)
     elif not (tag == 0 and count == 0):
         raise ValueError(f"bad var-list tag 0x{tag:x}")
@@ -181,7 +208,8 @@ def _record_layout(hdr: NcHeader) -> tuple[list[NcVar], int]:
 def _resolve_numrecs(hdr: NcHeader, buf: bytes) -> int:
     """numrecs, deriving it from the file size when the header carries
     the 0xFFFFFFFF STREAMING sentinel (writer didn't know the count)."""
-    if hdr.numrecs != 0xFFFFFFFF:
+    sentinel = 0xFFFFFFFFFFFFFFFF if hdr.version == 5 else 0xFFFFFFFF
+    if hdr.numrecs != sentinel:
         return hdr.numrecs
     rec_vars, recsize = _record_layout(hdr)
     if not rec_vars or recsize == 0:
@@ -230,6 +258,7 @@ def write_classic(
     dims: list[tuple[str, int]] | None = None,
     gatts: dict | None = None,
     var_dims: dict[str, list[str]] | None = None,
+    version: int = 1,
 ) -> bytes:
     """Minimal CDF-1 writer: each entry is ``name -> (array, attrs)``;
     dims are derived from array shapes when not given.  A dim of size 0
@@ -239,7 +268,13 @@ def write_classic(
     ``var_dims`` (variable -> list of dim names) to bind axes by name;
     without it axes bind by first-fit on size, which is rejected as
     ambiguous when two supplied dims share a size.  Used by tests to
-    produce REAL classic-netCDF bytes for the decode path."""
+    produce REAL classic-netCDF bytes for the decode path.
+    ``version=5`` emits CDF-5 (64-bit NON_NEGs and offsets, unsigned /
+    64-bit integer dtypes)."""
+    if version not in (1, 5):
+        raise ValueError("version must be 1 (CDF-1) or 5 (CDF-5)")
+    P = ">Q" if version == 5 else ">I"  # NON_NEG width
+    inv_types = _INV_TYPES_V5 if version == 5 else _INV_TYPES
     arrays = {n: np.asarray(a) for n, (a, _) in variables.items()}
     if dims is None:
         dims = []
@@ -296,31 +331,31 @@ def write_classic(
 
     def enc_name(s: str) -> bytes:
         b = s.encode()
-        return struct.pack(">I", len(b)) + b + b"\x00" * _pad4(len(b))
+        return struct.pack(P, len(b)) + b + b"\x00" * _pad4(len(b))
 
     def enc_values(vals) -> tuple[int, bytes]:
         if isinstance(vals, str):
             b = vals.encode()
-            return 2, struct.pack(">I", len(b)) + b + b"\x00" * _pad4(len(b))
+            return 2, struct.pack(P, len(b)) + b + b"\x00" * _pad4(len(b))
         arr = np.asarray(vals)
-        t = _INV_TYPES[str(arr.dtype)]
+        t = inv_types[str(arr.dtype)]
         dt, sz = _TYPES[t]
         raw = arr.astype(dt).tobytes()
-        return t, struct.pack(">I", arr.size) + raw + b"\x00" * _pad4(len(raw))
+        return t, struct.pack(P, arr.size) + raw + b"\x00" * _pad4(len(raw))
 
     def enc_attrs(attrs: dict) -> bytes:
         if not attrs:
-            return struct.pack(">II", 0, 0)
-        out = struct.pack(">II", _NC_ATTRIBUTE, len(attrs))
+            return struct.pack(">I", 0) + struct.pack(P, 0)
+        out = struct.pack(">I", _NC_ATTRIBUTE) + struct.pack(P, len(attrs))
         for k, v in attrs.items():
             t, payload = enc_values(v)
             out += enc_name(k) + struct.pack(">I", t) + payload
         return out
 
-    header = _MAGIC1 + struct.pack(">I", numrecs)
-    header += struct.pack(">II", _NC_DIMENSION, len(dims))
+    header = (_MAGIC5 if version == 5 else _MAGIC1) + struct.pack(P, numrecs)
+    header += struct.pack(">I", _NC_DIMENSION) + struct.pack(P, len(dims))
     for nm, size in dims:
-        header += enc_name(nm) + struct.pack(">I", size)
+        header += enc_name(nm) + struct.pack(P, size)
     header += enc_attrs(gatts or {})
 
     # variable metadata needs data offsets — two passes
@@ -328,7 +363,7 @@ def write_classic(
     var_meta = []
     for n, (a, attrs) in variables.items():
         arr = arrays[n]
-        t = _INV_TYPES[str(arr.dtype)]
+        t = inv_types[str(arr.dtype)]
         dt, sz = _TYPES[t]
         is_rec = n in rec_names
         if is_rec:
@@ -340,14 +375,17 @@ def write_classic(
         var_meta.append((n, dimids[n], attrs, t, vsize, nbytes, arr.astype(dt), is_rec))
 
     def var_entry(n, ids, attrs, t, vsize, begin) -> bytes:
-        out = enc_name(n) + struct.pack(">I", len(ids))
-        out += b"".join(struct.pack(">I", i) for i in ids)
+        out = enc_name(n) + struct.pack(P, len(ids))
+        out += b"".join(struct.pack(P, i) for i in ids)
         out += enc_attrs(attrs)
-        out += struct.pack(">III", t, vsize, begin)
+        out += struct.pack(">I", t) + struct.pack(P, vsize)
+        out += struct.pack(">Q" if version == 5 else ">I", begin)
         return out
 
     # sizing pass with begin=0, then real pass
-    probe = struct.pack(">II", _NC_VARIABLE, len(var_meta)) + b"".join(
+    probe = (
+        struct.pack(">I", _NC_VARIABLE) + struct.pack(P, len(var_meta))
+    ) + b"".join(
         var_entry(n, ids, attrs, t, vsize, 0)
         for n, ids, attrs, t, vsize, _, _, _ in var_meta
     )
@@ -364,7 +402,9 @@ def write_classic(
         if is_rec:
             begins[i] = off
             off += nbytes if single_rec else vsize
-    body = struct.pack(">II", _NC_VARIABLE, len(var_meta)) + b"".join(
+    body = (
+        struct.pack(">I", _NC_VARIABLE) + struct.pack(P, len(var_meta))
+    ) + b"".join(
         var_entry(n, ids, attrs, t, vsize, begin)
         for (n, ids, attrs, t, vsize, _, _, _), begin in zip(var_meta, begins)
     )

@@ -174,3 +174,52 @@ def test_cogify_stage_runs_real_files(spark, tmp_path):
     assert len(rows) == 3
     assert all(r.cogify_error is None for r in rows)
     assert all(r.s3_filename.endswith(".tif") for r in rows)
+
+
+def test_cdf5_roundtrip_64bit_types_and_records():
+    """CDF-5 (magic CDF\\x05): 64-bit NON_NEGs everywhere and the
+    unsigned / 64-bit integer types, with interleaved record vars."""
+    time = np.array([10, 20, 30], dtype=np.int64)
+    counts = np.arange(12, dtype=np.uint64).reshape(3, 4) * np.uint64(10**15)
+    flags = np.array([1, 2, 250], dtype=np.uint8)
+    buf = write_classic(
+        {
+            "time": (time, {}),
+            "counts": (counts, {"_FillValue": np.uint64(0)}),
+            "flags": (flags, {}),
+        },
+        dims=[("time", 0), ("x", 4), ("f", 3)],
+        var_dims={"time": ["time"], "counts": ["time", "x"], "flags": ["f"]},
+        version=5,
+    )
+    assert buf[:4] == b"CDF\x05"
+    hdr = read_header(buf)
+    assert hdr.version == 5 and hdr.numrecs == 3
+    t, _ = read_variable(buf, "time")
+    np.testing.assert_array_equal(t, time)
+    assert t.dtype == np.int64
+    c, fill = read_variable(buf, "counts")
+    np.testing.assert_array_equal(c, counts)
+    assert c.dtype == np.uint64 and fill == np.uint64(0)
+    f, _ = read_variable(buf, "flags")
+    np.testing.assert_array_equal(f, flags)
+
+
+def test_cdf5_streaming_sentinel():
+    data = np.arange(8, dtype=np.float64).reshape(4, 2)
+    buf = bytearray(
+        write_classic(
+            {"v": (data, {})},
+            dims=[("t", 0), ("x", 2)],
+            var_dims={"v": ["t", "x"]},
+            version=5,
+        )
+    )
+    buf[4:12] = b"\xff" * 8  # 64-bit STREAMING numrecs
+    v, _ = read_variable(bytes(buf), "v")
+    np.testing.assert_array_equal(v, data)
+
+
+def test_cdf5_rejects_unsigned_types_in_cdf1():
+    with pytest.raises(KeyError):
+        write_classic({"u": (np.array([1], dtype=np.uint32), {})})
