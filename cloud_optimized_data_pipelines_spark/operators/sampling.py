@@ -154,3 +154,43 @@ def token_budget_mix(
         .filter((F.col("cum_tokens") - tok) < F.col("_budget"))
         .drop("_rnk", "_bkt", "_base", "_budget")
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    score_col: str,
+    fractions: tuple[float, ...] = (1.0 / 3, 2.0 / 3),
+    labels: tuple[str, ...] = ("tail", "middle", "head"),
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): split a
+    scored corpus into head/middle/tail by exact percentile cutoffs of
+    the score distribution (for CCNet the score is an LM log-prob —
+    high = stereotypical "head", low = junk "tail"; compose with
+    ``quality.unigram_logprob``).
+
+    Scale shape: ONE exact-percentile aggregate over the score column
+    (a 1-row scalar; at corpus scale swap in ``approx_percentile``,
+    same plan), broadcast back as a cross join, then a pure narrow
+    label expression — no corpus-wide sort or window (an ``ntile``
+    formulation would globally sort the corpus through one task chain).
+    Cutoff comparisons are reproducible cross-engine: Spark
+    ``percentile`` interpolates identically to DuckDB
+    ``quantile_cont`` on the same doubles.
+    """
+    if len(labels) != len(fractions) + 1:
+        raise ValueError("need exactly one more label than cut fractions")
+    cuts = df.agg(
+        *[
+            F.percentile(F.col(score_col), float(f)).alias(f"_cut{i}")
+            for i, f in enumerate(fractions)
+        ]
+    )
+    out = df.crossJoin(F.broadcast(cuts))
+    label: Column = F.lit(labels[0])
+    for i in range(len(fractions)):
+        label = F.when(
+            F.col(score_col) > F.col(f"_cut{i}"), F.lit(labels[i + 1])
+        ).otherwise(label)
+    return out.withColumn("bucket", label).drop(
+        *[f"_cut{i}" for i in range(len(fractions))]
+    )

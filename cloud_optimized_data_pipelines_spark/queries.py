@@ -3620,6 +3620,67 @@ def text_unigram_logprob_q(spark, sf_dir):
     return unigram_logprob(t["documents"], "doc_id", "text")
 
 
+_CCNET_BUCKETS = f"""
+WITH words AS (
+  SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+vocab AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
+tot AS (SELECT SUM(cnt) AS total FROM vocab),
+scored AS (
+  SELECT doc_id, word,
+         ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
+  FROM words JOIN vocab USING (word) CROSS JOIN tot
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         list_reduce(
+           list_transform(
+             list_sort(list(struct_pack(w := word, l := logp))), s -> s.l),
+           (a, b) -> a + b) AS sum_logp
+  FROM scored GROUP BY doc_id
+),
+lp AS (
+  SELECT doc_id, sum_logp / CAST(n_tokens AS DOUBLE) AS mean_logprob
+  FROM per_doc
+),
+cuts AS (
+  SELECT quantile_cont(mean_logprob, {1.0 / 3!r}) AS c0,
+         quantile_cont(mean_logprob, {2.0 / 3!r}) AS c1
+  FROM lp
+)
+SELECT lp.doc_id, lp.mean_logprob,
+       CASE WHEN lp.mean_logprob > c.c1 THEN 'head'
+            WHEN lp.mean_logprob > c.c0 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM lp CROSS JOIN cuts c
+"""
+
+
+@query("sample_ccnet_buckets", _CCNET_BUCKETS)
+def sample_ccnet_buckets_q(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (operators/sampling.py::
+    perplexity_buckets over quality.unigram_logprob): exact tercile
+    cutoffs of the per-doc unigram log-prob, broadcast as a 1-row
+    scalar, then a narrow label expression — no corpus-wide sort.
+    Doubles are reproducible end-to-end: the log-prob fold is already
+    bit-identical cross-engine, and Spark `percentile` interpolates
+    identically to DuckDB `quantile_cont` (same fraction literal at
+    Python-double precision)."""
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        unigram_logprob,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        perplexity_buckets,
+    )
+
+    t = load_tables(spark, sf_dir)
+    scored = unigram_logprob(t["documents"], "doc_id", "text").select(
+        "doc_id", "mean_logprob"
+    )
+    return perplexity_buckets(scored, "mean_logprob")
+
+
 _FUZZY_PAIRS = """
 WITH pref AS (
   SELECT doc_id, substr(text, 1, 40) AS p FROM documents

@@ -34,6 +34,10 @@ NESTED_LOOP_OK = {
     ),
     "text_unigram_logprob": "corpus-total scalar crossJoin (1-row broadcast)",
     "text_bm25_scores": "N/avgdl corpus-stats scalar crossJoin (1-row broadcast)",
+    "sample_ccnet_buckets": (
+        "percentile-cutoff scalar crossJoin (1-row broadcast) atop the"
+        " unigram-logprob corpus-total scalar"
+    ),
 }
 
 

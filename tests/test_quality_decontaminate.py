@@ -423,3 +423,20 @@ def test_bm25_rejects_empty_query(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bm25_scores(df, "doc_id", "text", [])
+
+
+def test_perplexity_buckets_terciles(spark):
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        perplexity_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(9)], "doc_id long, s double"
+    )
+    out = {r.doc_id: r.bucket for r in perplexity_buckets(df, "s").collect()}
+    # cutoffs: percentile(1/3)=8/3≈2.67, percentile(2/3)≈5.33
+    assert [out[i] for i in range(9)] == (
+        ["tail"] * 3 + ["middle"] * 3 + ["head"] * 3
+    )
+    with pytest.raises(ValueError):
+        perplexity_buckets(df, "s", fractions=(0.5,), labels=("a", "b", "c"))
