@@ -18,8 +18,9 @@ reader (:func:`read_variable`, :func:`read_attrs`, :func:`list_children`)
   dense fractal-heap link storage raises a clear error;
 - datasets: dataspace v1/v2, fixed-point / float / string datatypes in
   either byte order, fill value v1/v2/v3, layout v3 contiguous and
-  chunked (v1 B-tree chunk index), filter pipeline v1/v2 with deflate
-  and shuffle;
+  chunked (v1 B-tree chunk index) plus layout v4's latest-format chunk
+  indexes (single-chunk, implicit, non-paged fixed array), filter
+  pipeline v1/v2 with deflate and shuffle;
 - attributes v1 and v3 (scalar + simple arrays), e.g. ``_FillValue``.
 
 writer (:func:`write_hdf5`) — fixture generator emitting a minimal
@@ -79,6 +80,12 @@ class _Dataset:
     data_size: int = 0
     chunk_dims: tuple[int, ...] = ()
     btree_addr: int = UNDEF
+    # layout v4 (latest-format) chunk indexes: 0 = v1 B-tree (layout
+    # v3), else the v4 chunk index type (1 single, 2 implicit, 3 fixed
+    # array)
+    chunk_index_type: int = 0
+    single_chunk_size: int = 0
+    single_chunk_mask: int = 0
     filters: list[tuple[int, tuple[int, ...]]] = field(default_factory=list)
     fill: bytes | None = None
     attrs: dict = field(default_factory=dict)
@@ -371,24 +378,57 @@ def _parse_dataset(buf: bytes, header_addr: int) -> _Dataset:
         elif mtype == 0x0005:
             ds.fill = _parse_fill(body)
         elif mtype == 0x0008:
-            if body[0] != 3:
-                raise ValueError(f"layout version {body[0]} (need v3)")
-            ds.layout_class = body[1]
-            if ds.layout_class == 0:  # compact
-                ds.data_size = _u(body, 2, 2)
-                ds.data_addr = -1  # inline; stored in message body
-                ds._compact = bytes(body[4 : 4 + ds.data_size])
-            elif ds.layout_class == 1:
-                ds.data_addr = _u(body, 2, 8)
-                ds.data_size = _u(body, 10, 8)
-            elif ds.layout_class == 2:
-                nd = body[2]
-                ds.btree_addr = _u(body, 3, 8)
-                ds.chunk_dims = tuple(
-                    _u(body, 11 + 4 * i, 4) for i in range(nd - 1)
-                )
+            if body[0] == 3:
+                ds.layout_class = body[1]
+                if ds.layout_class == 0:  # compact
+                    ds.data_size = _u(body, 2, 2)
+                    ds.data_addr = -1  # inline; stored in message body
+                    ds._compact = bytes(body[4 : 4 + ds.data_size])
+                elif ds.layout_class == 1:
+                    ds.data_addr = _u(body, 2, 8)
+                    ds.data_size = _u(body, 10, 8)
+                elif ds.layout_class == 2:
+                    nd = body[2]
+                    ds.btree_addr = _u(body, 3, 8)
+                    ds.chunk_dims = tuple(
+                        _u(body, 11 + 4 * i, 4) for i in range(nd - 1)
+                    )
+                else:
+                    raise ValueError(f"layout class {ds.layout_class}")
+            elif body[0] == 4:
+                # latest-format layout: v4 chunked with the new chunk
+                # index family (libhdf5 H5F_LIBVER_LATEST output)
+                ds.layout_class = body[1]
+                if ds.layout_class != 2:
+                    raise ValueError("layout v4 only supported for chunked")
+                flags = body[2]
+                nd = body[3]
+                enc = body[4]
+                dims = tuple(_u(body, 5 + enc * i, enc) for i in range(nd))
+                # libhdf5 stores rank+1 dims with the element size last
+                ds.chunk_dims = dims[:-1] if nd > 1 else dims
+                off = 5 + enc * nd
+                ds.chunk_index_type = body[off]
+                off += 1
+                if ds.chunk_index_type == 1:  # single chunk
+                    if flags & 0x02:  # filtered single chunk
+                        ds.single_chunk_size = _u(body, off, 8)
+                        off += 8
+                        ds.single_chunk_mask = _u(body, off, 4)
+                        off += 4
+                    ds.btree_addr = _u(body, off, 8)
+                elif ds.chunk_index_type == 2:  # implicit
+                    ds.btree_addr = _u(body, off, 8)
+                elif ds.chunk_index_type == 3:  # fixed array
+                    off += 1  # page bits
+                    ds.btree_addr = _u(body, off, 8)
+                else:
+                    raise ValueError(
+                        "extensible-array / v2-btree chunk indexes not "
+                        f"supported (type {ds.chunk_index_type})"
+                    )
             else:
-                raise ValueError(f"layout class {ds.layout_class}")
+                raise ValueError(f"layout version {body[0]} (need v3/v4)")
         elif mtype == 0x000B:
             ds.filters = _parse_filters(body)
         elif mtype == 0x000C:
@@ -414,6 +454,64 @@ def _walk_chunk_btree(buf: bytes, addr: int, ndim: int, out: list):
         else:
             _walk_chunk_btree(buf, child, ndim, out)
         off += key_size + 8
+
+
+def _read_fixed_array(
+    buf: bytes, hdr_addr: int, coords_list: list, raw_chunk: int
+) -> list:
+    """Fixed Array chunk index (latest-format, layout v4 type 3):
+    FAHD header -> FADB data block holding one element per chunk in
+    row-major grid order (address, plus size+filter-mask when the
+    client type says chunks are filtered)."""
+    if buf[hdr_addr : hdr_addr + 4] != b"FAHD":
+        raise ValueError("bad fixed-array header signature")
+    client = buf[hdr_addr + 5]
+    entry_size = buf[hdr_addr + 6]
+    page_bits = buf[hdr_addr + 7]
+    nmax = _u(buf, hdr_addr + 8, 8)
+    if nmax > (1 << page_bits):
+        raise ValueError("paged fixed-array chunk index not supported")
+    db = _u(buf, hdr_addr + 16, 8)
+    if buf[db : db + 4] != b"FADB":
+        raise ValueError("bad fixed-array data block signature")
+    off = db + 14  # sig(4) + version(1) + client(1) + header addr(8)
+    out = []
+    for i, coords in enumerate(coords_list):
+        base = off + i * entry_size
+        addr = _u(buf, base, 8)
+        if addr == UNDEF:
+            continue
+        if client == 0:
+            out.append((coords, raw_chunk, 0, addr))
+        else:
+            size = _u(buf, base + 8, entry_size - 12)
+            mask = _u(buf, base + entry_size - 4, 4)
+            out.append((coords, size, mask, addr))
+    return out
+
+
+def _chunk_entries(buf: bytes, ds: _Dataset, dt: np.dtype) -> list:
+    """(coords, stored_size, filter_mask, address) per existing chunk,
+    across the v1-B-tree (layout v3) and v4 chunk index families."""
+    if ds.chunk_index_type == 0:
+        out: list = []
+        if ds.btree_addr != UNDEF:
+            _walk_chunk_btree(buf, ds.btree_addr, len(ds.dims), out)
+        return out
+    if ds.btree_addr == UNDEF:
+        return []
+    grid = [range(0, d, c) for d, c in zip(ds.dims, ds.chunk_dims)]
+    coords_list = list(itertools.product(*grid))
+    raw_chunk = int(np.prod(ds.chunk_dims)) * dt.itemsize
+    if ds.chunk_index_type == 1:  # single chunk
+        size = ds.single_chunk_size or raw_chunk
+        return [(coords_list[0], size, ds.single_chunk_mask, ds.btree_addr)]
+    if ds.chunk_index_type == 2:  # implicit: contiguous, unfiltered
+        return [
+            (c, raw_chunk, 0, ds.btree_addr + i * raw_chunk)
+            for i, c in enumerate(coords_list)
+        ]
+    return _read_fixed_array(buf, ds.btree_addr, coords_list, raw_chunk)
 
 
 def _apply_filters(
@@ -472,9 +570,7 @@ def read_variable(buf: bytes, name: str, group: str | None = None):
                 buf, dtype=dt, count=n, offset=ds.data_addr
             ).reshape(ds.dims)
     else:
-        chunks: list = []
-        if ds.btree_addr != UNDEF:
-            _walk_chunk_btree(buf, ds.btree_addr, len(ds.dims), chunks)
+        chunks = _chunk_entries(buf, ds, dt)
         if ds.fill is not None and len(ds.fill) == dt.itemsize:
             arr = np.full(
                 ds.dims, np.frombuffer(ds.fill, dtype=dt)[0], dtype=dt

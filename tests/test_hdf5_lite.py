@@ -237,3 +237,134 @@ def test_v2_superblock_ohdr_compact_links():
     a, fill = H.read_variable(buf, "precip")
     np.testing.assert_array_equal(a, arr)
     assert fill == np.float32(-5.0)
+
+
+def _v4_file(index_type, arr, chunk, blobs_builder):
+    """Hand-assemble a file whose dataset uses a layout-v4 chunk index
+    (latest-format).  blobs_builder(body) -> (index_field_bytes,
+    extra_layout_fields) appends chunk data and returns the address
+    field(s) for the layout message."""
+    import struct
+
+    body = bytearray(b"\x00" * 48)
+    index_fields = blobs_builder(body)
+    nd = arr.ndim + 1
+    layout = bytes([4, 2, index_fields["flags"], nd, 8])
+    for c in chunk:
+        layout += struct.pack("<Q", c)
+    layout += struct.pack("<Q", arr.dtype.itemsize)
+    layout += bytes([index_type]) + index_fields["tail"]
+    msgs = [
+        (0x0001, H._ds_message(arr.shape)),
+        (0x0003, H._dt_message(arr.dtype)),
+        (0x0005, H._fill_message(None)),
+        (0x0008, layout),
+    ]
+    if index_fields.get("filtered"):
+        msgs.append(
+            (
+                0x000B,
+                struct.pack("<BBHI", 1, 1, 0, 0)
+                + struct.pack("<HHHH", 1, 0, 1, 1)
+                + struct.pack("<II", 6, 0),
+            )
+        )
+    while len(body) % 8:
+        body += b"\x00"
+    ds_header = len(body)
+    body += H._object_header_v1(msgs)
+    # root group: OHDR with one hard link
+    name = b"v"
+    link = bytes([1, 0x08, 0, len(name)]) + name + struct.pack("<Q", ds_header)
+    msg = bytes([0x06]) + struct.pack("<H", len(link)) + bytes([0]) + link
+    ohdr = b"OHDR" + bytes([2, 0, len(msg)]) + msg + b"\x00" * 4
+    while len(body) % 8:
+        body += b"\x00"
+    root = len(body)
+    body += ohdr
+    sb = H.MAGIC + bytes([2, 8, 8, 0])
+    sb += struct.pack("<QQQQ", 0, H.UNDEF, len(body), root)
+    sb += b"\x00" * 4
+    body[0:48] = sb
+    return bytes(body)
+
+
+def test_v4_single_chunk_filtered():
+    import struct
+
+    arr = np.arange(12, dtype=np.float32).reshape(3, 4)
+    blob = zlib.compress(arr.tobytes())
+
+    def build(body):
+        addr = len(body)
+        body += blob
+        return {
+            "flags": 0x02,
+            "filtered": True,
+            "tail": struct.pack("<QI", len(blob), 0) + struct.pack("<Q", addr),
+        }
+
+    buf = _v4_file(1, arr, (3, 4), build)
+    a, _ = H.read_variable(buf, "v")
+    np.testing.assert_array_equal(a, arr)
+
+
+def test_v4_implicit_index():
+    import struct
+
+    arr = np.arange(16, dtype=np.int32).reshape(4, 4)
+
+    def build(body):
+        addr = len(body)
+        # implicit: chunks contiguous in row-major grid order, unfiltered
+        for r in (0, 2):
+            for c in (0, 2):
+                body += np.ascontiguousarray(arr[r : r + 2, c : c + 2]).tobytes()
+        return {"flags": 0, "tail": struct.pack("<Q", addr)}
+
+    buf = _v4_file(2, arr, (2, 2), build)
+    a, _ = H.read_variable(buf, "v")
+    np.testing.assert_array_equal(a, arr)
+
+
+def test_v4_fixed_array_filtered():
+    import struct
+
+    arr = (np.arange(64, dtype=np.float64) * 0.5).reshape(8, 8)
+    chunk = (4, 4)
+
+    def build(body):
+        entries = []
+        for r in (0, 4):
+            for c in (0, 4):
+                blob = zlib.compress(
+                    np.ascontiguousarray(arr[r : r + 4, c : c + 4]).tobytes()
+                )
+                addr = len(body)
+                body += blob
+                entries.append((addr, len(blob)))
+        entry_size = 8 + 8 + 4  # addr + size(8) + filter mask
+        # FADB first so the header can point at it
+        while len(body) % 8:
+            body += b"\x00"
+        db = len(body)
+        body += b"FADB" + bytes([0, 1]) + struct.pack("<Q", 0)  # hdr patched no
+        for addr, size in entries:
+            body += struct.pack("<QQI", addr, size, 0)
+        body += b"\x00" * 4  # checksum
+        while len(body) % 8:
+            body += b"\x00"
+        fahd = len(body)
+        body += (
+            b"FAHD"
+            + bytes([0, 1, entry_size, 10])
+            + struct.pack("<QQ", len(entries), db)
+            + b"\x00" * 4
+        )
+        # patch FADB header-address back-pointer
+        body[db + 6 : db + 14] = struct.pack("<Q", fahd)
+        return {"flags": 0, "filtered": True, "tail": bytes([10]) + struct.pack("<Q", fahd)}
+
+    buf = _v4_file(3, arr, chunk, build)
+    a, _ = H.read_variable(buf, "v")
+    np.testing.assert_array_equal(a, arr)
