@@ -661,3 +661,74 @@ def incremental_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__digest", "__rn")
     )
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    spans: DataFrame,
+) -> DataFrame:
+    """The CUT step of ExactSubstr dedup (Lee et al. 2021): given the
+    span table from :func:`duplicate_spans` (doc_a < doc_b, token
+    positions 1-based), remove every duplicated span from the HIGHER-id
+    document of each pair — the first occurrence in corpus order
+    survives, later occurrences are excised, which is the
+    cut-the-span-not-the-doc policy.
+
+    Plan: spans -> per-doc interval list (bounded by that doc's span
+    count — no corpus-wide state), left-join back to the corpus, then a
+    pure column rebuild: tokens are indexed with a position-aware
+    ``transform``, dropped when ANY interval covers them (overlap
+    merging is unnecessary for a membership test), and re-joined with
+    single spaces.  One small aggregate + one broadcast-friendly join +
+    a narrow projection; the token arrays are let-bound (codegen CSE
+    does not reach inside higher-order lambdas).
+
+    Output: the input rows plus ``n_tokens_before``, ``n_tokens_after``
+    and ``text_dedup`` (docs with no spans pass through re-joined on
+    single spaces, so the column is uniformly normalized).
+    """
+    ivs = (
+        spans.select(
+            F.col("doc_b").alias("_doc"),
+            F.struct(
+                F.col("start_b").alias("s"),
+                (F.col("start_b") + F.col("span_tokens")).alias("e"),
+            ).alias("iv"),
+        )
+        .groupBy("_doc")
+        .agg(F.collect_list("iv").alias("_ivs"))
+    )
+    out = df.join(ivs, df[id_col] == ivs["_doc"], "left").drop("_doc")
+
+    def rebuild(toks):
+        ivs_col = F.coalesce(
+            F.col("_ivs"),
+            F.expr("CAST(array() AS ARRAY<STRUCT<s BIGINT, e BIGINT>>)"),
+        )
+        indexed = F.transform(
+            toks,
+            lambda t, i: F.struct(t.alias("t"), (i + 1).cast("long").alias("p")),
+        )
+        kept = F.filter(
+            indexed,
+            lambda x: ~F.exists(
+                ivs_col,
+                lambda iv: (x["p"] >= iv["s"]) & (x["p"] < iv["e"]),
+            ),
+        )
+        return F.struct(
+            F.size(toks).cast("long").alias("before"),
+            F.size(kept).cast("long").alias("after"),
+            F.concat_ws(" ", F.transform(kept, lambda x: x["t"])).alias("txt"),
+        )
+
+    built = F.transform(F.array(tokens(F.col(text_col))), rebuild)[0]
+    return (
+        out.withColumn("_b", built)
+        .withColumn("n_tokens_before", F.col("_b.before"))
+        .withColumn("n_tokens_after", F.col("_b.after"))
+        .withColumn("text_dedup", F.col("_b.txt"))
+        .drop("_ivs", "_b")
+    )

@@ -3820,6 +3820,73 @@ def dedup_substring_spans_q(spark, sf_dir):
     return D.duplicate_spans(t["documents"], "doc_id", "text", n=8)
 
 
+_SUBSTR_CUT = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+idx0 AS (
+  SELECT doc_id, i AS pos, array_to_string(list_slice(tk, i, i + 7), ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(tk) - 6)) AS t(i)
+),
+freq AS (SELECT shingle FROM idx0 GROUP BY shingle HAVING COUNT(*) <= 1000),
+idx AS (SELECT idx0.* FROM idx0 JOIN freq USING (shingle)),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT *, pos_a - ROW_NUMBER() OVER (
+      PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+  FROM m
+),
+spans AS (
+  SELECT doc_a, doc_b,
+         MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+         CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+  FROM runs GROUP BY doc_a, doc_b, diag, grp
+),
+ivs AS (
+  SELECT doc_b AS doc,
+         list(struct_pack(s := start_b, e := start_b + span_tokens)) AS ivs
+  FROM spans GROUP BY doc_b
+),
+sel AS (
+  SELECT t.doc_id, t.tk, COALESCE(v.ivs, []) AS ivs
+  FROM toks t LEFT JOIN ivs v ON v.doc = t.doc_id
+),
+cutx AS (
+  SELECT doc_id, tk,
+         list_filter(tk, (x, i) ->
+           len(list_filter(ivs, iv -> i >= iv.s AND i < iv.e)) = 0) AS kept
+  FROM sel
+)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens_before,
+       CAST(len(kept) AS BIGINT) AS n_tokens_after,
+       COALESCE(array_to_string(kept, ' '), '') AS text_dedup
+FROM cutx
+"""
+
+
+@query("dedup_substring_cut", _SUBSTR_CUT)
+def dedup_substring_cut_q(spark, sf_dir):
+    """The CUT step of ExactSubstr dedup (operators/dedup.py::
+    cut_duplicate_spans over duplicate_spans): every duplicated
+    word-8-gram run is excised from the higher-id document of its pair;
+    first occurrences survive.  The oracle rebuilds the cut text
+    independently (index-aware list_filter over the same guarded span
+    table), so the hash covers the full detect→cut pipeline including
+    the rebuilt text bytes."""
+    t = load_tables(spark, sf_dir)
+    spans = D.duplicate_spans(t["documents"], "doc_id", "text", n=8)
+    out = D.cut_duplicate_spans(t["documents"], "doc_id", "text", spans)
+    return out.select(
+        "doc_id", "n_tokens_before", "n_tokens_after", "text_dedup"
+    )
+
+
 _DUCK_SHINGLES5 = """
 toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk

@@ -440,3 +440,54 @@ def test_perplexity_buckets_terciles(spark):
     )
     with pytest.raises(ValueError):
         perplexity_buckets(df, "s", fractions=(0.5,), labels=("a", "b", "c"))
+
+
+def test_cut_duplicate_spans_excises_later_occurrence(spark):
+    """ExactSubstr cut policy: the lower-id doc keeps the shared span,
+    the higher-id doc has it excised; untouched docs pass through
+    re-joined on single spaces."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        cut_duplicate_spans,
+        duplicate_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 {shared} a4 a5"),
+            (2, f"b1 {shared} b2 b3 b4 b5"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(df, "doc_id", "text", n=8)
+    out = {
+        r.doc_id: r
+        for r in cut_duplicate_spans(df, "doc_id", "text", spans).collect()
+    }
+    assert out[1].n_tokens_after == out[1].n_tokens_before == 17
+    assert shared in out[1].text_dedup
+    assert out[2].n_tokens_after == 5
+    assert out[2].text_dedup == "b1 b2 b3 b4 b5"
+    assert out[3].text_dedup == out[3].text_dedup.strip()
+    assert out[3].n_tokens_after == 10
+
+
+def test_cut_duplicate_spans_overlapping_intervals(spark):
+    """A doc that is doc_b of two overlapping spans loses the union of
+    the intervals (membership test needs no merge step)."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        cut_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(5, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [(1, 5, 1, 2, 4), (2, 5, 1, 4, 3)],
+        "doc_a long, doc_b long, start_a long, start_b long, span_tokens long",
+    )
+    r = cut_duplicate_spans(df, "doc_id", "text", spans).collect()[0]
+    # intervals [2,6) and [4,7) -> cut positions 2..6 -> keep 1,7,8,9,10
+    assert r.n_tokens_after == 5
+    assert r.text_dedup == "t1 t7 t8 t9 t10"
