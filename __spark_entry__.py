@@ -68,7 +68,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (same column names/types)."""
+    """DuckDB-equivalent SQL per query (same column names/types).
+
+    Entries registered as callables (oracles whose construction does
+    real work, e.g. the COG reference conversions) are resolved here —
+    once — so importing the query registry stays cheap."""
     from cloud_optimized_data_pipelines_spark.queries import ORACLE
 
+    for k, v in list(ORACLE.items()):
+        if callable(v):
+            ORACLE[k] = v()
     return dict(ORACLE)

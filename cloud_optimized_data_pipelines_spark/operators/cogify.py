@@ -83,22 +83,37 @@ def _stub_decode(payload_path: str, variable_name: str | None):
     return arr, float(nodata)
 
 
-def _real_decode(payload_path, variable_name, group):  # pragma: no cover
-    """HDF5-backed netCDF-4 read via the real library when present
-    (cogify/handler.py:81-96 semantics)."""
+def _real_decode(
+    payload_path,
+    variable_name,
+    group,
+    x_variable=None,
+    y_variable=None,
+):  # pragma: no cover - lib-dependent
+    """netCDF-4 / HDF read via the real library when present
+    (cogify/handler.py:81-101 semantics), incl. the x/y coordinate
+    bbox so library and pure-numpy paths emit identical geo tags."""
+    import numpy as np
     from netCDF4 import Dataset
 
     src = Dataset(payload_path, "r")
-    if group is None:
-        variable = src[variable_name][:]
-        nodata = variable.fill_value
-    else:
-        variable = src.groups[group][variable_name]
-        nodata = variable._FillValue
-        variable = variable[:]
-    import numpy as np
-
-    return np.asarray(variable), float(nodata)
+    node = src if group is None else src.groups[group]
+    variable = node[variable_name]
+    nodata = getattr(variable, "_FillValue", None)
+    if nodata is None:
+        nodata = getattr(variable[:], "fill_value", None)
+    arr = np.asarray(variable[:])
+    bbox = None
+    if x_variable and y_variable:
+        xs = np.asarray(node[x_variable][:])
+        ys = np.asarray(node[y_variable][:])
+        bbox = (
+            float(xs.min()),
+            float(ys.min()),
+            float(xs.max()),
+            float(ys.max()),
+        )
+    return arr, (float(nodata) if nodata is not None else None), bbox
 
 
 def _finish_decode(
@@ -167,8 +182,9 @@ def _decode(
             # and OMI inputs, group paths per example.ini:13-24): real
             # library first, pure-numpy hdf5_lite decode otherwise
             if _have_raster_libs():  # pragma: no cover - lib-dependent
-                arr, nodata = _real_decode(payload_path, variable_name, group)
-                return arr, nodata, None
+                return _real_decode(
+                    payload_path, variable_name, group, x_variable, y_variable
+                )
             from cloud_optimized_data_pipelines_spark.sources.hdf5_lite import (
                 read_variable,
             )
@@ -176,8 +192,15 @@ def _decode(
             return _finish_decode(
                 read_variable, buf, variable_name, group, x_variable, y_variable
             )
+        if _have_raster_libs():  # pragma: no cover - lib-dependent
+            # other formats the installed library may read (e.g. HDF4
+            # HDF-EOS2 granules via an HDF4-enabled netCDF build)
+            return _real_decode(
+                payload_path, variable_name, group, x_variable, y_variable
+            )
         raise ValueError(
-            "file exists but is neither classic netCDF nor HDF5"
+            "file exists but is neither classic netCDF nor HDF5, and "
+            "netCDF4/rasterio are not installed"
         )
     arr, nodata = _stub_decode(payload_path, variable_name)
     return arr, nodata, None

@@ -91,9 +91,14 @@ def unigram_logprob(
     rare-token soup / junk; high = stereotypical text).
 
     Cross-engine float determinism is engineered: per-token log-probs
-    are log(count/total) of EXACT integer counts (identical doubles on
-    any engine), and the per-doc sum is a left fold over the
-    token-sorted array — not a shuffle-order-dependent SUM().
+    are log(count/total) of EXACT integer counts, ROUNDED to 9 decimals
+    at the term level — JVM Math.log and libm ln legitimately differ by
+    1 ulp on ~2-8%% of arguments (measured 305/4000 on this stack), and
+    the rounding collapses that divergence (residual risk is a value
+    within 1 ulp of a rounding boundary, ~1e-6 per distinct ratio).
+    All downstream arithmetic is identical on identical doubles, and
+    the per-doc sum is a left fold over the token-sorted array — not a
+    shuffle-order-dependent SUM().
 
     Plan: explode -> token-count join on ``word`` -> per-doc sorted
     collect + fold.  The vocab side carries NO broadcast hint: a
@@ -123,9 +128,12 @@ def unigram_logprob(
             .select(
                 "doc",
                 "word",
-                F.log(
-                    F.coalesce(F.col("cnt"), F.col("oov_cnt")).cast("double")
-                    / F.col("total").cast("double")
+                F.round(
+                    F.log(
+                        F.coalesce(F.col("cnt"), F.col("oov_cnt")).cast("double")
+                        / F.col("total").cast("double")
+                    ),
+                    9,
                 ).alias("logp"),
             )
         )
@@ -136,8 +144,12 @@ def unigram_logprob(
             .select(
                 "doc",
                 "word",
-                F.log(
-                    F.col("cnt").cast("double") / F.col("total").cast("double")
+                F.round(
+                    F.log(
+                        F.col("cnt").cast("double")
+                        / F.col("total").cast("double")
+                    ),
+                    9,
                 ).alias("logp"),
             )
         )
@@ -193,8 +205,21 @@ def ngram_repetition(
     fractions).  Two partial-aggregated shuffles, no windows over the
     corpus, no Python.
     """
-    max_top_frac = max_top_frac or {2: 0.20, 3: 0.18}
-    max_dup_frac = max_dup_frac or {5: 0.15}
+    # Gopher table-A1 defaults for every published n; user-supplied
+    # thresholds override per-n
+    max_top_frac = {**{2: 0.20, 3: 0.18, 4: 0.16}, **(max_top_frac or {})}
+    max_dup_frac = {
+        **{5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10},
+        **(max_dup_frac or {}),
+    }
+    missing = [n for n in top_ns if n not in max_top_frac] + [
+        n for n in dup_ns if n not in max_dup_frac
+    ]
+    if missing:
+        raise ValueError(
+            f"no threshold for n={sorted(set(missing))}; pass "
+            "max_top_frac/max_dup_frac entries for non-Gopher sizes"
+        )
     ns = sorted(set(top_ns) | set(dup_ns))
     # materialize the token array as a REAL column before the lambdas:
     # codegen common-subexpression elimination does not reach inside

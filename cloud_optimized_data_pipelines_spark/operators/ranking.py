@@ -16,10 +16,13 @@ Cross-engine float determinism is engineered the way the quality
 operators do it: every input to the float expression is an exact
 integer aggregate (tf, df, N, dl, sum(dl)); ``avgdl`` is
 ``CAST(SUM(dl) AS DOUBLE) / N`` (never a float AVG, whose accumulation
-order differs between engines); and the per-document total is a sum of
-per-term columns in FIXED expression order, not an aggregation over a
-shuffle-ordered set — so the doubles are bit-identical on any engine
-evaluating the same formula tree.
+order differs between engines); the idf is ROUNDED to 9 decimals
+because JVM Math.log and libm ln differ by 1 ulp on a few percent of
+arguments (the only non-exactly-rounded operation in the formula); and
+the per-document total is a sum of per-term columns in FIXED
+expression order, not an aggregation over a shuffle-ordered set — so
+the doubles are bit-identical on any engine evaluating the same
+formula tree.
 
 Scale shape: one token explode filtered to the query terms (a narrow
 codegen filter — the explode output for a q-term query is only the
@@ -73,10 +76,13 @@ def bm25_scores(
         .join(dl, "doc")
         .crossJoin(F.broadcast(stats))
     )
-    idf = F.log(
-        (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
-        / (F.col("df").cast("double") + F.lit(0.5))
-        + F.lit(1.0)
+    idf = F.round(
+        F.log(
+            (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        9,
     )
     norm = F.col("tf").cast("double") + F.lit(float(k1)) * (
         F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl").cast("double") / F.col("avgdl")

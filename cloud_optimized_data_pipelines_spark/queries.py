@@ -2372,7 +2372,7 @@ FROM documents d JOIN cells c ON c.variant = d.doc_id % 8
 """
 
 
-@query("k1_cogify_real_bytes", _cog_probe_oracle())
+@query("k1_cogify_real_bytes", _cog_probe_oracle)
 def k1_cogify_real_bytes_q(spark, sf_dir):
     """REAL-bytes variant of the cogify stage: per variant, classic
     netCDF bytes are WRITTEN, decoded back (netcdf_classic.read_variable
@@ -3579,8 +3579,11 @@ def sample_token_budget_mix_q(spark, sf_dir):
     return out.select("doc_id", "source", "n_tokens", "cum_tokens")
 
 
-_UNIGRAM_LP = """
-WITH words AS (
+# shared CTE chain: per-doc unigram log-prob (term-level round-to-9 —
+# JVM Math.log vs libm ln differ by 1 ulp on a few percent of
+# arguments; see operators/quality.py::unigram_logprob)
+_UNIGRAM_CTES = """
+words AS (
   SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
   FROM documents
 ),
@@ -3588,7 +3591,7 @@ vocab AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
 tot AS (SELECT SUM(cnt) AS total FROM vocab),
 scored AS (
   SELECT doc_id, word,
-         ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
+         round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 9) AS logp
   FROM words JOIN vocab USING (word) CROSS JOIN tot
 ),
 per_doc AS (
@@ -3599,6 +3602,10 @@ per_doc AS (
            (a, b) -> a + b) AS sum_logp
   FROM scored GROUP BY doc_id
 )
+"""
+
+_UNIGRAM_LP = f"""
+WITH {_UNIGRAM_CTES.strip()}
 SELECT doc_id, n_tokens, sum_logp / CAST(n_tokens AS DOUBLE) AS mean_logprob
 FROM per_doc
 """
@@ -3621,25 +3628,7 @@ def text_unigram_logprob_q(spark, sf_dir):
 
 
 _CCNET_BUCKETS = f"""
-WITH words AS (
-  SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
-  FROM documents
-),
-vocab AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
-tot AS (SELECT SUM(cnt) AS total FROM vocab),
-scored AS (
-  SELECT doc_id, word,
-         ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) AS logp
-  FROM words JOIN vocab USING (word) CROSS JOIN tot
-),
-per_doc AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         list_reduce(
-           list_transform(
-             list_sort(list(struct_pack(w := word, l := logp))), s -> s.l),
-           (a, b) -> a + b) AS sum_logp
-  FROM scored GROUP BY doc_id
-),
+WITH {_UNIGRAM_CTES.strip()},
 lp AS (
   SELECT doc_id, sum_logp / CAST(n_tokens AS DOUBLE) AS mean_logprob
   FROM per_doc
@@ -4092,8 +4081,8 @@ tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
 dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
 s AS (
   SELECT t.doc_id, t.term,
-         ln((CAST(st.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
-            / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+         round(ln((CAST(st.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+                  / (CAST(f.df AS DOUBLE) + 0.5) + 1.0), 9)
          * (CAST(t.tf AS DOUBLE) * {k1 + 1.0!r})
          / (CAST(t.tf AS DOUBLE)
             + {k1!r} * ({1.0 - b!r} + {b!r} * CAST(d.dl AS DOUBLE) / st.avgdl)) AS sc

@@ -817,7 +817,6 @@ def write_hdf5(
             heap_data += name.encode() + b"\x00"
             while len(heap_data) % 8:
                 heap_data += b"\x00"
-        heap_seg_addr_pos: int
         heap = (
             b"HEAP"
             + bytes([0, 0, 0, 0])
