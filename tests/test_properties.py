@@ -16,6 +16,7 @@ import calendar
 import re
 from datetime import datetime
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -266,3 +267,132 @@ def test_stratified_sample_is_nested_and_rate_accurate(spark, sf_dir):
         small.filter(F.col("lang") != "en").count()
         == docs.filter(F.col("lang") != "en").count()
     )
+
+
+# --- round-4 operators vs pure-python models --------------------------------
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "spark", "table"])
+_doc_text = st.lists(_word, min_size=0, max_size=30).map(" ".join)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(st.lists(_doc_text, min_size=1, max_size=12))
+def test_ngram_repetition_matches_model(spark, texts):
+    """top/dup n-gram character fractions equal a direct Counter-based
+    model, incl. the (cnt, gram) tie-break."""
+    import collections
+
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        ngram_repetition,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in ngram_repetition(df, "doc_id", "text").collect()}
+    for i, text in enumerate(texts):
+        toks = text.split()
+
+        def fracs(n):
+            grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+            if not grams or not text:
+                return 0.0, 0.0
+            c = collections.Counter(grams)
+            top = max(c.items(), key=lambda kv: (kv[1], kv[0]))
+            topf = top[1] * len(top[0]) / len(text)
+            dupf = sum(v * len(g) for g, v in c.items() if v > 1) / len(text)
+            return topf, dupf
+
+        t2, _ = fracs(2)
+        t3, _ = fracs(3)
+        _, d5 = fracs(5)
+        assert rows[i].top2_char_frac == pytest.approx(t2, abs=1e-12)
+        assert rows[i].top3_char_frac == pytest.approx(t3, abs=1e-12)
+        assert rows[i].dup5_char_frac == pytest.approx(d5, abs=1e-12)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(st.lists(_doc_text.filter(lambda t: t.strip()), min_size=2, max_size=12))
+def test_bm25_matches_model(spark, texts):
+    """BM25 scores equal the textbook formula computed in python with
+    the same rounding discipline."""
+    import math
+
+    from cloud_optimized_data_pipelines_spark.operators.ranking import (
+        bm25_scores,
+    )
+
+    terms = ["spark", "table"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r for r in bm25_scores(df, "doc_id", "text", terms).collect()
+    }
+    docs = [t.split() for t in texts]
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) / n
+    dfreq = {
+        t: sum(1 for d in docs if t in d) for t in terms
+    }
+    for i, d in enumerate(docs):
+        expected = 0.0
+        hits = 0
+        for t in sorted(set(terms)):
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = round(math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0), 9)
+            expected += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(d) / avgdl))
+        if hits == 0:
+            assert i not in rows
+        else:
+            assert rows[i].n_hits == hits
+            assert rows[i].score == pytest.approx(expected, rel=1e-12)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(st.lists(_doc_text, min_size=1, max_size=10))
+def test_cut_duplicate_spans_invariants(spark, texts):
+    """Cut output is always a subsequence of the input tokens, never
+    longer, and byte-equal to the original re-join when no spans
+    exist."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        cut_duplicate_spans,
+        duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    spans = duplicate_spans(df, "doc_id", "text", n=4)
+    rows = {
+        r.doc_id: r
+        for r in cut_duplicate_spans(df, "doc_id", "text", spans).collect()
+    }
+    span_docs = {r.doc_b for r in spans.collect()}
+    for i, text in enumerate(texts):
+        toks = text.split()
+        r = rows[i]
+        assert r.n_tokens_before == len(toks)
+        assert r.n_tokens_after <= r.n_tokens_before
+        kept = r.text_dedup.split() if r.text_dedup else []
+        assert len(kept) == r.n_tokens_after
+        # subsequence check
+        it = iter(toks)
+        assert all(any(k == t for t in it) for k in kept)
+        if i not in span_docs:
+            assert r.text_dedup == " ".join(toks)
