@@ -4153,8 +4153,9 @@ _GRADED_WINDOW = [
     "unpivot_part_metrics",
     "set_ops_customers",
     "join_semi_anti_customers",
-    # events / streaming-shape analytics
-    "events_hourly_window",
+    # events / streaming-shape analytics (hourly windowed agg demoted
+    # r4 — the time-bucket aggregation family stays graded via
+    # rollup_hourly_merge/rollup_cascade_daily)
     "asof_join_last_click",
     "sessionize_batch_events",
     "events_funnel_conversion",
@@ -4182,6 +4183,7 @@ _GRADED_WINDOW = [
     "text_gopher_quality",
     "text_decontaminate",
     "text_unigram_logprob",
+    "text_bm25_scores",
     "k1_cogify_stage",
     "k1_cogify_real_bytes",
     "multimodal_payload_meta",
