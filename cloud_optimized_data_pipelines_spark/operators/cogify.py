@@ -117,13 +117,40 @@ def _real_decode(
 
 
 def _finish_decode(
-    read_variable, buf, variable_name, group, x_variable, y_variable
+    read_variable,
+    buf,
+    variable_name,
+    group,
+    x_variable,
+    y_variable,
+    read_attrs=None,
 ):
     """Shared tail of the real decode paths: 2-D squeeze, fill value,
-    and the x/y coordinate-variable bbox (handler.py:97-101)."""
+    CF packed-data unpacking, and the x/y coordinate-variable bbox
+    (handler.py:97-101).
+
+    CF ``scale_factor`` / ``add_offset`` are applied to non-fill cells
+    (netCDF4-python's auto mask-and-scale — which the reference's
+    ``Dataset(...)`` reads inherit — does the same); fill cells keep
+    the RAW fill value, which stays the nodata tag."""
     kwargs = {"group": group} if group else {}
     arr, fill = read_variable(buf, variable_name, **kwargs)
     arr = arr.squeeze()
+    if read_attrs is not None:
+        import numpy as np
+
+        attrs = read_attrs(buf, variable_name, **kwargs)
+        scale = attrs.get("scale_factor")
+        offset = attrs.get("add_offset")
+        if scale is not None or offset is not None:
+            s = float(scale) if scale is not None else 1.0
+            o = float(offset) if offset is not None else 0.0
+            unpacked = arr.astype("float64") * s + o
+            if fill is not None:
+                unpacked = np.where(
+                    arr == arr.dtype.type(fill), np.float64(fill), unpacked
+                )
+            arr = unpacked
     if arr.ndim != 2:
         raise ValueError(
             f"{variable_name!r} is {arr.ndim}-D after squeeze; "
@@ -171,11 +198,18 @@ def _decode(
             buf = f.read()
         if buf[:3] == b"CDF":
             from cloud_optimized_data_pipelines_spark.sources.netcdf_classic import (
+                read_attrs,
                 read_variable,
             )
 
             return _finish_decode(
-                read_variable, buf, variable_name, None, x_variable, y_variable
+                read_variable,
+                buf,
+                variable_name,
+                None,
+                x_variable,
+                y_variable,
+                read_attrs=lambda b, n, **k: read_attrs(b, n),
             )
         if buf[:8] == b"\x89HDF\r\n\x1a\n":
             # HDF5-backed netCDF-4 / HDF-EOS5 (the reference's GPM IMERG
@@ -186,11 +220,18 @@ def _decode(
                     payload_path, variable_name, group, x_variable, y_variable
                 )
             from cloud_optimized_data_pipelines_spark.sources.hdf5_lite import (
+                read_attrs,
                 read_variable,
             )
 
             return _finish_decode(
-                read_variable, buf, variable_name, group, x_variable, y_variable
+                read_variable,
+                buf,
+                variable_name,
+                group,
+                x_variable,
+                y_variable,
+                read_attrs=read_attrs,
             )
         if _have_raster_libs():  # pragma: no cover - lib-dependent
             # other formats the installed library may read (e.g. HDF4

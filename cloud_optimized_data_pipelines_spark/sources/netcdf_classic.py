@@ -218,6 +218,17 @@ def _resolve_numrecs(hdr: NcHeader, buf: bytes) -> int:
     return (len(buf) - first) // recsize
 
 
+def read_attrs(buf: bytes, name: str) -> dict:
+    """Per-variable attributes (e.g. _FillValue, CF scale_factor /
+    add_offset) — same contract as ``hdf5_lite.read_attrs``."""
+    hdr = read_header(buf)
+    if name not in hdr.variables:
+        raise KeyError(
+            f"variable {name!r} not in file (has {sorted(hdr.variables)})"
+        )
+    return dict(hdr.variables[name].attrs)
+
+
 def read_variable(buf: bytes, name: str):
     """Return (numpy array in native byte order, fill_value | None)."""
     hdr = read_header(buf)

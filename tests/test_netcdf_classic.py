@@ -223,3 +223,42 @@ def test_cdf5_streaming_sentinel():
 def test_cdf5_rejects_unsigned_types_in_cdf1():
     with pytest.raises(KeyError):
         write_classic({"u": (np.array([1], dtype=np.uint32), {})})
+
+
+def test_cf_packed_variable_unpacks_through_cogify(tmp_path):
+    """CF scale_factor/add_offset packing (what netCDF4-python's auto
+    mask-and-scale applies in the reference's Dataset reads): int16
+    packed values unpack to scale*v + offset for valid cells while fill
+    cells keep the RAW fill value as nodata."""
+    from cloud_optimized_data_pipelines_spark.operators.cogify import (
+        _cogify_bytes,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.geotiff import (
+        read_tiff_meta,
+    )
+
+    packed = np.array([[100, 200], [-32768, 400]], dtype=np.int16)
+    buf = write_classic(
+        {
+            "t2m": (
+                packed,
+                {
+                    "_FillValue": np.int16(-32768),
+                    "scale_factor": np.float64(0.01),
+                    "add_offset": np.float64(273.15),
+                },
+            )
+        },
+        dims=[("y", 2), ("x", 2)],
+        var_dims={"t2m": ["y", "x"]},
+    )
+    p = tmp_path / "packed.nc"
+    p.write_bytes(buf)
+    blob = _cogify_bytes(str(p), "t2m", None)
+    top = read_tiff_meta(blob)[0]
+    got = top["array"]
+    assert got[0, 0] == pytest.approx(274.15)  # 100*0.01 + 273.15
+    assert got[0, 1] == pytest.approx(275.15)
+    assert got[1, 1] == pytest.approx(277.15)
+    assert got[1, 0] == np.float32(-32768.0)  # raw fill preserved
+    assert top["nodata"] == ["-32768.0"]
