@@ -135,7 +135,6 @@ def _finish_decode(
     the RAW fill value, which stays the nodata tag."""
     kwargs = {"group": group} if group else {}
     arr, fill = read_variable(buf, variable_name, **kwargs)
-    arr = arr.squeeze()
     if read_attrs is not None:
         import numpy as np
 
@@ -151,11 +150,6 @@ def _finish_decode(
                     arr == arr.dtype.type(fill), np.float64(fill), unpacked
                 )
             arr = unpacked
-    if arr.ndim != 2:
-        raise ValueError(
-            f"{variable_name!r} is {arr.ndim}-D after squeeze; "
-            "cogify needs a 2-D raster"
-        )
     bbox = None
     if x_variable and y_variable:
         xs, _ = read_variable(buf, x_variable, **kwargs)
@@ -175,6 +169,7 @@ def _decode(
     group: str | None,
     x_variable: str | None = None,
     y_variable: str | None = None,
+    collection: str | None = None,
 ):
     """Decode chain, most-real-first:
 
@@ -191,8 +186,37 @@ def _decode(
     3. A non-existent path (the synthetic-fixture case) uses the
        deterministic stub so the rest of the pipeline still runs.
 
+    The tail applies the per-collection orientation fixup to the RAW
+    array exactly like the reference (handler.py:90-93, pre-squeeze);
+    collections without a fixup get a plain squeeze of degenerate dims.
     Returns (array2d, nodata, bbox | None).
     """
+    arr, nodata, bbox = _decode_raw(
+        payload_path, variable_name, group, x_variable, y_variable
+    )
+    # fixups encode the REAL granules' axis layout; the synthetic stub
+    # (non-existent path) already produces a 2-D raster
+    fixup = (
+        ORIENTATION_FIXUPS.get(collection)
+        if os.path.isfile(payload_path)
+        else None
+    )
+    arr = np.ascontiguousarray(fixup(arr)) if fixup else arr.squeeze()
+    if arr.ndim != 2:
+        raise ValueError(
+            f"{variable_name!r} is {arr.ndim}-D after orientation "
+            "fixup/squeeze; cogify needs a 2-D raster"
+        )
+    return arr, nodata, bbox
+
+
+def _decode_raw(
+    payload_path: str,
+    variable_name: str | None,
+    group: str | None,
+    x_variable: str | None = None,
+    y_variable: str | None = None,
+):
     if os.path.isfile(payload_path):
         with open(payload_path, "rb") as f:
             buf = f.read()
@@ -247,6 +271,17 @@ def _decode(
     return arr, nodata, None
 
 
+# Per-collection orientation fixups, matching the reference's
+# hardcoded cases verbatim (handler.py:90-93): GPM IMERG monthly grids
+# arrive (time, lon, lat) and need band-0 transposed; OMI DOAS total
+# ozone arrives north-up-flipped.  Keyed on collection name exactly
+# like the reference; extend the table for new collections.
+ORIENTATION_FIXUPS = {
+    "GPM_3IMERGM": lambda v: np.transpose(v[0]),
+    "OMDOAO3e": np.flipud,
+}
+
+
 def _cogify_bytes(
     payload_path: str,
     variable_name: str | None,
@@ -254,15 +289,18 @@ def _cogify_bytes(
     group: str | None = None,
     x_variable: str | None = None,
     y_variable: str | None = None,
+    collection: str | None = None,
 ) -> bytes:
-    """decode (real for classic netCDF, stub otherwise) -> encode (REAL
+    """decode (real for classic netCDF / HDF5, stub otherwise) ->
+    per-collection orientation fixup (handler.py:90-93) -> encode (REAL
     pure-numpy COG, operators/geotiff.py): tiled 256x256 deflate float32
     + 2x overviews, GeoTIFF tags for EPSG:4326, GDAL nodata — the
     reference output profile (handler.py:133-159) without GDAL."""
     from cloud_optimized_data_pipelines_spark.operators.geotiff import encode_cog
 
     arr, nodata, bbox = _decode(
-        payload_path, variable_name, group, x_variable, y_variable
+        payload_path, variable_name, group, x_variable, y_variable,
+        collection=collection,
     )
     geotransform = tuple(affine) if affine is not None else None
     kwargs = {}
@@ -315,6 +353,7 @@ def cogify_stage(
                         group=row["group"],
                         x_variable=row["x_variable"],
                         y_variable=row["y_variable"],
+                        collection=row["collection"],
                     )
                     stem = os.path.splitext(os.path.basename(row["s3_filename"]))[0]
                     out_names.append(

@@ -100,3 +100,52 @@ def test_routed_pipeline_with_cogify_branch(spark, tmp_path):
     got = {r.collection: r.s3_filename for r in routed.collect()}
     assert got["OMDOAO3e"] == "s3://veda-data-store/OMDOAO3e/a_2022m0101.tif"
     assert got["no2-monthly"] == "s3://src/no2/b_202201.tif"
+
+
+def test_orientation_fixups_match_reference(tmp_path):
+    """Per-collection fixups applied to the RAW array exactly like
+    handler.py:90-93: GPM_3IMERGM -> transpose(v[0]) on the 3-D
+    variable; OMDOAO3e -> flipud."""
+    import numpy as np
+
+    from cloud_optimized_data_pipelines_spark.operators.cogify import (
+        _cogify_bytes,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.geotiff import (
+        read_tiff_meta,
+    )
+    from cloud_optimized_data_pipelines_spark.sources.netcdf_classic import (
+        write_classic,
+    )
+
+    # GPM: (time=1, lon=4, lat=3) variable; expected transpose of band 0
+    gpm = np.arange(12, dtype=np.float32).reshape(1, 4, 3)
+    buf = write_classic(
+        {"precip": (gpm, {})},
+        dims=[("time", 0), ("lon", 4), ("lat", 3)],
+        var_dims={"precip": ["time", "lon", "lat"]},
+    )
+    p = tmp_path / "gpm.nc"
+    p.write_bytes(buf)
+    top = read_tiff_meta(
+        _cogify_bytes(str(p), "precip", None, collection="GPM_3IMERGM")
+    )[0]
+    np.testing.assert_array_equal(top["array"], np.transpose(gpm[0]))
+
+    # OMI: 2-D variable flipped north-up
+    omi = np.arange(12, dtype=np.float32).reshape(3, 4)
+    buf2 = write_classic(
+        {"o3": (omi, {})},
+        dims=[("y", 3), ("x", 4)],
+        var_dims={"o3": ["y", "x"]},
+    )
+    p2 = tmp_path / "omi.nc"
+    p2.write_bytes(buf2)
+    top2 = read_tiff_meta(
+        _cogify_bytes(str(p2), "o3", None, collection="OMDOAO3e")
+    )[0]
+    np.testing.assert_array_equal(top2["array"], np.flipud(omi))
+
+    # unrelated collection: plain squeeze, no fixup
+    top3 = read_tiff_meta(_cogify_bytes(str(p2), "o3", None))[0]
+    np.testing.assert_array_equal(top3["array"], omi)
