@@ -13,6 +13,15 @@ the decode/encode hooks are stubbed behind import-tries with a
 deterministic fake; everything Spark-side — config join, batch shape,
 schema, error capture, output URL derivation — is real and tested.
 
+Deliberate deviation, documented: handler.py:111-139 computes
+``dst_transform`` via ``calculate_default_transform(4326 -> 3857)``
+(Web-Mercator METER units) yet writes the profile with
+``crs=src_crs`` (4326) and never reprojects the pixels — a
+units-mismatched georeference in the reference output.  This engine
+writes the self-consistent EPSG:4326 transform derived from the
+granule bbox instead (what the affine-override path — which the
+reference's real collections use, example.ini — produces anyway).
+
 Scale notes: raster work is memory-heavy (the reference allots 8 GB
 per worker — lambda_stack.py:75).  Keep Arrow batches small via
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in
