@@ -92,83 +92,82 @@ def _stub_decode(payload_path: str, variable_name: str | None):
     return arr, float(nodata)
 
 
-def _real_decode(
-    payload_path,
-    variable_name,
-    group,
-    x_variable=None,
-    y_variable=None,
-):  # pragma: no cover - lib-dependent
-    """netCDF-4 / HDF read via the real library when present
-    (cogify/handler.py:81-101 semantics), incl. the x/y coordinate
-    bbox so library and pure-numpy paths emit identical geo tags."""
-    import numpy as np
-    from netCDF4 import Dataset
-
-    src = Dataset(payload_path, "r")
-    node = src if group is None else src.groups[group]
-    variable = node[variable_name]
-    nodata = getattr(variable, "_FillValue", None)
-    if nodata is None:
-        nodata = getattr(variable[:], "fill_value", None)
-    arr = np.asarray(variable[:])
-    bbox = None
-    if x_variable and y_variable:
-        xs = np.asarray(node[x_variable][:])
-        ys = np.asarray(node[y_variable][:])
-        bbox = (
-            float(xs.min()),
-            float(ys.min()),
-            float(xs.max()),
-            float(ys.max()),
+def _apply_cf_packing(arr, fill, attrs):
+    """CF packed-data unpacking: ``scale_factor * v + add_offset`` for
+    non-fill cells; fill cells keep the RAW fill value (which stays the
+    nodata tag).  netCDF4-python's auto mask-and-scale — which the
+    reference's ``Dataset(...)`` reads inherit — produces the same
+    values for valid cells."""
+    scale = attrs.get("scale_factor")
+    offset = attrs.get("add_offset")
+    if scale is None and offset is None:
+        return arr
+    s = float(scale) if scale is not None else 1.0
+    o = float(offset) if offset is not None else 0.0
+    unpacked = arr.astype("float64") * s + o
+    if fill is not None:
+        unpacked = np.where(
+            arr == arr.dtype.type(fill), np.float64(fill), unpacked
         )
-    return arr, (float(nodata) if nodata is not None else None), bbox
+    return unpacked
 
 
-def _finish_decode(
-    read_variable,
-    buf,
-    variable_name,
-    group,
-    x_variable,
-    y_variable,
-    read_attrs=None,
-):
-    """Shared tail of the real decode paths: 2-D squeeze, fill value,
-    CF packed-data unpacking, and the x/y coordinate-variable bbox
-    (handler.py:97-101).
+def _coord_range(vals, fill):
+    """(min, max) of a coordinate vector, fill cells excluded (netCDF4
+    masked-array min/max semantics)."""
+    if fill is not None:
+        valid = vals[vals != np.float64(fill)]
+        if valid.size:
+            vals = valid
+    return float(vals.min()), float(vals.max())
 
-    CF ``scale_factor`` / ``add_offset`` are applied to non-fill cells
-    (netCDF4-python's auto mask-and-scale — which the reference's
-    ``Dataset(...)`` reads inherit — does the same); fill cells keep
-    the RAW fill value, which stays the nodata tag."""
+
+class _LibReader:  # pragma: no cover - lib-dependent
+    """netCDF4-library reader with the SAME contract (raw values +
+    attrs dict) as NcReader/H5Reader, so the CF unpacking and bbox
+    logic is shared code, not a parallel implementation — library and
+    pure-numpy paths emit identical output.  Auto mask-and-scale is
+    disabled: masked reads fill cells with scaled garbage after
+    np.asarray, and a default masked-array fill (1e20) is NOT the
+    file's fill value."""
+
+    def __init__(self, payload_path):
+        from netCDF4 import Dataset
+
+        self.src = Dataset(payload_path, "r")
+
+    def _var(self, name, group=None):
+        node = self.src if group is None else self.src.groups[group]
+        return node[name]
+
+    def attrs(self, name, group=None):
+        v = self._var(name, group)
+        return {k: v.getncattr(k) for k in v.ncattrs()}
+
+    def read(self, name, group=None):
+        v = self._var(name, group)
+        v.set_auto_maskandscale(False)
+        fill = getattr(v, "_FillValue", None)
+        return np.asarray(v[:]), fill
+
+
+def _finish_decode(reader, variable_name, group, x_variable, y_variable):
+    """Shared tail of ALL decode paths (pure-numpy and library): fill
+    value, CF packed-data unpacking for the variable AND the x/y
+    coordinate vectors, and the coordinate bbox with fill cells
+    excluded (handler.py:97-101)."""
     kwargs = {"group": group} if group else {}
-    arr, fill = read_variable(buf, variable_name, **kwargs)
-    if read_attrs is not None:
-        import numpy as np
-
-        attrs = read_attrs(buf, variable_name, **kwargs)
-        scale = attrs.get("scale_factor")
-        offset = attrs.get("add_offset")
-        if scale is not None or offset is not None:
-            s = float(scale) if scale is not None else 1.0
-            o = float(offset) if offset is not None else 0.0
-            unpacked = arr.astype("float64") * s + o
-            if fill is not None:
-                unpacked = np.where(
-                    arr == arr.dtype.type(fill), np.float64(fill), unpacked
-                )
-            arr = unpacked
+    arr, fill = reader.read(variable_name, **kwargs)
+    arr = _apply_cf_packing(arr, fill, reader.attrs(variable_name, **kwargs))
     bbox = None
     if x_variable and y_variable:
-        xs, _ = read_variable(buf, x_variable, **kwargs)
-        ys, _ = read_variable(buf, y_variable, **kwargs)
-        bbox = (
-            float(xs.min()),
-            float(ys.min()),
-            float(xs.max()),
-            float(ys.max()),
-        )
+        xs, xf = reader.read(x_variable, **kwargs)
+        ys, yf = reader.read(y_variable, **kwargs)
+        xs = _apply_cf_packing(xs, xf, reader.attrs(x_variable, **kwargs))
+        ys = _apply_cf_packing(ys, yf, reader.attrs(y_variable, **kwargs))
+        xmin, xmax = _coord_range(xs, xf)
+        ymin, ymax = _coord_range(ys, yf)
+        bbox = (xmin, ymin, xmax, ymax)
     return arr, (float(fill) if fill is not None else None), bbox
 
 
@@ -231,46 +230,42 @@ def _decode_raw(
             buf = f.read()
         if buf[:3] == b"CDF":
             from cloud_optimized_data_pipelines_spark.sources.netcdf_classic import (
-                read_attrs,
-                read_variable,
+                NcReader,
             )
 
             return _finish_decode(
-                read_variable,
-                buf,
-                variable_name,
-                None,
-                x_variable,
-                y_variable,
-                read_attrs=lambda b, n, **k: read_attrs(b, n),
+                NcReader(buf), variable_name, None, x_variable, y_variable
             )
         if buf[:8] == b"\x89HDF\r\n\x1a\n":
             # HDF5-backed netCDF-4 / HDF-EOS5 (the reference's GPM IMERG
             # and OMI inputs, group paths per example.ini:13-24): real
-            # library first, pure-numpy hdf5_lite decode otherwise
+            # library first, pure-numpy hdf5_lite decode otherwise —
+            # both feed the SAME _finish_decode, so they emit identical
+            # unpacked values and geo tags
             if _have_raster_libs():  # pragma: no cover - lib-dependent
-                return _real_decode(
-                    payload_path, variable_name, group, x_variable, y_variable
+                return _finish_decode(
+                    _LibReader(payload_path),
+                    variable_name,
+                    group,
+                    x_variable,
+                    y_variable,
                 )
             from cloud_optimized_data_pipelines_spark.sources.hdf5_lite import (
-                read_attrs,
-                read_variable,
+                H5Reader,
             )
 
             return _finish_decode(
-                read_variable,
-                buf,
-                variable_name,
-                group,
-                x_variable,
-                y_variable,
-                read_attrs=read_attrs,
+                H5Reader(buf), variable_name, group, x_variable, y_variable
             )
         if _have_raster_libs():  # pragma: no cover - lib-dependent
             # other formats the installed library may read (e.g. HDF4
             # HDF-EOS2 granules via an HDF4-enabled netCDF build)
-            return _real_decode(
-                payload_path, variable_name, group, x_variable, y_variable
+            return _finish_decode(
+                _LibReader(payload_path),
+                variable_name,
+                group,
+                x_variable,
+                y_variable,
             )
         raise ValueError(
             "file exists but is neither classic netCDF nor HDF5, and "

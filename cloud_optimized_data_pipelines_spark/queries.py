@@ -3768,49 +3768,11 @@ def sketch_quantile_sample_q(spark, sf_dir):
     return est.join(exact, "event_type")
 
 
-_SUBSTR_SPANS = """
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
-  FROM documents
-),
-idx0 AS (
-  SELECT doc_id, i AS pos, array_to_string(list_slice(tk, i, i + 7), ' ') AS shingle
-  FROM toks, UNNEST(range(1, len(tk) - 6)) AS t(i)
-),
-freq AS (SELECT shingle FROM idx0 GROUP BY shingle HAVING COUNT(*) <= 1000),
-idx AS (SELECT idx0.* FROM idx0 JOIN freq USING (shingle)),
-m AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
-  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-),
-runs AS (
-  SELECT *, pos_a - ROW_NUMBER() OVER (
-      PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
-  FROM m
-)
-SELECT doc_a, doc_b,
-       MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
-       CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
-FROM runs GROUP BY doc_a, doc_b, diag, grp
-"""
-
-
-@query("dedup_substring_spans", _SUBSTR_SPANS)
-def dedup_substring_spans_q(spark, sf_dir):
-    """ExactSubstr span dedup (operators/dedup.py::duplicate_spans):
-    maximal cross-document duplicated word-8-gram runs with positions —
-    the cut-the-span operator (Lee et al. 2021), detected with the
-    diagonal-run trick (one window + one aggregate, no sequential
-    scan).  The shingle self-join runs with the default skew guard
-    (max_shingle_freq=1000) and the oracle applies the identical
-    HAVING COUNT(*) <= 1000 pruning."""
-    t = load_tables(spark, sf_dir)
-    return D.duplicate_spans(t["documents"], "doc_id", "text", n=8)
-
-
-_SUBSTR_CUT = """
-WITH toks AS (
+# shared CTE chain: guarded positional-shingle span detection (n=8,
+# max_shingle_freq=1000) — interpolated into BOTH the spans and the
+# cut oracles so the definitions cannot drift apart
+_SUBSTR_CTES = """
+toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
   FROM documents
 ),
@@ -3835,7 +3797,30 @@ spans AS (
          MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
          CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
   FROM runs GROUP BY doc_a, doc_b, diag, grp
-),
+)
+"""
+
+_SUBSTR_SPANS = f"""
+WITH {_SUBSTR_CTES.strip()}
+SELECT doc_a, doc_b, start_a, start_b, span_tokens FROM spans
+"""
+
+
+@query("dedup_substring_spans", _SUBSTR_SPANS)
+def dedup_substring_spans_q(spark, sf_dir):
+    """ExactSubstr span dedup (operators/dedup.py::duplicate_spans):
+    maximal cross-document duplicated word-8-gram runs with positions —
+    the cut-the-span operator (Lee et al. 2021), detected with the
+    diagonal-run trick (one window + one aggregate, no sequential
+    scan).  The shingle self-join runs with the default skew guard
+    (max_shingle_freq=1000) and the oracle applies the identical
+    HAVING COUNT(*) <= 1000 pruning."""
+    t = load_tables(spark, sf_dir)
+    return D.duplicate_spans(t["documents"], "doc_id", "text", n=8)
+
+
+_SUBSTR_CUT = f"""
+WITH {_SUBSTR_CTES.strip()},
 ivs AS (
   SELECT doc_b AS doc,
          list(struct_pack(s := start_b, e := start_b + span_tokens)) AS ivs

@@ -538,6 +538,32 @@ def _apply_filters(
     return raw
 
 
+class H5Reader:
+    """Parse-once reader: group resolution and dataset object headers
+    are cached per path, so reading data + x/y coordinates + attrs from
+    one granule walks the container structure once per object instead
+    of once per call."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self._datasets: dict[str, _Dataset] = {}
+
+    def _dataset(self, name: str, group: str | None) -> _Dataset:
+        path = f"{group.rstrip('/')}/{name}" if group else name
+        ds = self._datasets.get(path)
+        if ds is None:
+            ds = _parse_dataset(self.buf, _resolve(self.buf, path))
+            self._datasets[path] = ds
+        return ds
+
+    def attrs(self, name: str, group: str | None = None) -> dict:
+        return dict(self._dataset(name, group).attrs)
+
+    def read(self, name: str, group: str | None = None):
+        """(numpy array in native byte order, fill_value | None)."""
+        return _materialize(self.buf, self._dataset(name, group))
+
+
 def read_attrs(buf: bytes, name: str, group: str | None = None) -> dict:
     path = f"{group.rstrip('/')}/{name}" if group else name
     return _parse_dataset(buf, _resolve(buf, path)).attrs
@@ -553,7 +579,10 @@ def read_variable(buf: bytes, name: str, group: str | None = None):
     the same contract as ``netcdf_classic.read_variable``, with netCDF-4
     group addressing."""
     path = f"{group.rstrip('/')}/{name}" if group else name
-    ds = _parse_dataset(buf, _resolve(buf, path))
+    return _materialize(buf, _parse_dataset(buf, _resolve(buf, path)))
+
+
+def _materialize(buf: bytes, ds: _Dataset):
     dt = ds.dtype.numpy()
     n = int(np.prod(ds.dims)) if ds.dims else 1
     if ds.layout_class == 0:

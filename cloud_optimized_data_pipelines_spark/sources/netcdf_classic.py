@@ -218,50 +218,68 @@ def _resolve_numrecs(hdr: NcHeader, buf: bytes) -> int:
     return (len(buf) - first) // recsize
 
 
+class NcReader:
+    """Parse-once reader: the header (dims / attrs / variable table) is
+    decoded a single time, after which any number of ``read``/``attrs``
+    calls reuse it — the decode chain reads data + x/y coordinates +
+    attributes from one granule, and re-parsing the header per call is
+    wasted work on large files."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.hdr = read_header(buf)
+
+    def _var(self, name: str) -> NcVar:
+        if name not in self.hdr.variables:
+            raise KeyError(
+                f"variable {name!r} not in file "
+                f"(has {sorted(self.hdr.variables)})"
+            )
+        return self.hdr.variables[name]
+
+    def attrs(self, name: str) -> dict:
+        return dict(self._var(name).attrs)
+
+    def read(self, name: str):
+        """(numpy array in native byte order, fill_value | None)."""
+        buf, hdr = self.buf, self.hdr
+        var = self._var(name)
+        dt, sz = _TYPES[var.nc_type]
+        shape = hdr.shape(var)
+        is_record = bool(var.dimids) and hdr.dims[var.dimids[0]][1] == 0
+        if is_record:
+            # record dim (size 0): numrecs interleaved slabs apart
+            _, recsize = _record_layout(hdr)
+            numrecs = _resolve_numrecs(hdr, buf)
+            per_rec = tuple(hdr.dims[d][1] for d in var.dimids[1:])
+            n_per = int(np.prod(per_rec)) if per_rec else 1
+            if numrecs == 0:
+                arr = np.zeros((0,) + per_rec, dtype=dt)
+            else:
+                recs = []
+                for rec in range(numrecs):
+                    off = var.begin + rec * recsize
+                    recs.append(
+                        np.frombuffer(buf, dtype=dt, count=n_per, offset=off)
+                    )
+                arr = np.stack(recs).reshape((numrecs,) + per_rec)
+        else:
+            n = int(np.prod(shape)) if shape else 1
+            arr = np.frombuffer(buf, dtype=dt, count=n, offset=var.begin)
+            arr = arr.reshape(shape)
+        fill = var.attrs.get("_FillValue")
+        return np.ascontiguousarray(arr).astype(dt.lstrip(">")), fill
+
+
 def read_attrs(buf: bytes, name: str) -> dict:
     """Per-variable attributes (e.g. _FillValue, CF scale_factor /
     add_offset) — same contract as ``hdf5_lite.read_attrs``."""
-    hdr = read_header(buf)
-    if name not in hdr.variables:
-        raise KeyError(
-            f"variable {name!r} not in file (has {sorted(hdr.variables)})"
-        )
-    return dict(hdr.variables[name].attrs)
+    return NcReader(buf).attrs(name)
 
 
 def read_variable(buf: bytes, name: str):
     """Return (numpy array in native byte order, fill_value | None)."""
-    hdr = read_header(buf)
-    if name not in hdr.variables:
-        raise KeyError(
-            f"variable {name!r} not in file (has {sorted(hdr.variables)})"
-        )
-    var = hdr.variables[name]
-    dt, sz = _TYPES[var.nc_type]
-    shape = hdr.shape(var)
-    is_record = bool(var.dimids) and hdr.dims[var.dimids[0]][1] == 0
-    if is_record:
-        # record dim (size 0): numrecs interleaved slabs, recsize apart
-        _, recsize = _record_layout(hdr)
-        numrecs = _resolve_numrecs(hdr, buf)
-        per_rec = tuple(hdr.dims[d][1] for d in var.dimids[1:])
-        n_per = int(np.prod(per_rec)) if per_rec else 1
-        if numrecs == 0:
-            arr = np.zeros((0,) + per_rec, dtype=dt)
-        else:
-            recs = []
-            for rec in range(numrecs):
-                off = var.begin + rec * recsize
-                recs.append(
-                    np.frombuffer(buf, dtype=dt, count=n_per, offset=off)
-                )
-            arr = np.stack(recs).reshape((numrecs,) + per_rec)
-    else:
-        n = int(np.prod(shape)) if shape else 1
-        arr = np.frombuffer(buf, dtype=dt, count=n, offset=var.begin)
-        arr = arr.reshape(shape)
-    fill = var.attrs.get("_FillValue")
-    return np.ascontiguousarray(arr).astype(dt.lstrip(">")), fill
+    return NcReader(buf).read(name)
 
 
 def write_classic(
