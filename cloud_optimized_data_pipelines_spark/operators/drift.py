@@ -1,0 +1,80 @@
+"""Corpus distribution drift — per-token KL divergence between slices.
+
+No reference counterpart (extension per SURVEY section 7.7).  The
+monitoring operator behind training-data pipelines: when a corpus
+snapshot, source mix, or filter configuration changes, the first
+question is "how did the token distribution move, and which tokens
+moved it" — total KL(P_a || P_b) plus the per-token contributions that
+decompose it.
+
+Determinism discipline (same as quality/ranking): counts and vocab
+sizes are exact integers; probabilities are single divisions; the two
+``ln`` terms are rounded to 9 decimals (JVM Math.log vs libm ln differ
+by 1 ulp on a few percent of arguments); each output row is then pure
+deterministic arithmetic — there is NO order-dependent sum, because the
+operator emits the per-token decomposition and leaves the total to the
+consumer (or a fixed-order fold).
+
+Laplace (+1) smoothing over the UNION vocabulary keeps every
+contribution finite: p_x = (cnt_x + 1) / (total_x + V).
+
+Scale shape: one token explode -> (slice, word) counts (partial-agg
+shuffle) -> pivot to per-word (cnt_a, cnt_b) via a word-keyed
+aggregation -> two 1-row scalars (totals + V) broadcast back.  No
+corpus-sized windows or joins; the output is vocabulary-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cloud_optimized_data_pipelines_spark.functions.text import tokens
+
+
+def token_distribution_shift(
+    df: DataFrame,
+    text_col: str,
+    slice_expr: Column,
+    a: str,
+    b: str,
+) -> DataFrame:
+    """Per-token KL(P_a || P_b) contributions between two corpus slices.
+
+    ``slice_expr`` labels each document (e.g. ``F.col("source")`` or a
+    snapshot column); rows whose label is neither ``a`` nor ``b`` are
+    ignored.  Output: (word, cnt_a, cnt_b, p_a, p_b, kl_term) where
+    ``kl_term = p_a * (ln(p_a) - ln(p_b))`` with 9-decimal-rounded
+    logs; ``SUM(kl_term)`` over the result is the total divergence
+    (consumers needing a cross-engine-exact total should fold in
+    word-sorted order).
+    """
+    words = df.select(
+        slice_expr.alias("_slice"), F.explode(tokens(F.col(text_col))).alias("word")
+    ).filter(F.col("_slice").isin([a, b]))
+    counts = words.groupBy("word").agg(
+        F.sum((F.col("_slice") == a).cast("long")).alias("cnt_a"),
+        F.sum((F.col("_slice") == b).cast("long")).alias("cnt_b"),
+    )
+    scalars = counts.agg(
+        F.sum("cnt_a").alias("total_a"),
+        F.sum("cnt_b").alias("total_b"),
+        F.count("*").alias("vocab"),
+    )
+    p_a = (F.col("cnt_a") + F.lit(1)).cast("double") / (
+        F.col("total_a") + F.col("vocab")
+    ).cast("double")
+    p_b = (F.col("cnt_b") + F.lit(1)).cast("double") / (
+        F.col("total_b") + F.col("vocab")
+    ).cast("double")
+    return (
+        counts.crossJoin(F.broadcast(scalars))
+        .withColumn("p_a", p_a)
+        .withColumn("p_b", p_b)
+        .withColumn(
+            "kl_term",
+            F.col("p_a")
+            * (F.round(F.log("p_a"), 9) - F.round(F.log("p_b"), 9)),
+        )
+        .select("word", "cnt_a", "cnt_b", "p_a", "p_b", "kl_term")
+    )

@@ -3768,6 +3768,56 @@ def sketch_quantile_sample_q(spark, sf_dir):
     return est.join(exact, "event_type")
 
 
+_TOKEN_SHIFT = """
+WITH words AS (
+  SELECT CASE WHEN source = 'src0' THEN 'a' ELSE 'b' END AS sl,
+         UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+counts AS (
+  SELECT word,
+         CAST(SUM(CASE WHEN sl = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         CAST(SUM(CASE WHEN sl = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+  FROM words GROUP BY word
+),
+scal AS (
+  SELECT SUM(cnt_a) AS total_a, SUM(cnt_b) AS total_b,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM counts
+)
+SELECT word, cnt_a, cnt_b,
+       CAST(cnt_a + 1 AS DOUBLE) / CAST(total_a + vocab AS DOUBLE) AS p_a,
+       CAST(cnt_b + 1 AS DOUBLE) / CAST(total_b + vocab AS DOUBLE) AS p_b,
+       (CAST(cnt_a + 1 AS DOUBLE) / CAST(total_a + vocab AS DOUBLE))
+       * (round(ln(CAST(cnt_a + 1 AS DOUBLE) / CAST(total_a + vocab AS DOUBLE)), 9)
+          - round(ln(CAST(cnt_b + 1 AS DOUBLE) / CAST(total_b + vocab AS DOUBLE)), 9)) AS kl_term
+FROM counts CROSS JOIN scal
+"""
+
+
+@query("text_distribution_shift", _TOKEN_SHIFT)
+def text_distribution_shift_q(spark, sf_dir):
+    """Corpus drift monitor (operators/drift.py::token_distribution_shift):
+    per-token KL(P_src0 || P_rest) contributions with Laplace-smoothed
+    probabilities over the union vocab — exact integer counts, single
+    divisions, 9-decimal-rounded logs (the cross-engine ln discipline),
+    no order-dependent sums (the total is the per-row decomposition's
+    sum, foldable in word order when exactness matters)."""
+    from cloud_optimized_data_pipelines_spark.operators.drift import (
+        token_distribution_shift,
+    )
+
+    t = load_tables(spark, sf_dir)
+    out = token_distribution_shift(
+        t["documents"],
+        "text",
+        F.when(F.col("source") == "src0", "a").otherwise("b"),
+        "a",
+        "b",
+    )
+    return out
+
+
 # shared CTE chain: guarded positional-shingle span detection (n=8,
 # max_shingle_freq=1000) — interpolated into BOTH the spans and the
 # cut oracles so the definitions cannot drift apart

@@ -38,6 +38,10 @@ NESTED_LOOP_OK = {
         "percentile-cutoff scalar crossJoin (1-row broadcast) atop the"
         " unigram-logprob corpus-total scalar"
     ),
+    "text_distribution_shift": (
+        "totals/vocab scalar crossJoin (1-row broadcast) against the"
+        " vocabulary-sized count table"
+    ),
 }
 
 

@@ -491,3 +491,41 @@ def test_cut_duplicate_spans_overlapping_intervals(spark):
     # intervals [2,6) and [4,7) -> cut positions 2..6 -> keep 1,7,8,9,10
     assert r.n_tokens_after == 5
     assert r.text_dedup == "t1 t7 t8 t9 t10"
+
+
+def test_token_distribution_shift_hand_values(spark):
+    """Laplace-smoothed per-token KL terms against hand computation;
+    the decomposition sums to KL(P_a || P_b) and is ~0 for identical
+    slices."""
+    import math
+
+    from cloud_optimized_data_pipelines_spark.operators.drift import (
+        token_distribution_shift,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "x x y"), (2, "b", "x y y y")],
+        "doc_id long, slice string, text string",
+    )
+    rows = {
+        r.word: r
+        for r in token_distribution_shift(
+            df, "text", F.col("slice"), "a", "b"
+        ).collect()
+    }
+    # slice a: x=2, y=1 (total 3); slice b: x=1, y=3 (total 4); V=2
+    for word, ca, cb in (("x", 2, 1), ("y", 1, 3)):
+        r = rows[word]
+        assert (r.cnt_a, r.cnt_b) == (ca, cb)
+        pa = (ca + 1) / (3 + 2)
+        pb = (cb + 1) / (4 + 2)
+        assert r.p_a == pytest.approx(pa)
+        expected = pa * (round(math.log(pa), 9) - round(math.log(pb), 9))
+        assert r.kl_term == pytest.approx(expected, rel=1e-12)
+    # identical slices -> zero divergence
+    same = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "b", "x y z")],
+        "doc_id long, slice string, text string",
+    )
+    out = token_distribution_shift(same, "text", F.col("slice"), "a", "b")
+    assert all(abs(r.kl_term) < 1e-12 for r in out.collect())
