@@ -3768,6 +3768,53 @@ def sketch_quantile_sample_q(spark, sf_dir):
     return est.join(exact, "event_type")
 
 
+_FUZZY_GUARD_REPORT = """
+WITH pref AS (
+  SELECT doc_id, substr(text, 1, 40) AS p FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN length(p) >= 3
+         THEN list_distinct(list_transform(range(1, length(p) - 1),
+                            i -> substr(p, i, 3)))
+         ELSE [p] END AS shingles
+  FROM pref
+),
+idx AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
+f AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS freq FROM idx GROUP BY shingle),
+per_doc AS (
+  SELECT i.doc, CAST(COUNT(*) AS BIGINT) AS grams,
+         CAST(SUM(CASE WHEN f.freq > 50 THEN 1 ELSE 0 END) AS BIGINT) AS pruned
+  FROM idx i JOIN f USING (shingle) GROUP BY i.doc
+)
+SELECT CAST(SUM(grams) AS BIGINT) AS total_grams,
+       CAST(SUM(pruned) AS BIGINT) AS pruned_grams,
+       CAST(SUM(pruned) AS DOUBLE) / CAST(SUM(grams) AS DOUBLE) AS pruned_frac,
+       CAST(COUNT(*) AS BIGINT) AS docs_total,
+       CAST(SUM(CASE WHEN pruned = grams THEN 1 ELSE 0 END) AS BIGINT) AS docs_zero_grams
+FROM per_doc
+"""
+
+
+@query("dedup_fuzzy_guard_report", _FUZZY_GUARD_REPORT)
+def dedup_fuzzy_guard_report_q(spark, sf_dir):
+    """The guard's alarm channel as a checkable one-row report
+    (operators/dedup.py::guard_prune_stats over fuzzy_prefix_index):
+    how many q-gram postings a freq-50 guard would drop and how many
+    docs lose EVERY gram.  Threshold 50 is deliberately below the
+    corpus's common-gram frequencies so the report is exercised, not
+    vacuous — a pipeline alarms when pruned_frac nears 1.0 instead of
+    reading an empty fuzzy join as clean."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        fuzzy_prefix_index,
+        guard_prune_stats,
+    )
+
+    t = load_tables(spark, sf_dir)
+    idx = fuzzy_prefix_index(t["documents"], "doc_id", "text", 40, 3)
+    return guard_prune_stats(idx, 50)
+
+
 _TOKEN_SHIFT = """
 WITH words AS (
   SELECT CASE WHEN source = 'src0' THEN 'a' ELSE 'b' END AS sl,
