@@ -304,6 +304,67 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str = "vec_id",
+    k_lists: int = 16,
+    threshold: float = 0.95,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then inside each
+    cluster mark every vector that has a lower-id cluster-mate with
+    cosine >= threshold as a semantic duplicate.  Exact near-dups that
+    land in different clusters are missed — the paper's stated
+    recall/cost trade; the dial is ``k_lists``.
+
+    Clustering here is the FIXED spherical assignment of
+    :func:`ivf_probe_fixed` (centroids = first ``k_lists`` corpus ids),
+    so the whole result is bit-reproducible and oracle-checkable; swap
+    in :func:`ivf_build`'s learned centroids for production quality.
+
+    Scale shape: assignment is a broadcast crossJoin against k_lists
+    rows + one per-vector argmax window (keyed by the vector id — no
+    hot partitions).  The duplicate test is a LEFT SEMI self-join on
+    the cluster id with the cosine gate in the join condition, so no
+    pair set is ever materialized; per-cluster work is quadratic in
+    cluster size, which is the quantity k_lists controls (SemDeDup's
+    design point is k ~ sqrt(n)).  Returns every input row with
+    (id, cid, is_dup) — filters never silently drop rows.
+    """
+    cents = df.filter(F.col(id_col) < k_lists).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    scored = df.crossJoin(F.broadcast(cents)).withColumn(
+        "_cos_c", cosine_similarity(F.col(vec_col), F.col("cvec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos_c"), F.col("cid"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+    left = assigned.select(
+        F.col(id_col).alias("_lid"), F.col(vec_col).alias("_lvec"), F.col("cid").alias("_lcid")
+    )
+    cos = F.round(cosine_similarity(F.col("_lvec"), F.col(vec_col)), round_digits)
+    cond = (
+        (F.col("_lcid") == F.col("cid"))
+        & (F.col("_lid") < F.col(id_col))
+        & (cos >= threshold)
+    )
+    dups = assigned.join(left, cond, "left_semi").select(
+        id_col, "cid", F.lit(True).alias("is_dup")
+    )
+    keepers = assigned.join(left, cond, "left_anti").select(
+        id_col, "cid", F.lit(False).alias("is_dup")
+    )
+    return dups.unionByName(keepers).select(
+        id_col, F.col("cid").cast("long").alias("cid"), "is_dup"
+    )
+
+
 def ivf_write_index(
     spark,
     df: DataFrame,

@@ -2026,6 +2026,52 @@ def near_dup_q(spark, sf_dir):
     )
 
 
+_SEMANTIC_DEDUP = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_DUCK_DOT.format(a="e.embedding", b="c.cvec")}
+           / (sqrt({_DUCK_DOT.format(a="e.embedding", b="e.embedding")})
+              * sqrt({_DUCK_DOT.format(a="c.cvec", b="c.cvec")})) AS cos_c
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS rn
+    FROM scored
+  ) t WHERE rn = 1
+),
+dups AS (
+  SELECT DISTINCT r.vec_id
+  FROM assigned l JOIN assigned r ON l.cid = r.cid AND l.vec_id < r.vec_id
+  WHERE round({_DUCK_DOT.format(a="l.embedding", b="r.embedding")}
+              / (sqrt({_DUCK_DOT.format(a="l.embedding", b="l.embedding")})
+                 * sqrt({_DUCK_DOT.format(a="r.embedding", b="r.embedding")})), 6)
+        >= 0.35
+)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+       (d.vec_id IS NOT NULL) AS is_dup
+FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+"""
+
+
+@query("similarity_semantic_dedup", _SEMANTIC_DEDUP)
+def semantic_dedup_q(spark, sf_dir):
+    """SemDeDup (operators/similarity.py::semantic_dedup): cluster the
+    embedding space with the fixed spherical quantizer, flag
+    within-cluster semantic duplicates (cosine >= tau to a lower-id
+    cluster-mate) via a pair-free LEFT SEMI self-join.  The
+    cluster-then-dedup composition is what makes embedding dedup
+    tractable at corpus scale — pairwise work is confined to clusters
+    whose size k_lists controls."""
+    t = load_tables(spark, sf_dir)
+    return S.semantic_dedup(
+        t["embeddings"], "embedding", "vec_id", k_lists=16, threshold=0.35
+    )
+
+
 _DUCK_LTOKS = (
     "list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), "
     "t -> lower(t))"

@@ -350,3 +350,50 @@ def test_ivf_probe_fixed_partial_recall(spark, sf_dir):
     ]
     assert 0 in got
     assert len(set(got) & exact) >= 5
+
+
+def test_semantic_dedup_flags_planted_near_dups(spark):
+    """SemDeDup on a hand-built corpus: exact replicas of a centroid
+    vector must be flagged as dups of the lowest-id copy; orthogonal
+    vectors must all survive.  Every input id appears exactly once."""
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),   # centroids 0-2 (k_lists=3)
+        (10, [1.0, 0.01, 0.0, 0.0]),  # near-dup of 0
+        (11, [1.0, 0.0, 0.01, 0.0]),  # near-dup of 0
+        (12, [0.0, 1.0, 0.01, 0.0]),  # near-dup of 1
+        (13, [0.0, 0.0, -1.0, 0.0]),  # anti-parallel to 2: unique
+    ]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    out = {
+        r.vec_id: (r.cid, r.is_dup)
+        for r in S.semantic_dedup(
+            df, "embedding", "vec_id", k_lists=3, threshold=0.9
+        ).collect()
+    }
+    assert len(out) == len(vecs)
+    # lowest id in each near-dup group survives, later copies flagged
+    assert out[0] == (0, False)
+    assert out[10] == (0, True) and out[11] == (0, True)
+    assert out[1] == (1, False) and out[12] == (1, True)
+    assert out[13][1] is False  # anti-parallel: cosine -1, not a dup
+
+
+def test_semantic_dedup_threshold_monotone(spark, sf_dir):
+    """Raising tau can only shrink the dup set (nested dedup levels)."""
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    dups = {}
+    for tau in (0.3, 0.4):
+        dups[tau] = {
+            r.vec_id
+            for r in S.semantic_dedup(
+                emb, "embedding", "vec_id", k_lists=8, threshold=tau
+            ).collect()
+            if r.is_dup
+        }
+    assert dups[0.4] <= dups[0.3]
