@@ -732,3 +732,99 @@ def cut_duplicate_spans(
         .withColumn("text_dedup", F.col("_b.txt"))
         .drop("_ivs", "_b")
     )
+
+
+def _fixed_token_lines(text_col, n: int):
+    """Consecutive ``n``-token chunks as the document's "lines" — the
+    deterministic fallback for corpora without newline structure.  The
+    token array is let-bound (codegen CSE does not reach inside
+    higher-order lambdas)."""
+
+    def build(toks):
+        k = F.size(toks)
+        nlines = F.ceil(k / F.lit(float(n))).cast("int")
+        return F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(0), nlines - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * n + 1, n)),
+            ),
+        ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+    return F.transform(F.array(tokens(text_col)), build)[0]
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_freq: int = 1,
+    line_sep: str | None = None,
+    line_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-frequency line deduplication (the RefinedWeb / Dolma
+    recipe): remove every line that occurs in more than ``max_doc_freq``
+    DISTINCT documents — boilerplate (nav bars, cookie banners, license
+    headers) repeats across documents, body text does not.  Unlike the
+    pairwise ExactSubstr family this needs no doc-pair reasoning at
+    all: one global line-frequency table decides every removal.
+
+    Lines are ``line_sep`` splits when given, else fixed
+    ``line_tokens``-token chunks (:func:`_fixed_token_lines`) for
+    corpora without newline structure.
+
+    Scale shape: posexplode -> line-keyed count-distinct (partial-
+    aggregated; hot boilerplate lines are exactly the map-side-combine
+    case) -> the over-frequent set joined back on line (that set is
+    tiny relative to the corpus — boilerplate by definition — so AQE
+    picks a broadcast) -> one doc-keyed shuffle to rebuild kept text in
+    position order.  Per-doc state is bounded by document size; no
+    corpus-wide windows, no Python.
+
+    Output: every input row with ``n_lines``, ``n_removed`` and
+    ``text_dedup`` (kept lines re-joined in order; docs with no tokens
+    pass through with zeros and empty text — filters never silently
+    drop rows).
+    """
+    if line_sep is not None:
+        lines_arr = F.filter(
+            F.split(F.col(text_col), F.lit(line_sep)), lambda x: x != ""
+        )
+        joiner = line_sep
+    else:
+        lines_arr = _fixed_token_lines(text_col, line_tokens)
+        joiner = " "
+    lines = df.select(
+        F.col(id_col).alias("_doc"), F.posexplode(lines_arr).alias("pos", "line")
+    )
+    over = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("_doc").alias("_ndocs"))
+        .filter(F.col("_ndocs") > max_doc_freq)
+        .select("line", F.lit(True).alias("_rm"))
+    )
+    flagged = lines.join(over, "line", "left").withColumn(
+        "_rm", F.coalesce(F.col("_rm"), F.lit(False))
+    )
+    per_doc = flagged.groupBy("_doc").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("_rm"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line", "_rm"))
+                    ),
+                    lambda x: ~x["_rm"],
+                ),
+                lambda x: x["line"],
+            ),
+        ).alias("text_dedup"),
+    )
+    out = df.join(per_doc, df[id_col] == per_doc["_doc"], "left").drop("_doc")
+    return (
+        out.withColumn("n_lines", F.coalesce(F.col("n_lines"), F.lit(0)).cast("long"))
+        .withColumn("n_removed", F.coalesce(F.col("n_removed"), F.lit(0)).cast("long"))
+        .withColumn("text_dedup", F.coalesce(F.col("text_dedup"), F.lit("")))
+    )

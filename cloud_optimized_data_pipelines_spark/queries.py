@@ -4004,6 +4004,57 @@ def dedup_substring_cut_q(spark, sf_dir):
     )
 
 
+_LINE_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i AS pos, array_to_string(t[(i*10+1):(i*10+10)], ' ') AS line
+  FROM toks, UNNEST(range(0, CAST(ceil(len(t)/10.0) AS BIGINT))) AS u(i)
+  WHERE len(t) > 0
+),
+over_freq AS (
+  SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) > 1
+),
+flagged AS (
+  SELECT l.doc_id, l.pos, l.line, (o.line IS NOT NULL) AS rm
+  FROM lines l LEFT JOIN over_freq o USING (line)
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         COALESCE(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE NOT rm), '')
+           AS text_dedup
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_lines, 0) AS n_lines,
+       COALESCE(p.n_removed, 0) AS n_removed,
+       md5(COALESCE(p.text_dedup, '')) AS kept_md5
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@query("dedup_lines", _LINE_DEDUP)
+def dedup_lines_q(spark, sf_dir):
+    """Corpus-frequency line dedup (operators/dedup.py::line_dedup —
+    the RefinedWeb/Dolma boilerplate-removal recipe): any 10-token
+    "line" occurring in more than one distinct document is excised
+    everywhere; kept lines are re-joined in position order and the md5
+    covers the rebuilt bytes.  One global line-frequency table decides
+    every removal — no doc-pair reasoning, which is what makes this the
+    cheapest cross-document dedup at corpus scale."""
+    t = load_tables(spark, sf_dir)
+    out = D.line_dedup(
+        t["documents"], "doc_id", "text", max_doc_freq=1, line_tokens=10
+    )
+    return out.select(
+        "doc_id", "n_lines", "n_removed", F.md5("text_dedup").alias("kept_md5")
+    )
+
+
 _DUCK_SHINGLES5 = """
 toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk

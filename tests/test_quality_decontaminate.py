@@ -529,3 +529,55 @@ def test_token_distribution_shift_hand_values(spark):
     )
     out = token_distribution_shift(same, "text", F.col("slice"), "a", "b")
     assert all(abs(r.kl_term) < 1e-12 for r in out.collect())
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    """A newline-structured corpus: the shared cookie-banner line is
+    excised from every doc, unique body lines survive in order."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import line_dedup
+
+    banner = "this site uses cookies accept to continue"
+    df = spark.createDataFrame(
+        [
+            (1, f"unique alpha body\n{banner}\nunique beta body"),
+            (2, f"{banner}\nanother unique paragraph"),
+            (3, "no boilerplate here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in line_dedup(
+            df, "doc_id", "text", max_doc_freq=1, line_sep="\n"
+        ).collect()
+    }
+    assert out[1].n_lines == 3 and out[1].n_removed == 1
+    assert out[1].text_dedup == "unique alpha body\nunique beta body"
+    assert out[2].text_dedup == "another unique paragraph"
+    assert out[3].n_removed == 0 and out[3].text_dedup == out[3].text
+
+
+def test_line_dedup_token_chunks_and_empty_doc(spark):
+    """Token-chunk fallback: chunk boundaries are deterministic, a doc
+    duplicated verbatim loses ALL its lines to the frequency rule, and
+    an empty doc passes through with zeros (never silently dropped)."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import line_dedup
+
+    twelve = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, twelve), (2, twelve), (3, "solo words only"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in line_dedup(
+            df, "doc_id", "text", max_doc_freq=1, line_tokens=10
+        ).collect()
+    }
+    # 12 tokens -> lines of 10 + 2; both docs identical -> all removed
+    assert out[1].n_lines == 2 and out[1].n_removed == 2
+    assert out[1].text_dedup == "" and out[2].text_dedup == ""
+    assert out[3].n_lines == 1 and out[3].n_removed == 0
+    assert out[3].text_dedup == "solo words only"
+    assert out[4].n_lines == 0 and out[4].n_removed == 0
+    assert out[4].text_dedup == ""
