@@ -338,3 +338,92 @@ def line_repetition(
         )
         .drop("n_distinct", "chars", "dup_chars")
     )
+
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.0,
+    weight_mod: int = 2001,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Linear text-classifier inference — the fastText-style quality
+    filter (Joulin et al. 2016, "Bag of Tricks") that web-scale
+    pipelines run over every document (pages scored against a
+    reference corpus; low scorers dropped).
+
+    Two execution shapes, same semantics (score = mean token weight,
+    scaled to [-1, 1]):
+
+    - **hashed weights** (default): each lowered token's weight is
+      derived from its md5 (an integer in [-(m-1)/2, (m-1)/2]) — the
+      hashing-trick form.  Inference is a single codegen'd expression
+      over the let-bound token array: NO explode, NO shuffle, NO
+      Python — the whole model application rides the scan, which is
+      the right shape for scoring 100 TB.  Deterministic md5 weights
+      stand in for a trained table; the execution shape is the point.
+    - **weight table** (``weights`` = DataFrame[word, w] from a real
+      trained model): explode + word-keyed join + per-doc sum — the
+      shape when the vocabulary is too large to inline.  The join
+      carries no broadcast hint (same reasoning as
+      :func:`unigram_logprob`: AQE broadcasts iff the table fits).
+
+    Integer weight sums are exact and order-independent, so the only
+    float is the final division — bit-identical cross-engine.  Output:
+    every input row plus ``n_tokens``, ``margin`` (integer weight
+    sum), ``score`` and ``keep``; token-less docs score 0.0.
+    """
+    half = (weight_mod - 1) // 2
+    if weights is not None:
+        toks = df.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(tokens(text_col)).alias("word"),
+        ).withColumn("word", F.lower(F.col("word")))
+        summed = (
+            toks.join(weights, "word", "left")
+            .groupBy("_doc")
+            .agg(
+                F.count("*").cast("long").alias("n_tokens"),
+                F.sum(F.coalesce(F.col("w"), F.lit(0)))
+                .cast("long")
+                .alias("margin"),
+            )
+        )
+        out = df.join(summed, df[id_col] == summed["_doc"], "left").drop("_doc")
+    else:
+
+        def build(toks_arr):
+            w = F.transform(
+                toks_arr,
+                lambda t: F.conv(F.substring(F.md5(F.lower(t)), 1, 8), 16, 10)
+                .cast("long") % weight_mod - half,
+            )
+            return F.struct(
+                F.size(toks_arr).cast("long").alias("n_tokens"),
+                F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+                    "margin"
+                ),
+            )
+
+        st = F.transform(F.array(tokens(text_col)), build)[0]
+        out = df.withColumn("_st", st).select(
+            "*",
+            F.col("_st.n_tokens").alias("n_tokens"),
+            F.col("_st.margin").alias("margin"),
+        ).drop("_st")
+    n = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+    margin = F.coalesce(F.col("margin"), F.lit(0)).cast("long")
+    # NO rounding: an exact-integer division is already bit-identical
+    # IEEE cross-engine, and round() itself is the divergence risk
+    # (Spark rounds the shortest decimal repr, DuckDB the exact binary
+    # expansion — they disagree on half-boundary quotients)
+    score = F.when(
+        n > 0, margin.cast("double") / (n.cast("double") * float(half))
+    ).otherwise(F.lit(0.0))
+    return (
+        out.withColumn("n_tokens", n)
+        .withColumn("margin", margin)
+        .withColumn("score", score)
+        .withColumn("keep", F.col("score") >= threshold)
+    )

@@ -4179,6 +4179,52 @@ def text_gopher_quality_q(spark, sf_dir):
     )
 
 
+_CLASSIFIER = """
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> ''), t -> lower(t)) AS lt
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         CAST(len(lt) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN len(lt) > 0 THEN list_reduce(
+                list_transform(lt, t ->
+                  ('0x' || substr(md5(t), 1, 8))::BIGINT % 2001 - 1000),
+                (a, b) -> a + b)
+              ELSE 0 END AS BIGINT) AS margin
+  FROM toks
+)
+SELECT doc_id, n_tokens, margin,
+       CASE WHEN n_tokens > 0
+            THEN margin::DOUBLE / (n_tokens::DOUBLE * 1000.0)
+            ELSE 0.0 END AS score,
+       (CASE WHEN n_tokens > 0
+             THEN margin::DOUBLE / (n_tokens::DOUBLE * 1000.0)
+             ELSE 0.0 END >= 0.0) AS keep
+FROM w
+"""
+
+
+@query("text_classifier_score", _CLASSIFIER)
+def text_classifier_score_q(spark, sf_dir):
+    """fastText-style linear quality-classifier inference
+    (operators/quality.py::classifier_score, hashed-weight form): the
+    whole model application is ONE codegen'd expression over the
+    let-bound token array — no explode, no shuffle, no Python — which
+    is the execution shape for scoring 100 TB of documents.  Integer
+    weight sums keep the result exact; the only float is the final
+    scaled division."""
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        classifier_score,
+    )
+
+    t = load_tables(spark, sf_dir)
+    out = classifier_score(t["documents"], "doc_id", "text", threshold=0.0)
+    return out.select("doc_id", "n_tokens", "margin", "score", "keep")
+
+
 _NGRAM_REPETITION = """
 WITH toks AS (
   SELECT doc_id, text,

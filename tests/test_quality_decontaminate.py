@@ -581,3 +581,56 @@ def test_line_dedup_token_chunks_and_empty_doc(spark):
     assert out[3].text_dedup == "solo words only"
     assert out[4].n_lines == 0 and out[4].n_removed == 0
     assert out[4].text_dedup == ""
+
+
+def test_classifier_score_hashed_matches_python_model(spark):
+    """Hashed-weight inference equals the hand-computed md5 model, and
+    the hashed form's plan has NO shuffle — inference rides the scan."""
+    import hashlib
+
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        classifier_score,
+    )
+
+    def w(tok):
+        return int(hashlib.md5(tok.lower().encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    df = spark.createDataFrame(
+        [(1, "Spark and Parquet"), (2, "the the the"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in classifier_score(df, "doc_id", "text").collect()}
+    for doc_id, text in ((1, "Spark and Parquet"), (2, "the the the")):
+        toks = text.split()
+        margin = sum(w(t) for t in toks)
+        r = out[doc_id]
+        assert (r.n_tokens, r.margin) == (len(toks), margin)
+        assert r.score == margin / (len(toks) * 1000.0)
+        assert r.keep == (r.score >= 0.0)
+    assert out[3].n_tokens == 0 and out[3].score == 0.0
+    plan = classifier_score(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero-shuffle inference
+
+
+def test_classifier_score_weight_table_form(spark):
+    """The trained-weight-table path: per-doc margin is the sum of
+    joined weights, unknown words contribute 0."""
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        classifier_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "good good bad"), (2, "unknown words here")],
+        "doc_id long, text string",
+    )
+    weights = spark.createDataFrame(
+        [("good", 500), ("bad", -300)], "word string, w long"
+    )
+    out = {
+        r.doc_id: r
+        for r in classifier_score(
+            df, "doc_id", "text", weights=weights
+        ).collect()
+    }
+    assert out[1].margin == 700 and out[1].n_tokens == 3
+    assert out[2].margin == 0 and out[2].keep
