@@ -194,3 +194,35 @@ def perplexity_buckets(
     return out.withColumn("bucket", label).drop(
         *[f"_cut{i}" for i in range(len(fractions))]
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    max_per_group: int,
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """Per-domain document cap — the web-pipeline rule that bounds any
+    single domain/source's contribution to the corpus (C4/RefinedWeb
+    keep at most N pages per host so megasites can't dominate the mix).
+    Kept docs are the first ``max_per_group`` of each group under the
+    md5(key) order: a uniform, reproducible, engine-independent sample.
+
+    A cap is a token budget with UNIT weights, so this reuses
+    :func:`token_budget_mix`'s two-pass bucket cumsum — per-group
+    parallelism stays 16^bucket_hex tasks even when one hot domain is
+    half the corpus (the single-window ROW_NUMBER formulation would
+    push that domain through one task).  Output adds
+    ``rank_in_group`` (1-based position in the md5 order).
+    """
+    out = token_budget_mix(
+        df.withColumn("_one", F.lit(1)),
+        key,
+        "_one",
+        group_col,
+        {},
+        default_budget=max_per_group,
+        bucket_hex=bucket_hex,
+    )
+    return out.withColumnRenamed("cum_tokens", "rank_in_group").drop("_one")

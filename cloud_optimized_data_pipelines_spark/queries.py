@@ -3625,6 +3625,37 @@ def sample_token_budget_mix_q(spark, sf_dir):
     return out.select("doc_id", "source", "n_tokens", "cum_tokens")
 
 
+_CAP_PER_SOURCE = """
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rank_in_group
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) t WHERE rn <= 15
+"""
+
+
+@query("sample_cap_per_source", _CAP_PER_SOURCE)
+def sample_cap_per_source_q(spark, sf_dir):
+    """Per-domain contribution cap (operators/sampling.py::
+    cap_per_group): at most 15 docs per source, selected by the
+    deterministic md5 permutation — the C4/RefinedWeb rule that stops
+    megasites from dominating a training mix.  Runs as the two-pass
+    bucket cumsum (a cap is a unit-weight token budget), so a hot
+    domain never serializes through one window task; the oracle states
+    the same cap as the naive ROW_NUMBER form."""
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "source")
+    out = cap_per_group(docs, "doc_id", "source", max_per_group=15)
+    return out.select("doc_id", "source", "rank_in_group")
+
+
 # shared CTE chain: per-doc unigram log-prob (term-level round-to-9 —
 # JVM Math.log vs libm ln differ by 1 ulp on a few percent of
 # arguments; see operators/quality.py::unigram_logprob)

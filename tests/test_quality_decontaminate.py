@@ -634,3 +634,36 @@ def test_classifier_score_weight_table_form(spark):
     }
     assert out[1].margin == 700 and out[1].n_tokens == 3
     assert out[2].margin == 0 and out[2].keep
+
+
+def test_cap_per_group_equals_row_number_form(spark):
+    """cap_per_group must keep exactly the first N of each group under
+    the md5 order (the naive ROW_NUMBER definition), including on a
+    skewed corpus where one group holds most rows."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    rows = [(i, "hot" if i < 80 else f"g{i % 5}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        (r.doc_id, r.rank_in_group)
+        for r in cap_per_group(df, "doc_id", "source", max_per_group=7).collect()
+    }
+    by_group = {}
+    for i, g in rows:
+        by_group.setdefault(g, []).append(i)
+    want = set()
+    for g, ids in by_group.items():
+        ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        want |= {(i, pos + 1) for pos, i in enumerate(ranked[:7])}
+    assert got == want
+    # every group capped at 7; the hot group contributes exactly 7
+    per_group = {}
+    for (i, _r) in got:
+        g = "hot" if i < 80 else f"g{i % 5}"
+        per_group[g] = per_group.get(g, 0) + 1
+    assert per_group["hot"] == 7 and all(v <= 7 for v in per_group.values())
