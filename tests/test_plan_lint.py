@@ -42,6 +42,10 @@ NESTED_LOOP_OK = {
         "totals/vocab scalar crossJoin (1-row broadcast) against the"
         " vocabulary-sized count table"
     ),
+    "similarity_semantic_dedup": (
+        "SemDeDup cluster assignment crossJoin vs k_lists-row broadcast"
+        " centroid set — n x 16 nested loop (same shape as ivf_probe)"
+    ),
 }
 
 
