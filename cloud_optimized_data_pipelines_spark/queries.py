@@ -4383,8 +4383,10 @@ def text_bm25_scores_q(spark, sf_dir):
 
 _GRADED_WINDOW = [
     # TPC-H representatives (hand-shaped plans; redundant variants demoted
-    # — round 4 rotated q2/q6 out for round-3 extension operators, both
-    # still locally oracle-checked with every other demoted query)
+    # — round 4 rotated q2/q6 out for round-3 extension operators, then
+    # window_rank_functions/agg_percentiles/events_funnel_conversion out
+    # for the line-dedup / semantic-dedup / classifier-inference
+    # families; every demoted query stays locally oracle-checked)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q18_large_volume_customer",
@@ -4401,11 +4403,9 @@ _GRADED_WINDOW = [
     "k2_spill_flag",
     # relational engine surface
     "window_topk_per_customer",
-    "window_rank_functions",
     "agg_rollup_supplier",
     "agg_cube_orders",
     "agg_distinct_by_segment",
-    "agg_percentiles",
     "unpivot_part_metrics",
     "set_ops_customers",
     "join_semi_anti_customers",
@@ -4414,7 +4414,6 @@ _GRADED_WINDOW = [
     # rollup_hourly_merge/rollup_cascade_daily)
     "asof_join_last_click",
     "sessionize_batch_events",
-    "events_funnel_conversion",
     "events_retention_cohorts",
     "streaming_dlq_routing",
     # dedup & sampling
@@ -4422,6 +4421,7 @@ _GRADED_WINDOW = [
     "dedup_lsh_survivors",
     "dedup_ngram_jaccard_guarded",
     "dedup_substring_spans",
+    "dedup_lines",
     "dedup_incremental",
     "text_train_val_split",
     "sample_token_budget_mix",
@@ -4434,9 +4434,11 @@ _GRADED_WINDOW = [
     # similarity, text analysis, multimodal
     "similarity_bruteforce_topk",
     "similarity_ann_topk",
+    "similarity_semantic_dedup",
     "text_lang_id",
     "text_quality",
     "text_gopher_quality",
+    "text_classifier_score",
     "text_decontaminate",
     "text_unigram_logprob",
     "text_bm25_scores",
