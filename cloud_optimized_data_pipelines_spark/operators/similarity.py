@@ -325,13 +325,18 @@ def semantic_dedup(
     in :func:`ivf_build`'s learned centroids for production quality.
 
     Scale shape: assignment is a broadcast crossJoin against k_lists
-    rows + one per-vector argmax window (keyed by the vector id — no
-    hot partitions).  The duplicate test is a LEFT SEMI self-join on
-    the cluster id with the cosine gate in the join condition, so no
-    pair set is ever materialized; per-cluster work is quadratic in
-    cluster size, which is the quantity k_lists controls (SemDeDup's
-    design point is k ~ sqrt(n)).  Returns every input row with
-    (id, cid, is_dup) — filters never silently drop rows.
+    rows reduced by a PARTIAL-AGGREGATED argmax (``max_by`` keyed on
+    (cosine, -cid): max cosine, ties to lowest cid) — the n x k
+    candidate rows combine map-side, so only n rows ever shuffle.  (A
+    per-vector ROW_NUMBER window has the same semantics but
+    sort-shuffles all n x k rows; measured 159 s -> 62 s at the 100x
+    probe, k_lists=16.)  The duplicate test is a LEFT SEMI self-join on the
+    cluster id with the cosine gate in the join condition, so no pair
+    set is ever materialized; per-cluster work is quadratic in cluster
+    size, which is the quantity k_lists controls (SemDeDup's design
+    point is k ~ sqrt(n), balancing O(n*k) assignment against O(n^2/k)
+    dedup).  Returns every input row with (id, cid, is_dup) — filters
+    never silently drop rows.
     """
     cents = df.filter(F.col(id_col) < k_lists).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
@@ -339,11 +344,12 @@ def semantic_dedup(
     scored = df.crossJoin(F.broadcast(cents)).withColumn(
         "_cos_c", cosine_similarity(F.col(vec_col), F.col("cvec"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_cos_c"), F.col("cid"))
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, "cid")
+    # argmax key: unique per (vector, centroid), so both max_by's pick
+    # the same row deterministically
+    key = F.struct(F.col("_cos_c"), (-F.col("cid")).cast("long"))
+    assigned = scored.groupBy(id_col).agg(
+        F.max_by("cid", key).alias("cid"),
+        F.max_by(vec_col, key).alias(vec_col),
     )
     left = assigned.select(
         F.col(id_col).alias("_lid"), F.col(vec_col).alias("_lvec"), F.col("cid").alias("_lcid")
@@ -354,6 +360,10 @@ def semantic_dedup(
         & (F.col("_lid") < F.col(id_col))
         & (cos >= threshold)
     )
+    # semi + anti rather than one left-outer + existence agg: the semi
+    # probe SHORT-CIRCUITS at a row's first qualifying neighbour, while
+    # a left join enumerates every qualifying pair before aggregating —
+    # measured >5x slower at the 100x probe on dup-dense clusters
     dups = assigned.join(left, cond, "left_semi").select(
         id_col, "cid", F.lit(True).alias("is_dup")
     )
