@@ -57,6 +57,11 @@ HEADLINE = [
     "text_quality",
     "text_gopher_quality",
     "sample_token_budget_mix",
+    # r04 second batch: line-level dedup, semantic dedup, classifier
+    # inference (the new graded families)
+    "dedup_lines",
+    "similarity_semantic_dedup",
+    "text_classifier_score",
 ]
 
 

@@ -282,12 +282,21 @@ def embedding_near_dup_pairs(
     verifies.  (Vectors whose near-dups straddle a hyperplane are
     missed — the recall/cost dial is num_dims.)
     """
+    from cloud_optimized_data_pipelines_spark.functions.vectors import dot, norm
+
+    # norm hoisted to a per-row column: inlining cosine_similarity in
+    # the self-join re-folds both norms per candidate pair (3 folds ->
+    # 1); dot/(norm_l*norm_r) is the identical expression value, so the
+    # oracle is unaffected (see semantic_dedup)
     b = with_sign_bucket(df, vec_col, num_dims).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket"
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        "bucket",
+        norm(vec_col).alias("_n"),
     )
     left = b.alias("l")
     right = b.alias("r")
-    cos = cosine_similarity(F.col("l.vec"), F.col("r.vec"))
+    cos = dot(F.col("l.vec"), F.col("r.vec")) / (F.col("l._n") * F.col("r._n"))
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     return (
@@ -338,23 +347,44 @@ def semantic_dedup(
     dedup).  Returns every input row with (id, cid, is_dup) — filters
     never silently drop rows.
     """
+    from cloud_optimized_data_pipelines_spark.functions.vectors import dot, norm
+
+    # norms are computed ONCE per row/centroid and carried as columns:
+    # cosine_similarity() inlined in a join or crossJoin re-folds BOTH
+    # norms per candidate pair (3 array folds/pair instead of 1).  The
+    # quotient dot/(norm_l * norm_r) is the identical expression value,
+    # so oracle parity is unaffected.
     cents = df.filter(F.col(id_col) < k_lists).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        norm(vec_col).alias("_cnorm"),
     )
-    scored = df.crossJoin(F.broadcast(cents)).withColumn(
-        "_cos_c", cosine_similarity(F.col(vec_col), F.col("cvec"))
+    scored = (
+        df.withColumn("_norm", norm(vec_col))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_cos_c",
+            dot(F.col(vec_col), F.col("cvec")) / (F.col("_norm") * F.col("_cnorm")),
+        )
     )
-    # argmax key: unique per (vector, centroid), so both max_by's pick
+    # argmax key: unique per (vector, centroid), so the max_by's pick
     # the same row deterministically
     key = F.struct(F.col("_cos_c"), (-F.col("cid")).cast("long"))
     assigned = scored.groupBy(id_col).agg(
         F.max_by("cid", key).alias("cid"),
         F.max_by(vec_col, key).alias(vec_col),
+        F.max_by("_norm", key).alias("_norm"),
     )
     left = assigned.select(
-        F.col(id_col).alias("_lid"), F.col(vec_col).alias("_lvec"), F.col("cid").alias("_lcid")
+        F.col(id_col).alias("_lid"),
+        F.col(vec_col).alias("_lvec"),
+        F.col("cid").alias("_lcid"),
+        F.col("_norm").alias("_lnorm"),
     )
-    cos = F.round(cosine_similarity(F.col("_lvec"), F.col(vec_col)), round_digits)
+    cos = F.round(
+        dot(F.col("_lvec"), F.col(vec_col)) / (F.col("_lnorm") * F.col("_norm")),
+        round_digits,
+    )
     cond = (
         (F.col("_lcid") == F.col("cid"))
         & (F.col("_lid") < F.col(id_col))
