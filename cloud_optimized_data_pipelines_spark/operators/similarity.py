@@ -97,12 +97,24 @@ def ann_topk_by_id(
     corpus ``.write.partitionBy('bucket')``-ed, the bucket filter is
     partition pruning — the physical index lookup.
     """
-    b = with_sign_bucket(df, vec_col, num_dims)
+    from cloud_optimized_data_pipelines_spark.functions.vectors import dot, norm
+
+    # norms hoisted to per-row columns (query norm computed once in the
+    # 1-row broadcast side) — cosine inlined per candidate re-folds
+    # both norms; the hoisted quotient is the identical expression
+    # value, so oracle parity holds (see semantic_dedup)
+    b = with_sign_bucket(df, vec_col, num_dims).withColumn(
+        "_n", norm(vec_col)
+    )
     q = (
         b.filter(F.col(id_col) == query_id)
-        .select(F.col(vec_col).alias("_qv"), F.col("bucket").alias("_qb"))
+        .select(
+            F.col(vec_col).alias("_qv"),
+            F.col("bucket").alias("_qb"),
+            F.col("_n").alias("_qn"),
+        )
     )
-    cos = cosine_similarity(F.col(vec_col), F.col("_qv"))
+    cos = dot(F.col(vec_col), F.col("_qv")) / (F.col("_n") * F.col("_qn"))
     out = (
         b.join(F.broadcast(q), F.col("bucket") == F.col("_qb"))
         .select(F.col(id_col), cos.alias("_cos_exact"))
@@ -138,24 +150,40 @@ def ivf_probe_fixed(
     the assignment partitioned by list id turns the probe into
     partition pruning (see :func:`ivf_write_index`).
     """
+    from cloud_optimized_data_pipelines_spark.functions.vectors import dot, norm
+
+    # per-row/centroid/query norms hoisted to columns — cosine inlined
+    # in the n x k_lists assignment re-folds both norms per candidate
+    # (3 folds -> 1); hoisted quotients are identical expression
+    # values, so oracle parity holds (see semantic_dedup)
     cents = df.filter(F.col(id_col) < k_lists).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        norm(vec_col).alias("_cn"),
     )
-    scored = df.crossJoin(F.broadcast(cents)).withColumn(
-        "_cos_c", cosine_similarity(F.col(vec_col), F.col("cvec"))
+    scored = (
+        df.withColumn("_n", norm(vec_col))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_cos_c",
+            dot(F.col(vec_col), F.col("cvec")) / (F.col("_n") * F.col("_cn")),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_cos_c"), F.col("cid"))
     assigned = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, "cid")
+        .select(id_col, vec_col, "cid", "_n")
     )
     q = df.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_qv")
+        F.col(vec_col).alias("_qv"), norm(vec_col).alias("_qn")
     )
     probe = (
         cents.crossJoin(F.broadcast(q))
-        .withColumn("_cos_q", cosine_similarity(F.col("cvec"), F.col("_qv")))
+        .withColumn(
+            "_cos_q",
+            dot(F.col("cvec"), F.col("_qv")) / (F.col("_cn") * F.col("_qn")),
+        )
         .orderBy(F.desc("_cos_q"), F.col("cid"))
         .limit(nprobe)
         .select("cid")
@@ -163,7 +191,10 @@ def ivf_probe_fixed(
     return (
         assigned.join(F.broadcast(probe), "cid")
         .crossJoin(F.broadcast(q))
-        .withColumn("_cos", cosine_similarity(F.col(vec_col), F.col("_qv")))
+        .withColumn(
+            "_cos",
+            dot(F.col(vec_col), F.col("_qv")) / (F.col("_n") * F.col("_qn")),
+        )
         .orderBy(F.desc("_cos"), F.col(id_col))
         .limit(k)
         .select(id_col, F.round(F.col("_cos"), 6).alias("cos"))
