@@ -1864,6 +1864,37 @@ def simhash_q(spark, sf_dir):
     )
 
 
+_SIMHASH_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, CAST({_SIMHASH_TERMS} AS BIGINT) AS simhash FROM toks
+)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+"""
+
+
+@query("dedup_simhash_pairs", _SIMHASH_PAIRS)
+def dedup_simhash_pairs_q(spark, sf_dir):
+    """SimHash near-dup pairs (operators/dedup.py::
+    simhash_near_dup_pairs): banded Hamming blocking per Manku et
+    al. 2007 — 4 bit-bands over the 32-bit fingerprint, candidate
+    equi-join on (band, value), xor+bit_count verify.  With
+    max_hamming = num_bands - 1 the blocking is COMPLETE (pigeonhole),
+    so the banded Spark plan must exactly reproduce the oracle's naive
+    all-pairs scan — the cross-engine proof that banding loses
+    nothing."""
+    t = load_tables(spark, sf_dir)
+    return D.simhash_near_dup_pairs(
+        t["documents"], "doc_id", "text", num_bands=4, max_hamming=3
+    )
+
+
 _DUCK_DOT = (
     "list_reduce(list_transform(list_zip({a}, {b}), "
     "z -> z[1]::DOUBLE * z[2]::DOUBLE), (x, y) -> x + y)"

@@ -667,3 +667,56 @@ def test_cap_per_group_equals_row_number_form(spark):
         g = "hot" if i < 80 else f"g{i % 5}"
         per_group[g] = per_group.get(g, 0) + 1
     assert per_group["hot"] == 7 and all(v <= 7 for v in per_group.values())
+
+
+def test_simhash_pairs_banded_blocking_is_complete(spark, sf_dir):
+    """With max_hamming = num_bands - 1 the band join must find EXACTLY
+    the pairs a brute-force all-pairs Hamming scan finds (pigeonhole
+    completeness) — verified on the real corpus slice."""
+    from pyspark.sql import functions as F
+    from cloud_optimized_data_pipelines_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_near_dup_pairs(
+            docs, "doc_id", "text", num_bands=4, max_hamming=3
+        ).collect()
+    }
+    sh = docs.select("doc_id", D.simhash(F.col("text")).alias("sh"))
+    l, r = sh.alias("l"), sh.alias("r")
+    brute = {
+        (row.id_a, row.id_b, row.hamming)
+        for row in l.join(r, F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute and len(banded) > 0
+
+
+def test_simhash_pairs_planted_near_identical_docs(spark):
+    """Two docs differing in one token land within the Hamming gate;
+    an unrelated doc does not pair with either."""
+    from cloud_optimized_data_pipelines_spark.operators import dedup as D
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon " * 3)
+    df = spark.createDataFrame(
+        [
+            (1, base + "ending one"),
+            (2, base + "ending two"),
+            (3, "totally different short text about other topics entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b) for r in D.simhash_near_dup_pairs(
+        df, "doc_id", "text", num_bands=4, max_hamming=3).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
