@@ -62,6 +62,7 @@ HEADLINE = [
     "dedup_lines",
     "similarity_semantic_dedup",
     "text_classifier_score",
+    "dedup_simhash_pairs",
 ]
 
 

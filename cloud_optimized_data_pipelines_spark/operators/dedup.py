@@ -617,8 +617,17 @@ def simhash(text_col, bits: int = SIMHASH_BITS):
     inlined hash would recompute every token's md5 once PER BIT —
     O(tokens x bits) digests per document instead of O(tokens)
     (measured 90.6 s -> 9.2 s over 500k docs at 32 bits).
+
+    ``bits`` up to 60 (the fingerprint must stay a positive signed
+    BIGINT in both engines); the per-token hash takes ceil(bits/4) md5
+    hex chars.  Wider fingerprints matter for the banded pair join —
+    see :func:`simhash_near_dup_pairs`.
     """
     from cloud_optimized_data_pipelines_spark.functions.text import tokens
+
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60] (signed-BIGINT-safe)")
+    hex_chars = -(-bits // 4)
 
     def build(harr):
         def bit_sum(b: int):
@@ -641,7 +650,7 @@ def simhash(text_col, bits: int = SIMHASH_BITS):
 
     hashes = F.transform(
         tokens(text_col),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, hex_chars), 16, 10).cast("long"),
     )
     return F.transform(F.array(hashes), build)[0]
 
@@ -845,7 +854,7 @@ def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    bits: int = SIMHASH_BITS,
+    bits: int = 60,
     num_bands: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:
@@ -863,6 +872,15 @@ def simhash_near_dup_pairs(
     DISTINCT candidate pair.
 
     Output: (id_a, id_b, hamming) with id_a < id_b.
+
+    SIZE THE FINGERPRINT TO THE CORPUS: expected candidate pairs are
+    ~num_bands * n^2 / 2^(bits/num_bands + 1), so band-value
+    cardinality must track corpus size — the 32-bit form's 8-bit bands
+    (256 values) cap it at ~10^5 docs (measured: 500k replica docs
+    emit ~2*10^9 candidates and the join never finishes), while the
+    default 60-bit/15-bit-band form handles 10^7 and a 64-bit unsigned
+    fingerprint (Manku's production shape) goes beyond — BIGINT
+    signedness caps this portable implementation at 60.
     """
     if bits % num_bands:
         raise ValueError("bits must divide evenly into num_bands")

@@ -1864,13 +1864,25 @@ def simhash_q(spark, sf_dir):
     )
 
 
+def _duck_simhash_terms(bits: int) -> str:
+    """Balanced-paren DuckDB simhash terms for an arbitrary width (the
+    32-bit ``_SIMHASH_TERMS`` kept verbatim for the legacy oracle)."""
+    hex_chars = -(-bits // 4)
+    h = f"(('0x' || substr(md5(t), 1, {hex_chars}))::BIGINT)"
+    return " + ".join(
+        f"CASE WHEN 2 * len(list_filter(tk, t -> ({h} >> {b}) & 1 = 1)) > len(tk) "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+
+
 _SIMHASH_PAIRS = f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
   FROM documents
 ),
 sh AS (
-  SELECT doc_id, CAST({_SIMHASH_TERMS} AS BIGINT) AS simhash FROM toks
+  SELECT doc_id, CAST({_duck_simhash_terms(60)} AS BIGINT) AS simhash FROM toks
 )
 SELECT l.doc_id AS id_a, r.doc_id AS id_b,
        CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
@@ -4436,7 +4448,6 @@ _GRADED_WINDOW = [
     "window_topk_per_customer",
     "agg_rollup_supplier",
     "agg_cube_orders",
-    "agg_distinct_by_segment",
     "unpivot_part_metrics",
     "set_ops_customers",
     "join_semi_anti_customers",
@@ -4452,6 +4463,7 @@ _GRADED_WINDOW = [
     "dedup_lsh_survivors",
     "dedup_ngram_jaccard_guarded",
     "dedup_substring_spans",
+    "dedup_simhash_pairs",
     "dedup_lines",
     "dedup_incremental",
     "text_train_val_split",

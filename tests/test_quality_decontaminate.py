@@ -683,7 +683,7 @@ def test_simhash_pairs_banded_blocking_is_complete(spark, sf_dir):
             docs, "doc_id", "text", num_bands=4, max_hamming=3
         ).collect()
     }
-    sh = docs.select("doc_id", D.simhash(F.col("text")).alias("sh"))
+    sh = docs.select("doc_id", D.simhash(F.col("text"), 60).alias("sh"))
     l, r = sh.alias("l"), sh.alias("r")
     brute = {
         (row.id_a, row.id_b, row.hamming)
