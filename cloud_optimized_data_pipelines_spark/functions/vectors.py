@@ -26,8 +26,18 @@ def norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def safe_cos_div(dot_col: Column, denom: Column) -> Column:
+    """Cosine quotient that is NULL when the denominator is zero (a
+    zero-norm vector has no defined cosine).  Spark 4 runs ANSI mode,
+    where a bare double division by 0.0 ABORTS THE JOB; DuckDB yields
+    NULL — this guard makes both engines agree on NULL, so oracles
+    need no change and zero vectors drop out of >= threshold gates
+    instead of crashing the pipeline."""
+    return F.when(denom != 0.0, dot_col / denom)
+
+
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return safe_cos_div(dot(a, b), norm(a) * norm(b))
 
 
 def literal_vector(values: list[float]) -> Column:

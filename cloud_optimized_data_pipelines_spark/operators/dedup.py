@@ -807,18 +807,25 @@ def line_dedup(
     drop rows).
     """
     if line_sep is not None:
-        lines_arr = F.filter(
-            F.split(F.col(text_col), F.lit(line_sep)), lambda x: x != ""
-        )
+        # \Q..\E-quote the separator: F.split takes a Java REGEX but the
+        # rejoin uses the literal string — an unescaped separator with
+        # metacharacters (e.g. '|') would split per-character and
+        # corrupt the rebuilt text
+        lines_arr = F.split(F.col(text_col), F.lit("\Q" + line_sep + "\E"))
         joiner = line_sep
     else:
         lines_arr = _fixed_token_lines(text_col, line_tokens)
         joiner = " "
+    # empty segments (consecutive separators) are KEPT as rows so the
+    # rebuild round-trips documents byte-for-byte when nothing is
+    # removed; they are excluded from frequency counting and from
+    # n_lines/n_removed (an empty line is structure, not content)
     lines = df.select(
         F.col(id_col).alias("_doc"), F.posexplode(lines_arr).alias("pos", "line")
     )
     over = (
-        lines.groupBy("line")
+        lines.filter(F.col("line") != "")
+        .groupBy("line")
         .agg(F.count_distinct("_doc").alias("_ndocs"))
         .filter(F.col("_ndocs") > max_doc_freq)
         .select("line", F.lit(True).alias("_rm"))
@@ -827,7 +834,9 @@ def line_dedup(
         "_rm", F.coalesce(F.col("_rm"), F.lit(False))
     )
     per_doc = flagged.groupBy("_doc").agg(
-        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("line") != "", 1).otherwise(0))
+        .cast("long")
+        .alias("n_lines"),
         F.sum(F.when(F.col("_rm"), 1).otherwise(0)).cast("long").alias("n_removed"),
         F.concat_ws(
             joiner,
@@ -884,6 +893,12 @@ def simhash_near_dup_pairs(
     """
     if bits % num_bands:
         raise ValueError("bits must divide evenly into num_bands")
+    if max_hamming >= num_bands:
+        raise ValueError(
+            "max_hamming must be < num_bands: the pigeonhole completeness "
+            "guarantee only holds when the differing bits cannot cover "
+            "every band (raise num_bands for a larger Hamming radius)"
+        )
     width = bits // num_bands
     mask = (1 << width) - 1
     sh = _spread(df).select(

@@ -364,15 +364,20 @@ def classifier_score(
       the right shape for scoring 100 TB.  Deterministic md5 weights
       stand in for a trained table; the execution shape is the point.
     - **weight table** (``weights`` = DataFrame[word, w] from a real
-      trained model): explode + word-keyed join + per-doc sum — the
-      shape when the vocabulary is too large to inline.  The join
-      carries no broadcast hint (same reasoning as
-      :func:`unigram_logprob`: AQE broadcasts iff the table fits).
+      trained model, ``w`` DOUBLE, one row per word — duplicate words
+      would fan out the join and inflate both counts): explode +
+      word-keyed join + per-doc sum — the shape when the vocabulary is
+      too large to inline.  The join carries no broadcast hint (same
+      reasoning as :func:`unigram_logprob`: AQE broadcasts iff the
+      table fits).  Trained weights are real-valued, so ``margin`` is
+      a DOUBLE sum (shuffle-order dependent in the last ulp — this
+      path has no bit-exact oracle) and ``score`` is the plain mean
+      weight, NOT scaled by the hashed form's ``weight_mod``.
 
-    Integer weight sums are exact and order-independent, so the only
-    float is the final division — bit-identical cross-engine.  Output:
-    every input row plus ``n_tokens``, ``margin`` (integer weight
-    sum), ``score`` and ``keep``; token-less docs score 0.0.
+    Hashed-form integer weight sums are exact and order-independent,
+    so the only float is the final division — bit-identical
+    cross-engine.  Output: every input row plus ``n_tokens``,
+    ``margin``, ``score`` and ``keep``; token-less docs score 0.0.
     """
     half = (weight_mod - 1) // 2
     if weights is not None:
@@ -385,12 +390,20 @@ def classifier_score(
             .groupBy("_doc")
             .agg(
                 F.count("*").cast("long").alias("n_tokens"),
-                F.sum(F.coalesce(F.col("w"), F.lit(0)))
-                .cast("long")
+                F.sum(F.coalesce(F.col("w").cast("double"), F.lit(0.0)))
                 .alias("margin"),
             )
         )
         out = df.join(summed, df[id_col] == summed["_doc"], "left").drop("_doc")
+        n = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+        margin = F.coalesce(F.col("margin"), F.lit(0.0))
+        score = F.when(n > 0, margin / n.cast("double")).otherwise(F.lit(0.0))
+        return (
+            out.withColumn("n_tokens", n)
+            .withColumn("margin", margin)
+            .withColumn("score", score)
+            .withColumn("keep", F.col("score") >= threshold)
+        )
     else:
 
         def build(toks_arr):

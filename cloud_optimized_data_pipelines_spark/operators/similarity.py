@@ -97,24 +97,30 @@ def ann_topk_by_id(
     corpus ``.write.partitionBy('bucket')``-ed, the bucket filter is
     partition pruning — the physical index lookup.
     """
-    from cloud_optimized_data_pipelines_spark.functions.vectors import dot, norm
-
-    # norms hoisted to per-row columns (query norm computed once in the
-    # 1-row broadcast side) — cosine inlined per candidate re-folds
-    # both norms; the hoisted quotient is the identical expression
-    # value, so oracle parity holds (see semantic_dedup)
-    b = with_sign_bucket(df, vec_col, num_dims).withColumn(
-        "_n", norm(vec_col)
+    from cloud_optimized_data_pipelines_spark.functions.vectors import (
+        dot,
+        norm,
+        safe_cos_div,
     )
+
+    # ONLY the query norm is hoisted (computed once on the 1-row
+    # broadcast side): inlined cosine re-folds it per candidate.  The
+    # corpus-row norm stays INSIDE the post-join projection — hoisting
+    # it above the bucket join would pay a norm fold for all n rows
+    # when only ~n/2^num_dims survive the join.  The quotient is the
+    # identical expression value, so oracle parity holds.
+    b = with_sign_bucket(df, vec_col, num_dims)
     q = (
         b.filter(F.col(id_col) == query_id)
         .select(
             F.col(vec_col).alias("_qv"),
             F.col("bucket").alias("_qb"),
-            F.col("_n").alias("_qn"),
+            norm(vec_col).alias("_qn"),
         )
     )
-    cos = dot(F.col(vec_col), F.col("_qv")) / (F.col("_n") * F.col("_qn"))
+    cos = safe_cos_div(
+        dot(F.col(vec_col), F.col("_qv")), norm(vec_col) * F.col("_qn")
+    )
     out = (
         b.join(F.broadcast(q), F.col("bucket") == F.col("_qb"))
         .select(F.col(id_col), cos.alias("_cos_exact"))
@@ -150,7 +156,11 @@ def ivf_probe_fixed(
     the assignment partitioned by list id turns the probe into
     partition pruning (see :func:`ivf_write_index`).
     """
-    from cloud_optimized_data_pipelines_spark.functions.vectors import dot, norm
+    from cloud_optimized_data_pipelines_spark.functions.vectors import (
+        dot,
+        norm,
+        safe_cos_div,
+    )
 
     # per-row/centroid/query norms hoisted to columns — cosine inlined
     # in the n x k_lists assignment re-folds both norms per candidate
@@ -166,7 +176,9 @@ def ivf_probe_fixed(
         .crossJoin(F.broadcast(cents))
         .withColumn(
             "_cos_c",
-            dot(F.col(vec_col), F.col("cvec")) / (F.col("_n") * F.col("_cn")),
+            safe_cos_div(
+                dot(F.col(vec_col), F.col("cvec")), F.col("_n") * F.col("_cn")
+            ),
         )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_cos_c"), F.col("cid"))
@@ -182,7 +194,9 @@ def ivf_probe_fixed(
         cents.crossJoin(F.broadcast(q))
         .withColumn(
             "_cos_q",
-            dot(F.col("cvec"), F.col("_qv")) / (F.col("_cn") * F.col("_qn")),
+            safe_cos_div(
+                dot(F.col("cvec"), F.col("_qv")), F.col("_cn") * F.col("_qn")
+            ),
         )
         .orderBy(F.desc("_cos_q"), F.col("cid"))
         .limit(nprobe)
@@ -193,7 +207,9 @@ def ivf_probe_fixed(
         .crossJoin(F.broadcast(q))
         .withColumn(
             "_cos",
-            dot(F.col(vec_col), F.col("_qv")) / (F.col("_n") * F.col("_qn")),
+            safe_cos_div(
+                dot(F.col(vec_col), F.col("_qv")), F.col("_n") * F.col("_qn")
+            ),
         )
         .orderBy(F.desc("_cos"), F.col(id_col))
         .limit(k)
@@ -313,7 +329,11 @@ def embedding_near_dup_pairs(
     verifies.  (Vectors whose near-dups straddle a hyperplane are
     missed — the recall/cost dial is num_dims.)
     """
-    from cloud_optimized_data_pipelines_spark.functions.vectors import dot, norm
+    from cloud_optimized_data_pipelines_spark.functions.vectors import (
+        dot,
+        norm,
+        safe_cos_div,
+    )
 
     # norm hoisted to a per-row column: inlining cosine_similarity in
     # the self-join re-folds both norms per candidate pair (3 folds ->
@@ -327,7 +347,9 @@ def embedding_near_dup_pairs(
     )
     left = b.alias("l")
     right = b.alias("r")
-    cos = dot(F.col("l.vec"), F.col("r.vec")) / (F.col("l._n") * F.col("r._n"))
+    cos = safe_cos_div(
+        dot(F.col("l.vec"), F.col("r.vec")), F.col("l._n") * F.col("r._n")
+    )
     if round_digits is not None:
         cos = F.round(cos, round_digits)
     return (
@@ -378,7 +400,11 @@ def semantic_dedup(
     dedup).  Returns every input row with (id, cid, is_dup) — filters
     never silently drop rows.
     """
-    from cloud_optimized_data_pipelines_spark.functions.vectors import dot, norm
+    from cloud_optimized_data_pipelines_spark.functions.vectors import (
+        dot,
+        norm,
+        safe_cos_div,
+    )
 
     # norms are computed ONCE per row/centroid and carried as columns:
     # cosine_similarity() inlined in a join or crossJoin re-folds BOTH
@@ -395,12 +421,20 @@ def semantic_dedup(
         .crossJoin(F.broadcast(cents))
         .withColumn(
             "_cos_c",
-            dot(F.col(vec_col), F.col("cvec")) / (F.col("_norm") * F.col("_cnorm")),
+            safe_cos_div(
+                dot(F.col(vec_col), F.col("cvec")),
+                F.col("_norm") * F.col("_cnorm"),
+            ),
         )
     )
     # argmax key: unique per (vector, centroid), so the max_by's pick
-    # the same row deterministically
-    key = F.struct(F.col("_cos_c"), (-F.col("cid")).cast("long"))
+    # the same row deterministically.  A zero-norm vector has NULL
+    # cosine to every centroid (safe_cos_div) — coalesce to a -2.0
+    # sentinel below any real cosine so it still lands deterministically
+    # in the lowest-id cluster instead of vanishing from the output
+    key = F.struct(
+        F.coalesce(F.col("_cos_c"), F.lit(-2.0)), (-F.col("cid")).cast("long")
+    )
     assigned = scored.groupBy(id_col).agg(
         F.max_by("cid", key).alias("cid"),
         F.max_by(vec_col, key).alias(vec_col),
@@ -413,7 +447,10 @@ def semantic_dedup(
         F.col("_norm").alias("_lnorm"),
     )
     cos = F.round(
-        dot(F.col("_lvec"), F.col(vec_col)) / (F.col("_lnorm") * F.col("_norm")),
+        safe_cos_div(
+            dot(F.col("_lvec"), F.col(vec_col)),
+            F.col("_lnorm") * F.col("_norm"),
+        ),
         round_digits,
     )
     cond = (

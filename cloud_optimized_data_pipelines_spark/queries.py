@@ -1895,8 +1895,10 @@ WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
 def dedup_simhash_pairs_q(spark, sf_dir):
     """SimHash near-dup pairs (operators/dedup.py::
     simhash_near_dup_pairs): banded Hamming blocking per Manku et
-    al. 2007 — 4 bit-bands over the 32-bit fingerprint, candidate
-    equi-join on (band, value), xor+bit_count verify.  With
+    al. 2007 — 4 fifteen-bit bands over the 60-bit fingerprint (the
+    widest signed-BIGINT-safe width; band-value cardinality must track
+    corpus size, see SCALE.md), candidate equi-join on (band, value),
+    xor+bit_count verify.  With
     max_hamming = num_bands - 1 the blocking is COMPLETE (pigeonhole),
     so the banded Spark plan must exactly reproduce the oracle's naive
     all-pairs scan — the cross-engine proof that banding loses
@@ -4427,9 +4429,11 @@ def text_bm25_scores_q(spark, sf_dir):
 _GRADED_WINDOW = [
     # TPC-H representatives (hand-shaped plans; redundant variants demoted
     # — round 4 rotated q2/q6 out for round-3 extension operators, then
-    # window_rank_functions/agg_percentiles/events_funnel_conversion out
-    # for the line-dedup / semantic-dedup / classifier-inference
-    # families; every demoted query stays locally oracle-checked)
+    # window_rank_functions / agg_percentiles / events_funnel_conversion
+    # / agg_distinct_by_segment out for the line-dedup / semantic-dedup
+    # / classifier-inference / simhash-pairs families (distinct
+    # aggregation stays graded inside dedup_lines); every demoted query
+    # stays locally oracle-checked)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q18_large_volume_customer",

@@ -720,3 +720,67 @@ def test_simhash_pairs_planted_near_identical_docs(spark):
         df, "doc_id", "text", num_bands=4, max_hamming=3).collect()}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_line_dedup_metacharacter_separator_roundtrips(spark):
+    """A separator made of regex metacharacters must split literally
+    and round-trip untouched docs byte-for-byte (the '|' separator
+    previously split on the empty-alternation regex, shredding text
+    per character)."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta|gamma delta"), (2, "epsilon zeta|gamma delta")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(
+        df, "doc_id", "text", max_doc_freq=1, line_sep="|").collect()}
+    assert out[1].n_lines == 2 and out[1].n_removed == 1
+    assert out[1].text_dedup == "alpha beta"
+    assert out[2].text_dedup == "epsilon zeta"
+
+
+def test_line_dedup_preserves_blank_lines_when_nothing_removed(spark):
+    """Consecutive separators (blank lines) are structure, not content:
+    an untouched doc must round-trip exactly, and blank segments never
+    count toward n_lines or trip the frequency rule."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "para one\n\npara two"), (2, "other text\n\nmore text")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(
+        df, "doc_id", "text", max_doc_freq=1, line_sep="\n").collect()}
+    for r in out.values():
+        assert r.n_removed == 0
+        assert r.n_lines == 2
+        assert r.text_dedup == r.text
+
+
+def test_simhash_pairs_rejects_incomplete_configuration(spark):
+    """max_hamming >= num_bands voids the pigeonhole completeness
+    guarantee — must raise, not silently lose recall."""
+    import pytest as _pytest
+
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(df, "doc_id", "text", num_bands=4, max_hamming=4)
+
+
+def test_classifier_weight_table_real_valued_weights(spark):
+    """Trained weights are real-valued: fractional weights must not be
+    truncated and the score is the plain mean weight."""
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        classifier_score,
+    )
+
+    df = spark.createDataFrame([(1, "good good good")], "doc_id long, text string")
+    weights = spark.createDataFrame([("good", 0.7)], "word string, w double")
+    r = classifier_score(df, "doc_id", "text", weights=weights).collect()[0]
+    assert abs(r.margin - 2.1) < 1e-12
+    assert abs(r.score - 0.7) < 1e-12

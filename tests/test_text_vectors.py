@@ -397,3 +397,28 @@ def test_semantic_dedup_threshold_monotone(spark, sf_dir):
             if r.is_dup
         }
     assert dups[0.4] <= dups[0.3]
+
+
+def test_cosine_zero_vector_is_null_not_crash(spark):
+    """Spark 4 ANSI mode aborts on double division by zero; a zero-norm
+    vector must yield NULL cosine (DuckDB's semantics) and flow through
+    every similarity operator instead of crashing the job."""
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        (6, [1.0, 0.01, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    out = {r.vec_id: r for r in S.semantic_dedup(
+        df, "embedding", "vec_id", k_lists=2, threshold=0.9).collect()}
+    assert len(out) == 4                      # zero-vec row preserved
+    assert out[5].is_dup is False             # NULL cosine never >= tau
+    assert out[5].cid == 0                    # -2.0 sentinel -> lowest cid
+    assert out[6].is_dup is True
+    pairs = S.embedding_near_dup_pairs(
+        df, "embedding", "vec_id", threshold=0.5, num_dims=2
+    ).collect()
+    assert not any(5 in (r.id_a, r.id_b) for r in pairs)
