@@ -440,3 +440,65 @@ def classifier_score(
         .withColumn("score", score)
         .withColumn("keep", F.col("score") >= threshold)
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    blocklist: tuple[str, ...] = ("lorem ipsum", "{", "javascript"),
+    line_sep: str = "\n",
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits
+    of Transfer Learning", section 2.2) — the line/page filters behind
+    the most-used public web corpus:
+
+    - keep only lines ending in terminal punctuation (. ! ? or ");
+    - keep only lines with >= ``min_words_per_line`` words;
+    - drop the whole page when fewer than ``min_lines`` lines survive,
+      or when the page contains any ``blocklist`` phrase
+      (case-insensitive; C4 uses "lorem ipsum", a brace — code — and
+      the "List of Dirty Naughty Words": plug the full list in here).
+
+    Entirely per-document array expressions over the let-bound line
+    split — NO explode, NO shuffle, NO Python: like
+    :func:`classifier_score` the whole filter rides the 100 TB scan.
+    Output: every input row plus ``n_lines``, ``n_kept``,
+    ``text_clean`` (kept lines re-joined) and ``keep``; callers filter
+    on ``keep`` so nothing is silently dropped.
+    """
+    from cloud_optimized_data_pipelines_spark.functions.text import tokens
+
+    def build(lines):
+        nonempty = F.filter(lines, lambda l: l != "")
+        kept = F.filter(
+            nonempty,
+            lambda l: l.rlike('[.!?"]$')
+            & (F.size(tokens(l)) >= min_words_per_line),
+        )
+        return F.struct(
+            F.size(nonempty).cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.array_join(kept, line_sep).alias("text_clean"),
+        )
+
+    split = F.split(F.col(text_col), F.lit("\\Q" + line_sep + "\\E"))
+    st = F.transform(F.array(split), build)[0]
+    lowered = F.lower(F.col(text_col))
+    blocked = None
+    for phrase in blocklist:
+        hit = F.contains(lowered, F.lit(phrase.lower()))
+        blocked = hit if blocked is None else (blocked | hit)
+    out = df.withColumn("_st", st).select(
+        "*",
+        F.col("_st.n_lines").alias("n_lines"),
+        F.col("_st.n_kept").alias("n_kept"),
+        F.col("_st.text_clean").alias("text_clean"),
+    ).drop("_st")
+    return out.withColumn(
+        "keep",
+        (F.col("n_kept") >= min_lines)
+        & ~(blocked if blocked is not None else F.lit(False)),
+    )

@@ -4301,6 +4301,85 @@ def text_classifier_score_q(spark, sf_dir):
     return out.select("doc_id", "n_tokens", "margin", "score", "keep")
 
 
+_C4_CLEAN = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+chunk AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[(i*10+1):(i*10+10)], ' ')
+         || CASE WHEN (doc_id + i) % 4 <> 0 THEN '.' ELSE '' END AS line,
+         len(t[(i*10+1):(i*10+10)]) AS n_words
+  FROM toks, UNNEST(range(0, CAST(ceil(len(t)/10.0) AS BIGINT))) AS u(i)
+  WHERE len(t) > 0
+),
+flagged AS (
+  SELECT doc_id, pos, line,
+         (regexp_matches(line, '[.!?"]$') AND n_words >= 5) AS kept
+  FROM chunk
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT)
+           + CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS n_lines,
+         CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE kept), '')
+           AS text_clean
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_lines, 0) AS n_lines,
+       COALESCE(p.n_kept, 0) AS n_kept,
+       (COALESCE(p.n_kept, 0) >= 3 AND d.doc_id % 17 <> 0) AS keep,
+       md5(COALESCE(p.text_clean, '')) AS clean_md5
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@query("text_c4_clean", _C4_CLEAN)
+def text_c4_clean_q(spark, sf_dir):
+    """C4 page cleaning (operators/quality.py::c4_line_filter): the
+    Raffel et al. 2020 line rules — terminal punctuation, >= 5 words
+    per line, >= 3 surviving lines, blocklist phrases — as pure
+    per-document array expressions (no explode, no shuffle; the filter
+    rides the scan like classifier_score).  The word-soup corpus has
+    no line structure, so a line-structured text is built
+    DETERMINISTICALLY IN BOTH ENGINES: 10-token chunks, chunk i of doc
+    d terminated with '.' iff (d + i) % 4 != 0, and docs with
+    doc_id % 17 == 0 get a trailing 'lorem ipsum.' line that trips the
+    blocklist — every rule is exercised, and the kept-text md5 covers
+    the rebuilt bytes."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        _fixed_token_lines,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        c4_line_filter,
+    )
+
+    t = load_tables(spark, sf_dir)
+    did = F.col("doc_id")
+    chunks = _fixed_token_lines(F.col("text"), 10)
+    lines = F.transform(
+        chunks,
+        lambda c, i: F.concat(
+            c, F.when((did + i) % 4 != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    seeded = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.array_join(lines, "\n"),
+            F.when(did % 17 == 0, F.lit("\nlorem ipsum.")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = c4_line_filter(seeded, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_lines", "n_kept", "keep",
+        F.md5("text_clean").alias("clean_md5"),
+    )
+
+
 _NGRAM_REPETITION = """
 WITH toks AS (
   SELECT doc_id, text,

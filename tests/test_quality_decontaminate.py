@@ -784,3 +784,36 @@ def test_classifier_weight_table_real_valued_weights(spark):
     r = classifier_score(df, "doc_id", "text", weights=weights).collect()[0]
     assert abs(r.margin - 2.1) < 1e-12
     assert abs(r.score - 0.7) < 1e-12
+
+
+def test_c4_line_filter_rules(spark):
+    """Each C4 rule on a hand-built page: non-terminal lines drop,
+    short lines drop, pages with < min_lines survivors or a blocklist
+    phrase are marked keep=false (but never silently removed)."""
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        c4_line_filter,
+    )
+
+    good = "this line has enough words and ends properly."
+    df = spark.createDataFrame(
+        [
+            (1, f"{good}\n{good}\n{good}"),                      # clean page
+            (2, f"{good}\nno terminal punctuation here\n{good}\n{good}"),
+            (3, f"{good}\ntoo short.\n{good}"),                  # 2 survive
+            (4, f"{good}\n{good}\n{good}\nsee Lorem Ipsum dolor."),  # blocklist
+            (5, "javascript required to view this site."),       # blocklist
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_line_filter(df, "doc_id", "text").collect()}
+    assert len(out) == 5
+    assert out[1].keep and out[1].n_kept == 3
+    assert out[1].text_clean == f"{good}\n{good}\n{good}"
+    assert out[2].keep and out[2].n_kept == 3  # bad line excised
+    assert "no terminal" not in out[2].text_clean
+    assert not out[3].keep and out[3].n_kept == 2
+    assert not out[4].keep  # line rules pass but blocklist trips
+    assert not out[5].keep
+    # zero-shuffle plan: the whole filter rides the scan
+    plan = c4_line_filter(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
