@@ -63,6 +63,7 @@ HEADLINE = [
     "similarity_semantic_dedup",
     "text_classifier_score",
     "dedup_simhash_pairs",
+    "text_c4_clean",
 ]
 
 
