@@ -4380,6 +4380,98 @@ def text_c4_clean_q(spark, sf_dir):
     )
 
 
+_CORPUS_PREP = """
+WITH toks AS (
+  SELECT doc_id, source, text,
+         list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> ''), t -> lower(t)) AS lt
+  FROM documents
+),
+cls AS (
+  SELECT doc_id, source, text,
+         CAST(len(lt) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN len(lt) > 0 THEN list_reduce(
+                list_transform(lt, t ->
+                  ('0x' || substr(md5(t), 1, 8))::BIGINT % 2001 - 1000),
+                (a, b) -> a + b)
+              ELSE 0 END AS BIGINT) AS margin
+  FROM toks
+),
+scored AS (
+  SELECT doc_id, source, text, n_tokens,
+         CASE WHEN n_tokens > 0
+              THEN margin::DOUBLE / (n_tokens::DOUBLE * 1000.0)
+              ELSE 0.0 END AS score
+  FROM cls
+),
+quality AS (
+  SELECT * FROM scored WHERE n_tokens >= 10 AND score >= -0.05
+),
+sole AS (
+  SELECT doc_id, source, n_tokens, score,
+         ROW_NUMBER() OVER (PARTITION BY md5(text)
+                            ORDER BY doc_id) AS rn
+  FROM quality
+),
+surv AS (SELECT doc_id, source, n_tokens, score FROM sole WHERE rn = 1),
+sampled AS (
+  SELECT * FROM surv
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 8
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+FROM sampled GROUP BY source
+"""
+
+
+@query("pipeline_corpus_prep", _CORPUS_PREP)
+def pipeline_corpus_prep_q(spark, sf_dir):
+    """END-TO-END corpus preparation — the composition a real
+    training-data run executes, as ONE lazy plan: quality gate
+    (classifier score + length floor, both scan-side expressions) ->
+    exact dedup (lowest-id survivor per content hash, one digest-keyed
+    shuffle) -> 80% deterministic sample (md5 threshold, narrow
+    filter) -> per-source corpus stats.  Catalyst fuses the two
+    filters into the scan and the whole pipeline runs in two shuffle
+    stages (dedup window + final agg); the oracle rebuilds every stage
+    in SQL, so the hash proves the full composition, not just the
+    pieces."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        exact_dedup_by_hash,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        classifier_score,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    t = load_tables(spark, sf_dir)
+    scored = classifier_score(
+        t["documents"].select("doc_id", "source", "text"), "doc_id", "text"
+    )
+    quality = scored.filter(
+        (F.col("n_tokens") >= 10) & (F.col("score") >= -0.05)
+    )
+    survivors = exact_dedup_by_hash(quality, "text", "doc_id")
+    sampled = survivors.filter(hash_bucket("doc_id", 10) < 8)
+    return sampled.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id"))),
+                    lambda x: x["doc_id"].cast("string"),
+                ),
+            )
+        ).alias("ids_md5"),
+    )
+
+
 _NGRAM_REPETITION = """
 WITH toks AS (
   SELECT doc_id, text,

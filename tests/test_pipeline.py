@@ -239,3 +239,45 @@ def test_passthrough_keys_roundtrip_all_stages(spark):
     for r in rows:
         assert r.extra["custom_flag"] == "yes"
         assert r.extra["producer"] == "team-x/π"
+
+
+def test_corpus_prep_pipeline_stage_composition(spark, sf_dir):
+    """The end-to-end corpus-prep query must equal the hand-composed
+    stages run one at a time, and its plan must stay at two shuffle
+    stages (dedup window + final agg) — the filters fuse into the
+    scan."""
+    from pyspark.sql import functions as F
+
+    from cloud_optimized_data_pipelines_spark.queries import QUERIES, load_tables
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        exact_dedup_by_hash,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        classifier_score,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.sampling import hash_bucket
+
+    got = {
+        r.source: (r.n_docs, r.total_tokens)
+        for r in QUERIES["pipeline_corpus_prep"](spark, sf_dir).collect()
+    }
+    t = load_tables(spark, sf_dir)
+    step = classifier_score(
+        t["documents"].select("doc_id", "source", "text"), "doc_id", "text"
+    ).filter((F.col("n_tokens") >= 10) & (F.col("score") >= -0.05))
+    step = exact_dedup_by_hash(step, "text", "doc_id")
+    step = step.filter(hash_bucket("doc_id", 10) < 8)
+    want = {
+        r.source: (r.n, r.tt)
+        for r in step.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_tokens").cast("long").alias("tt"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    plan = QUERIES["pipeline_corpus_prep"](
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    n_exchanges = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    assert n_exchanges <= 3, plan  # dedup window + agg partials
