@@ -811,7 +811,7 @@ def line_dedup(
         # rejoin uses the literal string — an unescaped separator with
         # metacharacters (e.g. '|') would split per-character and
         # corrupt the rebuilt text
-        lines_arr = F.split(F.col(text_col), F.lit("\Q" + line_sep + "\E"))
+        lines_arr = F.split(F.col(text_col), F.lit("\\Q" + line_sep + "\\E"))
         joiner = line_sep
     else:
         lines_arr = _fixed_token_lines(text_col, line_tokens)
@@ -943,4 +943,156 @@ def simhash_near_dup_pairs(
         cand.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Duplicate-cluster labeling: connected components of a near-dup
+    pair graph via alternating large-star / small-star (Kiveris et al.
+    2014, "Connected Components in MapReduce and Beyond").
+
+    Pair emitters (:func:`lsh_banded`, :func:`simhash_near_dup_pairs`,
+    :func:`ngram_jaccard_pairs`) find EDGES; dedup policy needs
+    CLUSTERS — near-duplication is not transitive (a~b, b~c without
+    a~c), so keep-one-per-pair under-deletes and pairwise-greedy
+    deletes both of a chain's ends.  The standard corpus recipe
+    (RefinedWeb, Dolma, SlimPajama) is: pairs -> connected components
+    -> keep one document per component.
+
+    Why star-contraction instead of the obvious label propagation:
+    min-label propagation needs O(diameter) rounds (a 1M-doc chain is
+    1M shuffles); alternating star rounds contract the graph toward a
+    star forest in O(log^2 n) rounds regardless of diameter, each
+    round a pair of groupBy-min + broadcast-free equi-joins — no
+    single-task stage, per-key state one BIGINT.  Iteration is
+    driver-side control flow on metadata (a 2-value signature action
+    per round); edge data never leaves the cluster.
+
+    - large-star: every node points its LARGER neighbors at the
+      minimum of its closed neighborhood — long tails collapse onto
+      local minima without densifying small nodes;
+    - small-star: every node points its smaller-or-equal neighbors at
+      the neighborhood minimum — stars of stars flatten one level.
+
+    Convergence = canonical edge set stable (count + xxhash64-sum
+    signature; a changed edge set collides with probability ~2^-64
+    per round).  ``checkpoint`` localCheckpoints each round to cut
+    lineage — without it the plan doubles per iteration and Catalyst
+    analysis time, not the data, becomes the bottleneck (on a real
+    cluster set a checkpoint dir and swap in ``df.checkpoint()`` for
+    executor-loss resilience).
+
+    Returns one row per node that appears in ``edges``:
+    ``(node, component)`` with component = the smallest node id
+    reachable from it.  Deterministic: min over ids, no RNG, no
+    partition-order dependence.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    if checkpoint:
+        e = e.localCheckpoint()
+
+    def _signature(canon: DataFrame) -> tuple:
+        row = canon.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: order-independent AND overflow-free
+            # under ANSI mode (sum of ~2^63-scale hashes overflows)
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _sym(canon: DataFrame) -> DataFrame:
+        return canon.union(
+            canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    sig = _signature(e)
+    for _ in range(max_iter):
+        # large-star: over the symmetric edge list, m(u) = min(N(u) + {u});
+        # emit (v, m(u)) for the strictly larger neighbors v of u
+        sym = _sym(e)
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        e = (
+            large.filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .distinct()
+        )
+        # small-star: orient (u = larger, v = smaller); m(u) = min
+        # neighbor; emit (v, m(u)) for the other small neighbors and
+        # (u, m(u)) for the center itself
+        small_in = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        smins = small_in.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            small_in.join(smins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(smins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+        e = (
+            small.filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .distinct()
+        )
+        if checkpoint:
+            e = e.localCheckpoint()
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    # converged: e is a star forest of canonical (center=min, leaf) pairs
+    return (
+        _sym(e)
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.least(F.min("v"), F.first("u")).alias("component"))
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster-complete dedup labels for a corpus: every document that
+    appears in the near-dup ``pairs`` graph gets its connected
+    component id and the cluster size; the canonical survivor is the
+    component minimum (``is_survivor``).  Join back to ``df`` to drop
+    ``component IS NOT NULL AND NOT is_survivor`` rows.
+    """
+    labels = connected_components(pairs, id_a, id_b)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        labels.join(sizes, "component")
+        .select(
+            F.col("node").alias(id_col),
+            "component",
+            "csize",
+            (F.col("node") == F.col("component")).alias("is_survivor"),
+        )
     )

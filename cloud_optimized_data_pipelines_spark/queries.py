@@ -1909,6 +1909,48 @@ def dedup_simhash_pairs_q(spark, sf_dir):
     )
 
 
+# transitive closure of the simhash near-dup graph; `pairs`/`edges` are
+# MATERIALIZED because DuckDB otherwise re-inlines the all-pairs simhash
+# join into EVERY recursion step (measured: >300 s vs ~2 s at sf0.1)
+_DUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({_SIMHASH_PAIRS}),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+walk(node, root) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node
+),
+lab AS (SELECT node, MIN(root) AS component FROM walk GROUP BY node),
+sizes AS (SELECT component AS c, COUNT(*) AS csize FROM lab GROUP BY component)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(component AS BIGINT) AS component,
+       CAST(csize AS BIGINT) AS csize,
+       node = component AS is_survivor
+FROM lab JOIN sizes ON lab.component = sizes.c
+"""
+
+
+@query("dedup_duplicate_clusters", _DUP_CLUSTERS)
+def dedup_duplicate_clusters_q(spark, sf_dir):
+    """Near-dup CLUSTERS, not pairs (operators/dedup.py::
+    connected_components): alternating large-star/small-star
+    contraction (Kiveris et al. 2014) over the complete banded simhash
+    pair graph — near-duplication is not transitive, so corpus dedup
+    policy (keep one doc per cluster) needs the connected component,
+    which the oracle recomputes as a recursive-CTE reachability
+    closure.  The Spark side converges in O(log^2 n) shuffle rounds
+    independent of graph diameter; the driver sees only a 2-value
+    convergence signature per round."""
+    t = load_tables(spark, sf_dir)
+    pairs = D.simhash_near_dup_pairs(
+        t["documents"], "doc_id", "text", num_bands=4, max_hamming=3
+    )
+    return D.duplicate_clusters(pairs, "doc_id")
+
+
 _DUCK_DOT = (
     "list_reduce(list_transform(list_zip({a}, {b}), "
     "z -> z[1]::DOUBLE * z[2]::DOUBLE), (x, y) -> x + y)"

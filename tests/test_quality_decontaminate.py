@@ -817,3 +817,93 @@ def test_c4_line_filter_rules(spark):
     # zero-shuffle plan: the whole filter rides the scan
     plan = c4_line_filter(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# connected_components / duplicate_clusters
+# ---------------------------------------------------------------------------
+
+
+def _uf_components(edges):
+    """Pure-python union-find model: node -> min node id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.choice([10, 60, 200])
+        edges = {
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(rng.randint(1, n))
+        }
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges], "src LONG, dst LONG"
+        )
+        got = {
+            (r.node, r.component)
+            for r in connected_components(df, "src", "dst").collect()
+        }
+        want = set(_uf_components(edges).items())
+        assert got == want, f"trial {trial}: {got ^ want}"
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a path graph is the diameter worst case: label propagation would
+    # need O(n) rounds; star contraction must land well under max_iter
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(120)]
+    df = spark.createDataFrame(chain, "src LONG, dst LONG")
+    rows = connected_components(df, "src", "dst", max_iter=25).collect()
+    assert len(rows) == 121
+    assert {r.component for r in rows} == {0}
+
+
+def test_connected_components_empty_and_self_loops(spark):
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "src LONG, dst LONG")
+    assert connected_components(empty, "src", "dst").count() == 0
+    loops = spark.createDataFrame([(5, 5), (7, 7)], "src LONG, dst LONG")
+    assert connected_components(loops, "src", "dst").count() == 0
+
+
+def test_duplicate_clusters_survivor_policy(spark):
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    # two clusters: a chain {1,2,3} (non-transitive near-dup) + a pair {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a LONG, id_b LONG"
+    )
+    rows = {r.doc_id: r for r in duplicate_clusters(pairs, "doc_id").collect()}
+    assert rows[1].component == 1 and rows[1].is_survivor
+    assert rows[2].component == 1 and not rows[2].is_survivor
+    assert rows[3].component == 1 and rows[3].csize == 3
+    assert rows[10].is_survivor and rows[11].component == 10
+    assert rows[10].csize == 2
