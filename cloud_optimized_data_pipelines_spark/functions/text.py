@@ -78,6 +78,28 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     return F.transform(F.array(tokens(text)), build)[0]
 
 
+def word_ngrams(text: Column | str, n: int = 2) -> Column:
+    """EVERY word n-gram occurrence in order (single-space joined) —
+    the counting companion to :func:`word_shingles` (which dedupes for
+    set semantics): language-model estimation needs occurrence counts,
+    so no distinct and no short-document fallback (a doc with fewer
+    than n words has no n-grams, and emits an empty array rather than
+    a fabricated one).  Token array let-bound as in
+    :func:`word_shingles`."""
+
+    def build(toks: Column) -> Column:
+        k = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), k - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        return F.when(k >= n, grams).otherwise(
+            F.expr("CAST(array() AS ARRAY<STRING>)")
+        )
+
+    return F.transform(F.array(tokens(text)), build)[0]
+
+
 def punct_ratio(text: Column | str) -> Column:
     """Fraction of characters that are ASCII punctuation."""
     t = _c(text)

@@ -502,3 +502,96 @@ def c4_line_filter(
         (F.col("n_kept") >= min_lines)
         & ~(blocked if blocked is not None else F.lit(False)),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    train: DataFrame | None = None,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Held-out bigram language-model scoring with stupid backoff
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation") — the next step up from :func:`unigram_logprob` for
+    CCNet-style quality bucketing:
+
+        p(w2 | w1) = c(w1 w2) / c_ctx(w1)            if the bigram was
+                                                     seen in ``train``
+                   = alpha * c(w2) / total           otherwise (backing
+                                                     off to unigram)
+
+    with an unseen-word floor c(w2) := 1 (the singleton tail mass —
+    the model's resolution limit).  ``train`` is the estimation slice
+    (e.g. a trusted-source subset); it defaults to ``df`` itself, in
+    which case backoff is dead weight (every scored bigram was seen)
+    — pass a held-out slice for the scores to mean anything.
+
+    Cross-engine determinism as in :func:`unigram_logprob`: exact
+    integer counts, ln rounded to 9 decimals at the term level with
+    IDENTICAL argument association on both engines, per-doc sum as a
+    fold over the sorted bigram array.
+
+    Scale shape: counts are groupBy aggregations off the n-gram
+    explode (map-side combined); the three model joins are keyed on
+    the bigram/context/word columns with NO broadcast hint — a
+    web-corpus bigram table is billions of rows, so AQE decides; only
+    the 1-row total is broadcast.  Docs with < 2 tokens survive with
+    ``n_bigrams = 0`` and NULL score (never silently dropped).
+    """
+    from cloud_optimized_data_pipelines_spark.functions.text import word_ngrams
+
+    train = train if train is not None else df
+    train_bi = train.select(F.explode(word_ngrams(text_col, 2)).alias("bg"))
+    bcnt = train_bi.groupBy("bg").agg(F.count("*").alias("bcnt"))
+    ctx = train_bi.groupBy(
+        F.substring_index("bg", " ", 1).alias("w1")
+    ).agg(F.count("*").alias("ccnt"))
+    uni = train.select(F.explode(tokens(text_col)).alias("w2")).groupBy("w2").agg(
+        F.count("*").alias("ucnt")
+    )
+    total = uni.agg(F.sum("ucnt").alias("total"))
+
+    doc_bi = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_ngrams(text_col, 2)).alias("bg")
+    )
+    seen = F.round(
+        F.log(F.col("bcnt").cast("double") / F.col("ccnt").cast("double")), 9
+    )
+    backoff = F.round(
+        F.log(
+            F.lit(float(alpha))
+            * (
+                F.coalesce(F.col("ucnt"), F.lit(1)).cast("double")
+                / F.col("total").cast("double")
+            )
+        ),
+        9,
+    )
+    scored = (
+        doc_bi.join(bcnt, "bg", "left")
+        .join(ctx, F.substring_index(doc_bi["bg"], " ", 1) == ctx["w1"], "left")
+        .join(uni, F.substring_index(doc_bi["bg"], " ", -1) == uni["w2"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc",
+            "bg",
+            F.when(F.col("bcnt").isNotNull(), seen).otherwise(backoff).alias("logp"),
+        )
+    )
+    per_doc = scored.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bg", "logp"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["logp"],
+        ).alias("sum_logp"),
+    )
+    ids = df.select(F.col(id_col).alias("doc"))
+    return ids.join(per_doc, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        (F.col("sum_logp") / F.col("n_bigrams").cast("double")).alias(
+            "mean_logprob"
+        ),
+    )

@@ -226,3 +226,97 @@ def cap_per_group(
         bucket_hex=bucket_hex,
     )
     return out.withColumnRenamed("cum_tokens", "rank_in_group").drop("_one")
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: DataFrame,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw document by how much more likely it is under a
+    TARGET distribution (a trusted/high-quality slice) than under the
+    raw corpus itself,
+
+        log w(x) = sum_f [ ln p_target(f) - ln p_raw(f) ]
+
+    over hashed n-gram features f (unigrams + bigrams hashed into
+    ``buckets`` buckets — the paper's bag-of-hashed-ngrams model),
+    with Laplace smoothing  p_m(b) = (c_m(b) + 1) / (N_m + buckets)
+    so unseen buckets stay finite.  Selection policy (top-k, Gumbel
+    resampling) is the caller's; this emits the weights.
+
+    Scale shape: BOTH feature models are aggregations into a bucket
+    space bounded by construction (<= ``buckets`` rows regardless of
+    corpus size) — unlike a raw vocabulary they are always
+    broadcast-safe, so the two model joins are explicit broadcasts
+    and the only corpus-sized shuffle is the per-doc re-aggregation.
+    Cross-engine determinism: md5 bucket hashing (see
+    :func:`hash_bucket`), exact integer counts, ln rounded to 9
+    decimals per term, per-doc fold over the bucket-sorted array.
+    Docs with no tokens keep ``n_feats = 0`` and NULL weight.
+    """
+    from cloud_optimized_data_pipelines_spark.functions.text import (
+        tokens,
+        word_ngrams,
+    )
+
+    def feats(frame: DataFrame, with_id: bool) -> DataFrame:
+        g = F.explode(
+            F.concat(tokens(F.col(text_col)), word_ngrams(F.col(text_col), 2))
+        ).alias("g")
+        ex = frame.select(
+            *([F.col(id_col).alias("doc")] if with_id else []), g
+        )
+        h = F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+        return ex.select(
+            *(["doc"] if with_id else []), (h % buckets).alias("b")
+        )
+
+    raw_f = feats(df, with_id=True)
+    tgt_cnt = feats(target, with_id=False).groupBy("b").agg(
+        F.count("*").alias("tc")
+    )
+    raw_cnt = raw_f.groupBy("b").agg(F.count("*").alias("rc"))
+    tgt_tot = tgt_cnt.agg(F.sum("tc").alias("tn"))
+    raw_tot = raw_cnt.agg(F.sum("rc").alias("rn"))
+
+    def logp(cnt: Column, tot: Column) -> Column:
+        return F.round(
+            F.log(
+                (F.coalesce(cnt, F.lit(0)) + F.lit(1)).cast("double")
+                / (tot + F.lit(buckets)).cast("double")
+            ),
+            9,
+        )
+
+    scored = (
+        raw_f.join(F.broadcast(tgt_cnt), "b", "left")
+        .join(F.broadcast(raw_cnt), "b", "left")
+        .crossJoin(F.broadcast(tgt_tot))
+        .crossJoin(F.broadcast(raw_tot))
+        .select(
+            "doc",
+            "b",
+            (logp(F.col("tc"), F.col("tn")) - logp(F.col("rc"), F.col("rn"))).alias(
+                "lr"
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_feats"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("b", "lr"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["lr"],
+        ).alias("log_weight"),
+    )
+    ids = df.select(F.col(id_col).alias("doc"))
+    return ids.join(per_doc, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+        "log_weight",
+    )

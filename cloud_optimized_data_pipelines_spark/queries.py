@@ -3791,6 +3791,142 @@ def text_unigram_logprob_q(spark, sf_dir):
     return unigram_logprob(t["documents"], "doc_id", "text")
 
 
+_BIGRAM_BACKOFF = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(tk) >= 2
+              THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END AS bgs
+  FROM toks
+),
+train_bi AS (SELECT UNNEST(bgs) AS bg FROM bi WHERE lang = 'en'),
+bcnt AS (SELECT bg, COUNT(*) AS bcnt FROM train_bi GROUP BY bg),
+ctx AS (SELECT string_split(bg, ' ')[1] AS w1, COUNT(*) AS ccnt
+        FROM train_bi GROUP BY 1),
+train_w AS (SELECT UNNEST(tk) AS w2 FROM toks WHERE lang = 'en'),
+uni AS (SELECT w2, COUNT(*) AS ucnt FROM train_w GROUP BY w2),
+tot AS (SELECT SUM(ucnt) AS total FROM uni),
+doc_bi AS (SELECT doc_id, UNNEST(bgs) AS bg FROM bi),
+scored AS (
+  SELECT doc_id, bg,
+         CASE WHEN bcnt.bcnt IS NOT NULL
+              THEN round(ln(CAST(bcnt.bcnt AS DOUBLE) / CAST(ctx.ccnt AS DOUBLE)), 9)
+              ELSE round(ln(0.4 * (CAST(COALESCE(uni.ucnt, 1) AS DOUBLE)
+                                   / CAST(tot.total AS DOUBLE))), 9)
+         END AS logp
+  FROM doc_bi
+  LEFT JOIN bcnt USING (bg)
+  LEFT JOIN ctx ON string_split(doc_bi.bg, ' ')[1] = ctx.w1
+  LEFT JOIN uni ON string_split(doc_bi.bg, ' ')[-1] = uni.w2
+  CROSS JOIN tot
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         list_reduce(
+           list_transform(
+             list_sort(list(struct_pack(b := bg, l := logp))), s -> s.l),
+           (a, b) -> a + b) AS sum_logp
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       p.sum_logp / CAST(p.n_bigrams AS DOUBLE) AS mean_logprob
+FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@query("text_bigram_backoff", _BIGRAM_BACKOFF)
+def text_bigram_backoff_q(spark, sf_dir):
+    """Held-out bigram LM with stupid backoff (operators/quality.py::
+    bigram_logprob): the model is estimated on the English slice only,
+    so scoring the full multilingual corpus genuinely exercises all
+    three probability paths — seen bigram, unigram backoff, and the
+    unseen-word floor (a same-corpus model would never back off).
+    Same engineered float determinism as text_unigram_logprob."""
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        bigram_logprob,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    return bigram_logprob(
+        docs, "doc_id", "text", train=docs.filter(F.col("lang") == "en")
+    )
+
+
+_DSIR_WEIGHTS = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+featarr AS (
+  SELECT doc_id, lang,
+         list_concat(tk,
+           CASE WHEN len(tk) >= 2
+                THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+                ELSE CAST([] AS VARCHAR[]) END) AS fs
+  FROM toks
+),
+rawg AS (SELECT doc_id, UNNEST(fs) AS g FROM featarr),
+rawf AS (SELECT doc_id,
+                (('0x' || substr(md5(g), 1, 8))::BIGINT) % 10000 AS b
+         FROM rawg),
+tgtg AS (SELECT UNNEST(fs) AS g FROM featarr WHERE lang = 'en'),
+tgtf AS (SELECT (('0x' || substr(md5(g), 1, 8))::BIGINT) % 10000 AS b FROM tgtg),
+tcnt AS (SELECT b, COUNT(*) AS tc FROM tgtf GROUP BY b),
+rcnt AS (SELECT b, COUNT(*) AS rc FROM rawf GROUP BY b),
+tt AS (SELECT SUM(tc) AS tn FROM tcnt),
+rt AS (SELECT SUM(rc) AS rn FROM rcnt),
+scored AS (
+  SELECT doc_id, b,
+         round(ln(CAST(COALESCE(tc, 0) + 1 AS DOUBLE)
+                  / CAST(tn + 10000 AS DOUBLE)), 9)
+         - round(ln(CAST(COALESCE(rc, 0) + 1 AS DOUBLE)
+                    / CAST(rn + 10000 AS DOUBLE)), 9) AS lr
+  FROM rawf LEFT JOIN tcnt USING (b) LEFT JOIN rcnt USING (b)
+  CROSS JOIN tt CROSS JOIN rt
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         list_reduce(
+           list_transform(
+             list_sort(list(struct_pack(b := b, l := lr))), s -> s.l),
+           (a, b) -> a + b) AS log_weight
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
+       p.log_weight
+FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@query("sample_dsir_weights", _DSIR_WEIGHTS)
+def sample_dsir_weights_q(spark, sf_dir):
+    """DSIR importance weights (operators/sampling.py::
+    dsir_importance, Xie et al. 2023): log-likelihood ratio of each
+    document under hashed-ngram bag models of a target slice (the
+    English documents) vs the raw corpus — the data-selection signal
+    behind importance-resampled pretraining mixes.  The two feature
+    models are bucket-bounded (10k rows) so both model joins broadcast
+    regardless of corpus size."""
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        dsir_importance,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    return dsir_importance(
+        docs, "doc_id", "text", target=docs.filter(F.col("lang") == "en")
+    )
+
+
 _CCNET_BUCKETS = f"""
 WITH {_UNIGRAM_CTES.strip()},
 lp AS (

@@ -33,6 +33,11 @@ NESTED_LOOP_OK = {
         " + 1-row query vector — n x 16 and n x 1 nested loops"
     ),
     "text_unigram_logprob": "corpus-total scalar crossJoin (1-row broadcast)",
+    "text_bigram_backoff": "train-total scalar crossJoin (1-row broadcast)",
+    "sample_dsir_weights": (
+        "two model-total scalar crossJoins (1-row broadcasts); the"
+        " bucket-count model joins themselves are bounded equi-joins"
+    ),
     "text_bm25_scores": "N/avgdl corpus-stats scalar crossJoin (1-row broadcast)",
     "sample_ccnet_buckets": (
         "percentile-cutoff scalar crossJoin (1-row broadcast) atop the"

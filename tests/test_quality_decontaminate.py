@@ -907,3 +907,71 @@ def test_duplicate_clusters_survivor_policy(spark):
     assert rows[3].component == 1 and rows[3].csize == 3
     assert rows[10].is_survivor and rows[11].component == 10
     assert rows[10].csize == 2
+
+
+# ---------------------------------------------------------------------------
+# bigram_logprob / dsir_importance
+# ---------------------------------------------------------------------------
+
+
+def test_word_ngrams_occurrences(spark):
+    from cloud_optimized_data_pipelines_spark.functions.text import word_ngrams
+
+    df = spark.createDataFrame(
+        [("a b a b",), ("a",), ("",)], "text STRING"
+    ).select(word_ngrams("text", 2).alias("g"))
+    rows = [r.g for r in df.collect()]
+    assert rows[0] == ["a b", "b a", "a b"]  # occurrences, NOT distinct
+    assert rows[1] == [] and rows[2] == []
+
+
+def test_bigram_backoff_hand_values(spark):
+    import math
+
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        bigram_logprob,
+    )
+
+    train = spark.createDataFrame([(0, "a b a b")], "doc_id LONG, text STRING")
+    score = spark.createDataFrame(
+        [(1, "a b c"), (2, "x")], "doc_id LONG, text STRING"
+    )
+    rows = {
+        r.doc_id: r
+        for r in bigram_logprob(score, "doc_id", "text", train=train).collect()
+    }
+    # "a b" seen: ln(c("a b")=2 / ctx("a")=2) = 0.0
+    # "b c" unseen, c OOV: ln(0.4 * 1/4) with total = 4 train tokens
+    want = (0.0 + round(math.log(0.4 * (1.0 / 4.0)), 9)) / 2.0
+    assert rows[1].n_bigrams == 2
+    assert abs(rows[1].mean_logprob - want) < 1e-12
+    # 1-token doc: no bigrams, NULL score, row NOT dropped
+    assert rows[2].n_bigrams == 0 and rows[2].mean_logprob is None
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        dsir_importance,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the rug"),
+            (3, "zqx wvu ponm lkj hgf"),
+            (4, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    target = docs.filter("doc_id IN (1, 2)")
+    rows = {
+        r.doc_id: r
+        for r in dsir_importance(docs, "doc_id", "text", target).collect()
+    }
+    # target-like docs must outweigh the junk doc
+    assert rows[1].log_weight > rows[3].log_weight
+    assert rows[2].log_weight > rows[3].log_weight
+    # unigrams + bigrams: 6 + 5 features
+    assert rows[1].n_feats == 11
+    # empty doc survives with no features
+    assert rows[4].n_feats == 0 and rows[4].log_weight is None
