@@ -566,6 +566,14 @@ def cluster_labels(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # propagation needs O(component diameter) rounds; stopping
+        # early would return silently WRONG labels (caught at sf0.1:
+        # 31 rounds needed vs the former silent cap of 20)
+        raise RuntimeError(
+            f"cluster_labels: no fixpoint in {max_iter} rounds — raise "
+            "max_iter, or use connected_components (diameter-independent)"
+        )
     return labels
 
 
@@ -583,20 +591,36 @@ def minhash_lsh_clusters(
 
     Unlike :func:`minhash_lsh_dedup` (one bucket-min pass — exact for
     star clusters), this follows CHAINS: A~B and B~C put A,B,C in one
-    cluster even when A,C never collide.  Iterative — genuinely not
-    SQL-expressible (DuckDB recursive CTEs forbid aggregates in the
-    recursive term), so its query entry is rows-only checked.
+    cluster even when A,C never collide.
+
+    Scale shape: each LSH bucket is collapsed to a STAR on its minimum
+    doc — (doc, bucket_min) edges, O(bucket size) per bucket, which
+    preserves connectivity exactly while a hot million-doc bucket
+    would emit 10^12 rows as all-pairs — then
+    :func:`connected_components` contracts the star graph in
+    O(log^2 n) rounds independent of chain diameter.  (The pure
+    bipartite propagation in :func:`cluster_labels` needs O(diameter)
+    rounds — measured 31 at sf0.1 — so it is kept only as the simple
+    reference form.)  The iteration is not SQL, but its fixpoint is:
+    the registered query's oracle checks it as a recursive
+    reachability walk with the MIN outside the recursive term.
     """
     banded = lsh_banded(df, id_col, text_col, num_hashes, num_bands, n)
     edges = banded.select(
         "doc", F.concat_ws("#", "band", "bucket").alias("bkt")
     )
-    labels = cluster_labels(edges, max_iter)
+    bmin = edges.groupBy("bkt").agg(F.min("doc").alias("bmin"))
+    star = (
+        edges.join(bmin, "bkt")
+        .filter(F.col("doc") != F.col("bmin"))
+        .select(F.col("doc").alias("src"), F.col("bmin").alias("dst"))
+    )
+    labels = connected_components(star, "src", "dst", max_iter)
     return (
-        df.join(labels, df[id_col] == labels.doc, "left")
-        .drop("doc")
-        .withColumn("cluster_id", F.coalesce(F.col("label"), F.col(id_col)))
-        .drop("label")
+        df.join(labels, df[id_col] == labels.node, "left")
+        .drop("node")
+        .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("component")
     )
 
 

@@ -1782,13 +1782,50 @@ def dedup_lsh_survivors_q(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
-@query("dedup_lsh_clusters")
+# the iteration itself is not SQL, but its FIXPOINT is: min reachable
+# id = MIN over a recursive reachability walk (the aggregate sits
+# OUTSIDE the recursive term, which DuckDB allows) — same trick as
+# _DUP_CLUSTERS, so the formerly rows-only query is now hash-checked
+_LSH_CLUSTERS = f"""
+WITH RECURSIVE {_DUCK_SHINGLES.format(src="documents")},
+sig AS (
+  SELECT doc_id, [{_MINHASH_SIG_DUCK}] AS sig FROM sh
+),
+bands AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS bucket
+  FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+),
+walk(node, root) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node
+),
+lab AS (SELECT node, MIN(root) AS cl FROM walk GROUP BY node)
+SELECT d.doc_id, CAST(COALESCE(lab.cl, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
+"""
+
+
+@query("dedup_lsh_clusters", _LSH_CLUSTERS)
 def dedup_lsh_clusters_q(spark, sf_dir):
     """Near-dup cluster assignment: connected components over the LSH
-    collision graph via iterative min-label propagation (follows A~B~C
-    chains).  Iterative with a driver convergence check — not
-    SQL-expressible (recursive CTEs forbid aggregates in the recursive
-    term), rows-only checked; component semantics unit-tested in
+    collision graph via iterative min-label propagation through the
+    (doc, bucket) BIPARTITE edge list — doc-doc pairs are never
+    materialized, so a hot bucket costs O(bucket size) per round, not
+    O(size^2) (complementary to operators/dedup.py::
+    connected_components, which contracts an explicit pair graph).
+    The oracle checks the fixpoint, not the iteration: min reachable
+    doc id via a recursive walk whose MIN aggregate sits outside the
+    recursive term; component semantics also unit-tested in
     tests/test_text_vectors.py."""
     t = load_tables(spark, sf_dir)
     return D.minhash_lsh_clusters(
@@ -4797,13 +4834,18 @@ _GRADED_WINDOW = [
     "j4_collection_join",
     "a3_collection_extent",
     "k2_spill_flag",
-    # relational engine surface
+    # relational engine surface (cube/unpivot/set-ops demoted late-r4
+    # for the round-4 graph/LM/selection families — multi-grouping
+    # aggregation stays graded via agg_rollup_supplier, and all three
+    # demoted queries remain locally oracle-checked)
     "window_topk_per_customer",
     "agg_rollup_supplier",
-    "agg_cube_orders",
-    "unpivot_part_metrics",
-    "set_ops_customers",
     "join_semi_anti_customers",
+    # round-4 extension families: duplicate-cluster graph labeling,
+    # held-out bigram LM, DSIR data selection
+    "dedup_duplicate_clusters",
+    "text_bigram_backoff",
+    "sample_dsir_weights",
     # events / streaming-shape analytics (hourly windowed agg demoted
     # r4 — the time-bucket aggregation family stays graded via
     # rollup_hourly_merge/rollup_cascade_daily)
