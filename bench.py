@@ -64,6 +64,12 @@ HEADLINE = [
     "text_classifier_score",
     "dedup_simhash_pairs",
     "text_c4_clean",
+    # r04 third batch: duplicate-cluster graph labeling (iterative CC —
+    # the timed call includes its convergence-loop actions), held-out
+    # bigram LM, DSIR importance weights
+    "dedup_duplicate_clusters",
+    "text_bigram_backoff",
+    "sample_dsir_weights",
 ]
 
 
