@@ -253,7 +253,13 @@ def dsir_importance(
     space bounded by construction (<= ``buckets`` rows regardless of
     corpus size) — unlike a raw vocabulary they are always
     broadcast-safe, so the two model joins are explicit broadcasts
-    and the only corpus-sized shuffle is the per-doc re-aggregation.
+    and the only corpus-sized shuffles are the (doc, bucket)
+    pre-aggregation and the per-doc re-aggregation.  Occurrences are
+    pre-aggregated to (doc, bucket, count) BEFORE the model joins and
+    the fold — a Zipfian corpus repeats its head features constantly,
+    so the joined/folded row count drops from total occurrences to
+    distinct buckets per doc (the weight term becomes count * lr, one
+    double multiply, identical on both engines).
     Cross-engine determinism: md5 bucket hashing (see
     :func:`hash_bucket`), exact integer counts, ln rounded to 9
     decimals per term, per-doc fold over the bucket-sorted array.
@@ -276,11 +282,13 @@ def dsir_importance(
             *(["doc"] if with_id else []), (h % buckets).alias("b")
         )
 
-    raw_f = feats(df, with_id=True)
+    raw_f = feats(df, with_id=True).groupBy("doc", "b").agg(
+        F.count("*").alias("fc")
+    )
     tgt_cnt = feats(target, with_id=False).groupBy("b").agg(
         F.count("*").alias("tc")
     )
-    raw_cnt = raw_f.groupBy("b").agg(F.count("*").alias("rc"))
+    raw_cnt = raw_f.groupBy("b").agg(F.sum("fc").alias("rc"))
     tgt_tot = tgt_cnt.agg(F.sum("tc").alias("tn"))
     raw_tot = raw_cnt.agg(F.sum("rc").alias("rn"))
 
@@ -301,13 +309,15 @@ def dsir_importance(
         .select(
             "doc",
             "b",
-            (logp(F.col("tc"), F.col("tn")) - logp(F.col("rc"), F.col("rn"))).alias(
-                "lr"
-            ),
+            "fc",
+            (
+                F.col("fc").cast("double")
+                * (logp(F.col("tc"), F.col("tn")) - logp(F.col("rc"), F.col("rn")))
+            ).alias("lr"),
         )
     )
     per_doc = scored.groupBy("doc").agg(
-        F.count("*").cast("long").alias("n_feats"),
+        F.sum("fc").cast("long").alias("n_feats"),
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("b", "lr"))),
             F.lit(0.0),

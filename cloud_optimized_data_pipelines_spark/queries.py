@@ -3914,23 +3914,26 @@ rawg AS (SELECT doc_id, UNNEST(fs) AS g FROM featarr),
 rawf AS (SELECT doc_id,
                 (('0x' || substr(md5(g), 1, 8))::BIGINT) % 10000 AS b
          FROM rawg),
+rawdc AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS fc
+          FROM rawf GROUP BY doc_id, b),
 tgtg AS (SELECT UNNEST(fs) AS g FROM featarr WHERE lang = 'en'),
 tgtf AS (SELECT (('0x' || substr(md5(g), 1, 8))::BIGINT) % 10000 AS b FROM tgtg),
 tcnt AS (SELECT b, COUNT(*) AS tc FROM tgtf GROUP BY b),
-rcnt AS (SELECT b, COUNT(*) AS rc FROM rawf GROUP BY b),
+rcnt AS (SELECT b, CAST(SUM(fc) AS BIGINT) AS rc FROM rawdc GROUP BY b),
 tt AS (SELECT SUM(tc) AS tn FROM tcnt),
 rt AS (SELECT SUM(rc) AS rn FROM rcnt),
 scored AS (
-  SELECT doc_id, b,
-         round(ln(CAST(COALESCE(tc, 0) + 1 AS DOUBLE)
-                  / CAST(tn + 10000 AS DOUBLE)), 9)
-         - round(ln(CAST(COALESCE(rc, 0) + 1 AS DOUBLE)
-                    / CAST(rn + 10000 AS DOUBLE)), 9) AS lr
-  FROM rawf LEFT JOIN tcnt USING (b) LEFT JOIN rcnt USING (b)
+  SELECT doc_id, b, fc,
+         CAST(fc AS DOUBLE)
+         * (round(ln(CAST(COALESCE(tc, 0) + 1 AS DOUBLE)
+                     / CAST(tn + 10000 AS DOUBLE)), 9)
+            - round(ln(CAST(COALESCE(rc, 0) + 1 AS DOUBLE)
+                       / CAST(rn + 10000 AS DOUBLE)), 9)) AS lr
+  FROM rawdc LEFT JOIN tcnt USING (b) LEFT JOIN rcnt USING (b)
   CROSS JOIN tt CROSS JOIN rt
 ),
 per_doc AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+  SELECT doc_id, CAST(SUM(fc) AS BIGINT) AS n_feats,
          list_reduce(
            list_transform(
              list_sort(list(struct_pack(b := b, l := lr))), s -> s.l),
