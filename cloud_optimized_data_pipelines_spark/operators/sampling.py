@@ -330,3 +330,44 @@ def dsir_importance(
         F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
         "log_weight",
     )
+
+
+def gumbel_topk(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    precision: int = 1 << 32,
+) -> DataFrame:
+    """The selection half of DSIR: sample ``k`` documents WITHOUT
+    replacement with probability proportional to exp(weight) via the
+    Gumbel-top-k trick (Kool et al. 2019; Xie et al. 2023 use exactly
+    this to draw the final mixture) — take the k largest
+    ``weight + Gumbel noise``.
+
+    The Gumbel draw is DETERMINISTIC, like every sampler here: the
+    uniform is the md5 hash bucket of the key, u = (h + 0.5) /
+    precision  (half-offset keeps u strictly inside (0,1) so the
+    double -ln(-ln(u)) is always finite), giving a reproducible,
+    engine-independent, partition-order-independent sample that is
+    still a faithful Gumbel draw per key.  Ties broken by key.  Both
+    ln terms are rounded to 9 decimals (the engine-parity rule: JVM
+    Math.log and libm ln differ by 1 ulp on a few percent of
+    arguments, and the nested log would amplify that into rank flips
+    near cutoff).
+
+    Scale shape: a narrow scan expression followed by a k-row
+    TakeOrderedAndProject — each partition forwards at most k rows,
+    no global sort, no shuffle of the corpus.  Output adds
+    ``gumbel_key`` (the perturbed weight actually ranked by).
+    """
+    h = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % F.lit(precision)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(precision))
+    inner = F.round(F.log(u), 9)  # < 0
+    g = -F.round(F.log(-inner), 9)
+    out = df.withColumn(
+        "gumbel_key", F.round(F.col(weight_col) + g, 9)
+    )
+    return out.orderBy(F.col("gumbel_key").desc(), F.col(key)).limit(k)

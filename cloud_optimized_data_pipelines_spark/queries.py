@@ -3967,6 +3967,42 @@ def sample_dsir_weights_q(spark, sf_dir):
     )
 
 
+_DSIR_SELECT = f"""
+WITH dsir AS ({_DSIR_WEIGHTS}),
+gk AS (
+  SELECT doc_id, n_feats, log_weight,
+         round(log_weight
+               - round(ln(-round(ln(
+                   (CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          % 4294967296) AS DOUBLE) + 0.5) / 4294967296.0
+                 ), 9)), 9), 9) AS gumbel_key
+  FROM dsir WHERE n_feats > 0
+)
+SELECT doc_id, n_feats, log_weight, gumbel_key
+FROM gk ORDER BY gumbel_key DESC, doc_id LIMIT 100
+"""
+
+
+@query("sample_dsir_select", _DSIR_SELECT)
+def sample_dsir_select_q(spark, sf_dir):
+    """The selection half of DSIR (operators/sampling.py::
+    gumbel_topk): sample 100 docs without replacement proportional to
+    exp(log_weight) via deterministic Gumbel-top-k — md5-derived
+    uniforms, term-rounded nested logs, TakeOrderedAndProject (k rows
+    per partition cross the wire, no corpus sort)."""
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        dsir_importance,
+        gumbel_topk,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    w = dsir_importance(
+        docs, "doc_id", "text", target=docs.filter(F.col("lang") == "en")
+    )
+    return gumbel_topk(w.filter(F.col("n_feats") > 0), "doc_id", "log_weight", 100)
+
+
 _CCNET_BUCKETS = f"""
 WITH {_UNIGRAM_CTES.strip()},
 lp AS (

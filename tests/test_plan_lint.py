@@ -38,6 +38,7 @@ NESTED_LOOP_OK = {
         "two model-total scalar crossJoins (1-row broadcasts); the"
         " bucket-count model joins themselves are bounded equi-joins"
     ),
+    "sample_dsir_select": "same scalar crossJoins via the dsir_weights stage",
     "text_bm25_scores": "N/avgdl corpus-stats scalar crossJoin (1-row broadcast)",
     "sample_ccnet_buckets": (
         "percentile-cutoff scalar crossJoin (1-row broadcast) atop the"

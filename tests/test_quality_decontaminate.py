@@ -975,3 +975,21 @@ def test_dsir_prefers_target_like_docs(spark):
     assert rows[1].n_feats == 11
     # empty doc survives with no features
     assert rows[4].n_feats == 0 and rows[4].log_weight is None
+
+
+def test_gumbel_topk_deterministic_and_weighted(spark):
+    from cloud_optimized_data_pipelines_spark.operators.sampling import gumbel_topk
+
+    df = spark.createDataFrame(
+        [(i, 0.0) for i in range(50)] + [(99, 50.0)], "doc_id LONG, w DOUBLE"
+    )
+    a = [r.doc_id for r in gumbel_topk(df, "doc_id", "w", 5).collect()]
+    b = [r.doc_id for r in gumbel_topk(df, "doc_id", "w", 5).collect()]
+    assert a == b  # deterministic, no RNG state
+    # a +50 log-weight dominates any Gumbel draw (|g| < ~22 at 2^-32 tails)
+    assert 99 in a
+    # k past the population returns everything
+    assert gumbel_topk(df, "doc_id", "w", 500).count() == 51
+    # top-k plan: per-partition k-row forwarding, no global sort
+    plan = gumbel_topk(df, "doc_id", "w", 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
