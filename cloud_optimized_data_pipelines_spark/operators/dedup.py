@@ -890,6 +890,7 @@ def simhash_near_dup_pairs(
     bits: int = 60,
     num_bands: int = 4,
     max_hamming: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """SimHash near-duplicate pairs via banded Hamming blocking — the
     Google web-dedup design (Manku, Jain & Das Sarma 2007, "Detecting
@@ -914,6 +915,15 @@ def simhash_near_dup_pairs(
     default 60-bit/15-bit-band form handles 10^7 and a 64-bit unsigned
     fingerprint (Manku's production shape) goes beyond — BIGINT
     signedness caps this portable implementation at 60.
+
+    ``materialize`` computes the fingerprint table ONCE
+    (localCheckpoint): the self-join's broadcast side otherwise
+    re-derives every fingerprint from raw text — the 60 per-bit folds
+    are the dominant cost, so paying them twice doubles the stage
+    (measured 4.8 s -> 2.3 s at sf0.1).  On a real cluster swap in
+    ``persist(StorageLevel.MEMORY_AND_DISK)`` or a parquet
+    fingerprint table (the Manku production shape stores fingerprints
+    anyway); pass False to keep a pure lazy plan.
     """
     if bits % num_bands:
         raise ValueError("bits must divide evenly into num_bands")
@@ -928,6 +938,8 @@ def simhash_near_dup_pairs(
     sh = _spread(df).select(
         F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")
     )
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     banded = sh.select(
         "id",
         "sh",
