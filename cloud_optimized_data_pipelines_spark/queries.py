@@ -3719,7 +3719,8 @@ c AS (
          CASE WHEN source = 'src0' THEN 1000 ELSE 500 END AS budget
   FROM t
 )
-SELECT doc_id, source, n_tokens, cum_tokens
+SELECT doc_id, source, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM c WHERE cum_tokens - n_tokens < budget
 """
 

@@ -23,6 +23,34 @@ from cloud_optimized_data_pipelines_spark.queries import TABLES  # noqa: E402
 from cloud_optimized_data_pipelines_spark.session import get_spark  # noqa: E402
 
 
+# DuckDB output types the driver hasher serializes identically to
+# Spark's.  Anything else (HUGEINT from SUM(BIGINT) windows, DECIMAL
+# from SUM(INT), INT128, UTINYINT...) hash-mismatches on the driver
+# even when every value is numerically equal — so it is a hard local
+# error.  Arrays of portable types are portable.
+PORTABLE_DUCK_TYPES = {
+    "BIGINT", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN",
+    "INTEGER", "FLOAT", "TIMESTAMP WITH TIME ZONE", "BLOB",
+}
+
+
+def duck_type_ok(t):
+    s = str(t)
+    while s.endswith("[]"):
+        s = s[:-2]
+    return s in PORTABLE_DUCK_TYPES
+
+
+def check_oracle_types(con, name, sql):
+    """Return list of (col, type) pairs with non-portable declared types."""
+    rel = con.sql(sql)
+    return [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if not duck_type_ok(t)
+    ]
+
+
 def norm_cell(v):
     if isinstance(v, float):
         return f"{v!r}"
@@ -74,11 +102,18 @@ def main():
             print(f"SKIP  {name}: no oracle ({len(srows)} rows)")
             continue
         try:
+            bad_types = check_oracle_types(con, name, oracles[name])
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
+            failures.append(name)
+            continue
+        if bad_types:
+            print(f"FAIL  {name}: non-portable oracle output types "
+                  f"{bad_types} (CAST to BIGINT/DOUBLE/... — the driver "
+                  "hasher types HUGEINT/DECIMAL differently)")
             failures.append(name)
             continue
         dt = time.time() - t0
