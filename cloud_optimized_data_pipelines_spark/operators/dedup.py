@@ -524,17 +524,23 @@ def minhash_lsh_verified_pairs(
     )
 
 
-def cluster_labels(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def cluster_labels(
+    edges: DataFrame, max_iter: int = 60, checkpoint_dir=None
+) -> DataFrame:
     """Connected components over a bipartite (doc, bucket) graph by
     iterative min-label propagation: doc labels flow to buckets
     (groupBy min), bucket minima flow back to docs, until fixpoint.
 
     Never materializes doc-doc pairs — per iteration the work is two
-    aggregations over the edge list (O(edges)), and iterations are
-    bounded by cluster diameter (near-dup clusters are shallow; 20
-    covers any realistic corpus).  ``localCheckpoint`` truncates the
-    lineage each round so the plan doesn't grow with iterations — the
-    standard Spark iterative-algorithm pattern.
+    aggregations over the edge list (O(edges)), but iterations are
+    bounded by COMPONENT DIAMETER, not a constant: sf0.1's LSH
+    collision graph already needs 31 rounds, so hitting ``max_iter``
+    without a fixpoint RAISES rather than returning silently wrong
+    labels.  For deep/chained graphs prefer
+    :func:`connected_components` (O(log^2 n) rounds regardless of
+    diameter).  ``localCheckpoint`` truncates the lineage each round
+    so the plan doesn't grow with iterations — the standard Spark
+    iterative-algorithm pattern.
 
     Input: (doc, bkt) rows.  Output: (doc, label) where label = min doc
     id of the doc's component.
@@ -542,7 +548,8 @@ def cluster_labels(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # materialize the edge list ONCE — every iteration references it
     # twice, and without this the full upstream lineage (LSH banding:
     # shingle explode + signature agg) re-executes per reference
-    edges = edges.localCheckpoint(eager=True)
+    ckpt = _make_ckpt(edges, True, checkpoint_dir)
+    edges = ckpt(edges)
     labels = edges.select("doc").distinct().withColumn("label", F.col("doc"))
     for _ in range(max_iter):
         bucket_min = (
@@ -550,11 +557,10 @@ def cluster_labels(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("bkt")
             .agg(F.min("label").alias("_bmin"))
         )
-        new_labels = (
+        new_labels = ckpt(
             edges.join(bucket_min, "bkt")
             .groupBy("doc")
             .agg(F.min("_bmin").alias("label"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             labels.alias("o")
@@ -585,6 +591,7 @@ def minhash_lsh_clusters(
     num_bands: int = 4,
     n: int = 3,
     max_iter: int = 20,
+    checkpoint_dir=None,
 ) -> DataFrame:
     """Assign every doc a near-dup ``cluster_id`` (min doc id of its
     connected component in the LSH collision graph).
@@ -615,7 +622,9 @@ def minhash_lsh_clusters(
         .filter(F.col("doc") != F.col("bmin"))
         .select(F.col("doc").alias("src"), F.col("bmin").alias("dst"))
     )
-    labels = connected_components(star, "src", "dst", max_iter)
+    labels = connected_components(
+        star, "src", "dst", max_iter, checkpoint_dir=checkpoint_dir
+    )
     return (
         df.join(labels, df[id_col] == labels.node, "left")
         .drop("node")
@@ -890,7 +899,7 @@ def simhash_near_dup_pairs(
     bits: int = 60,
     num_bands: int = 4,
     max_hamming: int = 3,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """SimHash near-duplicate pairs via banded Hamming blocking — the
     Google web-dedup design (Manku, Jain & Das Sarma 2007, "Detecting
@@ -916,14 +925,19 @@ def simhash_near_dup_pairs(
     fingerprint (Manku's production shape) goes beyond — BIGINT
     signedness caps this portable implementation at 60.
 
-    ``materialize`` computes the fingerprint table ONCE
-    (localCheckpoint): the self-join's broadcast side otherwise
-    re-derives every fingerprint from raw text — the 60 per-bit folds
-    are the dominant cost, so paying them twice doubles the stage
-    (measured 4.8 s -> 2.3 s at sf0.1).  On a real cluster swap in
+    ``materialize=True`` computes the fingerprint table ONCE via
+    ``localCheckpoint(eager=True)``: the self-join's two sides
+    otherwise each re-derive every fingerprint from raw text — the 60
+    per-bit folds are the dominant cost, so paying them twice doubles
+    the stage (measured 4.8 s -> 2.3 s at sf0.1).  EAGER SIDE EFFECT:
+    with True, *constructing* the DataFrame runs a Spark job and pins
+    non-replicated checkpoint blocks (not executor-loss-resilient),
+    unlike every other operator here which returns a pure lazy plan —
+    hence the default is False; hot paths (the registered queries /
+    bench) opt in.  On a real cluster prefer
     ``persist(StorageLevel.MEMORY_AND_DISK)`` or a parquet
     fingerprint table (the Manku production shape stores fingerprints
-    anyway); pass False to keep a pure lazy plan.
+    anyway).
     """
     if bits % num_bands:
         raise ValueError("bits must divide evenly into num_bands")
@@ -982,12 +996,34 @@ def simhash_near_dup_pairs(
     )
 
 
+def _make_ckpt(df: DataFrame, checkpoint: bool, checkpoint_dir):
+    """Lineage-truncation policy for iterative operators.
+
+    ``checkpoint_dir`` set -> reliable ``df.checkpoint()`` (survives
+    executor loss — the right default on a real cluster, where losing
+    one executor mid-contraction otherwise restarts the whole job);
+    else ``checkpoint`` -> ``localCheckpoint`` (fast, blocks pinned on
+    executors, NOT loss-resilient — fine for local[] and tests); else
+    identity (pure lazy plan, lineage grows per round).
+    """
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(str(checkpoint_dir))
+        return lambda d: d.checkpoint(eager=True)
+    if checkpoint:
+        return lambda d: d.localCheckpoint(eager=True)
+    return lambda d: d
+
+
+_INT_ID_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
     checkpoint: bool = True,
+    checkpoint_dir=None,
 ) -> DataFrame:
     """Duplicate-cluster labeling: connected components of a near-dup
     pair graph via alternating large-star / small-star (Kiveris et al.
@@ -1018,29 +1054,68 @@ def connected_components(
 
     Convergence = canonical edge set stable (count + xxhash64-sum
     signature; a changed edge set collides with probability ~2^-64
-    per round).  ``checkpoint`` localCheckpoints each round to cut
-    lineage — without it the plan doubles per iteration and Catalyst
-    analysis time, not the data, becomes the bottleneck (on a real
-    cluster set a checkpoint dir and swap in ``df.checkpoint()`` for
-    executor-loss resilience).
+    per round).  Per-round lineage truncation: pass
+    ``checkpoint_dir`` for reliable ``df.checkpoint()`` (survives
+    executor loss — use this on a real cluster); the default
+    ``checkpoint=True`` uses ``localCheckpoint`` (fast, but pinned
+    blocks die with their executor); without either the plan doubles
+    per iteration and Catalyst analysis time, not the data, becomes
+    the bottleneck.
+
+    Id columns may be ANY orderable type: integer ids run the
+    contraction directly; string/other ids (URLs, content hashes) are
+    densely mapped to longs internally — one distinct + two hash
+    joins — and mapped back, so the output ``component`` is still the
+    smallest ORIGINAL id under that type's ordering.  (A plain
+    ``cast("long")`` here would hard-fail under ANSI mode, or with
+    ANSI off cast to NULL and silently shred every edge.)
 
     Returns one row per node that appears in ``edges``:
     ``(node, component)`` with component = the smallest node id
     reachable from it.  Deterministic: min over ids, no RNG, no
     partition-order dependence.
     """
-    e = (
-        edges.select(
+    ckpt = _make_ckpt(edges, checkpoint, checkpoint_dir)
+    dt = dict(edges.dtypes)
+    numeric_ids = dt[src] in _INT_ID_TYPES and dt[dst] in _INT_ID_TYPES
+    if numeric_ids:
+        mapping = None
+        e0 = edges.select(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
         )
-        .filter(F.col("u") != F.col("v"))
+    else:
+        # dense long ids for arbitrary node types.  monotonically_
+        # increasing_id is partition-local (no single-task stage) but
+        # NON-DETERMINISTIC across re-evaluations, so the mapping MUST
+        # be pinned before it is joined twice — localCheckpoint even
+        # when checkpoint=False (correctness, not an optimization).
+        nodes = (
+            edges.select(F.col(src).alias("_orig"))
+            .union(edges.select(F.col(dst).alias("_orig")))
+            .distinct()
+        )
+        mapping = nodes.withColumn("_nid", F.monotonically_increasing_id())
+        mapping = (
+            ckpt(mapping)
+            if checkpoint or checkpoint_dir is not None
+            else mapping.localCheckpoint(eager=True)
+        )
+        m_src = mapping.select(F.col("_orig").alias("_s"), F.col("_nid").alias("u"))
+        m_dst = mapping.select(F.col("_orig").alias("_d"), F.col("_nid").alias("v"))
+        e0 = (
+            edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+            .join(m_src, "_s")
+            .join(m_dst, "_d")
+            .select("u", "v")
+        )
+    e = (
+        e0.filter(F.col("u") != F.col("v"))
         .select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
     )
-    if checkpoint:
-        e = e.localCheckpoint()
+    e = ckpt(e)
 
     def _signature(canon: DataFrame) -> tuple:
         row = canon.agg(
@@ -1093,8 +1168,7 @@ def connected_components(
             )
             .distinct()
         )
-        if checkpoint:
-            e = e.localCheckpoint()
+        e = ckpt(e)
         new_sig = _signature(e)
         if new_sig == sig:
             break
@@ -1102,10 +1176,26 @@ def connected_components(
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
     # converged: e is a star forest of canonical (center=min, leaf) pairs
-    return (
+    lab = (
         _sym(e)
         .groupBy(F.col("u").alias("node"))
         .agg(F.least(F.min("v"), F.first("u")).alias("component"))
+    )
+    if mapping is None:
+        return lab
+    # map long labels back to original ids; relabel each component by
+    # its min ORIGINAL id (the long-space min is an arbitrary member —
+    # monotonically_increasing_id does not preserve the id ordering)
+    m_node = mapping.select(
+        F.col("_nid").alias("node"), F.col("_orig").alias("_node_orig")
+    )
+    withorig = lab.join(m_node, "node")
+    comp_min = withorig.groupBy("component").agg(
+        F.min("_node_orig").alias("_comp_orig")
+    )
+    return withorig.join(comp_min, "component").select(
+        F.col("_node_orig").alias("node"),
+        F.col("_comp_orig").alias("component"),
     )
 
 
@@ -1114,6 +1204,7 @@ def duplicate_clusters(
     id_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    checkpoint_dir=None,
 ) -> DataFrame:
     """Cluster-complete dedup labels for a corpus: every document that
     appears in the near-dup ``pairs`` graph gets its connected
@@ -1121,7 +1212,9 @@ def duplicate_clusters(
     component minimum (``is_survivor``).  Join back to ``df`` to drop
     ``component IS NOT NULL AND NOT is_survivor`` rows.
     """
-    labels = connected_components(pairs, id_a, id_b)
+    labels = connected_components(
+        pairs, id_a, id_b, checkpoint_dir=checkpoint_dir
+    )
     sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
     return (
         labels.join(sizes, "component")

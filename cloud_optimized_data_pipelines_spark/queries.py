@@ -1942,7 +1942,8 @@ def dedup_simhash_pairs_q(spark, sf_dir):
     nothing."""
     t = load_tables(spark, sf_dir)
     return D.simhash_near_dup_pairs(
-        t["documents"], "doc_id", "text", num_bands=4, max_hamming=3
+        t["documents"], "doc_id", "text", num_bands=4, max_hamming=3,
+        materialize=True,
     )
 
 
@@ -1983,7 +1984,8 @@ def dedup_duplicate_clusters_q(spark, sf_dir):
     convergence signature per round."""
     t = load_tables(spark, sf_dir)
     pairs = D.simhash_near_dup_pairs(
-        t["documents"], "doc_id", "text", num_bands=4, max_hamming=3
+        t["documents"], "doc_id", "text", num_bands=4, max_hamming=3,
+        materialize=True,
     )
     return D.duplicate_clusters(pairs, "doc_id")
 

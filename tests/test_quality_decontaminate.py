@@ -892,6 +892,69 @@ def test_connected_components_empty_and_self_loops(spark):
     assert connected_components(loops, "src", "dst").count() == 0
 
 
+def test_connected_components_string_ids(spark):
+    # URL / content-hash node ids: no long cast may touch them (ANSI
+    # would raise; non-ANSI would null-shred every edge).  Components
+    # must be labeled by the min ORIGINAL id under string ordering.
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = [
+        ("http://a.example/1", "http://b.example/2"),
+        ("http://b.example/2", "http://c.example/3"),
+        ("sha1:zz", "sha1:aa"),
+    ]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    got = {(r.node, r.component) for r in connected_components(df, "src", "dst").collect()}
+    assert got == {
+        ("http://a.example/1", "http://a.example/1"),
+        ("http://b.example/2", "http://a.example/1"),
+        ("http://c.example/3", "http://a.example/1"),
+        ("sha1:aa", "sha1:aa"),
+        ("sha1:zz", "sha1:aa"),
+    }
+
+
+def test_connected_components_string_chain(spark):
+    # deeper string-id graph: mapping join + contraction + relabel
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = [(f"doc{i:03d}", f"doc{i + 1:03d}") for i in range(40)]
+    df = spark.createDataFrame(chain, "src STRING, dst STRING")
+    rows = connected_components(df, "src", "dst").collect()
+    assert len(rows) == 41
+    assert {r.component for r in rows} == {"doc000"}
+
+
+def test_connected_components_checkpoint_dir(spark, tmp_path):
+    # reliable-checkpoint mode (real-cluster executor-loss resilience):
+    # same labels as the localCheckpoint default
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(60)] + [(100, 101), (101, 102)]
+    df = spark.createDataFrame(chain, "src LONG, dst LONG")
+    base = {
+        (r.node, r.component)
+        for r in connected_components(df, "src", "dst").collect()
+    }
+    ckpt = {
+        (r.node, r.component)
+        for r in connected_components(
+            df, "src", "dst", checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert base == ckpt
+    # the reliable checkpoint actually wrote RDD state to the dir
+    import os
+
+    assert any(os.scandir(tmp_path / "ckpt"))
+
+
 def test_duplicate_clusters_survivor_policy(spark):
     from cloud_optimized_data_pipelines_spark.operators.dedup import (
         duplicate_clusters,
