@@ -400,6 +400,18 @@ def semantic_dedup(
     dedup).  Returns every input row with (id, cid, is_dup) — filters
     never silently drop rows.
     """
+    assigned = _semantic_assign(df, vec_col, id_col, k_lists)
+    return _semantic_dedup_flags(
+        assigned, vec_col, id_col, threshold, round_digits
+    )
+
+
+def _semantic_assign(
+    df: DataFrame, vec_col: str, id_col: str, k_lists: int
+) -> DataFrame:
+    """SemDeDup cluster assignment: every row + its ``cid`` + hoisted
+    norm — the n x k_lists crossJoin reduced by a partial-aggregated
+    argmax (only n rows shuffle; see :func:`semantic_dedup`)."""
     from cloud_optimized_data_pipelines_spark.functions.vectors import (
         dot,
         norm,
@@ -435,11 +447,27 @@ def semantic_dedup(
     key = F.struct(
         F.coalesce(F.col("_cos_c"), F.lit(-2.0)), (-F.col("cid")).cast("long")
     )
-    assigned = scored.groupBy(id_col).agg(
+    return scored.groupBy(id_col).agg(
         F.max_by("cid", key).alias("cid"),
         F.max_by(vec_col, key).alias(vec_col),
         F.max_by("_norm", key).alias("_norm"),
     )
+
+
+def _semantic_dedup_flags(
+    assigned: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    round_digits: int,
+) -> DataFrame:
+    """Within-cluster duplicate flags over an assignment table
+    (id, vec, cid, _norm) — the semi/anti stage of SemDeDup."""
+    from cloud_optimized_data_pipelines_spark.functions.vectors import (
+        dot,
+        safe_cos_div,
+    )
+
     left = assigned.select(
         F.col(id_col).alias("_lid"),
         F.col(vec_col).alias("_lvec"),
@@ -470,6 +498,54 @@ def semantic_dedup(
     )
     return dups.unionByName(keepers).select(
         id_col, F.col("cid").cast("long").alias("cid"), "is_dup"
+    )
+
+
+def semantic_dedup_write_assignment(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k_lists: int = 16,
+) -> None:
+    """Persist the SemDeDup cluster assignment partitioned by ``cid``
+    (hive layout) — the ``ivf_write_index`` pattern applied to
+    semantic dedup.
+
+    Why: at SemDeDup's design point k ~ sqrt(n) the n x k assignment
+    crossJoin dominates, and the in-memory :func:`semantic_dedup`
+    evaluates it ONCE PER SELF-JOIN SIDE (measured 270 s at k=448 on
+    the 100x probe).  Writing the assignment once means the self-join
+    reads n rows per side from parquet instead of recomputing n x k
+    candidate scores twice, and any per-cluster probe is partition
+    pruning.
+    """
+    # repartition by cid before the partitioned write: without it every
+    # write task touches every cid directory (tasks x k_lists small
+    # files — measured 170.8 s at 100x/k=448); with it each cid lands
+    # wholly in one task, one file per partition dir
+    _semantic_assign(df, vec_col, id_col, k_lists).repartition(
+        F.col("cid")
+    ).write.mode("overwrite").partitionBy("cid").parquet(f"{path}/assignment")
+
+
+def semantic_dedup_indexed(
+    spark,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup duplicate flags over a persisted assignment (written by
+    :func:`semantic_dedup_write_assignment`).  Oracle-equal to
+    :func:`semantic_dedup`: parquet round-trips doubles losslessly, so
+    the within-cluster cosines are bit-identical — only the
+    assignment-stage cost moves (paid once at write time, amortized
+    across every subsequent dedup/probe run)."""
+    stored = spark.read.parquet(f"{path}/assignment")
+    return _semantic_dedup_flags(
+        stored, vec_col, id_col, threshold, round_digits
     )
 
 

@@ -2198,6 +2198,32 @@ def semantic_dedup_q(spark, sf_dir):
     )
 
 
+@query("similarity_semantic_dedup_indexed", _SEMANTIC_DEDUP)
+def semantic_dedup_indexed_q(spark, sf_dir):
+    """SemDeDup over a PERSISTED assignment (operators/similarity.py::
+    semantic_dedup_write_assignment / semantic_dedup_indexed): the n x
+    k_lists assignment crossJoin — which dominates at the paper's
+    k ~ sqrt(n) design point and which the in-memory form evaluates
+    once per self-join side (measured 270 s at k=448 on the 100x
+    probe) — is written ONCE partitioned by cid; both sides of the
+    within-cluster join then read n parquet rows.  Same oracle as
+    similarity_semantic_dedup: parquet round-trips doubles losslessly,
+    so the flags are bit-identical."""
+    import os
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_semdedup_idx"
+    )
+    S.semantic_dedup_write_assignment(
+        t["embeddings"], path, "embedding", "vec_id", k_lists=16
+    )
+    return S.semantic_dedup_indexed(
+        spark, path, "embedding", "vec_id", threshold=0.35
+    )
+
+
 _DUCK_LTOKS = (
     "list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), "
     "t -> lower(t))"

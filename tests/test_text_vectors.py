@@ -382,6 +382,56 @@ def test_semantic_dedup_flags_planted_near_dups(spark):
     assert out[13][1] is False  # anti-parallel: cosine -1, not a dup
 
 
+def test_semantic_dedup_indexed_equals_in_memory(spark, sf_dir, tmp_path):
+    """The persisted-assignment path must be bit-identical to the
+    in-memory form (parquet round-trips doubles losslessly) — the
+    assignment crossJoin is just paid once at write time."""
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    mem = {
+        (r.vec_id, r.cid, r.is_dup)
+        for r in S.semantic_dedup(
+            emb, "embedding", "vec_id", k_lists=8, threshold=0.35
+        ).collect()
+    }
+    S.semantic_dedup_write_assignment(
+        emb, str(tmp_path), "embedding", "vec_id", k_lists=8
+    )
+    idx = {
+        (r.vec_id, r.cid, r.is_dup)
+        for r in S.semantic_dedup_indexed(
+            spark, str(tmp_path), "embedding", "vec_id", threshold=0.35
+        ).collect()
+    }
+    assert idx == mem
+    # the on-disk layout is hive-partitioned by cid (probe = pruning)
+    import os
+
+    parts = [
+        d for d in os.listdir(tmp_path / "assignment") if d.startswith("cid=")
+    ]
+    assert len(parts) >= 2
+
+
+def test_semantic_dedup_indexed_probe_is_partition_pruned(spark, sf_dir, tmp_path):
+    """A single-cluster probe over the persisted assignment must reach
+    the scan as a partition filter, not a post-scan filter."""
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    S.semantic_dedup_write_assignment(
+        emb, str(tmp_path), "embedding", "vec_id", k_lists=8
+    )
+    probe = spark.read.parquet(f"{tmp_path}/assignment").filter(
+        F.col("cid") == 3
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cid" in pf
+
+
 def test_semantic_dedup_threshold_monotone(spark, sf_dir):
     """Raising tau can only shrink the dup set (nested dedup levels)."""
     from cloud_optimized_data_pipelines_spark.operators import similarity as S
