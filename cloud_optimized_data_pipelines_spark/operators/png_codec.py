@@ -1,0 +1,220 @@
+"""Pure-numpy PNG codec — the real image decoder for the multimodal
+payload path (operators/multimodal.py).
+
+Implements the public PNG specification (RFC 2083 / W3C PNG) from first
+principles, the same approach as :mod:`operators/geotiff.py`'s TIFF 6.0
+writer: no image library, just ``zlib`` (stdlib inflate/deflate) and
+numpy.  Reference behavioral model: the raster decode step of the
+reference's cogify stage (lambdas/cogify/handler.py:81-109 reads
+variables via a format library; here the format library itself is
+implemented).
+
+Supported (the non-palette, non-interlaced core of the spec):
+- color types 0 (grayscale), 2 (RGB), 4 (gray+alpha), 6 (RGBA);
+- bit depths 8 and 16 (big-endian samples per spec);
+- all five scanline filters (None/Sub/Up/Average/Paeth) — the encoder
+  deliberately CYCLES filters row-by-row so every decode path is
+  exercised by round-trip tests;
+- chunk CRC-32 verification on read.
+
+Unsupported (raises ``ValueError``): palette (color type 3), Adam7
+interlace, bit depths 1/2/4, ancillary-chunk semantics (they are
+skipped, as the spec allows).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+_PAETH_VEC = np.vectorize(_paeth, otypes=[np.int32])
+
+
+def _filter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Apply scanline filter ``ftype`` to ``row`` (uint8 bytes) given the
+    prior unfiltered row ``prev``.  Returns the filtered bytes."""
+    r = row.astype(np.int32)
+    a = np.concatenate([np.zeros(bpp, np.int32), r[:-bpp]]) if bpp <= len(r) else np.zeros_like(r)
+    b = prev.astype(np.int32)
+    c = np.concatenate([np.zeros(bpp, np.int32), b[:-bpp]]) if bpp <= len(b) else np.zeros_like(b)
+    if ftype == 0:
+        out = r
+    elif ftype == 1:
+        out = r - a
+    elif ftype == 2:
+        out = r - b
+    elif ftype == 3:
+        out = r - (a + b) // 2
+    elif ftype == 4:
+        out = r - _PAETH_VEC(a, b, c)
+    else:
+        raise ValueError(f"png: bad filter type {ftype}")
+    return (out % 256).astype(np.uint8)
+
+
+def encode_png(
+    arr: np.ndarray, bit_depth: int | None = None, filter_cycle: bool = True
+) -> bytes:
+    """Encode an array as a PNG.
+
+    ``arr`` shape: (h, w) for grayscale or (h, w, channels) with
+    channels in {1, 2, 3, 4} mapping to color types {0, 4, 2, 6}.
+    dtype uint8 -> bit depth 8, uint16 -> 16 (big-endian samples).
+
+    ``filter_cycle=True`` picks filter ``row_index % 5`` per scanline —
+    deliberately exercising every filter type so a decoder must
+    implement all five to round-trip; False writes filter 0 everywhere
+    (fastest).
+    """
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3:
+        raise ValueError("png: array must be (h, w) or (h, w, channels)")
+    h, w, ch = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if ctype is None:
+        raise ValueError(f"png: unsupported channel count {ch}")
+    if bit_depth is None:
+        bit_depth = 16 if arr.dtype == np.uint16 else 8
+    if bit_depth == 8:
+        raw = arr.astype(np.uint8)
+        rows = raw.reshape(h, w * ch)
+    elif bit_depth == 16:
+        raw = arr.astype(">u2")
+        rows = raw.reshape(h, w * ch).view(np.uint8).reshape(h, w * ch * 2)
+    else:
+        raise ValueError(f"png: unsupported bit depth {bit_depth}")
+    bpp = max(1, ch * bit_depth // 8)
+    prev = np.zeros(rows.shape[1], np.uint8)
+    filtered = bytearray()
+    for y in range(h):
+        ftype = (y % 5) if filter_cycle else 0
+        filtered.append(ftype)
+        filtered.extend(_filter_row(ftype, rows[y], prev, bpp).tobytes())
+        prev = rows[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, ctype, 0, 0, 0)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG to an (h, w, channels) numpy array (uint8 or uint16).
+
+    Verifies the signature and every chunk CRC; concatenates multiple
+    IDAT chunks per spec; skips ancillary chunks."""
+    if data[:8] != _SIGNATURE:
+        raise ValueError("png: bad signature")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("png: truncated chunk header")
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("png: truncated chunk body")
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png: CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        elif ctype == b"PLTE":
+            raise ValueError("png: palette images not supported")
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("png: missing IHDR")
+    w, h, bit_depth, ctype_v, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("png: unknown compression/filter method")
+    if interlace != 0:
+        raise ValueError("png: Adam7 interlace not supported")
+    if ctype_v not in _CHANNELS:
+        raise ValueError(f"png: color type {ctype_v} not supported")
+    if bit_depth not in (8, 16):
+        raise ValueError(f"png: bit depth {bit_depth} not supported")
+    ch = _CHANNELS[ctype_v]
+    stride = w * ch * (bit_depth // 8)
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"png: IDAT size {len(raw)} != expected {h * (stride + 1)}"
+        )
+    flat = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    bpp = max(1, ch * bit_depth // 8)
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        prev = _unfilter_scanline(int(flat[y, 0]), flat[y, 1:], prev, bpp)
+        out[y] = prev
+    if bit_depth == 8:
+        return out.reshape(h, w, ch)
+    return out.reshape(h, w * ch, 2).view(">u2").astype(np.uint16).reshape(h, w, ch)
+
+
+def _unfilter_scanline(
+    ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Reverse one scanline filter (spec section 6).  Up/None are
+    vectorized; Sub/Average/Paeth reconstruct left-to-right because
+    each byte depends on the already-reconstructed left neighbor."""
+    if ftype == 0:
+        return row.copy()
+    if ftype == 2:
+        return ((row.astype(np.int32) + prev.astype(np.int32)) % 256).astype(
+            np.uint8
+        )
+    out = row.astype(np.int32)
+    prev32 = prev.astype(np.int32)
+    n = len(out)
+    if ftype == 1:
+        for i in range(bpp, n):
+            out[i] = (out[i] + out[i - bpp]) % 256
+    elif ftype == 3:
+        for i in range(n):
+            a = out[i - bpp] if i >= bpp else 0
+            out[i] = (out[i] + (a + int(prev32[i])) // 2) % 256
+    elif ftype == 4:
+        for i in range(n):
+            a = out[i - bpp] if i >= bpp else 0
+            c = int(prev32[i - bpp]) if i >= bpp else 0
+            out[i] = (out[i] + _paeth(a, int(prev32[i]), c)) % 256
+    else:
+        raise ValueError(f"png: bad filter type {ftype}")
+    return out.astype(np.uint8)

@@ -2604,6 +2604,95 @@ def k1_cogify_real_bytes_q(spark, sf_dir):
     )
 
 
+def _png_probe_oracle() -> str:
+    """Oracle for multimodal_png_features, built at import (the
+    _cog_probe_oracle pattern): the 8 variant conversions run ONCE in
+    plain local python (same pure-numpy codec, no Spark) to pin the
+    exact emitted PNG bytes via md5 literals, while px_sum is
+    recomputed ARITHMETICALLY in SQL from the sample-grid formula
+    sample(k) = (k * (v+1)) % mod — so the encode->decode round-trip
+    is checked against non-circular ground truth and the byte stream
+    against a single-process reference run."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _PROBE_CHANNELS,
+        _PROBE_H,
+        _PROBE_W,
+        _png_variant,
+    )
+
+    rows = [_png_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['png_md5']}'" for r in rows)
+        + " END"
+    )
+    ch_case = (
+        "CASE v "
+        + " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(_PROBE_CHANNELS))
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
+meta AS (
+  SELECT v, {ch_case} AS channels,
+         CASE WHEN v >= 6 THEN 16 ELSE 8 END AS bit_depth,
+         CASE WHEN v >= 6 THEN 60013 ELSE 251 END AS mod
+  FROM var
+),
+cells AS (
+  SELECT m.v, CAST(SUM((g.k * (m.v + 1)) % m.mod) AS BIGINT) AS px_sum
+  FROM meta m,
+       (SELECT UNNEST(range(0, {_PROBE_H} * {_PROBE_W} * 4)) AS k) g
+  WHERE g.k < {_PROBE_H} * {_PROBE_W} * m.channels
+  GROUP BY m.v
+)
+SELECT d.doc_id, d.doc_id % 8 AS variant,
+       {md5_case} AS png_md5,
+       c.px_sum,
+       CAST({_PROBE_W} AS BIGINT) AS width,
+       CAST({_PROBE_H} AS BIGINT) AS height,
+       CAST(m.channels AS BIGINT) AS channels,
+       CAST(m.bit_depth AS BIGINT) AS bit_depth
+FROM documents d
+JOIN cells c ON c.v = d.doc_id % 8
+JOIN meta m ON m.v = d.doc_id % 8
+"""
+
+
+@query("multimodal_png_features", _png_probe_oracle)
+def multimodal_png_features_q(spark, sf_dir):
+    """REAL-bytes multimodal decode (operators/png_codec.py +
+    operators/multimodal.py::png_probe_table): per variant, a formula
+    raster is encoded as an actual PNG (filter-cycling, so the byte
+    stream exercises all five scanline filters), decoded back by the
+    pure-numpy codec, round-trip-verified executor-side; the query
+    emits the blob md5 plus decoded-pixel statistics for every
+    document.  The driver's value hash therefore covers the exact
+    encoded byte stream AND the inflate->unfilter->reconstruct decode
+    path — not a stub.  The 8-variant probe table is computed on
+    executors (mapInPandas) and broadcast against the corpus — at
+    100 TB the codec cost is per-variant, not per-row."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        png_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = png_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "png_md5",
+        "px_sum",
+        "width",
+        "height",
+        "channels",
+        "bit_depth",
+    )
+
+
 @query("multimodal_extract_features")
 def multimodal_features_q(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary payloads
