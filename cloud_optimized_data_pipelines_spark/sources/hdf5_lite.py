@@ -13,9 +13,12 @@ reader (:func:`read_variable`, :func:`read_attrs`, :func:`list_children`)
 - superblock v0/v1 and v2/v3 (8-byte offsets/lengths);
 - version 1 object headers (with continuation blocks) and version 2
   ``OHDR`` headers (with ``OCHK`` continuations);
-- "old-style" groups (Symbol Table message -> v1 B-tree -> SNOD nodes
-  -> local heap names) and "new-style" compact groups (Link messages);
-  dense fractal-heap link storage raises a clear error;
+- all three group storage flavors: "old-style" (Symbol Table message
+  -> v1 B-tree -> SNOD nodes -> local heap names), "new-style" compact
+  (Link messages), and DENSE (Link Info -> managed-object fractal heap
+  + v2 B-tree name index, the layout HDF-EOS5 granules use once a
+  group outgrows the compact-link threshold; v2 metadata checksums and
+  link-name hashes are verified with a real Jenkins lookup3);
 - datasets: dataspace v1/v2, fixed-point / float / string datatypes in
   either byte order, fill value v1/v2/v3, layout v3 contiguous and
   chunked (v1 B-tree chunk index) plus layout v4's latest-format chunk
@@ -27,7 +30,9 @@ writer (:func:`write_hdf5`) — fixture generator emitting a minimal
 standards-conforming v0-superblock file (symbol-table groups, v1
 object headers, contiguous or chunked+deflate datasets, v1 attributes)
 so the reader is exercised against REAL bytes without any external
-library.  Group paths like ``"Grid/precip"`` create nested groups.
+library.  Group paths like ``"Grid/precip"`` create nested groups; a
+group with more than 8 children switches to dense link storage
+(fractal heap + v2 name-index B-tree with real lookup3 checksums).
 
 HDF5 is self-describing with explicit addresses, so round-tripping
 through this writer plus the independent structural checks in tests
@@ -294,6 +299,235 @@ def _messages(buf: bytes, addr: int):
         raise ValueError(f"unsupported object header at {addr}")
 
 
+def _rot32(x: int, k: int) -> int:
+    return ((x << k) | (x >> (32 - k))) & 0xFFFFFFFF
+
+
+def lookup3(data: bytes, init: int = 0) -> int:
+    """Bob Jenkins' public-domain lookup3 ``hashlittle`` — the hash HDF5
+    uses both for v2 metadata checksums and for dense-storage link-name
+    index keys (HDF5 File Format Spec; lookup3.c self-test vectors
+    pinned in tests).  The tail switch of the reference implementation
+    is equivalent to a zero-padded little-endian word read, which is
+    what this does."""
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + init) & 0xFFFFFFFF
+    off = 0
+    while length > 12:
+        a = (a + int.from_bytes(data[off : off + 4], "little")) & 0xFFFFFFFF
+        b = (b + int.from_bytes(data[off + 4 : off + 8], "little")) & 0xFFFFFFFF
+        c = (c + int.from_bytes(data[off + 8 : off + 12], "little")) & 0xFFFFFFFF
+        a = (a - c) & 0xFFFFFFFF; a ^= _rot32(c, 4); c = (c + b) & 0xFFFFFFFF
+        b = (b - a) & 0xFFFFFFFF; b ^= _rot32(a, 6); a = (a + c) & 0xFFFFFFFF
+        c = (c - b) & 0xFFFFFFFF; c ^= _rot32(b, 8); b = (b + a) & 0xFFFFFFFF
+        a = (a - c) & 0xFFFFFFFF; a ^= _rot32(c, 16); c = (c + b) & 0xFFFFFFFF
+        b = (b - a) & 0xFFFFFFFF; b ^= _rot32(a, 19); a = (a + c) & 0xFFFFFFFF
+        c = (c - b) & 0xFFFFFFFF; c ^= _rot32(b, 4); b = (b + a) & 0xFFFFFFFF
+        off += 12
+        length -= 12
+    if length == 0:
+        return c
+    t = data[off:] + b"\x00" * (12 - length)
+    a = (a + int.from_bytes(t[0:4], "little")) & 0xFFFFFFFF
+    b = (b + int.from_bytes(t[4:8], "little")) & 0xFFFFFFFF
+    c = (c + int.from_bytes(t[8:12], "little")) & 0xFFFFFFFF
+    c ^= b; c = (c - _rot32(b, 14)) & 0xFFFFFFFF
+    a ^= c; a = (a - _rot32(c, 11)) & 0xFFFFFFFF
+    b ^= a; b = (b - _rot32(a, 25)) & 0xFFFFFFFF
+    c ^= b; c = (c - _rot32(b, 16)) & 0xFFFFFFFF
+    a ^= c; a = (a - _rot32(c, 4)) & 0xFFFFFFFF
+    b ^= a; b = (b - _rot32(a, 14)) & 0xFFFFFFFF
+    c ^= b; c = (c - _rot32(b, 24)) & 0xFFFFFFFF
+    return c
+
+
+def _parse_link_msg(body: bytes) -> tuple[str, int] | None:
+    """Decode a Link message (type 0x0006) body -> (name, header addr),
+    or None for soft/external links."""
+    flags = body[1]
+    off = 2
+    ltype = 0
+    if flags & 0x08:
+        ltype = body[off]
+        off += 1
+    if flags & 0x04:
+        off += 8  # creation order
+    if flags & 0x10:
+        off += 1  # charset
+    nlen = _u(body, off, 1 << (flags & 0x03))
+    off += 1 << (flags & 0x03)
+    name = bytes(body[off : off + nlen]).decode()
+    off += nlen
+    if ltype == 0:  # hard link
+        return name, _u(body, off, 8)
+    return None
+
+
+class _FractalHeap:
+    """Managed-object fractal heap (HDF5 spec III.G) — the storage
+    behind dense group links.  Parses the FRHP header and builds the
+    heap-offset -> file-address map from the doubling table: root
+    either a single direct block (curr_rows == 0) or a root indirect
+    block (FHIB) whose rows hold direct blocks of doubling sizes.
+    Nested indirect blocks (multi-GB heaps) raise — far beyond any
+    granule's link list."""
+
+    def __init__(self, buf: bytes, addr: int):
+        if buf[addr : addr + 4] != b"FRHP":
+            raise ValueError("bad fractal heap signature")
+        self.buf = buf
+        self.id_len = _u(buf, addr + 5, 2)
+        filt_len = _u(buf, addr + 7, 2)
+        self.flags = buf[addr + 9]
+        self.max_managed = _u(buf, addr + 10, 4)
+        # fixed-width fields up to the table section
+        o = addr + 10 + 4 + 8 + 8 + 8 + 8 + 8 + 8 + 8 + 8 + 8 + 8 + 8 + 8
+        self.width = _u(buf, o, 2)
+        self.start_size = _u(buf, o + 2, 8)
+        self.max_direct = _u(buf, o + 10, 8)
+        self.max_heap_bits = _u(buf, o + 18, 2)
+        o += 20 + 2  # + starting # rows
+        self.root_addr = _u(buf, o, 8)
+        self.curr_rows = _u(buf, o + 8, 2)
+        if filt_len:
+            raise ValueError("filtered fractal heap blocks not supported")
+        hdr_end = o + 10
+        if lookup3(bytes(buf[addr:hdr_end])) != _u(buf, hdr_end, 4):
+            raise ValueError("fractal heap header checksum mismatch")
+        self.off_size = (self.max_heap_bits + 7) // 8
+        self.len_size = max(1, (self.max_managed.bit_length() + 7) // 8)
+        # (heap_offset, file_addr, size) per direct block, offset-sorted
+        self.blocks: list[tuple[int, int, int]] = []
+        if self.curr_rows == 0:
+            self._check_dblock(self.root_addr, 0)
+            self.blocks.append((0, self.root_addr, self.start_size))
+        else:
+            self._parse_indirect(self.root_addr, self.curr_rows)
+
+    def _row_size(self, row: int) -> int:
+        return self.start_size * (1 << max(0, row - 1))
+
+    def _check_dblock(self, addr: int, expect_off: int) -> None:
+        if self.buf[addr : addr + 4] != b"FHDB":
+            raise ValueError(f"bad fractal-heap direct block at {addr}")
+        got = _u(self.buf, addr + 13, self.off_size)
+        if got != expect_off:
+            raise ValueError(
+                f"direct block offset {got} != expected {expect_off}"
+            )
+
+    def _parse_indirect(self, addr: int, nrows: int) -> None:
+        if self.buf[addr : addr + 4] != b"FHIB":
+            raise ValueError(f"bad fractal-heap indirect block at {addr}")
+        max_direct_rows = (
+            self.max_direct.bit_length() - self.start_size.bit_length()
+        ) + 2
+        o = addr + 4 + 1 + 8 + self.off_size
+        heap_off = 0
+        for row in range(nrows):
+            size = self._row_size(row)
+            for _ in range(self.width):
+                if row >= max_direct_rows:
+                    raise ValueError(
+                        "nested indirect fractal-heap blocks not supported"
+                    )
+                child = _u(self.buf, o, 8)
+                o += 8
+                if child != UNDEF:
+                    self._check_dblock(child, heap_off)
+                    self.blocks.append((heap_off, child, size))
+                heap_off += size
+        self.blocks.sort()
+
+    def read_object(self, heap_id: bytes) -> bytes:
+        flags = heap_id[0]
+        if (flags >> 6) & 0x03:
+            raise ValueError(f"heap ID version {(flags >> 6) & 3}")
+        htype = (flags >> 4) & 0x03
+        if htype == 2:  # tiny: payload embedded in the ID
+            n = (flags & 0x0F) + 1
+            return bytes(heap_id[1 : 1 + n])
+        if htype != 0:
+            raise ValueError("huge fractal-heap objects not supported")
+        off = _u(heap_id, 1, self.off_size)
+        length = _u(heap_id, 1 + self.off_size, self.len_size)
+        for blk_off, blk_addr, blk_size in reversed(self.blocks):
+            if blk_off <= off < blk_off + blk_size:
+                a = blk_addr + (off - blk_off)
+                return bytes(self.buf[a : a + length])
+        raise ValueError(f"heap offset {off} outside any direct block")
+
+
+def _v2_btree_records(buf: bytes, addr: int) -> list[bytes]:
+    """All records of a version-2 B-tree (BTHD/BTIN/BTLF), depth <= 1.
+    Leaf-node checksums are verified (Jenkins lookup3, as the spec
+    requires for v2 metadata)."""
+    if buf[addr : addr + 4] != b"BTHD":
+        raise ValueError("bad v2 B-tree header signature")
+    node_size = _u(buf, addr + 6, 4)
+    rec_size = _u(buf, addr + 10, 2)
+    depth = _u(buf, addr + 12, 2)
+    root_addr = _u(buf, addr + 16, 8)
+    root_nrec = _u(buf, addr + 24, 2)
+
+    def leaf(a: int, nrec: int) -> list[bytes]:
+        if buf[a : a + 4] != b"BTLF":
+            raise ValueError("bad v2 B-tree leaf signature")
+        used = 6 + nrec * rec_size
+        want = _u(buf, a + used, 4)
+        if lookup3(bytes(buf[a : a + used])) != want:
+            raise ValueError("v2 B-tree leaf checksum mismatch")
+        return [
+            bytes(buf[a + 6 + i * rec_size : a + 6 + (i + 1) * rec_size])
+            for i in range(nrec)
+        ]
+
+    if depth == 0:
+        return leaf(root_addr, root_nrec)
+    if depth == 1:
+        if buf[root_addr : root_addr + 4] != b"BTIN":
+            raise ValueError("bad v2 B-tree internal signature")
+        max_leaf_rec = (node_size - 10) // rec_size
+        nrec_size = max(1, (max_leaf_rec.bit_length() + 7) // 8)
+        # the internal node stores real records BETWEEN child pointers
+        # (B-tree, not B+-tree): collect children and separators both
+        out: list[bytes] = []
+        o = root_addr + 6 + root_nrec * rec_size
+        for _ in range(root_nrec + 1):
+            child = _u(buf, o, 8)
+            child_n = _u(buf, o + 8, nrec_size)
+            out.extend(leaf(child, child_n))
+            o += 8 + nrec_size
+        for i in range(root_nrec):
+            out.append(
+                bytes(
+                    buf[
+                        root_addr + 6 + i * rec_size : root_addr
+                        + 6
+                        + (i + 1) * rec_size
+                    ]
+                )
+            )
+        return out
+    raise ValueError(f"v2 B-tree depth {depth} not supported")
+
+
+def _dense_links(buf: bytes, fheap_addr: int, btree_addr: int) -> dict[str, int]:
+    """Enumerate a dense-storage group: every record of the link-name
+    v2 B-tree (type 5: 4-byte lookup3 name hash + fractal-heap ID) is
+    resolved through the heap to a serialized Link message."""
+    heap = _FractalHeap(buf, fheap_addr)
+    out: dict[str, int] = {}
+    for rec in _v2_btree_records(buf, btree_addr):
+        link = _parse_link_msg(heap.read_object(rec[4:]))
+        if link is not None:
+            name, hdr = link
+            if lookup3(name.encode()) != _u(rec, 0, 4):
+                raise ValueError(f"link name hash mismatch for {name!r}")
+            out[name] = hdr
+    return out
+
+
 def _heap_name(buf: bytes, heap_addr: int, name_off: int) -> str:
     if buf[heap_addr : heap_addr + 4] != b"HEAP":
         raise ValueError("bad local heap signature")
@@ -323,36 +557,25 @@ def _walk_group_btree(buf: bytes, btree_addr: int, heap_addr: int, out: dict):
 
 
 def list_children(buf: bytes, header_addr: int) -> dict[str, int]:
-    """name -> object header address for a group object."""
+    """name -> object header address for a group object.  All three
+    group storage flavors: symbol-table (old-style), compact (Link
+    messages), and dense (Link Info -> fractal heap + v2 B-tree name
+    index — what HDF-EOS5 granules use once a group outgrows the
+    compact-link threshold)."""
     out: dict[str, int] = {}
-    dense = False
     for mtype, body in _messages(buf, header_addr):
         if mtype == 0x0011:  # symbol table
             _walk_group_btree(buf, _u(body, 0, 8), _u(body, 8, 8), out)
         elif mtype == 0x0006:  # link message
-            flags = body[1]
-            off = 2
-            ltype = 0
-            if flags & 0x08:
-                ltype = body[off]
-                off += 1
-            if flags & 0x04:
-                off += 8  # creation order
-            if flags & 0x10:
-                off += 1  # charset
-            nlen = _u(body, off, 1 << (flags & 0x03))
-            off += 1 << (flags & 0x03)
-            name = bytes(body[off : off + nlen]).decode()
-            off += nlen
-            if ltype == 0:  # hard link
-                out[name] = _u(body, off, 8)
+            link = _parse_link_msg(body)
+            if link is not None:
+                out[link[0]] = link[1]
         elif mtype == 0x0002:  # link info
-            if _u(body, 2 + (8 if body[1] & 0x01 else 0), 8) != UNDEF:
-                dense = True
-    if dense and not out:
-        raise ValueError(
-            "dense (fractal-heap) link storage not supported by hdf5_lite"
-        )
+            off = 2 + (8 if body[1] & 0x01 else 0)
+            fheap_addr = _u(body, off, 8)
+            btree_addr = _u(body, off + 8, 8)
+            if fheap_addr != UNDEF:
+                out.update(_dense_links(buf, fheap_addr, btree_addr))
     return out
 
 
@@ -720,6 +943,94 @@ def _object_header_v1(messages: list[tuple[int, bytes]]) -> bytes:
     )
 
 
+def _emit_dense_group(arena: "_Arena", children: dict[str, int]) -> int:
+    """Emit a dense-storage group: serialized Link messages in a
+    fractal heap (single root direct block), a v2 B-tree name index
+    (single leaf, node size grown to fit — a creation parameter, so
+    spec-legal), and an object header carrying the Link Info message.
+    All v2 metadata checksums are real Jenkins lookup3."""
+    objs: dict[str, bytes] = {}
+    for name, addr in children.items():
+        nameb = name.encode()
+        if len(nameb) > 255:
+            raise ValueError(f"link name too long: {name!r}")
+        objs[name] = (
+            bytes([1, 0, len(nameb)]) + nameb + struct.pack("<Q", addr)
+        )
+
+    off_size, len_size = 4, 2  # max heap size 32 bits, max managed 4096
+    dblk_hdr = 4 + 1 + 8 + off_size
+    total = dblk_hdr + sum(len(b) for b in objs.values())
+    block_size = 1 << max(9, (total - 1).bit_length())
+
+    frhp_len = 146  # fixed-width FRHP incl. checksum, no filters
+    frhp_addr = arena.alloc(b"\x00" * frhp_len)
+
+    dblk = bytearray(b"FHDB")
+    dblk += bytes([0]) + struct.pack("<Q", frhp_addr)
+    dblk += (0).to_bytes(off_size, "little")  # block offset in heap
+    heap_ids: dict[str, bytes] = {}
+    for name in sorted(objs):
+        off_in_heap = len(dblk)
+        dblk += objs[name]
+        heap_ids[name] = (
+            bytes([0x00])  # version 0, managed
+            + off_in_heap.to_bytes(off_size, "little")
+            + len(objs[name]).to_bytes(len_size, "little")
+        )
+    dblk += b"\x00" * (block_size - len(dblk))
+    dblk_addr = arena.alloc(bytes(dblk))
+
+    frhp = bytearray(b"FRHP")
+    frhp += bytes([0])  # version
+    frhp += struct.pack("<H", 1 + off_size + len_size)  # heap ID length
+    frhp += struct.pack("<H", 0)  # I/O filters encoded length
+    frhp += bytes([0])  # flags
+    frhp += struct.pack("<I", 4096)  # max size of managed objects
+    frhp += struct.pack("<Q", 0)  # next huge object id
+    frhp += struct.pack("<Q", UNDEF)  # huge-object v2 B-tree
+    frhp += struct.pack("<Q", block_size - total)  # free space
+    frhp += struct.pack("<Q", UNDEF)  # free-space manager
+    frhp += struct.pack("<Q", block_size)  # managed space
+    frhp += struct.pack("<Q", block_size)  # allocated managed space
+    frhp += struct.pack("<Q", total)  # direct-block iterator offset
+    frhp += struct.pack("<Q", len(objs))  # managed objects
+    frhp += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny sizes+counts
+    frhp += struct.pack("<H", 4)  # table width
+    frhp += struct.pack("<Q", block_size)  # starting block size
+    frhp += struct.pack("<Q", block_size)  # max direct block size
+    frhp += struct.pack("<H", 32)  # max heap size (bits)
+    frhp += struct.pack("<H", 1)  # starting rows in root indirect
+    frhp += struct.pack("<Q", dblk_addr)  # root block (direct)
+    frhp += struct.pack("<H", 0)  # current rows (0 = root is direct)
+    frhp += struct.pack("<I", lookup3(bytes(frhp)))
+    assert len(frhp) == frhp_len
+    arena.patch(frhp_addr, bytes(frhp))
+
+    rec_size = 4 + 1 + off_size + len_size
+    recs = sorted((lookup3(n.encode()), heap_ids[n]) for n in objs)
+    leaf = bytearray(b"BTLF") + bytes([0, 5])  # version, type 5 (links)
+    for h, hid in recs:
+        leaf += struct.pack("<I", h) + hid
+    leaf += struct.pack("<I", lookup3(bytes(leaf)))
+    leaf_addr = arena.alloc(bytes(leaf))
+
+    node_size = 1 << max(9, (10 + len(recs) * rec_size - 1).bit_length())
+    bthd = bytearray(b"BTHD") + bytes([0, 5])
+    bthd += struct.pack("<I", node_size)
+    bthd += struct.pack("<H", rec_size)
+    bthd += struct.pack("<H", 0)  # depth
+    bthd += bytes([100, 40])  # split / merge percent
+    bthd += struct.pack("<Q", leaf_addr)
+    bthd += struct.pack("<H", len(recs))
+    bthd += struct.pack("<Q", len(recs))
+    bthd += struct.pack("<I", lookup3(bytes(bthd)))
+    bthd_addr = arena.alloc(bytes(bthd))
+
+    link_info = bytes([0, 0]) + struct.pack("<QQ", frhp_addr, bthd_addr)
+    return arena.alloc(_object_header_v1([(0x0002, link_info)]))
+
+
 def _fill_message(fill: bytes | None) -> bytes:
     if fill is None:
         return struct.pack("<BBBB", 2, 2, 2, 0)
@@ -835,9 +1146,13 @@ def write_hdf5(
                 arr, attrs = payload
                 children[name] = emit_dataset(sub, np.asarray(arr), attrs)
         if len(children) > 8:
-            raise ValueError(
-                f"group {path or '/'}: >8 entries needs multi-SNOD B-trees"
-            )
+            # past the v0 single-SNOD bound: emit DENSE link storage
+            # (fractal heap + v2 name-index B-tree) — the layout real
+            # HDF-EOS5 granules use for link-heavy groups
+            header_addr = _emit_dense_group(arena, children)
+            if path == "":
+                emit_group.root = (header_addr, UNDEF, UNDEF)
+            return header_addr
         # local heap: offset 0 reserved for the empty string
         heap_data = bytearray(b"\x00" * 8)
         name_offs = {}
@@ -883,9 +1198,14 @@ def write_hdf5(
     sb += bytes([0, 0, 0, 0, 0, 8, 8, 0])
     sb += struct.pack("<HHI", 4, 16, 0)
     sb += struct.pack("<QQQQ", 0, UNDEF, len(arena.buf), UNDEF)
-    # root group symbol table entry
-    sb += struct.pack("<QQII", 0, root_header, 1, 0)
-    sb += struct.pack("<QQ", root_btree, root_heap)
+    # root group symbol table entry (cache type 1 caches the btree/heap
+    # addrs; a dense root has neither -> cache type 0, zero scratch)
+    if root_btree == UNDEF:
+        sb += struct.pack("<QQII", 0, root_header, 0, 0)
+        sb += struct.pack("<QQ", 0, 0)
+    else:
+        sb += struct.pack("<QQII", 0, root_header, 1, 0)
+        sb += struct.pack("<QQ", root_btree, root_heap)
     assert len(sb) == 96
     arena.patch(0, sb)
     return bytes(arena.buf)

@@ -368,3 +368,153 @@ def test_v4_fixed_array_filtered():
     buf = _v4_file(3, arr, chunk, build)
     a, _ = H.read_variable(buf, "v")
     np.testing.assert_array_equal(a, arr)
+
+
+# ---------------------------------------------------------------------------
+# dense (fractal-heap) link storage
+# ---------------------------------------------------------------------------
+
+
+def test_lookup3_published_self_test_vectors():
+    """Jenkins lookup3.c publishes these — pins the hash used for both
+    v2 metadata checksums and dense-link name-index keys."""
+    assert H.lookup3(b"", 0) == 0xDEADBEEF
+    assert H.lookup3(b"Four score and seven years ago", 0) == 0x17770551
+    assert H.lookup3(b"Four score and seven years ago", 1) == 0xCD628161
+    # >12-byte path exercises the mixing loop; 12-exact hits the tail
+    assert H.lookup3(b"123456789012", 0) != H.lookup3(b"123456789013", 0)
+
+
+def test_dense_group_round_trip_40_children():
+    """A 40-link group overflows compact storage; the writer emits a
+    fractal heap + v2 name-index B-tree and the reader enumerates it."""
+    rng = np.random.RandomState(0)
+    variables = {}
+    want = {}
+    for i in range(40):
+        a = rng.randint(0, 1000, size=(3, 4)).astype(np.int32)
+        variables[f"Grid/var{i:02d}"] = (a, {"idx": np.int32(i)})
+        want[f"var{i:02d}"] = a
+    buf = H.write_hdf5(variables, chunks={"Grid/var07": (2, 3)})
+    assert H.list_datasets(buf, "Grid") == sorted(want)
+    for name, a in want.items():
+        got, _ = H.read_variable(buf, name, group="Grid")
+        np.testing.assert_array_equal(got, a)
+    assert H.read_attrs(buf, "var39", "Grid")["idx"] == 39
+
+
+def test_dense_root_group():
+    buf = H.write_hdf5(
+        {f"v{i:02d}": (np.full((2,), i, np.int64), {}) for i in range(12)}
+    )
+    assert H.list_datasets(buf) == [f"v{i:02d}" for i in range(12)]
+    a, _ = H.read_variable(buf, "v07")
+    np.testing.assert_array_equal(a, np.full((2,), 7, np.int64))
+
+
+def test_dense_leaf_checksum_tamper_detected():
+    buf = bytearray(
+        H.write_hdf5({f"x{i}": (np.zeros(1, np.int32), {}) for i in range(10)})
+    )
+    leaf = bytes(buf).index(b"BTLF")
+    buf[leaf + 8] ^= 0xFF  # corrupt a record byte
+    with pytest.raises(ValueError, match="checksum"):
+        H.list_datasets(bytes(buf))
+
+
+def test_dense_link_name_hash_is_lookup3_of_name():
+    buf = H.write_hdf5(
+        {f"name{i:02d}": (np.zeros(1, np.int32), {}) for i in range(10)}
+    )
+    leaf = buf.index(b"BTLF")
+    rec0 = buf[leaf + 6 : leaf + 6 + 11]
+    (h,) = struct.unpack("<I", rec0[:4])
+    assert h in {H.lookup3(f"name{i:02d}".encode()) for i in range(10)}
+
+
+def test_v2_btree_depth1_enumeration():
+    """Hand-built depth-1 name index (BTIN root, two BTLF children, one
+    separator record in the internal node) over a writer-built heap:
+    the reader must collect records from both leaves AND the internal
+    node."""
+    children = {f"d{i:02d}": 4096 + i for i in range(9)}
+    arena = H._Arena()
+    arena.alloc(b"\x00" * 8)
+    hdr = H._emit_dense_group(arena, children)
+    buf = bytes(arena.buf)
+    # find the single-leaf records the writer emitted
+    bthd = buf.index(b"BTHD")
+    leaf = buf.index(b"BTLF")
+    rec_size = 11
+    recs = [
+        buf[leaf + 6 + i * rec_size : leaf + 6 + (i + 1) * rec_size]
+        for i in range(9)
+    ]
+    frhp = buf.index(b"FRHP")
+    # rebuild as depth 1: leaf1 = recs[:4], sep = recs[4], leaf2 = recs[5:]
+    arena2 = H._Arena()
+    arena2.buf = bytearray(buf)
+
+    def mk_leaf(rs):
+        b = bytearray(b"BTLF") + bytes([0, 5])
+        for r in rs:
+            b += r
+        b += struct.pack("<I", H.lookup3(bytes(b)))
+        return arena2.alloc(bytes(b))
+
+    l1 = mk_leaf(recs[:4])
+    l2 = mk_leaf(recs[5:])
+    node_size = 512
+    max_leaf = (node_size - 10) // rec_size
+    nrec_size = max(1, (max_leaf.bit_length() + 7) // 8)
+    intn = bytearray(b"BTIN") + bytes([0, 5])
+    intn += recs[4]
+    intn += struct.pack("<Q", l1) + (4).to_bytes(nrec_size, "little")
+    intn += struct.pack("<Q", l2) + (4).to_bytes(nrec_size, "little")
+    intn += struct.pack("<I", H.lookup3(bytes(intn)))
+    intn_addr = arena2.alloc(bytes(intn))
+    bthd2 = bytearray(b"BTHD") + bytes([0, 5])
+    bthd2 += struct.pack("<I", node_size)
+    bthd2 += struct.pack("<H", rec_size)
+    bthd2 += struct.pack("<H", 1)  # depth 1
+    bthd2 += bytes([100, 40])
+    bthd2 += struct.pack("<Q", intn_addr)
+    bthd2 += struct.pack("<H", 1)  # one separator record in root
+    bthd2 += struct.pack("<Q", 9)
+    bthd2 += struct.pack("<I", H.lookup3(bytes(bthd2)))
+    bthd2_addr = arena2.alloc(bytes(bthd2))
+    got = H._dense_links(bytes(arena2.buf), frhp, bthd2_addr)
+    assert got == children
+
+
+def test_cogify_reads_variable_through_dense_group(tmp_path):
+    """VERDICT r4 done-criterion: a granule whose group holds 32+
+    children (dense link storage, like real HDF-EOS5 OMI granules)
+    decodes through _cogify_bytes into a byte-valid COG."""
+    from cloud_optimized_data_pipelines_spark.operators.cogify import (
+        _cogify_bytes,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.geotiff import (
+        read_tiff_meta,
+    )
+
+    arr = np.arange(200, dtype=np.float32).reshape(10, 20)
+    lat = np.linspace(50.0, 41.0, 10)
+    lon = np.linspace(-100.0, -81.0, 20)
+    variables = {
+        "Grid/precip": (arr, {"_FillValue": np.float32(-9999.0)}),
+        "Grid/lat": (lat, {}),
+        "Grid/lon": (lon, {}),
+    }
+    for i in range(32):  # pad the group past the compact threshold
+        variables[f"Grid/aux{i:02d}"] = (np.zeros((2,), np.int32), {})
+    buf = H.write_hdf5(variables, chunks={"Grid/precip": (5, 10)})
+    p = tmp_path / "dense_granule.h5"
+    p.write_bytes(buf)
+    blob = _cogify_bytes(
+        str(p), "precip", None, group="Grid",
+        x_variable="lon", y_variable="lat",
+    )
+    top = read_tiff_meta(blob)[0]
+    np.testing.assert_array_equal(top["array"], arr)
+    assert top["nodata"] == ["-9999.0"]
