@@ -4971,12 +4971,14 @@ def text_bm25_scores_q(spark, sf_dir):
 
 _GRADED_WINDOW = [
     # TPC-H representatives (hand-shaped plans; redundant variants demoted
-    # — round 4 rotated q2/q6 out for round-3 extension operators, then
-    # window_rank_functions / agg_percentiles / events_funnel_conversion
-    # / agg_distinct_by_segment out for the line-dedup / semantic-dedup
-    # / classifier-inference / simhash-pairs families (distinct
-    # aggregation stays graded inside dedup_lines); every demoted query
-    # stays locally oracle-checked)
+    # — r4 rotated q2/q6 out; r5 demotes four more proven basic-Catalyst
+    # slots (join_semi_anti / asof_join / window_topk / agg_rollup, all
+    # green since round 1) plus six simple extension slots (dedup_exact,
+    # dedup_incremental, text_train_val_split, sketch_quantile_sample,
+    # rollup_cascade_daily, events_retention_cohorts — families remain
+    # graded via harder siblings) for the still-ungraded round-4
+    # operators and the two new round-5 families; every demoted query
+    # stays registered and locally oracle-checked)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q18_large_volume_customer",
@@ -4991,55 +4993,52 @@ _GRADED_WINDOW = [
     "j4_collection_join",
     "a3_collection_extent",
     "k2_spill_flag",
-    # relational engine surface (cube/unpivot/set-ops demoted late-r4
-    # for the round-4 graph/LM/selection families — multi-grouping
-    # aggregation stays graded via agg_rollup_supplier, and all three
-    # demoted queries remain locally oracle-checked)
-    "window_topk_per_customer",
-    "agg_rollup_supplier",
-    "join_semi_anti_customers",
     # round-4 extension families: duplicate-cluster graph labeling,
-    # held-out bigram LM, DSIR data selection
+    # held-out bigram LM, DSIR data selection + r5-graded DSIR top-k
     "dedup_duplicate_clusters",
     "text_bigram_backoff",
     "sample_dsir_weights",
-    # events / streaming-shape analytics (hourly windowed agg demoted
-    # r4 — the time-bucket aggregation family stays graded via
-    # rollup_hourly_merge/rollup_cascade_daily)
-    "asof_join_last_click",
+    "sample_dsir_select",
+    # events / streaming-shape analytics
     "sessionize_batch_events",
-    "events_retention_cohorts",
     "streaming_dlq_routing",
-    # dedup & sampling
-    "dedup_exact",
+    # dedup & sampling (r5 rotation: lsh_clusters follows chains through
+    # connected components; substring_cut materializes the span policy;
+    # cap_per_source / ccnet_buckets / token_budget_mix cover sampling)
     "dedup_lsh_survivors",
+    "dedup_lsh_clusters",
     "dedup_ngram_jaccard_guarded",
     "dedup_substring_spans",
+    "dedup_substring_cut",
     "dedup_simhash_pairs",
     "dedup_lines",
-    "dedup_incremental",
-    "text_train_val_split",
     "sample_token_budget_mix",
+    "sample_cap_per_source",
+    "sample_ccnet_buckets",
     # sketches & hypertable rollups
     "sketch_kmv_uniques",
     "sketch_cms_heavy_hitters",
-    "sketch_quantile_sample",
     "rollup_hourly_merge",
-    "rollup_cascade_daily",
-    # similarity, text analysis, multimodal
+    # similarity (indexed SemDeDup is new in r5), text analysis,
+    # corpus drift, multimodal (real PNG bytes new in r5)
     "similarity_bruteforce_topk",
     "similarity_ann_topk",
     "similarity_semantic_dedup",
+    "similarity_semantic_dedup_indexed",
     "text_lang_id",
     "text_quality",
     "text_gopher_quality",
+    "text_ngram_repetition",
+    "text_c4_clean",
     "text_classifier_score",
     "text_decontaminate",
     "text_unigram_logprob",
     "text_bm25_scores",
+    "text_distribution_shift",
     "k1_cogify_stage",
     "k1_cogify_real_bytes",
     "multimodal_payload_meta",
+    "multimodal_png_features",
 ]
 
 
