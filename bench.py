@@ -72,6 +72,19 @@ HEADLINE = [
     "sample_dsir_weights",
 ]
 
+# r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable
+# set above so their side effects (the SemDeDup partitioned assignment
+# write, PNG codec Python workers) cannot perturb the JVM/page-cache
+# state the comparable measurements run under — keeps the
+# round-over-round delta one subtraction.
+ADDITIONS = [
+    # persisted-assignment SemDeDup — the timed call includes the
+    # partitioned assignment write + the indexed dedup join
+    "similarity_semantic_dedup_indexed",
+    # real-PNG-bytes multimodal probe
+    "multimodal_png_features",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,15 +99,16 @@ def main() -> None:
     spark.sql("SELECT count(*) FROM lineitem").collect()
 
     # untimed warmup pass: whole-stage codegen compile + JIT are one-time
-    # session costs, not per-query throughput — report steady state
-    for name in HEADLINE:
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-
+    # session costs, not per-query throughput — report steady state.
+    # Phase 1 (comparable set), then phase 2 (additions) — see ADDITIONS.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for batch in (HEADLINE, ADDITIONS):
+        for name in batch:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        for name in batch:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
