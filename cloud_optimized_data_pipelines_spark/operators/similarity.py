@@ -501,6 +501,98 @@ def _semantic_dedup_flags(
     )
 
 
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    k: int = 5,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    num_dims: int | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Batch k-NN join: for EVERY row of ``queries``, the top-k
+    ``corpus`` rows by cosine similarity — the set-valued sibling of
+    :func:`brute_force_topk` (one query) and the shape a
+    training-data pipeline needs for retrieval augmentation / nearest-
+    neighbor labeling of a whole query table.
+
+    Scale shape: ``queries`` is broadcast (a query batch is
+    metadata-sized next to a 100 TB corpus); scoring is a map-side
+    nested loop producing |corpus| x |Q| candidate rows.  Top-k is
+    TWO-PHASE: a first ROW_NUMBER window over (query, input-partition
+    salt) keeps k rows per query per map partition — the shuffle is
+    balanced over |Q| x P reducers instead of |Q| hot ones — then the
+    final window ranks only |Q| x P x k survivors.  Top-k of
+    per-partition top-k is exact, and the result is independent of the
+    salt assignment, so the output is deterministic even though
+    ``spark_partition_id`` itself is not.
+
+    ``num_dims`` switches to sign-bucket blocking: only corpus rows in
+    the query's bucket are scored (candidates ~|corpus| / 2^d per
+    query — the ANN path; recall trade as in :func:`ann_topk`).
+
+    Output: (query_id, id, cos, rank) with rank 1..k per query.
+    """
+    from cloud_optimized_data_pipelines_spark.functions.vectors import (
+        dot,
+        norm,
+        safe_cos_div,
+    )
+
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qv"),
+        norm(vec_col).alias("_qn"),
+        *(
+            [sign_bucket(F.col(vec_col), num_dims).alias("_qb")]
+            if num_dims
+            else []
+        ),
+    )
+    c = corpus.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).alias("_cv"),
+        norm(vec_col).alias("_cn"),
+        *(
+            [sign_bucket(F.col(vec_col), num_dims).alias("_cb")]
+            if num_dims
+            else []
+        ),
+    )
+    if num_dims:
+        scored = c.join(F.broadcast(q), F.col("_cb") == F.col("_qb"))
+    else:
+        scored = c.crossJoin(F.broadcast(q))
+    cos = safe_cos_div(
+        dot(F.col("_cv"), F.col("_qv")), F.col("_cn") * F.col("_qn")
+    )
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = scored.select(
+        F.col("_qid"), F.col(id_col), cos.alias("cos")
+    ).withColumn("_salt", F.spark_partition_id())
+    w1 = Window.partitionBy("_qid", "_salt").orderBy(
+        F.desc("cos"), F.col(id_col)
+    )
+    survivors = (
+        scored.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy("_qid").orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            id_col,
+            "cos",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def semantic_dedup_write_assignment(
     df: DataFrame,
     path: str,

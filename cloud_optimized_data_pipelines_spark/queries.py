@@ -2198,6 +2198,45 @@ def semantic_dedup_q(spark, sf_dir):
     )
 
 
+_KNN_JOIN = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round({_DUCK_DOT.format(a="e.embedding", b="q.qv")}
+               / (sqrt({_DUCK_DOT.format(a="e.embedding", b="e.embedding")})
+                  * sqrt({_DUCK_DOT.format(a="q.qv", b="q.qv")})), 6) AS cos
+  FROM embeddings e CROSS JOIN q
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC NULLS LAST, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, cos, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+@query("similarity_knn_join", _KNN_JOIN)
+def knn_join_q(spark, sf_dir):
+    """Batch k-NN join (operators/similarity.py::knn_join): top-5
+    corpus neighbors for EVERY row of an 8-query batch — retrieval
+    augmentation / neighbor labeling over a whole query table.  The
+    Spark side broadcasts the query batch and runs a TWO-PHASE top-k
+    (per-partition ROW_NUMBER prune, then a final rank over the k x P
+    survivors), which must exactly reproduce the oracle's naive
+    cross-join ROW_NUMBER — the proof that the balanced two-phase
+    shuffle loses nothing."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.knn_join(queries, emb, "embedding", k=5)
+
+
 @query("similarity_semantic_dedup_indexed", _SEMANTIC_DEDUP)
 def semantic_dedup_indexed_q(spark, sf_dir):
     """SemDeDup over a PERSISTED assignment (operators/similarity.py::

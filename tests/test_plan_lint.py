@@ -52,6 +52,11 @@ NESTED_LOOP_OK = {
         "SemDeDup cluster assignment crossJoin vs k_lists-row broadcast"
         " centroid set — n x 16 nested loop (same shape as ivf_probe)"
     ),
+    "similarity_knn_join": (
+        "corpus crossJoin vs the broadcast 8-row query batch — n x |Q|"
+        " nested loop is the scoring stage by design; top-k is the"
+        " balanced two-phase window"
+    ),
 }
 
 

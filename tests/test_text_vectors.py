@@ -382,6 +382,74 @@ def test_semantic_dedup_flags_planted_near_dups(spark):
     assert out[13][1] is False  # anti-parallel: cosine -1, not a dup
 
 
+def test_knn_join_matches_per_query_bruteforce(spark, sf_dir):
+    """The batched two-phase top-k must equal running brute_force_topk
+    once per query row."""
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.cos)
+        for r in S.knn_join(queries, emb, "embedding", k=3).collect()
+    }
+    for qrow in queries.collect():
+        single = S.brute_force_topk(
+            emb, "embedding", [float(x) for x in qrow.embedding], k=3
+        ).collect()
+        for rank, r in enumerate(single, 1):
+            assert got[(qrow.query_id, rank)] == (r.vec_id, r.cos)
+
+
+def test_knn_join_ann_bucket_blocking(spark, sf_dir):
+    """num_dims restricts candidates to the query's sign bucket; every
+    returned neighbor must share the query's bucket, and results are a
+    subset-ranking of the exact form."""
+    from cloud_optimized_data_pipelines_spark.functions.vectors import sign_bucket
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    buckets = {
+        r.vec_id: r.b
+        for r in emb.select(
+            "vec_id", sign_bucket(F.col("embedding"), 4).alias("b")
+        ).collect()
+    }
+    out = S.knn_join(queries, emb, "embedding", k=3, num_dims=4).collect()
+    assert len(out) > 0
+    for r in out:
+        assert buckets[r.vec_id] == buckets[r.query_id]
+        assert 1 <= r.rank <= 3
+
+
+def test_knn_join_deterministic_across_partitionings(spark, sf_dir):
+    """The per-partition salt must not leak into results: different
+    input partitionings give identical output."""
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(
+        map(tuple, S.knn_join(queries, emb, "embedding", k=4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            S.knn_join(
+                queries, emb.repartition(13), "embedding", k=4
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
 def test_semantic_dedup_indexed_equals_in_memory(spark, sf_dir, tmp_path):
     """The persisted-assignment path must be bit-identical to the
     in-memory form (parquet round-trips doubles losslessly) — the
