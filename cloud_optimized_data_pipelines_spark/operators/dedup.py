@@ -146,6 +146,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric containment join: C(A->B) = |A n B| / |A| (Broder
+    1997's *containment*, the companion measure to resemblance /
+    Jaccard).  High containment with small |A| flags quotes,
+    boilerplate, and doc-in-doc inclusion that Jaccard misses entirely
+    when |B| >> |A| — the RefinedWeb/ExactSubstr motivation viewed at
+    document granularity.
+
+    Same plan skeleton as :func:`ngram_jaccard_pairs` (inverted shingle
+    index -> self-equi-join -> per-pair count -> size join); only the
+    normalizer changes, and the pair condition is ``!=`` rather than
+    ``<`` because containment is directional — both (a, b) and (b, a)
+    rows are emitted with their own scores.  The ``max_shingle_freq``
+    guard applies identically (oracle kept in lock-step).
+
+    Output: (doc_a, doc_b, common, size_a, containment) where
+    containment = common / size_a >= threshold — "doc_a is contained
+    in doc_b".
+    """
+    idx = _guard_shingle_freq(
+        shingle_index(df, id_col, text_col, n), max_shingle_freq
+    )
+    sizes = idx.groupBy("doc").agg(F.count("*").alias("set_size"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"))
+    return (
+        common.join(sa, "doc_a")
+        .withColumn("containment", F.col("common") / F.col("size_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "common", "size_a", "containment")
+    )
+
+
 def positional_shingle_index(
     df: DataFrame, id_col: str, text_col: str, n: int = 8
 ) -> DataFrame:

@@ -1853,6 +1853,45 @@ WHERE common / (sa.set_size + sb.set_size - common) >= 0.2
 """
 
 
+_CONTAINMENT = f"""
+WITH {_DUCK_SHINGLES.format(src="documents")},
+idx0 AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
+freq AS (SELECT shingle FROM idx0 GROUP BY shingle HAVING COUNT(*) <= 10),
+idx AS (SELECT idx0.* FROM idx0 JOIN freq USING (shingle)),
+sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS set_size FROM idx GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc <> b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common, sa.set_size AS size_a,
+       common / sa.set_size AS containment
+FROM common JOIN sizes sa ON sa.doc = doc_a
+WHERE common / sa.set_size >= 0.2
+"""
+
+
+@query("dedup_ngram_containment", _CONTAINMENT)
+def dedup_containment_q(spark, sf_dir):
+    """Asymmetric containment join (operators/dedup.py::
+    ngram_containment_pairs, Broder 1997): C(A->B) = |A n B| / |A| —
+    quote / boilerplate / doc-in-doc detection that Jaccard misses when
+    the container is much larger than the contained.  Directional: both
+    orientations emitted with their own scores; the skew guard prunes
+    over-frequent shingles identically on both engines."""
+    t = load_tables(spark, sf_dir)
+    return D.ngram_containment_pairs(
+        t["documents"], "doc_id", "text", n=3, threshold=0.2,
+        max_shingle_freq=10,
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("common").cast("long").alias("common"),
+        F.col("size_a").cast("long").alias("size_a"),
+        "containment",
+    )
+
+
 @query("dedup_ngram_jaccard_guarded", _JACCARD_GUARDED)
 def dedup_jaccard_guarded_q(spark, sf_dir):
     """The 100 TB form of the Jaccard join: shingles occurring in more

@@ -955,6 +955,56 @@ def test_connected_components_checkpoint_dir(spark, tmp_path):
     assert any(os.scandir(tmp_path / "ckpt"))
 
 
+def test_ngram_containment_doc_in_doc(spark):
+    """A document quoted verbatim inside a larger one: containment 1.0
+    in the contained->container direction, fractional the other way —
+    exactly the asymmetry Jaccard cannot express."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    container = (
+        "intro words before the quote " + quote + " and trailing words after"
+    )
+    rows = [
+        (1, quote),
+        (2, container),
+        (3, "totally unrelated content with other words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.common, r.size_a, r.containment)
+        for r in ngram_containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.1, max_shingle_freq=None
+        ).collect()
+    }
+    # quote has 4 3-gram shingles, all present in container
+    common, size_a, c = got[(1, 2)]
+    assert (common, size_a, c) == (4, 4, 1.0)
+    # reverse direction: container is much bigger, containment < 1
+    common_r, size_b, c_r = got[(2, 1)]
+    assert common_r == 4 and size_b > 4 and c_r < 1.0
+    assert (1, 3) not in got and (3, 1) not in got
+
+
+def test_ngram_containment_threshold_monotone(spark, sf_dir):
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    sets = {}
+    for t in (0.1, 0.3):
+        sets[t] = {
+            (r.doc_a, r.doc_b)
+            for r in ngram_containment_pairs(
+                docs, "doc_id", "text", threshold=t, max_shingle_freq=10
+            ).collect()
+        }
+    assert sets[0.3] <= sets[0.1]
+
+
 def test_minhash_lsh_clusters_string_ids_end_to_end(spark):
     # ADVICE r4: the wrappers must accept non-numeric doc ids all the
     # way through the contraction (URL-keyed corpora).  Three exact
