@@ -1,0 +1,92 @@
+"""Composed corpus-preprocessing pipeline — the end-to-end shape a
+training-data user actually runs (CCNet / C4 / RefinedWeb recipe):
+
+    language ID -> exact dedup -> quality gate -> per-source cap
+
+expressed as ONE lazy DataFrame so Catalyst plans the whole chain
+(filters fused into the scans, the dedup and quality aggregations
+pipelined, one final per-source window over the small eligible set).
+
+Survivorship contract: every input row comes back with per-stage flags
+(``lang_ok``, ``is_canonical``, ``quality_ok``, ``eligible``,
+``selected``) — no silent drops, so rejection reasons are auditable and
+each stage's pass rate is one aggregation away (the alarm-channel
+pattern of ``dedup_fuzzy_guard_report``).
+
+Scale shape: stages 1-3 are scan expressions + doc-keyed partial
+aggregations (no corpus-sized join); the cap window runs ONLY over
+eligible docs per source — at 100 TB the heavy hitters are already
+gone before anything is sorted, and a hot source can be swapped to the
+two-pass bucket cumsum (operators/sampling.py::cap_per_group) without
+changing semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cloud_optimized_data_pipelines_spark.functions.text import detect_language
+from cloud_optimized_data_pipelines_spark.operators.quality import (
+    gopher_quality_flags,
+)
+
+
+def corpus_preprocess(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    target_lang: str = "en",
+    max_per_source: int = 15,
+) -> DataFrame:
+    """Flag-composed preprocessing pipeline; see module docstring.
+
+    ``selected`` = lang_ok AND is_canonical AND quality_ok AND within
+    the per-source cap, where cap rank orders ELIGIBLE docs by the
+    deterministic md5(id) permutation (the C4 anti-megasite rule).
+    """
+    lang_ok = detect_language(F.col(text_col)) == target_lang
+
+    # exact-dedup survivor: min id per content digest (partial agg)
+    hashed = docs.withColumn("_h", F.md5(F.col(text_col)))
+    canon = hashed.groupBy("_h").agg(F.min(id_col).alias("_canon_id"))
+
+    quality = gopher_quality_flags(docs, id_col, text_col).select(
+        id_col, F.col("keep").alias("quality_ok")
+    )
+
+    flagged = (
+        hashed.join(canon, "_h")
+        .withColumn("lang_ok", lang_ok)
+        .withColumn("is_canonical", F.col(id_col) == F.col("_canon_id"))
+        .join(quality, id_col)
+        .withColumn(
+            "eligible",
+            F.col("lang_ok") & F.col("is_canonical") & F.col("quality_ok"),
+        )
+    )
+    # cap over the eligible subset only — the window input is already
+    # filtered corpus, not the corpus
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = (
+        flagged.filter(F.col("eligible"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_source)
+        .select(F.col(id_col).alias("_sel_id"))
+    )
+    return (
+        flagged.join(ranked, flagged[id_col] == ranked["_sel_id"], "left")
+        .withColumn("selected", F.col("_sel_id").isNotNull())
+        .select(
+            id_col,
+            source_col,
+            "lang_ok",
+            "is_canonical",
+            "quality_ok",
+            "eligible",
+            "selected",
+        )
+    )

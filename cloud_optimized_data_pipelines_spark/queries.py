@@ -4769,6 +4769,83 @@ FROM documents d LEFT JOIN stats s USING (doc_id)
 """
 
 
+def _corpus_preprocess_oracle() -> str:
+    """Composed-pipeline oracle: the lang-ID, exact-dedup, gopher, and
+    per-source-cap oracle fragments chained exactly as
+    plans/corpus.py::corpus_preprocess composes the operators."""
+    counts = ", ".join(
+        f"{_duck_lang_count(lang)} AS c_{lang}" for lang in T.LANG_ORDER
+    )
+    best = ", ".join(f"c_{lang}" for lang in T.LANG_ORDER)
+    return f"""
+WITH t1 AS (SELECT doc_id, {_DUCK_LTOKS} AS ltoks FROM documents),
+t2 AS (SELECT doc_id, {counts} FROM t1),
+t3 AS (SELECT doc_id, {best}, greatest({best}) AS best FROM t2),
+langf AS (SELECT doc_id, ({_LANG_CASE}) = 'en' AS lang_ok FROM t3),
+canon AS (
+  SELECT doc_id,
+         doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+  FROM documents
+),
+words AS (
+  SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+per_word AS (SELECT doc_id, word, COUNT(*) AS cnt FROM words GROUP BY doc_id, word),
+stats AS (
+  SELECT doc_id, SUM(cnt) AS n_words, MAX(cnt) AS top_cnt,
+         SUM(length(word) * cnt) AS char_sum
+  FROM per_word GROUP BY doc_id
+),
+q AS (
+  SELECT d.doc_id,
+         COALESCE(s.n_words, 0) >= 50 AND COALESCE(s.n_words, 0) <= 100000
+           AND (CASE WHEN COALESCE(s.n_words, 0) > 0
+                     THEN CAST(s.char_sum AS DOUBLE) / s.n_words ELSE 0.0 END)
+               BETWEEN 3.0 AND 10.0
+           AND (CASE WHEN COALESCE(s.n_words, 0) > 0
+                     THEN CAST(s.top_cnt AS DOUBLE) / s.n_words ELSE 1.0 END)
+               < 0.2 AS quality_ok
+  FROM documents d LEFT JOIN stats s USING (doc_id)
+),
+flags AS (
+  SELECT d.doc_id, d.source, l.lang_ok, c.is_canonical, q.quality_ok,
+         (l.lang_ok AND c.is_canonical AND q.quality_ok) AS eligible
+  FROM documents d
+  JOIN langf l USING (doc_id)
+  JOIN canon c USING (doc_id)
+  JOIN q USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM flags WHERE eligible
+)
+SELECT f.doc_id, f.source, f.lang_ok, f.is_canonical, f.quality_ok,
+       f.eligible, COALESCE(r.rn <= 15, FALSE) AS selected
+FROM flags f LEFT JOIN ranked r USING (doc_id)
+"""
+
+
+@query("pipeline_corpus_preprocess", _corpus_preprocess_oracle)
+def pipeline_corpus_preprocess_q(spark, sf_dir):
+    """The composed training-data preprocessing pipeline
+    (plans/corpus.py::corpus_preprocess — CCNet/C4/RefinedWeb recipe):
+    language ID -> exact dedup -> Gopher quality gate -> per-source
+    cap, as ONE lazy plan with survivorship flags per stage (no silent
+    drops; every rejection auditable).  The oracle chains the four
+    stages' individual oracle fragments identically — the cross-engine
+    proof that operator COMPOSITION preserves each operator's
+    semantics."""
+    from cloud_optimized_data_pipelines_spark.plans.corpus import (
+        corpus_preprocess,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return corpus_preprocess(t["documents"])
+
+
 @query("text_gopher_quality", _GOPHER)
 def text_gopher_quality_q(spark, sf_dir):
     """MassiveText/Gopher word-level quality rules (operators/

@@ -281,3 +281,63 @@ def test_corpus_prep_pipeline_stage_composition(spark, sf_dir):
 
     n_exchanges = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
     assert n_exchanges <= 3, plan  # dedup window + agg partials
+
+
+def test_corpus_preprocess_stage_flags(spark):
+    """Composed pipeline on a hand-built corpus where every stage has
+    both passes and failures: planted exact duplicates (absent from the
+    synthetic tables), a non-English doc, a too-short doc, and a
+    repetition-heavy doc."""
+    from pyspark.sql import functions as F
+
+    from cloud_optimized_data_pipelines_spark.plans.corpus import (
+        corpus_preprocess,
+    )
+
+    good = (
+        "the data and for with this from that will when where which goes "
+        "on and on with many varied reasonable words spread over enough "
+        "tokens to pass the gopher minimum word count threshold easily "
+        "because it keeps adding different content until fifty words have "
+        "accumulated in a natural looking way for the test corpus here"
+    )
+    rows = [
+        (1, good, "s0"),                      # passes everything
+        (2, good, "s0"),                      # exact dup of 1 -> not canonical
+        (3, "el la los en de que y un una con " * 8, "s0"),  # Spanish
+        (4, "the and with for this that", "s0"),  # English but too short
+        (5, ("the " * 60).strip(), "s0"),     # top-word fraction 1.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.doc_id: r for r in corpus_preprocess(df, max_per_source=10).collect()}
+    assert len(got) == 5  # survivorship: every input row present
+    assert got[1].lang_ok and got[1].is_canonical and got[1].quality_ok
+    assert got[1].eligible and got[1].selected
+    assert got[2].lang_ok and not got[2].is_canonical and not got[2].selected
+    assert not got[3].lang_ok and not got[3].selected
+    assert got[4].lang_ok and not got[4].quality_ok and not got[4].selected
+    assert not got[5].quality_ok and not got[5].selected
+
+
+def test_corpus_preprocess_cap_binds(spark, sf_dir):
+    """selected counts never exceed the per-source cap, and equal the
+    eligible count where it is under the cap."""
+    from pyspark.sql import functions as F
+
+    from cloud_optimized_data_pipelines_spark.plans.corpus import (
+        corpus_preprocess,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus_preprocess(docs, max_per_source=5)
+    agg = (
+        out.groupBy("source")
+        .agg(
+            F.sum(F.col("selected").cast("int")).alias("n_sel"),
+            F.sum(F.col("eligible").cast("int")).alias("n_elig"),
+        )
+        .collect()
+    )
+    assert len(agg) > 0
+    for r in agg:
+        assert r.n_sel == min(r.n_elig, 5)
