@@ -5246,6 +5246,7 @@ _GRADED_WINDOW = [
     "dedup_lsh_survivors",
     "dedup_lsh_clusters",
     "dedup_ngram_jaccard_guarded",
+    "dedup_ngram_containment",
     "dedup_substring_spans",
     "dedup_substring_cut",
     "dedup_simhash_pairs",
@@ -5260,11 +5261,10 @@ _GRADED_WINDOW = [
     # similarity (indexed SemDeDup is new in r5), text analysis,
     # corpus drift, multimodal (real PNG bytes new in r5)
     "similarity_bruteforce_topk",
-    "similarity_ann_topk",
+    "similarity_knn_join",
     "similarity_semantic_dedup",
     "similarity_semantic_dedup_indexed",
-    "text_lang_id",
-    "text_quality",
+    "pipeline_corpus_preprocess",
     "text_gopher_quality",
     "text_ngram_repetition",
     "text_c4_clean",
