@@ -4846,6 +4846,35 @@ def pipeline_corpus_preprocess_q(spark, sf_dir):
     return corpus_preprocess(t["documents"])
 
 
+_K_ANON = """
+WITH counts AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM documents GROUP BY source, lang
+)
+SELECT d.doc_id, d.source, d.lang, c.group_size,
+       c.group_size >= 25 AS k_anonymous
+FROM documents d JOIN counts c USING (source, lang)
+"""
+
+
+@query("privacy_k_anonymous", _K_ANON)
+def privacy_k_anonymous_q(spark, sf_dir):
+    """k-anonymity flags (operators/privacy.py::k_anonymous_flags,
+    Sweeney 2002): rows whose (source, lang) quasi-identifier
+    combination occurs fewer than k times are flagged before a data
+    release.  One map-side-combined count + a key join reusing the same
+    shuffle partitioning; k=25 is binding at sf0.01 (several
+    source x lang cells fall under it), so both flag values are
+    exercised."""
+    from cloud_optimized_data_pipelines_spark.operators.privacy import (
+        k_anonymous_flags,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "source", "lang")
+    return k_anonymous_flags(docs, ["source", "lang"], k=25)
+
+
 @query("text_gopher_quality", _GOPHER)
 def text_gopher_quality_q(spark, sf_dir):
     """MassiveText/Gopher word-level quality rules (operators/

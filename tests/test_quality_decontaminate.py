@@ -1132,3 +1132,28 @@ def test_gumbel_topk_deterministic_and_weighted(spark):
     # top-k plan: per-partition k-row forwarding, no global sort
     plan = gumbel_topk(df, "doc_id", "w", 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_k_anonymity_flags_and_suppression(spark):
+    from cloud_optimized_data_pipelines_spark.operators.privacy import (
+        k_anonymous_flags,
+        suppress_small_groups,
+    )
+
+    rows = (
+        [(i, "NYC", "1990") for i in range(5)]     # size-5 group
+        + [(10, "SF", "1990"), (11, "SF", "1990")]  # size-2 group
+        + [(20, "LA", "1985")]                      # singleton
+    )
+    df = spark.createDataFrame(rows, "pid long, city string, yob string")
+    flags = {r.pid: (r.group_size, r.k_anonymous) for r in
+             k_anonymous_flags(df, ["city", "yob"], k=3).collect()}
+    assert len(flags) == 8  # survivorship: every row present
+    assert flags[0] == (5, True)
+    assert flags[10] == (2, False)
+    assert flags[20] == (1, False)
+    kept = {r.pid for r in suppress_small_groups(df, ["city", "yob"], k=3).collect()}
+    assert kept == {0, 1, 2, 3, 4}
+    # released table must not leak the count column
+    assert "group_size" not in suppress_small_groups(df, ["city", "yob"], 3).columns
+    assert "_n" not in suppress_small_groups(df, ["city", "yob"], 3).columns
