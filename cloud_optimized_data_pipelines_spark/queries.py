@@ -4846,6 +4846,65 @@ def pipeline_corpus_preprocess_q(spark, sf_dir):
     return corpus_preprocess(t["documents"])
 
 
+def _pagerank_oracle() -> str:
+    """Unrolled-CTE oracle for the integer-scaled PageRank: the fixed
+    5 iterations are generated as plain chained CTEs (aggregates are
+    not allowed in recursive terms), every contribution is BIGINT
+    floor division, and each iteration's SUM is cast back to BIGINT
+    (DuckDB widens SUM(BIGINT) to HUGEINT — the round-4 hasher
+    lesson)."""
+    head = """
+WITH e AS (
+  SELECT 'u:' || CAST(user_id AS VARCHAR) AS src, 't:' || event_type AS dst
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  UNION
+  SELECT 't:' || event_type, 'u:' || CAST(user_id AS VARCHAR)
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)"""
+    steps = []
+    for i in range(1, 6):
+        steps.append(f""",
+r{i} AS (
+  SELECT n.node,
+         CAST(150000000 + COALESCE(SUM((17 * p.r) // (20 * d.deg)), 0)
+              AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN r{i - 1} p ON p.node = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY n.node
+)""")
+    return head + "".join(steps) + "\nSELECT node, r AS rank FROM r5"
+
+
+@query("graph_pagerank_events", _pagerank_oracle)
+def graph_pagerank_q(spark, sf_dir):
+    """Integer-scaled PageRank (operators/graph.py::pagerank) over the
+    symmetrized user <-> event-type bipartite graph — the
+    Common-Crawl-style link-quality prior, made cross-engine
+    hash-checkable by running the whole recurrence in BIGINT
+    micro-units (integer sums are associative; float PageRank is
+    reduction-order-dependent and un-oracle-able).  5 iterations,
+    damping 17/20; the oracle unrolls them as chained CTEs."""
+    from cloud_optimized_data_pipelines_spark.operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    fwd = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iters=5)
+
+
 _K_ANON = """
 WITH counts AS (
   SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS group_size

@@ -540,3 +540,63 @@ def test_cosine_zero_vector_is_null_not_crash(spark):
         df, "embedding", "vec_id", threshold=0.5, num_dims=2
     ).collect()
     assert not any(5 in (r.id_a, r.id_b) for r in pairs)
+
+
+def _pagerank_reference(edges, iters=5, scale=10**9, num=17, den=20):
+    """Pure-Python integer PageRank — same recurrence, serial."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    e = sorted(set(edges))
+    outdeg = {}
+    for u, _ in e:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = scale * (den - num) // den
+    r = {n: scale for n in nodes}
+    for _ in range(iters):
+        nxt = {n: base for n in nodes}
+        for u, v in e:
+            nxt[v] += (num * r[u]) // (den * outdeg[u])
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_python_reference(spark):
+    from cloud_optimized_data_pipelines_spark.operators.graph import pagerank
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),      # 3-cycle
+        ("d", "a"), ("e", "a"),                  # two feeders into a
+        ("a", "f"),                              # and a sink (dangling)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, iters=5).collect()}
+    assert got == _pagerank_reference(edges, iters=5)
+    # feeders d/e have no in-edges: rank = base
+    assert got["d"] == got["e"] == 150_000_000
+    # a receives from c, d, e -> strictly the largest rank
+    assert got["a"] == max(got.values())
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    from cloud_optimized_data_pipelines_spark.operators.graph import pagerank
+
+    edges = [(f"n{i}", f"n{(i * 7 + 1) % 40}") for i in range(120)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = sorted(map(tuple, pagerank(df, iters=4).collect()))
+    b = sorted(map(tuple, pagerank(df.repartition(17), iters=4).collect()))
+    assert a == b
+    assert a == sorted(_pagerank_reference(edges, iters=4).items())
+
+
+def test_pagerank_checkpoint_dir(spark, tmp_path):
+    from cloud_optimized_data_pipelines_spark.operators.graph import pagerank
+
+    edges = [("x", "y"), ("y", "z"), ("z", "x"), ("w", "x")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    base = sorted(map(tuple, pagerank(df, iters=3).collect()))
+    ck = sorted(
+        map(
+            tuple,
+            pagerank(df, iters=3, checkpoint_dir=str(tmp_path / "ck")).collect(),
+        )
+    )
+    assert base == ck
