@@ -5316,7 +5316,6 @@ _GRADED_WINDOW = [
     "s4_link_explode",
     "k3_transfer_plan",
     "j1_config_join",
-    "j4_collection_join",
     "a3_collection_extent",
     "k2_spill_flag",
     # round-4 extension families: duplicate-cluster graph labeling,
@@ -5346,6 +5345,7 @@ _GRADED_WINDOW = [
     "sketch_kmv_uniques",
     "sketch_cms_heavy_hitters",
     "rollup_hourly_merge",
+    "graph_pagerank_events",
     # similarity (indexed SemDeDup is new in r5), text analysis,
     # corpus drift, multimodal (real PNG bytes new in r5)
     "similarity_bruteforce_topk",
