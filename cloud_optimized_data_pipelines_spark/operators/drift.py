@@ -32,6 +32,62 @@ from pyspark.sql import functions as F
 from cloud_optimized_data_pipelines_spark.functions.text import tokens
 
 
+def psi_by_window(
+    df: DataFrame,
+    category_col: str,
+    split_expr: Column,
+    label_before: str = "before",
+    label_after: str = "after",
+) -> DataFrame:
+    """Population Stability Index between two time/slice windows of a
+    categorical stream — the standard production drift monitor for an
+    event pipeline (PSI < 0.1 stable, 0.1-0.25 moderate shift, > 0.25
+    action): per category,
+
+        psi_term = (p_after - p_before) * (ln p_after - ln p_before)
+
+    with Laplace (+1) smoothing over the union category set so new or
+    vanished categories stay finite.  ``split_expr`` labels each row
+    ``label_before`` / ``label_after`` (e.g. a ts comparison); other
+    labels are ignored.
+
+    Same determinism discipline as :func:`token_distribution_shift`:
+    exact integer counts, single divisions, 9-decimal-rounded logs,
+    per-category decomposition (no order-dependent total).  Scale
+    shape: one partial-aggregated category count + a 1-row scalar
+    broadcast — output is category-set-sized.
+    """
+    labeled = df.select(split_expr.alias("_w"), F.col(category_col).alias("cat"))
+    counts = labeled.filter(F.col("_w").isin([label_before, label_after])).groupBy(
+        "cat"
+    ).agg(
+        F.sum((F.col("_w") == label_before).cast("long")).alias("cnt_before"),
+        F.sum((F.col("_w") == label_after).cast("long")).alias("cnt_after"),
+    )
+    scalars = counts.agg(
+        F.sum("cnt_before").alias("tot_b"),
+        F.sum("cnt_after").alias("tot_a"),
+        F.count("*").alias("ncat"),
+    )
+    p_b = (F.col("cnt_before") + F.lit(1)).cast("double") / (
+        F.col("tot_b") + F.col("ncat")
+    ).cast("double")
+    p_a = (F.col("cnt_after") + F.lit(1)).cast("double") / (
+        F.col("tot_a") + F.col("ncat")
+    ).cast("double")
+    return (
+        counts.crossJoin(F.broadcast(scalars))
+        .withColumn("p_before", p_b)
+        .withColumn("p_after", p_a)
+        .withColumn(
+            "psi_term",
+            (F.col("p_after") - F.col("p_before"))
+            * (F.round(F.log("p_after"), 9) - F.round(F.log("p_before"), 9)),
+        )
+        .select("cat", "cnt_before", "cnt_after", "p_before", "p_after", "psi_term")
+    )
+
+
 def token_distribution_shift(
     df: DataFrame,
     text_col: str,

@@ -4905,6 +4905,57 @@ def graph_pagerank_q(spark, sf_dir):
     return pagerank(edges, iters=5)
 
 
+_PSI = """
+WITH labeled AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'before'
+              ELSE 'after' END AS w,
+         event_type AS cat
+  FROM events
+),
+counts AS (
+  SELECT cat,
+         CAST(SUM(CASE WHEN w = 'before' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_before,
+         CAST(SUM(CASE WHEN w = 'after' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_after
+  FROM labeled GROUP BY cat
+),
+scalars AS (
+  SELECT CAST(SUM(cnt_before) AS BIGINT) AS tot_b,
+         CAST(SUM(cnt_after) AS BIGINT) AS tot_a,
+         CAST(COUNT(*) AS BIGINT) AS ncat
+  FROM counts
+)
+SELECT cat, cnt_before, cnt_after,
+       CAST(cnt_before + 1 AS DOUBLE) / (tot_b + ncat) AS p_before,
+       CAST(cnt_after + 1 AS DOUBLE) / (tot_a + ncat) AS p_after,
+       (CAST(cnt_after + 1 AS DOUBLE) / (tot_a + ncat)
+        - CAST(cnt_before + 1 AS DOUBLE) / (tot_b + ncat))
+       * (round(ln(CAST(cnt_after + 1 AS DOUBLE) / (tot_a + ncat)), 9)
+          - round(ln(CAST(cnt_before + 1 AS DOUBLE) / (tot_b + ncat)), 9))
+       AS psi_term
+FROM counts CROSS JOIN scalars
+"""
+
+
+@query("events_drift_psi", _PSI)
+def events_drift_psi_q(spark, sf_dir):
+    """Population Stability Index drift monitor (operators/drift.py::
+    psi_by_window): the event-type distribution of the stream's second
+    half vs its first — per-category PSI decomposition with Laplace
+    smoothing over the union category set and term-rounded logs (the
+    cross-engine ln discipline).  One partial-aggregated category count
+    + a 1-row scalar broadcast; output is category-set-sized, so the
+    monitor costs one scan at any stream size."""
+    from cloud_optimized_data_pipelines_spark.operators.drift import (
+        psi_by_window,
+    )
+
+    t = load_tables(spark, sf_dir)
+    split = F.when(
+        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), "before"
+    ).otherwise("after")
+    return psi_by_window(t["events"], "event_type", split)
+
+
 _K_ANON = """
 WITH counts AS (
   SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS group_size

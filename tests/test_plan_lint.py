@@ -48,6 +48,11 @@ NESTED_LOOP_OK = {
         "totals/vocab scalar crossJoin (1-row broadcast) against the"
         " vocabulary-sized count table"
     ),
+    "events_drift_psi": (
+        "totals/ncat scalar crossJoin (1-row broadcast) against the"
+        " category-set-sized count table (same shape as"
+        " text_distribution_shift)"
+    ),
     "similarity_semantic_dedup": (
         "SemDeDup cluster assignment crossJoin vs k_lists-row broadcast"
         " centroid set — n x 16 nested loop (same shape as ivf_probe)"

@@ -600,3 +600,35 @@ def test_pagerank_checkpoint_dir(spark, tmp_path):
         )
     )
     assert base == ck
+
+
+def test_psi_by_window_known_values(spark):
+    """PSI on a hand-built shift: category mix 50/50 -> 80/20 must give
+    the textbook per-term values (Laplace-smoothed), and a new category
+    appearing only after the split stays finite."""
+    import math
+
+    import pytest
+
+    from cloud_optimized_data_pipelines_spark.operators.drift import (
+        psi_by_window,
+    )
+
+    rows = (
+        [("before", "a")] * 50 + [("before", "b")] * 50
+        + [("after", "a")] * 80 + [("after", "b")] * 20
+        + [("after", "c")] * 10
+    )
+    df = spark.createDataFrame(rows, "w string, cat string")
+    out = {r.cat: r for r in psi_by_window(df, "cat", F.col("w")).collect()}
+    assert set(out) == {"a", "b", "c"}
+    # smoothed: p_before(a) = 51/103, p_after(a) = 81/113
+    pb, pa = 51 / 103, 81 / 113
+    assert out["a"].p_before == pytest.approx(pb)
+    assert out["a"].p_after == pytest.approx(pa)
+    want = (pa - pb) * (round(math.log(pa), 9) - round(math.log(pb), 9))
+    assert out["a"].psi_term == pytest.approx(want, rel=1e-12)
+    # unseen-before category: cnt_before=0, smoothing keeps it finite
+    assert out["c"].cnt_before == 0 and out["c"].psi_term > 0
+    # total PSI is positive for a real shift
+    assert sum(r.psi_term for r in out.values()) > 0.05
