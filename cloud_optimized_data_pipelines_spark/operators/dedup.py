@@ -196,6 +196,68 @@ def ngram_containment_pairs(
     )
 
 
+def source_overlap_matrix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n: int = 5,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix — the dataset-audit view of
+    contamination: for every pair of sources/corpora, how many DISTINCT
+    n-gram shingles they share and what fraction of each side that is
+    (the corpus-level analog of :func:`ngram_containment_pairs`;
+    the eval-set special case is ``operators/decontaminate.py``).
+
+    Plan: distinct (group, shingle) index -> self-equi-join on shingle
+    with ``group_a < group_b`` -> pair count.  Per-shingle fan-out is
+    bounded by (number of groups)^2 — NOT corpus size — so unlike the
+    doc-level joins no posting-list explosion exists; the
+    ``max_shingle_freq`` guard (applied at doc granularity before the
+    group distinct) still drops near-stopword shingles so the overlap
+    measures signal, not glue words.
+
+    Output: (source_a, source_b, shared, size_a, size_b,
+    overlap_a, overlap_b) with overlap_x = shared / size_x.
+    """
+    idx = _guard_shingle_freq(
+        shingle_index(df, id_col, text_col, n), max_shingle_freq
+    )
+    gidx = (
+        df.select(F.col(id_col).alias("doc"), F.col(group_col).alias("grp"))
+        .join(idx, "doc")
+        .select("grp", "shingle")
+        .distinct()
+    )
+    sizes = gidx.groupBy("grp").agg(F.count(F.lit(1)).alias("size"))
+    a = gidx.alias("a")
+    b = gidx.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(
+            F.col("a.grp").alias("source_a"), F.col("b.grp").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("grp").alias("source_a"), F.col("size").alias("size_a"))
+    sb = sizes.select(F.col("grp").alias("source_b"), F.col("size").alias("size_b"))
+    return (
+        shared.join(sa, "source_a")
+        .join(sb, "source_b")
+        .withColumn("overlap_a", F.col("shared") / F.col("size_a"))
+        .withColumn("overlap_b", F.col("shared") / F.col("size_b"))
+        .select(
+            "source_a", "source_b", "shared", "size_a", "size_b",
+            "overlap_a", "overlap_b",
+        )
+    )
+
+
 def positional_shingle_index(
     df: DataFrame, id_col: str, text_col: str, n: int = 8
 ) -> DataFrame:

@@ -1892,6 +1892,44 @@ def dedup_containment_q(spark, sf_dir):
     )
 
 
+_SOURCE_OVERLAP = f"""
+WITH {_DUCK_SHINGLES.format(src="documents")},
+idx0 AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
+freq AS (SELECT shingle FROM idx0 GROUP BY shingle HAVING COUNT(*) <= 10),
+idxg AS (
+  SELECT DISTINCT d.source AS grp, i.shingle
+  FROM idx0 i JOIN freq USING (shingle) JOIN documents d ON d.doc_id = i.doc
+),
+sizes AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS size FROM idxg GROUP BY grp),
+shared AS (
+  SELECT a.grp AS source_a, b.grp AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared
+  FROM idxg a JOIN idxg b ON a.shingle = b.shingle AND a.grp < b.grp
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, shared, sa.size AS size_a, sb.size AS size_b,
+       shared / sa.size AS overlap_a, shared / sb.size AS overlap_b
+FROM shared
+JOIN sizes sa ON sa.grp = source_a
+JOIN sizes sb ON sb.grp = source_b
+"""
+
+
+@query("dedup_source_overlap", _SOURCE_OVERLAP)
+def dedup_source_overlap_q(spark, sf_dir):
+    """Cross-source n-gram overlap matrix (operators/dedup.py::
+    source_overlap_matrix): distinct shared shingles per source pair +
+    both directional overlap fractions — the dataset-audit view of
+    contamination (eval-set decontamination is the special case where
+    one side is the test set).  Per-shingle pair fan-out is bounded by
+    (number of sources)^2, not corpus size; guard pruning stays in
+    lock-step with the oracle's HAVING filter."""
+    t = load_tables(spark, sf_dir)
+    return D.source_overlap_matrix(
+        t["documents"], "doc_id", "text", "source", n=3, max_shingle_freq=10
+    )
+
+
 @query("dedup_ngram_jaccard_guarded", _JACCARD_GUARDED)
 def dedup_jaccard_guarded_q(spark, sf_dir):
     """The 100 TB form of the Jaccard join: shingles occurring in more

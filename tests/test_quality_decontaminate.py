@@ -1157,3 +1157,32 @@ def test_k_anonymity_flags_and_suppression(spark):
     # released table must not leak the count column
     assert "group_size" not in suppress_small_groups(df, ["city", "yob"], 3).columns
     assert "_n" not in suppress_small_groups(df, ["city", "yob"], 3).columns
+
+
+def test_source_overlap_matrix_planted(spark):
+    """Two sources sharing exactly one 5-shingle region, a third
+    disjoint: one matrix row with the exact shared count and
+    directional fractions."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    rows = [
+        (1, shared + " unique-a tail-a", "A"),
+        (2, "head-b " + shared + " tail-b words", "B"),
+        (3, "entirely different text with no common grams at all", "C"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap_matrix(
+            df, "doc_id", "text", "source", n=5, max_shingle_freq=None
+        ).collect()
+    }
+    assert set(out) == {("A", "B")}
+    r = out[("A", "B")]
+    # shared 7-token region -> 3 common 5-shingles
+    assert r.shared == 3
+    assert r.overlap_a == pytest.approx(3 / r.size_a)
+    assert r.overlap_b == pytest.approx(3 / r.size_b)
