@@ -168,5 +168,7 @@ def test_real_decode_dispatch():
 
     a = _rand((3, 3, 3), np.uint8, seed=13)
     assert np.array_equal(real_decode(encode_png(a), "image/png"), a)
+    # audio/wav is REAL since the wav codec landed (see test_wav_codec);
+    # video remains the stubbed modality
     with pytest.raises(NotImplementedError):
-        real_decode(b"\x00", "audio/wav")
+        real_decode(b"\x00", "video/mp4")
