@@ -248,6 +248,65 @@ def wav_probe_table(spark, variants: int = 8) -> DataFrame:
     return spark.range(int(variants)).mapInPandas(gen, WAV_PROBE_SCHEMA)
 
 
+def downscale_box(arr: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Exact box-average downscale by integer factors: each (fy, fx)
+    block becomes floor(block_sum / (fy*fx)).  Integer arithmetic
+    end-to-end, so the result is bit-reproducible across engines and a
+    SQL oracle can recompute pixel sums from the source formula.
+    Dimensions must divide evenly (callers crop first; a real ingest
+    pipeline pads/crops at decode time)."""
+    h, w, ch = arr.shape
+    if h % fy or w % fx:
+        raise ValueError(f"downscale_box: {h}x{w} not divisible by {fy}x{fx}")
+    blocks = arr.astype(np.int64).reshape(h // fy, fy, w // fx, fx, ch)
+    means = blocks.sum(axis=(1, 3)) // (fy * fx)
+    return means.astype(arr.dtype)
+
+
+def decimate_frames(arr: np.ndarray, factor: int) -> np.ndarray:
+    """Naive audio downsample: keep every ``factor``-th frame.  Exact
+    (pure indexing — no resampling filter, so no float arithmetic);
+    the anti-aliased path belongs to a real DSP lib and stays behind
+    :func:`real_decode`'s stub for compressed formats."""
+    return np.ascontiguousarray(arr[::factor])
+
+
+RESIZED_SCHEMA = "asset_id string, payload binary, width bigint, height bigint"
+
+
+def resize_images(
+    assets: DataFrame,
+    fy: int = 4,
+    fx: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL image transform stage: decode PNG -> exact box downscale ->
+    re-encode PNG, inside Arrow ``mapInPandas`` (the multimodal analog
+    of the cogify raster stage: decode -> transform -> encode)."""
+    from cloud_optimized_data_pipelines_spark.operators.png_codec import (
+        decode_png,
+        encode_png,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf[id_col], pdf[payload_col]):
+                arr = downscale_box(decode_png(bytes(p)), fy, fx)
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "payload": bytearray(encode_png(arr)),
+                        "width": arr.shape[1],
+                        "height": arr.shape[0],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return assets.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
 PNG_PROBE_SCHEMA = (
     "variant bigint, png_md5 string, px_sum bigint, width bigint, "
     "height bigint, channels bigint, bit_depth bigint"
@@ -292,6 +351,117 @@ def _png_variant(v: int) -> dict:
         "channels": ch,
         "bit_depth": bit_depth,
     }
+
+
+PNG_RESIZE_PROBE_SCHEMA = (
+    "variant bigint, resized_md5 string, rx_sum bigint, width bigint, "
+    "height bigint, channels bigint, bit_depth bigint"
+)
+
+
+def _png_resize_variant(v: int) -> dict:
+    """Transform-stage reference conversion: the _png_variant raster is
+    box-downscaled 4x4 (exact integer means) and re-encoded; emits the
+    RESIZED blob md5 + decoded-resized pixel sum (recomputable in SQL
+    as SUM(block_sum DIV 16) over the source formula — the decode +
+    transform + encode chain checked against non-circular ground
+    truth)."""
+    from cloud_optimized_data_pipelines_spark.operators.png_codec import (
+        decode_png,
+        encode_png,
+    )
+
+    base = _png_variant(v)  # round-trip-verified source raster
+    ch = base["channels"]
+    mod = 60013 if base["bit_depth"] == 16 else 251
+    n = _PROBE_H * _PROBE_W * ch
+    samples = (np.arange(n, dtype=np.int64) * (v + 1)) % mod
+    arr = samples.reshape(_PROBE_H, _PROBE_W, ch).astype(
+        np.uint16 if base["bit_depth"] == 16 else np.uint8
+    )
+    resized = downscale_box(arr, 4, 4)
+    rpng = encode_png(resized, filter_cycle=True)
+    dec = decode_png(rpng)
+    if not np.array_equal(dec, resized):  # pragma: no cover - codec guard
+        raise RuntimeError(f"png resize variant {v}: round-trip mismatch")
+    return {
+        "variant": v,
+        "resized_md5": hashlib.md5(rpng).hexdigest(),
+        "rx_sum": int(dec.sum(dtype=np.int64)),
+        "width": _PROBE_W // 4,
+        "height": _PROBE_H // 4,
+        "channels": ch,
+        "bit_depth": base["bit_depth"],
+    }
+
+
+def png_resize_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    [_png_resize_variant(int(x)) for x in pdf["id"]]
+                )
+
+    return spark.range(int(variants)).mapInPandas(gen, PNG_RESIZE_PROBE_SCHEMA)
+
+
+WAV_DOWNSAMPLE_PROBE_SCHEMA = (
+    "variant bigint, down_md5 string, down_sum bigint, n_frames bigint, "
+    "channels bigint, sample_rate bigint, bits bigint"
+)
+
+
+def _wav_downsample_variant(v: int, factor: int = 4) -> dict:
+    """Audio transform-stage reference: the _wav_variant waveform
+    decimated by ``factor`` (keep every factor-th frame — exact
+    indexing) and re-encoded at rate/factor; emits the downsampled
+    blob md5 + decoded sample sum (SQL: SUM over frames where
+    frame % factor = 0)."""
+    from cloud_optimized_data_pipelines_spark.operators.wav_codec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    ch = v % 2 + 1
+    bits = _WAV_BITS[v % 8]
+    rate = 8000 + (v % 8) * 1000
+    n = _WAV_FRAMES * ch
+    k = np.arange(n, dtype=np.int64)
+    if bits == 8:
+        samples = ((k * (v + 1)) % 251).astype(np.uint8)
+    else:
+        raw = (k * (v + 1)) % 20011 - 10005
+        samples = raw.astype(np.int16 if bits == 16 else np.int32)
+    down = decimate_frames(samples.reshape(_WAV_FRAMES, ch), factor)
+    wav = encode_wav(down, rate // factor)
+    dec, drate = decode_wav(wav)
+    if drate != rate // factor or not np.array_equal(dec, down):
+        raise RuntimeError(  # pragma: no cover - codec guard
+            f"wav downsample variant {v}: round-trip mismatch"
+        )
+    return {
+        "variant": v,
+        "down_md5": hashlib.md5(wav).hexdigest(),
+        "down_sum": int(dec.sum(dtype=np.int64)),
+        "n_frames": _WAV_FRAMES // factor,
+        "channels": ch,
+        "sample_rate": rate // factor,
+        "bits": bits,
+    }
+
+
+def wav_downsample_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    [_wav_downsample_variant(int(x)) for x in pdf["id"]]
+                )
+
+    return spark.range(int(variants)).mapInPandas(
+        gen, WAV_DOWNSAMPLE_PROBE_SCHEMA
+    )
 
 
 def png_probe_table(spark, variants: int = 8) -> DataFrame:

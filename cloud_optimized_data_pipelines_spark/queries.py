@@ -2892,6 +2892,163 @@ def multimodal_wav_features_q(spark, sf_dir):
     )
 
 
+def _png_resize_oracle() -> str:
+    """Oracle for multimodal_png_resize: resized-blob md5s pinned from
+    a single-process run; the resized pixel sum is recomputed in SQL as
+    SUM(block_sum DIV 16) over the SOURCE grid formula — the 4x4 box
+    mean is floor(block_sum/16), so decode+transform+encode is checked
+    against arithmetic ground truth."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _PROBE_CHANNELS,
+        _PROBE_H,
+        _PROBE_W,
+        _png_resize_variant,
+    )
+
+    rows = [_png_resize_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['resized_md5']}'" for r in rows)
+        + " END"
+    )
+    ch_case = (
+        "CASE v "
+        + " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(_PROBE_CHANNELS))
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
+meta AS (
+  SELECT v, {ch_case} AS channels,
+         CASE WHEN v >= 6 THEN 16 ELSE 8 END AS bit_depth,
+         CASE WHEN v >= 6 THEN 60013 ELSE 251 END AS mod
+  FROM var
+),
+blocks AS (
+  SELECT m.v,
+         (g.k // ({_PROBE_W} * m.channels)) // 4 AS by,
+         ((g.k % ({_PROBE_W} * m.channels)) // m.channels) // 4 AS bx,
+         g.k % m.channels AS c,
+         SUM((g.k * (m.v + 1)) % m.mod) AS bsum
+  FROM meta m,
+       (SELECT UNNEST(range(0, {_PROBE_H} * {_PROBE_W} * 4)) AS k) g
+  WHERE g.k < {_PROBE_H} * {_PROBE_W} * m.channels
+  GROUP BY 1, 2, 3, 4
+),
+cells AS (
+  SELECT v, CAST(SUM(bsum // 16) AS BIGINT) AS rx_sum FROM blocks GROUP BY v
+)
+SELECT d.doc_id, d.doc_id % 8 AS variant,
+       {md5_case} AS resized_md5,
+       c.rx_sum,
+       CAST({_PROBE_W // 4} AS BIGINT) AS width,
+       CAST({_PROBE_H // 4} AS BIGINT) AS height,
+       CAST(m.channels AS BIGINT) AS channels,
+       CAST(m.bit_depth AS BIGINT) AS bit_depth
+FROM documents d
+JOIN cells c ON c.v = d.doc_id % 8
+JOIN meta m ON m.v = d.doc_id % 8
+"""
+
+
+@query("multimodal_png_resize", _png_resize_oracle)
+def multimodal_png_resize_q(spark, sf_dir):
+    """REAL image TRANSFORM stage (operators/multimodal.py::
+    resize_images / downscale_box): decode PNG -> exact 4x4 box
+    downscale (integer means, bit-reproducible) -> re-encode PNG —
+    the multimodal analog of the cogify overview resample.  The
+    driver's value hash covers the resized byte stream md5 AND the
+    transform arithmetic (the oracle recomputes resized pixel sums
+    from the source grid formula as SUM(block_sum DIV 16))."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        png_resize_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = png_resize_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id", "variant", "resized_md5", "rx_sum",
+        "width", "height", "channels", "bit_depth",
+    )
+
+
+def _wav_downsample_oracle() -> str:
+    """Oracle for multimodal_wav_downsample: downsampled-blob md5s
+    pinned locally; decimated sample sum recomputed in SQL by keeping
+    frames where frame % 4 = 0 in the waveform formula."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _WAV_BITS,
+        _WAV_FRAMES,
+        _wav_downsample_variant,
+    )
+
+    rows = [_wav_downsample_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['down_md5']}'" for r in rows)
+        + " END"
+    )
+    bits_case = (
+        "CASE v "
+        + " ".join(f"WHEN {i} THEN {b}" for i, b in enumerate(_WAV_BITS))
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
+meta AS (
+  SELECT v, v % 2 + 1 AS channels, {bits_case} AS bits,
+         (8000 + v * 1000) // 4 AS sample_rate
+  FROM var
+),
+cells AS (
+  SELECT m.v,
+         CAST(SUM(CASE WHEN m.bits = 8 THEN (g.k * (m.v + 1)) % 251
+                       ELSE ((g.k * (m.v + 1)) % 20011) - 10005 END)
+              AS BIGINT) AS down_sum
+  FROM meta m,
+       (SELECT UNNEST(range(0, {_WAV_FRAMES} * 2)) AS k) g
+  WHERE g.k < {_WAV_FRAMES} * m.channels
+    AND (g.k // m.channels) % 4 = 0
+  GROUP BY m.v
+)
+SELECT d.doc_id, d.doc_id % 8 AS variant,
+       {md5_case} AS down_md5,
+       c.down_sum,
+       CAST({_WAV_FRAMES // 4} AS BIGINT) AS n_frames,
+       CAST(m.channels AS BIGINT) AS channels,
+       CAST(m.sample_rate AS BIGINT) AS sample_rate,
+       CAST(m.bits AS BIGINT) AS bits
+FROM documents d
+JOIN cells c ON c.v = d.doc_id % 8
+JOIN meta m ON m.v = d.doc_id % 8
+"""
+
+
+@query("multimodal_wav_downsample", _wav_downsample_oracle)
+def multimodal_wav_downsample_q(spark, sf_dir):
+    """REAL audio TRANSFORM stage (operators/multimodal.py::
+    decimate_frames): decode WAV -> keep every 4th frame (exact
+    indexing, no float resampling) -> re-encode at rate/4.  Blob md5
+    + decoded sample sums hash-checked against the waveform formula
+    restricted to kept frames."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        wav_downsample_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = wav_downsample_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id", "variant", "down_md5", "down_sum",
+        "n_frames", "channels", "sample_rate", "bits",
+    )
+
+
 @query("multimodal_extract_features")
 def multimodal_features_q(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary payloads

@@ -172,3 +172,48 @@ def test_real_decode_dispatch():
     # video remains the stubbed modality
     with pytest.raises(NotImplementedError):
         real_decode(b"\x00", "video/mp4")
+
+
+def test_downscale_box_exact_integer_means():
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        downscale_box,
+    )
+
+    a = np.arange(4 * 4 * 1, dtype=np.uint8).reshape(4, 4, 1)
+    d = downscale_box(a, 2, 2)
+    # blocks: [[0,1,4,5],[2,3,6,7],...] -> floor(mean)
+    assert d.shape == (2, 2, 1)
+    assert d[0, 0, 0] == (0 + 1 + 4 + 5) // 4
+    assert d[1, 1, 0] == (10 + 11 + 14 + 15) // 4
+    with pytest.raises(ValueError, match="divisible"):
+        downscale_box(np.zeros((5, 4, 1), np.uint8), 2, 2)
+
+
+def test_resize_images_end_to_end(spark):
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        downscale_box,
+        resize_images,
+    )
+
+    a = _rand((8, 12, 3), np.uint8, seed=21)
+    df = spark.createDataFrame(
+        [("x", bytearray(encode_png(a)))], "asset_id string, payload binary"
+    )
+    row = resize_images(df, 4, 4).collect()[0]
+    assert (row.height, row.width) == (2, 3)
+    got = decode_png(bytes(row.payload))
+    assert np.array_equal(got, downscale_box(a, 4, 4))
+
+
+def test_decimate_frames_and_probe_determinism():
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _png_resize_variant,
+        _wav_downsample_variant,
+        decimate_frames,
+    )
+
+    a = np.arange(20, dtype=np.int16).reshape(10, 2)
+    d = decimate_frames(a, 3)
+    assert d.tolist() == [[0, 1], [6, 7], [12, 13], [18, 19]]
+    assert _png_resize_variant(5) == _png_resize_variant(5)
+    assert _wav_downsample_variant(5) == _wav_downsample_variant(5)
