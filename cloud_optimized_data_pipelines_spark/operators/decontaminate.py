@@ -58,3 +58,55 @@ def contamination_flags(
     return out.withColumn(
         "n_hits", F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
     ).withColumn("contaminated", F.col("n_hits") > 0)
+
+
+def embedding_contamination_flags(
+    train: DataFrame,
+    test: DataFrame,
+    vec_col: str,
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    round_digits: int = 6,
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """SEMANTIC decontamination: flag train rows whose embedding is
+    within cosine ``threshold`` of ANY eval-set row — the embedding
+    complement of the n-gram :func:`contamination_flags` (paraphrased
+    eval leakage that shares no exact 5-gram still lands next to the
+    eval point in embedding space; cf. SemDeDup's cosine criterion).
+
+    Adds ``n_close`` (count of eval rows within threshold, bigint) and
+    ``contaminated`` (bool); every train row survives (survivorship
+    form, like the n-gram flags).
+
+    Scale shape: eval sets are metadata-sized next to a training
+    corpus, so the test side is broadcast (norms hoisted once on both
+    sides, per the engine-wide cosine discipline); cost is one
+    broadcast nested-loop scan — n x |eval| cosine folds, map-side, no
+    shuffle beyond the per-doc count aggregation.
+    """
+    from cloud_optimized_data_pipelines_spark.functions.vectors import (
+        dot,
+        norm,
+        safe_cos_div,
+    )
+
+    tside = test.select(
+        F.col(vec_col).alias("_tv"), norm(vec_col).alias("_tn")
+    )
+    if broadcast_test:
+        tside = F.broadcast(tside)
+    cos = F.round(
+        safe_cos_div(dot(F.col(vec_col), F.col("_tv")), F.col("_n") * F.col("_tn")),
+        round_digits,
+    )
+    hits = (
+        train.select(F.col(id_col).alias("_tid"), vec_col, norm(vec_col).alias("_n"))
+        .join(tside, cos >= threshold)
+        .groupBy("_tid")
+        .agg(F.count(F.lit(1)).alias("n_close"))
+    )
+    out = train.join(hits, train[id_col] == hits["_tid"], "left").drop("_tid")
+    return out.withColumn(
+        "n_close", F.coalesce(F.col("n_close"), F.lit(0)).cast("long")
+    ).withColumn("contaminated", F.col("n_close") > 0)

@@ -2314,6 +2314,46 @@ def knn_join_q(spark, sf_dir):
     return S.knn_join(queries, emb, "embedding", k=5)
 
 
+_EMB_DECON = f"""
+WITH tst AS (
+  SELECT embedding AS tv FROM embeddings WHERE vec_id < 50
+),
+trn AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 50),
+hits AS (
+  SELECT t.vec_id, CAST(COUNT(*) AS BIGINT) AS n_close
+  FROM trn t JOIN tst s
+    ON round({_DUCK_DOT.format(a="t.embedding", b="s.tv")}
+             / (sqrt({_DUCK_DOT.format(a="t.embedding", b="t.embedding")})
+                * sqrt({_DUCK_DOT.format(a="s.tv", b="s.tv")})), 6) >= 0.35
+  GROUP BY t.vec_id
+)
+SELECT t.vec_id, COALESCE(h.n_close, 0) AS n_close,
+       COALESCE(h.n_close, 0) > 0 AS contaminated
+FROM trn t LEFT JOIN hits h USING (vec_id)
+"""
+
+
+@query("similarity_embedding_decontaminate", _EMB_DECON)
+def embedding_decontaminate_q(spark, sf_dir):
+    """SEMANTIC decontamination (operators/decontaminate.py::
+    embedding_contamination_flags): train rows within cosine 0.35 of
+    any eval-set embedding are flagged — catches paraphrased eval
+    leakage the 5-gram decontaminator can't see.  Eval side broadcast
+    (metadata-sized next to a corpus), norms hoisted once per side,
+    per-doc count aggregation is the only shuffle."""
+    from cloud_optimized_data_pipelines_spark.operators.decontaminate import (
+        embedding_contamination_flags,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    test = emb.filter(F.col("vec_id") < 50)
+    train = emb.filter(F.col("vec_id") >= 50)
+    return embedding_contamination_flags(
+        train, test, "embedding", "vec_id", threshold=0.35
+    ).select("vec_id", "n_close", "contaminated")
+
+
 @query("similarity_semantic_dedup_indexed", _SEMANTIC_DEDUP)
 def semantic_dedup_indexed_q(spark, sf_dir):
     """SemDeDup over a PERSISTED assignment (operators/similarity.py::

@@ -57,6 +57,10 @@ NESTED_LOOP_OK = {
         "SemDeDup cluster assignment crossJoin vs k_lists-row broadcast"
         " centroid set — n x 16 nested loop (same shape as ivf_probe)"
     ),
+    "similarity_embedding_decontaminate": (
+        "corpus vs broadcast eval-set cosine join — n x |eval| nested"
+        " loop by design (eval sets are metadata-sized)"
+    ),
     "similarity_knn_join": (
         "corpus crossJoin vs the broadcast 8-row query batch — n x |Q|"
         " nested loop is the scoring stage by design; top-k is the"

@@ -1186,3 +1186,34 @@ def test_source_overlap_matrix_planted(spark):
     assert r.shared == 3
     assert r.overlap_a == pytest.approx(3 / r.size_a)
     assert r.overlap_b == pytest.approx(3 / r.size_b)
+
+
+def test_embedding_contamination_flags_planted(spark):
+    """A train vector parallel to an eval vector is flagged; an
+    orthogonal one is not; survivorship holds."""
+    from cloud_optimized_data_pipelines_spark.operators.decontaminate import (
+        embedding_contamination_flags,
+    )
+
+    test = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, [2.0, 0.01, 0.0]),   # ~parallel to eval 0
+            (11, [0.0, 0.0, 5.0]),    # orthogonal to both
+            (12, [0.5, 0.5, 0.0]),    # cos ~0.707 to both evals
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: (r.n_close, r.contaminated)
+        for r in embedding_contamination_flags(
+            train, test, "embedding", "vec_id", threshold=0.9
+        ).collect()
+    }
+    assert len(got) == 3
+    assert got[10] == (1, True)
+    assert got[11] == (0, False)
+    assert got[12] == (0, False)  # 0.707 < 0.9
