@@ -81,8 +81,21 @@ ADDITIONS = [
     # persisted-assignment SemDeDup — the timed call includes the
     # partitioned assignment write + the indexed dedup join
     "similarity_semantic_dedup_indexed",
-    # real-PNG-bytes multimodal probe
+    # real-bytes multimodal probes (PNG + WAV codecs on executors)
     "multimodal_png_features",
+    "multimodal_wav_features",
+    # batch k-NN join (broadcast query batch, two-phase top-k)
+    "similarity_knn_join",
+    # integer-scaled PageRank (5 unrolled iterations)
+    "graph_pagerank_events",
+    # directional n-gram containment (doc-in-doc) on the shingle index
+    "dedup_ngram_containment",
+    # embedding-space eval-set decontamination (broadcast eval side)
+    "similarity_embedding_decontaminate",
+    # PSI drift between event-stream windows
+    "events_drift_psi",
+    # composed corpus-preprocessing pipeline (4 stages, one lazy plan)
+    "pipeline_corpus_preprocess",
 ]
 
 
