@@ -168,12 +168,22 @@ def ngram_containment_pairs(
     rows are emitted with their own scores.  The ``max_shingle_freq``
     guard applies identically (oracle kept in lock-step).
 
+    Unlike the Jaccard join, the index here is deduped to DISTINCT
+    (doc, shingle) pairs BEFORE the guard and the self-join: Broder
+    containment is a SET measure (|A n B| / |A| <= 1 by definition),
+    and on real corpora with repeated n-grams the occurrence-level
+    index would count occurrence pairs — "common" could exceed |A| and
+    containment exceed 1.0, silently distorting the threshold.  The
+    distinct costs one extra shuffle on the (doc, shingle) key; the
+    guard's frequency is then DOC frequency (the standard DF guard),
+    which is also the tighter skew bound.
+
     Output: (doc_a, doc_b, common, size_a, containment) where
     containment = common / size_a >= threshold — "doc_a is contained
     in doc_b".
     """
     idx = _guard_shingle_freq(
-        shingle_index(df, id_col, text_col, n), max_shingle_freq
+        shingle_index(df, id_col, text_col, n).distinct(), max_shingle_freq
     )
     sizes = idx.groupBy("doc").agg(F.count("*").alias("set_size"))
     a = idx.alias("a")
@@ -1108,6 +1118,11 @@ def simhash_near_dup_pairs(
     )
 
 
+# last (applicationId, dir) requested in this process — the guard state
+# for the session-global setCheckpointDir side effect (see _make_ckpt)
+_CKPT_DIR_SET: list[tuple[str, str]] = []
+
+
 def _make_ckpt(df: DataFrame, checkpoint: bool, checkpoint_dir):
     """Lineage-truncation policy for iterative operators.
 
@@ -1117,9 +1132,33 @@ def _make_ckpt(df: DataFrame, checkpoint: bool, checkpoint_dir):
     else ``checkpoint`` -> ``localCheckpoint`` (fast, blocks pinned on
     executors, NOT loss-resilient — fine for local[] and tests); else
     identity (pure lazy plan, lineage grows per round).
+
+    GLOBAL SIDE EFFECT: ``setCheckpointDir`` is session-wide state —
+    every other reliable checkpoint in the SparkSession lands under the
+    last dir set.  Two concurrently-running iterative operators passed
+    DIFFERENT dirs would race; set one dir at session setup (or pass
+    the same dir everywhere) for concurrent use.  Redirecting an
+    already-set differing dir is guarded with a ``UserWarning`` so the
+    redirect is at least visible, never silent.
     """
     if checkpoint_dir is not None:
-        df.sparkSession.sparkContext.setCheckpointDir(str(checkpoint_dir))
+        sc = df.sparkSession.sparkContext
+        want = str(checkpoint_dir)
+        prev = _CKPT_DIR_SET[-1] if _CKPT_DIR_SET else None
+        if prev is not None and prev != (sc.applicationId, want):
+            if prev[0] == sc.applicationId:
+                import warnings
+
+                warnings.warn(
+                    "setCheckpointDir is session-global: redirecting the "
+                    f"checkpoint dir from {prev[1]!r} to {want!r}; "
+                    "concurrent iterative operators should share one dir",
+                    UserWarning,
+                    stacklevel=3,
+                )
+        if prev != (sc.applicationId, want):
+            sc.setCheckpointDir(want)
+            _CKPT_DIR_SET[:] = [(sc.applicationId, want)]
         return lambda d: d.checkpoint(eager=True)
     if checkpoint:
         return lambda d: d.localCheckpoint(eager=True)

@@ -10,7 +10,7 @@ PageRank sums floating-point contributions, whose value depends on
 reduction order — un-oracle-able across engines.  Here ranks live in
 integer micro-units (``scale`` per node initially) and each update is
 
-    r'(v) = base + SUM over in-edges u->v of
+    r'(v) = base [+ dangling share] + SUM over in-edges u->v of
             (num * r(u)) DIV (den * outdeg(u))
 
 with ``damping = num/den`` (default 17/20 = 0.85) and ``base =
@@ -23,20 +23,27 @@ term vs the real-valued recurrence, far below any ranking use.
 
 Semantics notes:
 - fixed ``iters`` (deterministic, SQL-unrollable), no convergence test;
-- dangling nodes (no out-edges) leak their mass — the simplified
-  variant most link-spam literature uses; pass a symmetrized edge list
-  for random-walk-on-undirected-graph semantics;
+- dangling nodes (no out-edges): ``dangling="leak"`` (default) lets
+  their mass evaporate — the simplified variant most link-spam
+  literature uses, fine for symmetrized graphs which have no sinks;
+  ``dangling="redistribute"`` is the teleport-corrected textbook form:
+  each iteration aggregates the total rank sitting on sink nodes (one
+  1-row BIGINT aggregate) and hands every node an equal integer share
+  ``(num * dangling_mass) DIV (den * n_nodes)`` on top of ``base`` —
+  still pure associative integer arithmetic, so the CTE oracle
+  unrolls identically;
 - overflow bound: ``num * total_mass`` must fit in int64, i.e.
-  ``n_nodes * scale * num < 2^63`` — at 10^9 nodes drop ``scale`` to
-  10^6 (documented, asserted at the driver only via the node count the
-  caller already knows).
+  ``n_nodes * scale * num < 2^63`` — ASSERTED at the driver (the node
+  count is materialized once, and it is also what the redistribute
+  share needs); at 10^9 nodes drop ``scale`` to 10^6.
 
 Scale shape: per iteration one equi-join of the edge list with the
 current rank table (both keyed on the source node — AQE picks
 broadcast while ranks fit, sort-merge beyond) plus one
-partial-aggregated groupBy on the destination; lineage is truncated
-per round (``checkpoint_dir`` for executor-loss resilience, same knob
-as ``dedup.connected_components``).
+partial-aggregated groupBy on the destination; the redistribute
+variant adds one left-semi + 1-row sum (metadata traffic) per round;
+lineage is truncated per round (``checkpoint_dir`` for executor-loss
+resilience, same knob as ``dedup.connected_components``).
 """
 
 from __future__ import annotations
@@ -57,12 +64,17 @@ def pagerank(
     damping_den: int = 20,
     checkpoint: bool = True,
     checkpoint_dir=None,
+    dangling: str = "leak",
 ) -> DataFrame:
     """Integer-scaled PageRank; see module docstring.
 
     Returns (node, rank) with rank in micro-units of ``scale``;
     ``rank / scale`` is the conventional per-node rank value.
+    ``dangling``: "leak" (sink mass evaporates) or "redistribute"
+    (teleport-corrected equal integer share per node).
     """
+    if dangling not in ("leak", "redistribute"):
+        raise ValueError(f"dangling must be 'leak' or 'redistribute', got {dangling!r}")
     ckpt = _make_ckpt(edges, checkpoint, checkpoint_dir)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = ckpt(e)
@@ -72,7 +84,24 @@ def pagerank(
         .distinct()
     )
     nodes = ckpt(nodes)
+    # One count() action: enforces the int64 bound (total mass is
+    # ~n*scale and every contribution is multiplied by damping_num
+    # before the DIV) and feeds the redistribute share's denominator.
+    n_nodes = nodes.count()
+    if n_nodes * scale * damping_num >= 2**63:
+        raise ValueError(
+            f"int64 overflow risk: n_nodes({n_nodes}) * scale({scale}) * "
+            f"damping_num({damping_num}) >= 2^63; lower `scale` "
+            "(e.g. 10^6 at 10^9 nodes)"
+        )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    sinks = (
+        nodes.join(
+            outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+        )
+        if dangling == "redistribute"
+        else None
+    )
     base = scale * (damping_den - damping_num) // damping_den
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
     for _ in range(iters):
@@ -87,10 +116,31 @@ def pagerank(
             )
         )
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        nxt = nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+        if sinks is not None:
+            # total rank on sink nodes this round: a 1-row BIGINT
+            # aggregate (associative), broadcast back as a scalar
+            dm = (
+                ranks.join(sinks, "node", "left_semi")
+                .agg(
+                    F.coalesce(F.sum("r"), F.lit(0))
+                    .cast("long")
+                    .alias("_dm")
+                )
+            )
+            nxt = nxt.crossJoin(F.broadcast(dm)).withColumn(
+                "_share",
+                F.expr(
+                    f"({damping_num} * _dm) DIV ({damping_den} * {n_nodes}L)"
+                ),
+            )
+            share = F.col("_share")
+        else:
+            share = F.lit(0).cast("long")
         ranks = ckpt(
-            nodes.join(inflow, nodes["node"] == inflow["dst"], "left").select(
+            nxt.select(
                 "node",
-                (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+                (F.lit(base) + share + F.coalesce(F.col("s"), F.lit(0)))
                 .cast("long")
                 .alias("r"),
             )

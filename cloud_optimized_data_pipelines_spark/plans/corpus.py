@@ -14,21 +14,29 @@ each stage's pass rate is one aggregation away (the alarm-channel
 pattern of ``dedup_fuzzy_guard_report``).
 
 Scale shape: stages 1-3 are scan expressions + doc-keyed partial
-aggregations (no corpus-sized join); the cap window runs ONLY over
-eligible docs per source — at 100 TB the heavy hitters are already
-gone before anything is sorted, and a hot source can be swapped to the
-two-pass bucket cumsum (operators/sampling.py::cap_per_group) without
-changing semantics.
+aggregations (no corpus-sized join); the cap stage runs ONLY over
+eligible docs AND uses the two-pass bucket cumsum
+(operators/sampling.py::cap_per_group) rather than a per-source
+ROW_NUMBER window — even after filtering, one dominant crawl source's
+eligible docs at 100 TB are hundreds of millions of rows, and a
+single-window formulation would serialize them through ONE task.  The
+cumsum keeps per-source parallelism at 16^bucket_hex tasks while
+selecting the IDENTICAL set: both formulations keep the first
+``max_per_source`` docs of each source under the md5(id) order (the
+C4 anti-megasite permutation), so the ROW_NUMBER oracle is unchanged.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cloud_optimized_data_pipelines_spark.functions.text import detect_language
 from cloud_optimized_data_pipelines_spark.operators.quality import (
     gopher_quality_flags,
+)
+from cloud_optimized_data_pipelines_spark.operators.sampling import (
+    cap_per_group,
 )
 
 
@@ -66,17 +74,17 @@ def corpus_preprocess(
             F.col("lang_ok") & F.col("is_canonical") & F.col("quality_ok"),
         )
     )
-    # cap over the eligible subset only — the window input is already
-    # filtered corpus, not the corpus
-    w = Window.partitionBy(source_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
-    ranked = (
-        flagged.filter(F.col("eligible"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_per_source)
-        .select(F.col(id_col).alias("_sel_id"))
-    )
+    # cap over the eligible subset only, via the two-pass bucket cumsum
+    # (a cap is a token budget with unit weights): per-source
+    # parallelism stays 16^bucket_hex tasks even when one hot source
+    # dominates; the kept set equals row_number() <= max under the same
+    # md5(id) order (tested in tests/test_pipeline.py)
+    ranked = cap_per_group(
+        flagged.filter(F.col("eligible")).select(id_col, source_col),
+        key=id_col,
+        group_col=source_col,
+        max_per_group=max_per_source,
+    ).select(F.col(id_col).alias("_sel_id"))
     return (
         flagged.join(ranked, flagged[id_col] == ranked["_sel_id"], "left")
         .withColumn("selected", F.col("_sel_id").isNotNull())

@@ -1855,7 +1855,11 @@ WHERE common / (sa.set_size + sb.set_size - common) >= 0.2
 
 _CONTAINMENT = f"""
 WITH {_DUCK_SHINGLES.format(src="documents")},
-idx0 AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
+idx0 AS (
+  SELECT DISTINCT doc, shingle FROM (
+    SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh
+  )
+),
 freq AS (SELECT shingle FROM idx0 GROUP BY shingle HAVING COUNT(*) <= 10),
 idx AS (SELECT idx0.* FROM idx0 JOIN freq USING (shingle)),
 sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS set_size FROM idx GROUP BY doc),
@@ -5198,7 +5202,9 @@ WITH counts AS (
 )
 SELECT d.doc_id, d.source, d.lang, c.group_size,
        c.group_size >= 25 AS k_anonymous
-FROM documents d JOIN counts c USING (source, lang)
+FROM documents d JOIN counts c
+  ON d.source IS NOT DISTINCT FROM c.source
+ AND d.lang IS NOT DISTINCT FROM c.lang
 """
 
 

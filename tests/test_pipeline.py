@@ -341,3 +341,37 @@ def test_corpus_preprocess_cap_binds(spark, sf_dir):
     assert len(agg) > 0
     for r in agg:
         assert r.n_sel == min(r.n_elig, 5)
+
+
+def test_corpus_preprocess_cap_is_bucket_cumsum(spark, sf_dir):
+    """The composed pipeline's cap stage must be the scale-safe
+    two-pass bucket cumsum, NOT a per-source ROW_NUMBER window (one hot
+    source would serialize through a single window task at 100 TB) —
+    and the selected set must equal the single-window formulation
+    (same md5(id) permutation)."""
+    from pyspark.sql import Window
+
+    from cloud_optimized_data_pipelines_spark.plans.corpus import (
+        corpus_preprocess,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus_preprocess(docs, max_per_source=5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # every window in the plan must be bucket-sharded (partition spec
+    # includes the rank-prefix bucket), never source-only
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_bkt" in spec, f"source-only window in corpus plan: {spec}"
+    # reference single-window formulation selects the same set
+    elig = out.filter(F.col("eligible")).select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ref = (
+        elig.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+    )
+    got = {r.doc_id for r in out.filter(F.col("selected")).collect()}
+    assert got == {r.doc_id for r in ref.collect()}

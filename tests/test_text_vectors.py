@@ -2,6 +2,7 @@
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from cloud_optimized_data_pipelines_spark.functions import text as T
@@ -542,7 +543,9 @@ def test_cosine_zero_vector_is_null_not_crash(spark):
     assert not any(5 in (r.id_a, r.id_b) for r in pairs)
 
 
-def _pagerank_reference(edges, iters=5, scale=10**9, num=17, den=20):
+def _pagerank_reference(
+    edges, iters=5, scale=10**9, num=17, den=20, dangling="leak"
+):
     """Pure-Python integer PageRank — same recurrence, serial."""
     nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
     e = sorted(set(edges))
@@ -550,9 +553,14 @@ def _pagerank_reference(edges, iters=5, scale=10**9, num=17, den=20):
     for u, _ in e:
         outdeg[u] = outdeg.get(u, 0) + 1
     base = scale * (den - num) // den
-    r = {n: scale for n in nodes}
+    n = len(nodes)
+    r = {x: scale for x in nodes}
     for _ in range(iters):
-        nxt = {n: base for n in nodes}
+        share = 0
+        if dangling == "redistribute":
+            dm = sum(r[x] for x in nodes if x not in outdeg)
+            share = (num * dm) // (den * n)
+        nxt = {x: base + share for x in nodes}
         for u, v in e:
             nxt[v] += (num * r[u]) // (den * outdeg[u])
         r = nxt
@@ -574,6 +582,42 @@ def test_pagerank_matches_python_reference(spark):
     assert got["d"] == got["e"] == 150_000_000
     # a receives from c, d, e -> strictly the largest rank
     assert got["a"] == max(got.values())
+
+
+def test_pagerank_dangling_redistribute(spark):
+    """Teleport-corrected variant: sink mass is shared equally (integer
+    share) each round — parity vs the serial integer reference on a
+    graph with sinks, and total mass stays strictly above the leak
+    variant's."""
+    from cloud_optimized_data_pipelines_spark.operators.graph import pagerank
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("a", "s1"), ("b", "s2"),            # two sinks
+        ("d", "a"),                          # d itself is a source-only feeder
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, iters=5, dangling="redistribute").collect()
+    }
+    assert got == _pagerank_reference(edges, iters=5, dangling="redistribute")
+    leak = {r.node: r.rank for r in pagerank(df, iters=5).collect()}
+    assert sum(got.values()) > sum(leak.values())
+    # every node benefits from the redistributed sink mass
+    assert all(got[n] >= leak[n] for n in got)
+
+
+def test_pagerank_overflow_guard_raises(spark):
+    from cloud_optimized_data_pipelines_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="overflow"):
+        pagerank(df, iters=1, scale=2**62)
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(df, iters=1, dangling="bogus")
 
 
 def test_pagerank_deterministic_across_partitionings(spark):
