@@ -110,3 +110,73 @@ def embedding_contamination_flags(
     return out.withColumn(
         "n_close", F.coalesce(F.col("n_close"), F.lit(0)).cast("long")
     ).withColumn("contaminated", F.col("n_close") > 0)
+
+
+def embedding_contamination_flags_blocked(
+    train: DataFrame,
+    test: DataFrame,
+    vec_col: str,
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    round_digits: int = 6,
+    num_dims: int = 4,
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """ANN-BLOCKED semantic decontamination — the scale path of
+    :func:`embedding_contamination_flags`.
+
+    The plain form is a broadcast nested-loop scan: n_train x n_eval
+    cosine folds.  Fine while the eval side is a few thousand rows, but
+    at 10^9 train x 10^4 eval that is 10^13 folds of map-side CPU.
+    This variant composes the engine's sign-bucket blocking
+    (``functions/vectors.py::sign_bucket``, the same pre-filter behind
+    ``ann_topk`` / ``dedup_lsh_verified``): both sides get the
+    ``num_dims``-bit sign bucket, the join key is BUCKET EQUALITY, and
+    the exact cosine runs only within buckets — candidate folds drop by
+    ~2^num_dims, and the nested loop becomes a hashable equi-join the
+    planner can broadcast or shuffle as sizes dictate.
+
+    APPROXIMATE by construction: a train row whose true near-neighbor
+    eval point lands in a different sign bucket is missed (recall is
+    pytest-gated against the exact form, like ``ann_topk``); raise
+    recall by lowering ``num_dims`` or probing Hamming-1 neighbor
+    buckets.  Deterministic, so the DuckDB oracle reproduces the
+    blocked result bit-exactly.  Same survivorship contract as the
+    exact form: every train row survives with ``n_close`` /
+    ``contaminated``.
+    """
+    from cloud_optimized_data_pipelines_spark.functions.vectors import (
+        dot,
+        norm,
+        safe_cos_div,
+        sign_bucket,
+    )
+
+    tside = test.select(
+        F.col(vec_col).alias("_tv"),
+        norm(vec_col).alias("_tn"),
+        sign_bucket(F.col(vec_col), num_dims).alias("_tb"),
+    )
+    if broadcast_test:
+        tside = F.broadcast(tside)
+    cos = F.round(
+        safe_cos_div(
+            dot(F.col(vec_col), F.col("_tv")), F.col("_n") * F.col("_tn")
+        ),
+        round_digits,
+    )
+    hits = (
+        train.select(
+            F.col(id_col).alias("_tid"),
+            vec_col,
+            norm(vec_col).alias("_n"),
+            sign_bucket(F.col(vec_col), num_dims).alias("_b"),
+        )
+        .join(tside, (F.col("_b") == F.col("_tb")) & (cos >= threshold))
+        .groupBy("_tid")
+        .agg(F.count(F.lit(1)).alias("n_close"))
+    )
+    out = train.join(hits, train[id_col] == hits["_tid"], "left").drop("_tid")
+    return out.withColumn(
+        "n_close", F.coalesce(F.col("n_close"), F.lit(0)).cast("long")
+    ).withColumn("contaminated", F.col("n_close") > 0)

@@ -2358,6 +2358,52 @@ def embedding_decontaminate_q(spark, sf_dir):
     ).select("vec_id", "n_close", "contaminated")
 
 
+_EMB_DECON_BLOCKED = f"""
+WITH tst AS (
+  SELECT embedding AS tv, {_DUCK_BUCKET.format(v="embedding")} AS tb
+  FROM embeddings WHERE vec_id < 50
+),
+trn AS (
+  SELECT vec_id, embedding, {_DUCK_BUCKET.format(v="embedding")} AS b
+  FROM embeddings WHERE vec_id >= 50
+),
+hits AS (
+  SELECT t.vec_id, CAST(COUNT(*) AS BIGINT) AS n_close
+  FROM trn t JOIN tst s
+    ON t.b = s.tb
+   AND round({_DUCK_DOT.format(a="t.embedding", b="s.tv")}
+             / (sqrt({_DUCK_DOT.format(a="t.embedding", b="t.embedding")})
+                * sqrt({_DUCK_DOT.format(a="s.tv", b="s.tv")})), 6) >= 0.35
+  GROUP BY t.vec_id
+)
+SELECT t.vec_id, COALESCE(h.n_close, 0) AS n_close,
+       COALESCE(h.n_close, 0) > 0 AS contaminated
+FROM trn t LEFT JOIN hits h USING (vec_id)
+"""
+
+
+@query("similarity_decontaminate_blocked", _EMB_DECON_BLOCKED)
+def embedding_decontaminate_blocked_q(spark, sf_dir):
+    """ANN-blocked semantic decontamination (operators/decontaminate.py
+    ::embedding_contamination_flags_blocked): the sign-bucket blocked
+    composition of similarity_embedding_decontaminate — bucket equality
+    is the join key, exact cosine runs only within buckets, cutting the
+    10^9-train x 10^4-eval nested loop by ~2^num_dims.  Deterministic
+    blocking, so the oracle reproduces the blocked result bit-exactly;
+    recall vs the exact form is pytest-gated (the ann_topk pattern)."""
+    from cloud_optimized_data_pipelines_spark.operators.decontaminate import (
+        embedding_contamination_flags_blocked,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    test = emb.filter(F.col("vec_id") < 50)
+    train = emb.filter(F.col("vec_id") >= 50)
+    return embedding_contamination_flags_blocked(
+        train, test, "embedding", "vec_id", threshold=0.35, num_dims=4
+    ).select("vec_id", "n_close", "contaminated")
+
+
 @query("similarity_semantic_dedup_indexed", _SEMANTIC_DEDUP)
 def semantic_dedup_indexed_q(spark, sf_dir):
     """SemDeDup over a PERSISTED assignment (operators/similarity.py::
@@ -5142,6 +5188,67 @@ def graph_pagerank_q(spark, sf_dir):
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return pagerank(edges, iters=5)
+
+
+def _pagerank_dangling_oracle() -> str:
+    """Unrolled-CTE oracle for the teleport-corrected PageRank on the
+    DIRECTED user->event-type graph (event-type nodes are sinks): per
+    iteration a 1-row dangling-mass CTE (rank sum over nodes with no
+    out-edges) feeds an equal integer share into every node's base —
+    all BIGINT, so the parallel/serial sums still agree bit-exactly."""
+    head = """
+WITH e AS (
+  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                  't:' || event_type AS dst
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)"""
+    steps = []
+    for i in range(1, 5):
+        steps.append(f""",
+d{i} AS (
+  SELECT CAST(COALESCE(SUM(p.r), 0) AS BIGINT) AS dm
+  FROM r{i - 1} p LEFT JOIN deg d ON d.src = p.node
+  WHERE d.src IS NULL
+),
+r{i} AS (
+  SELECT n0.node,
+         CAST(150000000 + (17 * dd.dm) // (20 * nn.n)
+              + COALESCE(SUM((17 * p.r) // (20 * dg.deg)), 0)
+              AS BIGINT) AS r
+  FROM nodes n0
+  CROSS JOIN d{i} dd CROSS JOIN nn
+  LEFT JOIN e ON e.dst = n0.node
+  LEFT JOIN r{i - 1} p ON p.node = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n0.node, dd.dm, nn.n
+)""")
+    return head + "".join(steps) + "\nSELECT node, r AS rank FROM r4"
+
+
+@query("graph_pagerank_dangling", _pagerank_dangling_oracle)
+def graph_pagerank_dangling_q(spark, sf_dir):
+    """Teleport-corrected integer PageRank (operators/graph.py::
+    pagerank(dangling='redistribute')) on the DIRECTED user ->
+    event-type graph, where every event-type node is a sink: each
+    iteration aggregates the rank mass sitting on sinks (one 1-row
+    BIGINT sum) and hands every node an equal integer share — the
+    textbook dangling-mass correction, kept associative so the
+    unrolled-CTE oracle hash-matches.  4 iterations, damping 17/20."""
+    from cloud_optimized_data_pipelines_spark.operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    fwd = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    )
+    return pagerank(fwd, iters=4, dangling="redistribute")
 
 
 _PSI = """

@@ -1277,3 +1277,68 @@ def test_embedding_contamination_flags_planted(spark):
     assert got[10] == (1, True)
     assert got[11] == (0, False)
     assert got[12] == (0, False)  # 0.707 < 0.9
+
+
+def test_embedding_contamination_blocked_recall_and_subset(spark, sf_dir):
+    """ANN-blocked decontamination: (a) planted near-duplicates
+    (cosine ~0.999, the leakage the operator exists to catch) are
+    recalled at >= 90% — sign buckets of near-parallel vectors almost
+    always agree; (b) on the real corpus the blocked flag set is a
+    strict SUBSET of the exact one (blocking only removes candidates,
+    never invents hits); (c) survivorship holds."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cloud_optimized_data_pipelines_spark.operators.decontaminate import (
+        embedding_contamination_flags,
+        embedding_contamination_flags_blocked,
+    )
+
+    rng = random.Random(7)
+    dims = 16
+    evals = [
+        (i, [rng.uniform(-1, 1) for _ in range(dims)]) for i in range(40)
+    ]
+    # each train row = an eval vector + tiny noise -> cosine ~0.999
+    train_rows = [
+        (100 + i, [x + rng.uniform(-0.01, 0.01) for x in v])
+        for i, v in evals
+    ] + [(500 + i, [rng.uniform(-1, 1) for _ in range(dims)]) for i in range(40)]
+    test = spark.createDataFrame(evals, "vec_id long, embedding array<double>")
+    train = spark.createDataFrame(
+        train_rows, "vec_id long, embedding array<double>"
+    )
+    exact = {
+        r.vec_id
+        for r in embedding_contamination_flags(
+            train, test, "embedding", "vec_id", threshold=0.99
+        ).filter("contaminated").collect()
+    }
+    out = embedding_contamination_flags_blocked(
+        train, test, "embedding", "vec_id", threshold=0.99, num_dims=4
+    )
+    assert out.count() == len(train_rows)  # survivorship
+    blocked = {r.vec_id for r in out.filter("contaminated").collect()}
+    planted = {v for v in exact if v < 500}
+    assert len(planted) >= 35  # the plant itself worked
+    recall = len(blocked & planted) / len(planted)
+    assert recall >= 0.9, recall
+    assert blocked <= exact  # blocking never invents a hit
+    # real-corpus subset property
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ev = emb.filter(F.col("vec_id") < 50)
+    tr = emb.filter(F.col("vec_id") >= 50)
+    ex = {
+        r.vec_id
+        for r in embedding_contamination_flags(
+            tr, ev, "embedding", "vec_id", threshold=0.35
+        ).filter("contaminated").collect()
+    }
+    bl = {
+        r.vec_id
+        for r in embedding_contamination_flags_blocked(
+            tr, ev, "embedding", "vec_id", threshold=0.35, num_dims=4
+        ).filter("contaminated").collect()
+    }
+    assert bl <= ex
