@@ -29,6 +29,11 @@ Decode status by modality:
   float samples).  :func:`extract_audio_features` decodes actual WAV
   bytes into waveform statistics; graded by
   ``multimodal_wav_features`` on real bytes.
+- **image/jpeg: REAL** — pure-numpy baseline JPEG codec
+  (operators/jpeg_codec.py, ITU-T T.81 from first principles: DCT,
+  Annex K quant/Huffman tables, marker parse, restart handling).
+  Graded by ``multimodal_jpeg_features`` on real bytes; progressive /
+  subsampled files raise a named error.
 - compressed audio / video: libs (librosa/ffmpeg) are NOT in this
   container — those modalities keep the ``NotImplementedError`` stub
   with a deterministic fake (byte-histogram features), keeping the
@@ -83,6 +88,12 @@ def real_decode(payload: bytes, modality: str):
         )
 
         return decode_wav(payload)[0]
+    if modality == "image/jpeg":
+        from cloud_optimized_data_pipelines_spark.operators.jpeg_codec import (
+            decode_jpeg,
+        )
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"decode for modality {modality!r} requires librosa/ffmpeg, not "
         "present in this container; wire them here"
@@ -462,6 +473,64 @@ def wav_downsample_probe_table(spark, variants: int = 8) -> DataFrame:
     return spark.range(int(variants)).mapInPandas(
         gen, WAV_DOWNSAMPLE_PROBE_SCHEMA
     )
+
+
+JPEG_PROBE_SCHEMA = (
+    "variant bigint, jpeg_md5 string, px_sum bigint, width bigint, "
+    "height bigint, n_blocks bigint, dc_quant bigint"
+)
+
+_JPEG_H = _JPEG_W = 64  # 8x8 grid of 8x8 blocks
+
+
+def _jpeg_variant(v: int) -> dict:
+    """One deterministic JPEG reference conversion (the _png_variant
+    pattern): a 64x64 grayscale image of uniform 8x8 blocks with EVEN
+    values — DC-only blocks the Annex K luminance table (Q[0,0]=16)
+    quantizes EXACTLY (see jpeg_codec module docstring) — is encoded
+    as a real baseline JFIF JPEG, decoded back through the full
+    marker-parse -> Huffman -> dequant -> IDCT path, and round-trip
+    verified.  px_sum comes from the DECODED array, so a grader
+    recomputing it from the block formula
+    ``val(b) = 2*((b*(v+1)) % 113) + 14`` checks the decode path
+    against non-circular arithmetic ground truth; the md5 pins the
+    exact encoded byte stream."""
+    from cloud_optimized_data_pipelines_spark.operators.jpeg_codec import (
+        QUANT_LUMA,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    arr = np.zeros((_JPEG_H, _JPEG_W), dtype=np.uint8)
+    for b in range(64):
+        by, bx = divmod(b, 8)
+        arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+            2 * ((b * (v + 1)) % 113) + 14
+        )
+    jpg = encode_jpeg(arr)
+    dec = decode_jpeg(jpg)
+    if not np.array_equal(dec, arr):  # pragma: no cover - codec guard
+        raise RuntimeError(f"jpeg variant {v}: DC-exact round-trip mismatch")
+    return {
+        "variant": v,
+        "jpeg_md5": hashlib.md5(jpg).hexdigest(),
+        "px_sum": int(dec.sum(dtype=np.int64)),
+        "width": _JPEG_W,
+        "height": _JPEG_H,
+        "n_blocks": 64,
+        "dc_quant": int(QUANT_LUMA[0, 0]),
+    }
+
+
+def jpeg_probe_table(spark, variants: int = 8) -> DataFrame:
+    """Per-variant JPEG encode->decode probes computed ON EXECUTORS
+    via Arrow ``mapInPandas`` (same shape as :func:`png_probe_table`)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([_jpeg_variant(int(v)) for v in pdf["id"]])
+
+    return spark.range(int(variants)).mapInPandas(gen, JPEG_PROBE_SCHEMA)
 
 
 def png_probe_table(spark, variants: int = 8) -> DataFrame:

@@ -2899,6 +2899,82 @@ def multimodal_png_features_q(spark, sf_dir):
     )
 
 
+def _jpeg_probe_oracle() -> str:
+    """Oracle for multimodal_jpeg_features (the _png_probe_oracle
+    pattern): the 8 variant conversions run ONCE in plain local python
+    (same pure-numpy codec, no Spark) to pin the exact emitted JPEG
+    bytes via md5 literals, while px_sum is recomputed ARITHMETICALLY
+    in SQL from the uniform-block formula
+    val(b) = 2*((b*(v+1)) % 113) + 14, b in 0..63, 64 px per block —
+    valid ground truth because DC-only even-valued blocks survive the
+    Annex K luminance quantization exactly (jpeg_codec docstring), so
+    decode == source by construction, and the round trip is verified
+    executor-side."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _JPEG_H,
+        _JPEG_W,
+        _jpeg_variant,
+    )
+
+    rows = [_jpeg_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['jpeg_md5']}'" for r in rows)
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
+cells AS (
+  SELECT v.v,
+         CAST(SUM(64 * (2 * ((g.b * (v.v + 1)) % 113) + 14)) AS BIGINT)
+           AS px_sum
+  FROM var v, (SELECT UNNEST(range(0, 64)) AS b) g
+  GROUP BY v.v
+)
+SELECT d.doc_id, d.doc_id % 8 AS variant,
+       {md5_case} AS jpeg_md5,
+       c.px_sum,
+       CAST({_JPEG_W} AS BIGINT) AS width,
+       CAST({_JPEG_H} AS BIGINT) AS height,
+       CAST(64 AS BIGINT) AS n_blocks,
+       CAST(16 AS BIGINT) AS dc_quant
+FROM documents d JOIN cells c ON c.v = d.doc_id % 8
+"""
+
+
+@query("multimodal_jpeg_features", _jpeg_probe_oracle)
+def multimodal_jpeg_features_q(spark, sf_dir):
+    """REAL-bytes JPEG decode (operators/jpeg_codec.py +
+    operators/multimodal.py::jpeg_probe_table): per variant a
+    DC-exact formula image is encoded as an actual baseline JFIF JPEG
+    (DCT -> Annex K quantization -> Huffman entropy coding), decoded
+    back through the full marker-parse -> Huffman -> dequant -> IDCT
+    path, round-trip-verified executor-side; the query emits the blob
+    md5 plus decoded-pixel statistics for every document.  The JPEG
+    twin of multimodal_png_features — the modality web-scale image
+    corpora actually arrive in.  Broadcast per-variant probe: codec
+    cost is per-variant, not per-row."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        jpeg_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = jpeg_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "jpeg_md5",
+        "px_sum",
+        "width",
+        "height",
+        "n_blocks",
+        "dc_quant",
+    )
+
+
 def _wav_probe_oracle() -> str:
     """Oracle for multimodal_wav_features (the _png/_cog pattern):
     blob md5s pinned from a single-process reference run; sample_sum

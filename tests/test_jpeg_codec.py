@@ -1,0 +1,190 @@
+"""Baseline JPEG codec tests (operators/jpeg_codec.py).
+
+No imaging library exists in this container, so correctness rests on
+spec-derived invariants rather than a second implementation:
+- hand-computable DC-only images round-trip bit-exactly;
+- the entropy layer (Huffman + bitstream + stuffing) is proven
+  LOSSLESS by checking the decoder reproduces the encoder's own
+  quantize->dequantize reconstruction exactly on random images — any
+  bit slip in magnitude coding, EOB/ZRL handling, or unstuffing breaks
+  that equality;
+- marker-layer robustness (APP/COM skip, named errors for
+  progressive/subsampled/truncated streams).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from cloud_optimized_data_pipelines_spark.operators.jpeg_codec import (
+    QUANT_CHROMA,
+    QUANT_LUMA,
+    ZIGZAG,
+    _magnitude,
+    _extend,
+    decode_jpeg,
+    dequantize_idct,
+    encode_jpeg,
+    fdct_quantize,
+)
+
+
+def test_zigzag_is_spec_order():
+    assert len(ZIGZAG) == 64 and len(set(ZIGZAG)) == 64
+    assert ZIGZAG[:10] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+        (0, 2), (0, 3), (1, 2), (2, 1), (3, 0),
+    ]
+    assert ZIGZAG[-3:] == [(6, 7), (7, 6), (7, 7)]
+
+
+def test_magnitude_extend_are_inverses():
+    for v in list(range(-1024, 1025)) + [2047, -2047]:
+        cat, bits = _magnitude(v)
+        assert _extend(bits, cat) == v
+        if v != 0:
+            assert cat == int(abs(v)).bit_length()
+
+
+def test_dct_roundtrip_unquantized():
+    rng = np.random.RandomState(0)
+    block = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+    ones = np.ones((8, 8), dtype=np.int64)
+    rec = dequantize_idct(fdct_quantize(block, ones), ones)
+    # quant table of 1s: error bounded by coefficient rounding only
+    assert np.abs(rec.astype(int) - block.astype(int)).max() <= 1
+
+
+def _block_image(v, h=64, w=64):
+    """Uniform 8x8 blocks with even values — DC-exact by construction."""
+    arr = np.zeros((h, w), dtype=np.uint8)
+    nbx = w // 8
+    for b in range((h // 8) * nbx):
+        by, bx = divmod(b, nbx)
+        arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+            2 * ((b * (v + 1)) % 113) + 14
+        )
+    return arr
+
+
+def test_dc_exact_image_roundtrips_bit_exactly():
+    for v in range(4):
+        arr = _block_image(v)
+        jpg = encode_jpeg(arr)
+        assert jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
+        dec = decode_jpeg(jpg)
+        assert dec.dtype == np.uint8
+        assert np.array_equal(dec, arr)
+
+
+def _expected_reconstruction(arr, q):
+    ph, pw = (-arr.shape[0]) % 8, (-arr.shape[1]) % 8
+    pad = np.pad(arr, ((0, ph), (0, pw)), mode="edge")
+    exp = np.zeros_like(pad)
+    for by in range(pad.shape[0] // 8):
+        for bx in range(pad.shape[1] // 8):
+            blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = dequantize_idct(
+                fdct_quantize(blk, q), q
+            )
+    return exp[: arr.shape[0], : arr.shape[1]]
+
+
+def test_entropy_layer_is_lossless_on_random_gray():
+    """Decoder == encoder's own quantized reconstruction, including
+    non-multiple-of-8 dims (edge-padded, cropped back)."""
+    rng = np.random.RandomState(7)
+    for dims in [(37, 53), (8, 8), (64, 24), (9, 121)]:
+        arr = rng.randint(0, 256, dims).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(arr))
+        assert np.array_equal(dec, _expected_reconstruction(arr, QUANT_LUMA))
+
+
+def test_gray_channel_dim_accepted():
+    arr = _block_image(1)[:, :, None]  # (H, W, 1)
+    assert np.array_equal(decode_jpeg(encode_jpeg(arr)), arr[:, :, 0])
+
+
+def test_color_roundtrip_bounded_and_deterministic():
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, (24, 32, 3)).astype(np.uint8)
+    jpg = encode_jpeg(arr)
+    assert jpg == encode_jpeg(arr)  # byte-deterministic
+    dec = decode_jpeg(jpg)
+    assert dec.shape == (24, 32, 3) and dec.dtype == np.uint8
+    # random noise is JPEG's worst case; still bounded well under the
+    # dynamic range, and a smooth image is near-exact
+    assert np.abs(dec.astype(int) - arr.astype(int)).mean() < 40
+    grad = np.zeros((16, 16, 3), np.uint8)
+    grad[:] = 128
+    dg = decode_jpeg(encode_jpeg(grad))
+    assert np.abs(dg.astype(int) - 128).max() <= 2
+
+
+def test_decoder_skips_app_and_com_segments():
+    arr = _block_image(2)
+    jpg = bytearray(encode_jpeg(arr))
+    extra = (
+        struct.pack(">HH", 0xFFE1, 10) + b"Exif\x00\x00ab"
+        + struct.pack(">HH", 0xFFFE, 9) + b"comment"
+    )
+    patched = bytes(jpg[:2]) + extra + bytes(jpg[2:])
+    assert np.array_equal(decode_jpeg(patched), arr)
+
+
+def test_named_errors():
+    arr = _block_image(0)
+    jpg = encode_jpeg(arr)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x00" + jpg)
+    # flip SOF0 -> SOF2 (progressive)
+    sof = jpg.find(b"\xff\xc0")
+    prog = jpg[:sof + 1] + b"\xc2" + jpg[sof + 2:]
+    with pytest.raises(NotImplementedError, match="progressive|non-baseline"):
+        decode_jpeg(prog)
+    # claim 2x2 sampling on the single component
+    hv_off = sof + 2 + 2 + 1 + 4 + 1 + 1  # marker+len+prec+dims+ncomp+cid
+    sub = jpg[:hv_off] + b"\x22" + jpg[hv_off + 1:]
+    with pytest.raises(NotImplementedError, match="subsampl"):
+        decode_jpeg(sub)
+    with pytest.raises(ValueError):
+        decode_jpeg(jpg[: len(jpg) // 2])  # truncated mid-stream
+
+
+def test_quant_tables_are_annex_k():
+    assert QUANT_LUMA[0, 0] == 16 and QUANT_LUMA[7, 7] == 99
+    assert QUANT_CHROMA[0, 0] == 17 and QUANT_CHROMA[7, 7] == 99
+    # a few spot values from the printed Annex K tables
+    assert QUANT_LUMA[0, 3] == 16 and QUANT_LUMA[4, 4] == 68
+    assert QUANT_LUMA[6, 0] == 49 and QUANT_LUMA[7, 4] == 112
+    assert QUANT_CHROMA[0, 3] == 47 and QUANT_CHROMA[2, 2] == 56
+    assert (QUANT_CHROMA[3:, 3:] == 99).all()
+
+
+def test_jpeg_probe_table_matches_local_reference(spark):
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _jpeg_variant,
+        jpeg_probe_table,
+    )
+
+    got = {r.variant: r for r in jpeg_probe_table(spark, 4).collect()}
+    assert len(got) == 4
+    for v in range(4):
+        ref = _jpeg_variant(v)
+        assert got[v].jpeg_md5 == ref["jpeg_md5"]
+        assert got[v].px_sum == ref["px_sum"]
+        assert got[v].width == 64 and got[v].n_blocks == 64
+    # px_sum equals the arithmetic block formula (non-circular check)
+    for v in range(4):
+        expect = sum(64 * (2 * ((b * (v + 1)) % 113) + 14) for b in range(64))
+        assert got[v].px_sum == expect
+
+
+def test_real_decode_dispatches_jpeg():
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        real_decode,
+    )
+
+    arr = _block_image(3)
+    assert np.array_equal(real_decode(encode_jpeg(arr), "image/jpeg"), arr)
