@@ -23,7 +23,9 @@ reader (:func:`read_variable`, :func:`read_attrs`, :func:`list_children`)
   either byte order, fill value v1/v2/v3, layout v3 contiguous and
   chunked (v1 B-tree chunk index) plus layout v4's latest-format chunk
   indexes (single-chunk, implicit, non-paged fixed array), filter
-  pipeline v1/v2 with deflate and shuffle;
+  pipeline v1/v2 with deflate, shuffle, fletcher32 and n-bit (atomic
+  numeric datatypes; szip raises a NAMED error pointing at the
+  netCDF4/h5py fast path);
 - attributes v1 and v3 (scalar + simple arrays), e.g. ``_FillValue``.
 
 writer (:func:`write_hdf5`) — fixture generator emitting a minimal
@@ -737,6 +739,72 @@ def _chunk_entries(buf: bytes, ds: _Dataset, dt: np.dtype) -> list:
     return _read_fixed_array(buf, ds.btree_addr, coords_list, raw_chunk)
 
 
+def _nbit_decode(raw: bytes, cvs: tuple[int, ...]) -> bytes:
+    """HDF5 n-bit filter (id 5) decode for ATOMIC numeric datatypes.
+
+    Client-data layout (H5Znbit set_local, public file-format
+    behavior): cd[0]=valid parameter count, cd[1]=need-not-compress
+    flag (set -> chunk stored verbatim), cd[2]=elements per chunk,
+    then the datatype description — for an atomic type the 5-tuple
+    (tag=1, size_bytes, byte order 0=LE/1=BE, precision_bits,
+    offset_bits).  Packed stream = each element's ``precision``-bit
+    field appended MSB-first, zero-padded to a byte.  Decode restores
+    the field at ``offset`` in a zeroed ``size``-byte integer — no
+    sign extension, exactly like the library (precision is a datatype
+    property; bits above it are definitionally zero).
+
+    ARRAY/COMPOUND/VL datatype trees raise a named error (read those
+    via h5py/netCDF4)."""
+    if len(cvs) < 4:
+        raise ValueError("n-bit filter: malformed client data (need >= 4 values)")
+    if cvs[1]:  # need-not-compress: stored verbatim
+        return raw
+    n = cvs[2]
+    if cvs[3] != 1:  # H5Z_NBIT_ATOMIC
+        raise ValueError(
+            f"n-bit filter: datatype description tag {cvs[3]} (array/"
+            "compound/no-op tree) not supported by the pure-numpy reader; "
+            "read this granule via h5py/netCDF4"
+        )
+    if len(cvs) < 8:
+        raise ValueError("n-bit filter: truncated atomic datatype description")
+    size, order, precision, offset = cvs[4], cvs[5], cvs[6], cvs[7]
+    if size not in (1, 2, 4, 8) or precision + offset > size * 8 or precision == 0:
+        raise ValueError(
+            f"n-bit filter: bad atomic parms size={size} precision="
+            f"{precision} offset={offset}"
+        )
+    if precision == size * 8 and offset == 0:
+        return raw
+    bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8))
+    if len(bits) < n * precision:
+        raise ValueError("n-bit filter: packed stream shorter than chunk")
+    b = bits[: n * precision].reshape(n, precision).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(
+        precision - 1, -1, -1, dtype=np.uint64
+    )
+    vals = (b * weights).sum(axis=1, dtype=np.uint64) << np.uint64(offset)
+    dt = np.dtype(("<" if order == 0 else ">") + f"u{size}")
+    return vals.astype(dt).tobytes()
+
+
+def _nbit_encode(block: np.ndarray, precision: int, offset: int) -> bytes:
+    """Inverse of :func:`_nbit_decode` for the fixture writer: pack
+    each element's ``precision``-bit field at ``offset`` MSB-first."""
+    size = block.dtype.itemsize
+    if block.dtype.kind not in "iu":
+        raise ValueError("n-bit fixture writer supports integer dtypes only")
+    u = np.ascontiguousarray(block).reshape(-1).view(
+        np.dtype(block.dtype.str.replace("i", "u"))
+    ).astype(np.uint64)
+    field = (u >> np.uint64(offset)) & np.uint64((1 << precision) - 1)
+    bits = (
+        (field[:, None] >> np.arange(precision - 1, -1, -1, dtype=np.uint64))
+        & np.uint64(1)
+    ).astype(np.uint8)
+    return np.packbits(bits.reshape(-1)).tobytes()
+
+
 def _apply_filters(
     raw: bytes, filters, mask: int, elem_size: int
 ) -> bytes:
@@ -756,6 +824,16 @@ def _apply_filters(
                 )
         elif fid == 3:  # fletcher32 checksum: strip trailing 4 bytes
             raw = raw[:-4]
+        elif fid == 4:  # szip
+            raise ValueError(
+                "szip-compressed HDF5 chunk: the szip codec is not "
+                "implemented in the pure-numpy reader (no public numpy "
+                "port of the extended-Rice coder). Read this granule via "
+                "the netCDF4/h5py fast path (operators/cogify.py uses it "
+                "when installed), or rewrite the file with deflate."
+            )
+        elif fid == 5:  # n-bit
+            raw = _nbit_decode(raw, cvs)
         else:
             raise ValueError(f"unsupported filter id {fid}")
     return raw
@@ -1041,14 +1119,24 @@ def write_hdf5(
     variables: dict[str, tuple[np.ndarray, dict]],
     chunks: dict[str, tuple[int, ...]] | None = None,
     compress: bool = True,
+    nbit: dict[str, tuple[int, int]] | None = None,
+    extra_filters: dict[str, list[tuple[int, tuple[int, ...]]]] | None = None,
 ) -> bytes:
     """Emit a minimal v0-superblock HDF5 file.  ``variables`` maps a
     path (``"name"`` or ``"group/sub/name"``) to (array, attrs); paths
     create intermediate groups.  Datasets listed in ``chunks`` are
     written chunked (+deflate when ``compress``), others contiguous.
-    Fixture-scoped: one SNOD per group (<= 8 entries, the v0 leaf-k
-    bound) and a single-leaf chunk B-tree per dataset."""
+    ``nbit`` maps a chunked path to (precision_bits, offset_bits): its
+    chunks are n-bit packed (filter id 5) BEFORE deflate, exercising
+    multi-filter reverse-order decode.  ``extra_filters`` records
+    additional filter ids in the pipeline message WITHOUT transforming
+    bytes — fixture-only, for proving named unsupported-filter errors
+    (e.g. szip) on the read path.  Fixture-scoped: one SNOD per group
+    (<= 8 entries, the v0 leaf-k bound) and a single-leaf chunk B-tree
+    per dataset."""
     chunks = chunks or {}
+    nbit = nbit or {}
+    extra_filters = extra_filters or {}
     arena = _Arena()
     arena.alloc(b"\x00" * 96)  # superblock placeholder
 
@@ -1080,6 +1168,7 @@ def write_hdf5(
         else:
             if len(cdims) != arr.ndim:
                 raise ValueError(f"{path}: chunk rank != array rank")
+            nb = nbit.get(path)
             entries = []
             grid = [
                 range(0, d, c) for d, c in zip(arr.shape, cdims)
@@ -1095,6 +1184,8 @@ def write_hdf5(
                 )
                 block[blocksel] = arr[sel]
                 raw = block.tobytes()
+                if nb is not None:
+                    raw = _nbit_encode(block, nb[0], nb[1])
                 if compress:
                     raw = zlib.compress(raw, 6)
                 addr = arena.alloc(raw)
@@ -1123,15 +1214,43 @@ def write_hdf5(
                 layout += struct.pack("<I", c)
             layout += struct.pack("<I", arr.dtype.itemsize)
             msgs.append((0x0008, layout))
-            if compress:
-                msgs.append(
+            fentries: list[tuple[int, int, tuple[int, ...]]] = []
+            for efid, ecvs in extra_filters.get(path, []):
+                fentries.append((efid, 0, tuple(ecvs)))
+            if nb is not None:
+                # H5Znbit atomic client data: valid count, skip flag,
+                # elements/chunk, ATOMIC tag, size, LE order,
+                # precision, offset
+                order = 1 if arr.dtype.byteorder == ">" else 0
+                fentries.append(
                     (
-                        0x000B,
-                        struct.pack("<BBHI", 1, 1, 0, 0)
-                        + struct.pack("<HHHH", 1, 0, 1, 1)
-                        + struct.pack("<II", 6, 0),
+                        5,
+                        0,
+                        (
+                            8,
+                            0,
+                            int(np.prod(cdims)),
+                            1,
+                            arr.dtype.itemsize,
+                            order,
+                            nb[0],
+                            nb[1],
+                        ),
                     )
                 )
+            if compress:
+                fentries.append((1, 1, (6,)))
+            if fentries:
+                body = struct.pack("<BBHI", 1, len(fentries), 0, 0)
+                for ffid, fflags, fcvs in fentries:
+                    body += struct.pack(
+                        "<HHHH", ffid, 0, fflags, len(fcvs)
+                    )
+                    for cv in fcvs:
+                        body += struct.pack("<I", cv)
+                    if len(fcvs) % 2:
+                        body += struct.pack("<I", 0)
+                msgs.append((0x000B, body))
         for k, v in attrs.items():
             msgs.append((0x000C, _attr_message(k, v)))
         return arena.alloc(_object_header_v1(msgs))

@@ -518,3 +518,75 @@ def test_cogify_reads_variable_through_dense_group(tmp_path):
     top = read_tiff_meta(blob)[0]
     np.testing.assert_array_equal(top["array"], arr)
     assert top["nodata"] == ["-9999.0"]
+
+
+# ---------------------------------------------------------------------------
+# round-6: n-bit filter decode + szip named error
+# ---------------------------------------------------------------------------
+
+
+def test_nbit_roundtrip_basic():
+    """12-bit-precision int16 data packs to 12/16 the bytes and reads
+    back exactly (values within the precision field)."""
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 4096, (20, 30)).astype(np.int16)
+    buf = H.write_hdf5(
+        {"v": (arr, {})}, chunks={"v": (20, 30)}, compress=False,
+        nbit={"v": (12, 0)},
+    )
+    a, _ = H.read_variable(buf, "v")
+    assert np.array_equal(np.asarray(a).view(np.int16), arr)
+
+
+def test_nbit_with_offset_and_deflate_and_partial_chunks():
+    """n-bit at a nonzero bit offset composes with deflate (pipeline
+    order nbit->deflate, decoded in reverse) across partial chunks."""
+    rng = np.random.RandomState(6)
+    # field of 7 bits at offset 2: values are multiples of 4 < 2^9
+    arr = ((rng.randint(0, 128, (13, 9)) << 2)).astype(np.uint16)
+    buf = H.write_hdf5(
+        {"v": (arr, {})}, chunks={"v": (8, 4)}, compress=True,
+        nbit={"v": (7, 2)},
+    )
+    a, _ = H.read_variable(buf, "v")
+    assert np.array_equal(np.asarray(a).view(np.uint16), arr)
+
+
+def test_nbit_packing_is_msb_first():
+    """Hand-computed golden: two 4-bit values 0xA, 0x3 pack into one
+    byte 0xA3 (MSB-first stream)."""
+    from cloud_optimized_data_pipelines_spark.sources.hdf5_lite import (
+        _nbit_decode,
+        _nbit_encode,
+    )
+
+    arr = np.array([0x0A, 0x03], dtype=np.uint8)
+    packed = _nbit_encode(arr, 4, 0)
+    assert packed == b"\xa3"
+    cvs = (8, 0, 2, 1, 1, 0, 4, 0)
+    assert _nbit_decode(packed, cvs) == b"\x0a\x03"
+    # need-not-compress flag: bytes pass through verbatim
+    assert _nbit_decode(b"\x55\x66", (8, 1, 2, 1, 1, 0, 4, 0)) == b"\x55\x66"
+
+
+def test_nbit_non_atomic_named_error():
+    from cloud_optimized_data_pipelines_spark.sources.hdf5_lite import (
+        _nbit_decode,
+    )
+
+    with pytest.raises(ValueError, match="array/\ncompound|array/"):
+        _nbit_decode(b"\x00", (8, 0, 2, 3, 1, 0, 4, 0))  # COMPOUND tag
+
+
+def test_szip_raises_actionable_error():
+    """A file whose pipeline declares szip (filter id 4) must fail with
+    a message naming szip and pointing at the netCDF4/h5py path."""
+    arr = np.arange(12, dtype=np.int32).reshape(3, 4)
+    buf = H.write_hdf5(
+        {"v": (arr, {})}, chunks={"v": (3, 4)}, compress=False,
+        extra_filters={"v": [(4, (141, 16, 4, 12))]},
+    )
+    with pytest.raises(ValueError) as ei:
+        H.read_variable(buf, "v")
+    msg = str(ei.value)
+    assert "szip" in msg and "netCDF4" in msg
