@@ -72,6 +72,15 @@ HEADLINE = [
     "sample_dsir_weights",
 ]
 
+# r06 additions (same separate-phase protocol as ADDITIONS below):
+# baseline-JPEG real-bytes probe, teleport-corrected PageRank, and the
+# sign-bucket-blocked embedding decontamination
+ADDITIONS_R6 = [
+    "multimodal_jpeg_features",
+    "graph_pagerank_dangling",
+    "similarity_decontaminate_blocked",
+]
+
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable
 # set above so their side effects (the SemDeDup partitioned assignment
 # write, PNG codec Python workers) cannot perturb the JVM/page-cache
@@ -113,15 +122,27 @@ def main() -> None:
 
     # untimed warmup pass: whole-stage codegen compile + JIT are one-time
     # session costs, not per-query throughput — report steady state.
-    # Phase 1 (comparable set), then phase 2 (additions) — see ADDITIONS.
+    # Phase 1 (comparable set), then phase 2/3 (additions) — see ADDITIONS.
+    # r06 protocol change (judge ask): every query is timed THREE times
+    # and the reported per-query number is the MEDIAN; the raw triples
+    # ship under "runs" so cross-round deltas can be separated from
+    # session-level machine drift (the r4-vs-r5 +15% uniform-drift
+    # ambiguity cost a manual A/B to resolve).
     timings: dict[str, float] = {}
-    for batch in (HEADLINE, ADDITIONS):
+    runs: dict[str, list[float]] = {}
+    for batch in (HEADLINE, ADDITIONS, ADDITIONS_R6):
         for name in batch:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         for name in batch:
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            trio = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                trio.append(round(time.perf_counter() - t0, 3))
+            runs[name] = trio
+            timings[name] = sorted(trio)[1]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -131,6 +152,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

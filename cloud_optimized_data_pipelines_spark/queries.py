@@ -5771,19 +5771,19 @@ def text_bm25_scores_q(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _GRADED_WINDOW = [
-    # TPC-H representatives (hand-shaped plans; redundant variants demoted
-    # — r4 rotated q2/q6 out; r5 demotes four more proven basic-Catalyst
-    # slots (join_semi_anti / asof_join / window_topk / agg_rollup, all
-    # green since round 1) plus six simple extension slots (dedup_exact,
-    # dedup_incremental, text_train_val_split, sketch_quantile_sample,
-    # rollup_cascade_daily, events_retention_cohorts — families remain
-    # graded via harder siblings) for the still-ungraded round-4
-    # operators and the two new round-5 families; every demoted query
-    # stays registered and locally oracle-checked)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q18_large_volume_customer",
-    "q21_waiting_supplier",
+    # r6 rotation (VERDICT r5 task #1): the six never-driver-graded
+    # round-5 families (privacy, source-overlap audit, embedding
+    # decontamination, PSI drift, PNG resize, WAV downsample) plus the
+    # three new round-6 families (real-bytes JPEG codec, teleport-
+    # corrected PageRank, ANN-blocked decontamination) enter; demoted
+    # to make room are the four TPC-H slots (q1/q3/q18/q21 — driver-
+    # green since round 1, basic Catalyst shapes) and five slots whose
+    # family stays graded via a harder sibling (lsh_survivors ->
+    # lsh_clusters, substring_spans -> substring_cut, dsir_select ->
+    # dsir_weights, unigram_logprob -> bigram_backoff, cap_per_source
+    # -> token_budget_mix + the composed pipeline's cap stage).  Every
+    # demoted query stays registered and locally oracle-checked
+    # (tools/check_oracle.py covers all entries).
     # reference pipeline surface (discovery -> enrich -> transfer -> stac)
     "c1_extract_dates",
     "c4_item_id",
@@ -5794,52 +5794,56 @@ _GRADED_WINDOW = [
     "a3_collection_extent",
     "k2_spill_flag",
     # round-4 extension families: duplicate-cluster graph labeling,
-    # held-out bigram LM, DSIR data selection + r5-graded DSIR top-k
+    # held-out bigram LM, DSIR data selection
     "dedup_duplicate_clusters",
     "text_bigram_backoff",
     "sample_dsir_weights",
-    "sample_dsir_select",
-    # events / streaming-shape analytics
+    # events / streaming-shape analytics + drift
     "sessionize_batch_events",
     "streaming_dlq_routing",
-    # dedup & sampling (r5 rotation: lsh_clusters follows chains through
-    # connected components; substring_cut materializes the span policy;
-    # cap_per_source / ccnet_buckets / token_budget_mix cover sampling)
-    "dedup_lsh_survivors",
+    "events_drift_psi",
+    # dedup families
     "dedup_lsh_clusters",
     "dedup_ngram_jaccard_guarded",
     "dedup_ngram_containment",
-    "dedup_substring_spans",
     "dedup_substring_cut",
     "dedup_simhash_pairs",
     "dedup_lines",
+    "dedup_source_overlap",
+    # sampling
     "sample_token_budget_mix",
-    "sample_cap_per_source",
     "sample_ccnet_buckets",
-    # sketches & hypertable rollups
+    # sketches & hypertable rollups, graph ranking
     "sketch_kmv_uniques",
     "sketch_cms_heavy_hitters",
     "rollup_hourly_merge",
     "graph_pagerank_events",
-    # similarity (indexed SemDeDup is new in r5), text analysis,
-    # corpus drift, multimodal (real PNG bytes new in r5)
+    "graph_pagerank_dangling",
+    # similarity & decontamination
     "similarity_bruteforce_topk",
     "similarity_knn_join",
     "similarity_semantic_dedup",
     "similarity_semantic_dedup_indexed",
+    "similarity_embedding_decontaminate",
+    "similarity_decontaminate_blocked",
     "pipeline_corpus_preprocess",
+    # text analysis & release privacy
     "text_gopher_quality",
     "text_ngram_repetition",
     "text_c4_clean",
     "text_classifier_score",
     "text_decontaminate",
-    "text_unigram_logprob",
     "text_bm25_scores",
     "text_distribution_shift",
+    "privacy_k_anonymous",
+    # raster / multimodal real-bytes codecs
     "k1_cogify_stage",
     "k1_cogify_real_bytes",
     "multimodal_png_features",
+    "multimodal_png_resize",
+    "multimodal_jpeg_features",
     "multimodal_wav_features",
+    "multimodal_wav_downsample",
 ]
 
 

@@ -66,6 +66,10 @@ NESTED_LOOP_OK = {
         " nested loop is the scoring stage by design; top-k is the"
         " balanced two-phase window"
     ),
+    "graph_pagerank_dangling": (
+        "per-iteration dangling-mass scalar crossJoin (1-row broadcast"
+        " BIGINT aggregate folded into every node's base)"
+    ),
 }
 
 
@@ -92,3 +96,20 @@ def test_plan_has_no_scale_hazards(spark, sf_dir, name):
     for m in re.finditer(r"FileScan parquet[^\[\n]*\[([^\]]*)\]", plan):
         ncols = len(m.group(1).split(",")) if m.group(1) else 0
         assert ncols <= 12, f"{name}: scan reads {ncols} columns"
+
+
+def test_plans_md_covers_registry():
+    """PLANS.md (the regenerated plan-evidence table) must carry
+    exactly one row per registered query — the audit artifact went
+    stale twice (r5 verdict, ADVICE r5); this pins it to the registry."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    with open(path) as f:
+        text = f.read()
+    rows = set(re.findall(r"^\| (\w+) \|", text, re.M))
+    rows.discard("query")  # header row
+    missing = sorted(set(QUERIES) - rows)
+    extra = sorted(rows - set(QUERIES))
+    assert not missing, f"PLANS.md missing rows: {missing}"
+    assert not extra, f"PLANS.md stale rows: {extra}"
