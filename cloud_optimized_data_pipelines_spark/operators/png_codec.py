@@ -9,17 +9,22 @@ reference's cogify stage (lambdas/cogify/handler.py:81-109 reads
 variables via a format library; here the format library itself is
 implemented).
 
-Supported (the non-palette, non-interlaced core of the spec):
-- color types 0 (grayscale), 2 (RGB), 4 (gray+alpha), 6 (RGBA);
-- bit depths 8 and 16 (big-endian samples per spec);
+Supported:
+- color types 0 (grayscale), 2 (RGB), 3 (palette, expanded to RGB on
+  decode), 4 (gray+alpha), 6 (RGBA);
+- bit depths 8 and 16 (big-endian samples per spec), plus 1/2/4 for
+  grayscale and palette images (packed scanlines, MSB-first per spec);
+- **Adam7 interlace** on decode AND encode (7 sub-image passes, each
+  independently filtered, reassembled by the pass grids of spec
+  section 8.2) — closing the round-5 named gap;
 - all five scanline filters (None/Sub/Up/Average/Paeth) — the encoder
   deliberately CYCLES filters row-by-row so every decode path is
   exercised by round-trip tests;
 - chunk CRC-32 verification on read.
 
-Unsupported (raises ``ValueError``): palette (color type 3), Adam7
-interlace, bit depths 1/2/4, ancillary-chunk semantics (they are
-skipped, as the spec allows).
+Unsupported (raises ``ValueError``): tRNS-keyed transparency semantics
+and other ancillary-chunk semantics (chunks are skipped, as the spec
+allows for ancillary chunks).
 """
 
 from __future__ import annotations
@@ -31,8 +36,28 @@ import numpy as np
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-# color type -> samples per pixel
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# color type -> samples per pixel (3 = palette: 1 index sample)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# color type -> allowed bit depths (spec table 11.1)
+_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+# Adam7 pass grids: (x0, y0, dx, dy) per pass (spec 8.2)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:
@@ -79,19 +104,101 @@ def _filter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np.n
     return (out % 256).astype(np.uint8)
 
 
+def _pack_rows(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w*ch) integer samples -> (h, stride) packed scanline bytes
+    (sub-byte depths pack MSB-first per spec)."""
+    h, n = samples.shape
+    if depth == 8:
+        return samples.astype(np.uint8)
+    if depth == 16:
+        return samples.astype(">u2").view(np.uint8).reshape(h, n * 2)
+    bits = (
+        (samples[:, :, None].astype(np.uint8)
+         >> np.arange(depth - 1, -1, -1, dtype=np.uint8))
+        & 1
+    ).reshape(h, n * depth)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.concatenate(
+            [bits, np.zeros((h, pad), np.uint8)], axis=1
+        )
+    return np.packbits(bits, axis=1)
+
+
+def _unpack_rows(rows: np.ndarray, w: int, ch: int, depth: int) -> np.ndarray:
+    """(h, stride) unfiltered bytes -> (h, w, ch) sample array."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(h, w, ch)
+    if depth == 16:
+        return (
+            rows.reshape(h, w * ch, 2).view(">u2").astype(np.uint16)
+            .reshape(h, w, ch)
+        )
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]  # ch == 1 here
+    vals = bits.reshape(h, w, depth).astype(np.uint8)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (vals * weights).sum(axis=2, dtype=np.uint8)[:, :, None]
+
+
+def _serialize_block(
+    samples: np.ndarray, depth: int, ch: int, filter_cycle: bool
+) -> bytes:
+    """Pack + filter one (sub-)image: (h, w, ch) samples -> scanline
+    byte stream (1 filter byte + stride bytes per row)."""
+    h, w = samples.shape[:2]
+    rows = _pack_rows(samples.reshape(h, w * ch), depth)
+    bpp = max(1, ch * depth // 8)
+    prev = np.zeros(rows.shape[1], np.uint8)
+    out = bytearray()
+    for y in range(h):
+        ftype = (y % 5) if filter_cycle else 0
+        out.append(ftype)
+        out.extend(_filter_row(ftype, rows[y], prev, bpp).tobytes())
+        prev = rows[y]
+    return bytes(out)
+
+
+def _pass_dims(w: int, h: int, grid) -> tuple[int, int]:
+    x0, y0, dx, dy = grid
+    return max(0, -(-(w - x0) // dx)), max(0, -(-(h - y0) // dy))
+
+
+def _serialize_image(
+    arr: np.ndarray, depth: int, ch: int, filter_cycle: bool, interlace: bool
+) -> bytes:
+    if not interlace:
+        return _serialize_block(arr, depth, ch, filter_cycle)
+    out = bytearray()
+    for grid in _ADAM7:
+        x0, y0, dx, dy = grid
+        pw, ph = _pass_dims(arr.shape[1], arr.shape[0], grid)
+        if pw == 0 or ph == 0:
+            continue  # empty pass contributes no bytes (spec 8.2)
+        sub = arr[y0::dy, x0::dx]
+        out.extend(_serialize_block(sub, depth, ch, filter_cycle))
+    return bytes(out)
+
+
 def encode_png(
-    arr: np.ndarray, bit_depth: int | None = None, filter_cycle: bool = True
+    arr: np.ndarray,
+    bit_depth: int | None = None,
+    filter_cycle: bool = True,
+    interlace: bool = False,
 ) -> bytes:
     """Encode an array as a PNG.
 
     ``arr`` shape: (h, w) for grayscale or (h, w, channels) with
     channels in {1, 2, 3, 4} mapping to color types {0, 4, 2, 6}.
-    dtype uint8 -> bit depth 8, uint16 -> 16 (big-endian samples).
+    dtype uint8 -> bit depth 8, uint16 -> 16 (big-endian samples);
+    pass ``bit_depth`` in {1, 2, 4} for packed grayscale (values must
+    fit the depth).
 
     ``filter_cycle=True`` picks filter ``row_index % 5`` per scanline —
     deliberately exercising every filter type so a decoder must
     implement all five to round-trip; False writes filter 0 everywhere
-    (fastest).
+    (fastest).  ``interlace=True`` writes Adam7 (7 independently
+    filtered sub-image passes).
     """
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -103,27 +210,60 @@ def encode_png(
         raise ValueError(f"png: unsupported channel count {ch}")
     if bit_depth is None:
         bit_depth = 16 if arr.dtype == np.uint16 else 8
-    if bit_depth == 8:
-        raw = arr.astype(np.uint8)
-        rows = raw.reshape(h, w * ch)
-    elif bit_depth == 16:
-        raw = arr.astype(">u2")
-        rows = raw.reshape(h, w * ch).view(np.uint8).reshape(h, w * ch * 2)
-    else:
-        raise ValueError(f"png: unsupported bit depth {bit_depth}")
-    bpp = max(1, ch * bit_depth // 8)
-    prev = np.zeros(rows.shape[1], np.uint8)
-    filtered = bytearray()
-    for y in range(h):
-        ftype = (y % 5) if filter_cycle else 0
-        filtered.append(ftype)
-        filtered.extend(_filter_row(ftype, rows[y], prev, bpp).tobytes())
-        prev = rows[y]
-    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, ctype, 0, 0, 0)
+    if bit_depth not in _DEPTHS[ctype]:
+        raise ValueError(
+            f"png: bit depth {bit_depth} invalid for color type {ctype}"
+        )
+    if bit_depth < 8 and int(arr.max(initial=0)) >= (1 << bit_depth):
+        raise ValueError(f"png: samples exceed bit depth {bit_depth}")
+    body = _serialize_image(
+        arr.astype(np.uint16 if bit_depth == 16 else np.uint8),
+        bit_depth, ch, filter_cycle, interlace,
+    )
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, ctype, 0, 0, 1 if interlace else 0
+    )
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+        + _chunk(b"IDAT", zlib.compress(body, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    bit_depth: int = 8,
+    filter_cycle: bool = True,
+    interlace: bool = False,
+) -> bytes:
+    """Encode an indexed (color type 3) PNG: ``indices`` (h, w) into
+    ``palette`` (n, 3) uint8 RGB rows, ``bit_depth`` in {1, 2, 4, 8}
+    (indices packed MSB-first for sub-byte depths)."""
+    indices = np.asarray(indices)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if indices.ndim != 2:
+        raise ValueError("png: palette indices must be (h, w)")
+    if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
+        raise ValueError("png: palette must be (n<=256, 3) uint8")
+    if bit_depth not in _DEPTHS[3]:
+        raise ValueError(f"png: bit depth {bit_depth} invalid for palette")
+    if int(indices.max(initial=0)) >= min(len(palette), 1 << bit_depth):
+        raise ValueError("png: index out of palette/depth range")
+    h, w = indices.shape
+    body = _serialize_image(
+        indices.astype(np.uint8)[:, :, None], bit_depth, 1,
+        filter_cycle, interlace,
+    )
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, 3, 0, 0, 1 if interlace else 0
+    )
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", palette.tobytes())
+        + _chunk(b"IDAT", zlib.compress(body, 6))
         + _chunk(b"IEND", b"")
     )
 
