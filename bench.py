@@ -77,6 +77,7 @@ HEADLINE = [
 # sign-bucket-blocked embedding decontamination
 ADDITIONS_R6 = [
     "multimodal_jpeg_features",
+    "multimodal_png_palette",
     "graph_pagerank_dangling",
     "similarity_decontaminate_blocked",
 ]

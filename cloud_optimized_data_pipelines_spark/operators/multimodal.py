@@ -475,6 +475,73 @@ def wav_downsample_probe_table(spark, variants: int = 8) -> DataFrame:
     )
 
 
+PNG_PALETTE_PROBE_SCHEMA = (
+    "variant bigint, png_md5 string, px_sum bigint, width bigint, "
+    "height bigint, bit_depth bigint, n_palette bigint, interlaced boolean"
+)
+
+_PAL_H, _PAL_W = 24, 20
+_PAL_DEPTHS = [1, 2, 4, 8, 1, 2, 4, 8]  # variants 4-7 are Adam7
+
+
+def _png_palette_variant(v: int) -> dict:
+    """One deterministic palette-PNG conversion (the _png_variant
+    pattern) covering the round-6 codec additions: indexed color at
+    bit depths 1/2/4/8, sequential for variants 0-3 and Adam7
+    interlace for 4-7, filter-cycling scanlines.  Palette entry i =
+    ((i*7+1)%251, (i*11+3)%251, (i*13+5)%251) and index(k) =
+    (k*(v+1)) % n_palette — so the DECODED-RGB pixel sum is
+    recomputable arithmetically in SQL (non-circular), while the md5
+    pins the exact encoded byte stream."""
+    from cloud_optimized_data_pipelines_spark.operators.png_codec import (
+        decode_png,
+        encode_png_palette,
+    )
+
+    depth = _PAL_DEPTHS[v % 8]
+    npal = 1 << depth
+    interlaced = (v % 8) >= 4
+    pal = np.stack(
+        [
+            (np.arange(npal) * 7 + 1) % 251,
+            (np.arange(npal) * 11 + 3) % 251,
+            (np.arange(npal) * 13 + 5) % 251,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    idx = (
+        (np.arange(_PAL_H * _PAL_W, dtype=np.int64) * (v + 1)) % npal
+    ).reshape(_PAL_H, _PAL_W)
+    png = encode_png_palette(
+        idx, pal, bit_depth=depth, interlace=interlaced
+    )
+    dec = decode_png(png)
+    if not np.array_equal(dec, pal[idx]):  # pragma: no cover - guard
+        raise RuntimeError(f"palette variant {v}: round-trip mismatch")
+    return {
+        "variant": v,
+        "png_md5": hashlib.md5(png).hexdigest(),
+        "px_sum": int(dec.sum(dtype=np.int64)),
+        "width": _PAL_W,
+        "height": _PAL_H,
+        "bit_depth": depth,
+        "n_palette": npal,
+        "interlaced": interlaced,
+    }
+
+
+def png_palette_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_png_palette_variant(int(v)) for v in pdf["id"]]
+            )
+
+    return spark.range(int(variants)).mapInPandas(
+        gen, PNG_PALETTE_PROBE_SCHEMA
+    )
+
+
 JPEG_PROBE_SCHEMA = (
     "variant bigint, jpeg_md5 string, px_sum bigint, width bigint, "
     "height bigint, n_blocks bigint, dc_quant bigint"

@@ -268,8 +268,31 @@ def encode_png_palette(
     )
 
 
+def _deserialize_block(
+    raw: bytes, w: int, h: int, ch: int, depth: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack one (sub-)image from the head of ``raw``;
+    returns (samples (h, w, ch), bytes consumed)."""
+    stride = (w * ch * depth + 7) // 8
+    need = h * (stride + 1)
+    if len(raw) < need:
+        raise ValueError(f"png: scanline data short ({len(raw)} < {need})")
+    flat = np.frombuffer(raw[:need], np.uint8).reshape(h, stride + 1)
+    bpp = max(1, ch * depth // 8)
+    rows = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        prev = _unfilter_scanline(int(flat[y, 0]), flat[y, 1:], prev, bpp)
+        rows[y] = prev
+    return _unpack_rows(rows, w, ch, depth), need
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode a PNG to an (h, w, channels) numpy array (uint8 or uint16).
+    """Decode a PNG to an (h, w, channels) numpy array (uint8 or
+    uint16).  Palette images come back EXPANDED to (h, w, 3) RGB;
+    sub-byte grayscale comes back as raw sample values (not rescaled).
+    Handles Adam7 interlace (7 independently filtered passes
+    reassembled by the spec 8.2 grids).
 
     Verifies the signature and every chunk CRC; concatenates multiple
     IDAT chunks per spec; skips ancillary chunks."""
@@ -278,6 +301,7 @@ def decode_png(data: bytes) -> np.ndarray:
     pos = 8
     ihdr = None
     idat = bytearray()
+    palette = None
     while pos < len(data):
         if pos + 8 > len(data):
             raise ValueError("png: truncated chunk header")
@@ -293,39 +317,54 @@ def decode_png(data: bytes) -> np.ndarray:
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
             idat.extend(body)
+        elif ctype == b"PLTE":
+            if length % 3 or length > 768:
+                raise ValueError("png: bad PLTE length")
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif ctype == b"IEND":
             break
-        elif ctype == b"PLTE":
-            raise ValueError("png: palette images not supported")
         pos += 12 + length
     if ihdr is None:
         raise ValueError("png: missing IHDR")
     w, h, bit_depth, ctype_v, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("png: unknown compression/filter method")
-    if interlace != 0:
-        raise ValueError("png: Adam7 interlace not supported")
     if ctype_v not in _CHANNELS:
         raise ValueError(f"png: color type {ctype_v} not supported")
-    if bit_depth not in (8, 16):
-        raise ValueError(f"png: bit depth {bit_depth} not supported")
-    ch = _CHANNELS[ctype_v]
-    stride = w * ch * (bit_depth // 8)
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
+    if bit_depth not in _DEPTHS[ctype_v]:
         raise ValueError(
-            f"png: IDAT size {len(raw)} != expected {h * (stride + 1)}"
+            f"png: bit depth {bit_depth} invalid for color type {ctype_v}"
         )
-    flat = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
-    bpp = max(1, ch * bit_depth // 8)
-    out = np.empty((h, stride), np.uint8)
-    prev = np.zeros(stride, np.uint8)
-    for y in range(h):
-        prev = _unfilter_scanline(int(flat[y, 0]), flat[y, 1:], prev, bpp)
-        out[y] = prev
-    if bit_depth == 8:
-        return out.reshape(h, w, ch)
-    return out.reshape(h, w * ch, 2).view(">u2").astype(np.uint16).reshape(h, w, ch)
+    if ctype_v == 3 and palette is None:
+        raise ValueError("png: palette image missing PLTE")
+    ch = _CHANNELS[ctype_v]
+    raw = zlib.decompress(bytes(idat))
+    dtype = np.uint16 if bit_depth == 16 else np.uint8
+    if interlace == 0:
+        img, used = _deserialize_block(raw, w, h, ch, bit_depth)
+        if used != len(raw):
+            raise ValueError(f"png: {len(raw) - used} trailing scanline bytes")
+    elif interlace == 1:
+        img = np.zeros((h, w, ch), dtype)
+        off = 0
+        for grid in _ADAM7:
+            x0, y0, dx, dy = grid
+            pw, ph = _pass_dims(w, h, grid)
+            if pw == 0 or ph == 0:
+                continue
+            sub, used = _deserialize_block(raw[off:], pw, ph, ch, bit_depth)
+            img[y0::dy, x0::dx] = sub
+            off += used
+        if off != len(raw):
+            raise ValueError(f"png: {len(raw) - off} trailing scanline bytes")
+    else:
+        raise ValueError(f"png: unknown interlace method {interlace}")
+    if ctype_v == 3:
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("png: palette index out of range")
+        return palette[idx]
+    return img
 
 
 def _unfilter_scanline(

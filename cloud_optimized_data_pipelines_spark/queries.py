@@ -2899,6 +2899,92 @@ def multimodal_png_features_q(spark, sf_dir):
     )
 
 
+def _png_palette_probe_oracle() -> str:
+    """Oracle for multimodal_png_palette (the _png_probe_oracle
+    pattern): byte-stream md5s pinned from a single-process run of the
+    same codec; px_sum recomputed ARITHMETICALLY in SQL from the
+    palette/index formulas — palette entry i sums to ((i*7+1)%251 +
+    (i*11+3)%251 + (i*13+5)%251) and index(k) = (k*(v+1)) % 2^depth —
+    proving the indexed decode (incl. Adam7 reassembly for variants
+    4-7) against non-circular ground truth."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _PAL_H,
+        _PAL_W,
+        _png_palette_variant,
+    )
+
+    rows = [_png_palette_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['png_md5']}'" for r in rows)
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
+meta AS (
+  SELECT v,
+         CASE v % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END
+           AS depth,
+         v % 8 >= 4 AS interlaced
+  FROM var
+),
+cells AS (
+  SELECT m.v,
+         CAST(SUM(
+           ((((g.k * (m.v + 1)) % (1 << m.depth)) * 7 + 1) % 251)
+           + ((((g.k * (m.v + 1)) % (1 << m.depth)) * 11 + 3) % 251)
+           + ((((g.k * (m.v + 1)) % (1 << m.depth)) * 13 + 5) % 251)
+         ) AS BIGINT) AS px_sum
+  FROM meta m,
+       (SELECT UNNEST(range(0, {_PAL_H} * {_PAL_W})) AS k) g
+  GROUP BY m.v
+)
+SELECT d.doc_id, d.doc_id % 8 AS variant,
+       {md5_case} AS png_md5,
+       c.px_sum,
+       CAST({_PAL_W} AS BIGINT) AS width,
+       CAST({_PAL_H} AS BIGINT) AS height,
+       CAST(m.depth AS BIGINT) AS bit_depth,
+       CAST(1 << m.depth AS BIGINT) AS n_palette,
+       m.interlaced
+FROM documents d
+JOIN cells c ON c.v = d.doc_id % 8
+JOIN meta m ON m.v = d.doc_id % 8
+"""
+
+
+@query("multimodal_png_palette", _png_palette_probe_oracle)
+def multimodal_png_palette_q(spark, sf_dir):
+    """REAL-bytes indexed-PNG decode (round-6 codec additions:
+    PLTE/color-type-3 expansion, sub-byte packed scanlines, Adam7
+    interlace reassembly — operators/png_codec.py): per variant a
+    formula index raster is encoded as an actual palette PNG (depths
+    1/2/4/8; variants 4-7 Adam7), decoded back, round-trip verified
+    executor-side; the query emits the blob md5 plus decoded-RGB
+    statistics for every document.  Broadcast per-variant probe —
+    codec cost per-variant, not per-row."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        png_palette_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = png_palette_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "png_md5",
+        "px_sum",
+        "width",
+        "height",
+        "bit_depth",
+        "n_palette",
+        "interlaced",
+    )
+
+
 def _jpeg_probe_oracle() -> str:
     """Oracle for multimodal_jpeg_features (the _png_probe_oracle
     pattern): the 8 variant conversions run ONCE in plain local python
@@ -5836,10 +5922,12 @@ _GRADED_WINDOW = [
     "text_bm25_scores",
     "text_distribution_shift",
     "privacy_k_anonymous",
-    # raster / multimodal real-bytes codecs
+    # raster / multimodal real-bytes codecs (png_features demoted:
+    # png_resize decodes+transforms+re-encodes the same 8 variants, and
+    # png_palette covers the round-6 indexed/sub-byte/Adam7 paths)
     "k1_cogify_stage",
     "k1_cogify_real_bytes",
-    "multimodal_png_features",
+    "multimodal_png_palette",
     "multimodal_png_resize",
     "multimodal_jpeg_features",
     "multimodal_wav_features",

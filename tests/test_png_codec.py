@@ -93,13 +93,76 @@ def test_bad_signature_rejected():
         decode_png(b"NOTAPNG" + b"\x00" * 40)
 
 
-def test_palette_and_interlace_rejected():
+def test_interlace_flag_mismatch_detected():
+    """A sequential byte stream whose IHDR lies about Adam7 must fail
+    the per-pass byte accounting, not silently misdecode."""
     png = bytearray(encode_png(_rand((4, 4, 3), np.uint8, seed=7)))
     png[28] = 1  # interlace flag inside IHDR
     # fix IHDR CRC
     body = bytes(png[16:29])
     png[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
-    with pytest.raises(ValueError, match="interlace"):
+    with pytest.raises(ValueError):
+        decode_png(bytes(png))
+
+
+@pytest.mark.parametrize("ch,depth", [(1, 8), (3, 8), (4, 8), (2, 16), (3, 16)])
+@pytest.mark.parametrize("dims", [(13, 17), (5, 3), (8, 8), (1, 1), (2, 9)])
+def test_adam7_round_trip(ch, depth, dims):
+    """Adam7 interlace round-trips bit-exactly for every color type /
+    depth, including images smaller than one 8x8 interlace tile (some
+    passes empty) and single-pixel edges."""
+    rng = np.random.RandomState(sum(dims) + ch + depth)
+    arr = rng.randint(0, 2 ** depth, dims + (ch,)).astype(
+        np.uint16 if depth == 16 else np.uint8
+    )
+    png = encode_png(arr, interlace=True)
+    # IHDR interlace byte actually set
+    assert png[28] == 1
+    assert np.array_equal(decode_png(png), arr)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_grayscale_round_trip(depth):
+    rng = np.random.RandomState(depth)
+    for dims in [(9, 13), (3, 8), (7, 1)]:
+        arr = rng.randint(0, 2 ** depth, dims).astype(np.uint8)[:, :, None]
+        for il in (False, True):
+            png = encode_png(arr, bit_depth=depth, interlace=il)
+            assert np.array_equal(decode_png(png), arr), (depth, dims, il)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_palette_round_trip_expands_to_rgb(depth):
+    from cloud_optimized_data_pipelines_spark.operators.png_codec import (
+        encode_png_palette,
+    )
+
+    rng = np.random.RandomState(depth + 40)
+    pal = rng.randint(0, 256, (min(256, 2 ** depth), 3)).astype(np.uint8)
+    idx = rng.randint(0, len(pal), (11, 7))
+    for il in (False, True):
+        png = encode_png_palette(idx, pal, bit_depth=depth, interlace=il)
+        dec = decode_png(png)
+        assert dec.shape == (11, 7, 3) and dec.dtype == np.uint8
+        assert np.array_equal(dec, pal[idx])
+
+
+def test_palette_errors():
+    from cloud_optimized_data_pipelines_spark.operators.png_codec import (
+        encode_png_palette,
+    )
+
+    pal = np.zeros((4, 3), np.uint8)
+    with pytest.raises(ValueError, match="depth"):
+        encode_png_palette(np.zeros((2, 2), int), pal, bit_depth=16)
+    with pytest.raises(ValueError, match="range"):
+        encode_png_palette(np.full((2, 2), 9), pal, bit_depth=8)
+    # palette image with PLTE chunk stripped must fail by name
+    png = bytearray(encode_png_palette(np.zeros((2, 2), int), pal))
+    start = bytes(png).find(b"PLTE") - 4
+    (length,) = struct.unpack(">I", png[start : start + 4])
+    del png[start : start + 12 + length]
+    with pytest.raises(ValueError, match="PLTE"):
         decode_png(bytes(png))
 
 
