@@ -42,6 +42,33 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     return df.join(keep, [content_col, id_col], "left_semi")
 
 
+def soft_dedup_weights(
+    df: DataFrame, content_col: str, id_col: str, power: float = 1.0
+) -> DataFrame:
+    """SOFT deduplication: instead of dropping duplicates, every row
+    gets a training weight ``(1 / dup_count) ** power`` so each unique
+    content contributes unit total mass (He et al. 2024's soft
+    deduplication / common-crawl "rehydration" weighting — hard dedup
+    is the ``power->inf`` limit, no-op is ``power=0``).
+
+    Survivorship form: every input row returns with ``dup_count``
+    (bigint) and ``weight`` (double).  Scale shape: one map-side-
+    combined groupBy on the md5 digest (16-byte shuffle keys, not
+    documents) + one equi-join reusing the same key — the exact_dedup
+    plan with the anti-join swapped for a weight projection.  Weights
+    are IEEE-exact cross-engine at power=1 (a single double division).
+    """
+    hashed = df.withColumn("_h", F.md5(F.col(content_col)))
+    counts = hashed.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("dup_count")
+    )
+    out = hashed.join(counts, "_h").drop("_h")
+    w = F.lit(1.0) / F.col("dup_count")
+    if power != 1.0:
+        w = F.pow(w, F.lit(float(power)))
+    return out.withColumn("weight", w)
+
+
 def exact_dedup_by_hash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Exact dedup shuffling md5 digests instead of full documents."""
     hashed = df.withColumn("_h", F.md5(F.col(content_col)))

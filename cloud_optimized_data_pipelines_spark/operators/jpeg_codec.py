@@ -265,9 +265,15 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def encode_jpeg(arr: np.ndarray) -> bytes:
+def encode_jpeg(arr: np.ndarray, restart_interval: int = 0) -> bytes:
     """Encode a uint8 grayscale (H,W) / (H,W,1) or RGB (H,W,3) array as
-    a baseline JFIF JPEG (Annex K tables, no chroma subsampling)."""
+    a baseline JFIF JPEG (Annex K tables, no chroma subsampling).
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every N MCUs (byte-aligned with 1-padding per F.1.2.3, DC
+    predictors reset, marker number cycling D0..D7) — the error-
+    resilience feature real camera/scan pipelines produce; exercising
+    it proves the decoder's restart path against real bytes."""
     if arr.dtype != np.uint8:
         raise ValueError(f"uint8 input required, got {arr.dtype}")
     if arr.ndim == 3 and arr.shape[2] == 1:
@@ -313,6 +319,8 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
         ]
     for tc_th, bits, vals in huffs:
         out += _seg(0xFFC4, bytes([tc_th] + bits + vals))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, (tsel[ci] << 4) | tsel[ci]])
@@ -323,8 +331,16 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
     bh, bw = padded[0].shape[0] // 8, padded[0].shape[1] // 8
     bw_writer = _BitWriter()
     pred = [0] * ncomp
+    mcu = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw_writer.flush()  # byte-align with 1-bits (F.1.2.3)
+                bw_writer.buf += bytes(
+                    [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]
+                )
+                pred = [0] * ncomp
+            mcu += 1
             for ci in range(ncomp):  # interleaved MCU (1x1 sampling)
                 t = tsel[ci]
                 block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
@@ -539,10 +555,29 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for by in range(bh):
                 for bx in range(bw_):
                     if restart_interval and mcu and mcu % restart_interval == 0:
-                        # expect RSTn: align, consume marker, reset DC
+                        # expect RSTn: align, consume marker, reset DC.
+                        # A 1-padded final byte can itself be 0xFF
+                        # (stuffed as FF00) — skip it, plus any FF fill
+                        # bytes, before the marker (spec B.1.1.2).
                         reader.align()
                         p = reader.pos
-                        if data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7:
+                        if (
+                            p + 1 < len(data)
+                            and data[p] == 0xFF
+                            and data[p + 1] == 0x00
+                        ):
+                            p += 2
+                        while (
+                            p + 1 < len(data)
+                            and data[p] == 0xFF
+                            and data[p + 1] == 0xFF
+                        ):
+                            p += 1
+                        if (
+                            p + 1 < len(data)
+                            and data[p] == 0xFF
+                            and 0xD0 <= data[p + 1] <= 0xD7
+                        ):
                             reader.pos = p + 2
                             pred = [0] * ns
                     mcu += 1

