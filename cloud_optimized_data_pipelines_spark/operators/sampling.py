@@ -156,6 +156,56 @@ def token_budget_mix(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    strata: str,
+    alpha: float = 0.5,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Temperature-based source re-balancing (the multilingual /
+    multi-source sampling rule of mC4, XLM-R, and the Pile: sample
+    source s with probability proportional to ``n_s^alpha``, flattening
+    the head so low-resource sources are not drowned out; alpha=1 is
+    proportional sampling, alpha->0 uniform-over-sources).
+
+    Emits one row per stratum: ``n_docs``, the fixed-point weight
+    ``w_fixed = floor(n_docs^alpha * scale)`` (BIGINT) and
+    ``target_frac = w_fixed / SUM(w_fixed)`` — the mixture the caller
+    feeds into :func:`sample_stratified` / :func:`token_budget_mix` as
+    per-source rates or budgets.
+
+    Cross-engine determinism (the repo-wide discipline): the
+    normalizer is an INTEGER sum of fixed-point weights, so parallel
+    and serial summation agree bit-exactly; ``alpha=0.5`` uses
+    ``sqrt`` (correctly rounded per IEEE on every engine, unlike
+    ``pow``/``log``); other alphas use ``pow`` — fine for production,
+    but a hash-exact oracle should stick to 0.5/1.0.
+
+    Scale shape: one map-side-combined count per stratum (output is
+    stratum-sized, metadata) + a 1-row integer total broadcast back.
+    """
+    n = F.count(F.lit(1)).cast("long")
+    counts = df.groupBy(strata).agg(n.alias("n_docs"))
+    if alpha == 1.0:
+        wexpr = F.col("n_docs").cast("double")
+    elif alpha == 0.5:
+        wexpr = F.sqrt(F.col("n_docs").cast("double"))
+    else:
+        wexpr = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    weighted = counts.withColumn(
+        "w_fixed", F.floor(wexpr * F.lit(float(scale))).cast("long")
+    )
+    tot = weighted.agg(F.sum("w_fixed").cast("long").alias("_tot"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_frac",
+            F.col("w_fixed").cast("double") / F.col("_tot").cast("double"),
+        )
+        .drop("_tot")
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     score_col: str,

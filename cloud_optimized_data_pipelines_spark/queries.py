@@ -1896,6 +1896,43 @@ def dedup_containment_q(spark, sf_dir):
     )
 
 
+_TEMPERATURE_MIX = """
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY source
+),
+w AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000000.0) AS BIGINT)
+           AS w_fixed
+  FROM c
+),
+t AS (SELECT CAST(SUM(w_fixed) AS BIGINT) AS tot FROM w)
+SELECT source, n_docs, w_fixed,
+       CAST(w_fixed AS DOUBLE) / CAST(t.tot AS DOUBLE) AS target_frac
+FROM w CROSS JOIN t
+"""
+
+
+@query("sample_temperature_mix", _TEMPERATURE_MIX)
+def sample_temperature_mix_q(spark, sf_dir):
+    """Temperature-based source re-balancing (operators/sampling.py::
+    temperature_mix, the mC4/XLM-R n^alpha rule at alpha=0.5): per
+    source, the fixed-point sqrt weight and the resulting mixture
+    fraction.  Hash-exact across engines because sqrt is correctly
+    rounded (unlike pow/log) and the normalizer is an INTEGER sum of
+    fixed-point weights — associative, so parallel and serial
+    aggregation agree bit-for-bit."""
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return temperature_mix(t["documents"], "source", alpha=0.5).select(
+        "source", "n_docs", "w_fixed", "target_frac"
+    )
+
+
 _SOFT_DEDUP = """
 WITH g AS (
   SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS dup_count

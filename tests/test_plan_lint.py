@@ -70,6 +70,10 @@ NESTED_LOOP_OK = {
         "per-iteration dangling-mass scalar crossJoin (1-row broadcast"
         " BIGINT aggregate folded into every node's base)"
     ),
+    "sample_temperature_mix": (
+        "integer-total scalar crossJoin (1-row broadcast) against the"
+        " stratum-sized weight table"
+    ),
 }
 
 

@@ -1366,3 +1366,28 @@ def test_soft_dedup_weights_planted(spark):
     g0 = {r.doc_id: r.weight for r in
           soft_dedup_weights(df, "text", "doc_id", power=0.0).collect()}
     assert g0[1] == 1.0
+
+
+def test_temperature_mix_flattens_head(spark):
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [(i, "big") for i in range(90)] + [(100 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a1 = {r.source: r for r in temperature_mix(df, "source", alpha=1.0).collect()}
+    a5 = {r.source: r for r in temperature_mix(df, "source", alpha=0.5).collect()}
+    a0 = {r.source: r for r in temperature_mix(df, "source", alpha=0.0).collect()}
+    assert a1["big"].n_docs == 90 and a1["small"].n_docs == 10
+    # proportional at alpha=1
+    assert abs(a1["big"].target_frac - 0.9) < 1e-9
+    # alpha=0.5 flattens: small source gains share, ordering preserved
+    assert a5["small"].target_frac > 0.1
+    assert a5["big"].target_frac > a5["small"].target_frac
+    # sqrt(90)/(sqrt(90)+sqrt(10)) = 3/4 exactly (sqrt ratio 3:1)
+    assert abs(a5["big"].target_frac - 0.75) < 1e-9
+    # alpha->0: uniform over sources
+    assert abs(a0["big"].target_frac - 0.5) < 1e-9
+    # fractions sum to ~1
+    for a in (a1, a5, a0):
+        assert abs(sum(r.target_frac for r in a.values()) - 1.0) < 1e-12
