@@ -22,9 +22,11 @@ Supported:
   exercised by round-trip tests;
 - chunk CRC-32 verification on read.
 
-Unsupported (raises ``ValueError``): tRNS-keyed transparency semantics
-and other ancillary-chunk semantics (chunks are skipped, as the spec
-allows for ancillary chunks).
+Palette transparency (tRNS on color type 3) is honored: the decoded
+image expands to RGBA with per-entry alpha, entries beyond the vector
+opaque per spec.  Not interpreted (chunks skipped, as the spec allows
+for ancillary chunks): tRNS color-keying on gray/RGB images, gamma/
+chromaticity/ICC chunks.
 """
 
 from __future__ import annotations
@@ -237,10 +239,13 @@ def encode_png_palette(
     bit_depth: int = 8,
     filter_cycle: bool = True,
     interlace: bool = False,
+    trans: np.ndarray | None = None,
 ) -> bytes:
     """Encode an indexed (color type 3) PNG: ``indices`` (h, w) into
     ``palette`` (n, 3) uint8 RGB rows, ``bit_depth`` in {1, 2, 4, 8}
-    (indices packed MSB-first for sub-byte depths)."""
+    (indices packed MSB-first for sub-byte depths).  ``trans`` is an
+    optional per-entry alpha vector (uint8, length <= n_palette) — the
+    tRNS chunk; entries beyond its length are opaque per spec."""
     indices = np.asarray(indices)
     palette = np.asarray(palette, dtype=np.uint8)
     if indices.ndim != 2:
@@ -259,10 +264,17 @@ def encode_png_palette(
     ihdr = struct.pack(
         ">IIBBBBB", w, h, bit_depth, 3, 0, 0, 1 if interlace else 0
     )
+    trns = b""
+    if trans is not None:
+        trans = np.asarray(trans, dtype=np.uint8)
+        if trans.ndim != 1 or len(trans) > len(palette):
+            raise ValueError("png: tRNS must be a <= n_palette alpha vector")
+        trns = _chunk(b"tRNS", trans.tobytes())
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
         + _chunk(b"PLTE", palette.tobytes())
+        + trns
         + _chunk(b"IDAT", zlib.compress(body, 6))
         + _chunk(b"IEND", b"")
     )
@@ -302,6 +314,7 @@ def decode_png(data: bytes) -> np.ndarray:
     ihdr = None
     idat = bytearray()
     palette = None
+    trans = None  # tRNS: per-palette-entry alpha (type 3 only)
     while pos < len(data):
         if pos + 8 > len(data):
             raise ValueError("png: truncated chunk header")
@@ -321,6 +334,8 @@ def decode_png(data: bytes) -> np.ndarray:
             if length % 3 or length > 768:
                 raise ValueError("png: bad PLTE length")
             palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trans = np.frombuffer(body, np.uint8)
         elif ctype == b"IEND":
             break
         pos += 12 + length
@@ -363,7 +378,12 @@ def decode_png(data: bytes) -> np.ndarray:
         idx = img[:, :, 0]
         if int(idx.max(initial=0)) >= len(palette):
             raise ValueError("png: palette index out of range")
-        return palette[idx]
+        if trans is None:
+            return palette[idx]
+        alpha = np.full(len(palette), 255, np.uint8)
+        alpha[: len(trans)] = trans[: len(palette)]
+        rgba = np.concatenate([palette, alpha[:, None]], axis=1)
+        return rgba[idx]
     return img
 
 

@@ -222,3 +222,28 @@ def test_gray_rgb_color_is_dc_exact():
     assert np.array_equal(
         decode_jpeg(encode_jpeg(arr, restart_interval=2)), arr
     )
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz: the entropy layer must be lossless for ANY image/dims
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    ri=st.sampled_from([0, 1, 3]),
+)
+def test_fuzz_entropy_lossless(h, w, seed, ri):
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(arr, restart_interval=ri))
+    assert np.array_equal(dec, _expected_reconstruction(arr, QUANT_LUMA))

@@ -280,3 +280,81 @@ def test_decimate_frames_and_probe_determinism():
     assert d.tolist() == [[0, 1], [6, 7], [12, 13], [18, 19]]
     assert _png_resize_variant(5) == _png_resize_variant(5)
     assert _wav_downsample_variant(5) == _wav_downsample_variant(5)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz: round-6 paths (palette, Adam7, sub-byte) round-trip
+# for arbitrary dims/content
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    depth=st.sampled_from([1, 2, 4, 8]),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_fuzz_palette_roundtrip(h, w, depth, interlace, seed):
+    from cloud_optimized_data_pipelines_spark.operators.png_codec import (
+        encode_png_palette,
+    )
+
+    rng = np.random.RandomState(seed)
+    npal = min(256, 2 ** depth)
+    pal = rng.randint(0, 256, (npal, 3)).astype(np.uint8)
+    idx = rng.randint(0, npal, (h, w))
+    png = encode_png_palette(idx, pal, bit_depth=depth, interlace=interlace)
+    assert np.array_equal(decode_png(png), pal[idx])
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    depth16=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_fuzz_adam7_roundtrip(h, w, ch, depth16, seed):
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 65536 if depth16 else 256, (h, w, ch)).astype(
+        np.uint16 if depth16 else np.uint8
+    )
+    assert np.array_equal(decode_png(encode_png(arr, interlace=True)), arr)
+
+
+def test_palette_trns_alpha_expansion():
+    """tRNS: palette images with a transparency vector decode to RGBA;
+    entries beyond the vector are opaque per spec."""
+    from cloud_optimized_data_pipelines_spark.operators.png_codec import (
+        encode_png_palette,
+    )
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+                   np.uint8)
+    trans = np.array([0, 128], np.uint8)  # entries 2,3 default opaque
+    idx = np.array([[0, 1], [2, 3]])
+    for il in (False, True):
+        dec = decode_png(
+            encode_png_palette(idx, pal, bit_depth=2, interlace=il,
+                               trans=trans)
+        )
+        assert dec.shape == (2, 2, 4)
+        assert list(dec[0, 0]) == [255, 0, 0, 0]
+        assert list(dec[0, 1]) == [0, 255, 0, 128]
+        assert list(dec[1, 0]) == [0, 0, 255, 255]
+        assert list(dec[1, 1]) == [9, 9, 9, 255]
+    with pytest.raises(ValueError, match="tRNS"):
+        encode_png_palette(idx, pal, trans=np.zeros(9, np.uint8))
