@@ -64,6 +64,17 @@ def psi_by_window(
         F.sum((F.col("_w") == label_before).cast("long")).alias("cnt_before"),
         F.sum((F.col("_w") == label_after).cast("long")).alias("cnt_after"),
     )
+    return psi_from_counts(counts)
+
+
+def psi_from_counts(counts: DataFrame) -> DataFrame:
+    """PSI decomposition from a PRE-AGGREGATED (cat, cnt_before,
+    cnt_after) table — the merge half of the streaming monitor
+    (``streaming/drift_stream.py`` appends per-micro-batch category
+    partials; summing them and feeding the result here reproduces the
+    batch :func:`psi_by_window` bit-for-bit, because counts are
+    associative BIGINTs and the smoothing/log arithmetic is identical).
+    """
     scalars = counts.agg(
         F.sum("cnt_before").alias("tot_b"),
         F.sum("cnt_after").alias("tot_a"),

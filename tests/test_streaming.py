@@ -261,3 +261,55 @@ def test_stream_exact_dedup_replay_is_idempotent(spark, tmp_path):
     )
     assert again == first
     assert spark.read.parquet(dig).count() == 3
+
+
+def test_streaming_psi_matches_batch(spark, tmp_path):
+    """Streaming drift monitor: per-micro-batch category partials,
+    merged PSI == batch psi_by_window bit-for-bit regardless of how
+    micro-batches sliced the stream; replaying with the same checkpoint
+    appends nothing new."""
+    from cloud_optimized_data_pipelines_spark.operators.drift import (
+        psi_by_window,
+    )
+    from cloud_optimized_data_pipelines_spark.streaming.drift_stream import (
+        append_category_partials,
+        psi_from_partials,
+    )
+
+    rows = [
+        (i, ["click", "view", "buy", "view"][i % 4], i % 10 < 6)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, early boolean")
+    src = str(tmp_path / "src")
+    df.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    wexpr = F.when(F.col("early"), "before").otherwise("after")
+    part_path = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+    _await(append_category_partials(stream, part_path, ckpt, "event_type", wexpr))
+
+    partials = spark.read.parquet(part_path)
+    assert partials.count() > 3  # several per-batch partial rows
+    n_before_replay = partials.count()
+
+    got = sorted(
+        map(tuple, psi_from_partials(spark, part_path, "before", "after").collect())
+    )
+    want = sorted(
+        map(tuple, psi_by_window(df, "event_type", wexpr).collect())
+    )
+    assert got == want  # bit-identical, not approx
+
+    # replay: same checkpoint, no new files -> nothing appended
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _await(append_category_partials(stream2, part_path, ckpt, "event_type", wexpr))
+    assert spark.read.parquet(part_path).count() == n_before_replay
