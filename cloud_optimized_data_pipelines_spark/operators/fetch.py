@@ -1,0 +1,178 @@
+"""Payload fetch — the reference's download stage as an engine operator.
+
+Reference behavior: every Lambda that touches a granule first downloads
+it to local disk (``lambdas/cogify/handler.py:49-71`` ``download_file``,
+``lambdas/data-transfer/handler.py`` S3 copy).  Here that step is a
+REAL streaming fetch usable from executors:
+
+- ``file://`` URLs and bare local paths short-circuit through the same
+  chunked copy loop — which is what lets the full code path (URL parse,
+  stream, size cap, checksum) be driven and tested in this offline
+  sandbox;
+- ``http(s)://`` uses stdlib ``urllib.request`` with a timeout and
+  1 MiB chunked streaming (works wherever the cluster has egress; in
+  this sandbox the connection error is captured, not raised, by the
+  DataFrame operator);
+- ``s3://`` uses boto3 when installed, else raises a NAMED error (the
+  netCDF4-fast-path pattern: the seam is explicit, not silent).
+
+:func:`fetch_stage` is the DataFrame form: Arrow ``mapInPandas``, one
+fetch per row, survivorship errors (a failed URL yields a row with
+``error`` set and flows on to the quarantine split, SURVEY T4/T5 —
+never a task failure taking 10^4 good rows down with it).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+import urllib.parse
+import urllib.request
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_CHUNK = 1 << 20  # 1 MiB streaming chunks
+
+
+def fetch_to_local(
+    url: str,
+    dest_dir: str | None = None,
+    timeout: float = 30.0,
+    max_bytes: int | None = None,
+) -> str:
+    """Fetch ``url`` to a local temp file, returning its path.
+
+    Streams in 1 MiB chunks (never buffers the whole payload — raster
+    granules are GBs); ``max_bytes`` aborts oversized downloads early
+    with a named error.  See module docstring for scheme support.
+    """
+    scheme = urllib.parse.urlparse(url).scheme
+    if scheme in ("", "file"):
+        src_path = urllib.request.url2pathname(
+            urllib.parse.urlparse(url).path
+        ) if scheme == "file" else url
+        opener = open(src_path, "rb")
+    elif scheme in ("http", "https"):
+        opener = urllib.request.urlopen(url, timeout=timeout)  # noqa: S310
+    elif scheme == "s3":
+        try:
+            import boto3  # noqa: F401
+        except ImportError as exc:
+            raise RuntimeError(
+                f"s3 fetch for {url!r} requires boto3, which is not "
+                "installed in this environment; install it or stage the "
+                "object behind file:///https:// first"
+            ) from exc
+        parsed = urllib.parse.urlparse(url)
+        fd, dest = tempfile.mkstemp(
+            dir=dest_dir, suffix=os.path.basename(parsed.path) or ".bin"
+        )
+        os.close(fd)
+        import boto3
+
+        boto3.client("s3").download_file(
+            parsed.netloc, parsed.path.lstrip("/"), dest
+        )
+        return dest
+    else:
+        raise ValueError(f"unsupported URL scheme {scheme!r} in {url!r}")
+
+    base = os.path.basename(urllib.parse.urlparse(url).path or url)
+    fd, dest = tempfile.mkstemp(
+        dir=dest_dir, suffix=("_" + base[-40:]) if base else ".bin"
+    )
+    total = 0
+    try:
+        with os.fdopen(fd, "wb") as out, opener as src:
+            while True:
+                chunk = src.read(_CHUNK)
+                if not chunk:
+                    break
+                total += len(chunk)
+                if max_bytes is not None and total > max_bytes:
+                    raise ValueError(
+                        f"payload exceeds max_bytes={max_bytes}: {url!r}"
+                    )
+                out.write(chunk)
+    except BaseException:
+        try:
+            os.unlink(dest)
+        except OSError:
+            pass
+        raise
+    return dest
+
+
+def fetch_stage(
+    df: DataFrame,
+    url_col: str = "s3_filename",
+    dest_dir: str | None = None,
+    timeout: float = 30.0,
+    max_bytes: int | None = None,
+    keep_payload: bool = False,
+) -> DataFrame:
+    """Per-row fetch via Arrow ``mapInPandas`` — the reference's
+    download loop distributed over executors.
+
+    Adds ``local_path`` (fetched temp file), ``n_bytes``, ``sha256``,
+    and ``error`` (NULL on success; failed rows survive with the
+    message).  ``keep_payload=True`` additionally inlines the bytes as
+    a ``payload`` binary column (only for payloads that fit the Arrow
+    batch budget — raster granules should stay path-referenced, the
+    multimodal small-asset path may inline).
+    """
+    fields = (
+        "local_path string, n_bytes bigint, sha256 string, error string"
+    )
+    if keep_payload:
+        fields += ", payload binary"
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", " + fields
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, sizes, digests, errors = [], [], [], []
+            payloads: list[bytes | None] = []
+            for url in pdf[url_col]:
+                try:
+                    p = fetch_to_local(
+                        str(url), dest_dir, timeout, max_bytes
+                    )
+                    h = hashlib.sha256()
+                    n = 0
+                    with open(p, "rb") as f:
+                        while True:
+                            chunk = f.read(_CHUNK)
+                            if not chunk:
+                                break
+                            h.update(chunk)
+                            n += len(chunk)
+                    paths.append(p)
+                    sizes.append(n)
+                    digests.append(h.hexdigest())
+                    errors.append(None)
+                    if keep_payload:
+                        with open(p, "rb") as f:
+                            payloads.append(f.read())
+                except Exception as exc:  # survivorship: capture, flow on
+                    paths.append(None)
+                    sizes.append(0)
+                    digests.append(None)
+                    errors.append(f"{type(exc).__name__}: {exc}")
+                    if keep_payload:
+                        payloads.append(None)
+            out = pdf.copy()
+            out["local_path"] = paths
+            out["n_bytes"] = sizes
+            out["sha256"] = digests
+            out["error"] = errors
+            if keep_payload:
+                out["payload"] = payloads
+            yield out
+
+    return df.mapInPandas(run, schema)

@@ -3,6 +3,8 @@ URL rewrite, per-record error capture, routed-pipeline integration."""
 
 import configparser
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cloud_optimized_data_pipelines_spark.operators.cogify import cogify_stage
@@ -149,3 +151,94 @@ def test_orientation_fixups_match_reference(tmp_path):
     # unrelated collection: plain squeeze, no fixup
     top3 = read_tiff_meta(_cogify_bytes(str(p2), "o3", None))[0]
     np.testing.assert_array_equal(top3["array"], omi)
+
+
+# ---------------------------------------------------------------------------
+# round-6: real fetch layer (operators/fetch.py) — S5 upgraded from stub
+# ---------------------------------------------------------------------------
+
+
+def test_fetch_to_local_file_url_and_cap(tmp_path):
+    from cloud_optimized_data_pipelines_spark.operators.fetch import (
+        fetch_to_local,
+    )
+
+    src = tmp_path / "granule.bin"
+    src.write_bytes(b"x" * 5000)
+    # bare path and file:// URL run the same chunked copy loop
+    for url in (str(src), src.as_uri()):
+        dest = fetch_to_local(url, dest_dir=str(tmp_path))
+        assert open(dest, "rb").read() == b"x" * 5000
+    with pytest.raises(ValueError, match="max_bytes"):
+        fetch_to_local(src.as_uri(), dest_dir=str(tmp_path), max_bytes=100)
+    with pytest.raises(ValueError, match="scheme"):
+        fetch_to_local("gopher://example/x")
+
+
+def test_fetch_stage_survivorship_and_checksums(spark, tmp_path):
+    """DataFrame fetch: good file:// rows get path/size/sha256; a
+    missing file and a refused http connection are CAPTURED in the
+    error column — the row survives, the task does not fail."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from cloud_optimized_data_pipelines_spark.operators.fetch import (
+        fetch_stage,
+    )
+
+    a = tmp_path / "a.nc"
+    a.write_bytes(b"hello granule")
+    rows = [
+        (1, a.as_uri()),
+        (2, str(tmp_path / "missing.nc")),
+        (3, "http://127.0.0.1:1/never"),  # refused instantly
+    ]
+    df = spark.createDataFrame(rows, "id long, s3_filename string")
+    out = {r.id: r for r in fetch_stage(
+        df, dest_dir=str(tmp_path), timeout=2
+    ).collect()}
+    assert len(out) == 3  # survivorship
+    ok = out[1]
+    assert ok.error is None and ok.n_bytes == 13
+    assert ok.sha256 == hashlib.sha256(b"hello granule").hexdigest()
+    assert open(ok.local_path, "rb").read() == b"hello granule"
+    assert out[2].error and out[2].local_path is None
+    assert out[3].error and "Error" in out[3].error or out[3].error
+
+
+def test_fetch_then_cogify_end_to_end(spark, tmp_path):
+    """The composed reference shape: fetch (file:// URL, real chunked
+    copy) -> decode (real classic netCDF) -> encode (real COG)."""
+    import numpy as np
+
+    from cloud_optimized_data_pipelines_spark.operators.fetch import (
+        fetch_to_local,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.cogify import (
+        _cogify_bytes,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.geotiff import (
+        read_tiff_meta,
+    )
+    from cloud_optimized_data_pipelines_spark.sources.netcdf_classic import (
+        write_classic,
+    )
+
+    data = np.arange(120, dtype=np.float32).reshape(10, 12)
+    nc = write_classic(
+        {
+            "precip": (data, {}),
+            "lat": (np.linspace(0, 9, 10), {}),
+            "lon": (np.linspace(0, 11, 12), {}),
+        },
+        dims=[("lat", 10), ("lon", 12)],
+    )
+    src = tmp_path / "g.nc"
+    src.write_bytes(nc)
+    local = fetch_to_local(src.as_uri(), dest_dir=str(tmp_path))
+    cog = _cogify_bytes(local, "precip", None, x_variable="lon", y_variable="lat")
+    ifds = read_tiff_meta(cog)
+    assert np.array_equal(
+        ifds[0]["array"].astype(np.float64), data.astype(np.float64)
+    )
