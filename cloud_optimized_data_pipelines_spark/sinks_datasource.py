@@ -20,8 +20,12 @@ Spark's sink API provides and the reference lacks:
 - ``abort`` leaves no manifest: the staged files are dead by contract.
 
 The HTTP POST itself (submit-stac/handler.py:80-93) is relayed from
-the manifested files in prod — the container has no network, so the
-relay hook raises NotImplementedError like the other I/O stubs.
+the manifested files by :func:`relay_manifest` — a REAL urllib POST
+loop with bearer auth, bounded retries with backoff on 5xx/connection
+errors, and fail-fast on 4xx (a rejected item re-posted forever is the
+reference's DLQ poison case).  The sandbox has no external egress, but
+the relay is driven end-to-end in tests against a loopback HTTP server
+— same code path a networked cluster runs.
 """
 
 from __future__ import annotations
@@ -84,12 +88,75 @@ class StacIngestorWriter(DataSourceWriter):
                 pass
 
 
-def relay_manifest(staging_dir: str) -> None:  # pragma: no cover - stub
-    """Prod hook: POST every manifested item to the ingestor REST API
-    (submit-stac/handler.py:80-93).  No network in this container."""
-    raise NotImplementedError(
-        "wire requests.post({api_url}/ingestions) over _MANIFEST.json files"
-    )
+def relay_manifest(
+    staging_dir: str,
+    api_url: str,
+    token: str | None = None,
+    timeout: float = 30.0,
+    max_retries: int = 3,
+    backoff: float = 0.2,
+) -> dict:
+    """POST every MANIFESTED item to ``{api_url}/ingestions`` — the
+    reference's submit handler (submit-stac/handler.py:80-93) run from
+    the two-phase staging area.
+
+    Trusts only ``_MANIFEST.json`` (absent manifest = aborted write =
+    nothing to relay, raised loudly); per item: urllib POST with
+    ``Authorization: Bearer <token>`` when given, retried with linear
+    backoff on connection errors / 5xx up to ``max_retries``, FAIL-FAST
+    on 4xx (client-rejected items must go to quarantine, not a retry
+    storm — the reference's DLQ poison case).  Returns
+    ``{"posted": n, "failed": [(item_index, error), ...]}`` —
+    at-least-once like the reference; idempotence is the ingestor's
+    side of the contract (items carry stable ids).
+    """
+    import time
+    import urllib.error
+    import urllib.request
+
+    manifest_path = os.path.join(staging_dir, "_MANIFEST.json")
+    if not os.path.exists(manifest_path):
+        raise FileNotFoundError(
+            f"no _MANIFEST.json in {staging_dir!r}: the write was never "
+            "committed (aborted staging files are dead by contract)"
+        )
+    with open(manifest_path) as fh:
+        manifest = json.load(fh)
+    url = api_url.rstrip("/") + "/ingestions"
+    headers = {"Content-Type": "application/json"}
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
+    posted = 0
+    failed: list[tuple[int, str]] = []
+    idx = 0
+    for entry in manifest["files"]:
+        with open(entry["path"]) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                last_err = None
+                for attempt in range(max_retries):
+                    req = urllib.request.Request(
+                        url, data=line.encode(), headers=headers, method="POST"
+                    )
+                    try:
+                        with urllib.request.urlopen(req, timeout=timeout):
+                            posted += 1
+                            last_err = None
+                            break
+                    except urllib.error.HTTPError as exc:
+                        if 400 <= exc.code < 500:
+                            last_err = f"HTTP {exc.code} (not retried)"
+                            break  # fail fast: client error
+                        last_err = f"HTTP {exc.code}"
+                    except (urllib.error.URLError, OSError) as exc:
+                        last_err = f"{type(exc).__name__}: {exc}"
+                    time.sleep(backoff * (attempt + 1))
+                if last_err is not None:
+                    failed.append((idx, last_err))
+                idx += 1
+    return {"posted": posted, "failed": failed}
 
 
 class StacIngestorDataSource(DataSource):

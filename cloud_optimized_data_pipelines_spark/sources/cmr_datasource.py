@@ -19,14 +19,26 @@ Python Data Source API (Spark 4) implementation:
 - ``partitions`` exposes CMR's pagination as input partitions: each
   page is fetched by its own task (the reference's ``get_all()`` loop
   at cmr-query/handler.py:8-27 becomes executor parallelism).
-- The catalog backend is pluggable: a JSON-lines fixture here (the
-  container has no network); production swaps a ``requests``-paginated
-  fetch with identical pushed-parameter semantics.
+- The catalog backend is pluggable — and BOTH are real:
+  * ``fixture_path``: JSON-lines catalog (offline tests/CI);
+  * ``endpoint``: an actual paginated CMR-style REST backend — GET
+    ``{endpoint}?short_name=&version=&temporal=start,end&page_num=N&
+    page_size=K`` (the public CMR granules.json parameter shape,
+    cmr-query/handler.py:21-27) via stdlib urllib, total hits from the
+    ``CMR-Hits`` response header, entries parsed from ``feed.entry``
+    (title/producer_granule_id, time_start, ``boxes`` "S W N E",
+    data# link href).  Optional ``token`` sends the Earthdata
+    ``Authorization: Bearer`` header.  The sandbox has no external
+    egress, but the HTTP path is driven end-to-end in tests against a
+    loopback server — the same code path a networked cluster runs
+    against cmr.earthdata.nasa.gov.
 """
 
 from __future__ import annotations
 
 import json
+import urllib.parse
+import urllib.request
 from datetime import datetime, timezone
 from typing import Iterator, List
 
@@ -67,6 +79,9 @@ class CmrReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
         self.options = options
         self.fixture_path = options.get("fixture_path")
+        self.endpoint = options.get("endpoint")
+        self.token = options.get("token")
+        self.timeout = float(options.get("timeout", "30"))
         self.page_size = int(options.get("page_size", "100"))
         # server-side parameters (reference defaults:
         # cmr-query/handler.py:15,25)
@@ -81,17 +96,29 @@ class CmrReader(DataSourceReader):
 
     def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
         """Absorb the predicates CMR evaluates server-side; yield back
-        the rest for Spark to apply."""
+        the rest for Spark to apply.
+
+        CMR's ``temporal`` range is INCLUSIVE on both ends, so strict
+        ``<`` / ``>`` predicates are used to NARROW the server request
+        but are ALSO yielded back for Spark to re-apply — absorbing
+        them outright would leak boundary-timestamp granules (caught by
+        the loopback-server test; double-filtering is always safe)."""
         for f in filters:
             col = f.attribute[0] if getattr(f, "attribute", None) else None
             if isinstance(f, EqualTo) and col == "collection":
                 self.collection = f.value
             elif isinstance(f, EqualTo) and col == "version":
                 self.version = f.value
-            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)) and col == "time_start":
+            elif isinstance(f, GreaterThanOrEqual) and col == "time_start":
                 self.temporal_start = max(self.temporal_start, f.value)
-            elif isinstance(f, (LessThan, LessThanOrEqual)) and col == "time_start":
+            elif isinstance(f, LessThanOrEqual) and col == "time_start":
                 self.temporal_end = min(self.temporal_end, f.value)
+            elif isinstance(f, GreaterThan) and col == "time_start":
+                self.temporal_start = max(self.temporal_start, f.value)
+                yield f  # inclusive server range: Spark re-applies strict >
+            elif isinstance(f, LessThan) and col == "time_start":
+                self.temporal_end = min(self.temporal_end, f.value)
+                yield f  # inclusive server range: Spark re-applies strict <
             else:
                 yield f  # not server-side-expressible: Spark re-applies
 
@@ -110,10 +137,66 @@ class CmrReader(DataSourceReader):
             out.append(g)
         return out
 
+    # -- REST backend (the public CMR granules.json parameter shape) --
+
+    def _http_params(self, page_num: int, page_size: int) -> str:
+        params = {
+            "page_num": str(page_num),
+            "page_size": str(page_size),
+            "temporal": (
+                self.temporal_start.strftime(_ISO)
+                + ","
+                + self.temporal_end.strftime(_ISO)
+            ),
+        }
+        if self.collection:
+            params["short_name"] = self.collection
+        if self.version:
+            params["version"] = self.version
+        return urllib.parse.urlencode(params)
+
+    def _http_get(self, page_num: int, page_size: int):
+        """One paginated GET; returns (entries, total_hits)."""
+        url = f"{self.endpoint}?{self._http_params(page_num, page_size)}"
+        req = urllib.request.Request(url)
+        if self.token:
+            req.add_header("Authorization", f"Bearer {self.token}")
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            hits = int(resp.headers.get("CMR-Hits", "0"))
+            body = json.loads(resp.read())
+        return body.get("feed", {}).get("entry", []), hits
+
+    def _entry_tuple(self, e: dict):
+        # CMR boxes are "south west north east"
+        s, w, n, east = (float(x) for x in e["boxes"][0].split())
+        href = next(
+            (
+                link["href"]
+                for link in e.get("links", [])
+                if link.get("rel", "").endswith("/data#")
+            ),
+            None,
+        )
+        return (
+            e.get("producer_granule_id") or e["title"],
+            self.collection or e.get("short_name", ""),
+            self.version or e.get("version", ""),
+            _parse_ts(e["time_start"]),
+            w,
+            s,
+            east,
+            n,
+            href,
+        )
+
     def partitions(self) -> list[_Page]:
         # one partition per catalog page — the paginated get_all() loop
         # as task parallelism; a count query is one cheap pre-request
-        n = len(self._catalog())
+        if self.endpoint:
+            _, hits = self._http_get(1, 1)  # CMR-Hits carries the total
+            n = hits
+        else:
+            n = len(self._catalog())
         pages = max(1, -(-n // self.page_size))
         return [
             _Page(i * self.page_size, min((i + 1) * self.page_size, n))
@@ -121,6 +204,12 @@ class CmrReader(DataSourceReader):
         ]
 
     def read(self, partition: _Page):
+        if self.endpoint:
+            page_num = partition.start // self.page_size + 1
+            entries, _ = self._http_get(page_num, self.page_size)
+            for e in entries:
+                yield self._entry_tuple(e)
+            return
         for g in self._catalog()[partition.start : partition.end]:
             yield (
                 g["granule_id"],

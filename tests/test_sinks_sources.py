@@ -226,3 +226,66 @@ def test_range_clustered_write_has_disjoint_file_ranges(spark, tmp_path):
     assert len(stats) == 8
     for (f1, lo1, hi1), (f2, lo2, hi2) in zip(stats, stats[1:]):
         assert hi1 < lo2, f"overlapping ranges: {f1} [{lo1},{hi1}] vs {f2} [{lo2},{hi2}]"
+
+
+def test_relay_manifest_real_http_post(spark, tmp_path):
+    """The live REST relay, driven for real against a loopback ingestor:
+    retries 5xx with backoff, fails fast on 4xx (poison item), posts
+    exactly the manifested lines with bearer auth."""
+    import http.server
+    import threading
+
+    from cloud_optimized_data_pipelines_spark.sinks_datasource import (
+        relay_manifest,
+    )
+
+    received = []
+    flaky = {"failed_once": False}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            if b"poison" in body:
+                self.send_response(400)
+                self.end_headers()
+                return
+            if not flaky["failed_once"]:
+                flaky["failed_once"] = True
+                self.send_response(503)
+                self.end_headers()
+                return
+            received.append((body, self.headers.get("Authorization")))
+            self.send_response(201)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    api = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+        staging = str(tmp_path / "staged")
+        items = spark.createDataFrame(
+            [('{"id": "a"}',), ('{"id": "poison"}',), ('{"id": "c"}',)],
+            "item_json string",
+        ).coalesce(1)
+        items.write.format("stac_ingestor").option(
+            "staging_dir", staging
+        ).mode("append").save()
+        out = relay_manifest(
+            staging, api, token="tok-1", backoff=0.01, max_retries=3
+        )
+        assert out["posted"] == 2
+        assert len(out["failed"]) == 1
+        assert "400" in out["failed"][0][1]  # poison: fail-fast, no retry
+        bodies = sorted(b for b, _ in received)
+        assert bodies == [b'{"id": "a"}', b'{"id": "c"}']
+        assert all(a == "Bearer tok-1" for _, a in received)
+        # no manifest -> loud failure (aborted staging is dead)
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError, match="MANIFEST"):
+            relay_manifest(str(tmp_path / "nope"), api)
+    finally:
+        httpd.shutdown()
