@@ -22,6 +22,79 @@ TokenFetcher = Callable[[], str]
 Poster = Callable[[str, str], None]  # (token, item_json) -> None
 
 
+def http_poster(api_url: str, timeout: float = 30.0) -> Poster:
+    """A REAL ``Poster`` for :func:`submit_items`: POSTs each item to
+    ``{api_url}/ingestions`` with the bearer token via stdlib urllib
+    (submit-stac/handler.py:80-93).  Runs on executors inside the
+    foreachPartition loop; loopback-tested (no external egress here,
+    same code path on a networked cluster)."""
+    import urllib.request
+
+    url = api_url.rstrip("/") + "/ingestions"
+
+    def post(token: str, item_json: str) -> None:
+        req = urllib.request.Request(
+            url,
+            data=item_json.encode(),
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {token}",
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=timeout):
+            pass
+
+    return post
+
+
+def oauth_client_credentials_fetcher(
+    token_url: str,
+    client_id: str,
+    client_secret: str,
+    scope: str | None = None,
+    timeout: float = 30.0,
+) -> TokenFetcher:
+    """A REAL ``TokenFetcher``: the OAuth2 client-credentials grant the
+    reference uses against Cognito (submit-stac/handler.py:40-78) —
+    form-encoded POST to the token endpoint with HTTP Basic
+    ``client_id:client_secret``, ``access_token`` parsed from the JSON
+    reply.  Called once per partition by :func:`submit_items`, so the
+    token round-trip amortizes over the partition's items exactly like
+    the reference's per-invocation fetch."""
+    import base64
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    def fetch() -> str:
+        form = {"grant_type": "client_credentials"}
+        if scope:
+            form["scope"] = scope
+        basic = base64.b64encode(
+            f"{client_id}:{client_secret}".encode()
+        ).decode()
+        req = urllib.request.Request(
+            token_url,
+            data=urllib.parse.urlencode(form).encode(),
+            headers={
+                "Content-Type": "application/x-www-form-urlencoded",
+                "Authorization": f"Basic {basic}",
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            payload = _json.loads(resp.read())
+        try:
+            return payload["access_token"]
+        except KeyError as exc:
+            raise RuntimeError(
+                f"token endpoint reply missing access_token: {sorted(payload)}"
+            ) from exc
+
+    return fetch
+
+
 def write_jsonl(items: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines table sink — the batch-mode stand-in for the ingestor
     (and the reference's side-file spill target, K2)."""

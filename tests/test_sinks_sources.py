@@ -289,3 +289,83 @@ def test_relay_manifest_real_http_post(spark, tmp_path):
             relay_manifest(str(tmp_path / "nope"), api)
     finally:
         httpd.shutdown()
+
+
+def test_submit_items_real_http_with_oauth(spark):
+    """The full reference submit path, all REAL against loopback HTTP:
+    OAuth2 client-credentials token fetch (Basic auth, form body) once
+    per partition, then bearer-authed POSTs per item from
+    foreachPartition executors."""
+    import base64
+    import http.server
+    import json as _json
+    import threading
+    import urllib.parse as up
+
+    from cloud_optimized_data_pipelines_spark.sinks import (
+        http_poster,
+        oauth_client_credentials_fetcher,
+        submit_items,
+    )
+
+    token_calls = []
+    posts = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            if self.path == "/oauth2/token":
+                form = dict(up.parse_qsl(body.decode()))
+                token_calls.append(
+                    (form, self.headers.get("Authorization"))
+                )
+                reply = _json.dumps(
+                    {"access_token": "tok-42", "expires_in": 3600}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(reply)))
+                self.end_headers()
+                self.wfile.write(reply)
+            elif self.path == "/ingestions":
+                posts.append((body, self.headers.get("Authorization")))
+                self.send_response(201)
+                self.end_headers()
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+        items = spark.createDataFrame(
+            [(f'{{"id": "i{n}"}}', False) for n in range(6)],
+            "item_json string, dry_run boolean",
+        ).repartition(2)
+        submit_items(
+            items,
+            http_poster(base),
+            oauth_client_credentials_fetcher(
+                f"{base}/oauth2/token", "cid", "csecret", scope="stac/ingest"
+            ),
+        )
+        assert len(posts) == 6
+        assert all(a == "Bearer tok-42" for _, a in posts)
+        assert sorted(b for b, _ in posts) == sorted(
+            f'{{"id": "i{n}"}}'.encode() for n in range(6)
+        )
+        # token fetched once per non-empty partition, with Basic auth +
+        # the grant/scope form the reference sends
+        assert 1 <= len(token_calls) <= 2
+        form, auth = token_calls[0]
+        assert form == {
+            "grant_type": "client_credentials",
+            "scope": "stac/ingest",
+        }
+        expected = base64.b64encode(b"cid:csecret").decode()
+        assert auth == f"Basic {expected}"
+    finally:
+        httpd.shutdown()
