@@ -94,3 +94,59 @@ def execute_copies(
             copy_fn(r.sb, r.sk, r.db, r.dk)
 
     rows.foreachPartition(_run)
+
+
+def local_dir_copier(root: str) -> Callable[[str, str, str, str], None]:
+    """A REAL ``copy_fn`` that maps ``bucket/key`` to
+    ``{root}/{bucket}/{key}`` and streams bytes in 1 MiB chunks —
+    the offline-provable execution path (the same loop a networked
+    deployment runs through boto3; also the right copier for
+    mounted-filesystem object stores)."""
+    import os
+    import shutil
+
+    def copy(sb: str, sk: str, db: str, dk: str) -> None:
+        src = os.path.join(root, sb, sk)
+        dst = os.path.join(root, db, dk)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        with open(src, "rb") as fi, open(dst, "wb") as fo:
+            shutil.copyfileobj(fi, fo, 1 << 20)
+
+    return copy
+
+
+def s3_copier(role_arn: str | None = None) -> Callable[[str, str, str, str], None]:
+    """A ``copy_fn`` wrapping boto3 ``copy_object``, with the
+    reference's cross-account pattern (data-transfer/handler.py:49-59):
+    when ``role_arn`` is given, STS-assume it and copy with the assumed
+    credentials.  boto3 is not in this container — constructing the
+    copier then raises a NAMED error (the seam is explicit, the code
+    path is the reference's)."""
+    try:
+        import boto3
+    except ImportError as exc:
+        raise RuntimeError(
+            "s3_copier requires boto3, which is not installed in this "
+            "environment; use local_dir_copier for filesystem-backed "
+            "stores or install boto3 on the cluster"
+        ) from exc
+
+    if role_arn:
+        creds = boto3.client("sts").assume_role(
+            RoleArn=role_arn, RoleSessionName="data-transfer"
+        )["Credentials"]
+        client = boto3.client(
+            "s3",
+            aws_access_key_id=creds["AccessKeyId"],
+            aws_secret_access_key=creds["SecretAccessKey"],
+            aws_session_token=creds["SessionToken"],
+        )
+    else:
+        client = boto3.client("s3")
+
+    def copy(sb: str, sk: str, db: str, dk: str) -> None:
+        client.copy_object(
+            CopySource={"Bucket": sb, "Key": sk}, Bucket=db, Key=dk
+        )
+
+    return copy
