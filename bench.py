@@ -80,6 +80,9 @@ ADDITIONS_R6 = [
     "multimodal_png_palette",
     "graph_pagerank_dangling",
     "similarity_decontaminate_blocked",
+    "dedup_cdc_chunks",
+    "dedup_soft_weights",
+    "sample_temperature_mix",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

@@ -328,6 +328,152 @@ def positional_shingle_index(
     )
 
 
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    divisor: int = 8,
+) -> DataFrame:
+    """Content-defined chunking at token granularity (the rsync/FastCDC
+    boundary idea applied to text): token position ``p`` ENDS a chunk
+    iff the hash of the ``window``-gram ending at p lands in a
+    1/``divisor`` bucket — so expected chunk length is ~``divisor``
+    tokens and, crucially, boundaries depend only on LOCAL content.
+    Insert a sentence at the top of a document and fixed-offset
+    chunking shifts every downstream chunk; CDC boundaries resync
+    after ~``window`` tokens, so all later chunks keep their digests —
+    the property that makes chunk-level dedup robust to the
+    prepend/append edits web pages accumulate (tested).
+
+    Hashing is the engine's md5 discipline (first 8 hex chars as an
+    integer, mod ``divisor``) — bit-reproducible across engines, so
+    the whole operator is DuckDB-oracle-checkable.
+
+    Plan shape: per-doc position explode (struct built from ONE
+    let-bound token array — no repeated re-tokenization), boundary
+    flag as a scan expression, chunk ids via a per-doc running sum
+    window (partition = one document, bounded by doc length — never a
+    corpus-wide window), ordered re-assembly with array_sort.  Output:
+    one row per (doc, chunk_idx) with start_pos, n_tokens, chunk_md5.
+    Docs with no tokens emit no chunks (compose survivorship at the
+    stats level, :func:`cdc_dup_stats`).
+    """
+
+    def _rows(toks):
+        k = F.size(toks)
+        gram = lambda p: F.concat_ws(  # noqa: E731
+            " ", F.slice(toks, p - F.lit(window - 1), window)
+        )
+        bucket = lambda p: (  # noqa: E731
+            F.conv(F.substring(F.md5(gram(p)), 1, 8), 16, 10).cast("long")
+            % divisor
+        )
+        return F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda p: F.struct(
+                    p.cast("long").alias("pos"),
+                    F.element_at(toks, p).alias("tok"),
+                    F.when(
+                        (p >= window) & (bucket(p) == 0), F.lit(1)
+                    )
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    .alias("bnd"),
+                ),
+            ),
+        ).otherwise(
+            F.expr(
+                "CAST(array() AS ARRAY<STRUCT<pos BIGINT, tok STRING,"
+                " bnd BIGINT>>)"
+            )
+        )
+
+    rows = F.transform(F.array(tokens(F.col(text_col))), _rows)[0]
+    exploded = (
+        _spread(df)
+        .select(F.col(id_col).alias("doc"), F.explode(rows).alias("g"))
+        .select("doc", "g.pos", "g.tok", "g.bnd")
+    )
+    w = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = exploded.withColumn(
+        "chunk_idx", F.coalesce(F.sum("bnd").over(w), F.lit(0)).cast("long")
+    )
+    return (
+        assigned.groupBy("doc", "chunk_idx")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+def cdc_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    divisor: int = 8,
+) -> DataFrame:
+    """Per-document duplication profile over CDC chunks: ``n_chunks``,
+    ``n_dup_chunks`` (chunks whose digest appears in >= 2 distinct
+    docs), and ``dup_token_frac`` — the near-dup signal that survives
+    the prefix/suffix edits fixed-window shingling is blind to.
+    Survivorship: every input doc returns (token-less docs with zeros).
+
+    Scale shape: chunk table (corpus tokens / ~divisor rows) ->
+    per-digest distinct-doc count (map-side combined) -> digest join
+    back -> per-doc aggregate.  No pair materialization anywhere.
+    """
+    chunks = cdc_chunks(df, id_col, text_col, window, divisor)
+    freq = chunks.groupBy("chunk_md5").agg(
+        F.count_distinct("doc").alias("_docs")
+    )
+    per_doc = (
+        chunks.join(freq, "chunk_md5")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("_docs") >= 2).cast("long"))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.sum("n_tokens").cast("long").alias("_tok"),
+            F.sum(
+                F.when(F.col("_docs") >= 2, F.col("n_tokens")).otherwise(0)
+            )
+            .cast("long")
+            .alias("_dup_tok"),
+        )
+    )
+    out = df.select(F.col(id_col).alias("doc")).join(per_doc, "doc", "left")
+    return out.select(
+        F.col("doc").alias(id_col),
+        F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce("n_dup_chunks", F.lit(0)).cast("long").alias("n_dup_chunks"),
+        (
+            F.coalesce("_dup_tok", F.lit(0)).cast("double")
+            / F.greatest(F.coalesce("_tok", F.lit(0)), F.lit(1)).cast("double")
+        ).alias("dup_token_frac"),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str,

@@ -1933,6 +1933,74 @@ def sample_temperature_mix_q(spark, sf_dir):
     )
 
 
+_CDC_STATS = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+tp AS (
+  SELECT doc_id, i AS p, tk[i] AS tok,
+         CASE WHEN i >= 3
+                AND CAST('0x' || substr(md5(
+                      array_to_string(list_slice(tk, i - 2, i), ' ')
+                    ), 1, 8) AS BIGINT) % 8 = 0
+              THEN 1 ELSE 0 END AS bnd
+  FROM toks, UNNEST(range(1, len(tk) + 1)) AS t(i)
+),
+cid AS (
+  SELECT doc_id, p, tok,
+         COALESCE(SUM(bnd) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+  FROM tp
+),
+chunks AS (
+  SELECT doc_id, chunk_idx, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_md5
+  FROM cid GROUP BY doc_id, chunk_idx
+),
+freq AS (
+  SELECT chunk_md5, COUNT(DISTINCT doc_id) AS docs
+  FROM chunks GROUP BY chunk_md5
+),
+perdoc AS (
+  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(CASE WHEN f.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks,
+         CAST(SUM(c.n_tokens) AS BIGINT) AS tok,
+         CAST(SUM(CASE WHEN f.docs >= 2 THEN c.n_tokens ELSE 0 END)
+              AS BIGINT) AS dtok
+  FROM chunks c JOIN freq f USING (chunk_md5) GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_chunks, 0) AS n_chunks,
+       COALESCE(p.n_dup_chunks, 0) AS n_dup_chunks,
+       CAST(COALESCE(p.dtok, 0) AS DOUBLE)
+         / CAST(greatest(COALESCE(p.tok, 0), 1) AS DOUBLE) AS dup_token_frac
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
+@query("dedup_cdc_chunks", _CDC_STATS)
+def dedup_cdc_chunks_q(spark, sf_dir):
+    """Content-defined chunk dedup profile (operators/dedup.py::
+    cdc_chunks / cdc_dup_stats, the rsync/FastCDC boundary idea at
+    token granularity): md5-bucket boundaries every ~8 tokens, chunk
+    digests counted corpus-wide, per-doc duplicated-chunk stats.
+    Boundaries depend only on LOCAL content, so the digests — unlike
+    fixed-offset windows — survive prefix/suffix edits (resync
+    property pytest-gated); the whole pipeline is the engine's md5
+    discipline, so the oracle reproduces it bit-for-bit."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        cdc_dup_stats,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return cdc_dup_stats(
+        t["documents"].select("doc_id", "text"), "doc_id", "text"
+    )
+
+
 _SOFT_DEDUP = """
 WITH g AS (
   SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS dup_count

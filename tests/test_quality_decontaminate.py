@@ -1391,3 +1391,44 @@ def test_temperature_mix_flattens_head(spark):
     # fractions sum to ~1
     for a in (a1, a5, a0):
         assert abs(sum(r.target_frac for r in a.values()) - 1.0) < 1e-12
+
+
+def test_cdc_chunks_resync_property(spark):
+    """The CDC selling point: a prepended edit shifts every fixed
+    window but CDC boundaries resynchronize — all chunks after the
+    first re-align and keep their digests; survivorship holds for
+    token-less docs."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        cdc_chunks,
+        cdc_dup_stats,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega "
+    ) * 3
+    rows = [
+        (1, base),
+        (2, "three prepended tokens " + base),   # shifted by 3
+        (3, "entirely different content words " * 8),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ch = cdc_chunks(df, "doc_id", "text").collect()
+    m = {}
+    for r in ch:
+        m.setdefault(r.doc, set()).add(r.chunk_md5)
+    # all but (at most) the first chunk re-align despite the shift
+    assert len(m[1] & m[2]) >= len(m[1]) - 2
+    # chunk boundaries partition the token stream exactly
+    n_tok = sum(r.n_tokens for r in ch if r.doc == 1)
+    assert n_tok == len(base.split())
+    stats = {r.doc_id: r for r in
+             cdc_dup_stats(df, "doc_id", "text").collect()}
+    assert len(stats) == 4                      # survivorship
+    assert stats[4].n_chunks == 0 and stats[4].dup_token_frac == 0.0
+    assert stats[1].dup_token_frac > 0.8        # shared with doc 2
+    assert stats[3].n_dup_chunks == 0
+    # expected chunk length ~ divisor: sane boundary density
+    mean_len = n_tok / len([r for r in ch if r.doc == 1])
+    assert 3 <= mean_len <= 30
