@@ -83,6 +83,7 @@ ADDITIONS_R6 = [
     "dedup_cdc_chunks",
     "dedup_soft_weights",
     "sample_temperature_mix",
+    "multimodal_gif_frames",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

@@ -94,6 +94,13 @@ def real_decode(payload: bytes, modality: str):
         )
 
         return decode_jpeg(payload)
+    if modality == "image/gif":
+        from cloud_optimized_data_pipelines_spark.operators.gif_codec import (
+            decode_gif,
+        )
+
+        frames, pal, _ = decode_gif(payload)
+        return pal[np.stack(frames)]  # (n_frames, h, w, 3) RGB
     raise NotImplementedError(
         f"decode for modality {modality!r} requires librosa/ffmpeg, not "
         "present in this container; wire them here"
@@ -540,6 +547,78 @@ def png_palette_probe_table(spark, variants: int = 8) -> DataFrame:
     return spark.range(int(variants)).mapInPandas(
         gen, PNG_PALETTE_PROBE_SCHEMA
     )
+
+
+GIF_PROBE_SCHEMA = (
+    "variant bigint, gif_md5 string, sampled_px_sum bigint, "
+    "n_frames bigint, n_sampled bigint, width bigint, height bigint, "
+    "n_palette bigint"
+)
+
+_GIF_H, _GIF_W, _GIF_FRAMES = 20, 16, 6
+_GIF_NPAL = [4, 16, 64, 256, 4, 16, 64, 256]
+
+
+def _gif_variant(v: int) -> dict:
+    """One deterministic ANIMATED-GIF conversion (the _png_variant
+    pattern, video-shaped): 6 formula index frames are encoded as a
+    real GIF89a (LZW, GCE delays, loop extension), decoded back
+    through the full LZW/frame walk, round-trip verified, then FRAME
+    SAMPLING (every 2nd frame — the video-pipeline decimation step)
+    produces the graded statistic.  Palette entry i sums to
+    ((i*7+1)%251 + (i*11+3)%251 + (i*13+5)%251) and frame f's pixel k
+    has index (k*(v+1) + 7*f) % n_palette — so sampled_px_sum is
+    recomputable arithmetically in SQL (GIF is lossless), while the
+    md5 pins the exact encoded byte stream."""
+    from cloud_optimized_data_pipelines_spark.operators.gif_codec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    npal = _GIF_NPAL[v % 8]
+    pal = np.stack(
+        [
+            (np.arange(npal) * 7 + 1) % 251,
+            (np.arange(npal) * 11 + 3) % 251,
+            (np.arange(npal) * 13 + 5) % 251,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    ks = np.arange(_GIF_H * _GIF_W, dtype=np.int64)
+    frames = [
+        ((ks * (v + 1) + 7 * f) % npal)
+        .reshape(_GIF_H, _GIF_W)
+        .astype(np.uint8)
+        for f in range(_GIF_FRAMES)
+    ]
+    gif = encode_gif(frames, pal, delays_cs=[5 * (f + 1) for f in range(6)])
+    dec, dpal, delays = decode_gif(gif)
+    if len(dec) != _GIF_FRAMES or not all(
+        np.array_equal(a, b) for a, b in zip(dec, frames)
+    ):  # pragma: no cover - codec guard
+        raise RuntimeError(f"gif variant {v}: round-trip mismatch")
+    sampled = dec[::2]  # the decimate-frames step, on decoded data
+    px = sum(
+        int(dpal[: npal][f].sum(dtype=np.int64)) for f in sampled
+    )
+    return {
+        "variant": v,
+        "gif_md5": hashlib.md5(gif).hexdigest(),
+        "sampled_px_sum": px,
+        "n_frames": _GIF_FRAMES,
+        "n_sampled": len(sampled),
+        "width": _GIF_W,
+        "height": _GIF_H,
+        "n_palette": npal,
+    }
+
+
+def gif_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([_gif_variant(int(v)) for v in pdf["id"]])
+
+    return spark.range(int(variants)).mapInPandas(gen, GIF_PROBE_SCHEMA)
 
 
 JPEG_PROBE_SCHEMA = (

@@ -3118,6 +3118,96 @@ def multimodal_png_palette_q(spark, sf_dir):
     )
 
 
+def _gif_probe_oracle() -> str:
+    """Oracle for multimodal_gif_frames (the _png_probe_oracle
+    pattern): byte-stream md5s pinned from a single-process run;
+    sampled_px_sum recomputed ARITHMETICALLY from the palette/index
+    formulas over the SAMPLED frames {0,2,4} — valid ground truth
+    because GIF/LZW is lossless, so decode == source by construction
+    and the frame-sampling step is pure indexing."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _GIF_H,
+        _GIF_NPAL,
+        _GIF_W,
+        _gif_variant,
+    )
+
+    rows = [_gif_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['gif_md5']}'" for r in rows)
+        + " END"
+    )
+    npal_case = (
+        "CASE v "
+        + " ".join(f"WHEN {i} THEN {n}" for i, n in enumerate(_GIF_NPAL))
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
+meta AS (SELECT v, {npal_case} AS npal FROM var),
+cells AS (
+  SELECT m.v,
+         CAST(SUM(
+           ((((g.k * (m.v + 1) + 7 * fr.f) % m.npal) * 7 + 1) % 251)
+           + ((((g.k * (m.v + 1) + 7 * fr.f) % m.npal) * 11 + 3) % 251)
+           + ((((g.k * (m.v + 1) + 7 * fr.f) % m.npal) * 13 + 5) % 251)
+         ) AS BIGINT) AS sampled_px_sum
+  FROM meta m,
+       (SELECT UNNEST([0, 2, 4]) AS f) fr,
+       (SELECT UNNEST(range(0, {_GIF_H} * {_GIF_W})) AS k) g
+  GROUP BY m.v
+)
+SELECT d.doc_id, d.doc_id % 8 AS variant,
+       {md5_case} AS gif_md5,
+       c.sampled_px_sum,
+       CAST(6 AS BIGINT) AS n_frames,
+       CAST(3 AS BIGINT) AS n_sampled,
+       CAST({_GIF_W} AS BIGINT) AS width,
+       CAST({_GIF_H} AS BIGINT) AS height,
+       CAST(m.npal AS BIGINT) AS n_palette
+FROM documents d
+JOIN cells c ON c.v = d.doc_id % 8
+JOIN meta m ON m.v = d.doc_id % 8
+"""
+
+
+@query("multimodal_gif_frames", _gif_probe_oracle)
+def multimodal_gif_frames_q(spark, sf_dir):
+    """REAL-bytes ANIMATED-GIF decode + frame sampling
+    (operators/gif_codec.py + operators/multimodal.py::
+    gif_probe_table): per variant a 6-frame formula animation is
+    encoded as an actual GIF89a (LZW with early-change width growth,
+    GCE delays, loop extension), decoded back through the full
+    LZW/frame walk, round-trip verified executor-side, then SAMPLED
+    every 2nd frame — the video-pipeline decimation step on real
+    container bytes; the query emits the blob md5 plus sampled-frame
+    pixel statistics for every document.  The closest honest
+    approximation of the video modality this container allows (ffmpeg
+    codecs stay stubbed; the plumbing is identical).  Broadcast
+    per-variant probe — codec cost per-variant, not per-row."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        gif_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = gif_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "gif_md5",
+        "sampled_px_sum",
+        "n_frames",
+        "n_sampled",
+        "width",
+        "height",
+        "n_palette",
+    )
+
+
 def _jpeg_probe_oracle() -> str:
     """Oracle for multimodal_jpeg_features (the _png_probe_oracle
     pattern): the 8 variant conversions run ONCE in plain local python
@@ -6064,13 +6154,15 @@ _GRADED_WINDOW = [
     "privacy_k_anonymous",
     # raster / multimodal real-bytes codecs (png_features demoted:
     # png_resize decodes+transforms+re-encodes the same 8 variants, and
-    # png_palette covers the round-6 indexed/sub-byte/Adam7 paths)
+    # png_palette covers the round-6 indexed/sub-byte/Adam7 paths;
+    # wav_features demoted likewise for wav_downsample; gif_frames is
+    # the round-6 animated-container + frame-sampling family)
     "k1_cogify_stage",
     "k1_cogify_real_bytes",
     "multimodal_png_palette",
     "multimodal_png_resize",
     "multimodal_jpeg_features",
-    "multimodal_wav_features",
+    "multimodal_gif_frames",
     "multimodal_wav_downsample",
 ]
 
