@@ -34,6 +34,10 @@ Decode status by modality:
   Annex K quant/Huffman tables, marker parse, restart handling).
   Graded by ``multimodal_jpeg_features`` on real bytes; progressive /
   subsampled files raise a named error.
+- **image/gif: REAL** — pure-python LZW GIF89a codec
+  (operators/gif_codec.py) incl. ANIMATED multi-frame decode + frame
+  sampling — the closest honest approximation of the video modality
+  this container allows.  Graded by ``multimodal_gif_frames``.
 - compressed audio / video: libs (librosa/ffmpeg) are NOT in this
   container — those modalities keep the ``NotImplementedError`` stub
   with a deterministic fake (byte-histogram features), keeping the
@@ -73,9 +77,10 @@ def _fake_decode_features(payload: bytes) -> list[float]:
 
 
 def real_decode(payload: bytes, modality: str):
-    """The real decoder hook.  PNG is decoded for real (pure-numpy
-    codec); audio/video still require librosa/ffmpeg, not present in
-    this container — those modalities remain stubbed."""
+    """The real decoder hook: PNG, WAV, baseline JPEG, and animated
+    GIF decode for real (pure-numpy/python codecs); compressed
+    audio/video still require librosa/ffmpeg, not present in this
+    container — those modalities remain stubbed."""
     if modality == "image/png":
         from cloud_optimized_data_pipelines_spark.operators.png_codec import (
             decode_png,
