@@ -272,6 +272,7 @@ def decode_gif(data: bytes) -> tuple[list[np.ndarray], np.ndarray, list[int]]:
                 lzw_decode(bytes(lzw), min_code, fw * fh).reshape(fh, fw)
             )
             delays.append(delay)
+            delay = 10  # a GCE governs only the NEXT image (spec 23)
         else:
             raise ValueError(f"gif: unexpected block 0x{b:02X} at {pos}")
     if palette is None:

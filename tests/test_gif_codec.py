@@ -146,3 +146,18 @@ def test_fuzz_gif_roundtrip(h, w, npal, nframes, seed):
     dfr, dpal, _ = decode_gif(encode_gif(frames, pal))
     assert len(dfr) == nframes
     assert all(np.array_equal(a, b) for a, b in zip(frames, dfr))
+
+
+def test_gce_scope_is_one_frame():
+    """A Graphic Control Extension governs only the image that follows
+    it — a GCE-less later frame gets the default delay, not a stale
+    one (spec section 23)."""
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    f = np.zeros((2, 2), np.uint8)
+    gif = bytearray(encode_gif([f, f], pal, delays_cs=[77, 5], loop=False))
+    # strip the SECOND frame's GCE block (0x21 0xF9 0x04 ... 0x00 = 8 bytes)
+    first = bytes(gif).find(b"\x21\xf9")
+    second = bytes(gif).find(b"\x21\xf9", first + 2)
+    del gif[second : second + 8]
+    _, _, delays = decode_gif(bytes(gif))
+    assert delays == [77, 10]
