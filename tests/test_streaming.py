@@ -313,3 +313,53 @@ def test_streaming_psi_matches_batch(spark, tmp_path):
     )
     _await(append_category_partials(stream2, part_path, ckpt, "event_type", wexpr))
     assert spark.read.parquet(part_path).count() == n_before_replay
+
+
+def test_streaming_discovery_fetch_pipeline(spark, tmp_path):
+    """The reference's discovery -> download loop as a STREAMING stage:
+    queued discovery records drain in micro-batches through fetch_stage
+    (real file:// chunked fetch on executors); failed URLs keep flowing
+    with their error captured (quarantine split semantics) rather than
+    failing the batch."""
+    import os
+
+    from cloud_optimized_data_pipelines_spark.operators.fetch import (
+        fetch_stage,
+    )
+    from cloud_optimized_data_pipelines_spark.streaming.queues import (
+        enqueue,
+        run_stage,
+        stream_queue,
+    )
+
+    store = tmp_path / "granules"
+    os.makedirs(store)
+    rows = []
+    for i in range(8):
+        p = store / f"g{i}.nc"
+        p.write_bytes(b"granule-bytes-%d" % i)
+        rows.append((i, p.as_uri()))
+    rows.append((99, str(store / "missing.nc")))  # captured, not fatal
+    df = spark.createDataFrame(rows, "event_id long, s3_filename string")
+    q = str(tmp_path / "queue")
+    df.repartition(3).write.parquet(q)  # 3 files -> several micro-batches
+    stream = stream_queue(
+        spark, q, spark.read.parquet(q).schema, max_files_per_trigger=1
+    )
+    out_path = str(tmp_path / "fetched")
+    query = run_stage(
+        stream,
+        lambda batch: fetch_stage(batch, dest_dir=str(tmp_path), timeout=2),
+        out_path,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    _await(query)
+    out = {r.event_id: r for r in spark.read.parquet(out_path).collect()}
+    assert len(out) == 9  # survivorship across micro-batches
+    for i in range(8):
+        assert out[i].error is None
+        assert out[i].n_bytes == len(b"granule-bytes-%d" % i)
+        with open(out[i].local_path, "rb") as f:
+            assert f.read() == b"granule-bytes-%d" % i
+    assert out[99].error is not None and out[99].local_path is None
