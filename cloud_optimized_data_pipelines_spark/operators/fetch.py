@@ -125,6 +125,15 @@ def fetch_stage(
     batch budget — raster granules should stay path-referenced, the
     multimodal small-asset path may inline).
     """
+    added = ["local_path", "n_bytes", "sha256", "error"] + (
+        ["payload"] if keep_payload else []
+    )
+    clash = [c for c in added if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"fetch_stage output columns {clash} already exist on the "
+            "input — rename them first"
+        )
     fields = (
         "local_path string, n_bytes bigint, sha256 string, error string"
     )

@@ -167,8 +167,13 @@ class CmrReader(DataSourceReader):
         return body.get("feed", {}).get("entry", []), hits
 
     def _entry_tuple(self, e: dict):
-        # CMR boxes are "south west north east"
-        s, w, n, east = (float(x) for x in e["boxes"][0].split())
+        # CMR boxes are "south west north east"; granules described by
+        # polygons/points instead of boxes get NULL bbox columns (the
+        # schema is nullable) rather than a task-killing KeyError
+        if e.get("boxes"):
+            s, w, n, east = (float(x) for x in e["boxes"][0].split())
+        else:
+            s = w = n = east = None
         href = next(
             (
                 link["href"]

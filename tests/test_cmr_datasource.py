@@ -275,3 +275,29 @@ def test_cmr_http_backend_temporal_pushdown(spark):
         )
     finally:
         srv.stop()
+
+
+def test_cmr_http_backend_boxless_granules(spark):
+    """Granules described by polygons/points (no 'boxes') decode with
+    NULL bbox columns instead of killing the task."""
+    from cloud_optimized_data_pipelines_spark.sources.cmr_datasource import (
+        register,
+    )
+
+    grans = _mk_granules(3, "NO2")
+    del grans[1]["boxes"]
+    srv = _CmrServer(grans)
+    try:
+        register(spark)
+        rows = {
+            r.granule_id: r
+            for r in spark.read.format("cmr")
+            .option("endpoint", srv.url)
+            .load()
+            .collect()
+        }
+        assert len(rows) == 3
+        assert rows["G001.nc"].west is None and rows["G001.nc"].north is None
+        assert rows["G000.nc"].west == -20.0
+    finally:
+        srv.stop()

@@ -242,3 +242,15 @@ def test_fetch_then_cogify_end_to_end(spark, tmp_path):
     assert np.array_equal(
         ifds[0]["array"].astype(np.float64), data.astype(np.float64)
     )
+
+
+def test_fetch_stage_column_collision_guard(spark):
+    from cloud_optimized_data_pipelines_spark.operators.fetch import (
+        fetch_stage,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "/x", "oops")], "id long, s3_filename string, error string"
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        fetch_stage(df)
