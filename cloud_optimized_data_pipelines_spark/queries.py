@@ -2277,6 +2277,48 @@ def ann_bucket_topk_q(spark, sf_dir):
     )
 
 
+_ANN_MULTIPROBE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_DUCK_BUCKET.format(v="embedding")} AS bucket
+  FROM embeddings
+),
+q0 AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+probes AS (
+  SELECT qv, qb AS pb FROM q0
+  UNION ALL
+  SELECT qv,
+         substr(qb, 1, i)
+         || (CASE WHEN substr(qb, i + 1, 1) = '1' THEN '0' ELSE '1' END)
+         || substr(qb, i + 2) AS pb
+  FROM q0, UNNEST([0, 1, 2, 3]) AS t(i)
+)
+SELECT vec_id,
+       round({_DUCK_DOT.format(a="b.embedding", b="p.qv")}
+             / (sqrt({_DUCK_DOT.format(a="b.embedding", b="b.embedding")})
+                * sqrt({_DUCK_DOT.format(a="p.qv", b="p.qv")})), 6) AS cos
+FROM b JOIN probes p ON b.bucket = p.pb
+ORDER BY {_DUCK_DOT.format(a="b.embedding", b="p.qv")}
+         / (sqrt({_DUCK_DOT.format(a="b.embedding", b="b.embedding")})
+            * sqrt({_DUCK_DOT.format(a="p.qv", b="p.qv")})) DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("similarity_ann_multiprobe", _ANN_MULTIPROBE)
+def ann_multiprobe_q(spark, sf_dir):
+    """MULTIPROBE sign-bucket ANN top-10 (operators/similarity.py::
+    ann_topk_multiprobe, the Lv et al. multi-probe LSH recall lever):
+    the query's bucket plus its 4 Hamming-1 neighbors are scored —
+    5/16 of the corpus instead of 1/16, recovering neighbors that
+    differ in a single sign bit (the dominant ann_topk miss mode;
+    recall-vs-exact pytest-gated).  Deterministic probe set, so the
+    oracle reproduces the result bit-exactly."""
+    t = load_tables(spark, sf_dir)
+    return S.ann_topk_multiprobe(
+        t["embeddings"], "embedding", 0, k=10, num_dims=4
+    )
+
+
 _IVF_PROBE = f"""
 WITH cents AS (
   SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16

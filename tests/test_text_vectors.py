@@ -676,3 +676,32 @@ def test_psi_by_window_known_values(spark):
     assert out["c"].cnt_before == 0 and out["c"].psi_term > 0
     # total PSI is positive for a real shift
     assert sum(r.psi_term for r in out.values()) > 0.05
+
+
+def test_ann_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
+    """Multiprobe scores a strict superset of the single-bucket
+    candidates, so its top-k recall vs exact brute force can only be
+    >= — verified on real embeddings over several queries, with at
+    least one query where the extra probes actually help."""
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def topk(df):
+        return [r.vec_id for r in df.collect()]
+
+    gains = 0
+    for qid in (0, 3, 11, 17):
+        exact = set(topk(S.brute_force_topk(
+            emb, "embedding",
+            emb.filter(F.col("vec_id") == qid).first().embedding,
+            k=10)))
+        single = set(topk(S.ann_topk_by_id(
+            emb, "embedding", qid, k=10, num_dims=4)))
+        multi = set(topk(S.ann_topk_multiprobe(
+            emb, "embedding", qid, k=10, num_dims=4)))
+        r_single = len(single & exact)
+        r_multi = len(multi & exact)
+        assert r_multi >= r_single, (qid, r_single, r_multi)
+        gains += r_multi - r_single
+    assert gains > 0  # the Hamming-1 probes recovered real neighbors
