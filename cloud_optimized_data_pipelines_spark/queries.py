@@ -1896,6 +1896,40 @@ def dedup_containment_q(spark, sf_dir):
     )
 
 
+_BLOOM = """
+WITH pos AS (
+  SELECT CAST(('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':'
+                || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 65536 AS p
+  FROM documents, UNNEST([0, 1, 2, 3]) AS t(i)
+)
+SELECT CAST(p // 63 AS BIGINT) AS word_idx,
+       CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS BIGINT)
+         AS bits
+FROM pos GROUP BY 1
+"""
+
+
+@query("sketch_bloom_membership", _BLOOM)
+def sketch_bloom_q(spark, sf_dir):
+    """Mergeable Bloom filter (operators/sketches.py::bloom_partial):
+    the crawler's seen-URL membership structure as a (word_idx, bits)
+    table — md5-family positions, so the BITS are bit-identical across
+    engines and the driver hash covers the exact filter state.
+    bit_or merge is associative/commutative/idempotent: replayed or
+    re-ordered partials can never corrupt it (union == one-pass build,
+    pytest-gated, plus false-positive-rate and no-false-negative
+    gates)."""
+    from cloud_optimized_data_pipelines_spark.operators.sketches import (
+        bloom_partial,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return bloom_partial(
+        t["documents"].select("doc_id"), "doc_id",
+        m_bits=1 << 16, k_hashes=4,
+    )
+
+
 _TEMPERATURE_MIX = """
 WITH c AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents

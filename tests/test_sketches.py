@@ -254,3 +254,56 @@ def test_kmin_sample_quantile_is_close(spark, events):
     )
     for r in sk.join(exact, "event_type").collect():
         assert abs(r.est - r.ex) <= 0.25 * max(abs(r.ex), 1.0)
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    from pyspark.sql import functions as F
+
+    from cloud_optimized_data_pipelines_spark.operators.sketches import (
+        bloom_contains,
+        bloom_partial,
+    )
+
+    present = spark.createDataFrame(
+        [(f"url-{i}",) for i in range(500)], "k string"
+    )
+    bloom = bloom_partial(present, "k", m_bits=1 << 14, k_hashes=4)
+    # no false negatives: every inserted key tests maybe_present
+    got = bloom_contains(bloom, present, "k", m_bits=1 << 14, k_hashes=4)
+    assert got.filter(~F.col("maybe_present")).count() == 0
+    # false positives bounded: n=500, m=16384, k=4 -> ~(1-e^-0.122)^4 ~ 1.7e-4
+    absent = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(2000)], "k string"
+    )
+    fp = (
+        bloom_contains(bloom, absent, "k", m_bits=1 << 14, k_hashes=4)
+        .filter(F.col("maybe_present"))
+        .count()
+    )
+    assert fp <= 10, fp  # generous ceiling over the ~0.3 expectation
+
+
+def test_bloom_merge_equals_one_pass(spark):
+    from cloud_optimized_data_pipelines_spark.operators.sketches import (
+        bloom_merge,
+        bloom_partial,
+    )
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(300)], "k string")
+    merged = bloom_merge(
+        bloom_partial(a, "k").unionByName(bloom_partial(b, "k"))
+    )
+    direct = bloom_partial(a.unionByName(b), "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # idempotent: re-merging the same partial changes nothing
+    twice = bloom_merge(
+        bloom_partial(a, "k").unionByName(bloom_partial(a, "k"))
+    )
+    assert sorted(map(tuple, twice.collect())) == sorted(
+        map(tuple, bloom_partial(a, "k").collect())
+    )
+    # sign bit never set (63-bit packing keeps DuckDB's checked shift safe)
+    assert direct.filter("bits < 0").count() == 0
