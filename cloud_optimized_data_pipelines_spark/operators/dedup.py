@@ -52,13 +52,19 @@ def soft_dedup_weights(
     is the ``power->inf`` limit, no-op is ``power=0``).
 
     Survivorship form: every input row returns with ``dup_count``
-    (bigint) and ``weight`` (double).  Scale shape: one map-side-
-    combined groupBy on the md5 digest (16-byte shuffle keys, not
-    documents) + one equi-join reusing the same key — the exact_dedup
-    plan with the anti-join swapped for a weight projection.  Weights
-    are IEEE-exact cross-engine at power=1 (a single double division).
+    (bigint) and ``weight`` (double) — INCLUDING rows whose content is
+    NULL: the digest key is coalesced to a sentinel (no 6-char string
+    collides with a 32-char md5 hex) so null-content rows form their
+    own duplicate group instead of being silently dropped by the inner
+    join on a null key.  Scale shape: one map-side-combined groupBy on
+    the md5 digest (16-byte shuffle keys, not documents) + one
+    equi-join reusing the same key — the exact_dedup plan with the
+    anti-join swapped for a weight projection.  Weights are IEEE-exact
+    cross-engine at power=1 (a single double division).
     """
-    hashed = df.withColumn("_h", F.md5(F.col(content_col)))
+    hashed = df.withColumn(
+        "_h", F.coalesce(F.md5(F.col(content_col)), F.lit("_null_"))
+    )
     counts = hashed.groupBy("_h").agg(
         F.count(F.lit(1)).alias("dup_count")
     )

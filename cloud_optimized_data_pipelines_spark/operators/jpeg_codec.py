@@ -603,9 +603,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                 coef[k] = _extend(reader.read(cat), cat)
                                 k += 1
                         except _MarkerHit:
-                            raise ValueError(
-                                "entropy data ended early at marker "
+                            at = (
                                 f"0xFF{reader.marker:02X}"
+                                if reader.marker is not None
+                                else "EOF (truncated entropy segment)"
+                            )
+                            raise ValueError(
+                                f"entropy data ended early at marker {at}"
                             ) from None
                         block = np.zeros((8, 8), dtype=np.int64)
                         block[_ZR, _ZC] = coef

@@ -101,11 +101,12 @@ def real_decode(payload: bytes, modality: str):
         return decode_jpeg(payload)
     if modality == "image/gif":
         from cloud_optimized_data_pipelines_spark.operators.gif_codec import (
-            decode_gif,
+            decode_gif_rgb,
         )
 
-        frames, pal, _ = decode_gif(payload)
-        return pal[np.stack(frames)]  # (n_frames, h, w, 3) RGB
+        # per-frame palette scoping + sub-rect/disposal compositing
+        frames, _ = decode_gif_rgb(payload)
+        return np.stack(frames)  # (n_frames, h, w, 3) RGB
     raise NotImplementedError(
         f"decode for modality {modality!r} requires librosa/ffmpeg, not "
         "present in this container; wire them here"
@@ -622,6 +623,119 @@ def gif_probe_table(spark, variants: int = 8) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame([_gif_variant(int(v)) for v in pdf["id"]])
+
+    return spark.range(int(variants)).mapInPandas(gen, GIF_PROBE_SCHEMA)
+
+
+# sub-rect patch geometry for the composite probe: frame f (1..5) is a
+# 6x8 patch at left=(3f)%10, top=(2f)%12; disposal per frame below.
+_GIFC_RECT_W, _GIFC_RECT_H = 6, 8
+_GIFC_DISPOSAL = [1, 1, 2, 3, 1, 1]
+_GIFC_BG = 1
+
+
+def _gifc_rect(f: int) -> tuple[int, int]:
+    return (3 * f) % 10, (2 * f) % 12  # (left, top)
+
+
+def _gif_composite_variant(v: int) -> dict:
+    """One deterministic PARTIAL-UPDATE GIF conversion: frame 0 is a
+    full-screen base (index (k*(v+1)) % npal), frames 1..5 are 6x8
+    sub-rectangle patches (local pixel j -> (j*(v+2) + 11f) % npal)
+    with mixed disposal methods — frame 2 restores its rect to the
+    background index after display, frame 3 restores the previous
+    canvas — encoded as a real GIF89a via encode_gif_anim, decoded
+    through the compositing walk, verified against an independently
+    composited numpy expectation, then frames {0,2,4} are sampled.
+    The final sampled canvas therefore PROVES disposal semantics on
+    real bytes: frame 3's patch must be absent (restore-to-previous)
+    and frame 2's rect must read background (restore-to-background).
+    sampled_px_sum maps each composited index through the palette
+    formula — recomputable arithmetically in SQL because every
+    compositing step is deterministic integer indexing on a lossless
+    container."""
+    from cloud_optimized_data_pipelines_spark.operators.gif_codec import (
+        decode_gif,
+        encode_gif_anim,
+    )
+
+    npal = _GIF_NPAL[v % 8]
+    pal = np.stack(
+        [
+            (np.arange(npal) * 7 + 1) % 251,
+            (np.arange(npal) * 11 + 3) % 251,
+            (np.arange(npal) * 13 + 5) % 251,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    ks = np.arange(_GIF_H * _GIF_W, dtype=np.int64)
+    base = ((ks * (v + 1)) % npal).reshape(_GIF_H, _GIF_W).astype(np.uint8)
+    js = np.arange(_GIFC_RECT_H * _GIFC_RECT_W, dtype=np.int64)
+    patches = {
+        f: ((js * (v + 2) + 11 * f) % npal)
+        .reshape(_GIFC_RECT_H, _GIFC_RECT_W)
+        .astype(np.uint8)
+        for f in range(1, 6)
+    }
+    specs = [{"indices": base, "disposal": _GIFC_DISPOSAL[0], "delay": 3}]
+    for f in range(1, 6):
+        left, top = _gifc_rect(f)
+        specs.append(
+            {
+                "indices": patches[f],
+                "left": left,
+                "top": top,
+                "disposal": _GIFC_DISPOSAL[f],
+                "delay": 3 * (f + 1),
+            }
+        )
+    gif = encode_gif_anim(
+        (_GIF_W, _GIF_H), pal, specs, bg_index=_GIFC_BG
+    )
+    dec, dpal, _ = decode_gif(gif)
+
+    # independent compositor straight from the formulas (not the codec)
+    canvas = base.copy()
+    expect = [canvas.copy()]
+    for f in range(1, 6):
+        left, top = _gifc_rect(f)
+        before = canvas.copy() if _GIFC_DISPOSAL[f] == 3 else None
+        canvas[top : top + _GIFC_RECT_H, left : left + _GIFC_RECT_W] = (
+            patches[f]
+        )
+        expect.append(canvas.copy())
+        if _GIFC_DISPOSAL[f] == 2:
+            canvas[
+                top : top + _GIFC_RECT_H, left : left + _GIFC_RECT_W
+            ] = _GIFC_BG
+        elif _GIFC_DISPOSAL[f] == 3:
+            canvas = before
+    if len(dec) != _GIF_FRAMES or not all(
+        np.array_equal(a, b) for a, b in zip(dec, expect)
+    ):  # pragma: no cover - codec guard
+        raise RuntimeError(f"gif composite variant {v}: disposal mismatch")
+    sampled = dec[::2]
+    px = sum(
+        int(dpal[:npal][f].sum(dtype=np.int64)) for f in sampled
+    )
+    return {
+        "variant": v,
+        "gif_md5": hashlib.md5(gif).hexdigest(),
+        "sampled_px_sum": px,
+        "n_frames": _GIF_FRAMES,
+        "n_sampled": len(sampled),
+        "width": _GIF_W,
+        "height": _GIF_H,
+        "n_palette": npal,
+    }
+
+
+def gif_composite_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_gif_composite_variant(int(v)) for v in pdf["id"]]
+            )
 
     return spark.range(int(variants)).mapInPandas(gen, GIF_PROBE_SCHEMA)
 

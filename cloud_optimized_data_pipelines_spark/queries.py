@@ -2037,11 +2037,12 @@ def dedup_cdc_chunks_q(spark, sf_dir):
 
 _SOFT_DEDUP = """
 WITH g AS (
-  SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS dup_count
-  FROM documents GROUP BY md5(text)
+  SELECT COALESCE(md5(text), '_null_') AS h,
+         CAST(COUNT(*) AS BIGINT) AS dup_count
+  FROM documents GROUP BY 1
 )
 SELECT d.doc_id, g.dup_count, 1.0 / g.dup_count AS weight
-FROM documents d JOIN g ON md5(d.text) = g.h
+FROM documents d JOIN g ON COALESCE(md5(d.text), '_null_') = g.h
 """
 
 
@@ -3268,6 +3269,134 @@ def multimodal_gif_frames_q(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     probe = gif_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "gif_md5",
+        "sampled_px_sum",
+        "n_frames",
+        "n_sampled",
+        "width",
+        "height",
+        "n_palette",
+    )
+
+
+def _gif_composite_oracle() -> str:
+    """Oracle for multimodal_gif_composite: md5s pinned from a
+    single-process run; sampled_px_sum recomputed ARITHMETICALLY by
+    replaying the disposal-aware compositing in SQL — for each sampled
+    frame the per-pixel index is a CASE over which patch rect covers it
+    last (frame 4's patch > frame 2's background-restored rect >
+    frame 1's patch > base), exactly the GIF89a disposal semantics,
+    then mapped through the palette formula.  Valid ground truth
+    because GIF/LZW is lossless and compositing is pure integer
+    indexing."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _GIF_H,
+        _GIF_NPAL,
+        _GIF_W,
+        _GIFC_BG,
+        _gif_composite_variant,
+        _gifc_rect,
+    )
+
+    rows = [_gif_composite_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['gif_md5']}'" for r in rows)
+        + " END"
+    )
+    npal_case = (
+        "CASE v "
+        + " ".join(f"WHEN {i} THEN {n}" for i, n in enumerate(_GIF_NPAL))
+        + " END"
+    )
+
+    def rect(f):
+        left, top = _gifc_rect(f)
+        cover = (
+            f"(g.x >= {left} AND g.x < {left + 6} "
+            f"AND g.y >= {top} AND g.y < {top + 8})"
+        )
+        j = f"((g.y - {top}) * 6 + (g.x - {left}))"
+        patch = f"(({j} * (m.v + 2) + {11 * f}) % m.npal)"
+        return cover, patch
+
+    in1, p1 = rect(1)
+    in2, p2 = rect(2)
+    in4, p4 = rect(4)
+    base = "((g.k * (m.v + 1)) % m.npal)"
+
+    def p3(i):
+        return (
+            f"(({i} * 7 + 1) % 251 + ({i} * 11 + 3) % 251 "
+            f"+ ({i} * 13 + 5) % 251)"
+        )
+
+    return f"""
+WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
+meta AS (SELECT v, {npal_case} AS npal FROM var),
+grid AS (
+  SELECT k, k % {_GIF_W} AS x, k // {_GIF_W} AS y
+  FROM (SELECT UNNEST(range(0, {_GIF_H} * {_GIF_W})) AS k)
+),
+idx AS (
+  SELECT m.v,
+         {base} AS i0,
+         CASE WHEN {in2} THEN {p2}
+              WHEN {in1} THEN {p1}
+              ELSE {base} END AS i2,
+         CASE WHEN {in4} THEN {p4}
+              WHEN {in2} THEN {_GIFC_BG}
+              WHEN {in1} THEN {p1}
+              ELSE {base} END AS i4
+  FROM meta m, grid g
+),
+cells AS (
+  SELECT v,
+         CAST(SUM({p3('i0')} + {p3('i2')} + {p3('i4')}) AS BIGINT)
+           AS sampled_px_sum
+  FROM idx GROUP BY v
+)
+SELECT d.doc_id, d.doc_id % 8 AS variant,
+       {md5_case} AS gif_md5,
+       c.sampled_px_sum,
+       CAST(6 AS BIGINT) AS n_frames,
+       CAST(3 AS BIGINT) AS n_sampled,
+       CAST({_GIF_W} AS BIGINT) AS width,
+       CAST({_GIF_H} AS BIGINT) AS height,
+       CAST(m.npal AS BIGINT) AS n_palette
+FROM documents d
+JOIN cells c ON c.v = d.doc_id % 8
+JOIN meta m ON m.v = d.doc_id % 8
+"""
+
+
+@query("multimodal_gif_composite", _gif_composite_oracle)
+def multimodal_gif_composite_q(spark, sf_dir):
+    """REAL-bytes PARTIAL-UPDATE GIF decode (operators/gif_codec.py::
+    encode_gif_anim/decode_gif + operators/multimodal.py::
+    gif_composite_probe_table): per variant a full-screen base frame
+    plus five 6x8 sub-rectangle patches with mixed GIF89a disposal
+    methods (leave-in-place, restore-to-background, restore-to-
+    previous) are encoded as an actual animated GIF, decoded through
+    the compositing walk, verified against an independent numpy
+    compositor, and frames {0,2,4} sampled — the form real-world
+    animations actually ship (sub-rect patches, not full refreshes).
+    The sampled sums pin the disposal semantics: frame 3's patch must
+    be absent (restore-to-previous) and frame 2's rect must read the
+    background index (restore-to-background).  Broadcast per-variant
+    probe — codec cost per-variant, not per-row."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        gif_composite_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = gif_composite_probe_table(spark, 8)
     docs = t["documents"].select(
         "doc_id", (F.col("doc_id") % 8).alias("variant")
     )

@@ -186,7 +186,10 @@ class CmrReader(DataSourceReader):
             e.get("producer_granule_id") or e["title"],
             self.collection or e.get("short_name", ""),
             self.version or e.get("version", ""),
-            _parse_ts(e["time_start"]),
+            # survivorship: a granule missing time_start emits NULL (the
+            # schema is nullable) instead of a task-killing KeyError —
+            # same policy as the boxless-bbox hardening above
+            _parse_ts(e["time_start"]) if e.get("time_start") else None,
             w,
             s,
             east,

@@ -74,10 +74,10 @@ def test_gif_named_errors():
     g2[desc + 9] |= 0x40
     with pytest.raises(ValueError, match="interlace"):
         decode_gif(bytes(g2))
-    # claim a sub-rectangle frame
+    # a sub-rect that hangs off the logical screen is structural junk
     g3 = bytearray(gif)
-    g3[desc + 1] = 1  # left = 1
-    with pytest.raises(ValueError, match="sub-rectangle"):
+    g3[desc + 1] = 1  # left = 1 on a width-6 screen with a width-6 frame
+    with pytest.raises(ValueError, match="outside the logical screen"):
         decode_gif(bytes(g3))
     with pytest.raises(ValueError, match="palette"):
         encode_gif([np.zeros((2, 2), np.uint8)], np.zeros((300, 3), np.uint8))
@@ -161,3 +161,135 @@ def test_gce_scope_is_one_frame():
     del gif[second : second + 8]
     _, _, delays = decode_gif(bytes(gif))
     assert delays == [77, 10]
+
+
+def _anim(frames, **kw):
+    from cloud_optimized_data_pipelines_spark.operators.gif_codec import (
+        encode_gif_anim,
+    )
+
+    return encode_gif_anim(kw.pop("screen", (8, 6)), kw.pop("pal"), frames, **kw)
+
+
+def test_gif_subrect_composite_disposal_none():
+    """Partial-update frames composite onto the logical screen; with
+    disposal 1 (leave in place) each patch persists into later frames."""
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    base = np.zeros((6, 8), np.uint8)
+    patch = np.full((2, 3), 2, np.uint8)
+    gif = _anim(
+        [
+            {"indices": base, "disposal": 1},
+            {"indices": patch, "left": 4, "top": 1, "disposal": 1},
+            {"indices": np.full((1, 2), 3, np.uint8), "left": 0, "top": 5},
+        ],
+        pal=pal,
+    )
+    frames, _, _ = decode_gif(gif)
+    assert len(frames) == 3
+    exp1 = base.copy()
+    exp1[1:3, 4:7] = 2
+    assert np.array_equal(frames[1], exp1)
+    exp2 = exp1.copy()
+    exp2[5:6, 0:2] = 3
+    assert np.array_equal(frames[2], exp2)  # earlier patch persisted
+
+
+def test_gif_disposal_background_and_previous():
+    """Disposal 2 restores the frame's rect to the background index
+    AFTER display; disposal 3 restores the pre-frame canvas."""
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    base = np.ones((6, 8), np.uint8)
+    gif = _anim(
+        [
+            {"indices": base, "disposal": 1},
+            # displayed, then its rect reverts to bg index 0
+            {"indices": np.full((2, 2), 2, np.uint8), "left": 1, "top": 1,
+             "disposal": 2},
+            # displayed, then the WHOLE pre-frame canvas is restored
+            {"indices": np.full((3, 3), 3, np.uint8), "left": 4, "top": 2,
+             "disposal": 3},
+            {"indices": np.full((1, 1), 2, np.uint8), "left": 0, "top": 0},
+        ],
+        pal=pal,
+    )
+    frames, _, _ = decode_gif(gif)
+    assert (frames[1][1:3, 1:3] == 2).all()  # frame 2 shows its patch
+    after_bg = base.copy()
+    after_bg[1:3, 1:3] = 0  # bg-restored hole visible under frame 3
+    exp3 = after_bg.copy()
+    exp3[2:5, 4:7] = 3
+    assert np.array_equal(frames[2], exp3)
+    exp4 = after_bg.copy()  # disposal-3 undid frame 3's patch entirely
+    exp4[0, 0] = 2
+    assert np.array_equal(frames[3], exp4)
+
+
+def test_gif_transparency_shows_through():
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    base = np.full((6, 8), 1, np.uint8)
+    patch = np.array([[2, 0], [0, 3]], np.uint8)  # 0 = transparent
+    gif = _anim(
+        [
+            {"indices": base, "disposal": 1},
+            {"indices": patch, "left": 3, "top": 2, "transparent": 0},
+        ],
+        pal=pal,
+    )
+    frames, _, _ = decode_gif(gif)
+    exp = base.copy()
+    exp[2, 3] = 2
+    exp[3, 4] = 3  # transparent corners left the base showing
+    assert np.array_equal(frames[1], exp)
+
+
+def test_gif_local_color_table_scoping():
+    """An LCT differing from the global table: named error from the
+    single-palette decode, correct per-frame colors from the RGB
+    decode — and it does NOT leak onto later GCT frames."""
+    from cloud_optimized_data_pipelines_spark.operators.gif_codec import (
+        decode_gif_rgb,
+    )
+
+    gct = np.array([[10, 10, 10], [20, 20, 20]], np.uint8)
+    lct = np.array([[90, 91, 92], [200, 201, 202]], np.uint8)
+    f = np.array([[0, 1]], np.uint8)
+    gif = _anim(
+        [
+            {"indices": f},
+            {"indices": f, "lct": lct},
+            {"indices": f},
+        ],
+        pal=gct,
+        screen=(2, 1),
+    )
+    with pytest.raises(ValueError, match="local color table"):
+        decode_gif(gif)
+    frames, _ = decode_gif_rgb(gif)
+    assert (frames[0][0, 0] == [10, 10, 10]).all()
+    assert (frames[1][0, 0] == [90, 91, 92]).all()
+    assert (frames[1][0, 1] == [200, 201, 202]).all()
+    assert (frames[2][0, 1] == [20, 20, 20]).all()  # LCT did not leak
+
+
+def test_gif_identical_lct_is_accepted_by_index_decode():
+    gct = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    f = np.array([[0, 1]], np.uint8)
+    gif = _anim([{"indices": f, "lct": gct}], pal=gct, screen=(2, 1))
+    frames, pal, _ = decode_gif(gif)
+    assert np.array_equal(frames[0], f)
+
+
+def test_gif_rgb_matches_index_decode_on_gct_only_files():
+    rng = np.random.RandomState(7)
+    from cloud_optimized_data_pipelines_spark.operators.gif_codec import (
+        decode_gif_rgb,
+    )
+
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    frames = [rng.randint(0, 16, (5, 9)).astype(np.uint8) for _ in range(3)]
+    gif = encode_gif(frames, pal)
+    idx_frames, dpal, _ = decode_gif(gif)
+    rgb_frames, _ = decode_gif_rgb(gif)
+    for a, b in zip(idx_frames, rgb_frames):
+        assert np.array_equal(dpal[a], b)
