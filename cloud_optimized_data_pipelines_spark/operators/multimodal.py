@@ -805,6 +805,67 @@ def jpeg_probe_table(spark, variants: int = 8) -> DataFrame:
     return spark.range(int(variants)).mapInPandas(gen, JPEG_PROBE_SCHEMA)
 
 
+JPEG_SUBSAMPLED_SCHEMA = (
+    "variant bigint, jpeg_md5 string, px_sum bigint, width bigint, "
+    "height bigint, channels bigint, restart bigint, subsampling string"
+)
+
+
+def _jpeg_subsampled_variant(v: int) -> dict:
+    """One deterministic CHROMA-SUBSAMPLED JPEG conversion — the form
+    virtually every web JPEG arrives in.  Same DC-exact construction
+    as :func:`_jpeg_variant` (uniform even-valued 8x8 blocks, R=G=B so
+    Y=v exactly and Cb=Cr=128): box-filter chroma downsampling of a
+    CONSTANT 128 plane is exactly 128, its DCT is all-zero, and
+    replication upsampling of a constant plane is exact — so the full
+    4:2:0/4:2:2 MCU interleave (4 or 2 luma blocks + Cb + Cr per MCU)
+    round-trips bit-exactly and px_sum stays recomputable
+    arithmetically in SQL from the block formula
+    val(b) = 2*((b*(v+1)) % 113) + 14 (x3 channels).  Variants 0-3 are
+    4:2:0, 4-7 are 4:2:2; v%4>=2 adds DRI/RSTn restarts (interval 2),
+    proving restart handling across the larger subsampled MCUs."""
+    from cloud_optimized_data_pipelines_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    ss = "420" if v % 8 < 4 else "422"
+    restart = 2 if v % 4 >= 2 else 0
+    gray = np.zeros((_JPEG_H, _JPEG_W), dtype=np.uint8)
+    for b in range(64):
+        by, bx = divmod(b, 8)
+        gray[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+            2 * ((b * (v + 1)) % 113) + 14
+        )
+    arr = np.repeat(gray[:, :, None], 3, axis=2)
+    jpg = encode_jpeg(arr, restart_interval=restart, subsampling=ss)
+    dec = decode_jpeg(jpg)
+    if not np.array_equal(dec, arr):  # pragma: no cover - codec guard
+        raise RuntimeError(
+            f"jpeg subsampled variant {v}: DC-exact round-trip mismatch"
+        )
+    return {
+        "variant": v,
+        "jpeg_md5": hashlib.md5(jpg).hexdigest(),
+        "px_sum": int(dec.sum(dtype=np.int64)),
+        "width": _JPEG_W,
+        "height": _JPEG_H,
+        "channels": 3,
+        "restart": restart,
+        "subsampling": ss,
+    }
+
+
+def jpeg_subsampled_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_jpeg_subsampled_variant(int(v)) for v in pdf["id"]]
+            )
+
+    return spark.range(int(variants)).mapInPandas(gen, JPEG_SUBSAMPLED_SCHEMA)
+
+
 def png_probe_table(spark, variants: int = 8) -> DataFrame:
     """The per-variant PNG reference conversions as a DataFrame computed
     ON EXECUTORS via mapInPandas (cog_probe_table pattern): the table
