@@ -57,3 +57,27 @@ def sign_bucket(a: Column | str, num_dims: int = 8) -> Column:
         for i in range(num_dims)
     ]
     return F.concat(*bits)
+
+
+def hamming1_probes(bucket: Column | str, num_dims: int) -> Column:
+    """The multiprobe set of a sign bucket: the bucket itself plus its
+    ``num_dims`` Hamming-1 neighbors (one bit flipped each) as an
+    ARRAY<STRING> — Lv et al. 2007's multi-probe LSH lever on the
+    hyperplane-sign code.  Explode it on the SMALL (broadcast) side of
+    a bucket equi-join: a true near neighbor differing in one sign bit
+    (the dominant miss mode of single-bucket blocking) is then found,
+    at (d+1)/2^d of the corpus instead of 1/2^d.  The d+1 strings are
+    pairwise distinct, so an exploded join never double-counts a pair.
+    """
+    b = _c(bucket)
+    return F.array(
+        b,
+        *(
+            F.concat(
+                F.substring(b, 1, i),
+                F.when(F.substring(b, i + 1, 1) == "1", "0").otherwise("1"),
+                F.substring(b, i + 2, num_dims - i - 1),
+            )
+            for i in range(num_dims)
+        ),
+    )

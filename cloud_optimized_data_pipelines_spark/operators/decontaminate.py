@@ -121,6 +121,7 @@ def embedding_contamination_flags_blocked(
     round_digits: int = 6,
     num_dims: int = 4,
     broadcast_test: bool = True,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """ANN-BLOCKED semantic decontamination — the scale path of
     :func:`embedding_contamination_flags`.
@@ -137,25 +138,35 @@ def embedding_contamination_flags_blocked(
     planner can broadcast or shuffle as sizes dictate.
 
     APPROXIMATE by construction: a train row whose true near-neighbor
-    eval point lands in a different sign bucket is missed (recall is
-    pytest-gated against the exact form, like ``ann_topk``); raise
-    recall by lowering ``num_dims`` or probing Hamming-1 neighbor
-    buckets.  Deterministic, so the DuckDB oracle reproduces the
-    blocked result bit-exactly.  Same survivorship contract as the
-    exact form: every train row survives with ``n_close`` /
-    ``contaminated``.
+    eval point lands in a different sign bucket is missed.  For a
+    DECONTAMINATION operator a miss is eval leakage, so
+    ``multiprobe=True`` composes the engine's Hamming-1 multiprobe
+    (``functions/vectors.py::hamming1_probes``, the ``ann_topk_
+    multiprobe`` lever): the d+1 probe buckets are exploded on the
+    SMALL eval side — the join stays a hashable bucket equi-join, the
+    candidate set grows to (d+1)/2^d of the corpus (still ~2^d/(d+1)
+    fewer folds than exact), and any neighbor within one sign flip is
+    found.  Recall is pytest-gated >= 99% on planted near-dups for the
+    multiprobe form (90% single-bucket).  Both forms are deterministic,
+    so the DuckDB oracle reproduces them bit-exactly.  Same
+    survivorship contract as the exact form: every train row survives
+    with ``n_close`` / ``contaminated``.
     """
     from cloud_optimized_data_pipelines_spark.functions.vectors import (
         dot,
+        hamming1_probes,
         norm,
         safe_cos_div,
         sign_bucket,
     )
 
+    tb = sign_bucket(F.col(vec_col), num_dims)
     tside = test.select(
         F.col(vec_col).alias("_tv"),
         norm(vec_col).alias("_tn"),
-        sign_bucket(F.col(vec_col), num_dims).alias("_tb"),
+        (
+            F.explode(hamming1_probes(tb, num_dims)) if multiprobe else tb
+        ).alias("_tb"),
     )
     if broadcast_test:
         tside = F.broadcast(tside)

@@ -107,26 +107,13 @@ def ann_topk_multiprobe(
     """
     from cloud_optimized_data_pipelines_spark.functions.vectors import (
         dot,
+        hamming1_probes,
         norm,
         safe_cos_div,
     )
 
     b = with_sign_bucket(df, vec_col, num_dims)
-    flips = F.array(
-        *(
-            [F.col("bucket")]
-            + [
-                F.concat(
-                    F.substring("bucket", 1, i),
-                    F.when(
-                        F.substring("bucket", i + 1, 1) == "1", "0"
-                    ).otherwise("1"),
-                    F.substring("bucket", i + 2, num_dims - i - 1),
-                )
-                for i in range(num_dims)
-            ]
-        )
-    )
+    flips = hamming1_probes("bucket", num_dims)
     q = (
         b.filter(F.col(id_col) == query_id)
         .select(
