@@ -4792,14 +4792,84 @@ def dedup_incremental_q(spark, sf_dir):
     )
 
 
-@query("text_bpe_merges")
+def _bpe_unrolled_ctes(n_merges: int) -> str:
+    """The BPE training loop unrolled as chained DuckDB CTEs (the
+    PageRank / LSH-reachability fixpoint-oracle pattern): v0 is the
+    distinct-word vocab with character symbol lists; each iteration i
+    picks the corpus-weighted argmax adjacent pair (r{i}, ties broken
+    count desc then pair lexicographic — Spark's exact order) and
+    rewrites every word's symbols (v{i}).
+
+    The rewrite uses a delimiter encoding that makes the Spark side's
+    leftmost-first non-overlapping merge fold a plain string replace:
+    each symbol is individually wrapped in U+001F
+    ("\\x1fa\\x1f\\x1fb\\x1f..."), so replace(s, wrap(a)||wrap(b),
+    wrap(a||b)) scans left to right without occurrences sharing
+    characters — exactly the fold semantics (a merged symbol cannot
+    re-trigger its own rule in-pass since a||b != a).  U+001F never
+    occurs in the corpus (whitespace-tokenized text); v0 would simply
+    split wrong and the row-count/hash gate would catch it."""
+    d = "chr(31)"
+    dd = f"{d} || {d}"
+    ctes = [
+        """v0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         list_transform(range(1, len(word) + 1),
+                        i -> substr(word, CAST(i AS INT), 1)) AS syms
+  FROM (
+    SELECT UNNEST(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                              x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY word
+)"""
+    ]
+    for it in range(1, n_merges + 1):
+        ctes.append(
+            f"""r{it} AS (
+  SELECT a, b FROM (
+    SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b, freq
+    FROM v{it - 1},
+         LATERAL (SELECT UNNEST(range(1, len(syms))) AS i) ix
+  ) p GROUP BY a, b
+  ORDER BY SUM(freq) DESC, a, b LIMIT 1
+)"""
+        )
+        s = f"{d} || array_to_string(syms, {dd}) || {d}"
+        s2 = (
+            f"replace({s}, {d} || r{it}.a || {dd} || r{it}.b || {d}, "
+            f"{d} || r{it}.a || r{it}.b || {d})"
+        )
+        ctes.append(
+            f"""v{it} AS (
+  SELECT word, freq,
+         string_split(substr(x.s, 2, len(x.s) - 2), {dd}) AS syms
+  FROM v{it - 1}, r{it}, LATERAL (SELECT {s2} AS s) x
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+def _bpe_merges_sql() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS rank, a AS \"left\", b AS \"right\","
+        f" a || b AS merged FROM r{i + 1}"
+        for i in range(8)
+    )
+    return f"WITH {_bpe_unrolled_ctes(8)}\n{rows}"
+
+
+@query("text_bpe_merges", _bpe_merges_sql)
 def text_bpe_merges_q(spark, sf_dir):
     """Full BPE tokenizer training (operators/bpe.py): 8 merge rules
     learned over the documents corpus.  Iterative algorithm (argmax
-    collect per iteration, like IVF's Lloyd step) → rows-only; exact
-    parity with a pure-Python reference BPE is pytest-gated
-    (test_bpe.py).  Iterations run on the distinct-WORD table, not the
-    corpus — the reason this is tractable at 100 TB."""
+    collect per iteration, like IVF's Lloyd step), but DETERMINISTIC —
+    ties break count desc then pair lexicographic — so the whole loop
+    is oracle-backed by an unrolled-CTE DuckDB fixpoint
+    (_bpe_unrolled_ctes): 8 chained argmax+rewrite stages whose merge
+    rewrite replays the Spark fold as a delimiter-wrapped string
+    replace.  Exact parity with a pure-Python reference BPE is also
+    pytest-gated (test_bpe.py).  Iterations run on the distinct-WORD
+    table, not the corpus — the reason this is tractable at 100 TB."""
     from cloud_optimized_data_pipelines_spark.operators.bpe import bpe_train
 
     t = load_tables(spark, sf_dir)
@@ -4836,13 +4906,45 @@ def window_rank_functions_q(spark, sf_dir):
     return spark.sql(_WINDOW_RANKS)
 
 
-@query("text_bpe_encode_stats")
+def _bpe_encode_stats_sql() -> str:
+    """Oracle for text_bpe_encode_stats: the 8 unrolled training CTEs
+    feed an UNROLLED ENCODER — per word, wrap the characters in the
+    U+001F delimiter encoding and replay the 8 merge replaces in rule
+    order (each rule row cross-joined in), then count symbols as
+    delimiter-chars/2 (every symbol carries exactly two wrappers)."""
+    d = "chr(31)"
+    dd = f"{d} || {d}"
+    enc = (
+        f"{d} || array_to_string(list_transform(range(1, len(w) + 1), "
+        f"i -> substr(w, CAST(i AS INT), 1)), {dd}) || {d}"
+    )
+    for i in range(1, 9):
+        enc = (
+            f"replace({enc}, {d} || r{i}.a || {dd} || r{i}.b || {d}, "
+            f"{d} || r{i}.a || r{i}.b || {d})"
+        )
+    rjoins = ", ".join(f"r{i}" for i in range(1, 9))
+    return f"""WITH {_bpe_unrolled_ctes(8)}
+SELECT doc_id,
+       CAST(len(regexp_replace(COALESCE(text, ''), '\\s+', '', 'g'))
+            AS BIGINT) AS n_chars,
+       CAST(COALESCE(list_sum(list_transform(
+         list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                     x -> x <> ''),
+         w -> (len({enc}) - len(replace({enc}, {d}, ''))) // 2
+       )), 0) AS BIGINT) AS n_bpe_tokens
+FROM documents, {rjoins}
+"""
+
+
+@query("text_bpe_encode_stats", _bpe_encode_stats_sql)
 def text_bpe_encode_stats_q(spark, sf_dir):
     """Train-then-apply: learn 8 merges, re-tokenize the corpus with
     the compiled single-expression encoder (operators/bpe.py::
     bpe_encode — map-only, no shuffle), report per-doc compression.
-    Iterative training step → rows-only; encoder parity with the
-    trained vocab is pytest-gated."""
+    Now oracle-backed end-to-end: the DuckDB side unrolls BOTH the
+    training fixpoint and the encoder (see _bpe_encode_stats_sql);
+    encoder parity with the trained vocab is also pytest-gated."""
     from cloud_optimized_data_pipelines_spark.operators.bpe import (
         bpe_encode,
         bpe_train,

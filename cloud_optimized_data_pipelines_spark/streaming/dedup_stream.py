@@ -44,6 +44,9 @@ def stream_exact_dedup(
     out_path: str,
     digest_path: str,
     checkpoint_path: str,
+    bloom_path: str | None = None,
+    bloom_m_bits: int = 1 << 16,
+    bloom_k_hashes: int = 4,
 ):
     """Start an availableNow stream that appends never-seen-before
     documents to ``out_path`` and their digests to ``digest_path``.
@@ -52,12 +55,27 @@ def stream_exact_dedup(
     the persisted digest table (excluding this batch's own id, for
     replay idempotence) -> dynamic-partition-overwrite both outputs
     under ``batch_id=N``.
+
+    ``bloom_path`` enables the BLOOM GATE (the crawler use-case the
+    sketch module cites): a fixed-size mergeable Bloom filter of every
+    admitted digest (``operators/sketches.py::bloom_partial``) is
+    probed BEFORE the anti-join — digests the filter has definitely
+    never seen (no false negatives) skip the join entirely, so the
+    common all-new-keys crawl batch never touches the big digest
+    table; only the ``maybe_present`` remainder (true dups + the
+    designed false-positive rate) anti-joins.  Results are identical
+    to the ungated path by the no-false-negative property
+    (property-tested); the filter is ~m_bits/63 BIGINT rows —
+    broadcastable at any corpus size — and its per-batch partials are
+    replay-safe because ``bit_or`` merge is idempotent.
     """
     spark = stream_df.sparkSession
 
     def process(batch: DataFrame, batch_id: int) -> None:
         process_dedup_batch(
-            spark, batch, batch_id, content_col, id_col, out_path, digest_path
+            spark, batch, batch_id, content_col, id_col, out_path,
+            digest_path, bloom_path=bloom_path, bloom_m_bits=bloom_m_bits,
+            bloom_k_hashes=bloom_k_hashes,
         )
 
     return (
@@ -76,16 +94,50 @@ def process_dedup_batch(
     id_col: str,
     out_path: str,
     digest_path: str,
+    bloom_path: str | None = None,
+    bloom_m_bits: int = 1 << 16,
+    bloom_k_hashes: int = 4,
 ) -> None:
     """One micro-batch of the streaming dedup (exposed for replay
-    tests: calling it twice with the same batch_id must be a no-op)."""
+    tests: calling it twice with the same batch_id must be a no-op).
+    With ``bloom_path`` set, the history anti-join runs only on the
+    digests the Bloom filter reports ``maybe_present`` (see
+    :func:`stream_exact_dedup`)."""
+    from cloud_optimized_data_pipelines_spark.operators.sketches import (
+        bloom_contains,
+        bloom_merge,
+        bloom_partial,
+    )
+
     survivors = _batch_survivors(batch, content_col, id_col)
     if os.path.exists(digest_path):
         seen = spark.read.parquet(digest_path)
         # exclude own partition: on replay our digests are already
         # there and would wrongly anti-join away the whole batch
         seen = seen.filter(F.col("batch_id") != batch_id).select("_h")
-        survivors = survivors.join(seen, "_h", "left_anti")
+        if bloom_path is not None and os.path.exists(bloom_path):
+            bloom = bloom_merge(
+                spark.read.parquet(bloom_path)
+                .filter(F.col("batch_id") != batch_id)
+                .select("word_idx", "bits")
+            )
+            flagged = bloom_contains(
+                bloom, survivors, "_h",
+                m_bits=bloom_m_bits, k_hashes=bloom_k_hashes,
+            )
+            # definitely-new keys skip the digest-table scan entirely;
+            # no false negatives => the union equals the plain anti-join
+            fresh = flagged.filter(~F.col("maybe_present")).drop(
+                "maybe_present"
+            )
+            checked = (
+                flagged.filter(F.col("maybe_present"))
+                .drop("maybe_present")
+                .join(seen, "_h", "left_anti")
+            )
+            survivors = fresh.unionByName(checked)
+        else:
+            survivors = survivors.join(seen, "_h", "left_anti")
     survivors = survivors.withColumn("batch_id", F.lit(batch_id))
     # per-writer option, NOT session conf: foreachBatch hands the batch
     # a cloned micro-batch session, so session-level conf set on the
@@ -97,3 +149,12 @@ def process_dedup_batch(
     survivors.select("_h", "batch_id").write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("batch_id").parquet(digest_path)
+    if bloom_path is not None:
+        bloom_partial(
+            survivors.select("_h"), "_h",
+            m_bits=bloom_m_bits, k_hashes=bloom_k_hashes,
+        ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "batch_id"
+        ).parquet(bloom_path)

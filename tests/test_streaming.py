@@ -363,3 +363,98 @@ def test_streaming_discovery_fetch_pipeline(spark, tmp_path):
         with open(out[i].local_path, "rb") as f:
             assert f.read() == b"granule-bytes-%d" % i
     assert out[99].error is not None and out[99].local_path is None
+
+
+def test_bloom_gated_dedup_equals_ungated(spark, tmp_path):
+    """The Bloom gate is a pure pre-filter: across several batches with
+    in-batch dups, cross-batch dups, and all-new batches, the gated
+    pipeline admits EXACTLY the rows the ungated one does (the
+    no-false-negative property), and the bloom partial table stays
+    fixed-size."""
+    from cloud_optimized_data_pipelines_spark.streaming.dedup_stream import (
+        process_dedup_batch,
+    )
+
+    batches = [
+        [(1, "alpha"), (2, "alpha"), (3, "beta")],
+        [(4, "beta"), (5, "gamma"), (6, "gamma")],
+        [(7, "delta"), (8, "epsilon")],  # the all-new crawl batch
+        [(9, "alpha"), (10, "zeta")],
+    ]
+    plain_out, plain_dig = str(tmp_path / "po"), str(tmp_path / "pd")
+    gate_out, gate_dig = str(tmp_path / "go"), str(tmp_path / "gd")
+    bloom = str(tmp_path / "bloom")
+    for bid, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        process_dedup_batch(spark, b, bid, "text", "doc_id",
+                            plain_out, plain_dig)
+        process_dedup_batch(spark, b, bid, "text", "doc_id",
+                            gate_out, gate_dig, bloom_path=bloom,
+                            bloom_m_bits=1 << 12, bloom_k_hashes=4)
+    plain = sorted((r.doc_id, r.text, r.batch_id)
+                   for r in spark.read.parquet(plain_out).collect())
+    gated = sorted((r.doc_id, r.text, r.batch_id)
+                   for r in spark.read.parquet(gate_out).collect())
+    assert gated == plain
+    bp = spark.read.parquet(bloom)
+    assert set(bp.columns) == {"word_idx", "bits", "batch_id"}
+    # fixed-size state: well under m_bits/63 words regardless of rows
+    assert bp.count() <= (1 << 12) // 63 + 4
+
+
+def test_bloom_gated_dedup_replay_is_idempotent(spark, tmp_path):
+    """Replaying a batch through the gated path (foreachBatch retry)
+    must reproduce its exact survivor set: the bloom partial of the
+    replayed batch is already on disk, but (a) it is excluded by
+    batch_id on read, and (b) bit_or merge is idempotent anyway."""
+    from cloud_optimized_data_pipelines_spark.streaming.dedup_stream import (
+        process_dedup_batch,
+    )
+
+    out, dig, bloom = (str(tmp_path / p) for p in ("out", "dig", "bloom"))
+    b0 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(3, "beta"), (4, "gamma")], "doc_id long, text string"
+    )
+    kw = dict(bloom_path=bloom, bloom_m_bits=1 << 12)
+    process_dedup_batch(spark, b0, 0, "text", "doc_id", out, dig, **kw)
+    process_dedup_batch(spark, b1, 1, "text", "doc_id", out, dig, **kw)
+    first = sorted((r.doc_id, r.text)
+                   for r in spark.read.parquet(out).collect())
+    assert first == [(1, "alpha"), (2, "beta"), (4, "gamma")]
+    bloom_first = sorted(
+        (r.word_idx, r.bits, r.batch_id)
+        for r in spark.read.parquet(bloom).collect()
+    )
+    process_dedup_batch(spark, b1, 1, "text", "doc_id", out, dig, **kw)
+    again = sorted((r.doc_id, r.text)
+                   for r in spark.read.parquet(out).collect())
+    assert again == first
+    bloom_again = sorted(
+        (r.word_idx, r.bits, r.batch_id)
+        for r in spark.read.parquet(bloom).collect()
+    )
+    assert bloom_again == bloom_first
+
+
+def test_bloom_gate_forced_false_positive_still_correct(spark, tmp_path):
+    """A tiny filter (m=63 -> everything collides) forces the
+    false-positive path: every key reads maybe_present and takes the
+    anti-join — results must still match the ungated truth."""
+    from cloud_optimized_data_pipelines_spark.streaming.dedup_stream import (
+        process_dedup_batch,
+    )
+
+    out, dig, bloom = (str(tmp_path / p) for p in ("o2", "d2", "b2"))
+    b0 = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(2, "alpha"), (3, "brand-new")], "doc_id long, text string"
+    )
+    kw = dict(bloom_path=bloom, bloom_m_bits=63, bloom_k_hashes=2)
+    process_dedup_batch(spark, b0, 0, "text", "doc_id", out, dig, **kw)
+    process_dedup_batch(spark, b1, 1, "text", "doc_id", out, dig, **kw)
+    got = sorted((r.doc_id, r.text)
+                 for r in spark.read.parquet(out).collect())
+    assert got == [(1, "alpha"), (3, "brand-new")]
