@@ -6552,83 +6552,77 @@ def text_bm25_scores_q(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _GRADED_WINDOW = [
-    # r6 rotation (VERDICT r5 task #1): the six never-driver-graded
-    # round-5 families (privacy, source-overlap audit, embedding
-    # decontamination, PSI drift, PNG resize, WAV downsample) plus the
-    # three new round-6 families (real-bytes JPEG codec, teleport-
-    # corrected PageRank, ANN-blocked decontamination) enter; demoted
-    # to make room are the four TPC-H slots (q1/q3/q18/q21 — driver-
-    # green since round 1, basic Catalyst shapes) and five slots whose
-    # family stays graded via a harder sibling (lsh_survivors ->
-    # lsh_clusters, substring_spans -> substring_cut, dsir_select ->
-    # dsir_weights, unigram_logprob -> bigram_backoff, cap_per_source
-    # -> token_budget_mix + the composed pipeline's cap stage).  Every
-    # demoted query stays registered and locally oracle-checked
-    # (tools/check_oracle.py covers all entries).
-    # reference pipeline surface (discovery -> enrich -> transfer -> stac)
+    # r8 rotation (VERDICT r7 task #1): all 38 oracle-backed queries
+    # that have NEVER earned a driver row enter the window, led by the
+    # three round-7 flagships.  12 slots keep ever-green representatives
+    # of the core reference-pipeline surface (discovery -> enrich ->
+    # transfer -> cogify -> stac) plus one anchor per big extension
+    # family so a regression there cannot hide for a round.  Demoted
+    # queries stay registered and locally oracle-checked
+    # (tools/check_oracle.py covers all entries); COVERAGE.md carries a
+    # last-driver-green ledger mapping every entry to the round it last
+    # earned a driver row.
+    # --- round-7 flagships (never driver-graded) ---
+    "similarity_decontaminate_multiprobe",
+    "multimodal_jpeg_subsampled",
+    "multimodal_gif_composite",
+    # --- BPE family (never driver-graded) ---
+    "text_bpe_pair_counts",
+    "text_bpe_merges",
+    "text_bpe_encode_stats",
+    # --- similarity / ANN (never driver-graded) ---
+    "similarity_ann_multiprobe",
+    "similarity_ivf_probe",
+    "similarity_embedding_near_dup",
+    # --- sketches / dedup variants (never driver-graded) ---
+    "sketch_bloom_membership",
+    "dedup_cdc_chunks",
+    "dedup_soft_weights",
+    "dedup_fuzzy_prefix",
+    "dedup_fuzzy_guard_report",
+    # --- text analysis (never driver-graded) ---
+    "text_simhash",
+    "text_fingerprint",
+    "text_doc_top_tokens",
+    "text_token_top20",
+    "text_chunk_sliding",
+    "text_pack_sequences",
+    "text_pii_redact",
+    # --- sampling (never driver-graded) ---
+    "sample_temperature_mix",
+    "sample_stratified_docs",
+    # --- multimodal (never driver-graded) ---
+    "multimodal_frame_sample",
+    # --- events / relational engine shapes (never driver-graded) ---
+    "events_gap_stats",
+    "subquery_exists_big_orders",
+    "subquery_scalar_above_avg",
+    "agg_conditional_pivot",
+    "agg_having_frequent_customers",
+    "join_range_ship_window",
+    "set_union_distinct",
+    "scalar_string_functions",
+    "scalar_date_functions",
+    # --- reference-surface siblings (never driver-graded) ---
+    "s3_cmr_predicates",
+    "c7_url_parse",
+    "a1_array_extent",
+    "j3_granule_enrichment",
+    "pipeline_corpus_prep",
+    # --- 12 ever-green keepers: core reference pipeline + one anchor
+    # per extension family ---
     "c1_extract_dates",
-    "c4_item_id",
     "s2_discovery_enrich",
     "s4_link_explode",
     "k3_transfer_plan",
     "j1_config_join",
     "a3_collection_extent",
     "k2_spill_flag",
-    # round-4 extension families: duplicate-cluster graph labeling,
-    # held-out bigram LM, DSIR data selection
-    "dedup_duplicate_clusters",
-    "text_bigram_backoff",
-    "sample_dsir_weights",
-    # events / streaming-shape analytics + drift
-    "sessionize_batch_events",
-    "streaming_dlq_routing",
-    "events_drift_psi",
-    # dedup families
-    "dedup_lsh_clusters",
-    "dedup_ngram_jaccard_guarded",
-    "dedup_ngram_containment",
-    "dedup_substring_cut",
-    "dedup_simhash_pairs",
-    "dedup_lines",
-    "dedup_source_overlap",
-    # sampling
-    "sample_token_budget_mix",
-    "sample_ccnet_buckets",
-    # sketches & hypertable rollups, graph ranking
-    "sketch_kmv_uniques",
-    "sketch_cms_heavy_hitters",
-    "rollup_hourly_merge",
-    "graph_pagerank_events",
-    "graph_pagerank_dangling",
-    # similarity & decontamination
-    "similarity_bruteforce_topk",
-    "similarity_knn_join",
-    "similarity_semantic_dedup",
-    "similarity_semantic_dedup_indexed",
-    "similarity_embedding_decontaminate",
-    "similarity_decontaminate_blocked",
-    "pipeline_corpus_preprocess",
-    # text analysis & release privacy
-    "text_gopher_quality",
-    "text_ngram_repetition",
-    "text_c4_clean",
-    "text_classifier_score",
-    "text_decontaminate",
-    "text_bm25_scores",
-    "text_distribution_shift",
-    "privacy_k_anonymous",
-    # raster / multimodal real-bytes codecs (png_features demoted:
-    # png_resize decodes+transforms+re-encodes the same 8 variants, and
-    # png_palette covers the round-6 indexed/sub-byte/Adam7 paths;
-    # wav_features demoted likewise for wav_downsample; gif_frames is
-    # the round-6 animated-container + frame-sampling family)
-    "k1_cogify_stage",
     "k1_cogify_real_bytes",
-    "multimodal_png_palette",
-    "multimodal_png_resize",
-    "multimodal_jpeg_features",
+    "dedup_duplicate_clusters",
+    "pipeline_corpus_preprocess",
+    "streaming_dlq_routing",
     "multimodal_gif_frames",
-    "multimodal_wav_downsample",
 ]
 
 
