@@ -256,6 +256,13 @@ def encode_gif_anim(
         if int(arr.max(initial=0)) >= len(pal):
             raise ValueError("gif: index out of palette range")
         transparent = spec.get("transparent")
+        if transparent is not None and not 0 <= int(transparent) < len(pal):
+            # a GCE transparency index no pixel can legally carry (or
+            # that bytes() would reject outright at >= 256)
+            raise ValueError(
+                f"gif: transparent index {transparent} out of palette "
+                f"range (palette has {len(pal)} entries)"
+            )
         disposal = int(spec.get("disposal", 0))
         if not 0 <= disposal <= 3:
             raise ValueError(f"gif: disposal method {disposal} out of range")

@@ -515,10 +515,13 @@ def _extend(v: int, cat: int) -> int:
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline JPEG to uint8 (H,W) grayscale or (H,W,3) RGB.
 
-    Supports: SOF0/SOF1, 8-bit precision, 1x1 sampling (no chroma
-    subsampling), multiple DQT/DHT segments, DRI + RSTn restarts.
-    Progressive / arithmetic / 12-bit / subsampled files raise a NAMED
-    NotImplementedError (decode them via an imaging library)."""
+    Supports: SOF0/SOF1, 8-bit precision, arbitrary integer-divisor
+    chroma sampling grids (1x1, 4:2:0, 4:2:2, ... — T.81 A.2.3 MCU
+    interleave, nearest-neighbor upsample), multiple DQT/DHT segments,
+    DRI + RSTn restarts.  Progressive (SOF2) / arithmetic / 12-bit /
+    fractional sampling ratios / multi-scan non-interleaved files
+    raise a NAMED NotImplementedError (decode them via an imaging
+    library)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -600,6 +603,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             h, w, comps = frame
             ns = body[0]
+            if ns < len(comps):
+                # legal baseline: each component in its own SOS.  We
+                # decode only fully-interleaved scans, and returning
+                # just the first scan's plane would silently hand back
+                # a grayscale image for a color file.
+                raise NotImplementedError(
+                    "multi-scan non-interleaved JPEG unsupported "
+                    f"(frame declares {len(comps)} components, scan "
+                    f"covers {ns})"
+                )
             bycid = {c[0]: c for c in comps}
             scan = []
             for i in range(ns):

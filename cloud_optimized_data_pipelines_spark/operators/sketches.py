@@ -278,7 +278,7 @@ def bloom_contains(
     """Membership test: a probe key is ``maybe_present`` iff ALL of its
     k bit positions are set (no false negatives; false positives at the
     designed rate).  Plan: probe explode -> equi-join on word_idx
-    against the (broadcastable, <= m_bits/64-row) filter -> count hits
+    against the (broadcastable, <= m_bits/63-row) filter -> count hits
     per key == k_hashes."""
     kc = F.col(key)
     pos = F.explode(

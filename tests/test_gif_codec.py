@@ -293,3 +293,23 @@ def test_gif_rgb_matches_index_decode_on_gct_only_files():
     rgb_frames, _ = decode_gif_rgb(gif)
     for a, b in zip(idx_frames, rgb_frames):
         assert np.array_equal(dpal[a], b)
+
+
+def test_gif_transparent_index_out_of_palette_is_named_error():
+    """ADVICE r7: a GCE transparency index >= len(palette) (or >= 256)
+    must raise a named ValueError, matching the pixel-index check —
+    not crash in bytes() or silently write an unusable index."""
+    import pytest
+    from cloud_optimized_data_pipelines_spark.operators.gif_codec import (
+        encode_gif_anim,
+    )
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    f = np.zeros((2, 2), np.uint8)
+    for bad in (2, 255, 256, 4096, -1):
+        with pytest.raises(ValueError, match="transparent"):
+            encode_gif_anim((2, 2), pal, [{"indices": f, "transparent": bad}])
+    # boundary: the last palette entry is a legal transparency index
+    ok = encode_gif_anim((2, 2), pal, [{"indices": f, "transparent": 1}])
+    frames, _, _ = decode_gif(ok)
+    assert np.array_equal(frames[0], f)

@@ -353,3 +353,22 @@ def test_fuzz_subsampled_decodes_any_dims(h, w, seed, ss):
     img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
     dec = decode_jpeg(encode_jpeg(img, subsampling=ss))
     assert dec.shape == img.shape
+
+
+def test_multiscan_noninterleaved_is_named_error():
+    """ADVICE r7: a baseline color JPEG encoded as three single-
+    component scans must raise a named NotImplementedError instead of
+    silently returning the Y plane as grayscale.  Forged by rewriting
+    an interleaved file's SOS to cover only component 1 (the entropy
+    data is then nonsense, but the header check fires first)."""
+    img = np.full((8, 8, 3), 128, np.uint8)
+    jpg = bytearray(encode_jpeg(img))
+    sos = bytes(jpg).find(b"\xff\xda")
+    assert sos > 0 and jpg[sos + 4] == 3  # interleaved 3-component scan
+    # SOS: FF DA len(2) ns (cs,td/ta)*ns ss se ah/al -> keep comp 1 only
+    tail = bytes(jpg[sos + 11:])           # ss se ah/al + entropy data
+    new = bytes(jpg[:sos]) + b"\xff\xda\x00\x08\x01" + bytes(
+        jpg[sos + 5 : sos + 7]
+    ) + tail
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(new)

@@ -397,7 +397,12 @@ def test_bloom_gated_dedup_equals_ungated(spark, tmp_path):
                    for r in spark.read.parquet(gate_out).collect())
     assert gated == plain
     bp = spark.read.parquet(bloom)
-    assert set(bp.columns) == {"word_idx", "bits", "batch_id"}
+    assert set(bp.columns) == {
+        "word_idx", "bits", "batch_id", "m_bits", "k_hashes"
+    }
+    assert {(r.m_bits, r.k_hashes)
+            for r in bp.select("m_bits", "k_hashes").distinct().collect()
+            } == {(1 << 12, 4)}
     # fixed-size state: well under m_bits/63 words regardless of rows
     assert bp.count() <= (1 << 12) // 63 + 4
 
@@ -458,3 +463,83 @@ def test_bloom_gate_forced_false_positive_still_correct(spark, tmp_path):
     got = sorted((r.doc_id, r.text)
                  for r in spark.read.parquet(out).collect())
     assert got == [(1, "alpha"), (3, "brand-new")]
+
+
+def test_bloom_gate_bootstraps_from_pregate_digest_history(spark, tmp_path):
+    """Introducing bloom_path AFTER ungated batches have admitted
+    digests must not create false negatives: the gate backfills the
+    missing batches' partials from the digest table before probing, so
+    a duplicate of a pre-bloom document is still rejected (this was
+    the ADVICE r7 hazard: pre-bloom digests absent from the filter
+    probed 'definitely new' and skipped the anti-join)."""
+    from cloud_optimized_data_pipelines_spark.streaming.dedup_stream import (
+        process_dedup_batch,
+    )
+
+    out, dig, bloom = (str(tmp_path / p) for p in ("o3", "d3", "b3"))
+    b0 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame([(3, "gamma")], "doc_id long, text string")
+    # batches 0-1 run UNGATED: digest history exists, bloom table does not
+    process_dedup_batch(spark, b0, 0, "text", "doc_id", out, dig)
+    process_dedup_batch(spark, b1, 1, "text", "doc_id", out, dig)
+    # batch 2 turns the gate on and carries a dup of batch-0 content
+    b2 = spark.createDataFrame(
+        [(4, "alpha"), (5, "delta")], "doc_id long, text string"
+    )
+    process_dedup_batch(spark, b2, 2, "text", "doc_id", out, dig,
+                        bloom_path=bloom, bloom_m_bits=1 << 12,
+                        bloom_k_hashes=4)
+    got = sorted((r.doc_id, r.text)
+                 for r in spark.read.parquet(out).collect())
+    assert got == [(1, "alpha"), (2, "beta"), (3, "gamma"), (5, "delta")]
+    # the backfill wrote partials for every pre-gate batch
+    bp = spark.read.parquet(bloom)
+    assert {r.batch_id for r in bp.select("batch_id").distinct().collect()
+            } == {0, 1, 2}
+
+
+def test_bloom_gate_auto_resizes_and_stays_exact(spark, tmp_path):
+    """bloom_m_bits='auto' (the default) sizes the filter from the
+    persisted digest count: a first batch large enough that 64 Ki bits
+    would saturate makes the NEXT batch rebuild at a bigger power of
+    two, every partial carries the new uniform geometry, and the gated
+    survivor set still equals the ungated truth (dup rejected, new
+    admitted)."""
+    from cloud_optimized_data_pipelines_spark.streaming.dedup_stream import (
+        _auto_bloom_size,
+        process_dedup_batch,
+    )
+
+    # geometry math: floor at 64 Ki, then next power of two past ~9.59n
+    assert _auto_bloom_size(0) == (1 << 16, 8)
+    assert _auto_bloom_size(1000) == (1 << 16, 8)   # 9.59k < 64k -> floor
+    m8k, k8k = _auto_bloom_size(8000)               # 76.7k -> 128 Ki
+    assert m8k == 1 << 17 and 1 <= k8k <= 8
+
+    out, dig, bloom = (str(tmp_path / p) for p in ("o4", "d4", "b4"))
+    n = 8000
+    b0 = spark.createDataFrame(
+        [(i, f"doc-{i}") for i in range(n)], "doc_id long, text string"
+    ).coalesce(4)
+    process_dedup_batch(spark, b0, 0, "text", "doc_id", out, dig,
+                        bloom_path=bloom)
+    # batch 0 sized for an empty history -> 64 Ki floor
+    import pyspark.sql.functions as F
+    bp0 = spark.read.parquet(bloom)
+    assert {r.m_bits for r in bp0.select("m_bits").distinct().collect()
+            } == {1 << 16}
+    # batch 1 sees n=8000 digests -> rebuild at 128 Ki, uniform geometry
+    b1 = spark.createDataFrame(
+        [(n + 1, "doc-0"), (n + 2, "fresh-doc")], "doc_id long, text string"
+    )
+    process_dedup_batch(spark, b1, 1, "text", "doc_id", out, dig,
+                        bloom_path=bloom)
+    bp1 = spark.read.parquet(bloom)
+    assert {(r.m_bits, r.k_hashes) for r in
+            bp1.select("m_bits", "k_hashes").distinct().collect()
+            } == {(m8k, k8k)}
+    admitted = spark.read.parquet(out).filter(F.col("batch_id") == 1)
+    assert sorted((r.doc_id, r.text) for r in admitted.collect()
+                  ) == [(n + 2, "fresh-doc")]
