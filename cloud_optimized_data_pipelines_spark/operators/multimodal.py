@@ -866,6 +866,87 @@ def jpeg_subsampled_probe_table(spark, variants: int = 8) -> DataFrame:
     return spark.range(int(variants)).mapInPandas(gen, JPEG_SUBSAMPLED_SCHEMA)
 
 
+JPEG_PROGRESSIVE_SCHEMA = (
+    "variant bigint, jpeg_md5 string, px_sum bigint, width bigint, "
+    "height bigint, channels bigint, n_scans bigint, subsampling string, "
+    "successive boolean"
+)
+
+
+def _jpeg_progressive_variant(v: int) -> dict:
+    """One deterministic PROGRESSIVE (SOF2) JPEG conversion — T.81
+    Annex G, the second-most-common form on the real web after
+    baseline 4:2:0.  Same DC-exact construction as
+    :func:`_jpeg_subsampled_variant` (uniform even-valued blocks,
+    R=G=B so chroma is constant 128): only DC coefficients are
+    nonzero, so the AC band scans are pure cross-block EOB runs and
+    the decode is bit-exact, keeping px_sum recomputable
+    arithmetically in SQL from the block formula.  The variant grid
+    covers grayscale + 4:4:4/4:2:0/4:2:2 color, spectral-selection-
+    only vs full successive approximation (DC+AC refinement scans),
+    and DRI/RSTn restarts inside progressive scans:
+
+    =======  =====  ===========  ==========  =======
+    variant  comps  subsampling  successive  restart
+    =======  =====  ===========  ==========  =======
+    0        1      444          no          0
+    1        1      444          yes         2
+    2        3      444          no          0
+    3        3      444          yes         0
+    4        3      420          yes         0
+    5        3      420          yes         2
+    6        3      422          no          0
+    7        3      422          yes         0
+    =======  =====  ===========  ==========  =======
+    """
+    from cloud_optimized_data_pipelines_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    gray_only = v < 2
+    ss = ["444", "444", "444", "444", "420", "420", "422", "422"][v % 8]
+    successive = v in (1, 3, 4, 5, 7)
+    restart = 2 if v in (1, 5) else 0
+    gray = np.zeros((_JPEG_H, _JPEG_W), dtype=np.uint8)
+    for b in range(64):
+        by, bx = divmod(b, 8)
+        gray[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+            2 * ((b * (v + 1)) % 113) + 14
+        )
+    arr = gray if gray_only else np.repeat(gray[:, :, None], 3, axis=2)
+    jpg = encode_jpeg_progressive(
+        arr, subsampling=ss, successive=successive, restart_interval=restart
+    )
+    dec = decode_jpeg(jpg)
+    if not np.array_equal(dec, arr):  # pragma: no cover - codec guard
+        raise RuntimeError(
+            f"jpeg progressive variant {v}: DC-exact round-trip mismatch"
+        )
+    n_scans = jpg.count(b"\xff\xda")
+    return {
+        "variant": v,
+        "jpeg_md5": hashlib.md5(jpg).hexdigest(),
+        "px_sum": int(dec.sum(dtype=np.int64)),
+        "width": _JPEG_W,
+        "height": _JPEG_H,
+        "channels": 1 if gray_only else 3,
+        "n_scans": n_scans,
+        "subsampling": ss,
+        "successive": successive,
+    }
+
+
+def jpeg_progressive_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_jpeg_progressive_variant(int(v)) for v in pdf["id"]]
+            )
+
+    return spark.range(int(variants)).mapInPandas(gen, JPEG_PROGRESSIVE_SCHEMA)
+
+
 def png_probe_table(spark, variants: int = 8) -> DataFrame:
     """The per-variant PNG reference conversions as a DataFrame computed
     ON EXECUTORS via mapInPandas (cog_probe_table pattern): the table

@@ -138,11 +138,17 @@ def test_named_errors():
     jpg = encode_jpeg(arr)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x00" + jpg)
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF2: routed to the Annex G progressive decoder,
+    # which rejects the baseline full-band scan header as malformed
     sof = jpg.find(b"\xff\xc0")
     prog = jpg[:sof + 1] + b"\xc2" + jpg[sof + 2:]
-    with pytest.raises(NotImplementedError, match="progressive|non-baseline"):
+    with pytest.raises(ValueError, match="mixes DC and AC"):
         decode_jpeg(prog)
+    # SOF3 (lossless) stays a named NotImplementedError
+    lossless = jpg[:sof + 1] + b"\xc3" + jpg[sof + 2:]
+    with pytest.raises(NotImplementedError,
+                       match="arithmetic|hierarchical|lossless"):
+        decode_jpeg(lossless)
     # a single-component scan is non-interleaved per T.81 A.2.2: its
     # MCU is one block even if the SOF declares 2x2 factors, so a
     # grayscale file claiming 2x2 sampling still decodes bit-exactly
@@ -372,3 +378,175 @@ def test_multiscan_noninterleaved_is_named_error():
     ) + tail
     with pytest.raises(NotImplementedError, match="non-interleaved"):
         decode_jpeg(new)
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2) — T.81 Annex G
+# --------------------------------------------------------------------------
+
+
+def _prog_cases():
+    # (dims, channels, subsampling, successive, restart, eob_runs)
+    return [
+        ((8, 8), 1, "444", False, 0, False),
+        ((8, 8), 1, "444", True, 0, True),
+        ((16, 24), 3, "444", True, 0, True),
+        ((17, 23), 3, "420", True, 0, True),
+        ((32, 40), 3, "422", True, 0, False),
+        ((24, 24), 3, "420", False, 0, True),
+        ((19, 13), 1, "444", True, 3, True),
+        ((33, 47), 3, "420", True, 2, True),
+    ]
+
+
+def test_progressive_decodes_bit_identical_to_baseline():
+    """A progressive encode carries exactly the quantized coefficients
+    a baseline encode does, so decoding both must agree PIXEL-FOR-
+    PIXEL — two entirely different entropy paths (Annex F sequential
+    vs Annex G spectral-selection + successive-approximation) pinned
+    against each other."""
+    from cloud_optimized_data_pipelines_spark.operators.jpeg_codec import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(11)
+    for (h, w), ch, ss, succ, ri, er in _prog_cases():
+        img = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+        if ch == 1:
+            img = img[:, :, 0]
+        base = decode_jpeg(encode_jpeg(img, subsampling=ss))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                img, subsampling=ss, successive=succ,
+                restart_interval=ri, eob_runs=er,
+            )
+        )
+        assert np.array_equal(base, prog), (h, w, ch, ss, succ, ri, er)
+
+
+def test_progressive_eob_runs_span_blocks():
+    """Smooth/flat content leaves most AC bands empty, so the EOBn
+    cross-block run path (the dominant symbol in real progressive
+    files) carries the scan; the run-coded file must be much smaller
+    than per-block EOB0 coding AND still decode bit-identically."""
+    from cloud_optimized_data_pipelines_spark.operators.jpeg_codec import (
+        encode_jpeg_progressive,
+    )
+
+    g = np.linspace(0, 255, 96).astype(np.uint8)
+    img = np.repeat(np.repeat(g[None, :, None], 80, 0), 3, 2)
+    base = decode_jpeg(encode_jpeg(img, subsampling="420"))
+    run = encode_jpeg_progressive(img, subsampling="420", eob_runs=True)
+    noruns = encode_jpeg_progressive(img, subsampling="420", eob_runs=False)
+    assert np.array_equal(decode_jpeg(run), base)
+    assert np.array_equal(decode_jpeg(noruns), base)
+    # a flat image's AC scans collapse to one EOBn each under run
+    # coding (vs one EOB0 PER BLOCK without) — despite the run table's
+    # fatter 8-bit codes, the file must shrink decisively
+    flat = np.full((128, 128, 3), 130, np.uint8)
+    flat_run = encode_jpeg_progressive(flat, eob_runs=True)
+    flat_noruns = encode_jpeg_progressive(flat, eob_runs=False)
+    assert len(flat_run) < len(flat_noruns) - 500
+    assert np.array_equal(
+        decode_jpeg(flat_run), decode_jpeg(encode_jpeg(flat))
+    )
+
+
+def test_progressive_scan_script_structure():
+    """The successive script emits the scans real encoders do: one DC
+    first scan, per-component AC band first scans, AC refinement
+    scans, and a final DC refinement scan — and the eob_runs table
+    rides in an extra DHT (slot 2)."""
+    from cloud_optimized_data_pipelines_spark.operators.jpeg_codec import (
+        encode_jpeg_progressive,
+    )
+
+    img = np.random.RandomState(3).randint(0, 256, (16, 16, 3)).astype(
+        np.uint8
+    )
+    jpg = encode_jpeg_progressive(img, successive=True, eob_runs=True)
+    assert jpg.find(b"\xff\xc2") > 0 and jpg.find(b"\xff\xc0") < 0
+    # count SOS headers: 1 DC first + 3*2 AC first + 3*2 AC refine +
+    # 1 DC refine = 14
+    n_sos, pos = 0, 0
+    while True:
+        pos = jpg.find(b"\xff\xda", pos)
+        if pos < 0:
+            break
+        n_sos += 1
+        pos += 2
+    assert n_sos == 14
+    # the custom EOB-capable AC table is declared in DHT slot tc=1,th=2
+    pos, found = 2, False
+    while pos + 4 < len(jpg):
+        if jpg[pos] == 0xFF and jpg[pos + 1] == 0xC4:
+            seglen = int.from_bytes(jpg[pos + 2 : pos + 4], "big")
+            body = jpg[pos + 4 : pos + 2 + seglen]
+            if body and body[0] == 0x12:
+                found = True
+            pos += 2 + seglen
+        else:
+            pos += 1
+    assert found
+
+
+def test_progressive_spectral_only_and_grayscale():
+    from cloud_optimized_data_pipelines_spark.operators.jpeg_codec import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(5)
+    g = rng.randint(0, 256, (21, 37)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(g))
+    for succ in (False, True):
+        for er in (False, True):
+            prog = decode_jpeg(
+                encode_jpeg_progressive(g, successive=succ, eob_runs=er)
+            )
+            assert np.array_equal(base, prog), (succ, er)
+
+
+def test_progressive_named_errors():
+    from cloud_optimized_data_pipelines_spark.operators.jpeg_codec import (
+        encode_jpeg_progressive,
+    )
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    jpg = bytearray(encode_jpeg_progressive(img))
+    # 12-bit precision in SOF2 -> named error
+    sof = bytes(jpg).find(b"\xff\xc2")
+    bad = bytes(jpg[: sof + 4]) + b"\x0c" + bytes(jpg[sof + 5 :])
+    with pytest.raises(NotImplementedError, match="precision"):
+        decode_jpeg(bad)
+    # truncated mid-entropy -> ValueError, not a hang or partial image
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(jpg[: len(jpg) - 8]))
+
+
+@given(
+    h=st.integers(8, 40),
+    w=st.integers(8, 40),
+    seed=st.integers(0, 10**6),
+    succ=st.booleans(),
+    er=st.booleans(),
+    ss=st.sampled_from(["444", "420", "422"]),
+)
+@settings(max_examples=25, deadline=None)
+def test_fuzz_progressive_equals_baseline(h, w, seed, succ, er, ss):
+    """Property: for ANY image/dims/subsampling/script, progressive
+    decode == baseline decode (same coefficients, different entropy
+    coding)."""
+    from cloud_optimized_data_pipelines_spark.operators.jpeg_codec import (
+        encode_jpeg_progressive,
+    )
+
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3)).astype(
+        np.uint8
+    )
+    base = decode_jpeg(encode_jpeg(img, subsampling=ss))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(
+            img, subsampling=ss, successive=succ, eob_runs=er
+        )
+    )
+    assert np.array_equal(base, prog)
