@@ -86,6 +86,20 @@ ADDITIONS_R6 = [
     "multimodal_gif_frames",
 ]
 
+# r08 additions (same separate-phase protocol): the round-7 families
+# that shipped without bench evidence (multiprobe-blocked embedding
+# decontamination, 4:2:0/4:2:2 subsampled JPEG, GIF sub-rect
+# compositing), the driver-side BPE merge loop, and the two round-8
+# queries (bloom-gated incremental dedup, progressive SOF2 JPEG)
+ADDITIONS_R8 = [
+    "similarity_decontaminate_multiprobe",
+    "multimodal_jpeg_subsampled",
+    "multimodal_gif_composite",
+    "text_bpe_merges",
+    "dedup_bloom_gated",
+    "multimodal_jpeg_progressive",
+]
+
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable
 # set above so their side effects (the SemDeDup partitioned assignment
 # write, PNG codec Python workers) cannot perturb the JVM/page-cache
@@ -135,7 +149,7 @@ def main() -> None:
     # ambiguity cost a manual A/B to resolve).
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for batch in (HEADLINE, ADDITIONS, ADDITIONS_R6):
+    for batch in (HEADLINE, ADDITIONS, ADDITIONS_R6, ADDITIONS_R8):
         for name in batch:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         for name in batch:

@@ -117,3 +117,32 @@ def test_plans_md_covers_registry():
     extra = sorted(rows - set(QUERIES))
     assert not missing, f"PLANS.md missing rows: {missing}"
     assert not extra, f"PLANS.md stale rows: {extra}"
+
+
+def test_coverage_ledger_current():
+    """COVERAGE.md's last-driver-green ledger (tools/ledger.py) must
+    match what the CORRECTNESS_r*.json history + the current registry
+    derive RIGHT NOW — the same stale-artifact pin PLANS.md has, so a
+    query registered without regenerating both artifacts fails the
+    suite (the staleness recurred three times before this test)."""
+    import os
+    import sys
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        import ledger
+    finally:
+        sys.path.pop(0)
+
+    expected = ledger.render(ledger.build_rows())
+    with open(os.path.join(repo, "COVERAGE.md")) as f:
+        text = f.read()
+    assert ledger.BEGIN in text and ledger.END in text, (
+        "COVERAGE.md has no ledger block — run: python tools/ledger.py"
+    )
+    actual = text[text.index(ledger.BEGIN): text.index(ledger.END)
+                  + len(ledger.END)]
+    assert actual == expected, (
+        "COVERAGE.md ledger is stale — run: python tools/ledger.py"
+    )
