@@ -98,6 +98,10 @@ ADDITIONS_R8 = [
     "text_bpe_merges",
     "dedup_bloom_gated",
     "multimodal_jpeg_progressive",
+    # wide (2x60-bit) banded simhash — the past-the-BIGINT-cliff form
+    "dedup_simhash_wide_pairs",
+    # Arrow/numpy SemDeDup (matmul assignment + tiled Gram flags)
+    "similarity_semantic_dedup_fast",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

@@ -1297,6 +1297,169 @@ def simhash_near_dup_pairs(
     )
 
 
+def simhash_wide(text_col, words: int = 2, bits_per_word: int = 60):
+    """Multi-word SimHash: an ``array<long>`` of ``words`` independent
+    ``bits_per_word``-bit fingerprints — the scale fix for the banded
+    pair join's band-cardinality cliff.
+
+    Candidate pairs in the banded join grow as
+    ~num_bands * n^2 / 2^(band_width + 1): the single-BIGINT form caps
+    band width at 60/num_bands = 15 bits, which saturates around 10^7
+    docs (measured: at 5M docs the 15-bit bands already emit ~10^9
+    candidates, see SCALE.md round 8).  Two 60-bit words give 120 bits
+    -> 6 bands of 20 bits (complete for Hamming <= 5), cutting expected
+    candidates 32x per band-width bit; ``words`` scales further
+    (Manku's production shape is 64-bit unsigned + permuted tables;
+    multi-word is the signed-BIGINT-portable equivalent).
+
+    Word ``w`` hashes token ``t`` as md5(t || '|w') so word bits are
+    independent; per-token digests stay O(tokens * words), and the
+    per-bit folds O(tokens * words * bits) — the same let-binding as
+    :func:`simhash` keeps md5 out of the per-bit lambdas.  Bit-identical
+    in DuckDB: ``('0x' || substr(md5(t || '|w'), 1, 15))::BIGINT``.
+    """
+    from cloud_optimized_data_pipelines_spark.functions.text import tokens
+
+    if not 1 <= bits_per_word <= 60:
+        raise ValueError("bits_per_word must be in [1, 60] (signed-BIGINT-safe)")
+    hex_chars = -(-bits_per_word // 4)
+
+    def build_word(harr):
+        def bit_sum(b: int):
+            mask = 1 << b
+            return F.aggregate(
+                harr,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)).otherwise(
+                    F.lit(-1)
+                ),
+            )
+
+        out = F.lit(0).cast("long")
+        for b in range(bits_per_word):
+            out = out + F.when(
+                bit_sum(b) > 0, F.lit(2**b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return out
+
+    def hasher(w: int):
+        # MUST be a unary lambda: F.transform dispatches on the
+        # callable's arity, so the idiomatic ``lambda t, w=w`` default-
+        # arg capture silently becomes a BINARY (element, index) lambda
+        # — the index Column binds to ``w`` and gets repr-formatted
+        # into the hash suffix (measured: run-to-run-unstable
+        # fingerprints, caught by the python cross-check test)
+        suffix = f"|{w}"
+        return lambda t: F.conv(
+            F.substring(F.md5(F.concat(t, F.lit(suffix))), 1, hex_chars),
+            16,
+            10,
+        ).cast("long")
+
+    fps = []
+    for w in range(words):
+        hashes = F.transform(tokens(text_col), hasher(w))
+        fps.append(F.transform(F.array(hashes), build_word)[0])
+    return F.array(*fps)
+
+
+def simhash_wide_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    words: int = 2,
+    bits_per_word: int = 60,
+    num_bands: int = 6,
+    max_hamming: int = 3,
+    materialize: bool = False,
+) -> DataFrame:
+    """Banded Hamming near-dup pairs over the :func:`simhash_wide`
+    multi-word fingerprint — :func:`simhash_near_dup_pairs` re-banded
+    for corpora past the single-BIGINT cliff.
+
+    Same pigeonhole completeness (``max_hamming < num_bands`` over the
+    CONCATENATED words*bits_per_word-bit string), same equi-join shape;
+    only the band width changes: 120 bits / 6 bands = 20-bit band
+    values (2^20 cardinality vs 2^15), so expected candidates drop 32x
+    at the same corpus size and the join stays collision-bound to
+    ~10^8-10^9 docs.  ``num_bands`` must split evenly across words so a
+    band never straddles a word boundary (band extraction stays one
+    shiftright+mask on one BIGINT).
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, hamming over the
+    full concatenated fingerprint.
+    """
+    if num_bands % words:
+        raise ValueError("num_bands must divide evenly across words")
+    bands_per_word = num_bands // words
+    if bits_per_word % bands_per_word:
+        raise ValueError("bits_per_word must divide evenly into per-word bands")
+    if max_hamming >= num_bands:
+        raise ValueError(
+            "max_hamming must be < num_bands: pigeonhole completeness"
+        )
+    width = bits_per_word // bands_per_word
+    mask = (1 << width) - 1
+    sh = _spread(df).select(
+        F.col(id_col).alias("id"),
+        simhash_wide(F.col(text_col), words, bits_per_word).alias("sh"),
+    )
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
+    banded = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(w * bands_per_word + b).alias("band"),
+                        F.shiftright(F.col("sh")[w], b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for w in range(words)
+                    for b in range(bands_per_word)
+                ]
+            )
+        ).alias("bv"),
+    ).select(
+        "id", "sh", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()  # a pair matching in k bands appears k times
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("sh_a"),
+            F.col("sh_b"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, h: acc + h,
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # last (applicationId, dir) requested in this process — the guard state
 # for the session-global setCheckpointDir side effect (see _make_ckpt)
 _CKPT_DIR_SET: list[tuple[str, str]] = []
@@ -1354,6 +1517,7 @@ def connected_components(
     max_iter: int = 50,
     checkpoint: bool = True,
     checkpoint_dir=None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Duplicate-cluster labeling: connected components of a near-dup
     pair graph via alternating large-star / small-star (Kiveris et al.
@@ -1404,6 +1568,10 @@ def connected_components(
     ``(node, component)`` with component = the smallest node id
     reachable from it.  Deterministic: min over ids, no RNG, no
     partition-order dependence.
+
+    ``stats``, if given, is filled in-place with ``rounds`` (contraction
+    rounds to the stable signature) and ``input_edges`` — the scale
+    probes assert rounds stay O(log^2 n) as the graph grows.
     """
     ckpt = _make_ckpt(edges, checkpoint, checkpoint_dir)
     dt = dict(edges.dtypes)
@@ -1462,6 +1630,9 @@ def connected_components(
         )
 
     sig = _signature(e)
+    if stats is not None:
+        stats["input_edges"] = sig[0]
+    rounds_run = 0
     for _ in range(max_iter):
         # large-star: over the symmetric edge list, m(u) = min(N(u) + {u});
         # emit (v, m(u)) for the strictly larger neighbors v of u
@@ -1499,12 +1670,15 @@ def connected_components(
             .distinct()
         )
         e = ckpt(e)
+        rounds_run += 1
         new_sig = _signature(e)
         if new_sig == sig:
             break
         sig = new_sig
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds_run
     # converged: e is a star forest of canonical (center=min, leaf) pairs
     lab = (
         _sym(e)

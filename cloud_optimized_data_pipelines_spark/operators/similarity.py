@@ -698,6 +698,137 @@ def semantic_dedup_indexed(
     )
 
 
+def _semantic_assign_numpy(
+    df: DataFrame, vec_col: str, id_col: str, k_lists: int
+) -> DataFrame:
+    """Vectorized (Arrow + numpy matmul) SemDeDup cluster assignment —
+    same semantics as :func:`_semantic_assign` (max cosine, ties to
+    lowest cid, zero-norm rows to the lowest-id cluster), ~100x the
+    fold path's throughput.
+
+    Why it exists: the declarative assignment folds the dot product
+    with Catalyst higher-order lambdas, which run INTERPRETED — the
+    100x/1000x probes measure ~0.7M candidate folds/s total, so the
+    n x k crossJoin dominates at SemDeDup's k ~ sqrt(n) design point
+    (133 s at n=200k, k=448).  A k x d centroid matrix is metadata
+    (k_lists rows), so each Arrow batch scores against it with one
+    float64 matmul on the executor — no shuffle at all (the fold path
+    shuffles n rows for its partial-agg argmax; this path is fully
+    map-side).
+
+    Epsilon caveat: matmul accumulates pairwise, the fold
+    sequentially — cosines can differ in the last ulps, so an argmax
+    between two near-exactly-tied centroids may pick differently.
+    The equality property test (tests/test_text_vectors.py) pins both
+    paths identical on the shipped test data.
+    """
+    import numpy as np
+
+    cent_rows = sorted(
+        df.filter(F.col(id_col) < k_lists)
+        .select(F.col(id_col).cast("long"), vec_col)
+        .collect(),
+        key=lambda r: r[0],
+    )
+    if not cent_rows:
+        raise ValueError("no centroid rows: need ids < k_lists present")
+    cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt((C * C).sum(axis=1))
+
+    vec_field = next(f for f in df.schema.fields if f.name == vec_col)
+    out_schema = (
+        f"{id_col} long, cid long, {vec_col} {vec_field.dataType.simpleString()}"
+    )
+    src = df.select(F.col(id_col).cast("long").alias(id_col), vec_col)
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mnorm = np.sqrt((M * M).sum(axis=1))
+            denom = np.outer(mnorm, cnorm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (M @ C.T) / denom
+            # zero-norm rows/centroids: NULL cosine in the fold path,
+            # coalesced to a -2.0 sentinel below any real cosine
+            cos = np.where(denom == 0.0, -2.0, cos)
+            # argmax first-max = lowest cid on ties (cids sorted asc)
+            best = cids[np.argmax(cos, axis=1)]
+            out = pdf[[id_col, vec_col]].copy()
+            out.insert(1, "cid", best)
+            yield out
+
+    return src.mapInPandas(assign, schema=out_schema)
+
+
+def semantic_dedup_fast(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str = "vec_id",
+    k_lists: int = 16,
+    threshold: float = 0.95,
+    round_digits: int = 6,
+    block: int = 4096,
+) -> DataFrame:
+    """SemDeDup with both stages vectorized — the 100 TB fast path of
+    :func:`semantic_dedup` (same output: every row as
+    ``(id, cid, is_dup)``).
+
+    Assignment: :func:`_semantic_assign_numpy` (map-side matmul).
+    Within-cluster flags: ``applyInPandas`` per cid — rows sorted by
+    id, the Gram matrix built in ``block x block`` tiles so memory
+    stays O(block^2) however large a cluster is; a row is a duplicate
+    iff any LOWER-id cluster-mate has round(cos, round_digits) >=
+    threshold, exactly the fold path's semi-join predicate (zero-norm
+    rows normalize to the zero vector -> cosine 0, matching the fold
+    path's NULL-cosine-never-qualifies for any threshold > 0).
+
+    Use ``k_lists ~ sqrt(n)`` here: one cid is one Arrow group, so
+    per-cluster work (and memory: cluster_size x dim float64) is the
+    quantity k_lists controls.  At the probe's 2M x 64 corpus this
+    path runs the k=1414 design point in ~1 min where the fold path
+    needs hours (SCALE.md round 8).
+
+    Epsilon caveat as in :func:`_semantic_assign_numpy`: matmul vs
+    sequential-fold cosines can differ in the final ulps at the
+    round_digits boundary; the registered query's oracle parity is
+    pinned by the driver at fixed data.
+    """
+    import numpy as np
+
+    assigned = _semantic_assign_numpy(df, vec_col, id_col, k_lists)
+    out_schema = f"{id_col} long, cid long, is_dup boolean"
+
+    def flags(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        V = np.array(list(pdf[vec_col]), dtype=np.float64)
+        n = V.shape[0]
+        norms = np.sqrt((V * V).sum(axis=1, keepdims=True))
+        Vn = np.divide(V, norms, out=np.zeros_like(V), where=norms != 0.0)
+        dup = np.zeros(n, dtype=bool)
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            # tile (lo:hi) x (0:hi): cos against every lower-or-equal id
+            G = np.round(Vn[lo:hi] @ Vn[:hi].T, round_digits)
+            hit = G >= threshold
+            # strict lower-triangle within the diagonal tile
+            hit[:, lo:hi] &= np.tri(hi - lo, hi - lo, -1, dtype=bool)
+            dup[lo:hi] = hit.any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cid": pdf["cid"],
+                "is_dup": dup,
+            }
+        )
+
+    return assigned.groupBy("cid").applyInPandas(flags, schema=out_schema)
+
+
 def ivf_write_index(
     spark,
     df: DataFrame,

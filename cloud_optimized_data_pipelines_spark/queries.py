@@ -2196,6 +2196,56 @@ def dedup_simhash_pairs_q(spark, sf_dir):
     )
 
 
+def _duck_simhash_wide_terms(word: int, bits: int = 60) -> str:
+    """Per-word terms for the multi-word fingerprint: word ``w`` hashes
+    token ``t`` as md5(t || '|w') — mirrors operators/dedup.py::
+    simhash_wide bit-for-bit."""
+    hex_chars = -(-bits // 4)
+    h = f"(('0x' || substr(md5(t || '|{word}'), 1, {hex_chars}))::BIGINT)"
+    return " + ".join(
+        f"CASE WHEN 2 * len(list_filter(tk, t -> ({h} >> {b}) & 1 = 1)) > len(tk) "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+
+
+_SIMHASH_WIDE_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CAST({_duck_simhash_wide_terms(0)} AS BIGINT) AS sh0,
+         CAST({_duck_simhash_wide_terms(1)} AS BIGINT) AS sh1
+  FROM toks
+)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(bit_count(xor(l.sh0, r.sh0)) + bit_count(xor(l.sh1, r.sh1))
+            AS BIGINT) AS hamming
+FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.sh0, r.sh0)) + bit_count(xor(l.sh1, r.sh1)) <= 5
+"""
+
+
+@query("dedup_simhash_wide_pairs", _SIMHASH_WIDE_PAIRS)
+def dedup_simhash_wide_pairs_q(spark, sf_dir):
+    """Multi-word SimHash near-dup pairs (operators/dedup.py::
+    simhash_wide_near_dup_pairs): 6 twenty-bit bands over a 2x60-bit
+    fingerprint — the banded join PAST the single-BIGINT cliff.  Band-
+    value cardinality 2^20 vs the 60-bit form's 2^15 cuts expected
+    candidates 32x at the same corpus size (the 1000x probe measures
+    the 60-bit form candidate-bound at 5M docs while this form stays
+    output-bound — SCALE.md round 8).  max_hamming=5 = num_bands-1, so
+    blocking is COMPLETE and the plan must exactly reproduce the
+    oracle's naive all-pairs scan over the concatenated 120-bit
+    Hamming distance."""
+    t = load_tables(spark, sf_dir)
+    return D.simhash_wide_near_dup_pairs(
+        t["documents"], "doc_id", "text", max_hamming=5, materialize=True,
+    )
+
+
 # transitive closure of the simhash near-dup graph; `pairs`/`edges` are
 # MATERIALIZED because DuckDB otherwise re-inlines the all-pairs simhash
 # join into EVERY recursion step (measured: >300 s vs ~2 s at sf0.1)
@@ -2485,6 +2535,24 @@ def semantic_dedup_q(spark, sf_dir):
     whose size k_lists controls."""
     t = load_tables(spark, sf_dir)
     return S.semantic_dedup(
+        t["embeddings"], "embedding", "vec_id", k_lists=16, threshold=0.35
+    )
+
+
+@query("similarity_semantic_dedup_fast", _SEMANTIC_DEDUP)
+def semantic_dedup_fast_q(spark, sf_dir):
+    """Vectorized SemDeDup (operators/similarity.py::
+    semantic_dedup_fast): same flags as similarity_semantic_dedup —
+    identical oracle — but both stages run as Arrow-batched numpy
+    matmuls (mapInPandas assignment against the broadcast k x d
+    centroid matrix, applyInPandas per-cid tiled Gram) instead of
+    interpreted Catalyst array folds.  The declarative path measures
+    ~0.7M candidate folds/s, which caps SemDeDup's k ~ sqrt(n) design
+    point; this path runs the 2M x 64 / k=1414 probe in ~1 min where
+    the fold path needs hours (SCALE.md round 8).  Property test pins
+    fast == fold on the shipped data (tests/test_text_vectors.py)."""
+    t = load_tables(spark, sf_dir)
+    return S.semantic_dedup_fast(
         t["embeddings"], "embedding", "vec_id", k_lists=16, threshold=0.35
     )
 
@@ -6765,19 +6833,23 @@ _GRADED_WINDOW = [
     # --- new round-8 queries (first-ever driver rows) ---
     "dedup_bloom_gated",
     "multimodal_jpeg_progressive",
+    "dedup_simhash_wide_pairs",
+    "similarity_semantic_dedup_fast",
     # --- 10 ever-green keepers: core reference pipeline + one anchor
     # per extension family (a3_collection_extent's agg family stays
     # graded via a1_array_extent; multimodal_gif_frames' GIF family
     # via multimodal_gif_composite) ---
+    # (k2_spill_flag and pipeline_corpus_preprocess rotated out this
+    # round for the two new r8 queries above: the JSON-scalar family
+    # stays anchored by k2's every-prior-round green rows, the corpus
+    # pipeline by pipeline_corpus_prep in the never-graded slots)
     "c1_extract_dates",
     "s2_discovery_enrich",
     "s4_link_explode",
     "k3_transfer_plan",
     "j1_config_join",
-    "k2_spill_flag",
     "k1_cogify_real_bytes",
     "dedup_duplicate_clusters",
-    "pipeline_corpus_preprocess",
     "streaming_dlq_routing",
 ]
 

@@ -701,6 +701,102 @@ def test_simhash_pairs_banded_blocking_is_complete(spark, sf_dir):
     assert banded == brute and len(banded) > 0
 
 
+def test_simhash_wide_matches_python_reference(spark):
+    """The multi-word fingerprint must equal an independent python
+    (hashlib) construction token-for-token — this cross-check caught a
+    silent F.transform arity trap where ``lambda t, w=w`` dispatched as
+    a BINARY (element, index) lambda and repr-formatted the index
+    Column into the hash suffix (run-to-run-unstable fingerprints)."""
+    import hashlib
+    import re
+
+    from pyspark.sql import functions as F
+    from cloud_optimized_data_pipelines_spark.operators import dedup as D
+
+    corpus = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma delta"),
+        (3, "one two  three\tfour"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r.doc_id: list(r.sh)
+        for r in df.select(
+            "doc_id", D.simhash_wide(F.col("text")).alias("sh")
+        ).collect()
+    }
+
+    def py_wide(text, words=2, bits=60):
+        toks = [t for t in re.split(r"\s+", text) if t]
+        fps = []
+        for w in range(words):
+            hs = [
+                int(hashlib.md5((t + f"|{w}").encode()).hexdigest()[:15], 16)
+                for t in toks
+            ]
+            fp = 0
+            for b in range(bits):
+                if sum(1 if h & (1 << b) else -1 for h in hs) > 0:
+                    fp |= 1 << b
+            fps.append(fp)
+        return fps
+
+    assert got == {i: py_wide(t) for i, t in corpus}
+
+
+def test_simhash_wide_banded_blocking_is_complete(spark, sf_dir):
+    """6 twenty-bit bands over 2x60 bits with max_hamming = 5: the band
+    join must find EXACTLY the brute-force all-pairs Hamming matches
+    over the concatenated fingerprint (pigeonhole completeness)."""
+    from pyspark.sql import functions as F
+    from cloud_optimized_data_pipelines_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_wide_near_dup_pairs(
+            docs, "doc_id", "text", max_hamming=5
+        ).collect()
+    }
+    sh = docs.select("doc_id", D.simhash_wide(F.col("text")).alias("sh"))
+    l, r = sh.alias("l"), sh.alias("r")
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("l.sh"),
+            F.col("r.sh"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, h: acc + h,
+    )
+    brute = {
+        (row.id_a, row.id_b, row.hamming)
+        for row in l.join(r, F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 5)
+        .collect()
+    }
+    assert banded == brute and len(banded) > 0
+
+
+def test_simhash_wide_rejects_bad_band_geometry(spark):
+    import pytest
+
+    from cloud_optimized_data_pipelines_spark.operators import dedup as D
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divide evenly across words"):
+        D.simhash_wide_near_dup_pairs(df, "doc_id", "text", num_bands=5)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_wide_near_dup_pairs(
+            df, "doc_id", "text", num_bands=6, max_hamming=6
+        )
+
+
 def test_simhash_pairs_planted_near_identical_docs(spark):
     """Two docs differing in one token land within the Hamming gate;
     an unrelated doc does not pair with either."""

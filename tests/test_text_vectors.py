@@ -501,6 +501,68 @@ def test_semantic_dedup_indexed_probe_is_partition_pruned(spark, sf_dir, tmp_pat
     assert "cid" in pf
 
 
+def test_semantic_dedup_fast_equals_fold_path(spark, sf_dir):
+    """The Arrow/numpy fast path (matmul assignment + tiled-Gram
+    flags) must reproduce the declarative fold path's flags exactly on
+    the shipped corpus — including at several k_lists (cluster
+    geometry) and a tile size smaller than the largest cluster (tiling
+    must not change any flag)."""
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for k_lists, block in ((8, 4096), (16, 64)):
+        fold = {
+            (r.vec_id, r.cid, r.is_dup)
+            for r in S.semantic_dedup(
+                emb, "embedding", "vec_id", k_lists=k_lists, threshold=0.35
+            ).collect()
+        }
+        fast = {
+            (r.vec_id, r.cid, r.is_dup)
+            for r in S.semantic_dedup_fast(
+                emb,
+                "embedding",
+                "vec_id",
+                k_lists=k_lists,
+                threshold=0.35,
+                block=block,
+            ).collect()
+        }
+        assert fast == fold
+
+
+def test_semantic_dedup_fast_zero_norm_rows_never_dup(spark):
+    """Zero-norm vectors: the fold path's NULL cosine never qualifies;
+    the numpy path normalizes them to the zero vector (cos 0) — both
+    must land them in the lowest-id cluster, never flagged."""
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.0, 0.0]),
+        (3, [0.0, 0.0]),
+        (4, [2.0, 0.01]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fast = {
+        (r.vec_id, r.cid, r.is_dup)
+        for r in S.semantic_dedup_fast(
+            df, "embedding", "vec_id", k_lists=2, threshold=0.9
+        ).collect()
+    }
+    fold = {
+        (r.vec_id, r.cid, r.is_dup)
+        for r in S.semantic_dedup(
+            df, "embedding", "vec_id", k_lists=2, threshold=0.9
+        ).collect()
+    }
+    assert fast == fold
+    by_id = {i: (c, d) for i, c, d in fast}
+    assert by_id[2] == (0, False) and by_id[3] == (0, False)
+    assert by_id[4] == (0, True)  # near-parallel to centroid 0's mate
+
+
 def test_semantic_dedup_threshold_monotone(spark, sf_dir):
     """Raising tau can only shrink the dup set (nested dedup levels)."""
     from cloud_optimized_data_pipelines_spark.operators import similarity as S
