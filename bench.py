@@ -102,6 +102,10 @@ ADDITIONS_R8 = [
     "dedup_simhash_wide_pairs",
     # Arrow/numpy SemDeDup (matmul assignment + tiled Gram flags)
     "similarity_semantic_dedup_fast",
+    # interlaced GIF + G.711 telephony WAV + AVI video real-bytes probes
+    "multimodal_gif_interlaced",
+    "multimodal_wav_g711",
+    "multimodal_avi_frames",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

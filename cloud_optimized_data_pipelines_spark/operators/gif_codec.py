@@ -27,10 +27,10 @@ Implemented from the public GIF89a specification:
   (``decode_gif``) raises a NAMED error when an LCT differs from the
   global table (it cannot represent two palettes in one index plane);
 - encoder (``encode_gif_anim``) emits GIF89a with per-frame GCE +
-  descriptor incl. sub-rects, disposal, transparency and LCTs.
-
-Not implemented (named error): GIF interlaced frames (rare in the
-wild; the PNG codec covers interlace semantics).
+  descriptor incl. sub-rects, disposal, transparency and LCTs;
+- interlaced frames (GIF87a appendix E 4-pass row schedule), both
+  directions: the decoder deinterlaces, the encoder takes a per-frame
+  ``interlace`` flag.
 
 Everything is lossless and deterministic, so the graded probe pins
 byte-stream md5s AND recomputes decoded-pixel sums arithmetically
@@ -173,6 +173,18 @@ def _palette_bits(palette: np.ndarray) -> tuple[int, int]:
     return size_bits, 1 << size_bits
 
 
+def _interlace_order(fh: int) -> list[int]:
+    """GIF87a appendix E row schedule: pass 1 every 8th row from 0,
+    pass 2 every 8th from 4, pass 3 every 4th from 2, pass 4 every 2nd
+    from 1.  ``order[k]`` = display row of the k-th STORED row."""
+    return [
+        *range(0, fh, 8),
+        *range(4, fh, 8),
+        *range(2, fh, 4),
+        *range(1, fh, 2),
+    ]
+
+
 def encode_gif(
     frames: list[np.ndarray],
     palette: np.ndarray,
@@ -225,7 +237,9 @@ def encode_gif_anim(
     - ``transparent`` (default None): transparency index for this
       frame's GCE (pixels with that index leave the canvas unchanged);
     - ``lct`` (default None): a local color table for this frame
-      (n<=256, 3) uint8, overriding the global table per spec scope.
+      (n<=256, 3) uint8, overriding the global table per spec scope;
+    - ``interlace`` (default False): store this frame's rows in the
+      GIF87a 4-pass interlace schedule and set the descriptor flag.
     """
     w, h = screen_wh
     palette = np.asarray(palette, dtype=np.uint8)
@@ -274,6 +288,10 @@ def encode_gif_anim(
         if lct is not None:
             lct_bits, lct_n = _palette_bits(pal)
             fpacked = 0x80 | ((lct_bits - 1) & 0x07)
+        interlace = bool(spec.get("interlace", False))
+        if interlace:
+            fpacked |= 0x40
+            arr = arr[_interlace_order(fh)]  # display -> storage order
         out += b"\x2c" + struct.pack("<HHHH", left, top, fw, fh)
         out += bytes([fpacked])
         if lct is not None:
@@ -335,8 +353,7 @@ def _walk_gif(data: bytes):
             pos += 10
             if left + fw > w or top + fh > h:
                 raise ValueError("gif: frame rect outside the logical screen")
-            if fpacked & 0x40:
-                raise ValueError("gif: interlaced frames not supported")
+            interlaced = bool(fpacked & 0x40)
             lct = None
             if fpacked & 0x80:  # local color table, scoped to THIS frame
                 n = 2 << (fpacked & 0x07)
@@ -352,13 +369,17 @@ def _walk_gif(data: bytes):
                 lzw += data[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
             pos += 1
+            indices = lzw_decode(bytes(lzw), min_code, fw * fh).reshape(fh, fw)
+            if interlaced:
+                # stored row k is display row order[k] (4-pass schedule)
+                deinterlaced = np.empty_like(indices)
+                deinterlaced[_interlace_order(fh)] = indices
+                indices = deinterlaced
             raw.append(
                 {
                     "left": left,
                     "top": top,
-                    "indices": lzw_decode(
-                        bytes(lzw), min_code, fw * fh
-                    ).reshape(fh, fw),
+                    "indices": indices,
                     "lct": lct,
                     "delay": delay,
                     "disposal": disposal,
@@ -399,7 +420,7 @@ def decode_gif(data: bytes) -> tuple[list[np.ndarray], np.ndarray, list[int]]:
     color table that DIFFERS from the global one cannot be expressed on
     a single shared palette: that raises a NAMED error (decode such
     files with :func:`decode_gif_rgb`, which scopes palettes per frame
-    correctly).  Interlaced frames raise (PNG covers interlace)."""
+    correctly).  Interlaced frames are deinterlaced transparently."""
     w, h, gct, bg_index, raw = _walk_gif(data)
     palette = gct
     if palette is None:

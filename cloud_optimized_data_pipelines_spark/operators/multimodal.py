@@ -26,23 +26,29 @@ Decode status by modality:
   pattern).
 - **audio/wav: REAL** — pure-numpy RIFF/WAVE codec
   (operators/wav_codec.py: chunk walk, PCM 8/16/24/32-bit + IEEE
-  float samples).  :func:`extract_audio_features` decodes actual WAV
-  bytes into waveform statistics; graded by
-  ``multimodal_wav_features`` on real bytes.
-- **image/jpeg: REAL** — pure-numpy baseline JPEG codec
+  float samples + G.711 mu-law/A-law telephony companding).
+  :func:`extract_audio_features` decodes actual WAV bytes into
+  waveform statistics; graded by ``multimodal_wav_features`` and
+  ``multimodal_wav_g711`` on real bytes.
+- **image/jpeg: REAL** — pure-numpy JPEG codec
   (operators/jpeg_codec.py, ITU-T T.81 from first principles: DCT,
-  Annex K quant/Huffman tables, marker parse, restart handling).
-  Graded by ``multimodal_jpeg_features`` on real bytes; progressive /
-  subsampled files raise a named error.
+  Annex K quant/Huffman tables, marker parse, restart handling,
+  4:2:0/4:2:2 subsampling, progressive SOF2 per Annex G).  Graded by
+  the ``multimodal_jpeg_*`` queries on real bytes; arithmetic-coded /
+  12-bit files raise a named error.
 - **image/gif: REAL** — pure-python LZW GIF89a codec
-  (operators/gif_codec.py) incl. ANIMATED multi-frame decode + frame
-  sampling — the closest honest approximation of the video modality
-  this container allows.  Graded by ``multimodal_gif_frames``.
-- compressed audio / video: libs (librosa/ffmpeg) are NOT in this
-  container — those modalities keep the ``NotImplementedError`` stub
-  with a deterministic fake (byte-histogram features), keeping the
-  Spark-side plumbing — schema, partitioning, UDF signature, Arrow
-  batch shape — real and tested.
+  (operators/gif_codec.py) incl. ANIMATED multi-frame decode, sub-rect
+  compositing with disposal methods, interlaced frames, and frame
+  sampling.  Graded by the ``multimodal_gif_*`` queries.
+- **video/avi: REAL** — pure-numpy RIFF/AVI container codec
+  (operators/avi_codec.py): uncompressed 24/32-bit DIB streams and
+  Motion-JPEG (every frame decoded by this repo's own jpeg_codec).
+  Graded by ``multimodal_avi_frames`` on real container bytes.
+- other compressed audio / video (MP3, MP4/H.264...): libs
+  (librosa/ffmpeg) are NOT in this container — those modalities keep
+  the ``NotImplementedError`` stub with a deterministic fake
+  (byte-histogram features), keeping the Spark-side plumbing — schema,
+  partitioning, UDF signature, Arrow batch shape — real and tested.
 """
 
 from __future__ import annotations
@@ -77,10 +83,11 @@ def _fake_decode_features(payload: bytes) -> list[float]:
 
 
 def real_decode(payload: bytes, modality: str):
-    """The real decoder hook: PNG, WAV, baseline JPEG, and animated
-    GIF decode for real (pure-numpy/python codecs); compressed
-    audio/video still require librosa/ffmpeg, not present in this
-    container — those modalities remain stubbed."""
+    """The real decoder hook: PNG, WAV (incl. G.711 telephony), baseline
+    + progressive JPEG, animated GIF (incl. interlace), and AVI video
+    (raw DIB / MJPG streams) decode for real — pure-numpy/python codecs;
+    other compressed audio/video (MP3, MP4/H.264...) still require
+    librosa/ffmpeg, not present in this container — stubbed."""
     if modality == "image/png":
         from cloud_optimized_data_pipelines_spark.operators.png_codec import (
             decode_png,
@@ -106,6 +113,13 @@ def real_decode(payload: bytes, modality: str):
 
         # per-frame palette scoping + sub-rect/disposal compositing
         frames, _ = decode_gif_rgb(payload)
+        return np.stack(frames)  # (n_frames, h, w, 3) RGB
+    if modality in ("video/avi", "video/x-msvideo"):
+        from cloud_optimized_data_pipelines_spark.operators.avi_codec import (
+            decode_avi,
+        )
+
+        frames, _ = decode_avi(payload)
         return np.stack(frames)  # (n_frames, h, w, 3) RGB
     raise NotImplementedError(
         f"decode for modality {modality!r} requires librosa/ffmpeg, not "
@@ -270,6 +284,142 @@ def wav_probe_table(spark, variants: int = 8) -> DataFrame:
                 yield pd.DataFrame([_wav_variant(int(x)) for x in pdf["id"]])
 
     return spark.range(int(variants)).mapInPandas(gen, WAV_PROBE_SCHEMA)
+
+
+G711_PROBE_SCHEMA = (
+    "variant bigint, wav_md5 string, sample_sum bigint, n_frames bigint, "
+    "channels bigint, sample_rate bigint, law string"
+)
+
+
+def _wav_g711_variant(v: int) -> dict:
+    """One deterministic G.711 telephony-WAV conversion: the int16
+    formula waveform is companded (mu-law for even variants, A-law for
+    odd) into a real format-tag-7/6 WAVE container, decoded back
+    through the container + expander, and verified against a direct
+    law_decode(law_encode(x)) of the source — the container must add
+    nothing.  ``sample_sum`` is over the DECODED (quantized) samples,
+    recomputable arithmetically in SQL by replaying the CCITT
+    compand-quantize chain (segment search + mantissa truncation +
+    reconstruction), so the oracle is non-circular."""
+    from cloud_optimized_data_pipelines_spark.operators.wav_codec import (
+        alaw_decode,
+        alaw_encode,
+        decode_wav,
+        encode_wav_g711,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    law = "ulaw" if v % 2 == 0 else "alaw"
+    ch = (v // 2) % 2 + 1
+    rate = 8000
+    n = _WAV_FRAMES * ch
+    k = np.arange(n, dtype=np.int64)
+    samples = ((k * (v + 1)) % 20011 - 10005).astype(np.int16)
+    wav = encode_wav_g711(samples.reshape(_WAV_FRAMES, ch), law, rate)
+    dec, drate = decode_wav(wav)
+    enc, dec_fn = (
+        (ulaw_encode, ulaw_decode) if law == "ulaw" else (alaw_encode, alaw_decode)
+    )
+    expect = dec_fn(enc(samples)).reshape(_WAV_FRAMES, ch)
+    if drate != rate or not np.array_equal(dec, expect):
+        raise RuntimeError(  # pragma: no cover - codec guard
+            f"g711 variant {v}: container/expander mismatch"
+        )
+    return {
+        "variant": v,
+        "wav_md5": hashlib.md5(wav).hexdigest(),
+        "sample_sum": int(dec.sum(dtype=np.int64)),
+        "n_frames": _WAV_FRAMES,
+        "channels": ch,
+        "sample_rate": rate,
+        "law": law,
+    }
+
+
+def wav_g711_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    [_wav_g711_variant(int(x)) for x in pdf["id"]]
+                )
+
+    return spark.range(int(variants)).mapInPandas(gen, G711_PROBE_SCHEMA)
+
+
+AVI_PROBE_SCHEMA = (
+    "variant bigint, avi_md5 string, sampled_px_sum bigint, "
+    "n_frames bigint, n_sampled bigint, width bigint, height bigint, "
+    "fps bigint, codec string"
+)
+
+_AVI_FRAMES = 6
+_AVI_RAW_H, _AVI_RAW_W = 20, 16
+_AVI_MJPG_HW = 16  # 2x2 grid of 8x8 blocks
+
+
+def _avi_variant(v: int) -> dict:
+    """One deterministic AVI (video container) conversion: variants
+    0-3 are uncompressed 24-bit DIB streams (formula pixel
+    (k*(v+1) + 7f) % 256 over the flat RGB index), 4-7 are MJPG
+    streams whose frames are DC-exact JPEG inputs (uniform even-valued
+    8x8 blocks, value 2*((b*(v+1) + 5f) % 128) for block b) so the
+    lossy codec round-trips bit-exact.  Encode -> container+frame
+    decode -> verify -> sample every 2nd frame; sampled_px_sum is
+    recomputable arithmetically in SQL for both codecs."""
+    from cloud_optimized_data_pipelines_spark.operators.avi_codec import (
+        decode_avi,
+        encode_avi,
+    )
+
+    fps = 10 + v
+    if v % 8 < 4:
+        codec = "raw"
+        h, w = _AVI_RAW_H, _AVI_RAW_W
+        k = np.arange(h * w * 3, dtype=np.int64)
+        frames = [
+            ((k * (v + 1) + 7 * f) % 256).reshape(h, w, 3).astype(np.uint8)
+            for f in range(_AVI_FRAMES)
+        ]
+    else:
+        codec = "mjpg"
+        h = w = _AVI_MJPG_HW
+        b = np.arange(4, dtype=np.int64).reshape(2, 2)
+        frames = []
+        for f in range(_AVI_FRAMES):
+            blocks = (2 * ((b * (v + 1) + 5 * f) % 128)).astype(np.uint8)
+            gray = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+            frames.append(np.stack([gray] * 3, axis=2))
+    avi = encode_avi(frames, fps=fps, codec=codec)
+    dec, dfps = decode_avi(avi)
+    if dfps != fps or len(dec) != _AVI_FRAMES or not all(
+        np.array_equal(a, b2) for a, b2 in zip(frames, dec)
+    ):  # pragma: no cover - codec guard
+        raise RuntimeError(f"avi variant {v}: round-trip mismatch")
+    sampled = dec[::2]
+    px = sum(int(f.sum(dtype=np.int64)) for f in sampled)
+    return {
+        "variant": v,
+        "avi_md5": hashlib.md5(avi).hexdigest(),
+        "sampled_px_sum": px,
+        "n_frames": _AVI_FRAMES,
+        "n_sampled": len(sampled),
+        "width": w,
+        "height": h,
+        "fps": fps,
+        "codec": codec,
+    }
+
+
+def avi_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame([_avi_variant(int(x)) for x in pdf["id"]])
+
+    return spark.range(int(variants)).mapInPandas(gen, AVI_PROBE_SCHEMA)
 
 
 def downscale_box(arr: np.ndarray, fy: int, fx: int) -> np.ndarray:
@@ -623,6 +773,101 @@ def gif_probe_table(spark, variants: int = 8) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame([_gif_variant(int(v)) for v in pdf["id"]])
+
+    return spark.range(int(variants)).mapInPandas(gen, GIF_PROBE_SCHEMA)
+
+
+def _gif_interlaced_variant(v: int) -> dict:
+    """One deterministic INTERLACED-GIF conversion: the same formula
+    frames as :func:`_gif_variant`, but every frame is stored in the
+    GIF87a appendix E 4-pass interlace row schedule (descriptor flag
+    set, rows permuted on disk).  The decoder must deinterlace back to
+    the exact source frames — interlacing is transport order only — so
+    the sampled statistics are IDENTICAL to the sequential probe's
+    while the byte-stream md5 pins the permuted storage.  Cross-checked
+    executor-side against an independent numpy deinterlace of the raw
+    LZW payload, not just the codec's own round trip."""
+    from cloud_optimized_data_pipelines_spark.operators.gif_codec import (
+        _interlace_order,
+        decode_gif,
+        encode_gif_anim,
+        lzw_decode,
+    )
+
+    npal = _GIF_NPAL[v % 8]
+    pal = np.stack(
+        [
+            (np.arange(npal) * 7 + 1) % 251,
+            (np.arange(npal) * 11 + 3) % 251,
+            (np.arange(npal) * 13 + 5) % 251,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    ks = np.arange(_GIF_H * _GIF_W, dtype=np.int64)
+    frames = [
+        ((ks * (v + 1) + 7 * f) % npal)
+        .reshape(_GIF_H, _GIF_W)
+        .astype(np.uint8)
+        for f in range(_GIF_FRAMES)
+    ]
+    gif = encode_gif_anim(
+        (_GIF_W, _GIF_H),
+        pal,
+        [
+            {"indices": fr, "delay": 5 * (f + 1), "interlace": True}
+            for f, fr in enumerate(frames)
+        ],
+    )
+    dec, dpal, _ = decode_gif(gif)
+    if len(dec) != _GIF_FRAMES or not all(
+        np.array_equal(a, b) for a, b in zip(dec, frames)
+    ):  # pragma: no cover - codec guard
+        raise RuntimeError(f"gif interlaced variant {v}: round-trip mismatch")
+    # independent check: hand-walk the first image's LZW payload and
+    # deinterlace with numpy — proves rows really are stored permuted
+    pos = 13 + 3 * (2 << ((gif[10]) & 0x07))
+    while gif[pos] == 0x21:  # skip extensions (NETSCAPE loop, GCE)
+        pos += 2
+        while gif[pos] != 0:
+            pos += 1 + gif[pos]
+        pos += 1
+    if gif[pos] != 0x2C or not gif[pos + 9] & 0x40:  # pragma: no cover
+        raise RuntimeError(f"gif interlaced variant {v}: flag not set")
+    pos += 10
+    min_code = gif[pos]
+    pos += 1
+    lzw = bytearray()
+    while gif[pos] != 0:
+        n = gif[pos]
+        lzw += gif[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+    stored = lzw_decode(bytes(lzw), min_code, _GIF_H * _GIF_W).reshape(
+        _GIF_H, _GIF_W
+    )
+    if not np.array_equal(
+        stored, frames[0][_interlace_order(_GIF_H)]
+    ):  # pragma: no cover - codec guard
+        raise RuntimeError(f"gif interlaced variant {v}: storage order wrong")
+    sampled = dec[::2]
+    px = sum(int(dpal[:npal][f].sum(dtype=np.int64)) for f in sampled)
+    return {
+        "variant": v,
+        "gif_md5": hashlib.md5(gif).hexdigest(),
+        "sampled_px_sum": px,
+        "n_frames": _GIF_FRAMES,
+        "n_sampled": len(sampled),
+        "width": _GIF_W,
+        "height": _GIF_H,
+        "n_palette": npal,
+    }
+
+
+def gif_interlaced_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_gif_interlaced_variant(int(v)) for v in pdf["id"]]
+            )
 
     return spark.range(int(variants)).mapInPandas(gen, GIF_PROBE_SCHEMA)
 

@@ -9,13 +9,17 @@ Supported:
 - PCM integer samples: unsigned 8-bit, signed 16/24/32-bit
   little-endian (format tag 1);
 - IEEE float32/float64 (format tag 3);
+- ITU-T G.711 companded telephony audio: A-law (format tag 6) and
+  mu-law (format tag 7), both directions, bit-exact to the canonical
+  CCITT/Sun ``g711.c`` tables (encode(decode(code)) == code for all
+  256 codes — pinned by test);
 - any channel count (interleaved frames), any sample rate;
 - chunk walking with RIFF word-alignment padding; unknown chunks
   (LIST, fact, cue...) are skipped per spec.
 
-Unsupported (raises ``ValueError``): compressed formats (ADPCM, mu-law,
-MP3-in-WAV...), WAVE_FORMAT_EXTENSIBLE beyond its embedded PCM/float
-subformat.
+Unsupported (raises ``ValueError``): ADPCM and other block-compressed
+formats, MP3-in-WAV, WAVE_FORMAT_EXTENSIBLE beyond its embedded
+PCM/float subformat.
 """
 
 from __future__ import annotations
@@ -26,6 +30,63 @@ import numpy as np
 
 _PCM_DTYPES = {8: np.uint8, 16: np.int16, 32: np.int32}
 _FLOAT_DTYPES = {32: np.float32, 64: np.float64}
+
+# --- ITU-T G.711 companding (CCITT/Sun g711.c semantics) ------------------
+
+_G711_BIAS = 0x84
+_ULAW_SEG_END = np.array(
+    [0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF], np.int32
+)
+_ALAW_SEG_END = np.array(
+    [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], np.int32
+)
+
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """mu-law bytes -> int16 linear (range +-32124)."""
+    u = (~np.asarray(codes, np.uint8)).astype(np.int32)
+    t = (((u & 0x0F) << 3) + _G711_BIAS) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, _G711_BIAS - t, t - _G711_BIAS).astype(np.int16)
+
+
+def ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear -> mu-law bytes (clamps at the +-32635 knee)."""
+    pcm = np.asarray(samples, np.int32)
+    neg = pcm < 0
+    val = np.where(neg, _G711_BIAS - pcm, pcm + _G711_BIAS)
+    mask = np.where(neg, 0x7F, 0xFF)
+    seg = np.searchsorted(_ULAW_SEG_END, val, side="left")
+    clipped = seg >= 8
+    seg = np.minimum(seg, 7)
+    uval = (seg << 4) | ((val >> (seg + 3)) & 0x0F)
+    out = np.where(clipped, 0x7F ^ mask, uval ^ mask)
+    return out.astype(np.uint8)
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """A-law bytes -> int16 linear (range +-32256).  Sign-bit SET is
+    positive (the 0x55 toggle convention)."""
+    a = (np.asarray(codes, np.uint8) ^ 0x55).astype(np.int32)
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear -> A-law bytes."""
+    pcm = np.asarray(samples, np.int32) >> 3
+    neg = pcm < 0
+    mask = np.where(neg, 0x55, 0xD5)
+    val = np.where(neg, -pcm - 1, pcm)
+    seg = np.searchsorted(_ALAW_SEG_END, val, side="left")
+    clipped = seg >= 8
+    seg = np.minimum(seg, 7)
+    aval = (seg << 4) | np.where(
+        seg < 2, (val >> 1) & 0x0F, (val >> seg) & 0x0F
+    )
+    out = np.where(clipped, 0x7F ^ mask, aval ^ mask)
+    return out.astype(np.uint8)
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
@@ -66,6 +127,44 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     )
     if len(data) % 2:
         body += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_g711(
+    samples: np.ndarray, law: str = "ulaw", sample_rate: int = 8000
+) -> bytes:
+    """Encode int16 linear samples as a G.711-companded WAVE file
+    (format tag 7 for ``law='ulaw'``, 6 for ``'alaw'``) — the telephony
+    WAV form.  Includes the ``fact`` chunk compressed formats carry
+    per spec (sample-frame count)."""
+    arr = np.asarray(samples)
+    if arr.dtype != np.int16:
+        raise ValueError("wav: G.711 encode takes int16 linear samples")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.ndim != 2:
+        raise ValueError("wav: samples must be (n,) or (n, channels)")
+    n, ch = arr.shape
+    if law == "ulaw":
+        tag, codes = 7, ulaw_encode(arr.reshape(-1))
+    elif law == "alaw":
+        tag, codes = 6, alaw_encode(arr.reshape(-1))
+    else:
+        raise ValueError(f"wav: unknown companding law {law!r}")
+    data = codes.tobytes()
+    block_align = ch  # one byte per sample per channel
+    fmt_chunk = struct.pack(
+        "<HHIIHHH", tag, ch, sample_rate, sample_rate * block_align,
+        block_align, 8, 0,  # cbSize = 0
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    if len(data) % 2:
+        body += b"\x00"
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -115,6 +214,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         if bits not in _FLOAT_DTYPES:
             raise ValueError(f"wav: float bit depth {bits} not supported")
         arr = np.frombuffer(raw, np.dtype(_FLOAT_DTYPES[bits]).newbyteorder("<"))
+    elif tag in (6, 7):  # G.711 A-law / mu-law
+        if bits != 8:
+            raise ValueError(f"wav: G.711 requires 8-bit codes, got {bits}")
+        codes = np.frombuffer(raw, np.uint8)
+        arr = alaw_decode(codes) if tag == 6 else ulaw_decode(codes)
     else:
         raise ValueError(f"wav: compressed format tag {tag} not supported")
     if ch < 1:

@@ -3429,6 +3429,94 @@ def multimodal_gif_frames_q(spark, sf_dir):
     )
 
 
+def _gif_interlaced_oracle() -> str:
+    """Oracle for multimodal_gif_interlaced: md5s pinned from a
+    single-process run of the INTERLACED encoding; sampled_px_sum is
+    the SAME arithmetic replay as the sequential probe's — interlacing
+    permutes storage rows only, so the deinterlaced pixels (and every
+    statistic over them) must be identical, which is exactly the
+    cross-engine claim this query grades."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _GIF_H,
+        _GIF_NPAL,
+        _GIF_W,
+        _gif_interlaced_variant,
+    )
+
+    rows = [_gif_interlaced_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['gif_md5']}'" for r in rows)
+        + " END"
+    )
+    npal_case = (
+        "CASE v "
+        + " ".join(f"WHEN {i} THEN {n}" for i, n in enumerate(_GIF_NPAL))
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
+meta AS (SELECT v, {npal_case} AS npal FROM var),
+cells AS (
+  SELECT m.v,
+         CAST(SUM(
+           ((((g.k * (m.v + 1) + 7 * fr.f) % m.npal) * 7 + 1) % 251)
+           + ((((g.k * (m.v + 1) + 7 * fr.f) % m.npal) * 11 + 3) % 251)
+           + ((((g.k * (m.v + 1) + 7 * fr.f) % m.npal) * 13 + 5) % 251)
+         ) AS BIGINT) AS sampled_px_sum
+  FROM meta m,
+       (SELECT UNNEST([0, 2, 4]) AS f) fr,
+       (SELECT UNNEST(range(0, {_GIF_H} * {_GIF_W})) AS k) g
+  GROUP BY m.v
+)
+SELECT d.doc_id, d.doc_id % 8 AS variant,
+       {md5_case} AS gif_md5,
+       c.sampled_px_sum,
+       CAST(6 AS BIGINT) AS n_frames,
+       CAST(3 AS BIGINT) AS n_sampled,
+       CAST({_GIF_W} AS BIGINT) AS width,
+       CAST({_GIF_H} AS BIGINT) AS height,
+       CAST(m.npal AS BIGINT) AS n_palette
+FROM documents d
+JOIN cells c ON c.v = d.doc_id % 8
+JOIN meta m ON m.v = d.doc_id % 8
+"""
+
+
+@query("multimodal_gif_interlaced", _gif_interlaced_oracle)
+def multimodal_gif_interlaced_q(spark, sf_dir):
+    """REAL-bytes INTERLACED-GIF decode + frame sampling
+    (operators/gif_codec.py::_interlace_order + operators/
+    multimodal.py::gif_interlaced_probe_table): every frame is stored
+    in the GIF87a appendix E 4-pass row schedule; the decoder
+    deinterlaces, an executor-side hand-walk of the raw LZW payload
+    independently proves the storage permutation, and the sampled
+    pixel statistics must equal the sequential probe's (interlace is
+    transport order only) while the md5 pins the permuted bytes.
+    Closes the last GIF capability gap (was a named error through
+    round 7).  Broadcast per-variant probe."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        gif_interlaced_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = gif_interlaced_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "gif_md5",
+        "sampled_px_sum",
+        "n_frames",
+        "n_sampled",
+        "width",
+        "height",
+        "n_palette",
+    )
+
+
 def _gif_composite_oracle() -> str:
     """Oracle for multimodal_gif_composite: md5s pinned from a
     single-process run; sampled_px_sum recomputed ARITHMETICALLY by
@@ -4024,6 +4112,219 @@ FROM documents d
 JOIN cells c ON c.v = d.doc_id % 8
 JOIN meta m ON m.v = d.doc_id % 8
 """
+
+
+def _avi_probe_oracle() -> str:
+    """Oracle for multimodal_avi_frames: container md5s pinned from a
+    single-process run; sampled_px_sum recomputed ARITHMETICALLY —
+    raw variants sum the flat-index formula over sampled frames, MJPG
+    variants sum 64*3 copies of each block value (DC-exact JPEG inputs
+    decode to the source by construction, see jpeg_codec)."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _AVI_FRAMES,
+        _AVI_MJPG_HW,
+        _AVI_RAW_H,
+        _AVI_RAW_W,
+        _avi_variant,
+    )
+
+    rows = [_avi_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['avi_md5']}'" for r in rows)
+        + " END"
+    )
+    raw_n = _AVI_RAW_H * _AVI_RAW_W * 3
+    return f"""
+WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
+raw_sum AS (
+  SELECT v, CAST(SUM((g.k * (v + 1) + 7 * fr.f) % 256) AS BIGINT) AS s
+  FROM var,
+       (SELECT UNNEST([0, 2, 4]) AS f) fr,
+       (SELECT UNNEST(range(0, {raw_n})) AS k) g
+  WHERE v % 8 < 4
+  GROUP BY v
+),
+mjpg_sum AS (
+  SELECT v, CAST(SUM(192 * (2 * ((g.b * (v + 1) + 5 * fr.f) % 128)))
+                 AS BIGINT) AS s
+  FROM var,
+       (SELECT UNNEST([0, 2, 4]) AS f) fr,
+       (SELECT UNNEST(range(0, 4)) AS b) g
+  WHERE v % 8 >= 4
+  GROUP BY v
+),
+sums AS (SELECT * FROM raw_sum UNION ALL SELECT * FROM mjpg_sum)
+SELECT d.doc_id, d.doc_id % 8 AS variant,
+       {md5_case} AS avi_md5,
+       su.s AS sampled_px_sum,
+       CAST({_AVI_FRAMES} AS BIGINT) AS n_frames,
+       CAST(3 AS BIGINT) AS n_sampled,
+       CAST(CASE WHEN d.doc_id % 8 < 4 THEN {_AVI_RAW_W}
+                 ELSE {_AVI_MJPG_HW} END AS BIGINT) AS width,
+       CAST(CASE WHEN d.doc_id % 8 < 4 THEN {_AVI_RAW_H}
+                 ELSE {_AVI_MJPG_HW} END AS BIGINT) AS height,
+       CAST(10 + d.doc_id % 8 AS BIGINT) AS fps,
+       CASE WHEN d.doc_id % 8 < 4 THEN 'raw' ELSE 'mjpg' END AS codec
+FROM documents d
+JOIN sums su ON su.v = d.doc_id % 8
+"""
+
+
+@query("multimodal_avi_frames", _avi_probe_oracle)
+def multimodal_avi_frames_q(spark, sf_dir):
+    """REAL-bytes AVI video decode + frame sampling (operators/
+    avi_codec.py): per variant a 6-frame formula video is packed into
+    an actual RIFF/AVI container — uncompressed 24-bit DIB streams for
+    variants 0-3, Motion-JPEG (every frame a baseline JFIF payload
+    decoded by this repo's own jpeg_codec) for 4-7 — decoded back
+    through the full hdrl/strl/movi walk, round-trip verified
+    executor-side, then sampled every 2nd frame.  A real video
+    container + a real intra-frame codec with no external dependency:
+    the video modality is no longer approximated only by GIF.
+    Broadcast per-variant probe."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        avi_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = avi_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "avi_md5",
+        "sampled_px_sum",
+        "n_frames",
+        "n_sampled",
+        "width",
+        "height",
+        "fps",
+        "codec",
+    )
+
+
+def _wav_g711_oracle() -> str:
+    """Oracle for multimodal_wav_g711: blob md5s pinned from a
+    single-process run; sample_sum recomputed ARITHMETICALLY by
+    replaying the CCITT G.711 compand-quantize chain in SQL — segment
+    search (CASE over the seg_end table), mantissa truncation, and
+    reconstruction, exactly the Sun g711.c integer arithmetic the
+    codec implements (validated value-for-value over the full sample
+    range before pinning).  Non-circular: the SQL never sees the codec,
+    only the waveform formula and the published quantizer."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _WAV_FRAMES,
+        _wav_g711_variant,
+    )
+
+    rows = [_wav_g711_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['wav_md5']}'" for r in rows)
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
+meta AS (SELECT v, (v // 2) % 2 + 1 AS channels FROM var),
+smp AS (
+  SELECT m.v, m.channels,
+         ((g.k * (m.v + 1)) % 20011) - 10005 AS x
+  FROM meta m, (SELECT UNNEST(range(0, {_WAV_FRAMES} * 2)) AS k) g
+  WHERE g.k < {_WAV_FRAMES} * m.channels
+),
+ud AS (
+  SELECT v, x, CASE WHEN x < 0 THEN -mag ELSE mag END AS dec FROM (
+    SELECT v, x,
+           ((val // CAST(pow(2, seg + 3) AS BIGINT)) % 16 * 8 + 132)
+           * CAST(pow(2, seg) AS BIGINT) - 132 AS mag
+    FROM (
+      SELECT v, x, val,
+             CASE WHEN val <= 255 THEN 0 WHEN val <= 511 THEN 1
+                  WHEN val <= 1023 THEN 2 WHEN val <= 2047 THEN 3
+                  WHEN val <= 4095 THEN 4 WHEN val <= 8191 THEN 5
+                  WHEN val <= 16383 THEN 6 ELSE 7 END AS seg
+      FROM (SELECT v, x,
+                   CASE WHEN x >= 0 THEN x + 132 ELSE 132 - x END AS val
+            FROM smp)))
+),
+ad AS (
+  SELECT v, x, CASE WHEN neg THEN -mag ELSE mag END AS dec FROM (
+    SELECT v, x, neg,
+           CASE WHEN seg = 0 THEN mant * 16 + 8
+                ELSE (mant * 16 + 264) * CAST(pow(2, seg - 1) AS BIGINT)
+           END AS mag
+    FROM (
+      SELECT v, x, neg, seg,
+             CASE WHEN seg < 2 THEN (val // 2) % 16
+                  ELSE (val // CAST(pow(2, seg) AS BIGINT)) % 16
+             END AS mant
+      FROM (
+        SELECT v, x, neg, val,
+               CASE WHEN val <= 31 THEN 0 WHEN val <= 63 THEN 1
+                    WHEN val <= 127 THEN 2 WHEN val <= 255 THEN 3
+                    WHEN val <= 511 THEN 4 WHEN val <= 1023 THEN 5
+                    WHEN val <= 2047 THEN 6 ELSE 7 END AS seg
+        FROM (
+          SELECT v, x, p < 0 AS neg,
+                 CASE WHEN p < 0 THEN -p - 1 ELSE p END AS val
+          FROM (SELECT v, x, CAST(floor(x / 8.0) AS BIGINT) AS p
+                FROM smp)))))
+),
+sums AS (
+  SELECT s.v,
+         CAST(SUM(CASE WHEN s.v % 2 = 0 THEN ud.dec ELSE ad.dec END)
+              AS BIGINT) AS sample_sum
+  FROM smp s
+  JOIN ud ON ud.v = s.v AND ud.x = s.x
+  JOIN ad ON ad.v = s.v AND ad.x = s.x
+  GROUP BY s.v
+)
+SELECT d.doc_id, d.doc_id % 8 AS variant,
+       {md5_case} AS wav_md5,
+       su.sample_sum,
+       CAST({_WAV_FRAMES} AS BIGINT) AS n_frames,
+       CAST(m.channels AS BIGINT) AS channels,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CASE WHEN d.doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law
+FROM documents d
+JOIN sums su ON su.v = d.doc_id % 8
+JOIN meta m ON m.v = d.doc_id % 8
+"""
+
+
+@query("multimodal_wav_g711", _wav_g711_oracle)
+def multimodal_wav_g711_q(spark, sf_dir):
+    """REAL-bytes G.711 telephony-WAV decode (operators/wav_codec.py::
+    ulaw_decode/alaw_decode + format tags 7/6): per variant the int16
+    formula waveform is companded into an actual mu-law or A-law WAVE
+    container (fact chunk included), expanded back through the full
+    container walk, and verified executor-side against a direct
+    law_decode(law_encode(x)) — the dominant compressed-audio WAV form
+    in telephony corpora, previously a named error.  The oracle
+    replays the CCITT quantizer arithmetically in SQL.  Broadcast
+    per-variant probe."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        wav_g711_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = wav_g711_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "wav_md5",
+        "sample_sum",
+        "n_frames",
+        "channels",
+        "sample_rate",
+        "law",
+    )
 
 
 @query("multimodal_wav_downsample", _wav_downsample_oracle)
@@ -6835,19 +7136,21 @@ _GRADED_WINDOW = [
     "multimodal_jpeg_progressive",
     "dedup_simhash_wide_pairs",
     "similarity_semantic_dedup_fast",
+    "multimodal_gif_interlaced",
+    "multimodal_wav_g711",
+    "multimodal_avi_frames",
     # --- 10 ever-green keepers: core reference pipeline + one anchor
     # per extension family (a3_collection_extent's agg family stays
     # graded via a1_array_extent; multimodal_gif_frames' GIF family
     # via multimodal_gif_composite) ---
-    # (k2_spill_flag and pipeline_corpus_preprocess rotated out this
-    # round for the two new r8 queries above: the JSON-scalar family
-    # stays anchored by k2's every-prior-round green rows, the corpus
-    # pipeline by pipeline_corpus_prep in the never-graded slots)
+    # (k2_spill_flag, pipeline_corpus_preprocess, s4_link_explode,
+    # j1_config_join and s2_discovery_enrich rotated out this round for
+    # the five new r8 queries above — every one of those keepers has
+    # been driver-green in every prior round, so one round out costs
+    # nothing while the new families earn their first rows; the S
+    # discovery family still gets a row via s3_cmr_predicates above)
     "c1_extract_dates",
-    "s2_discovery_enrich",
-    "s4_link_explode",
     "k3_transfer_plan",
-    "j1_config_join",
     "k1_cogify_real_bytes",
     "dedup_duplicate_clusters",
     "streaming_dlq_routing",

@@ -146,3 +146,67 @@ def test_real_decode_wav_dispatch():
     assert np.array_equal(real_decode(encode_wav(a, 8000), "audio/wav"), a)
     with pytest.raises(NotImplementedError):
         real_decode(b"\x00", "video/mp4")
+
+
+def test_g711_all_256_codes_roundtrip_and_canonical_values():
+    """encode(decode(code)) == code for every A-law code and every
+    mu-law code except 0x7F (mu-law negative zero, which decodes to the
+    same linear 0 as 0xFF and canonically re-encodes to 0xFF) — the
+    CCITT/Sun g711.c table semantics, plus spot values from the spec."""
+    from cloud_optimized_data_pipelines_spark.operators.wav_codec import (
+        alaw_decode,
+        alaw_encode,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(alaw_encode(alaw_decode(codes)), codes)
+    rt = ulaw_encode(ulaw_decode(codes))
+    (bad,) = np.nonzero(rt != codes)
+    assert list(bad) == [0x7F] and rt[0x7F] == 0xFF
+    assert ulaw_decode(np.array([0xFF], np.uint8))[0] == 0
+    assert ulaw_decode(np.array([0x7F], np.uint8))[0] == 0
+    # extreme magnitudes per the canonical tables
+    assert int(ulaw_decode(codes).max()) == 32124
+    assert int(ulaw_decode(codes).min()) == -32124
+    assert int(alaw_decode(codes).max()) == 32256
+    assert int(alaw_decode(codes).min()) == -32256
+    # decoded values are symmetric under the sign bit (mu-law: code
+    # 0x80+k is the negation of code k's value)
+    u = ulaw_decode(codes)
+    assert np.array_equal(u[:128], -u[128:])
+
+
+def test_g711_wav_container_roundtrip_both_laws():
+    """Telephony WAVs (format tags 6/7 + fact chunk) decode to int16
+    linear; companding is idempotent after the first quantization."""
+    from cloud_optimized_data_pipelines_spark.operators.wav_codec import (
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    rng = np.random.RandomState(21)
+    pcm = rng.randint(-32000, 32000, (301, 2)).astype(np.int16)
+    for law, tag in (("ulaw", 7), ("alaw", 6)):
+        wav = encode_wav_g711(pcm, law=law, sample_rate=8000)
+        (fmt_tag,) = struct.unpack("<H", wav[20:22])
+        assert fmt_tag == tag
+        assert b"fact" in wav
+        dec, rate = decode_wav(wav)
+        assert dec.shape == (301, 2) and dec.dtype == np.int16 and rate == 8000
+        dec2, _ = decode_wav(encode_wav_g711(dec, law=law))
+        assert np.array_equal(dec, dec2)
+        # quantization error bounded by the largest mu-law/A-law step
+        assert int(np.abs(dec.astype(np.int32) - pcm).max()) < 1024
+
+
+def test_g711_rejects_bad_inputs():
+    from cloud_optimized_data_pipelines_spark.operators.wav_codec import (
+        encode_wav_g711,
+    )
+
+    with pytest.raises(ValueError, match="int16"):
+        encode_wav_g711(np.zeros(4, np.float32))
+    with pytest.raises(ValueError, match="companding law"):
+        encode_wav_g711(np.zeros(4, np.int16), law="dpcm")

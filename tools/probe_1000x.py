@@ -1,0 +1,211 @@
+"""Round-8 decade probes (SCALE.md): dedup_duplicate_clusters and
+SemDeDup at 1000x — contraction rounds vs log^2 n, assignment build vs
+linear, and the banded-join band-cardinality cliff vs the wide
+fingerprint.
+
+Inputs: /tmp/scale100 and /tmp/scale1000 from
+  python tools/make_scale.py /tmp/scaleN N --perturb --tables=documents,embeddings
+(perturbed replicas: token-tagged text so true near-dup pairs grow
+LINEARLY with the factor — plain replication makes C(factor,2) cliques,
+the pathological corpus).
+
+Usage: python tools/probe_1000x.py [probe ...]
+  probes: cliff pairs100 clusters100 pairs1000 clusters1000 chain
+          assign semfast
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cloud_optimized_data_pipelines_spark.operators import dedup as D  # noqa: E402
+from cloud_optimized_data_pipelines_spark.operators import similarity as S  # noqa: E402
+from cloud_optimized_data_pipelines_spark.session import get_spark  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+S100 = "/tmp/scale100"
+S1000 = "/tmp/scale1000"
+
+
+def t(label, fn):
+    t0 = time.time()
+    out = fn()
+    dt = time.time() - t0
+    print(f"PROBE {label}: {dt:.1f}s {out}", flush=True)
+    return out
+
+
+def candidate_count(docs, wide: bool) -> int:
+    """Expected equi-join candidate pairs = sum over (band, value)
+    buckets of C(cnt, 2) — a groupBy count, no join (the cheap way to
+    see the cliff without paying for it)."""
+    if wide:
+        sh = docs.select(D.simhash_wide(F.col("text")).alias("sh"))
+        width, per_word = 20, 3
+        bands = F.array(
+            *[
+                F.shiftright(F.col("sh")[w], b * width).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                )
+                for w in range(2)
+                for b in range(per_word)
+            ]
+        )
+    else:
+        sh = docs.select(D.simhash(F.col("text"), 60).alias("sh"))
+        width = 15
+        bands = F.array(
+            *[
+                F.shiftright(F.col("sh"), b * width).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                )
+                for b in range(4)
+            ]
+        )
+    buckets = (
+        sh.select(F.posexplode(bands).alias("band", "val"))
+        .groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    row = buckets.agg(
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("cand")
+    ).collect()[0]
+    return int(row["cand"])
+
+
+def main() -> None:
+    want = set(sys.argv[1:]) or {
+        "cliff",
+        "pairs100",
+        "clusters100",
+        "pairs1000",
+        "clusters1000",
+        "chain",
+        "assign",
+        "semfast",
+    }
+    spark = get_spark("probe-1000x")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs100 = spark.read.parquet(f"{S100}/documents.parquet")
+    docs1000 = spark.read.parquet(f"{S1000}/documents.parquet")
+
+    if "cliff" in want:
+        # band-cardinality cliff: 60-bit/15-bit bands vs wide 20-bit
+        for label, docs in (("100x", docs100), ("1000x", docs1000)):
+            t(f"cand60 {label}", lambda d=docs: candidate_count(d, wide=False))
+            t(f"candwide {label}", lambda d=docs: candidate_count(d, wide=True))
+
+    # NOTE: construction goes INSIDE the timer — materialize=True eagerly
+    # checkpoints the fingerprint table (the dominant stage) at build time
+    pairs = {}
+
+    def build_pairs(docs, wide=True, **kw):
+        if wide:
+            p = D.simhash_wide_near_dup_pairs(
+                docs, "doc_id", "text", materialize=True, **kw
+            )
+        else:
+            p = D.simhash_near_dup_pairs(
+                docs, "doc_id", "text", materialize=True, **kw
+            )
+        p = p.localCheckpoint(eager=False)
+        return p.count(), p
+
+    if "pairs100" in want:
+        n, pairs["100x"] = t(
+            "wide pairs 100x e2e",
+            lambda: build_pairs(docs100, max_hamming=5),
+        )
+        t(
+            "60bit pairs 100x e2e",
+            lambda: build_pairs(
+                docs100, wide=False, num_bands=4, max_hamming=3
+            )[0],
+        )
+    if "clusters100" in want and "100x" in pairs:
+        stats = {}
+        lab = D.connected_components(pairs["100x"], "id_a", "id_b", stats=stats)
+        n = t("clusters 100x", lambda: lab.count())
+        print(f"PROBE clusters 100x stats: {stats} nodes={n} "
+              f"log2^2(n)={math.log2(max(n, 2)) ** 2:.0f}", flush=True)
+    if "pairs1000" in want:
+        n, pairs["1000x"] = t(
+            "wide pairs 1000x e2e",
+            lambda: build_pairs(docs1000, max_hamming=5),
+        )
+    if "clusters1000" in want and "1000x" in pairs:
+        stats = {}
+        lab = D.connected_components(
+            pairs["1000x"], "id_a", "id_b", stats=stats
+        )
+        n = t("clusters 1000x", lambda: lab.count())
+        print(f"PROBE clusters 1000x stats: {stats} nodes={n} "
+              f"log2^2(n)={math.log2(max(n, 2)) ** 2:.0f}", flush=True)
+
+    if "chain" in want:
+        # diameter stress: one 1M-node path graph — label propagation
+        # would need 1M rounds; star contraction must stay ~log^2 n
+        chain = spark.range(0, 1_000_000 - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        stats = {}
+        lab = D.connected_components(chain, "src", "dst", stats=stats)
+        comps = t(
+            "chain 1M",
+            lambda: lab.agg(F.countDistinct("component")).collect()[0][0],
+        )
+        print(f"PROBE chain stats: {stats} components={comps} "
+              f"log2^2(n)={math.log2(1_000_000) ** 2:.0f}", flush=True)
+
+    if "assign" in want:
+        emb100 = spark.read.parquet(f"{S100}/embeddings.parquet")
+        emb1000 = spark.read.parquet(f"{S1000}/embeddings.parquet")
+        # force the cid computation with sum(cid): a bare count() lets
+        # Catalyst prune the argmax aggregates entirely
+        def force(df):
+            return df.agg(
+                F.sum("cid").alias("s"), F.count(F.lit(1)).alias("n")
+            ).collect()[0]["n"]
+
+        for label, emb in (("100x", emb100), ("1000x", emb1000)):
+            a = S._semantic_assign(emb, "embedding", "vec_id", 16)
+            t(f"assign fold k=16 {label}", lambda a=a: force(a))
+            an = S._semantic_assign_numpy(emb, "embedding", "vec_id", 16)
+            t(f"assign numpy k=16 {label}", lambda a=an: force(a))
+        for k in (448, 1414):  # 1414 ~ sqrt(2M): the SemDeDup design point
+            an = S._semantic_assign_numpy(emb1000, "embedding", "vec_id", k)
+            t(f"assign numpy k={k} 1000x", lambda a=an: force(a))
+        af = S._semantic_assign(emb100, "embedding", "vec_id", 448)
+        t("assign fold k=448 100x", lambda: force(af))
+
+    if "semfast" in want:
+        emb100 = spark.read.parquet(f"{S100}/embeddings.parquet")
+        emb1000 = spark.read.parquet(f"{S1000}/embeddings.parquet")
+        f100 = S.semantic_dedup_fast(
+            emb100, "embedding", "vec_id", k_lists=448, threshold=0.35
+        )
+        t("semfast 100x k=448", lambda: f100.count())
+        f1000 = S.semantic_dedup_fast(
+            emb1000, "embedding", "vec_id", k_lists=1414, threshold=0.35
+        )
+        t("semfast 1000x k=1414", lambda: f1000.count())
+        dup = t(
+            "semfast 1000x dup count",
+            lambda: S.semantic_dedup_fast(
+                emb1000, "embedding", "vec_id", k_lists=1414, threshold=0.35
+            )
+            .filter("is_dup")
+            .count(),
+        )
+        print(f"PROBE semfast dups: {dup}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
