@@ -106,6 +106,8 @@ ADDITIONS_R8 = [
     "multimodal_gif_interlaced",
     "multimodal_wav_g711",
     "multimodal_avi_frames",
+    # szip-sourced cogify (CCSDS-121 extended-Rice HDF5 chunks)
+    "k1_cogify_szip",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

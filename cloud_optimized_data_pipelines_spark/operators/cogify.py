@@ -482,3 +482,65 @@ def cog_probe_table(spark, variants: int = 8):
                 yield pd.DataFrame([_cog_variant(int(x)) for x in pdf["id"]])
 
     return spark.range(int(variants)).mapInPandas(gen, COG_PROBE_SCHEMA)
+
+
+def _cog_szip_variant(v: int) -> dict:
+    """The :func:`_cog_variant` conversion with an HDF5/szip SOURCE:
+    the same SQL-expressible grid is written as a REAL HDF5 file whose
+    chunks are szip-compressed (filter id 4, CCSDS-121 extended-Rice
+    via operators/rice_codec.py — the HDF-EOS compression), read back
+    through sources/hdf5_lite.py's full chunk-B-tree + filter-pipeline
+    walk, then COG-encoded and re-decoded.  Covers the granule form
+    that raised a named error through round 7."""
+    import hashlib
+
+    from cloud_optimized_data_pipelines_spark.operators.geotiff import (
+        encode_cog,
+        read_tiff_meta,
+    )
+    from cloud_optimized_data_pipelines_spark.sources.hdf5_lite import (
+        read_variable,
+        write_hdf5,
+    )
+
+    side = 300
+    vals = (
+        np.arange(side * side, dtype=np.int64).reshape(side, side) * (v + 1)
+    ) % 97
+    arr = vals.astype(np.float32)
+    arr[0, 0] = np.float32(-9999.0)
+    h5 = write_hdf5(
+        {"Grid/var": (arr, {"_FillValue": np.float32(-9999.0)})},
+        chunks={"Grid/var": (100, 300)},
+        szip={"Grid/var": (25, 300)},  # 12 blocks/scanline, 3 scanlines
+    )
+    dec, fill = read_variable(h5, "var", group="Grid")
+    if dec.dtype != np.float32 or not np.array_equal(
+        np.nan_to_num(dec), np.nan_to_num(arr)
+    ):  # pragma: no cover - codec guard
+        raise RuntimeError(f"szip variant {v}: hdf5 round-trip mismatch")
+    blob = encode_cog(
+        dec, bbox=(0.0, 0.0, float(side), float(side)), nodata=fill
+    )
+    meta = read_tiff_meta(blob)[0]
+    full = meta["array"].astype(np.float64)
+    return {
+        "variant": v,
+        "cog_md5": hashlib.md5(blob).hexdigest(),
+        "value_sum": float(full.sum()),
+        "width": int(full.shape[1]),
+        "height": int(full.shape[0]),
+        "n_levels": len(read_tiff_meta(blob)),
+        "nodata": meta["nodata"][0],
+    }
+
+
+def cog_szip_probe_table(spark, variants: int = 8):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    [_cog_szip_variant(int(x)) for x in pdf["id"]]
+                )
+
+    return spark.range(int(variants)).mapInPandas(gen, COG_PROBE_SCHEMA)

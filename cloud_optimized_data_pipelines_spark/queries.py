@@ -3164,6 +3164,39 @@ def k1_cogify_real_bytes_q(spark, sf_dir):
     )
 
 
+@query("k1_cogify_szip", _cog_probe_oracle)
+def k1_cogify_szip_q(spark, sf_dir):
+    """REAL-bytes cogify with an HDF5/szip SOURCE (operators/
+    rice_codec.py + sources/hdf5_lite.py): per variant the probe grid
+    is written as an actual HDF5 file whose chunks are szip-compressed
+    (filter id 4, CCSDS-121 extended-Rice — the HDF-EOS compression
+    NASA granules ship with, a named error through round 7), read back
+    through the full chunk-B-tree + filter-pipeline walk, COG-encoded
+    and re-decoded.  The raster is identical to the netCDF-sourced
+    probe's, so the emitted COG bytes — and therefore the oracle — are
+    the same: the query proves the szip read path produces the exact
+    raster the deflate/netCDF paths do.  Broadcast per-variant probe."""
+    from cloud_optimized_data_pipelines_spark.operators.cogify import (
+        cog_szip_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = cog_szip_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "cog_md5",
+        "value_sum",
+        "width",
+        "height",
+        "n_levels",
+        "nodata",
+    )
+
+
 def _png_probe_oracle() -> str:
     """Oracle for multimodal_png_features, built at import (the
     _cog_probe_oracle pattern): the 8 variant conversions run ONCE in
@@ -7139,6 +7172,10 @@ _GRADED_WINDOW = [
     "multimodal_gif_interlaced",
     "multimodal_wav_g711",
     "multimodal_avi_frames",
+    # szip source path shares k1_cogify_real_bytes' oracle, so the COG
+    # encoder keeps driver regression coverage through this slot while
+    # the szip decode path earns its first row
+    "k1_cogify_szip",
     # --- 10 ever-green keepers: core reference pipeline + one anchor
     # per extension family (a3_collection_extent's agg family stays
     # graded via a1_array_extent; multimodal_gif_frames' GIF family
@@ -7151,7 +7188,6 @@ _GRADED_WINDOW = [
     # discovery family still gets a row via s3_cmr_predicates above)
     "c1_extract_dates",
     "k3_transfer_plan",
-    "k1_cogify_real_bytes",
     "dedup_duplicate_clusters",
     "streaming_dlq_routing",
 ]

@@ -23,9 +23,10 @@ reader (:func:`read_variable`, :func:`read_attrs`, :func:`list_children`)
   either byte order, fill value v1/v2/v3, layout v3 contiguous and
   chunked (v1 B-tree chunk index) plus layout v4's latest-format chunk
   indexes (single-chunk, implicit, non-paged fixed array), filter
-  pipeline v1/v2 with deflate, shuffle, fletcher32 and n-bit (atomic
-  numeric datatypes; szip raises a NAMED error pointing at the
-  netCDF4/h5py fast path);
+  pipeline v1/v2 with deflate, shuffle, fletcher32, n-bit (atomic
+  numeric datatypes) and szip (CCSDS-121 extended-Rice via
+  operators/rice_codec.py, H5Zszip framing — the HDF-EOS compression;
+  24-bit samples and partial-block scanlines raise named errors);
 - attributes v1 and v3 (scalar + simple arrays), e.g. ``_FillValue``.
 
 writer (:func:`write_hdf5`) — fixture generator emitting a minimal
@@ -824,14 +825,32 @@ def _apply_filters(
                 )
         elif fid == 3:  # fletcher32 checksum: strip trailing 4 bytes
             raw = raw[:-4]
-        elif fid == 4:  # szip
-            raise ValueError(
-                "szip-compressed HDF5 chunk: the szip codec is not "
-                "implemented in the pure-numpy reader (no public numpy "
-                "port of the extended-Rice coder). Read this granule via "
-                "the netCDF4/h5py fast path (operators/cogify.py uses it "
-                "when installed), or rewrite the file with deflate."
+        elif fid == 4:  # szip: CCSDS-121 extended-Rice (H5Zszip framing)
+            from cloud_optimized_data_pipelines_spark.operators.rice_codec import (
+                rice_decode,
             )
+
+            if len(cvs) < 4:
+                raise ValueError("szip: malformed client data (need 4 values)")
+            # H5Zszip layout: [options_mask, bits_per_pixel,
+            # pixels_per_block, pixels_per_scanline]; compressed chunk =
+            # 4-byte LE uncompressed byte count + raw rice stream
+            # (H5Z always sets SZ_RAW, so no szip stream header)
+            opts, bpp, ppb, pps = cvs[0], cvs[1], cvs[2], cvs[3]
+            (orig,) = struct.unpack("<I", raw[:4])
+            width = (bpp + 7) // 8
+            if width == 3:
+                raise ValueError(
+                    "szip: 24-bit samples unsupported (8/16/32-bit only)"
+                )
+            if orig % width:
+                raise ValueError("szip: stored size not a sample multiple")
+            nn = bool(opts & 0x20)  # SZ_NN_OPTION_MASK (else EC)
+            samples = rice_decode(
+                raw[4:], orig // width, bpp, ppb, pps, nn=nn
+            )
+            order = ">" if opts & 0x10 else "<"  # SZ_MSB else LSB
+            raw = samples.astype(np.dtype(f"{order}u{width}")).tobytes()
         elif fid == 5:  # n-bit
             raw = _nbit_decode(raw, cvs)
         else:
@@ -1121,6 +1140,7 @@ def write_hdf5(
     compress: bool = True,
     nbit: dict[str, tuple[int, int]] | None = None,
     extra_filters: dict[str, list[tuple[int, tuple[int, ...]]]] | None = None,
+    szip: dict[str, tuple[int, int]] | None = None,
 ) -> bytes:
     """Emit a minimal v0-superblock HDF5 file.  ``variables`` maps a
     path (``"name"`` or ``"group/sub/name"``) to (array, attrs); paths
@@ -1131,12 +1151,18 @@ def write_hdf5(
     multi-filter reverse-order decode.  ``extra_filters`` records
     additional filter ids in the pipeline message WITHOUT transforming
     bytes — fixture-only, for proving named unsupported-filter errors
-    (e.g. szip) on the read path.  Fixture-scoped: one SNOD per group
+    on the read path.  ``szip`` maps a chunked path to
+    (pixels_per_block, pixels_per_scanline): its chunks are compressed
+    with the CCSDS-121 extended-Rice coder (filter id 4, H5Zszip
+    framing, NN+LSB+RAW options) INSTEAD of deflate — bits_per_pixel =
+    the dtype width, covering the 8/16/32-bit integer and f32 NASA
+    granule forms.  Fixture-scoped: one SNOD per group
     (<= 8 entries, the v0 leaf-k bound) and a single-leaf chunk B-tree
     per dataset."""
     chunks = chunks or {}
     nbit = nbit or {}
     extra_filters = extra_filters or {}
+    szip = szip or {}
     arena = _Arena()
     arena.alloc(b"\x00" * 96)  # superblock placeholder
 
@@ -1186,7 +1212,19 @@ def write_hdf5(
                 raw = block.tobytes()
                 if nb is not None:
                     raw = _nbit_encode(block, nb[0], nb[1])
-                if compress:
+                sz = szip.get(path)
+                if sz is not None:
+                    from cloud_optimized_data_pipelines_spark.operators.rice_codec import (  # noqa: E501
+                        rice_encode,
+                    )
+
+                    width = arr.dtype.itemsize
+                    samples = np.frombuffer(
+                        raw, dtype=np.dtype(f"<u{width}")
+                    ).astype(np.int64)
+                    enc = rice_encode(samples, 8 * width, sz[0], sz[1])
+                    raw = struct.pack("<I", len(raw)) + enc
+                elif compress:
                     raw = zlib.compress(raw, 6)
                 addr = arena.alloc(raw)
                 entries.append((coords, len(raw), addr))
@@ -1238,7 +1276,13 @@ def write_hdf5(
                         ),
                     )
                 )
-            if compress:
+            sz = szip.get(path)
+            if sz is not None:
+                # options = SZ_NN | SZ_LSB | SZ_RAW = 0x20 | 0x08 | 0x80
+                fentries.append(
+                    (4, 0, (0xA8, 8 * arr.dtype.itemsize, sz[0], sz[1]))
+                )
+            elif compress:
                 fentries.append((1, 1, (6,)))
             if fentries:
                 body = struct.pack("<BBHI", 1, len(fentries), 0, 0)

@@ -578,15 +578,23 @@ def test_nbit_non_atomic_named_error():
         _nbit_decode(b"\x00", (8, 0, 2, 3, 1, 0, 4, 0))  # COMPOUND tag
 
 
-def test_szip_raises_actionable_error():
-    """A file whose pipeline declares szip (filter id 4) must fail with
-    a message naming szip and pointing at the netCDF4/h5py path."""
-    arr = np.arange(12, dtype=np.int32).reshape(3, 4)
+def test_szip_decodes_for_real_and_rejects_garbage():
+    """r8: szip (filter id 4) now DECODES via the CCSDS-121 rice codec
+    (was a named error through r7 — this test used to pin that error).
+    A real szip-compressed file round-trips; a pipeline that declares
+    szip over bytes that are not a rice stream must still fail loudly,
+    not return garbage silently."""
+    arr = np.arange(48, dtype=np.int32).reshape(4, 12)
     buf = H.write_hdf5(
-        {"v": (arr, {})}, chunks={"v": (3, 4)}, compress=False,
-        extra_filters={"v": [(4, (141, 16, 4, 12))]},
+        {"v": (arr, {})}, chunks={"v": (4, 12)}, szip={"v": (4, 12)},
     )
-    with pytest.raises(ValueError) as ei:
-        H.read_variable(buf, "v")
-    msg = str(ei.value)
-    assert "szip" in msg and "netCDF4" in msg
+    got, _ = H.read_variable(buf, "v")
+    np.testing.assert_array_equal(got, arr)
+    # declared-szip over raw (non-rice) bytes: the stored-size header
+    # reads as nonsense -> a loud structural error, never silent data
+    bogus = H.write_hdf5(
+        {"v": (arr, {})}, chunks={"v": (4, 12)}, compress=False,
+        extra_filters={"v": [(4, (141, 32, 4, 12))]},
+    )
+    with pytest.raises(ValueError):
+        H.read_variable(bogus, "v")

@@ -1,0 +1,200 @@
+"""CCSDS 121.0-B extended-Rice (szip) codec tests — option matrix
+round-trips, hand-derived golden bitstreams, and the szip-in-HDF5
+integration."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cloud_optimized_data_pipelines_spark.operators.rice_codec import (
+    BitReader,
+    BitWriter,
+    _map_nn,
+    _unmap_nn,
+    rice_decode,
+    rice_encode,
+)
+
+
+def test_bitio_msb_first():
+    w = BitWriter()
+    w.write(0b101, 3)
+    w.write_fs(4)  # 0000 1
+    w.write(0x3F, 6)
+    data = w.getvalue()
+    assert data == bytes([0b10100001, 0b11111100])
+    r = BitReader(data)
+    assert r.read(3) == 0b101
+    assert r.read_fs() == 4
+    assert r.read(6) == 0x3F
+
+
+def test_nn_mapping_hand_cases():
+    """CCSDS 4.2.2 residual mapping against hand-worked values."""
+    # (prev, x, expected mapped) with n=8 (xmax=255)
+    cases = [
+        (5, 7, 4),  # theta=5, delta=+2 -> 2*delta
+        (5, 2, 5),  # delta=-3 -> 2|d|-1
+        (250, 255, 10),  # theta=5, delta=+5 -> 2*delta
+        (250, 240, 15),  # delta=-10 beyond theta -> theta+|d|
+        (0, 200, 200),  # theta=0 -> theta+|d|
+    ]
+    for prev, x, want in cases:
+        m = _map_nn(np.array([prev, x], np.int64), 8)
+        assert m[0] == prev and m[1] == want, (prev, x)
+        back = _unmap_nn(m, 8)
+        assert list(back) == [prev, x]
+
+
+def test_golden_bitstreams_from_the_spec():
+    """Hand-derived stream layouts (EC mode, n=8 -> 3-bit IDs, J=16):
+    the encoder must emit exactly these bits and the decoder read them
+    back — pins the ID table, FS polarity, split order, and the
+    zero-run length mapping against CCSDS 121.0-B-2 section 5."""
+    # one all-zero block: ID 000 + low-bit 0 + FS(0)='1' -> 00001...
+    z = rice_encode(np.zeros(16, np.int64), 8, 16, 16, nn=False)
+    assert z == bytes([0b00001000])
+    # two scanlines, each one zero block: run never crosses a scanline
+    z2 = rice_encode(np.zeros(32, np.int64), 8, 16, 16, nn=False)
+    assert z2 == bytes([0b00001000, 0b01000000]) or z2 == bytes(
+        [0b00001000, 0b00001000]
+    )  # packing: 5 bits then 5 bits = 00001 00001 -> 0x08, 0x40
+    assert z2 == bytes([0b00001000, 0b01000000])
+    # one scanline of two zero blocks: run of 2 -> FS(1)='01'
+    z3 = rice_encode(np.zeros(32, np.int64), 8, 16, 32, nn=False)
+    assert z3 == bytes([0b00000100])
+    # constant 3s: k=1 split wins -> ID '010', FS(1) x16, then LSBs 1 x16
+    c = rice_encode(np.full(16, 3, np.int64), 8, 16, 16, nn=False)
+    bits = "010" + "01" * 16 + "1" * 16
+    want = int(bits, 2) << (8 * ((len(bits) + 7) // 8) - len(bits))
+    assert c == want.to_bytes((len(bits) + 7) // 8, "big")
+    # second extension: 14 zeros + a trailing (0,1) pair
+    data = np.zeros(16, np.int64)
+    data[15] = 1
+    se = rice_encode(data, 8, 16, 16, nn=False)
+    bits = "000" + "1" + "1" * 7 + "001"  # ID0, ext=1, 7x m=0, m=2
+    want = int(bits, 2) << (8 * ((len(bits) + 7) // 8) - len(bits))
+    assert se == want.to_bytes((len(bits) + 7) // 8, "big")
+    for enc, src_arr in ((z, np.zeros(16)), (c, np.full(16, 3)), (se, data)):
+        assert np.array_equal(
+            rice_decode(enc, 16, 8, 16, 16, nn=False), src_arr
+        )
+
+
+def test_zero_run_length_mapping():
+    """FS value f: run f+1 for f<=3, ROS (to segment end) for f=4,
+    run f for f>=5 — decode side, via hand-built streams."""
+    j, n = 16, 8
+    for f, blocks in ((0, 1), (2, 3), (5, 5), (7, 7)):
+        w = BitWriter()
+        w.write(0, 3)
+        w.write(0, 1)
+        w.write_fs(f)
+        # fill the remaining blocks of the scanline uncompressed(zeros)
+        total = 8
+        for _ in range(total - blocks):
+            w.write(0b111, 3)
+            for _ in range(j):
+                w.write(0, n)
+        out = rice_decode(w.getvalue(), total * j, n, j, total * j, nn=False)
+        assert not out.any()
+
+
+def test_rice_roundtrip_matrix():
+    rng = np.random.RandomState(9)
+    for n_bits, j, pps in [(8, 16, 128), (16, 16, 64), (32, 8, 64)]:
+        hi = 1 << min(n_bits, 30)
+        for nn in (True, False):
+            for data in (
+                rng.randint(0, hi, pps * 2),
+                np.zeros(pps * 2, np.int64),
+                np.cumsum(rng.randint(-2, 3, pps * 2)).clip(
+                    0, (1 << n_bits) - 1
+                ),
+                np.where(
+                    rng.rand(pps * 2) < 0.95, 0, rng.randint(0, hi, pps * 2)
+                ),
+                np.full(pps * 2, (1 << n_bits) - 1),
+            ):
+                data = data.astype(np.int64)
+                enc = rice_encode(data, n_bits, j, pps, nn=nn)
+                dec = rice_decode(enc, data.size, n_bits, j, pps, nn=nn)
+                assert np.array_equal(dec, data)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(0, 255), min_size=64, max_size=64),
+    st.booleans(),
+)
+def test_rice_roundtrip_fuzz(vals, nn):
+    data = np.array(vals, np.int64)
+    enc = rice_encode(data, 8, 16, 32, nn=nn)
+    assert np.array_equal(rice_decode(enc, 64, 8, 16, 32, nn=nn), data)
+
+
+def test_rice_named_errors():
+    with pytest.raises(ValueError, match="multiple of"):
+        rice_encode(np.zeros(30, np.int64), 8, 16, 30)
+    with pytest.raises(ValueError, match="whole scanlines"):
+        rice_encode(np.zeros(30, np.int64), 8, 16, 32)
+    with pytest.raises(ValueError, match="> 32"):
+        rice_encode(np.zeros(32, np.int64), 40, 16, 32)
+    with pytest.raises(ValueError, match="out of"):
+        rice_encode(np.full(32, 256, np.int64), 8, 16, 32)
+
+
+def test_szip_hdf5_roundtrip_all_widths():
+    """write_hdf5(szip=...) -> H5Reader: f32 / negative int16 / uint8
+    datasets with edge chunks, real filter-id-4 pipeline messages."""
+    from cloud_optimized_data_pipelines_spark.sources import hdf5_lite as H
+
+    f32 = (np.arange(4096, dtype=np.float32).reshape(64, 64)) * np.float32(
+        0.25
+    )
+    i16 = ((np.arange(4096) % 2000) - 1000).astype(np.int16).reshape(64, 64)
+    u8 = (np.arange(4096) % 250).astype(np.uint8).reshape(64, 64)
+    buf = H.write_hdf5(
+        {
+            "Grid/precip": (f32, {"_FillValue": np.float32(-1.0)}),
+            "Grid/counts": (i16, {}),
+            "Grid/flags": (u8, {}),
+        },
+        chunks={
+            "Grid/precip": (48, 32),  # edge chunks in both dims
+            "Grid/counts": (16, 64),
+            "Grid/flags": (64, 16),
+        },
+        szip={
+            "Grid/precip": (16, 32),
+            "Grid/counts": (32, 64),
+            "Grid/flags": (8, 16),
+        },
+    )
+    for name, want in (("precip", f32), ("counts", i16), ("flags", u8)):
+        got, _ = H.read_variable(buf, name, group="Grid")
+        assert got.dtype == want.dtype
+        np.testing.assert_array_equal(got, want)
+    # the pipeline message really says szip (filter id 4, 4 cd values)
+    ds = H._parse_dataset(buf, H._resolve(buf, "Grid/precip"))
+    (fid, cvs) = ds.filters[0]
+    assert fid == 4 and cvs[1:] == (32, 16, 32) and cvs[0] & 0x20
+
+
+def test_szip_hdf5_named_errors():
+    from cloud_optimized_data_pipelines_spark.sources.hdf5_lite import (
+        _apply_filters,
+    )
+
+    with pytest.raises(ValueError, match="24-bit"):
+        _apply_filters(
+            struct.pack("<I", 24) + b"\x00",
+            [(4, (0xA8, 24, 16, 32))],
+            0,
+            3,
+        )
+    with pytest.raises(ValueError, match="malformed"):
+        _apply_filters(b"\x00" * 8, [(4, (0xA8,))], 0, 4)
