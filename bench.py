@@ -108,6 +108,8 @@ ADDITIONS_R8 = [
     "multimodal_avi_frames",
     # szip-sourced cogify (CCSDS-121 extended-Rice HDF5 chunks)
     "k1_cogify_szip",
+    # 12-bit extended-sequential JPEG (SOF1, uint16 samples)
+    "multimodal_jpeg_12bit",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

@@ -24,6 +24,10 @@ the pipeline implemented from the public format spec:
   blocks in raster order, then Cb, Cr per MCU); the decoder handles
   arbitrary integer-divisor sampling factor grids and upsamples by
   sample replication.
+- **12-bit precision (SOF1)**: extended-sequential grayscale with
+  uint16 samples, the scientific/medical form — level shift 2048,
+  wide (12-bit-magnitude) canonical Huffman tables on the encode
+  side (``encode_jpeg_12bit``), the same DHT-driven decode path.
 - **progressive (SOF2)**: full Annex G Huffman decode — spectral
   selection, successive approximation (DC/AC first + refinement
   scans, correction bits, cross-block EOB runs), interleaved DC scans
@@ -33,7 +37,8 @@ the pipeline implemented from the public format spec:
   bit-identical to baseline decode of the same image.
 
 Honest limits (named errors, the PNG-palette/Adam7 pattern):
-arithmetic coding, 12-bit precision, multi-scan non-interleaved
+arithmetic coding, 12-bit COLOR (grayscale-only at that precision),
+lossless/hierarchical frames, multi-scan non-interleaved
 BASELINE files, and fractional (non-divisor) sampling ratios raise
 ``NotImplementedError`` — the encoders here never emit them, and the
 graded probes exercise the full encode->decode loop on what they do
@@ -180,19 +185,28 @@ def _dct_matrix() -> np.ndarray:
 _DCT = _dct_matrix()
 
 
-def fdct_quantize(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+def fdct_quantize(
+    block: np.ndarray, q: np.ndarray, maxval: int = 255
+) -> np.ndarray:
     """Level-shifted forward DCT + quantization of one 8x8 block
     (int64 out).  Public so tests can recompute the encoder's exact
-    coefficient stream independently of the entropy layer."""
-    coef = _DCT @ (block.astype(np.float64) - 128.0) @ _DCT.T
+    coefficient stream independently of the entropy layer.  ``maxval``
+    sets the sample precision (255 for 8-bit, 4095 for 12-bit): the
+    level shift is 2^(P-1) per T.81 A.3.1."""
+    shift = (maxval + 1) / 2.0
+    coef = _DCT @ (block.astype(np.float64) - shift) @ _DCT.T
     return np.round(coef / q).astype(np.int64)
 
 
-def dequantize_idct(coef: np.ndarray, q: np.ndarray) -> np.ndarray:
+def dequantize_idct(
+    coef: np.ndarray, q: np.ndarray, maxval: int = 255
+) -> np.ndarray:
     """Inverse of :func:`fdct_quantize`: dequantize, IDCT, level
-    shift, clamp to uint8."""
-    pix = _DCT.T @ (coef * q).astype(np.float64) @ _DCT + 128.0
-    return np.clip(np.round(pix), 0, 255).astype(np.uint8)
+    shift, clamp to [0, maxval] (uint8 for 8-bit, uint16 for 12-bit)."""
+    shift = (maxval + 1) / 2.0
+    pix = _DCT.T @ (coef * q).astype(np.float64) @ _DCT + shift
+    out = np.clip(np.round(pix), 0, maxval)
+    return out.astype(np.uint8 if maxval <= 255 else np.uint16)
 
 
 def _build_codes(bits, vals) -> dict[int, tuple[int, int]]:
@@ -445,6 +459,97 @@ def encode_jpeg(
     return bytes(out)
 
 
+# 12-bit tables: the Annex K tables only cover 8-bit magnitudes (DC
+# categories <= 11, AC sizes <= 10); 12-bit needs DC <= 15 / AC <= 14
+# (T.81 tables F.1/F.2).  Canonical fixed-length tables: 16 DC symbols
+# at 5 bits (Kraft 16/32, max code 15 != 31) and 226 AC symbols at
+# 8 bits (EOB + ZRL + 16 runs x 14 sizes; Kraft 226/256, max code
+# 225 != 255) — legal per C.2, if not entropy-optimal.
+_DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC12_VALS = list(range(16))
+_AC12_VALS = (
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+)
+_AC12_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC12_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def encode_jpeg_12bit(arr: np.ndarray, restart_interval: int = 0) -> bytes:
+    """Encode a uint16 grayscale (H,W) array with 12-bit samples
+    (values < 4096) as an extended-sequential SOF1 JPEG — the
+    scientific/medical precision form.  Annex K quantization, wide
+    (12-bit-magnitude) canonical Huffman tables shipped via DHT the
+    standard way; no APP0 (JFIF is defined for 8-bit only)."""
+    if arr.dtype != np.uint16 or arr.ndim != 2:
+        raise ValueError("12-bit encode takes a uint16 (H, W) array")
+    if int(arr.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples must be < 4096")
+    h, w = arr.shape
+    if not (0 < h < 65536 and 0 < w < 65536):
+        raise ValueError(f"dims out of JPEG range: {h}x{w}")
+    dc_codes = _build_codes(_DC12_BITS, _DC12_VALS)
+    ac_codes = _build_codes(_AC12_BITS, _AC12_VALS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    zz = bytes(int(QUANT_LUMA[r, c]) for r, c in ZIGZAG)
+    out += _seg(0xFFDB, bytes([0]) + zz)
+    out += _seg(
+        0xFFC1, struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    out += _seg(0xFFC4, bytes([0x00] + _DC12_BITS + _DC12_VALS))
+    out += _seg(0xFFC4, bytes([0x10] + _AC12_BITS + _AC12_VALS))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    mcu_rows, mcu_cols = -(-h // 8), -(-w // 8)
+    p = np.pad(
+        arr, ((0, mcu_rows * 8 - h), (0, mcu_cols * 8 - w)), mode="edge"
+    )
+    bw_writer = _BitWriter()
+    pred = 0
+    mcu = 0
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw_writer.flush()
+                bw_writer.buf += bytes(
+                    [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]
+                )
+                pred = 0
+            mcu += 1
+            block = p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            coef = fdct_quantize(block, QUANT_LUMA, maxval=4095)
+            zzc = coef[_ZR, _ZC]
+            diff = int(zzc[0]) - pred
+            pred = int(zzc[0])
+            cat, bits_v = _magnitude(diff)
+            code, length = dc_codes[cat]
+            bw_writer.write(code, length)
+            bw_writer.write(bits_v, cat)
+            run = 0
+            for k in range(1, 64):
+                v = int(zzc[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = ac_codes[0xF0]
+                    bw_writer.write(zc, zl)
+                    run -= 16
+                cat, bits_v = _magnitude(v)
+                code, length = ac_codes[(run << 4) | cat]
+                bw_writer.write(code, length)
+                bw_writer.write(bits_v, cat)
+                run = 0
+            if run:
+                ec, el = ac_codes[0x00]
+                bw_writer.write(ec, el)
+    bw_writer.flush()
+    out += bw_writer.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --------------------------------------------------------------------------
 # Decoder
 # --------------------------------------------------------------------------
@@ -522,14 +627,15 @@ def _extend(v: int, cat: int) -> int:
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline JPEG to uint8 (H,W) grayscale or (H,W,3) RGB.
 
-    Supports: SOF0/SOF1, 8-bit precision, arbitrary integer-divisor
-    chroma sampling grids (1x1, 4:2:0, 4:2:2, ... — T.81 A.2.3 MCU
-    interleave, nearest-neighbor upsample), multiple DQT/DHT segments,
-    DRI + RSTn restarts.  Progressive (SOF2) files are routed to the
-    Annex G decoder (:func:`_decode_progressive`).  Arithmetic /
-    12-bit / fractional sampling ratios / multi-scan non-interleaved
-    baseline files raise a NAMED NotImplementedError (decode them via
-    an imaging library)."""
+    Supports: SOF0/SOF1, 8-bit precision, 12-bit grayscale (SOF1,
+    decoded as uint16), arbitrary integer-divisor chroma sampling
+    grids (1x1, 4:2:0, 4:2:2, ... — T.81 A.2.3 MCU interleave,
+    nearest-neighbor upsample), multiple DQT/DHT segments, DRI + RSTn
+    restarts.  Progressive (SOF2) files are routed to the Annex G
+    decoder (:func:`_decode_progressive`).  Arithmetic / 12-bit color /
+    fractional sampling ratios / multi-scan non-interleaved baseline
+    files raise a NAMED NotImplementedError (decode them via an
+    imaging library)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -584,10 +690,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bp += 17 + n
         elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if prec == 12:
+                # 12-bit requires SOF1 (extended sequential, T.81
+                # table B.2) and is grayscale-only here — the
+                # scientific/medical form; 12-bit color JFIF does not
+                # exist in practice
+                if marker != 0xC1:
+                    raise ValueError("12-bit precision requires SOF1")
+                if nc != 1:
+                    raise NotImplementedError(
+                        "12-bit color JPEG unsupported (grayscale only)"
+                    )
+            elif prec != 8:
                 raise NotImplementedError(
-                    f"jpeg precision {prec} unsupported (8-bit only)"
+                    f"jpeg precision {prec} unsupported (8/12-bit only)"
                 )
+            maxval = (1 << prec) - 1
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
@@ -597,7 +715,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         f"jpeg sampling factors {chf}x{cvf} out of range"
                     )
                 comps.append((cid, chf, cvf, tq))
-            frame = (h, w, comps)
+            frame = (h, w, comps, maxval)
         elif marker == 0xC2:  # SOF2: progressive, Huffman
             return _decode_progressive(data)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
@@ -611,7 +729,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
-            h, w, comps = frame
+            h, w, comps, maxval = frame
             ns = body[0]
             if ns < len(comps):
                 # legal baseline: each component in its own SOS.  We
@@ -646,9 +764,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     )
             mcu_rows = -(-h // (8 * vmax))
             mcu_cols = -(-w // (8 * hmax))
+            pix_dt = np.uint8 if maxval <= 255 else np.uint16
             planes = [
                 np.zeros(
-                    (mcu_rows * cvf * 8, mcu_cols * chf * 8), dtype=np.uint8
+                    (mcu_rows * cvf * 8, mcu_cols * chf * 8), dtype=pix_dt
                 )
                 for (_, _, _, _, chf, cvf) in scan
             ]
@@ -729,7 +848,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                 bx = mx * chf + sx
                                 planes[ci][
                                     by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                                ] = dequantize_idct(block, qtables[tq])
+                                ] = dequantize_idct(
+                                    block, qtables[tq], maxval
+                                )
             # upsample subsampled components to full resolution by
             # sample replication (nearest neighbor, JFIF-compatible),
             # then crop to the frame dims

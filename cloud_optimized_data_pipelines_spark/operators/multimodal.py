@@ -33,9 +33,10 @@ Decode status by modality:
 - **image/jpeg: REAL** — pure-numpy JPEG codec
   (operators/jpeg_codec.py, ITU-T T.81 from first principles: DCT,
   Annex K quant/Huffman tables, marker parse, restart handling,
-  4:2:0/4:2:2 subsampling, progressive SOF2 per Annex G).  Graded by
-  the ``multimodal_jpeg_*`` queries on real bytes; arithmetic-coded /
-  12-bit files raise a named error.
+  4:2:0/4:2:2 subsampling, progressive SOF2 per Annex G, 12-bit
+  grayscale SOF1 decoded as uint16).  Graded by the
+  ``multimodal_jpeg_*`` queries on real bytes; arithmetic-coded /
+  12-bit color files raise a named error.
 - **image/gif: REAL** — pure-python LZW GIF89a codec
   (operators/gif_codec.py) incl. ANIMATED multi-frame decode, sub-rect
   compositing with disposal methods, interlaced frames, and frame
@@ -1037,6 +1038,54 @@ def _jpeg_variant(v: int) -> dict:
         "channels": ch,
         "restart": restart,
     }
+
+
+def _jpeg12_variant(v: int) -> dict:
+    """One deterministic 12-BIT JPEG conversion (SOF1 extended
+    sequential, the scientific/medical precision — a named error
+    through round 8's first half): 64x64 uniform even-valued 8x8
+    blocks, ``val(b) = 2*((b*(v+1) + 977*[v%8>=4]) % 2039) + 16``
+    (max 4092 < 4096, spanning the full 12-bit range), DC-exact under
+    Annex K Q[0,0]=16 at the 2048 level shift, encoded with the wide
+    12-bit-magnitude Huffman tables, decoded back as uint16 and
+    round-trip verified.  Variants 2,3,6,7 carry DRI/RSTn (interval
+    2).  px_sum is recomputable arithmetically in SQL."""
+    from cloud_optimized_data_pipelines_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_12bit,
+    )
+
+    restart = 2 if v % 4 >= 2 else 0
+    hi = 977 if v % 8 >= 4 else 0
+    arr = np.zeros((_JPEG_H, _JPEG_W), dtype=np.uint16)
+    for b in range(64):
+        by, bx = divmod(b, 8)
+        arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+            2 * ((b * (v + 1) + hi) % 2039) + 16
+        )
+    jpg = encode_jpeg_12bit(arr, restart_interval=restart)
+    dec = decode_jpeg(jpg)
+    if dec.dtype != np.uint16 or not np.array_equal(dec, arr):
+        raise RuntimeError(  # pragma: no cover - codec guard
+            f"jpeg12 variant {v}: DC-exact round-trip mismatch"
+        )
+    return {
+        "variant": v,
+        "jpeg_md5": hashlib.md5(jpg).hexdigest(),
+        "px_sum": int(dec.sum(dtype=np.int64)),
+        "width": _JPEG_W,
+        "height": _JPEG_H,
+        "channels": 1,
+        "restart": restart,
+    }
+
+
+def jpeg12_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([_jpeg12_variant(int(v)) for v in pdf["id"]])
+
+    return spark.range(int(variants)).mapInPandas(gen, JPEG_PROBE_SCHEMA)
 
 
 def jpeg_probe_table(spark, variants: int = 8) -> DataFrame:

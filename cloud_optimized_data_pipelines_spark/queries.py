@@ -3678,6 +3678,82 @@ def multimodal_gif_composite_q(spark, sf_dir):
     )
 
 
+def _jpeg12_probe_oracle() -> str:
+    """Oracle for multimodal_jpeg_12bit: md5s pinned from a single-
+    process run; px_sum recomputed ARITHMETICALLY from the 12-bit
+    uniform-block formula val(b) = 2*((b*(v+1) + 977*[v>=4]) % 2039)
+    + 16 — DC-exact at the 2048 level shift for the same Annex K
+    Q[0,0]=16 reason as the 8-bit probe."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _JPEG_H,
+        _JPEG_W,
+        _jpeg12_variant,
+    )
+
+    rows = [_jpeg12_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['jpeg_md5']}'" for r in rows)
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
+meta AS (
+  SELECT v, CASE WHEN v % 4 >= 2 THEN 2 ELSE 0 END AS restart,
+         CASE WHEN v % 8 >= 4 THEN 977 ELSE 0 END AS hi
+  FROM var
+),
+cells AS (
+  SELECT m.v,
+         CAST(SUM(64 * (2 * ((g.b * (m.v + 1) + m.hi) % 2039) + 16))
+              AS BIGINT) AS px_sum
+  FROM meta m, (SELECT UNNEST(range(0, 64)) AS b) g
+  GROUP BY m.v
+)
+SELECT d.doc_id, d.doc_id % 8 AS variant,
+       {md5_case} AS jpeg_md5,
+       c.px_sum,
+       CAST({_JPEG_W} AS BIGINT) AS width,
+       CAST({_JPEG_H} AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(m.restart AS BIGINT) AS restart
+FROM documents d
+JOIN cells c ON c.v = d.doc_id % 8
+JOIN meta m ON m.v = d.doc_id % 8
+"""
+
+
+@query("multimodal_jpeg_12bit", _jpeg12_probe_oracle)
+def multimodal_jpeg_12bit_q(spark, sf_dir):
+    """REAL-bytes 12-BIT JPEG decode (operators/jpeg_codec.py::
+    encode_jpeg_12bit + the precision-parameterized decode path): per
+    variant a full-range 12-bit grayscale image is encoded as an
+    extended-sequential SOF1 JPEG with wide (12-bit-magnitude)
+    Huffman tables, decoded back as uint16 through the same marker
+    walk as baseline, round-trip verified executor-side — the
+    scientific/medical precision form, a named error before this
+    round.  Broadcast per-variant probe."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        jpeg12_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = jpeg12_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "jpeg_md5",
+        "px_sum",
+        "width",
+        "height",
+        "channels",
+        "restart",
+    )
+
+
 def _jpeg_probe_oracle() -> str:
     """Oracle for multimodal_jpeg_features (the _png_probe_oracle
     pattern): the 8 variant conversions run ONCE in plain local python
@@ -7176,6 +7252,7 @@ _GRADED_WINDOW = [
     # encoder keeps driver regression coverage through this slot while
     # the szip decode path earns its first row
     "k1_cogify_szip",
+    "multimodal_jpeg_12bit",
     # --- 10 ever-green keepers: core reference pipeline + one anchor
     # per extension family (a3_collection_extent's agg family stays
     # graded via a1_array_extent; multimodal_gif_frames' GIF family
@@ -7187,7 +7264,6 @@ _GRADED_WINDOW = [
     # nothing while the new families earn their first rows; the S
     # discovery family still gets a row via s3_cmr_predicates above)
     "c1_extract_dates",
-    "k3_transfer_plan",
     "dedup_duplicate_clusters",
     "streaming_dlq_routing",
 ]

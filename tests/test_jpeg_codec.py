@@ -550,3 +550,73 @@ def test_fuzz_progressive_equals_baseline(h, w, seed, succ, er, ss):
         )
     )
     assert np.array_equal(base, prog)
+
+
+def test_jpeg_12bit_roundtrip_and_dtype():
+    """12-bit extended-sequential (SOF1): DC-exact uniform even blocks
+    round-trip bit-exactly as uint16, including restart markers, odd
+    dimensions (edge padding), and values spanning the 12-bit range."""
+    from cloud_optimized_data_pipelines_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_12bit,
+    )
+
+    rng = np.random.RandomState(6)
+    blocks = (rng.randint(0, 2048, (8, 8)) * 2).astype(np.uint16)
+    blocks[0, 0], blocks[7, 7] = 0, 4094
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    for restart in (0, 2):
+        jp = encode_jpeg_12bit(img, restart_interval=restart)
+        dec = decode_jpeg(jp)
+        assert dec.dtype == np.uint16
+        assert np.array_equal(dec, img)
+    # frame really declares precision 12 + SOF1
+    assert jp[jp.find(b"\xff\xc1") + 4] == 12
+    # odd dims crop correctly
+    odd = img[:20, :37]
+    assert decode_jpeg(encode_jpeg_12bit(odd)).shape == (20, 37)
+
+
+def test_jpeg_12bit_lossy_on_smooth_content():
+    """Non-DC-exact content quantizes (lossy) but stays close — and
+    never wraps around the uint16 range."""
+    from cloud_optimized_data_pipelines_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_12bit,
+    )
+
+    rng = np.random.RandomState(7)
+    sm = np.clip(
+        np.cumsum(rng.randint(-3, 4, 64 * 64)).reshape(64, 64) + 2000,
+        0,
+        4095,
+    ).astype(np.uint16)
+    dec = decode_jpeg(encode_jpeg_12bit(sm))
+    err = np.abs(dec.astype(int) - sm.astype(int))
+    assert int(err.max()) < 200 and int(dec.max()) <= 4095
+
+
+def test_jpeg_12bit_named_errors():
+    from cloud_optimized_data_pipelines_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_12bit,
+    )
+
+    with pytest.raises(ValueError, match="uint16"):
+        encode_jpeg_12bit(np.zeros((8, 8), np.uint8))
+    with pytest.raises(ValueError, match="4096"):
+        encode_jpeg_12bit(np.full((8, 8), 5000, np.uint16))
+    # 12-bit in SOF0 (baseline forbids it, table B.2) -> error
+    jp = bytearray(
+        encode_jpeg_12bit(np.zeros((8, 8), np.uint16))
+    )
+    i = jp.find(b"\xff\xc1")
+    jp[i + 1] = 0xC0
+    with pytest.raises(ValueError, match="SOF1"):
+        decode_jpeg(bytes(jp))
+    # a 12-bit frame claiming 3 components -> named grayscale-only
+    jp2 = bytearray(encode_jpeg_12bit(np.zeros((8, 8), np.uint16)))
+    i = jp2.find(b"\xff\xc1")
+    jp2[i + 9] = 3  # nc field
+    with pytest.raises(NotImplementedError, match="grayscale only"):
+        decode_jpeg(bytes(jp2))
