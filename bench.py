@@ -110,6 +110,8 @@ ADDITIONS_R8 = [
     "k1_cogify_szip",
     # 12-bit extended-sequential JPEG (SOF1, uint16 samples)
     "multimodal_jpeg_12bit",
+    # cluster-keyed train/val/test split (near-dups co-travel)
+    "split_leakage_safe",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

@@ -43,6 +43,55 @@ def deterministic_split(
     return df.withColumn(split_col, expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights: dict[str, int] | None = None,
+    split_col: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Train/val/test split where NEAR-DUPLICATES CO-TRAVEL: hash the
+    near-dup CLUSTER id, not the document id, so two near-identical
+    documents can never land on opposite sides of the train/test
+    boundary — the standard leakage guard corpus pipelines need on top
+    of :func:`deterministic_split` (a doc-keyed split puts ~p*q of
+    every near-dup pair's mass in train-vs-test, which is exactly the
+    contamination eval decks measure).
+
+    ``pairs`` is any near-dup pair table (simhash / MinHash-LSH /
+    embedding); clusters come from :func:`~operators.dedup.
+    connected_components` (O(log^2 n) rounds, diameter-independent).
+    Documents outside the pair graph are their own singleton unit.
+    Output: every input row + ``split_unit`` (the hashed cluster id)
+    + ``split_col``.
+
+    Scale shape: one left join of the corpus against the (much
+    smaller) label table; the split itself is the pure column
+    expression of :func:`deterministic_split` — deterministic,
+    RNG-free, stable under later ingest.
+    """
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        connected_components,
+    )
+
+    weights = weights or {"train": 90, "val": 5, "test": 5}
+    labels = connected_components(pairs, id_a, id_b).select(
+        F.col("node").alias("_n"), F.col("component").alias("_comp")
+    )
+    out = (
+        df.join(labels, df[id_col] == labels["_n"], "left")
+        .drop("_n")
+        .withColumn(
+            "split_unit",
+            F.coalesce(F.col("_comp"), F.col(id_col)).cast("long"),
+        )
+        .drop("_comp")
+    )
+    return deterministic_split(out, "split_unit", weights, split_col)
+
+
 def sample_stratified(
     df: DataFrame,
     key: str,

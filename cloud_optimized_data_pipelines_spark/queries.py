@@ -2270,6 +2270,61 @@ FROM lab JOIN sizes ON lab.component = sizes.c
 """
 
 
+_SPLIT_LEAKAGE = f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({_SIMHASH_PAIRS}),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+walk(node, root) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node
+),
+lab AS (SELECT node, MIN(root) AS component FROM walk GROUP BY node),
+units AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(l.component, d.doc_id) AS BIGINT) AS split_unit
+  FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+)
+SELECT doc_id, split_unit,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, split_unit,
+         ('0x' || substr(md5(CAST(split_unit AS VARCHAR)), 1, 8))::BIGINT
+         % 100 AS b
+  FROM units)
+"""
+
+
+@query("split_leakage_safe", _SPLIT_LEAKAGE)
+def split_leakage_safe_q(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/sampling.py::
+    leakage_safe_split): the split hash is keyed on the near-dup
+    CLUSTER id (connected components of the banded simhash pair
+    graph), not the document id, so near-identical documents can
+    never straddle the train/test boundary — the leakage guard that a
+    plain doc-keyed deterministic_split lacks (a doc-keyed split
+    leaks ~2*p*q of every near-dup pair across the boundary, which is
+    exactly the contamination eval decks measure).  Singleton docs
+    hash on their own id; deterministic, RNG-free, stable under later
+    ingest.  The oracle recomputes the component closure as a
+    recursive CTE and the same md5 bucket split."""
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pairs = D.simhash_near_dup_pairs(
+        t["documents"], "doc_id", "text", num_bands=4, max_hamming=3,
+        materialize=True,
+    )
+    return leakage_safe_split(t["documents"], pairs, "doc_id").select(
+        "doc_id", "split_unit", "split"
+    )
+
+
 @query("dedup_duplicate_clusters", _DUP_CLUSTERS)
 def dedup_duplicate_clusters_q(spark, sf_dir):
     """Near-dup CLUSTERS, not pairs (operators/dedup.py::
@@ -7253,6 +7308,10 @@ _GRADED_WINDOW = [
     # the szip decode path earns its first row
     "k1_cogify_szip",
     "multimodal_jpeg_12bit",
+    # leakage-safe split subsumes the component-closure logic of the
+    # dedup_duplicate_clusters keeper it displaces (same recursive-CTE
+    # oracle core), so the contraction path keeps driver coverage
+    "split_leakage_safe",
     # --- 10 ever-green keepers: core reference pipeline + one anchor
     # per extension family (a3_collection_extent's agg family stays
     # graded via a1_array_extent; multimodal_gif_frames' GIF family
@@ -7264,7 +7323,6 @@ _GRADED_WINDOW = [
     # nothing while the new families earn their first rows; the S
     # discovery family still gets a row via s3_cmr_predicates above)
     "c1_extract_dates",
-    "dedup_duplicate_clusters",
     "streaming_dlq_routing",
 ]
 

@@ -767,3 +767,41 @@ def test_ann_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
         assert r_multi >= r_single, (qid, r_single, r_multi)
         gains += r_multi - r_single
     assert gains > 0  # the Hamming-1 probes recovered real neighbors
+
+
+def test_leakage_safe_split_clusters_co_travel(spark, sf_dir):
+    """Every member of a near-dup component lands in the SAME split
+    (the leakage guard), ratios roughly follow the weights, singleton
+    docs hash on their own id, and the assignment is deterministic."""
+    from cloud_optimized_data_pipelines_spark.operators import dedup as D
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = D.simhash_near_dup_pairs(
+        docs, "doc_id", "text", num_bands=4, max_hamming=3,
+        materialize=True,
+    )
+    out = leakage_safe_split(docs, pairs, "doc_id").select(
+        "doc_id", "split_unit", "split"
+    )
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by_unit = {}
+    for r in rows:
+        by_unit.setdefault(r.split_unit, set()).add(r.split)
+    # co-travel: one split per unit
+    assert all(len(s) == 1 for s in by_unit.values())
+    # paired docs share a unit
+    linked = {(r.id_a, r.id_b) for r in pairs.collect()}
+    unit_of = {r.doc_id: r.split_unit for r in rows}
+    assert linked and all(unit_of[a] == unit_of[b] for a, b in linked)
+    # ratio sanity (90/5/5 within generous tolerance)
+    frac = sum(1 for r in rows if r.split == "train") / len(rows)
+    assert 0.8 < frac < 0.97
+    # determinism
+    again = {(r.doc_id, r.split) for r in leakage_safe_split(
+        docs, pairs, "doc_id").select("doc_id", "split_unit", "split")
+        .collect()}
+    assert again == {(r.doc_id, r.split) for r in rows}
