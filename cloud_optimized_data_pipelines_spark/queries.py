@@ -4459,6 +4459,87 @@ JOIN meta m ON m.v = d.doc_id % 8
 """
 
 
+def _wav_adpcm_oracle() -> str:
+    """Oracle for multimodal_wav_adpcm: md5 AND sample_sum pinned as
+    literals from a single-process run — ADPCM decode is a sequential
+    nonlinear state machine (predictor + step-index recursion per
+    sample), so no closed-form SQL replay exists; non-circularity
+    comes from the variant builder's executor-side audioop cross-check
+    (an independent implementation of the DVI spec decodes every block
+    bit-identically or the probe raises).  max_abs_err IS recomputable
+    structurally: it must stay below the largest step the bounded test
+    signal can reach, and the builder computes it from decoded-vs-
+    source, both sides of which the guards pin."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _ADPCM_FRAMES,
+        _wav_adpcm_variant,
+    )
+
+    rows = [_wav_adpcm_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['wav_md5']}'" for r in rows)
+        + " END"
+    )
+    sum_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(
+            f"WHEN {r['variant']} THEN CAST({r['sample_sum']} AS BIGINT)"
+            for r in rows
+        )
+        + " END"
+    )
+    err_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(
+            f"WHEN {r['variant']} THEN CAST({r['max_abs_err']} AS BIGINT)"
+            for r in rows
+        )
+        + " END"
+    )
+    return f"""
+SELECT d.doc_id, d.doc_id % 8 AS variant,
+       {md5_case} AS wav_md5,
+       {sum_case} AS sample_sum,
+       CAST({_ADPCM_FRAMES} AS BIGINT) AS n_frames,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       {err_case} AS max_abs_err
+FROM documents d
+"""
+
+
+@query("multimodal_wav_adpcm", _wav_adpcm_oracle)
+def multimodal_wav_adpcm_q(spark, sf_dir):
+    """REAL-bytes IMA/DVI ADPCM WAV decode (operators/wav_codec.py::
+    format tag 0x11): per variant a bounded formula signal is
+    companded into an actual block-structured ADPCM container
+    (predictor/step-index headers, fact-chunk crop, padded tail
+    block), decoded back, and triple-guarded executor-side — every
+    block re-decoded bit-identically by stdlib audioop (independent
+    implementation), the encode->decode round trip proven a fixed
+    point, and block headers carrying source samples verbatim.  The
+    4-bit telephony/game-audio compression form; MS-ADPCM (tag 2)
+    stays a named error.  Broadcast per-variant probe."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        wav_adpcm_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = wav_adpcm_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "wav_md5",
+        "sample_sum",
+        "n_frames",
+        "sample_rate",
+        "max_abs_err",
+    )
+
+
 @query("multimodal_wav_g711", _wav_g711_oracle)
 def multimodal_wav_g711_q(spark, sf_dir):
     """REAL-bytes G.711 telephony-WAV decode (operators/wav_codec.py::

@@ -210,3 +210,68 @@ def test_g711_rejects_bad_inputs():
         encode_wav_g711(np.zeros(4, np.float32))
     with pytest.raises(ValueError, match="companding law"):
         encode_wav_g711(np.zeros(4, np.int16), law="dpcm")
+
+
+def test_ima_adpcm_core_matches_audioop():
+    """The DVI/IMA nibble decoder must be bit-exact to stdlib audioop
+    (an independent implementation of the same public spec), including
+    with a non-zero initial (predictor, index) state."""
+    audioop = pytest.importorskip("audioop")
+    from cloud_optimized_data_pipelines_spark.operators.wav_codec import (
+        ima_adpcm_decode,
+    )
+
+    rng = np.random.RandomState(17)
+    for pred, index in ((0, 0), (1234, 30), (-20000, 70)):
+        nibs = rng.randint(0, 16, 2000).tolist()
+        packed = bytes(
+            (nibs[i] << 4) | nibs[i + 1] for i in range(0, len(nibs), 2)
+        )  # audioop consumes the high nibble first
+        ref = np.frombuffer(
+            audioop.adpcm2lin(packed, 2, (pred, index))[0], np.int16
+        )
+        mine, _, _ = ima_adpcm_decode(nibs, pred, index)
+        assert np.array_equal(ref, mine)
+
+
+def test_ima_adpcm_wav_roundtrip_fixed_point():
+    """Container round trip: mono int16 -> ADPCM WAV -> decode; the
+    fact chunk crops padding, error is step-bounded, and one round
+    trip is a fixed point (re-encode decodes identically)."""
+    from cloud_optimized_data_pipelines_spark.operators.wav_codec import (
+        decode_wav,
+        encode_wav_adpcm,
+    )
+
+    rng = np.random.RandomState(19)
+    pcm = (
+        np.cumsum(rng.randint(-300, 301, 2777))
+        .clip(-32000, 32000)
+        .astype(np.int16)
+    )
+    wav = encode_wav_adpcm(pcm, 8000)
+    (tag,) = struct.unpack("<H", wav[20:22])
+    assert tag == 0x11 and b"fact" in wav
+    out, rate = decode_wav(wav)
+    assert out.shape == (2777, 1) and out.dtype == np.int16 and rate == 8000
+    # first sample of each block is carried verbatim in the header
+    assert out[0, 0] == pcm[0]
+    assert int(np.abs(out[:, 0].astype(int) - pcm.astype(int)).max()) < 2000
+    out2, _ = decode_wav(encode_wav_adpcm(out[:, 0], 8000))
+    assert np.array_equal(out, out2)
+
+
+def test_ima_adpcm_named_errors():
+    from cloud_optimized_data_pipelines_spark.operators.wav_codec import (
+        decode_wav,
+        encode_wav_adpcm,
+    )
+
+    with pytest.raises(ValueError, match="mono int16"):
+        encode_wav_adpcm(np.zeros((4, 2), np.int16))
+    with pytest.raises(ValueError, match="odd"):
+        encode_wav_adpcm(np.zeros(10, np.int16), block_samples=4)
+    wav = bytearray(encode_wav_adpcm(np.zeros(100, np.int16)))
+    struct.pack_into("<H", wav, 22, 2)  # channels = 2
+    with pytest.raises(NotImplementedError, match="mono only"):
+        decode_wav(bytes(wav))
