@@ -114,6 +114,9 @@ ADDITIONS_R8 = [
     "split_leakage_safe",
     # IMA/DVI ADPCM telephony/game-audio WAV (format tag 0x11)
     "multimodal_wav_adpcm",
+    # int8 scalar-quantized retrieval + Matryoshka prefix rerank
+    "similarity_quantized_topk",
+    "similarity_truncated_rerank",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

@@ -698,6 +698,117 @@ def semantic_dedup_indexed(
     )
 
 
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the standard 4x
+    storage cut for embedding tables: ``scale = max(|x|)/127``,
+    ``code_i = round(x_i / scale)`` in [-127, 127].  Pure column
+    expressions (transform/aggregate), bit-identical in DuckDB, no
+    shuffle; pair with a partitioned write for the stored form.
+    Zero vectors get scale 0 and all-zero codes (dequantize restores
+    the zero vector exactly)."""
+    x = F.col(vec_col)
+    mx = F.aggregate(
+        x,
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+    )
+    scale = mx / F.lit(127.0)
+    return df.withColumn(scale_col, scale).withColumn(
+        code_col,
+        F.when(F.col(scale_col) == 0.0, F.transform(x, lambda v: F.lit(0)))
+        .otherwise(
+            F.transform(
+                x,
+                lambda v: F.round(v.cast("double") / F.col(scale_col), 0)
+                .cast("int"),
+            )
+        ),
+    )
+
+
+def dequantize_embeddings_int8(
+    df: DataFrame,
+    code_col: str = "codes",
+    scale_col: str = "scale",
+    out_col: str = "embedding_deq",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings_int8`:
+    ``x_i ~ code_i * scale`` (max reconstruction error scale/2 per
+    coordinate)."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(code_col),
+            lambda c: c.cast("double") * F.col(scale_col),
+        ),
+    )
+
+
+def truncated_rerank_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    prefix_dims: int = 16,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Two-stage retrieval with a TRUNCATED-PREFIX coarse pass (the
+    Matryoshka-embedding serving shape, Kusupati et al. 2022): stage 1
+    scores only the first ``prefix_dims`` coordinates and keeps
+    ``candidates`` rows (TakeOrderedAndProject — k rows per partition,
+    no global sort); stage 2 reranks just those candidates with the
+    exact full-dimension cosine.  At 100 TB the coarse pass reads a
+    d/8-wide column (store the prefix as its own column for column
+    pruning) and the exact pass touches ``candidates`` rows, not the
+    corpus.
+
+    Output: (id, cos_prefix, cos, rank) — rank by exact cosine, ties
+    by id; recall vs brute force is the candidates/prefix trade
+    (pytest-gated on the shipped data)."""
+    from cloud_optimized_data_pipelines_spark.functions.vectors import (
+        dot,
+        literal_vector,
+        safe_cos_div,
+    )
+
+    qpre = literal_vector([float(v) for v in query[:prefix_dims]])
+    qfull = literal_vector([float(v) for v in query])
+    pre = F.slice(F.col(vec_col), 1, prefix_dims)
+
+    def cos(a, b):
+        d = dot(a, b)
+        na = F.sqrt(dot(a, a))
+        nb = F.sqrt(dot(b, b))
+        c = safe_cos_div(d, na * nb)
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    coarse = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            cos(pre, qpre).alias("cos_prefix"),
+        )
+        .orderBy(F.desc("cos_prefix"), F.col(id_col))
+        .limit(candidates)
+    )
+    exact = coarse.select(
+        id_col, "cos_prefix", cos(F.col(vec_col), qfull).alias("cos")
+    )
+    w = Window.orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "cos_prefix", "cos", "rank")
+    )
+
+
 def _semantic_assign_numpy(
     df: DataFrame, vec_col: str, id_col: str, k_lists: int
 ) -> DataFrame:

@@ -2363,6 +2363,135 @@ LIMIT 10
 """
 
 
+_DUCK_DEQ = (
+    "list_transform({codes}, c -> c::DOUBLE * {scale})"
+)
+
+_QUANTIZED_TOPK = f"""
+WITH q8 AS (
+  SELECT vec_id,
+         list_reduce(list_transform(embedding, v -> abs(v::DOUBLE)),
+                     (a, b) -> greatest(a, b)) / 127 AS scale,
+         embedding
+  FROM embeddings
+),
+deq AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0
+              THEN list_transform(embedding, v -> 0.0)
+              ELSE list_transform(
+                     list_transform(embedding,
+                                    v -> CAST(round(v::DOUBLE / scale, 0)
+                                              AS INTEGER)),
+                     c -> c::DOUBLE * scale)
+         END AS dv
+  FROM q8
+),
+q AS (SELECT dv AS qv FROM deq WHERE vec_id = 0)
+SELECT vec_id,
+       round({_DUCK_DOT.format(a="d.dv", b="q.qv")}
+             / (sqrt({_DUCK_DOT.format(a="d.dv", b="d.dv")})
+                * sqrt({_DUCK_DOT.format(a="q.qv", b="q.qv")})), 6) AS cos
+FROM deq d CROSS JOIN q
+ORDER BY {_DUCK_DOT.format(a="d.dv", b="q.qv")}
+         / (sqrt({_DUCK_DOT.format(a="d.dv", b="d.dv")})
+            * sqrt({_DUCK_DOT.format(a="q.qv", b="q.qv")})) DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("similarity_quantized_topk", _QUANTIZED_TOPK)
+def quantized_topk_q(spark, sf_dir):
+    """Brute-force top-10 over INT8-QUANTIZED embeddings (operators/
+    similarity.py::quantize_embeddings_int8 — symmetric per-vector
+    scalar quantization, the standard 4x storage cut for embedding
+    tables at corpus scale): quantize, dequantize, cosine top-k
+    against the dequantized vec_id=0 query.  Pure column expressions
+    both sides; the oracle replays the exact round(v/scale) -> c*scale
+    arithmetic, so any quantizer drift breaks the hash.  Recall vs the
+    float path is pytest-gated."""
+    from cloud_optimized_data_pipelines_spark.operators.similarity import (
+        dequantize_embeddings_int8,
+        quantize_embeddings_int8,
+    )
+
+    t = load_tables(spark, sf_dir)
+    deq = dequantize_embeddings_int8(
+        quantize_embeddings_int8(t["embeddings"])
+    ).select("vec_id", F.col("embedding_deq").alias("dv"))
+    q = (
+        deq.filter(F.col("vec_id") == 0)
+        .select(F.col("dv").alias("qv"))
+        .alias("q")
+    )
+    d = deq.alias("d")
+    cos = V.cosine_similarity(F.col("d.dv"), F.col("q.qv"))
+    return (
+        d.crossJoin(F.broadcast(q))
+        .select(F.col("d.vec_id").alias("vec_id"), cos.alias("_c"))
+        .orderBy(F.desc("_c"), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round(F.col("_c"), 6).alias("cos"))
+    )
+
+
+_TRUNCATED_RERANK = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pre AS (
+  SELECT e.vec_id, e.embedding,
+         round({_DUCK_DOT.format(a="e.embedding[1:16]", b="q.qv[1:16]")}
+               / (sqrt({_DUCK_DOT.format(a="e.embedding[1:16]",
+                                         b="e.embedding[1:16]")})
+                  * sqrt({_DUCK_DOT.format(a="q.qv[1:16]", b="q.qv[1:16]")})),
+               6) AS cos_prefix,
+         q.qv
+  FROM embeddings e CROSS JOIN q
+),
+coarse AS (
+  SELECT * FROM pre ORDER BY cos_prefix DESC, vec_id LIMIT 50
+),
+exact AS (
+  SELECT vec_id, cos_prefix,
+         round({_DUCK_DOT.format(a="embedding", b="qv")}
+               / (sqrt({_DUCK_DOT.format(a="embedding", b="embedding")})
+                  * sqrt({_DUCK_DOT.format(a="qv", b="qv")})), 6) AS cos
+  FROM coarse
+)
+SELECT vec_id, cos_prefix, cos,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+      FROM exact)
+WHERE rank <= 10
+"""
+
+
+@query("similarity_truncated_rerank", _TRUNCATED_RERANK)
+def truncated_rerank_q(spark, sf_dir):
+    """Two-stage Matryoshka-style retrieval (operators/similarity.py::
+    truncated_rerank_topk): a coarse pass scores only the FIRST 16 of
+    64 dimensions (at scale: a pruned d/4-wide column scan +
+    TakeOrderedAndProject, never a global sort), keeps 50 candidates,
+    then reranks just those with the exact full-dimension cosine —
+    the standard cheap-filter/exact-rerank serving shape.  Oracle
+    replays both stages; recall vs single-stage brute force is
+    pytest-gated."""
+    from cloud_optimized_data_pipelines_spark.operators.similarity import (
+        truncated_rerank_topk,
+    )
+
+    t = load_tables(spark, sf_dir)
+    qvec = [
+        float(x)
+        for x in t["embeddings"]
+        .filter(F.col("vec_id") == 0)
+        .collect()[0]["embedding"]
+    ]
+    return truncated_rerank_topk(
+        t["embeddings"], "embedding", qvec, k=10, prefix_dims=16,
+        candidates=50,
+    )
+
+
 @query("similarity_bruteforce_topk", _ANN_TOPK)
 def ann_topk_q(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 vector, via a crossJoin

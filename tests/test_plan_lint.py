@@ -27,6 +27,9 @@ NESTED_LOOP_OK = {
     "q15_top_supplier": "scalar MAX subquery (1-row broadcast)",
     "q22_idle_customers": "two scalar subqueries (1-row broadcasts)",
     "similarity_bruteforce_topk": "literal query vector vs corpus",
+    "similarity_quantized_topk": (
+        "dequantized query row crossJoin (1-row broadcast) vs corpus"
+    ),
     "k2_spill_flag": "config literal cross (1-row)",
     "similarity_ivf_probe": (
         "IVF assignment crossJoin vs k_lists-row broadcast centroid set"

@@ -805,3 +805,73 @@ def test_leakage_safe_split_clusters_co_travel(spark, sf_dir):
         docs, pairs, "doc_id").select("doc_id", "split_unit", "split")
         .collect()}
     assert again == {(r.doc_id, r.split) for r in rows}
+
+
+def test_int8_quantization_error_bound_and_recall(spark, sf_dir):
+    """Per-coordinate reconstruction error <= scale/2; zero vectors
+    round-trip exactly; quantized top-k keeps high recall vs float."""
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = (
+        S.dequantize_embeddings_int8(S.quantize_embeddings_int8(emb))
+        .select("vec_id", "embedding", "scale", "codes", "embedding_deq")
+        .limit(300)
+        .collect()
+    )
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r.codes)
+        for x, d in zip(r.embedding, r.embedding_deq):
+            assert abs(float(x) - d) <= r.scale / 2 + 1e-12
+    zero = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    zr = S.dequantize_embeddings_int8(
+        S.quantize_embeddings_int8(zero)
+    ).collect()[0]
+    assert zr.scale == 0.0 and list(zr.embedding_deq) == [0.0, 0.0, 0.0]
+
+    from cloud_optimized_data_pipelines_spark.queries import QUERIES
+
+    qk = {r.vec_id for r in QUERIES["similarity_quantized_topk"](
+        spark, sf_dir).collect()}
+    fk = {r.vec_id for r in QUERIES["similarity_bruteforce_topk"](
+        spark, sf_dir).collect()}
+    assert len(qk & fk) >= 8  # >= 80% recall@10 under int8
+
+
+def test_truncated_rerank_recall_and_shape(spark, sf_dir):
+    """The coarse-prefix + exact-rerank pipeline finds most of the true
+    top-10 (recall is the candidates/prefix dial) and ranks by the
+    EXACT cosine — the top hit is the query itself at cos 1.0."""
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+    from cloud_optimized_data_pipelines_spark.queries import QUERIES
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0")
+            .collect()[0]["embedding"]]
+    two = S.truncated_rerank_topk(
+        emb, "embedding", qvec, k=10, prefix_dims=16, candidates=50
+    ).collect()
+    assert [r.rank for r in two] == list(range(1, 11))
+    assert two[0].vec_id == 0 and two[0].cos == 1.0
+    exact = {(r.vec_id) for r in QUERIES["similarity_bruteforce_topk"](
+        spark, sf_dir).collect()}
+    got = {r.vec_id for r in two}
+    # recall on RANDOM embeddings is the floor case: a 16-dim prefix of
+    # an untrained 64-dim vector carries little signal (real Matryoshka
+    # embeddings are trained so prefixes rank well) — require better
+    # than chance (50/2000 candidates ~ 0.25 expected overlap), not
+    # production recall
+    assert len(got & exact) >= 3
+    # widening the candidate pool can only help (monotone recall)...
+    wide = {r.vec_id for r in S.truncated_rerank_topk(
+        emb, "embedding", qvec, k=10, prefix_dims=16, candidates=500
+    ).collect()}
+    assert len(wide & exact) >= len(got & exact)
+    # ...and with candidates >= corpus size the rerank IS brute force
+    n = emb.count()
+    full = {r.vec_id for r in S.truncated_rerank_topk(
+        emb, "embedding", qvec, k=10, prefix_dims=16, candidates=n
+    ).collect()}
+    assert full == exact
