@@ -117,6 +117,8 @@ ADDITIONS_R8 = [
     # int8 scalar-quantized retrieval + Matryoshka prefix rerank
     "similarity_quantized_topk",
     "similarity_truncated_rerank",
+    # Arrow/hashlib wide-simhash fingerprints (bit-exact fast path)
+    "dedup_simhash_wide_pairs_fast",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

@@ -121,7 +121,7 @@ def encode_avi(
     idx = b""
     for p in payloads:
         # idx1 offsets are relative to the 'movi' fourcc position
-        idx += b"" + fourcc + struct.pack(
+        idx += fourcc + struct.pack(
             "<III", _AVIIF_KEYFRAME, 4 + len(movi_body), len(p)
         )
         movi_body += _chunk(fourcc, p)

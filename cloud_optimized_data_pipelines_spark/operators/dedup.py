@@ -1364,6 +1364,85 @@ def simhash_wide(text_col, words: int = 2, bits_per_word: int = 60):
     return F.array(*fps)
 
 
+def simhash_wide_fingerprints_fast(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    words: int = 2,
+    bits_per_word: int = 60,
+) -> DataFrame:
+    """Arrow/numpy fast path for :func:`simhash_wide` — BIT-EXACT to
+    the declarative fold (integer majority votes over md5 bits, so
+    unlike the cosine fast paths there is no floating-point caveat;
+    equality is pinned by test and the shared oracle).
+
+    Why: the fold path evaluates words*bits interpreted per-bit
+    aggregate lambdas per document — the dominant cost of the wide
+    banded join (25.7 s of the 100x probe's pair stage is
+    fingerprinting).  Here each Arrow batch hashes tokens once with
+    hashlib (same md5(token || '|w') construction) and counts all 60
+    bit positions in one numpy broadcast.
+
+    Tokenization parity trap: Java's ``\\s`` is ASCII-only while
+    Python's ``re`` ``\\s`` matches unicode whitespace — this splits
+    on the JVM's exact class so a NBSP-bearing document cannot
+    diverge.
+    """
+    import hashlib as _hashlib
+    import re as _re
+
+    import numpy as np
+
+    if not 1 <= bits_per_word <= 60:
+        raise ValueError("bits_per_word must be in [1, 60] (signed-BIGINT-safe)")
+    hex_chars = -(-bits_per_word // 4)
+    jvm_ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+    shifts = np.arange(bits_per_word, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.int64)
+
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, sh array<long>"
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in jvm_ws.split(text or "") if t]
+                fps = []
+                for w in range(words):
+                    suffix = f"|{w}".encode()
+                    if toks:
+                        hs = np.array(
+                            [
+                                int(
+                                    _hashlib.md5(
+                                        t.encode() + suffix
+                                    ).hexdigest()[:hex_chars],
+                                    16,
+                                )
+                                for t in toks
+                            ],
+                            dtype=np.uint64,
+                        )
+                        ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(
+                            axis=0
+                        )
+                        fp = int(
+                            weights[2 * ones.astype(np.int64) > len(toks)].sum()
+                        )
+                    else:
+                        fp = 0
+                    fps.append(fp)
+                rows.append({id_col: did, "sh": fps})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
 def simhash_wide_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -1373,6 +1452,7 @@ def simhash_wide_near_dup_pairs(
     num_bands: int = 6,
     max_hamming: int = 3,
     materialize: bool = False,
+    impl: str = "fold",
 ) -> DataFrame:
     """Banded Hamming near-dup pairs over the :func:`simhash_wide`
     multi-word fingerprint — :func:`simhash_near_dup_pairs` re-banded
@@ -1401,10 +1481,20 @@ def simhash_wide_near_dup_pairs(
         )
     width = bits_per_word // bands_per_word
     mask = (1 << width) - 1
-    sh = _spread(df).select(
-        F.col(id_col).alias("id"),
-        simhash_wide(F.col(text_col), words, bits_per_word).alias("sh"),
-    )
+    if impl == "numpy":
+        # Arrow/hashlib fast path — bit-exact (integer majority votes);
+        # the fold path's words*bits interpreted lambdas dominate the
+        # pair stage otherwise (see SCALE.md round 8)
+        sh = simhash_wide_fingerprints_fast(
+            _spread(df), id_col, text_col, words, bits_per_word
+        ).select(F.col(id_col).alias("id"), "sh")
+    elif impl == "fold":
+        sh = _spread(df).select(
+            F.col(id_col).alias("id"),
+            simhash_wide(F.col(text_col), words, bits_per_word).alias("sh"),
+        )
+    else:
+        raise ValueError(f"impl {impl!r} not one of ('fold', 'numpy')")
     if materialize:
         sh = sh.localCheckpoint(eager=True)
     banded = sh.select(

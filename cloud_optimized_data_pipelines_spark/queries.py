@@ -2246,6 +2246,24 @@ def dedup_simhash_wide_pairs_q(spark, sf_dir):
     )
 
 
+@query("dedup_simhash_wide_pairs_fast", _SIMHASH_WIDE_PAIRS)
+def dedup_simhash_wide_pairs_fast_q(spark, sf_dir):
+    """The wide banded pair join with Arrow/hashlib FINGERPRINTS
+    (operators/dedup.py::simhash_wide_fingerprints_fast, impl='numpy'):
+    bit-exact to the fold form — integer majority votes, no float —
+    so it shares dedup_simhash_wide_pairs' oracle, while each Arrow
+    batch hashes tokens once and counts all 60 bit positions in one
+    numpy broadcast instead of words*bits interpreted per-bit lambdas
+    (4.1x at sf0.1, and the fingerprint stage dominated the 1000x
+    probe's 127.5 s — SCALE.md round 8).  Tokenization pinned to the
+    JVM's ASCII-only \\s class so unicode whitespace cannot diverge."""
+    t = load_tables(spark, sf_dir)
+    return D.simhash_wide_near_dup_pairs(
+        t["documents"], "doc_id", "text", max_hamming=5, materialize=True,
+        impl="numpy",
+    )
+
+
 # transitive closure of the simhash near-dup graph; `pairs`/`edges` are
 # MATERIALIZED because DuckDB otherwise re-inlines the all-pairs simhash
 # join into EVERY recursion step (measured: >300 s vs ~2 s at sf0.1)

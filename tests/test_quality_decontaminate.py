@@ -783,6 +783,60 @@ def test_simhash_wide_banded_blocking_is_complete(spark, sf_dir):
     assert banded == brute and len(banded) > 0
 
 
+def test_simhash_wide_fast_fingerprints_bit_exact(spark, sf_dir):
+    """The Arrow/hashlib fingerprint path must equal the declarative
+    fold BIT-FOR-BIT (integer majority votes — no float caveat),
+    including empty documents, and the banded pairs must be identical
+    under impl='numpy'."""
+    from pyspark.sql import functions as F
+    from cloud_optimized_data_pipelines_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(400)
+    fold = {
+        r.doc_id: list(r.sh)
+        for r in docs.select(
+            "doc_id", D.simhash_wide(F.col("text")).alias("sh")
+        ).collect()
+    }
+    fast = {
+        r.doc_id: list(r.sh)
+        for r in D.simhash_wide_fingerprints_fast(
+            docs, "doc_id", "text"
+        ).collect()
+    }
+    assert fast == fold
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one"), (4, "a\tb\nc")],
+        "doc_id long, text string",
+    )
+    ef = {
+        r.doc_id: list(r.sh)
+        for r in edge.select(
+            "doc_id", D.simhash_wide(F.col("text")).alias("sh")
+        ).collect()
+    }
+    en = {
+        r.doc_id: list(r.sh)
+        for r in D.simhash_wide_fingerprints_fast(
+            edge, "doc_id", "text"
+        ).collect()
+    }
+    assert en == ef
+    p1 = {
+        tuple(r)
+        for r in D.simhash_wide_near_dup_pairs(
+            docs, "doc_id", "text", max_hamming=5
+        ).collect()
+    }
+    p2 = {
+        tuple(r)
+        for r in D.simhash_wide_near_dup_pairs(
+            docs, "doc_id", "text", max_hamming=5, impl="numpy"
+        ).collect()
+    }
+    assert p1 == p2
+
+
 def test_simhash_wide_rejects_bad_band_geometry(spark):
     import pytest
 
