@@ -119,6 +119,8 @@ ADDITIONS_R8 = [
     "similarity_truncated_rerank",
     # Arrow/hashlib wide-simhash fingerprints (bit-exact fast path)
     "dedup_simhash_wide_pairs_fast",
+    # lossless SOF3 JPEG (Annex H, 8/16-bit, all seven predictors)
+    "multimodal_jpeg_lossless",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

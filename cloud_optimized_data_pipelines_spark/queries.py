@@ -3880,6 +3880,84 @@ def multimodal_gif_composite_q(spark, sf_dir):
     )
 
 
+def _jpeg_lossless_oracle() -> str:
+    """Oracle for multimodal_jpeg_lossless: md5s pinned from a single-
+    process run; px_sum recomputed ARITHMETICALLY from
+    px(k) = (k*(v+1)*7919) % 2^bits — valid ground truth for ARBITRARY
+    pixels because SOF3 is lossless by construction (decode == source
+    always, verified executor-side)."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _JPEGLL_HW,
+        _jpeg_lossless_variant,
+    )
+
+    rows = [_jpeg_lossless_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['jpeg_md5']}'" for r in rows)
+        + " END"
+    )
+    n = _JPEGLL_HW * _JPEGLL_HW
+    return f"""
+WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
+meta AS (
+  SELECT v, CASE WHEN v % 2 = 0 THEN 8 ELSE 16 END AS bits,
+         (v % 7) + 1 AS predictor
+  FROM var
+),
+cells AS (
+  SELECT m.v,
+         CAST(SUM((g.k * (m.v + 1) * 7919)
+                  % CASE WHEN m.bits = 8 THEN 256 ELSE 65536 END)
+              AS BIGINT) AS px_sum
+  FROM meta m, (SELECT UNNEST(range(0, {n})) AS k) g
+  GROUP BY m.v
+)
+SELECT d.doc_id, d.doc_id % 8 AS variant,
+       {md5_case} AS jpeg_md5,
+       c.px_sum,
+       CAST({_JPEGLL_HW} AS BIGINT) AS width,
+       CAST({_JPEGLL_HW} AS BIGINT) AS height,
+       CAST(m.bits AS BIGINT) AS bits,
+       CAST(m.predictor AS BIGINT) AS predictor
+FROM documents d
+JOIN cells c ON c.v = d.doc_id % 8
+JOIN meta m ON m.v = d.doc_id % 8
+"""
+
+
+@query("multimodal_jpeg_lossless", _jpeg_lossless_oracle)
+def multimodal_jpeg_lossless_q(spark, sf_dir):
+    """REAL-bytes LOSSLESS JPEG (operators/jpeg_codec.py::
+    encode_jpeg_lossless + the SOF3 Annex H decoder): per variant an
+    ARBITRARY formula image (8-bit even variants, full-range 16-bit
+    odd — the DNG/medical/science precision) is prediction-residual
+    coded with the selector cycling all seven H.1 predictors, decoded
+    back, and verified BIT-EXACT executor-side — no DC-exactness
+    construction, because losslessness is the format's contract.
+    Closes the SOF3 capability gap (was a named error).  Broadcast
+    per-variant probe."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        jpeg_lossless_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = jpeg_lossless_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "jpeg_md5",
+        "px_sum",
+        "width",
+        "height",
+        "bits",
+        "predictor",
+    )
+
+
 def _jpeg12_probe_oracle() -> str:
     """Oracle for multimodal_jpeg_12bit: md5s pinned from a single-
     process run; px_sum recomputed ARITHMETICALLY from the 12-bit

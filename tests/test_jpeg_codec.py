@@ -144,11 +144,16 @@ def test_named_errors():
     prog = jpg[:sof + 1] + b"\xc2" + jpg[sof + 2:]
     with pytest.raises(ValueError, match="mixes DC and AC"):
         decode_jpeg(prog)
-    # SOF3 (lossless) stays a named NotImplementedError
+    # SOF3 now routes to the Annex H lossless decoder (r8), which
+    # rejects a baseline scan header's Ss=0 as a bad selector
     lossless = jpg[:sof + 1] + b"\xc3" + jpg[sof + 2:]
-    with pytest.raises(NotImplementedError,
-                       match="arithmetic|hierarchical|lossless"):
+    with pytest.raises(ValueError, match="predictor selector"):
         decode_jpeg(lossless)
+    # SOF5 (differential) remains a named NotImplementedError
+    diff = jpg[:sof + 1] + b"\xc5" + jpg[sof + 2:]
+    with pytest.raises(NotImplementedError,
+                       match="arithmetic|hierarchical|differential"):
+        decode_jpeg(diff)
     # a single-component scan is non-interleaved per T.81 A.2.2: its
     # MCU is one block even if the SOF declares 2x2 factors, so a
     # grayscale file claiming 2x2 sampling still decodes bit-exactly
@@ -620,3 +625,56 @@ def test_jpeg_12bit_named_errors():
     jp2[i + 9] = 3  # nc field
     with pytest.raises(NotImplementedError, match="grayscale only"):
         decode_jpeg(bytes(jp2))
+
+
+def test_jpeg_lossless_all_predictors_exact():
+    """SOF3 lossless: ANY input round-trips bit-exactly under every
+    predictor selector, at 8, 12 and 16-bit precision — no
+    DC-exactness construction needed (that is the point of Annex H)."""
+    from cloud_optimized_data_pipelines_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(23)
+    for pred in range(1, 8):
+        a8 = rng.randint(0, 256, (21, 17)).astype(np.uint8)
+        d8 = decode_jpeg(encode_jpeg_lossless(a8, predictor=pred))
+        assert d8.dtype == np.uint8 and np.array_equal(d8, a8)
+        a16 = rng.randint(0, 65536, (13, 19)).astype(np.uint16)
+        d16 = decode_jpeg(encode_jpeg_lossless(a16, predictor=pred))
+        assert d16.dtype == np.uint16 and np.array_equal(d16, a16)
+    a12 = rng.randint(0, 4096, (8, 8)).astype(np.uint16)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_lossless(a12, precision=12)), a12
+    )
+    # worst-case diffs: alternating rails exercise SSSS 16 (-32768)
+    rails = np.zeros((4, 6), np.uint16)
+    rails[:, 1::2] = 32768
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_lossless(rails, predictor=1)), rails
+    )
+
+
+def test_jpeg_lossless_frame_markers_and_named_errors():
+    from cloud_optimized_data_pipelines_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    jp = encode_jpeg_lossless(np.zeros((4, 4), np.uint8), predictor=5)
+    assert b"\xff\xc3" in jp  # SOF3
+    i = jp.find(b"\xff\xda")
+    assert jp[i + 5] == 1 and jp[i + 7] == 5  # Ss carries the selector
+    with pytest.raises(ValueError, match="grayscale"):
+        encode_jpeg_lossless(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(np.zeros((4, 4), np.uint8), predictor=0)
+    with pytest.raises(ValueError, match="range"):
+        encode_jpeg_lossless(np.full((2, 2), 5000, np.uint16), precision=12)
+    # a 3-component SOF3 is a named error
+    bad = bytearray(jp)
+    j = bad.find(b"\xff\xc3")
+    bad[j + 9] = 3
+    with pytest.raises(NotImplementedError, match="grayscale only"):
+        decode_jpeg(bytes(bad))
