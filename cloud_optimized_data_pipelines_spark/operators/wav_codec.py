@@ -13,9 +13,10 @@ Supported:
   mu-law (format tag 7), both directions, bit-exact to the canonical
   CCITT/Sun ``g711.c`` tables (encode(decode(code)) == code for all
   256 codes — pinned by test);
-- IMA/DVI ADPCM (format tag 0x11), mono, both directions — per-block
-  predictor/step-index headers, fact-chunk frame crop; the decoder is
-  bit-exact to stdlib ``audioop``'s DVI implementation, and one
+- IMA/DVI ADPCM (format tag 0x11), any channel count, both
+  directions — per-channel block headers, the rotating 4-byte-group
+  payload interleave, fact-chunk frame crop; the per-channel decoder
+  is bit-exact to stdlib ``audioop``'s DVI implementation, and one
   encode->decode round trip is a FIXED POINT (re-encoding the decoded
   signal decodes to identical samples) — both pinned by test;
 - any channel count (interleaved frames), any sample rate;
@@ -23,8 +24,8 @@ Supported:
   (LIST, fact, cue...) are skipped per spec.
 
 Unsupported (raises ``ValueError``): MS-ADPCM (tag 2) and other
-block-compressed formats, MP3-in-WAV, multi-channel IMA ADPCM,
-WAVE_FORMAT_EXTENSIBLE beyond its embedded PCM/float subformat.
+block-compressed formats, MP3-in-WAV, WAVE_FORMAT_EXTENSIBLE beyond
+its embedded PCM/float subformat.
 """
 
 from __future__ import annotations
@@ -223,39 +224,64 @@ def ima_adpcm_encode(
 def encode_wav_adpcm(
     samples: np.ndarray, sample_rate: int = 8000, block_samples: int = 505
 ) -> bytes:
-    """Encode int16 MONO samples as an IMA-ADPCM WAVE file (format tag
-    0x11): per-block 4-byte header (int16 predictor = the block's
-    first sample + step index), then 2 nibbles/byte, low nibble first.
-    ``block_samples`` per block including the header sample (must be
-    odd so nibbles fill whole bytes; 505 ⇒ the common 256-byte
-    block_align).  The trailing partial block is padded by repeating
-    the last sample (decoders see fact-chunk frame count and crop)."""
+    """Encode int16 samples — (n,) mono or (n, channels) interleaved —
+    as an IMA-ADPCM WAVE file (format tag 0x11).
+
+    Block layout per the Microsoft IMA spec: one 4-byte header PER
+    CHANNEL (int16 predictor = the block's first sample for that
+    channel + step index), then the payload in 4-byte (8-nibble)
+    groups rotating through the channels — ch0's next 8 samples, then
+    ch1's, ...  ``block_samples`` frames per block including the
+    header frame; (block_samples - 1) must be a multiple of 8 for
+    multi-channel so groups fill exactly (505 ⇒ the common 256-byte
+    mono block_align).  The trailing partial block is padded by
+    repeating the last frame (decoders crop via the fact chunk)."""
     arr = np.asarray(samples)
-    if arr.dtype != np.int16 or arr.ndim != 1:
-        raise ValueError("wav: ADPCM encode takes mono int16 samples")
-    if block_samples % 2 == 0 or block_samples < 3:
-        raise ValueError("wav: block_samples must be odd and >= 3")
-    n = len(arr)
+    if arr.dtype != np.int16:
+        raise ValueError("wav: ADPCM encode takes int16 samples")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.ndim != 2:
+        raise ValueError("wav: samples must be (n,) or (n, channels)")
+    n, ch = arr.shape
     if n == 0:
         raise ValueError("wav: no samples")
-    block_align = 4 + (block_samples - 1) // 2
+    if block_samples % 2 == 0 or block_samples < 3:
+        raise ValueError("wav: block_samples must be odd and >= 3")
+    if ch > 1 and (block_samples - 1) % 8:
+        raise ValueError(
+            "wav: multi-channel ADPCM needs (block_samples - 1) % 8 == 0 "
+            "(payload rotates in 8-nibble groups per channel)"
+        )
+    block_align = 4 * ch + (block_samples - 1) * ch // 2
     data = bytearray()
-    index = 0
+    index = [0] * ch
     for lo in range(0, n, block_samples):
         block = arr[lo : lo + block_samples]
         if len(block) < block_samples:
             block = np.concatenate(
-                [block, np.full(block_samples - len(block), block[-1],
-                                np.int16)]
+                [
+                    block,
+                    np.repeat(
+                        block[-1:], block_samples - len(block), axis=0
+                    ),
+                ]
             )
-        pred = int(block[0])
-        # header carries the first sample verbatim + the entry index
-        data += struct.pack("<hBB", pred, index, 0)
-        nibs, pred, index = ima_adpcm_encode(block[1:], pred, index)
-        for i in range(0, len(nibs), 2):
-            data.append(nibs[i] | (nibs[i + 1] << 4))
+        chan_nibs = []
+        for c in range(ch):
+            pred = int(block[0, c])
+            # header carries the first sample verbatim + entry index
+            data += struct.pack("<hBB", pred, index[c], 0)
+            nibs, _, index[c] = ima_adpcm_encode(block[1:, c], pred, index[c])
+            chan_nibs.append(nibs)
+        # payload: 8-nibble (4-byte) groups rotating through channels
+        for g in range(0, block_samples - 1, 8):
+            for c in range(ch):
+                grp = chan_nibs[c][g : g + 8]
+                for i in range(0, len(grp), 2):
+                    data.append(grp[i] | (grp[i + 1] << 4))
     fmt_chunk = struct.pack(
-        "<HHIIHHHH", 0x11, 1, sample_rate,
+        "<HHIIHHHH", 0x11, ch, sample_rate,
         sample_rate * block_align // block_samples, block_align, 4,
         2, block_samples,
     )
@@ -271,25 +297,45 @@ def encode_wav_adpcm(
 
 
 def _decode_adpcm_stream(
-    raw: bytes, block_align: int, samples_per_block: int, n_frames: int
+    raw: bytes, block_align: int, samples_per_block: int, n_frames: int,
+    channels: int = 1,
 ) -> np.ndarray:
+    """Returns (n_frames, channels) int16.  Multi-channel blocks carry
+    one 4-byte state header per channel, then 4-byte (8-nibble) groups
+    rotating through the channels."""
     out = []
     for lo in range(0, len(raw), block_align):
         block = raw[lo : lo + block_align]
-        if len(block) < 4:
+        if len(block) < 4 * channels:
             break
-        pred, index, _ = struct.unpack_from("<hBB", block, 0)
-        if index > 88:
-            raise ValueError(f"wav: ADPCM step index {index} out of range")
-        payload = block[4:]
-        nibs = []
-        for b in payload:
-            nibs.append(b & 0x0F)
-            nibs.append(b >> 4)
-        nibs = nibs[: samples_per_block - 1]
-        dec, _, _ = ima_adpcm_decode(nibs, pred, index)
-        out.append(np.concatenate([[np.int16(pred)], dec]))
-    samples = np.concatenate(out) if out else np.empty(0, np.int16)
+        states = []
+        for c in range(channels):
+            pred, index, _ = struct.unpack_from("<hBB", block, 4 * c)
+            if index > 88:
+                raise ValueError(
+                    f"wav: ADPCM step index {index} out of range"
+                )
+            states.append((pred, index))
+        payload = block[4 * channels :]
+        # de-rotate the 4-byte groups back into per-channel nibbles
+        chan_nibs: list[list[int]] = [[] for _ in range(channels)]
+        for gi in range(0, len(payload), 4):
+            c = (gi // 4) % channels
+            for b in payload[gi : gi + 4]:
+                chan_nibs[c].append(b & 0x0F)
+                chan_nibs[c].append(b >> 4)
+        frames = np.empty((samples_per_block, channels), np.int16)
+        for c, (pred, index) in enumerate(states):
+            nibs = chan_nibs[c][: samples_per_block - 1]
+            dec, _, _ = ima_adpcm_decode(nibs, pred, index)
+            frames[0, c] = pred
+            frames[1 : 1 + len(dec), c] = dec
+        out.append(frames)
+    samples = (
+        np.concatenate(out)
+        if out
+        else np.empty((0, channels), np.int16)
+    )
     return samples[:n_frames].astype(np.int16)
 
 
@@ -385,17 +431,16 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     elif tag == 0x11:  # IMA/DVI ADPCM
         if bits != 4:
             raise ValueError(f"wav: IMA ADPCM requires 4-bit codes, got {bits}")
-        if ch != 1:
-            raise NotImplementedError(
-                "wav: multi-channel IMA ADPCM unsupported (mono only)"
-            )
+        if ch < 1:
+            raise ValueError("wav: zero channels")
         if len(fmt_body) < 20:
             raise ValueError("wav: ADPCM fmt chunk missing samples_per_block")
         (spb,) = struct.unpack_from("<H", fmt_body, 18)
         n_frames = fact_frames if fact_frames is not None else (
             len(raw) // _block * spb
         )
-        arr = _decode_adpcm_stream(raw, _block, spb, n_frames)
+        # flatten to interleaved frames: the common tail reshapes (n, ch)
+        arr = _decode_adpcm_stream(raw, _block, spb, n_frames, ch).reshape(-1)
     elif tag in (6, 7):  # G.711 A-law / mu-law
         if bits != 8:
             raise ValueError(f"wav: G.711 requires 8-bit codes, got {bits}")

@@ -267,11 +267,64 @@ def test_ima_adpcm_named_errors():
         encode_wav_adpcm,
     )
 
-    with pytest.raises(ValueError, match="mono int16"):
-        encode_wav_adpcm(np.zeros((4, 2), np.int16))
+    with pytest.raises(ValueError, match="int16"):
+        encode_wav_adpcm(np.zeros((4, 2), np.float32))
     with pytest.raises(ValueError, match="odd"):
         encode_wav_adpcm(np.zeros(10, np.int16), block_samples=4)
-    wav = bytearray(encode_wav_adpcm(np.zeros(100, np.int16)))
-    struct.pack_into("<H", wav, 22, 2)  # channels = 2
-    with pytest.raises(NotImplementedError, match="mono only"):
-        decode_wav(bytes(wav))
+    with pytest.raises(ValueError, match="8-nibble"):
+        # multi-channel blocks rotate 8-nibble groups: (bs-1) % 8 != 0
+        encode_wav_adpcm(np.zeros((20, 2), np.int16), block_samples=5)
+
+
+def test_ima_adpcm_stereo_roundtrip_and_audioop_per_channel():
+    """Multi-channel ADPCM (r8): per-channel block headers + the
+    rotating 4-byte-group payload interleave; channels decode
+    independently (each bit-exact to audioop on its de-rotated nibble
+    stream), the fixed-point invariant holds, and headers carry each
+    channel's first frame verbatim."""
+    audioop = pytest.importorskip("audioop")
+    from cloud_optimized_data_pipelines_spark.operators.wav_codec import (
+        decode_wav,
+        encode_wav_adpcm,
+        ima_adpcm_decode,
+    )
+
+    rng = np.random.RandomState(29)
+    pcm = (
+        np.cumsum(rng.randint(-200, 201, (1301, 2)), axis=0)
+        .clip(-32000, 32000)
+        .astype(np.int16)
+    )
+    wav = encode_wav_adpcm(pcm, 8000)
+    out, rate = decode_wav(wav)
+    assert out.shape == (1301, 2) and rate == 8000
+    assert out[0, 0] == pcm[0, 0] and out[0, 1] == pcm[0, 1]
+    assert int(np.abs(out.astype(int) - pcm.astype(int)).max()) < 2000
+    out2, _ = decode_wav(encode_wav_adpcm(out, 8000))
+    assert np.array_equal(out, out2)
+    # per-channel audioop cross-check of the container payload
+    data_off = wav.find(b"data") + 8
+    (dsize,) = struct.unpack_from("<I", wav, data_off - 4)
+    raw = wav[data_off : data_off + dsize]
+    block_align = 4 * 2 + 504 * 2 // 2
+    for lo in range(0, len(raw), block_align):
+        blk = raw[lo : lo + block_align]
+        if len(blk) < 8:
+            break
+        for c in range(2):
+            pred, idx, _ = struct.unpack_from("<hBB", blk, 4 * c)
+            nibs = []
+            pay = blk[8:]
+            for gi in range(0, len(pay), 4):
+                if (gi // 4) % 2 != c:
+                    continue
+                for b in pay[gi : gi + 4]:
+                    nibs += [b & 0x0F, b >> 4]
+            packed = bytes(
+                (nibs[i] << 4) | nibs[i + 1] for i in range(0, len(nibs), 2)
+            )
+            ref = np.frombuffer(
+                audioop.adpcm2lin(packed, 2, (pred, idx))[0], np.int16
+            )
+            mine, _, _ = ima_adpcm_decode(nibs, pred, idx)
+            assert np.array_equal(ref, mine)
