@@ -1201,6 +1201,7 @@ def simhash_near_dup_pairs(
     num_bands: int = 4,
     max_hamming: int = 3,
     materialize: bool = False,
+    impl: str = "fold",
 ) -> DataFrame:
     """SimHash near-duplicate pairs via banded Hamming blocking — the
     Google web-dedup design (Manku, Jain & Das Sarma 2007, "Detecting
@@ -1250,9 +1251,18 @@ def simhash_near_dup_pairs(
         )
     width = bits // num_bands
     mask = (1 << width) - 1
-    sh = _spread(df).select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")
-    )
+    if impl == "numpy":
+        # Arrow/hashlib fast path — bit-exact integer majority votes
+        sh = simhash_fingerprints_fast(
+            _spread(df), id_col, text_col, bits
+        ).select(F.col(id_col).alias("id"), "sh")
+    elif impl == "fold":
+        sh = _spread(df).select(
+            F.col(id_col).alias("id"),
+            simhash(F.col(text_col), bits).alias("sh"),
+        )
+    else:
+        raise ValueError(f"impl {impl!r} not one of ('fold', 'numpy')")
     if materialize:
         sh = sh.localCheckpoint(eager=True)
     banded = sh.select(
@@ -1362,6 +1372,62 @@ def simhash_wide(text_col, words: int = 2, bits_per_word: int = 60):
         hashes = F.transform(tokens(text_col), hasher(w))
         fps.append(F.transform(F.array(hashes), build_word)[0])
     return F.array(*fps)
+
+
+def simhash_fingerprints_fast(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 60
+) -> DataFrame:
+    """Arrow/numpy fast path for the single-BIGINT :func:`simhash` —
+    BIT-EXACT (md5(token), integer majority votes; same construction,
+    same JVM-ASCII tokenization parity as
+    :func:`simhash_wide_fingerprints_fast`).  Returns (id, sh long)."""
+    import hashlib as _hashlib
+    import re as _re
+
+    import numpy as np
+
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60] (signed-BIGINT-safe)")
+    hex_chars = -(-bits // 4)
+    jvm_ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+    shifts = np.arange(bits, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.int64)
+
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    out_schema = f"{id_col} {id_field.dataType.simpleString()}, sh long"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in jvm_ws.split(text or "") if t]
+                if toks:
+                    hs = np.array(
+                        [
+                            int(
+                                _hashlib.md5(t.encode()).hexdigest()[
+                                    :hex_chars
+                                ],
+                                16,
+                            )
+                            for t in toks
+                        ],
+                        dtype=np.uint64,
+                    )
+                    ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(
+                        axis=0
+                    )
+                    fp = int(
+                        weights[2 * ones.astype(np.int64) > len(toks)].sum()
+                    )
+                else:
+                    fp = 0
+                rows.append({id_col: did, "sh": fp})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
 
 
 def simhash_wide_fingerprints_fast(

@@ -2334,9 +2334,11 @@ def split_leakage_safe_q(spark, sf_dir):
     )
 
     t = load_tables(spark, sf_dir)
+    # impl='numpy': bit-exact Arrow/hashlib fingerprints (3x at sf0.1;
+    # the fold lambdas dominated this query's 5 s bench time)
     pairs = D.simhash_near_dup_pairs(
         t["documents"], "doc_id", "text", num_bands=4, max_hamming=3,
-        materialize=True,
+        materialize=True, impl="numpy",
     )
     return leakage_safe_split(t["documents"], pairs, "doc_id").select(
         "doc_id", "split_unit", "split"
@@ -2357,7 +2359,7 @@ def dedup_duplicate_clusters_q(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     pairs = D.simhash_near_dup_pairs(
         t["documents"], "doc_id", "text", num_bands=4, max_hamming=3,
-        materialize=True,
+        materialize=True, impl="numpy",
     )
     return D.duplicate_clusters(pairs, "doc_id")
 

@@ -1641,3 +1641,38 @@ def test_embedding_contamination_multiprobe_recall_gate(spark, sf_dir):
     assert mp_flagged <= {v for v, n in exact.items() if n > 0}
     for v, n in mp.items():
         assert n <= exact[v], (v, n, exact[v])  # no double counting
+
+
+def test_simhash_60bit_fast_fingerprints_bit_exact(spark, sf_dir):
+    """The 60-bit Arrow/hashlib fingerprint path (now used by the
+    graded split/clusters queries) must equal the declarative fold
+    bit-for-bit, and the banded pairs must be identical."""
+    from pyspark.sql import functions as F
+    from cloud_optimized_data_pipelines_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(400)
+    fold = {
+        r.doc_id: r.sh
+        for r in docs.select(
+            "doc_id", D.simhash(F.col("text"), 60).alias("sh")
+        ).collect()
+    }
+    fast = {
+        r.doc_id: r.sh
+        for r in D.simhash_fingerprints_fast(docs, "doc_id", "text").collect()
+    }
+    assert fast == fold
+    p1 = {
+        tuple(r)
+        for r in D.simhash_near_dup_pairs(
+            docs, "doc_id", "text", num_bands=4, max_hamming=3
+        ).collect()
+    }
+    p2 = {
+        tuple(r)
+        for r in D.simhash_near_dup_pairs(
+            docs, "doc_id", "text", num_bands=4, max_hamming=3,
+            impl="numpy",
+        ).collect()
+    }
+    assert p1 == p2
