@@ -122,12 +122,7 @@ def test_plans_md_covers_registry():
     assert not extra, f"PLANS.md stale rows: {extra}"
 
 
-def test_coverage_ledger_current():
-    """COVERAGE.md's last-driver-green ledger (tools/ledger.py) must
-    match what the CORRECTNESS_r*.json history + the current registry
-    derive RIGHT NOW — the same stale-artifact pin PLANS.md has, so a
-    query registered without regenerating both artifacts fails the
-    suite (the staleness recurred three times before this test)."""
+def _import_ledger():
     import os
     import sys
 
@@ -137,8 +132,21 @@ def test_coverage_ledger_current():
         import ledger
     finally:
         sys.path.pop(0)
+    return repo, ledger
 
-    expected = ledger.render(ledger.build_rows())
+
+def test_coverage_ledger_current():
+    """COVERAGE.md's last-driver-green ledger (tools/ledger.py) must
+    match what the CORRECTNESS history + the current registry derive,
+    restricted to the round the committed block says it was generated
+    through — the driver writes CORRECTNESS_r{N}.json AFTER the
+    builder's final commit, so files newer than the committed ledger
+    are tolerated (VERDICT r8 #1: the all-files pin was red at every
+    round start by construction).  A registry change without
+    regeneration still fails: build_rows reads the live registry."""
+    import os
+
+    repo, ledger = _import_ledger()
     with open(os.path.join(repo, "COVERAGE.md")) as f:
         text = f.read()
     assert ledger.BEGIN in text and ledger.END in text, (
@@ -146,6 +154,57 @@ def test_coverage_ledger_current():
     )
     actual = text[text.index(ledger.BEGIN): text.index(ledger.END)
                   + len(ledger.END)]
+    through = ledger.committed_through_round(actual)
+    available = {ledger._round_of(p) for p in ledger.correctness_files()}
+    assert through in available, (
+        f"ledger claims round r{through} but no such correctness file"
+    )
+    expected = ledger.render(
+        ledger.build_rows(max_round=through), through
+    )
     assert actual == expected, (
         "COVERAGE.md ledger is stale — run: python tools/ledger.py"
+    )
+
+
+def test_coverage_ledger_tolerates_future_round(tmp_path):
+    """Simulate the round boundary the r8 verdict flagged: the driver
+    drops a CORRECTNESS file NEWER than the committed ledger.  The pin
+    must still pass (the new file is outside the committed
+    through-round), and a regeneration that includes it must differ
+    only by absorbing the new green rows."""
+    import json
+    import os
+
+    repo, ledger = _import_ledger()
+    files = ledger.correctness_files()
+    future = tmp_path / "CORRECTNESS_r99.json"
+    future.write_text(json.dumps({
+        "c1_extract_dates": {
+            "rows_match": True, "schema_match": True,
+            "hash_match": True, "err": None,
+        }
+    }))
+    through = max(ledger._round_of(p) for p in files)
+    # Restricted to the committed through-round, the future file is
+    # invisible: rows are identical with and without it.
+    base = ledger.build_rows(max_round=through, files=files)
+    tolerant = ledger.build_rows(
+        max_round=through, files=files + [str(future)]
+    )
+    assert base == tolerant
+    # Unrestricted regeneration absorbs it (proves the file parses and
+    # the tolerance comes from max_round, not from ignoring the file).
+    absorbed = dict(ledger.build_rows(files=files + [str(future)]))
+    assert absorbed["c1_extract_dates"] == "r99"
+    # And the committed block itself passes the exact comparison the
+    # main pin performs, regardless of files newer than it.
+    with open(os.path.join(repo, "COVERAGE.md")) as f:
+        text = f.read()
+    actual = text[text.index(ledger.BEGIN): text.index(ledger.END)
+                  + len(ledger.END)]
+    committed_through = ledger.committed_through_round(actual)
+    assert actual == ledger.render(
+        ledger.build_rows(max_round=committed_through),
+        committed_through,
     )
