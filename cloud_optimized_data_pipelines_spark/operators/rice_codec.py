@@ -258,7 +258,9 @@ def rice_encode(
                 np.concatenate(([0], block)) if ref else block
             )
             se_cost = _se_cost(se_block) + 1 if se_ok else 1 << 60
-            ref_bits = n_bits if ref else 0
+            # (the reference sample costs n_bits under EVERY option —
+            # k-split, SE, and uncompressed all emit it verbatim — so
+            # it cancels out of the comparison and carries no term here)
             if uncomp_cost <= best_cost and uncomp_cost <= se_cost:
                 # no-compression stores the J PREPROCESSED samples
                 # (mapped[0] of a reference block IS the raw reference)

@@ -324,7 +324,11 @@ def _decode_adpcm_stream(
             for b in payload[gi : gi + 4]:
                 chan_nibs[c].append(b & 0x0F)
                 chan_nibs[c].append(b >> 4)
-        frames = np.empty((samples_per_block, channels), np.int16)
+        # zeros, not empty: a truncated final block (real IMA WAVs often
+        # omit pad nibbles) decodes fewer than samples_per_block-1
+        # samples, and the unwritten tail must be silence, not
+        # uninitialized memory (ADVICE r8)
+        frames = np.zeros((samples_per_block, channels), np.int16)
         for c, (pred, index) in enumerate(states):
             nibs = chan_nibs[c][: samples_per_block - 1]
             dec, _, _ = ima_adpcm_decode(nibs, pred, index)

@@ -4621,56 +4621,60 @@ def _wav_g711_oracle() -> str:
 WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
 meta AS (SELECT v, (v // 2) % 2 + 1 AS channels FROM var),
 smp AS (
-  SELECT m.v, m.channels,
+  SELECT m.v, m.channels, g.k,
          ((g.k * (m.v + 1)) % 20011) - 10005 AS x
   FROM meta m, (SELECT UNNEST(range(0, {_WAV_FRAMES} * 2)) AS k) g
   WHERE g.k < {_WAV_FRAMES} * m.channels
 ),
 ud AS (
-  SELECT v, x, CASE WHEN x < 0 THEN -mag ELSE mag END AS dec FROM (
-    SELECT v, x,
+  SELECT v, k, CASE WHEN x < 0 THEN -mag ELSE mag END AS dec FROM (
+    SELECT v, k, x,
            ((val // CAST(pow(2, seg + 3) AS BIGINT)) % 16 * 8 + 132)
            * CAST(pow(2, seg) AS BIGINT) - 132 AS mag
     FROM (
-      SELECT v, x, val,
+      SELECT v, k, x, val,
              CASE WHEN val <= 255 THEN 0 WHEN val <= 511 THEN 1
                   WHEN val <= 1023 THEN 2 WHEN val <= 2047 THEN 3
                   WHEN val <= 4095 THEN 4 WHEN val <= 8191 THEN 5
                   WHEN val <= 16383 THEN 6 ELSE 7 END AS seg
-      FROM (SELECT v, x,
+      FROM (SELECT v, k, x,
                    CASE WHEN x >= 0 THEN x + 132 ELSE 132 - x END AS val
             FROM smp)))
 ),
 ad AS (
-  SELECT v, x, CASE WHEN neg THEN -mag ELSE mag END AS dec FROM (
-    SELECT v, x, neg,
+  SELECT v, k, CASE WHEN neg THEN -mag ELSE mag END AS dec FROM (
+    SELECT v, k, neg,
            CASE WHEN seg = 0 THEN mant * 16 + 8
                 ELSE (mant * 16 + 264) * CAST(pow(2, seg - 1) AS BIGINT)
            END AS mag
     FROM (
-      SELECT v, x, neg, seg,
+      SELECT v, k, neg, seg,
              CASE WHEN seg < 2 THEN (val // 2) % 16
                   ELSE (val // CAST(pow(2, seg) AS BIGINT)) % 16
              END AS mant
       FROM (
-        SELECT v, x, neg, val,
+        SELECT v, k, neg, val,
                CASE WHEN val <= 31 THEN 0 WHEN val <= 63 THEN 1
                     WHEN val <= 127 THEN 2 WHEN val <= 255 THEN 3
                     WHEN val <= 511 THEN 4 WHEN val <= 1023 THEN 5
                     WHEN val <= 2047 THEN 6 ELSE 7 END AS seg
         FROM (
-          SELECT v, x, p < 0 AS neg,
+          SELECT v, k, p < 0 AS neg,
                  CASE WHEN p < 0 THEN -p - 1 ELSE p END AS val
-          FROM (SELECT v, x, CAST(floor(x / 8.0) AS BIGINT) AS p
+          FROM (SELECT v, k, CAST(floor(x / 8.0) AS BIGINT) AS p
                 FROM smp)))))
 ),
 sums AS (
+  -- join on the sample index k, not the sample value x: x collisions
+  -- within a variant would silently double-count (ADVICE r8) — the
+  -- prime-modulus injectivity that made (v, x) safe is an invariant
+  -- nothing asserted, whereas (v, k) is unique by construction
   SELECT s.v,
          CAST(SUM(CASE WHEN s.v % 2 = 0 THEN ud.dec ELSE ad.dec END)
               AS BIGINT) AS sample_sum
   FROM smp s
-  JOIN ud ON ud.v = s.v AND ud.x = s.x
-  JOIN ad ON ad.v = s.v AND ad.x = s.x
+  JOIN ud ON ud.v = s.v AND ud.k = s.k
+  JOIN ad ON ad.v = s.v AND ad.k = s.k
   GROUP BY s.v
 )
 SELECT d.doc_id, d.doc_id % 8 AS variant,

@@ -837,6 +837,11 @@ def _apply_filters(
             # 4-byte LE uncompressed byte count + raw rice stream
             # (H5Z always sets SZ_RAW, so no szip stream header)
             opts, bpp, ppb, pps = cvs[0], cvs[1], cvs[2], cvs[3]
+            if not (opts & 0x80):  # SZ_RAW_OPTION_MASK
+                raise ValueError(
+                    "szip: non-raw stream (szip header present) "
+                    "unsupported — H5Zszip always writes raw streams"
+                )
             (orig,) = struct.unpack("<I", raw[:4])
             width = (bpp + 7) // 8
             if width == 3:

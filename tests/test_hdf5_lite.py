@@ -598,3 +598,11 @@ def test_szip_decodes_for_real_and_rejects_garbage():
     )
     with pytest.raises(ValueError):
         H.read_variable(bogus, "v")
+    # ADVICE r8: opts without SZ_RAW (0x80) means a szip stream header
+    # is present — must raise the named guard, never misparse as Rice
+    nonraw = H.write_hdf5(
+        {"v": (arr, {})}, chunks={"v": (4, 12)}, compress=False,
+        extra_filters={"v": [(4, (0x28, 32, 4, 12))]},
+    )
+    with pytest.raises(ValueError, match="non-raw"):
+        H.read_variable(nonraw, "v")
