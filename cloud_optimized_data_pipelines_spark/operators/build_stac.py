@@ -86,33 +86,177 @@ def enrich_from_granules(events: DataFrame, granules: DataFrame) -> DataFrame:
     )
 
 
+#: columns attach_raster_metadata produces; build_items folds them into
+#: the item struct / properties when present (rio_stac parity —
+#: ``lambdas/build-stac/utils/stac.py:32-48`` with_proj/with_raster)
+RASTER_META_COLS = (
+    "bbox",
+    "geometry_wkt",
+    "proj_epsg",
+    "proj_shape",
+    "proj_transform",
+    "raster_bands",
+)
+
+
+def attach_raster_metadata(df: DataFrame) -> DataFrame:
+    """Derive the rio_stac item fields from raw COG-probe numerics.
+
+    Input columns (``geotiff.cog_stac_metadata`` output, one row per
+    raster): x0, y0, sx, sy, width, height, epsg, nodata, data_type,
+    vmin, vmax, vsum, vsumsq, valid_count, n_cells.  Everything here is
+    a pure column expression (whole-stage codegen) — the only Python in
+    the chain is the tag decode itself:
+
+    - ``bbox`` [W, S, E, N]: dataset bounds from the affine transform,
+      exactly ``rio_stac``'s ``bbox = feature of dataset_geom`` for a
+      north-up raster (south = y0 - h*sy, east = x0 + w*sx);
+    - ``geometry_wkt``: the bbox polygon (counter-clockwise ring,
+      closing vertex repeated), coordinates printf'd at 9 decimals;
+    - ``proj_epsg`` / ``proj_shape`` [h, w] / ``proj_transform``
+      [sx, 0, x0, 0, -sy, y0, 0, 0, 1] (rio_stac emits the 3x3 affine
+      row-major — ``rio_stac.stac.get_projection_info``);
+    - ``raster_bands``: single-band statistics JSON with nodata cells
+      excluded (mean / stddev from exact sum / sum-of-squares, stddev
+      the population form rio_stac's dataset.statistics reports).
+    """
+    f9 = lambda c: F.format_string("%.9f", c)  # noqa: E731
+    f6 = lambda c: F.format_string("%.6f", c)  # noqa: E731
+    south = F.col("y0") - F.col("height") * F.col("sy")
+    east = F.col("x0") + F.col("width") * F.col("sx")
+    mean = F.col("vsum") / F.col("valid_count")
+    var = F.col("vsumsq") / F.col("valid_count") - mean * mean
+    corner = lambda x, y: F.concat(f9(x), F.lit(" "), f9(y))  # noqa: E731
+    ring = F.concat_ws(
+        ", ",
+        corner(F.col("x0"), south),
+        corner(east, south),
+        corner(east, F.col("y0")),
+        corner(F.col("x0"), F.col("y0")),
+        corner(F.col("x0"), south),
+    )
+    return (
+        df.withColumn(
+            "bbox",
+            F.array(F.col("x0"), south, east, F.col("y0")).cast(
+                "array<double>"
+            ),
+        )
+        .withColumn(
+            "geometry_wkt",
+            F.concat(F.lit("POLYGON (("), ring, F.lit("))")),
+        )
+        .withColumn("proj_epsg", F.col("epsg").cast("long"))
+        .withColumn(
+            "proj_shape",
+            F.array(F.col("height"), F.col("width")).cast("array<long>"),
+        )
+        .withColumn(
+            "proj_transform",
+            F.concat(
+                F.lit("["),
+                F.concat_ws(
+                    ", ",
+                    f9(F.col("sx")),
+                    f9(F.lit(0.0)),
+                    f9(F.col("x0")),
+                    f9(F.lit(0.0)),
+                    f9(-F.col("sy")),
+                    f9(F.col("y0")),
+                    f9(F.lit(0.0)),
+                    f9(F.lit(0.0)),
+                    f9(F.lit(1.0)),
+                ),
+                F.lit("]"),
+            ),
+        )
+        .withColumn(
+            "raster_bands",
+            F.concat(
+                F.lit('[{"data_type": "'),
+                F.col("data_type"),
+                F.lit('", "nodata": '),
+                F.coalesce(f6(F.col("nodata")), F.lit("null")),
+                F.lit(', "statistics": {"minimum": '),
+                f6(F.col("vmin")),
+                F.lit(', "maximum": '),
+                f6(F.col("vmax")),
+                F.lit(', "mean": '),
+                f6(mean),
+                F.lit(', "stddev": '),
+                f6(F.sqrt(var)),
+                F.lit(', "valid_percent": '),
+                f6(F.col("valid_count") * 100.0 / F.col("n_cells")),
+                F.lit("}}]"),
+            ),
+        )
+    )
+
+
 def build_items(events: DataFrame, spill_limit: int = 256 * 1024) -> DataFrame:
     """Assemble the STAC-item struct + serialized JSON + spill flag.
 
     Output columns: item STRUCT, item_json STRING, needs_spill BOOLEAN,
     date_error STRING (non-null = the reference would have raised).
+
+    When the events carry raster metadata columns (RASTER_META_COLS,
+    from :func:`attach_raster_metadata`), the item struct gains
+    ``bbox``/``geometry_wkt`` fields and the properties map gains
+    ``proj:epsg``/``proj:shape``/``proj:transform``/``raster:bands`` —
+    the ``with_proj=True, with_raster=True`` surface of the reference's
+    ``rio_stac.create_stac_item`` call (utils/stac.py:38-39).  Events
+    without them (the metadata-only pipeline) keep the exact prior
+    struct shape.
     """
     dated = derive_datetimes(events)
+    has_raster = all(c in events.columns for c in RASTER_META_COLS)
+    prop_keys = [
+        F.lit("start_datetime"),
+        F.lit("end_datetime"),
+        F.lit("datetime"),
+    ]
+    prop_vals = [
+        iso(F.col("start_datetime")),
+        iso(F.col("end_datetime")),
+        iso(F.col("single_datetime")),
+    ]
+    if has_raster:
+        prop_keys += [
+            F.lit("proj:epsg"),
+            F.lit("proj:shape"),
+            F.lit("proj:transform"),
+            F.lit("raster:bands"),
+        ]
+        prop_vals += [
+            F.col("proj_epsg").cast("string"),
+            F.concat(
+                F.lit("["),
+                F.concat_ws(
+                    ", ", F.col("proj_shape").cast("array<string>")
+                ),
+                F.lit("]"),
+            ),
+            F.col("proj_transform"),
+            F.col("raster_bands"),
+        ]
+    raster_fields = (
+        [
+            F.col("bbox").alias("bbox"),
+            F.col("geometry_wkt").alias("geometry_wkt"),
+        ]
+        if has_raster
+        else []
+    )
     item = F.struct(
         item_id_per_row(F.col("s3_filename"), F.col("id_regex")).alias("id"),
         F.col("collection").alias("collection"),
+        *raster_fields,
         F.map_filter(
             F.map_concat(
                 F.coalesce(
                     F.col("properties"), F.expr("cast(map() as map<string,string>)")
                 ),
-                F.map_from_arrays(
-                    F.array(
-                        F.lit("start_datetime"),
-                        F.lit("end_datetime"),
-                        F.lit("datetime"),
-                    ),
-                    F.array(
-                        iso(F.col("start_datetime")),
-                        iso(F.col("end_datetime")),
-                        iso(F.col("single_datetime")),
-                    ),
-                ),
+                F.map_from_arrays(F.array(*prop_keys), F.array(*prop_vals)),
             ),
             lambda _, v: v.isNotNull(),
         ).alias("properties"),

@@ -544,3 +544,82 @@ def cog_szip_probe_table(spark, variants: int = 8):
                 )
 
     return spark.range(int(variants)).mapInPandas(gen, COG_PROBE_SCHEMA)
+
+
+def _stac_raster_variant(v: int) -> dict:
+    """One deterministic granule -> COG -> STAC-metadata probe.
+
+    Unlike :func:`_cog_variant` (which passes an explicit bbox), this
+    variant exercises the COORDINATE path end-to-end: the classic
+    netCDF carries lat/lon cell-center vectors (exact quarter-degree
+    steps, so every coordinate is a dyadic rational), ``_cogify_bytes``
+    derives the bbox from them via ``_finish_decode`` (the reference's
+    handler.py:97-101), and :func:`geotiff.cog_stac_metadata` probes
+    the EMITTED COG's tags + raster back out — the rio_stac
+    ``with_proj=True, with_raster=True`` surface
+    (``lambdas/build-stac/utils/stac.py:32-48``).
+
+    Every returned number is replayable arithmetically: grid value at
+    flat index k is ``(k*(v+1)) % 97`` with cell 0 set to the -9999
+    fill; lon = (-170 + 3v) + 0.25*i, lat = (80 - v) - 0.25*j.
+    """
+    import hashlib
+    import tempfile
+
+    from cloud_optimized_data_pipelines_spark.operators.geotiff import (
+        cog_stac_metadata,
+    )
+    from cloud_optimized_data_pipelines_spark.sources.netcdf_classic import (
+        write_classic,
+    )
+
+    side = 300
+    vals = (
+        np.arange(side * side, dtype=np.int64).reshape(side, side) * (v + 1)
+    ) % 97
+    arr = vals.astype(np.float32)
+    arr[0, 0] = np.float32(-9999.0)
+    lat = (80.0 - v) - 0.25 * np.arange(side, dtype=np.float64)
+    lon = (-170.0 + 3.0 * v) + 0.25 * np.arange(side, dtype=np.float64)
+    nc = write_classic(
+        {
+            "var": (arr, {"_FillValue": np.float32(-9999.0)}),
+            "lat": (np.ascontiguousarray(lat), {}),
+            "lon": (np.ascontiguousarray(lon), {}),
+        },
+        dims=[("lat", side), ("lon", side)],
+        var_dims={"var": ["lat", "lon"], "lat": ["lat"], "lon": ["lon"]},
+    )
+    with tempfile.NamedTemporaryFile(suffix=".nc") as f:
+        f.write(nc)
+        f.flush()
+        blob = _cogify_bytes(
+            f.name, "var", None, x_variable="lon", y_variable="lat"
+        )
+    meta = cog_stac_metadata(blob)
+    return {"variant": v, "cog_md5": hashlib.md5(blob).hexdigest(), **meta}
+
+
+STAC_PROBE_SCHEMA = (
+    "variant long, cog_md5 string, width long, height long, epsg long, "
+    "x0 double, y0 double, sx double, sy double, nodata double, "
+    "data_type string, vmin double, vmax double, vsum double, "
+    "vsumsq double, valid_count long, n_cells long"
+)
+
+
+def stac_probe_table(spark, variants: int = 8):
+    """Per-variant probe rows computed ON EXECUTORS (mapInPandas) —
+    the per-variant encode/probe cost is O(variants), never per-row;
+    callers broadcast-join the result against the corpus."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                rows = [_stac_raster_variant(int(x)) for x in pdf["id"]]
+                cols = [
+                    c.split()[0] for c in STAC_PROBE_SCHEMA.split(", ")
+                ]
+                yield pd.DataFrame(rows)[cols]
+
+    return spark.range(int(variants)).mapInPandas(gen, STAC_PROBE_SCHEMA)

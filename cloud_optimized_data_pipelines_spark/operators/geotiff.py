@@ -326,3 +326,55 @@ def read_tiff_meta(buf: bytes) -> list[dict]:
             }
         )
     return out
+
+
+def cog_stac_metadata(buf: bytes) -> dict:
+    """Probe a COG the way ``rio_stac.stac.create_stac_item(...,
+    with_proj=True, with_raster=True)`` does (the reference's STAC
+    metadata source, ``lambdas/build-stac/utils/stac.py:32-48``):
+    georeferencing from the GeoTIFF tags and band statistics from the
+    decoded full-resolution raster with nodata cells excluded.
+
+    Returns NUMERIC primitives only — dataset origin/scale, EPSG code,
+    shape, nodata, and exact integer-safe stat accumulators (sum,
+    sum-of-squares, valid count) — so the bbox / proj:transform /
+    raster:bands assembly can happen JVM-side as column expressions
+    and a SQL oracle can replay every derived value arithmetically.
+    """
+    meta = read_tiff_meta(buf)[0]
+    scale = meta["pixel_scale"]
+    tie = meta["tiepoint"]
+    if scale is None or tie is None:
+        raise ValueError("COG carries no ModelPixelScale/ModelTiepoint")
+    sx, sy = float(scale[0]), float(scale[1])
+    # ModelTiepoint (i, j, k, x, y, z): raster point -> model point
+    x0 = float(tie[3]) - float(tie[0]) * sx
+    y0 = float(tie[4]) + float(tie[1]) * sy
+    epsg = 0
+    keys = meta["geokeys"] or []
+    for k in range(4, len(keys), 4):
+        if keys[k] == 2048:  # GeographicTypeGeoKey
+            epsg = int(keys[k + 3])
+    nodata = float(meta["nodata"][0]) if meta["nodata"] else None
+    arr = meta["array"].astype(np.float64)
+    valid = arr[arr != nodata] if nodata is not None else arr.reshape(-1)
+    n_valid = int(valid.size)
+    return {
+        "width": int(meta["width"]),
+        "height": int(meta["height"]),
+        "epsg": epsg,
+        "x0": x0,
+        "y0": y0,
+        "sx": sx,
+        "sy": sy,
+        "nodata": nodata,
+        "data_type": {1: "uint", 2: "int", 3: "float32"}.get(
+            meta["sample_format"], "unknown"
+        ),
+        "vmin": float(valid.min()) if n_valid else None,
+        "vmax": float(valid.max()) if n_valid else None,
+        "vsum": float(valid.sum()),
+        "vsumsq": float((valid * valid).sum()),
+        "valid_count": n_valid,
+        "n_cells": int(arr.size),
+    }
