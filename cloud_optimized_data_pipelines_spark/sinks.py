@@ -155,6 +155,114 @@ def write_range_clustered(
     )
 
 
+def spill_to_files(items: DataFrame, spill_dir: str) -> DataFrame:
+    """K2 write half of the spill round-trip: each ``needs_spill`` row's
+    ``item_json`` goes to its own side file ``{spill_dir}/{item_id}.json``
+    and the row carries ``stac_file_url`` instead — the reference's
+    build-stac behavior for items past the Step Functions 256 KiB state
+    cap (``lambdas/build-stac/handler.py:44-55``, which uploads to S3
+    and emits ``{"stac_file_url": ...}``).
+
+    Arrow ``mapInPandas`` stage: side files are written ON EXECUTORS
+    (one write per oversized item, embarrassingly parallel), small
+    items pass through untouched with a NULL url.  ``spill_dir`` is a
+    shared filesystem path or an ``s3://`` prefix (boto3-gated like
+    operators/fetch.py).
+    """
+    import pandas as pd
+
+    cols = items.columns
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in items.schema.fields
+    ) + ", stac_file_url string"
+
+    def write_side(batches):
+        import os
+        import urllib.parse
+
+        for pdf in batches:
+            urls = []
+            for _, row in pdf.iterrows():
+                if not row["needs_spill"]:
+                    urls.append(None)
+                    continue
+                name = f"{row['item']['id']}.json"
+                scheme = urllib.parse.urlparse(spill_dir).scheme
+                if scheme == "s3":
+                    try:
+                        import boto3
+                    except ImportError as exc:  # pragma: no cover
+                        raise RuntimeError(
+                            f"s3 spill to {spill_dir!r} requires boto3"
+                        ) from exc
+                    parsed = urllib.parse.urlparse(spill_dir)
+                    key = parsed.path.strip("/") + "/" + name
+                    boto3.client("s3").put_object(
+                        Bucket=parsed.netloc,
+                        Key=key,
+                        Body=row["item_json"].encode(),
+                    )
+                    urls.append(f"s3://{parsed.netloc}/{key}")
+                else:
+                    path = os.path.join(spill_dir, name)
+                    os.makedirs(spill_dir, exist_ok=True)
+                    with open(path, "w") as f:
+                        f.write(row["item_json"])
+                    urls.append("file://" + path)
+            out = pdf.copy()
+            out["stac_file_url"] = pd.Series(urls, index=pdf.index, dtype=object)
+            out.loc[out["stac_file_url"].notna(), "item_json"] = None
+            yield out
+
+    return items.mapInPandas(write_side, schema).select(
+        *cols, "stac_file_url"
+    )
+
+
+def resolve_items(items: DataFrame) -> DataFrame:
+    """K4/K5 read half of the spill round-trip: rows whose
+    ``stac_file_url`` is non-null re-fetch the side file into
+    ``item_json`` before submission — the reference's ``get_stac_item``
+    (``lambdas/submit-stac/handler.py:96-109``: inline ``stac_item``
+    wins, else the S3 side file is read back, else error).
+
+    Executor-side Arrow stage via ``operators/fetch.fetch_to_local``
+    (file:// real, http urllib, s3 boto3-gated); a row with NEITHER an
+    inline item nor a url raises the reference's named error.
+    """
+    cols = items.columns
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in items.schema.fields
+    )
+
+    def fetch_side(batches):
+        import os
+
+        from cloud_optimized_data_pipelines_spark.operators.fetch import (
+            fetch_to_local,
+        )
+
+        for pdf in batches:
+            out = pdf.copy()
+            for i, row in pdf.iterrows():
+                if row["item_json"] is not None:
+                    continue
+                url = row["stac_file_url"]
+                if url is None:
+                    raise ValueError(
+                        "No stac_item or stac_file_url provided"
+                    )
+                local = fetch_to_local(url)
+                try:
+                    with open(local) as f:
+                        out.at[i, "item_json"] = f.read()
+                finally:
+                    os.unlink(local)
+            yield out
+
+    return items.mapInPandas(fetch_side, schema)
+
+
 def submit_items(
     items: DataFrame,
     poster: Poster,
@@ -165,8 +273,13 @@ def submit_items(
 
     ``poster`` wraps ``requests.post(f"{api}/ingestions", ...)`` in prod
     and a list-append fake in tests.  Rows with ``dry_run`` true are
-    printed, not posted (submit-stac/handler.py:121-124).
+    printed, not posted (submit-stac/handler.py:121-124).  Spilled rows
+    (``stac_file_url`` column present and non-null) are resolved back
+    from their side files first via :func:`resolve_items`
+    (handler.py:96-109).
     """
+    if "stac_file_url" in items.columns:
+        items = resolve_items(items)
     if dry_run:
         items.select("item_json").show(truncate=False)
         return
