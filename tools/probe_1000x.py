@@ -11,7 +11,14 @@ the pathological corpus).
 
 Usage: python tools/probe_1000x.py [probe ...]
   probes: cliff pairs100 clusters100 pairs1000 clusters1000 chain
-          assign semfast
+          assign semfast split bloom
+
+Round-9 additions (VERDICT r8 task 7): ``split`` times the full
+leakage_safe_split composition (fast fingerprints -> banded pair join
+-> star contraction -> label join -> md5 bucket split) and proves
+pair co-travel at 5M docs; ``bloom`` sizes the auto Bloom gate at a
+2.5M-digest history and measures its realized maybe-present rate and
+the gated-vs-plain anti-join cost.
 """
 
 from __future__ import annotations
@@ -90,6 +97,8 @@ def main() -> None:
         "chain",
         "assign",
         "semfast",
+        "split",
+        "bloom",
     }
     spark = get_spark("probe-1000x")
     spark.sparkContext.setLogLevel("ERROR")
@@ -205,6 +214,128 @@ def main() -> None:
             .count(),
         )
         print(f"PROBE semfast dups: {dup}", flush=True)
+
+    if "split" in want:
+        # leakage_safe_split e2e: fast fingerprints -> 60-bit banded
+        # pair join -> star contraction -> label join -> md5 bucket
+        # split (the graded query's exact composition, impl='numpy')
+        from cloud_optimized_data_pipelines_spark.operators.sampling import (
+            leakage_safe_split,
+        )
+
+        for label, docs in (("100x", docs100), ("1000x", docs1000)):
+            def run(d=docs):
+                p = D.simhash_near_dup_pairs(
+                    d, "doc_id", "text", num_bands=4, max_hamming=3,
+                    materialize=True, impl="numpy",
+                ).localCheckpoint(eager=False)
+                out = leakage_safe_split(d, p, "doc_id").select(
+                    "doc_id", "split_unit", "split"
+                ).localCheckpoint(eager=False)
+                fracs = {
+                    r["split"]: r["n"]
+                    for r in out.groupBy("split")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                # co-travel: no near-dup pair may straddle a boundary
+                s = out.select(
+                    F.col("doc_id").alias("_id"), F.col("split").alias("_s")
+                )
+                straddle = (
+                    p.join(s.withColumnRenamed("_s", "sa"),
+                           p["id_a"] == s["_id"])
+                    .drop("_id")
+                    .join(s.withColumnRenamed("_s", "sb"),
+                          F.col("id_b") == s["_id"])
+                    .filter(F.col("sa") != F.col("sb"))
+                    .count()
+                )
+                return {"fracs": fracs, "straddle": straddle}
+
+            t(f"split e2e {label}", run)
+
+    if "bloom" in want:
+        # dedup_bloom_gated at scale: history = even doc_ids' digests
+        # (2.5M at 1000x), auto-sized filter, incoming = odd + mult-4.
+        # Measures filter geometry, realized maybe-present rate split
+        # by true membership (FPR on the truly-fresh side), and the
+        # gated path vs the plain anti-join it short-circuits.
+        from cloud_optimized_data_pipelines_spark.operators.sketches import (
+            bloom_contains,
+            bloom_partial,
+        )
+        from cloud_optimized_data_pipelines_spark.streaming.dedup_stream import (
+            _auto_bloom_size,
+        )
+
+        for label, docs in (("100x", docs100), ("1000x", docs1000)):
+            digest = F.md5(F.coalesce(F.col("text"), F.lit("")))
+            hist = (
+                docs.filter(F.col("doc_id") % 2 == 0)
+                .select(digest.alias("digest"))
+                .distinct()
+                .localCheckpoint()
+            )
+            n_hist = hist.count()
+            m, k = _auto_bloom_size(n_hist)
+            incoming = (
+                docs.filter(
+                    (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 4 == 0)
+                )
+                .select("doc_id", digest.alias("digest"))
+                .groupBy("digest")
+                .agg(F.min("doc_id").cast("long").alias("doc_id"))
+                .localCheckpoint()
+            )
+            print(
+                f"PROBE bloom {label}: n_hist={n_hist} m_bits={m} "
+                f"k={k} words~{m // 63} (~{m / 8 / 1e6:.1f} MB)",
+                flush=True,
+            )
+            bloom = bloom_partial(
+                hist, "digest", m_bits=m, k_hashes=k
+            ).localCheckpoint(eager=False)
+            t(f"bloom build {label}", lambda b=bloom: b.count())
+            flagged = bloom_contains(
+                bloom, incoming, "digest", m_bits=m, k_hashes=k
+            ).localCheckpoint(eager=False)
+
+            def rates(fl=flagged, h=hist):
+                rows = (
+                    fl.join(
+                        h.withColumn("_in_hist", F.lit(True)),
+                        "digest",
+                        "left",
+                    )
+                    .groupBy("maybe_present", F.col("_in_hist").isNotNull().alias("dup"))
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                )
+                d = {(r["maybe_present"], r["dup"]): r["n"] for r in rows}
+                fresh = d.get((False, False), 0) + d.get((True, False), 0)
+                fpr = d.get((True, False), 0) / max(1, fresh)
+                return {"cells": d, "realized_fpr": round(fpr, 5)}
+
+            t(f"bloom rates {label}", rates)
+
+            def gated(fl=flagged, h=hist):
+                fresh = fl.filter(~F.col("maybe_present")).drop(
+                    "maybe_present"
+                )
+                checked = (
+                    fl.filter(F.col("maybe_present"))
+                    .drop("maybe_present")
+                    .join(h, "digest", "left_anti")
+                )
+                return fresh.unionByName(checked).count()
+
+            def plain(inc=incoming, h=hist):
+                return inc.join(h, "digest", "left_anti").count()
+
+            n_gated = t(f"bloom gated anti-join {label}", gated)
+            n_plain = t(f"bloom plain anti-join {label}", plain)
+            assert n_gated == n_plain, (n_gated, n_plain)
 
 
 if __name__ == "__main__":
