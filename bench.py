@@ -123,6 +123,15 @@ ADDITIONS_R8 = [
     "multimodal_jpeg_lossless",
 ]
 
+# r09 additions (same separate-phase protocol): the round-9 flagships —
+# the full netCDF->COG->STAC item chain with bbox/geometry/proj:*/
+# raster:bands raster metadata, and the learned-centroid IVF now under
+# a DuckDB oracle (rounded Lloyd means)
+ADDITIONS_R9 = [
+    "stac_item_raster",
+    "similarity_ivf_topk",
+]
+
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable
 # set above so their side effects (the SemDeDup partitioned assignment
 # write, PNG codec Python workers) cannot perturb the JVM/page-cache
@@ -172,7 +181,8 @@ def main() -> None:
     # ambiguity cost a manual A/B to resolve).
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for batch in (HEADLINE, ADDITIONS, ADDITIONS_R6, ADDITIONS_R8):
+    for batch in (HEADLINE, ADDITIONS, ADDITIONS_R6, ADDITIONS_R8,
+                  ADDITIONS_R9):
         for name in batch:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         for name in batch:

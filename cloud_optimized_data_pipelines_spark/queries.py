@@ -7787,106 +7787,79 @@ def dedup_bloom_gated_q(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Registration order.  The driver's correctness harness grades the FIRST
-# 50 registrations only (CORRECTNESS_r01/r02 both cut off at 50).  Round-8
-# policy: maximize first-ever driver rows — 48 slots go to queries that
-# have never earned a driver row (the whole round-7/8 backlog: BPE, IVF,
-# multiprobe, Bloom, CDC, fuzzy/soft dedup, PII, packing, subqueries,
-# scalar functions, and all eleven r8 flagships), with 2 ever-green
-# anchors (c1_extract_dates, streaming_dlq_routing) retained for
-# regression signal.  Everything demoted past the window stays registered
-# and locally oracle-checked at sf0.001/0.01/0.1 (tools/check_oracle.py
+# 50 registrations only (CORRECTNESS_r01/r02 both cut off at 50).  Round-9
+# policy (VERDICT r8 task #2): finish the never-graded backlog and then
+# re-prove the STALEST ledger rows.  8 slots go to the last entries
+# without a driver hash row (the six r8 local-only stragglers plus the
+# two new r9 flagships: stac_item_raster and the newly oracle-backed
+# similarity_ivf_topk), 5 restore the core-pipeline keepers rotated out
+# in r8, 2 keep the ever-green anchors, and the remaining 35 are EXACTLY
+# the set whose last driver-green row is r2 or r3 — six rounds stale.
+# After this round every oracle-backed entry has a driver row from r4 or
+# later.  Everything demoted past the window stays registered and
+# locally oracle-checked at sf0.001/0.01/0.1 (tools/check_oracle.py
 # covers all entries; COVERAGE.md's ledger records each query's last
 # driver-green round) — the window only decides which rows the driver
 # re-proves.
 # ---------------------------------------------------------------------------
 
 _GRADED_WINDOW = [
-    # r8 rotation (VERDICT r7 task #1): all 38 oracle-backed queries
-    # that have NEVER earned a driver row enter the window, led by the
-    # three round-7 flagships.  12 slots keep ever-green representatives
-    # of the core reference-pipeline surface (discovery -> enrich ->
-    # transfer -> cogify -> stac) plus one anchor per big extension
-    # family so a regression there cannot hide for a round.  Demoted
-    # queries stay registered and locally oracle-checked
-    # (tools/check_oracle.py covers all entries); COVERAGE.md carries a
-    # last-driver-green ledger mapping every entry to the round it last
-    # earned a driver row.
-    # --- round-7 flagships (never driver-graded) ---
-    "similarity_decontaminate_multiprobe",
-    "multimodal_jpeg_subsampled",
-    "multimodal_gif_composite",
-    # --- BPE family (never driver-graded) ---
-    "text_bpe_pair_counts",
-    "text_bpe_merges",
-    "text_bpe_encode_stats",
-    # --- similarity / ANN (never driver-graded) ---
-    "similarity_ann_multiprobe",
-    "similarity_ivf_probe",
-    "similarity_embedding_near_dup",
-    # --- sketches / dedup variants (never driver-graded) ---
-    "sketch_bloom_membership",
-    "dedup_cdc_chunks",
-    "dedup_soft_weights",
-    "dedup_fuzzy_prefix",
-    "dedup_fuzzy_guard_report",
-    # --- text analysis (never driver-graded) ---
-    "text_simhash",
-    "text_fingerprint",
-    "text_doc_top_tokens",
-    "text_token_top20",
-    "text_chunk_sliding",
-    "text_pack_sequences",
-    "text_pii_redact",
-    # --- sampling (never driver-graded) ---
-    "sample_temperature_mix",
-    "sample_stratified_docs",
-    # --- multimodal (never driver-graded) ---
-    "multimodal_frame_sample",
-    # --- events / relational engine shapes (never driver-graded) ---
-    "events_gap_stats",
-    "subquery_exists_big_orders",
-    "subquery_scalar_above_avg",
-    "agg_conditional_pivot",
-    "agg_having_frequent_customers",
-    "join_range_ship_window",
-    "set_union_distinct",
-    "scalar_string_functions",
-    "scalar_date_functions",
-    # --- reference-surface siblings (never driver-graded) ---
-    "s3_cmr_predicates",
-    "c7_url_parse",
-    "a1_array_extent",
-    "j3_granule_enrichment",
-    "pipeline_corpus_prep",
-    # --- new round-8 queries (first-ever driver rows) ---
-    "dedup_bloom_gated",
-    "multimodal_jpeg_progressive",
-    "dedup_simhash_wide_pairs",
-    "similarity_semantic_dedup_fast",
-    "multimodal_gif_interlaced",
-    "multimodal_wav_g711",
-    "multimodal_avi_frames",
-    # szip source path shares k1_cogify_real_bytes' oracle, so the COG
-    # encoder keeps driver regression coverage through this slot while
-    # the szip decode path earns its first row
-    "k1_cogify_szip",
-    "multimodal_jpeg_12bit",
-    # leakage-safe split subsumes the component-closure logic of the
-    # dedup_duplicate_clusters keeper it displaces (same recursive-CTE
-    # oracle core), so the contraction path keeps driver coverage
-    "split_leakage_safe",
-    # --- 10 ever-green keepers: core reference pipeline + one anchor
-    # per extension family (a3_collection_extent's agg family stays
-    # graded via a1_array_extent; multimodal_gif_frames' GIF family
-    # via multimodal_gif_composite) ---
-    # (k2_spill_flag, pipeline_corpus_preprocess, s4_link_explode,
-    # j1_config_join and s2_discovery_enrich rotated out this round for
-    # the five new r8 queries above — every one of those keepers has
-    # been driver-green in every prior round, so one round out costs
-    # nothing while the new families earn their first rows; the S
-    # discovery family still gets a row via s3_cmr_predicates above)
+    # --- never hash-graded (first-ever driver rows) ---
+    "stac_item_raster",           # r9: STAC bbox/geometry/proj/raster parity
+    "similarity_ivf_topk",        # r9: learned-IVF under a DuckDB oracle
+    "dedup_simhash_wide_pairs_fast",
+    "join_lateral_top2_orders",
+    "multimodal_jpeg_lossless",
+    "multimodal_wav_adpcm",
+    "similarity_quantized_topk",
+    "similarity_truncated_rerank",
+    # --- core-pipeline keepers restored after one round out (r8
+    # rotated them for the new-family rows; VERDICT asked them back) ---
+    "s2_discovery_enrich",
+    "s4_link_explode",
+    "j1_config_join",
+    "k2_spill_flag",
+    "pipeline_corpus_preprocess",
+    # --- ever-green anchors ---
     "c1_extract_dates",
     "streaming_dlq_routing",
+    # --- staleness sweep: every ledger row last green in r2 (20) ---
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_lines_priority",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_promo_suppliers",
+    "q22_idle_customers",
+    "sort_limit_top20_orders",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "events_dedup_first_per_key",
+    # --- staleness sweep: every ledger row last green in r3 (15) ---
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "agg_cube_orders",
+    "agg_distinct_by_segment",
+    "agg_grouping_sets_orders",
+    "agg_modern_functions",
+    "agg_percentiles",
+    "dedup_lsh_verified",
+    "events_funnel_conversion",
+    "events_hourly_window",
+    "events_json_extract",
+    "set_ops_customers",
+    "unpivot_part_metrics",
+    "window_rank_functions",
+    "window_running_total",
 ]
 
 
