@@ -130,6 +130,9 @@ ADDITIONS_R8 = [
 ADDITIONS_R9 = [
     "stac_item_raster",
     "similarity_ivf_topk",
+    # product quantization: compressed-domain ADC scan + exact re-rank
+    "similarity_pq_topk",
+    "similarity_pq_refine",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

@@ -1011,3 +1011,205 @@ def ivf_topk_indexed(
         F.col("list_id").isin(probe)
     )
     return brute_force_topk(lists, vec_col, query, k, id_col, round_digits)
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    centroid_round: int | None = 6,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each vector into
+    ``m_sub`` subvectors and k-means each subspace independently —
+    the compressed-domain ANN path that IVF alone lacks.  A 64-dim
+    float32 vector becomes ``m_sub`` small codes (8 bytes at the
+    defaults vs 256 raw): at 100 TB the ADC scan reads a 32× narrower
+    column and the codebooks (m*k*subdim doubles — 8 KiB here) ride
+    inside the plan as literals, no broadcast table needed.
+
+    Training mirrors :func:`ivf_build`'s determinism recipe: seeds are
+    the ``k_codes`` rows with the smallest md5(id) (their subvector
+    slices seed every subspace), each Lloyd step assigns by argmin
+    squared-L2 (ties to the lowest code) and re-means per (subspace,
+    code, dim) in ONE exploded groupBy (n*m_sub rows into m_sub*k
+    groups — map-side combined), and ``centroid_round`` pins the means
+    to a reduction-order-independent value so the whole PQ pipeline is
+    DuckDB-oracle-checkable.  Empty cells keep their seed subvector.
+
+    Returns ``codebooks[s][j]`` = centroid j of subspace s.
+    """
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if dim % m_sub:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
+    seeds = (
+        df.select(vec_col, id_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k_codes)
+        .collect()
+    )
+    books = [
+        [[float(x) for x in r[0][s * sub: (s + 1) * sub]] for r in seeds]
+        for s in range(m_sub)
+    ]
+    vc = F.col(vec_col)
+    for _ in range(iters):
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    _pq_code(F.slice(vc, s * sub + 1, sub), books[s]).alias(
+                        "code"
+                    ),
+                    F.slice(vc, s * sub + 1, sub).alias("sv"),
+                )
+                for s in range(m_sub)
+            ]
+        )
+        ex = df.select(F.explode(cells).alias("x")).select(
+            "x.s", "x.code", "x.sv"
+        )
+        mean_i = [
+            F.avg(F.element_at(F.col("sv"), i + 1)) for i in range(sub)
+        ]
+        if centroid_round is not None:
+            mean_i = [F.round(m, centroid_round) for m in mean_i]
+        rows = (
+            ex.groupBy("s", "code")
+            .agg(*[m.alias(f"c{i}") for i, m in enumerate(mean_i)])
+            .collect()
+        )
+        upd = {
+            (r["s"], r["code"]): [r[f"c{i}"] for i in range(sub)]
+            for r in rows
+        }
+        books = [
+            [upd.get((s, j), books[s][j]) for j in range(k_codes)]
+            for s in range(m_sub)
+        ]
+    return books
+
+
+def _pq_code(sv: Column, codebook: list[list[float]]) -> Column:
+    """Argmin-squared-L2 code for one subvector against one subspace's
+    codebook literals — codegen'd, ties to the lowest code (the same
+    array_position-of-min idiom as :func:`_assign_lists`)."""
+    dists = F.array(*[_sq_dist(sv, literal_vector(c)) for c in codebook])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Attach the PQ code array (``m_sub`` small ints per vector) —
+    map-only, no shuffle; the stored form a 100 TB embedding table
+    would persist next to (or instead of) the raw vectors."""
+    m_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+    vc = F.col(vec_col)
+    return df.withColumn(
+        code_col,
+        F.array(
+            *[
+                _pq_code(F.slice(vc, s * sub + 1, sub), codebooks[s])
+                for s in range(m_sub)
+            ]
+        ),
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query's
+    distance to every codebook centroid is precomputed driver-side
+    (m_sub * k_codes doubles) and embedded as plan literals; each
+    row's approximate squared-L2 is then a pure ``m_sub``-term lookup
+    fold over its code array — the scan never touches the raw
+    vectors.  If ``code_col`` is None the codes are computed on the
+    fly (one plan, still map-only); pass a persisted code column for
+    the compressed-domain scan.  Ordering is the ROUNDED distance
+    then id, matching :func:`brute_force_topk`'s convention.
+
+    The distance table fold accumulates in subspace order (s=0..m-1),
+    so the result is bit-reproducible and DuckDB-oracle-checkable.
+    """
+    m_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+    # left-fold with explicit d*d products: matches the engine's
+    # _sq_dist / the oracle's list_reduce bit for bit
+    dtable = []
+    for s in range(m_sub):
+        qs = query[s * sub: (s + 1) * sub]
+        row = []
+        for cent in codebooks[s]:
+            acc = 0.0
+            for a, b in zip(qs, cent):
+                d = a - b
+                acc = acc + d * d
+            row.append(acc)
+        dtable.append(row)
+    out = df
+    if code_col is None:
+        code_col = "_pq_codes"
+        out = pq_encode(out, vec_col, codebooks, code_col)
+    adc = F.lit(0.0)
+    for s in range(m_sub):
+        dt = F.array(*[F.lit(float(v)) for v in dtable[s]])
+        adc = adc + F.element_at(dt, F.element_at(F.col(code_col), s + 1) + 1)
+    if round_digits is not None:
+        adc = F.round(adc, round_digits)
+    return (
+        out.select(F.col(id_col), adc.alias("adc"))
+        .orderBy(F.col("adc"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_refine_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    refine: int = 100,
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ADC shortlist + exact re-rank (Jégou et al. 2011 §VI, the
+    "IVFADC+R" refinement): :func:`pq_topk` picks ``refine``
+    candidates from the compressed codes, then ONLY those rows' raw
+    vectors are read back for an exact squared-L2 re-rank.  This is
+    the production PQ shape at 100 TB — the full scan touches the 32×
+    narrower code column; the raw-vector read is a ``refine``-row
+    broadcast join — and it recovers the recall that pure ADC loses
+    to quantization error (pytest-gated).  The shortlist order
+    (rounded ADC, then id) is total, so the candidate set — and hence
+    the result — is deterministic and oracle-checkable."""
+    short = pq_topk(
+        df, vec_col, query, codebooks, k=refine, id_col=id_col,
+        code_col=None, round_digits=round_digits,
+    ).select(id_col)
+    cand = df.join(F.broadcast(short), id_col)
+    dist = _sq_dist(F.col(vec_col), literal_vector(query))
+    if round_digits is not None:
+        dist = F.round(dist, round_digits)
+    return (
+        cand.select(F.col(id_col), dist.alias("dist"))
+        .orderBy(F.col("dist"), F.col(id_col))
+        .limit(k)
+    )

@@ -2767,6 +2767,141 @@ def ivf_topk_q(spark, sf_dir):
     )
 
 
+# Product quantization, unrolled: seeds' subvector slices seed every
+# subspace, one Lloyd step per subspace in a single exploded groupBy
+# (means rounded to 6 digits), encode = per-subspace argmin (ties to
+# the lowest code), ADC = per-code query distances folded in subspace
+# order.  Every stage mirrors operators/similarity.py::pq_train/
+# pq_encode/pq_topk; the score fold and the engine's driver-computed
+# distance table accumulate left-to-right over the same doubles, so
+# the comparison is bit-exact.
+_PQ_CTE = f"""
+WITH params AS (SELECT unnest(range(0, 8)) AS s),
+vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv FROM vecs CROSS JOIN params
+),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS code,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16
+),
+seedsub AS (
+  SELECT code, s, v[s*8+1 : s*8+8] AS cv FROM seeds CROSS JOIN params
+),
+a0 AS (
+  SELECT vec_id, s, sv, code FROM (
+    SELECT x.vec_id, x.s, x.sv, c.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id, x.s
+             ORDER BY {_DUCK_SQDIST.format(a="x.sv", b="c.cv")}, c.code
+           ) AS rn
+    FROM sub x JOIN seedsub c USING (s)
+  ) t WHERE rn = 1
+),
+upd AS (
+  SELECT s, code, list(m ORDER BY i) AS cv FROM (
+    SELECT s, code, i, round(AVG(v), 6) AS m FROM (
+      SELECT a.s, a.code, generate_subscripts(a.sv, 1) AS i,
+             unnest(a.sv) AS v
+      FROM a0 a
+    ) z GROUP BY s, code, i
+  ) g GROUP BY s, code
+),
+cb AS (
+  SELECT ss.s, ss.code, COALESCE(u.cv, ss.cv) AS cv
+  FROM seedsub ss LEFT JOIN upd u ON ss.s = u.s AND ss.code = u.code
+),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT x.vec_id, x.s, c.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id, x.s
+             ORDER BY {_DUCK_SQDIST.format(a="x.sv", b="c.cv")}, c.code
+           ) AS rn
+    FROM sub x JOIN cb c USING (s)
+  ) t WHERE rn = 1
+),
+qsub AS (
+  SELECT s, sv AS qv FROM sub WHERE vec_id = 0
+),
+dtable AS (
+  SELECT c.s, c.code,
+         {_DUCK_SQDIST.format(a="q.qv", b="c.cv")} AS d
+  FROM cb c JOIN qsub q USING (s)
+),
+scored AS (
+  SELECT k.vec_id,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE), list(t.d ORDER BY k.s)),
+           (x, y) -> x + y
+         ) AS raw
+  FROM codes k JOIN dtable t ON k.s = t.s AND k.code = t.code
+  GROUP BY k.vec_id
+)"""
+
+_PQ_TOPK = _PQ_CTE + """
+SELECT vec_id, round(raw, 6) AS adc
+FROM scored
+ORDER BY round(raw, 6), vec_id
+LIMIT 10
+"""
+
+# ADC shortlist (rounded score, then id — a total order, so the
+# candidate set is deterministic) + exact squared-L2 re-rank of the
+# shortlist only: pq_refine_topk's IVFADC+R shape
+_PQ_REFINE = _PQ_CTE + f""",
+short AS (
+  SELECT vec_id FROM scored ORDER BY round(raw, 6), vec_id LIMIT 100
+),
+q0 AS (SELECT v AS qv FROM vecs WHERE vec_id = 0)
+SELECT s.vec_id,
+       round({_DUCK_SQDIST.format(a="v.v", b="q0.qv")}, 6) AS dist
+FROM short s JOIN vecs v USING (vec_id) CROSS JOIN q0
+ORDER BY round({_DUCK_SQDIST.format(a="v.v", b="q0.qv")}, 6), s.vec_id
+LIMIT 10
+"""
+
+
+@query("similarity_pq_topk", _PQ_TOPK)
+def pq_topk_q(spark, sf_dir):
+    """Product-quantization ADC top-10 (operators/similarity.py::
+    pq_train/pq_encode/pq_topk — Jégou et al. 2011): 8 subspaces x 16
+    codes over the 64-dim embeddings, codebooks trained with one
+    rounded Lloyd step (the same determinism recipe as the learned
+    IVF), query-to-centroid distance table embedded as plan literals,
+    per-row score = an 8-term lookup fold over the 8-byte code array —
+    the compressed-domain scan that never touches raw vectors (32x
+    narrower I/O at 100 TB).  Recall vs brute force is pytest-gated;
+    the oracle unrolls train/encode/ADC into CTEs."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    books = S.pq_train(emb, "embedding", m_sub=8, k_codes=16, iters=1)
+    return S.pq_topk(emb, "embedding", qv, books, k=10)
+
+
+@query("similarity_pq_refine", _PQ_REFINE)
+def pq_refine_q(spark, sf_dir):
+    """ADC shortlist + exact re-rank (operators/similarity.py::
+    pq_refine_topk — Jégou et al. 2011 §VI): the compressed-code scan
+    picks 100 candidates, then ONLY those rows' raw vectors are read
+    back for an exact squared-L2 top-10.  The production PQ shape at
+    100 TB: full scan touches the 32x narrower code column, the raw
+    read is a 100-row broadcast join; recovers the recall pure ADC
+    loses (0.8 vs 0.2 recall@10 on this corpus, pytest-gated)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    books = S.pq_train(emb, "embedding", m_sub=8, k_codes=16, iters=1)
+    return S.pq_refine_topk(emb, "embedding", qv, books, k=10, refine=100)
+
+
 _NEAR_DUP = f"""
 WITH b AS (
   SELECT vec_id AS id, embedding AS vec, {_DUCK_BUCKET.format(v="embedding")} AS bucket
@@ -7789,14 +7924,16 @@ def dedup_bloom_gated_q(spark, sf_dir):
 # Registration order.  The driver's correctness harness grades the FIRST
 # 50 registrations only (CORRECTNESS_r01/r02 both cut off at 50).  Round-9
 # policy (VERDICT r8 task #2): finish the never-graded backlog and then
-# re-prove the STALEST ledger rows.  8 slots go to the last entries
+# re-prove the STALEST ledger rows.  10 slots go to the entries
 # without a driver hash row (the six r8 local-only stragglers plus the
-# two new r9 flagships: stac_item_raster and the newly oracle-backed
-# similarity_ivf_topk), 5 restore the core-pipeline keepers rotated out
-# in r8, 2 keep the ever-green anchors, and the remaining 35 are EXACTLY
-# the set whose last driver-green row is r2 or r3 — six rounds stale.
-# After this round every oracle-backed entry has a driver row from r4 or
-# later.  Everything demoted past the window stays registered and
+# four new r9 flagships: stac_item_raster, the newly oracle-backed
+# similarity_ivf_topk, and the PQ pair), 5 restore the core-pipeline
+# keepers rotated out in r8, 2 keep the ever-green anchors, and the
+# remaining 33 sweep the stalest ledger rows: all 20 whose last green
+# is r2 plus 13 of the 15 r3 entries (agg_modern_functions and
+# events_json_extract wait one more round; their families keep 4 and 2
+# in-window representatives).  After this round the never-graded set is
+# empty and nothing driver-graded is older than r3.  Everything demoted past the window stays registered and
 # locally oracle-checked at sf0.001/0.01/0.1 (tools/check_oracle.py
 # covers all entries; COVERAGE.md's ledger records each query's last
 # driver-green round) — the window only decides which rows the driver
@@ -7807,6 +7944,8 @@ _GRADED_WINDOW = [
     # --- never hash-graded (first-ever driver rows) ---
     "stac_item_raster",           # r9: STAC bbox/geometry/proj/raster parity
     "similarity_ivf_topk",        # r9: learned-IVF under a DuckDB oracle
+    "similarity_pq_topk",         # r9: product-quantization ADC scan
+    "similarity_pq_refine",       # r9: ADC shortlist + exact re-rank
     "dedup_simhash_wide_pairs_fast",
     "join_lateral_top2_orders",
     "multimodal_jpeg_lossless",
@@ -7850,12 +7989,10 @@ _GRADED_WINDOW = [
     "agg_cube_orders",
     "agg_distinct_by_segment",
     "agg_grouping_sets_orders",
-    "agg_modern_functions",
     "agg_percentiles",
     "dedup_lsh_verified",
     "events_funnel_conversion",
     "events_hourly_window",
-    "events_json_extract",
     "set_ops_customers",
     "unpivot_part_metrics",
     "window_rank_functions",

@@ -909,3 +909,74 @@ def test_ivf_centroid_round_pins_learned_index(spark, sf_dir):
         ).collect()
     ]
     assert rnd == raw
+
+
+def test_pq_codes_shape_and_determinism(spark, sf_dir):
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = S.pq_train(emb, "embedding", m_sub=8, k_codes=16, iters=1)
+    books2 = S.pq_train(emb, "embedding", m_sub=8, k_codes=16, iters=1)
+    assert books == books2  # md5 seeds + rounded means: no RNG state
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    enc = S.pq_encode(emb, "embedding", books)
+    bad = enc.filter(
+        (F.size("pq_codes") != 8)
+        | F.exists("pq_codes", lambda c: (c < 0) | (c >= 16))
+    ).count()
+    assert bad == 0
+
+
+def test_pq_dim_not_divisible_raises(spark, sf_dir):
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_train(emb, "embedding", m_sub=7)
+
+
+def test_pq_adc_and_refine_recall(spark, sf_dir):
+    """Pure ADC loses recall to quantization error on unstructured
+    embeddings (the hardest PQ corpus); the Jégou §VI exact re-rank of
+    a 100-candidate shortlist recovers it — and a shortlist of the
+    whole corpus degrades to exact brute force."""
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+    from cloud_optimized_data_pipelines_spark.operators.similarity import (
+        _sq_dist,
+        literal_vector,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    books = S.pq_train(emb, "embedding", m_sub=8, k_codes=16, iters=1)
+    exact = [
+        r["vec_id"]
+        for r in emb.select(
+            "vec_id",
+            _sq_dist(F.col("embedding"), literal_vector(qv)).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    adc = {
+        r["vec_id"]
+        for r in S.pq_topk(emb, "embedding", qv, books, k=10).collect()
+    }
+    assert exact[0] in adc  # the query row itself always survives ADC
+    refined = {
+        r["vec_id"]
+        for r in S.pq_refine_topk(
+            emb, "embedding", qv, books, k=10, refine=100
+        ).collect()
+    }
+    assert len(set(exact) & refined) >= 7  # recall@10 >= 0.7
+    n = emb.count()
+    full = [
+        r["vec_id"]
+        for r in S.pq_refine_topk(
+            emb, "embedding", qv, books, k=10, refine=n
+        ).collect()
+    ]
+    assert full == exact
