@@ -125,14 +125,23 @@ ADDITIONS_R8 = [
 
 # r09 additions (same separate-phase protocol): the round-9 flagships —
 # the full netCDF->COG->STAC item chain with bbox/geometry/proj:*/
-# raster:bands raster metadata, and the learned-centroid IVF now under
-# a DuckDB oracle (rounded Lloyd means)
+# raster:bands raster metadata, the learned-index family brought under
+# DuckDB oracles via rounded Lloyd means (learned IVF, PQ, IVFADC),
+# the JL sign projection, the GD-trained quality classifier, and
+# perceptual-hash image dedup
 ADDITIONS_R9 = [
     "stac_item_raster",
     "similarity_ivf_topk",
     # product quantization: compressed-domain ADC scan + exact re-rank
     "similarity_pq_topk",
     "similarity_pq_refine",
+    # GD-trained hashed logistic quality classifier (6 passes)
+    "text_classifier_train",
+    # IVFADC (residual PQ inside IVF lists) + JL sign projection
+    "similarity_ivfpq_topk",
+    "similarity_random_projection",
+    # perceptual-hash image dedup over real PNG bytes
+    "multimodal_phash_pairs",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

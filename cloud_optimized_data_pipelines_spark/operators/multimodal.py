@@ -1459,3 +1459,145 @@ def payload_meta(
     return df.withColumn("n_bytes", F.length(F.col(payload_col))).withColumn(
         "payload_md5", F.md5(F.col(payload_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (aHash over the real PNG codec)
+# ---------------------------------------------------------------------------
+
+PHASH_PROBE_SCHEMA = (
+    "variant bigint, png_md5 string, phash_hi bigint, phash_lo bigint, "
+    "px_sum bigint"
+)
+
+# 16 gray variants in 8 near-dup PAIRS: base raster b = v // 2 is the
+# quadratic grid ((k+13)*(k+7b+1)) % 251 (quadratic, so bases
+# decorrelate: min cross-base aHash Hamming is 22); odd variants
+# perturb exactly block (0,0) by +90 mod 251 — a near-duplicate whose
+# aHash is 0-2 bits away from its even sibling.  Integer-only, so the
+# whole hash is recomputable arithmetically in SQL.
+_PHASH_PERT = 90
+
+
+def _phash_raster(v: int) -> "np.ndarray":
+    b = v // 2
+    k = np.arange(_PROBE_H * _PROBE_W, dtype=np.int64)
+    s = ((k + 13) * (k + 7 * b + 1)) % 251
+    if v % 2:
+        r, c = np.divmod(k, _PROBE_W)
+        mask = (r < _PROBE_H // 8) & (c < _PROBE_W // 8)
+        s = np.where(mask, (s + _PHASH_PERT) % 251, s)
+    return s.reshape(_PROBE_H, _PROBE_W).astype(np.uint8)
+
+
+def ahash64(gray: "np.ndarray") -> tuple[int, int]:
+    """64-bit average hash (the classic aHash: 8x8 block means
+    thresholded at the global mean), integer-exact: with equal-size
+    blocks, block_mean >= global_mean iff block_sum * 64 >= total —
+    no float ever, so engine and oracle agree bit for bit.  Returned
+    as two nonnegative 32-bit words (BIGINT-safe: no sign-bit
+    ambiguity in banding or XOR)."""
+    h, w = gray.shape
+    bh, bw = h // 8, w // 8
+    a = gray.astype(np.int64)
+    total = int(a.sum())
+    bits = 0
+    for i in range(8):
+        for j in range(8):
+            bs = int(a[i * bh:(i + 1) * bh, j * bw:(j + 1) * bw].sum())
+            bits = (bits << 1) | (1 if bs * 64 >= total else 0)
+    return bits >> 32, bits & 0xFFFFFFFF
+
+
+def _phash_variant(v: int) -> dict:
+    """Reference conversion for one image: formula raster -> REAL PNG
+    encode (filter-cycling) -> decode -> round-trip verify -> aHash of
+    the DECODED pixels.  The hash is computed from what came BACK from
+    the codec, so an oracle recomputing it from the grid formula
+    checks the full encode->decode chain against non-circular ground
+    truth (the _png_variant pattern)."""
+    from cloud_optimized_data_pipelines_spark.operators.png_codec import (
+        decode_png,
+        encode_png,
+    )
+
+    arr = _phash_raster(v)
+    png = encode_png(arr.reshape(_PROBE_H, _PROBE_W, 1), filter_cycle=True)
+    dec = decode_png(png)
+    if not np.array_equal(dec.reshape(_PROBE_H, _PROBE_W), arr):
+        raise RuntimeError(f"phash variant {v}: round-trip mismatch")
+    hi, lo = ahash64(dec.reshape(_PROBE_H, _PROBE_W))
+    return {
+        "variant": v,
+        "png_md5": hashlib.md5(png).hexdigest(),
+        "phash_hi": hi,
+        "phash_lo": lo,
+        "px_sum": int(dec.sum(dtype=np.int64)),
+    }
+
+
+def phash_probe_table(spark, variants: int = 16) -> DataFrame:
+    """Per-variant image fingerprints computed ON EXECUTORS
+    (mapInPandas, png_probe_table pattern): metadata-sized,
+    broadcast-joinable against a corpus keyed on ``id % variants``.
+    At 100 TB of real images the same shape holds with per-ASSET
+    decode: mapInPandas over the binary column, aHash per row, then
+    the banded join below — decode cost rides the scan, the join sees
+    only (id, 2 BIGINT) rows."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    [_phash_variant(int(x)) for x in pdf["id"]]
+                )
+
+    return spark.range(int(variants)).mapInPandas(gen, PHASH_PROBE_SCHEMA)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    hi_col: str = "phash_hi",
+    lo_col: str = "phash_lo",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate image pairs by banded aHash Hamming join — the
+    image-side twin of the 60-bit simhash text path: 4 bands of 16
+    bits as the equi-join key (pigeonhole: any pair within Hamming 3
+    of 64 bits shares at least one untouched band, so blocking is
+    COMPLETE at the default threshold), exact popcount verify after.
+    The join input is (id, two BIGINT words): at corpus scale the
+    candidate set is collision-bound, never all-pairs."""
+    hi, lo = F.col(hi_col), F.col(lo_col)
+    bands = F.array(
+        F.shiftright(hi, 16).bitwiseAND(F.lit(0xFFFF)),
+        hi.bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(lo, 16).bitwiseAND(F.lit(0xFFFF)),
+        lo.bitwiseAND(F.lit(0xFFFF)),
+    )
+    b = df.select(
+        F.col(id_col).alias("id"),
+        hi.alias("_hi"),
+        lo.alias("_lo"),
+        F.posexplode(bands).alias("band", "val"),
+    )
+    left, right = b.alias("l"), b.alias("r")
+    ham = F.bit_count(
+        F.col("l._hi").bitwiseXOR(F.col("r._hi"))
+    ) + F.bit_count(F.col("l._lo").bitwiseXOR(F.col("r._lo")))
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -595,3 +595,108 @@ def bigram_logprob(
             "mean_logprob"
         ),
     )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_features: int = 64,
+    iters: int = 2,
+    lr: float = 8.0,
+    grad_round: int = 6,
+    prob_round: int = 7,
+) -> tuple[DataFrame, list[float]]:
+    """Train a hashed-feature logistic-regression quality classifier by
+    full-batch gradient descent — the distillation step web-scale
+    pipelines run to turn an expensive rule stack (Gopher flags, LM
+    perplexity, human labels) into a model cheap enough to score 100 TB
+    (the CCNet/fastText quality-classifier pattern; Joulin et al. 2016
+    is the inference shape :func:`classifier_score` already provides).
+
+    Features are l1-normalized hashed unigram counts (the hashing
+    trick: ``portable_hash32(lower(token)) % n_features``); the model
+    is ``p = sigmoid(mean_t w[h(t)])``.  Each GD step is ONE
+    distributed pass: the per-doc margin is a codegen'd fold over the
+    let-bound token array (weights ride the plan as literals — no
+    join, no shuffle for inference, exactly like classifier_score),
+    and the gradient is a token-explode + ``n_features``-group sum,
+    map-side combined.  Driver traffic per iteration is ``n_features``
+    doubles — the same bounded-signature shape as the BPE merge loop
+    and the IVF Lloyd step.
+
+    Determinism: the margin fold accumulates in token order over
+    literal weights (bit-reproducible); ``exp`` differs by 1 ulp
+    between the JVM and libm, so the probability is rounded to
+    ``prob_round`` digits on identical margin inputs, and the gradient
+    (a shuffle-order-dependent float sum) is rounded to ``grad_round``
+    BEFORE the weight update — the same reduction-order pinning as
+    ivf_build/pq_train, making the whole training loop unrollable into
+    a DuckDB-oracle CTE chain.
+
+    Returns ``(scored, weights)``: every input row plus ``margin``
+    (rounded), ``prob``, ``pred``; and the trained weight list.
+    """
+    from cloud_optimized_data_pipelines_spark.operators.sketches import (
+        portable_hash32,
+    )
+
+    n_docs = df.count()
+    base = df.withColumn("_tk", tokens(text_col)).withColumn(
+        "_y", F.col(label_col).cast("double")
+    )
+
+    def margin_expr(w: list[float]):
+        wlit = F.array(*[F.lit(float(v)) for v in w])
+        tk = F.col("_tk")
+        s = F.aggregate(
+            tk,
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.element_at(
+                wlit,
+                (portable_hash32(F.lower(t)) % n_features + 1).cast("int"),
+            ),
+        )
+        return F.when(
+            F.size(tk) > 0, s / F.size(tk).cast("double")
+        ).otherwise(F.lit(0.0))
+
+    def prob_expr(w: list[float]):
+        return F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-margin_expr(w))), prob_round
+        )
+
+    w = [0.0] * n_features
+    for _ in range(iters):
+        occ = base.select(
+            prob_expr(w).alias("_p"),
+            "_y",
+            F.size("_tk").cast("double").alias("_n"),
+            F.explode("_tk").alias("_t"),
+        )
+        grads = (
+            occ.groupBy(
+                (portable_hash32(F.lower(F.col("_t"))) % n_features)
+                .cast("int")
+                .alias("_b")
+            )
+            .agg(
+                F.round(
+                    F.sum((F.col("_p") - F.col("_y")) / F.col("_n"))
+                    / F.lit(float(n_docs)),
+                    grad_round,
+                ).alias("_g")
+            )
+            .collect()
+        )
+        g = {r["_b"]: r["_g"] for r in grads}
+        w = [w[b] - lr * g.get(b, 0.0) for b in range(n_features)]
+    scored = base.select(
+        *df.columns,
+        F.round(margin_expr(w), 6).alias("margin"),
+        prob_expr(w).alias("prob"),
+        (prob_expr(w) >= 0.5).alias("pred"),
+    )
+    return scored, w

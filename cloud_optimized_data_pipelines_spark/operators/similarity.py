@@ -1213,3 +1213,175 @@ def pq_refine_topk(
         .orderBy(F.col("dist"), F.col(id_col))
         .limit(k)
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    out_dims: int = 16,
+    in_dims: int | None = None,
+    id_col: str = "vec_id",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Sign random projection (Achlioptas 2003's database-friendly
+    Johnson-Lindenstrauss transform): ``y_j = (1/sqrt(out_dims)) *
+    sum_i x_i * s_ij`` with ``s_ij in {+1, -1}`` — the standard 4x-16x
+    dimension cut a 100 TB embedding table takes BEFORE the ANN index
+    (pairwise distances preserved within (1 +- eps), eps ~
+    sqrt(log n / out_dims); pytest-gated here).
+
+    The projection matrix is never materialized: each sign is the md5
+    parity of ``"j:i"`` (the same portable hash family as the
+    sketches), computed driver-side and embedded as +-1 literals, so
+    the whole transform is one codegen'd fold per output dim — no UDF,
+    no shuffle, no broadcast — and both engines derive the IDENTICAL
+    matrix, making the output bit-exact without rounding (every fold
+    is the same ordered sequence of IEEE double ops).
+    """
+    import hashlib as _hashlib
+    import math as _math
+
+    if in_dims is None:
+        in_dims = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    scale = 1.0 / _math.sqrt(out_dims)
+    signs = [
+        [
+            1.0
+            if int(_hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8], 16) % 2
+            == 0
+            else -1.0
+            for i in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+    vc = F.col(vec_col)
+    comps = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    vc,
+                    literal_vector(signs[j]),
+                    lambda x, s: x.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * F.lit(scale)
+        ).alias(f"_p{j}")
+        for j in range(out_dims)
+    ]
+    return df.select(F.col(id_col), *[c for c in comps]).select(
+        id_col, F.array(*[F.col(f"_p{j}") for j in range(out_dims)]).alias(out_col)
+    )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    k_lists: int = 8,
+    nprobe: int = 4,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    centroid_round: int | None = 6,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV): the billion-scale ANN layout —
+    a coarse IVF quantizer prunes to ``nprobe`` of ``k_lists``
+    inverted lists, and PQ codebooks trained on RESIDUALS (vector
+    minus its list centroid) score the survivors in the compressed
+    domain.  Encoding residuals instead of raw vectors is what makes
+    the ADC table per-list: the query's residual differs per probed
+    list, so quantization error is measured around the local centroid
+    — the precision lever that flat PQ lacks.
+
+    Plan shape at 100 TB: the corpus is written partitioned by
+    ``list_id`` with only the m-byte code column (+id); a query scans
+    nprobe partitions of codes, scores each row with an
+    ``m_sub``-term literal-lookup fold (the per-list distance tables
+    are nprobe * m_sub * k_codes doubles riding the plan), and
+    top-k's per partition.  Training reuses :func:`ivf_build` (rounded
+    Lloyd means) and :func:`pq_train`'s recipe on the residual frame,
+    so the whole pipeline stays deterministic and oracle-checkable.
+    """
+    assigned, centroids = ivf_build(
+        df, vec_col, k_lists, iters=1, id_col=id_col,
+        centroid_round=centroid_round,
+    )
+    dim = len(centroids[0])
+    if dim % m_sub:
+        raise ValueError(f"ivf_pq_topk: dim {dim} % m_sub {m_sub} != 0")
+    sub = dim // m_sub
+    # residual = vector - its list centroid (codegen'd: centroid matrix
+    # is a k_lists x dim literal, list_id indexes into it)
+    cmat = F.array(*[literal_vector(c) for c in centroids])
+    res = assigned.withColumn(
+        "_res",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.element_at(cmat, F.col("list_id") + 1),
+            lambda x, c: x - c,
+        ),
+    )
+    books = pq_train(
+        res, "_res", m_sub=m_sub, k_codes=k_codes, iters=1,
+        id_col=id_col, centroid_round=centroid_round,
+    )
+    coded = pq_encode(res, "_res", books, code_col="_codes")
+    # probe the nprobe nearest lists to the query (driver-side: the
+    # centroid table is index metadata, k_lists x dim doubles)
+    ranked = sorted(
+        range(k_lists),
+        key=lambda i: (
+            sum((a - b) ** 2 for a, b in zip(query, centroids[i])),
+            i,
+        ),
+    )
+    probe = ranked[: max(1, nprobe)]
+    # per-list ADC tables from the query's per-list residual, same
+    # explicit left-fold as pq_topk so the oracle matches bit for bit
+    tables: dict[int, list[list[float]]] = {}
+    for li in probe:
+        qres = [q - c for q, c in zip(query, centroids[li])]
+        rows = []
+        for s in range(m_sub):
+            qs = qres[s * sub: (s + 1) * sub]
+            row = []
+            for cent in books[s]:
+                acc = 0.0
+                for a, b in zip(qs, cent):
+                    d = a - b
+                    acc = acc + d * d
+                row.append(acc)
+            rows.append(row)
+        tables[li] = rows
+    probe_lit = F.array(*[F.lit(int(li)) for li in probe])
+    # nested literal: dt[probe_rank][s][code]
+    dt = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(v)) for v in tables[li][s]])
+                    for s in range(m_sub)
+                ]
+            )
+            for li in probe
+        ]
+    )
+    cand = coded.filter(F.col("list_id").isin([int(x) for x in probe]))
+    rank = F.array_position(probe_lit, F.col("list_id"))  # 1-based
+    adc = F.lit(0.0)
+    for s in range(m_sub):
+        adc = adc + F.element_at(
+            F.element_at(F.element_at(dt, rank.cast("int")), s + 1),
+            F.element_at(F.col("_codes"), s + 1) + 1,
+        )
+    if round_digits is not None:
+        adc = F.round(adc, round_digits)
+    return (
+        cand.select(F.col(id_col), adc.alias("adc"))
+        .orderBy(F.col("adc"), F.col(id_col))
+        .limit(k)
+    )

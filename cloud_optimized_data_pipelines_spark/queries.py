@@ -2886,6 +2886,196 @@ def pq_topk_q(spark, sf_dir):
     return S.pq_topk(emb, "embedding", qv, books, k=10)
 
 
+# IVFADC, fully unrolled: coarse IVF (k_lists=8, one rounded Lloyd
+# step), residuals against the learned centroids, PQ codebooks trained
+# on the residuals (16 codes x 8 subspaces, one rounded Lloyd step),
+# per-probed-list ADC tables from the query's per-list residual, and
+# an s-ordered fold for the final score — every stage mirrors
+# operators/similarity.py::ivf_pq_topk (which composes ivf_build +
+# pq_train + pq_encode), with the same rounding points.
+_IVFPQ_TOPK = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+params AS (SELECT unnest(range(0, 8)) AS s),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cid,
+         v AS cvec
+  FROM vecs
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8
+),
+a0 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, s.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DUCK_SQDIST.format(a="e.v", b="s.cvec")}, s.cid
+           ) AS rn
+    FROM vecs e CROSS JOIN seeds s
+  ) t WHERE rn = 1
+),
+upd AS (
+  SELECT cid, list(m ORDER BY i) AS cvec FROM (
+    SELECT cid, i, round(AVG(x), 6) AS m FROM (
+      SELECT a.cid, generate_subscripts(a.v, 1) AS i, unnest(a.v) AS x
+      FROM a0 a
+    ) z GROUP BY cid, i
+  ) g GROUP BY cid
+),
+cents AS (
+  SELECT s.cid, COALESCE(u.cvec, s.cvec) AS cvec
+  FROM seeds s LEFT JOIN upd u USING (cid)
+),
+a1 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DUCK_SQDIST.format(a="e.v", b="c.cvec")}, c.cid
+           ) AS rn
+    FROM vecs e CROSS JOIN cents c
+  ) t WHERE rn = 1
+),
+res AS (
+  SELECT a.vec_id, a.cid,
+         list_transform(list_zip(a.v, c.cvec), z -> z[1] - z[2]) AS rv
+  FROM a1 a JOIN cents c USING (cid)
+),
+rsub AS (
+  SELECT vec_id, cid, s, rv[s*8+1 : s*8+8] AS sv FROM res CROSS JOIN params
+),
+pqseeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS code,
+         rv
+  FROM res
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16
+),
+pqseedsub AS (
+  SELECT code, s, rv[s*8+1 : s*8+8] AS cv FROM pqseeds CROSS JOIN params
+),
+pa0 AS (
+  SELECT vec_id, s, sv, code FROM (
+    SELECT x.vec_id, x.s, x.sv, c.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id, x.s
+             ORDER BY {_DUCK_SQDIST.format(a="x.sv", b="c.cv")}, c.code
+           ) AS rn
+    FROM rsub x JOIN pqseedsub c USING (s)
+  ) t WHERE rn = 1
+),
+pupd AS (
+  SELECT s, code, list(m ORDER BY i) AS cv FROM (
+    SELECT s, code, i, round(AVG(x), 6) AS m FROM (
+      SELECT a.s, a.code, generate_subscripts(a.sv, 1) AS i,
+             unnest(a.sv) AS x
+      FROM pa0 a
+    ) z GROUP BY s, code, i
+  ) g GROUP BY s, code
+),
+cb AS (
+  SELECT ss.s, ss.code, COALESCE(u.cv, ss.cv) AS cv
+  FROM pqseedsub ss LEFT JOIN pupd u ON ss.s = u.s AND ss.code = u.code
+),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT x.vec_id, x.cid, x.s, c.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id, x.s
+             ORDER BY {_DUCK_SQDIST.format(a="x.sv", b="c.cv")}, c.code
+           ) AS rn
+    FROM rsub x JOIN cb c USING (s)
+  ) t WHERE rn = 1
+),
+q AS (SELECT v FROM vecs WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM cents CROSS JOIN q
+  ORDER BY {_DUCK_SQDIST.format(a="cvec", b="v")}, cid
+  LIMIT 4
+),
+qres AS (
+  SELECT c.cid, list_transform(list_zip(q.v, c.cvec), z -> z[1] - z[2]) AS qr
+  FROM cents c JOIN probe USING (cid) CROSS JOIN q
+),
+dtable AS (
+  SELECT r.cid, b.s, b.code,
+         {_DUCK_SQDIST.format(a="r.qr[b.s*8+1 : b.s*8+8]", b="b.cv")} AS d
+  FROM qres r CROSS JOIN cb b
+),
+scored AS (
+  SELECT a.vec_id,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE), list(t.d ORDER BY k.s)),
+           (x, y) -> x + y
+         ) AS raw
+  FROM a1 a
+  JOIN probe p ON a.cid = p.cid
+  JOIN codes k ON a.vec_id = k.vec_id
+  JOIN dtable t ON t.cid = a.cid AND t.s = k.s AND t.code = k.code
+  GROUP BY a.vec_id
+)
+SELECT vec_id, round(raw, 6) AS adc
+FROM scored
+ORDER BY round(raw, 6), vec_id
+LIMIT 10
+"""
+
+
+@query("similarity_ivfpq_topk", _IVFPQ_TOPK)
+def ivfpq_topk_q(spark, sf_dir):
+    """IVFADC (operators/similarity.py::ivf_pq_topk — Jégou et al.
+    2011 §IV, the billion-scale ANN layout): coarse IVF prunes to 4 of
+    8 learned lists, PQ codebooks trained on RESIDUALS score the
+    survivors in the compressed domain with per-list ADC tables (the
+    query's residual differs per probed list — the precision lever
+    flat PQ lacks; recall 0.3 vs 0.2 here, pytest-gated).  At 100 TB:
+    codes partitioned by list_id, a query scans nprobe partitions of
+    m-byte codes with plan-literal tables.  Both Lloyd steps use
+    rounded means, so the whole composition unrolls into one oracle
+    CTE chain."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return S.ivf_pq_topk(emb, "embedding", qv, k=10, k_lists=8, nprobe=4)
+
+
+# Sign random projection: the md5-parity matrix is derived identically
+# on both engines, every fold is the same ordered sequence of exact
+# IEEE ops (x * ±1.0 is exact; scale 1/sqrt(16) = 0.25 is a power of
+# two), so the comparison needs NO rounding.
+_RANDOM_PROJ = """
+SELECT vec_id, j AS dim_idx,
+       0.25 * list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(0, 64), i ->
+             embedding[i + 1]::DOUBLE *
+             (CASE WHEN (('0x' || substr(md5(j::VARCHAR || ':' || i::VARCHAR),
+                          1, 8))::BIGINT % 2) = 0
+                   THEN 1.0 ELSE -1.0 END))),
+         (x, y) -> x + y) AS val
+FROM embeddings CROSS JOIN (SELECT unnest(range(0, 16)) AS j) dims
+"""
+
+
+@query("similarity_random_projection", _RANDOM_PROJ)
+def random_projection_q(spark, sf_dir):
+    """Sign random projection 64 -> 16 dims (operators/similarity.py::
+    random_projection — Achlioptas 2003's database-friendly JL
+    transform): the 4x dimension cut a 100 TB embedding table takes
+    before indexing.  The +-1 matrix is md5 parity — never
+    materialized, embedded as plan literals — so the transform is 16
+    codegen'd folds per row: no UDF, no shuffle, no broadcast, and the
+    oracle rederives the identical matrix (bit-exact, unrounded).
+    Distance preservation is pytest-gated."""
+    t = load_tables(spark, sf_dir)
+    proj = S.random_projection(t["embeddings"], "embedding", out_dims=16)
+    return proj.select(
+        "vec_id", F.posexplode("projected").alias("dim_idx", "val")
+    ).select("vec_id", F.col("dim_idx").cast("long").alias("dim_idx"), "val")
+
+
 @query("similarity_pq_refine", _PQ_REFINE)
 def pq_refine_q(spark, sf_dir):
     """ADC shortlist + exact re-rank (operators/similarity.py::
@@ -3780,6 +3970,132 @@ def stac_item_raster_q(spark, sf_dir):
         props.getItem("raster:bands").alias("raster_bands"),
         props.getItem("datetime").alias("item_datetime"),
         "needs_spill",
+    )
+
+
+def _phash_pairs_oracle() -> str:
+    """Oracle for multimodal_phash_pairs: the 64-bit aHash is INTEGER
+    arithmetic over the deterministic quadratic grid, so the oracle
+    recomputes every hash from the pixel formula (fully non-circular —
+    the engine's hashes come from real PNG bytes decoded back), then
+    replays the banded Hamming join with bit_count(xor).  The PNG byte
+    streams are pinned via md5 literals from a single-process
+    reference run (the _png_probe_oracle pattern)."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _phash_variant,
+    )
+
+    rows = [_phash_variant(v) for v in range(16)]
+    md5_case = (
+        "CASE v "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['png_md5']}'" for r in rows)
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT unnest(range(0, 16)) AS v),
+grid AS (
+  SELECT v, k,
+         CASE WHEN v % 2 = 1 AND (k // 40) < 6 AND (k % 40) < 5
+              THEN (((k + 13) * (k + 7 * (v // 2) + 1)) % 251 + 90) % 251
+              ELSE ((k + 13) * (k + 7 * (v // 2) + 1)) % 251 END AS s
+  FROM var, (SELECT unnest(range(0, 1920)) AS k) g
+),
+blocks AS (
+  SELECT v, (k // 40) // 6 AS i, (k % 40) // 5 AS j, SUM(s) AS bs
+  FROM grid GROUP BY 1, 2, 3
+),
+tot AS (SELECT v, SUM(s) AS total FROM grid GROUP BY v),
+bits AS (
+  SELECT b.v, b.i * 8 + b.j AS idx,
+         CASE WHEN b.bs * 64 >= t.total THEN 1 ELSE 0 END AS bit
+  FROM blocks b JOIN tot t USING (v)
+),
+hashes AS (
+  SELECT v,
+         SUM(CASE WHEN idx < 32 THEN bit << (31 - idx) ELSE 0 END)::BIGINT
+           AS hi,
+         SUM(CASE WHEN idx >= 32 THEN bit << (63 - idx) ELSE 0 END)::BIGINT
+           AS lo
+  FROM bits GROUP BY v
+),
+bands AS (
+  SELECT v, hi, lo, 0 AS band, (hi >> 16) & 65535 AS val FROM hashes
+  UNION ALL SELECT v, hi, lo, 1, hi & 65535 FROM hashes
+  UNION ALL SELECT v, hi, lo, 2, (lo >> 16) & 65535 FROM hashes
+  UNION ALL SELECT v, hi, lo, 3, lo & 65535 FROM hashes
+),
+pairs AS (
+  SELECT DISTINCT a.v AS va, b.v AS vb,
+         bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.val = b.val AND a.v < b.v
+  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+),
+md5s AS (SELECT v, {md5_case} AS m FROM var),
+cnt AS (SELECT doc_id % 16 AS v, count(*) AS n FROM documents GROUP BY 1)
+SELECT p.va AS variant_a, p.vb AS variant_b,
+       CAST(p.hamming AS BIGINT) AS hamming,
+       ma.m AS md5_a, mb.m AS md5_b,
+       ca.n AS docs_a, cb.n AS docs_b
+FROM pairs p
+JOIN md5s ma ON ma.v = p.va
+JOIN md5s mb ON mb.v = p.vb
+JOIN cnt ca ON ca.v = p.va
+JOIN cnt cb ON cb.v = p.vb
+"""
+
+
+@query("multimodal_phash_pairs", _phash_pairs_oracle)
+def multimodal_phash_pairs_q(spark, sf_dir):
+    """Perceptual-hash IMAGE dedup over real bytes (operators/
+    multimodal.py::phash_probe_table + image_near_dup_pairs): 16 gray
+    rasters in 8 engineered near-dup pairs are encoded as actual PNGs,
+    decoded back by the pure-numpy codec, aHashed (integer-exact 8x8
+    block means), and joined by 4x16-bit banded Hamming blocking —
+    complete at the <=3 threshold by pigeonhole, popcount-verified.
+    The oracle recomputes every hash ARITHMETICALLY from the pixel
+    formula (non-circular: a decode bug flips hash bits and the join
+    output), and pins the byte streams via md5 literals.  At 100 TB:
+    decode+hash ride the asset scan via mapInPandas; the join sees
+    only (id, 2 BIGINT) rows, collision-bound by the bands."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        phash_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = phash_probe_table(spark, 16)
+    pairs = image_near_dup_pairs(probe, "variant", max_hamming=3)
+    cnt = (
+        t["documents"]
+        .groupBy((F.col("doc_id") % 16).alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    meta = probe.select("variant", "png_md5")
+    return (
+        pairs.join(
+            meta.select(
+                F.col("variant").alias("id_a"), F.col("png_md5").alias("md5_a")
+            ),
+            "id_a",
+        )
+        .join(
+            meta.select(
+                F.col("variant").alias("id_b"), F.col("png_md5").alias("md5_b")
+            ),
+            "id_b",
+        )
+        .join(cnt.select(F.col("v").alias("id_a"), F.col("n").alias("docs_a")), "id_a")
+        .join(cnt.select(F.col("v").alias("id_b"), F.col("n").alias("docs_b")), "id_b")
+        .select(
+            F.col("id_a").alias("variant_a"),
+            F.col("id_b").alias("variant_b"),
+            "hamming",
+            "md5_a",
+            "md5_b",
+            "docs_a",
+            "docs_b",
+        )
     )
 
 
@@ -7568,6 +7884,116 @@ def text_classifier_score_q(spark, sf_dir):
     return out.select("doc_id", "n_tokens", "margin", "score", "keep")
 
 
+def _clf_train_oracle(iters: int = 6, lr: float = 128.0, d: int = 64) -> str:
+    """Unroll the full GD training loop of train_quality_classifier
+    into a CTE chain (the BPE/PageRank/Lloyd treatment): w0 = zeros,
+    then per iteration margin-fold -> rounded sigmoid -> per-bucket
+    rounded gradient -> weight update.  Every float reduction the
+    engines could order differently is rounded at the same point on
+    both sides; the margin fold runs in token order over the same
+    literal weights."""
+    bucket = f"(('0x' || substr(md5(lower(t)), 1, 8))::BIGINT % {d})"
+    parts = [f"""
+WITH base AS (
+  SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS n,
+         CASE WHEN len(tk) > 0
+                   AND 16 * len(list_filter(tk, t -> lower(t) IN ('the', 'a')))
+                       >= len(tk)
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+    FROM documents
+  ) raw
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM base),
+w0 AS (SELECT unnest(range(0, {d})) AS b, CAST(0.0 AS DOUBLE) AS w)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+w{i - 1}l AS (SELECT list(w ORDER BY b) AS wl FROM w{i - 1}),
+m{i} AS (
+  SELECT doc_id, y, tk, n,
+         CASE WHEN n > 0 THEN
+           list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(tk, t -> wl[{bucket} + 1])),
+             (x, z) -> x + z) / n
+         ELSE 0.0 END AS margin
+  FROM base CROSS JOIN w{i - 1}l
+),
+o{i} AS (
+  SELECT round(1.0 / (1.0 + exp(-margin)), 7) AS p, y, n, unnest(tk) AS t
+  FROM m{i}
+),
+g{i} AS (
+  SELECT {bucket} AS b,
+         round(SUM((p - y) / n) / (SELECT c FROM nn), 6) AS g
+  FROM o{i} GROUP BY 1
+),
+w{i} AS (
+  SELECT prev.b, prev.w - {lr!r} * COALESCE(g{i}.g, 0.0) AS w
+  FROM w{i - 1} prev LEFT JOIN g{i} ON prev.b = g{i}.b
+)""")
+    parts.append(f""",
+w{iters}l AS (SELECT list(w ORDER BY b) AS wl FROM w{iters}),
+mf AS (
+  SELECT doc_id, y,
+         CASE WHEN n > 0 THEN
+           list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(tk, t -> wl[{bucket} + 1])),
+             (x, z) -> x + z) / n
+         ELSE 0.0 END AS margin
+  FROM base CROSS JOIN w{iters}l
+)
+SELECT doc_id,
+       CAST(y AS BIGINT) AS label,
+       round(margin, 6) AS margin,
+       round(1.0 / (1.0 + exp(-margin)), 7) AS prob,
+       round(1.0 / (1.0 + exp(-margin)), 7) >= 0.5 AS pred
+FROM mf
+""")
+    return "".join(parts)
+
+
+@query("text_classifier_train", _clf_train_oracle())
+def text_classifier_train_q(spark, sf_dir):
+    """TRAIN the quality classifier, not just apply one (operators/
+    quality.py::train_quality_classifier): distill a stopword-ratio
+    quality rule (label = tf('the','a') >= 1/16 — the Gopher
+    stop-word-signal shape) into a 64-bucket hashed logistic model by
+    6 full-batch GD steps.  Each step is one distributed pass (margin
+    = codegen'd token-order fold with plan-literal weights; gradient =
+    token explode -> 64-group map-side-combined sum); driver traffic
+    is 64 doubles per step.  Rounded sigmoids + rounded gradients make
+    the whole loop reduction-order independent, so the oracle unrolls
+    all 6 iterations into CTEs and hash-matches.  Training accuracy
+    beats the majority baseline (0.75 vs 0.52 at sf0.01; pytest-
+    gated)."""
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        train_quality_classifier,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    tk = T.tokens("text")
+    stop = F.size(F.filter(tk, lambda x: F.lower(x).isin("the", "a")))
+    labeled = docs.withColumn(
+        "label",
+        ((F.size(tk) > 0) & (stop * 16 >= F.size(tk))).cast("int"),
+    )
+    scored, _w = train_quality_classifier(
+        labeled, "doc_id", "text", "label", iters=6, lr=128.0
+    )
+    return scored.select(
+        "doc_id",
+        F.col("label").cast("long").alias("label"),
+        "margin",
+        "prob",
+        "pred",
+    )
+
+
 _C4_CLEAN = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
@@ -7924,16 +8350,19 @@ def dedup_bloom_gated_q(spark, sf_dir):
 # Registration order.  The driver's correctness harness grades the FIRST
 # 50 registrations only (CORRECTNESS_r01/r02 both cut off at 50).  Round-9
 # policy (VERDICT r8 task #2): finish the never-graded backlog and then
-# re-prove the STALEST ledger rows.  10 slots go to the entries
+# re-prove the STALEST ledger rows.  14 slots go to the entries
 # without a driver hash row (the six r8 local-only stragglers plus the
-# four new r9 flagships: stac_item_raster, the newly oracle-backed
-# similarity_ivf_topk, and the PQ pair), 5 restore the core-pipeline
-# keepers rotated out in r8, 2 keep the ever-green anchors, and the
-# remaining 33 sweep the stalest ledger rows: all 20 whose last green
-# is r2 plus 13 of the 15 r3 entries (agg_modern_functions and
-# events_json_extract wait one more round; their families keep 4 and 2
-# in-window representatives).  After this round the never-graded set is
-# empty and nothing driver-graded is older than r3.  Everything demoted past the window stays registered and
+# eight new r9 flagships: stac_item_raster, the newly oracle-backed
+# similarity_ivf_topk, the PQ pair, IVFADC, the JL sign projection,
+# the GD-trained classifier, and aHash image dedup), 5 restore the core-pipeline keepers
+# rotated out in r8, 2 keep the ever-green anchors, and the remaining
+# 29 sweep the stalest ledger rows: all 20 whose last green is r2 plus
+# 9 of the 15 r3 entries (agg_modern_functions, agg_percentiles,
+# agg_distinct_by_segment, events_json_extract, unpivot_part_metrics
+# and set_ops_customers wait one more round; their families keep
+# in-window representatives — set ops via set_union_distinct, r8).
+# After this round the never-graded set is empty and nothing
+# driver-graded is older than r3.  Everything demoted past the window stays registered and
 # locally oracle-checked at sf0.001/0.01/0.1 (tools/check_oracle.py
 # covers all entries; COVERAGE.md's ledger records each query's last
 # driver-green round) — the window only decides which rows the driver
@@ -7946,6 +8375,10 @@ _GRADED_WINDOW = [
     "similarity_ivf_topk",        # r9: learned-IVF under a DuckDB oracle
     "similarity_pq_topk",         # r9: product-quantization ADC scan
     "similarity_pq_refine",       # r9: ADC shortlist + exact re-rank
+    "text_classifier_train",      # r9: GD-trained hashed logistic model
+    "similarity_ivfpq_topk",      # r9: IVFADC (residual PQ in IVF lists)
+    "similarity_random_projection",  # r9: JL sign projection (bit-exact)
+    "multimodal_phash_pairs",     # r9: aHash image dedup over real PNGs
     "dedup_simhash_wide_pairs_fast",
     "join_lateral_top2_orders",
     "multimodal_jpeg_lossless",
@@ -7987,14 +8420,10 @@ _GRADED_WINDOW = [
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
     "agg_cube_orders",
-    "agg_distinct_by_segment",
     "agg_grouping_sets_orders",
-    "agg_percentiles",
     "dedup_lsh_verified",
     "events_funnel_conversion",
     "events_hourly_window",
-    "set_ops_customers",
-    "unpivot_part_metrics",
     "window_rank_functions",
     "window_running_total",
 ]

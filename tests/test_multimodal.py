@@ -73,3 +73,36 @@ def test_payload_meta_stays_jvm_side(spark):
     r = {x.asset_id: x for x in out.collect()}
     assert r["a1"].n_bytes == len(b"\x89PNG fake bytes")
     assert r["a3"].payload_md5 is None
+
+
+def test_phash_pairs_finds_engineered_neardups(spark):
+    """The 16-variant probe family has exactly 8 engineered near-dup
+    pairs (2b, 2b+1); banded blocking at max_hamming=3 must find ALL
+    of them (pigeonhole completeness) and NOTHING else (min cross-base
+    Hamming is 22 by construction), and the hashes must come from the
+    DECODED pixels (round-trip asserted inside _phash_variant)."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _phash_variant,
+        ahash64,
+        image_near_dup_pairs,
+        phash_probe_table,
+    )
+
+    probe = phash_probe_table(spark, 16)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup_pairs(probe, "variant").collect()
+    }
+    assert set(pairs) == {(2 * b, 2 * b + 1) for b in range(8)}
+    assert all(h <= 3 for h in pairs.values())
+    # hash parity with the single-process reference computation
+    ref = {r["variant"]: (r["phash_hi"], r["phash_lo"]) for r in probe.collect()}
+    for v in range(16):
+        d = _phash_variant(v)
+        assert ref[v] == (d["phash_hi"], d["phash_lo"])
+    # integer-exactness: the threshold comparison is sum*64 vs total,
+    # never a float mean
+    import numpy as np
+    flat = np.full((8, 8), 7, dtype=np.uint8)
+    hi, lo = ahash64(flat)
+    assert (hi, lo) == (0xFFFFFFFF, 0xFFFFFFFF)  # uniform: every block >= mean

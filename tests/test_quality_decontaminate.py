@@ -1703,3 +1703,38 @@ def test_simhash_60bit_fast_fingerprints_bit_exact(spark, sf_dir):
         ).collect()
     }
     assert p1 == p2
+
+
+def test_train_quality_classifier_learns_and_is_deterministic(spark, sf_dir):
+    """GD training on the hashed-tf features must (a) beat the majority
+    baseline on the stopword-ratio distillation target, (b) be exactly
+    reproducible run to run (rounded gradients: no reduction-order
+    leakage into the weights), and (c) emit a calibrated probability
+    (prob = sigmoid(margin), pred consistent with the 0.5 threshold)."""
+    from cloud_optimized_data_pipelines_spark.functions.text import tokens
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        train_quality_classifier,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tk = tokens("text")
+    stop = F.size(F.filter(tk, lambda t: F.lower(t).isin("the", "a")))
+    labeled = docs.withColumn(
+        "label", ((F.size(tk) > 0) & (stop * 16 >= F.size(tk))).cast("int")
+    )
+    n = labeled.count()
+    pos = labeled.filter("label = 1").count()
+    baseline = max(pos, n - pos) / n
+    scored, w = train_quality_classifier(
+        labeled, "doc_id", "text", "label", iters=6, lr=128.0
+    )
+    rows = scored.select("doc_id", "label", "prob", "pred").collect()
+    acc = sum(1 for r in rows if bool(r["pred"]) == bool(r["label"])) / n
+    assert acc > baseline + 0.05, (acc, baseline)
+    assert len(w) == 64 and any(x != 0.0 for x in w)
+    _, w2 = train_quality_classifier(
+        labeled, "doc_id", "text", "label", iters=6, lr=128.0
+    )
+    assert w == w2
+    for r in rows:
+        assert (r["prob"] >= 0.5) == bool(r["pred"])

@@ -980,3 +980,74 @@ def test_pq_adc_and_refine_recall(spark, sf_dir):
         ).collect()
     ]
     assert full == exact
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL distance preservation at 64 -> 16 dims: squared distances
+    after projection track the originals within a generous (1 +- eps)
+    band for the bulk of pairs (eps ~ sqrt(ln n / k) is ~0.6 here, so
+    the gate is loose by design), and the transform is deterministic."""
+    import math
+
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(40)
+    proj = S.random_projection(emb, "embedding", out_dims=16)
+    proj2 = S.random_projection(emb, "embedding", out_dims=16)
+    assert (
+        proj.exceptAll(proj2).count() == 0
+        and proj2.exceptAll(proj).count() == 0
+    )
+    orig = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    low = {r["vec_id"]: list(r["projected"]) for r in proj.collect()}
+    ids = sorted(orig)
+    ratios = []
+    for a, b in zip(ids, ids[1:] + ids[:1]):
+        d_o = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+        d_p = sum((x - y) ** 2 for x, y in zip(low[a], low[b]))
+        if d_o > 0:
+            ratios.append(d_p / d_o)
+    inside = sum(1 for r in ratios if 0.25 <= r <= 2.5)
+    assert inside >= 0.9 * len(ratios), sorted(ratios)[:5]
+    # unbiased on average: the mean ratio is near 1
+    mean = sum(ratios) / len(ratios)
+    assert 0.6 <= mean <= 1.5, mean
+
+
+def test_ivfpq_recall_and_determinism(spark, sf_dir):
+    """IVFADC sanity: deterministic end-to-end (two builds agree),
+    the query row itself survives residual quantization into the
+    top-10, compressed-domain recall holds a floor, and a non-divisible
+    subspace split raises."""
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+    from cloud_optimized_data_pipelines_spark.operators.similarity import (
+        _sq_dist,
+        literal_vector,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out1 = [
+        (r["vec_id"], r["adc"])
+        for r in S.ivf_pq_topk(emb, "embedding", qv, k=10, k_lists=8).collect()
+    ]
+    out2 = [
+        (r["vec_id"], r["adc"])
+        for r in S.ivf_pq_topk(emb, "embedding", qv, k=10, k_lists=8).collect()
+    ]
+    assert out1 == out2
+    ids = {v for v, _ in out1}
+    assert 0 in ids  # the query row itself
+    exact = {
+        r["vec_id"]
+        for r in emb.select(
+            "vec_id",
+            _sq_dist(F.col("embedding"), literal_vector(qv)).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    assert len(exact & ids) >= 2  # compressed-domain floor
+    with pytest.raises(ValueError, match="m_sub"):
+        S.ivf_pq_topk(emb, "embedding", qv, m_sub=7)

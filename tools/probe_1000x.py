@@ -18,7 +18,9 @@ leakage_safe_split composition (fast fingerprints -> banded pair join
 -> star contraction -> label join -> md5 bucket split) and proves
 pair co-travel at 5M docs; ``bloom`` sizes the auto Bloom gate at a
 2.5M-digest history and measures its realized maybe-present rate and
-the gated-vs-plain anti-join cost.
+the gated-vs-plain anti-join cost; ``pq`` times PQ training, the
+compressed-domain ADC scan, and the full IVFADC composition at
+200k/2M vectors against the brute-force baseline.
 """
 
 from __future__ import annotations
@@ -99,6 +101,7 @@ def main() -> None:
         "semfast",
         "split",
         "bloom",
+        "pq",
     }
     spark = get_spark("probe-1000x")
     spark.sparkContext.setLogLevel("ERROR")
@@ -336,6 +339,65 @@ def main() -> None:
             n_gated = t(f"bloom gated anti-join {label}", gated)
             n_plain = t(f"bloom plain anti-join {label}", plain)
             assert n_gated == n_plain, (n_gated, n_plain)
+
+    if "pq" in want:
+        # PQ + IVFADC at scale: train (one rounded Lloyd step over the
+        # exploded subvector frame), the compressed-domain ADC scan,
+        # the IVFADC composition, and the brute-force baseline.
+        emb100 = spark.read.parquet(f"{S100}/embeddings.parquet")
+        emb1000 = spark.read.parquet(f"{S1000}/embeddings.parquet")
+        for label, emb in (("100x", emb100), ("1000x", emb1000)):
+            qv = [
+                float(x)
+                for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+            ]
+            books = {}
+
+            def train(e=emb):
+                b = S.pq_train(e, "embedding", m_sub=8, k_codes=16, iters=1)
+                return len(b)
+
+            t(f"pq train {label}", train)
+            books = S.pq_train(emb, "embedding", m_sub=8, k_codes=16, iters=1)
+            t(
+                f"pq adc topk {label}",
+                lambda e=emb, b=books: S.pq_topk(
+                    e, "embedding", qv, b, k=10
+                ).count(),
+            )
+            t(
+                f"pq refine topk {label}",
+                lambda e=emb, b=books: S.pq_refine_topk(
+                    e, "embedding", qv, b, k=10, refine=100
+                ).count(),
+            )
+            t(
+                f"ivfpq e2e {label}",
+                lambda e=emb: S.ivf_pq_topk(
+                    e, "embedding", qv, k=10, k_lists=16, nprobe=4
+                ).count(),
+            )
+            t(
+                f"brute force topk {label}",
+                lambda e=emb: S.brute_force_topk(
+                    e, "embedding", qv, k=10
+                ).count(),
+            )
+            # the REAL deployment shape: codes persisted once, the
+            # query scans ONLY the m-byte code column (32x less I/O
+            # than the raw vectors; locally the win is the 8-term
+            # lookup fold vs the 64-mult dot product)
+            path = f"/tmp/pq_codes_{label}"
+            S.pq_encode(emb, "embedding", books, "codes").select(
+                "vec_id", "codes"
+            ).write.mode("overwrite").parquet(path)
+            coded = spark.read.parquet(path)
+            t(
+                f"pq adc persisted-codes {label}",
+                lambda c=coded, b=books: S.pq_topk(
+                    c, "codes", qv, b, k=10, code_col="codes"
+                ).count(),
+            )
 
 
 if __name__ == "__main__":
