@@ -140,8 +140,10 @@ ADDITIONS_R9 = [
     # IVFADC (residual PQ inside IVF lists) + JL sign projection
     "similarity_ivfpq_topk",
     "similarity_random_projection",
-    # perceptual-hash image dedup over real PNG bytes
+    # per-modality near-dup over real codec bytes
     "multimodal_phash_pairs",
+    "multimodal_audio_near_dup",
+    "multimodal_video_near_dup",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

@@ -1601,3 +1601,168 @@ def image_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup (energy hash over the real WAV codec)
+# ---------------------------------------------------------------------------
+
+AFP_PROBE_SCHEMA = (
+    "variant bigint, wav_md5 string, afp_hi bigint, afp_lo bigint, "
+    "abs_sum bigint"
+)
+
+_AFP_SAMPLES = 1024  # mono int16; 64 windows x 16 samples
+_AFP_PERT = 800
+
+
+def _afp_samples(v: int) -> "np.ndarray":
+    """16 mono waveforms in 8 near-dup pairs: base b = v // 2 is the
+    quadratic grid ((k+11)(k+5b+3)) % 20011 - 10005 (bases decorrelate:
+    min cross-base fingerprint Hamming is 14); odd variants shift the
+    FIRST 16-sample window by +800 mod 20011 — an overdub-sized edit
+    whose energy hash stays 0-2 bits from its even sibling."""
+    b = v // 2
+    k = np.arange(_AFP_SAMPLES, dtype=np.int64)
+    m = ((k + 11) * (k + 5 * b + 3)) % 20011
+    if v % 2:
+        m = np.where(k < 16, (m + _AFP_PERT) % 20011, m)
+    return (m - 10005).astype(np.int16)
+
+
+def energy_hash64(samples: "np.ndarray") -> tuple[int, int]:
+    """64-bit audio fingerprint: 64 equal windows, bit = window
+    abs-energy >= global mean — the 1-D twin of :func:`ahash64`,
+    integer-exact (window_sum * 64 vs total), so engine and oracle
+    agree bit for bit."""
+    a = np.abs(samples.astype(np.int64))
+    n = a.shape[0]
+    w = n // 64
+    total = int(a.sum())
+    bits = 0
+    for i in range(64):
+        e = int(a[i * w:(i + 1) * w].sum())
+        bits = (bits << 1) | (1 if e * 64 >= total else 0)
+    return bits >> 32, bits & 0xFFFFFFFF
+
+
+def _afp_variant(v: int) -> dict:
+    """Reference conversion: formula waveform -> REAL RIFF/WAVE encode
+    -> decode -> round-trip verify -> energy hash of the DECODED
+    samples (the _phash_variant pattern: an oracle recomputing the
+    hash from the sample formula checks the codec chain against
+    non-circular ground truth)."""
+    from cloud_optimized_data_pipelines_spark.operators.wav_codec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = _afp_samples(v)
+    wav = encode_wav(s.reshape(_AFP_SAMPLES, 1), 16000)
+    dec, rate = decode_wav(wav)
+    if rate != 16000 or not np.array_equal(dec.reshape(-1), s):
+        raise RuntimeError(f"afp variant {v}: round-trip mismatch")
+    hi, lo = energy_hash64(dec.reshape(-1))
+    return {
+        "variant": v,
+        "wav_md5": hashlib.md5(wav).hexdigest(),
+        "afp_hi": hi,
+        "afp_lo": lo,
+        "abs_sum": int(np.abs(dec.astype(np.int64)).sum()),
+    }
+
+
+def audio_fingerprint_table(spark, variants: int = 16) -> DataFrame:
+    """Per-variant audio fingerprints computed ON EXECUTORS
+    (mapInPandas) — metadata-sized, broadcast-joinable.  At 100 TB of
+    real audio the same shape holds per asset: decode + fingerprint
+    ride the binary-column scan; the near-dup join (shared
+    :func:`image_near_dup_pairs`, it is modality-agnostic over two
+    32-bit words) sees only (id, 2 BIGINT) rows."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame([_afp_variant(int(x)) for x in pdf["id"]])
+
+    return spark.range(int(variants)).mapInPandas(gen, AFP_PROBE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video fingerprint near-dup (temporal-mean aHash over the real AVI codec)
+# ---------------------------------------------------------------------------
+
+VFP_PROBE_SCHEMA = (
+    "variant bigint, avi_md5 string, vfp_hi bigint, vfp_lo bigint, "
+    "n_frames bigint"
+)
+
+_VFP_FRAMES = 4
+_VFP_PERT = 200
+
+
+def _vfp_frames(v: int) -> list["np.ndarray"]:
+    """16 four-frame videos in 8 near-dup pairs: base b = v // 2 is
+    the quadratic gray grid ((k+13)(k+7b+1) + 31f) % 251 per frame f,
+    replicated into RGB; odd variants perturb frame 2's block (0,0)
+    by +200 mod 251 — a one-frame edit whose temporal-mean aHash
+    stays 0-1 bits from its even sibling (min cross-base Hamming 19)."""
+    b = v // 2
+    k = np.arange(_PROBE_H * _PROBE_W, dtype=np.int64)
+    r, c = np.divmod(k, _PROBE_W)
+    frames = []
+    for f in range(_VFP_FRAMES):
+        m = ((k + 13) * (k + 7 * b + 1) + 31 * f) % 251
+        if v % 2 and f == 2:
+            mask = (r < _PROBE_H // 8) & (c < _PROBE_W // 8)
+            m = np.where(mask, (m + _VFP_PERT) % 251, m)
+        gray = m.reshape(_PROBE_H, _PROBE_W).astype(np.uint8)
+        frames.append(np.stack([gray] * 3, axis=2))
+    return frames
+
+
+def _vfp_variant(v: int) -> dict:
+    """Reference conversion: formula frames -> REAL AVI container
+    (uncompressed DIB stream, idx1 index) -> container+frame decode ->
+    round-trip verify -> aHash of the INTEGER SUM image over the
+    decoded frames' gray channel (temporal mean without the division —
+    equal-count frames make sum-thresholding identical to
+    mean-thresholding, and integers keep the oracle exact)."""
+    from cloud_optimized_data_pipelines_spark.operators.avi_codec import (
+        decode_avi,
+        encode_avi,
+    )
+
+    frames = _vfp_frames(v)
+    avi = encode_avi(frames, fps=12, codec="raw")
+    dec, fps = decode_avi(avi)
+    if fps != 12 or len(dec) != _VFP_FRAMES or not all(
+        np.array_equal(a, b) for a, b in zip(frames, dec)
+    ):
+        raise RuntimeError(f"vfp variant {v}: round-trip mismatch")
+    acc = np.zeros((_PROBE_H, _PROBE_W), dtype=np.int64)
+    for f in dec:
+        acc += f[:, :, 0].astype(np.int64)
+    hi, lo = ahash64(acc)
+    return {
+        "variant": v,
+        "avi_md5": hashlib.md5(avi).hexdigest(),
+        "vfp_hi": hi,
+        "vfp_lo": lo,
+        "n_frames": _VFP_FRAMES,
+    }
+
+
+def video_fingerprint_table(spark, variants: int = 16) -> DataFrame:
+    """Per-variant video fingerprints computed ON EXECUTORS
+    (mapInPandas).  At 100 TB the same shape holds per asset: container
+    walk + frame decode + temporal-mean hash ride the binary-column
+    scan; the near-dup join (the shared, modality-agnostic
+    :func:`image_near_dup_pairs`) sees only (id, 2 BIGINT) rows."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame([_vfp_variant(int(x)) for x in pdf["id"]])
+
+    return spark.range(int(variants)).mapInPandas(gen, VFP_PROBE_SCHEMA)

@@ -4099,6 +4099,262 @@ def multimodal_phash_pairs_q(spark, sf_dir):
     )
 
 
+def _afp_pairs_oracle() -> str:
+    """Oracle for multimodal_audio_near_dup: the 64-bit energy hash is
+    integer arithmetic over the deterministic waveform formula, so
+    every fingerprint is recomputed from scratch in SQL (non-circular
+    vs the engine's decode-real-WAV-bytes path); the banded Hamming
+    join is replayed with bit_count(xor) and the RIFF byte streams are
+    pinned via md5 literals."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _afp_variant,
+    )
+
+    rows = [_afp_variant(v) for v in range(16)]
+    md5_case = (
+        "CASE v "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['wav_md5']}'" for r in rows)
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT unnest(range(0, 16)) AS v),
+grid AS (
+  SELECT v, k,
+         abs(CASE WHEN v % 2 = 1 AND k < 16
+                  THEN (((k + 11) * (k + 5 * (v // 2) + 3)) % 20011 + 800)
+                       % 20011 - 10005
+                  ELSE ((k + 11) * (k + 5 * (v // 2) + 3)) % 20011 - 10005
+             END) AS a
+  FROM var, (SELECT unnest(range(0, 1024)) AS k) g
+),
+wins AS (
+  SELECT v, k // 16 AS w, SUM(a) AS e FROM grid GROUP BY 1, 2
+),
+tot AS (SELECT v, SUM(a) AS total FROM grid GROUP BY v),
+bits AS (
+  SELECT w.v, w.w AS idx,
+         CASE WHEN w.e * 64 >= t.total THEN 1 ELSE 0 END AS bit
+  FROM wins w JOIN tot t USING (v)
+),
+hashes AS (
+  SELECT v,
+         SUM(CASE WHEN idx < 32 THEN bit << (31 - idx) ELSE 0 END)::BIGINT
+           AS hi,
+         SUM(CASE WHEN idx >= 32 THEN bit << (63 - idx) ELSE 0 END)::BIGINT
+           AS lo
+  FROM bits GROUP BY v
+),
+bands AS (
+  SELECT v, hi, lo, 0 AS band, (hi >> 16) & 65535 AS val FROM hashes
+  UNION ALL SELECT v, hi, lo, 1, hi & 65535 FROM hashes
+  UNION ALL SELECT v, hi, lo, 2, (lo >> 16) & 65535 FROM hashes
+  UNION ALL SELECT v, hi, lo, 3, lo & 65535 FROM hashes
+),
+pairs AS (
+  SELECT DISTINCT a.v AS va, b.v AS vb,
+         bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.val = b.val AND a.v < b.v
+  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+),
+md5s AS (SELECT v, {md5_case} AS m FROM var),
+cnt AS (SELECT doc_id % 16 AS v, count(*) AS n FROM documents GROUP BY 1)
+SELECT p.va AS variant_a, p.vb AS variant_b,
+       CAST(p.hamming AS BIGINT) AS hamming,
+       ma.m AS md5_a, mb.m AS md5_b,
+       ca.n AS docs_a, cb.n AS docs_b
+FROM pairs p
+JOIN md5s ma ON ma.v = p.va
+JOIN md5s mb ON mb.v = p.vb
+JOIN cnt ca ON ca.v = p.va
+JOIN cnt cb ON cb.v = p.vb
+"""
+
+
+@query("multimodal_audio_near_dup", _afp_pairs_oracle)
+def multimodal_audio_near_dup_q(spark, sf_dir):
+    """Audio fingerprint near-dup over real bytes (operators/
+    multimodal.py::audio_fingerprint_table + the modality-agnostic
+    image_near_dup_pairs banded join): 16 waveforms in 8 engineered
+    overdub pairs are encoded as actual RIFF/WAVE files, decoded back,
+    energy-hashed (integer-exact 64-window abs-energy threshold), and
+    joined by 4x16-bit banded Hamming blocking.  The oracle recomputes
+    every fingerprint ARITHMETICALLY from the waveform formula and
+    pins the byte streams via md5 literals — the audio twin of
+    multimodal_phash_pairs, completing per-modality dedup (text /
+    image / audio / embedding)."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        audio_fingerprint_table,
+        image_near_dup_pairs,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = audio_fingerprint_table(spark, 16)
+    pairs = image_near_dup_pairs(
+        probe, "variant", hi_col="afp_hi", lo_col="afp_lo", max_hamming=3
+    )
+    cnt = (
+        t["documents"]
+        .groupBy((F.col("doc_id") % 16).alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    meta = probe.select("variant", "wav_md5")
+    return (
+        pairs.join(
+            meta.select(
+                F.col("variant").alias("id_a"), F.col("wav_md5").alias("md5_a")
+            ),
+            "id_a",
+        )
+        .join(
+            meta.select(
+                F.col("variant").alias("id_b"), F.col("wav_md5").alias("md5_b")
+            ),
+            "id_b",
+        )
+        .join(cnt.select(F.col("v").alias("id_a"), F.col("n").alias("docs_a")), "id_a")
+        .join(cnt.select(F.col("v").alias("id_b"), F.col("n").alias("docs_b")), "id_b")
+        .select(
+            F.col("id_a").alias("variant_a"),
+            F.col("id_b").alias("variant_b"),
+            "hamming",
+            "md5_a",
+            "md5_b",
+            "docs_a",
+            "docs_b",
+        )
+    )
+
+
+def _vfp_pairs_oracle() -> str:
+    """Oracle for multimodal_video_near_dup: the temporal-sum aHash is
+    integer arithmetic over the per-frame pixel formula, recomputed
+    from scratch in SQL (non-circular vs the engine's
+    decode-real-AVI-container path); banded Hamming join replayed with
+    bit_count(xor), AVI byte streams pinned via md5 literals."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _vfp_variant,
+    )
+
+    rows = [_vfp_variant(v) for v in range(16)]
+    md5_case = (
+        "CASE v "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['avi_md5']}'" for r in rows)
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT unnest(range(0, 16)) AS v),
+grid AS (
+  SELECT v, k, SUM(
+    CASE WHEN v % 2 = 1 AND f = 2 AND (k // 40) < 6 AND (k % 40) < 5
+         THEN (((k + 13) * (k + 7 * (v // 2) + 1) + 31 * f) % 251 + 200) % 251
+         ELSE ((k + 13) * (k + 7 * (v // 2) + 1) + 31 * f) % 251
+    END) AS s
+  FROM var,
+       (SELECT unnest(range(0, 1920)) AS k) g,
+       (SELECT unnest(range(0, 4)) AS f) fr
+  GROUP BY v, k
+),
+blocks AS (
+  SELECT v, (k // 40) // 6 AS i, (k % 40) // 5 AS j, SUM(s) AS bs
+  FROM grid GROUP BY 1, 2, 3
+),
+tot AS (SELECT v, SUM(s) AS total FROM grid GROUP BY v),
+bits AS (
+  SELECT b.v, b.i * 8 + b.j AS idx,
+         CASE WHEN b.bs * 64 >= t.total THEN 1 ELSE 0 END AS bit
+  FROM blocks b JOIN tot t USING (v)
+),
+hashes AS (
+  SELECT v,
+         SUM(CASE WHEN idx < 32 THEN bit << (31 - idx) ELSE 0 END)::BIGINT
+           AS hi,
+         SUM(CASE WHEN idx >= 32 THEN bit << (63 - idx) ELSE 0 END)::BIGINT
+           AS lo
+  FROM bits GROUP BY v
+),
+bands AS (
+  SELECT v, hi, lo, 0 AS band, (hi >> 16) & 65535 AS val FROM hashes
+  UNION ALL SELECT v, hi, lo, 1, hi & 65535 FROM hashes
+  UNION ALL SELECT v, hi, lo, 2, (lo >> 16) & 65535 FROM hashes
+  UNION ALL SELECT v, hi, lo, 3, lo & 65535 FROM hashes
+),
+pairs AS (
+  SELECT DISTINCT a.v AS va, b.v AS vb,
+         bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.val = b.val AND a.v < b.v
+  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+),
+md5s AS (SELECT v, {md5_case} AS m FROM var),
+cnt AS (SELECT doc_id % 16 AS v, count(*) AS n FROM documents GROUP BY 1)
+SELECT p.va AS variant_a, p.vb AS variant_b,
+       CAST(p.hamming AS BIGINT) AS hamming,
+       ma.m AS md5_a, mb.m AS md5_b,
+       ca.n AS docs_a, cb.n AS docs_b
+FROM pairs p
+JOIN md5s ma ON ma.v = p.va
+JOIN md5s mb ON mb.v = p.vb
+JOIN cnt ca ON ca.v = p.va
+JOIN cnt cb ON cb.v = p.vb
+"""
+
+
+@query("multimodal_video_near_dup", _vfp_pairs_oracle)
+def multimodal_video_near_dup_q(spark, sf_dir):
+    """Video near-dup over real container bytes (operators/
+    multimodal.py::video_fingerprint_table + the modality-agnostic
+    banded join): 16 four-frame AVIs in 8 engineered one-frame-edit
+    pairs are encoded as actual RIFF/AVI containers (DIB streams,
+    idx1 index), walked + decoded back, fingerprinted by the
+    temporal-sum aHash (integer-exact), and joined by 4x16-bit banded
+    Hamming blocking.  The oracle recomputes every fingerprint
+    ARITHMETICALLY from the per-frame formula and pins the container
+    bytes via md5 literals — with phash/afp this completes
+    per-modality near-dup: text, image, audio, video, embedding."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        video_fingerprint_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = video_fingerprint_table(spark, 16)
+    pairs = image_near_dup_pairs(
+        probe, "variant", hi_col="vfp_hi", lo_col="vfp_lo", max_hamming=3
+    )
+    cnt = (
+        t["documents"]
+        .groupBy((F.col("doc_id") % 16).alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    meta = probe.select("variant", "avi_md5")
+    return (
+        pairs.join(
+            meta.select(
+                F.col("variant").alias("id_a"), F.col("avi_md5").alias("md5_a")
+            ),
+            "id_a",
+        )
+        .join(
+            meta.select(
+                F.col("variant").alias("id_b"), F.col("avi_md5").alias("md5_b")
+            ),
+            "id_b",
+        )
+        .join(cnt.select(F.col("v").alias("id_a"), F.col("n").alias("docs_a")), "id_a")
+        .join(cnt.select(F.col("v").alias("id_b"), F.col("n").alias("docs_b")), "id_b")
+        .select(
+            F.col("id_a").alias("variant_a"),
+            F.col("id_b").alias("variant_b"),
+            "hamming",
+            "md5_a",
+            "md5_b",
+            "docs_a",
+            "docs_b",
+        )
+    )
+
+
 def _png_probe_oracle() -> str:
     """Oracle for multimodal_png_features, built at import (the
     _cog_probe_oracle pattern): the 8 variant conversions run ONCE in
@@ -8350,18 +8606,20 @@ def dedup_bloom_gated_q(spark, sf_dir):
 # Registration order.  The driver's correctness harness grades the FIRST
 # 50 registrations only (CORRECTNESS_r01/r02 both cut off at 50).  Round-9
 # policy (VERDICT r8 task #2): finish the never-graded backlog and then
-# re-prove the STALEST ledger rows.  14 slots go to the entries
+# re-prove the STALEST ledger rows.  16 slots go to the entries
 # without a driver hash row (the six r8 local-only stragglers plus the
-# eight new r9 flagships: stac_item_raster, the newly oracle-backed
+# ten new r9 flagships: stac_item_raster, the newly oracle-backed
 # similarity_ivf_topk, the PQ pair, IVFADC, the JL sign projection,
-# the GD-trained classifier, and aHash image dedup), 5 restore the core-pipeline keepers
+# the GD-trained classifier, and per-modality near-dup for image,
+# audio and video over real codec bytes), 5 restore the core-pipeline keepers
 # rotated out in r8, 2 keep the ever-green anchors, and the remaining
-# 29 sweep the stalest ledger rows: all 20 whose last green is r2 plus
-# 9 of the 15 r3 entries (agg_modern_functions, agg_percentiles,
-# agg_distinct_by_segment, events_json_extract, unpivot_part_metrics
-# and set_ops_customers wait one more round; their families keep
-# in-window representatives — set ops via set_union_distinct, r8).
-# After this round the never-graded set is empty and nothing
+# 27 sweep the stalest ledger rows: all 20 whose last green is r2 plus
+# 7 of the 15 r3 entries (agg_modern_functions, agg_percentiles,
+# agg_distinct_by_segment, events_json_extract, unpivot_part_metrics,
+# set_ops_customers, q2_min_cost_supplier and q6_forecast_revenue wait
+# one more round; their families keep in-window representatives — set
+# ops via set_union_distinct r8, TPC-H via the 20 r2 shapes swept
+# here).  After this round the never-graded set is empty and nothing
 # driver-graded is older than r3.  Everything demoted past the window stays registered and
 # locally oracle-checked at sf0.001/0.01/0.1 (tools/check_oracle.py
 # covers all entries; COVERAGE.md's ledger records each query's last
@@ -8379,6 +8637,8 @@ _GRADED_WINDOW = [
     "similarity_ivfpq_topk",      # r9: IVFADC (residual PQ in IVF lists)
     "similarity_random_projection",  # r9: JL sign projection (bit-exact)
     "multimodal_phash_pairs",     # r9: aHash image dedup over real PNGs
+    "multimodal_audio_near_dup",  # r9: energy-hash audio dedup (real WAVs)
+    "multimodal_video_near_dup",  # r9: temporal aHash video dedup (real AVIs)
     "dedup_simhash_wide_pairs_fast",
     "join_lateral_top2_orders",
     "multimodal_jpeg_lossless",
@@ -8417,8 +8677,6 @@ _GRADED_WINDOW = [
     "dedup_ngram_jaccard",
     "events_dedup_first_per_key",
     # --- staleness sweep: every ledger row last green in r3 (15) ---
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
     "agg_cube_orders",
     "agg_grouping_sets_orders",
     "dedup_lsh_verified",

@@ -106,3 +106,53 @@ def test_phash_pairs_finds_engineered_neardups(spark):
     flat = np.full((8, 8), 7, dtype=np.uint8)
     hi, lo = ahash64(flat)
     assert (hi, lo) == (0xFFFFFFFF, 0xFFFFFFFF)  # uniform: every block >= mean
+
+
+def test_audio_fingerprint_finds_engineered_neardups(spark):
+    """16 waveforms, 8 engineered overdub pairs: the energy-hash banded
+    join finds exactly those pairs within Hamming 3 (min cross-base
+    distance is 14 by construction) and the fingerprints come from the
+    DECODED samples (round-trip asserted inside _afp_variant)."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _afp_variant,
+        audio_fingerprint_table,
+        image_near_dup_pairs,
+    )
+
+    probe = audio_fingerprint_table(spark, 16)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup_pairs(
+            probe, "variant", hi_col="afp_hi", lo_col="afp_lo"
+        ).collect()
+    }
+    assert set(pairs) == {(2 * b, 2 * b + 1) for b in range(8)}
+    ref = {r["variant"]: (r["afp_hi"], r["afp_lo"]) for r in probe.collect()}
+    for v in (0, 7, 15):
+        d = _afp_variant(v)
+        assert ref[v] == (d["afp_hi"], d["afp_lo"])
+
+
+def test_video_fingerprint_finds_engineered_neardups(spark):
+    """16 four-frame AVIs, 8 one-frame-edit pairs: the temporal-sum
+    aHash banded join finds exactly those pairs; fingerprints come
+    from frames decoded out of the real container (round-trip asserted
+    inside _vfp_variant)."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _vfp_variant,
+        image_near_dup_pairs,
+        video_fingerprint_table,
+    )
+
+    probe = video_fingerprint_table(spark, 16)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup_pairs(
+            probe, "variant", hi_col="vfp_hi", lo_col="vfp_lo"
+        ).collect()
+    }
+    assert set(pairs) == {(2 * b, 2 * b + 1) for b in range(8)}
+    ref = {r["variant"]: (r["vfp_hi"], r["vfp_lo"]) for r in probe.collect()}
+    for v in (0, 5, 14):
+        d = _vfp_variant(v)
+        assert ref[v] == (d["vfp_hi"], d["vfp_lo"])

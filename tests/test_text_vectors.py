@@ -1051,3 +1051,44 @@ def test_ivfpq_recall_and_determinism(spark, sf_dir):
     assert len(exact & ids) >= 2  # compressed-domain floor
     with pytest.raises(ValueError, match="m_sub"):
         S.ivf_pq_topk(emb, "embedding", qv, m_sub=7)
+
+
+def test_pq_numpy_impl_bit_exact_to_fold(spark, sf_dir):
+    """The Arrow/numpy PQ encoder must be BIT-EXACT to the declarative
+    fold (same sequential accumulation order — see _seq_sqdist_argmin),
+    not epsilon-equal: codes, trained codebooks, and the final graded
+    top-10 all identical."""
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    b_fold = S.pq_train(emb, "embedding", iters=1, impl="fold")
+    b_np = S.pq_train(emb, "embedding", iters=1, impl="numpy")
+    assert b_fold == b_np
+    c_fold = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in S.pq_encode(emb, "embedding", b_np, impl="fold").collect()
+    }
+    c_np = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in S.pq_encode(emb, "embedding", b_np, impl="numpy").collect()
+    }
+    assert c_fold == c_np
+    t_fold = [
+        (r["vec_id"], r["adc"])
+        for r in S.pq_topk(emb, "embedding", qv, b_np, impl="fold").collect()
+    ]
+    t_np = [
+        (r["vec_id"], r["adc"])
+        for r in S.pq_topk(emb, "embedding", qv, b_np, impl="numpy").collect()
+    ]
+    assert t_fold == t_np
+    i_fold = [
+        (r["vec_id"], r["adc"])
+        for r in S.ivf_pq_topk(emb, "embedding", qv, k_lists=8, impl="fold").collect()
+    ]
+    i_np = [
+        (r["vec_id"], r["adc"])
+        for r in S.ivf_pq_topk(emb, "embedding", qv, k_lists=8, impl="numpy").collect()
+    ]
+    assert i_fold == i_np
