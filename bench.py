@@ -144,6 +144,8 @@ ADDITIONS_R9 = [
     "multimodal_phash_pairs",
     "multimodal_audio_near_dup",
     "multimodal_video_near_dup",
+    # Deequ-style one-pass constraint suite + FK anti-join
+    "quality_constraint_report",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

@@ -1,0 +1,149 @@
+"""Declarative data-quality constraint suite (the Deequ pattern:
+Schelter et al. 2018, "Automating Large-Scale Data Quality
+Verification" — unit tests for data).  Extension; no reference
+counterpart (the reference validates event payloads structurally in
+operators/validate.py — this is the table-level complement a
+training-data pipeline runs before ingestion).
+
+Every in-table rule compiles into ONE aggregation pass (conditional
+aggregates over a single scan — adding rules is free at 100 TB, the
+scan dominates); referential rules each add one anti-join against the
+referenced key set (broadcast when small, AQE otherwise).  All metrics
+are exact-integer counts divided once at the end — bit-identical
+cross-engine, no rounding needed (the classifier_score precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_IN_TABLE_RULES = {"not_null", "unique", "range", "in_set", "pattern"}
+
+
+def check_constraints(
+    df: DataFrame,
+    rules: list[dict],
+    refs: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Evaluate a constraint suite; returns one row per rule:
+    ``(rule_id, rule, column, metric, threshold, passed)``.
+
+    ``metric`` is always a COMPLIANCE RATIO in [0, 1] so ``passed =
+    metric >= threshold`` uniformly:
+
+    - ``not_null``: non-null fraction.
+    - ``unique``: distinct non-null values / non-null values (1.0 iff
+      no duplicates — Deequ's distinctness).
+    - ``range``: fraction of rows with ``min <= col <= max`` (nulls
+      fail the predicate, matching SQL three-valued logic).
+    - ``in_set``: fraction with ``col IN (values)``.
+    - ``pattern``: fraction matching an (unanchored) regex.
+    - ``referential``: 1 - orphan fraction, where an orphan is a
+      non-null value absent from ``refs[ref]``'s ``ref_column`` (the
+      foreign-key check as a left-anti join — never per-key lookups).
+
+    Empty tables pass vacuously (metric 1.0).  The report itself is a
+    DataFrame: write it next to the data as the audit artifact, or
+    ``.filter(~passed)`` as the ingestion gate.
+    """
+    refs = refs or {}
+    n_all = F.count(F.lit(1)).cast("long").alias("_n")
+    aggs: list = []
+    for i, r in enumerate(rules):
+        kind = r["rule"]
+        if kind not in _IN_TABLE_RULES and kind != "referential":
+            raise ValueError(f"unknown constraint rule: {kind!r}")
+        if kind == "referential":
+            continue
+        c = F.col(r["column"])
+        if kind == "not_null":
+            aggs.append(F.count(c).cast("long").alias(f"_m{i}"))
+        elif kind == "unique":
+            aggs.append(F.count_distinct(c).cast("long").alias(f"_m{i}"))
+            aggs.append(F.count(c).cast("long").alias(f"_d{i}"))
+        elif kind == "range":
+            ok = F.when(
+                c.isNotNull() & (c >= F.lit(r["min"])) & (c <= F.lit(r["max"])),
+                1,
+            ).otherwise(0)
+            aggs.append(F.sum(ok).cast("long").alias(f"_m{i}"))
+        elif kind == "in_set":
+            ok = F.when(c.isin(*r["values"]), 1).otherwise(0)
+            aggs.append(F.sum(ok).cast("long").alias(f"_m{i}"))
+        elif kind == "pattern":
+            ok = F.when(c.isNotNull() & c.rlike(r["regex"]), 1).otherwise(0)
+            aggs.append(F.sum(ok).cast("long").alias(f"_m{i}"))
+    base = df.agg(n_all, *aggs) if aggs else df.agg(n_all)
+
+    def ratio(num, den):
+        return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+            F.lit(1.0)
+        )
+
+    entries = []
+    for i, r in enumerate(rules):
+        kind = r["rule"]
+        if kind == "referential":
+            continue
+        if kind == "unique":
+            metric = ratio(F.col(f"_m{i}"), F.col(f"_d{i}"))
+        else:
+            metric = ratio(F.col(f"_m{i}"), F.col("_n"))
+        thr = float(r.get("threshold", 1.0))
+        entries.append(
+            F.struct(
+                F.lit(i).cast("long").alias("rule_id"),
+                F.lit(kind).alias("rule"),
+                F.lit(r["column"]).alias("column"),
+                metric.alias("metric"),
+                F.lit(thr).alias("threshold"),
+                (metric >= F.lit(thr)).alias("passed"),
+            )
+        )
+    parts = []
+    if entries:
+        parts.append(
+            base.select(F.explode(F.array(*entries)).alias("r")).select("r.*")
+        )
+    for i, r in enumerate(rules):
+        if r["rule"] != "referential":
+            continue
+        ref_df = refs[r["ref"]]
+        c = F.col(r["column"])
+        keys = df.select(c.alias("_k")).filter(F.col("_k").isNotNull())
+        # hit-or-null left join + ONE aggregate: no 1-row crossJoin
+        # (which would compile to a nested-loop join and trip the plan
+        # lint), and the same shape as the SQL oracle's LEFT JOIN
+        hits = ref_df.select(
+            F.col(r["ref_column"]).alias("_k")
+        ).distinct().withColumn("_hit", F.lit(1))
+        counts = (
+            keys.join(hits, "_k", "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("_nk"),
+                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("_no"),
+            )
+        )
+        metric = F.when(
+            F.col("_nk") > 0,
+            (F.col("_nk") - F.col("_no")).cast("double")
+            / F.col("_nk").cast("double"),
+        ).otherwise(F.lit(1.0))
+        thr = float(r.get("threshold", 1.0))
+        parts.append(
+            counts.select(
+                F.lit(i).cast("long").alias("rule_id"),
+                F.lit("referential").alias("rule"),
+                F.lit(r["column"]).alias("column"),
+                metric.alias("metric"),
+                F.lit(thr).alias("threshold"),
+                (metric >= F.lit(thr)).alias("passed"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -4099,6 +4099,119 @@ def multimodal_phash_pairs_q(spark, sf_dir):
     )
 
 
+# Deequ-style constraint suite: every metric is an exact-integer count
+# divided once at the end (bit-identical cross-engine, the
+# classifier_score precedent), so no rounding anywhere.
+_CONSTRAINT_REPORT = """
+WITH n AS (SELECT count(*)::BIGINT AS c FROM orders),
+m AS (
+  SELECT
+    count(o_custkey)::BIGINT AS notnull_cust,
+    count(DISTINCT o_orderkey)::BIGINT AS dist_ok,
+    count(o_orderkey)::BIGINT AS nn_ok,
+    SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice >= 0.0
+                  AND o_totalprice <= 400000.0 THEN 1 ELSE 0 END)::BIGINT
+      AS in_range,
+    SUM(CASE WHEN o_orderstatus IN ('O', 'F') THEN 1 ELSE 0 END)::BIGINT
+      AS in_set,
+    SUM(CASE WHEN o_orderpriority IS NOT NULL
+                  AND regexp_matches(o_orderpriority, '^[1-5]-')
+             THEN 1 ELSE 0 END)::BIGINT AS pat
+  FROM orders
+),
+fk AS (
+  SELECT count(*)::BIGINT AS nk,
+         SUM(CASE WHEN c._k IS NULL THEN 1 ELSE 0 END)::BIGINT AS orphans
+  FROM (SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL) o
+  LEFT JOIN (SELECT DISTINCT c_custkey AS _k FROM customer) c
+    ON o.k = c._k
+)
+SELECT * FROM (
+  SELECT 0::BIGINT AS rule_id, 'not_null' AS rule, 'o_custkey' AS "column",
+         CASE WHEN n.c > 0 THEN m.notnull_cust::DOUBLE / n.c::DOUBLE
+              ELSE 1.0 END AS metric,
+         1.0::DOUBLE AS threshold,
+         CASE WHEN n.c > 0 THEN m.notnull_cust::DOUBLE / n.c::DOUBLE
+              ELSE 1.0 END >= 1.0 AS passed
+  FROM m CROSS JOIN n
+  UNION ALL
+  SELECT 1, 'unique', 'o_orderkey',
+         CASE WHEN m.nn_ok > 0 THEN m.dist_ok::DOUBLE / m.nn_ok::DOUBLE
+              ELSE 1.0 END,
+         1.0::DOUBLE,
+         CASE WHEN m.nn_ok > 0 THEN m.dist_ok::DOUBLE / m.nn_ok::DOUBLE
+              ELSE 1.0 END >= 1.0
+  FROM m
+  UNION ALL
+  SELECT 2, 'range', 'o_totalprice',
+         CASE WHEN n.c > 0 THEN m.in_range::DOUBLE / n.c::DOUBLE
+              ELSE 1.0 END,
+         0.5::DOUBLE,
+         CASE WHEN n.c > 0 THEN m.in_range::DOUBLE / n.c::DOUBLE
+              ELSE 1.0 END >= 0.5
+  FROM m CROSS JOIN n
+  UNION ALL
+  SELECT 3, 'in_set', 'o_orderstatus',
+         CASE WHEN n.c > 0 THEN m.in_set::DOUBLE / n.c::DOUBLE
+              ELSE 1.0 END,
+         0.9::DOUBLE,
+         CASE WHEN n.c > 0 THEN m.in_set::DOUBLE / n.c::DOUBLE
+              ELSE 1.0 END >= 0.9
+  FROM m CROSS JOIN n
+  UNION ALL
+  SELECT 4, 'pattern', 'o_orderpriority',
+         CASE WHEN n.c > 0 THEN m.pat::DOUBLE / n.c::DOUBLE ELSE 1.0 END,
+         1.0::DOUBLE,
+         CASE WHEN n.c > 0 THEN m.pat::DOUBLE / n.c::DOUBLE
+              ELSE 1.0 END >= 1.0
+  FROM m CROSS JOIN n
+  UNION ALL
+  SELECT 5, 'referential', 'o_custkey',
+         CASE WHEN fk.nk > 0
+              THEN (fk.nk - fk.orphans)::DOUBLE / fk.nk::DOUBLE
+              ELSE 1.0 END,
+         1.0::DOUBLE,
+         CASE WHEN fk.nk > 0
+              THEN (fk.nk - fk.orphans)::DOUBLE / fk.nk::DOUBLE
+              ELSE 1.0 END >= 1.0
+  FROM fk
+) t ORDER BY rule_id
+"""
+
+
+@query("quality_constraint_report", _CONSTRAINT_REPORT)
+def quality_constraint_report_q(spark, sf_dir):
+    """Declarative data-quality constraint suite (operators/
+    constraints.py::check_constraints — the Deequ pattern, Schelter
+    et al. 2018): completeness, uniqueness, range, set-membership and
+    regex rules compile into ONE conditional-aggregation pass over the
+    orders scan (adding rules is free at 100 TB), plus a left-anti
+    foreign-key check against customer.  All metrics are exact-integer
+    counts divided once — bit-identical cross-engine, no rounding.
+    The report is the ingestion gate a training pipeline runs before
+    accepting a drop."""
+    from cloud_optimized_data_pipelines_spark.operators.constraints import (
+        check_constraints,
+    )
+
+    t = load_tables(spark, sf_dir)
+    rules = [
+        {"rule": "not_null", "column": "o_custkey"},
+        {"rule": "unique", "column": "o_orderkey"},
+        {"rule": "range", "column": "o_totalprice", "min": 0.0,
+         "max": 400000.0, "threshold": 0.5},
+        {"rule": "in_set", "column": "o_orderstatus",
+         "values": ["O", "F"], "threshold": 0.9},
+        {"rule": "pattern", "column": "o_orderpriority",
+         "regex": "^[1-5]-"},
+        {"rule": "referential", "column": "o_custkey", "ref": "customer",
+         "ref_column": "c_custkey"},
+    ]
+    return check_constraints(
+        t["orders"], rules, refs={"customer": t["customer"]}
+    ).orderBy("rule_id")
+
+
 def _afp_pairs_oracle() -> str:
     """Oracle for multimodal_audio_near_dup: the 64-bit energy hash is
     integer arithmetic over the deterministic waveform formula, so
@@ -8606,20 +8719,22 @@ def dedup_bloom_gated_q(spark, sf_dir):
 # Registration order.  The driver's correctness harness grades the FIRST
 # 50 registrations only (CORRECTNESS_r01/r02 both cut off at 50).  Round-9
 # policy (VERDICT r8 task #2): finish the never-graded backlog and then
-# re-prove the STALEST ledger rows.  16 slots go to the entries
+# re-prove the STALEST ledger rows.  17 slots go to the entries
 # without a driver hash row (the six r8 local-only stragglers plus the
-# ten new r9 flagships: stac_item_raster, the newly oracle-backed
+# eleven new r9 flagships: stac_item_raster, the newly oracle-backed
 # similarity_ivf_topk, the PQ pair, IVFADC, the JL sign projection,
-# the GD-trained classifier, and per-modality near-dup for image,
-# audio and video over real codec bytes), 5 restore the core-pipeline keepers
+# the GD-trained classifier, per-modality near-dup for image, audio
+# and video over real codec bytes, and the Deequ-style constraint
+# suite), 5 restore the core-pipeline keepers
 # rotated out in r8, 2 keep the ever-green anchors, and the remaining
-# 27 sweep the stalest ledger rows: all 20 whose last green is r2 plus
-# 7 of the 15 r3 entries (agg_modern_functions, agg_percentiles,
-# agg_distinct_by_segment, events_json_extract, unpivot_part_metrics,
-# set_ops_customers, q2_min_cost_supplier and q6_forecast_revenue wait
-# one more round; their families keep in-window representatives — set
-# ops via set_union_distinct r8, TPC-H via the 20 r2 shapes swept
-# here).  After this round the never-graded set is empty and nothing
+# 26 sweep the stalest ledger rows: all 20 whose last green is r2 plus
+# 6 of the 15 r3 entries (agg_modern_functions, agg_percentiles,
+# agg_distinct_by_segment, agg_grouping_sets_orders,
+# events_json_extract, unpivot_part_metrics, set_ops_customers,
+# q2_min_cost_supplier and q6_forecast_revenue wait one more round;
+# their families keep in-window representatives — set ops via
+# set_union_distinct r8, TPC-H via the 20 r2 shapes swept here, agg
+# via agg_cube_orders/agg_conditional_pivot).  After this round the never-graded set is empty and nothing
 # driver-graded is older than r3.  Everything demoted past the window stays registered and
 # locally oracle-checked at sf0.001/0.01/0.1 (tools/check_oracle.py
 # covers all entries; COVERAGE.md's ledger records each query's last
@@ -8639,6 +8754,7 @@ _GRADED_WINDOW = [
     "multimodal_phash_pairs",     # r9: aHash image dedup over real PNGs
     "multimodal_audio_near_dup",  # r9: energy-hash audio dedup (real WAVs)
     "multimodal_video_near_dup",  # r9: temporal aHash video dedup (real AVIs)
+    "quality_constraint_report",  # r9: Deequ-style constraint suite
     "dedup_simhash_wide_pairs_fast",
     "join_lateral_top2_orders",
     "multimodal_jpeg_lossless",
@@ -8678,7 +8794,6 @@ _GRADED_WINDOW = [
     "events_dedup_first_per_key",
     # --- staleness sweep: every ledger row last green in r3 (15) ---
     "agg_cube_orders",
-    "agg_grouping_sets_orders",
     "dedup_lsh_verified",
     "events_funnel_conversion",
     "events_hourly_window",

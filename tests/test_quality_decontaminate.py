@@ -1738,3 +1738,35 @@ def test_train_quality_classifier_learns_and_is_deterministic(spark, sf_dir):
     assert w == w2
     for r in rows:
         assert (r["prob"] >= 0.5) == bool(r["pred"])
+
+
+def test_train_quality_classifier_numpy_bit_exact_to_fold(spark, sf_dir):
+    """The Arrow training path (raw margins in Python over the same md5
+    buckets, per-batch gradient partials) must be BIT-EXACT to the
+    declarative fold: identical weights after every GD step and an
+    identical scored table."""
+    from cloud_optimized_data_pipelines_spark.functions.text import tokens
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        train_quality_classifier,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tk = tokens("text")
+    stop = F.size(F.filter(tk, lambda t: F.lower(t).isin("the", "a")))
+    labeled = docs.withColumn(
+        "label", ((F.size(tk) > 0) & (stop * 16 >= F.size(tk))).cast("int")
+    )
+    s1, w1 = train_quality_classifier(
+        labeled, "doc_id", "text", "label", iters=3, lr=64.0, impl="fold"
+    )
+    s2, w2 = train_quality_classifier(
+        labeled, "doc_id", "text", "label", iters=3, lr=64.0, impl="numpy"
+    )
+    assert w1 == w2
+    r1 = sorted(
+        (r["doc_id"], r["margin"], r["prob"], r["pred"]) for r in s1.collect()
+    )
+    r2 = sorted(
+        (r["doc_id"], r["margin"], r["prob"], r["pred"]) for r in s2.collect()
+    )
+    assert r1 == r2

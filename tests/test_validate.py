@@ -51,3 +51,49 @@ def test_strict_mode_raises_like_pydantic(spark):
 def test_strict_mode_passes_valid(spark):
     df = spark.createDataFrame([("c1", "s3://b/k.tif", None, "year")], SCHEMA)
     assert validate_events(df, strict=True).count() == 1
+
+
+def test_check_constraints_detects_violations(spark):
+    """Deequ-style suite: a crafted frame with a null key, a duplicate
+    id, an out-of-range value and an orphaned foreign key must fail
+    exactly the right rules with exact ratios; the empty frame passes
+    vacuously; unknown rules raise."""
+    import pytest as _pytest
+
+    from cloud_optimized_data_pipelines_spark.operators.constraints import (
+        check_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "A", 5.0),
+            (2, None, "A", 50.0),   # null fk
+            (2, 11, "B", -1.0),     # duplicate id + out of range
+            (3, 99, "C", 7.0),      # orphan fk + not in set
+        ],
+        "id long, fk long, status string, price double",
+    )
+    ref = spark.createDataFrame([(10,), (11,)], "k long")
+    rules = [
+        {"rule": "not_null", "column": "fk"},
+        {"rule": "unique", "column": "id"},
+        {"rule": "range", "column": "price", "min": 0.0, "max": 10.0},
+        {"rule": "in_set", "column": "status", "values": ["A", "B"]},
+        {"rule": "referential", "column": "fk", "ref": "r",
+         "ref_column": "k"},
+    ]
+    rows = {
+        r["rule_id"]: r
+        for r in check_constraints(df, rules, refs={"r": ref}).collect()
+    }
+    assert rows[0]["metric"] == 0.75 and not rows[0]["passed"]
+    assert rows[1]["metric"] == 0.75 and not rows[1]["passed"]  # 3 distinct / 4
+    assert rows[2]["metric"] == 0.5 and not rows[2]["passed"]   # 5.0, 7.0 in range
+    assert rows[3]["metric"] == 0.75 and not rows[3]["passed"]
+    # fk: 3 non-null, 1 orphan (99) -> compliance 2/3
+    assert abs(rows[4]["metric"] - 2 / 3) < 1e-12 and not rows[4]["passed"]
+    clean = spark.createDataFrame([], "id long, fk long, status string, price double")
+    vac = check_constraints(clean, rules, refs={"r": ref}).collect()
+    assert all(r["passed"] and r["metric"] == 1.0 for r in vac)
+    with _pytest.raises(ValueError, match="unknown constraint rule"):
+        check_constraints(df, [{"rule": "bogus", "column": "id"}])

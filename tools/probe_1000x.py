@@ -102,6 +102,7 @@ def main() -> None:
         "split",
         "bloom",
         "pq",
+        "clf",
     }
     spark = get_spark("probe-1000x")
     spark.sparkContext.setLogLevel("ERROR")
@@ -398,6 +399,54 @@ def main() -> None:
                     c, "codes", qv, b, k=10, code_col="codes"
                 ).count(),
             )
+
+    if "clf" in want:
+        # GD classifier training at scale: each step is one distributed
+        # pass (margin fold + 64-group gradient), so wall time should
+        # be ~linear in corpus size and exactly linear in iters.
+        from cloud_optimized_data_pipelines_spark.functions.text import (
+            tokens,
+        )
+        from cloud_optimized_data_pipelines_spark.operators.quality import (
+            train_quality_classifier,
+        )
+
+        for label, docs in (("100x", docs100), ("1000x", docs1000)):
+            tk = tokens("text")
+            # the perturbed corpora tag every token with its replica
+            # index ('the' -> 'the_r12'), so match the BASE form —
+            # otherwise the label degenerates to all-zero
+            stop = F.size(
+                F.filter(
+                    tk,
+                    lambda x: F.lower(x).rlike(r"^(the|a)(_r\d+)?$"),
+                )
+            )
+            labeled = docs.withColumn(
+                "label",
+                ((F.size(tk) > 0) & (stop * 16 >= F.size(tk))).cast("int"),
+            )
+            pos = labeled.filter("label = 1").count()
+            total = labeled.count()
+            print(
+                f"PROBE clf label balance {label}: {pos}/{total}",
+                flush=True,
+            )
+
+            def run(d=labeled, n_all=total, n_pos=pos):
+                scored, w = train_quality_classifier(
+                    d, "doc_id", "text", "label", iters=2, lr=128.0
+                )
+                n = scored.filter(
+                    F.col("pred").cast("int") == F.col("label")
+                ).count()
+                return {
+                    "acc": round(n / n_all, 4),
+                    "baseline": round(max(n_pos, n_all - n_pos) / n_all, 4),
+                    "nonzero_w": sum(1 for x in w if x),
+                }
+
+            t(f"clf train 2 iters {label}", run)
 
 
 if __name__ == "__main__":
