@@ -144,8 +144,9 @@ ADDITIONS_R9 = [
     "multimodal_phash_pairs",
     "multimodal_audio_near_dup",
     "multimodal_video_near_dup",
-    # Deequ-style one-pass constraint suite + FK anti-join
+    # Deequ-style one-pass constraint suite + FK anti-join + profiler
     "quality_constraint_report",
+    "quality_column_profiles",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

@@ -147,3 +147,89 @@ def check_constraints(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str],
+    hist_buckets: int = 8,
+    mean_round: int = 6,
+) -> DataFrame:
+    """Numeric column profiles (the Deequ/Analyzer complement to
+    :func:`check_constraints`): per column — row count, null count,
+    distinct count, min, max, mean, and a fixed-width histogram.
+
+    Two passes total REGARDLESS of column count: one fused aggregation
+    for all scalars (count/nulls/distinct/min/max/sum for every column
+    in one scan), then one pass bucketing every column against its
+    (now known) [min, max] span — ``bucket = min(floor((x - lo) /
+    span * B), B - 1)``, constant columns collapse to bucket 0.
+    Output: one row per (column, bucket) carrying the column's scalars
+    (repeated) + the bucket count — the profile a pipeline stores next
+    to each ingested drop to diff against the previous one.
+
+    Exactness: counts/min/max are exact; only the mean is a float SUM
+    (reduction-order dependent in the last ulp), so it is rounded —
+    the same pinning as the Lloyd means.  Bucket indices are computed
+    from exact min/max with per-row deterministic arithmetic, so the
+    histogram is integer-exact cross-engine.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for c in cols:
+        col = F.col(c).cast("double")
+        aggs += [
+            F.count(col).cast("long").alias(f"_nn_{c}"),
+            F.count_distinct(col).cast("long").alias(f"_nd_{c}"),
+            F.min(col).alias(f"_min_{c}"),
+            F.max(col).alias(f"_max_{c}"),
+            F.round(
+                F.when(
+                    F.count(col) > 0,
+                    F.sum(col) / F.count(col).cast("double"),
+                ),
+                mean_round,
+            ).alias(f"_mean_{c}"),
+        ]
+    stats = {r: v for r, v in zip(
+        ["_n"] + [f"_{k}_{c}" for c in cols for k in ("nn", "nd", "min", "max", "mean")],
+        df.agg(*aggs).first(),
+    )}
+    parts = []
+    for c in cols:
+        lo, hi = stats[f"_min_{c}"], stats[f"_max_{c}"]
+        col = F.col(c).cast("double")
+        if lo is None or hi is None or hi == lo:
+            bucket = F.when(col.isNotNull(), F.lit(0))
+        else:
+            span = float(hi) - float(lo)
+            bucket = F.when(
+                col.isNotNull(),
+                F.least(
+                    F.floor((col - F.lit(float(lo))) / F.lit(span)
+                            * F.lit(float(hist_buckets))).cast("long"),
+                    F.lit(int(hist_buckets) - 1),
+                ),
+            )
+        hist = (
+            df.select(bucket.alias("_b"))
+            .filter(F.col("_b").isNotNull())
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("bucket_n"))
+        )
+        parts.append(
+            hist.select(
+                F.lit(c).alias("column"),
+                F.lit(stats["_n"]).cast("long").alias("n"),
+                F.lit(stats["_n"] - stats[f"_nn_{c}"]).cast("long").alias("nulls"),
+                F.lit(stats[f"_nd_{c}"]).cast("long").alias("n_distinct"),
+                F.lit(stats[f"_min_{c}"]).cast("double").alias("min"),
+                F.lit(stats[f"_max_{c}"]).cast("double").alias("max"),
+                F.lit(stats[f"_mean_{c}"]).cast("double").alias("mean"),
+                F.col("_b").cast("long").alias("bucket"),
+                "bucket_n",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

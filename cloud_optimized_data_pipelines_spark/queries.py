@@ -4099,6 +4099,58 @@ def multimodal_phash_pairs_q(spark, sf_dir):
     )
 
 
+def _profile_oracle() -> str:
+    """Oracle for quality_column_profiles: per column, one scalar CTE
+    (exact counts/min/max + rounded mean) and one histogram CTE whose
+    bucket arithmetic — ((x - mn) / (mx - mn)) * B, floored, capped —
+    runs the identical per-row double ops as the engine, so the bucket
+    counts are integer-exact."""
+    parts = []
+    for c in ("l_quantity", "l_extendedprice", "l_discount"):
+        parts.append(f"""
+SELECT '{c}' AS "column", s.n, s.n - s.nn AS nulls, s.nd AS n_distinct,
+       s.mn AS min, s.mx AS max, s.mean, h.bucket, h.bucket_n
+FROM (
+  SELECT CASE WHEN s2.mx = s2.mn THEN 0
+              ELSE least(floor(({c}::DOUBLE - s2.mn) / (s2.mx - s2.mn) * 8),
+                         7) END::BIGINT AS bucket,
+         count(*)::BIGINT AS bucket_n
+  FROM lineitem, (
+    SELECT min({c}::DOUBLE) AS mn, max({c}::DOUBLE) AS mx FROM lineitem
+  ) s2
+  WHERE {c} IS NOT NULL GROUP BY 1
+) h, (
+  SELECT count(*)::BIGINT AS n, count({c})::BIGINT AS nn,
+         count(DISTINCT {c}::DOUBLE)::BIGINT AS nd,
+         min({c}::DOUBLE) AS mn, max({c}::DOUBLE) AS mx,
+         round(SUM({c}::DOUBLE) / count({c}), 6) AS mean
+  FROM lineitem
+) s""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("quality_column_profiles", _profile_oracle)
+def quality_column_profiles_q(spark, sf_dir):
+    """Numeric column profiling (operators/constraints.py::
+    profile_columns — the Deequ Analyzer complement to the constraint
+    suite): count/nulls/distinct/min/max/mean plus an 8-bucket
+    fixed-width histogram for three lineitem measures, in TWO scan
+    passes total regardless of column count (one fused scalar
+    aggregation, one bucketing pass against the known spans).  The
+    profile is what a pipeline stores per ingested drop and diffs
+    against the previous one (the drift monitor's batch-side input).
+    Counts/min/max/buckets are integer-exact; only the mean is
+    rounded (float sum)."""
+    from cloud_optimized_data_pipelines_spark.operators.constraints import (
+        profile_columns,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return profile_columns(
+        t["lineitem"], ["l_quantity", "l_extendedprice", "l_discount"]
+    ).orderBy("column", "bucket")
+
+
 # Deequ-style constraint suite: every metric is an exact-integer count
 # divided once at the end (bit-identical cross-engine, the
 # classifier_score precedent), so no rounding anywhere.
@@ -8719,19 +8771,20 @@ def dedup_bloom_gated_q(spark, sf_dir):
 # Registration order.  The driver's correctness harness grades the FIRST
 # 50 registrations only (CORRECTNESS_r01/r02 both cut off at 50).  Round-9
 # policy (VERDICT r8 task #2): finish the never-graded backlog and then
-# re-prove the STALEST ledger rows.  17 slots go to the entries
+# re-prove the STALEST ledger rows.  18 slots go to the entries
 # without a driver hash row (the six r8 local-only stragglers plus the
-# eleven new r9 flagships: stac_item_raster, the newly oracle-backed
+# twelve new r9 flagships: stac_item_raster, the newly oracle-backed
 # similarity_ivf_topk, the PQ pair, IVFADC, the JL sign projection,
 # the GD-trained classifier, per-modality near-dup for image, audio
 # and video over real codec bytes, and the Deequ-style constraint
-# suite), 5 restore the core-pipeline keepers
+# suite + column profiler), 5 restore the core-pipeline keepers
 # rotated out in r8, 2 keep the ever-green anchors, and the remaining
-# 26 sweep the stalest ledger rows: all 20 whose last green is r2 plus
-# 6 of the 15 r3 entries (agg_modern_functions, agg_percentiles,
+# 25 sweep the stalest ledger rows: all 20 whose last green is r2 plus
+# 5 of the 15 r3 entries (agg_modern_functions, agg_percentiles,
 # agg_distinct_by_segment, agg_grouping_sets_orders,
-# events_json_extract, unpivot_part_metrics, set_ops_customers,
-# q2_min_cost_supplier and q6_forecast_revenue wait one more round;
+# events_json_extract, events_hourly_window, unpivot_part_metrics,
+# set_ops_customers, q2_min_cost_supplier and q6_forecast_revenue
+# wait one more round;
 # their families keep in-window representatives — set ops via
 # set_union_distinct r8, TPC-H via the 20 r2 shapes swept here, agg
 # via agg_cube_orders/agg_conditional_pivot).  After this round the never-graded set is empty and nothing
@@ -8755,6 +8808,7 @@ _GRADED_WINDOW = [
     "multimodal_audio_near_dup",  # r9: energy-hash audio dedup (real WAVs)
     "multimodal_video_near_dup",  # r9: temporal aHash video dedup (real AVIs)
     "quality_constraint_report",  # r9: Deequ-style constraint suite
+    "quality_column_profiles",    # r9: fused column profiling + histograms
     "dedup_simhash_wide_pairs_fast",
     "join_lateral_top2_orders",
     "multimodal_jpeg_lossless",
@@ -8796,7 +8850,6 @@ _GRADED_WINDOW = [
     "agg_cube_orders",
     "dedup_lsh_verified",
     "events_funnel_conversion",
-    "events_hourly_window",
     "window_rank_functions",
     "window_running_total",
 ]

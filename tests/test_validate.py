@@ -97,3 +97,29 @@ def test_check_constraints_detects_violations(spark):
     assert all(r["passed"] and r["metric"] == 1.0 for r in vac)
     with _pytest.raises(ValueError, match="unknown constraint rule"):
         check_constraints(df, [{"rule": "bogus", "column": "id"}])
+
+
+def test_profile_columns_exactness_and_edges(spark):
+    """Profiler invariants on a crafted frame: bucket counts sum to the
+    non-null count, nulls counted, constant columns collapse to bucket
+    0, max lands in the LAST bucket (the least() cap), and the scalars
+    are exact."""
+    from cloud_optimized_data_pipelines_spark.operators.constraints import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (2.0,), (4.0,), (8.0,), (None,)], "x double"
+    ).withColumn("c", F.lit(7.0))
+    rows = profile_columns(df, ["x", "c"], hist_buckets=4).collect()
+    x = [r for r in rows if r["column"] == "x"]
+    assert all(r["n"] == 6 and r["nulls"] == 1 and r["n_distinct"] == 5
+               and r["min"] == 0.0 and r["max"] == 8.0 for r in x)
+    assert sum(r["bucket_n"] for r in x) == 5
+    by_bucket = {r["bucket"]: r["bucket_n"] for r in x}
+    # spans of width 2: [0,2) -> 0.0,1.0 ; [2,4) -> 2.0 ; [4,6) -> 4.0 ;
+    # [6,8] -> 8.0 capped into bucket 3
+    assert by_bucket == {0: 2, 1: 1, 2: 1, 3: 1}
+    c = [r for r in rows if r["column"] == "c"]
+    assert len(c) == 1 and c[0]["bucket"] == 0 and c[0]["bucket_n"] == 6
+    assert c[0]["mean"] == 7.0 and c[0]["min"] == 7.0 == c[0]["max"]
