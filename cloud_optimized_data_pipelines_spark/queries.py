@@ -3873,7 +3873,8 @@ SELECT d.doc_id,
        d.doc_id % 8 AS variant,
        {md5_case} AS cog_md5,
        'granule_v' || CAST(d.doc_id % 8 AS VARCHAR) AS item_id,
-       [m.x0, m.south, m.east, m.y0] AS bbox,
+       printf('[%.9f, %.9f, %.9f, %.9f]',
+              m.x0, m.south, m.east, m.y0) AS bbox,
        'POLYGON ((' || printf('%.9f %.9f, ', m.x0, m.south)
                     || printf('%.9f %.9f, ', m.east, m.south)
                     || printf('%.9f %.9f, ', m.east, m.y0)
@@ -3962,7 +3963,13 @@ def stac_item_raster_q(spark, sf_dir):
         "variant",
         "cog_md5",
         F.col("item.id").alias("item_id"),
-        F.col("item.bbox").alias("bbox"),
+        F.format_string(
+            "[%.9f, %.9f, %.9f, %.9f]",
+            F.col("item.bbox")[0],
+            F.col("item.bbox")[1],
+            F.col("item.bbox")[2],
+            F.col("item.bbox")[3],
+        ).alias("bbox"),
         F.col("item.geometry_wkt").alias("geometry_wkt"),
         props.getItem("proj:epsg").cast("long").alias("epsg"),
         props.getItem("proj:shape").alias("proj_shape"),

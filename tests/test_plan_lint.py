@@ -17,7 +17,10 @@ import re
 
 import pytest
 
-from cloud_optimized_data_pipelines_spark.queries import QUERIES
+from cloud_optimized_data_pipelines_spark.queries import (
+    QUERIES,
+    _GRADED_WINDOW,
+)
 
 # deliberate exceptions: query -> reason
 NESTED_LOOP_OK = {
@@ -103,6 +106,25 @@ def test_plan_has_no_scale_hazards(spark, sf_dir, name):
     for m in re.finditer(r"FileScan parquet[^\[\n]*\[([^\]]*)\]", plan):
         ncols = len(m.group(1).split(",")) if m.group(1) else 0
         assert ncols <= 12, f"{name}: scan reads {ncols} columns"
+
+
+@pytest.mark.parametrize("name", sorted(_GRADED_WINDOW))
+def test_graded_window_outputs_are_scalar(spark, sf_dir, name):
+    """Graded-window queries must return ONLY scalar columns: the
+    driver's canonicalizer sorts raw pandas columns, and list cells
+    raise ``TypeError: unhashable type: 'list'`` (how r9's
+    ``stac_item_raster`` went red despite passing locally).  Arrays /
+    maps / structs must be serialized to fixed-precision strings (the
+    geometry_wkt ``format_string``/``printf`` pattern) before return."""
+    df = QUERIES[name](spark, sf_dir)
+    nested = [
+        (c, t) for c, t in df.dtypes
+        if t.startswith(("array", "map", "struct"))
+    ]
+    assert not nested, (
+        f"{name}: nested output columns {nested} — the driver canon"
+        " crashes on list cells; serialize to strings"
+    )
 
 
 def test_plans_md_covers_registry():

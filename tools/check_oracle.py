@@ -27,7 +27,10 @@ from cloud_optimized_data_pipelines_spark.session import get_spark  # noqa: E402
 # Spark's.  Anything else (HUGEINT from SUM(BIGINT) windows, DECIMAL
 # from SUM(INT), INT128, UTINYINT...) hash-mismatches on the driver
 # even when every value is numerically equal — so it is a hard local
-# error.  Arrays of portable types are portable.
+# error.  Arrays/lists are NOT portable as OUTPUT columns: the
+# driver's canonicalizer sorts raw pandas columns and list cells raise
+# ``TypeError: unhashable type: 'list'`` (r9 `stac_item_raster` red
+# row) — serialize arrays to fixed-precision strings before returning.
 PORTABLE_DUCK_TYPES = {
     "BIGINT", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN",
     "INTEGER", "FLOAT", "TIMESTAMP WITH TIME ZONE", "BLOB",
@@ -35,10 +38,7 @@ PORTABLE_DUCK_TYPES = {
 
 
 def duck_type_ok(t):
-    s = str(t)
-    while s.endswith("[]"):
-        s = s[:-2]
-    return s in PORTABLE_DUCK_TYPES
+    return str(t) in PORTABLE_DUCK_TYPES
 
 
 def check_oracle_types(con, name, sql):
@@ -128,6 +128,18 @@ def main():
         if dec_cols:
             print(f"FAIL  {name}: decimal output columns {dec_cols} "
                   "(final-cast to DOUBLE on both sides)")
+            failures.append(name)
+            continue
+        # The driver canonicalizer sorts raw pandas columns — list
+        # cells are unhashable and crash it (r9 stac_item_raster).
+        nested = [
+            c for c, t in sdf.dtypes
+            if t.startswith(("array", "map", "struct"))
+        ]
+        if nested:
+            print(f"FAIL  {name}: nested output columns {nested} "
+                  "(serialize to a fixed-precision string — the driver "
+                  "canon crashes on list cells)")
             failures.append(name)
             continue
         if len(srows) != len(drows):
