@@ -48,6 +48,9 @@ def check_constraints(
     ``.filter(~passed)`` as the ingestion gate.
     """
     refs = refs or {}
+    if not rules:
+        raise ValueError("no rules given — a constraint suite needs at "
+                         "least one rule")
     n_all = F.count(F.lit(1)).cast("long").alias("_n")
     aggs: list = []
     for i, r in enumerate(rules):
@@ -161,9 +164,13 @@ def profile_columns(
 
     Two passes total REGARDLESS of column count: one fused aggregation
     for all scalars (count/nulls/distinct/min/max/sum for every column
-    in one scan), then one pass bucketing every column against its
-    (now known) [min, max] span — ``bucket = min(floor((x - lo) /
-    span * B), B - 1)``, constant columns collapse to bucket 0.
+    in one scan), then ONE second scan bucketing every column against
+    its (now known) [min, max] span — per row, an array of
+    (column, bucket) structs is exploded and grouped once, so the
+    histogram pass is a single scan + a single shuffle keyed on
+    (column, bucket) no matter how many columns are profiled.
+    ``bucket = min(floor((x - lo) / span * B), B - 1)``, constant
+    columns collapse to bucket 0.
     Output: one row per (column, bucket) carrying the column's scalars
     (repeated) + the bucket count — the profile a pipeline stores next
     to each ingested drop to diff against the previous one.
@@ -194,12 +201,12 @@ def profile_columns(
         ["_n"] + [f"_{k}_{c}" for c in cols for k in ("nn", "nd", "min", "max", "mean")],
         df.agg(*aggs).first(),
     )}
-    parts = []
+    entries = []
     for c in cols:
         lo, hi = stats[f"_min_{c}"], stats[f"_max_{c}"]
         col = F.col(c).cast("double")
         if lo is None or hi is None or hi == lo:
-            bucket = F.when(col.isNotNull(), F.lit(0))
+            bucket = F.when(col.isNotNull(), F.lit(0).cast("long"))
         else:
             span = float(hi) - float(lo)
             bucket = F.when(
@@ -207,29 +214,39 @@ def profile_columns(
                 F.least(
                     F.floor((col - F.lit(float(lo))) / F.lit(span)
                             * F.lit(float(hist_buckets))).cast("long"),
-                    F.lit(int(hist_buckets) - 1),
+                    F.lit(int(hist_buckets) - 1).cast("long"),
                 ),
             )
-        hist = (
-            df.select(bucket.alias("_b"))
-            .filter(F.col("_b").isNotNull())
-            .groupBy("_b")
-            .agg(F.count(F.lit(1)).cast("long").alias("bucket_n"))
+        entries.append(
+            F.struct(F.lit(c).alias("column"), bucket.alias("bucket"))
         )
-        parts.append(
-            hist.select(
-                F.lit(c).alias("column"),
-                F.lit(stats["_n"]).cast("long").alias("n"),
-                F.lit(stats["_n"] - stats[f"_nn_{c}"]).cast("long").alias("nulls"),
-                F.lit(stats[f"_nd_{c}"]).cast("long").alias("n_distinct"),
-                F.lit(stats[f"_min_{c}"]).cast("double").alias("min"),
-                F.lit(stats[f"_max_{c}"]).cast("double").alias("max"),
-                F.lit(stats[f"_mean_{c}"]).cast("double").alias("mean"),
-                F.col("_b").cast("long").alias("bucket"),
-                "bucket_n",
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    hist = (
+        df.select(F.explode(F.array(*entries)).alias("_e"))
+        .select(F.col("_e.column").alias("column"),
+                F.col("_e.bucket").alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("column", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("bucket_n"))
+    )
+
+    def lookup(values, cast):
+        pairs = [
+            x
+            for c, v in zip(cols, values)
+            for x in (F.lit(c), F.lit(v).cast(cast))
+        ]
+        return F.element_at(F.create_map(*pairs), F.col("column"))
+
+    return hist.select(
+        "column",
+        F.lit(stats["_n"]).cast("long").alias("n"),
+        lookup(
+            [stats["_n"] - stats[f"_nn_{c}"] for c in cols], "long"
+        ).alias("nulls"),
+        lookup([stats[f"_nd_{c}"] for c in cols], "long").alias("n_distinct"),
+        lookup([stats[f"_min_{c}"] for c in cols], "double").alias("min"),
+        lookup([stats[f"_max_{c}"] for c in cols], "double").alias("max"),
+        lookup([stats[f"_mean_{c}"] for c in cols], "double").alias("mean"),
+        F.col("bucket").cast("long").alias("bucket"),
+        "bucket_n",
+    )

@@ -1568,7 +1568,19 @@ def image_near_dup_pairs(
     of 64 bits shares at least one untouched band, so blocking is
     COMPLETE at the default threshold), exact popcount verify after.
     The join input is (id, two BIGINT words): at corpus scale the
-    candidate set is collision-bound, never all-pairs."""
+    candidate set is collision-bound, never all-pairs.
+
+    Completeness bound: with 4 bands the pigeonhole guarantee holds
+    only for ``max_hamming <= 3`` (bands - 1) — a larger threshold
+    could flip one bit in every band and the pair would never share an
+    equi-join key, silently dropping it.  Rather than return an
+    incomplete pair set, thresholds past the bound are rejected."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-band pigeonhole "
+            "completeness bound (3); use more/narrower bands for a "
+            "looser threshold"
+        )
     hi, lo = F.col(hi_col), F.col(lo_col)
     bands = F.array(
         F.shiftright(hi, 16).bitwiseAND(F.lit(0xFFFF)),

@@ -726,6 +726,13 @@ def train_quality_classifier(
 
 
 def _clf_bucket(token: str, n_features: int) -> int:
+    """ASCII-token assumption: this Python ``str.lower()`` and the fold
+    path's JVM ``F.lower`` (and the oracle's DuckDB ``lower``) agree on
+    ASCII but can diverge on a few Unicode case mappings (e.g. U+0130
+    LATIN CAPITAL LETTER I WITH DOT ABOVE) — a non-ASCII token could
+    bucket differently across paths/engines.  The tokenizers feeding
+    the classifier emit ASCII word tokens, so the assumption holds;
+    callers hashing arbitrary Unicode should pre-normalize tokens."""
     import hashlib
 
     return (

@@ -95,6 +95,12 @@ def test_phash_pairs_finds_engineered_neardups(spark):
     }
     assert set(pairs) == {(2 * b, 2 * b + 1) for b in range(8)}
     assert all(h <= 3 for h in pairs.values())
+    # thresholds past the 4-band pigeonhole bound must be rejected,
+    # not silently return an incomplete pair set
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        image_near_dup_pairs(probe, "variant", max_hamming=4)
     # hash parity with the single-process reference computation
     ref = {r["variant"]: (r["phash_hi"], r["phash_lo"]) for r in probe.collect()}
     for v in range(16):

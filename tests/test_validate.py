@@ -97,6 +97,8 @@ def test_check_constraints_detects_violations(spark):
     assert all(r["passed"] and r["metric"] == 1.0 for r in vac)
     with _pytest.raises(ValueError, match="unknown constraint rule"):
         check_constraints(df, [{"rule": "bogus", "column": "id"}])
+    with _pytest.raises(ValueError, match="no rules"):
+        check_constraints(df, [])
 
 
 def test_profile_columns_exactness_and_edges(spark):
