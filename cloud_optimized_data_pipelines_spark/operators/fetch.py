@@ -12,7 +12,12 @@ REAL streaming fetch usable from executors:
 - ``http(s)://`` uses stdlib ``urllib.request`` with a timeout and
   1 MiB chunked streaming (works wherever the cluster has egress; in
   this sandbox the connection error is captured, not raised, by the
-  DataFrame operator);
+  DataFrame operator).  Protected-granule auth matches the reference's
+  Earthdata flow (``lambdas/cogify/handler.py:49-71``: ``session.auth
+  = (EARTHDATA_USERNAME, EARTHDATA_PASSWORD)``): pass ``auth=(user,
+  password)`` / extra ``headers``, or leave ``auth=None`` to pick up
+  ``EARTHDATA_USERNAME``/``EARTHDATA_PASSWORD`` from the environment —
+  a 401 challenge is answered once with HTTP Basic credentials;
 - ``s3://`` uses boto3 when installed, else raises a NAMED error (the
   netCDF4-fast-path pattern: the seam is explicit, not silent).
 
@@ -38,17 +43,66 @@ from pyspark.sql import DataFrame
 _CHUNK = 1 << 20  # 1 MiB streaming chunks
 
 
+def _default_auth() -> tuple[str, str] | None:
+    """The reference's credential source: ``EARTHDATA_USERNAME`` /
+    ``EARTHDATA_PASSWORD`` env vars (``lambdas/cogify/handler.py:53-54``).
+    Returns None unless BOTH are set."""
+    user = os.environ.get("EARTHDATA_USERNAME")
+    password = os.environ.get("EARTHDATA_PASSWORD")
+    if user and password:
+        return (user, password)
+    return None
+
+
+def _open_http(
+    url: str,
+    timeout: float,
+    auth: tuple[str, str] | None,
+    headers: dict[str, str] | None,
+):
+    """Open an http(s) URL; on a 401 challenge, retry ONCE with HTTP
+    Basic credentials (the Earthdata protected-granule flow).  Auth is
+    sent only AFTER a challenge, never preemptively — credentials don't
+    leak to servers that didn't ask."""
+    import urllib.error
+
+    req = urllib.request.Request(url, headers=dict(headers or {}))
+    try:
+        return urllib.request.urlopen(req, timeout=timeout)  # noqa: S310
+    except urllib.error.HTTPError as exc:
+        if exc.code != 401 or auth is None:
+            raise
+        exc.close()
+        import base64
+
+        token = base64.b64encode(
+            f"{auth[0]}:{auth[1]}".encode()
+        ).decode("ascii")
+        authed = urllib.request.Request(
+            url,
+            headers={
+                **dict(headers or {}),
+                "Authorization": f"Basic {token}",
+            },
+        )
+        return urllib.request.urlopen(authed, timeout=timeout)  # noqa: S310
+
+
 def fetch_to_local(
     url: str,
     dest_dir: str | None = None,
     timeout: float = 30.0,
     max_bytes: int | None = None,
+    auth: tuple[str, str] | None = None,
+    headers: dict[str, str] | None = None,
 ) -> str:
     """Fetch ``url`` to a local temp file, returning its path.
 
     Streams in 1 MiB chunks (never buffers the whole payload — raster
     granules are GBs); ``max_bytes`` aborts oversized downloads early
-    with a named error.  See module docstring for scheme support.
+    with a named error.  ``auth``/``headers`` apply to the http(s)
+    branch only; ``auth=None`` falls back to the Earthdata env vars.
+    See module docstring for scheme support.
     """
     scheme = urllib.parse.urlparse(url).scheme
     if scheme in ("", "file"):
@@ -57,7 +111,10 @@ def fetch_to_local(
         ) if scheme == "file" else url
         opener = open(src_path, "rb")
     elif scheme in ("http", "https"):
-        opener = urllib.request.urlopen(url, timeout=timeout)  # noqa: S310
+        opener = _open_http(
+            url, timeout, auth if auth is not None else _default_auth(),
+            headers,
+        )
     elif scheme == "s3":
         try:
             import boto3  # noqa: F401
@@ -114,6 +171,8 @@ def fetch_stage(
     timeout: float = 30.0,
     max_bytes: int | None = None,
     keep_payload: bool = False,
+    auth: tuple[str, str] | None = None,
+    headers: dict[str, str] | None = None,
 ) -> DataFrame:
     """Per-row fetch via Arrow ``mapInPandas`` — the reference's
     download loop distributed over executors.
@@ -123,7 +182,9 @@ def fetch_stage(
     message).  ``keep_payload=True`` additionally inlines the bytes as
     a ``payload`` binary column (only for payloads that fit the Arrow
     batch budget — raster granules should stay path-referenced, the
-    multimodal small-asset path may inline).
+    multimodal small-asset path may inline).  ``auth``/``headers``
+    ride the closure to executors (or set the Earthdata env vars on
+    the executors and leave ``auth=None``).
     """
     added = ["local_path", "n_bytes", "sha256", "error"] + (
         ["payload"] if keep_payload else []
@@ -150,7 +211,8 @@ def fetch_stage(
             for url in pdf[url_col]:
                 try:
                     p = fetch_to_local(
-                        str(url), dest_dir, timeout, max_bytes
+                        str(url), dest_dir, timeout, max_bytes,
+                        auth=auth, headers=headers,
                     )
                     h = hashlib.sha256()
                     n = 0

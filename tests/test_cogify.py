@@ -176,6 +176,76 @@ def test_fetch_to_local_file_url_and_cap(tmp_path):
         fetch_to_local("gopher://example/x")
 
 
+def test_fetch_to_local_earthdata_auth_seam(tmp_path, monkeypatch):
+    """The reference's protected-granule flow
+    (lambdas/cogify/handler.py:49-71): a loopback server 401-challenges
+    unauthenticated requests; fetch_to_local answers ONCE with HTTP
+    Basic credentials — explicit ``auth=`` first, then the Earthdata
+    env-var fallback — and streams the payload.  No credentials, no
+    payload; credentials are never sent preemptively."""
+    import base64
+    import http.server
+    import threading
+    import urllib.error
+
+    from cloud_optimized_data_pipelines_spark.operators.fetch import (
+        fetch_to_local,
+    )
+
+    good = "Basic " + base64.b64encode(b"eduser:edpw").decode()
+    seen: list[str | None] = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            got = self.headers.get("Authorization")
+            seen.append(got)
+            if got != good:
+                self.send_response(401)
+                self.send_header(
+                    "WWW-Authenticate", 'Basic realm="Earthdata"'
+                )
+                self.end_headers()
+                return
+            body = b"protected granule bytes"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_port}/g.nc"
+    try:
+        # no credentials -> the 401 surfaces as a named error
+        monkeypatch.delenv("EARTHDATA_USERNAME", raising=False)
+        monkeypatch.delenv("EARTHDATA_PASSWORD", raising=False)
+        with pytest.raises(urllib.error.HTTPError):
+            fetch_to_local(url, dest_dir=str(tmp_path))
+        # explicit auth: first request unauthenticated (challenge),
+        # retry carries Basic credentials, payload lands
+        seen.clear()
+        dest = fetch_to_local(
+            url, dest_dir=str(tmp_path), auth=("eduser", "edpw")
+        )
+        assert open(dest, "rb").read() == b"protected granule bytes"
+        assert seen == [None, good]
+        # env-var fallback (the reference's credential source)
+        monkeypatch.setenv("EARTHDATA_USERNAME", "eduser")
+        monkeypatch.setenv("EARTHDATA_PASSWORD", "edpw")
+        dest2 = fetch_to_local(url, dest_dir=str(tmp_path))
+        assert open(dest2, "rb").read() == b"protected granule bytes"
+        # wrong explicit credentials are NOT papered over by env vars
+        with pytest.raises(urllib.error.HTTPError):
+            fetch_to_local(
+                url, dest_dir=str(tmp_path), auth=("eduser", "wrong")
+            )
+    finally:
+        httpd.shutdown()
+
+
 def test_fetch_stage_survivorship_and_checksums(spark, tmp_path):
     """DataFrame fetch: good file:// rows get path/size/sha256; a
     missing file and a refused http connection are CAPTURED in the
