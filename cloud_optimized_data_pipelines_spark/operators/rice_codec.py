@@ -132,10 +132,17 @@ class BitReader:
 def _map_nn(scan: np.ndarray, n_bits: int) -> np.ndarray:
     """CCSDS 4.2.2 prediction-residual mapping for one scanline; index
     0 is the reference (returned as-is, stored raw by the caller)."""
-    x = scan.astype(np.int64)
+    return _map_nn_rows(scan.astype(np.int64).reshape(1, -1), n_bits)[0]
+
+
+def _map_nn_rows(scans: np.ndarray, n_bits: int) -> np.ndarray:
+    """Row-vectorized :func:`_map_nn`: one row per scanline (the
+    mapping never crosses a scanline boundary, so all rows map in one
+    shot)."""
+    x = scans
     xmax = (1 << n_bits) - 1
-    pred = x[:-1]
-    delta = x[1:] - pred
+    pred = x[:, :-1]
+    delta = x[:, 1:] - pred
     theta = np.minimum(pred, xmax - pred)
     mapped = np.where(
         (delta >= 0) & (delta <= theta),
@@ -143,10 +150,7 @@ def _map_nn(scan: np.ndarray, n_bits: int) -> np.ndarray:
         np.where((delta < 0) & (-delta <= theta), -2 * delta - 1,
                  theta + np.abs(delta)),
     )
-    out = np.empty_like(x)
-    out[0] = x[0]
-    out[1:] = mapped
-    return out
+    return np.concatenate([x[:, :1], mapped], axis=1)
 
 
 def _unmap_nn(mapped: np.ndarray, n_bits: int) -> np.ndarray:
@@ -167,6 +171,123 @@ def _unmap_nn(mapped: np.ndarray, n_bits: int) -> np.ndarray:
         prev = prev + delta
         out[i] = prev
     return out
+
+
+class _VecBitReader:
+    """Vectorized MSB-first bit reader: unpacks the stream to a bit
+    array once, pre-indexes the positions of 1-bits, and serves FS
+    codewords via ``searchsorted`` (a whole block's FS values in one
+    call) and fixed-width fields via a reshape + dot — replacing the
+    per-bit Python loop of :class:`BitReader` with the same stream
+    semantics (including the truncation and runaway-FS guards)."""
+
+    def __init__(self, data: bytes) -> None:
+        self._bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self._ones = np.flatnonzero(self._bits).astype(np.int64)
+        self._n = self._bits.size
+        self.pos = 0
+        self._pows: dict[int, np.ndarray] = {}
+
+    def _pow(self, width: int) -> np.ndarray:
+        p = self._pows.get(width)
+        if p is None:
+            p = (1 << np.arange(width - 1, -1, -1)).astype(np.int64)
+            self._pows[width] = p
+        return p
+
+    def read(self, width: int) -> int:
+        if width == 0:
+            return 0
+        end = self.pos + width
+        if end > self._n:
+            raise ValueError("rice: bitstream truncated")
+        out = int(self._bits[self.pos : end] @ self._pow(width))
+        self.pos = end
+        return out
+
+    def read_many(self, count: int, width: int) -> np.ndarray:
+        if width == 0 or count == 0:
+            return np.zeros(count, np.int64)
+        end = self.pos + count * width
+        if end > self._n:
+            raise ValueError("rice: bitstream truncated")
+        out = self._bits[self.pos : end].reshape(count, width) @ self._pow(
+            width
+        )
+        self.pos = end
+        return out.astype(np.int64)
+
+    def read_fs(self) -> int:
+        return int(self.read_fs_many(1)[0])
+
+    def read_fs_many(self, count: int) -> np.ndarray:
+        i = int(np.searchsorted(self._ones, self.pos))
+        if i + count > self._ones.size:
+            raise ValueError("rice: bitstream truncated")
+        p = self._ones[i : i + count]
+        ms = np.empty(count, np.int64)
+        ms[0] = p[0] - self.pos
+        if count > 1:
+            ms[1:] = np.diff(p) - 1
+        if ms.max(initial=0) > 1 << 20:  # corrupt-stream guard
+            raise ValueError("rice: runaway FS codeword")
+        self.pos = int(p[-1]) + 1
+        return ms
+
+
+class _VecBitWriter:
+    """Vectorized MSB-first bit packer: collects (value, width) runs as
+    numpy chunks and materializes the byte stream ONCE via a bit
+    explode + ``np.packbits`` — bit-identical to :class:`BitWriter`
+    (same MSB-first order, same zero-padded final byte) but without a
+    Python-level call per sample.  Values must be < 2^63 (raw samples
+    are < 2^32; FS codewords write the value 1)."""
+
+    def __init__(self) -> None:
+        self._vals: list[np.ndarray] = []
+        self._wids: list[np.ndarray] = []
+
+    def write(self, value: int, width: int) -> None:
+        if width == 0:
+            return
+        self._vals.append(np.array([value], np.int64))
+        self._wids.append(np.array([width], np.int64))
+
+    def write_arr(self, values: np.ndarray, width: int) -> None:
+        """Fixed-width run: every element of ``values`` in ``width``
+        bits."""
+        if width == 0 or len(values) == 0:
+            return
+        v = np.asarray(values, np.int64)
+        self._vals.append(v)
+        self._wids.append(np.full(len(v), width, np.int64))
+
+    def write_fs_arr(self, ms: np.ndarray) -> None:
+        """FS codewords for every m in ``ms``: m zeros then a one —
+        i.e. the value 1 in (m + 1) bits."""
+        m = np.asarray(ms, np.int64)
+        if len(m) == 0:
+            return
+        self._vals.append(np.ones(len(m), np.int64))
+        self._wids.append(m + 1)
+
+    def getvalue(self) -> bytes:
+        if not self._vals:
+            return b""
+        v = np.concatenate(self._vals)
+        w = np.concatenate(self._wids)
+        total = int(w.sum())
+        starts = np.cumsum(w) - w
+        # per-bit index within its op: 0 = MSB
+        b = np.arange(total, dtype=np.int64) - np.repeat(starts, w)
+        shift = np.repeat(w, w) - 1 - b
+        vr = np.repeat(v, w)
+        # shift >= 63 always yields bit 0 for values < 2^63, so the
+        # clamp below is exact (numpy's >> is undefined past 63)
+        bits = (
+            (vr >> np.minimum(shift, 63)) & 1
+        ).astype(np.uint8)
+        return np.packbits(bits).tobytes()
 
 
 def _se_ms(block: np.ndarray) -> list[int]:
@@ -211,78 +332,107 @@ def rice_encode(
         )
     if flat.min(initial=0) < 0 or flat.max(initial=0) >= (1 << n_bits):
         raise ValueError(f"rice: samples out of [0, 2^{n_bits})")
-    w = BitWriter()
-    for s0 in range(0, flat.size, pixels_per_scanline):
-        scan = flat[s0 : s0 + pixels_per_scanline]
-        mapped = _map_nn(scan, n_bits) if nn else scan
-        nblocks = pixels_per_scanline // j
+    ppl = pixels_per_scanline
+    nscan = flat.size // ppl
+    nblocks = ppl // j
+    scans = flat.reshape(nscan, ppl)
+    mapped = _map_nn_rows(scans, n_bits) if nn else scans
+
+    # ---- vectorized per-block option costs (every block at once) ----
+    # "zeroed" blocks: the reference sample (block 0 of each scanline
+    # under NN) is zeroed out, which makes every cost sum below exact:
+    # k-split/FS sums skip it (0 >> k == 0) and the SE pair layout with
+    # a zeroed position 0 IS the spec's ref-aligned se_block.
+    blk = mapped.reshape(nscan, nblocks, j).astype(np.int64)
+    zeroed = blk
+    lens = np.full((nscan, nblocks), j, np.int64)
+    if nn:
+        zeroed = blk.copy()
+        zeroed[:, 0, 0] = 0
+        lens[:, 0] = j - 1
+    is_zero = ~zeroed.any(axis=2)
+    # k-split costs: sum(block >> k) + len + k*len for k = 0..max_k;
+    # argmin's first-minimum tie-break = the old loop's strict < scan
+    ks = np.arange(max_k + 1, dtype=np.int64)
+    shifted_sums = (
+        zeroed[:, :, :, None] >> ks[None, None, None, :]
+    ).sum(axis=2)
+    k_costs = shifted_sums + lens[:, :, None] * (1 + ks[None, None, :])
+    best_k = np.argmin(k_costs, axis=2)
+    best_cost = np.take_along_axis(
+        k_costs, best_k[:, :, None], axis=2
+    )[:, :, 0]
+    # SE costs in float64: exact below 2^53; past that the true cost
+    # is astronomically larger than the <= 1024-bit alternatives, so
+    # no comparison can flip (the old code used Python ints here)
+    pairs = zeroed[:, :, : j - (j % 2)].reshape(
+        nscan, nblocks, j // 2, 2
+    ).astype(np.float64)
+    t = pairs[:, :, :, 0] + pairs[:, :, :, 1]
+    se_m_f = t * (t + 1.0) / 2.0 + pairs[:, :, :, 1]
+    se_cost = se_m_f.sum(axis=2) + (j // 2) + 1.0
+    if j % 2:  # odd blocks can't pair; ref blocks (j-1 samples) can
+        se_cost[:, 1:] = np.inf
+        if not nn:
+            se_cost[:, 0] = np.inf
+    uncomp_cost = n_bits * lens
+    use_uncomp = (uncomp_cost <= best_cost) & (uncomp_cost <= se_cost)
+    use_se = ~use_uncomp & (se_cost < best_cost)
+
+    w = _VecBitWriter()
+    for s in range(nscan):
+        scan_mapped = mapped[s]
         b = 0
         while b < nblocks:
             ref = nn and b == 0
             start = b * j
-            block = mapped[start + (1 if ref else 0) : start + j]
             # zero-run (never on the reference block: the spec's
             # ref-inside-zero-run layout is implementation-defined
             # enough that this encoder just never emits it)
-            if not ref and not block.any():
+            if not ref and is_zero[s, b]:
                 run = 1
                 seg_end = min(((b // 64) + 1) * 64, nblocks)
-                while (
-                    b + run < seg_end
-                    and not mapped[(b + run) * j : (b + run + 1) * j].any()
-                ):
+                while b + run < seg_end and is_zero[s, b + run]:
                     run += 1
                 w.write(0, idl)  # low-entropy ID
                 w.write(0, 1)  # zero-block
                 if b + run == seg_end and run >= 5:
-                    w.write_fs(4)  # ROS: zero to the segment end
+                    w.write_fs_arr([4])  # ROS: zero to the segment end
                 elif run <= 4:
-                    w.write_fs(run - 1)
+                    w.write_fs_arr([run - 1])
                 else:
-                    w.write_fs(run)
+                    w.write_fs_arr([run])
                 b += run
                 continue
-            # candidate costs
-            fs_cost = int(block.sum()) + len(block)  # k = 0
-            best_k, best_cost = 0, fs_cost
-            for k in range(1, max_k + 1):
-                c = int((block >> k).sum()) + len(block) + k * len(block)
-                if c < best_cost:
-                    best_k, best_cost = k, c
-                if (block >> k).max(initial=0) == 0 and k > 0:
-                    break  # larger k only adds split bits
-            uncomp_cost = n_bits * len(block)
-            se_ok = len(block) % 2 == 0 or ref
-            # SE pairs align to absolute positions; ref occupies pos 0
-            se_block = (
-                np.concatenate(([0], block)) if ref else block
-            )
-            se_cost = _se_cost(se_block) + 1 if se_ok else 1 << 60
+            block = scan_mapped[start + (1 if ref else 0) : start + j]
             # (the reference sample costs n_bits under EVERY option —
             # k-split, SE, and uncompressed all emit it verbatim — so
-            # it cancels out of the comparison and carries no term here)
-            if uncomp_cost <= best_cost and uncomp_cost <= se_cost:
+            # it cancels out of the cost comparison)
+            if use_uncomp[s, b]:
                 # no-compression stores the J PREPROCESSED samples
                 # (mapped[0] of a reference block IS the raw reference)
                 w.write(uncomp_id, idl)
-                for v in mapped[start : start + j]:
-                    w.write(int(v), n_bits)
-            elif se_cost < best_cost:
+                w.write_arr(scan_mapped[start : start + j], n_bits)
+            elif use_se[s, b]:
                 w.write(0, idl)
                 w.write(1, 1)  # second-extension
                 if ref:
-                    w.write(int(mapped[start]), n_bits)
-                for m in _se_ms(se_block):
-                    w.write_fs(m)
+                    w.write(int(scan_mapped[start]), n_bits)
+                # emission only happens when the SE cost beat a
+                # <= n_bits*j alternative, so the m values fit int64
+                se_blk = zeroed[s, b, : j - (j % 2)]
+                d0 = se_blk[0::2]
+                d1 = se_blk[1::2]
+                tt = d0 + d1
+                w.write_fs_arr(tt * (tt + 1) // 2 + d1)
             else:
-                w.write(best_k + 1, idl)
+                k = int(best_k[s, b])
+                w.write(k + 1, idl)
                 if ref:
-                    w.write(int(mapped[start]), n_bits)
-                for v in block >> best_k:
-                    w.write_fs(int(v))
-                if best_k:
-                    for v in block & ((1 << best_k) - 1):
-                        w.write(int(v), best_k)
+                    w.write(int(scan_mapped[start]), n_bits)
+                w.write_fs_arr(block >> k)
+                if k:
+                    w.write_arr(block & ((1 << k) - 1), k)
             b += 1
     return w.getvalue()
 
@@ -308,7 +458,7 @@ def rice_decode(
             "pixels_per_block (szip pads partial blocks; this codec "
             "does not guess that rule)"
         )
-    r = BitReader(data)
+    r = _VecBitReader(data)
     out = np.empty(n_samples, np.int64)
     for s0 in range(0, n_samples, pixels_per_scanline):
         nblocks = pixels_per_scanline // j
@@ -334,42 +484,46 @@ def rice_decode(
                     # mapped already zeros; just advance
                     b += run
                     continue
-                # second-extension: pairs aligned to block positions
-                vals = []
-                i = 1 if ref else 0
-                while i < j:
-                    m = r.read_fs()
-                    # invert m = t(t+1)/2 + d1 with t = d0 + d1
-                    t = int((np.sqrt(8.0 * m + 1.0) - 1.0) // 2)
-                    while t * (t + 1) // 2 > m:
-                        t -= 1
-                    while (t + 1) * (t + 2) // 2 <= m:
-                        t += 1
-                    d1 = m - t * (t + 1) // 2
-                    d0 = t - d1
-                    if i % 2 == 0:
-                        vals.append(d0)
-                        vals.append(d1)
-                        i += 2
-                    else:  # ref occupies pair position 0
-                        vals.append(d1)
-                        i += 1
-                mapped[start + (1 if ref else 0) : start + j] = vals[:nvals]
+                # second-extension: pairs aligned to ABSOLUTE block
+                # positions — a reference block's pair 0 holds only its
+                # second element — so the pair count is ceil(j / 2)
+                # regardless of ref; decode all FS values at once,
+                # invert m = t(t+1)/2 + d1 vectorized
+                npairs = (j + 1) // 2
+                ms = r.read_fs_many(npairs)
+                t = ((np.sqrt(8.0 * ms + 1.0) - 1.0) // 2).astype(
+                    np.int64
+                )
+                # float sqrt can land one off either way; correct
+                # exactly in integers (each loop runs <= 2 rounds)
+                while True:
+                    over = t * (t + 1) // 2 > ms
+                    if not over.any():
+                        break
+                    t[over] -= 1
+                while True:
+                    under = (t + 1) * (t + 2) // 2 <= ms
+                    if not under.any():
+                        break
+                    t[under] += 1
+                d1 = ms - t * (t + 1) // 2
+                d0 = t - d1
+                seq = np.empty(2 * npairs, np.int64)
+                seq[0::2] = d0
+                seq[1::2] = d1
+                i0 = 1 if ref else 0  # ref occupies pair position 0
+                mapped[start + i0 : start + j] = seq[i0:j]
             elif ident == uncomp_id:
-                for i in range(j):
-                    mapped[start + i] = r.read(n_bits)
+                mapped[start : start + j] = r.read_many(j, n_bits)
             else:
                 k = ident - 1
                 if ref:
                     mapped[start] = r.read(n_bits)
-                hi = [r.read_fs() for _ in range(nvals)]
-                if k:
-                    lo = [r.read(k) for _ in range(nvals)]
-                else:
-                    lo = [0] * nvals
-                mapped[start + (1 if ref else 0) : start + j] = [
-                    (h << k) | l for h, l in zip(hi, lo)
-                ]
+                hi = r.read_fs_many(nvals)
+                lo = r.read_many(nvals, k)
+                mapped[start + (1 if ref else 0) : start + j] = (
+                    hi << k
+                ) | lo
             b += 1
         if nn:
             out[s0 : s0 + pixels_per_scanline] = _unmap_nn(mapped, n_bits)
