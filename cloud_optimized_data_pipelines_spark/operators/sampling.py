@@ -327,6 +327,90 @@ def cap_per_group(
     return out.withColumnRenamed("cum_tokens", "rank_in_group").drop("_one")
 
 
+def _dsir_feats_fast(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int,
+    target_filter: Column,
+) -> DataFrame:
+    """Arrow feature extractor for :func:`dsir_importance`'s
+    ``target_filter`` form: per document, whitespace tokens + space-
+    joined bigrams hashed with md5[:8] into ``buckets`` and counted —
+    identical values to the declarative explode/md5/groupBy chain (the
+    target flag is evaluated JVM-side BEFORE the Arrow stage, so any
+    Column predicate works)."""
+    import hashlib as _hashlib
+    import re as _re
+
+    import pandas as pd
+
+    jvm_ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    schema = (
+        f"doc {id_field.dataType.simpleString()}, b long, fc long,"
+        " is_tgt boolean"
+    )
+    src = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("_txt"),
+        target_filter.alias("is_tgt"),
+    )
+
+    def run(batches):
+        memo: dict = {}
+        for pdf in batches:
+            docs_o, bs, fcs, tgts = [], [], [], []
+            for did, text, tgt in zip(
+                pdf["doc"], pdf["_txt"], pdf["is_tgt"]
+            ):
+                toks = [t for t in jvm_ws.split(text or "") if t]
+                if not toks:
+                    continue
+                counts: dict = {}
+                for g in toks:
+                    b = memo.get(g)
+                    if b is None:
+                        b = (
+                            int(
+                                _hashlib.md5(g.encode()).hexdigest()[:8],
+                                16,
+                            )
+                            % buckets
+                        )
+                        memo[g] = b
+                    counts[b] = counts.get(b, 0) + 1
+                for a, c in zip(toks, toks[1:]):
+                    g = a + " " + c
+                    b = memo.get(g)
+                    if b is None:
+                        b = (
+                            int(
+                                _hashlib.md5(g.encode()).hexdigest()[:8],
+                                16,
+                            )
+                            % buckets
+                        )
+                        memo[g] = b
+                    counts[b] = counts.get(b, 0) + 1
+                for b, c in counts.items():
+                    docs_o.append(did)
+                    bs.append(b)
+                    fcs.append(c)
+                    tgts.append(bool(tgt))
+            if docs_o:
+                yield pd.DataFrame(
+                    {
+                        "doc": docs_o,
+                        "b": bs,
+                        "fc": fcs,
+                        "is_tgt": tgts,
+                    }
+                )
+
+    return src.mapInPandas(run, schema)
+
+
 def dsir_importance(
     df: DataFrame,
     id_col: str,
@@ -334,6 +418,7 @@ def dsir_importance(
     target: DataFrame | None = None,
     buckets: int = 10_000,
     target_filter: Column | None = None,
+    impl: str = "fold",
 ) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al. 2023,
     "Data Selection for Language Models via Importance Resampling"):
@@ -362,7 +447,8 @@ def dsir_importance(
     double multiply, identical on both engines).
     Cross-engine determinism: md5 bucket hashing (see
     :func:`hash_bucket`), exact integer counts, ln rounded to 9
-    decimals per term, per-doc fold over the bucket-sorted array.
+    decimals per term, per-doc SUM of the 1e-9-integer-scaled terms
+    (order-independent, so the partial aggregation is free).
     Docs with no tokens keep ``n_feats = 0`` and NULL weight.
 
     Pass EITHER ``target`` (an arbitrary target DataFrame — tokenized
@@ -398,17 +484,51 @@ def dsir_importance(
             (h % buckets).alias("b"),
         )
 
+    if impl not in ("fold", "numpy"):
+        raise ValueError(f"impl must be 'fold' or 'numpy', got {impl!r}")
+    if impl == "numpy" and target_filter is None:
+        raise ValueError("impl='numpy' requires the target_filter form")
     if target_filter is not None:
-        raw_f = (
-            feats(df, with_id=True, flag=target_filter)
-            .groupBy("doc", "b")
-            .agg(F.count("*").alias("fc"), F.first("is_tgt").alias("is_tgt"))
+        if impl == "numpy":
+            # Arrow fast path, BIT-EXACT to the fold (hashlib.md5 ==
+            # F.md5, JVM-ASCII tokenization parity as in
+            # simhash_fingerprints_fast): tokenize + bigram + hash +
+            # per-doc bucket-count in ONE mapInPandas pass with a
+            # per-batch gram->bucket memo (the corpus vocabulary is
+            # tiny next to its token count, so most md5s are dict
+            # hits).  Emits (doc, b, fc) pre-aggregated — a doc lives
+            # in one partition, so the fold path's (doc, b) groupBy
+            # shuffle disappears entirely.
+            # materialize ONCE (the simhash materialize=True pattern):
+            # four downstream consumers (target model, raw model, the
+            # scored join, per-doc totals) would otherwise each re-run
+            # the tokenize+hash scan — mapInPandas has no exchange for
+            # Spark to reuse
+            raw_f = _dsir_feats_fast(
+                df, id_col, text_col, buckets, target_filter
+            ).localCheckpoint(eager=True)
+        else:
+            raw_f = (
+                feats(df, with_id=True, flag=target_filter)
+                .groupBy("doc", "b")
+                .agg(
+                    F.count("*").alias("fc"),
+                    F.first("is_tgt").alias("is_tgt"),
+                )
+            )
+        # BOTH bucket models in ONE aggregation pass over raw_f: the
+        # raw count unconditionally, the target count as a conditional
+        # sum (tc = 0 where the target slice never hit the bucket —
+        # identical to the separate model's absent-row NULL after the
+        # +1 smoothing)
+        models = raw_f.groupBy("b").agg(
+            F.sum("fc").alias("rc"),
+            F.sum(
+                F.when(F.col("is_tgt"), F.col("fc")).otherwise(F.lit(0))
+            ).alias("tc"),
         )
-        tgt_cnt = (
-            raw_f.filter(F.col("is_tgt"))
-            .groupBy("b")
-            .agg(F.sum("fc").alias("tc"))
-        )
+        tgt_cnt = None
+        raw_cnt = None
         raw_f = raw_f.drop("is_tgt")
     else:
         raw_f = feats(df, with_id=True).groupBy("doc", "b").agg(
@@ -417,9 +537,14 @@ def dsir_importance(
         tgt_cnt = feats(target, with_id=False).groupBy("b").agg(
             F.count("*").alias("tc")
         )
-    raw_cnt = raw_f.groupBy("b").agg(F.sum("fc").alias("rc"))
-    tgt_tot = tgt_cnt.agg(F.sum("tc").alias("tn"))
-    raw_tot = raw_cnt.agg(F.sum("rc").alias("rn"))
+        raw_cnt = raw_f.groupBy("b").agg(F.sum("fc").alias("rc"))
+        models = None
+    tgt_tot = (tgt_cnt if models is None else models).agg(
+        F.sum("tc").alias("tn")
+    )
+    raw_tot = (raw_cnt if models is None else models).agg(
+        F.sum("rc").alias("rn")
+    )
 
     def logp(cnt: Column, tot: Column) -> Column:
         return F.round(
@@ -430,9 +555,15 @@ def dsir_importance(
             9,
         )
 
+    model_join = (
+        raw_f.join(F.broadcast(models), "b", "left")
+        if models is not None
+        else raw_f.join(F.broadcast(tgt_cnt), "b", "left").join(
+            F.broadcast(raw_cnt), "b", "left"
+        )
+    )
     scored = (
-        raw_f.join(F.broadcast(tgt_cnt), "b", "left")
-        .join(F.broadcast(raw_cnt), "b", "left")
+        model_join
         .crossJoin(F.broadcast(tgt_tot))
         .crossJoin(F.broadcast(raw_tot))
         .select(
@@ -445,12 +576,19 @@ def dsir_importance(
             ).alias("lr"),
         )
     )
+    # order-independent exact reduction: each lr term is integer-scaled
+    # to 1e-9 resolution (its logs are already rounded to 9 digits) and
+    # summed as BIGINT — a plain partial-aggregable SUM, bit-identical
+    # cross-engine with no per-doc collect_list/array_sort/fold (the
+    # interpreted fold dominated this operator's wall time; the
+    # integer-scaled recurrence is the pagerank pattern)
     per_doc = scored.groupBy("doc").agg(
         F.sum("fc").cast("long").alias("n_feats"),
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("b", "lr"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["lr"],
+        (
+            F.sum(
+                F.round(F.col("lr") * F.lit(1e9), 0).cast("long")
+            ).cast("double")
+            / F.lit(1e9)
         ).alias("log_weight"),
     )
     ids = df.select(F.col(id_col).alias("doc"))

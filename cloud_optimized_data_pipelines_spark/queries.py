@@ -7412,10 +7412,8 @@ scored AS (
 ),
 per_doc AS (
   SELECT doc_id, CAST(SUM(fc) AS BIGINT) AS n_feats,
-         list_reduce(
-           list_transform(
-             list_sort(list(struct_pack(b := b, l := lr))), s -> s.l),
-           (a, b) -> a + b) AS log_weight
+         CAST(CAST(SUM(CAST(round(lr * 1e9) AS BIGINT)) AS BIGINT)
+              AS DOUBLE) / 1e9 AS log_weight
   FROM scored GROUP BY doc_id
 )
 SELECT d.doc_id,
@@ -7440,8 +7438,12 @@ def sample_dsir_weights_q(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
+    # impl='numpy': Arrow gram->bucket memo (bit-exact; the fold path's
+    # per-occurrence md5 + (doc, b) groupBy shuffle dominated the
+    # bench time)
     return dsir_importance(
-        docs, "doc_id", "text", target_filter=F.col("lang") == "en"
+        docs, "doc_id", "text", target_filter=F.col("lang") == "en",
+        impl="numpy",
     )
 
 
@@ -7476,7 +7478,8 @@ def sample_dsir_select_q(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     w = dsir_importance(
-        docs, "doc_id", "text", target_filter=F.col("lang") == "en"
+        docs, "doc_id", "text", target_filter=F.col("lang") == "en",
+        impl="numpy",
     )
     return gumbel_topk(w.filter(F.col("n_feats") > 0), "doc_id", "log_weight", 100)
 
