@@ -1482,7 +1482,11 @@ _PHASH_PERT = 90
 def _phash_raster(v: int) -> "np.ndarray":
     b = v // 2
     k = np.arange(_PROBE_H * _PROBE_W, dtype=np.int64)
-    s = ((k + 13) * (k + 7 * b + 1)) % 251
+    # b // 251 decorrelates bases past the mod-251 cycle (identity for
+    # every graded/tested variant, where b < 251): without it a probe
+    # corpus > 502 variants contains only 251 distinct rasters and the
+    # near-dup mass saturates quadratically with TRUE duplicates
+    s = ((k + 13 + b // 251) * (k + 7 * b + 1)) % 251
     if v % 2:
         r, c = np.divmod(k, _PROBE_W)
         mask = (r < _PROBE_H // 8) & (c < _PROBE_W // 8)
@@ -1724,7 +1728,8 @@ def _vfp_frames(v: int) -> list["np.ndarray"]:
     r, c = np.divmod(k, _PROBE_W)
     frames = []
     for f in range(_VFP_FRAMES):
-        m = ((k + 13) * (k + 7 * b + 1) + 31 * f) % 251
+        # b // 251 term: see _phash_raster (identity for b < 251)
+        m = ((k + 13 + b // 251) * (k + 7 * b + 1) + 31 * f) % 251
         if v % 2 and f == 2:
             mask = (r < _PROBE_H // 8) & (c < _PROBE_W // 8)
             m = np.where(mask, (m + _VFP_PERT) % 251, m)

@@ -604,7 +604,7 @@ def train_quality_classifier(
     id_col: str,
     text_col: str,
     label_col: str,
-    n_features: int = 64,
+    n_features: int | str = 64,
     iters: int = 2,
     lr: float = 8.0,
     grad_round: int = 6,
@@ -652,10 +652,40 @@ def train_quality_classifier(
     500k docs costs ~110 s per GD pass, the Arrow path ~7 s).
     ``impl='fold'`` keeps the declarative form as the property-test
     cross-check; both match the same unrolled oracle.
+
+    ``n_features='auto'`` sizes the hash space from the data: one
+    ``approx_count_distinct`` pre-pass over the lowered tokens, then
+    the next power of two >= 4x the estimate (load factor <= 0.25, so
+    hash collisions can't wash out the signal — the honest 1000x
+    finding from the fixed-64-bucket probe: ~30k distinct tokens into
+    64 buckets trains to baseline accuracy).  Driver traffic stays
+    ``n_features`` doubles per pass — ~1 MB at a 30k vocabulary.
+    Auto sizing requires ``impl='numpy'``: the fold path embeds every
+    weight as a plan literal, which does not survive 100k+ features.
     """
     from cloud_optimized_data_pipelines_spark.operators.sketches import (
         portable_hash32,
     )
+
+    if n_features == "auto":
+        if impl != "numpy":
+            raise ValueError(
+                "n_features='auto' requires impl='numpy' (the fold "
+                "path embeds each weight as a plan literal)"
+            )
+        import math as _math
+
+        est = int(
+            df.select(
+                F.explode(tokens(text_col)).alias("_t")
+            )
+            .agg(
+                F.approx_count_distinct(F.lower(F.col("_t"))).alias("n")
+            )
+            .first()["n"]
+        )
+        n_features = max(64, 1 << _math.ceil(_math.log2(max(4 * est, 1))))
+    n_features = int(n_features)
 
     n_docs = df.count()
     base = df.withColumn("_tk", tokens(text_col)).withColumn(

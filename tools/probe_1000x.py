@@ -103,6 +103,7 @@ def main() -> None:
         "bloom",
         "pq",
         "clf",
+        "neardup",
     }
     spark = get_spark("probe-1000x")
     spark.sparkContext.setLogLevel("ERROR")
@@ -400,6 +401,67 @@ def main() -> None:
                 ).count(),
             )
 
+    if "neardup" in want:
+        # per-modality near-dup at scale (r10, VERDICT r9 task 8): the
+        # banded-Hamming join must stay collision-bound — candidate
+        # pairs (same 16-bit band value) should grow ~linearly in the
+        # corpus until buckets saturate, never quadratically; every
+        # engineered sibling pair (2b, 2b+1) must be found.
+        from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+            audio_fingerprint_table,
+            image_near_dup_pairs,
+            phash_probe_table,
+            video_fingerprint_table,
+        )
+
+        MODES = (
+            ("image", phash_probe_table, "phash_hi", "phash_lo"),
+            ("audio", audio_fingerprint_table, "afp_hi", "afp_lo"),
+            ("video", video_fingerprint_table, "vfp_hi", "vfp_lo"),
+        )
+        for mode, table, hi, lo in MODES:
+            for nv in (160, 1600, 16000):
+                probe = table(spark, nv).localCheckpoint(eager=True)
+                # candidate mass: per (band, value) bucket n*(n-1)/2 —
+                # the join's true input size, counted without running it
+                bands = probe.select(
+                    F.posexplode(
+                        F.array(
+                            F.shiftright(F.col(hi), 16).bitwiseAND(F.lit(0xFFFF)),
+                            F.col(hi).bitwiseAND(F.lit(0xFFFF)),
+                            F.shiftright(F.col(lo), 16).bitwiseAND(F.lit(0xFFFF)),
+                            F.col(lo).bitwiseAND(F.lit(0xFFFF)),
+                        )
+                    ).alias("band", "val")
+                )
+                cand = (
+                    bands.groupBy("band", "val")
+                    .count()
+                    .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+                    .collect()[0][0]
+                )
+                pairs = image_near_dup_pairs(
+                    probe, "variant", hi, lo
+                )
+                got = {
+                    (r["id_a"], r["id_b"]) for r in pairs.collect()
+                }
+                engineered = {
+                    (2 * b, 2 * b + 1) for b in range(nv // 2)
+                }
+                found = len(engineered & got)
+                t(
+                    f"neardup {mode} V={nv}",
+                    lambda p=pairs: p.count(),
+                )
+                print(
+                    f"PROBE neardup {mode} V={nv}: candidates={int(cand)}"
+                    f" verified_pairs={len(got)}"
+                    f" engineered_found={found}/{nv // 2}",
+                    flush=True,
+                )
+                probe.unpersist()
+
     if "clf" in want:
         # GD classifier training at scale: each step is one distributed
         # pass (margin fold + 64-group gradient), so wall time should
@@ -447,6 +509,27 @@ def main() -> None:
                 }
 
             t(f"clf train 2 iters {label}", run)
+
+            # n_features='auto' (r10): hash space sized >= 4x the
+            # approx-distinct vocabulary so collisions can't wash out
+            # the signal — the fix for the r9 finding that 64 buckets
+            # train to baseline accuracy at a 30k-token vocabulary
+            def run_auto(d=labeled, n_all=total, n_pos=pos):
+                scored, w = train_quality_classifier(
+                    d, "doc_id", "text", "label", iters=2, lr=128.0,
+                    n_features="auto",
+                )
+                n = scored.filter(
+                    F.col("pred").cast("int") == F.col("label")
+                ).count()
+                return {
+                    "acc": round(n / n_all, 4),
+                    "baseline": round(max(n_pos, n_all - n_pos) / n_all, 4),
+                    "n_features": len(w),
+                    "nonzero_w": sum(1 for x in w if x),
+                }
+
+            t(f"clf train 2 iters AUTO {label}", run_auto)
 
 
 if __name__ == "__main__":
