@@ -516,6 +516,90 @@ def wav_adpcm_probe_table(spark, variants: int = 8) -> DataFrame:
     return spark.range(int(variants)).mapInPandas(gen, ADPCM_PROBE_SCHEMA)
 
 
+_MS_ADPCM_FRAMES = 1803  # 3 blocks of 500 + a fact-cropped tail
+
+
+def _wav_ms_adpcm_variant(v: int) -> dict:
+    """One deterministic MS-ADPCM WAV conversion (format tag 0x02 —
+    the OTHER 4-bit WAVE codec NASA-era telephony/game assets ship,
+    a named stub through r9): the bounded zigzag
+    ``s(k) = ((k*(v+17)) % 1409) - 704`` is companded into a real
+    MS-ADPCM container (per-block predictor/idelta/sample1/sample2
+    headers, the standard 7-coefficient fmt-extension table, fact
+    crop), decoded back, and DOUBLE-guarded executor-side: (a) every
+    block's DECODED samples re-encode NIBBLE-EXACTLY under the block's
+    own stored header state (encoder and decoder are exact inverses
+    given state — the MS analogue of the IMA fixed point, which the
+    header re-derivation makes unavailable here); (b) each block
+    header must carry its first two source samples verbatim.  Decode
+    is a sequential nonlinear state machine, so the oracle pins
+    sample_sum/md5 as literals (the ADPCM precedent); non-circularity
+    comes from guard (a)'s structural inversion plus the hand-walked
+    golden block in test_wav_codec."""
+    import struct as _struct
+
+    from cloud_optimized_data_pipelines_spark.operators.wav_codec import (
+        _ms_adpcm_encode_channel,
+        decode_wav,
+        encode_wav_ms_adpcm,
+    )
+
+    k = np.arange(_MS_ADPCM_FRAMES, dtype=np.int64)
+    sig = (((k * (v + 17)) % 1409) - 704).astype(np.int16)
+    wav = encode_wav_ms_adpcm(sig, 8000, block_samples=500)
+    dec, rate = decode_wav(wav)
+    dec = dec[:, 0]
+    # (a) same-header nibble-exact re-encode of the decoded stream
+    off = wav.find(b"data") + 8
+    (dsize,) = _struct.unpack_from("<I", wav, off - 4)
+    raw = wav[off : off + dsize]
+    foff = wav.find(b"fmt ") + 8
+    block_align = _struct.unpack_from("<HHIIHH", wav, foff)[4]
+    (spb,) = _struct.unpack_from("<H", wav, foff + 18)
+    for bi, lo in enumerate(range(0, len(raw), block_align)):
+        blk = raw[lo : lo + block_align]
+        pred = blk[0]
+        (d0,) = _struct.unpack_from("<h", blk, 1)
+        s1, s2 = _struct.unpack_from("<hh", blk, 3)
+        dec_blk = dec[bi * spb : (bi + 1) * spb]
+        if len(dec_blk) >= 2 and (dec_blk[0] != s2 or dec_blk[1] != s1):
+            raise RuntimeError(  # pragma: no cover - guard
+                f"ms-adpcm variant {v}: header samples mismatch"
+            )
+        nibs = []
+        for b in blk[7:]:
+            nibs += [b >> 4, b & 0x0F]
+        want = nibs[: max(0, len(dec_blk) - 2)]
+        got = _ms_adpcm_encode_channel(
+            dec_blk.astype(np.int64), pred, d0
+        )
+        if got != want[: len(got)]:  # pragma: no cover - guard
+            raise RuntimeError(
+                f"ms-adpcm variant {v}: same-header re-encode mismatch"
+            )
+    return {
+        "variant": v,
+        "wav_md5": hashlib.md5(wav).hexdigest(),
+        "sample_sum": int(dec.sum(dtype=np.int64)),
+        "n_frames": _MS_ADPCM_FRAMES,
+        "sample_rate": rate,
+        "max_abs_err": int(
+            np.abs(dec.astype(np.int64) - sig.astype(np.int64)).max()
+        ),
+    }
+
+
+def wav_ms_adpcm_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    [_wav_ms_adpcm_variant(int(x)) for x in pdf["id"]]
+                )
+
+    return spark.range(int(variants)).mapInPandas(gen, ADPCM_PROBE_SCHEMA)
+
+
 def downscale_box(arr: np.ndarray, fy: int, fx: int) -> np.ndarray:
     """Exact box-average downscale by integer factors: each (fy, fx)
     block becomes floor(block_sum / (fy*fx)).  Integer arithmetic

@@ -19,13 +19,19 @@ Supported:
   is bit-exact to stdlib ``audioop``'s DVI implementation, and one
   encode->decode round trip is a FIXED POINT (re-encoding the decoded
   signal decodes to identical samples) — both pinned by test;
+- MS-ADPCM (format tag 0x02, r10), any channel count, both
+  directions — per-block (predictor, idelta, sample1, sample2)
+  headers per channel, the standard 7-coefficient table carried in
+  and READ BACK from the fmt extension, signed-nibble payload with
+  per-frame channel interleave, fact-chunk frame crop; one
+  encode->decode round trip is a FIXED POINT (pinned by test);
 - any channel count (interleaved frames), any sample rate;
 - chunk walking with RIFF word-alignment padding; unknown chunks
   (LIST, fact, cue...) are skipped per spec.
 
-Unsupported (raises ``ValueError``): MS-ADPCM (tag 2) and other
-block-compressed formats, MP3-in-WAV, WAVE_FORMAT_EXTENSIBLE beyond
-its embedded PCM/float subformat.
+Unsupported (raises ``ValueError``): other block-compressed formats,
+MP3-in-WAV, WAVE_FORMAT_EXTENSIBLE beyond its embedded PCM/float
+subformat.
 """
 
 from __future__ import annotations
@@ -343,6 +349,169 @@ def _decode_adpcm_stream(
     return samples[:n_frames].astype(np.int16)
 
 
+# --- MS-ADPCM (WAVE format tag 0x02) ---------------------------------------
+
+# the seven standard coefficient pairs (Microsoft "Multimedia
+# Programming Interface and Data Specifications" / RIFF WAVE docs —
+# every MS-ADPCM stream carries them verbatim in the fmt extension)
+_MS_COEFS = [
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+]
+_MS_ADAPT = [
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+]
+
+
+def ms_adpcm_decode(
+    nibbles,
+    coef_idx: int,
+    idelta: int,
+    sample1: int,
+    sample2: int,
+    coefs=None,
+) -> tuple[np.ndarray, int, int, int]:
+    """Decode a 4-bit MS-ADPCM nibble sequence given the block-header
+    state (predictor index, initial delta, last two samples).  Returns
+    (int16 samples, idelta, sample1, sample2).  Per spec: signed
+    nibble, ``pred = (s1*c1 + s2*c2) >> 8`` (arithmetic shift — Python
+    floor division matches C's ``>>`` on negatives), clamp to int16,
+    ``idelta = max(16, adapt[nib] * idelta >> 8)``."""
+    c1, c2 = (coefs or _MS_COEFS)[coef_idx]
+    out = np.empty(len(nibbles), np.int16)
+    s1, s2, d = int(sample1), int(sample2), int(idelta)
+    for i, nib in enumerate(nibbles):
+        signed = nib - 16 if nib >= 8 else nib
+        pred = (s1 * c1 + s2 * c2) // 256
+        sample = max(-32768, min(32767, pred + signed * d))
+        s2, s1 = s1, sample
+        d = max(16, (_MS_ADAPT[nib] * d) // 256)
+        out[i] = sample
+    return out, d, s1, s2
+
+
+def _ms_adpcm_encode_channel(
+    s: np.ndarray, coef_idx: int, idelta: int
+) -> list[int]:
+    """Encode one channel's samples after the two header samples with
+    decoder-tracking state — the reconstruction is exactly what
+    :func:`ms_adpcm_decode` will produce."""
+    c1, c2 = _MS_COEFS[coef_idx]
+    s1, s2, d = int(s[1]), int(s[0]), int(idelta)
+    nibbles = []
+    for x in np.asarray(s[2:], np.int64):
+        pred = (s1 * c1 + s2 * c2) // 256
+        diff = int(x) - pred
+        # C-style truncation toward zero, clamped to the signed nibble
+        nib = max(-8, min(7, -(-diff // d) if diff < 0 else diff // d))
+        sample = max(-32768, min(32767, pred + nib * d))
+        nibbles.append(nib & 0x0F)
+        s2, s1 = s1, sample
+        d = max(16, (_MS_ADAPT[nib & 0x0F] * d) // 256)
+    return nibbles
+
+
+def encode_wav_ms_adpcm(
+    samples: np.ndarray, sample_rate: int = 8000, block_samples: int = 500
+) -> bytes:
+    """Encode int16 samples — (n,) mono or (n, channels) interleaved —
+    as an MS-ADPCM WAVE file (format tag 0x02) with the standard
+    7-coefficient table in the fmt extension and a fact chunk carrying
+    the true frame count.
+
+    Per block and channel the header stores (predictor byte, int16
+    idelta, int16 sample1, int16 sample2) and the payload packs signed
+    4-bit codes high-nibble-first, channels interleaved per frame.
+    Predictor/initial-delta selection is this library's deterministic
+    policy (the bitstream stays spec-conformant for ANY decoder): the
+    coefficient pair minimizing the block's total absolute prediction
+    error wins (first minimum), and the initial delta is
+    ``max(16, mean |prediction error| // 4)`` — the nibble then spans
+    roughly +-2x the typical error."""
+    arr = np.asarray(samples)
+    if arr.dtype != np.int16:
+        raise ValueError("wav: MS-ADPCM encode takes int16 samples")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    if n < 2:
+        raise ValueError("wav: MS-ADPCM needs at least 2 frames")
+    spb = int(block_samples)
+    if spb < 2:
+        raise ValueError("wav: block_samples must be >= 2")
+    blocks = []
+    for lo in range(0, n, spb):
+        blk = arr[lo : lo + spb]
+        if len(blk) < 2:
+            # a trailing 1-frame block can't carry its two header
+            # samples; pad by repeating the last frame (fact crops)
+            blk = np.vstack([blk, blk[-1:]])
+        preds, deltas, payload = [], [], []
+        per_ch_nibs = []
+        for c in range(ch):
+            s = blk[:, c].astype(np.int64)
+            errs = []
+            for c1, c2 in _MS_COEFS:
+                pred = (s[1:-1] * c1 + s[:-2] * c2) // 256
+                errs.append(int(np.abs(s[2:] - pred).sum()))
+            ci = int(np.argmin(errs))
+            mean_err = errs[ci] // max(1, len(s) - 2)
+            d0 = max(16, mean_err // 4)
+            preds.append(ci)
+            deltas.append(d0)
+            per_ch_nibs.append(
+                _ms_adpcm_encode_channel(s, ci, d0)
+                if len(s) > 2
+                else []
+            )
+        hdr = bytes(preds)
+        hdr += b"".join(
+            struct.pack("<h", int(d)) for d in deltas
+        )
+        hdr += b"".join(
+            struct.pack("<h", int(blk[1, c])) for c in range(ch)
+        )
+        hdr += b"".join(
+            struct.pack("<h", int(blk[0, c])) for c in range(ch)
+        )
+        # interleave nibbles across channels frame by frame, pack
+        # high-nibble-first
+        flat = []
+        nf = len(per_ch_nibs[0]) if per_ch_nibs else 0
+        for i in range(nf):
+            for c in range(ch):
+                flat.append(per_ch_nibs[c][i])
+        if len(flat) % 2:
+            flat.append(0)
+        payload = bytes(
+            (flat[i] << 4) | flat[i + 1] for i in range(0, len(flat), 2)
+        )
+        blocks.append(hdr + payload)
+    block_align = max(len(b) for b in blocks)
+    # every block must be block_align bytes (decoders step by it);
+    # zero-pad the tail block's payload (fact crops the frames)
+    data = b"".join(b.ljust(block_align, b"\x00") for b in blocks)
+    n_coef = len(_MS_COEFS)
+    fmt = struct.pack(
+        "<HHIIHHHHH",
+        0x02, ch, sample_rate,
+        sample_rate * block_align // (spb * max(1, ch)) or 1,
+        block_align, 4,
+        2 + 2 * n_coef + 2,  # cbSize
+        spb, n_coef,
+    ) + b"".join(struct.pack("<hh", a, b) for a, b in _MS_COEFS)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    if len(data) % 2:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def encode_wav_g711(
     samples: np.ndarray, law: str = "ulaw", sample_rate: int = 8000
 ) -> bytes:
@@ -445,6 +614,58 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         )
         # flatten to interleaved frames: the common tail reshapes (n, ch)
         arr = _decode_adpcm_stream(raw, _block, spb, n_frames, ch).reshape(-1)
+    elif tag == 2:  # MS-ADPCM
+        if bits != 4:
+            raise ValueError(f"wav: MS-ADPCM requires 4-bit codes, got {bits}")
+        if ch < 1:
+            raise ValueError("wav: zero channels")
+        if len(fmt_body) < 22:
+            raise ValueError("wav: MS-ADPCM fmt chunk missing extension")
+        spb, n_coef = struct.unpack_from("<HH", fmt_body, 18)
+        if len(fmt_body) < 22 + 4 * n_coef:
+            raise ValueError("wav: MS-ADPCM fmt chunk missing coef table")
+        coefs = [
+            struct.unpack_from("<hh", fmt_body, 22 + 4 * i)
+            for i in range(n_coef)
+        ]
+        if _block < 7 * ch:
+            raise ValueError("wav: MS-ADPCM block smaller than its header")
+        frames = []
+        for lo in range(0, len(raw), _block):
+            blk = raw[lo : lo + _block]
+            if len(blk) < 7 * ch:
+                raise ValueError("wav: truncated MS-ADPCM block")
+            preds = list(blk[:ch])
+            if any(p >= n_coef for p in preds):
+                raise ValueError("wav: MS-ADPCM predictor out of range")
+            deltas = struct.unpack_from(f"<{ch}h", blk, ch)
+            s1s = struct.unpack_from(f"<{ch}h", blk, 3 * ch)
+            s2s = struct.unpack_from(f"<{ch}h", blk, 5 * ch)
+            nibs: list[int] = []
+            for b in blk[7 * ch :]:
+                nibs += [b >> 4, b & 0x0F]
+            per_ch = [
+                ms_adpcm_decode(
+                    nibs[c::ch], preds[c], deltas[c], s1s[c], s2s[c],
+                    coefs,
+                )[0]
+                for c in range(ch)
+            ]
+            # header carries the first two samples verbatim: sample2
+            # (older) then sample1
+            chans = [
+                np.concatenate(
+                    [[np.int16(s2s[c]), np.int16(s1s[c])], per_ch[c]]
+                )
+                for c in range(ch)
+            ]
+            # cap at samples_per_block: a padded payload byte would
+            # otherwise leak a phantom frame into the next block's run
+            frames.append(np.stack(chans, axis=1)[:spb])
+        full = np.vstack(frames) if frames else np.empty((0, ch), np.int16)
+        if fact_frames is not None:
+            full = full[:fact_frames]
+        arr = full.reshape(-1)
     elif tag in (6, 7):  # G.711 A-law / mu-law
         if bits != 8:
             raise ValueError(f"wav: G.711 requires 8-bit codes, got {bits}")

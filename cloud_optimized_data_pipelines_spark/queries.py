@@ -5875,14 +5875,98 @@ def multimodal_wav_adpcm_q(spark, sf_dir):
     block re-decoded bit-identically by stdlib audioop (independent
     implementation), the encode->decode round trip proven a fixed
     point, and block headers carrying source samples verbatim.  The
-    4-bit telephony/game-audio compression form; MS-ADPCM (tag 2)
-    stays a named error.  Broadcast per-variant probe."""
+    4-bit telephony/game-audio compression form; its sibling MS-ADPCM
+    (tag 2) is graded by multimodal_wav_ms_adpcm (r10).  Broadcast
+    per-variant probe."""
     from cloud_optimized_data_pipelines_spark.operators.multimodal import (
         wav_adpcm_probe_table,
     )
 
     t = load_tables(spark, sf_dir)
     probe = wav_adpcm_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "wav_md5",
+        "sample_sum",
+        "n_frames",
+        "sample_rate",
+        "max_abs_err",
+    )
+
+
+def _wav_ms_adpcm_oracle() -> str:
+    """Oracle for multimodal_wav_ms_adpcm: md5 / sample_sum /
+    max_abs_err pinned as literals from a single-process run — MS-ADPCM
+    decode is a sequential nonlinear state machine (coefficient
+    prediction + delta adaptation per sample), so no closed-form SQL
+    replay exists.  Non-circularity comes from the variant builder's
+    executor-side structural inversion guard (every block's DECODED
+    samples re-encode nibble-exactly under the block's own stored
+    header state) plus the hand-walked golden-block arithmetic pinned
+    in test_wav_codec.py."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _MS_ADPCM_FRAMES,
+        _wav_ms_adpcm_variant,
+    )
+
+    rows = [_wav_ms_adpcm_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['wav_md5']}'" for r in rows)
+        + " END"
+    )
+    sum_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(
+            f"WHEN {r['variant']} THEN CAST({r['sample_sum']} AS BIGINT)"
+            for r in rows
+        )
+        + " END"
+    )
+    err_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(
+            f"WHEN {r['variant']} THEN CAST({r['max_abs_err']} AS BIGINT)"
+            for r in rows
+        )
+        + " END"
+    )
+    return f"""
+SELECT d.doc_id, d.doc_id % 8 AS variant,
+       {md5_case} AS wav_md5,
+       {sum_case} AS sample_sum,
+       CAST({_MS_ADPCM_FRAMES} AS BIGINT) AS n_frames,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       {err_case} AS max_abs_err
+FROM documents d
+"""
+
+
+@query("multimodal_wav_ms_adpcm", _wav_ms_adpcm_oracle)
+def multimodal_wav_ms_adpcm_q(spark, sf_dir):
+    """REAL-bytes MS-ADPCM WAV decode (operators/wav_codec.py::format
+    tag 0x02 — a named stub through r9, now the second fully-decoded
+    4-bit WAVE codec): per variant a bounded formula signal is
+    companded into an actual MS-ADPCM container (per-block
+    predictor/idelta/sample1/sample2 headers, the standard
+    7-coefficient table carried in and READ BACK from the fmt
+    extension, fact-chunk crop), decoded back through the full
+    container walk, and double-guarded executor-side — every block's
+    decoded samples re-encode NIBBLE-EXACTLY under the block's own
+    stored header state (encoder/decoder exact inverses given state),
+    and block headers carry the first two source samples verbatim.
+    Broadcast per-variant probe; at 100 TB the decode rides the
+    binary-column scan exactly like the other codec probes."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        wav_ms_adpcm_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = wav_ms_adpcm_probe_table(spark, 8)
     docs = t["documents"].select(
         "doc_id", (F.col("doc_id") % 8).alias("variant")
     )

@@ -84,9 +84,10 @@ def test_rejects_bad_inputs():
     wav = encode_wav(np.zeros(4, np.int16), 8000)
     with pytest.raises(ValueError, match="truncated"):
         decode_wav(wav[:20])
-    # compressed format tag
+    # unsupported compressed format tag (0x55 = MP3-in-WAV; tag 2
+    # MS-ADPCM decodes for real as of r10)
     bad = bytearray(wav)
-    bad[20] = 2  # ADPCM
+    bad[20] = 0x55
     with pytest.raises(ValueError, match="compressed"):
         decode_wav(bytes(bad))
 
@@ -328,3 +329,105 @@ def test_ima_adpcm_stereo_roundtrip_and_audioop_per_channel():
             )
             mine, _, _ = ima_adpcm_decode(nibs, pred, idx)
             assert np.array_equal(ref, mine)
+
+
+def test_ms_adpcm_golden_block_decode():
+    """Hand-walked MS-ADPCM arithmetic on a tiny crafted state: every
+    sample follows pred=(s1*c1+s2*c2)>>8, sample=clamp(pred+signed*d),
+    d=max(16, adapt[nib]*d>>8) — computed here by hand, independent of
+    the library loop."""
+    import numpy as np
+
+    from cloud_optimized_data_pipelines_spark.operators.wav_codec import (
+        ms_adpcm_decode,
+    )
+
+    # coef pair 1 = (512, -256); start s1=100, s2=40, d=32
+    # nib 3 (signed 3):  pred=(100*512-40*256)//256=160; s=160+96=256
+    #                    d=max(16, 230*32//256)=28
+    # nib 12 (signed -4): pred=(256*512-100*256)//256=412; s=412-112=300
+    #                    d=max(16, 307*28//256)=33
+    # nib 8 (signed -8): pred=(300*512-256*256)//256=344; s=344-264=80
+    out, d, s1, s2 = ms_adpcm_decode([3, 12, 8], 1, 32, 100, 40)
+    assert list(out) == [256, 300, 80]
+    assert (s1, s2) == (80, 300)
+    assert d == max(16, 768 * 33 // 256)
+    # clamp rails: huge positive delta saturates at 32767
+    out2, _, _, _ = ms_adpcm_decode([7], 0, 30000, 30000, 0)
+    assert list(out2) == [32767]
+
+
+def test_ms_adpcm_wav_roundtrip_and_same_header_reencode():
+    """encode->decode: header samples verbatim, bounded tracking error
+    on a band-limited signal, and the exact-inverse guard — re-encoding
+    the DECODED samples with the SAME block headers reproduces every
+    nibble (fixed-point via stored state; the header params themselves
+    re-derive differently, which is why the IMA-style whole-file
+    fixed-point claim is NOT made for MS)."""
+    import numpy as np
+
+    from cloud_optimized_data_pipelines_spark.operators.wav_codec import (
+        _ms_adpcm_encode_channel,
+        decode_wav,
+        encode_wav_ms_adpcm,
+    )
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2):
+        n = 1237
+        sig = np.clip(
+            np.cumsum(rng.integers(-300, 301, (n, ch)), axis=0),
+            -32768, 32767,
+        ).astype(np.int16)
+        wav = encode_wav_ms_adpcm(
+            sig if ch > 1 else sig[:, 0], 8000, block_samples=128
+        )
+        dec, rate = decode_wav(wav)
+        assert rate == 8000 and dec.shape == (n, ch)
+        assert np.array_equal(dec[:2], sig[:2])  # header samples verbatim
+        assert int(np.abs(dec.astype(np.int64) - sig.astype(np.int64)).max()) < 1500
+        off = wav.find(b"data") + 8
+        (dsize,) = struct.unpack_from("<I", wav, off - 4)
+        raw = wav[off : off + dsize]
+        foff = wav.find(b"fmt ") + 8
+        _tag, nch, _r, _br, block_align, _bits = struct.unpack_from(
+            "<HHIIHH", wav, foff
+        )
+        (spb,) = struct.unpack_from("<H", wav, foff + 18)
+        for bi, lo in enumerate(range(0, len(raw), block_align)):
+            blk = raw[lo : lo + block_align]
+            preds = list(blk[:nch])
+            deltas = struct.unpack_from(f"<{nch}h", blk, nch)
+            dec_blk = dec[bi * spb : (bi + 1) * spb]
+            nibs = []
+            for b in blk[7 * nch :]:
+                nibs += [b >> 4, b & 0x0F]
+            for c in range(nch):
+                want = nibs[c::nch][: max(0, len(dec_blk) - 2)]
+                got = _ms_adpcm_encode_channel(
+                    dec_blk[:, c].astype(np.int64), preds[c], deltas[c]
+                )
+                assert got == want[: len(got)]
+
+
+def test_ms_adpcm_named_errors():
+    import numpy as np
+    import pytest
+
+    from cloud_optimized_data_pipelines_spark.operators.wav_codec import (
+        decode_wav,
+        encode_wav_ms_adpcm,
+    )
+
+    with pytest.raises(ValueError, match="int16"):
+        encode_wav_ms_adpcm(np.zeros(8, np.float32))
+    with pytest.raises(ValueError, match="at least 2"):
+        encode_wav_ms_adpcm(np.zeros(1, np.int16))
+    wav = bytearray(
+        encode_wav_ms_adpcm(np.arange(64, dtype=np.int16), 8000, 32)
+    )
+    # corrupt the first block's predictor byte past the coef table
+    off = wav.find(b"data") + 8
+    wav[off] = 9
+    with pytest.raises(ValueError, match="predictor out of range"):
+        decode_wav(bytes(wav))
