@@ -162,6 +162,8 @@ ADDITIONS_R10 = [
     "sample_dsir_select",
     # MS-ADPCM (WAVE tag 2) real-bytes decode — named stub closed in r10
     "multimodal_wav_ms_adpcm",
+    # WordPiece subword tokenizer (BERT maximal munch) stats
+    "text_wordpiece_tokens",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

@@ -8717,6 +8717,120 @@ LEFT JOIN dup5 d5 USING (doc_id)
 """
 
 
+_WORDPIECE_CHARS = "abcdefghijklmno"
+_WORDPIECE_UNK_HASH = 3051026889  # piece_hash32("[UNK]")
+
+_WORDPIECE_STATS = f"""
+WITH RECURSIVE
+chars AS (SELECT UNNEST([{", ".join(repr(c) for c in _WORDPIECE_CHARS)}]) AS c),
+topw AS (
+  SELECT w FROM (
+    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents) g
+  GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT 10
+),
+vocab AS (
+  SELECT c AS piece, c AS match_txt, 1 AS plen, TRUE AS is_raw FROM chars
+  UNION ALL
+  SELECT '##' || c, c, 1, FALSE FROM chars
+  UNION ALL
+  SELECT w, w, length(w)::INT, TRUE FROM topw
+),
+docs_words AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+words AS (SELECT DISTINCT w FROM docs_words),
+pos AS (SELECT UNNEST(range(0, 32)) AS p),
+matches AS (
+  SELECT wo.w, po.p,
+         max_by(v.piece, v.plen) AS piece,
+         MAX(v.plen) AS plen
+  FROM words wo
+  JOIN pos po ON po.p < length(wo.w)
+  JOIN vocab v
+    ON v.is_raw = (po.p = 0)
+   AND substr(wo.w, po.p + 1, v.plen) = v.match_txt
+  WHERE length(wo.w) <= 32
+  GROUP BY wo.w, po.p
+),
+walk AS (
+  SELECT w, CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS n_pieces,
+         FALSE AS failed, CAST(0 AS BIGINT) AS hsum
+  FROM words WHERE length(w) <= 32
+  UNION ALL
+  SELECT k.w,
+         CASE WHEN m.piece IS NULL THEN length(k.w) ELSE k.p + m.plen END,
+         k.n_pieces + 1,
+         m.piece IS NULL,
+         k.hsum + CASE WHEN m.piece IS NULL THEN 0
+                       ELSE ('0x' || substr(md5(m.piece), 1, 8))::BIGINT END
+  FROM walk k LEFT JOIN matches m ON m.w = k.w AND m.p = k.p
+  WHERE k.p < length(k.w) AND NOT k.failed
+),
+word_res AS (
+  SELECT w,
+         CASE WHEN failed THEN 1 ELSE n_pieces END AS n_pieces,
+         CASE WHEN failed THEN 1 ELSE 0 END AS n_unk,
+         CASE WHEN failed THEN CAST({_WORDPIECE_UNK_HASH} AS BIGINT)
+              ELSE hsum END AS hsum
+  FROM walk WHERE p >= length(w)
+  UNION ALL
+  SELECT w, 1, 1, CAST({_WORDPIECE_UNK_HASH} AS BIGINT)
+  FROM words WHERE length(w) > 32
+),
+agg AS (
+  SELECT dw.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(r.n_pieces) AS BIGINT) AS n_pieces,
+         CAST(SUM(r.n_unk) AS BIGINT) AS n_unk,
+         CAST(MAX(r.n_pieces) AS BIGINT) AS max_word_pieces,
+         CAST(SUM(r.hsum) AS BIGINT) AS piece_hash_sum
+  FROM docs_words dw JOIN word_res r USING (w)
+  GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_words, 0) AS n_words,
+       COALESCE(a.n_pieces, 0) AS n_pieces,
+       COALESCE(a.n_unk, 0) AS n_unk,
+       COALESCE(a.max_word_pieces, 0) AS max_word_pieces,
+       COALESCE(a.piece_hash_sum, 0) AS piece_hash_sum
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("text_wordpiece_tokens", _WORDPIECE_STATS)
+def text_wordpiece_tokens_q(spark, sf_dir):
+    """WordPiece subword tokenization (operators/wordpiece.py — BERT's
+    greedy longest-match-first with whole-word [UNK] fallback and the
+    max-chars guard, r10): token budgets and packing lengths need a
+    REAL subword tokenizer, not the whitespace proxy.  The vocabulary
+    is corpus-derived and deterministic (a..o single chars in raw and
+    ## continuation form + the 10 most frequent words, count desc /
+    word asc — exact integer tie-break), so words with characters past
+    'o' that miss the whole-word table exercise the [UNK] path.  The
+    engine walks words in one Arrow pass (vocab + word memo in the
+    closure, BPE-bound driver traffic: 10 collected rows — a top-10
+    table on a 31-word synthetic vocabulary leaves two thirds of all
+    words to the multi-piece char walk, so longest-match, continuation
+    and [UNK] paths all execute under the driver hash); the oracle
+    replays the SAME maximal munch as a recursive CTE over
+    (word, position) states joined to the longest match per state —
+    the per-doc 32-bit piece-hash sum pins piece IDENTITY cross-engine,
+    not just counts."""
+    from cloud_optimized_data_pipelines_spark.operators.wordpiece import (
+        wordpiece_stats,
+        wordpiece_vocab_from_corpus,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    vocab = wordpiece_vocab_from_corpus(
+        docs, "text", top_k=10, base_chars=_WORDPIECE_CHARS
+    )
+    return wordpiece_stats(docs, "doc_id", "text", vocab)
+
+
 @query("text_ngram_repetition", _NGRAM_REPETITION)
 def text_ngram_repetition_q(spark, sf_dir):
     """Gopher repetition coverage (operators/quality.py::
