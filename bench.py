@@ -164,6 +164,8 @@ ADDITIONS_R10 = [
     "multimodal_wav_ms_adpcm",
     # WordPiece subword tokenizer (BERT maximal munch) stats
     "text_wordpiece_tokens",
+    # arithmetic-coded JPEG (T.81 Annex D QM-coder) real-bytes probe
+    "multimodal_jpeg_arithmetic",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

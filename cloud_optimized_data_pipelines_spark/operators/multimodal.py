@@ -1319,6 +1319,83 @@ def jpeg_lossless_probe_table(spark, variants: int = 8) -> DataFrame:
     return spark.range(int(variants)).mapInPandas(gen, JPEGLL_PROBE_SCHEMA)
 
 
+JPEG_ARITH_PROBE_SCHEMA = (
+    "variant bigint, jpeg_md5 string, px_sum bigint, width bigint, "
+    "height bigint, channels bigint, saved_bytes bigint"
+)
+
+
+def _jpeg_arith_variant(v: int) -> dict:
+    """One deterministic ARITHMETIC-coded JPEG conversion
+    (operators/jpeg_arith.py — T.81 Annex D QM-coder + Annex F models,
+    SOF9; a named stub through r9): the DC-exact uniform-even-block
+    raster ``val(b) = 2*((b*(v+3)) % 109) + 16``, encoded with the
+    arithmetic entropy coder, decoded back through the full
+    QM-decode -> dequant -> IDCT path, and DOUBLE-guarded: the round
+    trip must be bit-exact (DC-exact construction), and the HUFFMAN
+    twin of the same image must decode to the identical array while
+    the arithmetic stream is strictly smaller (the entropy win is the
+    format's reason to exist; ``saved_bytes`` pins both streams'
+    sizes).  Variants 0-3 grayscale; 4-7 COLOR with R=G=B (exact JFIF
+    transform), 6-7 with 4:2:0 subsampling (flat chroma stays exact
+    under the box filter), so the 3-component interleave and the
+    subsampled MCU layout both ride the arithmetic byte stream.
+    Spec-conformance of the coder itself is pinned by
+    test_jpeg_arith.py's REAL-libjpeg cross-decode."""
+    from cloud_optimized_data_pipelines_spark.operators.jpeg_arith import (
+        decode_jpeg_arith,
+        encode_jpeg_arith,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    ch = 1 if v % 8 < 4 else 3
+    sub = "420" if v % 8 >= 6 else "444"
+    gray = np.zeros((_JPEG_H, _JPEG_W), dtype=np.uint8)
+    for b in range(64):
+        by, bx = divmod(b, 8)
+        gray[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+            2 * ((b * (v + 3)) % 109) + 16
+        )
+    arr = gray if ch == 1 else np.repeat(gray[:, :, None], 3, axis=2)
+    jpg = encode_jpeg_arith(arr, subsampling=sub)
+    dec = decode_jpeg_arith(jpg)
+    if not np.array_equal(dec, arr):  # pragma: no cover - codec guard
+        raise RuntimeError(
+            f"jpeg arith variant {v}: DC-exact round-trip mismatch"
+        )
+    huff = (
+        encode_jpeg(arr, subsampling=sub) if ch == 3 else encode_jpeg(arr)
+    )
+    if not np.array_equal(decode_jpeg(huff), dec):  # pragma: no cover
+        raise RuntimeError(f"jpeg arith variant {v}: huffman twin differs")
+    if len(jpg) >= len(huff):  # pragma: no cover - codec guard
+        raise RuntimeError(f"jpeg arith variant {v}: no entropy win")
+    return {
+        "variant": v,
+        "jpeg_md5": hashlib.md5(jpg).hexdigest(),
+        "px_sum": int(dec.sum(dtype=np.int64)),
+        "width": _JPEG_W,
+        "height": _JPEG_H,
+        "channels": ch,
+        "saved_bytes": len(huff) - len(jpg),
+    }
+
+
+def jpeg_arith_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_jpeg_arith_variant(int(x)) for x in pdf["id"]]
+            )
+
+    return spark.range(int(variants)).mapInPandas(
+        gen, JPEG_ARITH_PROBE_SCHEMA
+    )
+
+
 def jpeg_probe_table(spark, variants: int = 8) -> DataFrame:
     """Per-variant JPEG encode->decode probes computed ON EXECUTORS
     via Arrow ``mapInPandas`` (same shape as :func:`png_probe_table`)."""

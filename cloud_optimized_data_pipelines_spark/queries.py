@@ -5212,6 +5212,96 @@ JOIN meta m ON m.v = d.doc_id % 8
 """
 
 
+def _jpeg_arith_oracle() -> str:
+    """Oracle for multimodal_jpeg_arithmetic (the _jpeg_probe_oracle
+    pattern): md5 + saved_bytes pinned from a single-process run,
+    px_sum recomputed ARITHMETICALLY from the uniform-block formula
+    val(b) = 2*((b*(v+3)) % 109) + 16 — valid ground truth because the
+    DC-exact construction survives quantization exactly, so decode ==
+    source by construction.  Coder spec conformance (QM-coder, byte
+    stuffing, Annex F models) is separately pinned by the REAL-libjpeg
+    cross-decode in test_jpeg_arith.py — an independent implementation
+    of the same public spec (the audioop precedent)."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _JPEG_H,
+        _JPEG_W,
+        _jpeg_arith_variant,
+    )
+
+    rows = [_jpeg_arith_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['jpeg_md5']}'" for r in rows)
+        + " END"
+    )
+    saved_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(
+            f"WHEN {r['variant']} THEN CAST({r['saved_bytes']} AS BIGINT)"
+            for r in rows
+        )
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
+meta AS (
+  SELECT v, CASE WHEN v % 8 < 4 THEN 1 ELSE 3 END AS channels FROM var
+),
+cells AS (
+  SELECT m.v,
+         CAST(SUM(m.channels * 64 * (2 * ((g.b * (m.v + 3)) % 109) + 16))
+              AS BIGINT) AS px_sum
+  FROM meta m, (SELECT UNNEST(range(0, 64)) AS b) g
+  GROUP BY m.v
+)
+SELECT d.doc_id, d.doc_id % 8 AS variant,
+       {md5_case} AS jpeg_md5,
+       c.px_sum,
+       CAST({_JPEG_W} AS BIGINT) AS width,
+       CAST({_JPEG_H} AS BIGINT) AS height,
+       CAST(m.channels AS BIGINT) AS channels,
+       {saved_case} AS saved_bytes
+FROM documents d
+JOIN cells c ON c.v = d.doc_id % 8
+JOIN meta m ON m.v = d.doc_id % 8
+"""
+
+
+@query("multimodal_jpeg_arithmetic", _jpeg_arith_oracle)
+def multimodal_jpeg_arithmetic_q(spark, sf_dir):
+    """REAL-bytes ARITHMETIC-coded JPEG round trip
+    (operators/jpeg_arith.py — T.81 Annex D QM-coder + Annex F
+    sequential statistical models, SOF9; the codec family's last named
+    entropy-coder stub, closed in r10): per variant a DC-exact raster
+    is encoded with the adaptive binary arithmetic coder, decoded back
+    through the full QM-decode -> dequant -> IDCT chain, verified
+    bit-exact AND equal to its Huffman twin's decode, with the
+    arithmetic stream strictly smaller (saved_bytes pins both sizes).
+    Conformance is independently proven by the container's real
+    libjpeg decoding this encoder's files to the exact pixels of the
+    Huffman twins (test_jpeg_arith.py).  Broadcast per-variant probe;
+    at 100 TB the decode rides the binary-column scan."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        jpeg_arith_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = jpeg_arith_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "jpeg_md5",
+        "px_sum",
+        "width",
+        "height",
+        "channels",
+        "saved_bytes",
+    )
+
+
 @query("multimodal_jpeg_features", _jpeg_probe_oracle)
 def multimodal_jpeg_features_q(spark, sf_dir):
     """REAL-bytes JPEG decode (operators/jpeg_codec.py +
