@@ -9067,89 +9067,83 @@ def dedup_bloom_gated_q(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Registration order.  The driver's correctness harness grades the FIRST
-# 50 registrations only (CORRECTNESS_r01/r02 both cut off at 50).  Round-9
-# policy (VERDICT r8 task #2): finish the never-graded backlog and then
-# re-prove the STALEST ledger rows.  18 slots go to the entries
-# without a driver hash row (the six r8 local-only stragglers plus the
-# twelve new r9 flagships: stac_item_raster, the newly oracle-backed
-# similarity_ivf_topk, the PQ pair, IVFADC, the JL sign projection,
-# the GD-trained classifier, per-modality near-dup for image, audio
-# and video over real codec bytes, and the Deequ-style constraint
-# suite + column profiler), 5 restore the core-pipeline keepers
-# rotated out in r8, 2 keep the ever-green anchors, and the remaining
-# 25 sweep the stalest ledger rows: all 20 whose last green is r2 plus
-# 5 of the 15 r3 entries (agg_modern_functions, agg_percentiles,
-# agg_distinct_by_segment, agg_grouping_sets_orders,
-# events_json_extract, events_hourly_window, unpivot_part_metrics,
-# set_ops_customers, q2_min_cost_supplier and q6_forecast_revenue
-# wait one more round;
-# their families keep in-window representatives — set ops via
-# set_union_distinct r8, TPC-H via the 20 r2 shapes swept here, agg
-# via agg_cube_orders/agg_conditional_pivot).  After this round the never-graded set is empty and nothing
-# driver-graded is older than r3.  Everything demoted past the window stays registered and
-# locally oracle-checked at sf0.001/0.01/0.1 (tools/check_oracle.py
-# covers all entries; COVERAGE.md's ledger records each query's last
-# driver-green round) — the window only decides which rows the driver
-# re-proves.
+# 50 registrations only.  Round-10 policy (VERDICT r9 tasks 1 + 7):
+# 4 slots to the never-driver-green entries (the r9 red-row
+# stac_item_raster, now bbox-string-serialized, plus the three r10
+# flagships: MS-ADPCM, WordPiece, arithmetic JPEG); 9 slots RE-PROVE
+# every query whose implementation changed this round (the CC
+# pre-contraction pair, the rebuilt DSIR pair, the vectorized-Rice
+# szip probe, the fused column profiler + guarded constraint suite,
+# and the two near-dup probes whose generator formulas gained the
+# b//251 decorrelation term — identity for graded variants, re-proven
+# anyway); 10 sweep the r3 staleness band (the rows the r9 rotation
+# deferred) and 15 sweep the ENTIRE r4 band; 2 ever-green anchors,
+# 5 core-pipeline keepers, and 5 r9-flagship family representatives
+# restored per the verdict.  After this round nothing driver-graded
+# is older than r5.  Everything demoted stays registered and locally
+# oracle-checked at sf0.001/0.01/0.1 (tools/check_oracle.py covers all
+# entries; COVERAGE.md's ledger records each query's last driver-green
+# round) — the window only decides which rows the driver re-proves.
 # ---------------------------------------------------------------------------
 
 _GRADED_WINDOW = [
-    # --- never hash-graded (first-ever driver rows) ---
-    "stac_item_raster",           # r9: STAC bbox/geometry/proj/raster parity
-    "similarity_ivf_topk",        # r9: learned-IVF under a DuckDB oracle
-    "similarity_pq_topk",         # r9: product-quantization ADC scan
-    "similarity_pq_refine",       # r9: ADC shortlist + exact re-rank
-    "text_classifier_train",      # r9: GD-trained hashed logistic model
-    "similarity_ivfpq_topk",      # r9: IVFADC (residual PQ in IVF lists)
-    "similarity_random_projection",  # r9: JL sign projection (bit-exact)
-    "multimodal_phash_pairs",     # r9: aHash image dedup over real PNGs
-    "multimodal_audio_near_dup",  # r9: energy-hash audio dedup (real WAVs)
-    "multimodal_video_near_dup",  # r9: temporal aHash video dedup (real AVIs)
-    "quality_constraint_report",  # r9: Deequ-style constraint suite
-    "quality_column_profiles",    # r9: fused column profiling + histograms
-    "dedup_simhash_wide_pairs_fast",
-    "join_lateral_top2_orders",
-    "multimodal_jpeg_lossless",
-    "multimodal_wav_adpcm",
-    "similarity_quantized_topk",
-    "similarity_truncated_rerank",
-    # --- core-pipeline keepers restored after one round out (r8
-    # rotated them for the new-family rows; VERDICT asked them back) ---
+    # --- never driver-green (first-ever rows) ---
+    "stac_item_raster",            # r9 red on bbox serialization; fixed
+    "multimodal_wav_ms_adpcm",     # r10: MS-ADPCM tag-2 decode
+    "text_wordpiece_tokens",       # r10: WordPiece maximal munch
+    "multimodal_jpeg_arithmetic",  # r10: T.81 Annex D QM-coder
+    # --- changed-implementation re-proves (r10 perf/structure work) ---
+    "split_leakage_safe",          # CC pre-contraction + range dedup
+    "dedup_duplicate_clusters",    # same CC path
+    "sample_dsir_weights",         # Arrow features + integer weight sum
+    "sample_dsir_select",          # derives from the same stage
+    "k1_cogify_szip",              # vectorized CCSDS-121 Rice codec
+    "quality_column_profiles",     # fused single-scan histograms
+    "quality_constraint_report",   # empty-rules guard (same agg pass)
+    "multimodal_phash_pairs",      # raster formula b//251 term
+    "multimodal_video_near_dup",   # frame formula b//251 term
+    # --- staleness sweep: the 10 remaining r3 rows ---
+    "agg_modern_functions",
+    "agg_percentiles",
+    "agg_distinct_by_segment",
+    "agg_grouping_sets_orders",
+    "events_json_extract",
+    "events_hourly_window",
+    "unpivot_part_metrics",
+    "set_ops_customers",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    # --- staleness sweep: the ENTIRE r4 band (15) ---
+    "agg_rollup_supplier",
+    "asof_join_last_click",
+    "dedup_exact",
+    "dedup_incremental",
+    "events_retention_cohorts",
+    "j4_collection_join",
+    "join_semi_anti_customers",
+    "multimodal_payload_meta",
+    "rollup_cascade_daily",
+    "similarity_ann_topk",
+    "sketch_quantile_sample",
+    "text_lang_id",
+    "text_quality",
+    "text_train_val_split",
+    "window_topk_per_customer",
+    # --- ever-green anchors ---
+    "c1_extract_dates",
+    "streaming_dlq_routing",
+    # --- core-pipeline keepers ---
     "s2_discovery_enrich",
     "s4_link_explode",
     "j1_config_join",
     "k2_spill_flag",
     "pipeline_corpus_preprocess",
-    # --- ever-green anchors ---
-    "c1_extract_dates",
-    "streaming_dlq_routing",
-    # --- staleness sweep: every ledger row last green in r2 (20) ---
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_lines_priority",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    "q20_promo_suppliers",
-    "q22_idle_customers",
-    "sort_limit_top20_orders",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "events_dedup_first_per_key",
-    # --- staleness sweep: every ledger row last green in r3 (15) ---
-    "agg_cube_orders",
-    "dedup_lsh_verified",
-    "events_funnel_conversion",
-    "window_rank_functions",
-    "window_running_total",
+    # --- r9 flagship family representatives (verdict task 7) ---
+    "similarity_pq_topk",
+    "similarity_ivfpq_topk",
+    "text_classifier_train",
+    "similarity_ivf_topk",
+    "multimodal_audio_near_dup",
 ]
 
 
