@@ -38,13 +38,18 @@ def con():
     return c
 
 
-def test_duck_type_ok_rejects_hugeint_and_decimal():
+def test_duck_type_ok_rejects_hugeint_decimal_and_lists():
     assert duck_type_ok("BIGINT")
     assert duck_type_ok("DOUBLE")
-    assert duck_type_ok("VARCHAR[]")
-    assert duck_type_ok("BIGINT[][]")
     assert not duck_type_ok("HUGEINT")
     assert not duck_type_ok("DECIMAL(38,2)")
+    # lists are NOT portable as OUTPUT columns (r10 hardening): the
+    # driver's canonicalizer sorts raw pandas columns and list cells
+    # raise TypeError — how r9's stac_item_raster went red despite
+    # passing the local checker, whose old "arrays of portable types
+    # are portable" rule hid exactly this failure mode
+    assert not duck_type_ok("VARCHAR[]")
+    assert not duck_type_ok("BIGINT[][]")
     assert not duck_type_ok("HUGEINT[]")
 
 
