@@ -166,6 +166,10 @@ ADDITIONS_R10 = [
     "text_wordpiece_tokens",
     # arithmetic-coded JPEG (T.81 Annex D QM-coder) real-bytes probe
     "multimodal_jpeg_arithmetic",
+    # integer-exact embedding outlier screen + the upgraded (formerly
+    # rows-only) generic feature-extraction plumbing
+    "similarity_embedding_outliers",
+    "multimodal_extract_features",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

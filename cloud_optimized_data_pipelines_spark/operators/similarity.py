@@ -1479,3 +1479,81 @@ def _assign_lists_udf(centroids: list[list[float]]):
         return pd.Series(_seq_sqdist_argmin(X, C).astype("int32"))
 
     return lid
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    top_k: int = 20,
+    scale: int = 1_000_000,
+    z_extreme: float = 3.0,
+) -> DataFrame:
+    """Per-dimension standardized-distance outlier screen for an
+    embedding column — the sanity gate a corpus pipeline runs before
+    trusting vectors for dedup/retrieval (degenerate encoders, wrong
+    normalization, truncated arrays and NaN-adjacent garbage all
+    surface as extreme per-dimension z-scores).
+
+    Exactness recipe (fully SQL-replicable, NO rounding of any float
+    reduction): every component is integer-quantized first
+    (``round(x * scale)`` as BIGINT), so the per-dimension sums and
+    sum-of-squares are EXACT integers — order-independent on any
+    engine — and mean/variance/std derive from those integers with
+    identical IEEE double arithmetic on both sides.  The per-row score
+    ``sum_d z_d^2`` is the DSIR pattern: each term rounded to 9 digits,
+    integer-scaled 1e9 and SUMMED AS BIGINT (partial-aggregable,
+    order-independent), divided once at the end.
+
+    Scale shape: one explode + per-dim aggregate (64 rows out), one
+    broadcast join back, one per-row aggregate — two shuffles total,
+    both map-side combined; top-k is a TakeOrderedAndProject.
+    Dimensions with zero variance contribute 0 (guarded, not NaN).
+
+    Returns the ``top_k`` rows by score: ``(id, z2_score,
+    n_extreme_dims)`` where ``n_extreme_dims`` counts |z| >
+    ``z_extreme``.  Deterministic total order (score-sum desc, id asc).
+    """
+    q = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(float(scale)), 0)
+            .cast("long"),
+        ).alias("_xi"),
+    )
+    ex = q.select("_id", F.posexplode("_xi").alias("_p", "_x"))
+    stats = ex.groupBy("_p").agg(
+        F.sum("_x").alias("_s1"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_s2"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    mean = F.col("_s1").cast("double") / F.col("_n").cast("double")
+    var = (
+        F.col("_s2").cast("double") / F.col("_n").cast("double")
+        - mean * mean
+    )
+    z = F.when(
+        var > 0,
+        (F.col("_x").cast("double") - mean) / F.sqrt(var),
+    ).otherwise(F.lit(0.0))
+    terms = ex.join(F.broadcast(stats), "_p").select(
+        "_id",
+        F.round(z * z * F.lit(1e9), 0).cast("long").alias("_t9"),
+        F.when(F.abs(z) > F.lit(float(z_extreme)), 1)
+        .otherwise(0)
+        .alias("_ext"),
+    )
+    per = terms.groupBy("_id").agg(
+        F.sum("_t9").alias("_z2_9"),
+        F.sum("_ext").cast("long").alias("n_extreme_dims"),
+    )
+    return (
+        per.orderBy(F.col("_z2_9").desc(), F.col("_id"))
+        .limit(int(top_k))
+        .select(
+            F.col("_id").alias(id_col),
+            (F.col("_z2_9").cast("double") / F.lit(1e9)).alias("z2_score"),
+            "n_extreme_dims",
+        )
+    )

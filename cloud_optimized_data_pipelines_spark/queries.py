@@ -6125,11 +6125,110 @@ def multimodal_wav_downsample_q(spark, sf_dir):
     )
 
 
-@query("multimodal_extract_features")
+_EMBEDDING_OUTLIERS = """
+WITH xi AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS p, UNNEST(v) AS x
+  FROM xi
+),
+stats AS (
+  SELECT p, CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex GROUP BY p
+),
+terms AS (
+  SELECT e.vec_id,
+         CASE WHEN (s.s2::DOUBLE / s.n
+                    - (s.s1::DOUBLE / s.n) * (s.s1::DOUBLE / s.n)) > 0
+              THEN (e.x::DOUBLE - s.s1::DOUBLE / s.n)
+                   / sqrt(s.s2::DOUBLE / s.n
+                          - (s.s1::DOUBLE / s.n) * (s.s1::DOUBLE / s.n))
+              ELSE 0.0 END AS z
+  FROM ex e JOIN stats s USING (p)
+),
+per AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(round(z * z * 1e9) AS BIGINT)) AS BIGINT) AS z2_9,
+         CAST(SUM(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_extreme_dims
+  FROM terms GROUP BY vec_id
+)
+SELECT vec_id, CAST(z2_9 AS DOUBLE) / 1e9 AS z2_score, n_extreme_dims
+FROM per ORDER BY z2_9 DESC, vec_id LIMIT 20
+"""
+
+
+@query("similarity_embedding_outliers", _EMBEDDING_OUTLIERS)
+def similarity_embedding_outliers_q(spark, sf_dir):
+    """Embedding-quality outlier screen (operators/similarity.py::
+    embedding_outliers, r10): top-20 vectors by per-dimension
+    standardized distance — the sanity gate before trusting an
+    embedding drop for dedup/retrieval.  Fully deterministic with NO
+    rounded float reduction anywhere: components integer-quantize
+    first, so the per-dim moment sums are exact integers on both
+    engines; the per-row score is the DSIR-style integer-scaled term
+    sum.  Two map-side-combined shuffles + a TakeOrderedAndProject."""
+    from cloud_optimized_data_pipelines_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return embedding_outliers(t["embeddings"], "vec_id", "embedding")
+
+
+_EXTRACT_FEATURES = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS asset_id, text,
+         GREATEST(length(text), 1) AS total
+  FROM documents
+),
+bytes AS (
+  SELECT asset_id,
+         ascii(substr(text, UNNEST(range(1, length(text) + 1))::INT, 1)) % 16
+           AS bk
+  FROM base
+),
+cnt AS (SELECT asset_id, bk, COUNT(*) AS c FROM bytes GROUP BY asset_id, bk),
+grid AS (
+  SELECT bg.asset_id, bg.total, bg.h, COALESCE(c.c, 0) AS c
+  FROM (
+    SELECT b.asset_id, b.total, g.h
+    FROM base b CROSS JOIN (SELECT UNNEST(range(0, 16)) AS h) g
+  ) bg
+  LEFT JOIN cnt c ON c.asset_id = bg.asset_id AND c.bk = bg.h
+),
+feat AS (
+  SELECT asset_id,
+         string_agg(printf('%.9f', c::DOUBLE / total), ',' ORDER BY h)
+           AS features_csv
+  FROM grid GROUP BY asset_id
+)
+SELECT b.asset_id,
+       'text' AS modality,
+       CAST(length(b.text) AS BIGINT) AS n_bytes,
+       sha256(b.text) AS sha256,
+       f.features_csv
+FROM base b JOIN feat f USING (asset_id)
+"""
+
+
+@query("multimodal_extract_features", _EXTRACT_FEATURES)
 def multimodal_features_q(spark, sf_dir):
-    """Arrow-batched mapInPandas feature extraction over binary payloads
-    (deterministic stub decoder — container has no image/audio libs).
-    Python UDF stage: not SQL-expressible, rows-only check."""
+    """Arrow-batched mapInPandas feature extraction over binary
+    payloads (deterministic 16-bin byte-histogram decoder — the
+    real-codec paths are graded by the per-format probes; this query
+    grades the generic extraction PLUMBING: schema, batching, sha256,
+    normalization).  Upgraded from rows-only in r10: the features
+    serialize to a fixed-precision CSV string (the scalar-output rule)
+    and the oracle recomputes the histogram arithmetically from the
+    text bytes plus DuckDB's own sha256 — full value-hash coverage for
+    what was the registry's last upgradable rows-only entry."""
     from cloud_optimized_data_pipelines_spark.operators.multimodal import (
         extract_features,
     )
@@ -6140,7 +6239,18 @@ def multimodal_features_q(spark, sf_dir):
         F.lit("text").alias("modality"),
         F.col("text").cast("binary").alias("payload"),
     )
-    return extract_features(assets)
+    return extract_features(assets).select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        "sha256",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "features", lambda x: F.format_string("%.9f", x)
+            ),
+        ).alias("features_csv"),
+    )
 
 
 _SESSIONIZE = """
