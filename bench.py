@@ -170,6 +170,8 @@ ADDITIONS_R10 = [
     # rows-only) generic feature-extraction plumbing
     "similarity_embedding_outliers",
     "multimodal_extract_features",
+    # portable own-implementation HLL (oracle-replicable registers)
+    "sketch_hll_portable",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

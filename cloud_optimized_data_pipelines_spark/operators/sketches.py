@@ -308,3 +308,87 @@ def bloom_contains(
         *probes.columns,
         (F.col("_nhit") == k_hashes).alias("maybe_present"),
     )
+
+
+def portable_hll_registers(
+    df: DataFrame,
+    key,
+    dims: Sequence[str] = (),
+    p: int = 12,
+) -> DataFrame:
+    """Own-implementation HyperLogLog register table (Flajolet et al.
+    2007) with a fully PORTABLE construction — unlike the opaque
+    DataSketches binary of :func:`hll_partial`, every step is md5 +
+    integer arithmetic that a SQL oracle replays exactly:
+
+    - bucket  = first ``p/4`` hex chars of ``md5(key)`` (p bits);
+    - w       = the NEXT 13 hex chars as a 52-bit integer (double-safe
+      and BIGINT-safe on every engine);
+    - rank    = leading zeros of w within 52 bits + 1
+      (= ``53 - bitlength(w)``; w == 0 -> 53);
+    - register M_j = MAX(rank) per (dims, bucket) — a plain map-side-
+      combinable aggregate, so partials merge with GROUP BY + MAX
+      (the sketch's defining property, same as any production HLL).
+    """
+    if p % 4:
+        raise ValueError("p must be a multiple of 4 (hex-nibble buckets)")
+    h = F.md5(F.col(key).cast("string"))
+    bucket = F.conv(F.substring(h, 1, p // 4), 16, 10).cast("long")
+    w = F.conv(F.substring(h, p // 4 + 1, 13), 16, 10).cast("long")
+    rank = F.when(w == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (
+        df.select(*dims, bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy(*dims, "bucket")
+        .agg(F.max("rank").cast("long").alias("register"))
+    )
+
+
+def portable_hll_estimate(
+    registers: DataFrame,
+    dims: Sequence[str] = (),
+    p: int = 12,
+) -> DataFrame:
+    """HLL cardinality estimate from :func:`portable_hll_registers`
+    output: ``raw = alpha_m * m^2 / sum_j 2^-M_j`` with the standard
+    linear-counting small-range correction (``raw <= 2.5m`` and empty
+    buckets present -> ``m * ln(m / zeros)``).
+
+    Determinism: every ``2^-M_j`` is an exact power of two, summed by
+    a LEFT FOLD over the bucket-sorted register list (empty buckets
+    contribute the fold's init, ``(m - present) * 1.0``) — identical
+    accumulation order on both engines; the final estimate is rounded
+    to 6 digits because ``ln`` differs by 1 ulp between the JVM and
+    libm (the unigram_logprob trap).  The 64-bit-hash large-range
+    correction is intentionally omitted (irrelevant below ~2^50)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    grouped = registers.groupBy(*dims).agg(
+        F.count(F.lit(1)).cast("long").alias("present"),
+        F.sum(F.when(F.col("register") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("_zero_regs"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "register"))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.lit(1.0) / F.pow(F.lit(2.0), x["register"].cast("double")),
+        ).alias("_s_present"),
+    )
+    s = (F.lit(float(m)) - F.col("present").cast("double")) + F.col(
+        "_s_present"
+    )
+    zeros = F.lit(m) - F.col("present") + F.col("_zero_regs")
+    raw = F.lit(alpha * m * m) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m))
+        * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return grouped.select(
+        *dims,
+        F.round(est, 6).alias("distinct_est"),
+        F.col("present").alias("buckets_used"),
+        zeros.cast("long").alias("empty_buckets"),
+    )

@@ -6844,6 +6844,97 @@ def sketch_cms_heavy_q(spark, sf_dir):
     return SK.cms_probe(sketch, top, "user_id", depth=4, width=512)
 
 
+_HLL_PORTABLE = """
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS k
+  FROM events WHERE user_id IS NOT NULL
+),
+h AS (
+  SELECT event_type, day,
+         ('0x' || substr(md5(k), 1, 3))::BIGINT AS bucket,
+         ('0x' || substr(md5(k), 4, 13))::BIGINT AS w
+  FROM ev
+),
+daily AS (
+  SELECT event_type, day, bucket,
+         MAX(CASE WHEN w = 0 THEN 53
+                  ELSE 53 - length(bin(w)) END) AS register
+  FROM h GROUP BY event_type, day, bucket
+),
+merged AS (
+  SELECT event_type, bucket, MAX(register) AS register
+  FROM daily GROUP BY event_type, bucket
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS present,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(
+               list_sort(list(struct_pack(b := bucket, r := register))),
+               s -> 1.0 / power(2.0, s.r::DOUBLE))),
+           (a, b) -> a + b) AS s_present
+  FROM merged GROUP BY event_type
+),
+est AS (
+  SELECT event_type, present,
+         (4096.0 - present) + s_present AS s,
+         CAST(4096 - present AS BIGINT) AS zeros
+  FROM agg
+),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_type,
+       round(CASE WHEN 12098218.894406674 / e.s <= 10240.0 AND e.zeros > 0
+                  THEN 4096.0 * ln(4096.0 / e.zeros::DOUBLE)
+                  ELSE 12098218.894406674 / e.s END, 6) AS distinct_est,
+       e.present AS buckets_used,
+       e.zeros AS empty_buckets,
+       x.n_exact
+FROM est e JOIN ex x USING (event_type)
+"""
+
+
+@query("sketch_hll_portable", _HLL_PORTABLE)
+def sketch_hll_portable_q(spark, sf_dir):
+    """PORTABLE own-implementation HyperLogLog (operators/sketches.py::
+    portable_hll_registers/portable_hll_estimate, r10): per-day
+    register partials MERGED across days by GROUP BY + MAX — the
+    sketch's defining mergeability, the production distinct-count
+    rollup shape — with every step (md5 bucketing, 52-bit rank,
+    power-of-two fold in bucket order, linear-counting correction)
+    exactly replayed by the DuckDB oracle.  The DataSketches twin
+    (sketch_hll_daily_uniques) keeps the opaque-binary production
+    path; THIS query puts the HLL math itself under the value hash,
+    with the exact distinct count joined alongside as the
+    self-audit."""
+    from cloud_optimized_data_pipelines_spark.operators import sketches as SK
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    daily = SK.portable_hll_registers(
+        ev.withColumn("day", F.to_date("ts")),
+        "user_id",
+        dims=("event_type", "day"),
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.max("register").alias("register")
+    )
+    est = SK.portable_hll_estimate(merged, dims=("event_type",))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "distinct_est",
+        "buckets_used",
+        "empty_buckets",
+        "n_exact",
+    )
+
+
 @query("sketch_hll_daily_uniques")
 def sketch_hll_daily_q(spark, sf_dir):
     """Production-path distinct rollup: per-day DataSketches HLL
