@@ -9280,8 +9280,13 @@ def dedup_bloom_gated_q(spark, sf_dir):
 # anyway); 10 sweep the r3 staleness band (the rows the r9 rotation
 # deferred) and 15 sweep the ENTIRE r4 band; 2 ever-green anchors,
 # 5 core-pipeline keepers, and 5 r9-flagship family representatives
-# restored per the verdict.  After this round nothing driver-graded
-# is older than r5.  Everything demoted stays registered and locally
+# restored per the verdict.  Late-round swap: the three post-rotation
+# flagships (embedding outliers, the upgraded extract_features, the
+# portable HLL) take the slots of three r4 rows whose families keep
+# in-window representatives (j4/join via 5 join entries,
+# rollup_cascade via agg_rollup_supplier, payload_meta via the 5
+# multimodal probes) — the never-driver-green set ends the round
+# EMPTY and nothing driver-graded is older than r4.  Everything demoted stays registered and locally
 # oracle-checked at sf0.001/0.01/0.1 (tools/check_oracle.py covers all
 # entries; COVERAGE.md's ledger records each query's last driver-green
 # round) — the window only decides which rows the driver re-proves.
@@ -9314,16 +9319,17 @@ _GRADED_WINDOW = [
     "set_ops_customers",
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
-    # --- staleness sweep: the ENTIRE r4 band (15) ---
+    # --- r10 late flagships (never driver-graded) ---
+    "similarity_embedding_outliers",
+    "multimodal_extract_features",
+    "sketch_hll_portable",
+    # --- staleness sweep: the r4 band (12 of 15; see swap note) ---
     "agg_rollup_supplier",
     "asof_join_last_click",
     "dedup_exact",
     "dedup_incremental",
     "events_retention_cohorts",
-    "j4_collection_join",
     "join_semi_anti_customers",
-    "multimodal_payload_meta",
-    "rollup_cascade_daily",
     "similarity_ann_topk",
     "sketch_quantile_sample",
     "text_lang_id",
