@@ -23,9 +23,11 @@ Everything here is implemented from the PUBLIC spec:
   (DC: 49 states incl. X1=20; AC: 245 states incl. the 189/217
   magnitude areas).
 
-DAC segments are omitted (the defaults above apply, per the spec);
-restart intervals are out of scope for this writer (decode raises a
-named error on DRI + SOF9).
+DAC segments are omitted (the defaults above apply, per the spec).
+Restart intervals are fully supported (r10): each interval flushes the
+coder, emits RSTn, and re-initializes coder state, statistics areas,
+DC predictors and conditioning — independently decodable per spec, and
+covered by the libjpeg cross-check.
 
 The DCT/quantization/MCU plumbing is shared with
 :mod:`operators.jpeg_codec` — the Huffman and arithmetic files carry
@@ -415,12 +417,23 @@ def _decode_ac(dec, ac_st, fixed, zz):
 # ---------------------------------------------------------------------------
 
 
-def encode_jpeg_arith(arr: np.ndarray, subsampling: str = "444") -> bytes:
+def encode_jpeg_arith(
+    arr: np.ndarray,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """Encode uint8 grayscale (H,W)/(H,W,1) or RGB (H,W,3) as an
     ARITHMETIC-coded sequential JPEG (SOF9) — identical quantized
     coefficients to :func:`jpeg_codec.encode_jpeg` for the same input
     (the libjpeg cross-check test pins exactly that), only the entropy
-    layer differs.  Default conditioning (no DAC segment)."""
+    layer differs.  Default conditioning (no DAC segment).
+
+    ``restart_interval`` > 0 emits DRI + an RSTn marker every N MCUs:
+    per the spec each interval is independently decodable, so the
+    arithmetic coder FLUSHES at the boundary and coder state,
+    statistics areas, DC predictors and DC conditioning all
+    re-initialize after the marker (F.1.4; the libjpeg cross-check
+    covers this path too)."""
     if arr.dtype != np.uint8:
         raise ValueError(f"uint8 input required, got {arr.dtype}")
     if subsampling not in _SUBSAMPLING:
@@ -457,6 +470,8 @@ def encode_jpeg_arith(arr: np.ndarray, subsampling: str = "444") -> bytes:
         chf, cvf = samp[ci]
         sof += bytes([ci + 1, (chf << 4) | cvf, tsel[ci]])
     out += _seg(0xFFC9, sof)  # SOF9: arithmetic sequential DCT
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, (tsel[ci] << 4) | tsel[ci]])
@@ -475,15 +490,33 @@ def encode_jpeg_arith(arr: np.ndarray, subsampling: str = "444") -> bytes:
         )
         stored.append(p)
 
-    enc = ArithEncoder()
     ntab = len(quants)
-    dc_stats = [bytearray(64) for _ in range(ntab)]
-    ac_stats = [bytearray(256) for _ in range(ntab)]
-    fixed = bytearray([_FIXED])
-    pred = [0] * ncomp
-    dc_ctx = [0] * ncomp
+
+    def fresh_state():
+        return (
+            ArithEncoder(),
+            [bytearray(64) for _ in range(ntab)],
+            [bytearray(256) for _ in range(ntab)],
+            bytearray([_FIXED]),
+            [0] * ncomp,
+            [0] * ncomp,
+        )
+
+    enc, dc_stats, ac_stats, fixed, pred, dc_ctx = fresh_state()
+    mcu = 0
     for my in range(mcu_rows):
         for mx in range(mcu_cols):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # independently decodable interval: flush the coder,
+                # emit RSTn (D0..D7 cycling), re-init EVERYTHING
+                out += enc.getvalue()
+                out += bytes(
+                    [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]
+                )
+                enc, dc_stats, ac_stats, fixed, pred, dc_ctx = (
+                    fresh_state()
+                )
+            mcu += 1
             for ci in range(ncomp):
                 t = tsel[ci]
                 chf, cvf = samp[ci]
@@ -517,6 +550,7 @@ def decode_jpeg_arith(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     frame = None
     dac_seen = False
+    restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -559,9 +593,7 @@ def decode_jpeg_arith(data: bytes) -> np.ndarray:
         elif marker == 0xCC:  # DAC: non-default conditioning
             dac_seen = True
         elif marker == 0xDD:
-            raise NotImplementedError(
-                "restart intervals with arithmetic coding unsupported"
-            )
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("SOS before SOF9")
@@ -594,15 +626,56 @@ def decode_jpeg_arith(data: bytes) -> np.ndarray:
                 )
                 for (_, _, chf, cvf) in scan
             ]
-            dec = ArithDecoder(data, pos)
             ntab = max(c[1] for c in scan) + 1
-            dc_stats = [bytearray(64) for _ in range(ntab)]
-            ac_stats = [bytearray(256) for _ in range(ntab)]
-            fixed = bytearray([_FIXED])
-            pred = [0] * ns
-            dc_ctx = [0] * ns
+
+            def fresh(start_pos):
+                return (
+                    ArithDecoder(data, start_pos),
+                    [bytearray(64) for _ in range(ntab)],
+                    [bytearray(256) for _ in range(ntab)],
+                    bytearray([_FIXED]),
+                    [0] * ns,
+                    [0] * ns,
+                )
+
+            dec, dc_stats, ac_stats, fixed, pred, dc_ctx = fresh(pos)
+            mcu = 0
             for my in range(mcu_rows):
                 for mx in range(mcu_cols):
+                    if (
+                        restart_interval
+                        and mcu
+                        and mcu % restart_interval == 0
+                    ):
+                        # find the next marker at/after the decoder
+                        # position: the decoder reads lazily, so
+                        # unconsumed interval bytes (and stuffed
+                        # FF 00s / FF fill bytes per B.1.1.2) may sit
+                        # between dec.pos and the RSTn
+                        p = dec.pos
+                        while p + 1 < len(data):
+                            if data[p] != 0xFF:
+                                p += 1
+                            elif data[p + 1] == 0x00:
+                                p += 2  # stuffed data byte
+                            elif data[p + 1] == 0xFF:
+                                p += 1  # fill byte
+                            else:
+                                break  # a real marker
+                        if not (
+                            p + 1 < len(data)
+                            and data[p] == 0xFF
+                            and 0xD0 <= data[p + 1] <= 0xD7
+                        ):
+                            raise ValueError(
+                                "jpeg-arith: RSTn expected at MCU "
+                                f"{mcu} (restart interval "
+                                f"{restart_interval})"
+                            )
+                        dec, dc_stats, ac_stats, fixed, pred, dc_ctx = (
+                            fresh(p + 2)
+                        )
+                    mcu += 1
                     for ci, (_, tq, chf, cvf) in enumerate(scan):
                         for sy in range(cvf):
                             for sx in range(chf):

@@ -1353,6 +1353,7 @@ def _jpeg_arith_variant(v: int) -> dict:
 
     ch = 1 if v % 8 < 4 else 3
     sub = "420" if v % 8 >= 6 else "444"
+    restart = 2 if v % 4 >= 2 else 0  # RSTn + full re-init mid-stream
     gray = np.zeros((_JPEG_H, _JPEG_W), dtype=np.uint8)
     for b in range(64):
         by, bx = divmod(b, 8)
@@ -1360,14 +1361,16 @@ def _jpeg_arith_variant(v: int) -> dict:
             2 * ((b * (v + 3)) % 109) + 16
         )
     arr = gray if ch == 1 else np.repeat(gray[:, :, None], 3, axis=2)
-    jpg = encode_jpeg_arith(arr, subsampling=sub)
+    jpg = encode_jpeg_arith(arr, subsampling=sub, restart_interval=restart)
     dec = decode_jpeg_arith(jpg)
     if not np.array_equal(dec, arr):  # pragma: no cover - codec guard
         raise RuntimeError(
             f"jpeg arith variant {v}: DC-exact round-trip mismatch"
         )
     huff = (
-        encode_jpeg(arr, subsampling=sub) if ch == 3 else encode_jpeg(arr)
+        encode_jpeg(arr, subsampling=sub, restart_interval=restart)
+        if ch == 3
+        else encode_jpeg(arr, restart_interval=restart)
     )
     if not np.array_equal(decode_jpeg(huff), dec):  # pragma: no cover
         raise RuntimeError(f"jpeg arith variant {v}: huffman twin differs")

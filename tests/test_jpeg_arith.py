@@ -145,23 +145,31 @@ def test_libjpeg_independently_decodes_arith_files():
     pixels it produces for the Huffman twins."""
     rng = np.random.default_rng(3)
     cases = [
-        (rng.integers(0, 256, (24, 32), dtype=np.uint8), "444"),
-        (rng.integers(0, 256, (24, 32, 3), dtype=np.uint8), "444"),
-        (rng.integers(0, 256, (33, 41, 3), dtype=np.uint8), "420"),
+        (rng.integers(0, 256, (24, 32), dtype=np.uint8), "444", 0),
+        (rng.integers(0, 256, (24, 32, 3), dtype=np.uint8), "444", 0),
+        (rng.integers(0, 256, (33, 41, 3), dtype=np.uint8), "420", 0),
         (
             (np.add.outer(np.arange(48), np.arange(64)) % 256).astype(
                 np.uint8
             ),
             "444",
+            0,
         ),
+        # restart-interval files through the independent decoder too
+        (rng.integers(0, 256, (24, 32), dtype=np.uint8), "444", 2),
+        (rng.integers(0, 256, (33, 41, 3), dtype=np.uint8), "420", 2),
     ]
-    for img, sub in cases:
+    for img, sub, ri in cases:
         h, w = img.shape[:2]
         nc = 3 if img.ndim == 3 else 1
         huff = (
-            encode_jpeg(img, subsampling=sub) if nc == 3 else encode_jpeg(img)
+            encode_jpeg(img, subsampling=sub, restart_interval=ri)
+            if nc == 3
+            else encode_jpeg(img, restart_interval=ri)
         )
-        arith = encode_jpeg_arith(img, subsampling=sub)
+        arith = encode_jpeg_arith(
+            img, subsampling=sub, restart_interval=ri
+        )
         open("/tmp/_ta_h.jpg", "wb").write(huff)
         open("/tmp/_ta_a.jpg", "wb").write(arith)
         mh = _libjpeg_md5("/tmp/_ta_h.jpg", h, w, nc)
@@ -169,15 +177,48 @@ def test_libjpeg_independently_decodes_arith_files():
         assert mh == ma, (img.shape, sub)
 
 
+def test_arith_restart_intervals():
+    """DRI + RSTn with arithmetic coding: each interval flushes the
+    coder and re-initializes coder state, statistics and DC
+    predictors — decode of the restart file equals the Huffman twin's
+    decode (same coefficients) for gray/color/subsampled shapes, and
+    libjpeg independently agrees (covered in the cross-check test)."""
+    rng = np.random.default_rng(9)
+    for shape, sub, ri in [
+        ((24, 32), "444", 2),
+        ((48, 64), "444", 3),
+        ((33, 41, 3), "420", 2),
+        ((24, 32, 3), "444", 1),
+    ]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        arith = encode_jpeg_arith(img, subsampling=sub, restart_interval=ri)
+        huff = (
+            encode_jpeg(img, restart_interval=ri, subsampling=sub)
+            if img.ndim == 3
+            else encode_jpeg(img, restart_interval=ri)
+        )
+        assert np.array_equal(decode_jpeg_arith(arith), decode_jpeg(huff))
+    # a corrupted interval boundary raises a named error
+    blob = bytearray(
+        encode_jpeg_arith(
+            rng.integers(0, 256, (24, 32), dtype=np.uint8),
+            restart_interval=2,
+        )
+    )
+    i = blob.find(b"\xff\xd0")
+    if i < 0:
+        i = next(
+            j for j in range(len(blob) - 1)
+            if blob[j] == 0xFF and 0xD0 <= blob[j + 1] <= 0xD7
+        )
+    blob[i + 1] = 0xD9  # turn the first RSTn into EOI
+    with pytest.raises(ValueError, match="RSTn expected"):
+        decode_jpeg_arith(bytes(blob))
+
+
 def test_arith_named_errors():
     rng = np.random.default_rng(1)
     img = rng.integers(0, 256, (8, 8), dtype=np.uint8)
-    blob = bytearray(encode_jpeg_arith(img))
-    # splice a DRI segment after SOI: restarts are out of scope
-    dri = b"\xff\xdd\x00\x04\x00\x08"
-    with_dri = bytes(blob[:2]) + dri + bytes(blob[2:])
-    with pytest.raises(NotImplementedError, match="restart"):
-        decode_jpeg_arith(with_dri)
     with pytest.raises(ValueError, match="uint8"):
         encode_jpeg_arith(img.astype(np.int16))
     with pytest.raises(ValueError, match="subsampling"):
