@@ -322,6 +322,12 @@ def rice_encode(
     uncomp_id = (1 << idl) - 1
     max_k = uncomp_id - 2  # ids 1..2^idl-2 are k = id-1
     flat = np.asarray(samples).reshape(-1).astype(np.int64)
+    if j % 2:
+        raise ValueError(
+            "rice: pixels_per_block must be even (szip J is 8/16/32; "
+            "odd J desyncs the second-extension pair layout on the "
+            "NN reference block)"
+        )
     if flat.size % pixels_per_scanline:
         raise ValueError("rice: samples must fill whole scanlines")
     if pixels_per_scanline % j:
@@ -450,6 +456,12 @@ def rice_decode(
     j = pixels_per_block
     idl = _id_len(n_bits)
     uncomp_id = (1 << idl) - 1
+    if j % 2:
+        raise ValueError(
+            "rice: pixels_per_block must be even (szip J is 8/16/32; "
+            "odd J desyncs the second-extension pair layout on the "
+            "NN reference block)"
+        )
     if n_samples % pixels_per_scanline:
         raise ValueError("rice: n_samples must fill whole scanlines")
     if pixels_per_scanline % j:

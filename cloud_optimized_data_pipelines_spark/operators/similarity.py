@@ -1499,8 +1499,14 @@ def embedding_outliers(
     reduction): every component is integer-quantized first
     (``round(x * scale)`` as BIGINT), so the per-dimension sums and
     sum-of-squares are EXACT integers — order-independent on any
-    engine — and mean/variance/std derive from those integers with
-    identical IEEE double arithmetic on both sides.  The per-row score
+    engine (aggregated as DECIMAL(38,0) here / HUGEINT in the oracle,
+    so neither wraps int64) — and mean/variance/std derive from those
+    integers with identical IEEE double arithmetic on both sides.
+    Cross-engine bit-exactness bound: the moment->double casts are
+    both correctly rounded for sums < 2^64 (~18M unit-norm rows at
+    the default scale); past that DuckDB's hugeint->double two-step
+    can differ by 1 ulp (relative 1e-16), which can only flip a
+    9-digit-rounded z^2 term on an exact tie.  The per-row score
     ``sum_d z_d^2`` is the DSIR pattern: each term rounded to 9 digits,
     integer-scaled 1e9 and SUMMED AS BIGINT (partial-aggregable,
     order-independent), divided once at the end.
@@ -1523,11 +1529,29 @@ def embedding_outliers(
         ).alias("_xi"),
     )
     ex = q.select("_id", F.posexplode("_xi").alias("_p", "_x"))
+    # Moment sums in DECIMAL(38,0), NOT BIGINT: unit-range components
+    # quantize to ~1e6, so sum(x*x) ~ n*1e12 silently wraps int64 in
+    # non-ANSI Spark past ~9M rows (r10 ADVICE); the decimal sum is
+    # exact to 1e38 (~1e26 unit rows).  The quantized component itself
+    # is guarded below (assert_true): Java's double->long cast
+    # SATURATES at Long.MAX while DuckDB errors, so an absurd
+    # (unnormalized) component must fail loudly, not diverge silently.
+    xd = F.col("_x").cast("decimal(19,0)")
     stats = ex.groupBy("_p").agg(
-        F.sum("_x").alias("_s1"),
-        F.sum(F.col("_x") * F.col("_x")).alias("_s2"),
+        F.sum(xd).alias("_s1"),
+        F.sum(xd * xd).alias("_s2"),
         F.count(F.lit(1)).alias("_n"),
+        F.max(F.abs(F.col("_x"))).alias("_amax"),
     )
+    stats = stats.filter(
+        F.assert_true(
+            F.col("_amax") < F.lit(1 << 62),
+            F.lit(
+                "embedding_outliers: |component| * scale exceeds int64 "
+                "headroom — lower `scale` or normalize the embeddings"
+            ),
+        ).isNull()
+    ).drop("_amax")
     mean = F.col("_s1").cast("double") / F.col("_n").cast("double")
     var = (
         F.col("_s2").cast("double") / F.col("_n").cast("double")

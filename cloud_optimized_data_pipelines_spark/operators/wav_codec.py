@@ -496,7 +496,7 @@ def encode_wav_ms_adpcm(
     fmt = struct.pack(
         "<HHIIHHHHH",
         0x02, ch, sample_rate,
-        sample_rate * block_align // (spb * max(1, ch)) or 1,
+        sample_rate * block_align // spb or 1,
         block_align, 4,
         2 + 2 * n_coef + 2,  # cbSize
         spb, n_coef,

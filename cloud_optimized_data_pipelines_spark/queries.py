@@ -3873,8 +3873,11 @@ SELECT d.doc_id,
        d.doc_id % 8 AS variant,
        {md5_case} AS cog_md5,
        'granule_v' || CAST(d.doc_id % 8 AS VARCHAR) AS item_id,
-       printf('[%.9f, %.9f, %.9f, %.9f]',
-              m.x0, m.south, m.east, m.y0) AS bbox,
+       printf('[%d, %d, %d, %d]',
+              CAST(round(m.x0 * 1e9) AS BIGINT),
+              CAST(round(m.south * 1e9) AS BIGINT),
+              CAST(round(m.east * 1e9) AS BIGINT),
+              CAST(round(m.y0 * 1e9) AS BIGINT)) AS bbox,
        'POLYGON ((' || printf('%.9f %.9f, ', m.x0, m.south)
                     || printf('%.9f %.9f, ', m.east, m.south)
                     || printf('%.9f %.9f, ', m.east, m.y0)
@@ -3963,12 +3966,16 @@ def stac_item_raster_q(spark, sf_dir):
         "variant",
         "cog_md5",
         F.col("item.id").alias("item_id"),
+        # integer-scaled 1e9, not %.9f: format_string rounds half-up vs
+        # DuckDB printf's half-even, so a dyadic decimal tie in a bbox
+        # coordinate would diverge (r10 ADVICE); round() agrees
+        # half-away-from-zero on both engines.
         F.format_string(
-            "[%.9f, %.9f, %.9f, %.9f]",
-            F.col("item.bbox")[0],
-            F.col("item.bbox")[1],
-            F.col("item.bbox")[2],
-            F.col("item.bbox")[3],
+            "[%d, %d, %d, %d]",
+            F.round(F.col("item.bbox")[0] * F.lit(1e9), 0).cast("long"),
+            F.round(F.col("item.bbox")[1] * F.lit(1e9), 0).cast("long"),
+            F.round(F.col("item.bbox")[2] * F.lit(1e9), 0).cast("long"),
+            F.round(F.col("item.bbox")[3] * F.lit(1e9), 0).cast("long"),
         ).alias("bbox"),
         F.col("item.geometry_wkt").alias("geometry_wkt"),
         props.getItem("proj:epsg").cast("long").alias("epsg"),
@@ -6137,8 +6144,8 @@ ex AS (
   FROM xi
 ),
 stats AS (
-  SELECT p, CAST(SUM(x) AS BIGINT) AS s1,
-         CAST(SUM(x * x) AS BIGINT) AS s2,
+  SELECT p, SUM(x) AS s1,
+         SUM(x::HUGEINT * x::HUGEINT) AS s2,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM ex GROUP BY p
 ),
@@ -6205,8 +6212,8 @@ grid AS (
 ),
 feat AS (
   SELECT asset_id,
-         string_agg(printf('%.9f', c::DOUBLE / total), ',' ORDER BY h)
-           AS features_csv
+         string_agg(CAST(round(c::DOUBLE / total * 1e9) AS BIGINT),
+                    ',' ORDER BY h) AS features_csv
   FROM grid GROUP BY asset_id
 )
 SELECT b.asset_id,
@@ -6247,7 +6254,16 @@ def multimodal_features_q(spark, sf_dir):
         F.concat_ws(
             ",",
             F.transform(
-                "features", lambda x: F.format_string("%.9f", x)
+                "features",
+                # integer-scaled, NOT %.9f: JVM format_string rounds
+                # half-up while DuckDB printf rounds half-even, so a
+                # dyadic tie (c/total with total=1024) diverges; the
+                # shared round() (half-away-from-zero on both engines)
+                # over the bit-identical double x*1e9 cannot (r10
+                # ADVICE, the DSIR idiom).
+                lambda x: F.round(x * F.lit(1e9), 0)
+                .cast("long")
+                .cast("string"),
             ),
         ).alias("features_csv"),
     )

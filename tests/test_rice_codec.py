@@ -137,6 +137,13 @@ def test_rice_roundtrip_fuzz(vals, nn):
 
 
 def test_rice_named_errors():
+    # odd J desyncs the SE pair layout on the NN reference block
+    # (encoder emitted (j-1)//2 pairs, decoder read (j+1)//2 — r10
+    # ADVICE); both entries now reject it loudly.
+    with pytest.raises(ValueError, match="must be even"):
+        rice_encode(np.zeros(30, np.int64), 8, 15, 30)
+    with pytest.raises(ValueError, match="must be even"):
+        rice_decode(b"\x00" * 8, 30, 8, 15, 30)
     with pytest.raises(ValueError, match="multiple of"):
         rice_encode(np.zeros(30, np.int64), 8, 16, 30)
     with pytest.raises(ValueError, match="whole scanlines"):

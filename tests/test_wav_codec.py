@@ -394,6 +394,10 @@ def test_ms_adpcm_wav_roundtrip_and_same_header_reencode():
             "<HHIIHH", wav, foff
         )
         (spb,) = struct.unpack_from("<H", wav, foff + 18)
+        # nAvgBytesPerSec covers ALL channels: block_align already
+        # spans every channel of spb frames (r10 ADVICE: the old
+        # //ch under-reported multichannel byte rate)
+        assert _br == 8000 * block_align // spb
         for bi, lo in enumerate(range(0, len(raw), block_align)):
             blk = raw[lo : lo + block_align]
             preds = list(blk[:nch])
