@@ -1947,3 +1947,261 @@ def video_fingerprint_table(spark, variants: int = 16) -> DataFrame:
                 yield pd.DataFrame([_vfp_variant(int(x)) for x in pdf["id"]])
 
     return spark.range(int(variants)).mapInPandas(gen, VFP_PROBE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Scale-adaptive banded-Hamming near-dup (VERDICT r10 "What's wrong #1")
+# ---------------------------------------------------------------------------
+#
+# The fixed 4x16-bit band scheme above is complete at Hamming <= 3 but
+# its candidate mass grows ~n^2/2^16 per band — fine at probe scale, a
+# cliff at crawl scale (SCALE.md r10 decade probe).  At a FIXED
+# absolute threshold h the cure is NOT narrower bands (pigeonhole caps
+# bands at >= h+1, i.e. width <= total_bits/(h+1)); it is a LONGER
+# fingerprint: more 60-bit words buy wider bands at the same h, exactly
+# the text side's 60-bit -> 120-bit wide-simhash move.  band_geometry
+# derives (words, bands, width) from the corpus size with an integer
+# threshold ladder (no log/float anywhere, so a SQL oracle replicates
+# it bit-for-bit), and banded_hamming_pairs is the modality-agnostic
+# join all wide fingerprints share.
+
+_WIDE_GRIDS = {1: (6, 10), 2: (12, 10), 4: (12, 20), 8: (24, 20)}
+_PHASH_WIDE_PERT_ROWS = 4
+_PHASH_WIDE_PERT_COLS = 4
+
+
+def band_geometry(
+    n_items: int,
+    max_hamming: int = 3,
+    bits_per_word: int = 60,
+    margin: int = 8,
+    max_words: int = 8,
+) -> tuple[int, int, int]:
+    """Derive (words, num_bands, width) for a banded-Hamming join from
+    the corpus size.
+
+    Rule (all-integer, so an oracle can replay it in SQL exactly):
+    ``width`` is the smallest divisor of ``bits_per_word`` (>= 10) with
+    ``n_items <= 2**(width - margin)`` — expected random collisions per
+    item per band stay under ``2**-margin`` — capped at
+    ``bits_per_word``; ``words = ceil((max_hamming+1) / (bits_per_word
+    // width))`` so the pigeonhole floor ``num_bands >= max_hamming+1``
+    holds (any pair within ``max_hamming`` differing bits leaves at
+    least one band untouched -> blocking stays COMPLETE).  Fingerprints
+    must then be ``words * bits_per_word`` bits long: scale buys wider
+    bands through LONGER fingerprints, never through losing recall.
+
+    For 60-bit words the ladder is width 10/12/15/20/30/60 at n <=
+    4 / 16 / 128 / 4096 / ~4.2M / beyond (margin 8)."""
+    if max_hamming < 0 or n_items < 0:
+        raise ValueError("band_geometry: negative input")
+    widths = [
+        d for d in range(10, bits_per_word + 1) if bits_per_word % d == 0
+    ]
+    width = bits_per_word
+    for d in widths:
+        if n_items <= (1 << max(0, d - margin)):
+            width = d
+            break
+    bands_per_word = bits_per_word // width
+    words = -(-(max_hamming + 1) // bands_per_word)  # ceil div
+    if words > max_words:
+        raise ValueError(
+            f"band_geometry: (n={n_items}, h={max_hamming}) needs "
+            f"{words} x {bits_per_word}-bit words (> max_words="
+            f"{max_words}); widen max_words or lower the threshold"
+        )
+    return words, words * bands_per_word, width
+
+
+def ahash_wide(
+    gray: "np.ndarray", rows: int, cols: int, bits_per_word: int = 60
+) -> list[int]:
+    """rows x cols block-mean average hash packed into
+    ``rows*cols/bits_per_word`` nonnegative BIGINT words (MSB-first
+    within each word, block row-major across words) — integer-exact
+    like :func:`ahash64`: bit = block_sum * n_blocks >= total."""
+    h, w = gray.shape
+    nb = rows * cols
+    if h % rows or w % cols:
+        raise ValueError(
+            f"ahash_wide: {h}x{w} image not divisible into "
+            f"{rows}x{cols} blocks"
+        )
+    if nb % bits_per_word:
+        raise ValueError("ahash_wide: grid must fill whole words")
+    bh, bw = h // rows, w // cols
+    a = gray.astype(np.int64)
+    total = int(a.sum())
+    # vectorized block sums (row-major)
+    bs = a.reshape(rows, bh, cols, bw).sum(axis=(1, 3)).reshape(-1)
+    bits = (bs * nb >= total).astype(np.int64)
+    words = []
+    for j in range(nb // bits_per_word):
+        word = 0
+        for t in range(bits_per_word):
+            word = (word << 1) | int(bits[j * bits_per_word + t])
+        words.append(word)
+    return words
+
+
+def _phash_wide_raster(v: int) -> "np.ndarray":
+    """Same quadratic grid as :func:`_phash_raster`, but the odd-
+    variant perturbation covers only rows<4 x cols<4: at the 6x10 and
+    12x10 grids (words 1-2, the geometry for every n <= ~4.2M) it
+    touches at most one block and measured pair Hammings are 0-2 —
+    within the h=3 gate.  Finer grids (words >= 4) see secondary flips
+    from the global-mean shift (threshold-marginal blocks elsewhere),
+    so engineered-pair recall is only asserted for words <= 2."""
+    b = v // 2
+    k = np.arange(_PROBE_H * _PROBE_W, dtype=np.int64)
+    s = ((k + 13 + b // 251) * (k + 7 * b + 1)) % 251
+    if v % 2:
+        r, c = np.divmod(k, _PROBE_W)
+        mask = (r < _PHASH_WIDE_PERT_ROWS) & (c < _PHASH_WIDE_PERT_COLS)
+        s = np.where(mask, (s + _PHASH_PERT) % 251, s)
+    return s.reshape(_PROBE_H, _PROBE_W).astype(np.uint8)
+
+
+PHASH_WIDE_PROBE_SCHEMA = (
+    "variant bigint, png_md5 string, fp array<bigint>, px_sum bigint"
+)
+
+
+def _phash_wide_variant(v: int, rows: int, cols: int) -> dict:
+    """Reference conversion (the :func:`_phash_variant` pattern): raster
+    -> REAL PNG encode -> decode -> round-trip verify -> wide aHash of
+    the DECODED pixels, so an oracle recomputing the hash from the grid
+    formula checks the whole codec chain non-circularly."""
+    from cloud_optimized_data_pipelines_spark.operators.png_codec import (
+        decode_png,
+        encode_png,
+    )
+
+    arr = _phash_wide_raster(v)
+    png = encode_png(arr.reshape(_PROBE_H, _PROBE_W, 1), filter_cycle=True)
+    dec = decode_png(png).reshape(_PROBE_H, _PROBE_W)
+    if not np.array_equal(dec, arr):
+        raise RuntimeError(f"phash-wide variant {v}: round-trip mismatch")
+    return {
+        "variant": v,
+        "png_md5": hashlib.md5(png).hexdigest(),
+        "fp": ahash_wide(dec, rows, cols),
+        "px_sum": int(dec.sum(dtype=np.int64)),
+    }
+
+
+def phash_wide_probe_table(
+    spark, variants: int, words: int, real_bytes: bool = True
+) -> DataFrame:
+    """Per-variant WIDE image fingerprints on executors.  ``words``
+    picks the block grid (60 bits each: 1 -> 6x10 ... 8 -> 24x20).
+    ``real_bytes=False`` skips the PNG round trip (formula -> hash
+    directly) — the scale-probe path, where the join is under test,
+    not the codec."""
+    rows, cols = _WIDE_GRIDS[words]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if real_bytes:
+                yield pd.DataFrame(
+                    [_phash_wide_variant(int(x), rows, cols)
+                     for x in pdf["id"]]
+                )
+            else:
+                recs = []
+                for x in pdf["id"]:
+                    arr = _phash_wide_raster(int(x))
+                    recs.append(
+                        {
+                            "variant": int(x),
+                            "png_md5": None,
+                            "fp": ahash_wide(arr, rows, cols),
+                            "px_sum": int(arr.sum(dtype=np.int64)),
+                        }
+                    )
+                yield pd.DataFrame(recs)
+
+    return spark.range(int(variants)).mapInPandas(
+        gen, PHASH_WIDE_PROBE_SCHEMA
+    )
+
+
+def banded_hamming_pairs(
+    fps: DataFrame,
+    id_col: str,
+    fp_col: str = "fp",
+    num_bands: int = 4,
+    width: int = 30,
+    max_hamming: int = 3,
+    bits_per_word: int = 60,
+) -> DataFrame:
+    """Modality-agnostic banded-Hamming near-dup join over an
+    ``array<bigint>`` fingerprint column — the shared scale path for
+    image/audio/video wide fingerprints (use :func:`band_geometry` for
+    the (bands, width) choice; the text twin is
+    ``dedup.simhash_wide_near_dup_pairs``).
+
+    Shape: explode n x num_bands (id, band, val) rows, equi-join on
+    (band, val), popcount-verify INSIDE the join stage (the hamming
+    filter runs before the pair `distinct`, so only true near-dups
+    reach a shuffle), pigeonhole-complete for ``max_hamming <
+    num_bands``.  Candidates per item per band ~ n/2^width — bounded
+    by construction when the geometry came from band_geometry."""
+    if max_hamming >= num_bands:
+        raise ValueError(
+            "banded_hamming_pairs: pigeonhole completeness needs "
+            "max_hamming < num_bands"
+        )
+    if bits_per_word % width:
+        raise ValueError("width must divide bits_per_word")
+    bands_per_word = bits_per_word // width
+    if num_bands % bands_per_word:
+        raise ValueError("num_bands must fill whole words")
+    words = num_bands // bands_per_word
+    mask = (1 << width) - 1
+    banded = fps.select(
+        F.col(id_col).alias("id"),
+        F.col(fp_col).alias("_fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(wd * bands_per_word + b).alias("band"),
+                        F.shiftright(F.col(fp_col)[wd], b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for wd in range(words)
+                    for b in range(bands_per_word)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "_fp", "bv.band", "bv.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("a._fp"),
+            F.col("b._fp"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, h_: acc + h_,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

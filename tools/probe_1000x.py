@@ -104,6 +104,7 @@ def main() -> None:
         "pq",
         "clf",
         "neardup",
+        "adaptive",
     }
     spark = get_spark("probe-1000x")
     spark.sparkContext.setLogLevel("ERROR")
@@ -461,6 +462,151 @@ def main() -> None:
                     flush=True,
                 )
                 probe.unpersist()
+
+    if "adaptive" in want:
+        # r11 (VERDICT r10 task 1): the scale-ADAPTIVE banded join —
+        # band width derived from corpus size via band_geometry — must
+        # hold candidate mass ~flat per item where the fixed 4x16-bit
+        # scheme grows it ~n^2/2^16, at V=16k and the decade V=160k;
+        # engineered sibling recall must be exact (pairs within h=3).
+        from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+            _WIDE_GRIDS,
+            _phash_wide_raster,
+            ahash_wide,
+            band_geometry,
+            banded_hamming_pairs,
+            phash_wide_probe_table,
+        )
+
+        def bucket_candidates(banded):
+            return int(
+                banded.groupBy("band", "val")
+                .count()
+                .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+                .collect()[0][0]
+            )
+
+        for nv in (16_000, 160_000):
+            words, bands_n, width = band_geometry(nv, 3)
+            probe = phash_wide_probe_table(
+                spark, nv, words, real_bytes=False
+            ).localCheckpoint(eager=True)
+            bpwd = 60 // width
+            mask = (1 << width) - 1
+            banded = probe.select(
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.shiftright(F.col("fp")[w], b * width)
+                            .bitwiseAND(F.lit(mask))
+                            for w in range(words)
+                            for b in range(bpwd)
+                        ]
+                    )
+                ).alias("band", "val")
+            )
+            cand_adaptive = bucket_candidates(banded)
+            # fixed 4x16 comparison on the SAME corpus (64-bit words
+            # sliced to 16-bit bands — the r10 scheme's key space)
+            fixed = probe.select(
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.shiftright(F.col("fp")[0], s)
+                            .bitwiseAND(F.lit(0xFFFF))
+                            for s in (44, 28, 12)
+                        ]
+                    )
+                ).alias("band", "val")
+            )
+            cand_fixed_per_band = bucket_candidates(fixed) / 3.0
+            pairs = banded_hamming_pairs(
+                probe, "variant", "fp",
+                num_bands=bands_n, width=width, max_hamming=3,
+            )
+            n_pairs = t(
+                f"adaptive pairs V={nv} (w={width} b={bands_n})",
+                lambda p=pairs: p.count(),
+            )
+            got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+            # sibling ground truth: true hamming of (2b, 2b+1) <= 3?
+            rows, cols = _WIDE_GRIDS[words]
+            missing = 0
+            expected = 0
+            import numpy as _np
+
+            for b in range(0, nv, max(2, (nv // 4000) * 2)):  # sample
+                fa = ahash_wide(_phash_wide_raster(b), rows, cols)
+                fb = ahash_wide(_phash_wide_raster(b + 1), rows, cols)
+                hm = sum(bin(x ^ y).count("1") for x, y in zip(fa, fb))
+                if hm <= 3:
+                    expected += 1
+                    if (b, b + 1) not in got:
+                        missing += 1
+            print(
+                f"PROBE adaptive V={nv}: width={width} bands={bands_n}"
+                f" cand_per_band_adaptive={int(cand_adaptive / bands_n)}"
+                f" cand_per_band_fixed16={int(cand_fixed_per_band)}"
+                f" verified_pairs={n_pairs}"
+                f" sampled_sibling_recall={expected - missing}/{expected}",
+                flush=True,
+            )
+            probe.unpersist()
+
+        # structure-free comparison: the formula corpus above has only
+        # ~63k distinct rasters (two linear factors mod 251), so true
+        # near-dup mass dominates candidates in EVERY scheme there.
+        # Random 120-bit fingerprints isolate what banding actually
+        # controls — RANDOM collisions: n^2/2^17 per 16-bit band vs
+        # n^2/2^31 per 30-bit band.
+        for nv in (160_000, 1_600_000):
+            words, bands_n, width = band_geometry(nv, 3)
+            mask60 = (1 << 60) - 1
+            rnd = spark.range(nv).select(
+                "id",
+                F.array(
+                    *[
+                        F.xxhash64(F.col("id"), F.lit(w)).bitwiseAND(
+                            F.lit(mask60)
+                        )
+                        for w in range(words)
+                    ]
+                ).alias("fp"),
+            )
+            bpwd = 60 // width
+            maskw = (1 << width) - 1
+            adaptive_bands = rnd.select(
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.shiftright(F.col("fp")[w], b * width)
+                            .bitwiseAND(F.lit(maskw))
+                            for w in range(words)
+                            for b in range(bpwd)
+                        ]
+                    )
+                ).alias("band", "val")
+            )
+            fixed_bands = rnd.select(
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.shiftright(F.col("fp")[0], s)
+                            .bitwiseAND(F.lit(0xFFFF))
+                            for s in (44, 28, 12)
+                        ]
+                    )
+                ).alias("band", "val")
+            )
+            ca = bucket_candidates(adaptive_bands) / bands_n
+            cf = bucket_candidates(fixed_bands) / 3.0
+            print(
+                f"PROBE adaptive-random V={nv}: width={width}"
+                f" cand_per_band_adaptive={ca:.1f}"
+                f" cand_per_band_fixed16={cf:.0f}"
+                f" ratio={cf / max(ca, 0.01):.0f}x",
+                flush=True,
+            )
 
     if "clf" in want:
         # GD classifier training at scale: each step is one distributed
