@@ -1,0 +1,215 @@
+"""MPEG-1 audio (Layer I/II) codec tests — bitstream exactness, the
+closed-form quantization tables, filterbank quality bounds, and the
+honest named errors (Layer III, joint stereo, MPEG-2)."""
+
+import numpy as np
+import pytest
+
+from cloud_optimized_data_pipelines_spark.operators.mpeg_audio import (
+    SBLIMIT_L2,
+    SCALEFACTORS,
+    _l2_row,
+    _nb_for_levels,
+    analyze,
+    decode_frame_subbands,
+    decode_mpeg_audio,
+    encode_frame_l1_codes,
+    encode_frame_l2_codes,
+    encode_mp2,
+    iter_frames,
+    parse_header,
+    quant_cd,
+    synthesize,
+)
+
+
+def test_quant_cd_reproduces_published_table_b4():
+    """The closed form c = 2^nb/levels, d = 1 - (levels-1)*2^-nb must
+    reproduce the published ISO Table B.4 rows digit for digit."""
+    published = {
+        3: (1.33333333333, 0.50000000000),
+        5: (1.60000000000, 0.50000000000),
+        7: (1.14285714286, 0.25000000000),
+        9: (1.77777777777, 0.50000000000),
+        15: (1.06666666666, 0.12500000000),
+        31: (1.03225806452, 0.06250000000),
+        63: (1.01587301587, 0.03125000000),
+        127: (1.00787401575, 0.01562500000),
+        255: (1.00392156863, 0.00781250000),
+        511: (1.00195694716, 0.00390625000),
+        1023: (1.00097751711, 0.00195312500),
+        2047: (1.00048851979, 0.00097656250),
+        4095: (1.00024420024, 0.00048828125),
+        8191: (1.00012208522, 0.00024414063),
+        16383: (1.00006103888, 0.00012207031),
+        32767: (1.00003051851, 0.00006103516),
+        65535: (1.00001525902, 0.00003051758),
+    }
+    for levels, (c_pub, d_pub) in published.items():
+        c, d = quant_cd(levels)
+        assert abs(c - c_pub) < 5e-11, levels
+        assert abs(d - d_pub) < 5e-11, levels
+
+
+def test_scalefactor_table_b1():
+    assert SCALEFACTORS[0] == 2.0
+    # each step is exactly 2^(-1/3)
+    for i in range(1, 63):
+        assert SCALEFACTORS[i] == pytest.approx(
+            SCALEFACTORS[i - 1] * 2 ** (-1 / 3), rel=1e-12
+        )
+
+
+def test_header_roundtrip_and_named_errors():
+    fr = encode_frame_l2_codes(
+        np.zeros((SBLIMIT_L2, 36), np.int64),
+        np.zeros(SBLIMIT_L2, np.int64),
+        np.zeros((SBLIMIT_L2, 3), np.int64),
+        48000,
+        128,
+    )
+    h = parse_header(fr)
+    assert (h["layer"], h["bitrate"], h["sample_rate"]) == (2, 128000, 48000)
+    assert h["frame_bytes"] == 144 * 128000 // 48000
+    # layer III -> named error naming the Huffman-table reason
+    l3 = bytes([0xFF, 0xFB, 0x90, 0x00])
+    with pytest.raises(NotImplementedError, match="Huffman"):
+        parse_header(l3)
+    # MPEG-2 (version bits 10) -> named error
+    v2 = bytes([0xFF, 0xF3, 0x90, 0x00])
+    with pytest.raises(NotImplementedError, match="MPEG-1"):
+        parse_header(v2)
+    with pytest.raises(ValueError, match="sync"):
+        parse_header(b"\x00\x00\x00\x00")
+
+
+def test_layer2_bitstream_exact_roundtrip():
+    """encode codes -> real frame -> parse: codes, scalefactors and
+    allocation all exactly recovered (incl. grouped 3/5/9-level
+    triplets, first sample least significant)."""
+    rng = np.random.default_rng(11)
+    alloc = np.zeros(SBLIMIT_L2, np.int64)
+    alloc[:3] = 8
+    alloc[3:11] = 6
+    alloc[11:23] = 4
+    alloc[23:27] = 1
+    codes = np.zeros((SBLIMIT_L2, 36), np.int64)
+    for sb in range(SBLIMIT_L2):
+        _, seq = _l2_row(sb)
+        codes[sb] = rng.integers(0, seq[alloc[sb]], 36)
+    scf = rng.integers(0, 63, (SBLIMIT_L2, 3))
+    fr = encode_frame_l2_codes(codes, alloc, scf, 44100, 192)
+    sb_out, hdr, codes2, scf2, alloc2 = decode_frame_subbands(fr)
+    assert np.array_equal(codes2[0, :SBLIMIT_L2], codes)
+    assert np.array_equal(scf2[0], scf)
+    assert np.array_equal(alloc2[0], alloc)
+    # dequant identity: c*(s'''+d)*sf == sf*(2*code-levels+1)/levels
+    for sb in (0, 5, 15, 25):
+        _, seq = _l2_row(sb)
+        lv = seq[alloc[sb]]
+        for t in (0, 17, 35):
+            want = (
+                SCALEFACTORS[scf[sb, t // 12]]
+                * (2 * codes[sb, t] - lv + 1)
+                / lv
+            )
+            assert sb_out[0, sb, t] == pytest.approx(want, rel=1e-12)
+
+
+def test_layer1_bitstream_exact_roundtrip():
+    rng = np.random.default_rng(5)
+    alloc = np.zeros(32, np.int64)
+    alloc[:8] = 9
+    alloc[8:20] = 5
+    alloc[20:] = 2
+    codes = np.zeros((32, 12), np.int64)
+    for sb in range(32):
+        codes[sb] = rng.integers(0, (1 << (alloc[sb] + 1)) - 1, 12)
+    scf = rng.integers(0, 63, 32)
+    fr = encode_frame_l1_codes(codes, alloc, scf, 44100, 448)
+    out, hdr, codes2, scf2, alloc2 = decode_frame_subbands(fr)
+    assert hdr["layer"] == 1 and hdr["samples_per_frame"] == 384
+    assert np.array_equal(codes2[0], codes)
+    assert np.array_equal(alloc2[0], alloc)
+    with pytest.raises(ValueError, match="forbidden"):
+        encode_frame_l1_codes(
+            codes, np.full(32, 15, np.int64), scf, 44100, 448
+        )
+
+
+def test_filterbank_quality_bounds():
+    """The designed (non-ISO, documented) pseudo-QMF: steady tones
+    round-trip above 45 dB (the composite |T0| ripple / ~0.4 % gain
+    bias is the limiter, not aliasing — gain-corrected SNR is 75+ dB),
+    full-band noise above 35 dB; the end-to-end PCM codec is
+    quantization-limited near 38 dB at 192 kbps regardless."""
+    t = np.arange(32 * 300)
+    for f in (0.003, 0.031, 0.25):
+        x = np.sin(2 * np.pi * f * t)
+        y = synthesize(analyze(x))
+        s = slice(1024, -1024)
+        err = x[s] - y[s]
+        snr = 10 * np.log10((x[s] ** 2).sum() / (err**2).sum())
+        assert snr > 45.0, (f, snr)
+        g = np.dot(x[s], y[s]) / np.dot(y[s], y[s])
+        errg = x[s] - g * y[s]
+        snrg = 10 * np.log10((x[s] ** 2).sum() / (errg**2).sum())
+        assert snrg > 70.0, (f, snrg)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(32 * 300)
+    y = synthesize(analyze(x))
+    s = slice(1024, -1024)
+    err = x[s] - y[s]
+    assert 10 * np.log10((x[s] ** 2).sum() / (err**2).sum()) > 35.0
+
+
+def test_mp2_pcm_codec_end_to_end():
+    t = np.arange(1152 * 10)
+    x = 0.4 * np.sin(2 * np.pi * 0.01 * t) + 0.2 * np.sin(
+        2 * np.pi * 0.11 * t + 1.0
+    )
+    pcm = (x * 20000).astype(np.int16)
+    mp2 = encode_mp2(pcm, 44100, 192)
+    frames = list(iter_frames(mp2))
+    assert len(frames) == 10
+    assert all(h["frame_bytes"] == 626 for _, h in frames)
+    dec, rate = decode_mpeg_audio(mp2)
+    assert rate == 44100 and dec.shape[1] == 1
+    s = slice(1024, 1152 * 10 - 1024)
+    e = dec[: len(pcm), 0].astype(np.float64) - pcm.astype(np.float64)
+    snr = 10 * np.log10(
+        (pcm[s].astype(np.float64) ** 2).sum() / (e[s] ** 2).sum()
+    )
+    assert snr > 30.0, snr
+
+
+def test_mp2_probe_variants_distinct_and_deterministic():
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _mp2_variant,
+    )
+
+    a, b = _mp2_variant(0), _mp2_variant(1)
+    assert a["mp2_md5"] != b["mp2_md5"]
+    # the odd-variant edit is exactly 3 subband-0 codes
+    assert abs(b["code_sum"] - a["code_sum"]) <= 3 * 511
+    assert _mp2_variant(0) == a  # deterministic
+
+
+def test_grouped_triplet_boundaries():
+    """All-extremes codes through the 3/9-level grouped paths."""
+    alloc = np.zeros(SBLIMIT_L2, np.int64)
+    alloc[11:23] = 4  # 9 levels, grouped
+    alloc[23:27] = 1  # 3 levels, grouped
+    codes = np.zeros((SBLIMIT_L2, 36), np.int64)
+    codes[11:23] = 8
+    codes[23:27] = 2
+    scf = np.zeros((SBLIMIT_L2, 3), np.int64)
+    fr = encode_frame_l2_codes(codes, alloc, scf, 44100, 192)
+    _, _, codes2, _, _ = decode_frame_subbands(fr)
+    assert np.array_equal(codes2[0, :SBLIMIT_L2], codes)
+
+
+def test_nb_for_levels():
+    for lv, nb in ((3, 2), (5, 3), (7, 3), (9, 4), (15, 4), (31, 5),
+                   (63, 6), (511, 9), (65535, 16)):
+        assert _nb_for_levels(lv) == nb
