@@ -9308,6 +9308,118 @@ def dedup_bloom_gated_q(spark, sf_dir):
 # round) — the window only decides which rows the driver re-proves.
 # ---------------------------------------------------------------------------
 
+_WORDPIECE_5K = f"""
+WITH RECURSIVE
+chars AS (SELECT UNNEST([{", ".join(repr(c) for c in "abcdefghijklmnopqrstuvwxyz")}]) AS c),
+topw AS (
+  SELECT w FROM (
+    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents) g
+  GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT 5000
+),
+vocab AS (
+  SELECT c AS piece, c AS match_txt, 1 AS plen, TRUE AS is_raw FROM chars
+  UNION ALL
+  SELECT '##' || c, c, 1, FALSE FROM chars
+  UNION ALL
+  SELECT w, w, length(w)::INT, TRUE FROM topw
+),
+docs_words AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+words AS (SELECT DISTINCT w FROM docs_words),
+-- candidate (word, pos, len) states, then a HASH equi-join on the
+-- substring text: at a 5k vocabulary the r10 theta-join (substr
+-- computed against every vocab row) would be ~400M comparisons; this
+-- shape is |words| x len x maxplen rows into a hash join
+lens AS (SELECT UNNEST(range(1, 1 + (SELECT MAX(plen) FROM vocab))) AS l),
+pos AS (SELECT UNNEST(range(0, 32)) AS p),
+matches AS (
+  SELECT w, p, max_by(piece, plen) AS piece, MAX(plen) AS plen
+  FROM (
+    SELECT wo.w, po.p, v.piece, v.plen
+    FROM words wo
+    JOIN pos po ON po.p < length(wo.w)
+    JOIN lens le ON le.l <= length(wo.w) - po.p
+    JOIN vocab v
+      ON v.match_txt = substr(wo.w, po.p + 1, le.l)
+     AND v.plen = le.l
+     AND v.is_raw = (po.p = 0)
+    WHERE length(wo.w) <= 32
+  ) c
+  GROUP BY w, p
+),
+walk AS (
+  SELECT w, CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS n_pieces,
+         FALSE AS failed, CAST(0 AS BIGINT) AS hsum
+  FROM words WHERE length(w) <= 32
+  UNION ALL
+  SELECT k.w,
+         CASE WHEN m.piece IS NULL THEN length(k.w) ELSE k.p + m.plen END,
+         k.n_pieces + 1,
+         m.piece IS NULL,
+         k.hsum + CASE WHEN m.piece IS NULL THEN 0
+                       ELSE ('0x' || substr(md5(m.piece), 1, 8))::BIGINT END
+  FROM walk k LEFT JOIN matches m ON m.w = k.w AND m.p = k.p
+  WHERE k.p < length(k.w) AND NOT k.failed
+),
+word_res AS (
+  SELECT w,
+         CASE WHEN failed THEN 1 ELSE n_pieces END AS n_pieces,
+         CASE WHEN failed THEN 1 ELSE 0 END AS n_unk,
+         CASE WHEN failed THEN CAST({_WORDPIECE_UNK_HASH} AS BIGINT)
+              ELSE hsum END AS hsum
+  FROM walk WHERE p >= length(w)
+  UNION ALL
+  SELECT w, 1, 1, CAST({_WORDPIECE_UNK_HASH} AS BIGINT)
+  FROM words WHERE length(w) > 32
+),
+agg AS (
+  SELECT dw.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(r.n_pieces) AS BIGINT) AS n_pieces,
+         CAST(SUM(r.n_unk) AS BIGINT) AS n_unk,
+         CAST(MAX(r.n_pieces) AS BIGINT) AS max_word_pieces,
+         CAST(SUM(r.hsum) AS BIGINT) AS piece_hash_sum
+  FROM docs_words dw JOIN word_res r USING (w)
+  GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_words, 0) AS n_words,
+       COALESCE(a.n_pieces, 0) AS n_pieces,
+       COALESCE(a.n_unk, 0) AS n_unk,
+       COALESCE(a.max_word_pieces, 0) AS max_word_pieces,
+       COALESCE(a.piece_hash_sum, 0) AS piece_hash_sum
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("text_wordpiece_vocab5k", _WORDPIECE_5K)
+def text_wordpiece_vocab5k_q(spark, sf_dir):
+    """WordPiece at a NON-TOY vocabulary (VERDICT r10 task 4): the
+    full a-z character base (raw + ## continuation) plus the 5000 most
+    frequent corpus words — the regime where the Arrow memo path's
+    dict-hit amortization actually matters (the r10 graded vocab was
+    30 entries).  Same engine operator, same per-doc stats with the
+    identity-pinning 32-bit piece-hash sum; the oracle's match stage
+    is restructured into a hash equi-join on (substring, length) so
+    the 5k vocabulary stays oracle-checkable.  Driver traffic: the
+    5000-row vocab collect (the BPE-loop bound, vocabulary-sized by
+    definition)."""
+    from cloud_optimized_data_pipelines_spark.operators.wordpiece import (
+        wordpiece_stats,
+        wordpiece_vocab_from_corpus,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    vocab = wordpiece_vocab_from_corpus(
+        docs, "text", top_k=5000, base_chars="abcdefghijklmnopqrstuvwxyz"
+    )
+    return wordpiece_stats(docs, "doc_id", "text", vocab)
+
+
 def _mp2_features_oracle() -> str:
     """Oracle for multimodal_mp2_features: the Layer II probe codes,
     scalefactor indices and the collapsed dequant identity

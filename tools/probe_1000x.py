@@ -105,6 +105,7 @@ def main() -> None:
         "clf",
         "neardup",
         "adaptive",
+        "wordpiece",
     }
     spark = get_spark("probe-1000x")
     spark.sparkContext.setLogLevel("ERROR")
@@ -607,6 +608,88 @@ def main() -> None:
                 f" ratio={cf / max(ca, 0.01):.0f}x",
                 flush=True,
             )
+
+    if "wordpiece" in want:
+        # r11 (VERDICT r10 task 4): a BERT-realistic 30k-entry corpus-
+        # derived vocabulary through the Arrow memo path at 500k docs.
+        # The replicated sf corpus has only ~32 distinct [a-z]+ words
+        # (digit-bearing tag tokens collapse under the word regex), so
+        # a Zipf corpus is synthesized on executors: 200k-word type
+        # space, exponent ~1.3 — the realistic regime where the memo
+        # hit rate is high but NOT 1.0 and out-of-vocab words walk the
+        # char-piece path.
+        import numpy as _np
+
+        from cloud_optimized_data_pipelines_spark.operators.wordpiece import (
+            wordpiece_stats,
+            wordpiece_vocab_from_corpus,
+        )
+
+        N_TYPES = 200_000
+        WPD = 100
+
+        def _word_table():
+            alpha = "abcdefghijklmnopqrstuvwxyz"
+            tbl = []
+            for i in range(N_TYPES):
+                v, s = i, ""
+                while True:
+                    s += alpha[v % 26]
+                    v //= 26
+                    if not v:
+                        break
+                tbl.append("w" + s)
+            return tbl
+
+        def gen(batches):
+            import pandas as _pd
+
+            tbl = _np.array(_word_table())
+            for pdf in batches:
+                ids = pdf["id"].to_numpy()
+                texts = []
+                for did in ids:
+                    rr = _np.random.default_rng(int(did))
+                    ranks = _np.minimum(
+                        rr.zipf(1.3, WPD) - 1, N_TYPES - 1
+                    )
+                    texts.append(" ".join(tbl[ranks]))
+                yield _pd.DataFrame({"doc_id": ids, "text": texts})
+
+        zipf_docs = spark.range(500_000).mapInPandas(
+            gen, "doc_id long, text string"
+        ).localCheckpoint(eager=True)
+        t0 = time.time()
+        vocab = wordpiece_vocab_from_corpus(
+            zipf_docs, "text", top_k=30_000,
+            base_chars="abcdefghijklmnopqrstuvwxyz",
+        )
+        t_vocab = time.time() - t0
+        stats = wordpiece_stats(zipf_docs, "doc_id", "text", vocab)
+        t0 = time.time()
+        row = stats.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_words").alias("words"),
+            F.sum("n_pieces").alias("pieces"),
+            F.sum("n_unk").alias("unk"),
+        ).collect()[0]
+        t_stats = time.time() - t0
+        dist = (
+            zipf_docs.select(
+                F.explode(F.split("text", " ")).alias("w")
+            ).distinct().count()
+        )
+        tot = row["words"]
+        print(
+            f"PROBE wordpiece 30k-vocab 500k-docs zipf: vocab={len(vocab)}"
+            f" build={t_vocab:.1f}s stats={t_stats:.1f}s"
+            f" docs={row['docs']} words={tot} pieces={row['pieces']}"
+            f" unk={row['unk']} distinct_words={dist}"
+            f" words_per_sec={tot / max(t_stats, 1e-9):,.0f}"
+            f" corpus_memo_hit_rate={1 - dist / max(tot, 1):.4f}",
+            flush=True,
+        )
+        zipf_docs.unpersist()
 
     if "clf" in want:
         # GD classifier training at scale: each step is one distributed
