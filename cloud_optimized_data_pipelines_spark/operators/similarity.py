@@ -992,7 +992,133 @@ def ivf_write_index(
     spark.createDataFrame(
         cent_rows, "list_id int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # per-list quantization stats — the baseline ivf_append's drift
+    # trigger compares against (k rows, written once at build)
+    _ivf_write_stats(
+        spark,
+        assigned.withColumn(
+            "_qd", _min_sq_dist(F.col(vec_col), centroids)
+        )
+        .groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_qd").alias("sum_sqdist"),
+        )
+        .collect(),
+        path,
+    )
     return centroids
+
+
+def _min_sq_dist(vec: Column, centroids: list[list[float]]) -> Column:
+    """Squared L2 distance to the NEAREST centroid (the assignment
+    distance) — same codegen shape as :func:`_assign_lists`."""
+    return F.array_min(
+        F.array(*[_sq_dist(vec, literal_vector(c)) for c in centroids])
+    )
+
+
+def _ivf_write_stats(spark, rows, path: str) -> None:
+    data = [
+        (int(r["list_id"]), int(r["n"]), float(r["sum_sqdist"]))
+        for r in rows
+    ]
+    spark.createDataFrame(
+        data, "list_id int, n bigint, sum_sqdist double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qerr_tolerance: float = 0.5,
+    skew_tolerance: float = 3.0,
+) -> dict:
+    """Append vectors to a persisted IVF index WITHOUT retraining
+    (VERDICT r10 task 8): assign against the FROZEN centroid table,
+    append into the same hive layout (probes keep partition-pruning;
+    parity with a frozen-centroid assignment is exact by construction
+    and test-proven), and return drift metrics so the caller can
+    schedule a retrain.
+
+    Drift trigger heuristic (documented in SCALE.md): recommend a
+    retrain when EITHER
+    - ``qerr_ratio`` = appended mean squared assignment distance /
+      the index's build-time mean exceeds ``1 + qerr_tolerance`` —
+      the new data sits measurably farther from the frozen centroids
+      than the data they were trained on (distribution shift), OR
+    - ``max_list_share`` (largest list's fraction of the grown index)
+      exceeds ``skew_tolerance / k_lists`` — appends are piling into
+      few lists, so nprobe pruning degenerates toward a full scan.
+
+    Neither trigger blocks the append: a stale-but-complete index
+    returns correct nprobe-scoped results (recall degrades gracefully
+    as centroids stale); the metrics make the staleness measurable.
+
+    Returns dict(appended, qerr_new, qerr_index, qerr_ratio,
+    max_list_share, k_lists, retrain_recommended).
+    """
+    cents_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["list_id"],
+    )
+    centroids = [[float(x) for x in r["centroid"]] for r in cents_rows]
+    assigned = _assign_lists(new_df, vec_col, centroids).withColumn(
+        "_qd", _min_sq_dist(F.col(vec_col), centroids)
+    )
+    new_stats = {
+        int(r["list_id"]): (int(r["n"]), float(r["sum_sqdist"]))
+        for r in assigned.groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_qd").alias("sum_sqdist"))
+        .collect()
+    }
+    assigned.drop("_qd").write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/lists")
+    old_stats = {
+        int(r["list_id"]): (int(r["n"]), float(r["sum_sqdist"]))
+        for r in spark.read.parquet(f"{path}/stats").collect()
+    }
+    n_old = sum(n for n, _ in old_stats.values())
+    sq_old = sum(s for _, s in old_stats.values())
+    n_new = sum(n for n, _ in new_stats.values())
+    sq_new = sum(s for _, s in new_stats.values())
+    merged = {
+        i: (
+            old_stats.get(i, (0, 0.0))[0] + new_stats.get(i, (0, 0.0))[0],
+            old_stats.get(i, (0, 0.0))[1] + new_stats.get(i, (0, 0.0))[1],
+        )
+        for i in set(old_stats) | set(new_stats)
+    }
+    _ivf_write_stats(
+        spark,
+        [
+            {"list_id": i, "n": n, "sum_sqdist": s}
+            for i, (n, s) in merged.items()
+        ],
+        path,
+    )
+    total = max(1, n_old + n_new)
+    max_share = max(n for n, _ in merged.values()) / total
+    qerr_index = sq_old / max(1, n_old)
+    qerr_new = sq_new / max(1, n_new)
+    ratio = qerr_new / qerr_index if qerr_index > 0 else float("inf")
+    k = len(centroids)
+    return {
+        "appended": n_new,
+        "qerr_new": qerr_new,
+        "qerr_index": qerr_index,
+        "qerr_ratio": ratio,
+        "max_list_share": max_share,
+        "k_lists": k,
+        "retrain_recommended": bool(
+            ratio > 1.0 + qerr_tolerance
+            or max_share > skew_tolerance / k
+        ),
+    }
 
 
 def ivf_topk_indexed(

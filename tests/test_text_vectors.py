@@ -1092,3 +1092,74 @@ def test_pq_numpy_impl_bit_exact_to_fold(spark, sf_dir):
         for r in S.ivf_pq_topk(emb, "embedding", qv, k_lists=8, impl="numpy").collect()
     ]
     assert i_fold == i_np
+
+
+def test_ivf_append_probe_parity_and_drift(spark, sf_dir, tmp_path):
+    """ivf_append (VERDICT r10 task 8): append-without-retrain must
+    (a) assign appended vectors exactly as a frozen-centroid
+    assignment would, (b) keep FULL-probe results identical to brute
+    force over the grown corpus, (c) leave same-distribution appends
+    unflagged while (d) flagging a shifted append via the qerr ratio."""
+    from pyspark.sql import functions as F
+
+    from cloud_optimized_data_pipelines_spark.operators.similarity import (
+        _assign_lists,
+        brute_force_topk,
+        ivf_append,
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+    from cloud_optimized_data_pipelines_spark.queries import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    extra = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_app")
+    ivf_write_index(spark, base, path, k_lists=8, iters=1)
+
+    rep = ivf_append(spark, path, extra)
+    assert rep["appended"] == extra.count()
+    # (c) same distribution: no retrain recommendation
+    assert not rep["retrain_recommended"], rep
+
+    # (a) assignment parity against the frozen centroids
+    cents = [
+        [float(x) for x in r["centroid"]]
+        for r in sorted(
+            spark.read.parquet(f"{path}/centroids").collect(),
+            key=lambda r: r["list_id"],
+        )
+    ]
+    want = {
+        r["vec_id"]: r["list_id"]
+        for r in _assign_lists(extra, "embedding", cents).collect()
+    }
+    got = {
+        r["vec_id"]: r["list_id"]
+        for r in spark.read.parquet(f"{path}/lists")
+        .join(extra.select("vec_id"), "vec_id")
+        .collect()
+    }
+    assert got == want
+
+    # (b) full-probe parity with brute force over the GROWN corpus
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    idx = {
+        (r["vec_id"], r["cos"])
+        for r in ivf_topk_indexed(spark, path, q, k=7, nprobe=8).collect()
+    }
+    ref = {
+        (r["vec_id"], r["cos"])
+        for r in brute_force_topk(emb, "embedding", q, 7).collect()
+    }
+    assert idx == ref
+
+    # (d) a shifted append (vectors scaled far off the trained space)
+    shifted = extra.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(25.0) + F.lit(40.0)
+        ).alias("embedding"),
+    )
+    rep2 = ivf_append(spark, str(tmp_path / "ivf_app"), shifted)
+    assert rep2["retrain_recommended"] and rep2["qerr_ratio"] > 1.5
