@@ -1,7 +1,9 @@
-"""Arithmetic-coded JPEG (ITU-T T.81 Annexes D + F) — the entropy
+"""Arithmetic-coded JPEG (ITU-T T.81 Annexes D + F + G) — the entropy
 coder that was this codec family's last named stub: sequential DCT
 with the adaptive binary arithmetic coder (the QM-coder) instead of
-Huffman codes, frame marker SOF9 (0xFFC9).
+Huffman codes, frame marker SOF9 (0xFFC9), plus (r11) PROGRESSIVE
+arithmetic DCT (SOF10, 0xFFCA) with Annex G spectral-selection and
+successive-approximation scans.
 
 Everything here is implemented from the PUBLIC spec:
 
@@ -329,12 +331,15 @@ def _decode_dc(dec, dc_st, ctx):
     return (-v if sign else v), new_ctx
 
 
-def _encode_ac(enc, ac_st, fixed, zz):
-    """Figure F.5 (+F.6-F.9) over zigzag coefficients 1..63."""
-    ke = 63
-    while ke > 0 and zz[ke] == 0:
+def _encode_ac(enc, ac_st, fixed, zz, ss=1, se=63):
+    """Figure F.5 (+F.6-F.9) over zigzag coefficients ss..se (the
+    sequential scan is the ss=1, se=63 case; progressive AC first
+    scans pass their spectral band with point-transformed values —
+    G.1.3.2 reuses the sequential procedure over the band)."""
+    ke = se
+    while ke >= ss and zz[ke] == 0:
         ke -= 1
-    k = 1
+    k = ss
     while k <= ke:
         st = 3 * (k - 1)
         enc.encode(ac_st, st, 0)  # not EOB
@@ -370,23 +375,23 @@ def _encode_ac(enc, ac_st, fixed, zz):
             mm >>= 1
             enc.encode(ac_st, st, 1 if (mm & v) else 0)
         k += 1
-    if ke < 63:
+    if ke < se:
         # EOB decision at the state for the NEXT index (k == ke + 1)
         enc.encode(ac_st, 3 * (k - 1), 1)
 
 
-def _decode_ac(dec, ac_st, fixed, zz):
+def _decode_ac(dec, ac_st, fixed, zz, ss=1, se=63):
     """Mirror of :func:`_encode_ac`."""
-    k = 1
-    while k <= 63:
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if dec.decode(ac_st, st):
             break  # EOB
         while dec.decode(ac_st, st + 1) == 0:
             st += 3
             k += 1
-            if k > 63:
-                raise ValueError("jpeg-arith: AC run past index 63")
+            if k > se:
+                raise ValueError(f"jpeg-arith: AC run past index {se}")
         sign = dec.decode(fixed, 0)
         st += 2
         m = dec.decode(ac_st, st)
@@ -541,11 +546,27 @@ def encode_jpeg_arith(
 
 
 def decode_jpeg_arith(data: bytes) -> np.ndarray:
-    """Decode an arithmetic-coded sequential JPEG (SOF9, 8-bit,
-    interleaved single scan, default conditioning).  Returns uint8
-    (H,W) or (H,W,3)."""
+    """Decode an arithmetic-coded JPEG: SOF9 sequential (interleaved
+    single scan) or SOF10 progressive (dispatched to
+    :func:`_decode_arith_progressive`), 8-bit, default conditioning.
+    Returns uint8 (H,W) or (H,W,3)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
+    # cheap marker pre-scan for the frame type
+    p = 2
+    while p + 4 <= len(data):
+        if data[p] != 0xFF:
+            raise ValueError(f"marker expected at {p}")
+        m = data[p + 1]
+        if m == 0xCA:
+            return _decode_arith_progressive(data)
+        if m == 0xC9 or m == 0xDA:
+            break
+        if m in (0x01,) or 0xD0 <= m <= 0xD9:
+            p += 2
+            continue
+        (ln,) = struct.unpack_from(">H", data, p + 2)
+        p += 2 + ln
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     frame = None
@@ -712,3 +733,372 @@ def decode_jpeg_arith(data: bytes) -> np.ndarray:
                 return _ycbcr_to_rgb(*full)
             raise NotImplementedError(f"{ns}-component JPEG unsupported")
     raise ValueError("no SOS in arithmetic JPEG")
+
+
+# ---------------------------------------------------------------------------
+# Progressive arithmetic DCT (SOF10, 0xFFCA) — T.81 Annex G with the
+# Annex F statistical models (G.1.3.1-3): DC first scans reuse the
+# sequential DC procedure on point-transformed values, DC refinement
+# bits go through the non-adapting equiprobable state, AC first scans
+# are the sequential band procedure over [Ss..Se], and AC refinement
+# follows G.1.3.3's three-state clusters (EOB decision / newly-nonzero
+# / correction bit) with signs through the fixed state.  Scope:
+# grayscale and 4:4:4 color (subsampled progressive raises a named
+# error); restart intervals inside progressive scans likewise.
+# ---------------------------------------------------------------------------
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: magnitude shift toward zero (B.2.3 —
+    integer division semantics for AC, unlike the DC arithmetic
+    shift)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _encode_ac_refine(enc, ac_st, fixed, zz, ss, se, al):
+    """G.1.3.3 AC successive-approximation encode for one block:
+    ``zz`` holds FULL-precision quantized coefficients; this scan
+    transmits bit ``al`` given the decoder already holds bits
+    ``> al`` (Ah == al + 1)."""
+    ah = al + 1
+    ke = se
+    while ke >= ss and (abs(int(zz[ke])) >> al) == 0:
+        ke -= 1
+    kex = ke
+    while kex >= ss and (abs(int(zz[kex])) >> ah) == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(ac_st, st, 0)  # not EOB yet
+        while True:
+            v = int(zz[k])
+            t = (-v if v < 0 else v) >> al
+            if t:
+                if t >> 1:  # already nonzero at the decoder
+                    enc.encode(ac_st, st + 2, t & 1)
+                else:  # newly nonzero: flag + sign via fixed state
+                    enc.encode(ac_st, st + 1, 1)
+                    enc.encode(fixed, 0, 1 if v < 0 else 0)
+                break
+            enc.encode(ac_st, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+    if ke < se:
+        enc.encode(ac_st, 3 * (k - 1), 1)  # EOB
+
+
+def _decode_ac_refine(dec, ac_st, fixed, coef, ss, se, al):
+    """Mirror of :func:`_encode_ac_refine`; mutates the partial
+    coefficient array ``coef`` in place."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    kex = se
+    while kex >= ss and coef[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex and dec.decode(ac_st, st):
+            break  # EOB
+        while True:
+            if coef[k]:
+                if dec.decode(ac_st, st + 2):
+                    coef[k] += m1 if coef[k] < 0 else p1
+                break
+            if dec.decode(ac_st, st + 1):
+                coef[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("jpeg-arith: AC refine run past Se")
+        k += 1
+
+
+def _default_scan_script(ncomp: int) -> list[tuple]:
+    """(comps, Ss, Se, Ah, Al) per scan — a libjpeg-shaped script:
+    DC first at Al=1, split AC first scans at Al=2, two AC refinement
+    passes, DC refinement last."""
+    if ncomp == 1:
+        return [
+            ((0,), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2),
+            ((0,), 6, 63, 0, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0,), 1, 63, 1, 0),
+            ((0,), 0, 0, 1, 0),
+        ]
+    script = [((0, 1, 2), 0, 0, 0, 1)]
+    for c in range(3):
+        script += [((c,), 1, 5, 0, 2), ((c,), 6, 63, 0, 2)]
+    for c in range(3):
+        script.append(((c,), 1, 63, 2, 1))
+    for c in range(3):
+        script.append(((c,), 1, 63, 1, 0))
+    script.append(((0, 1, 2), 0, 0, 1, 0))
+    return script
+
+
+def encode_jpeg_arith_progressive(
+    arr: np.ndarray, scans: list[tuple] | None = None
+) -> bytes:
+    """Encode uint8 grayscale/RGB as a PROGRESSIVE arithmetic JPEG
+    (SOF10) — same quantized coefficients as the sequential twin, the
+    Annex G scan decomposition on top.  4:4:4 only (every progressive
+    AC scan is single-component per B.2.3, and at 4:4:4 interleaved
+    DC MCUs coincide with the block raster)."""
+    if arr.dtype != np.uint8:
+        raise ValueError(f"uint8 input required, got {arr.dtype}")
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    if arr.ndim == 2:
+        planes = [arr]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        planes = _rgb_to_ycbcr(arr)
+    else:
+        raise ValueError(f"unsupported shape {arr.shape}")
+    h, w = planes[0].shape
+    ncomp = len(planes)
+    quants = [QUANT_LUMA] if ncomp == 1 else [QUANT_LUMA, QUANT_CHROMA]
+    tsel = [0] if ncomp == 1 else [0, 1, 1]
+    scans = scans if scans is not None else _default_scan_script(ncomp)
+
+    by, bx = -(-h // 8), -(-w // 8)
+    coefs = []
+    for ci in range(ncomp):
+        p = np.pad(
+            planes[ci],
+            ((0, by * 8 - h), (0, bx * 8 - w)),
+            mode="edge",
+        )
+        cz = np.zeros((by, bx, 64), np.int64)
+        for y in range(by):
+            for x in range(bx):
+                coef = fdct_quantize(
+                    p[y * 8:y * 8 + 8, x * 8:x * 8 + 8],
+                    quants[tsel[ci]],
+                )
+                cz[y, x] = coef[_ZR, _ZC]
+        coefs.append(cz)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(
+        0xFFE0,
+        b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HHBB", 1, 1, 0, 0),
+    )
+    for ti, q in enumerate(quants):
+        out += _seg(0xFFDB, bytes([ti]) + bytes(int(q[r, c]) for r, c in ZIGZAG))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, tsel[ci]])
+    out += _seg(0xFFCA, sof)  # SOF10: arithmetic progressive DCT
+
+    ntab = len(quants)
+    for comps, ss, se, ah, al in scans:
+        sos = bytes([len(comps)])
+        for ci in comps:
+            sos += bytes([ci + 1, (tsel[ci] << 4) | tsel[ci]])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xFFDA, sos)
+        enc = ArithEncoder()
+        dc_stats = [bytearray(64) for _ in range(ntab)]
+        ac_stats = [bytearray(256) for _ in range(ntab)]
+        fixed = bytearray([_FIXED])
+        if ss == 0:  # DC scan (interleaved over `comps`)
+            pred = {ci: 0 for ci in comps}
+            dc_ctx = {ci: 0 for ci in comps}
+            for y in range(by):
+                for x in range(bx):
+                    for ci in comps:
+                        dc = int(coefs[ci][y, x, 0])
+                        if ah == 0:  # first scan: arithmetic shift
+                            dcv = dc >> al
+                            diff = dcv - pred[ci]
+                            pred[ci] = dcv
+                            dc_ctx[ci] = _encode_dc(
+                                enc, dc_stats[tsel[ci]], dc_ctx[ci], diff
+                            )
+                        else:  # refinement: one equiprobable bit
+                            enc.encode(fixed, 0, (dc >> al) & 1)
+        else:  # AC scan (single component per spec)
+            (ci,) = comps
+            t = tsel[ci]
+            for y in range(by):
+                for x in range(bx):
+                    zz = coefs[ci][y, x]
+                    if ah == 0:
+                        zzt = np.array(
+                            [_pt_ac(int(v), al) for v in zz], np.int64
+                        )
+                        _encode_ac(enc, ac_stats[t], fixed, zzt, ss, se)
+                    else:
+                        _encode_ac_refine(
+                            enc, ac_stats[t], fixed, zz, ss, se, al
+                        )
+        out += enc.getvalue()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_arith_progressive(data: bytes) -> np.ndarray:
+    """Decode a progressive arithmetic JPEG (SOF10, 8-bit, 4:4:4 /
+    grayscale, default conditioning): accumulate per-component
+    coefficient approximations across scans, IDCT at EOI."""
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    frame = None
+    coefs = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0x0F
+                bp += 1
+                n = 64 * (2 if pq else 1)
+                raw = body[bp:bp + n]
+                bp += n
+                vals = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.int64)
+                    if pq
+                    else np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                )
+                q = np.zeros((8, 8), dtype=np.int64)
+                q[_ZR, _ZC] = vals
+                qtables[tq] = q
+        elif marker == 0xCA:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(
+                    f"arithmetic JPEG precision {prec} unsupported"
+                )
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled progressive arithmetic JPEG "
+                        "unsupported (4:4:4 / grayscale only)"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+            by, bx = -(-h // 8), -(-w // 8)
+            coefs = [
+                np.zeros((by, bx, 64), np.int64) for _ in range(nc)
+            ]
+        elif marker == 0xCC:
+            raise NotImplementedError(
+                "non-default DAC conditioning unsupported"
+            )
+        elif marker == 0xDD:
+            (ri,) = struct.unpack_from(">H", body, 0)
+            if ri:
+                raise NotImplementedError(
+                    "restart intervals inside progressive arithmetic "
+                    "scans unsupported"
+                )
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF10")
+            h, w, comps = frame
+            by, bx = -(-h // 8), -(-w // 8)
+            ns = body[0]
+            scomp = []
+            bycid = {cid: i for i, (cid, _) in enumerate(comps)}
+            for i in range(ns):
+                cs = body[1 + 2 * i]
+                scomp.append(bycid[cs])
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            ntab = max(tq for _, tq in comps) + 1
+            dec = ArithDecoder(data, pos)
+            dc_stats = [bytearray(64) for _ in range(ntab)]
+            ac_stats = [bytearray(256) for _ in range(ntab)]
+            fixed = bytearray([_FIXED])
+            if ss == 0:
+                pred = {ci: 0 for ci in scomp}
+                dc_ctx = {ci: 0 for ci in scomp}
+                for y in range(by):
+                    for x in range(bx):
+                        for ci in scomp:
+                            tq = comps[ci][1]
+                            if ah == 0:
+                                diff, dc_ctx[ci] = _decode_dc(
+                                    dec, dc_stats[tq], dc_ctx[ci]
+                                )
+                                pred[ci] += diff
+                                coefs[ci][y, x, 0] = pred[ci] << al
+                            elif dec.decode(fixed, 0):
+                                coefs[ci][y, x, 0] |= 1 << al
+            else:
+                if ns != 1:
+                    raise ValueError(
+                        "progressive AC scan must be single-component"
+                    )
+                ci = scomp[0]
+                tq = comps[ci][1]
+                for y in range(by):
+                    for x in range(bx):
+                        if ah == 0:
+                            zz = np.zeros(64, np.int64)
+                            _decode_ac(
+                                dec, ac_stats[tq], fixed, zz, ss, se
+                            )
+                            coefs[ci][y, x, ss:se + 1] = (
+                                zz[ss:se + 1] << al
+                            )
+                        else:
+                            _decode_ac_refine(
+                                dec,
+                                ac_stats[tq],
+                                fixed,
+                                coefs[ci][y, x],
+                                ss,
+                                se,
+                                al,
+                            )
+            # skip to the next marker (stuffed FF 00s / fill bytes)
+            p = dec.pos
+            while p + 1 < len(data):
+                if data[p] != 0xFF:
+                    p += 1
+                elif data[p + 1] == 0x00:
+                    p += 2
+                elif data[p + 1] == 0xFF:
+                    p += 1
+                else:
+                    break
+            pos = p
+    if frame is None or coefs is None:
+        raise ValueError("no SOF10 frame decoded")
+    h, w, comps = frame
+    by, bx = -(-h // 8), -(-w // 8)
+    full = []
+    for ci, (_cid, tq) in enumerate(comps):
+        plane = np.zeros((by * 8, bx * 8), np.uint8)
+        for y in range(by):
+            for x in range(bx):
+                block = np.zeros((8, 8), np.int64)
+                block[_ZR, _ZC] = coefs[ci][y, x]
+                plane[y * 8:y * 8 + 8, x * 8:x * 8 + 8] = dequantize_idct(
+                    block, qtables[tq], 255
+                )
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return full[0]
+    if len(full) == 3:
+        return _ycbcr_to_rgb(*full)
+    raise NotImplementedError(f"{len(full)}-component JPEG unsupported")

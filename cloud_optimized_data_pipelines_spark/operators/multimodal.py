@@ -2424,3 +2424,70 @@ def mp2_scf_fingerprint_table(spark, variants: int = 16) -> DataFrame:
                 )
 
     return spark.range(int(variants)).mapInPandas(gen, MP2_SCF_FP_SCHEMA)
+
+
+JPEG_ARITH_PROG_PROBE_SCHEMA = (
+    "variant bigint, jpeg_md5 string, px_sum bigint, width bigint, "
+    "height bigint, channels bigint, n_scans bigint, delta_vs_seq bigint"
+)
+
+
+def _jpeg_arith_prog_variant(v: int) -> dict:
+    """One deterministic PROGRESSIVE arithmetic JPEG conversion
+    (operators/jpeg_arith.py::encode_jpeg_arith_progressive — T.81
+    Annex G scans over the Annex D QM-coder, SOF10; completes the
+    T.81 encode matrix).  Same DC-exact raster as the SOF9 probe, so
+    decode == source by construction; DOUBLE-guarded executor-side:
+    the progressive decode must be bit-exact AND identical to the
+    SOF9 sequential twin's decode (same quantized coefficients,
+    different scan script).  Variants 0-3 grayscale (6 scans), 4-7
+    color 4:4:4 (14 scans).  libjpeg independently cross-decodes SOF10
+    files in test_jpeg_arith.py."""
+    from cloud_optimized_data_pipelines_spark.operators.jpeg_arith import (
+        _default_scan_script,
+        decode_jpeg_arith,
+        encode_jpeg_arith,
+        encode_jpeg_arith_progressive,
+    )
+
+    ch = 1 if v % 8 < 4 else 3
+    gray = np.zeros((_JPEG_H, _JPEG_W), dtype=np.uint8)
+    for b in range(64):
+        by, bx = divmod(b, 8)
+        gray[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+            2 * ((b * (v + 3)) % 109) + 16
+        )
+    arr = gray if ch == 1 else np.repeat(gray[:, :, None], 3, axis=2)
+    pro = encode_jpeg_arith_progressive(arr)
+    dec = decode_jpeg_arith(pro)
+    if not np.array_equal(dec, arr):  # pragma: no cover - codec guard
+        raise RuntimeError(
+            f"jpeg arith-prog variant {v}: round-trip mismatch"
+        )
+    seq = encode_jpeg_arith(arr)
+    if not np.array_equal(decode_jpeg_arith(seq), dec):  # pragma: no cover
+        raise RuntimeError(
+            f"jpeg arith-prog variant {v}: sequential twin differs"
+        )
+    return {
+        "variant": v,
+        "jpeg_md5": hashlib.md5(pro).hexdigest(),
+        "px_sum": int(dec.sum(dtype=np.int64)),
+        "width": _JPEG_W,
+        "height": _JPEG_H,
+        "channels": ch,
+        "n_scans": len(_default_scan_script(ch)),
+        "delta_vs_seq": len(pro) - len(seq),
+    }
+
+
+def jpeg_arith_prog_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_jpeg_arith_prog_variant(int(x)) for x in pdf["id"]]
+            )
+
+    return spark.range(int(variants)).mapInPandas(
+        gen, JPEG_ARITH_PROG_PROBE_SCHEMA
+    )

@@ -5309,6 +5309,100 @@ def multimodal_jpeg_arithmetic_q(spark, sf_dir):
     )
 
 
+def _jpeg_arith_prog_oracle() -> str:
+    """Oracle for multimodal_jpeg_arith_progressive (the
+    _jpeg_arith_oracle pattern): md5 / n_scans / size delta pinned
+    from a single-process run, px_sum recomputed ARITHMETICALLY from
+    the uniform-block formula (DC-exact construction -> decode ==
+    source).  Annex G conformance is separately pinned by the REAL
+    libjpeg decoding this encoder's SOF10 files to the sequential
+    twins' exact pixels (test_jpeg_arith.py)."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _JPEG_H,
+        _JPEG_W,
+        _jpeg_arith_prog_variant,
+    )
+
+    rows = [_jpeg_arith_prog_variant(v) for v in range(8)]
+
+    def case(field, cast=""):
+        return (
+            "CASE d.doc_id % 8 "
+            + " ".join(
+                f"WHEN {r['variant']} THEN "
+                + (
+                    f"'{r[field]}'"
+                    if not cast
+                    else f"CAST({r[field]} AS {cast})"
+                )
+                for r in rows
+            )
+            + " END"
+        )
+
+    return f"""
+WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
+meta AS (
+  SELECT v, CASE WHEN v % 8 < 4 THEN 1 ELSE 3 END AS channels FROM var
+),
+cells AS (
+  SELECT m.v,
+         CAST(SUM(m.channels * 64 * (2 * ((g.b * (m.v + 3)) % 109) + 16))
+              AS BIGINT) AS px_sum
+  FROM meta m, (SELECT UNNEST(range(0, 64)) AS b) g
+  GROUP BY m.v
+)
+SELECT d.doc_id, d.doc_id % 8 AS variant,
+       {case('jpeg_md5')} AS jpeg_md5,
+       c.px_sum,
+       CAST({_JPEG_W} AS BIGINT) AS width,
+       CAST({_JPEG_H} AS BIGINT) AS height,
+       CAST(m.channels AS BIGINT) AS channels,
+       {case('n_scans', 'BIGINT')} AS n_scans,
+       {case('delta_vs_seq', 'BIGINT')} AS delta_vs_seq
+FROM documents d
+JOIN cells c ON c.v = d.doc_id % 8
+JOIN meta m ON m.v = d.doc_id % 8
+"""
+
+
+@query("multimodal_jpeg_arith_progressive", _jpeg_arith_prog_oracle)
+def multimodal_jpeg_arith_progressive_q(spark, sf_dir):
+    """REAL-bytes PROGRESSIVE arithmetic JPEG round trip
+    (operators/jpeg_arith.py::encode_jpeg_arith_progressive — T.81
+    Annex G successive-approximation + spectral-selection scans over
+    the Annex D QM-coder, SOF10; the last cell of the T.81 encode
+    matrix, VERDICT r10 task 7): per variant the DC-exact raster goes
+    through the full scan script (DC first at Al=1, split AC first
+    scans, two AC refinement passes, DC refinement — 6 scans gray, 14
+    color), decodes bit-exact, and must equal the SOF9 sequential
+    twin's decode (same coefficients, different scan decomposition).
+    Conformance independently proven by the container's real libjpeg
+    decoding these SOF10 files (test_jpeg_arith.py).  Broadcast
+    per-variant probe; scan-script metadata (n_scans, size delta vs
+    sequential) rides the driver hash."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        jpeg_arith_prog_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = jpeg_arith_prog_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "jpeg_md5",
+        "px_sum",
+        "width",
+        "height",
+        "channels",
+        "n_scans",
+        "delta_vs_seq",
+    )
+
+
 @query("multimodal_jpeg_features", _jpeg_probe_oracle)
 def multimodal_jpeg_features_q(spark, sf_dir):
     """REAL-bytes JPEG decode (operators/jpeg_codec.py +

@@ -22,6 +22,7 @@ from cloud_optimized_data_pipelines_spark.operators.jpeg_arith import (
     QE_TABLE,
     decode_jpeg_arith,
     encode_jpeg_arith,
+    encode_jpeg_arith_progressive,
 )
 from cloud_optimized_data_pipelines_spark.operators.jpeg_codec import (
     decode_jpeg,
@@ -223,3 +224,71 @@ def test_arith_named_errors():
         encode_jpeg_arith(img.astype(np.int16))
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg_arith(img, subsampling="411")
+
+
+def test_progressive_arith_matches_sequential_pixels():
+    """SOF10 progressive carries the SAME quantized coefficients as
+    SOF9 sequential, so both decodes must be pixel-identical — for
+    grayscale and 4:4:4 color, via the public dispatcher."""
+    rng = np.random.default_rng(7)
+    g = (
+        np.cumsum(rng.integers(-3, 4, (40, 56)), axis=1) % 200 + 20
+    ).astype(np.uint8)
+    rgb = np.stack([g, np.roll(g, 3, axis=1), 255 - g], axis=2)
+    for img in (g, rgb):
+        seq = decode_jpeg_arith(encode_jpeg_arith(img))
+        pro = decode_jpeg_arith(encode_jpeg_arith_progressive(img))
+        assert np.array_equal(seq, pro), img.shape
+    # non-multiple-of-8 dims + noise (exercises edge padding + every
+    # magnitude path)
+    noisy = rng.integers(0, 256, (33, 41, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg_arith(encode_jpeg_arith(noisy)),
+        decode_jpeg_arith(encode_jpeg_arith_progressive(noisy)),
+    )
+
+
+def test_progressive_arith_named_errors():
+    import pytest
+
+    from cloud_optimized_data_pipelines_spark.operators.jpeg_arith import (
+        _decode_arith_progressive,
+    )
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    pro = bytearray(encode_jpeg_arith_progressive(img))
+    # forge a subsampled component spec in SOF10 -> named error
+    i = pro.find(b"\xff\xca")
+    sof_body = i + 4
+    hv_off = sof_body + 6 + 1  # first component's HV byte
+    pro[hv_off] = 0x22
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        _decode_arith_progressive(bytes(pro))
+
+
+@pytest.mark.skipif(
+    not Path(_LIBJPEG).exists(), reason="libjpeg-turbo not present"
+)
+def test_libjpeg_independently_decodes_progressive_arith():
+    """The container's real libjpeg must decode this encoder's SOF10
+    progressive arithmetic files to the exact pixels of their SOF9
+    sequential twins (same coefficients, different scan script)."""
+    rng = np.random.default_rng(9)
+    cases = [
+        rng.integers(0, 256, (24, 32), dtype=np.uint8),
+        rng.integers(0, 256, (33, 41, 3), dtype=np.uint8),
+        (np.add.outer(np.arange(48), np.arange(64)) % 256).astype(
+            np.uint8
+        ),
+    ]
+    for img in cases:
+        h, w = img.shape[:2]
+        nc = 3 if img.ndim == 3 else 1
+        seq = encode_jpeg_arith(img)
+        pro = encode_jpeg_arith_progressive(img)
+        open("/tmp/_ta_s.jpg", "wb").write(seq)
+        open("/tmp/_ta_p.jpg", "wb").write(pro)
+        ms = _libjpeg_md5("/tmp/_ta_s.jpg", h, w, nc)
+        mp = _libjpeg_md5("/tmp/_ta_p.jpg", h, w, nc)
+        assert ms == mp, img.shape
