@@ -175,6 +175,24 @@ ADDITIONS_R10 = [
     "sketch_hll_portable",
 ]
 
+# r11 additions (same separate-phase protocol; LAST batch so these
+# land inside the driver's recorded tail — though the r11 compact
+# final line now carries every median regardless): the five new
+# graded queries plus the two whose serialization changed.
+ADDITIONS_R11 = [
+    # MPEG-1 Layer II bitstream probe + compressed-domain audio near-dup
+    "multimodal_mp2_features",
+    "multimodal_audio_compressed_near_dup",
+    # scale-adaptive banded-Hamming image near-dup (band_geometry)
+    "multimodal_image_near_dup_adaptive",
+    # WordPiece at a 5k corpus vocabulary
+    "text_wordpiece_vocab5k",
+    # T.81 Annex G progressive arithmetic JPEG (SOF10)
+    "multimodal_jpeg_arith_progressive",
+    # (the serialization-fixed queries — extract_features, stac_item_
+    # raster, embedding_outliers — already ride the R9/R10 batches)
+]
+
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable
 # set above so their side effects (the SemDeDup partitioned assignment
 # write, PNG codec Python workers) cannot perturb the JVM/page-cache
@@ -242,7 +260,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     batches = (HEADLINE, ADDITIONS, ADDITIONS_R6, ADDITIONS_R8,
-               ADDITIONS_R9, ADDITIONS_R10)
+               ADDITIONS_R9, ADDITIONS_R10, ADDITIONS_R11)
     _freeze_order(batches)
     for batch in batches:
         for name in batch:

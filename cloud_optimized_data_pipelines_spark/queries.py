@@ -115,9912 +115,108 @@ def query(name: str, oracle: str | None = None):
     return reg
 
 
-# ---------------------------------------------------------------------------
-# Generic relational surface (SURVEY sections 2.4-2.6) — native Catalyst.
-# Spark side uses spark.sql so the engine's SQL front door is exercised;
-# plans are pure built-in operators (hash agg, SMJ/BHJ, window, topk).
-# ---------------------------------------------------------------------------
-
-_Q1 = """
-SELECT
-  l_returnflag,
-  l_linestatus,
-  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST((1 - CAST(l_discount AS DECIMAL(8,6))) * (1 + CAST(l_tax AS DECIMAL(8,6))) AS DECIMAL(19,12))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
-  COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
-"""
-
-
-@query("q1_pricing_summary", _Q1)
-def q1(spark, sf_dir):
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q1)
-
-
-_Q3 = """
-SELECT
-  o_orderkey,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
-  o_orderdate,
-  o_orderpriority
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-GROUP BY o_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, o_orderkey
-LIMIT 10
-"""
-
-
-@query("q3_shipping_priority", _Q3)
-def q3(spark, sf_dir):
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q3)
-
-
-_Q5 = """
-SELECT
-  n_name,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-WHERE r_name = 'ASIA'
-GROUP BY n_name
-"""
-
-
-@query("q5_local_supplier_volume", _Q5)
-def q5(spark, sf_dir):
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q5)
-
-
-_Q6 = """
-SELECT
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(8,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
-  COUNT(*) AS n_items
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-  AND l_discount BETWEEN 0.05 AND 0.07
-  AND l_quantity < 24
-"""
-
-
-@query("q6_forecast_revenue", _Q6)
-def q6(spark, sf_dir):
-    """TPC-H Q6 shape: pure scan + filter + global agg.  The whole
-    query is one codegen span with every predicate pushed to parquet —
-    the 100 TB sanity check for scan efficiency."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q6)
-
-
-_Q18 = """
-SELECT c_custkey, o_orderkey, o_orderdate,
-       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
-       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_qty
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON o_orderkey = l_orderkey
-WHERE o_orderkey IN (
-  SELECT l_orderkey FROM lineitem
-  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
-)
-GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
-ORDER BY o_totalprice DESC, o_orderkey
-LIMIT 100
-"""
-
-
-@query("q18_large_volume_customer", _Q18)
-def q18(spark, sf_dir):
-    """TPC-H Q18 shape: agg-filtered join back onto the fact + top-k.
-
-    Hand-shaped rather than the naive IN-subquery SQL: Catalyst
-    rewrites `o_orderkey IN (SELECT ... HAVING)` into TWO copies of
-    the lineitem aggregation (the semi-join is pushed to both the
-    orders and lineitem branches), tripling fact work.  Aggregating
-    lineitem ONCE and joining the (already >300-filtered, therefore
-    tiny) result to orders+customer reads the 100 TB fact a single
-    time — same rows, the plan you'd want on a cluster."""
-    t = load_tables(spark, sf_dir)
-    qty = (
-        t["lineitem"]
-        .groupBy("l_orderkey")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
-            .cast("decimal(38,2)")
-            .alias("total_qty")
-        )
-        .filter(F.col("total_qty") > 300)
-    )
-    return (
-        qty.join(t["orders"], qty.l_orderkey == t["orders"].o_orderkey)
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .select(
-            "c_custkey",
-            "o_orderkey",
-            "o_orderdate",
-            F.col("o_totalprice")
-            .cast("decimal(18,2)")
-            .cast("double")
-            .alias("o_totalprice"),
-            F.col("total_qty").cast("double").alias("total_qty"),
-        )
-        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
-        .limit(100)
-    )
-
-
-_Q4 = """
-SELECT o_orderpriority, COUNT(*) AS order_count
-FROM orders
-WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
-  AND EXISTS (
-    SELECT 1 FROM lineitem
-    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
-  )
-GROUP BY o_orderpriority
-"""
-
-
-@query("q4_order_priority", _Q4)
-def q4(spark, sf_dir):
-    """TPC-H Q4 shape: correlated EXISTS → left-semi join against the
-    fact, then a tiny agg (late-shipped lineitem stands in for the
-    commit/receipt columns the synthetic schema lacks)."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q4)
-
-
-_Q14 = """
-SELECT
-  CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-        THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))
-        ELSE CAST(0 AS DECIMAL(31,8)) END) AS DOUBLE)
-  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DOUBLE)
-  AS promo_revenue_pct
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
-"""
-
-
-@query("q14_promo_effect", _Q14)
-def q14(spark, sf_dir):
-    """TPC-H Q14 shape: conditional aggregate ratio over a broadcast
-    dimension join.  Sums run exact in DECIMAL; only the final ratio is
-    DOUBLE (one identical IEEE division on both engines)."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q14)
-
-
-# -- Remaining TPC-H shapes, adapted to the reduced synthetic schema ------
-# (no partsupp / commitdate / shipmode / container columns — each query
-# keeps the plan shape that makes the original interesting: correlated
-# scalar subqueries, decorrelated EXISTS/NOT EXISTS, scalar-vs-global
-# comparisons, disjunctive pushdown.  All money math stays DECIMAL-exact;
-# avg-style predicates are rewritten multiplicative (5*qty*cnt < sum) so
-# no engine-specific decimal-division scale rules leak into results.)
-
-_Q2 = """
-WITH ps AS (
-  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost
-  FROM lineitem GROUP BY l_partkey, l_suppkey
-)
-SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
-       CAST(ps_supplycost AS DOUBLE) AS ps_supplycost
-FROM part, ps, supplier, nation, region
-WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
-  AND p_size BETWEEN 10 AND 30 AND p_type = 'STANDARD'
-  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-  AND r_name = 'EUROPE'
-  AND ps_supplycost = (
-    SELECT MIN(ps2.ps_supplycost)
-    FROM ps ps2, supplier s2, nation n2, region r2
-    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
-      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
-      AND r2.r_name = 'EUROPE')
-ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
-LIMIT 100
-"""
-
-
-@query("q2_min_cost_supplier", _Q2)
-def q2(spark, sf_dir):
-    """TPC-H Q2 shape: correlated scalar MIN subquery over a derived
-    part-supplier relation (partsupp reconstructed from lineitem).
-
-    Hand-shaped: the naive SQL plans the ps CTE (a full fact
-    aggregation) TWICE — once for the outer join, once inside the
-    decorrelated MIN — 9 parquet scans total.  Here ps is aggregated
-    once, restricted to EUROPE suppliers via a broadcast of the dim
-    chain, and the per-part minimum comes from a window over the
-    already-aggregated (tiny) ps relation: ONE lineitem scan."""
-    t = load_tables(spark, sf_dir)
-    ps = (
-        t["lineitem"]
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(
-            F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias(
-                "ps_supplycost"
-            )
-        )
-    )
-    eu_supp = (
-        t["supplier"]
-        .join(
-            F.broadcast(t["nation"]),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .join(
-            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    )
-    eu_ps = ps.join(
-        F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey")
-    )
-    w = Window.partitionBy("l_partkey")
-    best = eu_ps.withColumn(
-        "min_cost", F.min("ps_supplycost").over(w)
-    ).filter(F.col("ps_supplycost") == F.col("min_cost"))
-    parts = t["part"].filter(
-        F.col("p_size").between(10, 30) & (F.col("p_type") == "STANDARD")
-    )
-    return (
-        best.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .select(
-            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
-            F.col("ps_supplycost").cast("double").alias("ps_supplycost"),
-        )
-        .orderBy(
-            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
-        )
-        .limit(100)
-    )
-
-
-_Q7 = """
-SELECT supp_nation, cust_nation, l_year,
-       CAST(CAST(SUM(volume) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
-FROM (
-  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-         CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
-         CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6)) AS volume
-  FROM supplier
-  JOIN lineitem ON s_suppkey = l_suppkey
-  JOIN orders ON o_orderkey = l_orderkey
-  JOIN customer ON c_custkey = o_custkey
-  JOIN nation n1 ON s_nationkey = n1.n_nationkey
-  JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
-  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
-  WHERE ((r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')
-      OR (r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'))
-    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
-                       AND TIMESTAMP '1997-12-31 00:00:00'
-) shipping
-GROUP BY supp_nation, cust_nation, l_year
-"""
-
-
-@query("q7_volume_shipping", _Q7)
-def q7(spark, sf_dir):
-    """TPC-H Q7 shape: the nation+region dimension chain joined twice
-    (supplier side and customer side) with a disjunctive cross-region
-    predicate, grouped by derived year."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q7)
-
-
-_Q8 = """
-SELECT o_year,
-       CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
-                     ELSE CAST(0 AS DECIMAL(31,8)) END) AS DOUBLE)
-       / CAST(SUM(volume) AS DOUBLE) AS mkt_share
-FROM (
-  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
-         CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6)) AS volume,
-         n2.n_name AS nation
-  FROM part
-  JOIN lineitem ON p_partkey = l_partkey
-  JOIN supplier ON s_suppkey = l_suppkey
-  JOIN orders ON l_orderkey = o_orderkey
-  JOIN customer ON o_custkey = c_custkey
-  JOIN nation n1 ON c_nationkey = n1.n_nationkey
-  JOIN region ON n1.n_regionkey = r_regionkey
-  JOIN nation n2 ON s_nationkey = n2.n_nationkey
-  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
-    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
-                        AND TIMESTAMP '1997-12-31 00:00:00'
-) all_nations
-GROUP BY o_year
-"""
-
-
-@query("q8_market_share", _Q8)
-def q8(spark, sf_dir):
-    """TPC-H Q8 shape: eight-way join with the nation dimension joined
-    twice, conditional-share ratio.  Sums stay DECIMAL; only the final
-    ratio is one identical IEEE division per group."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q8)
-
-
-_Q9 = """
-SELECT nation, o_year, CAST(CAST(SUM(amount) AS DECIMAL(38,8)) AS DOUBLE) AS sum_profit
-FROM (
-  SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
-         CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))
-         - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS amount
-  FROM part
-  JOIN lineitem ON p_partkey = l_partkey
-  JOIN supplier ON s_suppkey = l_suppkey
-  JOIN orders ON o_orderkey = l_orderkey
-  JOIN nation ON s_nationkey = n_nationkey
-  WHERE p_name LIKE '%widget%'
-) profit
-GROUP BY nation, o_year
-"""
-
-
-@query("q9_product_profit", _Q9)
-def q9(spark, sf_dir):
-    """TPC-H Q9 shape: profit = revenue - cost (retailprice stands in
-    for the missing ps_supplycost), substring part filter, grouped by
-    supplier nation and order year."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q9)
-
-
-_Q10 = """
-SELECT c_custkey, c_name,
-       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
-       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal, n_name, c_mktsegment
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-JOIN nation ON c_nationkey = n_nationkey
-WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
-  AND l_returnflag = 'R'
-GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
-ORDER BY revenue DESC, c_custkey
-LIMIT 20
-"""
-
-
-@query("q10_returned_items", _Q10)
-def q10(spark, sf_dir):
-    """TPC-H Q10 shape: one-quarter returned-item revenue per customer,
-    top 20 — fact join with two dims, agg, TakeOrderedAndProject."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q10)
-
-
-_Q11 = """
-SELECT l_partkey AS ps_partkey,
-       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS part_value
-FROM lineitem
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-WHERE r_name = 'EUROPE'
-GROUP BY l_partkey
-HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 2000 > (
-  SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
-  FROM lineitem
-  JOIN supplier ON l_suppkey = s_suppkey
-  JOIN nation ON s_nationkey = n_nationkey
-  JOIN region ON n_regionkey = r_regionkey
-  WHERE r_name = 'EUROPE')
-ORDER BY part_value DESC, ps_partkey
-"""
-
-
-@query("q11_important_parts", _Q11)
-def q11(spark, sf_dir):
-    """TPC-H Q11 shape: group-value vs global-total scalar subquery in
-    HAVING (fraction rewritten multiplicative: value*100 > total, exact
-    in DECIMAL).  The subquery plans once as an uncorrelated scalar."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q11)
-
-
-_Q12 = """
-SELECT l_returnflag,
-       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
-  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-GROUP BY l_returnflag
-"""
-
-
-@query("q12_late_lines_priority", _Q12)
-def q12(spark, sf_dir):
-    """TPC-H Q12 shape: priority-class pivot counts over late-shipped
-    lines (returnflag stands in for the missing shipmode; lateness is a
-    cross-column l_shipdate > o_orderdate + interval predicate that
-    can only be applied post-join)."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q12)
-
-
-_Q13 = """
-SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
-FROM (
-  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
-  FROM customer LEFT JOIN orders
-    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
-  GROUP BY c_custkey
-) c_orders
-GROUP BY c_count
-ORDER BY custdist DESC, c_count DESC
-"""
-
-
-@query("q13_customer_distribution", _Q13)
-def q13(spark, sf_dir):
-    """TPC-H Q13 shape: left outer join with an extra join-side filter
-    (must stay in the ON clause, not WHERE), then an agg-of-agg
-    histogram."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q13)
-
-
-_Q15 = """
-WITH revenue AS (
-  SELECT l_suppkey AS supplier_no,
-         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS total_revenue
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
-  GROUP BY l_suppkey
-)
-SELECT s_suppkey, s_name, CAST(CAST(total_revenue AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue
-FROM supplier JOIN revenue ON s_suppkey = supplier_no
-WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
-ORDER BY s_suppkey
-"""
-
-
-@query("q15_top_supplier", _Q15)
-def q15(spark, sf_dir):
-    """TPC-H Q15 shape: CTE reused as both join input and scalar-MAX
-    subquery — exact-DECIMAL equality against the max makes the result
-    engine-independent."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q15)
-
-
-_Q16 = """
-SELECT p_brand, p_type, p_size,
-       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-FROM lineitem
-JOIN part ON p_partkey = l_partkey
-WHERE p_brand <> 'Brand#1'
-  AND p_type <> 'PROMO'
-  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
-  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%0')
-GROUP BY p_brand, p_type, p_size
-ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
-"""
-
-
-@query("q16_supplier_part_count", _Q16)
-def q16(spark, sf_dir):
-    """TPC-H Q16 shape: COUNT(DISTINCT) per part attribute triple with a
-    NOT IN (null-safe anti-join) supplier exclusion list."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q16)
-
-
-_Q17 = """
-SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
-FROM lineitem
-JOIN part ON p_partkey = l_partkey
-WHERE p_brand = 'Brand#2'
-  AND p_size <= 20
-  AND CAST(l_quantity AS DECIMAL(12,2)) * 5
-      * (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
-    < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(12,2))) FROM lineitem l3 WHERE l3.l_partkey = p_partkey)
-"""
-
-
-@query("q17_small_qty_revenue", _Q17)
-def q17(spark, sf_dir):
-    """TPC-H Q17 shape: per-part 'quantity < 0.2 * avg(quantity)'
-    rewritten multiplicative (5*qty*cnt < sum) so the correlated scalar
-    aggregates stay DECIMAL-exact on both engines.
-
-    Hand-shaped: Catalyst plans the two correlated scalar subqueries as
-    two SEPARATE unfiltered full-fact aggregations (grouping ALL parts,
-    then broadcasting the result — an OOM at real scale) plus the fact
-    scan itself: 3 lineitem reads.  Here the fact is narrowed by the
-    broadcast part filter first, then per-part cnt and sum come from
-    window functions over the partkey — ONE fact scan, one shuffle
-    (per-part groups are bounded: ~30 lines/part at every sf)."""
-    t = load_tables(spark, sf_dir)
-    parts = (
-        t["part"]
-        .filter((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20))
-        .select("p_partkey")
-    )
-    li = t["lineitem"].join(
-        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
-    ).select("l_partkey", "l_quantity", "l_extendedprice")
-    w = Window.partitionBy("l_partkey")
-    return (
-        li.withColumn("cnt", F.count(F.lit(1)).over(w))
-        .withColumn(
-            "sum_qty",
-            F.sum(F.col("l_quantity").cast("decimal(12,2)")).over(w),
-        )
-        .filter(
-            F.expr(
-                "CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt"
-                " < CAST(sum_qty AS DECIMAL(35,2))"
-            )
-        )
-        .agg(
-            (
-                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast(
-                    "double"
-                )
-                / F.lit(7.0)
-            ).alias("avg_yearly")
-        )
-    )
-
-
-_Q19 = """
-SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(19,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
-       CAST(COUNT(*) AS BIGINT) AS n_lines
-FROM lineitem JOIN part ON p_partkey = l_partkey
-WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
-   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
-   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
-"""
-
-
-@query("q19_disjunctive_revenue", _Q19)
-def q19(spark, sf_dir):
-    """TPC-H Q19 shape: three-way disjunction mixing both join sides.
-    Catalyst extracts the common l_quantity/p_size bounds so part of
-    the filter still pushes below the join."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q19)
-
-
-_Q20 = """
-SELECT s_suppkey, s_name
-FROM supplier
-WHERE s_suppkey IN (
-  SELECT li.l_suppkey
-  FROM lineitem li
-  WHERE li.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
-    AND li.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-    AND li.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-  GROUP BY li.l_suppkey, li.l_partkey
-  HAVING SUM(CAST(li.l_quantity AS DECIMAL(12,2))) * 2 > (
-    SELECT SUM(CAST(l2.l_quantity AS DECIMAL(12,2)))
-    FROM lineitem l2
-    WHERE l2.l_suppkey = li.l_suppkey AND l2.l_partkey = li.l_partkey)
-)
-ORDER BY s_suppkey
-"""
-
-
-@query("q20_promo_suppliers", _Q20)
-def q20(spark, sf_dir):
-    """TPC-H Q20 shape: nested IN subqueries where the inner grouped
-    query's HAVING holds a correlated scalar aggregate ('shipped more
-    than half of this (supplier, part)'s all-time volume in 1997').
-
-    Hand-shaped: the SQL form scans lineitem twice (1997 groups + the
-    correlated all-time sum).  A single conditional aggregation —
-    sum(qty) filtered to 1997 alongside sum(qty) overall, same groups —
-    merges the correlation into ONE fact scan."""
-    t = load_tables(spark, sf_dir)
-    promo = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
-    g = (
-        t["lineitem"]
-        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("l_suppkey", "l_partkey")
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
-                    & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz")),
-                    F.col("l_quantity").cast("decimal(12,2)"),
-                )
-            ).alias("qty_1997"),
-            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty_all"),
-        )
-        .filter(F.col("qty_1997") * 2 > F.col("qty_all"))
-        .select("l_suppkey")
-        .distinct()
-    )
-    return (
-        t["supplier"]
-        .join(g, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
-        .select("s_suppkey", "s_name")
-        .orderBy("s_suppkey")
-    )
-
-
-_Q21 = """
-SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
-FROM supplier
-JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-JOIN orders ON o_orderkey = l1.l_orderkey
-WHERE o_orderstatus = 'F'
-  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
-  AND EXISTS (
-    SELECT 1 FROM lineitem l2
-    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-  AND NOT EXISTS (
-    SELECT 1 FROM lineitem l3
-    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
-    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 30 DAY)
-GROUP BY s_name
-ORDER BY numwait DESC, s_name
-LIMIT 100
-"""
-
-
-@query("q21_waiting_supplier", _Q21)
-def q21(spark, sf_dir):
-    """TPC-H Q21 shape: EXISTS + NOT EXISTS double correlation on the
-    same fact ('the only late supplier in a multi-supplier order' —
-    shipdate vs orderdate stands in for the missing receipt/commit
-    dates).
-
-    Hand-shaped: Catalyst turns the two correlations into a left-semi
-    AND a left-anti join, each re-scanning lineitem (3 fact scans, 2
-    orders scans).  Both correlations are per-order set properties, so
-    one (order, supplier) aggregation + a window over the order
-    computes 'how many suppliers / how many late suppliers in this
-    order' with ONE scan of each table."""
-    t = load_tables(spark, sf_dir)
-    li = t["lineitem"].join(
-        t["orders"].filter(F.col("o_orderstatus") == "F")
-        .select("o_orderkey", "o_orderdate"),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-    )
-    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.sum(
-            F.when(
-                F.col("l_shipdate")
-                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"),
-                1,
-            ).otherwise(0)
-        ).alias("late_lines")
-    )
-    w = Window.partitionBy("l_orderkey")
-    flagged = (
-        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
-        .withColumn(
-            "n_late_supp",
-            F.sum((F.col("late_lines") > 0).cast("int")).over(w),
-        )
-        .filter(
-            (F.col("late_lines") > 0)
-            & (F.col("n_supp") > 1)
-            & (F.col("n_late_supp") == 1)
-        )
-    )
-    return (
-        flagged.join(
-            F.broadcast(t["supplier"]),
-            F.col("l_suppkey") == F.col("s_suppkey"),
-        )
-        .groupBy("s_name")
-        .agg(F.sum("late_lines").cast("bigint").alias("numwait"))
-        .orderBy(F.desc("numwait"), "s_name")
-        .limit(100)
-    )
-
-
-_Q22 = """
-SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
-       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS totacctbal
-FROM (
-  SELECT CAST(c_custkey % 7 AS BIGINT) AS cntrycode, c_acctbal
-  FROM customer
-  WHERE c_custkey % 7 IN (0, 1, 2, 3)
-    AND CAST(c_acctbal AS DECIMAL(12,2)) * (
-        SELECT CAST(COUNT(*) AS BIGINT) FROM customer c2
-        WHERE c2.c_acctbal > 0.0 AND c2.c_custkey % 7 IN (0, 1, 2, 3)) > (
-        SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(12,2))) FROM customer c3
-        WHERE c3.c_acctbal > 0.0 AND c3.c_custkey % 7 IN (0, 1, 2, 3))
-    AND NOT EXISTS (
-      SELECT 1 FROM orders
-      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-) custsale
-GROUP BY cntrycode
-ORDER BY cntrycode
-"""
-
-
-@query("q22_idle_customers", _Q22)
-def q22(spark, sf_dir):
-    """TPC-H Q22 shape: above-average balance (exact multiplicative
-    rewrite: bal*cnt > sum) + anti-join on urgent orders, grouped by a
-    derived country code (custkey mod — the synthetic schema has no
-    phone column)."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_Q22)
-
-
-_TOPK_PER_CUST = """
-SELECT c_custkey, o_orderkey, o_totalprice, rn
-FROM (
-  SELECT c_custkey, o_orderkey,
-         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
-         ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
-  FROM customer JOIN orders ON c_custkey = o_custkey
-) t
-WHERE rn <= 3
-"""
-
-
-@query("window_topk_per_customer", _TOPK_PER_CUST)
-def topk_per_customer(spark, sf_dir):
-    t = load_tables(spark, sf_dir)
-    w = Window.partitionBy("c_custkey").orderBy(
-        F.desc("o_totalprice"), F.col("o_orderkey")
-    )
-    return (
-        t["customer"]
-        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey)
-        .select(
-            "c_custkey",
-            "o_orderkey",
-            F.col("o_totalprice")
-            .cast("decimal(18,2)")
-            .cast("double")
-            .alias("o_totalprice"),
-            F.row_number().over(w).alias("rn"),
-        )
-        .filter(F.col("rn") <= 3)
-    )
-
-
-_RUNNING = """
-SELECT o_custkey, o_orderkey,
-       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS running_spend,
-       LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
-FROM orders
-"""
-
-
-@query("window_running_total", _RUNNING)
-def running_total(spark, sf_dir):
-    load_tables(spark, sf_dir)
-    return spark.sql(_RUNNING)
-
-
-_ROLLUP = """
-SELECT r_name, n_name,
-       CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_bal,
-       COUNT(*) AS n_suppliers
-FROM supplier
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY ROLLUP (r_name, n_name)
-"""
-
-
-@query("agg_rollup_supplier", _ROLLUP)
-def rollup_supplier(spark, sf_dir):
-    load_tables(spark, sf_dir)
-    return spark.sql(_ROLLUP)
-
-
-_UNPIVOT = """
-SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part
-UNION ALL
-SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
-"""
-
-
-@query("unpivot_part_metrics", _UNPIVOT)
-def unpivot_part_metrics(spark, sf_dir):
-    """Wide-to-long melt.  Spark side uses stack() — ONE scan of the
-    table producing N rows per input row via Expand (the oracle's
-    UNION ALL form, which is what naive SQL gives you, scans N times)."""
-    t = load_tables(spark, sf_dir)
-    return t["part"].select(
-        "p_partkey",
-        F.expr(
-            "stack(2, 'retailprice', CAST(p_retailprice AS DOUBLE),"
-            " 'size', CAST(p_size AS DOUBLE))"
-        ).alias("metric", "value"),
-    )
-
-
-_LATERAL_TOP2 = """
-SELECT c_custkey, t.o_orderkey, t.o_totalprice
-FROM customer, LATERAL (
-  SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
-  FROM orders
-  WHERE o_custkey = c_custkey
-  ORDER BY o_totalprice DESC, o_orderkey
-  LIMIT 2) t
-"""
-
-
-@query("join_lateral_top2_orders", _LATERAL_TOP2)
-def lateral_top2_orders(spark, sf_dir):
-    """Correlated LATERAL derived table with per-row ORDER BY ... LIMIT
-    — Catalyst decorrelates it into a ranked window join (same result
-    as the window_topk form, arrived at from SQL the user would
-    actually write)."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_LATERAL_TOP2)
-
-
-_GROUPING_SETS = """
-SELECT o_orderpriority, o_orderstatus,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price,
-       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
-       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
-FROM orders
-GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), (o_orderstatus), ())
-"""
-
-
-@query("agg_grouping_sets_orders", _GROUPING_SETS)
-def grouping_sets_orders(spark, sf_dir):
-    """Explicit GROUPING SETS (the general form under ROLLUP/CUBE) with
-    GROUPING() markers disambiguating real NULLs from subtotal rows —
-    one Expand + single hash aggregate in the plan."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_GROUPING_SETS)
-
-
-_DISTINCT = """
-SELECT c_mktsegment,
-       COUNT(DISTINCT c_nationkey) AS n_nations,
-       COUNT(*) AS n_customers
-FROM customer
-GROUP BY c_mktsegment
-"""
-
-
-@query("agg_distinct_by_segment", _DISTINCT)
-def distinct_by_segment(spark, sf_dir):
-    load_tables(spark, sf_dir)
-    return spark.sql(_DISTINCT)
-
-
-_SETOPS = """
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-INTERSECT
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-EXCEPT
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
-"""
-
-
-@query("set_ops_customers", _SETOPS)
-def set_ops(spark, sf_dir):
-    load_tables(spark, sf_dir)
-    return spark.sql(_SETOPS)
-
-
-_TOP20 = """
-SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
-FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
-"""
-
-
-@query("sort_limit_top20_orders", _TOP20)
-def top20(spark, sf_dir):
-    load_tables(spark, sf_dir)
-    return spark.sql(_TOP20)
-
-
-_SEMI_ANTI = """
-SELECT 'with_orders' AS segment, COUNT(*) AS n FROM customer
-WHERE c_custkey IN (SELECT o_custkey FROM orders)
-UNION ALL
-SELECT 'without_orders' AS segment, COUNT(*) AS n FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-"""
-
-
-@query("join_semi_anti_customers", _SEMI_ANTI)
-def semi_anti(spark, sf_dir):
-    t = load_tables(spark, sf_dir)
-    semi = t["customer"].join(
-        t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left_semi"
-    )
-    anti = t["customer"].join(
-        t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left_anti"
-    )
-    return semi.agg(
-        F.lit("with_orders").alias("segment"), F.count("*").alias("n")
-    ).unionAll(
-        anti.agg(F.lit("without_orders").alias("segment"), F.count("*").alias("n"))
-    )
-
-
-# --- events: streaming-shape batch queries (SURVEY section 2.8) ------------
-
-_HOURLY = """
-SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
-       event_type,
-       COUNT(*) AS n_events,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
-FROM events
-GROUP BY 1, 2
-"""
-
-
-@query("events_hourly_window", _HOURLY)
-def events_hourly(spark, sf_dir):
-    t = load_tables(spark, sf_dir)
-    return (
-        t["events"]
-        .groupBy(
-            F.window("ts", "1 hour").start.alias("window_start"),
-            "event_type",
-        )
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(38,6)")
-            .cast("double")
-            .alias("total_value"),
-        )
-    )
-
-
-_EVENT_DEDUP = """
-SELECT event_id, user_id, event_type, ts FROM (
-  SELECT event_id, user_id, event_type, ts,
-         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
-  FROM events
-) t WHERE rn = 1
-"""
-
-
-@query("events_dedup_first_per_key", _EVENT_DEDUP)
-def events_dedup(spark, sf_dir):
-    t = load_tables(spark, sf_dir)
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    return (
-        t["events"]
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "event_type", "ts")
-    )
-
-
-_JSON_PROPS = """
-SELECT event_type,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
-       COUNT(*) AS n
-FROM events
-GROUP BY event_type
-"""
-
-
-@query("events_json_extract", _JSON_PROPS)
-def events_json(spark, sf_dir):
-    t = load_tables(spark, sf_dir)
-    return (
-        t["events"]
-        .groupBy("event_type")
-        .agg(
-            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("total_k"),
-            F.count("*").alias("n"),
-        )
-    )
-
-
-_ASOF = """
-SELECT v.event_id, v.user_id, v.ts,
-       MAX(c.ts) AS last_click_ts
-FROM events v
-LEFT JOIN events c
-  ON c.user_id = v.user_id AND c.event_type = 'click' AND c.ts <= v.ts
-WHERE v.event_type = 'purchase'
-GROUP BY v.event_id, v.user_id, v.ts
-"""
-
-
-@query("asof_join_last_click", _ASOF)
-def asof_join(spark, sf_dir):
-    """As-of join (engine extension): for each purchase, the most recent
-    click by the same user — union+window formulation (one shuffle,
-    linear state; see operators/relational.asof_join). The oracle uses
-    the equivalent range-join+max SQL."""
-    from cloud_optimized_data_pipelines_spark.operators.relational import asof_join
-
-    t = load_tables(spark, sf_dir)
-    purchases = t["events"].filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = t["events"].filter(F.col("event_type") == "click").select("user_id", "ts")
-    out = asof_join(
-        purchases, clicks, on=["user_id"], left_time="ts", right_time="ts",
-        right_values=["ts"], suffix="_click",
-    )
-    return out.select(
-        "event_id", "user_id", "ts", F.col("ts_click").alias("last_click_ts")
-    )
 
 
 # ---------------------------------------------------------------------------
-# Reference-operator queries (SURVEY section 2.1-2.3, 2.7) — the engine's own
-# operators driven from the star schema, checked against an INDEPENDENT
-# date-math oracle (not a re-implementation of the regexes).
+# Family registry modules (r11 split — VERDICT r10 task 9).  IMPORT
+# ORDER IS REGISTRATION ORDER: each module registers its queries via
+# the @query decorator at import; tests/test_registry_order.py pins the
+# resulting dict order against the pre-split registry.
 # ---------------------------------------------------------------------------
 
-_EXTRACT_DATES = """
-WITH inv AS (
-  SELECT o_orderkey,
-    CASE CAST(o_orderkey % 4 AS INT)
-      WHEN 0 THEN 's3://veda/coll/OMI_' || strftime(o_orderdate, '%Y-%m-%d') || '_V4.tif'
-      WHEN 1 THEN 's3://veda/coll/OMI_' || strftime(o_orderdate, '%Y%m%d') || '_V4.tif'
-      WHEN 2 THEN 's3://veda/coll/OMI_' || strftime(o_orderdate, '%Y%m') || '_V4.tif'
-      ELSE 's3://veda/coll/OMI_' || strftime(o_orderdate, '%Y%m%d') || '_to_'
-           || strftime(o_orderdate + INTERVAL 10 DAY, '%Y%m%d') || '_V4.tif'
-    END AS s3_filename,
-    CASE CAST(o_orderkey % 4 AS INT)
-      WHEN 1 THEN 'month' WHEN 2 THEN 'year' ELSE NULL
-    END AS datetime_range,
-    o_orderdate
-  FROM orders
+from cloud_optimized_data_pipelines_spark.registry import (  # noqa: E402,F401
+    q_relational,
+    q_events_shape,
+    q_refops,
+    q_dedup,
+    q_similarity,
+    q_text,
+    q_multimodal,
+    q_sessionize,
+    q_relational_extra,
+    q_survey_misc,
+    q_r11_additions,
 )
-SELECT o_orderkey, s3_filename,
-  CASE CAST(o_orderkey % 4 AS INT)
-    WHEN 0 THEN NULL
-    WHEN 1 THEN date_trunc('month', o_orderdate)::TIMESTAMP
-    WHEN 2 THEN date_trunc('year', o_orderdate)::TIMESTAMP
-    ELSE o_orderdate
-  END AS start_datetime,
-  CASE CAST(o_orderkey % 4 AS INT)
-    WHEN 0 THEN NULL
-    WHEN 1 THEN last_day(o_orderdate)::TIMESTAMP
-    WHEN 2 THEN (date_trunc('year', o_orderdate) + INTERVAL 11 MONTH + INTERVAL 30 DAY)::TIMESTAMP
-    ELSE o_orderdate + INTERVAL 10 DAY
-  END AS end_datetime,
-  CASE WHEN CAST(o_orderkey % 4 AS INT) = 0 THEN o_orderdate ELSE NULL END AS single_datetime
-FROM inv
-"""
-
-
-@query("c1_extract_dates", _EXTRACT_DATES)
-def c1_extract_dates(spark, sf_dir):
-    """extract_dates over filenames synthesized from o_orderdate; the
-    oracle derives expectations from date math, independently of the
-    regex strategy implementation (true cross-check)."""
-    t = load_tables(spark, sf_dir)
-    key = (F.col("o_orderkey") % 4).cast("int")
-    fname = (
-        F.when(key == 0, F.concat(F.lit("s3://veda/coll/OMI_"), F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit("_V4.tif")))
-        .when(key == 1, F.concat(F.lit("s3://veda/coll/OMI_"), F.date_format("o_orderdate", "yyyyMMdd"), F.lit("_V4.tif")))
-        .when(key == 2, F.concat(F.lit("s3://veda/coll/OMI_"), F.date_format("o_orderdate", "yyyyMM"), F.lit("_V4.tif")))
-        .otherwise(
-            F.concat(
-                F.lit("s3://veda/coll/OMI_"),
-                F.date_format("o_orderdate", "yyyyMMdd"),
-                F.lit("_to_"),
-                F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 10 DAY"), "yyyyMMdd"),
-                F.lit("_V4.tif"),
-            )
-        )
-    )
-    rng = F.when(key == 1, F.lit("month")).when(key == 2, F.lit("year"))
-    inv = t["orders"].select(
-        "o_orderkey", fname.alias("s3_filename"), rng.alias("datetime_range")
-    )
-    d = extract_dates(F.col("s3_filename"), F.col("datetime_range"))
-    return inv.select(
-        "o_orderkey",
-        "s3_filename",
-        d["start_datetime"].alias("start_datetime"),
-        d["end_datetime"].alias("end_datetime"),
-        d["single_datetime"].alias("single_datetime"),
-    )
-
-
-_ITEM_ID = """
-SELECT p_partkey,
-  regexp_extract(fn, 's3://([^/]*)/(.+).tif$', 1) || '-' ||
-  regexp_extract(fn, 's3://([^/]*)/(.+).tif$', 2) AS item_id
-FROM (
-  SELECT p_partkey,
-         's3://bucket-' || CAST(p_partkey % 7 AS VARCHAR) || '/parts/p_'
-         || CAST(p_partkey AS VARCHAR) || '_' || p_brand || '.nc.tif' AS fn
-  FROM part
-) t
-"""
-
-
-@query("c4_item_id", _ITEM_ID)
-def c4_item_id(spark, sf_dir):
-    t = load_tables(spark, sf_dir)
-    fn = F.concat(
-        F.lit("s3://bucket-"),
-        (F.col("p_partkey") % 7).cast("string"),
-        F.lit("/parts/p_"),
-        F.col("p_partkey").cast("string"),
-        F.lit("_"),
-        F.col("p_brand"),
-        F.lit(".nc.tif"),
-    )
-    return t["part"].select(
-        "p_partkey",
-        item_id(fn, r"s3://([^/]*)/(.+).tif$").alias("item_id"),
-    )
-
-
-_DISCOVERY = """
-SELECT 'parts' AS collection,
-       's3://veda-staging/' || key AS s3_filename,
-       FALSE AS upload
-FROM (
-  SELECT 'parts/p_' || CAST(p_partkey AS VARCHAR) || '_'
-         || CAST(p_size AS VARCHAR) || '.tif' AS key
-  FROM part
-) t
-WHERE key LIKE 'parts/%' AND regexp_matches(key, '^parts/p_.*\\.tif$')
-"""
-
-
-@query("s2_discovery_enrich", _DISCOVERY)
-def s2_discovery(spark, sf_dir):
-    """S1+S2+F1: inventory scan -> anchored regex -> enriched records,
-    via the engine's inventory source operators."""
-    t = load_tables(spark, sf_dir)
-    inventory = t["part"].select(
-        F.lit("veda-staging").alias("bucket"),
-        F.concat(
-            F.lit("parts/p_"),
-            F.col("p_partkey").cast("string"),
-            F.lit("_"),
-            F.col("p_size").cast("string"),
-            F.lit(".tif"),
-        ).alias("key"),
-        F.lit(0).cast("long").alias("size"),
-        F.lit(None).cast("timestamp").alias("last_modified"),
-    )
-    discovered = inv_src.discover(inventory, prefix="parts/", filename_regex=r"^parts/p_.*\.tif$")
-    enriched = inv_src.enrich(discovered, prefix="parts/")
-    return enriched.select("collection", "s3_filename", "upload")
-
-
-_LINKS = """
-SELECT collection, granule_id, link.href AS s3_filename
-FROM (
-  SELECT 'OMDOAO3e' AS collection,
-         'G' || CAST(o_orderkey AS VARCHAR) || '-X' AS granule_id,
-         [
-           {'rel': 'http://esipfed.org/ns/fedsearch/1.1/data#',
-            'href': 's3://cmr/o_' || CAST(o_orderkey AS VARCHAR) || '.he5'},
-           {'rel': 'http://esipfed.org/ns/fedsearch/1.1/browse#',
-            'href': 's3://cmr/o_' || CAST(o_orderkey AS VARCHAR) || '.png'},
-           {'rel': 'http://esipfed.org/ns/fedsearch/1.1/data#',
-            'href': 'https://example.com/o_' || CAST(o_orderkey AS VARCHAR) || '.html'}
-         ] AS links
-  FROM orders WHERE o_orderkey % 10 = 0
-) g, UNNEST(g.links) AS u(link)
-WHERE link.rel = 'http://esipfed.org/ns/fedsearch/1.1/data#'
-  AND regexp_matches(link.href, '^.*\\.he5$')
-"""
-
-
-@query("s4_link_explode", _LINKS)
-def s4_links(spark, sf_dir):
-    """S4+F2+F3: granule links flatten + rel/include filters via the
-    engine's CMR source operator."""
-    t = load_tables(spark, sf_dir)
-    okey = F.col("o_orderkey").cast("string")
-    granules = (
-        t["orders"]
-        .filter(F.col("o_orderkey") % 10 == 0)
-        .select(
-            F.concat(F.lit("G"), okey, F.lit("-X")).alias("granule_id"),
-            F.lit("OMDOAO3e").alias("collection"),
-            F.lit(None).cast("string").alias("version"),
-            F.lit(None).cast("timestamp").alias("time_start"),
-            F.lit(None).cast("timestamp").alias("time_end"),
-            F.lit(None).cast("array<double>").alias("bbox"),
-            F.array(
-                F.struct(
-                    F.lit(cmr_src.DATA_REL).alias("rel"),
-                    F.concat(F.lit("s3://cmr/o_"), okey, F.lit(".he5")).alias("href"),
-                ),
-                F.struct(
-                    F.lit("http://esipfed.org/ns/fedsearch/1.1/browse#").alias("rel"),
-                    F.concat(F.lit("s3://cmr/o_"), okey, F.lit(".png")).alias("href"),
-                ),
-                F.struct(
-                    F.lit(cmr_src.DATA_REL).alias("rel"),
-                    F.concat(F.lit("https://example.com/o_"), okey, F.lit(".html")).alias("href"),
-                ),
-            ).alias("links"),
-        )
-    )
-    out = cmr_src.explode_links(granules, mode="data", include=r"^.*\.he5$")
-    return out.select("collection", "granule_id", "s3_filename")
-
-
-_TRANSFER = """
-WITH ev AS (
-  SELECT p_partkey, p_brand AS collection,
-         's3://src/parts/p_' || CAST(p_partkey AS VARCHAR) || '_2020.tif' AS src_url,
-         (p_size % 2 = 0) AS upload
-  FROM part
-), tgt AS (
-  SELECT 'veda-store' AS bucket,
-         p_brand || '/p_' || CAST(p_partkey AS VARCHAR) || '_2020.tif' AS key
-  FROM part WHERE p_partkey % 5 = 0
-)
-SELECT ev.p_partkey,
-  CASE WHEN ev.upload
-       THEN 's3://veda-store/' || ev.collection || '/p_' || CAST(ev.p_partkey AS VARCHAR) || '_2020.tif'
-       ELSE ev.src_url END AS s3_filename,
-  (ev.upload AND tgt.key IS NULL) AS needs_copy
-FROM ev LEFT JOIN tgt
-  ON tgt.key = ev.collection || '/p_' || CAST(ev.p_partkey AS VARCHAR) || '_2020.tif'
-"""
-
-
-@query("k3_transfer_plan", _TRANSFER)
-def k3_transfer(spark, sf_dir):
-    """K3/F6/F7/J2: upload gate + existence anti-check + URL rewrite via
-    the engine's transfer operator."""
-    t = load_tables(spark, sf_dir)
-    pk = F.col("p_partkey").cast("string")
-    events = t["part"].select(
-        "p_partkey",
-        F.col("p_brand").alias("collection"),
-        F.concat(F.lit("s3://src/parts/p_"), pk, F.lit("_2020.tif")).alias("s3_filename"),
-        (F.col("p_size") % 2 == 0).alias("upload"),
-    )
-    target_inv = (
-        t["part"]
-        .filter(F.col("p_partkey") % 5 == 0)
-        .select(
-            F.lit("veda-store").alias("bucket"),
-            F.concat(F.col("p_brand"), F.lit("/p_"), pk, F.lit("_2020.tif")).alias("key"),
-        )
-    )
-    planned = plan_transfer(events, target_inv, "veda-store")
-    return planned.select("p_partkey", "s3_filename", "needs_copy")
-
-
-_CONFIG_JOIN = """
-SELECT d.doc_id, d.source AS collection, c.variable_name
-FROM documents d
-LEFT JOIN (
-  SELECT DISTINCT source, 'var_' || source AS variable_name FROM documents
-) c ON c.source = d.source
-"""
-
-
-@query("j1_config_join", _CONFIG_JOIN)
-def j1_config(spark, sf_dir):
-    t = load_tables(spark, sf_dir)
-    config = (
-        t["documents"]
-        .select("source")
-        .distinct()
-        .select(
-            F.col("source").alias("collection"),
-            F.concat(F.lit("var_"), F.col("source")).alias("variable_name"),
-        )
-    )
-    docs = t["documents"].select("doc_id", F.col("source").alias("collection"))
-    from cloud_optimized_data_pipelines_spark.sources.config import with_config
-
-    return with_config(docs, config).select("doc_id", "collection", "variable_name")
-
-
-_J4_COLLECTION = """
-SELECT d.doc_id, d.source AS collection, c.time_density, c.is_periodic,
-       CAST(c.n_docs AS BIGINT) AS n_docs
-FROM documents d
-LEFT JOIN (
-  SELECT source,
-         CASE WHEN COUNT(*) % 3 = 0 THEN 'month'
-              WHEN COUNT(*) % 3 = 1 THEN 'day' ELSE 'year' END AS time_density,
-         COUNT(*) % 2 = 0 AS is_periodic,
-         COUNT(*) AS n_docs
-  FROM documents GROUP BY source
-) c ON c.source = d.source
-"""
-
-
-@query("j4_collection_join", _J4_COLLECTION)
-def j4_collection(spark, sf_dir):
-    """J4 collection-metadata join (OPERATING.md:9-24): items enriched
-    from a collections dimension (dashboard:time_density /
-    dashboard:is_periodic analog), broadcast left join — the dim is
-    thousands of rows at most, so no fact shuffle at any scale."""
-    t = load_tables(spark, sf_dir)
-    coll = (
-        t["documents"]
-        .groupBy("source")
-        .agg(F.count("*").alias("n_docs"))
-        .select(
-            "source",
-            F.when(F.col("n_docs") % 3 == 0, F.lit("month"))
-            .when(F.col("n_docs") % 3 == 1, F.lit("day"))
-            .otherwise(F.lit("year"))
-            .alias("time_density"),
-            (F.col("n_docs") % 2 == 0).alias("is_periodic"),
-            F.col("n_docs").cast("long").alias("n_docs"),
-        )
-    )
-    return (
-        t["documents"]
-        .select("doc_id", F.col("source").alias("collection"), "source")
-        .join(F.broadcast(coll), "source", "left")
-        .select("doc_id", "collection", "time_density", "is_periodic", "n_docs")
-    )
-
-
-_EXTENT = """
-WITH d AS (
-  SELECT CAST(o_orderkey % 4 AS INT) AS coll_bucket,
-    CASE CAST(o_orderkey % 4 AS INT)
-      WHEN 0 THEN o_orderdate
-      WHEN 1 THEN date_trunc('month', o_orderdate)::TIMESTAMP
-      WHEN 2 THEN date_trunc('year', o_orderdate)::TIMESTAMP
-      ELSE o_orderdate
-    END AS s,
-    CASE CAST(o_orderkey % 4 AS INT)
-      WHEN 0 THEN o_orderdate
-      WHEN 1 THEN last_day(o_orderdate)::TIMESTAMP
-      WHEN 2 THEN (date_trunc('year', o_orderdate) + INTERVAL 11 MONTH + INTERVAL 30 DAY)::TIMESTAMP
-      ELSE o_orderdate + INTERVAL 10 DAY
-    END AS e
-  FROM orders
-)
-SELECT coll_bucket, MIN(s) AS temporal_start, MAX(e) AS temporal_end, COUNT(*) AS n_items
-FROM d GROUP BY coll_bucket
-"""
-
-
-@query("a3_collection_extent", _EXTENT)
-def a3_extent(spark, sf_dir):
-    """A3 (engine improvement over the reference's hand-maintained
-    collection extents): aggregate item datetimes per collection."""
-    items = c1_extract_dates(spark, sf_dir)
-    return (
-        items.select(
-            (F.col("o_orderkey") % 4).cast("int").alias("coll_bucket"),
-            F.coalesce("start_datetime", "single_datetime").alias("s"),
-            F.coalesce("end_datetime", "single_datetime").alias("e"),
-        )
-        .groupBy("coll_bucket")
-        .agg(
-            F.min("s").alias("temporal_start"),
-            F.max("e").alias("temporal_end"),
-            F.count("*").alias("n_items"),
-        )
-    )
-
-
-_SPILL = """
-SELECT doc_id, (n_chars + 49 >= 1024) AS needs_spill
-FROM documents
-"""
-
-
-@query("k2_spill_flag", _SPILL)
-def k2_spill(spark, sf_dir):
-    """K2: the 256KiB side-file rule (demo limit 1KiB so both branches
-    occur), via the engine's payload-size scalar."""
-    from cloud_optimized_data_pipelines_spark.functions.json_utils import spill_required
-
-    t = load_tables(spark, sf_dir)
-    return t["documents"].select(
-        "doc_id", spill_required(F.col("text"), 1024).alias("needs_spill")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Training-data pipeline extensions (SURVEY section 7.7) — dedup, similarity
-# search, text analysis, multimodal.  Oracles replicate the md5-based
-# hashing exactly (DuckDB SQL), so even MinHash/SimHash are hash-checked.
-# ---------------------------------------------------------------------------
-
-# shared DuckDB CTE: whitespace tokens + distinct word-3-gram shingles
-_DUCK_SHINGLES = """
-toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
-  FROM {src}
-),
-sh AS (
-  SELECT doc_id,
-    CASE WHEN len(tk) >= 3
-         THEN list_distinct(list_transform(range(1, len(tk) - 1),
-                            i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
-         ELSE [array_to_string(tk, ' ')] END AS shingles
-  FROM toks
-)
-"""
-
-_DEDUP_EXACT = """
-WITH docs2 AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 100000 AS doc_id, text FROM documents
-)
-SELECT doc_id, md5(text) AS text_md5
-FROM docs2
-QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
-"""
-
-
-@query("dedup_exact", _DEDUP_EXACT)
-def dedup_exact_q(spark, sf_dir):
-    """Exact dedup on a corpus with injected duplicates (every doc twice,
-    shifted ids): keeps exactly the original 500 lowest-id rows.
-
-    Since this query's output only needs (id, digest), the text column
-    is dropped BEFORE the dedup window — the shuffle moves 16-byte
-    digests, never documents (D.exact_dedup_by_hash keeps the general
-    carry-all-columns form for consumers that need the kept rows)."""
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"].select("doc_id", "text")
-    doubled = docs.unionAll(
-        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
-    )
-    w = Window.partitionBy("text_md5").orderBy("doc_id")
-    return (
-        doubled.select("doc_id", F.md5("text").alias("text_md5"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-
-
-_MINHASH_SIG_DUCK = ", ".join(
-    f"list_min(list_transform(shingles, s -> "
-    f"('0x' || substr(md5(s), 1, 14))::BIGINT"
-    f" + {i} * ('0x' || substr(md5(s), 17, 14))::BIGINT))"
-    for i in range(16)
-)
-_MINHASH_LSH = f"""
-WITH {_DUCK_SHINGLES.format(src="documents")},
-sig AS (
-  SELECT doc_id, [{_MINHASH_SIG_DUCK}] AS sig FROM sh
-),
-bands AS (
-  SELECT doc_id, b AS band,
-         md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS bucket
-  FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
-FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-GROUP BY 1, 2
-"""
-
-
-@query("dedup_minhash_lsh", _MINHASH_LSH)
-def dedup_minhash_q(spark, sf_dir):
-    t = load_tables(spark, sf_dir)
-    return D.minhash_lsh_candidates(
-        t["documents"], "doc_id", "text", num_hashes=16, num_bands=4, n=3
-    )
-
-
-_JACCARD = f"""
-WITH {_DUCK_SHINGLES.format(src="documents")},
-idx AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
-sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS set_size FROM idx GROUP BY doc),
-common AS (
-  SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
-  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc < b.doc
-  GROUP BY 1, 2
-)
-SELECT doc_a, doc_b, common, sa.set_size AS size_a, sb.set_size AS size_b,
-       common / (sa.set_size + sb.set_size - common) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc = doc_a
-JOIN sizes sb ON sb.doc = doc_b
-WHERE common / (sa.set_size + sb.set_size - common) >= 0.2
-"""
-
-
-@query("dedup_ngram_jaccard", _JACCARD)
-def dedup_jaccard_q(spark, sf_dir):
-    """UNGUARDED variant (max_shingle_freq=None, matching an oracle with
-    no frequency pruning); the at-scale skew-guarded form is the
-    separately registered dedup_ngram_jaccard_guarded."""
-    t = load_tables(spark, sf_dir)
-    out = D.ngram_jaccard_pairs(
-        t["documents"], "doc_id", "text", n=3, threshold=0.2, max_shingle_freq=None
-    )
-    return out.select(
-        "doc_a",
-        "doc_b",
-        F.col("common").cast("long").alias("common"),
-        F.col("size_a").cast("long").alias("size_a"),
-        F.col("size_b").cast("long").alias("size_b"),
-        "jaccard",
-    )
-
-
-_TRAIN_SPLIT = """
-WITH b AS (
-  SELECT doc_id,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
-  FROM documents
-)
-SELECT doc_id,
-       CASE WHEN bucket < 90 THEN 'train'
-            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
-FROM b
-"""
-
-
-@query("text_train_val_split", _TRAIN_SPLIT)
-def train_val_split_q(spark, sf_dir):
-    """Deterministic 90/5/5 split by doc_id md5 bucket — reproducible
-    across runs/engines/partitionings (rand()/df.sample are not), and
-    stable under corpus growth: new rows never reassign old ones."""
-    from cloud_optimized_data_pipelines_spark.operators.sampling import (
-        deterministic_split,
-    )
-
-    t = load_tables(spark, sf_dir)
-    return deterministic_split(
-        t["documents"].select("doc_id"),
-        "doc_id",
-        {"train": 90, "val": 5, "test": 5},
-    )
-
-
-_LSH_VERIFIED = f"""
-WITH {_DUCK_SHINGLES.format(src="documents")},
-sig AS (
-  SELECT doc_id, [{_MINHASH_SIG_DUCK}] AS sig FROM sh
-),
-bands AS (
-  SELECT doc_id, b AS band,
-         md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS bucket
-  FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
-idx AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
-sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS set_size FROM idx GROUP BY doc),
-common AS (
-  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS common
-  FROM cand c
-  JOIN idx a ON a.doc = c.doc_a
-  JOIN idx b ON b.doc = c.doc_b AND b.shingle = a.shingle
-  GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-       common / (sa.set_size + sb.set_size - common) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc = doc_a
-JOIN sizes sb ON sb.doc = doc_b
-WHERE common / (sa.set_size + sb.set_size - common) >= 0.2
-"""
-
-
-@query("dedup_lsh_verified", _LSH_VERIFIED)
-def dedup_lsh_verified_q(spark, sf_dir):
-    """Candidates-then-verify: exact Jaccard computed ONLY for LSH
-    band collisions — the production near-dup composition (sub-linear
-    candidate generation, exact verification)."""
-    t = load_tables(spark, sf_dir)
-    return D.minhash_lsh_verified_pairs(
-        t["documents"], "doc_id", "text", threshold=0.2
-    )
-
-
-_LSH_SURVIVORS = f"""
-WITH {_DUCK_SHINGLES.format(src="documents")},
-sig AS (
-  SELECT doc_id, [{_MINHASH_SIG_DUCK}] AS sig FROM sh
-),
-bands AS (
-  SELECT doc_id, b AS band,
-         md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS bucket
-  FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)
-),
-losers AS (
-  SELECT DISTINCT doc_id FROM (
-    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, bucket) AS m
-    FROM bands
-  ) WHERE doc_id > m
-)
-SELECT d.doc_id, d.lang FROM documents d
-WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
-"""
-
-
-@query("dedup_lsh_survivors", _LSH_SURVIVORS)
-def dedup_lsh_survivors_q(spark, sf_dir):
-    """The PRIMARY at-scale LSH dedup form (operators/dedup.py::
-    minhash_lsh_dedup): keep the lowest id per occupied (band, bucket),
-    drop everything else — one window over 4n index rows, NO pair
-    materialization (pair enumeration is O(bucket-occupancy^2);
-    measured 283 s vs 22 s at the 100x stress probe, SCALE.md).
-    ``dedup_minhash_lsh`` remains registered as the bounded pair-level
-    diagnostic."""
-    t = load_tables(spark, sf_dir)
-    return D.minhash_lsh_dedup(
-        t["documents"], "doc_id", "text", num_hashes=16, num_bands=4, n=3
-    ).select("doc_id", "lang")
-
-
-# the iteration itself is not SQL, but its FIXPOINT is: min reachable
-# id = MIN over a recursive reachability walk (the aggregate sits
-# OUTSIDE the recursive term, which DuckDB allows) — same trick as
-# _DUP_CLUSTERS, so the formerly rows-only query is now hash-checked
-_LSH_CLUSTERS = f"""
-WITH RECURSIVE {_DUCK_SHINGLES.format(src="documents")},
-sig AS (
-  SELECT doc_id, [{_MINHASH_SIG_DUCK}] AS sig FROM sh
-),
-bands AS (
-  SELECT doc_id, b AS band,
-         md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')) AS bucket
-  FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)
-),
-pairs AS MATERIALIZED (
-  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
-edges AS MATERIALIZED (
-  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
-),
-walk(node, root) AS (
-  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-  UNION
-  SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node
-),
-lab AS (SELECT node, MIN(root) AS cl FROM walk GROUP BY node)
-SELECT d.doc_id, CAST(COALESCE(lab.cl, d.doc_id) AS BIGINT) AS cluster_id
-FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
-"""
-
-
-@query("dedup_lsh_clusters", _LSH_CLUSTERS)
-def dedup_lsh_clusters_q(spark, sf_dir):
-    """Near-dup cluster assignment: connected components over the LSH
-    collision graph via iterative min-label propagation through the
-    (doc, bucket) BIPARTITE edge list — doc-doc pairs are never
-    materialized, so a hot bucket costs O(bucket size) per round, not
-    O(size^2) (complementary to operators/dedup.py::
-    connected_components, which contracts an explicit pair graph).
-    The oracle checks the fixpoint, not the iteration: min reachable
-    doc id via a recursive walk whose MIN aggregate sits outside the
-    recursive term; component semantics also unit-tested in
-    tests/test_text_vectors.py."""
-    t = load_tables(spark, sf_dir)
-    return D.minhash_lsh_clusters(
-        t["documents"].select("doc_id", "text"), "doc_id", "text"
-    ).select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
-
-
-_JACCARD_GUARDED = f"""
-WITH {_DUCK_SHINGLES.format(src="documents")},
-idx0 AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
-freq AS (SELECT shingle FROM idx0 GROUP BY shingle HAVING COUNT(*) <= 10),
-idx AS (SELECT idx0.* FROM idx0 JOIN freq USING (shingle)),
-sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS set_size FROM idx GROUP BY doc),
-common AS (
-  SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
-  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc < b.doc
-  GROUP BY 1, 2
-)
-SELECT doc_a, doc_b, common, sa.set_size AS size_a, sb.set_size AS size_b,
-       common / (sa.set_size + sb.set_size - common) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc = doc_a
-JOIN sizes sb ON sb.doc = doc_b
-WHERE common / (sa.set_size + sb.set_size - common) >= 0.2
-"""
-
-
-_CONTAINMENT = f"""
-WITH {_DUCK_SHINGLES.format(src="documents")},
-idx0 AS (
-  SELECT DISTINCT doc, shingle FROM (
-    SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh
-  )
-),
-freq AS (SELECT shingle FROM idx0 GROUP BY shingle HAVING COUNT(*) <= 10),
-idx AS (SELECT idx0.* FROM idx0 JOIN freq USING (shingle)),
-sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS set_size FROM idx GROUP BY doc),
-common AS (
-  SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
-  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc <> b.doc
-  GROUP BY 1, 2
-)
-SELECT doc_a, doc_b, common, sa.set_size AS size_a,
-       common / sa.set_size AS containment
-FROM common JOIN sizes sa ON sa.doc = doc_a
-WHERE common / sa.set_size >= 0.2
-"""
-
-
-@query("dedup_ngram_containment", _CONTAINMENT)
-def dedup_containment_q(spark, sf_dir):
-    """Asymmetric containment join (operators/dedup.py::
-    ngram_containment_pairs, Broder 1997): C(A->B) = |A n B| / |A| —
-    quote / boilerplate / doc-in-doc detection that Jaccard misses when
-    the container is much larger than the contained.  Directional: both
-    orientations emitted with their own scores; the skew guard prunes
-    over-frequent shingles identically on both engines."""
-    t = load_tables(spark, sf_dir)
-    return D.ngram_containment_pairs(
-        t["documents"], "doc_id", "text", n=3, threshold=0.2,
-        max_shingle_freq=10,
-    ).select(
-        "doc_a",
-        "doc_b",
-        F.col("common").cast("long").alias("common"),
-        F.col("size_a").cast("long").alias("size_a"),
-        "containment",
-    )
-
-
-_BLOOM = """
-WITH pos AS (
-  SELECT CAST(('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':'
-                || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 65536 AS p
-  FROM documents, UNNEST([0, 1, 2, 3]) AS t(i)
-)
-SELECT CAST(p // 63 AS BIGINT) AS word_idx,
-       CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS BIGINT)
-         AS bits
-FROM pos GROUP BY 1
-"""
-
-
-@query("sketch_bloom_membership", _BLOOM)
-def sketch_bloom_q(spark, sf_dir):
-    """Mergeable Bloom filter (operators/sketches.py::bloom_partial):
-    the crawler's seen-URL membership structure as a (word_idx, bits)
-    table — md5-family positions, so the BITS are bit-identical across
-    engines and the driver hash covers the exact filter state.
-    bit_or merge is associative/commutative/idempotent: replayed or
-    re-ordered partials can never corrupt it (union == one-pass build,
-    pytest-gated, plus false-positive-rate and no-false-negative
-    gates)."""
-    from cloud_optimized_data_pipelines_spark.operators.sketches import (
-        bloom_partial,
-    )
-
-    t = load_tables(spark, sf_dir)
-    return bloom_partial(
-        t["documents"].select("doc_id"), "doc_id",
-        m_bits=1 << 16, k_hashes=4,
-    )
-
-
-_TEMPERATURE_MIX = """
-WITH c AS (
-  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
-  GROUP BY source
-),
-w AS (
-  SELECT source, n_docs,
-         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000000.0) AS BIGINT)
-           AS w_fixed
-  FROM c
-),
-t AS (SELECT CAST(SUM(w_fixed) AS BIGINT) AS tot FROM w)
-SELECT source, n_docs, w_fixed,
-       CAST(w_fixed AS DOUBLE) / CAST(t.tot AS DOUBLE) AS target_frac
-FROM w CROSS JOIN t
-"""
-
-
-@query("sample_temperature_mix", _TEMPERATURE_MIX)
-def sample_temperature_mix_q(spark, sf_dir):
-    """Temperature-based source re-balancing (operators/sampling.py::
-    temperature_mix, the mC4/XLM-R n^alpha rule at alpha=0.5): per
-    source, the fixed-point sqrt weight and the resulting mixture
-    fraction.  Hash-exact across engines because sqrt is correctly
-    rounded (unlike pow/log) and the normalizer is an INTEGER sum of
-    fixed-point weights — associative, so parallel and serial
-    aggregation agree bit-for-bit."""
-    from cloud_optimized_data_pipelines_spark.operators.sampling import (
-        temperature_mix,
-    )
-
-    t = load_tables(spark, sf_dir)
-    return temperature_mix(t["documents"], "source", alpha=0.5).select(
-        "source", "n_docs", "w_fixed", "target_frac"
-    )
-
-
-_CDC_STATS = """
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
-  FROM documents
-),
-tp AS (
-  SELECT doc_id, i AS p, tk[i] AS tok,
-         CASE WHEN i >= 3
-                AND CAST('0x' || substr(md5(
-                      array_to_string(list_slice(tk, i - 2, i), ' ')
-                    ), 1, 8) AS BIGINT) % 8 = 0
-              THEN 1 ELSE 0 END AS bnd
-  FROM toks, UNNEST(range(1, len(tk) + 1)) AS t(i)
-),
-cid AS (
-  SELECT doc_id, p, tok,
-         COALESCE(SUM(bnd) OVER (
-           PARTITION BY doc_id ORDER BY p
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
-  FROM tp
-),
-chunks AS (
-  SELECT doc_id, chunk_idx, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_md5
-  FROM cid GROUP BY doc_id, chunk_idx
-),
-freq AS (
-  SELECT chunk_md5, COUNT(DISTINCT doc_id) AS docs
-  FROM chunks GROUP BY chunk_md5
-),
-perdoc AS (
-  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
-         CAST(SUM(CASE WHEN f.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_dup_chunks,
-         CAST(SUM(c.n_tokens) AS BIGINT) AS tok,
-         CAST(SUM(CASE WHEN f.docs >= 2 THEN c.n_tokens ELSE 0 END)
-              AS BIGINT) AS dtok
-  FROM chunks c JOIN freq f USING (chunk_md5) GROUP BY c.doc_id
-)
-SELECT d.doc_id,
-       COALESCE(p.n_chunks, 0) AS n_chunks,
-       COALESCE(p.n_dup_chunks, 0) AS n_dup_chunks,
-       CAST(COALESCE(p.dtok, 0) AS DOUBLE)
-         / CAST(greatest(COALESCE(p.tok, 0), 1) AS DOUBLE) AS dup_token_frac
-FROM documents d LEFT JOIN perdoc p USING (doc_id)
-"""
-
-
-@query("dedup_cdc_chunks", _CDC_STATS)
-def dedup_cdc_chunks_q(spark, sf_dir):
-    """Content-defined chunk dedup profile (operators/dedup.py::
-    cdc_chunks / cdc_dup_stats, the rsync/FastCDC boundary idea at
-    token granularity): md5-bucket boundaries every ~8 tokens, chunk
-    digests counted corpus-wide, per-doc duplicated-chunk stats.
-    Boundaries depend only on LOCAL content, so the digests — unlike
-    fixed-offset windows — survive prefix/suffix edits (resync
-    property pytest-gated); the whole pipeline is the engine's md5
-    discipline, so the oracle reproduces it bit-for-bit."""
-    from cloud_optimized_data_pipelines_spark.operators.dedup import (
-        cdc_dup_stats,
-    )
-
-    t = load_tables(spark, sf_dir)
-    return cdc_dup_stats(
-        t["documents"].select("doc_id", "text"), "doc_id", "text"
-    )
-
-
-_SOFT_DEDUP = """
-WITH g AS (
-  SELECT COALESCE(md5(text), '_null_') AS h,
-         CAST(COUNT(*) AS BIGINT) AS dup_count
-  FROM documents GROUP BY 1
-)
-SELECT d.doc_id, g.dup_count, 1.0 / g.dup_count AS weight
-FROM documents d JOIN g ON COALESCE(md5(d.text), '_null_') = g.h
-"""
-
-
-@query("dedup_soft_weights", _SOFT_DEDUP)
-def dedup_soft_weights_q(spark, sf_dir):
-    """Soft deduplication (operators/dedup.py::soft_dedup_weights):
-    duplicates are DOWN-WEIGHTED (1/dup_count each, unit mass per
-    unique content) instead of dropped — the gentler dedup policy for
-    LM training mixes where common text still carries signal.  One
-    digest groupBy + one digest join; weights IEEE-exact cross-engine
-    (single double division)."""
-    from cloud_optimized_data_pipelines_spark.operators.dedup import (
-        soft_dedup_weights,
-    )
-
-    t = load_tables(spark, sf_dir)
-    return soft_dedup_weights(
-        t["documents"].select("doc_id", "text"), "text", "doc_id"
-    ).select("doc_id", "dup_count", "weight")
-
-
-_SOURCE_OVERLAP = f"""
-WITH {_DUCK_SHINGLES.format(src="documents")},
-idx0 AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
-freq AS (SELECT shingle FROM idx0 GROUP BY shingle HAVING COUNT(*) <= 10),
-idxg AS (
-  SELECT DISTINCT d.source AS grp, i.shingle
-  FROM idx0 i JOIN freq USING (shingle) JOIN documents d ON d.doc_id = i.doc
-),
-sizes AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS size FROM idxg GROUP BY grp),
-shared AS (
-  SELECT a.grp AS source_a, b.grp AS source_b,
-         CAST(COUNT(*) AS BIGINT) AS shared
-  FROM idxg a JOIN idxg b ON a.shingle = b.shingle AND a.grp < b.grp
-  GROUP BY 1, 2
-)
-SELECT source_a, source_b, shared, sa.size AS size_a, sb.size AS size_b,
-       shared / sa.size AS overlap_a, shared / sb.size AS overlap_b
-FROM shared
-JOIN sizes sa ON sa.grp = source_a
-JOIN sizes sb ON sb.grp = source_b
-"""
-
-
-@query("dedup_source_overlap", _SOURCE_OVERLAP)
-def dedup_source_overlap_q(spark, sf_dir):
-    """Cross-source n-gram overlap matrix (operators/dedup.py::
-    source_overlap_matrix): distinct shared shingles per source pair +
-    both directional overlap fractions — the dataset-audit view of
-    contamination (eval-set decontamination is the special case where
-    one side is the test set).  Per-shingle pair fan-out is bounded by
-    (number of sources)^2, not corpus size; guard pruning stays in
-    lock-step with the oracle's HAVING filter."""
-    t = load_tables(spark, sf_dir)
-    return D.source_overlap_matrix(
-        t["documents"], "doc_id", "text", "source", n=3, max_shingle_freq=10
-    )
-
-
-@query("dedup_ngram_jaccard_guarded", _JACCARD_GUARDED)
-def dedup_jaccard_guarded_q(spark, sf_dir):
-    """The 100 TB form of the Jaccard join: shingles occurring in more
-    than `max_shingle_freq` docs are dropped before the self-join — the
-    skew guard that bounds per-shingle pair fan-out (a 1M-doc posting
-    list would otherwise emit 10^12 candidates).  Jaccard is then exact
-    over the pruned shingle space on BOTH engines."""
-    t = load_tables(spark, sf_dir)
-    out = D.ngram_jaccard_pairs(
-        t["documents"], "doc_id", "text", n=3, threshold=0.2, max_shingle_freq=10
-    )
-    return out.select(
-        "doc_a",
-        "doc_b",
-        F.col("common").cast("long").alias("common"),
-        F.col("size_a").cast("long").alias("size_a"),
-        F.col("size_b").cast("long").alias("size_b"),
-        "jaccard",
-    )
-
-
-def _duck_tok_hash(var: str = "t") -> str:
-    return f"(('0x' || substr(md5({var}), 1, 8))::BIGINT"
-
-
-_SIMHASH_TERMS = " + ".join(
-    f"CASE WHEN 2 * len(list_filter(tk, t -> ({_duck_tok_hash()} >> {b}) & 1 = 1))) > len(tk) "
-    f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
-    for b in range(32)
-)
-_SIMHASH = f"""
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
-  FROM documents
-)
-SELECT doc_id, CAST({_SIMHASH_TERMS} AS BIGINT) AS simhash
-FROM toks
-"""
-
-
-@query("text_simhash", _SIMHASH)
-def simhash_q(spark, sf_dir):
-    t = load_tables(spark, sf_dir)
-    return t["documents"].select(
-        "doc_id", D.simhash(F.col("text")).alias("simhash")
-    )
-
-
-def _duck_simhash_terms(bits: int) -> str:
-    """Balanced-paren DuckDB simhash terms for an arbitrary width (the
-    32-bit ``_SIMHASH_TERMS`` kept verbatim for the legacy oracle)."""
-    hex_chars = -(-bits // 4)
-    h = f"(('0x' || substr(md5(t), 1, {hex_chars}))::BIGINT)"
-    return " + ".join(
-        f"CASE WHEN 2 * len(list_filter(tk, t -> ({h} >> {b}) & 1 = 1)) > len(tk) "
-        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
-        for b in range(bits)
-    )
-
-
-_SIMHASH_PAIRS = f"""
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
-  FROM documents
-),
-sh AS (
-  SELECT doc_id, CAST({_duck_simhash_terms(60)} AS BIGINT) AS simhash FROM toks
-)
-SELECT l.doc_id AS id_a, r.doc_id AS id_b,
-       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
-FROM sh l JOIN sh r ON l.doc_id < r.doc_id
-WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
-"""
-
-
-@query("dedup_simhash_pairs", _SIMHASH_PAIRS)
-def dedup_simhash_pairs_q(spark, sf_dir):
-    """SimHash near-dup pairs (operators/dedup.py::
-    simhash_near_dup_pairs): banded Hamming blocking per Manku et
-    al. 2007 — 4 fifteen-bit bands over the 60-bit fingerprint (the
-    widest signed-BIGINT-safe width; band-value cardinality must track
-    corpus size, see SCALE.md), candidate equi-join on (band, value),
-    xor+bit_count verify.  With
-    max_hamming = num_bands - 1 the blocking is COMPLETE (pigeonhole),
-    so the banded Spark plan must exactly reproduce the oracle's naive
-    all-pairs scan — the cross-engine proof that banding loses
-    nothing."""
-    t = load_tables(spark, sf_dir)
-    return D.simhash_near_dup_pairs(
-        t["documents"], "doc_id", "text", num_bands=4, max_hamming=3,
-        materialize=True,
-    )
-
-
-def _duck_simhash_wide_terms(word: int, bits: int = 60) -> str:
-    """Per-word terms for the multi-word fingerprint: word ``w`` hashes
-    token ``t`` as md5(t || '|w') — mirrors operators/dedup.py::
-    simhash_wide bit-for-bit."""
-    hex_chars = -(-bits // 4)
-    h = f"(('0x' || substr(md5(t || '|{word}'), 1, {hex_chars}))::BIGINT)"
-    return " + ".join(
-        f"CASE WHEN 2 * len(list_filter(tk, t -> ({h} >> {b}) & 1 = 1)) > len(tk) "
-        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
-        for b in range(bits)
-    )
-
-
-_SIMHASH_WIDE_PAIRS = f"""
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
-  FROM documents
-),
-sh AS (
-  SELECT doc_id,
-         CAST({_duck_simhash_wide_terms(0)} AS BIGINT) AS sh0,
-         CAST({_duck_simhash_wide_terms(1)} AS BIGINT) AS sh1
-  FROM toks
-)
-SELECT l.doc_id AS id_a, r.doc_id AS id_b,
-       CAST(bit_count(xor(l.sh0, r.sh0)) + bit_count(xor(l.sh1, r.sh1))
-            AS BIGINT) AS hamming
-FROM sh l JOIN sh r ON l.doc_id < r.doc_id
-WHERE bit_count(xor(l.sh0, r.sh0)) + bit_count(xor(l.sh1, r.sh1)) <= 5
-"""
-
-
-@query("dedup_simhash_wide_pairs", _SIMHASH_WIDE_PAIRS)
-def dedup_simhash_wide_pairs_q(spark, sf_dir):
-    """Multi-word SimHash near-dup pairs (operators/dedup.py::
-    simhash_wide_near_dup_pairs): 6 twenty-bit bands over a 2x60-bit
-    fingerprint — the banded join PAST the single-BIGINT cliff.  Band-
-    value cardinality 2^20 vs the 60-bit form's 2^15 cuts expected
-    candidates 32x at the same corpus size (the 1000x probe measures
-    the 60-bit form candidate-bound at 5M docs while this form stays
-    output-bound — SCALE.md round 8).  max_hamming=5 = num_bands-1, so
-    blocking is COMPLETE and the plan must exactly reproduce the
-    oracle's naive all-pairs scan over the concatenated 120-bit
-    Hamming distance.
-
-    r9 (VERDICT r8 wrong #2): the graded form now runs the Arrow
-    fingerprint path (impl='numpy', 5.5x faster — 0.74 s vs 4.06 s at
-    sf0.1, 49.3 s vs 127.5 s at 5M docs) — the plan you'd run at
-    100 TB.  The interpreted fold form stays available via the impl
-    parameter and is property-pinned bit-exact against this path in
-    test_quality_decontaminate.py::
-    test_simhash_wide_fast_fingerprints_bit_exact."""
-    t = load_tables(spark, sf_dir)
-    return D.simhash_wide_near_dup_pairs(
-        t["documents"], "doc_id", "text", max_hamming=5, materialize=True,
-        impl="numpy",
-    )
-
-
-@query("dedup_simhash_wide_pairs_fast", _SIMHASH_WIDE_PAIRS)
-def dedup_simhash_wide_pairs_fast_q(spark, sf_dir):
-    """The wide banded pair join with Arrow/hashlib FINGERPRINTS
-    (operators/dedup.py::simhash_wide_fingerprints_fast, impl='numpy'):
-    bit-exact to the fold form — integer majority votes, no float —
-    so it shares dedup_simhash_wide_pairs' oracle, while each Arrow
-    batch hashes tokens once and counts all 60 bit positions in one
-    numpy broadcast instead of words*bits interpreted per-bit lambdas
-    (4.1x at sf0.1, and the fingerprint stage dominated the 1000x
-    probe's 127.5 s — SCALE.md round 8).  Tokenization pinned to the
-    JVM's ASCII-only \\s class so unicode whitespace cannot diverge."""
-    t = load_tables(spark, sf_dir)
-    return D.simhash_wide_near_dup_pairs(
-        t["documents"], "doc_id", "text", max_hamming=5, materialize=True,
-        impl="numpy",
-    )
-
-
-# transitive closure of the simhash near-dup graph; `pairs`/`edges` are
-# MATERIALIZED because DuckDB otherwise re-inlines the all-pairs simhash
-# join into EVERY recursion step (measured: >300 s vs ~2 s at sf0.1)
-_DUP_CLUSTERS = f"""
-WITH RECURSIVE pairs AS MATERIALIZED ({_SIMHASH_PAIRS}),
-edges AS MATERIALIZED (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION ALL SELECT id_b, id_a FROM pairs
-),
-walk(node, root) AS (
-  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-  UNION
-  SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node
-),
-lab AS (SELECT node, MIN(root) AS component FROM walk GROUP BY node),
-sizes AS (SELECT component AS c, COUNT(*) AS csize FROM lab GROUP BY component)
-SELECT CAST(node AS BIGINT) AS doc_id,
-       CAST(component AS BIGINT) AS component,
-       CAST(csize AS BIGINT) AS csize,
-       node = component AS is_survivor
-FROM lab JOIN sizes ON lab.component = sizes.c
-"""
-
-
-_SPLIT_LEAKAGE = f"""
-WITH RECURSIVE pairs AS MATERIALIZED ({_SIMHASH_PAIRS}),
-edges AS MATERIALIZED (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION ALL SELECT id_b, id_a FROM pairs
-),
-walk(node, root) AS (
-  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-  UNION
-  SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node
-),
-lab AS (SELECT node, MIN(root) AS component FROM walk GROUP BY node),
-units AS (
-  SELECT d.doc_id,
-         CAST(COALESCE(l.component, d.doc_id) AS BIGINT) AS split_unit
-  FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
-)
-SELECT doc_id, split_unit,
-       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
-            ELSE 'test' END AS split
-FROM (
-  SELECT doc_id, split_unit,
-         ('0x' || substr(md5(CAST(split_unit AS VARCHAR)), 1, 8))::BIGINT
-         % 100 AS b
-  FROM units)
-"""
-
-
-@query("split_leakage_safe", _SPLIT_LEAKAGE)
-def split_leakage_safe_q(spark, sf_dir):
-    """Leakage-safe train/val/test split (operators/sampling.py::
-    leakage_safe_split): the split hash is keyed on the near-dup
-    CLUSTER id (connected components of the banded simhash pair
-    graph), not the document id, so near-identical documents can
-    never straddle the train/test boundary — the leakage guard that a
-    plain doc-keyed deterministic_split lacks (a doc-keyed split
-    leaks ~2*p*q of every near-dup pair across the boundary, which is
-    exactly the contamination eval decks measure).  Singleton docs
-    hash on their own id; deterministic, RNG-free, stable under later
-    ingest.  The oracle recomputes the component closure as a
-    recursive CTE and the same md5 bucket split."""
-    from cloud_optimized_data_pipelines_spark.operators.sampling import (
-        leakage_safe_split,
-    )
-
-    t = load_tables(spark, sf_dir)
-    # impl='numpy': bit-exact Arrow/hashlib fingerprints (3x at sf0.1;
-    # the fold lambdas dominated this query's 5 s bench time)
-    pairs = D.simhash_near_dup_pairs(
-        t["documents"], "doc_id", "text", num_bands=4, max_hamming=3,
-        materialize=True, impl="numpy",
-    )
-    return leakage_safe_split(t["documents"], pairs, "doc_id").select(
-        "doc_id", "split_unit", "split"
-    )
-
-
-@query("dedup_duplicate_clusters", _DUP_CLUSTERS)
-def dedup_duplicate_clusters_q(spark, sf_dir):
-    """Near-dup CLUSTERS, not pairs (operators/dedup.py::
-    connected_components): alternating large-star/small-star
-    contraction (Kiveris et al. 2014) over the complete banded simhash
-    pair graph — near-duplication is not transitive, so corpus dedup
-    policy (keep one doc per cluster) needs the connected component,
-    which the oracle recomputes as a recursive-CTE reachability
-    closure.  The Spark side converges in O(log^2 n) shuffle rounds
-    independent of graph diameter; the driver sees only a 2-value
-    convergence signature per round."""
-    t = load_tables(spark, sf_dir)
-    pairs = D.simhash_near_dup_pairs(
-        t["documents"], "doc_id", "text", num_bands=4, max_hamming=3,
-        materialize=True, impl="numpy",
-    )
-    return D.duplicate_clusters(pairs, "doc_id")
-
-
-_DUCK_DOT = (
-    "list_reduce(list_transform(list_zip({a}, {b}), "
-    "z -> z[1]::DOUBLE * z[2]::DOUBLE), (x, y) -> x + y)"
-)
-
-# squared-L2 with the same left-fold accumulation order as the engine's
-# operators/similarity.py::_sq_dist (zip_with then F.aggregate)
-_DUCK_SQDIST = (
-    "list_reduce(list_transform(list_zip({a}, {b}), "
-    "z -> (z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE)), "
-    "(x, y) -> x + y)"
-)
-
-_ANN_TOPK = f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-SELECT vec_id,
-       round({_DUCK_DOT.format(a="e.embedding", b="q.qv")}
-             / (sqrt({_DUCK_DOT.format(a="e.embedding", b="e.embedding")})
-                * sqrt({_DUCK_DOT.format(a="q.qv", b="q.qv")})), 6) AS cos
-FROM embeddings e CROSS JOIN q
-ORDER BY {_DUCK_DOT.format(a="e.embedding", b="q.qv")}
-         / (sqrt({_DUCK_DOT.format(a="e.embedding", b="e.embedding")})
-            * sqrt({_DUCK_DOT.format(a="q.qv", b="q.qv")})) DESC, vec_id
-LIMIT 10
-"""
-
-
-_DUCK_DEQ = (
-    "list_transform({codes}, c -> c::DOUBLE * {scale})"
-)
-
-_QUANTIZED_TOPK = f"""
-WITH q8 AS (
-  SELECT vec_id,
-         list_reduce(list_transform(embedding, v -> abs(v::DOUBLE)),
-                     (a, b) -> greatest(a, b)) / 127 AS scale,
-         embedding
-  FROM embeddings
-),
-deq AS (
-  SELECT vec_id,
-         CASE WHEN scale = 0
-              THEN list_transform(embedding, v -> 0.0)
-              ELSE list_transform(
-                     list_transform(embedding,
-                                    v -> CAST(round(v::DOUBLE / scale, 0)
-                                              AS INTEGER)),
-                     c -> c::DOUBLE * scale)
-         END AS dv
-  FROM q8
-),
-q AS (SELECT dv AS qv FROM deq WHERE vec_id = 0)
-SELECT vec_id,
-       round({_DUCK_DOT.format(a="d.dv", b="q.qv")}
-             / (sqrt({_DUCK_DOT.format(a="d.dv", b="d.dv")})
-                * sqrt({_DUCK_DOT.format(a="q.qv", b="q.qv")})), 6) AS cos
-FROM deq d CROSS JOIN q
-ORDER BY {_DUCK_DOT.format(a="d.dv", b="q.qv")}
-         / (sqrt({_DUCK_DOT.format(a="d.dv", b="d.dv")})
-            * sqrt({_DUCK_DOT.format(a="q.qv", b="q.qv")})) DESC, vec_id
-LIMIT 10
-"""
-
-
-@query("similarity_quantized_topk", _QUANTIZED_TOPK)
-def quantized_topk_q(spark, sf_dir):
-    """Brute-force top-10 over INT8-QUANTIZED embeddings (operators/
-    similarity.py::quantize_embeddings_int8 — symmetric per-vector
-    scalar quantization, the standard 4x storage cut for embedding
-    tables at corpus scale): quantize, dequantize, cosine top-k
-    against the dequantized vec_id=0 query.  Pure column expressions
-    both sides; the oracle replays the exact round(v/scale) -> c*scale
-    arithmetic, so any quantizer drift breaks the hash.  Recall vs the
-    float path is pytest-gated."""
-    from cloud_optimized_data_pipelines_spark.operators.similarity import (
-        dequantize_embeddings_int8,
-        quantize_embeddings_int8,
-    )
-
-    t = load_tables(spark, sf_dir)
-    deq = dequantize_embeddings_int8(
-        quantize_embeddings_int8(t["embeddings"])
-    ).select("vec_id", F.col("embedding_deq").alias("dv"))
-    q = (
-        deq.filter(F.col("vec_id") == 0)
-        .select(F.col("dv").alias("qv"))
-        .alias("q")
-    )
-    d = deq.alias("d")
-    cos = V.cosine_similarity(F.col("d.dv"), F.col("q.qv"))
-    return (
-        d.crossJoin(F.broadcast(q))
-        .select(F.col("d.vec_id").alias("vec_id"), cos.alias("_c"))
-        .orderBy(F.desc("_c"), F.col("vec_id"))
-        .limit(10)
-        .select("vec_id", F.round(F.col("_c"), 6).alias("cos"))
-    )
-
-
-_TRUNCATED_RERANK = f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-pre AS (
-  SELECT e.vec_id, e.embedding,
-         round({_DUCK_DOT.format(a="e.embedding[1:16]", b="q.qv[1:16]")}
-               / (sqrt({_DUCK_DOT.format(a="e.embedding[1:16]",
-                                         b="e.embedding[1:16]")})
-                  * sqrt({_DUCK_DOT.format(a="q.qv[1:16]", b="q.qv[1:16]")})),
-               6) AS cos_prefix,
-         q.qv
-  FROM embeddings e CROSS JOIN q
-),
-coarse AS (
-  SELECT * FROM pre ORDER BY cos_prefix DESC, vec_id LIMIT 50
-),
-exact AS (
-  SELECT vec_id, cos_prefix,
-         round({_DUCK_DOT.format(a="embedding", b="qv")}
-               / (sqrt({_DUCK_DOT.format(a="embedding", b="embedding")})
-                  * sqrt({_DUCK_DOT.format(a="qv", b="qv")})), 6) AS cos
-  FROM coarse
-)
-SELECT vec_id, cos_prefix, cos,
-       CAST(rank AS BIGINT) AS rank
-FROM (SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
-      FROM exact)
-WHERE rank <= 10
-"""
-
-
-@query("similarity_truncated_rerank", _TRUNCATED_RERANK)
-def truncated_rerank_q(spark, sf_dir):
-    """Two-stage Matryoshka-style retrieval (operators/similarity.py::
-    truncated_rerank_topk): a coarse pass scores only the FIRST 16 of
-    64 dimensions (at scale: a pruned d/4-wide column scan +
-    TakeOrderedAndProject, never a global sort), keeps 50 candidates,
-    then reranks just those with the exact full-dimension cosine —
-    the standard cheap-filter/exact-rerank serving shape.  Oracle
-    replays both stages; recall vs single-stage brute force is
-    pytest-gated."""
-    from cloud_optimized_data_pipelines_spark.operators.similarity import (
-        truncated_rerank_topk,
-    )
-
-    t = load_tables(spark, sf_dir)
-    qvec = [
-        float(x)
-        for x in t["embeddings"]
-        .filter(F.col("vec_id") == 0)
-        .collect()[0]["embedding"]
-    ]
-    return truncated_rerank_topk(
-        t["embeddings"], "embedding", qvec, k=10, prefix_dims=16,
-        candidates=50,
-    )
-
-
-@query("similarity_bruteforce_topk", _ANN_TOPK)
-def ann_topk_q(spark, sf_dir):
-    """Brute-force cosine top-10 vs the vec_id=0 vector, via a crossJoin
-    with the (broadcast) query row — no driver collect."""
-    t = load_tables(spark, sf_dir)
-    e = t["embeddings"].alias("e")
-    q = (
-        t["embeddings"]
-        .filter(F.col("vec_id") == 0)
-        .select(F.col("embedding").alias("qv"))
-        .alias("q")
-    )
-    cos = V.cosine_similarity(F.col("e.embedding"), F.col("q.qv"))
-    return (
-        e.crossJoin(F.broadcast(q))
-        .select(F.col("e.vec_id").alias("vec_id"), cos.alias("_cos_exact"))
-        .orderBy(F.desc("_cos_exact"), F.col("vec_id"))
-        .limit(10)
-        .select("vec_id", F.round(F.col("_cos_exact"), 6).alias("cos"))
-    )
-
-
-_DUCK_BUCKET = "concat(" + ", ".join(
-    f"CASE WHEN {{v}}[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(4)
-) + ")"
-
-_ANN_BUCKET_TOPK = f"""
-WITH b AS (
-  SELECT vec_id, embedding, {_DUCK_BUCKET.format(v="embedding")} AS bucket
-  FROM embeddings
-),
-q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
-SELECT vec_id,
-       round({_DUCK_DOT.format(a="b.embedding", b="q.qv")}
-             / (sqrt({_DUCK_DOT.format(a="b.embedding", b="b.embedding")})
-                * sqrt({_DUCK_DOT.format(a="q.qv", b="q.qv")})), 6) AS cos
-FROM b JOIN q ON b.bucket = q.qb
-ORDER BY {_DUCK_DOT.format(a="b.embedding", b="q.qv")}
-         / (sqrt({_DUCK_DOT.format(a="b.embedding", b="b.embedding")})
-            * sqrt({_DUCK_DOT.format(a="q.qv", b="q.qv")})) DESC, vec_id
-LIMIT 10
-"""
-
-
-@query("similarity_ann_topk", _ANN_BUCKET_TOPK)
-def ann_bucket_topk_q(spark, sf_dir):
-    """Sign-bucket ANN top-10 (the IVF/LSH scale path): only the query's
-    bucket (~1/2^4 of the corpus) is scored."""
-    t = load_tables(spark, sf_dir)
-    return S.ann_topk_by_id(
-        t["embeddings"], "embedding", 0, k=10, num_dims=4
-    )
-
-
-_ANN_MULTIPROBE = f"""
-WITH b AS (
-  SELECT vec_id, embedding, {_DUCK_BUCKET.format(v="embedding")} AS bucket
-  FROM embeddings
-),
-q0 AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
-probes AS (
-  SELECT qv, qb AS pb FROM q0
-  UNION ALL
-  SELECT qv,
-         substr(qb, 1, i)
-         || (CASE WHEN substr(qb, i + 1, 1) = '1' THEN '0' ELSE '1' END)
-         || substr(qb, i + 2) AS pb
-  FROM q0, UNNEST([0, 1, 2, 3]) AS t(i)
-)
-SELECT vec_id,
-       round({_DUCK_DOT.format(a="b.embedding", b="p.qv")}
-             / (sqrt({_DUCK_DOT.format(a="b.embedding", b="b.embedding")})
-                * sqrt({_DUCK_DOT.format(a="p.qv", b="p.qv")})), 6) AS cos
-FROM b JOIN probes p ON b.bucket = p.pb
-ORDER BY {_DUCK_DOT.format(a="b.embedding", b="p.qv")}
-         / (sqrt({_DUCK_DOT.format(a="b.embedding", b="b.embedding")})
-            * sqrt({_DUCK_DOT.format(a="p.qv", b="p.qv")})) DESC, vec_id
-LIMIT 10
-"""
-
-
-@query("similarity_ann_multiprobe", _ANN_MULTIPROBE)
-def ann_multiprobe_q(spark, sf_dir):
-    """MULTIPROBE sign-bucket ANN top-10 (operators/similarity.py::
-    ann_topk_multiprobe, the Lv et al. multi-probe LSH recall lever):
-    the query's bucket plus its 4 Hamming-1 neighbors are scored —
-    5/16 of the corpus instead of 1/16, recovering neighbors that
-    differ in a single sign bit (the dominant ann_topk miss mode;
-    recall-vs-exact pytest-gated).  Deterministic probe set, so the
-    oracle reproduces the result bit-exactly."""
-    t = load_tables(spark, sf_dir)
-    return S.ann_topk_multiprobe(
-        t["embeddings"], "embedding", 0, k=10, num_dims=4
-    )
-
-
-_IVF_PROBE = f"""
-WITH cents AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
-),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-scored AS (
-  SELECT e.vec_id, e.embedding, c.cid,
-         {_DUCK_DOT.format(a="e.embedding", b="c.cvec")}
-           / (sqrt({_DUCK_DOT.format(a="e.embedding", b="e.embedding")})
-              * sqrt({_DUCK_DOT.format(a="c.cvec", b="c.cvec")})) AS cos_c
-  FROM embeddings e CROSS JOIN cents c
-),
-assigned AS (
-  SELECT vec_id, embedding, cid FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS rn
-    FROM scored
-  ) t WHERE rn = 1
-),
-probe AS (
-  SELECT cid FROM cents CROSS JOIN q
-  ORDER BY {_DUCK_DOT.format(a="cvec", b="qv")}
-           / (sqrt({_DUCK_DOT.format(a="cvec", b="cvec")})
-              * sqrt({_DUCK_DOT.format(a="qv", b="qv")})) DESC, cid
-  LIMIT 4
-)
-SELECT a.vec_id,
-       round({_DUCK_DOT.format(a="a.embedding", b="q.qv")}
-             / (sqrt({_DUCK_DOT.format(a="a.embedding", b="a.embedding")})
-                * sqrt({_DUCK_DOT.format(a="q.qv", b="q.qv")})), 6) AS cos
-FROM assigned a JOIN probe USING (cid) CROSS JOIN q
-ORDER BY {_DUCK_DOT.format(a="a.embedding", b="q.qv")}
-         / (sqrt({_DUCK_DOT.format(a="a.embedding", b="a.embedding")})
-            * sqrt({_DUCK_DOT.format(a="q.qv", b="q.qv")})) DESC, a.vec_id
-LIMIT 10
-"""
-
-
-@query("similarity_ivf_probe", _IVF_PROBE)
-def ivf_probe_q(spark, sf_dir):
-    """IVF probe with FIXED spherical centroids (operators/similarity.py
-    ::ivf_probe_fixed): assignment + nprobe=4/16 pruned scoring, fully
-    oracle-checkable because nothing depends on reduction order — the
-    cross-engine proof of the IVF pruning semantics that the learned-
-    centroid ivf_topk (rows-only) can't give."""
-    t = load_tables(spark, sf_dir)
-    return S.ivf_probe_fixed(
-        t["embeddings"], "embedding", 0, k=10, k_lists=16, nprobe=4
-    )
-
-
-# Learned-centroid IVF, unrolled: the whole pipeline is deterministic
-# once the per-dimension Lloyd means are rounded (seeds = 16 smallest
-# md5(id), one assignment + mean step, probe = 4 nearest learned
-# centroids to the query, exact cosine over the probed lists), so the
-# single iteration unrolls into CTEs the same way BPE merges and
-# PageRank did.  Mirrors operators/similarity.py::ivf_build/ivf_topk
-# stage for stage: argmin ties break to the lowest centroid id
-# (array_position-of-min <=> ROW_NUMBER ORDER BY d, cid), empty lists
-# keep their seed vector, means round to 6 digits (reduction-order
-# independence across engines), final ordering is the ROUNDED cosine
-# then vec_id exactly as brute_force_topk emits it.
-_IVF_TOPK_LEARNED = f"""
-WITH seeds AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
-           AS cid,
-         list_transform(embedding, x -> x::DOUBLE) AS cvec
-  FROM embeddings
-  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16
-),
-a0 AS (
-  SELECT vec_id, embedding, cid FROM (
-    SELECT e.vec_id, e.embedding, s.cid,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {_DUCK_SQDIST.format(a="e.embedding", b="s.cvec")}, s.cid
-           ) AS rn
-    FROM embeddings e CROSS JOIN seeds s
-  ) t WHERE rn = 1
-),
-upd AS (
-  SELECT cid, list(m ORDER BY i) AS cvec FROM (
-    SELECT cid, i, round(AVG(v::DOUBLE), 6) AS m FROM (
-      SELECT a.cid, generate_subscripts(a.embedding, 1) AS i,
-             unnest(a.embedding) AS v
-      FROM a0 a
-    ) x GROUP BY cid, i
-  ) g GROUP BY cid
-),
-cents AS (
-  SELECT s.cid, COALESCE(u.cvec, s.cvec) AS cvec
-  FROM seeds s LEFT JOIN upd u USING (cid)
-),
-a1 AS (
-  SELECT vec_id, embedding, cid FROM (
-    SELECT e.vec_id, e.embedding, c.cid,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {_DUCK_SQDIST.format(a="e.embedding", b="c.cvec")}, c.cid
-           ) AS rn
-    FROM embeddings e CROSS JOIN cents c
-  ) t WHERE rn = 1
-),
-q AS (
-  SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
-  FROM embeddings WHERE vec_id = 0
-),
-probe AS (
-  SELECT cid FROM cents CROSS JOIN q
-  ORDER BY {_DUCK_SQDIST.format(a="cvec", b="qv")}, cid
-  LIMIT 4
-)
-SELECT a.vec_id,
-       round({_DUCK_DOT.format(a="a.embedding", b="q.qv")}
-             / (sqrt({_DUCK_DOT.format(a="a.embedding", b="a.embedding")})
-                * sqrt({_DUCK_DOT.format(a="q.qv", b="q.qv")})), 6) AS cos
-FROM a1 a JOIN probe USING (cid) CROSS JOIN q
-ORDER BY cos DESC, a.vec_id
-LIMIT 10
-"""
-
-
-@query("similarity_ivf_topk", _IVF_TOPK_LEARNED)
-def ivf_topk_q(spark, sf_dir):
-    """IVF ANN top-10 on LEARNED centroids (second scale path):
-    deterministic k-means lists (seeds = smallest md5(id), one Lloyd
-    step, means rounded to 6 digits so the learned index is
-    reduction-order independent), nprobe=4 of 16 probed.  Oracle-
-    checked as of r9 by unrolling the iteration into CTEs (it was
-    rows-only while the centroids were raw float avgs); recall vs
-    brute force and the nprobe==k_lists exactness degeneracy stay
-    pytest-checked in tests/test_similarity.py."""
-    t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    # iters=1 keeps the registered entry cheap (each Lloyd step is a
-    # driver collect); the 2-iter quality path is exercised in tests
-    return S.ivf_topk(
-        emb, "embedding", qv, k=10, k_lists=16, nprobe=4, iters=1,
-        centroid_round=6,
-    )
-
-
-# Product quantization, unrolled: seeds' subvector slices seed every
-# subspace, one Lloyd step per subspace in a single exploded groupBy
-# (means rounded to 6 digits), encode = per-subspace argmin (ties to
-# the lowest code), ADC = per-code query distances folded in subspace
-# order.  Every stage mirrors operators/similarity.py::pq_train/
-# pq_encode/pq_topk; the score fold and the engine's driver-computed
-# distance table accumulate left-to-right over the same doubles, so
-# the comparison is bit-exact.
-_PQ_CTE = f"""
-WITH params AS (SELECT unnest(range(0, 8)) AS s),
-vecs AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-  FROM embeddings
-),
-sub AS (
-  SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv FROM vecs CROSS JOIN params
-),
-seeds AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
-           AS code,
-         list_transform(embedding, x -> x::DOUBLE) AS v
-  FROM embeddings
-  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16
-),
-seedsub AS (
-  SELECT code, s, v[s*8+1 : s*8+8] AS cv FROM seeds CROSS JOIN params
-),
-a0 AS (
-  SELECT vec_id, s, sv, code FROM (
-    SELECT x.vec_id, x.s, x.sv, c.code,
-           ROW_NUMBER() OVER (
-             PARTITION BY x.vec_id, x.s
-             ORDER BY {_DUCK_SQDIST.format(a="x.sv", b="c.cv")}, c.code
-           ) AS rn
-    FROM sub x JOIN seedsub c USING (s)
-  ) t WHERE rn = 1
-),
-upd AS (
-  SELECT s, code, list(m ORDER BY i) AS cv FROM (
-    SELECT s, code, i, round(AVG(v), 6) AS m FROM (
-      SELECT a.s, a.code, generate_subscripts(a.sv, 1) AS i,
-             unnest(a.sv) AS v
-      FROM a0 a
-    ) z GROUP BY s, code, i
-  ) g GROUP BY s, code
-),
-cb AS (
-  SELECT ss.s, ss.code, COALESCE(u.cv, ss.cv) AS cv
-  FROM seedsub ss LEFT JOIN upd u ON ss.s = u.s AND ss.code = u.code
-),
-codes AS (
-  SELECT vec_id, s, code FROM (
-    SELECT x.vec_id, x.s, c.code,
-           ROW_NUMBER() OVER (
-             PARTITION BY x.vec_id, x.s
-             ORDER BY {_DUCK_SQDIST.format(a="x.sv", b="c.cv")}, c.code
-           ) AS rn
-    FROM sub x JOIN cb c USING (s)
-  ) t WHERE rn = 1
-),
-qsub AS (
-  SELECT s, sv AS qv FROM sub WHERE vec_id = 0
-),
-dtable AS (
-  SELECT c.s, c.code,
-         {_DUCK_SQDIST.format(a="q.qv", b="c.cv")} AS d
-  FROM cb c JOIN qsub q USING (s)
-),
-scored AS (
-  SELECT k.vec_id,
-         list_reduce(
-           list_prepend(CAST(0.0 AS DOUBLE), list(t.d ORDER BY k.s)),
-           (x, y) -> x + y
-         ) AS raw
-  FROM codes k JOIN dtable t ON k.s = t.s AND k.code = t.code
-  GROUP BY k.vec_id
-)"""
-
-_PQ_TOPK = _PQ_CTE + """
-SELECT vec_id, round(raw, 6) AS adc
-FROM scored
-ORDER BY round(raw, 6), vec_id
-LIMIT 10
-"""
-
-# ADC shortlist (rounded score, then id — a total order, so the
-# candidate set is deterministic) + exact squared-L2 re-rank of the
-# shortlist only: pq_refine_topk's IVFADC+R shape
-_PQ_REFINE = _PQ_CTE + f""",
-short AS (
-  SELECT vec_id FROM scored ORDER BY round(raw, 6), vec_id LIMIT 100
-),
-q0 AS (SELECT v AS qv FROM vecs WHERE vec_id = 0)
-SELECT s.vec_id,
-       round({_DUCK_SQDIST.format(a="v.v", b="q0.qv")}, 6) AS dist
-FROM short s JOIN vecs v USING (vec_id) CROSS JOIN q0
-ORDER BY round({_DUCK_SQDIST.format(a="v.v", b="q0.qv")}, 6), s.vec_id
-LIMIT 10
-"""
-
-
-@query("similarity_pq_topk", _PQ_TOPK)
-def pq_topk_q(spark, sf_dir):
-    """Product-quantization ADC top-10 (operators/similarity.py::
-    pq_train/pq_encode/pq_topk — Jégou et al. 2011): 8 subspaces x 16
-    codes over the 64-dim embeddings, codebooks trained with one
-    rounded Lloyd step (the same determinism recipe as the learned
-    IVF), query-to-centroid distance table embedded as plan literals,
-    per-row score = an 8-term lookup fold over the 8-byte code array —
-    the compressed-domain scan that never touches raw vectors (32x
-    narrower I/O at 100 TB).  Recall vs brute force is pytest-gated;
-    the oracle unrolls train/encode/ADC into CTEs."""
-    t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    books = S.pq_train(emb, "embedding", m_sub=8, k_codes=16, iters=1)
-    return S.pq_topk(emb, "embedding", qv, books, k=10)
-
-
-# IVFADC, fully unrolled: coarse IVF (k_lists=8, one rounded Lloyd
-# step), residuals against the learned centroids, PQ codebooks trained
-# on the residuals (16 codes x 8 subspaces, one rounded Lloyd step),
-# per-probed-list ADC tables from the query's per-list residual, and
-# an s-ordered fold for the final score — every stage mirrors
-# operators/similarity.py::ivf_pq_topk (which composes ivf_build +
-# pq_train + pq_encode), with the same rounding points.
-_IVFPQ_TOPK = f"""
-WITH vecs AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-  FROM embeddings
-),
-params AS (SELECT unnest(range(0, 8)) AS s),
-seeds AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
-           AS cid,
-         v AS cvec
-  FROM vecs
-  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8
-),
-a0 AS (
-  SELECT vec_id, v, cid FROM (
-    SELECT e.vec_id, e.v, s.cid,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {_DUCK_SQDIST.format(a="e.v", b="s.cvec")}, s.cid
-           ) AS rn
-    FROM vecs e CROSS JOIN seeds s
-  ) t WHERE rn = 1
-),
-upd AS (
-  SELECT cid, list(m ORDER BY i) AS cvec FROM (
-    SELECT cid, i, round(AVG(x), 6) AS m FROM (
-      SELECT a.cid, generate_subscripts(a.v, 1) AS i, unnest(a.v) AS x
-      FROM a0 a
-    ) z GROUP BY cid, i
-  ) g GROUP BY cid
-),
-cents AS (
-  SELECT s.cid, COALESCE(u.cvec, s.cvec) AS cvec
-  FROM seeds s LEFT JOIN upd u USING (cid)
-),
-a1 AS (
-  SELECT vec_id, v, cid FROM (
-    SELECT e.vec_id, e.v, c.cid,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {_DUCK_SQDIST.format(a="e.v", b="c.cvec")}, c.cid
-           ) AS rn
-    FROM vecs e CROSS JOIN cents c
-  ) t WHERE rn = 1
-),
-res AS (
-  SELECT a.vec_id, a.cid,
-         list_transform(list_zip(a.v, c.cvec), z -> z[1] - z[2]) AS rv
-  FROM a1 a JOIN cents c USING (cid)
-),
-rsub AS (
-  SELECT vec_id, cid, s, rv[s*8+1 : s*8+8] AS sv FROM res CROSS JOIN params
-),
-pqseeds AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
-           AS code,
-         rv
-  FROM res
-  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16
-),
-pqseedsub AS (
-  SELECT code, s, rv[s*8+1 : s*8+8] AS cv FROM pqseeds CROSS JOIN params
-),
-pa0 AS (
-  SELECT vec_id, s, sv, code FROM (
-    SELECT x.vec_id, x.s, x.sv, c.code,
-           ROW_NUMBER() OVER (
-             PARTITION BY x.vec_id, x.s
-             ORDER BY {_DUCK_SQDIST.format(a="x.sv", b="c.cv")}, c.code
-           ) AS rn
-    FROM rsub x JOIN pqseedsub c USING (s)
-  ) t WHERE rn = 1
-),
-pupd AS (
-  SELECT s, code, list(m ORDER BY i) AS cv FROM (
-    SELECT s, code, i, round(AVG(x), 6) AS m FROM (
-      SELECT a.s, a.code, generate_subscripts(a.sv, 1) AS i,
-             unnest(a.sv) AS x
-      FROM pa0 a
-    ) z GROUP BY s, code, i
-  ) g GROUP BY s, code
-),
-cb AS (
-  SELECT ss.s, ss.code, COALESCE(u.cv, ss.cv) AS cv
-  FROM pqseedsub ss LEFT JOIN pupd u ON ss.s = u.s AND ss.code = u.code
-),
-codes AS (
-  SELECT vec_id, s, code FROM (
-    SELECT x.vec_id, x.cid, x.s, c.code,
-           ROW_NUMBER() OVER (
-             PARTITION BY x.vec_id, x.s
-             ORDER BY {_DUCK_SQDIST.format(a="x.sv", b="c.cv")}, c.code
-           ) AS rn
-    FROM rsub x JOIN cb c USING (s)
-  ) t WHERE rn = 1
-),
-q AS (SELECT v FROM vecs WHERE vec_id = 0),
-probe AS (
-  SELECT cid FROM cents CROSS JOIN q
-  ORDER BY {_DUCK_SQDIST.format(a="cvec", b="v")}, cid
-  LIMIT 4
-),
-qres AS (
-  SELECT c.cid, list_transform(list_zip(q.v, c.cvec), z -> z[1] - z[2]) AS qr
-  FROM cents c JOIN probe USING (cid) CROSS JOIN q
-),
-dtable AS (
-  SELECT r.cid, b.s, b.code,
-         {_DUCK_SQDIST.format(a="r.qr[b.s*8+1 : b.s*8+8]", b="b.cv")} AS d
-  FROM qres r CROSS JOIN cb b
-),
-scored AS (
-  SELECT a.vec_id,
-         list_reduce(
-           list_prepend(CAST(0.0 AS DOUBLE), list(t.d ORDER BY k.s)),
-           (x, y) -> x + y
-         ) AS raw
-  FROM a1 a
-  JOIN probe p ON a.cid = p.cid
-  JOIN codes k ON a.vec_id = k.vec_id
-  JOIN dtable t ON t.cid = a.cid AND t.s = k.s AND t.code = k.code
-  GROUP BY a.vec_id
-)
-SELECT vec_id, round(raw, 6) AS adc
-FROM scored
-ORDER BY round(raw, 6), vec_id
-LIMIT 10
-"""
-
-
-@query("similarity_ivfpq_topk", _IVFPQ_TOPK)
-def ivfpq_topk_q(spark, sf_dir):
-    """IVFADC (operators/similarity.py::ivf_pq_topk — Jégou et al.
-    2011 §IV, the billion-scale ANN layout): coarse IVF prunes to 4 of
-    8 learned lists, PQ codebooks trained on RESIDUALS score the
-    survivors in the compressed domain with per-list ADC tables (the
-    query's residual differs per probed list — the precision lever
-    flat PQ lacks; recall 0.3 vs 0.2 here, pytest-gated).  At 100 TB:
-    codes partitioned by list_id, a query scans nprobe partitions of
-    m-byte codes with plan-literal tables.  Both Lloyd steps use
-    rounded means, so the whole composition unrolls into one oracle
-    CTE chain."""
-    t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return S.ivf_pq_topk(emb, "embedding", qv, k=10, k_lists=8, nprobe=4)
-
-
-# Sign random projection: the md5-parity matrix is derived identically
-# on both engines, every fold is the same ordered sequence of exact
-# IEEE ops (x * ±1.0 is exact; scale 1/sqrt(16) = 0.25 is a power of
-# two), so the comparison needs NO rounding.
-_RANDOM_PROJ = """
-SELECT vec_id, j AS dim_idx,
-       0.25 * list_reduce(
-         list_prepend(CAST(0.0 AS DOUBLE),
-           list_transform(range(0, 64), i ->
-             embedding[i + 1]::DOUBLE *
-             (CASE WHEN (('0x' || substr(md5(j::VARCHAR || ':' || i::VARCHAR),
-                          1, 8))::BIGINT % 2) = 0
-                   THEN 1.0 ELSE -1.0 END))),
-         (x, y) -> x + y) AS val
-FROM embeddings CROSS JOIN (SELECT unnest(range(0, 16)) AS j) dims
-"""
-
-
-@query("similarity_random_projection", _RANDOM_PROJ)
-def random_projection_q(spark, sf_dir):
-    """Sign random projection 64 -> 16 dims (operators/similarity.py::
-    random_projection — Achlioptas 2003's database-friendly JL
-    transform): the 4x dimension cut a 100 TB embedding table takes
-    before indexing.  The +-1 matrix is md5 parity — never
-    materialized, embedded as plan literals — so the transform is 16
-    codegen'd folds per row: no UDF, no shuffle, no broadcast, and the
-    oracle rederives the identical matrix (bit-exact, unrounded).
-    Distance preservation is pytest-gated."""
-    t = load_tables(spark, sf_dir)
-    proj = S.random_projection(t["embeddings"], "embedding", out_dims=16)
-    return proj.select(
-        "vec_id", F.posexplode("projected").alias("dim_idx", "val")
-    ).select("vec_id", F.col("dim_idx").cast("long").alias("dim_idx"), "val")
-
-
-@query("similarity_pq_refine", _PQ_REFINE)
-def pq_refine_q(spark, sf_dir):
-    """ADC shortlist + exact re-rank (operators/similarity.py::
-    pq_refine_topk — Jégou et al. 2011 §VI): the compressed-code scan
-    picks 100 candidates, then ONLY those rows' raw vectors are read
-    back for an exact squared-L2 top-10.  The production PQ shape at
-    100 TB: full scan touches the 32x narrower code column, the raw
-    read is a 100-row broadcast join; recovers the recall pure ADC
-    loses (0.8 vs 0.2 recall@10 on this corpus, pytest-gated)."""
-    t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    books = S.pq_train(emb, "embedding", m_sub=8, k_codes=16, iters=1)
-    return S.pq_refine_topk(emb, "embedding", qv, books, k=10, refine=100)
-
-
-_NEAR_DUP = f"""
-WITH b AS (
-  SELECT vec_id AS id, embedding AS vec, {_DUCK_BUCKET.format(v="embedding")} AS bucket
-  FROM embeddings
-)
-SELECT l.id AS id_a, r.id AS id_b,
-       round({_DUCK_DOT.format(a="l.vec", b="r.vec")}
-             / (sqrt({_DUCK_DOT.format(a="l.vec", b="l.vec")})
-                * sqrt({_DUCK_DOT.format(a="r.vec", b="r.vec")})), 6) AS cos
-FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
-WHERE round({_DUCK_DOT.format(a="l.vec", b="r.vec")}
-            / (sqrt({_DUCK_DOT.format(a="l.vec", b="l.vec")})
-               * sqrt({_DUCK_DOT.format(a="r.vec", b="r.vec")})), 6) >= 0.2
-"""
-
-
-@query("similarity_embedding_near_dup", _NEAR_DUP)
-def near_dup_q(spark, sf_dir):
-    t = load_tables(spark, sf_dir)
-    return S.embedding_near_dup_pairs(
-        t["embeddings"], "embedding", "vec_id", threshold=0.2, num_dims=4
-    )
-
-
-_SEMANTIC_DEDUP = f"""
-WITH cents AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
-),
-scored AS (
-  SELECT e.vec_id, e.embedding, c.cid,
-         {_DUCK_DOT.format(a="e.embedding", b="c.cvec")}
-           / (sqrt({_DUCK_DOT.format(a="e.embedding", b="e.embedding")})
-              * sqrt({_DUCK_DOT.format(a="c.cvec", b="c.cvec")})) AS cos_c
-  FROM embeddings e CROSS JOIN cents c
-),
-assigned AS (
-  SELECT vec_id, embedding, cid FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS rn
-    FROM scored
-  ) t WHERE rn = 1
-),
-dups AS (
-  SELECT DISTINCT r.vec_id
-  FROM assigned l JOIN assigned r ON l.cid = r.cid AND l.vec_id < r.vec_id
-  WHERE round({_DUCK_DOT.format(a="l.embedding", b="r.embedding")}
-              / (sqrt({_DUCK_DOT.format(a="l.embedding", b="l.embedding")})
-                 * sqrt({_DUCK_DOT.format(a="r.embedding", b="r.embedding")})), 6)
-        >= 0.35
-)
-SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
-       (d.vec_id IS NOT NULL) AS is_dup
-FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
-"""
-
-
-@query("similarity_semantic_dedup", _SEMANTIC_DEDUP)
-def semantic_dedup_q(spark, sf_dir):
-    """SemDeDup (operators/similarity.py::semantic_dedup): cluster the
-    embedding space with the fixed spherical quantizer, flag
-    within-cluster semantic duplicates (cosine >= tau to a lower-id
-    cluster-mate) via a pair-free LEFT SEMI self-join.  The
-    cluster-then-dedup composition is what makes embedding dedup
-    tractable at corpus scale — pairwise work is confined to clusters
-    whose size k_lists controls."""
-    t = load_tables(spark, sf_dir)
-    return S.semantic_dedup(
-        t["embeddings"], "embedding", "vec_id", k_lists=16, threshold=0.35
-    )
-
-
-@query("similarity_semantic_dedup_fast", _SEMANTIC_DEDUP)
-def semantic_dedup_fast_q(spark, sf_dir):
-    """Vectorized SemDeDup (operators/similarity.py::
-    semantic_dedup_fast): same flags as similarity_semantic_dedup —
-    identical oracle — but both stages run as Arrow-batched numpy
-    matmuls (mapInPandas assignment against the broadcast k x d
-    centroid matrix, applyInPandas per-cid tiled Gram) instead of
-    interpreted Catalyst array folds.  The declarative path measures
-    ~0.7M candidate folds/s, which caps SemDeDup's k ~ sqrt(n) design
-    point; this path runs the 2M x 64 / k=1414 probe in ~1 min where
-    the fold path needs hours (SCALE.md round 8).  Property test pins
-    fast == fold on the shipped data (tests/test_text_vectors.py)."""
-    t = load_tables(spark, sf_dir)
-    return S.semantic_dedup_fast(
-        t["embeddings"], "embedding", "vec_id", k_lists=16, threshold=0.35
-    )
-
-
-_KNN_JOIN = f"""
-WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
-),
-s AS (
-  SELECT q.query_id, e.vec_id,
-         round({_DUCK_DOT.format(a="e.embedding", b="q.qv")}
-               / (sqrt({_DUCK_DOT.format(a="e.embedding", b="e.embedding")})
-                  * sqrt({_DUCK_DOT.format(a="q.qv", b="q.qv")})), 6) AS cos
-  FROM embeddings e CROSS JOIN q
-),
-r AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY cos DESC NULLS LAST, vec_id) AS rank
-  FROM s
-)
-SELECT query_id, vec_id, cos, CAST(rank AS BIGINT) AS rank
-FROM r WHERE rank <= 5
-"""
-
-
-@query("similarity_knn_join", _KNN_JOIN)
-def knn_join_q(spark, sf_dir):
-    """Batch k-NN join (operators/similarity.py::knn_join): top-5
-    corpus neighbors for EVERY row of an 8-query batch — retrieval
-    augmentation / neighbor labeling over a whole query table.  The
-    Spark side broadcasts the query batch and runs a TWO-PHASE top-k
-    (per-partition ROW_NUMBER prune, then a final rank over the k x P
-    survivors), which must exactly reproduce the oracle's naive
-    cross-join ROW_NUMBER — the proof that the balanced two-phase
-    shuffle loses nothing."""
-    t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
-    queries = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return S.knn_join(queries, emb, "embedding", k=5)
-
-
-_EMB_DECON = f"""
-WITH tst AS (
-  SELECT embedding AS tv FROM embeddings WHERE vec_id < 50
-),
-trn AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 50),
-hits AS (
-  SELECT t.vec_id, CAST(COUNT(*) AS BIGINT) AS n_close
-  FROM trn t JOIN tst s
-    ON round({_DUCK_DOT.format(a="t.embedding", b="s.tv")}
-             / (sqrt({_DUCK_DOT.format(a="t.embedding", b="t.embedding")})
-                * sqrt({_DUCK_DOT.format(a="s.tv", b="s.tv")})), 6) >= 0.35
-  GROUP BY t.vec_id
-)
-SELECT t.vec_id, COALESCE(h.n_close, 0) AS n_close,
-       COALESCE(h.n_close, 0) > 0 AS contaminated
-FROM trn t LEFT JOIN hits h USING (vec_id)
-"""
-
-
-@query("similarity_embedding_decontaminate", _EMB_DECON)
-def embedding_decontaminate_q(spark, sf_dir):
-    """SEMANTIC decontamination (operators/decontaminate.py::
-    embedding_contamination_flags): train rows within cosine 0.35 of
-    any eval-set embedding are flagged — catches paraphrased eval
-    leakage the 5-gram decontaminator can't see.  Eval side broadcast
-    (metadata-sized next to a corpus), norms hoisted once per side,
-    per-doc count aggregation is the only shuffle."""
-    from cloud_optimized_data_pipelines_spark.operators.decontaminate import (
-        embedding_contamination_flags,
-    )
-
-    t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
-    test = emb.filter(F.col("vec_id") < 50)
-    train = emb.filter(F.col("vec_id") >= 50)
-    return embedding_contamination_flags(
-        train, test, "embedding", "vec_id", threshold=0.35
-    ).select("vec_id", "n_close", "contaminated")
-
-
-_EMB_DECON_BLOCKED = f"""
-WITH tst AS (
-  SELECT embedding AS tv, {_DUCK_BUCKET.format(v="embedding")} AS tb
-  FROM embeddings WHERE vec_id < 50
-),
-trn AS (
-  SELECT vec_id, embedding, {_DUCK_BUCKET.format(v="embedding")} AS b
-  FROM embeddings WHERE vec_id >= 50
-),
-hits AS (
-  SELECT t.vec_id, CAST(COUNT(*) AS BIGINT) AS n_close
-  FROM trn t JOIN tst s
-    ON t.b = s.tb
-   AND round({_DUCK_DOT.format(a="t.embedding", b="s.tv")}
-             / (sqrt({_DUCK_DOT.format(a="t.embedding", b="t.embedding")})
-                * sqrt({_DUCK_DOT.format(a="s.tv", b="s.tv")})), 6) >= 0.35
-  GROUP BY t.vec_id
-)
-SELECT t.vec_id, COALESCE(h.n_close, 0) AS n_close,
-       COALESCE(h.n_close, 0) > 0 AS contaminated
-FROM trn t LEFT JOIN hits h USING (vec_id)
-"""
-
-
-@query("similarity_decontaminate_blocked", _EMB_DECON_BLOCKED)
-def embedding_decontaminate_blocked_q(spark, sf_dir):
-    """ANN-blocked semantic decontamination (operators/decontaminate.py
-    ::embedding_contamination_flags_blocked): the sign-bucket blocked
-    composition of similarity_embedding_decontaminate — bucket equality
-    is the join key, exact cosine runs only within buckets, cutting the
-    10^9-train x 10^4-eval nested loop by ~2^num_dims.  Deterministic
-    blocking, so the oracle reproduces the blocked result bit-exactly;
-    recall vs the exact form is pytest-gated (the ann_topk pattern)."""
-    from cloud_optimized_data_pipelines_spark.operators.decontaminate import (
-        embedding_contamination_flags_blocked,
-    )
-
-    t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
-    test = emb.filter(F.col("vec_id") < 50)
-    train = emb.filter(F.col("vec_id") >= 50)
-    return embedding_contamination_flags_blocked(
-        train, test, "embedding", "vec_id", threshold=0.35, num_dims=4
-    ).select("vec_id", "n_close", "contaminated")
-
-
-def _emb_decon_multiprobe_sql() -> str:
-    """Oracle for similarity_decontaminate_multiprobe: the eval side's
-    d+1 Hamming-1 probe buckets are generated with string flips and
-    UNNESTed, then the same bucket equi-join + exact-cosine check as
-    the blocked oracle.  The probe strings are pairwise distinct so no
-    (train, eval) pair is double counted — n_close semantics match the
-    single-bucket form exactly."""
-    d = 4
-    flips = ["tb"]
-    for i in range(1, d + 1):
-        flipped = (
-            f"CASE WHEN substr(tb, {i}, 1) = '1' THEN '0' ELSE '1' END"
-        )
-        parts = []
-        if i > 1:
-            parts.append(f"substr(tb, 1, {i - 1})")
-        parts.append(flipped)
-        if i < d:
-            parts.append(f"substr(tb, {i + 1}, {d - i})")
-        flips.append("concat(" + ", ".join(parts) + ")")
-    probe_list = "[" + ", ".join(flips) + "]"
-    return f"""
-WITH tst AS (
-  SELECT embedding AS tv, {_DUCK_BUCKET.format(v="embedding")} AS tb
-  FROM embeddings WHERE vec_id < 50
-),
-tstp AS (
-  SELECT tv, UNNEST({probe_list}) AS pb FROM tst
-),
-trn AS (
-  SELECT vec_id, embedding, {_DUCK_BUCKET.format(v="embedding")} AS b
-  FROM embeddings WHERE vec_id >= 50
-),
-hits AS (
-  SELECT t.vec_id, CAST(COUNT(*) AS BIGINT) AS n_close
-  FROM trn t JOIN tstp s
-    ON t.b = s.pb
-   AND round({_DUCK_DOT.format(a="t.embedding", b="s.tv")}
-             / (sqrt({_DUCK_DOT.format(a="t.embedding", b="t.embedding")})
-                * sqrt({_DUCK_DOT.format(a="s.tv", b="s.tv")})), 6) >= 0.35
-  GROUP BY t.vec_id
-)
-SELECT t.vec_id, COALESCE(h.n_close, 0) AS n_close,
-       COALESCE(h.n_close, 0) > 0 AS contaminated
-FROM trn t LEFT JOIN hits h USING (vec_id)
-"""
-
-
-@query("similarity_decontaminate_multiprobe", _emb_decon_multiprobe_sql)
-def embedding_decontaminate_multiprobe_q(spark, sf_dir):
-    """MULTIPROBE-blocked semantic decontamination (operators/
-    decontaminate.py::embedding_contamination_flags_blocked with
-    multiprobe=True): the round-6 verdict's one `weak` closed — the
-    blocked decontaminator now probes each eval point's own sign
-    bucket PLUS its 4 Hamming-1 neighbors (exploded on the broadcast
-    eval side; the join stays a hashable bucket equi-join), so a
-    contaminated train row whose embedding crosses ONE hyperplane from
-    its eval near-neighbor is no longer missed.  Candidates are
-    (d+1)/2^d of the corpus — still ~2^d/(d+1) fewer cosine folds than
-    the exact scan — and recall on planted near-dups is pytest-gated
-    >= 99%.  Deterministic probing, so the oracle reproduces the
-    result bit-exactly."""
-    from cloud_optimized_data_pipelines_spark.operators.decontaminate import (
-        embedding_contamination_flags_blocked,
-    )
-
-    t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
-    test = emb.filter(F.col("vec_id") < 50)
-    train = emb.filter(F.col("vec_id") >= 50)
-    return embedding_contamination_flags_blocked(
-        train, test, "embedding", "vec_id", threshold=0.35, num_dims=4,
-        multiprobe=True,
-    ).select("vec_id", "n_close", "contaminated")
-
-
-@query("similarity_semantic_dedup_indexed", _SEMANTIC_DEDUP)
-def semantic_dedup_indexed_q(spark, sf_dir):
-    """SemDeDup over a PERSISTED assignment (operators/similarity.py::
-    semantic_dedup_write_assignment / semantic_dedup_indexed): the n x
-    k_lists assignment crossJoin — which dominates at the paper's
-    k ~ sqrt(n) design point and which the in-memory form evaluates
-    once per self-join side (measured 270 s at k=448 on the 100x
-    probe) — is written ONCE partitioned by cid; both sides of the
-    within-cluster join then read n parquet rows.  Same oracle as
-    similarity_semantic_dedup: parquet round-trips doubles losslessly,
-    so the flags are bit-identical."""
-    import os
-    import tempfile
-
-    t = load_tables(spark, sf_dir)
-    path = os.path.join(
-        tempfile.gettempdir(), "spark_graft_semdedup_idx"
-    )
-    S.semantic_dedup_write_assignment(
-        t["embeddings"], path, "embedding", "vec_id", k_lists=16
-    )
-    return S.semantic_dedup_indexed(
-        spark, path, "embedding", "vec_id", threshold=0.35
-    )
-
-
-_DUCK_LTOKS = (
-    "list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), "
-    "t -> lower(t))"
-)
-
-
-def _duck_lang_count(lang: str) -> str:
-    words = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])
-    return f"len(list_filter(ltoks, t -> list_contains([{words}], t)))"
-
-
-_LANG_CASE = (
-    "CASE WHEN best = 0 THEN 'und' "
-    + " ".join(
-        f"WHEN c_{lang} = best THEN '{lang}'" for lang in T.LANG_ORDER
-    )
-    + " END"
-)
-
-_LANG_ID = f"""
-WITH t1 AS (SELECT doc_id, lang, {_DUCK_LTOKS} AS ltoks FROM documents),
-t2 AS (
-  SELECT doc_id, lang,
-         {", ".join(f"{_duck_lang_count(lang)} AS c_{lang}" for lang in T.LANG_ORDER)}
-  FROM t1
-),
-t3 AS (
-  SELECT doc_id, lang, c_en, c_es, c_de, c_fr,
-         greatest(c_en, c_es, c_de, c_fr) AS best
-  FROM t2
-)
-SELECT doc_id, lang, {_LANG_CASE} AS pred,
-       (lang = {_LANG_CASE}) AS agree
-FROM t3
-"""
-
-
-@query("text_lang_id", _LANG_ID)
-def lang_id_q(spark, sf_dir):
-    t = load_tables(spark, sf_dir)
-    pred = T.detect_language(F.col("text"))
-    return t["documents"].select(
-        "doc_id", "lang", pred.alias("pred"), (F.col("lang") == pred).alias("agree")
-    )
-
-
-_TEXT_QUALITY = """
-WITH t1 AS (
-  SELECT doc_id, text,
-    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
-    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) AS n_punct,
-    CAST(length(text) AS DOUBLE) AS n_chars_d,
-    CAST(len(list_filter(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), t -> lower(t)),
-         t -> list_contains(['the','and','of','to','in','is','that','it','for','was'], t))) AS DOUBLE) AS sw_hits
-  FROM documents
-),
-t2 AS (
-  SELECT doc_id, n_tokens, bpe_tokens,
-    CASE WHEN n_chars_d > 0 THEN n_punct / n_chars_d ELSE 0.0 END AS punct_ratio,
-    CASE WHEN n_tokens > 0 THEN sw_hits / n_tokens ELSE 0.0 END AS stopword_ratio
-  FROM t1
-)
-SELECT doc_id, n_tokens, bpe_tokens,
-       round(punct_ratio, 6) AS punct_ratio,
-       round(stopword_ratio, 6) AS stopword_ratio,
-       round((least(n_tokens / 20.0, 1.0)
-              + (1.0 - least(punct_ratio * 4.0, 1.0))
-              + least(stopword_ratio * 4.0, 1.0)) / 3.0, 6) AS quality
-FROM t2
-"""
-
-
-@query("text_quality", _TEXT_QUALITY)
-def text_quality_q(spark, sf_dir):
-    t = load_tables(spark, sf_dir)
-    return t["documents"].select(
-        "doc_id",
-        T.token_count("text").cast("long").alias("n_tokens"),
-        T.bpe_token_count("text").cast("long").alias("bpe_tokens"),
-        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
-        T.quality_score("text").alias("quality"),
-    )
-
-
-_FINGERPRINT = f"""
-WITH {_DUCK_SHINGLES.format(src="documents")}
-SELECT doc_id, list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
-FROM sh
-"""
-
-
-@query("text_fingerprint", _FINGERPRINT)
-def fingerprint_q(spark, sf_dir):
-    t = load_tables(spark, sf_dir)
-    return t["documents"].select(
-        "doc_id", T.doc_fingerprint("text", 3).alias("fingerprint")
-    )
-
-
-_DOC_TOP_TOKENS = """
-WITH tok AS (
-  SELECT doc_id,
-         UNNEST(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
-                t -> lower(t))) AS token
-  FROM documents
-),
-cnt AS (
-  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS n
-  FROM tok GROUP BY doc_id, token
-),
-rk AS (
-  SELECT doc_id, token, n,
-         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, token) AS rn
-  FROM cnt
-)
-SELECT doc_id, token, n, CAST(rn AS BIGINT) AS rn FROM rk WHERE rn <= 3
-"""
-
-
-@query("text_doc_top_tokens", _DOC_TOP_TOKENS)
-def doc_top_tokens_q(spark, sf_dir):
-    """Per-doc top-3 tokens (keyword extraction baseline): explode →
-    partial-agg count → per-key window rank.  The window partitions by
-    doc_id, so rank state never crosses documents — embarrassingly
-    parallel at any corpus size."""
-    t = load_tables(spark, sf_dir)
-    toks = F.explode(
-        F.transform(T.tokens(F.col("text")), lambda x: F.lower(x))
-    ).alias("token")
-    cnt = (
-        t["documents"]
-        .select("doc_id", toks)
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("n"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), "token")
-    return (
-        cnt.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 3)
-        .select("doc_id", "token", "n", "rn")
-    )
-
-
-_TOKEN_TOP20 = """
-SELECT token, CAST(COUNT(*) AS BIGINT) AS n
-FROM (
-  SELECT UNNEST(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
-                t -> lower(t))) AS token
-  FROM documents
-) t
-GROUP BY token
-ORDER BY n DESC, token
-LIMIT 20
-"""
-
-
-@query("text_token_top20", _TOKEN_TOP20)
-def token_top20_q(spark, sf_dir):
-    t = load_tables(spark, sf_dir)
-    toks = F.explode(
-        F.transform(T.tokens(F.col("text")), lambda x: F.lower(x))
-    ).alias("token")
-    return (
-        t["documents"]
-        .select(toks)
-        .groupBy("token")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), "token")
-        .limit(20)
-    )
-
-
-_MULTIMODAL = """
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS payload_md5
-FROM documents
-"""
-
-
-@query("multimodal_payload_meta", _MULTIMODAL)
-def multimodal_meta_q(spark, sf_dir):
-    """Binary-payload metadata path (JVM-side; the text column stands in
-    for an opaque payload).  The pandas-UDF feature extraction over the
-    same payloads is exercised in tests/test_multimodal.py (not
-    SQL-expressible)."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import payload_meta
-
-    t = load_tables(spark, sf_dir)
-    payloads = t["documents"].select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
-    )
-    return payload_meta(payloads).select(
-        "doc_id",
-        F.col("n_bytes").cast("long").alias("n_bytes"),
-        "payload_md5",
-    )
-
-
-_PERCENTILES = """
-SELECT c_mktsegment,
-       percentile(o_totalprice, 0.5) AS p50,
-       percentile(o_totalprice, 0.9) AS p90,
-       COUNT(*) AS n
-FROM customer JOIN orders ON c_custkey = o_custkey
-GROUP BY c_mktsegment
-"""
-
-_PERCENTILES_DUCK = """
-SELECT c_mktsegment,
-       quantile_cont(o_totalprice, 0.5) AS p50,
-       quantile_cont(o_totalprice, 0.9) AS p90,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM customer JOIN orders ON c_custkey = o_custkey
-GROUP BY c_mktsegment
-"""
-
-
-@query("agg_percentiles", _PERCENTILES_DUCK)
-def agg_percentiles(spark, sf_dir):
-    """Exact interpolated quantiles per segment (Spark `percentile` ==
-    DuckDB `quantile_cont`, bit-identical linear interpolation).  Exact
-    percentile buffers each group's values — at 100 TB switch to
-    `approx_percentile` (t-digest, mergeable partial agg); kept exact
-    here because the oracle gate demands bit equality."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_PERCENTILES)
-
-
-_FRAME_SAMPLE = """
-SELECT doc_id AS asset_id, CAST(UNNEST(range(0, n_chars % 50 + 1, 10)) AS BIGINT) AS frame_index
-FROM documents
-"""
-
-
-@query("multimodal_frame_sample", _FRAME_SAMPLE)
-def multimodal_frame_sample_q(spark, sf_dir):
-    """Video frame sampling as a pure-column explode (documents stand in
-    for video assets; n_frames derived deterministically from n_chars).
-    The per-frame decode then rides the mapInPandas path."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        frame_sample_plan,
-    )
-
-    t = load_tables(spark, sf_dir)
-    assets = t["documents"].select(
-        F.col("doc_id").alias("asset_id"),
-        (F.col("n_chars") % 50 + 1).alias("n_frames"),
-    )
-    return frame_sample_plan(assets, every_n=10, id_col="asset_id").select(
-        "asset_id", F.col("frame_index").cast("long").alias("frame_index")
-    )
-
-
-_K1_COGIFY = """
-SELECT source AS collection,
-       's3://src-bucket/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.nc' AS src_filename,
-       's3://veda-data-store/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.tif' AS s3_filename,
-       TRUE AS ok
-FROM documents
-"""
-
-
-@query("k1_cogify_stage", _K1_COGIFY)
-def k1_cogify_stage_q(spark, sf_dir):
-    """The routed raster branch end-to-end: broadcast config join +
-    mapInPandas cogify + output URL rewrite (handler.py:43,162).  The
-    netCDF decode is a deterministic stub (no netCDF4 in container) but
-    the COG ENCODE is real — operators/geotiff.py writes byte-valid
-    tiled-deflate GeoTIFFs with overviews (byte-level tests in
-    tests/test_geotiff.py).  The oracle re-derives the URL rewrite and
-    asserts every record cogified without error (ok=TRUE), making the
-    stage's metadata contract hash-checkable; blob validity itself is
-    pytest-gated."""
-    from cloud_optimized_data_pipelines_spark.operators.cogify import cogify_stage
-
-    t = load_tables(spark, sf_dir)
-    events = t["documents"].select(
-        F.col("source").alias("collection"),
-        F.concat(
-            F.lit("s3://src-bucket/"),
-            F.col("source"),
-            F.lit("/doc_"),
-            F.col("doc_id").cast("string"),
-            F.lit(".nc"),
-        ).alias("s3_filename"),
-    )
-    events = events.withColumn("src_filename", F.col("s3_filename"))
-    config = (
-        t["documents"]
-        .select("source")
-        .distinct()
-        .select(
-            F.col("source").alias("collection"),
-            F.concat(F.lit("var_"), F.col("source")).alias("variable_name"),
-            F.lit(None).cast("string").alias("group"),
-            F.lit(None).cast("string").alias("affine_transformation"),
-        )
-    )
-    out = cogify_stage(events, config)
-    return out.select(
-        "collection",
-        "src_filename",
-        "s3_filename",
-        F.col("cogify_error").isNull().alias("ok"),
-    )
-
-
-def _cog_probe_oracle() -> str:
-    """Oracle for k1_cogify_real_bytes, built at import: the 8 variant
-    conversions run ONCE in plain local python (same pure-numpy
-    library code, no Spark) to pin the exact emitted COG bytes via md5
-    literals, while value_sum is recomputed ARITHMETICALLY in SQL from
-    the grid formula — so the encode→decode round-trip is checked
-    against a non-circular ground truth and the byte stream against a
-    single-process reference run."""
-    from cloud_optimized_data_pipelines_spark.operators.cogify import _cog_variant
-
-    rows = [_cog_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['cog_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS variant FROM documents),
-cells AS (
-  SELECT v.variant,
-         CAST(SUM(CASE WHEN g.k = 0 THEN -9999
-                       ELSE (g.k * (v.variant + 1)) % 97 END) AS DOUBLE) AS value_sum
-  FROM var v, (SELECT UNNEST(range(0, 90000)) AS k) g
-  GROUP BY v.variant
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS cog_md5,
-       c.value_sum,
-       CAST(300 AS BIGINT) AS width,
-       CAST(300 AS BIGINT) AS height,
-       CAST(2 AS BIGINT) AS n_levels,
-       '-9999.0' AS nodata
-FROM documents d JOIN cells c ON c.variant = d.doc_id % 8
-"""
-
-
-@query("k1_cogify_real_bytes", _cog_probe_oracle)
-def k1_cogify_real_bytes_q(spark, sf_dir):
-    """REAL-bytes variant of the cogify stage: per variant, classic
-    netCDF bytes are WRITTEN, decoded back (netcdf_classic.read_variable
-    — record-stride-correct, name-bound equal-size dims), encoded as a
-    real tiled-deflate COG with an overview (geotiff.encode_cog), then
-    DECODED AGAIN; the query emits the blob md5 plus decoded-raster
-    statistics for every document.  The driver's value hash therefore
-    covers the exact encoded byte stream and the encode→decode round
-    trip — not just planned metadata (reference conversion:
-    lambdas/cogify/handler.py:81-159).  The 8-variant probe table is
-    computed on executors (mapInPandas) and broadcast against the
-    corpus — at 100 TB the encode cost is per-variant, not per-row."""
-    from cloud_optimized_data_pipelines_spark.operators.cogify import (
-        cog_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = cog_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "cog_md5",
-        "value_sum",
-        "width",
-        "height",
-        "n_levels",
-        "nodata",
-    )
-
-
-@query("k1_cogify_szip", _cog_probe_oracle)
-def k1_cogify_szip_q(spark, sf_dir):
-    """REAL-bytes cogify with an HDF5/szip SOURCE (operators/
-    rice_codec.py + sources/hdf5_lite.py): per variant the probe grid
-    is written as an actual HDF5 file whose chunks are szip-compressed
-    (filter id 4, CCSDS-121 extended-Rice — the HDF-EOS compression
-    NASA granules ship with, a named error through round 7), read back
-    through the full chunk-B-tree + filter-pipeline walk, COG-encoded
-    and re-decoded.  The raster is identical to the netCDF-sourced
-    probe's, so the emitted COG bytes — and therefore the oracle — are
-    the same: the query proves the szip read path produces the exact
-    raster the deflate/netCDF paths do.  Broadcast per-variant probe."""
-    from cloud_optimized_data_pipelines_spark.operators.cogify import (
-        cog_szip_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = cog_szip_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "cog_md5",
-        "value_sum",
-        "width",
-        "height",
-        "n_levels",
-        "nodata",
-    )
-
-
-def _stac_item_raster_oracle() -> str:
-    """Oracle for stac_item_raster: the 8 variant conversions run ONCE
-    in plain local python to pin the emitted COG bytes via md5
-    literals; EVERYTHING ELSE — the bbox from the quarter-degree
-    coordinate vectors, the polygon ring, the proj transform, and the
-    nodata-excluded band statistics — is recomputed ARITHMETICALLY in
-    SQL from the generation formulas (grid value at flat index k is
-    (k*(v+1)) % 97 with cell 0 the -9999 fill; lon = -170+3v + 0.25i,
-    lat = 80-v - 0.25j), replaying the identical IEEE expressions the
-    column plan evaluates.  Strings are printf'd at fixed precision on
-    both sides, so the comparison is bit-stable."""
-    from cloud_optimized_data_pipelines_spark.operators.cogify import (
-        _stac_raster_variant,
-    )
-
-    rows = [_stac_raster_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['cog_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-geo AS (
-  SELECT v, -170.0 + 3.0*v AS x0, 80.0 - v AS y0, 74.75/300 AS s
-  FROM var
-),
-cells AS (
-  SELECT v.v,
-         CAST(SUM(CASE WHEN g.k = 0 THEN 0
-                       ELSE (g.k*(v.v+1)) % 97 END) AS DOUBLE) AS vsum,
-         CAST(SUM(CASE WHEN g.k = 0 THEN 0
-                       ELSE ((g.k*(v.v+1)) % 97) * ((g.k*(v.v+1)) % 97)
-                  END) AS DOUBLE) AS vsumsq,
-         CAST(MIN(CASE WHEN g.k = 0 THEN NULL
-                       ELSE (g.k*(v.v+1)) % 97 END) AS DOUBLE) AS vmin,
-         CAST(MAX(CASE WHEN g.k = 0 THEN NULL
-                       ELSE (g.k*(v.v+1)) % 97 END) AS DOUBLE) AS vmax
-  FROM var v, (SELECT UNNEST(range(0, 90000)) AS k) g
-  GROUP BY v.v
-),
-m AS (
-  SELECT g.v, g.x0, g.y0, g.s,
-         g.y0 - 300*g.s AS south, g.x0 + 300*g.s AS east,
-         c.vsum/89999 AS mean,
-         sqrt(c.vsumsq/89999 - (c.vsum/89999)*(c.vsum/89999)) AS sd,
-         c.vmin, c.vmax
-  FROM geo g JOIN cells c ON c.v = g.v
-)
-SELECT d.doc_id,
-       d.doc_id % 8 AS variant,
-       {md5_case} AS cog_md5,
-       'granule_v' || CAST(d.doc_id % 8 AS VARCHAR) AS item_id,
-       printf('[%d, %d, %d, %d]',
-              CAST(round(m.x0 * 1e9) AS BIGINT),
-              CAST(round(m.south * 1e9) AS BIGINT),
-              CAST(round(m.east * 1e9) AS BIGINT),
-              CAST(round(m.y0 * 1e9) AS BIGINT)) AS bbox,
-       'POLYGON ((' || printf('%.9f %.9f, ', m.x0, m.south)
-                    || printf('%.9f %.9f, ', m.east, m.south)
-                    || printf('%.9f %.9f, ', m.east, m.y0)
-                    || printf('%.9f %.9f, ', m.x0, m.y0)
-                    || printf('%.9f %.9f', m.x0, m.south)
-                    || '))' AS geometry_wkt,
-       CAST(4326 AS BIGINT) AS epsg,
-       '[300, 300]' AS proj_shape,
-       '[' || printf('%.9f, %.9f, %.9f, %.9f, %.9f, %.9f, %.9f, %.9f, %.9f',
-              m.s, 0.0, m.x0, 0.0, -m.s, m.y0, 0.0, 0.0, 1.0)
-           || ']' AS proj_transform,
-       '[{{"data_type": "float32", "nodata": -9999.000000, ' ||
-       '"statistics": {{"minimum": ' || printf('%.6f', m.vmin) ||
-       ', "maximum": ' || printf('%.6f', m.vmax) ||
-       ', "mean": ' || printf('%.6f', m.mean) ||
-       ', "stddev": ' || printf('%.6f', m.sd) ||
-       ', "valid_percent": ' || printf('%.6f', 89999*100.0/90000) ||
-       '}}}}]' AS raster_bands,
-       '2020-01-0' || CAST(d.doc_id % 8 + 1 AS VARCHAR)
-           || 'T00:00:00Z' AS item_datetime,
-       FALSE AS needs_spill
-FROM documents d
-JOIN m ON m.v = d.doc_id % 8
-"""
-
-
-@query("stac_item_raster", _stac_item_raster_oracle)
-def stac_item_raster_q(spark, sf_dir):
-    """STAC item with FULL raster metadata — the reference's
-    ``rio_stac.create_stac_item(with_proj=True, with_raster=True)``
-    surface (``lambdas/build-stac/utils/stac.py:32-48``), the last
-    substantive parity gap (VERDICT r8 "What's missing #1").
-
-    Per variant: a classic netCDF granule with quarter-degree lat/lon
-    coordinate vectors is cogified through the REAL chain (coordinate
-    bbox via cogify._finish_decode == handler.py:97-101, pure-numpy
-    tiled-deflate COG), the EMITTED COG's tags + raster are probed
-    back out (geotiff.cog_stac_metadata == rio_stac's dataset probe),
-    and build_items assembles the item struct whose bbox / geometry /
-    proj:* / raster:bands the query pins — so the driver hash covers
-    tag encode -> decode -> column assembly end-to-end.  The per-
-    variant probe is executor-computed and broadcast against the
-    corpus: at 100 TB the raster probe cost is O(variants), the item
-    assembly pure codegen."""
-    from cloud_optimized_data_pipelines_spark.operators.build_stac import (
-        attach_raster_metadata,
-        build_items,
-    )
-    from cloud_optimized_data_pipelines_spark.operators.cogify import (
-        stac_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = stac_probe_table(spark, 8)
-    events = t["documents"].select(
-        "doc_id",
-        (F.col("doc_id") % 8).alias("variant"),
-        F.col("source").alias("collection"),
-        F.concat(
-            F.lit("s3://veda-data-store/"),
-            F.col("source"),
-            F.lit("/granule_v"),
-            (F.col("doc_id") % 8).cast("string"),
-            F.lit(".tif"),
-        ).alias("s3_filename"),
-        F.lit(None).cast("string").alias("id_regex"),
-        F.lit(None).cast("string").alias("datetime_range"),
-        F.lit(None).cast("timestamp").alias("start_datetime"),
-        F.lit(None).cast("timestamp").alias("end_datetime"),
-        F.expr(
-            "timestamp'2020-01-01 00:00:00'"
-            " + make_interval(0, 0, 0, cast(doc_id % 8 as int))"
-        ).alias("single_datetime"),
-        F.lit(None).cast("map<string,string>").alias("properties"),
-        F.lit(None).cast("string").alias("asset_name"),
-        F.lit(None).cast("array<string>").alias("asset_roles"),
-        F.lit(None).cast("string").alias("asset_media_type"),
-    )
-    enriched = attach_raster_metadata(
-        events.join(F.broadcast(probe), "variant")
-    )
-    items = build_items(enriched)
-    props = F.col("item.properties")
-    return items.select(
-        "doc_id",
-        "variant",
-        "cog_md5",
-        F.col("item.id").alias("item_id"),
-        # integer-scaled 1e9, not %.9f: format_string rounds half-up vs
-        # DuckDB printf's half-even, so a dyadic decimal tie in a bbox
-        # coordinate would diverge (r10 ADVICE); round() agrees
-        # half-away-from-zero on both engines.
-        F.format_string(
-            "[%d, %d, %d, %d]",
-            F.round(F.col("item.bbox")[0] * F.lit(1e9), 0).cast("long"),
-            F.round(F.col("item.bbox")[1] * F.lit(1e9), 0).cast("long"),
-            F.round(F.col("item.bbox")[2] * F.lit(1e9), 0).cast("long"),
-            F.round(F.col("item.bbox")[3] * F.lit(1e9), 0).cast("long"),
-        ).alias("bbox"),
-        F.col("item.geometry_wkt").alias("geometry_wkt"),
-        props.getItem("proj:epsg").cast("long").alias("epsg"),
-        props.getItem("proj:shape").alias("proj_shape"),
-        props.getItem("proj:transform").alias("proj_transform"),
-        props.getItem("raster:bands").alias("raster_bands"),
-        props.getItem("datetime").alias("item_datetime"),
-        "needs_spill",
-    )
-
-
-def _phash_pairs_oracle() -> str:
-    """Oracle for multimodal_phash_pairs: the 64-bit aHash is INTEGER
-    arithmetic over the deterministic quadratic grid, so the oracle
-    recomputes every hash from the pixel formula (fully non-circular —
-    the engine's hashes come from real PNG bytes decoded back), then
-    replays the banded Hamming join with bit_count(xor).  The PNG byte
-    streams are pinned via md5 literals from a single-process
-    reference run (the _png_probe_oracle pattern)."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _phash_variant,
-    )
-
-    rows = [_phash_variant(v) for v in range(16)]
-    md5_case = (
-        "CASE v "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['png_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT unnest(range(0, 16)) AS v),
-grid AS (
-  SELECT v, k,
-         CASE WHEN v % 2 = 1 AND (k // 40) < 6 AND (k % 40) < 5
-              THEN (((k + 13) * (k + 7 * (v // 2) + 1)) % 251 + 90) % 251
-              ELSE ((k + 13) * (k + 7 * (v // 2) + 1)) % 251 END AS s
-  FROM var, (SELECT unnest(range(0, 1920)) AS k) g
-),
-blocks AS (
-  SELECT v, (k // 40) // 6 AS i, (k % 40) // 5 AS j, SUM(s) AS bs
-  FROM grid GROUP BY 1, 2, 3
-),
-tot AS (SELECT v, SUM(s) AS total FROM grid GROUP BY v),
-bits AS (
-  SELECT b.v, b.i * 8 + b.j AS idx,
-         CASE WHEN b.bs * 64 >= t.total THEN 1 ELSE 0 END AS bit
-  FROM blocks b JOIN tot t USING (v)
-),
-hashes AS (
-  SELECT v,
-         SUM(CASE WHEN idx < 32 THEN bit << (31 - idx) ELSE 0 END)::BIGINT
-           AS hi,
-         SUM(CASE WHEN idx >= 32 THEN bit << (63 - idx) ELSE 0 END)::BIGINT
-           AS lo
-  FROM bits GROUP BY v
-),
-bands AS (
-  SELECT v, hi, lo, 0 AS band, (hi >> 16) & 65535 AS val FROM hashes
-  UNION ALL SELECT v, hi, lo, 1, hi & 65535 FROM hashes
-  UNION ALL SELECT v, hi, lo, 2, (lo >> 16) & 65535 FROM hashes
-  UNION ALL SELECT v, hi, lo, 3, lo & 65535 FROM hashes
-),
-pairs AS (
-  SELECT DISTINCT a.v AS va, b.v AS vb,
-         bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.val = b.val AND a.v < b.v
-  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
-),
-md5s AS (SELECT v, {md5_case} AS m FROM var),
-cnt AS (SELECT doc_id % 16 AS v, count(*) AS n FROM documents GROUP BY 1)
-SELECT p.va AS variant_a, p.vb AS variant_b,
-       CAST(p.hamming AS BIGINT) AS hamming,
-       ma.m AS md5_a, mb.m AS md5_b,
-       ca.n AS docs_a, cb.n AS docs_b
-FROM pairs p
-JOIN md5s ma ON ma.v = p.va
-JOIN md5s mb ON mb.v = p.vb
-JOIN cnt ca ON ca.v = p.va
-JOIN cnt cb ON cb.v = p.vb
-"""
-
-
-@query("multimodal_phash_pairs", _phash_pairs_oracle)
-def multimodal_phash_pairs_q(spark, sf_dir):
-    """Perceptual-hash IMAGE dedup over real bytes (operators/
-    multimodal.py::phash_probe_table + image_near_dup_pairs): 16 gray
-    rasters in 8 engineered near-dup pairs are encoded as actual PNGs,
-    decoded back by the pure-numpy codec, aHashed (integer-exact 8x8
-    block means), and joined by 4x16-bit banded Hamming blocking —
-    complete at the <=3 threshold by pigeonhole, popcount-verified.
-    The oracle recomputes every hash ARITHMETICALLY from the pixel
-    formula (non-circular: a decode bug flips hash bits and the join
-    output), and pins the byte streams via md5 literals.  At 100 TB:
-    decode+hash ride the asset scan via mapInPandas; the join sees
-    only (id, 2 BIGINT) rows, collision-bound by the bands."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        image_near_dup_pairs,
-        phash_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = phash_probe_table(spark, 16)
-    pairs = image_near_dup_pairs(probe, "variant", max_hamming=3)
-    cnt = (
-        t["documents"]
-        .groupBy((F.col("doc_id") % 16).alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    meta = probe.select("variant", "png_md5")
-    return (
-        pairs.join(
-            meta.select(
-                F.col("variant").alias("id_a"), F.col("png_md5").alias("md5_a")
-            ),
-            "id_a",
-        )
-        .join(
-            meta.select(
-                F.col("variant").alias("id_b"), F.col("png_md5").alias("md5_b")
-            ),
-            "id_b",
-        )
-        .join(cnt.select(F.col("v").alias("id_a"), F.col("n").alias("docs_a")), "id_a")
-        .join(cnt.select(F.col("v").alias("id_b"), F.col("n").alias("docs_b")), "id_b")
-        .select(
-            F.col("id_a").alias("variant_a"),
-            F.col("id_b").alias("variant_b"),
-            "hamming",
-            "md5_a",
-            "md5_b",
-            "docs_a",
-            "docs_b",
-        )
-    )
-
-
-def _profile_oracle() -> str:
-    """Oracle for quality_column_profiles: per column, one scalar CTE
-    (exact counts/min/max + rounded mean) and one histogram CTE whose
-    bucket arithmetic — ((x - mn) / (mx - mn)) * B, floored, capped —
-    runs the identical per-row double ops as the engine, so the bucket
-    counts are integer-exact."""
-    parts = []
-    for c in ("l_quantity", "l_extendedprice", "l_discount"):
-        parts.append(f"""
-SELECT '{c}' AS "column", s.n, s.n - s.nn AS nulls, s.nd AS n_distinct,
-       s.mn AS min, s.mx AS max, s.mean, h.bucket, h.bucket_n
-FROM (
-  SELECT CASE WHEN s2.mx = s2.mn THEN 0
-              ELSE least(floor(({c}::DOUBLE - s2.mn) / (s2.mx - s2.mn) * 8),
-                         7) END::BIGINT AS bucket,
-         count(*)::BIGINT AS bucket_n
-  FROM lineitem, (
-    SELECT min({c}::DOUBLE) AS mn, max({c}::DOUBLE) AS mx FROM lineitem
-  ) s2
-  WHERE {c} IS NOT NULL GROUP BY 1
-) h, (
-  SELECT count(*)::BIGINT AS n, count({c})::BIGINT AS nn,
-         count(DISTINCT {c}::DOUBLE)::BIGINT AS nd,
-         min({c}::DOUBLE) AS mn, max({c}::DOUBLE) AS mx,
-         round(SUM({c}::DOUBLE) / count({c}), 6) AS mean
-  FROM lineitem
-) s""")
-    return "\nUNION ALL\n".join(parts)
-
-
-@query("quality_column_profiles", _profile_oracle)
-def quality_column_profiles_q(spark, sf_dir):
-    """Numeric column profiling (operators/constraints.py::
-    profile_columns — the Deequ Analyzer complement to the constraint
-    suite): count/nulls/distinct/min/max/mean plus an 8-bucket
-    fixed-width histogram for three lineitem measures, in TWO scan
-    passes total regardless of column count (one fused scalar
-    aggregation, one bucketing pass against the known spans).  The
-    profile is what a pipeline stores per ingested drop and diffs
-    against the previous one (the drift monitor's batch-side input).
-    Counts/min/max/buckets are integer-exact; only the mean is
-    rounded (float sum)."""
-    from cloud_optimized_data_pipelines_spark.operators.constraints import (
-        profile_columns,
-    )
-
-    t = load_tables(spark, sf_dir)
-    return profile_columns(
-        t["lineitem"], ["l_quantity", "l_extendedprice", "l_discount"]
-    ).orderBy("column", "bucket")
-
-
-# Deequ-style constraint suite: every metric is an exact-integer count
-# divided once at the end (bit-identical cross-engine, the
-# classifier_score precedent), so no rounding anywhere.
-_CONSTRAINT_REPORT = """
-WITH n AS (SELECT count(*)::BIGINT AS c FROM orders),
-m AS (
-  SELECT
-    count(o_custkey)::BIGINT AS notnull_cust,
-    count(DISTINCT o_orderkey)::BIGINT AS dist_ok,
-    count(o_orderkey)::BIGINT AS nn_ok,
-    SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice >= 0.0
-                  AND o_totalprice <= 400000.0 THEN 1 ELSE 0 END)::BIGINT
-      AS in_range,
-    SUM(CASE WHEN o_orderstatus IN ('O', 'F') THEN 1 ELSE 0 END)::BIGINT
-      AS in_set,
-    SUM(CASE WHEN o_orderpriority IS NOT NULL
-                  AND regexp_matches(o_orderpriority, '^[1-5]-')
-             THEN 1 ELSE 0 END)::BIGINT AS pat
-  FROM orders
-),
-fk AS (
-  SELECT count(*)::BIGINT AS nk,
-         SUM(CASE WHEN c._k IS NULL THEN 1 ELSE 0 END)::BIGINT AS orphans
-  FROM (SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL) o
-  LEFT JOIN (SELECT DISTINCT c_custkey AS _k FROM customer) c
-    ON o.k = c._k
-)
-SELECT * FROM (
-  SELECT 0::BIGINT AS rule_id, 'not_null' AS rule, 'o_custkey' AS "column",
-         CASE WHEN n.c > 0 THEN m.notnull_cust::DOUBLE / n.c::DOUBLE
-              ELSE 1.0 END AS metric,
-         1.0::DOUBLE AS threshold,
-         CASE WHEN n.c > 0 THEN m.notnull_cust::DOUBLE / n.c::DOUBLE
-              ELSE 1.0 END >= 1.0 AS passed
-  FROM m CROSS JOIN n
-  UNION ALL
-  SELECT 1, 'unique', 'o_orderkey',
-         CASE WHEN m.nn_ok > 0 THEN m.dist_ok::DOUBLE / m.nn_ok::DOUBLE
-              ELSE 1.0 END,
-         1.0::DOUBLE,
-         CASE WHEN m.nn_ok > 0 THEN m.dist_ok::DOUBLE / m.nn_ok::DOUBLE
-              ELSE 1.0 END >= 1.0
-  FROM m
-  UNION ALL
-  SELECT 2, 'range', 'o_totalprice',
-         CASE WHEN n.c > 0 THEN m.in_range::DOUBLE / n.c::DOUBLE
-              ELSE 1.0 END,
-         0.5::DOUBLE,
-         CASE WHEN n.c > 0 THEN m.in_range::DOUBLE / n.c::DOUBLE
-              ELSE 1.0 END >= 0.5
-  FROM m CROSS JOIN n
-  UNION ALL
-  SELECT 3, 'in_set', 'o_orderstatus',
-         CASE WHEN n.c > 0 THEN m.in_set::DOUBLE / n.c::DOUBLE
-              ELSE 1.0 END,
-         0.9::DOUBLE,
-         CASE WHEN n.c > 0 THEN m.in_set::DOUBLE / n.c::DOUBLE
-              ELSE 1.0 END >= 0.9
-  FROM m CROSS JOIN n
-  UNION ALL
-  SELECT 4, 'pattern', 'o_orderpriority',
-         CASE WHEN n.c > 0 THEN m.pat::DOUBLE / n.c::DOUBLE ELSE 1.0 END,
-         1.0::DOUBLE,
-         CASE WHEN n.c > 0 THEN m.pat::DOUBLE / n.c::DOUBLE
-              ELSE 1.0 END >= 1.0
-  FROM m CROSS JOIN n
-  UNION ALL
-  SELECT 5, 'referential', 'o_custkey',
-         CASE WHEN fk.nk > 0
-              THEN (fk.nk - fk.orphans)::DOUBLE / fk.nk::DOUBLE
-              ELSE 1.0 END,
-         1.0::DOUBLE,
-         CASE WHEN fk.nk > 0
-              THEN (fk.nk - fk.orphans)::DOUBLE / fk.nk::DOUBLE
-              ELSE 1.0 END >= 1.0
-  FROM fk
-) t ORDER BY rule_id
-"""
-
-
-@query("quality_constraint_report", _CONSTRAINT_REPORT)
-def quality_constraint_report_q(spark, sf_dir):
-    """Declarative data-quality constraint suite (operators/
-    constraints.py::check_constraints — the Deequ pattern, Schelter
-    et al. 2018): completeness, uniqueness, range, set-membership and
-    regex rules compile into ONE conditional-aggregation pass over the
-    orders scan (adding rules is free at 100 TB), plus a left-anti
-    foreign-key check against customer.  All metrics are exact-integer
-    counts divided once — bit-identical cross-engine, no rounding.
-    The report is the ingestion gate a training pipeline runs before
-    accepting a drop."""
-    from cloud_optimized_data_pipelines_spark.operators.constraints import (
-        check_constraints,
-    )
-
-    t = load_tables(spark, sf_dir)
-    rules = [
-        {"rule": "not_null", "column": "o_custkey"},
-        {"rule": "unique", "column": "o_orderkey"},
-        {"rule": "range", "column": "o_totalprice", "min": 0.0,
-         "max": 400000.0, "threshold": 0.5},
-        {"rule": "in_set", "column": "o_orderstatus",
-         "values": ["O", "F"], "threshold": 0.9},
-        {"rule": "pattern", "column": "o_orderpriority",
-         "regex": "^[1-5]-"},
-        {"rule": "referential", "column": "o_custkey", "ref": "customer",
-         "ref_column": "c_custkey"},
-    ]
-    return check_constraints(
-        t["orders"], rules, refs={"customer": t["customer"]}
-    ).orderBy("rule_id")
-
-
-def _afp_pairs_oracle() -> str:
-    """Oracle for multimodal_audio_near_dup: the 64-bit energy hash is
-    integer arithmetic over the deterministic waveform formula, so
-    every fingerprint is recomputed from scratch in SQL (non-circular
-    vs the engine's decode-real-WAV-bytes path); the banded Hamming
-    join is replayed with bit_count(xor) and the RIFF byte streams are
-    pinned via md5 literals."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _afp_variant,
-    )
-
-    rows = [_afp_variant(v) for v in range(16)]
-    md5_case = (
-        "CASE v "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['wav_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT unnest(range(0, 16)) AS v),
-grid AS (
-  SELECT v, k,
-         abs(CASE WHEN v % 2 = 1 AND k < 16
-                  THEN (((k + 11) * (k + 5 * (v // 2) + 3)) % 20011 + 800)
-                       % 20011 - 10005
-                  ELSE ((k + 11) * (k + 5 * (v // 2) + 3)) % 20011 - 10005
-             END) AS a
-  FROM var, (SELECT unnest(range(0, 1024)) AS k) g
-),
-wins AS (
-  SELECT v, k // 16 AS w, SUM(a) AS e FROM grid GROUP BY 1, 2
-),
-tot AS (SELECT v, SUM(a) AS total FROM grid GROUP BY v),
-bits AS (
-  SELECT w.v, w.w AS idx,
-         CASE WHEN w.e * 64 >= t.total THEN 1 ELSE 0 END AS bit
-  FROM wins w JOIN tot t USING (v)
-),
-hashes AS (
-  SELECT v,
-         SUM(CASE WHEN idx < 32 THEN bit << (31 - idx) ELSE 0 END)::BIGINT
-           AS hi,
-         SUM(CASE WHEN idx >= 32 THEN bit << (63 - idx) ELSE 0 END)::BIGINT
-           AS lo
-  FROM bits GROUP BY v
-),
-bands AS (
-  SELECT v, hi, lo, 0 AS band, (hi >> 16) & 65535 AS val FROM hashes
-  UNION ALL SELECT v, hi, lo, 1, hi & 65535 FROM hashes
-  UNION ALL SELECT v, hi, lo, 2, (lo >> 16) & 65535 FROM hashes
-  UNION ALL SELECT v, hi, lo, 3, lo & 65535 FROM hashes
-),
-pairs AS (
-  SELECT DISTINCT a.v AS va, b.v AS vb,
-         bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.val = b.val AND a.v < b.v
-  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
-),
-md5s AS (SELECT v, {md5_case} AS m FROM var),
-cnt AS (SELECT doc_id % 16 AS v, count(*) AS n FROM documents GROUP BY 1)
-SELECT p.va AS variant_a, p.vb AS variant_b,
-       CAST(p.hamming AS BIGINT) AS hamming,
-       ma.m AS md5_a, mb.m AS md5_b,
-       ca.n AS docs_a, cb.n AS docs_b
-FROM pairs p
-JOIN md5s ma ON ma.v = p.va
-JOIN md5s mb ON mb.v = p.vb
-JOIN cnt ca ON ca.v = p.va
-JOIN cnt cb ON cb.v = p.vb
-"""
-
-
-@query("multimodal_audio_near_dup", _afp_pairs_oracle)
-def multimodal_audio_near_dup_q(spark, sf_dir):
-    """Audio fingerprint near-dup over real bytes (operators/
-    multimodal.py::audio_fingerprint_table + the modality-agnostic
-    image_near_dup_pairs banded join): 16 waveforms in 8 engineered
-    overdub pairs are encoded as actual RIFF/WAVE files, decoded back,
-    energy-hashed (integer-exact 64-window abs-energy threshold), and
-    joined by 4x16-bit banded Hamming blocking.  The oracle recomputes
-    every fingerprint ARITHMETICALLY from the waveform formula and
-    pins the byte streams via md5 literals — the audio twin of
-    multimodal_phash_pairs, completing per-modality dedup (text /
-    image / audio / embedding)."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        audio_fingerprint_table,
-        image_near_dup_pairs,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = audio_fingerprint_table(spark, 16)
-    pairs = image_near_dup_pairs(
-        probe, "variant", hi_col="afp_hi", lo_col="afp_lo", max_hamming=3
-    )
-    cnt = (
-        t["documents"]
-        .groupBy((F.col("doc_id") % 16).alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    meta = probe.select("variant", "wav_md5")
-    return (
-        pairs.join(
-            meta.select(
-                F.col("variant").alias("id_a"), F.col("wav_md5").alias("md5_a")
-            ),
-            "id_a",
-        )
-        .join(
-            meta.select(
-                F.col("variant").alias("id_b"), F.col("wav_md5").alias("md5_b")
-            ),
-            "id_b",
-        )
-        .join(cnt.select(F.col("v").alias("id_a"), F.col("n").alias("docs_a")), "id_a")
-        .join(cnt.select(F.col("v").alias("id_b"), F.col("n").alias("docs_b")), "id_b")
-        .select(
-            F.col("id_a").alias("variant_a"),
-            F.col("id_b").alias("variant_b"),
-            "hamming",
-            "md5_a",
-            "md5_b",
-            "docs_a",
-            "docs_b",
-        )
-    )
-
-
-def _vfp_pairs_oracle() -> str:
-    """Oracle for multimodal_video_near_dup: the temporal-sum aHash is
-    integer arithmetic over the per-frame pixel formula, recomputed
-    from scratch in SQL (non-circular vs the engine's
-    decode-real-AVI-container path); banded Hamming join replayed with
-    bit_count(xor), AVI byte streams pinned via md5 literals."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _vfp_variant,
-    )
-
-    rows = [_vfp_variant(v) for v in range(16)]
-    md5_case = (
-        "CASE v "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['avi_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT unnest(range(0, 16)) AS v),
-grid AS (
-  SELECT v, k, SUM(
-    CASE WHEN v % 2 = 1 AND f = 2 AND (k // 40) < 6 AND (k % 40) < 5
-         THEN (((k + 13) * (k + 7 * (v // 2) + 1) + 31 * f) % 251 + 200) % 251
-         ELSE ((k + 13) * (k + 7 * (v // 2) + 1) + 31 * f) % 251
-    END) AS s
-  FROM var,
-       (SELECT unnest(range(0, 1920)) AS k) g,
-       (SELECT unnest(range(0, 4)) AS f) fr
-  GROUP BY v, k
-),
-blocks AS (
-  SELECT v, (k // 40) // 6 AS i, (k % 40) // 5 AS j, SUM(s) AS bs
-  FROM grid GROUP BY 1, 2, 3
-),
-tot AS (SELECT v, SUM(s) AS total FROM grid GROUP BY v),
-bits AS (
-  SELECT b.v, b.i * 8 + b.j AS idx,
-         CASE WHEN b.bs * 64 >= t.total THEN 1 ELSE 0 END AS bit
-  FROM blocks b JOIN tot t USING (v)
-),
-hashes AS (
-  SELECT v,
-         SUM(CASE WHEN idx < 32 THEN bit << (31 - idx) ELSE 0 END)::BIGINT
-           AS hi,
-         SUM(CASE WHEN idx >= 32 THEN bit << (63 - idx) ELSE 0 END)::BIGINT
-           AS lo
-  FROM bits GROUP BY v
-),
-bands AS (
-  SELECT v, hi, lo, 0 AS band, (hi >> 16) & 65535 AS val FROM hashes
-  UNION ALL SELECT v, hi, lo, 1, hi & 65535 FROM hashes
-  UNION ALL SELECT v, hi, lo, 2, (lo >> 16) & 65535 FROM hashes
-  UNION ALL SELECT v, hi, lo, 3, lo & 65535 FROM hashes
-),
-pairs AS (
-  SELECT DISTINCT a.v AS va, b.v AS vb,
-         bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.val = b.val AND a.v < b.v
-  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
-),
-md5s AS (SELECT v, {md5_case} AS m FROM var),
-cnt AS (SELECT doc_id % 16 AS v, count(*) AS n FROM documents GROUP BY 1)
-SELECT p.va AS variant_a, p.vb AS variant_b,
-       CAST(p.hamming AS BIGINT) AS hamming,
-       ma.m AS md5_a, mb.m AS md5_b,
-       ca.n AS docs_a, cb.n AS docs_b
-FROM pairs p
-JOIN md5s ma ON ma.v = p.va
-JOIN md5s mb ON mb.v = p.vb
-JOIN cnt ca ON ca.v = p.va
-JOIN cnt cb ON cb.v = p.vb
-"""
-
-
-@query("multimodal_video_near_dup", _vfp_pairs_oracle)
-def multimodal_video_near_dup_q(spark, sf_dir):
-    """Video near-dup over real container bytes (operators/
-    multimodal.py::video_fingerprint_table + the modality-agnostic
-    banded join): 16 four-frame AVIs in 8 engineered one-frame-edit
-    pairs are encoded as actual RIFF/AVI containers (DIB streams,
-    idx1 index), walked + decoded back, fingerprinted by the
-    temporal-sum aHash (integer-exact), and joined by 4x16-bit banded
-    Hamming blocking.  The oracle recomputes every fingerprint
-    ARITHMETICALLY from the per-frame formula and pins the container
-    bytes via md5 literals — with phash/afp this completes
-    per-modality near-dup: text, image, audio, video, embedding."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        image_near_dup_pairs,
-        video_fingerprint_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = video_fingerprint_table(spark, 16)
-    pairs = image_near_dup_pairs(
-        probe, "variant", hi_col="vfp_hi", lo_col="vfp_lo", max_hamming=3
-    )
-    cnt = (
-        t["documents"]
-        .groupBy((F.col("doc_id") % 16).alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    meta = probe.select("variant", "avi_md5")
-    return (
-        pairs.join(
-            meta.select(
-                F.col("variant").alias("id_a"), F.col("avi_md5").alias("md5_a")
-            ),
-            "id_a",
-        )
-        .join(
-            meta.select(
-                F.col("variant").alias("id_b"), F.col("avi_md5").alias("md5_b")
-            ),
-            "id_b",
-        )
-        .join(cnt.select(F.col("v").alias("id_a"), F.col("n").alias("docs_a")), "id_a")
-        .join(cnt.select(F.col("v").alias("id_b"), F.col("n").alias("docs_b")), "id_b")
-        .select(
-            F.col("id_a").alias("variant_a"),
-            F.col("id_b").alias("variant_b"),
-            "hamming",
-            "md5_a",
-            "md5_b",
-            "docs_a",
-            "docs_b",
-        )
-    )
-
-
-def _png_probe_oracle() -> str:
-    """Oracle for multimodal_png_features, built at import (the
-    _cog_probe_oracle pattern): the 8 variant conversions run ONCE in
-    plain local python (same pure-numpy codec, no Spark) to pin the
-    exact emitted PNG bytes via md5 literals, while px_sum is
-    recomputed ARITHMETICALLY in SQL from the sample-grid formula
-    sample(k) = (k * (v+1)) % mod — so the encode->decode round-trip
-    is checked against non-circular ground truth and the byte stream
-    against a single-process reference run."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _PROBE_CHANNELS,
-        _PROBE_H,
-        _PROBE_W,
-        _png_variant,
-    )
-
-    rows = [_png_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['png_md5']}'" for r in rows)
-        + " END"
-    )
-    ch_case = (
-        "CASE v "
-        + " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(_PROBE_CHANNELS))
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v, {ch_case} AS channels,
-         CASE WHEN v >= 6 THEN 16 ELSE 8 END AS bit_depth,
-         CASE WHEN v >= 6 THEN 60013 ELSE 251 END AS mod
-  FROM var
-),
-cells AS (
-  SELECT m.v, CAST(SUM((g.k * (m.v + 1)) % m.mod) AS BIGINT) AS px_sum
-  FROM meta m,
-       (SELECT UNNEST(range(0, {_PROBE_H} * {_PROBE_W} * 4)) AS k) g
-  WHERE g.k < {_PROBE_H} * {_PROBE_W} * m.channels
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS png_md5,
-       c.px_sum,
-       CAST({_PROBE_W} AS BIGINT) AS width,
-       CAST({_PROBE_H} AS BIGINT) AS height,
-       CAST(m.channels AS BIGINT) AS channels,
-       CAST(m.bit_depth AS BIGINT) AS bit_depth
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_png_features", _png_probe_oracle)
-def multimodal_png_features_q(spark, sf_dir):
-    """REAL-bytes multimodal decode (operators/png_codec.py +
-    operators/multimodal.py::png_probe_table): per variant, a formula
-    raster is encoded as an actual PNG (filter-cycling, so the byte
-    stream exercises all five scanline filters), decoded back by the
-    pure-numpy codec, round-trip-verified executor-side; the query
-    emits the blob md5 plus decoded-pixel statistics for every
-    document.  The driver's value hash therefore covers the exact
-    encoded byte stream AND the inflate->unfilter->reconstruct decode
-    path — not a stub.  The 8-variant probe table is computed on
-    executors (mapInPandas) and broadcast against the corpus — at
-    100 TB the codec cost is per-variant, not per-row."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        png_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = png_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "png_md5",
-        "px_sum",
-        "width",
-        "height",
-        "channels",
-        "bit_depth",
-    )
-
-
-def _png_palette_probe_oracle() -> str:
-    """Oracle for multimodal_png_palette (the _png_probe_oracle
-    pattern): byte-stream md5s pinned from a single-process run of the
-    same codec; px_sum recomputed ARITHMETICALLY in SQL from the
-    palette/index formulas — palette entry i sums to ((i*7+1)%251 +
-    (i*11+3)%251 + (i*13+5)%251) and index(k) = (k*(v+1)) % 2^depth —
-    proving the indexed decode (incl. Adam7 reassembly for variants
-    4-7) against non-circular ground truth."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _PAL_H,
-        _PAL_W,
-        _png_palette_variant,
-    )
-
-    rows = [_png_palette_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['png_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v,
-         CASE v % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END
-           AS depth,
-         v % 8 >= 4 AS interlaced
-  FROM var
-),
-cells AS (
-  SELECT m.v,
-         CAST(SUM(
-           ((((g.k * (m.v + 1)) % (1 << m.depth)) * 7 + 1) % 251)
-           + ((((g.k * (m.v + 1)) % (1 << m.depth)) * 11 + 3) % 251)
-           + ((((g.k * (m.v + 1)) % (1 << m.depth)) * 13 + 5) % 251)
-         ) AS BIGINT) AS px_sum
-  FROM meta m,
-       (SELECT UNNEST(range(0, {_PAL_H} * {_PAL_W})) AS k) g
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS png_md5,
-       c.px_sum,
-       CAST({_PAL_W} AS BIGINT) AS width,
-       CAST({_PAL_H} AS BIGINT) AS height,
-       CAST(m.depth AS BIGINT) AS bit_depth,
-       CAST(1 << m.depth AS BIGINT) AS n_palette,
-       m.interlaced
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_png_palette", _png_palette_probe_oracle)
-def multimodal_png_palette_q(spark, sf_dir):
-    """REAL-bytes indexed-PNG decode (round-6 codec additions:
-    PLTE/color-type-3 expansion, sub-byte packed scanlines, Adam7
-    interlace reassembly — operators/png_codec.py): per variant a
-    formula index raster is encoded as an actual palette PNG (depths
-    1/2/4/8; variants 4-7 Adam7), decoded back, round-trip verified
-    executor-side; the query emits the blob md5 plus decoded-RGB
-    statistics for every document.  Broadcast per-variant probe —
-    codec cost per-variant, not per-row."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        png_palette_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = png_palette_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "png_md5",
-        "px_sum",
-        "width",
-        "height",
-        "bit_depth",
-        "n_palette",
-        "interlaced",
-    )
-
-
-def _gif_probe_oracle() -> str:
-    """Oracle for multimodal_gif_frames (the _png_probe_oracle
-    pattern): byte-stream md5s pinned from a single-process run;
-    sampled_px_sum recomputed ARITHMETICALLY from the palette/index
-    formulas over the SAMPLED frames {0,2,4} — valid ground truth
-    because GIF/LZW is lossless, so decode == source by construction
-    and the frame-sampling step is pure indexing."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _GIF_H,
-        _GIF_NPAL,
-        _GIF_W,
-        _gif_variant,
-    )
-
-    rows = [_gif_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['gif_md5']}'" for r in rows)
-        + " END"
-    )
-    npal_case = (
-        "CASE v "
-        + " ".join(f"WHEN {i} THEN {n}" for i, n in enumerate(_GIF_NPAL))
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (SELECT v, {npal_case} AS npal FROM var),
-cells AS (
-  SELECT m.v,
-         CAST(SUM(
-           ((((g.k * (m.v + 1) + 7 * fr.f) % m.npal) * 7 + 1) % 251)
-           + ((((g.k * (m.v + 1) + 7 * fr.f) % m.npal) * 11 + 3) % 251)
-           + ((((g.k * (m.v + 1) + 7 * fr.f) % m.npal) * 13 + 5) % 251)
-         ) AS BIGINT) AS sampled_px_sum
-  FROM meta m,
-       (SELECT UNNEST([0, 2, 4]) AS f) fr,
-       (SELECT UNNEST(range(0, {_GIF_H} * {_GIF_W})) AS k) g
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS gif_md5,
-       c.sampled_px_sum,
-       CAST(6 AS BIGINT) AS n_frames,
-       CAST(3 AS BIGINT) AS n_sampled,
-       CAST({_GIF_W} AS BIGINT) AS width,
-       CAST({_GIF_H} AS BIGINT) AS height,
-       CAST(m.npal AS BIGINT) AS n_palette
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_gif_frames", _gif_probe_oracle)
-def multimodal_gif_frames_q(spark, sf_dir):
-    """REAL-bytes ANIMATED-GIF decode + frame sampling
-    (operators/gif_codec.py + operators/multimodal.py::
-    gif_probe_table): per variant a 6-frame formula animation is
-    encoded as an actual GIF89a (LZW with early-change width growth,
-    GCE delays, loop extension), decoded back through the full
-    LZW/frame walk, round-trip verified executor-side, then SAMPLED
-    every 2nd frame — the video-pipeline decimation step on real
-    container bytes; the query emits the blob md5 plus sampled-frame
-    pixel statistics for every document.  The closest honest
-    approximation of the video modality this container allows (ffmpeg
-    codecs stay stubbed; the plumbing is identical).  Broadcast
-    per-variant probe — codec cost per-variant, not per-row."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        gif_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = gif_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "gif_md5",
-        "sampled_px_sum",
-        "n_frames",
-        "n_sampled",
-        "width",
-        "height",
-        "n_palette",
-    )
-
-
-def _gif_interlaced_oracle() -> str:
-    """Oracle for multimodal_gif_interlaced: md5s pinned from a
-    single-process run of the INTERLACED encoding; sampled_px_sum is
-    the SAME arithmetic replay as the sequential probe's — interlacing
-    permutes storage rows only, so the deinterlaced pixels (and every
-    statistic over them) must be identical, which is exactly the
-    cross-engine claim this query grades."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _GIF_H,
-        _GIF_NPAL,
-        _GIF_W,
-        _gif_interlaced_variant,
-    )
-
-    rows = [_gif_interlaced_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['gif_md5']}'" for r in rows)
-        + " END"
-    )
-    npal_case = (
-        "CASE v "
-        + " ".join(f"WHEN {i} THEN {n}" for i, n in enumerate(_GIF_NPAL))
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (SELECT v, {npal_case} AS npal FROM var),
-cells AS (
-  SELECT m.v,
-         CAST(SUM(
-           ((((g.k * (m.v + 1) + 7 * fr.f) % m.npal) * 7 + 1) % 251)
-           + ((((g.k * (m.v + 1) + 7 * fr.f) % m.npal) * 11 + 3) % 251)
-           + ((((g.k * (m.v + 1) + 7 * fr.f) % m.npal) * 13 + 5) % 251)
-         ) AS BIGINT) AS sampled_px_sum
-  FROM meta m,
-       (SELECT UNNEST([0, 2, 4]) AS f) fr,
-       (SELECT UNNEST(range(0, {_GIF_H} * {_GIF_W})) AS k) g
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS gif_md5,
-       c.sampled_px_sum,
-       CAST(6 AS BIGINT) AS n_frames,
-       CAST(3 AS BIGINT) AS n_sampled,
-       CAST({_GIF_W} AS BIGINT) AS width,
-       CAST({_GIF_H} AS BIGINT) AS height,
-       CAST(m.npal AS BIGINT) AS n_palette
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_gif_interlaced", _gif_interlaced_oracle)
-def multimodal_gif_interlaced_q(spark, sf_dir):
-    """REAL-bytes INTERLACED-GIF decode + frame sampling
-    (operators/gif_codec.py::_interlace_order + operators/
-    multimodal.py::gif_interlaced_probe_table): every frame is stored
-    in the GIF87a appendix E 4-pass row schedule; the decoder
-    deinterlaces, an executor-side hand-walk of the raw LZW payload
-    independently proves the storage permutation, and the sampled
-    pixel statistics must equal the sequential probe's (interlace is
-    transport order only) while the md5 pins the permuted bytes.
-    Closes the last GIF capability gap (was a named error through
-    round 7).  Broadcast per-variant probe."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        gif_interlaced_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = gif_interlaced_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "gif_md5",
-        "sampled_px_sum",
-        "n_frames",
-        "n_sampled",
-        "width",
-        "height",
-        "n_palette",
-    )
-
-
-def _gif_composite_oracle() -> str:
-    """Oracle for multimodal_gif_composite: md5s pinned from a
-    single-process run; sampled_px_sum recomputed ARITHMETICALLY by
-    replaying the disposal-aware compositing in SQL — for each sampled
-    frame the per-pixel index is a CASE over which patch rect covers it
-    last (frame 4's patch > frame 2's background-restored rect >
-    frame 1's patch > base), exactly the GIF89a disposal semantics,
-    then mapped through the palette formula.  Valid ground truth
-    because GIF/LZW is lossless and compositing is pure integer
-    indexing."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _GIF_H,
-        _GIF_NPAL,
-        _GIF_W,
-        _GIFC_BG,
-        _gif_composite_variant,
-        _gifc_rect,
-    )
-
-    rows = [_gif_composite_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['gif_md5']}'" for r in rows)
-        + " END"
-    )
-    npal_case = (
-        "CASE v "
-        + " ".join(f"WHEN {i} THEN {n}" for i, n in enumerate(_GIF_NPAL))
-        + " END"
-    )
-
-    def rect(f):
-        left, top = _gifc_rect(f)
-        cover = (
-            f"(g.x >= {left} AND g.x < {left + 6} "
-            f"AND g.y >= {top} AND g.y < {top + 8})"
-        )
-        j = f"((g.y - {top}) * 6 + (g.x - {left}))"
-        patch = f"(({j} * (m.v + 2) + {11 * f}) % m.npal)"
-        return cover, patch
-
-    in1, p1 = rect(1)
-    in2, p2 = rect(2)
-    in4, p4 = rect(4)
-    base = "((g.k * (m.v + 1)) % m.npal)"
-
-    def p3(i):
-        return (
-            f"(({i} * 7 + 1) % 251 + ({i} * 11 + 3) % 251 "
-            f"+ ({i} * 13 + 5) % 251)"
-        )
-
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (SELECT v, {npal_case} AS npal FROM var),
-grid AS (
-  SELECT k, k % {_GIF_W} AS x, k // {_GIF_W} AS y
-  FROM (SELECT UNNEST(range(0, {_GIF_H} * {_GIF_W})) AS k)
-),
-idx AS (
-  SELECT m.v,
-         {base} AS i0,
-         CASE WHEN {in2} THEN {p2}
-              WHEN {in1} THEN {p1}
-              ELSE {base} END AS i2,
-         CASE WHEN {in4} THEN {p4}
-              WHEN {in2} THEN {_GIFC_BG}
-              WHEN {in1} THEN {p1}
-              ELSE {base} END AS i4
-  FROM meta m, grid g
-),
-cells AS (
-  SELECT v,
-         CAST(SUM({p3('i0')} + {p3('i2')} + {p3('i4')}) AS BIGINT)
-           AS sampled_px_sum
-  FROM idx GROUP BY v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS gif_md5,
-       c.sampled_px_sum,
-       CAST(6 AS BIGINT) AS n_frames,
-       CAST(3 AS BIGINT) AS n_sampled,
-       CAST({_GIF_W} AS BIGINT) AS width,
-       CAST({_GIF_H} AS BIGINT) AS height,
-       CAST(m.npal AS BIGINT) AS n_palette
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_gif_composite", _gif_composite_oracle)
-def multimodal_gif_composite_q(spark, sf_dir):
-    """REAL-bytes PARTIAL-UPDATE GIF decode (operators/gif_codec.py::
-    encode_gif_anim/decode_gif + operators/multimodal.py::
-    gif_composite_probe_table): per variant a full-screen base frame
-    plus five 6x8 sub-rectangle patches with mixed GIF89a disposal
-    methods (leave-in-place, restore-to-background, restore-to-
-    previous) are encoded as an actual animated GIF, decoded through
-    the compositing walk, verified against an independent numpy
-    compositor, and frames {0,2,4} sampled — the form real-world
-    animations actually ship (sub-rect patches, not full refreshes).
-    The sampled sums pin the disposal semantics: frame 3's patch must
-    be absent (restore-to-previous) and frame 2's rect must read the
-    background index (restore-to-background).  Broadcast per-variant
-    probe — codec cost per-variant, not per-row."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        gif_composite_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = gif_composite_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "gif_md5",
-        "sampled_px_sum",
-        "n_frames",
-        "n_sampled",
-        "width",
-        "height",
-        "n_palette",
-    )
-
-
-def _jpeg_lossless_oracle() -> str:
-    """Oracle for multimodal_jpeg_lossless: md5s pinned from a single-
-    process run; px_sum recomputed ARITHMETICALLY from
-    px(k) = (k*(v+1)*7919) % 2^bits — valid ground truth for ARBITRARY
-    pixels because SOF3 is lossless by construction (decode == source
-    always, verified executor-side)."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _JPEGLL_HW,
-        _jpeg_lossless_variant,
-    )
-
-    rows = [_jpeg_lossless_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['jpeg_md5']}'" for r in rows)
-        + " END"
-    )
-    n = _JPEGLL_HW * _JPEGLL_HW
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v, CASE WHEN v % 2 = 0 THEN 8 ELSE 16 END AS bits,
-         (v % 7) + 1 AS predictor
-  FROM var
-),
-cells AS (
-  SELECT m.v,
-         CAST(SUM((g.k * (m.v + 1) * 7919)
-                  % CASE WHEN m.bits = 8 THEN 256 ELSE 65536 END)
-              AS BIGINT) AS px_sum
-  FROM meta m, (SELECT UNNEST(range(0, {n})) AS k) g
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS jpeg_md5,
-       c.px_sum,
-       CAST({_JPEGLL_HW} AS BIGINT) AS width,
-       CAST({_JPEGLL_HW} AS BIGINT) AS height,
-       CAST(m.bits AS BIGINT) AS bits,
-       CAST(m.predictor AS BIGINT) AS predictor
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_jpeg_lossless", _jpeg_lossless_oracle)
-def multimodal_jpeg_lossless_q(spark, sf_dir):
-    """REAL-bytes LOSSLESS JPEG (operators/jpeg_codec.py::
-    encode_jpeg_lossless + the SOF3 Annex H decoder): per variant an
-    ARBITRARY formula image (8-bit even variants, full-range 16-bit
-    odd — the DNG/medical/science precision) is prediction-residual
-    coded with the selector cycling all seven H.1 predictors, decoded
-    back, and verified BIT-EXACT executor-side — no DC-exactness
-    construction, because losslessness is the format's contract.
-    Closes the SOF3 capability gap (was a named error).  Broadcast
-    per-variant probe."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        jpeg_lossless_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = jpeg_lossless_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "jpeg_md5",
-        "px_sum",
-        "width",
-        "height",
-        "bits",
-        "predictor",
-    )
-
-
-def _jpeg12_probe_oracle() -> str:
-    """Oracle for multimodal_jpeg_12bit: md5s pinned from a single-
-    process run; px_sum recomputed ARITHMETICALLY from the 12-bit
-    uniform-block formula val(b) = 2*((b*(v+1) + 977*[v>=4]) % 2039)
-    + 16 — DC-exact at the 2048 level shift for the same Annex K
-    Q[0,0]=16 reason as the 8-bit probe."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _JPEG_H,
-        _JPEG_W,
-        _jpeg12_variant,
-    )
-
-    rows = [_jpeg12_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['jpeg_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v, CASE WHEN v % 4 >= 2 THEN 2 ELSE 0 END AS restart,
-         CASE WHEN v % 8 >= 4 THEN 977 ELSE 0 END AS hi
-  FROM var
-),
-cells AS (
-  SELECT m.v,
-         CAST(SUM(64 * (2 * ((g.b * (m.v + 1) + m.hi) % 2039) + 16))
-              AS BIGINT) AS px_sum
-  FROM meta m, (SELECT UNNEST(range(0, 64)) AS b) g
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS jpeg_md5,
-       c.px_sum,
-       CAST({_JPEG_W} AS BIGINT) AS width,
-       CAST({_JPEG_H} AS BIGINT) AS height,
-       CAST(1 AS BIGINT) AS channels,
-       CAST(m.restart AS BIGINT) AS restart
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_jpeg_12bit", _jpeg12_probe_oracle)
-def multimodal_jpeg_12bit_q(spark, sf_dir):
-    """REAL-bytes 12-BIT JPEG decode (operators/jpeg_codec.py::
-    encode_jpeg_12bit + the precision-parameterized decode path): per
-    variant a full-range 12-bit grayscale image is encoded as an
-    extended-sequential SOF1 JPEG with wide (12-bit-magnitude)
-    Huffman tables, decoded back as uint16 through the same marker
-    walk as baseline, round-trip verified executor-side — the
-    scientific/medical precision form, a named error before this
-    round.  Broadcast per-variant probe."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        jpeg12_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = jpeg12_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "jpeg_md5",
-        "px_sum",
-        "width",
-        "height",
-        "channels",
-        "restart",
-    )
-
-
-def _jpeg_probe_oracle() -> str:
-    """Oracle for multimodal_jpeg_features (the _png_probe_oracle
-    pattern): the 8 variant conversions run ONCE in plain local python
-    (same pure-numpy codec, no Spark) to pin the exact emitted JPEG
-    bytes via md5 literals, while px_sum is recomputed ARITHMETICALLY
-    in SQL from the uniform-block formula
-    val(b) = 2*((b*(v+1)) % 113) + 14, b in 0..63, 64 px per block —
-    valid ground truth because DC-only even-valued blocks survive the
-    Annex K luminance quantization exactly (jpeg_codec docstring), so
-    decode == source by construction, and the round trip is verified
-    executor-side."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _JPEG_H,
-        _JPEG_W,
-        _jpeg_variant,
-    )
-
-    rows = [_jpeg_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['jpeg_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v, CASE WHEN v % 8 < 4 THEN 1 ELSE 3 END AS channels,
-         CASE WHEN v % 4 >= 2 THEN 2 ELSE 0 END AS restart
-  FROM var
-),
-cells AS (
-  SELECT m.v,
-         CAST(SUM(m.channels * 64 * (2 * ((g.b * (m.v + 1)) % 113) + 14))
-              AS BIGINT) AS px_sum
-  FROM meta m, (SELECT UNNEST(range(0, 64)) AS b) g
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS jpeg_md5,
-       c.px_sum,
-       CAST({_JPEG_W} AS BIGINT) AS width,
-       CAST({_JPEG_H} AS BIGINT) AS height,
-       CAST(m.channels AS BIGINT) AS channels,
-       CAST(m.restart AS BIGINT) AS restart
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-def _jpeg_arith_oracle() -> str:
-    """Oracle for multimodal_jpeg_arithmetic (the _jpeg_probe_oracle
-    pattern): md5 + saved_bytes pinned from a single-process run,
-    px_sum recomputed ARITHMETICALLY from the uniform-block formula
-    val(b) = 2*((b*(v+3)) % 109) + 16 — valid ground truth because the
-    DC-exact construction survives quantization exactly, so decode ==
-    source by construction.  Coder spec conformance (QM-coder, byte
-    stuffing, Annex F models) is separately pinned by the REAL-libjpeg
-    cross-decode in test_jpeg_arith.py — an independent implementation
-    of the same public spec (the audioop precedent)."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _JPEG_H,
-        _JPEG_W,
-        _jpeg_arith_variant,
-    )
-
-    rows = [_jpeg_arith_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['jpeg_md5']}'" for r in rows)
-        + " END"
-    )
-    saved_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(
-            f"WHEN {r['variant']} THEN CAST({r['saved_bytes']} AS BIGINT)"
-            for r in rows
-        )
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v, CASE WHEN v % 8 < 4 THEN 1 ELSE 3 END AS channels FROM var
-),
-cells AS (
-  SELECT m.v,
-         CAST(SUM(m.channels * 64 * (2 * ((g.b * (m.v + 3)) % 109) + 16))
-              AS BIGINT) AS px_sum
-  FROM meta m, (SELECT UNNEST(range(0, 64)) AS b) g
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS jpeg_md5,
-       c.px_sum,
-       CAST({_JPEG_W} AS BIGINT) AS width,
-       CAST({_JPEG_H} AS BIGINT) AS height,
-       CAST(m.channels AS BIGINT) AS channels,
-       {saved_case} AS saved_bytes
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_jpeg_arithmetic", _jpeg_arith_oracle)
-def multimodal_jpeg_arithmetic_q(spark, sf_dir):
-    """REAL-bytes ARITHMETIC-coded JPEG round trip
-    (operators/jpeg_arith.py — T.81 Annex D QM-coder + Annex F
-    sequential statistical models, SOF9; the codec family's last named
-    entropy-coder stub, closed in r10): per variant a DC-exact raster
-    is encoded with the adaptive binary arithmetic coder, decoded back
-    through the full QM-decode -> dequant -> IDCT chain, verified
-    bit-exact AND equal to its Huffman twin's decode, with the
-    arithmetic stream strictly smaller (saved_bytes pins both sizes).
-    Conformance is independently proven by the container's real
-    libjpeg decoding this encoder's files to the exact pixels of the
-    Huffman twins (test_jpeg_arith.py).  Broadcast per-variant probe;
-    at 100 TB the decode rides the binary-column scan."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        jpeg_arith_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = jpeg_arith_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "jpeg_md5",
-        "px_sum",
-        "width",
-        "height",
-        "channels",
-        "saved_bytes",
-    )
-
-
-def _jpeg_arith_prog_oracle() -> str:
-    """Oracle for multimodal_jpeg_arith_progressive (the
-    _jpeg_arith_oracle pattern): md5 / n_scans / size delta pinned
-    from a single-process run, px_sum recomputed ARITHMETICALLY from
-    the uniform-block formula (DC-exact construction -> decode ==
-    source).  Annex G conformance is separately pinned by the REAL
-    libjpeg decoding this encoder's SOF10 files to the sequential
-    twins' exact pixels (test_jpeg_arith.py)."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _JPEG_H,
-        _JPEG_W,
-        _jpeg_arith_prog_variant,
-    )
-
-    rows = [_jpeg_arith_prog_variant(v) for v in range(8)]
-
-    def case(field, cast=""):
-        return (
-            "CASE d.doc_id % 8 "
-            + " ".join(
-                f"WHEN {r['variant']} THEN "
-                + (
-                    f"'{r[field]}'"
-                    if not cast
-                    else f"CAST({r[field]} AS {cast})"
-                )
-                for r in rows
-            )
-            + " END"
-        )
-
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v, CASE WHEN v % 8 < 4 THEN 1 ELSE 3 END AS channels FROM var
-),
-cells AS (
-  SELECT m.v,
-         CAST(SUM(m.channels * 64 * (2 * ((g.b * (m.v + 3)) % 109) + 16))
-              AS BIGINT) AS px_sum
-  FROM meta m, (SELECT UNNEST(range(0, 64)) AS b) g
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {case('jpeg_md5')} AS jpeg_md5,
-       c.px_sum,
-       CAST({_JPEG_W} AS BIGINT) AS width,
-       CAST({_JPEG_H} AS BIGINT) AS height,
-       CAST(m.channels AS BIGINT) AS channels,
-       {case('n_scans', 'BIGINT')} AS n_scans,
-       {case('delta_vs_seq', 'BIGINT')} AS delta_vs_seq
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_jpeg_arith_progressive", _jpeg_arith_prog_oracle)
-def multimodal_jpeg_arith_progressive_q(spark, sf_dir):
-    """REAL-bytes PROGRESSIVE arithmetic JPEG round trip
-    (operators/jpeg_arith.py::encode_jpeg_arith_progressive — T.81
-    Annex G successive-approximation + spectral-selection scans over
-    the Annex D QM-coder, SOF10; the last cell of the T.81 encode
-    matrix, VERDICT r10 task 7): per variant the DC-exact raster goes
-    through the full scan script (DC first at Al=1, split AC first
-    scans, two AC refinement passes, DC refinement — 6 scans gray, 14
-    color), decodes bit-exact, and must equal the SOF9 sequential
-    twin's decode (same coefficients, different scan decomposition).
-    Conformance independently proven by the container's real libjpeg
-    decoding these SOF10 files (test_jpeg_arith.py).  Broadcast
-    per-variant probe; scan-script metadata (n_scans, size delta vs
-    sequential) rides the driver hash."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        jpeg_arith_prog_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = jpeg_arith_prog_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "jpeg_md5",
-        "px_sum",
-        "width",
-        "height",
-        "channels",
-        "n_scans",
-        "delta_vs_seq",
-    )
-
-
-@query("multimodal_jpeg_features", _jpeg_probe_oracle)
-def multimodal_jpeg_features_q(spark, sf_dir):
-    """REAL-bytes JPEG decode (operators/jpeg_codec.py +
-    operators/multimodal.py::jpeg_probe_table): per variant a
-    DC-exact formula image is encoded as an actual baseline JFIF JPEG
-    (DCT -> Annex K quantization -> Huffman entropy coding), decoded
-    back through the full marker-parse -> Huffman -> dequant -> IDCT
-    path, round-trip-verified executor-side; the query emits the blob
-    md5 plus decoded-pixel statistics for every document.  The JPEG
-    twin of multimodal_png_features — the modality web-scale image
-    corpora actually arrive in.  Broadcast per-variant probe: codec
-    cost is per-variant, not per-row."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        jpeg_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = jpeg_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "jpeg_md5",
-        "px_sum",
-        "width",
-        "height",
-        "channels",
-        "restart",
-    )
-
-
-def _jpeg_subsampled_oracle() -> str:
-    """Oracle for multimodal_jpeg_subsampled (the _jpeg_probe_oracle
-    pattern): md5 literals pin the exact 4:2:0/4:2:2 byte streams from
-    a single local run; px_sum is recomputed ARITHMETICALLY from the
-    uniform-block formula — valid because constant-128 chroma survives
-    box-filter downsampling, zero-coefficient quantization, and
-    replication upsampling exactly (see _jpeg_subsampled_variant)."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _JPEG_H,
-        _JPEG_W,
-        _jpeg_subsampled_variant,
-    )
-
-    rows = [_jpeg_subsampled_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['jpeg_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v, CASE WHEN v % 8 < 4 THEN '420' ELSE '422' END AS subsampling,
-         CASE WHEN v % 4 >= 2 THEN 2 ELSE 0 END AS restart
-  FROM var
-),
-cells AS (
-  SELECT m.v,
-         CAST(SUM(3 * 64 * (2 * ((g.b * (m.v + 1)) % 113) + 14))
-              AS BIGINT) AS px_sum
-  FROM meta m, (SELECT UNNEST(range(0, 64)) AS b) g
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS jpeg_md5,
-       c.px_sum,
-       CAST({_JPEG_W} AS BIGINT) AS width,
-       CAST({_JPEG_H} AS BIGINT) AS height,
-       CAST(3 AS BIGINT) AS channels,
-       CAST(m.restart AS BIGINT) AS restart,
-       m.subsampling
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_jpeg_subsampled", _jpeg_subsampled_oracle)
-def multimodal_jpeg_subsampled_q(spark, sf_dir):
-    """REAL-bytes CHROMA-SUBSAMPLED JPEG decode (operators/
-    jpeg_codec.py + operators/multimodal.py::
-    jpeg_subsampled_probe_table): per variant a DC-exact color image
-    is encoded as an actual 4:2:0 or 4:2:2 baseline JFIF JPEG — the
-    T.81 A.2.3 MCU interleave with 4 (or 2) luma blocks plus one
-    Cb/Cr pair per MCU, box-filtered chroma, optionally DRI/RSTn
-    restarts across the bigger MCUs — and decoded back through the
-    sampling-factor-aware scan walk + replication upsampling.  This is
-    the layout virtually every web JPEG ships, closing the biggest
-    real-world gap the round-6 verdict named.  Broadcast per-variant
-    probe — codec cost per-variant, not per-row."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        jpeg_subsampled_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = jpeg_subsampled_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "jpeg_md5",
-        "px_sum",
-        "width",
-        "height",
-        "channels",
-        "restart",
-        "subsampling",
-    )
-
-
-def _jpeg_progressive_oracle() -> str:
-    """Oracle for multimodal_jpeg_progressive (the _jpeg_probe_oracle
-    pattern): md5 literals pin the exact SOF2 byte streams from a
-    single local run; px_sum is recomputed ARITHMETICALLY from the
-    uniform-block formula — valid because DC-only images survive every
-    progressive scan path (spectral selection, successive
-    approximation, EOB runs, restarts) bit-exactly."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _JPEG_H,
-        _JPEG_W,
-        _jpeg_progressive_variant,
-    )
-
-    rows = [_jpeg_progressive_variant(v) for v in range(8)]
-
-    def case(field, quote=False):
-        fmt = (lambda x: f"'{x}'") if quote else (lambda x: x)
-        return (
-            "CASE d.doc_id % 8 "
-            + " ".join(
-                f"WHEN {r['variant']} THEN {fmt(r[field])}" for r in rows
-            )
-            + " END"
-        )
-
-    return f"""
-WITH cells AS (
-  SELECT v.v,
-         CAST(SUM((CASE WHEN v.v < 2 THEN 1 ELSE 3 END)
-              * 64 * (2 * ((g.b * (v.v + 1)) % 113) + 14))
-              AS BIGINT) AS px_sum
-  FROM (SELECT DISTINCT doc_id % 8 AS v FROM documents) v,
-       (SELECT UNNEST(range(0, 64)) AS b) g
-  GROUP BY v.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {case('jpeg_md5', quote=True)} AS jpeg_md5,
-       c.px_sum,
-       CAST({_JPEG_W} AS BIGINT) AS width,
-       CAST({_JPEG_H} AS BIGINT) AS height,
-       CAST(CASE WHEN d.doc_id % 8 < 2 THEN 1 ELSE 3 END AS BIGINT)
-         AS channels,
-       CAST({case('n_scans')} AS BIGINT) AS n_scans,
-       {case('subsampling', quote=True)} AS subsampling,
-       CAST({case('successive')} AS BOOLEAN) AS successive
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_jpeg_progressive", _jpeg_progressive_oracle)
-def multimodal_jpeg_progressive_q(spark, sf_dir):
-    """REAL-bytes PROGRESSIVE JPEG decode (operators/jpeg_codec.py
-    Annex G decoder + operators/multimodal.py::
-    jpeg_progressive_probe_table): per variant a DC-exact image is
-    encoded as an actual SOF2 progressive JPEG — spectral-selection
-    bands, successive-approximation DC/AC first + refinement scans,
-    cross-block EOB runs, optionally DRI/RSTn restarts inside
-    progressive scans, over grayscale and 4:4:4/4:2:0/4:2:2 color —
-    and decoded back through the multi-scan coefficient-accumulation
-    walk.  Progressive was the last dominant real-web-JPEG form that
-    raised NotImplementedError (r7 verdict, missing #2).  Broadcast
-    per-variant probe — codec cost per-variant, not per-row."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        jpeg_progressive_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = jpeg_progressive_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "jpeg_md5",
-        "px_sum",
-        "width",
-        "height",
-        "channels",
-        "n_scans",
-        "subsampling",
-        "successive",
-    )
-
-
-def _wav_probe_oracle() -> str:
-    """Oracle for multimodal_wav_features (the _png/_cog pattern):
-    blob md5s pinned from a single-process reference run; sample_sum
-    recomputed ARITHMETICALLY in SQL from the waveform formula
-    (8-bit: (k*(v+1)) % 251; else ((k*(v+1)) % 20011) - 10005)."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _WAV_BITS,
-        _WAV_FRAMES,
-        _wav_variant,
-    )
-
-    rows = [_wav_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['wav_md5']}'" for r in rows)
-        + " END"
-    )
-    bits_case = (
-        "CASE v "
-        + " ".join(f"WHEN {i} THEN {b}" for i, b in enumerate(_WAV_BITS))
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v, v % 2 + 1 AS channels, {bits_case} AS bits,
-         8000 + v * 1000 AS sample_rate
-  FROM var
-),
-cells AS (
-  SELECT m.v,
-         CAST(SUM(CASE WHEN m.bits = 8 THEN (g.k * (m.v + 1)) % 251
-                       ELSE ((g.k * (m.v + 1)) % 20011) - 10005 END)
-              AS BIGINT) AS sample_sum
-  FROM meta m,
-       (SELECT UNNEST(range(0, {_WAV_FRAMES} * 2)) AS k) g
-  WHERE g.k < {_WAV_FRAMES} * m.channels
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS wav_md5,
-       c.sample_sum,
-       CAST({_WAV_FRAMES} AS BIGINT) AS n_frames,
-       CAST(m.channels AS BIGINT) AS channels,
-       CAST(m.sample_rate AS BIGINT) AS sample_rate,
-       CAST(m.bits AS BIGINT) AS bits
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_wav_features", _wav_probe_oracle)
-def multimodal_wav_features_q(spark, sf_dir):
-    """REAL-bytes audio decode (operators/wav_codec.py +
-    operators/multimodal.py::wav_probe_table): per variant a formula
-    waveform is encoded as an actual RIFF/WAVE blob (PCM 8/16/32-bit,
-    mono + stereo interleave), decoded back by the pure-numpy codec,
-    round-trip-verified executor-side; the query emits the blob md5
-    plus decoded-sample statistics for every document.  The audio twin
-    of multimodal_png_features — broadcast per-variant probe, codec
-    cost per-variant not per-row."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        wav_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = wav_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "wav_md5",
-        "sample_sum",
-        "n_frames",
-        "channels",
-        "sample_rate",
-        "bits",
-    )
-
-
-def _png_resize_oracle() -> str:
-    """Oracle for multimodal_png_resize: resized-blob md5s pinned from
-    a single-process run; the resized pixel sum is recomputed in SQL as
-    SUM(block_sum DIV 16) over the SOURCE grid formula — the 4x4 box
-    mean is floor(block_sum/16), so decode+transform+encode is checked
-    against arithmetic ground truth."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _PROBE_CHANNELS,
-        _PROBE_H,
-        _PROBE_W,
-        _png_resize_variant,
-    )
-
-    rows = [_png_resize_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['resized_md5']}'" for r in rows)
-        + " END"
-    )
-    ch_case = (
-        "CASE v "
-        + " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(_PROBE_CHANNELS))
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v, {ch_case} AS channels,
-         CASE WHEN v >= 6 THEN 16 ELSE 8 END AS bit_depth,
-         CASE WHEN v >= 6 THEN 60013 ELSE 251 END AS mod
-  FROM var
-),
-blocks AS (
-  SELECT m.v,
-         (g.k // ({_PROBE_W} * m.channels)) // 4 AS by,
-         ((g.k % ({_PROBE_W} * m.channels)) // m.channels) // 4 AS bx,
-         g.k % m.channels AS c,
-         SUM((g.k * (m.v + 1)) % m.mod) AS bsum
-  FROM meta m,
-       (SELECT UNNEST(range(0, {_PROBE_H} * {_PROBE_W} * 4)) AS k) g
-  WHERE g.k < {_PROBE_H} * {_PROBE_W} * m.channels
-  GROUP BY 1, 2, 3, 4
-),
-cells AS (
-  SELECT v, CAST(SUM(bsum // 16) AS BIGINT) AS rx_sum FROM blocks GROUP BY v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS resized_md5,
-       c.rx_sum,
-       CAST({_PROBE_W // 4} AS BIGINT) AS width,
-       CAST({_PROBE_H // 4} AS BIGINT) AS height,
-       CAST(m.channels AS BIGINT) AS channels,
-       CAST(m.bit_depth AS BIGINT) AS bit_depth
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_png_resize", _png_resize_oracle)
-def multimodal_png_resize_q(spark, sf_dir):
-    """REAL image TRANSFORM stage (operators/multimodal.py::
-    resize_images / downscale_box): decode PNG -> exact 4x4 box
-    downscale (integer means, bit-reproducible) -> re-encode PNG —
-    the multimodal analog of the cogify overview resample.  The
-    driver's value hash covers the resized byte stream md5 AND the
-    transform arithmetic (the oracle recomputes resized pixel sums
-    from the source grid formula as SUM(block_sum DIV 16))."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        png_resize_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = png_resize_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id", "variant", "resized_md5", "rx_sum",
-        "width", "height", "channels", "bit_depth",
-    )
-
-
-def _wav_downsample_oracle() -> str:
-    """Oracle for multimodal_wav_downsample: downsampled-blob md5s
-    pinned locally; decimated sample sum recomputed in SQL by keeping
-    frames where frame % 4 = 0 in the waveform formula."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _WAV_BITS,
-        _WAV_FRAMES,
-        _wav_downsample_variant,
-    )
-
-    rows = [_wav_downsample_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['down_md5']}'" for r in rows)
-        + " END"
-    )
-    bits_case = (
-        "CASE v "
-        + " ".join(f"WHEN {i} THEN {b}" for i, b in enumerate(_WAV_BITS))
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v, v % 2 + 1 AS channels, {bits_case} AS bits,
-         (8000 + v * 1000) // 4 AS sample_rate
-  FROM var
-),
-cells AS (
-  SELECT m.v,
-         CAST(SUM(CASE WHEN m.bits = 8 THEN (g.k * (m.v + 1)) % 251
-                       ELSE ((g.k * (m.v + 1)) % 20011) - 10005 END)
-              AS BIGINT) AS down_sum
-  FROM meta m,
-       (SELECT UNNEST(range(0, {_WAV_FRAMES} * 2)) AS k) g
-  WHERE g.k < {_WAV_FRAMES} * m.channels
-    AND (g.k // m.channels) % 4 = 0
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS down_md5,
-       c.down_sum,
-       CAST({_WAV_FRAMES // 4} AS BIGINT) AS n_frames,
-       CAST(m.channels AS BIGINT) AS channels,
-       CAST(m.sample_rate AS BIGINT) AS sample_rate,
-       CAST(m.bits AS BIGINT) AS bits
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-def _avi_probe_oracle() -> str:
-    """Oracle for multimodal_avi_frames: container md5s pinned from a
-    single-process run; sampled_px_sum recomputed ARITHMETICALLY —
-    raw variants sum the flat-index formula over sampled frames, MJPG
-    variants sum 64*3 copies of each block value (DC-exact JPEG inputs
-    decode to the source by construction, see jpeg_codec)."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _AVI_FRAMES,
-        _AVI_MJPG_HW,
-        _AVI_RAW_H,
-        _AVI_RAW_W,
-        _avi_variant,
-    )
-
-    rows = [_avi_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['avi_md5']}'" for r in rows)
-        + " END"
-    )
-    raw_n = _AVI_RAW_H * _AVI_RAW_W * 3
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-raw_sum AS (
-  SELECT v, CAST(SUM((g.k * (v + 1) + 7 * fr.f) % 256) AS BIGINT) AS s
-  FROM var,
-       (SELECT UNNEST([0, 2, 4]) AS f) fr,
-       (SELECT UNNEST(range(0, {raw_n})) AS k) g
-  WHERE v % 8 < 4
-  GROUP BY v
-),
-mjpg_sum AS (
-  SELECT v, CAST(SUM(192 * (2 * ((g.b * (v + 1) + 5 * fr.f) % 128)))
-                 AS BIGINT) AS s
-  FROM var,
-       (SELECT UNNEST([0, 2, 4]) AS f) fr,
-       (SELECT UNNEST(range(0, 4)) AS b) g
-  WHERE v % 8 >= 4
-  GROUP BY v
-),
-sums AS (SELECT * FROM raw_sum UNION ALL SELECT * FROM mjpg_sum)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS avi_md5,
-       su.s AS sampled_px_sum,
-       CAST({_AVI_FRAMES} AS BIGINT) AS n_frames,
-       CAST(3 AS BIGINT) AS n_sampled,
-       CAST(CASE WHEN d.doc_id % 8 < 4 THEN {_AVI_RAW_W}
-                 ELSE {_AVI_MJPG_HW} END AS BIGINT) AS width,
-       CAST(CASE WHEN d.doc_id % 8 < 4 THEN {_AVI_RAW_H}
-                 ELSE {_AVI_MJPG_HW} END AS BIGINT) AS height,
-       CAST(10 + d.doc_id % 8 AS BIGINT) AS fps,
-       CASE WHEN d.doc_id % 8 < 4 THEN 'raw' ELSE 'mjpg' END AS codec
-FROM documents d
-JOIN sums su ON su.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_avi_frames", _avi_probe_oracle)
-def multimodal_avi_frames_q(spark, sf_dir):
-    """REAL-bytes AVI video decode + frame sampling (operators/
-    avi_codec.py): per variant a 6-frame formula video is packed into
-    an actual RIFF/AVI container — uncompressed 24-bit DIB streams for
-    variants 0-3, Motion-JPEG (every frame a baseline JFIF payload
-    decoded by this repo's own jpeg_codec) for 4-7 — decoded back
-    through the full hdrl/strl/movi walk, round-trip verified
-    executor-side, then sampled every 2nd frame.  A real video
-    container + a real intra-frame codec with no external dependency:
-    the video modality is no longer approximated only by GIF.
-    Broadcast per-variant probe."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        avi_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = avi_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "avi_md5",
-        "sampled_px_sum",
-        "n_frames",
-        "n_sampled",
-        "width",
-        "height",
-        "fps",
-        "codec",
-    )
-
-
-def _wav_g711_oracle() -> str:
-    """Oracle for multimodal_wav_g711: blob md5s pinned from a
-    single-process run; sample_sum recomputed ARITHMETICALLY by
-    replaying the CCITT G.711 compand-quantize chain in SQL — segment
-    search (CASE over the seg_end table), mantissa truncation, and
-    reconstruction, exactly the Sun g711.c integer arithmetic the
-    codec implements (validated value-for-value over the full sample
-    range before pinning).  Non-circular: the SQL never sees the codec,
-    only the waveform formula and the published quantizer."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _WAV_FRAMES,
-        _wav_g711_variant,
-    )
-
-    rows = [_wav_g711_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['wav_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (SELECT v, (v // 2) % 2 + 1 AS channels FROM var),
-smp AS (
-  SELECT m.v, m.channels, g.k,
-         ((g.k * (m.v + 1)) % 20011) - 10005 AS x
-  FROM meta m, (SELECT UNNEST(range(0, {_WAV_FRAMES} * 2)) AS k) g
-  WHERE g.k < {_WAV_FRAMES} * m.channels
-),
-ud AS (
-  SELECT v, k, CASE WHEN x < 0 THEN -mag ELSE mag END AS dec FROM (
-    SELECT v, k, x,
-           ((val // CAST(pow(2, seg + 3) AS BIGINT)) % 16 * 8 + 132)
-           * CAST(pow(2, seg) AS BIGINT) - 132 AS mag
-    FROM (
-      SELECT v, k, x, val,
-             CASE WHEN val <= 255 THEN 0 WHEN val <= 511 THEN 1
-                  WHEN val <= 1023 THEN 2 WHEN val <= 2047 THEN 3
-                  WHEN val <= 4095 THEN 4 WHEN val <= 8191 THEN 5
-                  WHEN val <= 16383 THEN 6 ELSE 7 END AS seg
-      FROM (SELECT v, k, x,
-                   CASE WHEN x >= 0 THEN x + 132 ELSE 132 - x END AS val
-            FROM smp)))
-),
-ad AS (
-  SELECT v, k, CASE WHEN neg THEN -mag ELSE mag END AS dec FROM (
-    SELECT v, k, neg,
-           CASE WHEN seg = 0 THEN mant * 16 + 8
-                ELSE (mant * 16 + 264) * CAST(pow(2, seg - 1) AS BIGINT)
-           END AS mag
-    FROM (
-      SELECT v, k, neg, seg,
-             CASE WHEN seg < 2 THEN (val // 2) % 16
-                  ELSE (val // CAST(pow(2, seg) AS BIGINT)) % 16
-             END AS mant
-      FROM (
-        SELECT v, k, neg, val,
-               CASE WHEN val <= 31 THEN 0 WHEN val <= 63 THEN 1
-                    WHEN val <= 127 THEN 2 WHEN val <= 255 THEN 3
-                    WHEN val <= 511 THEN 4 WHEN val <= 1023 THEN 5
-                    WHEN val <= 2047 THEN 6 ELSE 7 END AS seg
-        FROM (
-          SELECT v, k, p < 0 AS neg,
-                 CASE WHEN p < 0 THEN -p - 1 ELSE p END AS val
-          FROM (SELECT v, k, CAST(floor(x / 8.0) AS BIGINT) AS p
-                FROM smp)))))
-),
-sums AS (
-  -- join on the sample index k, not the sample value x: x collisions
-  -- within a variant would silently double-count (ADVICE r8) — the
-  -- prime-modulus injectivity that made (v, x) safe is an invariant
-  -- nothing asserted, whereas (v, k) is unique by construction
-  SELECT s.v,
-         CAST(SUM(CASE WHEN s.v % 2 = 0 THEN ud.dec ELSE ad.dec END)
-              AS BIGINT) AS sample_sum
-  FROM smp s
-  JOIN ud ON ud.v = s.v AND ud.k = s.k
-  JOIN ad ON ad.v = s.v AND ad.k = s.k
-  GROUP BY s.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS wav_md5,
-       su.sample_sum,
-       CAST({_WAV_FRAMES} AS BIGINT) AS n_frames,
-       CAST(m.channels AS BIGINT) AS channels,
-       CAST(8000 AS BIGINT) AS sample_rate,
-       CASE WHEN d.doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law
-FROM documents d
-JOIN sums su ON su.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-def _wav_adpcm_oracle() -> str:
-    """Oracle for multimodal_wav_adpcm: md5 AND sample_sum pinned as
-    literals from a single-process run — ADPCM decode is a sequential
-    nonlinear state machine (predictor + step-index recursion per
-    sample), so no closed-form SQL replay exists; non-circularity
-    comes from the variant builder's executor-side audioop cross-check
-    (an independent implementation of the DVI spec decodes every block
-    bit-identically or the probe raises).  max_abs_err IS recomputable
-    structurally: it must stay below the largest step the bounded test
-    signal can reach, and the builder computes it from decoded-vs-
-    source, both sides of which the guards pin."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _ADPCM_FRAMES,
-        _wav_adpcm_variant,
-    )
-
-    rows = [_wav_adpcm_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['wav_md5']}'" for r in rows)
-        + " END"
-    )
-    sum_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(
-            f"WHEN {r['variant']} THEN CAST({r['sample_sum']} AS BIGINT)"
-            for r in rows
-        )
-        + " END"
-    )
-    err_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(
-            f"WHEN {r['variant']} THEN CAST({r['max_abs_err']} AS BIGINT)"
-            for r in rows
-        )
-        + " END"
-    )
-    return f"""
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS wav_md5,
-       {sum_case} AS sample_sum,
-       CAST({_ADPCM_FRAMES} AS BIGINT) AS n_frames,
-       CAST(8000 AS BIGINT) AS sample_rate,
-       {err_case} AS max_abs_err
-FROM documents d
-"""
-
-
-@query("multimodal_wav_adpcm", _wav_adpcm_oracle)
-def multimodal_wav_adpcm_q(spark, sf_dir):
-    """REAL-bytes IMA/DVI ADPCM WAV decode (operators/wav_codec.py::
-    format tag 0x11): per variant a bounded formula signal is
-    companded into an actual block-structured ADPCM container
-    (predictor/step-index headers, fact-chunk crop, padded tail
-    block), decoded back, and triple-guarded executor-side — every
-    block re-decoded bit-identically by stdlib audioop (independent
-    implementation), the encode->decode round trip proven a fixed
-    point, and block headers carrying source samples verbatim.  The
-    4-bit telephony/game-audio compression form; its sibling MS-ADPCM
-    (tag 2) is graded by multimodal_wav_ms_adpcm (r10).  Broadcast
-    per-variant probe."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        wav_adpcm_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = wav_adpcm_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "wav_md5",
-        "sample_sum",
-        "n_frames",
-        "sample_rate",
-        "max_abs_err",
-    )
-
-
-def _wav_ms_adpcm_oracle() -> str:
-    """Oracle for multimodal_wav_ms_adpcm: md5 / sample_sum /
-    max_abs_err pinned as literals from a single-process run — MS-ADPCM
-    decode is a sequential nonlinear state machine (coefficient
-    prediction + delta adaptation per sample), so no closed-form SQL
-    replay exists.  Non-circularity comes from the variant builder's
-    executor-side structural inversion guard (every block's DECODED
-    samples re-encode nibble-exactly under the block's own stored
-    header state) plus the hand-walked golden-block arithmetic pinned
-    in test_wav_codec.py."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _MS_ADPCM_FRAMES,
-        _wav_ms_adpcm_variant,
-    )
-
-    rows = [_wav_ms_adpcm_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['wav_md5']}'" for r in rows)
-        + " END"
-    )
-    sum_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(
-            f"WHEN {r['variant']} THEN CAST({r['sample_sum']} AS BIGINT)"
-            for r in rows
-        )
-        + " END"
-    )
-    err_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(
-            f"WHEN {r['variant']} THEN CAST({r['max_abs_err']} AS BIGINT)"
-            for r in rows
-        )
-        + " END"
-    )
-    return f"""
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS wav_md5,
-       {sum_case} AS sample_sum,
-       CAST({_MS_ADPCM_FRAMES} AS BIGINT) AS n_frames,
-       CAST(8000 AS BIGINT) AS sample_rate,
-       {err_case} AS max_abs_err
-FROM documents d
-"""
-
-
-@query("multimodal_wav_ms_adpcm", _wav_ms_adpcm_oracle)
-def multimodal_wav_ms_adpcm_q(spark, sf_dir):
-    """REAL-bytes MS-ADPCM WAV decode (operators/wav_codec.py::format
-    tag 0x02 — a named stub through r9, now the second fully-decoded
-    4-bit WAVE codec): per variant a bounded formula signal is
-    companded into an actual MS-ADPCM container (per-block
-    predictor/idelta/sample1/sample2 headers, the standard
-    7-coefficient table carried in and READ BACK from the fmt
-    extension, fact-chunk crop), decoded back through the full
-    container walk, and double-guarded executor-side — every block's
-    decoded samples re-encode NIBBLE-EXACTLY under the block's own
-    stored header state (encoder/decoder exact inverses given state),
-    and block headers carry the first two source samples verbatim.
-    Broadcast per-variant probe; at 100 TB the decode rides the
-    binary-column scan exactly like the other codec probes."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        wav_ms_adpcm_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = wav_ms_adpcm_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "wav_md5",
-        "sample_sum",
-        "n_frames",
-        "sample_rate",
-        "max_abs_err",
-    )
-
-
-@query("multimodal_wav_g711", _wav_g711_oracle)
-def multimodal_wav_g711_q(spark, sf_dir):
-    """REAL-bytes G.711 telephony-WAV decode (operators/wav_codec.py::
-    ulaw_decode/alaw_decode + format tags 7/6): per variant the int16
-    formula waveform is companded into an actual mu-law or A-law WAVE
-    container (fact chunk included), expanded back through the full
-    container walk, and verified executor-side against a direct
-    law_decode(law_encode(x)) — the dominant compressed-audio WAV form
-    in telephony corpora, previously a named error.  The oracle
-    replays the CCITT quantizer arithmetically in SQL.  Broadcast
-    per-variant probe."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        wav_g711_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = wav_g711_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "wav_md5",
-        "sample_sum",
-        "n_frames",
-        "channels",
-        "sample_rate",
-        "law",
-    )
-
-
-@query("multimodal_wav_downsample", _wav_downsample_oracle)
-def multimodal_wav_downsample_q(spark, sf_dir):
-    """REAL audio TRANSFORM stage (operators/multimodal.py::
-    decimate_frames): decode WAV -> keep every 4th frame (exact
-    indexing, no float resampling) -> re-encode at rate/4.  Blob md5
-    + decoded sample sums hash-checked against the waveform formula
-    restricted to kept frames."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        wav_downsample_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = wav_downsample_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id", "variant", "down_md5", "down_sum",
-        "n_frames", "channels", "sample_rate", "bits",
-    )
-
-
-_EMBEDDING_OUTLIERS = """
-WITH xi AS (
-  SELECT vec_id,
-         list_transform(embedding,
-                        x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS v
-  FROM embeddings
-),
-ex AS (
-  SELECT vec_id, generate_subscripts(v, 1) - 1 AS p, UNNEST(v) AS x
-  FROM xi
-),
-stats AS (
-  SELECT p, SUM(x) AS s1,
-         SUM(x::HUGEINT * x::HUGEINT) AS s2,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM ex GROUP BY p
-),
-terms AS (
-  SELECT e.vec_id,
-         CASE WHEN (s.s2::DOUBLE / s.n
-                    - (s.s1::DOUBLE / s.n) * (s.s1::DOUBLE / s.n)) > 0
-              THEN (e.x::DOUBLE - s.s1::DOUBLE / s.n)
-                   / sqrt(s.s2::DOUBLE / s.n
-                          - (s.s1::DOUBLE / s.n) * (s.s1::DOUBLE / s.n))
-              ELSE 0.0 END AS z
-  FROM ex e JOIN stats s USING (p)
-),
-per AS (
-  SELECT vec_id,
-         CAST(SUM(CAST(round(z * z * 1e9) AS BIGINT)) AS BIGINT) AS z2_9,
-         CAST(SUM(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_extreme_dims
-  FROM terms GROUP BY vec_id
-)
-SELECT vec_id, CAST(z2_9 AS DOUBLE) / 1e9 AS z2_score, n_extreme_dims
-FROM per ORDER BY z2_9 DESC, vec_id LIMIT 20
-"""
-
-
-@query("similarity_embedding_outliers", _EMBEDDING_OUTLIERS)
-def similarity_embedding_outliers_q(spark, sf_dir):
-    """Embedding-quality outlier screen (operators/similarity.py::
-    embedding_outliers, r10): top-20 vectors by per-dimension
-    standardized distance — the sanity gate before trusting an
-    embedding drop for dedup/retrieval.  Fully deterministic with NO
-    rounded float reduction anywhere: components integer-quantize
-    first, so the per-dim moment sums are exact integers on both
-    engines; the per-row score is the DSIR-style integer-scaled term
-    sum.  Two map-side-combined shuffles + a TakeOrderedAndProject."""
-    from cloud_optimized_data_pipelines_spark.operators.similarity import (
-        embedding_outliers,
-    )
-
-    t = load_tables(spark, sf_dir)
-    return embedding_outliers(t["embeddings"], "vec_id", "embedding")
-
-
-_EXTRACT_FEATURES = """
-WITH base AS (
-  SELECT CAST(doc_id AS VARCHAR) AS asset_id, text,
-         GREATEST(length(text), 1) AS total
-  FROM documents
-),
-bytes AS (
-  SELECT asset_id,
-         ascii(substr(text, UNNEST(range(1, length(text) + 1))::INT, 1)) % 16
-           AS bk
-  FROM base
-),
-cnt AS (SELECT asset_id, bk, COUNT(*) AS c FROM bytes GROUP BY asset_id, bk),
-grid AS (
-  SELECT bg.asset_id, bg.total, bg.h, COALESCE(c.c, 0) AS c
-  FROM (
-    SELECT b.asset_id, b.total, g.h
-    FROM base b CROSS JOIN (SELECT UNNEST(range(0, 16)) AS h) g
-  ) bg
-  LEFT JOIN cnt c ON c.asset_id = bg.asset_id AND c.bk = bg.h
-),
-feat AS (
-  SELECT asset_id,
-         string_agg(CAST(round(c::DOUBLE / total * 1e9) AS BIGINT),
-                    ',' ORDER BY h) AS features_csv
-  FROM grid GROUP BY asset_id
-)
-SELECT b.asset_id,
-       'text' AS modality,
-       CAST(length(b.text) AS BIGINT) AS n_bytes,
-       sha256(b.text) AS sha256,
-       f.features_csv
-FROM base b JOIN feat f USING (asset_id)
-"""
-
-
-@query("multimodal_extract_features", _EXTRACT_FEATURES)
-def multimodal_features_q(spark, sf_dir):
-    """Arrow-batched mapInPandas feature extraction over binary
-    payloads (deterministic 16-bin byte-histogram decoder — the
-    real-codec paths are graded by the per-format probes; this query
-    grades the generic extraction PLUMBING: schema, batching, sha256,
-    normalization).  Upgraded from rows-only in r10: the features
-    serialize to a fixed-precision CSV string (the scalar-output rule)
-    and the oracle recomputes the histogram arithmetically from the
-    text bytes plus DuckDB's own sha256 — full value-hash coverage for
-    what was the registry's last upgradable rows-only entry."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        extract_features,
-    )
-
-    t = load_tables(spark, sf_dir)
-    assets = t["documents"].select(
-        F.col("doc_id").cast("string").alias("asset_id"),
-        F.lit("text").alias("modality"),
-        F.col("text").cast("binary").alias("payload"),
-    )
-    return extract_features(assets).select(
-        "asset_id",
-        "modality",
-        "n_bytes",
-        "sha256",
-        F.concat_ws(
-            ",",
-            F.transform(
-                "features",
-                # integer-scaled, NOT %.9f: JVM format_string rounds
-                # half-up while DuckDB printf rounds half-even, so a
-                # dyadic tie (c/total with total=1024) diverges; the
-                # shared round() (half-away-from-zero on both engines)
-                # over the bit-identical double x*1e9 cannot (r10
-                # ADVICE, the DSIR idiom).
-                lambda x: F.round(x * F.lit(1e9), 0)
-                .cast("long")
-                .cast("string"),
-            ),
-        ).alias("features_csv"),
-    )
-
-
-_SESSIONIZE = """
-WITH e AS (
-  SELECT user_id, event_id, ts, CAST(value AS DECIMAL(18,6)) AS value,
-         epoch_us(ts) AS us
-  FROM events
-),
-b AS (
-  SELECT *, CASE WHEN us - lag(us) OVER w IS NULL
-                   OR us - lag(us) OVER w >= 3600000000::BIGINT
-            THEN 1 ELSE 0 END AS brk
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-s AS (
-  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS sess
-  FROM b
-)
-SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(CAST(SUM(value) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
-FROM s GROUP BY user_id, sess
-"""
-
-
-@query("sessionize_batch_events", _SESSIONIZE)
-def sessionize_q(spark, sf_dir):
-    """Sessionization (batch form of the applyInPandasWithState streaming
-    operator in streaming/sessionize.py): 1-hour-gap user sessions."""
-    from cloud_optimized_data_pipelines_spark.streaming.sessionize import (
-        sessionize_batch,
-    )
-
-    t = load_tables(spark, sf_dir)
-    events = t["events"].withColumn(
-        "value", F.col("value").cast("decimal(18,6)")
-    )
-    out = sessionize_batch(events, gap_seconds=3600)
-    return out.select(
-        "user_id",
-        "session_start",
-        "session_end",
-        F.col("n_events").cast("long").alias("n_events"),
-        F.col("total_value")
-        .cast("decimal(38,6)")
-        .cast("double")
-        .alias("total_value"),
-    )
-
-
-_GAP_STATS_SPARK = """
-WITH g AS (
-  SELECT user_id,
-         unix_micros(CAST(ts AS TIMESTAMP_LTZ))
-           - LAG(unix_micros(CAST(ts AS TIMESTAMP_LTZ)))
-             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
-  FROM events
-)
-SELECT user_id, COUNT(gap_us) AS n_gaps,
-       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
-       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
-       percentile(gap_us, 0.5) AS p50_gap_us
-FROM g WHERE gap_us IS NOT NULL
-GROUP BY user_id
-"""
-
-_GAP_STATS_DUCK = """
-WITH g AS (
-  SELECT user_id,
-         epoch_us(ts) - LAG(epoch_us(ts))
-             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
-  FROM events
-)
-SELECT user_id, CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
-       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
-       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
-       quantile_cont(gap_us, 0.5) AS p50_gap_us
-FROM g WHERE gap_us IS NOT NULL
-GROUP BY user_id
-"""
-
-
-@query("events_gap_stats", _GAP_STATS_DUCK)
-def events_gap_stats(spark, sf_dir):
-    """Inter-event gap distribution per user: lag over event-time order
-    + exact median — the cadence profile behind sessionization gap
-    tuning.  One shuffle (partitionBy user); with the session pinned to
-    UTC, unix_micros(NTZ→LTZ cast) == DuckDB epoch_us exactly."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_GAP_STATS_SPARK)
-
-
-_DLQ_ROUTE = """
-WITH r AS (
-  SELECT event_id, event_type,
-    (event_type <> 'error' AND substr(md5(CAST(event_id AS VARCHAR) || ':1'), 1, 1) > '3') AS s1,
-    (event_type <> 'error' AND substr(md5(CAST(event_id AS VARCHAR) || ':2'), 1, 1) > '3') AS s2,
-    (event_type <> 'error' AND substr(md5(CAST(event_id AS VARCHAR) || ':3'), 1, 1) > '3') AS s3
-  FROM events
-)
-SELECT event_id, event_type,
-       CAST(COALESCE(CASE WHEN s1 THEN 1 WHEN s2 THEN 2 WHEN s3 THEN 3 END, 3) AS BIGINT) AS attempts,
-       CASE WHEN s1 OR s2 OR s3 THEN 'delivered' ELSE 'dlq' END AS status
-FROM r
-"""
-
-
-@query("streaming_dlq_routing", _DLQ_ROUTE)
-def streaming_dlq_routing_q(spark, sf_dir):
-    """SURVEY 2.8 T3-T5 as an oracle-checkable batch query
-    (streaming/queues.py::retry_route_batch): deterministic
-    transient-failure model (md5 of id:attempt), permanent poison rows
-    (event_type='error') park in the DLQ after max_attempts receives,
-    flaky rows retry until first success.  The streaming path
-    (run_stage quarantine) shares the same attempts/DLQ semantics,
-    pytest-verified; this gives the family a driver-visible row."""
-    from cloud_optimized_data_pipelines_spark.streaming.queues import (
-        retry_route_batch,
-    )
-
-    t = load_tables(spark, sf_dir)
-    ev = t["events"].select("event_id", "event_type")
-    return retry_route_batch(
-        ev, "event_id", F.col("event_type") == "error", max_attempts=3
-    )
-
-
-# ---------------------------------------------------------------------------
-# Additional relational coverage: cube, subqueries (correlated EXISTS +
-# scalar), conditional pivot, range join, string/date scalar functions,
-# HAVING, union-distinct — rounding out SURVEY sections 2.5-2.7.
-# ---------------------------------------------------------------------------
-
-_CUBE = """
-SELECT o_orderstatus, o_orderpriority,
-       COUNT(*) AS n,
-       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
-FROM orders
-GROUP BY CUBE (o_orderstatus, o_orderpriority)
-"""
-
-
-@query("agg_cube_orders", _CUBE)
-def cube_orders(spark, sf_dir):
-    load_tables(spark, sf_dir)
-    return spark.sql(_CUBE)
-
-
-_EXISTS = """
-SELECT c_custkey, c_name
-FROM customer
-WHERE EXISTS (
-  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000
-)
-"""
-
-
-@query("subquery_exists_big_orders", _EXISTS)
-def exists_subquery(spark, sf_dir):
-    load_tables(spark, sf_dir)
-    return spark.sql(_EXISTS)
-
-
-_SCALAR_SUB = """
-SELECT p_partkey, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS p_retailprice
-FROM part
-WHERE p_retailprice > (
-  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM part
-)
-"""
-
-
-@query("subquery_scalar_above_avg", _SCALAR_SUB)
-def scalar_subquery(spark, sf_dir):
-    load_tables(spark, sf_dir)
-    return spark.sql(_SCALAR_SUB)
-
-
-_PIVOT = """
-SELECT o_orderpriority,
-       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
-       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
-       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
-FROM orders
-GROUP BY o_orderpriority
-"""
-
-
-@query("agg_conditional_pivot", _PIVOT)
-def conditional_pivot(spark, sf_dir):
-    load_tables(spark, sf_dir)
-    return spark.sql(_PIVOT)
-
-
-_RANGE_JOIN = """
-SELECT o_orderkey,
-       COUNT(*) AS n_shipped_within_30d
-FROM orders JOIN lineitem
-  ON l_orderkey = o_orderkey
- AND l_shipdate >= o_orderdate
- AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
-GROUP BY o_orderkey
-"""
-
-
-@query("join_range_ship_window", _RANGE_JOIN)
-def range_join(spark, sf_dir):
-    load_tables(spark, sf_dir)
-    return spark.sql(_RANGE_JOIN)
-
-
-_STRINGS = """
-SELECT p_partkey,
-       upper(p_name) AS upper_name,
-       substring(p_name, 1, 5) AS prefix5,
-       replace(p_type, ' ', '_') AS type_snake,
-       CAST(length(p_name) AS BIGINT) AS name_len,
-       CAST(levenshtein(p_brand, 'Brand#1') AS BIGINT) AS brand_dist,
-       CAST(position('#' IN p_brand) AS BIGINT) AS hash_pos,
-       lpad(CAST(p_size AS STRING), 4, '0') AS size_padded
-FROM part
-"""
-
-
-@query("scalar_string_functions", _STRINGS)
-def string_functions(spark, sf_dir):
-    load_tables(spark, sf_dir)
-    return spark.sql(_STRINGS)
-
-
-_DATES_FN = """
-SELECT o_orderkey,
-       CAST(year(o_orderdate) AS BIGINT) AS y,
-       CAST(month(o_orderdate) AS BIGINT) AS m,
-       CAST(day(o_orderdate) AS BIGINT) AS d,
-       date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
-       o_orderdate + INTERVAL 90 DAY AS due_date,
-       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_95
-FROM orders
-"""
-
-_DATES_FN_SPARK = """
-SELECT o_orderkey,
-       CAST(year(o_orderdate) AS BIGINT) AS y,
-       CAST(month(o_orderdate) AS BIGINT) AS m,
-       CAST(day(o_orderdate) AS BIGINT) AS d,
-       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP_NTZ) AS month_start,
-       o_orderdate + INTERVAL 90 DAY AS due_date,
-       CAST(datediff(o_orderdate, TIMESTAMP '1995-01-01 00:00:00') AS BIGINT) AS days_since_95
-FROM orders
-"""
-
-
-@query("scalar_date_functions", _DATES_FN)
-def date_functions(spark, sf_dir):
-    load_tables(spark, sf_dir)
-    return spark.sql(_DATES_FN_SPARK)
-
-
-_HAVING = """
-SELECT o_custkey, COUNT(*) AS n_orders
-FROM orders
-GROUP BY o_custkey
-HAVING COUNT(*) >= 15
-"""
-
-
-@query("agg_having_frequent_customers", _HAVING)
-def having_clause(spark, sf_dir):
-    load_tables(spark, sf_dir)
-    return spark.sql(_HAVING)
-
-
-_UNION_DISTINCT = """
-SELECT DISTINCT key FROM (
-  SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'
-  UNION
-  SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
-) t
-"""
-
-
-@query("set_union_distinct", _UNION_DISTINCT)
-def union_distinct(spark, sf_dir):
-    load_tables(spark, sf_dir)
-    return spark.sql(_UNION_DISTINCT)
-
-
-@query("agg_approx_distinct")  # no oracle: approximate by design (rows-only)
-def approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HyperLogLog++) — the sketch the engine uses
-    at 100 TB where exact COUNT(DISTINCT) would shuffle every key."""
-    t = load_tables(spark, sf_dir)
-    return t["orders"].groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.count("*").alias("n"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Remaining SURVEY section-2 line items as oracle-checked queries:
-# S3 (CMR predicate pushdown shape), C7 (URL parse), A1 (array extent),
-# J3 (granule enrichment join).
-# ---------------------------------------------------------------------------
-
-_CMR_PREDICATES = """
-WITH g AS (
-  SELECT 'G' || CAST(o_orderkey AS STRING) AS granule_id,
-         'OMDOAO3e' AS collection, '003' AS version,
-         o_orderdate AS time_start,
-         o_orderdate + INTERVAL 1 DAY AS time_end,
-         [CAST(CAST(o_orderkey % 360 AS INT) AS DOUBLE) - 180.0,
-          CAST(CAST(o_orderkey % 170 AS INT) AS DOUBLE) - 85.0,
-          CAST(CAST(o_orderkey % 360 AS INT) AS DOUBLE) - 170.0,
-          CAST(CAST(o_orderkey % 170 AS INT) AS DOUBLE) - 75.0] AS bbox
-  FROM orders
-)
-SELECT granule_id, time_start
-FROM g
-WHERE collection = 'OMDOAO3e' AND version = '003'
-  AND time_start >= TIMESTAMP '1996-01-01 00:00:00'
-  AND time_start <= TIMESTAMP '1999-01-01 00:00:00'
-  AND bbox[1] <= 90.0 AND bbox[3] >= -90.0
-  AND bbox[2] <= 45.0 AND bbox[4] >= -45.0
-"""
-
-
-@query("s3_cmr_predicates", _CMR_PREDICATES)
-def cmr_predicates_q(spark, sf_dir):
-    """S3/F4/F5: the CMR temporal + bbox + collection/version predicates
-    via the engine's query_granules operator."""
-    t = load_tables(spark, sf_dir)
-    okey = F.col("o_orderkey")
-    granules = t["orders"].select(
-        F.concat(F.lit("G"), okey.cast("string")).alias("granule_id"),
-        F.lit("OMDOAO3e").alias("collection"),
-        F.lit("003").alias("version"),
-        F.col("o_orderdate").alias("time_start"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("time_end"),
-        F.array(
-            (okey % 360).cast("int").cast("double") - 180.0,
-            (okey % 170).cast("int").cast("double") - 85.0,
-            (okey % 360).cast("int").cast("double") - 170.0,
-            (okey % 170).cast("int").cast("double") - 75.0,
-        ).alias("bbox"),
-        F.lit(None).cast(
-            "array<struct<rel:string,href:string>>"
-        ).alias("links"),
-    )
-    hits = cmr_src.query_granules(
-        granules,
-        collection="OMDOAO3e",
-        version="003",
-        temporal=("1996-01-01T00:00:00Z", "1999-01-01T00:00:00Z"),
-        bounding_box=(-90.0, -45.0, 90.0, 45.0),
-    )
-    return hits.select("granule_id", "time_start")
-
-
-_URL_PARSE = """
-SELECT p_partkey,
-       regexp_extract(url, '^[a-z0-9]+://([^/]+)', 1) AS bucket,
-       regexp_extract(url, '^[a-z0-9]+://[^/]+/(.*)$', 1) AS key,
-       regexp_extract(url, '([^/]+)$', 1) AS filename
-FROM (
-  SELECT p_partkey,
-         's3://bucket-' || CAST(CAST(p_partkey % 5 AS INT) AS STRING)
-         || '/parts/deep/p_' || CAST(p_partkey AS STRING) || '.tif' AS url
-  FROM part
-) t
-"""
-
-
-@query("c7_url_parse", _URL_PARSE)
-def url_parse_q(spark, sf_dir):
-    """C7/C8: urlparse semantics via the engine's URL scalars (the oracle
-    uses the equivalent regexes — DuckDB has no parse_url)."""
-    from cloud_optimized_data_pipelines_spark.functions.ids import path_basename
-    from cloud_optimized_data_pipelines_spark.functions.urls import url_bucket, url_key
-
-    t = load_tables(spark, sf_dir)
-    url = F.concat(
-        F.lit("s3://bucket-"),
-        (F.col("p_partkey") % 5).cast("int").cast("string"),
-        F.lit("/parts/deep/p_"),
-        F.col("p_partkey").cast("string"),
-        F.lit(".tif"),
-    )
-    return t["part"].select(
-        "p_partkey",
-        url_bucket(url).alias("bucket"),
-        url_key(url).alias("key"),
-        path_basename(url).alias("filename"),
-    )
-
-
-_ARRAY_EXTENT = """
-SELECT vec_id,
-       list_min(embedding) AS dim_min,
-       list_max(embedding) AS dim_max,
-       CAST(len(embedding) AS BIGINT) AS n_dims
-FROM embeddings
-"""
-
-
-@query("a1_array_extent", _ARRAY_EXTENT)
-def array_extent_q(spark, sf_dir):
-    """A1: min/max over array columns (the raster-extent analog,
-    cogify/handler.py:96-101) — array_min/array_max, no UDF."""
-    t = load_tables(spark, sf_dir)
-    return t["embeddings"].select(
-        "vec_id",
-        F.array_min("embedding").alias("dim_min"),
-        F.array_max("embedding").alias("dim_max"),
-        F.size("embedding").cast("long").alias("n_dims"),
-    )
-
-
-_GRANULE_ENRICH = """
-WITH ev AS (
-  SELECT 'G' || CAST(o_orderkey AS STRING) AS granule_id, o_orderkey
-  FROM orders WHERE o_orderkey % 3 = 0
-), g AS (
-  SELECT 'G' || CAST(o_orderkey AS STRING) AS granule_id,
-         o_orderdate AS time_start,
-         o_orderdate + INTERVAL 1 DAY AS time_end
-  FROM orders WHERE o_orderkey % 6 = 0
-)
-SELECT ev.o_orderkey, g.time_start AS start_datetime, g.time_end AS end_datetime
-FROM ev LEFT JOIN g ON g.granule_id = ev.granule_id
-"""
-
-
-@query("j3_granule_enrichment", _GRANULE_ENRICH)
-def granule_enrichment_q(spark, sf_dir):
-    """J3: CMR metadata enrichment as a broadcast left join filling item
-    datetimes from granule temporal ranges (only half the events have a
-    matching granule — the others stay NULL)."""
-    from cloud_optimized_data_pipelines_spark.operators.build_stac import (
-        enrich_from_granules,
-    )
-
-    t = load_tables(spark, sf_dir)
-    okey = F.col("o_orderkey")
-    events = (
-        t["orders"]
-        .filter(okey % 3 == 0)
-        .select(
-            F.concat(F.lit("G"), okey.cast("string")).alias("granule_id"),
-            "o_orderkey",
-            F.lit(None).cast("timestamp_ntz").alias("start_datetime"),
-            F.lit(None).cast("timestamp_ntz").alias("end_datetime"),
-        )
-    )
-    granules = (
-        t["orders"]
-        .filter(okey % 6 == 0)
-        .select(
-            F.concat(F.lit("G"), okey.cast("string")).alias("granule_id"),
-            F.col("o_orderdate").alias("time_start"),
-            (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("time_end"),
-        )
-    )
-    out = enrich_from_granules(events, granules)
-    return out.select("o_orderkey", "start_datetime", "end_datetime")
-
-
-_ROLLUP_MERGE = """
-SELECT
-  date_trunc('hour', ts) AS bucket,
-  event_type,
-  COUNT(*) AS n_events,
-  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value,
-  MIN(value) AS min_value,
-  MAX(value) AS max_value,
-  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
-    / COUNT(*) AS avg_value
-FROM events
-GROUP BY date_trunc('hour', ts), event_type
-"""
-
-
-@query("rollup_hourly_merge", _ROLLUP_MERGE)
-def rollup_hourly_merge_q(spark, sf_dir):
-    """Hypertable-style continuous aggregate (operators/rollup.py): a
-    materialized-history partial rollup merged with a fresh raw-tail
-    rollup.  The oracle is the DIRECT aggregation over all raw rows —
-    proving the mergeable-state path (count/decimal-sum/min/max partials,
-    avg re-derived post-merge) is exact, including the cutoff landing
-    mid-bucket so the same hour exists in both partials."""
-    from cloud_optimized_data_pipelines_spark.operators.rollup import (
-        continuous_aggregate,
-    )
-
-    t = load_tables(spark, sf_dir)
-    out = continuous_aggregate(t["events"], "2024-01-25 13:30:00")
-    return out.withColumn(
-        "total_value", F.col("total_value").cast("double")
-    )
-
-
-_KMV_UNIQUES = """
-WITH h AS (
-  SELECT DISTINCT event_type,
-         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
-  FROM events WHERE user_id IS NOT NULL
-), s AS (
-  SELECT event_type, list_sort(list(hv))[1:64] AS kmv
-  FROM h GROUP BY event_type
-), x AS (
-  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_uniques
-  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
-)
-SELECT s.event_type,
-       CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS DOUBLE)
-            ELSE 63.0 * 4294967296.0 / CAST(kmv[64] AS DOUBLE) END AS est_uniques,
-       x.exact_uniques
-FROM s JOIN x USING (event_type)
-"""
-
-
-@query("sketch_kmv_uniques", _KMV_UNIQUES)
-def sketch_kmv_uniques_q(spark, sf_dir):
-    """KMV distinct sketch (operators/sketches.py): Spark builds DAILY
-    partial sketches and merges them; the oracle builds the sketch in
-    ONE pass.  They hash-match because k-smallest-of-distinct-union is
-    exactly mergeable — the cross-engine proof that the rollup path
-    loses nothing.  exact_uniques rides along for scale context."""
-    from cloud_optimized_data_pipelines_spark.operators import sketches as SK
-
-    t = load_tables(spark, sf_dir)
-    ev = t["events"].filter(F.col("user_id").isNotNull())
-    daily = SK.kmv_partial(
-        ev.withColumn("day", F.to_date("ts")),
-        "user_id",
-        dims=("event_type", "day"),
-        k=64,
-    )
-    merged = SK.kmv_merge(daily, dims=("event_type",), k=64)
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").cast("long").alias("exact_uniques")
-    )
-    return merged.select(
-        "event_type", SK.kmv_estimate("kmv", k=64).alias("est_uniques")
-    ).join(F.broadcast(exact), "event_type")
-
-
-_CMS_HEAVY = """
-WITH ints AS (SELECT unnest(range(4)) AS i),
-cells AS (
-  SELECT i,
-         ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 512 AS bucket,
-         COUNT(*) AS c
-  FROM events, ints
-  WHERE user_id IS NOT NULL
-  GROUP BY 1, 2
-), top AS (
-  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
-  FROM events WHERE user_id IS NOT NULL
-  GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 20
-), probes AS (
-  SELECT t.user_id, t.exact_n, ints.i,
-         ('0x' || substr(md5(CAST(ints.i AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)), 1, 8))::BIGINT % 512 AS bucket
-  FROM top t, ints
-)
-SELECT p.user_id, p.exact_n, CAST(MIN(s.c) AS BIGINT) AS cms_estimate
-FROM probes p JOIN cells s ON s.i = p.i AND s.bucket = p.bucket
-GROUP BY p.user_id, p.exact_n
-"""
-
-
-@query("sketch_cms_heavy_hitters", _CMS_HEAVY)
-def sketch_cms_heavy_q(spark, sf_dir):
-    """Count-min sketch built AS a DataFrame (4×512 counter grid,
-    portable md5 hash family) probed for the top-20 users.  Estimates —
-    not just bounds — hash-match the oracle because both engines build
-    the identical sketch.  cms_estimate ≥ exact_n always (collisions
-    only ever add)."""
-    from cloud_optimized_data_pipelines_spark.operators import sketches as SK
-
-    t = load_tables(spark, sf_dir)
-    ev = t["events"].filter(F.col("user_id").isNotNull())
-    sketch = SK.cms_build(ev, "user_id", depth=4, width=512)
-    top = (
-        ev.groupBy("user_id")
-        .agg(F.count("*").cast("long").alias("exact_n"))
-        .orderBy(F.desc("exact_n"), "user_id")
-        .limit(20)
-    )
-    return SK.cms_probe(sketch, top, "user_id", depth=4, width=512)
-
-
-_HLL_PORTABLE = """
-WITH ev AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS k
-  FROM events WHERE user_id IS NOT NULL
-),
-h AS (
-  SELECT event_type, day,
-         ('0x' || substr(md5(k), 1, 3))::BIGINT AS bucket,
-         ('0x' || substr(md5(k), 4, 13))::BIGINT AS w
-  FROM ev
-),
-daily AS (
-  SELECT event_type, day, bucket,
-         MAX(CASE WHEN w = 0 THEN 53
-                  ELSE 53 - length(bin(w)) END) AS register
-  FROM h GROUP BY event_type, day, bucket
-),
-merged AS (
-  SELECT event_type, bucket, MAX(register) AS register
-  FROM daily GROUP BY event_type, bucket
-),
-agg AS (
-  SELECT event_type,
-         CAST(COUNT(*) AS BIGINT) AS present,
-         list_reduce(
-           list_prepend(0.0,
-             list_transform(
-               list_sort(list(struct_pack(b := bucket, r := register))),
-               s -> 1.0 / power(2.0, s.r::DOUBLE))),
-           (a, b) -> a + b) AS s_present
-  FROM merged GROUP BY event_type
-),
-est AS (
-  SELECT event_type, present,
-         (4096.0 - present) + s_present AS s,
-         CAST(4096 - present AS BIGINT) AS zeros
-  FROM agg
-),
-ex AS (
-  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
-  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
-)
-SELECT e.event_type,
-       round(CASE WHEN 12098218.894406674 / e.s <= 10240.0 AND e.zeros > 0
-                  THEN 4096.0 * ln(4096.0 / e.zeros::DOUBLE)
-                  ELSE 12098218.894406674 / e.s END, 6) AS distinct_est,
-       e.present AS buckets_used,
-       e.zeros AS empty_buckets,
-       x.n_exact
-FROM est e JOIN ex x USING (event_type)
-"""
-
-
-@query("sketch_hll_portable", _HLL_PORTABLE)
-def sketch_hll_portable_q(spark, sf_dir):
-    """PORTABLE own-implementation HyperLogLog (operators/sketches.py::
-    portable_hll_registers/portable_hll_estimate, r10): per-day
-    register partials MERGED across days by GROUP BY + MAX — the
-    sketch's defining mergeability, the production distinct-count
-    rollup shape — with every step (md5 bucketing, 52-bit rank,
-    power-of-two fold in bucket order, linear-counting correction)
-    exactly replayed by the DuckDB oracle.  The DataSketches twin
-    (sketch_hll_daily_uniques) keeps the opaque-binary production
-    path; THIS query puts the HLL math itself under the value hash,
-    with the exact distinct count joined alongside as the
-    self-audit."""
-    from cloud_optimized_data_pipelines_spark.operators import sketches as SK
-
-    t = load_tables(spark, sf_dir)
-    ev = t["events"].filter(F.col("user_id").isNotNull())
-    daily = SK.portable_hll_registers(
-        ev.withColumn("day", F.to_date("ts")),
-        "user_id",
-        dims=("event_type", "day"),
-    )
-    merged = daily.groupBy("event_type", "bucket").agg(
-        F.max("register").alias("register")
-    )
-    est = SK.portable_hll_estimate(merged, dims=("event_type",))
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").cast("long").alias("n_exact")
-    )
-    return est.join(exact, "event_type").select(
-        "event_type",
-        "distinct_est",
-        "buckets_used",
-        "empty_buckets",
-        "n_exact",
-    )
-
-
-@query("sketch_hll_daily_uniques")
-def sketch_hll_daily_q(spark, sf_dir):
-    """Production-path distinct rollup: per-day DataSketches HLL
-    partials (hll_sketch_agg) unioned per event_type
-    (hll_union_agg).  Opaque binary state → no SQL oracle (rows-only);
-    accuracy vs exact is pytest-gated in test_sketches.py."""
-    from cloud_optimized_data_pipelines_spark.operators import sketches as SK
-
-    t = load_tables(spark, sf_dir)
-    ev = t["events"].filter(F.col("user_id").isNotNull())
-    daily = SK.hll_partial(
-        ev.withColumn("day", F.to_date("ts")), "user_id", dims=("event_type", "day")
-    )
-    return SK.hll_merge_estimate(daily, dims=("event_type",))
-
-
-_STRATIFIED = """
-SELECT doc_id, lang, source
-FROM documents
-WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 <
-      CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 8000 ELSE 10000 END
-"""
-
-
-@query("sample_stratified_docs", _STRATIFIED)
-def sample_stratified_docs_q(spark, sf_dir):
-    """Training-mix rebalancing (operators/sampling.py): deterministic
-    per-language downsampling — 30% of the English majority, 80% of zh,
-    everything else kept.  Threshold-on-md5 construction: reproducible
-    across engines AND nested (raising a rate only ever adds rows)."""
-    from cloud_optimized_data_pipelines_spark.operators.sampling import (
-        sample_stratified,
-    )
-
-    t = load_tables(spark, sf_dir)
-    return sample_stratified(
-        t["documents"], "doc_id", "lang", {"en": 0.3, "zh": 0.8}
-    ).select("doc_id", "lang", "source")
-
-
-_CHUNKS = """
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
-  FROM documents
-), st AS (
-  SELECT doc_id, t,
-         UNNEST(range(0,
-                      GREATEST(CAST(ceil((len(t) - 64) / 48.0) AS BIGINT), 0) * 48 + 1,
-                      48)) AS start
-  FROM toks
-)
-SELECT doc_id,
-       CAST(start // 48 AS BIGINT) AS chunk_idx,
-       array_to_string(t[start + 1 : start + 64], ' ') AS chunk_text,
-       CAST(LEAST(64, len(t) - start) AS BIGINT) AS n_tokens
-FROM st
-"""
-
-
-@query("text_chunk_sliding", _CHUNKS)
-def text_chunk_sliding_q(spark, sf_dir):
-    """Sliding-window chunking (operators/packing.py): 64-token windows,
-    stride 48 (16 overlap), as pure tokenize-once + explode-starts +
-    slice — map-side only, no shuffle, no Python."""
-    from cloud_optimized_data_pipelines_spark.operators.packing import (
-        chunk_documents,
-    )
-
-    t = load_tables(spark, sf_dir)
-    return chunk_documents(t["documents"], size=64, overlap=16)
-
-
-_PACKS = """
-WITH d AS (
-  SELECT doc_id,
-         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard
-  FROM documents
-), c AS (
-  SELECT doc_id, n_tokens, shard,
-         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum
-  FROM d
-)
-SELECT doc_id, n_tokens, shard,
-       CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
-       CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
-FROM c
-"""
-
-
-@query("text_pack_sequences", _PACKS)
-def text_pack_sequences_q(spark, sf_dir):
-    """Sequence packing (operators/packing.py): concat-and-split into
-    512-token budgets across 16 hash-sharded streams.  The global
-    cumsum (single-partition window, the scale trap) is replaced by
-    per-shard windows — bounded partitions, same training semantics."""
-    from cloud_optimized_data_pipelines_spark.operators.packing import (
-        pack_documents,
-    )
-
-    t = load_tables(spark, sf_dir)
-    return pack_documents(t["documents"], budget=512, n_shards=16)
-
-
-@query("agg_approx_percentile")
-def agg_approx_percentile_q(spark, sf_dir):
-    """Mergeable approximate percentiles (percentile_approx /
-    Greenwald-Khanna): the fixed-accuracy counterpart to the exact
-    `agg_percentiles` entry — GK summaries merge across partitions, so
-    this is the 100 TB path where an exact global sort-percentile is a
-    full shuffle.  Spark's GK and DuckDB's t-digest disagree in the
-    last digits by design → rows-only here; accuracy vs exact is
-    pytest-gated (test_sketches.py, ±1% of the value range)."""
-    t = load_tables(spark, sf_dir)
-    return t["lineitem"].groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
-        F.count("*").alias("n"),
-    )
-
-
-_BPE_PAIRS = """
-WITH words AS (
-  SELECT UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
-  FROM documents
-), pairs AS (
-  SELECT substr(w, CAST(i AS INT), 2) AS pair
-  FROM words, LATERAL (SELECT UNNEST(range(1, len(w))) AS i) t
-  WHERE len(w) >= 2
-)
-SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
-FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 30
-"""
-
-
-@query("text_bpe_pair_counts", _BPE_PAIRS)
-def text_bpe_pair_counts_q(spark, sf_dir):
-    """The statistics step of BPE tokenizer training: corpus-wide
-    counts of adjacent symbol pairs inside words (the pair with the
-    max count becomes the next merge rule).  Pure columns: tokenize →
-    explode words → explode substring pairs → one hash agg + top-k.
-    A full training loop is this aggregation per merge iteration, with
-    the chosen merge applied via regexp_replace — each iteration one
-    scan + one shuffle of pair-sized rows, nothing driver-side except
-    the argmax."""
-    t = load_tables(spark, sf_dir)
-    words = (
-        t["documents"]
-        .select(F.explode(T.tokens(F.col("text"))).alias("w"))
-        .filter(F.length("w") >= 2)
-    )
-    pairs = words.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("w") - 1),
-                lambda i: F.col("w").substr(i, F.lit(2)),
-            )
-        ).alias("pair")
-    )
-    return (
-        pairs.groupBy("pair")
-        .agg(F.count("*").cast("long").alias("n"))
-        .orderBy(F.desc("n"), "pair")
-        .limit(30)
-    )
-
-
-_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
-
-_PII_REDACT = f"""
-WITH seeded AS (
-  SELECT doc_id,
-         text
-         || CASE WHEN doc_id % 7 = 0 THEN ' contact bob@example.com' ELSE '' END
-         || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.42.7' ELSE '' END
-         || CASE WHEN doc_id % 13 = 0 THEN ' call 415-555-1234' ELSE '' END AS text
-  FROM documents
-)
-SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(text, '{_IP_RE}')) AS BIGINT) AS n_ips,
-       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
-       md5(regexp_replace(regexp_replace(regexp_replace(text,
-           '{_EMAIL_RE}', '<EMAIL>', 'g'),
-           '{_IP_RE}', '<IP>', 'g'),
-           '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
-FROM seeded
-"""
-
-
-@query("text_pii_redact", _PII_REDACT)
-def text_pii_redact_q(spark, sf_dir):
-    """Corpus PII scrubbing: email/IP/phone redaction + per-doc counts,
-    all regexp_replace/regexp_count columns (Java and RE2 agree on
-    these character-class patterns — part of the oracle contract).  The
-    synthetic corpus carries no PII, so deterministic markers are
-    planted on id-modulo rows IN BOTH ENGINES, making the counts and
-    the redacted-text md5 a real cross-engine check."""
-    t = load_tables(spark, sf_dir)
-    did = F.col("doc_id")
-    seeded = t["documents"].select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(did % 7 == 0, F.lit(" contact bob@example.com")).otherwise(""),
-            F.when(did % 11 == 0, F.lit(" from 10.0.42.7")).otherwise(""),
-            F.when(did % 13 == 0, F.lit(" call 415-555-1234")).otherwise(""),
-        ).alias("text"),
-    )
-    txt = F.col("text")
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(txt, _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
-        ),
-        _PHONE_RE,
-        "<PHONE>",
-    )
-    return seeded.select(
-        "doc_id",
-        F.regexp_count(txt, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(txt, F.lit(_IP_RE)).cast("long").alias("n_ips"),
-        F.regexp_count(txt, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
-        F.md5(redacted).alias("redacted_md5"),
-    )
-
-
-_INCR_DEDUP = """
-WITH corpus AS (
-  SELECT md5(text) AS d FROM documents WHERE doc_id % 4 <> 0 GROUP BY 1
-), batch AS (
-  SELECT doc_id, lang, md5(text) AS d FROM documents WHERE doc_id % 4 = 0
-  UNION ALL
-  SELECT doc_id + 100000, lang, md5(text) FROM documents WHERE doc_id % 8 = 1
-  UNION ALL
-  SELECT doc_id + 200000, lang, md5(text) FROM documents WHERE doc_id % 16 = 4
-), fresh AS (
-  SELECT b.doc_id, b.lang, b.d FROM batch b
-  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.d = b.d)
-)
-SELECT doc_id, lang FROM (
-  SELECT doc_id, lang,
-         ROW_NUMBER() OVER (PARTITION BY d ORDER BY doc_id) AS rn
-  FROM fresh
-) t WHERE rn = 1
-"""
-
-
-@query("dedup_incremental", _INCR_DEDUP)
-def dedup_incremental_q(spark, sf_dir):
-    """Continual-ingest dedup (operators/dedup.py::incremental_dedup):
-    a new batch is anti-joined against the distinct digest set of the
-    historical corpus, then first-per-digest within the batch.  History
-    is never re-deduped; only digests shuffle.
-
-    The fixture is scale-proportional (modular split, nonzero at every
-    sf) and exercises all three paths: re-ingested history dups
-    (doc_id%8==1, shifted ids — dropped by the anti-join), in-batch
-    dups (doc_id%16==4 shifted — dropped by first-per-digest), and
-    genuinely new docs (doc_id%4==0 — survive)."""
-    from cloud_optimized_data_pipelines_spark.operators.dedup import (
-        incremental_dedup,
-    )
-
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    corpus = docs.filter(F.col("doc_id") % 4 != 0)
-    batch = (
-        docs.filter(F.col("doc_id") % 4 == 0)
-        .select("doc_id", "lang", "text")
-        .unionAll(
-            docs.filter(F.col("doc_id") % 8 == 1).select(
-                (F.col("doc_id") + 100000).alias("doc_id"), "lang", "text"
-            )
-        )
-        .unionAll(
-            docs.filter(F.col("doc_id") % 16 == 4).select(
-                (F.col("doc_id") + 200000).alias("doc_id"), "lang", "text"
-            )
-        )
-    )
-    return incremental_dedup(batch, corpus, "text", "doc_id").select(
-        "doc_id", "lang"
-    )
-
-
-def _bpe_unrolled_ctes(n_merges: int) -> str:
-    """The BPE training loop unrolled as chained DuckDB CTEs (the
-    PageRank / LSH-reachability fixpoint-oracle pattern): v0 is the
-    distinct-word vocab with character symbol lists; each iteration i
-    picks the corpus-weighted argmax adjacent pair (r{i}, ties broken
-    count desc then pair lexicographic — Spark's exact order) and
-    rewrites every word's symbols (v{i}).
-
-    The rewrite uses a delimiter encoding that makes the Spark side's
-    leftmost-first non-overlapping merge fold a plain string replace:
-    each symbol is individually wrapped in U+001F
-    ("\\x1fa\\x1f\\x1fb\\x1f..."), so replace(s, wrap(a)||wrap(b),
-    wrap(a||b)) scans left to right without occurrences sharing
-    characters — exactly the fold semantics (a merged symbol cannot
-    re-trigger its own rule in-pass since a||b != a).  U+001F never
-    occurs in the corpus (whitespace-tokenized text); v0 would simply
-    split wrong and the row-count/hash gate would catch it."""
-    d = "chr(31)"
-    dd = f"{d} || {d}"
-    ctes = [
-        """v0 AS (
-  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
-         list_transform(range(1, len(word) + 1),
-                        i -> substr(word, CAST(i AS INT), 1)) AS syms
-  FROM (
-    SELECT UNNEST(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
-                              x -> x <> '')) AS word
-    FROM documents
-  ) GROUP BY word
-)"""
-    ]
-    for it in range(1, n_merges + 1):
-        ctes.append(
-            f"""r{it} AS (
-  SELECT a, b FROM (
-    SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b, freq
-    FROM v{it - 1},
-         LATERAL (SELECT UNNEST(range(1, len(syms))) AS i) ix
-  ) p GROUP BY a, b
-  ORDER BY SUM(freq) DESC, a, b LIMIT 1
-)"""
-        )
-        s = f"{d} || array_to_string(syms, {dd}) || {d}"
-        s2 = (
-            f"replace({s}, {d} || r{it}.a || {dd} || r{it}.b || {d}, "
-            f"{d} || r{it}.a || r{it}.b || {d})"
-        )
-        ctes.append(
-            f"""v{it} AS (
-  SELECT word, freq,
-         string_split(substr(x.s, 2, len(x.s) - 2), {dd}) AS syms
-  FROM v{it - 1}, r{it}, LATERAL (SELECT {s2} AS s) x
-)"""
-        )
-    return ",\n".join(ctes)
-
-
-def _bpe_merges_sql() -> str:
-    rows = " UNION ALL ".join(
-        f"SELECT CAST({i} AS INTEGER) AS rank, a AS \"left\", b AS \"right\","
-        f" a || b AS merged FROM r{i + 1}"
-        for i in range(8)
-    )
-    return f"WITH {_bpe_unrolled_ctes(8)}\n{rows}"
-
-
-@query("text_bpe_merges", _bpe_merges_sql)
-def text_bpe_merges_q(spark, sf_dir):
-    """Full BPE tokenizer training (operators/bpe.py): 8 merge rules
-    learned over the documents corpus.  Iterative algorithm (argmax
-    collect per iteration, like IVF's Lloyd step), but DETERMINISTIC —
-    ties break count desc then pair lexicographic — so the whole loop
-    is oracle-backed by an unrolled-CTE DuckDB fixpoint
-    (_bpe_unrolled_ctes): 8 chained argmax+rewrite stages whose merge
-    rewrite replays the Spark fold as a delimiter-wrapped string
-    replace.  Exact parity with a pure-Python reference BPE is also
-    pytest-gated (test_bpe.py).  Iterations run on the distinct-WORD
-    table, not the corpus — the reason this is tractable at 100 TB."""
-    from cloud_optimized_data_pipelines_spark.operators.bpe import bpe_train
-
-    t = load_tables(spark, sf_dir)
-    rules, _vocab = bpe_train(t["documents"], n_merges=8)
-    return spark.createDataFrame(
-        [(i, a, b, a + b) for i, (a, b) in enumerate(rules)],
-        "rank int, left string, right string, merged string",
-    )
-
-
-_WINDOW_RANKS = """
-SELECT c_custkey,
-       c_mktsegment,
-       CAST(RANK() OVER w AS BIGINT) AS rnk,
-       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
-       PERCENT_RANK() OVER w AS prnk,
-       CUME_DIST() OVER w AS cdist,
-       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
-       LEAD(c_custkey, 1) OVER w AS next_custkey,
-       FIRST_VALUE(c_custkey) OVER w AS top_custkey
-FROM customer
-WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
-"""
-
-
-@query("window_rank_functions", _WINDOW_RANKS)
-def window_rank_functions_q(spark, sf_dir):
-    """The full analytic-ranking surface in one pass: rank/dense_rank/
-    percent_rank/cume_dist/ntile/lead/first_value share ONE window
-    frame, so Catalyst plans a single sort per partition — adding
-    functions to a shared frame is free at scale, re-sorting per
-    function is not."""
-    load_tables(spark, sf_dir)
-    return spark.sql(_WINDOW_RANKS)
-
-
-def _bpe_encode_stats_sql() -> str:
-    """Oracle for text_bpe_encode_stats: the 8 unrolled training CTEs
-    feed an UNROLLED ENCODER — per word, wrap the characters in the
-    U+001F delimiter encoding and replay the 8 merge replaces in rule
-    order (each rule row cross-joined in), then count symbols as
-    delimiter-chars/2 (every symbol carries exactly two wrappers)."""
-    d = "chr(31)"
-    dd = f"{d} || {d}"
-    enc = (
-        f"{d} || array_to_string(list_transform(range(1, len(w) + 1), "
-        f"i -> substr(w, CAST(i AS INT), 1)), {dd}) || {d}"
-    )
-    for i in range(1, 9):
-        enc = (
-            f"replace({enc}, {d} || r{i}.a || {dd} || r{i}.b || {d}, "
-            f"{d} || r{i}.a || r{i}.b || {d})"
-        )
-    rjoins = ", ".join(f"r{i}" for i in range(1, 9))
-    return f"""WITH {_bpe_unrolled_ctes(8)}
-SELECT doc_id,
-       CAST(len(regexp_replace(COALESCE(text, ''), '\\s+', '', 'g'))
-            AS BIGINT) AS n_chars,
-       CAST(COALESCE(list_sum(list_transform(
-         list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
-                     x -> x <> ''),
-         w -> (len({enc}) - len(replace({enc}, {d}, ''))) // 2
-       )), 0) AS BIGINT) AS n_bpe_tokens
-FROM documents, {rjoins}
-"""
-
-
-@query("text_bpe_encode_stats", _bpe_encode_stats_sql)
-def text_bpe_encode_stats_q(spark, sf_dir):
-    """Train-then-apply: learn 8 merges, re-tokenize the corpus with
-    the compiled single-expression encoder (operators/bpe.py::
-    bpe_encode — map-only, no shuffle), report per-doc compression.
-    Now oracle-backed end-to-end: the DuckDB side unrolls BOTH the
-    training fixpoint and the encoder (see _bpe_encode_stats_sql);
-    encoder parity with the trained vocab is also pytest-gated."""
-    from cloud_optimized_data_pipelines_spark.operators.bpe import (
-        bpe_encode,
-        bpe_train,
-    )
-
-    t = load_tables(spark, sf_dir)
-    rules, _ = bpe_train(t["documents"], n_merges=8)
-    enc = bpe_encode("text", rules)
-    return t["documents"].select(
-        "doc_id",
-        F.length(F.regexp_replace(F.coalesce("text", F.lit("")), r"\s+", ""))
-        .cast("long")
-        .alias("n_chars"),
-        F.size(enc).cast("long").alias("n_bpe_tokens"),
-    )
-
-
-_ROLLUP_CASCADE = """
-SELECT
-  CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
-  event_type,
-  COUNT(*) AS n_events,
-  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value,
-  MIN(value) AS min_value,
-  MAX(value) AS max_value,
-  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
-    / COUNT(*) AS avg_value
-FROM events
-GROUP BY CAST(date_trunc('day', ts) AS TIMESTAMP), event_type
-"""
-
-
-@query("rollup_cascade_daily", _ROLLUP_CASCADE)
-def rollup_cascade_daily_q(spark, sf_dir):
-    """Grain cascade (operators/rollup.py::cascade_rollup): the DAILY
-    aggregate is derived from HOURLY partials by re-truncation +
-    partial re-aggregation — the raw table is scanned once for the
-    hourly grain and never again.  Oracle = direct daily aggregation
-    over raw rows, proving the cascade is exact."""
-    from cloud_optimized_data_pipelines_spark.operators.rollup import (
-        cascade_rollup,
-        hourly_rollup,
-        merge_rollups,
-    )
-
-    t = load_tables(spark, sf_dir)
-    hourly = hourly_rollup(t["events"])
-    out = merge_rollups(cascade_rollup(hourly, "day"))
-    return out.withColumn(
-        "total_value", F.col("total_value").cast("double")
-    )
-
-
-_FUNNEL = """
-WITH stages AS (
-  SELECT user_id,
-         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
-         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
-  FROM events WHERE user_id IS NOT NULL
-  GROUP BY user_id
-)
-SELECT
-  CAST(COUNT(*) AS BIGINT) AS n_users,
-  CAST(COUNT(t_view) AS BIGINT) AS stage_view,
-  CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT) AS stage_click,
-  CAST(COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END) AS BIGINT) AS stage_purchase
-FROM stages
-"""
-
-
-@query("events_funnel_conversion", _FUNNEL)
-def events_funnel_q(spark, sf_dir):
-    """Ordered funnel (view → click → purchase): first-touch timestamps
-    per stage in ONE conditional aggregation pass, then ordering
-    predicates — no per-stage self-joins (the naive 3-way join shuffles
-    the fact three times; this shuffles user-sized rows once)."""
-    t = load_tables(spark, sf_dir)
-    ev = t["events"].filter(F.col("user_id").isNotNull())
-    first = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
-    stages = ev.groupBy("user_id").agg(
-        first("view").alias("t_view"),
-        first("click").alias("t_click"),
-        first("purchase").alias("t_purchase"),
-    )
-    ordered_click = F.col("t_click") > F.col("t_view")
-    return stages.agg(
-        F.count("*").alias("n_users"),
-        F.count("t_view").alias("stage_view"),
-        F.count(F.when(ordered_click, 1)).alias("stage_click"),
-        F.count(
-            F.when((F.col("t_purchase") > F.col("t_click")) & ordered_click, 1)
-        ).alias("stage_purchase"),
-    )
-
-
-_RETENTION = """
-WITH firsts AS (
-  SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_day
-  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
-), activity AS (
-  SELECT DISTINCT e.user_id,
-         f.cohort_day,
-         date_diff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS TIMESTAMP)) AS day_offset
-  FROM events e JOIN firsts f USING (user_id)
-  WHERE e.user_id IS NOT NULL
-)
-SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
-       CAST(COUNT(*) AS BIGINT) AS active_users
-FROM activity
-WHERE day_offset IN (0, 1, 7)
-GROUP BY cohort_day, day_offset
-"""
-
-
-@query("events_retention_cohorts", _RETENTION)
-def events_retention_q(spark, sf_dir):
-    """Cohort retention (D0/D1/D7): cohort = first active day per user
-    (one agg), activity joined back on the user key — both shuffles are
-    user-sized, the fact is scanned twice but never self-joined on
-    time.  Day arithmetic via datediff, identical in both engines."""
-    t = load_tables(spark, sf_dir)
-    ev = t["events"].filter(F.col("user_id").isNotNull())
-    firsts = ev.groupBy("user_id").agg(
-        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
-    )
-    activity = (
-        ev.join(firsts, "user_id")
-        .select(
-            "user_id",
-            "cohort_day",
-            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")).alias(
-                "day_offset"
-            ),
-        )
-        .distinct()
-    )
-    return (
-        activity.filter(F.col("day_offset").isin(0, 1, 7))
-        .groupBy("cohort_day", F.col("day_offset").cast("long").alias("day_offset"))
-        .agg(F.count("*").alias("active_users"))
-    )
-
-
-_MODERN_AGGS = """
-WITH agg AS (
-  SELECT event_type,
-         CAST(count_if(value > 100) AS BIGINT) AS n_big,
-         median(value) AS med_value
-  FROM events WHERE user_id IS NOT NULL
-  GROUP BY event_type
-), best AS (
-  SELECT event_type, user_id AS biggest_user FROM (
-    SELECT event_type, user_id,
-           ROW_NUMBER() OVER (PARTITION BY event_type
-                              ORDER BY value DESC, event_id DESC) AS rn
-    FROM events WHERE user_id IS NOT NULL
-  ) t WHERE rn = 1
-)
-SELECT agg.event_type, agg.n_big, agg.med_value, best.biggest_user
-FROM agg JOIN best USING (event_type)
-"""
-
-
-@query("agg_modern_functions", _MODERN_AGGS)
-def agg_modern_functions_q(spark, sf_dir):
-    """Modern aggregate surface: count_if, exact median (==
-    percentile_cont 0.5, bit-identical to DuckDB median on doubles),
-    and deterministic max_by via a (value, event_id) struct key —
-    struct comparison breaks value ties by the unique event id, which
-    the oracle mirrors with a ROW_NUMBER window."""
-    t = load_tables(spark, sf_dir)
-    ev = t["events"].filter(F.col("user_id").isNotNull())
-    return ev.groupBy("event_type").agg(
-        F.count_if(F.col("value") > 100).alias("n_big"),
-        F.median("value").alias("med_value"),
-        F.max_by("user_id", F.struct("value", "event_id")).alias("biggest_user"),
-    )
-
-
-_TOKEN_MIX = """
-WITH t AS (
-  SELECT doc_id, source,
-         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-         md5(CAST(doc_id AS VARCHAR)) AS rnk
-  FROM documents
-),
-c AS (
-  SELECT doc_id, source, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY source ORDER BY rnk, doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum_tokens,
-         CASE WHEN source = 'src0' THEN 1000 ELSE 500 END AS budget
-  FROM t
-)
-SELECT doc_id, source, n_tokens,
-       CAST(cum_tokens AS BIGINT) AS cum_tokens
-FROM c WHERE cum_tokens - n_tokens < budget
-"""
-
-
-@query("sample_token_budget_mix", _TOKEN_MIX)
-def sample_token_budget_mix_q(spark, sf_dir):
-    """Training-mixture construction (operators/sampling.py::
-    token_budget_mix): per-source token budgets filled greedily over
-    the deterministic md5-rank order — one window shuffle, exact
-    BIGINT cumulative sums, no RNG.  src0 gets a 1000-token budget,
-    every other source 500 (binding at sf0.01: each source holds ~1.4k
-    tokens, so roughly a third of each survives — the filter is
-    exercised, not vacuous)."""
-    from cloud_optimized_data_pipelines_spark.functions.text import token_count
-    from cloud_optimized_data_pipelines_spark.operators.sampling import (
-        token_budget_mix,
-    )
-
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"].select(
-        "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
-    )
-    out = token_budget_mix(
-        docs, "doc_id", "n_tokens", "source",
-        budgets={"src0": 1000}, default_budget=500,
-    )
-    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
-
-
-_CAP_PER_SOURCE = """
-SELECT doc_id, source, CAST(rn AS BIGINT) AS rank_in_group
-FROM (
-  SELECT doc_id, source,
-         ROW_NUMBER() OVER (
-           PARTITION BY source
-           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-  FROM documents
-) t WHERE rn <= 15
-"""
-
-
-@query("sample_cap_per_source", _CAP_PER_SOURCE)
-def sample_cap_per_source_q(spark, sf_dir):
-    """Per-domain contribution cap (operators/sampling.py::
-    cap_per_group): at most 15 docs per source, selected by the
-    deterministic md5 permutation — the C4/RefinedWeb rule that stops
-    megasites from dominating a training mix.  Runs as the two-pass
-    bucket cumsum (a cap is a unit-weight token budget), so a hot
-    domain never serializes through one window task; the oracle states
-    the same cap as the naive ROW_NUMBER form."""
-    from cloud_optimized_data_pipelines_spark.operators.sampling import (
-        cap_per_group,
-    )
-
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"].select("doc_id", "source")
-    out = cap_per_group(docs, "doc_id", "source", max_per_group=15)
-    return out.select("doc_id", "source", "rank_in_group")
-
-
-# shared CTE chain: per-doc unigram log-prob (term-level round-to-9 —
-# JVM Math.log vs libm ln differ by 1 ulp on a few percent of
-# arguments; see operators/quality.py::unigram_logprob)
-_UNIGRAM_CTES = """
-words AS (
-  SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
-  FROM documents
-),
-vocab AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
-tot AS (SELECT SUM(cnt) AS total FROM vocab),
-scored AS (
-  SELECT doc_id, word,
-         round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 9) AS logp
-  FROM words JOIN vocab USING (word) CROSS JOIN tot
-),
-per_doc AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         list_reduce(
-           list_transform(
-             list_sort(list(struct_pack(w := word, l := logp))), s -> s.l),
-           (a, b) -> a + b) AS sum_logp
-  FROM scored GROUP BY doc_id
-)
-"""
-
-_UNIGRAM_LP = f"""
-WITH {_UNIGRAM_CTES.strip()}
-SELECT doc_id, n_tokens, sum_logp / CAST(n_tokens AS DOUBLE) AS mean_logprob
-FROM per_doc
-"""
-
-
-@query("text_unigram_logprob", _UNIGRAM_LP)
-def text_unigram_logprob_q(spark, sf_dir):
-    """CCNet-style LM quality proxy (operators/quality.py::
-    unigram_logprob): mean log-prob under the corpus's own unigram
-    distribution.  Engineered float determinism: log of exact integer
-    ratios, summed by a left fold over the token-SORTED array on both
-    engines (a plain SUM() would be shuffle-order-dependent and could
-    differ in the last ulp)."""
-    from cloud_optimized_data_pipelines_spark.operators.quality import (
-        unigram_logprob,
-    )
-
-    t = load_tables(spark, sf_dir)
-    return unigram_logprob(t["documents"], "doc_id", "text")
-
-
-_BIGRAM_BACKOFF = """
-WITH toks AS (
-  SELECT doc_id, lang,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
-  FROM documents
-),
-bi AS (
-  SELECT doc_id, lang,
-         CASE WHEN len(tk) >= 2
-              THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
-              ELSE CAST([] AS VARCHAR[]) END AS bgs
-  FROM toks
-),
-train_bi AS (SELECT UNNEST(bgs) AS bg FROM bi WHERE lang = 'en'),
-bcnt AS (SELECT bg, COUNT(*) AS bcnt FROM train_bi GROUP BY bg),
-ctx AS (SELECT string_split(bg, ' ')[1] AS w1, COUNT(*) AS ccnt
-        FROM train_bi GROUP BY 1),
-train_w AS (SELECT UNNEST(tk) AS w2 FROM toks WHERE lang = 'en'),
-uni AS (SELECT w2, COUNT(*) AS ucnt FROM train_w GROUP BY w2),
-tot AS (SELECT SUM(ucnt) AS total FROM uni),
-doc_bi AS (SELECT doc_id, UNNEST(bgs) AS bg FROM bi),
-scored AS (
-  SELECT doc_id, bg,
-         CASE WHEN bcnt.bcnt IS NOT NULL
-              THEN round(ln(CAST(bcnt.bcnt AS DOUBLE) / CAST(ctx.ccnt AS DOUBLE)), 9)
-              ELSE round(ln(0.4 * (CAST(COALESCE(uni.ucnt, 1) AS DOUBLE)
-                                   / CAST(tot.total AS DOUBLE))), 9)
-         END AS logp
-  FROM doc_bi
-  LEFT JOIN bcnt USING (bg)
-  LEFT JOIN ctx ON string_split(doc_bi.bg, ' ')[1] = ctx.w1
-  LEFT JOIN uni ON string_split(doc_bi.bg, ' ')[-1] = uni.w2
-  CROSS JOIN tot
-),
-per_doc AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         list_reduce(
-           list_transform(
-             list_sort(list(struct_pack(b := bg, l := logp))), s -> s.l),
-           (a, b) -> a + b) AS sum_logp
-  FROM scored GROUP BY doc_id
-)
-SELECT d.doc_id,
-       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-       p.sum_logp / CAST(p.n_bigrams AS DOUBLE) AS mean_logprob
-FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
-"""
-
-
-@query("text_bigram_backoff", _BIGRAM_BACKOFF)
-def text_bigram_backoff_q(spark, sf_dir):
-    """Held-out bigram LM with stupid backoff (operators/quality.py::
-    bigram_logprob): the model is estimated on the English slice only,
-    so scoring the full multilingual corpus genuinely exercises all
-    three probability paths — seen bigram, unigram backoff, and the
-    unseen-word floor (a same-corpus model would never back off).
-    Same engineered float determinism as text_unigram_logprob."""
-    from cloud_optimized_data_pipelines_spark.operators.quality import (
-        bigram_logprob,
-    )
-
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    return bigram_logprob(
-        docs, "doc_id", "text", train=docs.filter(F.col("lang") == "en")
-    )
-
-
-_DSIR_WEIGHTS = """
-WITH toks AS (
-  SELECT doc_id, lang,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
-  FROM documents
-),
-featarr AS (
-  SELECT doc_id, lang,
-         list_concat(tk,
-           CASE WHEN len(tk) >= 2
-                THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
-                ELSE CAST([] AS VARCHAR[]) END) AS fs
-  FROM toks
-),
-rawg AS (SELECT doc_id, UNNEST(fs) AS g FROM featarr),
-rawf AS (SELECT doc_id,
-                (('0x' || substr(md5(g), 1, 8))::BIGINT) % 10000 AS b
-         FROM rawg),
-rawdc AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS fc
-          FROM rawf GROUP BY doc_id, b),
-tgtg AS (SELECT UNNEST(fs) AS g FROM featarr WHERE lang = 'en'),
-tgtf AS (SELECT (('0x' || substr(md5(g), 1, 8))::BIGINT) % 10000 AS b FROM tgtg),
-tcnt AS (SELECT b, COUNT(*) AS tc FROM tgtf GROUP BY b),
-rcnt AS (SELECT b, CAST(SUM(fc) AS BIGINT) AS rc FROM rawdc GROUP BY b),
-tt AS (SELECT SUM(tc) AS tn FROM tcnt),
-rt AS (SELECT SUM(rc) AS rn FROM rcnt),
-scored AS (
-  SELECT doc_id, b, fc,
-         CAST(fc AS DOUBLE)
-         * (round(ln(CAST(COALESCE(tc, 0) + 1 AS DOUBLE)
-                     / CAST(tn + 10000 AS DOUBLE)), 9)
-            - round(ln(CAST(COALESCE(rc, 0) + 1 AS DOUBLE)
-                       / CAST(rn + 10000 AS DOUBLE)), 9)) AS lr
-  FROM rawdc LEFT JOIN tcnt USING (b) LEFT JOIN rcnt USING (b)
-  CROSS JOIN tt CROSS JOIN rt
-),
-per_doc AS (
-  SELECT doc_id, CAST(SUM(fc) AS BIGINT) AS n_feats,
-         CAST(CAST(SUM(CAST(round(lr * 1e9) AS BIGINT)) AS BIGINT)
-              AS DOUBLE) / 1e9 AS log_weight
-  FROM scored GROUP BY doc_id
-)
-SELECT d.doc_id,
-       CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
-       p.log_weight
-FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
-"""
-
-
-@query("sample_dsir_weights", _DSIR_WEIGHTS)
-def sample_dsir_weights_q(spark, sf_dir):
-    """DSIR importance weights (operators/sampling.py::
-    dsir_importance, Xie et al. 2023): log-likelihood ratio of each
-    document under hashed-ngram bag models of a target slice (the
-    English documents) vs the raw corpus — the data-selection signal
-    behind importance-resampled pretraining mixes.  The two feature
-    models are bucket-bounded (10k rows) so both model joins broadcast
-    regardless of corpus size."""
-    from cloud_optimized_data_pipelines_spark.operators.sampling import (
-        dsir_importance,
-    )
-
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    # impl='numpy': Arrow gram->bucket memo (bit-exact; the fold path's
-    # per-occurrence md5 + (doc, b) groupBy shuffle dominated the
-    # bench time)
-    return dsir_importance(
-        docs, "doc_id", "text", target_filter=F.col("lang") == "en",
-        impl="numpy",
-    )
-
-
-_DSIR_SELECT = f"""
-WITH dsir AS ({_DSIR_WEIGHTS}),
-gk AS (
-  SELECT doc_id, n_feats, log_weight,
-         round(log_weight
-               - round(ln(-round(ln(
-                   (CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                          % 4294967296) AS DOUBLE) + 0.5) / 4294967296.0
-                 ), 9)), 9), 9) AS gumbel_key
-  FROM dsir WHERE n_feats > 0
-)
-SELECT doc_id, n_feats, log_weight, gumbel_key
-FROM gk ORDER BY gumbel_key DESC, doc_id LIMIT 100
-"""
-
-
-@query("sample_dsir_select", _DSIR_SELECT)
-def sample_dsir_select_q(spark, sf_dir):
-    """The selection half of DSIR (operators/sampling.py::
-    gumbel_topk): sample 100 docs without replacement proportional to
-    exp(log_weight) via deterministic Gumbel-top-k — md5-derived
-    uniforms, term-rounded nested logs, TakeOrderedAndProject (k rows
-    per partition cross the wire, no corpus sort)."""
-    from cloud_optimized_data_pipelines_spark.operators.sampling import (
-        dsir_importance,
-        gumbel_topk,
-    )
-
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    w = dsir_importance(
-        docs, "doc_id", "text", target_filter=F.col("lang") == "en",
-        impl="numpy",
-    )
-    return gumbel_topk(w.filter(F.col("n_feats") > 0), "doc_id", "log_weight", 100)
-
-
-_CCNET_BUCKETS = f"""
-WITH {_UNIGRAM_CTES.strip()},
-lp AS (
-  SELECT doc_id, sum_logp / CAST(n_tokens AS DOUBLE) AS mean_logprob
-  FROM per_doc
-),
-cuts AS (
-  SELECT quantile_cont(mean_logprob, {1.0 / 3!r}) AS c0,
-         quantile_cont(mean_logprob, {2.0 / 3!r}) AS c1
-  FROM lp
-)
-SELECT lp.doc_id, lp.mean_logprob,
-       CASE WHEN lp.mean_logprob > c.c1 THEN 'head'
-            WHEN lp.mean_logprob > c.c0 THEN 'middle'
-            ELSE 'tail' END AS bucket
-FROM lp CROSS JOIN cuts c
-"""
-
-
-@query("sample_ccnet_buckets", _CCNET_BUCKETS)
-def sample_ccnet_buckets_q(spark, sf_dir):
-    """CCNet head/middle/tail bucketing (operators/sampling.py::
-    perplexity_buckets over quality.unigram_logprob): exact tercile
-    cutoffs of the per-doc unigram log-prob, broadcast as a 1-row
-    scalar, then a narrow label expression — no corpus-wide sort.
-    Doubles are reproducible end-to-end: the log-prob fold is already
-    bit-identical cross-engine, and Spark `percentile` interpolates
-    identically to DuckDB `quantile_cont` (same fraction literal at
-    Python-double precision)."""
-    from cloud_optimized_data_pipelines_spark.operators.quality import (
-        unigram_logprob,
-    )
-    from cloud_optimized_data_pipelines_spark.operators.sampling import (
-        perplexity_buckets,
-    )
-
-    t = load_tables(spark, sf_dir)
-    scored = unigram_logprob(t["documents"], "doc_id", "text").select(
-        "doc_id", "mean_logprob"
-    )
-    return perplexity_buckets(scored, "mean_logprob")
-
-
-_FUZZY_PAIRS = """
-WITH pref AS (
-  SELECT doc_id, substr(text, 1, 40) AS p FROM documents
-),
-sh AS (
-  SELECT doc_id,
-    CASE WHEN length(p) >= 3
-         THEN list_distinct(list_transform(range(1, length(p) - 1),
-                            i -> substr(p, i, 3)))
-         ELSE [p] END AS shingles
-  FROM pref
-),
-idx0 AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
-freq AS (SELECT shingle FROM idx0 GROUP BY shingle HAVING COUNT(*) <= 1000),
-idx AS (SELECT idx0.* FROM idx0 JOIN freq USING (shingle)),
-cand AS (
-  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc < b.doc
-)
-SELECT doc_a, doc_b,
-       CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS distance
-FROM cand
-JOIN pref pa ON pa.doc_id = doc_a
-JOIN pref pb ON pb.doc_id = doc_b
-WHERE levenshtein(pa.p, pb.p) <= 10
-"""
-
-
-@query("dedup_fuzzy_prefix", _FUZZY_PAIRS)
-def dedup_fuzzy_prefix_q(spark, sf_dir):
-    """Bounded edit-distance join (operators/dedup.py::fuzzy_pairs):
-    doc pairs whose 40-char prefixes are within levenshtein 10 —
-    character-3-gram blocking (COMPLETE for these bounds: 40 - 3 + 1 -
-    10*3 = 8 shared grams guaranteed, Gravano et al.) then exact
-    engine-native levenshtein verification on candidates only.
-    Integer distances are bit-identical across engines."""
-    t = load_tables(spark, sf_dir)
-    return D.fuzzy_pairs(
-        t["documents"], "doc_id", "text", max_distance=10, prefix_len=40, q=3
-    )
-
-
-_QUANTILE_SAMPLE = """
-WITH ranked AS (
-  SELECT event_type, value,
-         ROW_NUMBER() OVER (PARTITION BY event_type
-                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
-  FROM events
-),
-samp AS (SELECT event_type, value FROM ranked WHERE rn <= 64),
-est AS (
-  SELECT event_type,
-         quantile_cont(CAST(value AS DOUBLE), 0.5) AS est_median,
-         CAST(COUNT(*) AS BIGINT) AS sample_n
-  FROM samp GROUP BY event_type
-),
-ex AS (
-  SELECT event_type, median(CAST(value AS DOUBLE)) AS exact_median
-  FROM events GROUP BY event_type
-)
-SELECT est.event_type, est.sample_n, est.est_median, ex.exact_median
-FROM est JOIN ex USING (event_type)
-"""
-
-
-@query("sketch_quantile_sample", _QUANTILE_SAMPLE)
-def sketch_quantile_sample_q(spark, sf_dir):
-    """Deterministic bottom-k quantile sample (operators/sketches.py::
-    kmin_sample_*): the 64 smallest-md5-ranked rows per group are a
-    uniform without-replacement sample that is mergeable (k smallest of
-    the union) and engine-reproducible — no reservoir RNG.  Spark
-    builds DAILY partials and MERGES them; the oracle samples in one
-    pass — they hash-match because merge == one-pass, the same
-    cross-engine proof as sketch_kmv_uniques.  exact_median rides along
-    for error context."""
-    from cloud_optimized_data_pipelines_spark.operators import sketches as SK
-
-    t = load_tables(spark, sf_dir)
-    ev = t["events"]
-    daily = SK.kmin_sample_partial(
-        ev.withColumn("day", F.to_date("ts")),
-        "event_id",
-        "value",
-        dims=("event_type", "day"),
-        k=64,
-    )
-    merged = SK.kmin_sample_merge(daily, dims=("event_type",), k=64)
-    est = merged.select(
-        "event_type",
-        F.size("sample").cast("long").alias("sample_n"),
-        SK.kmin_sample_quantile("sample", 0.5).alias("est_median"),
-    )
-    exact = ev.groupBy("event_type").agg(
-        F.median(F.col("value").cast("double")).alias("exact_median")
-    )
-    return est.join(exact, "event_type")
-
-
-_FUZZY_GUARD_REPORT = """
-WITH pref AS (
-  SELECT doc_id, substr(text, 1, 40) AS p FROM documents
-),
-sh AS (
-  SELECT doc_id,
-    CASE WHEN length(p) >= 3
-         THEN list_distinct(list_transform(range(1, length(p) - 1),
-                            i -> substr(p, i, 3)))
-         ELSE [p] END AS shingles
-  FROM pref
-),
-idx AS (SELECT doc_id AS doc, UNNEST(shingles) AS shingle FROM sh),
-f AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS freq FROM idx GROUP BY shingle),
-per_doc AS (
-  SELECT i.doc, CAST(COUNT(*) AS BIGINT) AS grams,
-         CAST(SUM(CASE WHEN f.freq > 50 THEN 1 ELSE 0 END) AS BIGINT) AS pruned
-  FROM idx i JOIN f USING (shingle) GROUP BY i.doc
-)
-SELECT CAST(SUM(grams) AS BIGINT) AS total_grams,
-       CAST(SUM(pruned) AS BIGINT) AS pruned_grams,
-       CAST(SUM(pruned) AS DOUBLE) / CAST(SUM(grams) AS DOUBLE) AS pruned_frac,
-       CAST(COUNT(*) AS BIGINT) AS docs_total,
-       CAST(SUM(CASE WHEN pruned = grams THEN 1 ELSE 0 END) AS BIGINT) AS docs_zero_grams
-FROM per_doc
-"""
-
-
-@query("dedup_fuzzy_guard_report", _FUZZY_GUARD_REPORT)
-def dedup_fuzzy_guard_report_q(spark, sf_dir):
-    """The guard's alarm channel as a checkable one-row report
-    (operators/dedup.py::guard_prune_stats over fuzzy_prefix_index):
-    how many q-gram postings a freq-50 guard would drop and how many
-    docs lose EVERY gram.  Threshold 50 is deliberately below the
-    corpus's common-gram frequencies so the report is exercised, not
-    vacuous — a pipeline alarms when pruned_frac nears 1.0 instead of
-    reading an empty fuzzy join as clean."""
-    from cloud_optimized_data_pipelines_spark.operators.dedup import (
-        fuzzy_prefix_index,
-        guard_prune_stats,
-    )
-
-    t = load_tables(spark, sf_dir)
-    idx = fuzzy_prefix_index(t["documents"], "doc_id", "text", 40, 3)
-    return guard_prune_stats(idx, 50)
-
-
-_TOKEN_SHIFT = """
-WITH words AS (
-  SELECT CASE WHEN source = 'src0' THEN 'a' ELSE 'b' END AS sl,
-         UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
-  FROM documents
-),
-counts AS (
-  SELECT word,
-         CAST(SUM(CASE WHEN sl = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
-         CAST(SUM(CASE WHEN sl = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
-  FROM words GROUP BY word
-),
-scal AS (
-  SELECT SUM(cnt_a) AS total_a, SUM(cnt_b) AS total_b,
-         CAST(COUNT(*) AS BIGINT) AS vocab
-  FROM counts
-)
-SELECT word, cnt_a, cnt_b,
-       CAST(cnt_a + 1 AS DOUBLE) / CAST(total_a + vocab AS DOUBLE) AS p_a,
-       CAST(cnt_b + 1 AS DOUBLE) / CAST(total_b + vocab AS DOUBLE) AS p_b,
-       (CAST(cnt_a + 1 AS DOUBLE) / CAST(total_a + vocab AS DOUBLE))
-       * (round(ln(CAST(cnt_a + 1 AS DOUBLE) / CAST(total_a + vocab AS DOUBLE)), 9)
-          - round(ln(CAST(cnt_b + 1 AS DOUBLE) / CAST(total_b + vocab AS DOUBLE)), 9)) AS kl_term
-FROM counts CROSS JOIN scal
-"""
-
-
-@query("text_distribution_shift", _TOKEN_SHIFT)
-def text_distribution_shift_q(spark, sf_dir):
-    """Corpus drift monitor (operators/drift.py::token_distribution_shift):
-    per-token KL(P_src0 || P_rest) contributions with Laplace-smoothed
-    probabilities over the union vocab — exact integer counts, single
-    divisions, 9-decimal-rounded logs (the cross-engine ln discipline),
-    no order-dependent sums (the total is the per-row decomposition's
-    sum, foldable in word order when exactness matters)."""
-    from cloud_optimized_data_pipelines_spark.operators.drift import (
-        token_distribution_shift,
-    )
-
-    t = load_tables(spark, sf_dir)
-    out = token_distribution_shift(
-        t["documents"],
-        "text",
-        F.when(F.col("source") == "src0", "a").otherwise("b"),
-        "a",
-        "b",
-    )
-    return out
-
-
-# shared CTE chain: guarded positional-shingle span detection (n=8,
-# max_shingle_freq=1000) — interpolated into BOTH the spans and the
-# cut oracles so the definitions cannot drift apart
-_SUBSTR_CTES = """
-toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
-  FROM documents
-),
-idx0 AS (
-  SELECT doc_id, i AS pos, array_to_string(list_slice(tk, i, i + 7), ' ') AS shingle
-  FROM toks, UNNEST(range(1, len(tk) - 6)) AS t(i)
-),
-freq AS (SELECT shingle FROM idx0 GROUP BY shingle HAVING COUNT(*) <= 1000),
-idx AS (SELECT idx0.* FROM idx0 JOIN freq USING (shingle)),
-m AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
-  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-),
-runs AS (
-  SELECT *, pos_a - ROW_NUMBER() OVER (
-      PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
-  FROM m
-),
-spans AS (
-  SELECT doc_a, doc_b,
-         MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
-         CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
-  FROM runs GROUP BY doc_a, doc_b, diag, grp
-)
-"""
-
-_SUBSTR_SPANS = f"""
-WITH {_SUBSTR_CTES.strip()}
-SELECT doc_a, doc_b, start_a, start_b, span_tokens FROM spans
-"""
-
-
-@query("dedup_substring_spans", _SUBSTR_SPANS)
-def dedup_substring_spans_q(spark, sf_dir):
-    """ExactSubstr span dedup (operators/dedup.py::duplicate_spans):
-    maximal cross-document duplicated word-8-gram runs with positions —
-    the cut-the-span operator (Lee et al. 2021), detected with the
-    diagonal-run trick (one window + one aggregate, no sequential
-    scan).  The shingle self-join runs with the default skew guard
-    (max_shingle_freq=1000) and the oracle applies the identical
-    HAVING COUNT(*) <= 1000 pruning."""
-    t = load_tables(spark, sf_dir)
-    return D.duplicate_spans(t["documents"], "doc_id", "text", n=8)
-
-
-_SUBSTR_CUT = f"""
-WITH {_SUBSTR_CTES.strip()},
-ivs AS (
-  SELECT doc_b AS doc,
-         list(struct_pack(s := start_b, e := start_b + span_tokens)) AS ivs
-  FROM spans GROUP BY doc_b
-),
-sel AS (
-  SELECT t.doc_id, t.tk, COALESCE(v.ivs, []) AS ivs
-  FROM toks t LEFT JOIN ivs v ON v.doc = t.doc_id
-),
-cutx AS (
-  SELECT doc_id, tk,
-         list_filter(tk, (x, i) ->
-           len(list_filter(ivs, iv -> i >= iv.s AND i < iv.e)) = 0) AS kept
-  FROM sel
-)
-SELECT doc_id,
-       CAST(len(tk) AS BIGINT) AS n_tokens_before,
-       CAST(len(kept) AS BIGINT) AS n_tokens_after,
-       COALESCE(array_to_string(kept, ' '), '') AS text_dedup
-FROM cutx
-"""
-
-
-@query("dedup_substring_cut", _SUBSTR_CUT)
-def dedup_substring_cut_q(spark, sf_dir):
-    """The CUT step of ExactSubstr dedup (operators/dedup.py::
-    cut_duplicate_spans over duplicate_spans): every duplicated
-    word-8-gram run is excised from the higher-id document of its pair;
-    first occurrences survive.  The oracle rebuilds the cut text
-    independently (index-aware list_filter over the same guarded span
-    table), so the hash covers the full detect→cut pipeline including
-    the rebuilt text bytes."""
-    t = load_tables(spark, sf_dir)
-    spans = D.duplicate_spans(t["documents"], "doc_id", "text", n=8)
-    out = D.cut_duplicate_spans(t["documents"], "doc_id", "text", spans)
-    return out.select(
-        "doc_id", "n_tokens_before", "n_tokens_after", "text_dedup"
-    )
-
-
-_LINE_DEDUP = """
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
-  FROM documents
-),
-lines AS (
-  SELECT doc_id, i AS pos, array_to_string(t[(i*10+1):(i*10+10)], ' ') AS line
-  FROM toks, UNNEST(range(0, CAST(ceil(len(t)/10.0) AS BIGINT))) AS u(i)
-  WHERE len(t) > 0
-),
-over_freq AS (
-  SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) > 1
-),
-flagged AS (
-  SELECT l.doc_id, l.pos, l.line, (o.line IS NOT NULL) AS rm
-  FROM lines l LEFT JOIN over_freq o USING (line)
-),
-per_doc AS (
-  SELECT doc_id,
-         CAST(COUNT(*) AS BIGINT) AS n_lines,
-         CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-         COALESCE(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE NOT rm), '')
-           AS text_dedup
-  FROM flagged GROUP BY doc_id
-)
-SELECT d.doc_id,
-       COALESCE(p.n_lines, 0) AS n_lines,
-       COALESCE(p.n_removed, 0) AS n_removed,
-       md5(COALESCE(p.text_dedup, '')) AS kept_md5
-FROM documents d LEFT JOIN per_doc p USING (doc_id)
-"""
-
-
-@query("dedup_lines", _LINE_DEDUP)
-def dedup_lines_q(spark, sf_dir):
-    """Corpus-frequency line dedup (operators/dedup.py::line_dedup —
-    the RefinedWeb/Dolma boilerplate-removal recipe): any 10-token
-    "line" occurring in more than one distinct document is excised
-    everywhere; kept lines are re-joined in position order and the md5
-    covers the rebuilt bytes.  One global line-frequency table decides
-    every removal — no doc-pair reasoning, which is what makes this the
-    cheapest cross-document dedup at corpus scale."""
-    t = load_tables(spark, sf_dir)
-    out = D.line_dedup(
-        t["documents"], "doc_id", "text", max_doc_freq=1, line_tokens=10
-    )
-    return out.select(
-        "doc_id", "n_lines", "n_removed", F.md5("text_dedup").alias("kept_md5")
-    )
-
-
-_DUCK_SHINGLES5 = """
-toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
-  FROM documents
-),
-sh AS (
-  SELECT doc_id,
-    CASE WHEN len(tk) >= 5
-         THEN list_distinct(list_transform(range(1, len(tk) - 3),
-                            i -> array_to_string(list_slice(tk, i, i + 4), ' ')))
-         ELSE [array_to_string(tk, ' ')] END AS shingles
-  FROM toks
-)
-"""
-
-_DECONTAMINATE = f"""
-WITH {_DUCK_SHINGLES5},
-split AS (
-  SELECT doc_id,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
-  FROM documents
-),
-test_sh AS (
-  SELECT DISTINCT UNNEST(shingles) AS shingle
-  FROM sh JOIN split USING (doc_id) WHERE bucket >= 95
-),
-train AS (
-  SELECT sh.doc_id FROM sh JOIN split USING (doc_id) WHERE bucket < 90
-),
-hits AS (
-  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-  FROM (SELECT sh.doc_id, UNNEST(shingles) AS shingle
-        FROM sh JOIN split USING (doc_id) WHERE bucket < 90) t
-  JOIN test_sh USING (shingle)
-  GROUP BY t.doc_id
-)
-SELECT train.doc_id,
-       COALESCE(hits.n_hits, 0) AS n_hits,
-       COALESCE(hits.n_hits, 0) > 0 AS contaminated
-FROM train LEFT JOIN hits USING (doc_id)
-"""
-
-
-@query("text_decontaminate", _DECONTAMINATE)
-def text_decontaminate_q(spark, sf_dir):
-    """Eval-set decontamination (operators/decontaminate.py): train
-    docs (md5 bucket < 90) are flagged when they share any word 5-gram
-    with the held-out test split (bucket >= 95) — the GPT-3/Pile
-    contamination control.  The test-side shingle set is broadcast; the
-    train side pays one scan + a doc-keyed count.  Same deterministic
-    split rule as text_train_val_split."""
-    from cloud_optimized_data_pipelines_spark.operators.decontaminate import (
-        contamination_flags,
-    )
-    from cloud_optimized_data_pipelines_spark.operators.sampling import (
-        hash_bucket,
-    )
-
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"].withColumn("bucket", hash_bucket("doc_id"))
-    train = docs.filter(F.col("bucket") < 90).select("doc_id", "text")
-    test = docs.filter(F.col("bucket") >= 95).select("doc_id", "text")
-    out = contamination_flags(train, test, "doc_id", "text", n=5)
-    return out.select("doc_id", "n_hits", "contaminated")
-
-
-_GOPHER = """
-WITH words AS (
-  SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
-  FROM documents
-),
-per_word AS (
-  SELECT doc_id, word, COUNT(*) AS cnt FROM words GROUP BY doc_id, word
-),
-stats AS (
-  SELECT doc_id,
-         CAST(SUM(cnt) AS BIGINT) AS n_words,
-         CAST(COUNT(*) AS BIGINT) AS n_unique_words,
-         CAST(MAX(cnt) AS BIGINT) AS top_cnt,
-         CAST(SUM(length(word) * cnt) AS BIGINT) AS char_sum
-  FROM per_word GROUP BY doc_id
-)
-SELECT d.doc_id,
-       COALESCE(s.n_words, 0) AS n_words,
-       COALESCE(s.n_unique_words, 0) AS n_unique_words,
-       CASE WHEN COALESCE(s.n_words, 0) > 0
-            THEN CAST(s.char_sum AS DOUBLE) / CAST(s.n_words AS DOUBLE)
-            ELSE 0.0 END AS mean_word_len,
-       CASE WHEN COALESCE(s.n_words, 0) > 0
-            THEN CAST(s.top_cnt AS DOUBLE) / CAST(s.n_words AS DOUBLE)
-            ELSE 0.0 END AS top_word_frac,
-       COALESCE(s.n_words, 0) >= 50 AND COALESCE(s.n_words, 0) <= 100000
-         AND (CASE WHEN COALESCE(s.n_words, 0) > 0
-                   THEN CAST(s.char_sum AS DOUBLE) / CAST(s.n_words AS DOUBLE)
-                   ELSE 0.0 END) >= 3.0
-         AND (CASE WHEN COALESCE(s.n_words, 0) > 0
-                   THEN CAST(s.char_sum AS DOUBLE) / CAST(s.n_words AS DOUBLE)
-                   ELSE 0.0 END) <= 10.0
-         AND (CASE WHEN COALESCE(s.n_words, 0) > 0
-                   THEN CAST(s.top_cnt AS DOUBLE) / CAST(s.n_words AS DOUBLE)
-                   ELSE 0.0 END) < 0.2 AS keep
-FROM documents d LEFT JOIN stats s USING (doc_id)
-"""
-
-
-def _corpus_preprocess_oracle() -> str:
-    """Composed-pipeline oracle: the lang-ID, exact-dedup, gopher, and
-    per-source-cap oracle fragments chained exactly as
-    plans/corpus.py::corpus_preprocess composes the operators."""
-    counts = ", ".join(
-        f"{_duck_lang_count(lang)} AS c_{lang}" for lang in T.LANG_ORDER
-    )
-    best = ", ".join(f"c_{lang}" for lang in T.LANG_ORDER)
-    return f"""
-WITH t1 AS (SELECT doc_id, {_DUCK_LTOKS} AS ltoks FROM documents),
-t2 AS (SELECT doc_id, {counts} FROM t1),
-t3 AS (SELECT doc_id, {best}, greatest({best}) AS best FROM t2),
-langf AS (SELECT doc_id, ({_LANG_CASE}) = 'en' AS lang_ok FROM t3),
-canon AS (
-  SELECT doc_id,
-         doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
-  FROM documents
-),
-words AS (
-  SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
-  FROM documents
-),
-per_word AS (SELECT doc_id, word, COUNT(*) AS cnt FROM words GROUP BY doc_id, word),
-stats AS (
-  SELECT doc_id, SUM(cnt) AS n_words, MAX(cnt) AS top_cnt,
-         SUM(length(word) * cnt) AS char_sum
-  FROM per_word GROUP BY doc_id
-),
-q AS (
-  SELECT d.doc_id,
-         COALESCE(s.n_words, 0) >= 50 AND COALESCE(s.n_words, 0) <= 100000
-           AND (CASE WHEN COALESCE(s.n_words, 0) > 0
-                     THEN CAST(s.char_sum AS DOUBLE) / s.n_words ELSE 0.0 END)
-               BETWEEN 3.0 AND 10.0
-           AND (CASE WHEN COALESCE(s.n_words, 0) > 0
-                     THEN CAST(s.top_cnt AS DOUBLE) / s.n_words ELSE 1.0 END)
-               < 0.2 AS quality_ok
-  FROM documents d LEFT JOIN stats s USING (doc_id)
-),
-flags AS (
-  SELECT d.doc_id, d.source, l.lang_ok, c.is_canonical, q.quality_ok,
-         (l.lang_ok AND c.is_canonical AND q.quality_ok) AS eligible
-  FROM documents d
-  JOIN langf l USING (doc_id)
-  JOIN canon c USING (doc_id)
-  JOIN q USING (doc_id)
-),
-ranked AS (
-  SELECT doc_id, ROW_NUMBER() OVER (
-           PARTITION BY source
-           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-  FROM flags WHERE eligible
-)
-SELECT f.doc_id, f.source, f.lang_ok, f.is_canonical, f.quality_ok,
-       f.eligible, COALESCE(r.rn <= 15, FALSE) AS selected
-FROM flags f LEFT JOIN ranked r USING (doc_id)
-"""
-
-
-@query("pipeline_corpus_preprocess", _corpus_preprocess_oracle)
-def pipeline_corpus_preprocess_q(spark, sf_dir):
-    """The composed training-data preprocessing pipeline
-    (plans/corpus.py::corpus_preprocess — CCNet/C4/RefinedWeb recipe):
-    language ID -> exact dedup -> Gopher quality gate -> per-source
-    cap, as ONE lazy plan with survivorship flags per stage (no silent
-    drops; every rejection auditable).  The oracle chains the four
-    stages' individual oracle fragments identically — the cross-engine
-    proof that operator COMPOSITION preserves each operator's
-    semantics."""
-    from cloud_optimized_data_pipelines_spark.plans.corpus import (
-        corpus_preprocess,
-    )
-
-    t = load_tables(spark, sf_dir)
-    return corpus_preprocess(t["documents"])
-
-
-def _pagerank_oracle() -> str:
-    """Unrolled-CTE oracle for the integer-scaled PageRank: the fixed
-    5 iterations are generated as plain chained CTEs (aggregates are
-    not allowed in recursive terms), every contribution is BIGINT
-    floor division, and each iteration's SUM is cast back to BIGINT
-    (DuckDB widens SUM(BIGINT) to HUGEINT — the round-4 hasher
-    lesson)."""
-    head = """
-WITH e AS (
-  SELECT 'u:' || CAST(user_id AS VARCHAR) AS src, 't:' || event_type AS dst
-  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-  UNION
-  SELECT 't:' || event_type, 'u:' || CAST(user_id AS VARCHAR)
-  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-),
-nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
-r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)"""
-    steps = []
-    for i in range(1, 6):
-        steps.append(f""",
-r{i} AS (
-  SELECT n.node,
-         CAST(150000000 + COALESCE(SUM((17 * p.r) // (20 * d.deg)), 0)
-              AS BIGINT) AS r
-  FROM nodes n
-  LEFT JOIN e ON e.dst = n.node
-  LEFT JOIN r{i - 1} p ON p.node = e.src
-  LEFT JOIN deg d ON d.src = e.src
-  GROUP BY n.node
-)""")
-    return head + "".join(steps) + "\nSELECT node, r AS rank FROM r5"
-
-
-@query("graph_pagerank_events", _pagerank_oracle)
-def graph_pagerank_q(spark, sf_dir):
-    """Integer-scaled PageRank (operators/graph.py::pagerank) over the
-    symmetrized user <-> event-type bipartite graph — the
-    Common-Crawl-style link-quality prior, made cross-engine
-    hash-checkable by running the whole recurrence in BIGINT
-    micro-units (integer sums are associative; float PageRank is
-    reduction-order-dependent and un-oracle-able).  5 iterations,
-    damping 17/20; the oracle unrolls them as chained CTEs."""
-    from cloud_optimized_data_pipelines_spark.operators.graph import pagerank
-
-    t = load_tables(spark, sf_dir)
-    ev = t["events"].filter(
-        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
-    )
-    fwd = ev.select(
-        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
-        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
-    )
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    return pagerank(edges, iters=5)
-
-
-def _pagerank_dangling_oracle() -> str:
-    """Unrolled-CTE oracle for the teleport-corrected PageRank on the
-    DIRECTED user->event-type graph (event-type nodes are sinks): per
-    iteration a 1-row dangling-mass CTE (rank sum over nodes with no
-    out-edges) feeds an equal integer share into every node's base —
-    all BIGINT, so the parallel/serial sums still agree bit-exactly."""
-    head = """
-WITH e AS (
-  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
-                  't:' || event_type AS dst
-  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-),
-nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
-r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)"""
-    steps = []
-    for i in range(1, 5):
-        steps.append(f""",
-d{i} AS (
-  SELECT CAST(COALESCE(SUM(p.r), 0) AS BIGINT) AS dm
-  FROM r{i - 1} p LEFT JOIN deg d ON d.src = p.node
-  WHERE d.src IS NULL
-),
-r{i} AS (
-  SELECT n0.node,
-         CAST(150000000 + (17 * dd.dm) // (20 * nn.n)
-              + COALESCE(SUM((17 * p.r) // (20 * dg.deg)), 0)
-              AS BIGINT) AS r
-  FROM nodes n0
-  CROSS JOIN d{i} dd CROSS JOIN nn
-  LEFT JOIN e ON e.dst = n0.node
-  LEFT JOIN r{i - 1} p ON p.node = e.src
-  LEFT JOIN deg dg ON dg.src = e.src
-  GROUP BY n0.node, dd.dm, nn.n
-)""")
-    return head + "".join(steps) + "\nSELECT node, r AS rank FROM r4"
-
-
-@query("graph_pagerank_dangling", _pagerank_dangling_oracle)
-def graph_pagerank_dangling_q(spark, sf_dir):
-    """Teleport-corrected integer PageRank (operators/graph.py::
-    pagerank(dangling='redistribute')) on the DIRECTED user ->
-    event-type graph, where every event-type node is a sink: each
-    iteration aggregates the rank mass sitting on sinks (one 1-row
-    BIGINT sum) and hands every node an equal integer share — the
-    textbook dangling-mass correction, kept associative so the
-    unrolled-CTE oracle hash-matches.  4 iterations, damping 17/20."""
-    from cloud_optimized_data_pipelines_spark.operators.graph import pagerank
-
-    t = load_tables(spark, sf_dir)
-    ev = t["events"].filter(
-        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
-    )
-    fwd = ev.select(
-        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
-        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
-    )
-    return pagerank(fwd, iters=4, dangling="redistribute")
-
-
-_PSI = """
-WITH labeled AS (
-  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'before'
-              ELSE 'after' END AS w,
-         event_type AS cat
-  FROM events
-),
-counts AS (
-  SELECT cat,
-         CAST(SUM(CASE WHEN w = 'before' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_before,
-         CAST(SUM(CASE WHEN w = 'after' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_after
-  FROM labeled GROUP BY cat
-),
-scalars AS (
-  SELECT CAST(SUM(cnt_before) AS BIGINT) AS tot_b,
-         CAST(SUM(cnt_after) AS BIGINT) AS tot_a,
-         CAST(COUNT(*) AS BIGINT) AS ncat
-  FROM counts
-)
-SELECT cat, cnt_before, cnt_after,
-       CAST(cnt_before + 1 AS DOUBLE) / (tot_b + ncat) AS p_before,
-       CAST(cnt_after + 1 AS DOUBLE) / (tot_a + ncat) AS p_after,
-       (CAST(cnt_after + 1 AS DOUBLE) / (tot_a + ncat)
-        - CAST(cnt_before + 1 AS DOUBLE) / (tot_b + ncat))
-       * (round(ln(CAST(cnt_after + 1 AS DOUBLE) / (tot_a + ncat)), 9)
-          - round(ln(CAST(cnt_before + 1 AS DOUBLE) / (tot_b + ncat)), 9))
-       AS psi_term
-FROM counts CROSS JOIN scalars
-"""
-
-
-@query("events_drift_psi", _PSI)
-def events_drift_psi_q(spark, sf_dir):
-    """Population Stability Index drift monitor (operators/drift.py::
-    psi_by_window): the event-type distribution of the stream's second
-    half vs its first — per-category PSI decomposition with Laplace
-    smoothing over the union category set and term-rounded logs (the
-    cross-engine ln discipline).  One partial-aggregated category count
-    + a 1-row scalar broadcast; output is category-set-sized, so the
-    monitor costs one scan at any stream size."""
-    from cloud_optimized_data_pipelines_spark.operators.drift import (
-        psi_by_window,
-    )
-
-    t = load_tables(spark, sf_dir)
-    split = F.when(
-        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), "before"
-    ).otherwise("after")
-    return psi_by_window(t["events"], "event_type", split)
-
-
-_K_ANON = """
-WITH counts AS (
-  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS group_size
-  FROM documents GROUP BY source, lang
-)
-SELECT d.doc_id, d.source, d.lang, c.group_size,
-       c.group_size >= 25 AS k_anonymous
-FROM documents d JOIN counts c
-  ON d.source IS NOT DISTINCT FROM c.source
- AND d.lang IS NOT DISTINCT FROM c.lang
-"""
-
-
-@query("privacy_k_anonymous", _K_ANON)
-def privacy_k_anonymous_q(spark, sf_dir):
-    """k-anonymity flags (operators/privacy.py::k_anonymous_flags,
-    Sweeney 2002): rows whose (source, lang) quasi-identifier
-    combination occurs fewer than k times are flagged before a data
-    release.  One map-side-combined count + a key join reusing the same
-    shuffle partitioning; k=25 is binding at sf0.01 (several
-    source x lang cells fall under it), so both flag values are
-    exercised."""
-    from cloud_optimized_data_pipelines_spark.operators.privacy import (
-        k_anonymous_flags,
-    )
-
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"].select("doc_id", "source", "lang")
-    return k_anonymous_flags(docs, ["source", "lang"], k=25)
-
-
-@query("text_gopher_quality", _GOPHER)
-def text_gopher_quality_q(spark, sf_dir):
-    """MassiveText/Gopher word-level quality rules (operators/
-    quality.py): word-count bounds, mean-word-length bounds, and the
-    top-word repetition fraction, combined into a keep flag.  One
-    explode + two partial-aggregated doc-keyed shuffles — no joins
-    against the corpus, no Python."""
-    from cloud_optimized_data_pipelines_spark.operators.quality import (
-        gopher_quality_flags,
-    )
-
-    t = load_tables(spark, sf_dir)
-    out = gopher_quality_flags(t["documents"], "doc_id", "text")
-    return out.select(
-        "doc_id", "n_words", "n_unique_words", "mean_word_len",
-        "top_word_frac", "keep",
-    )
-
-
-_CLASSIFIER = """
-WITH toks AS (
-  SELECT doc_id,
-         list_transform(list_filter(string_split_regex(text, '\\s+'),
-                                    x -> x <> ''), t -> lower(t)) AS lt
-  FROM documents
-),
-w AS (
-  SELECT doc_id,
-         CAST(len(lt) AS BIGINT) AS n_tokens,
-         CAST(CASE WHEN len(lt) > 0 THEN list_reduce(
-                list_transform(lt, t ->
-                  ('0x' || substr(md5(t), 1, 8))::BIGINT % 2001 - 1000),
-                (a, b) -> a + b)
-              ELSE 0 END AS BIGINT) AS margin
-  FROM toks
-)
-SELECT doc_id, n_tokens, margin,
-       CASE WHEN n_tokens > 0
-            THEN margin::DOUBLE / (n_tokens::DOUBLE * 1000.0)
-            ELSE 0.0 END AS score,
-       (CASE WHEN n_tokens > 0
-             THEN margin::DOUBLE / (n_tokens::DOUBLE * 1000.0)
-             ELSE 0.0 END >= 0.0) AS keep
-FROM w
-"""
-
-
-@query("text_classifier_score", _CLASSIFIER)
-def text_classifier_score_q(spark, sf_dir):
-    """fastText-style linear quality-classifier inference
-    (operators/quality.py::classifier_score, hashed-weight form): the
-    whole model application is ONE codegen'd expression over the
-    let-bound token array — no explode, no shuffle, no Python — which
-    is the execution shape for scoring 100 TB of documents.  Integer
-    weight sums keep the result exact; the only float is the final
-    scaled division."""
-    from cloud_optimized_data_pipelines_spark.operators.quality import (
-        classifier_score,
-    )
-
-    t = load_tables(spark, sf_dir)
-    out = classifier_score(t["documents"], "doc_id", "text", threshold=0.0)
-    return out.select("doc_id", "n_tokens", "margin", "score", "keep")
-
-
-def _clf_train_oracle(iters: int = 6, lr: float = 128.0, d: int = 64) -> str:
-    """Unroll the full GD training loop of train_quality_classifier
-    into a CTE chain (the BPE/PageRank/Lloyd treatment): w0 = zeros,
-    then per iteration margin-fold -> rounded sigmoid -> per-bucket
-    rounded gradient -> weight update.  Every float reduction the
-    engines could order differently is rounded at the same point on
-    both sides; the margin fold runs in token order over the same
-    literal weights."""
-    bucket = f"(('0x' || substr(md5(lower(t)), 1, 8))::BIGINT % {d})"
-    parts = [f"""
-WITH base AS (
-  SELECT doc_id, tk, CAST(len(tk) AS DOUBLE) AS n,
-         CASE WHEN len(tk) > 0
-                   AND 16 * len(list_filter(tk, t -> lower(t) IN ('the', 'a')))
-                       >= len(tk)
-              THEN 1.0 ELSE 0.0 END AS y
-  FROM (
-    SELECT doc_id,
-           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
-    FROM documents
-  ) raw
-),
-nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM base),
-w0 AS (SELECT unnest(range(0, {d})) AS b, CAST(0.0 AS DOUBLE) AS w)"""]
-    for i in range(1, iters + 1):
-        parts.append(f""",
-w{i - 1}l AS (SELECT list(w ORDER BY b) AS wl FROM w{i - 1}),
-m{i} AS (
-  SELECT doc_id, y, tk, n,
-         CASE WHEN n > 0 THEN
-           list_reduce(
-             list_prepend(CAST(0.0 AS DOUBLE),
-               list_transform(tk, t -> wl[{bucket} + 1])),
-             (x, z) -> x + z) / n
-         ELSE 0.0 END AS margin
-  FROM base CROSS JOIN w{i - 1}l
-),
-o{i} AS (
-  SELECT round(1.0 / (1.0 + exp(-margin)), 7) AS p, y, n, unnest(tk) AS t
-  FROM m{i}
-),
-g{i} AS (
-  SELECT {bucket} AS b,
-         round(SUM((p - y) / n) / (SELECT c FROM nn), 6) AS g
-  FROM o{i} GROUP BY 1
-),
-w{i} AS (
-  SELECT prev.b, prev.w - {lr!r} * COALESCE(g{i}.g, 0.0) AS w
-  FROM w{i - 1} prev LEFT JOIN g{i} ON prev.b = g{i}.b
-)""")
-    parts.append(f""",
-w{iters}l AS (SELECT list(w ORDER BY b) AS wl FROM w{iters}),
-mf AS (
-  SELECT doc_id, y,
-         CASE WHEN n > 0 THEN
-           list_reduce(
-             list_prepend(CAST(0.0 AS DOUBLE),
-               list_transform(tk, t -> wl[{bucket} + 1])),
-             (x, z) -> x + z) / n
-         ELSE 0.0 END AS margin
-  FROM base CROSS JOIN w{iters}l
-)
-SELECT doc_id,
-       CAST(y AS BIGINT) AS label,
-       round(margin, 6) AS margin,
-       round(1.0 / (1.0 + exp(-margin)), 7) AS prob,
-       round(1.0 / (1.0 + exp(-margin)), 7) >= 0.5 AS pred
-FROM mf
-""")
-    return "".join(parts)
-
-
-@query("text_classifier_train", _clf_train_oracle())
-def text_classifier_train_q(spark, sf_dir):
-    """TRAIN the quality classifier, not just apply one (operators/
-    quality.py::train_quality_classifier): distill a stopword-ratio
-    quality rule (label = tf('the','a') >= 1/16 — the Gopher
-    stop-word-signal shape) into a 64-bucket hashed logistic model by
-    6 full-batch GD steps.  Each step is one distributed pass (margin
-    = codegen'd token-order fold with plan-literal weights; gradient =
-    token explode -> 64-group map-side-combined sum); driver traffic
-    is 64 doubles per step.  Rounded sigmoids + rounded gradients make
-    the whole loop reduction-order independent, so the oracle unrolls
-    all 6 iterations into CTEs and hash-matches.  Training accuracy
-    beats the majority baseline (0.75 vs 0.52 at sf0.01; pytest-
-    gated)."""
-    from cloud_optimized_data_pipelines_spark.operators.quality import (
-        train_quality_classifier,
-    )
-
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    tk = T.tokens("text")
-    stop = F.size(F.filter(tk, lambda x: F.lower(x).isin("the", "a")))
-    labeled = docs.withColumn(
-        "label",
-        ((F.size(tk) > 0) & (stop * 16 >= F.size(tk))).cast("int"),
-    )
-    scored, _w = train_quality_classifier(
-        labeled, "doc_id", "text", "label", iters=6, lr=128.0
-    )
-    return scored.select(
-        "doc_id",
-        F.col("label").cast("long").alias("label"),
-        "margin",
-        "prob",
-        "pred",
-    )
-
-
-_C4_CLEAN = """
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
-  FROM documents
-),
-chunk AS (
-  SELECT doc_id, i AS pos,
-         array_to_string(t[(i*10+1):(i*10+10)], ' ')
-         || CASE WHEN (doc_id + i) % 4 <> 0 THEN '.' ELSE '' END AS line,
-         len(t[(i*10+1):(i*10+10)]) AS n_words
-  FROM toks, UNNEST(range(0, CAST(ceil(len(t)/10.0) AS BIGINT))) AS u(i)
-  WHERE len(t) > 0
-),
-flagged AS (
-  SELECT doc_id, pos, line,
-         (regexp_matches(line, '[.!?"]$') AND n_words >= 5) AS kept
-  FROM chunk
-),
-per_doc AS (
-  SELECT doc_id,
-         CAST(COUNT(*) AS BIGINT)
-           + CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS n_lines,
-         CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-         COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE kept), '')
-           AS text_clean
-  FROM flagged GROUP BY doc_id
-)
-SELECT d.doc_id,
-       COALESCE(p.n_lines, 0) AS n_lines,
-       COALESCE(p.n_kept, 0) AS n_kept,
-       (COALESCE(p.n_kept, 0) >= 3 AND d.doc_id % 17 <> 0) AS keep,
-       md5(COALESCE(p.text_clean, '')) AS clean_md5
-FROM documents d LEFT JOIN per_doc p USING (doc_id)
-"""
-
-
-@query("text_c4_clean", _C4_CLEAN)
-def text_c4_clean_q(spark, sf_dir):
-    """C4 page cleaning (operators/quality.py::c4_line_filter): the
-    Raffel et al. 2020 line rules — terminal punctuation, >= 5 words
-    per line, >= 3 surviving lines, blocklist phrases — as pure
-    per-document array expressions (no explode, no shuffle; the filter
-    rides the scan like classifier_score).  The word-soup corpus has
-    no line structure, so a line-structured text is built
-    DETERMINISTICALLY IN BOTH ENGINES: 10-token chunks, chunk i of doc
-    d terminated with '.' iff (d + i) % 4 != 0, and docs with
-    doc_id % 17 == 0 get a trailing 'lorem ipsum.' line that trips the
-    blocklist — every rule is exercised, and the kept-text md5 covers
-    the rebuilt bytes."""
-    from cloud_optimized_data_pipelines_spark.operators.dedup import (
-        _fixed_token_lines,
-    )
-    from cloud_optimized_data_pipelines_spark.operators.quality import (
-        c4_line_filter,
-    )
-
-    t = load_tables(spark, sf_dir)
-    did = F.col("doc_id")
-    chunks = _fixed_token_lines(F.col("text"), 10)
-    lines = F.transform(
-        chunks,
-        lambda c, i: F.concat(
-            c, F.when((did + i) % 4 != 0, F.lit(".")).otherwise(F.lit("")),
-        ),
-    )
-    seeded = t["documents"].select(
-        "doc_id",
-        F.concat(
-            F.array_join(lines, "\n"),
-            F.when(did % 17 == 0, F.lit("\nlorem ipsum.")).otherwise(F.lit("")),
-        ).alias("text"),
-    )
-    out = c4_line_filter(seeded, "doc_id", "text")
-    return out.select(
-        "doc_id", "n_lines", "n_kept", "keep",
-        F.md5("text_clean").alias("clean_md5"),
-    )
-
-
-_CORPUS_PREP = """
-WITH toks AS (
-  SELECT doc_id, source, text,
-         list_transform(list_filter(string_split_regex(text, '\\s+'),
-                                    x -> x <> ''), t -> lower(t)) AS lt
-  FROM documents
-),
-cls AS (
-  SELECT doc_id, source, text,
-         CAST(len(lt) AS BIGINT) AS n_tokens,
-         CAST(CASE WHEN len(lt) > 0 THEN list_reduce(
-                list_transform(lt, t ->
-                  ('0x' || substr(md5(t), 1, 8))::BIGINT % 2001 - 1000),
-                (a, b) -> a + b)
-              ELSE 0 END AS BIGINT) AS margin
-  FROM toks
-),
-scored AS (
-  SELECT doc_id, source, text, n_tokens,
-         CASE WHEN n_tokens > 0
-              THEN margin::DOUBLE / (n_tokens::DOUBLE * 1000.0)
-              ELSE 0.0 END AS score
-  FROM cls
-),
-quality AS (
-  SELECT * FROM scored WHERE n_tokens >= 10 AND score >= -0.05
-),
-sole AS (
-  SELECT doc_id, source, n_tokens, score,
-         ROW_NUMBER() OVER (PARTITION BY md5(text)
-                            ORDER BY doc_id) AS rn
-  FROM quality
-),
-surv AS (SELECT doc_id, source, n_tokens, score FROM sole WHERE rn = 1),
-sampled AS (
-  SELECT * FROM surv
-  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 8
-)
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
-FROM sampled GROUP BY source
-"""
-
-
-@query("pipeline_corpus_prep", _CORPUS_PREP)
-def pipeline_corpus_prep_q(spark, sf_dir):
-    """END-TO-END corpus preparation — the composition a real
-    training-data run executes, as ONE lazy plan: quality gate
-    (classifier score + length floor, both scan-side expressions) ->
-    exact dedup (lowest-id survivor per content hash, one digest-keyed
-    shuffle) -> 80% deterministic sample (md5 threshold, narrow
-    filter) -> per-source corpus stats.  Catalyst fuses the two
-    filters into the scan and the whole pipeline runs in two shuffle
-    stages (dedup window + final agg); the oracle rebuilds every stage
-    in SQL, so the hash proves the full composition, not just the
-    pieces."""
-    from cloud_optimized_data_pipelines_spark.operators.dedup import (
-        exact_dedup_by_hash,
-    )
-    from cloud_optimized_data_pipelines_spark.operators.quality import (
-        classifier_score,
-    )
-    from cloud_optimized_data_pipelines_spark.operators.sampling import (
-        hash_bucket,
-    )
-
-    t = load_tables(spark, sf_dir)
-    scored = classifier_score(
-        t["documents"].select("doc_id", "source", "text"), "doc_id", "text"
-    )
-    quality = scored.filter(
-        (F.col("n_tokens") >= 10) & (F.col("score") >= -0.05)
-    )
-    survivors = exact_dedup_by_hash(quality, "text", "doc_id")
-    sampled = survivors.filter(hash_bucket("doc_id", 10) < 8)
-    return sampled.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("doc_id"))),
-                    lambda x: x["doc_id"].cast("string"),
-                ),
-            )
-        ).alias("ids_md5"),
-    )
-
-
-_NGRAM_REPETITION = """
-WITH toks AS (
-  SELECT doc_id, text,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
-  FROM documents
-),
-g AS (
-  SELECT doc_id, nn.n AS n,
-         array_to_string(list_slice(tk, t.i, t.i + nn.n - 1), ' ') AS gram
-  FROM toks, (VALUES (2), (3), (5)) AS nn(n),
-       UNNEST(range(1, len(tk) - nn.n + 2)) AS t(i)
-),
-c AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM g GROUP BY doc_id, n, gram),
-r AS (SELECT doc_id, n, cnt * length(gram) AS chars,
-             ROW_NUMBER() OVER (PARTITION BY doc_id, n
-                                ORDER BY cnt DESC, gram DESC) AS rn
-      FROM c),
-top2 AS (SELECT doc_id, chars FROM r WHERE n = 2 AND rn = 1),
-top3 AS (SELECT doc_id, chars FROM r WHERE n = 3 AND rn = 1),
-dup5 AS (SELECT doc_id,
-                SUM(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS chars
-         FROM c WHERE n = 5 GROUP BY doc_id)
-SELECT d.doc_id,
-       COALESCE(CAST(t2.chars AS DOUBLE) / length(d.text), 0.0) AS top2_char_frac,
-       COALESCE(CAST(t3.chars AS DOUBLE) / length(d.text), 0.0) AS top3_char_frac,
-       COALESCE(CAST(d5.chars AS DOUBLE) / length(d.text), 0.0) AS dup5_char_frac,
-       (COALESCE(CAST(t2.chars AS DOUBLE) / length(d.text), 0.0) <= 0.20
-        AND COALESCE(CAST(t3.chars AS DOUBLE) / length(d.text), 0.0) <= 0.18
-        AND COALESCE(CAST(d5.chars AS DOUBLE) / length(d.text), 0.0) <= 0.15) AS keep
-FROM documents d
-LEFT JOIN top2 t2 USING (doc_id)
-LEFT JOIN top3 t3 USING (doc_id)
-LEFT JOIN dup5 d5 USING (doc_id)
-"""
-
-
-_WORDPIECE_CHARS = "abcdefghijklmno"
-_WORDPIECE_UNK_HASH = 3051026889  # piece_hash32("[UNK]")
-
-_WORDPIECE_STATS = f"""
-WITH RECURSIVE
-chars AS (SELECT UNNEST([{", ".join(repr(c) for c in _WORDPIECE_CHARS)}]) AS c),
-topw AS (
-  SELECT w FROM (
-    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
-    FROM documents) g
-  GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT 10
-),
-vocab AS (
-  SELECT c AS piece, c AS match_txt, 1 AS plen, TRUE AS is_raw FROM chars
-  UNION ALL
-  SELECT '##' || c, c, 1, FALSE FROM chars
-  UNION ALL
-  SELECT w, w, length(w)::INT, TRUE FROM topw
-),
-docs_words AS (
-  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
-  FROM documents
-),
-words AS (SELECT DISTINCT w FROM docs_words),
-pos AS (SELECT UNNEST(range(0, 32)) AS p),
-matches AS (
-  SELECT wo.w, po.p,
-         max_by(v.piece, v.plen) AS piece,
-         MAX(v.plen) AS plen
-  FROM words wo
-  JOIN pos po ON po.p < length(wo.w)
-  JOIN vocab v
-    ON v.is_raw = (po.p = 0)
-   AND substr(wo.w, po.p + 1, v.plen) = v.match_txt
-  WHERE length(wo.w) <= 32
-  GROUP BY wo.w, po.p
-),
-walk AS (
-  SELECT w, CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS n_pieces,
-         FALSE AS failed, CAST(0 AS BIGINT) AS hsum
-  FROM words WHERE length(w) <= 32
-  UNION ALL
-  SELECT k.w,
-         CASE WHEN m.piece IS NULL THEN length(k.w) ELSE k.p + m.plen END,
-         k.n_pieces + 1,
-         m.piece IS NULL,
-         k.hsum + CASE WHEN m.piece IS NULL THEN 0
-                       ELSE ('0x' || substr(md5(m.piece), 1, 8))::BIGINT END
-  FROM walk k LEFT JOIN matches m ON m.w = k.w AND m.p = k.p
-  WHERE k.p < length(k.w) AND NOT k.failed
-),
-word_res AS (
-  SELECT w,
-         CASE WHEN failed THEN 1 ELSE n_pieces END AS n_pieces,
-         CASE WHEN failed THEN 1 ELSE 0 END AS n_unk,
-         CASE WHEN failed THEN CAST({_WORDPIECE_UNK_HASH} AS BIGINT)
-              ELSE hsum END AS hsum
-  FROM walk WHERE p >= length(w)
-  UNION ALL
-  SELECT w, 1, 1, CAST({_WORDPIECE_UNK_HASH} AS BIGINT)
-  FROM words WHERE length(w) > 32
-),
-agg AS (
-  SELECT dw.doc_id,
-         CAST(COUNT(*) AS BIGINT) AS n_words,
-         CAST(SUM(r.n_pieces) AS BIGINT) AS n_pieces,
-         CAST(SUM(r.n_unk) AS BIGINT) AS n_unk,
-         CAST(MAX(r.n_pieces) AS BIGINT) AS max_word_pieces,
-         CAST(SUM(r.hsum) AS BIGINT) AS piece_hash_sum
-  FROM docs_words dw JOIN word_res r USING (w)
-  GROUP BY dw.doc_id
-)
-SELECT d.doc_id,
-       COALESCE(a.n_words, 0) AS n_words,
-       COALESCE(a.n_pieces, 0) AS n_pieces,
-       COALESCE(a.n_unk, 0) AS n_unk,
-       COALESCE(a.max_word_pieces, 0) AS max_word_pieces,
-       COALESCE(a.piece_hash_sum, 0) AS piece_hash_sum
-FROM documents d LEFT JOIN agg a USING (doc_id)
-"""
-
-
-@query("text_wordpiece_tokens", _WORDPIECE_STATS)
-def text_wordpiece_tokens_q(spark, sf_dir):
-    """WordPiece subword tokenization (operators/wordpiece.py — BERT's
-    greedy longest-match-first with whole-word [UNK] fallback and the
-    max-chars guard, r10): token budgets and packing lengths need a
-    REAL subword tokenizer, not the whitespace proxy.  The vocabulary
-    is corpus-derived and deterministic (a..o single chars in raw and
-    ## continuation form + the 10 most frequent words, count desc /
-    word asc — exact integer tie-break), so words with characters past
-    'o' that miss the whole-word table exercise the [UNK] path.  The
-    engine walks words in one Arrow pass (vocab + word memo in the
-    closure, BPE-bound driver traffic: 10 collected rows — a top-10
-    table on a 31-word synthetic vocabulary leaves two thirds of all
-    words to the multi-piece char walk, so longest-match, continuation
-    and [UNK] paths all execute under the driver hash); the oracle
-    replays the SAME maximal munch as a recursive CTE over
-    (word, position) states joined to the longest match per state —
-    the per-doc 32-bit piece-hash sum pins piece IDENTITY cross-engine,
-    not just counts."""
-    from cloud_optimized_data_pipelines_spark.operators.wordpiece import (
-        wordpiece_stats,
-        wordpiece_vocab_from_corpus,
-    )
-
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    vocab = wordpiece_vocab_from_corpus(
-        docs, "text", top_k=10, base_chars=_WORDPIECE_CHARS
-    )
-    return wordpiece_stats(docs, "doc_id", "text", vocab)
-
-
-@query("text_ngram_repetition", _NGRAM_REPETITION)
-def text_ngram_repetition_q(spark, sf_dir):
-    """Gopher repetition coverage (operators/quality.py::
-    ngram_repetition): top-2/top-3-gram and duplicate-5-gram character
-    fractions with the table-A1 thresholds.  All counts/lengths are
-    exact integers; the fractions are single final divisions, and the
-    top-gram tie-break (largest gram among max counts) makes
-    max(struct(cnt, gram)) deterministic cross-engine."""
-    from cloud_optimized_data_pipelines_spark.operators.quality import (
-        ngram_repetition,
-    )
-
-    t = load_tables(spark, sf_dir)
-    out = ngram_repetition(t["documents"], "doc_id", "text")
-    return out.select(
-        "doc_id", "top2_char_frac", "top3_char_frac", "dup5_char_frac", "keep"
-    )
-
-
-def _bm25_oracle(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
-    """Oracle mirroring operators/ranking.py::bm25_scores with the SAME
-    float-determinism discipline: integer aggregates into a fixed
-    expression tree (constants embedded at Python-double precision via
-    repr), avgdl as SUM/COUNT not AVG, per-term columns added in
-    sorted-term order."""
-    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
-    score_terms = " + ".join(
-        f"COALESCE(SUM(CASE WHEN term = '{t}' THEN sc END), 0.0)"
-        for t in sorted(set(terms))
-    )
-    return f"""
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
-  FROM documents
-),
-dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
-stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
-words AS (SELECT doc_id, UNNEST(tk) AS term FROM toks),
-tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-       FROM words WHERE term IN ({tlist}) GROUP BY doc_id, term),
-dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
-s AS (
-  SELECT t.doc_id, t.term,
-         round(ln((CAST(st.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
-                  / (CAST(f.df AS DOUBLE) + 0.5) + 1.0), 9)
-         * (CAST(t.tf AS DOUBLE) * {k1 + 1.0!r})
-         / (CAST(t.tf AS DOUBLE)
-            + {k1!r} * ({1.0 - b!r} + {b!r} * CAST(d.dl AS DOUBLE) / st.avgdl)) AS sc
-  FROM tf t
-  JOIN dfreq f USING (term)
-  JOIN dl d USING (doc_id)
-  CROSS JOIN stats st
-)
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, {score_terms} AS score
-FROM s GROUP BY doc_id
-"""
-
-
-_BM25_TERMS = ["spark", "table", "query", "window"]
-
-
-@query("text_bm25_scores", _bm25_oracle(_BM25_TERMS))
-def text_bm25_scores_q(spark, sf_dir):
-    """Okapi BM25 relevance of every document against a fixed 4-term
-    query (operators/ranking.py::bm25_scores) — the lexical-retrieval
-    baseline next to embedding similarity.  Bit-identical doubles by
-    construction: integer tf/df/N/dl aggregates, avgdl = SUM/COUNT,
-    fixed-order per-term addition."""
-    from cloud_optimized_data_pipelines_spark.operators.ranking import (
-        bm25_scores,
-    )
-
-    t = load_tables(spark, sf_dir)
-    return bm25_scores(t["documents"], "doc_id", "text", _BM25_TERMS)
-
-
-_BLOOM_GATED = """
-WITH inc AS (
-  SELECT doc_id, md5(COALESCE(text, '')) AS digest FROM documents
-  WHERE doc_id % 2 = 1 OR doc_id % 4 = 0
-),
-hist AS (
-  SELECT DISTINCT md5(COALESCE(text, '')) AS digest FROM documents
-  WHERE doc_id % 2 = 0
-),
-surv AS (
-  SELECT digest, CAST(MIN(doc_id) AS BIGINT) AS doc_id
-  FROM inc GROUP BY digest
-)
-SELECT doc_id, digest FROM surv
-WHERE digest NOT IN (SELECT digest FROM hist)
-"""
-
-
-@query("dedup_bloom_gated", _BLOOM_GATED)
-def dedup_bloom_gated_q(spark, sf_dir):
-    """Bloom-gated incremental exact dedup, batch form (the plan
-    ``streaming/dedup_stream.py::process_dedup_batch`` runs per
-    micro-batch, reference parity: the SQS-driven re-crawl loop in
-    `/root/reference/lambdas/cmr-query/handler.py` re-discovers already
-    -ingested granules every run): history = even doc_ids' digests,
-    incoming = odd doc_ids plus every multiple of 4 (so half the
-    incoming rows ARE duplicates and must be rejected).  The filter —
-    auto-sized from the history count (~1% FPR, power-of-two m) — is
-    probed first; digests it has definitely never seen (no false
-    negatives) skip the history anti-join entirely, so at crawl scale
-    the common all-new batch never touches the big digest table.  The
-    oracle is the PLAIN anti-join: the gate is a pure pre-filter, so
-    any divergence is a correctness bug, not tolerance."""
-    from cloud_optimized_data_pipelines_spark.operators.sketches import (
-        bloom_contains,
-        bloom_partial,
-    )
-    from cloud_optimized_data_pipelines_spark.streaming.dedup_stream import (
-        _auto_bloom_size,
-    )
-
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    digest = F.md5(F.coalesce(F.col("text"), F.lit("")))
-    hist = (
-        docs.filter(F.col("doc_id") % 2 == 0)
-        .select(digest.alias("digest"))
-        .distinct()
-    )
-    m, k = _auto_bloom_size(hist.count())
-    incoming = docs.filter(
-        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 4 == 0)
-    ).select("doc_id", digest.alias("digest"))
-    surv = incoming.groupBy("digest").agg(
-        F.min("doc_id").cast("long").alias("doc_id")
-    )
-    bloom = bloom_partial(hist, "digest", m_bits=m, k_hashes=k)
-    flagged = bloom_contains(bloom, surv, "digest", m_bits=m, k_hashes=k)
-    fresh = flagged.filter(~F.col("maybe_present")).drop("maybe_present")
-    checked = (
-        flagged.filter(F.col("maybe_present"))
-        .drop("maybe_present")
-        .join(hist, "digest", "left_anti")
-    )
-    return fresh.unionByName(checked).select("doc_id", "digest")
-
 
 # ---------------------------------------------------------------------------
 # Registration order.  The driver's correctness harness grades the FIRST
-# 50 registrations only.  Round-10 policy (VERDICT r9 tasks 1 + 7):
-# 4 slots to the never-driver-green entries (the r9 red-row
-# stac_item_raster, now bbox-string-serialized, plus the three r10
-# flagships: MS-ADPCM, WordPiece, arithmetic JPEG); 9 slots RE-PROVE
-# every query whose implementation changed this round (the CC
-# pre-contraction pair, the rebuilt DSIR pair, the vectorized-Rice
-# szip probe, the fused column profiler + guarded constraint suite,
-# and the two near-dup probes whose generator formulas gained the
-# b//251 decorrelation term — identity for graded variants, re-proven
-# anyway); 10 sweep the r3 staleness band (the rows the r9 rotation
-# deferred) and 15 sweep the ENTIRE r4 band; 2 ever-green anchors,
-# 5 core-pipeline keepers, and 5 r9-flagship family representatives
-# restored per the verdict.  Late-round swap: the three post-rotation
-# flagships (embedding outliers, the upgraded extract_features, the
-# portable HLL) take the slots of three r4 rows whose families keep
-# in-window representatives (j4/join via 5 join entries,
-# rollup_cascade via agg_rollup_supplier, payload_meta via the 5
-# multimodal probes) — the never-driver-green set ends the round
-# EMPTY and nothing driver-graded is older than r4.  Everything demoted stays registered and locally
-# oracle-checked at sf0.001/0.01/0.1 (tools/check_oracle.py covers all
-# entries; COVERAGE.md's ledger records each query's last driver-green
-# round) — the window only decides which rows the driver re-proves.
+# 50 registrations only.  Round-11 policy (VERDICT r10 task 3): 5 slots
+# to the never-driver-green r11 queries (MPEG-1 Layer II bitstream
+# probe, the compressed-domain audio near-dup, the scale-adaptive image
+# near-dup, the 5k-vocabulary WordPiece, the SOF10 progressive
+# arithmetic JPEG); 6 slots RE-PROVE every query whose implementation
+# or serialization changed this round (the two %.9f->integer-scaled
+# fixes, the DECIMAL moment sums, the MS-ADPCM header fix whose bytes
+# and md5 pins changed, the rice odd-J second-extension policy behind
+# the szip probe, and the arithmetic JPEG whose AC procedure gained
+# band parameters); 13 sweep ALL remaining r4+r5 ledger rows (the
+# VERDICT's staleness list verbatim); 7 anchors/core-pipeline keepers;
+# and 19 sweep the stalest r7 band with family representatives first.
+# After CORRECTNESS_r11 nothing driver-graded is older than r7, and the
+# r7 band shrinks from 41 rows to 22.  Everything demoted stays
+# registered and locally oracle-checked at sf0.001/0.01/0.1
+# (tools/check_oracle.py covers all entries; COVERAGE.md's ledger
+# records each query's last driver-green round).
 # ---------------------------------------------------------------------------
 
-_WORDPIECE_5K = f"""
-WITH RECURSIVE
-chars AS (SELECT UNNEST([{", ".join(repr(c) for c in "abcdefghijklmnopqrstuvwxyz")}]) AS c),
-topw AS (
-  SELECT w FROM (
-    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
-    FROM documents) g
-  GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT 5000
-),
-vocab AS (
-  SELECT c AS piece, c AS match_txt, 1 AS plen, TRUE AS is_raw FROM chars
-  UNION ALL
-  SELECT '##' || c, c, 1, FALSE FROM chars
-  UNION ALL
-  SELECT w, w, length(w)::INT, TRUE FROM topw
-),
-docs_words AS (
-  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
-  FROM documents
-),
-words AS (SELECT DISTINCT w FROM docs_words),
--- candidate (word, pos, len) states, then a HASH equi-join on the
--- substring text: at a 5k vocabulary the r10 theta-join (substr
--- computed against every vocab row) would be ~400M comparisons; this
--- shape is |words| x len x maxplen rows into a hash join
-lens AS (SELECT UNNEST(range(1, 1 + (SELECT MAX(plen) FROM vocab))) AS l),
-pos AS (SELECT UNNEST(range(0, 32)) AS p),
-matches AS (
-  SELECT w, p, max_by(piece, plen) AS piece, MAX(plen) AS plen
-  FROM (
-    SELECT wo.w, po.p, v.piece, v.plen
-    FROM words wo
-    JOIN pos po ON po.p < length(wo.w)
-    JOIN lens le ON le.l <= length(wo.w) - po.p
-    JOIN vocab v
-      ON v.match_txt = substr(wo.w, po.p + 1, le.l)
-     AND v.plen = le.l
-     AND v.is_raw = (po.p = 0)
-    WHERE length(wo.w) <= 32
-  ) c
-  GROUP BY w, p
-),
-walk AS (
-  SELECT w, CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS n_pieces,
-         FALSE AS failed, CAST(0 AS BIGINT) AS hsum
-  FROM words WHERE length(w) <= 32
-  UNION ALL
-  SELECT k.w,
-         CASE WHEN m.piece IS NULL THEN length(k.w) ELSE k.p + m.plen END,
-         k.n_pieces + 1,
-         m.piece IS NULL,
-         k.hsum + CASE WHEN m.piece IS NULL THEN 0
-                       ELSE ('0x' || substr(md5(m.piece), 1, 8))::BIGINT END
-  FROM walk k LEFT JOIN matches m ON m.w = k.w AND m.p = k.p
-  WHERE k.p < length(k.w) AND NOT k.failed
-),
-word_res AS (
-  SELECT w,
-         CASE WHEN failed THEN 1 ELSE n_pieces END AS n_pieces,
-         CASE WHEN failed THEN 1 ELSE 0 END AS n_unk,
-         CASE WHEN failed THEN CAST({_WORDPIECE_UNK_HASH} AS BIGINT)
-              ELSE hsum END AS hsum
-  FROM walk WHERE p >= length(w)
-  UNION ALL
-  SELECT w, 1, 1, CAST({_WORDPIECE_UNK_HASH} AS BIGINT)
-  FROM words WHERE length(w) > 32
-),
-agg AS (
-  SELECT dw.doc_id,
-         CAST(COUNT(*) AS BIGINT) AS n_words,
-         CAST(SUM(r.n_pieces) AS BIGINT) AS n_pieces,
-         CAST(SUM(r.n_unk) AS BIGINT) AS n_unk,
-         CAST(MAX(r.n_pieces) AS BIGINT) AS max_word_pieces,
-         CAST(SUM(r.hsum) AS BIGINT) AS piece_hash_sum
-  FROM docs_words dw JOIN word_res r USING (w)
-  GROUP BY dw.doc_id
-)
-SELECT d.doc_id,
-       COALESCE(a.n_words, 0) AS n_words,
-       COALESCE(a.n_pieces, 0) AS n_pieces,
-       COALESCE(a.n_unk, 0) AS n_unk,
-       COALESCE(a.max_word_pieces, 0) AS max_word_pieces,
-       COALESCE(a.piece_hash_sum, 0) AS piece_hash_sum
-FROM documents d LEFT JOIN agg a USING (doc_id)
-"""
-
-
-@query("text_wordpiece_vocab5k", _WORDPIECE_5K)
-def text_wordpiece_vocab5k_q(spark, sf_dir):
-    """WordPiece at a NON-TOY vocabulary (VERDICT r10 task 4): the
-    full a-z character base (raw + ## continuation) plus the 5000 most
-    frequent corpus words — the regime where the Arrow memo path's
-    dict-hit amortization actually matters (the r10 graded vocab was
-    30 entries).  Same engine operator, same per-doc stats with the
-    identity-pinning 32-bit piece-hash sum; the oracle's match stage
-    is restructured into a hash equi-join on (substring, length) so
-    the 5k vocabulary stays oracle-checkable.  Driver traffic: the
-    5000-row vocab collect (the BPE-loop bound, vocabulary-sized by
-    definition)."""
-    from cloud_optimized_data_pipelines_spark.operators.wordpiece import (
-        wordpiece_stats,
-        wordpiece_vocab_from_corpus,
-    )
-
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    vocab = wordpiece_vocab_from_corpus(
-        docs, "text", top_k=5000, base_chars="abcdefghijklmnopqrstuvwxyz"
-    )
-    return wordpiece_stats(docs, "doc_id", "text", vocab)
-
-
-def _mp2_features_oracle() -> str:
-    """Oracle for multimodal_mp2_features: the Layer II probe codes,
-    scalefactor indices and the collapsed dequant identity
-    sf * (2*code - levels + 1) / levels are all integer-derivable, so
-    the oracle REPLAYS the code formula + quantization tables in SQL
-    (non-circular: the engine's aggregates come from codes PARSED back
-    out of real Layer II frames) and pins the byte streams via md5
-    literals from a single-process run.  Table B.1 enters integer-
-    scaled (x1e6 literals) on both sides — no libm pow compared."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _mp2_sf9,
-        _mp2_variant,
-    )
-
-    rows = [_mp2_variant(v) for v in range(16)]
-    md5_case = (
-        "CASE d.doc_id % 16 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['mp2_md5']}'" for r in rows)
-        + " END"
-    )
-    sf9 = _mp2_sf9()
-    sf9_case = (
-        "CASE scfidx "
-        + " ".join(f"WHEN {i} THEN {s}" for i, s in enumerate(sf9))
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT unnest(range(0, 16)) AS v),
-base AS (
-  SELECT v.v, s.sb, t.t, v.v // 2 AS b,
-         CASE WHEN s.sb < 3 THEN 511 WHEN s.sb < 11 THEN 31
-              WHEN s.sb < 23 THEN 9 ELSE 3 END AS lv
-  FROM var v,
-       (SELECT unnest(range(0, 27)) AS sb) s,
-       (SELECT unnest(range(0, 72)) AS t) t
-),
-codes AS (
-  SELECT v, sb, t, lv,
-         CASE WHEN v % 2 = 1 AND sb = 0 AND t < 3
-              THEN (((t + 3*sb + 7*b + 1) * (sb + t + 2) + b) % lv + 1)
-                   % lv
-              ELSE ((t + 3*sb + 7*b + 1) * (sb + t + 2) + b) % lv
-         END AS c,
-         (2*sb + ((t % 36) // 12) + 3*(t // 36) + (sb + 5)*b) % 63
-           AS scfidx
-  FROM base
-),
-agg AS (
-  SELECT v, CAST(SUM(c) AS BIGINT) AS code_sum,
-         CAST(SUM(CAST(round(
-           CAST((2*c - lv + 1) * ({sf9_case}) AS DOUBLE) / lv
-         ) AS BIGINT)) AS BIGINT) AS e9_sum
-  FROM codes GROUP BY v
-),
-scfs AS (
-  SELECT v.v,
-         CAST(SUM((2*s.sb + p.p + 3*f.f + (s.sb + 5)*(v.v // 2)) % 63)
-              AS BIGINT) AS scf_sum
-  FROM var v,
-       (SELECT unnest(range(0, 27)) AS sb) s,
-       (SELECT unnest(range(0, 3)) AS p) p,
-       (SELECT unnest(range(0, 2)) AS f) f
-  GROUP BY v.v
-)
-SELECT d.doc_id,
-       d.doc_id % 16 AS variant,
-       {md5_case} AS mp2_md5,
-       CAST(2 AS BIGINT) AS n_frames,
-       CAST(192000 AS BIGINT) AS bitrate,
-       CAST(44100 AS BIGINT) AS sample_rate,
-       a.code_sum, s.scf_sum, a.e9_sum
-FROM documents d
-JOIN agg a ON a.v = d.doc_id % 16
-JOIN scfs s ON s.v = d.doc_id % 16
-"""
-
-
-@query("multimodal_mp2_features", _mp2_features_oracle)
-def multimodal_mp2_features_q(spark, sf_dir):
-    """REAL-bytes MPEG-1 Layer II probe (operators/mpeg_audio.py —
-    VERDICT r10 "What's missing #1", the largest honest multimodal
-    stub): per variant, formula-derived subband codes are packed into
-    actual Layer II frames (spec syntax end to end: header, table
-    B.2a allocation, scfsi, 6-bit scalefactors, grouped 3/9-level
-    triplets), the full bitstream is parsed BACK on executors with
-    code/scalefactor/allocation round-trip verified exactly, and the
-    graded aggregates derive from the PARSED values — so the driver
-    hash covers frame encode -> parse -> dequant identity.  The
-    requantization constants are closed-form (c = 2^nb/levels, d =
-    1-(levels-1)2^-nb reproduces Table B.4; the dequant collapses to
-    sf*(2c-L+1)/L), which is what makes a non-circular SQL oracle
-    possible.  PCM synthesis (the designed non-ISO window) is pytest-
-    bounded, not oracle-graded — see the module docstring for the
-    honest conformance story.  Broadcast probe; at 100 TB the
-    compressed-domain scan (codes + scalefactors, NO synthesis) rides
-    the binary column exactly like the other codec probes."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        mp2_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = mp2_probe_table(spark, 16)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 16).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "mp2_md5",
-        "n_frames",
-        "bitrate",
-        "sample_rate",
-        "code_sum",
-        "scf_sum",
-        "e9_sum",
-    )
-
-
-def _mp2_near_dup_oracle() -> str:
-    """Oracle for multimodal_audio_compressed_near_dup: the 120-bit
-    scalefactor fingerprint is pure integer arithmetic (bit =
-    scf-formula residue < 31), so the oracle recomputes every
-    fingerprint from the formula (non-circular: the engine's bits come
-    from scalefactors PARSED back out of real Layer II frames),
-    replays the band_geometry ladder from count(documents), and runs
-    the same banded join.  Byte streams pinned via md5 literals."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _mp2_scf_fp_variant,
-    )
-
-    rows = [_mp2_scf_fp_variant(v) for v in range(16)]
-    md5_case = (
-        "CASE v "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['mp2_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH geo AS (
-  SELECT n,
-         CASE WHEN n <= 4 THEN 10 WHEN n <= 16 THEN 12
-              WHEN n <= 128 THEN 15 WHEN n <= 4096 THEN 20
-              WHEN n <= 4194304 THEN 30 ELSE 60 END AS width
-  FROM (SELECT COUNT(*)::BIGINT AS n FROM documents)
-),
-geo2 AS (
-  SELECT n, width, 60 // width AS bpwd, 2 * (60 // width) AS num_bands
-  FROM geo
-),
-var AS (SELECT unnest(range(0, 16)) AS v),
-bits AS (
-  SELECT v.v, i.i,
-         CASE WHEN (2*(i.i // 6) + ((i.i % 6) % 3)
-                    + 3*((i.i % 6) // 3)
-                    + ((i.i // 6) + 5)*(v.v // 2)) % 63 < 31
-              THEN 1 ELSE 0 END AS bit
-  FROM var v, (SELECT unnest(range(0, 120)) AS i) i
-),
-wordsq AS (
-  SELECT v, i // 60 AS w,
-         SUM(bit * (1::BIGINT << (59 - (i % 60))))::BIGINT AS word
-  FROM bits GROUP BY 1, 2
-),
-bands AS (
-  SELECT w.v, w.w * t.bpwd + r.b AS band,
-         (w.word >> (r.b * t.width))
-           & ((1::BIGINT << t.width) - 1) AS val
-  FROM wordsq w CROSS JOIN geo2 t
-  JOIN (SELECT unnest(range(0, 6)) AS b) r ON r.b < t.bpwd
-),
-cand AS (
-  SELECT DISTINCT a.v AS va, b.v AS vb
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.val = b.val AND a.v < b.v
-),
-pairs AS (
-  SELECT c.va, c.vb,
-         SUM(bit_count(xor(wa.word, wb.word)))::BIGINT AS hamming
-  FROM cand c
-  JOIN wordsq wa ON wa.v = c.va
-  JOIN wordsq wb ON wb.v = c.vb AND wb.w = wa.w
-  GROUP BY 1, 2
-  HAVING SUM(bit_count(xor(wa.word, wb.word))) <= 3
-),
-md5s AS (SELECT v, {md5_case} AS m FROM var),
-cnt AS (SELECT doc_id % 16 AS v, count(*) AS n FROM documents GROUP BY 1)
-SELECT p.va AS variant_a, p.vb AS variant_b, p.hamming,
-       ma.m AS md5_a, mb.m AS md5_b,
-       ca.n AS docs_a, cb.n AS docs_b,
-       t.width AS fp_width, CAST(t.num_bands AS BIGINT) AS fp_bands
-FROM pairs p
-CROSS JOIN geo2 t
-JOIN md5s ma ON ma.v = p.va
-JOIN md5s mb ON mb.v = p.vb
-JOIN cnt ca ON ca.v = p.va
-JOIN cnt cb ON cb.v = p.vb
-"""
-
-
-@query("multimodal_audio_compressed_near_dup", _mp2_near_dup_oracle)
-def multimodal_audio_compressed_near_dup_q(spark, sf_dir):
-    """COMPRESSED-DOMAIN audio near-dup over real MPEG Layer II bytes
-    (VERDICT r10 tasks 1+2 composed): the 120-bit fingerprint is read
-    straight off the frames' scalefactor fields — parsed back from
-    real bitstreams on executors, NO synthesis filterbank anywhere —
-    and the pair join is the scale-adaptive banded-Hamming machinery
-    (band_geometry + banded_hamming_pairs), width derived from
-    count(documents).  Sibling variants differ only in subband codes,
-    so their scalefactor fingerprints collide at Hamming 0; bases are
-    decorrelated to min Hamming 45.  At 100 TB this is the audio-dedup
-    shape that matters: scalefactors are ~1 % of stream bytes, the
-    join sees (id, 2 BIGINT) rows, and candidates stay bounded by the
-    geometry ladder instead of exploding ~n^2/2^16."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        band_geometry,
-        banded_hamming_pairs,
-        mp2_scf_fingerprint_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    n = t["documents"].count()
-    _, _, width = band_geometry(n, max_hamming=3)
-    bpwd = 60 // width
-    bands = 2 * bpwd  # the fingerprint is fixed at 2 words (120 bits)
-    probe = mp2_scf_fingerprint_table(spark, 16)
-    pairs = banded_hamming_pairs(
-        probe, "variant", "fp",
-        num_bands=bands, width=width, max_hamming=3,
-    )
-    cnt = (
-        t["documents"]
-        .groupBy((F.col("doc_id") % 16).alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    meta = probe.select("variant", "mp2_md5")
-    return (
-        pairs.join(
-            F.broadcast(meta.select(
-                F.col("variant").alias("id_a"),
-                F.col("mp2_md5").alias("md5_a"),
-            )),
-            "id_a",
-        )
-        .join(
-            F.broadcast(meta.select(
-                F.col("variant").alias("id_b"),
-                F.col("mp2_md5").alias("md5_b"),
-            )),
-            "id_b",
-        )
-        .join(
-            F.broadcast(cnt.select(
-                F.col("v").alias("id_a"), F.col("n").alias("docs_a"))),
-            "id_a",
-        )
-        .join(
-            F.broadcast(cnt.select(
-                F.col("v").alias("id_b"), F.col("n").alias("docs_b"))),
-            "id_b",
-        )
-        .select(
-            F.col("id_a").alias("variant_a"),
-            F.col("id_b").alias("variant_b"),
-            "hamming",
-            "md5_a",
-            "md5_b",
-            "docs_a",
-            "docs_b",
-            F.lit(width).cast("long").alias("fp_width"),
-            F.lit(bands).cast("long").alias("fp_bands"),
-        )
-    )
-
-
-def _image_near_dup_adaptive_oracle() -> str:
-    """Oracle for multimodal_image_near_dup_adaptive: replays the
-    ENTIRE adaptive path in SQL — the integer band_geometry ladder
-    from count(documents), the wide aHash recomputed arithmetically
-    from the pixel formula at the geometry's grid, the dynamic-width
-    banding, the pigeonhole join and the popcount gate — so the
-    cross-engine hash covers the rule AND the machinery.  PNG byte
-    streams are pinned via md5 literals from a single-process run
-    (the _phash_pairs_oracle pattern)."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _phash_wide_variant,
-    )
-
-    rows = [_phash_wide_variant(v, 6, 10) for v in range(32)]
-    md5_case = (
-        "CASE v "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['png_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH geo AS (
-  SELECT n,
-         CASE WHEN n <= 4 THEN 10 WHEN n <= 16 THEN 12
-              WHEN n <= 128 THEN 15 WHEN n <= 4096 THEN 20
-              WHEN n <= 4194304 THEN 30 ELSE 60 END AS width
-  FROM (SELECT COUNT(*)::BIGINT AS n FROM documents)
-),
-geo2 AS (
-  SELECT n, width, 60 // width AS bpwd,
-         (4 + (60 // width) - 1) // (60 // width) AS words
-  FROM geo
-),
-geo3 AS (
-  SELECT *, words * bpwd AS num_bands,
-         CASE words WHEN 1 THEN 6 WHEN 2 THEN 12 WHEN 4 THEN 12
-              ELSE 24 END AS grows,
-         CASE words WHEN 1 THEN 10 WHEN 2 THEN 10 WHEN 4 THEN 20
-              ELSE 20 END AS gcols
-  FROM geo2
-),
-var AS (SELECT unnest(range(0, 32)) AS v),
-grid AS (
-  SELECT v, k,
-         CASE WHEN v % 2 = 1 AND (k // 40) < 4 AND (k % 40) < 4
-              THEN (((k + 13) * (k + 7 * (v // 2) + 1)) % 251 + 90) % 251
-              ELSE ((k + 13) * (k + 7 * (v // 2) + 1)) % 251 END AS s
-  FROM var, (SELECT unnest(range(0, 1920)) AS k) g
-),
-tot AS (SELECT v, SUM(s) AS total FROM grid GROUP BY v),
-blocks AS (
-  SELECT g.v,
-         ((g.k // 40) // (48 // t.grows)) * t.gcols
-           + ((g.k % 40) // (40 // t.gcols)) AS idx,
-         SUM(g.s) AS bs
-  FROM grid g CROSS JOIN geo3 t
-  GROUP BY 1, 2
-),
-wordsq AS (
-  SELECT b.v, b.idx // 60 AS w,
-         SUM(CASE WHEN b.bs * (t.grows * t.gcols) >= tt.total
-                  THEN (1::BIGINT << (59 - (b.idx % 60)))
-                  ELSE 0 END)::BIGINT AS word
-  FROM blocks b CROSS JOIN geo3 t JOIN tot tt USING (v)
-  GROUP BY 1, 2
-),
-bands AS (
-  SELECT w.v, w.w * t.bpwd + r.b AS band,
-         (w.word >> (r.b * t.width))
-           & ((1::BIGINT << t.width) - 1) AS val
-  FROM wordsq w CROSS JOIN geo3 t
-  JOIN (SELECT unnest(range(0, 6)) AS b) r ON r.b < t.bpwd
-),
-cand AS (
-  SELECT DISTINCT a.v AS va, b.v AS vb
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.val = b.val AND a.v < b.v
-),
-pairs AS (
-  SELECT c.va, c.vb,
-         SUM(bit_count(xor(wa.word, wb.word)))::BIGINT AS hamming
-  FROM cand c
-  JOIN wordsq wa ON wa.v = c.va
-  JOIN wordsq wb ON wb.v = c.vb AND wb.w = wa.w
-  GROUP BY 1, 2
-  HAVING SUM(bit_count(xor(wa.word, wb.word))) <= 3
-),
-md5s AS (SELECT v, {md5_case} AS m FROM var),
-cnt AS (SELECT doc_id % 32 AS v, count(*) AS n FROM documents GROUP BY 1)
-SELECT p.va AS variant_a, p.vb AS variant_b, p.hamming,
-       ma.m AS md5_a, mb.m AS md5_b,
-       ca.n AS docs_a, cb.n AS docs_b,
-       t.width AS fp_width, CAST(t.num_bands AS BIGINT) AS fp_bands
-FROM pairs p
-CROSS JOIN geo3 t
-JOIN md5s ma ON ma.v = p.va
-JOIN md5s mb ON mb.v = p.vb
-JOIN cnt ca ON ca.v = p.va
-JOIN cnt cb ON cb.v = p.vb
-"""
-
-
-@query("multimodal_image_near_dup_adaptive", _image_near_dup_adaptive_oracle)
-def multimodal_image_near_dup_adaptive_q(spark, sf_dir):
-    """Scale-ADAPTIVE perceptual-hash image dedup (operators/
-    multimodal.py::band_geometry + ahash_wide + banded_hamming_pairs —
-    VERDICT r10 "What's wrong #1"): band width is DERIVED from the
-    corpus size by an all-integer ladder (n<=4096 -> 20-bit bands,
-    n<=4.2M -> 30-bit, beyond -> 60-bit), and the fingerprint grows
-    (more 60-bit words) so the pigeonhole floor bands >= h+1 never
-    costs recall — candidates per item per band stay under 2^-8 by
-    construction instead of exploding ~n^2/2^16 like the fixed 4x16
-    scheme.  32 variants (16 engineered near-dup pairs) run the real
-    PNG encode->decode->wide-aHash chain on executors; the oracle
-    recomputes hashes from the pixel formula arithmetically and
-    replays the geometry ladder from count(documents), so the driver
-    hash grades BOTH the adaptive rule and the join.  The geometry is
-    surfaced (fp_width/fp_bands) and differs across SFs: sf0.001
-    picks 6x20-bit bands, sf0.01/0.1 pick 4x30-bit."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        band_geometry,
-        banded_hamming_pairs,
-        phash_wide_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    n = t["documents"].count()
-    words, bands, width = band_geometry(n, max_hamming=3)
-    probe = phash_wide_probe_table(spark, 32, words)
-    pairs = banded_hamming_pairs(
-        probe, "variant", "fp",
-        num_bands=bands, width=width, max_hamming=3,
-    )
-    cnt = (
-        t["documents"]
-        .groupBy((F.col("doc_id") % 32).alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    meta = probe.select("variant", "png_md5")
-    return (
-        pairs.join(
-            F.broadcast(meta.select(
-                F.col("variant").alias("id_a"), F.col("png_md5").alias("md5_a")
-            )),
-            "id_a",
-        )
-        .join(
-            F.broadcast(meta.select(
-                F.col("variant").alias("id_b"), F.col("png_md5").alias("md5_b")
-            )),
-            "id_b",
-        )
-        .join(
-            F.broadcast(cnt.select(
-                F.col("v").alias("id_a"), F.col("n").alias("docs_a"))),
-            "id_a",
-        )
-        .join(
-            F.broadcast(cnt.select(
-                F.col("v").alias("id_b"), F.col("n").alias("docs_b"))),
-            "id_b",
-        )
-        .select(
-            F.col("id_a").alias("variant_a"),
-            F.col("id_b").alias("variant_b"),
-            "hamming",
-            "md5_a",
-            "md5_b",
-            "docs_a",
-            "docs_b",
-            F.lit(width).cast("long").alias("fp_width"),
-            F.lit(bands).cast("long").alias("fp_bands"),
-        )
-    )
-
-
 _GRADED_WINDOW = [
-    # --- never driver-green (first-ever rows) ---
-    "stac_item_raster",            # r9 red on bbox serialization; fixed
-    "multimodal_wav_ms_adpcm",     # r10: MS-ADPCM tag-2 decode
-    "text_wordpiece_tokens",       # r10: WordPiece maximal munch
-    "multimodal_jpeg_arithmetic",  # r10: T.81 Annex D QM-coder
-    # --- changed-implementation re-proves (r10 perf/structure work) ---
-    "split_leakage_safe",          # CC pre-contraction + range dedup
-    "dedup_duplicate_clusters",    # same CC path
-    "sample_dsir_weights",         # Arrow features + integer weight sum
-    "sample_dsir_select",          # derives from the same stage
-    "k1_cogify_szip",              # vectorized CCSDS-121 Rice codec
-    "quality_column_profiles",     # fused single-scan histograms
-    "quality_constraint_report",   # empty-rules guard (same agg pass)
-    "multimodal_phash_pairs",      # raster formula b//251 term
-    "multimodal_video_near_dup",   # frame formula b//251 term
-    # --- staleness sweep: the 10 remaining r3 rows ---
-    "agg_modern_functions",
-    "agg_percentiles",
-    "agg_distinct_by_segment",
-    "agg_grouping_sets_orders",
-    "events_json_extract",
-    "events_hourly_window",
-    "unpivot_part_metrics",
-    "set_ops_customers",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    # --- r10 late flagships (never driver-graded) ---
-    "similarity_embedding_outliers",
-    "multimodal_extract_features",
-    "sketch_hll_portable",
-    # --- staleness sweep: the r4 band (12 of 15; see swap note) ---
-    "agg_rollup_supplier",
-    "asof_join_last_click",
-    "dedup_exact",
-    "dedup_incremental",
-    "events_retention_cohorts",
-    "join_semi_anti_customers",
-    "similarity_ann_topk",
-    "sketch_quantile_sample",
-    "text_lang_id",
-    "text_quality",
-    "text_train_val_split",
-    "window_topk_per_customer",
-    # --- ever-green anchors ---
+    # --- never driver-green (the five r11 queries) ---
+    "multimodal_mp2_features",            # MPEG-1 Layer II bitstream
+    "multimodal_audio_compressed_near_dup",  # scf fp + adaptive bands
+    "multimodal_image_near_dup_adaptive",  # band_geometry ladder
+    "text_wordpiece_vocab5k",             # non-toy vocabulary
+    "multimodal_jpeg_arith_progressive",  # T.81 Annex G SOF10
+    # --- changed-implementation re-proves (r11 edits) ---
+    "multimodal_extract_features",  # integer-scaled serialization
+    "stac_item_raster",             # bbox integer-scaled
+    "similarity_embedding_outliers",  # DECIMAL(38,0) moments
+    "multimodal_wav_ms_adpcm",      # byte-rate header fix (new md5s)
+    "k1_cogify_szip",               # rice odd-J SE policy
+    "multimodal_jpeg_arithmetic",   # shared AC band refactor
+    # --- staleness sweep: ALL remaining r4 + r5 ledger rows ---
+    "j4_collection_join",
+    "multimodal_payload_meta",
+    "rollup_cascade_daily",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q18_large_volume_customer",
+    "q21_waiting_supplier",
+    "dedup_lsh_survivors",
+    "dedup_substring_spans",
+    "sample_cap_per_source",
+    "multimodal_png_features",
+    "multimodal_wav_features",
+    "text_unigram_logprob",
+    # --- ever-green anchors + core-pipeline keepers ---
     "c1_extract_dates",
     "streaming_dlq_routing",
-    # --- core-pipeline keepers ---
     "s2_discovery_enrich",
     "s4_link_explode",
     "j1_config_join",
     "k2_spill_flag",
     "pipeline_corpus_preprocess",
-    # --- r9 flagship family representatives (verdict task 7) ---
-    "similarity_pq_topk",
-    "similarity_ivfpq_topk",
-    "text_classifier_train",
-    "similarity_ivf_topk",
-    "multimodal_audio_near_dup",
+    # --- staleness sweep: 19 of the 41 r7 rows (family reps first:
+    # the cogify/rice chain, the core transfer plan, dedup/similarity/
+    # text/graph representatives) ---
+    "k1_cogify_real_bytes",
+    "k1_cogify_stage",
+    "k3_transfer_plan",
+    "a3_collection_extent",
+    "c4_item_id",
+    "dedup_lines",
+    "dedup_lsh_clusters",
+    "dedup_ngram_containment",
+    "dedup_simhash_pairs",
+    "similarity_bruteforce_topk",
+    "similarity_semantic_dedup",
+    "similarity_knn_join",
+    "text_gopher_quality",
+    "text_bigram_backoff",
+    "text_c4_clean",
+    "graph_pagerank_events",
+    "events_drift_psi",
+    "privacy_k_anonymous",
+    "rollup_hourly_merge",
 ]
 
 

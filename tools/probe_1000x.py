@@ -106,6 +106,7 @@ def main() -> None:
         "neardup",
         "adaptive",
         "wordpiece",
+        "corpus",
     }
     spark = get_spark("probe-1000x")
     spark.sparkContext.setLogLevel("ERROR")
@@ -608,6 +609,88 @@ def main() -> None:
                 f" ratio={cf / max(ca, 0.01):.0f}x",
                 flush=True,
             )
+
+    if "corpus" in want:
+        # r11 (VERDICT r10 task 6): the composed 4-stage corpus
+        # pipeline end-to-end at 500k and 5M docs — per-stage wall
+        # times (each stage forced independently), the one-lazy-plan
+        # composition, and the survivorship counts cross-checked
+        # against an independent staged aggregation (expected selected
+        # = sum over sources of min(eligible, cap)).
+        from cloud_optimized_data_pipelines_spark.functions.text import (
+            detect_language,
+        )
+        from cloud_optimized_data_pipelines_spark.operators.quality import (
+            gopher_quality_flags,
+        )
+        from cloud_optimized_data_pipelines_spark.plans.corpus import (
+            corpus_preprocess,
+        )
+
+        CAP = 1000
+        # PLAIN replicas (not --perturb): the tag-suffixed perturbed
+        # text defeats the language heuristic (every word carries
+        # '_rNN'), and plain replication is exactly the crawl-duplicate
+        # regime the exact-dedup stage exists for.
+        docs100p = spark.read.parquet(
+            "/tmp/scale100plain/documents.parquet"
+        )
+        docs1000p = spark.read.parquet(
+            "/tmp/scale1000plain/documents.parquet"
+        )
+        for label, docs in (("500k", docs100p), ("5M", docs1000p)):
+            t(
+                f"corpus stage lang {label}",
+                lambda d=docs: d.filter(
+                    detect_language(F.col("text")) == "en"
+                ).count(),
+            )
+            t(
+                f"corpus stage exact-dedup {label}",
+                lambda d=docs: d.withColumn("_h", F.md5("text"))
+                .groupBy("_h")
+                .agg(F.min("doc_id"))
+                .count(),
+            )
+            t(
+                f"corpus stage quality {label}",
+                lambda d=docs: gopher_quality_flags(d, "doc_id", "text")
+                .filter(F.col("keep"))
+                .count(),
+            )
+            out = corpus_preprocess(docs, max_per_source=CAP)
+            row = t(
+                f"corpus composed e2e {label}",
+                lambda o=out: o.agg(
+                    F.count(F.lit(1)).alias("total"),
+                    F.sum(F.col("lang_ok").cast("long")).alias("lang"),
+                    F.sum(F.col("is_canonical").cast("long")).alias(
+                        "canon"
+                    ),
+                    F.sum(F.col("quality_ok").cast("long")).alias("qual"),
+                    F.sum(F.col("eligible").cast("long")).alias("elig"),
+                    F.sum(F.col("selected").cast("long")).alias("sel"),
+                ).collect()[0],
+            )
+            # independent staged cross-check of the cap stage
+            expected_sel = (
+                out.filter(F.col("eligible"))
+                .groupBy("source")
+                .count()
+                .agg(F.sum(F.least(F.col("count"), F.lit(CAP))))
+                .collect()[0][0]
+            ) or 0
+            ok = expected_sel == row["sel"]
+            print(
+                f"PROBE corpus survivorship {label}: total={row['total']}"
+                f" lang={row['lang']} canon={row['canon']}"
+                f" quality={row['qual']} eligible={row['elig']}"
+                f" selected={row['sel']}"
+                f" staged_expected_selected={expected_sel}"
+                f" MATCH={ok}",
+                flush=True,
+            )
+            assert ok, "cap stage diverges from the staged aggregation"
 
     if "wordpiece" in want:
         # r11 (VERDICT r10 task 4): a BERT-realistic 30k-entry corpus-
