@@ -189,6 +189,9 @@ ADDITIONS_R11 = [
     "text_wordpiece_vocab5k",
     # T.81 Annex G progressive arithmetic JPEG (SOF10)
     "multimodal_jpeg_arith_progressive",
+    # ISO BMFF container round trip + compressed-domain stream walk
+    "multimodal_mp4_container",
+    "multimodal_mpeg_stream_info",
     # (the serialization-fixed queries — extract_features, stac_item_
     # raster, embedding_outliers — already ride the R9/R10 batches)
 ]

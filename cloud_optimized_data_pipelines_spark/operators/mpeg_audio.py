@@ -56,6 +56,8 @@ BITRATES_L1 = (0, 32, 64, 96, 128, 160, 192, 224,
                256, 288, 320, 352, 384, 416, 448)
 BITRATES_L2 = (0, 32, 48, 56, 64, 80, 96, 112,
                128, 160, 192, 224, 256, 320, 384)
+BITRATES_L3 = (0, 32, 40, 48, 56, 64, 80, 96,
+               112, 128, 160, 192, 224, 256, 320)
 SAMPLE_RATES = (44100, 48000, 32000)
 
 # Table B.1: 63 scalefactors, 2 * 2^(-idx/3)
@@ -186,13 +188,8 @@ def parse_header(data: bytes, off: int = 0) -> dict:
     layer = {0b11: 1, 0b10: 2, 0b01: 3}.get((h >> 17) & 3)
     if layer is None:
         raise ValueError("mpeg: reserved layer bits")
-    if layer == 3:
-        raise NotImplementedError(
-            "mpeg: Layer III needs its 32 tabulated Huffman tables — "
-            "pure data with no public derivation; not implemented"
-        )
     crc = ((h >> 16) & 1) == 0
-    table = BITRATES_L1 if layer == 1 else BITRATES_L2
+    table = {1: BITRATES_L1, 2: BITRATES_L2, 3: BITRATES_L3}[layer]
     br_idx = (h >> 12) & 0xF
     sr_idx = (h >> 10) & 3
     if br_idx in (0, 15) or sr_idx == 3:
@@ -204,7 +201,7 @@ def parse_header(data: bytes, off: int = 0) -> dict:
     if layer == 1:
         frame_bytes = (12 * bitrate // sample_rate + padding) * 4
         spf = 384
-    else:
+    else:  # layers II and III share the 144*bitrate/rate frame size
         frame_bytes = 144 * bitrate // sample_rate + padding
         spf = 1152
     return {
@@ -341,6 +338,13 @@ def decode_frame_subbands(data: bytes, off: int = 0):
     stereo raises a named error."""
     hdr = parse_header(data, off)
     ch = hdr["channels"]
+    if hdr["layer"] == 3:
+        raise NotImplementedError(
+            "mpeg: Layer III sample decode needs its 32 tabulated "
+            "Huffman tables — pure data with no public derivation; "
+            "headers/stream walk ARE supported (parse_header, "
+            "stream_info)"
+        )
     if hdr["mode"] == 0b01:
         raise NotImplementedError(
             "mpeg: joint (intensity) stereo not implemented"
@@ -625,3 +629,53 @@ def decode_mpeg_audio(data: bytes) -> tuple[np.ndarray, int]:
         np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16),
         rate,
     )
+
+
+def stream_info(data: bytes) -> dict:
+    """Compressed-domain MPEG audio stream metadata from the frame
+    walk alone — no entropy decode, so it works for Layer III (real
+    crawl MP3s) exactly as for I/II: frame count, per-layer/bitrate
+    histogram, VBR flag, exact sample count and duration.
+
+    duration_ms is integer-exact: samples * 1000 // rate (both engines
+    compute it identically).  A truncated final frame is tolerated
+    (crawl files often are) and reported via ``truncated``."""
+    n_frames = 0
+    total_samples = 0
+    bitrates: dict[int, int] = {}
+    layer = None
+    rate = None
+    mode = None
+    truncated = False
+    off = 0
+    while off + 4 <= len(data):
+        try:
+            hdr = parse_header(data, off)
+        except ValueError:
+            break
+        if off + hdr["frame_bytes"] > len(data):
+            truncated = True
+            break
+        layer = hdr["layer"] if layer is None else layer
+        rate = hdr["sample_rate"] if rate is None else rate
+        mode = hdr["mode"] if mode is None else mode
+        bitrates[hdr["bitrate"]] = bitrates.get(hdr["bitrate"], 0) + 1
+        total_samples += hdr["samples_per_frame"]
+        n_frames += 1
+        off += hdr["frame_bytes"]
+    if n_frames == 0:
+        raise ValueError("mpeg: no decodable frame headers")
+    return {
+        "layer": layer,
+        "sample_rate": rate,
+        "channels": 1 if mode == 0b11 else 2,
+        "n_frames": n_frames,
+        "total_samples": total_samples,
+        "duration_ms": total_samples * 1000 // rate,
+        "is_vbr": len(bitrates) > 1,
+        "n_bitrates": len(bitrates),
+        "min_bitrate": min(bitrates),
+        "max_bitrate": max(bitrates),
+        "stream_bytes": off,
+        "truncated": truncated,
+    }

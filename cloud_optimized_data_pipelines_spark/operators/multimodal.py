@@ -2491,3 +2491,138 @@ def jpeg_arith_prog_probe_table(spark, variants: int = 8) -> DataFrame:
     return spark.range(int(variants)).mapInPandas(
         gen, JPEG_ARITH_PROG_PROBE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# MP4 container + MPEG stream-walk probes (r11)
+# ---------------------------------------------------------------------------
+
+MP4_PROBE_SCHEMA = (
+    "variant bigint, mp4_md5 string, brand string, n_samples bigint, "
+    "width bigint, height bigint, duration bigint, "
+    "sample_bytes_sum bigint, payload_sum bigint"
+)
+
+
+def _mp4_sample(v: int, i: int) -> bytes:
+    sz = 20 + ((v + i) % 9) * 3
+    return bytes((v * 31 + i * 7 + j * 3) % 251 for j in range(sz))
+
+
+def _mp4_variant(v: int) -> dict:
+    """One deterministic MP4 container round trip (operators/
+    mp4_codec.py — ISO/IEC 14496-12 box walk + sample tables): formula
+    payloads packed under a real ftyp/mdat/moov layout (uneven final
+    chunk exercises the stsc run resolution), parsed back, and the
+    extracted samples verified BYTE-EXACT against the formula on the
+    executor; payload_sum comes from the EXTRACTED bytes, so an oracle
+    recomputing it arithmetically checks the whole stsc/stco/stsz
+    resolution non-circularly."""
+    from cloud_optimized_data_pipelines_spark.operators.mp4_codec import (
+        encode_mp4,
+        extract_samples,
+        parse_mp4,
+    )
+
+    n = 8 + v % 5
+    samples = [_mp4_sample(v, i) for i in range(n)]
+    mp4 = encode_mp4(
+        samples,
+        timescale=90_000,
+        sample_delta=3_000 + v,
+        width=64 + v,
+        height=48,
+        samples_per_chunk=4,
+    )
+    info = parse_mp4(mp4)
+    (tr,) = info["tracks"]
+    got = extract_samples(mp4, tr)
+    if got != samples:  # pragma: no cover - codec guard
+        raise RuntimeError(f"mp4 variant {v}: sample round-trip mismatch")
+    return {
+        "variant": v,
+        "mp4_md5": hashlib.md5(mp4).hexdigest(),
+        "brand": info["brand"],
+        "n_samples": tr["n_samples"],
+        "width": tr["width"],
+        "height": tr["height"],
+        "duration": tr["duration"],
+        "sample_bytes_sum": sum(tr["sample_sizes"]),
+        "payload_sum": sum(sum(s) for s in got),
+    }
+
+
+def mp4_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([_mp4_variant(int(x)) for x in pdf["id"]])
+
+    return spark.range(int(variants)).mapInPandas(gen, MP4_PROBE_SCHEMA)
+
+
+MPEG_STREAM_PROBE_SCHEMA = (
+    "variant bigint, mpeg_md5 string, n_frames bigint, "
+    "total_samples bigint, duration_ms bigint, is_vbr boolean, "
+    "n_bitrates bigint, min_bitrate bigint, max_bitrate bigint, "
+    "stream_bytes bigint"
+)
+
+
+def _mpeg_stream_variant(v: int) -> dict:
+    """One deterministic MPEG stream walk (operators/mpeg_audio.py::
+    stream_info — the compressed-domain metadata pass that works for
+    Layer III crawl MP3s exactly as for I/II): fa 192 kbps Layer II
+    frames followed by fb 256 kbps frames (fb > 0 = a VBR stream),
+    real frames from formula codes, walked back by stream_info; every
+    output is integer-derivable so the oracle replays the frame-size
+    arithmetic non-circularly."""
+    from cloud_optimized_data_pipelines_spark.operators.mpeg_audio import (
+        encode_frame_l2_codes,
+        stream_info,
+    )
+
+    alloc = _mp2_alloc()
+    fa = 2 + v % 3
+    fb = v % 2
+    frames = []
+    for k, br in [(i, 192) for i in range(fa)] + [
+        (fa + i, 256) for i in range(fb)
+    ]:
+        codes = np.zeros((27, 36), np.int64)
+        scf = np.zeros((27, 3), np.int64)
+        for sb in range(27):
+            for t36 in range(36):
+                codes[sb, t36] = _mp2_codes(v, sb, (k * 36 + t36) % 72)
+            for p in range(3):
+                scf[sb, p] = _mp2_scf(v, sb, p, k % 2)
+        frames.append(
+            encode_frame_l2_codes(codes, alloc, scf, 44100, br)
+        )
+    mpeg = b"".join(frames)
+    info = stream_info(mpeg)
+    if info["n_frames"] != fa + fb or info["truncated"]:
+        raise RuntimeError(f"mpeg stream variant {v}: walk mismatch")
+    return {
+        "variant": v,
+        "mpeg_md5": hashlib.md5(mpeg).hexdigest(),
+        "n_frames": info["n_frames"],
+        "total_samples": info["total_samples"],
+        "duration_ms": info["duration_ms"],
+        "is_vbr": info["is_vbr"],
+        "n_bitrates": info["n_bitrates"],
+        "min_bitrate": info["min_bitrate"],
+        "max_bitrate": info["max_bitrate"],
+        "stream_bytes": info["stream_bytes"],
+    }
+
+
+def mpeg_stream_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_mpeg_stream_variant(int(x)) for x in pdf["id"]]
+            )
+
+    return spark.range(int(variants)).mapInPandas(
+        gen, MPEG_STREAM_PROBE_SCHEMA
+    )

@@ -589,3 +589,155 @@ def multimodal_image_near_dup_adaptive_q(spark, sf_dir):
     )
 
 
+
+
+def _mp4_container_oracle() -> str:
+    """Oracle for multimodal_mp4_container: every output is integer-
+    derivable from the probe formulas (sample i size = 20+((v+i)%9)*3,
+    payload byte j = (v*31+i*7+j*3)%251), so the oracle recomputes the
+    byte and size sums ARITHMETICALLY — non-circular, because the
+    engine's sums come from samples EXTRACTED back out of the real
+    container via the stsc/stco/stsz resolution.  Container bytes are
+    pinned via md5 literals from a single-process run."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _mp4_variant,
+    )
+
+    rows = [_mp4_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['mp4_md5']}'" for r in rows)
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
+meta AS (SELECT v, 8 + v % 5 AS n FROM var),
+sizes AS (
+  SELECT m.v, i.i, 20 + ((m.v + i.i) % 9) * 3 AS sz
+  FROM meta m JOIN (SELECT unnest(range(0, 12)) AS i) i ON i.i < m.n
+),
+payload AS (
+  SELECT s.v,
+         CAST(SUM((s.v * 31 + s.i * 7 + j.j * 3) % 251) AS BIGINT)
+           AS payload_sum
+  FROM sizes s
+  JOIN (SELECT unnest(range(0, 44)) AS j) j ON j.j < s.sz
+  GROUP BY s.v
+),
+agg AS (
+  SELECT v, CAST(SUM(sz) AS BIGINT) AS sample_bytes_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_samples
+  FROM sizes GROUP BY v
+)
+SELECT d.doc_id, d.doc_id % 8 AS variant,
+       {md5_case} AS mp4_md5,
+       'isom' AS brand,
+       a.n_samples,
+       CAST(64 + d.doc_id % 8 AS BIGINT) AS width,
+       CAST(48 AS BIGINT) AS height,
+       CAST((3000 + d.doc_id % 8) * a.n_samples AS BIGINT) AS duration,
+       a.sample_bytes_sum,
+       p.payload_sum
+FROM documents d
+JOIN agg a ON a.v = d.doc_id % 8
+JOIN payload p ON p.v = d.doc_id % 8
+"""
+
+
+@query("multimodal_mp4_container", _mp4_container_oracle)
+def multimodal_mp4_container_q(spark, sf_dir):
+    """REAL-bytes MP4 / ISO BMFF container round trip (operators/
+    mp4_codec.py — 14496-12 box walk, mvhd/tkhd/mdhd/hdlr metadata,
+    stsd/stts/stsz/stsc/stco sample tables, per-sample byte
+    extraction): the container layer a crawl pipeline reads BEFORE any
+    pixel work — routing, duration screens, sample-size fingerprints.
+    Per variant, formula payloads are packed under a spec-valid
+    ftyp/mdat/moov layout (uneven final chunk exercises the stsc run
+    resolution), parsed back on executors, extraction verified
+    byte-exact; payload_sum derives from the EXTRACTED bytes, so the
+    driver hash covers the whole sample-table resolution.  H.264
+    payload decode stays a named error (a real video stack is not
+    implementable from-scratch here) — the container layer is what
+    100 TB metadata/fingerprint scans actually need.  Broadcast
+    per-variant probe."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        mp4_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = mp4_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id", "variant", "mp4_md5", "brand", "n_samples",
+        "width", "height", "duration", "sample_bytes_sum", "payload_sum",
+    )
+
+
+def _mpeg_stream_info_oracle() -> str:
+    """Oracle for multimodal_mpeg_stream_info: frame-size arithmetic
+    replayed from the spec formula (144 * bitrate // 44100: 626 bytes
+    at 192 kbps, 835 at 256), duration from exact integer sample
+    counts — non-circular vs the engine's walk over real frame bytes.
+    Streams pinned via md5 literals."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _mpeg_stream_variant,
+    )
+
+    rows = [_mpeg_stream_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(
+            f"WHEN {r['variant']} THEN '{r['mpeg_md5']}'" for r in rows
+        )
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
+meta AS (
+  SELECT v, 2 + v % 3 AS fa, v % 2 AS fb FROM var
+)
+SELECT d.doc_id, d.doc_id % 8 AS variant,
+       {md5_case} AS mpeg_md5,
+       CAST(m.fa + m.fb AS BIGINT) AS n_frames,
+       CAST(1152 * (m.fa + m.fb) AS BIGINT) AS total_samples,
+       CAST(1152 * (m.fa + m.fb) * 1000 // 44100 AS BIGINT)
+         AS duration_ms,
+       m.fb = 1 AS is_vbr,
+       CAST(1 + m.fb AS BIGINT) AS n_bitrates,
+       CAST(192000 AS BIGINT) AS min_bitrate,
+       CAST(192000 + 64000 * m.fb AS BIGINT) AS max_bitrate,
+       CAST(m.fa * 626 + m.fb * 835 AS BIGINT) AS stream_bytes
+FROM documents d
+JOIN meta m ON m.v = d.doc_id % 8
+"""
+
+
+@query("multimodal_mpeg_stream_info", _mpeg_stream_info_oracle)
+def multimodal_mpeg_stream_info_q(spark, sf_dir):
+    """Compressed-domain MPEG audio STREAM WALK (operators/
+    mpeg_audio.py::stream_info): frame count, exact sample count and
+    integer duration, VBR detection and the bitrate histogram read
+    from frame headers alone — the metadata pass that works for Layer
+    III crawl MP3s exactly as for Layers I/II, since no entropy decode
+    happens (Layer III headers now PARSE; only its Huffman sample
+    decode stays the named error).  Variants mix 192- and 256-kbps
+    real Layer II frames so VBR streams ride the driver hash; the
+    oracle replays the spec's frame-size arithmetic non-circularly.
+    Broadcast per-variant probe; at 100 TB this scan reads ~4 header
+    bytes per frame."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        mpeg_stream_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = mpeg_stream_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id", "variant", "mpeg_md5", "n_frames", "total_samples",
+        "duration_ms", "is_vbr", "n_bitrates", "min_bitrate",
+        "max_bitrate", "stream_bytes",
+    )

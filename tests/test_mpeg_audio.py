@@ -71,10 +71,14 @@ def test_header_roundtrip_and_named_errors():
     h = parse_header(fr)
     assert (h["layer"], h["bitrate"], h["sample_rate"]) == (2, 128000, 48000)
     assert h["frame_bytes"] == 144 * 128000 // 48000
-    # layer III -> named error naming the Huffman-table reason
+    # layer III: the HEADER parses (stream walk works on real MP3s) —
+    # only sample decode raises the Huffman-table named error
     l3 = bytes([0xFF, 0xFB, 0x90, 0x00])
+    h3 = parse_header(l3)
+    assert h3["layer"] == 3 and h3["bitrate"] == 128000
+    assert h3["frame_bytes"] == 144 * 128000 // 44100
     with pytest.raises(NotImplementedError, match="Huffman"):
-        parse_header(l3)
+        decode_frame_subbands(l3 + b"\x00" * 512)
     # MPEG-2 (version bits 10) -> named error
     v2 = bytes([0xFF, 0xF3, 0x90, 0x00])
     with pytest.raises(NotImplementedError, match="MPEG-1"):
@@ -213,3 +217,83 @@ def test_nb_for_levels():
     for lv, nb in ((3, 2), (5, 3), (7, 3), (9, 4), (15, 4), (31, 5),
                    (63, 6), (511, 9), (65535, 16)):
         assert _nb_for_levels(lv) == nb
+
+
+def test_stream_info_layer2_layer3_and_vbr():
+    """The compressed-domain stream walk: exact frame/sample/duration
+    math on our real Layer II streams, VBR detection on mixed-bitrate
+    streams, and Layer III support (header walk over synthetic frames
+    — decode is the named error, the WALK must work on real MP3s)."""
+    import numpy as np
+    import struct as _struct
+
+    from cloud_optimized_data_pipelines_spark.operators.mpeg_audio import (
+        stream_info,
+    )
+
+    t = np.arange(1152 * 6)
+    pcm = (0.3 * np.sin(2 * np.pi * 0.02 * t) * 32767).astype(np.int16)
+    mp2 = encode_mp2(pcm, 44100, 192)
+    info = stream_info(mp2)
+    assert info["layer"] == 2 and info["n_frames"] == 6
+    assert info["total_samples"] == 1152 * 6
+    assert info["duration_ms"] == 1152 * 6 * 1000 // 44100
+    assert not info["is_vbr"] and not info["truncated"]
+    # VBR: frames at two bitrates
+    mp2b = encode_mp2(pcm[:1152 * 3], 44100, 256)
+    vbr = mp2[: 6 * 626][:626 * 3] + mp2b
+    vinfo = stream_info(vbr)
+    assert vinfo["is_vbr"] and vinfo["n_bitrates"] == 2
+    # Layer III synthetic frame walk (header math only)
+    def l3_frame(br_idx):
+        h = (0x7FF << 21) | (0b11 << 19) | (0b01 << 17) | (1 << 16)
+        h |= br_idx << 12 | 0 << 10 | 0 << 9 | (0b11 << 6)
+        from cloud_optimized_data_pipelines_spark.operators.mpeg_audio import (
+            BITRATES_L3,
+        )
+
+        fb = 144 * BITRATES_L3[br_idx] * 1000 // 44100
+        return _struct.pack(">I", h) + b"\x00" * (fb - 4)
+
+    mp3 = l3_frame(9) + l3_frame(9) + l3_frame(11)
+    i3 = stream_info(mp3)
+    assert i3["layer"] == 3 and i3["n_frames"] == 3
+    assert i3["is_vbr"] and i3["total_samples"] == 1152 * 3
+    # truncated tail tolerated + flagged
+    it = stream_info(mp3[:-10])
+    assert it["truncated"] and it["n_frames"] == 2
+
+
+def test_mp4_container_round_trip_and_named_stub():
+    from cloud_optimized_data_pipelines_spark.operators.mp4_codec import (
+        decode_mp4_video,
+        encode_mp4,
+        extract_samples,
+        parse_mp4,
+    )
+    import pytest as _pytest
+
+    samples = [
+        bytes([(i * 7 + j) % 251 for j in range(20 + 3 * i)])
+        for i in range(11)
+    ]
+    mp4 = encode_mp4(samples, timescale=90_000, sample_delta=3_000,
+                     width=320, height=240, samples_per_chunk=4)
+    info = parse_mp4(mp4)
+    assert info["brand"] == "isom"
+    (tr,) = info["tracks"]
+    assert (tr["width"], tr["height"]) == (320, 240)
+    assert tr["handler"] == "vide" and tr["n_samples"] == 11
+    assert tr["timescale"] == 90_000
+    assert tr["duration"] == 3_000 * 11
+    assert set(tr["sample_deltas"]) == {3_000}
+    # sample extraction through stsc/stco/stsz resolution (uneven
+    # final chunk: 4+4+3)
+    assert extract_samples(mp4, tr) == samples
+    with _pytest.raises(NotImplementedError, match="container metadata"):
+        decode_mp4_video(mp4)
+    # corrupt box length -> loud error
+    bad = bytearray(mp4)
+    bad[0] = 0xFF
+    with _pytest.raises(ValueError, match="overruns"):
+        parse_mp4(bytes(bad))
