@@ -192,6 +192,8 @@ ADDITIONS_R11 = [
     # ISO BMFF container round trip + compressed-domain stream walk
     "multimodal_mp4_container",
     "multimodal_mpeg_stream_info",
+    # adaptive video near-dup (temporal wide aHash over real AVI bytes)
+    "multimodal_video_near_dup_adaptive",
     # (the serialization-fixed queries — extract_features, stac_item_
     # raster, embedding_outliers — already ride the R9/R10 batches)
 ]

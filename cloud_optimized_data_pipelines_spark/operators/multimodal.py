@@ -2626,3 +2626,68 @@ def mpeg_stream_probe_table(spark, variants: int = 8) -> DataFrame:
     return spark.range(int(variants)).mapInPandas(
         gen, MPEG_STREAM_PROBE_SCHEMA
     )
+
+
+VFP_WIDE_PROBE_SCHEMA = (
+    "variant bigint, avi_md5 string, fp array<bigint>, acc_sum bigint"
+)
+
+
+def _vfp_wide_frames(v: int) -> list["np.ndarray"]:
+    """The :func:`_vfp_frames` grid with the WIDE perturbation region
+    (rows<4 x cols<4, like :func:`_phash_wide_raster`): at the 12x10
+    grid (words=2, the ladder geometry for every SF corpus) measured
+    sibling Hammings are 0-3 — inside the h=3 gate — with min
+    cross-base 44."""
+    b = v // 2
+    k = np.arange(_PROBE_H * _PROBE_W, dtype=np.int64)
+    r, c = np.divmod(k, _PROBE_W)
+    frames = []
+    for f in range(_VFP_FRAMES):
+        m = ((k + 13 + b // 251) * (k + 7 * b + 1) + 31 * f) % 251
+        if v % 2 and f == 2:
+            mask = (r < 4) & (c < 4)
+            m = np.where(mask, (m + _VFP_PERT) % 251, m)
+        gray = m.reshape(_PROBE_H, _PROBE_W).astype(np.uint8)
+        frames.append(np.stack([gray] * 3, axis=2))
+    return frames
+
+
+def _vfp_wide_variant(v: int, words: int) -> dict:
+    """Real AVI round trip -> temporal-SUM image -> wide aHash (the
+    _vfp_variant pattern at the adaptive geometry)."""
+    from cloud_optimized_data_pipelines_spark.operators.avi_codec import (
+        decode_avi,
+        encode_avi,
+    )
+
+    rows, cols = _WIDE_GRIDS[words]
+    frames = _vfp_wide_frames(v)
+    avi = encode_avi(frames, fps=12, codec="raw")
+    dec, fps = decode_avi(avi)
+    if fps != 12 or len(dec) != _VFP_FRAMES or not all(
+        np.array_equal(a, b) for a, b in zip(frames, dec)
+    ):
+        raise RuntimeError(f"vfp-wide variant {v}: round-trip mismatch")
+    acc = np.zeros((_PROBE_H, _PROBE_W), dtype=np.int64)
+    for f in dec:
+        acc += f[:, :, 0].astype(np.int64)
+    return {
+        "variant": v,
+        "avi_md5": hashlib.md5(avi).hexdigest(),
+        "fp": ahash_wide(acc, rows, cols),
+        "acc_sum": int(acc.sum()),
+    }
+
+
+def vfp_wide_probe_table(spark, variants: int, words: int) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    [_vfp_wide_variant(int(x), words) for x in pdf["id"]]
+                )
+
+    return spark.range(int(variants)).mapInPandas(
+        gen, VFP_WIDE_PROBE_SCHEMA
+    )

@@ -151,7 +151,7 @@ from cloud_optimized_data_pipelines_spark.registry import (  # noqa: E402,F401
 # the szip probe, and the arithmetic JPEG whose AC procedure gained
 # band parameters); 13 sweep ALL remaining r4+r5 ledger rows (the
 # VERDICT's staleness list verbatim); 7 anchors/core-pipeline keepers;
-# and 17 sweep the stalest r7 band with family representatives first
+# and 16 sweep the stalest r7 band with family representatives first
 # (privacy_k_anonymous / rollup_hourly_merge yielded their slots to the
 # late-round MP4-container and MPEG-stream-walk queries).
 # After CORRECTNESS_r11 nothing driver-graded is older than r7, and the
@@ -162,7 +162,7 @@ from cloud_optimized_data_pipelines_spark.registry import (  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _GRADED_WINDOW = [
-    # --- never driver-green (the seven r11 queries) ---
+    # --- never driver-green (the eight r11 queries) ---
     "multimodal_mp2_features",            # MPEG-1 Layer II bitstream
     "multimodal_audio_compressed_near_dup",  # scf fp + adaptive bands
     "multimodal_image_near_dup_adaptive",  # band_geometry ladder
@@ -170,6 +170,7 @@ _GRADED_WINDOW = [
     "multimodal_jpeg_arith_progressive",  # T.81 Annex G SOF10
     "multimodal_mp4_container",           # ISO BMFF sample tables
     "multimodal_mpeg_stream_info",        # compressed-domain walk
+    "multimodal_video_near_dup_adaptive",  # adaptive triple complete
     # --- changed-implementation re-proves (r11 edits) ---
     "multimodal_extract_features",  # integer-scaled serialization
     "stac_item_raster",             # bbox integer-scaled
@@ -199,7 +200,7 @@ _GRADED_WINDOW = [
     "j1_config_join",
     "k2_spill_flag",
     "pipeline_corpus_preprocess",
-    # --- staleness sweep: 17 of the 41 r7 rows (family reps first:
+    # --- staleness sweep: 16 of the 41 r7 rows (family reps first:
     # the cogify/rice chain, the core transfer plan, dedup/similarity/
     # text/graph representatives) ---
     "k1_cogify_real_bytes",
@@ -218,7 +219,6 @@ _GRADED_WINDOW = [
     "text_bigram_backoff",
     "text_c4_clean",
     "graph_pagerank_events",
-    "events_drift_psi",
 ]
 
 

@@ -741,3 +741,172 @@ def multimodal_mpeg_stream_info_q(spark, sf_dir):
         "duration_ms", "is_vbr", "n_bitrates", "min_bitrate",
         "max_bitrate", "stream_bytes",
     )
+
+
+def _video_near_dup_adaptive_oracle() -> str:
+    """Oracle for multimodal_video_near_dup_adaptive: the temporal-sum
+    aHash is INTEGER arithmetic over the frame formula (sum over f of
+    ((k+13)(k+7b+1)+31f)%251 with the f==2 wide-region perturbation),
+    so every wide fingerprint is recomputed from the formula and the
+    geometry ladder is replayed from count(documents) — the image
+    adaptive oracle's pattern over the video probe.  AVI byte streams
+    pinned via md5 literals."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _vfp_wide_variant,
+    )
+
+    rows = [_vfp_wide_variant(v, 2) for v in range(32)]
+    md5_case = (
+        "CASE v "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['avi_md5']}'" for r in rows)
+        + " END"
+    )
+    return f"""
+WITH geo AS (
+  SELECT n,
+         CASE WHEN n <= 4 THEN 10 WHEN n <= 16 THEN 12
+              WHEN n <= 128 THEN 15 WHEN n <= 4096 THEN 20
+              WHEN n <= 4194304 THEN 30 ELSE 60 END AS width
+  FROM (SELECT COUNT(*)::BIGINT AS n FROM documents)
+),
+geo2 AS (
+  SELECT n, width, 60 // width AS bpwd, 2 * (60 // width) AS num_bands
+  FROM geo
+),
+var AS (SELECT unnest(range(0, 32)) AS v),
+grid AS (
+  SELECT g.v, g.k, SUM(
+    CASE WHEN g.v % 2 = 1 AND f.f = 2
+              AND (g.k // 40) < 4 AND (g.k % 40) < 4
+         THEN (((g.k + 13) * (g.k + 7 * (g.v // 2) + 1) + 31 * f.f)
+               % 251 + 200) % 251
+         ELSE ((g.k + 13) * (g.k + 7 * (g.v // 2) + 1) + 31 * f.f)
+              % 251 END) AS s
+  FROM (SELECT v.v, k.k
+        FROM var v, (SELECT unnest(range(0, 1920)) AS k) k) g,
+       (SELECT unnest(range(0, 4)) AS f) f
+  GROUP BY g.v, g.k
+),
+tot AS (SELECT v, SUM(s) AS total FROM grid GROUP BY v),
+blocks AS (
+  SELECT v, ((k // 40) // 4) * 10 + ((k % 40) // 4) AS idx, SUM(s) AS bs
+  FROM grid GROUP BY 1, 2
+),
+wordsq AS (
+  SELECT b.v, b.idx // 60 AS w,
+         SUM(CASE WHEN b.bs * 120 >= t.total
+                  THEN (1::BIGINT << (59 - (b.idx % 60)))
+                  ELSE 0 END)::BIGINT AS word
+  FROM blocks b JOIN tot t USING (v)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT w.v, w.w * t.bpwd + r.b AS band,
+         (w.word >> (r.b * t.width))
+           & ((1::BIGINT << t.width) - 1) AS val
+  FROM wordsq w CROSS JOIN geo2 t
+  JOIN (SELECT unnest(range(0, 6)) AS b) r ON r.b < t.bpwd
+),
+cand AS (
+  SELECT DISTINCT a.v AS va, b.v AS vb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.v < b.v
+),
+pairs AS (
+  SELECT c.va, c.vb,
+         SUM(bit_count(xor(wa.word, wb.word)))::BIGINT AS hamming
+  FROM cand c
+  JOIN wordsq wa ON wa.v = c.va
+  JOIN wordsq wb ON wb.v = c.vb AND wb.w = wa.w
+  GROUP BY 1, 2
+  HAVING SUM(bit_count(xor(wa.word, wb.word))) <= 3
+),
+md5s AS (SELECT v, {md5_case} AS m FROM var),
+cnt AS (SELECT doc_id % 32 AS v, count(*) AS n FROM documents GROUP BY 1)
+SELECT p.va AS variant_a, p.vb AS variant_b, p.hamming,
+       ma.m AS md5_a, mb.m AS md5_b,
+       ca.n AS docs_a, cb.n AS docs_b,
+       t.width AS fp_width, CAST(t.num_bands AS BIGINT) AS fp_bands
+FROM pairs p
+CROSS JOIN geo2 t
+JOIN md5s ma ON ma.v = p.va
+JOIN md5s mb ON mb.v = p.vb
+JOIN cnt ca ON ca.v = p.va
+JOIN cnt cb ON cb.v = p.vb
+"""
+
+
+@query("multimodal_video_near_dup_adaptive", _video_near_dup_adaptive_oracle)
+def multimodal_video_near_dup_adaptive_q(spark, sf_dir):
+    """Scale-ADAPTIVE video near-dup (completes the per-modality
+    adaptive triple: image via the wide aHash, audio via the
+    compressed-domain scalefactor fingerprint, video here via the
+    temporal-SUM wide aHash over frames decoded from REAL AVI
+    containers): 32 variants in 16 one-frame-edit pairs run the full
+    encode->decode->sum->ahash_wide chain on executors, and the pair
+    join is banded_hamming_pairs at the band_geometry ladder width —
+    n^2/2^16 fixed-band candidate growth replaced by the documented
+    bounded geometry.  The fingerprint is 120 bits (2 words; the
+    ladder's words=2 regime covers every n <= ~4.2M — beyond that the
+    probe grid would grow with the corpus).  Oracle recomputes every
+    hash from the frame formula arithmetically and replays the
+    ladder; AVI bytes md5-pinned."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        band_geometry,
+        banded_hamming_pairs,
+        vfp_wide_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    n = t["documents"].count()
+    _, _, width = band_geometry(n, max_hamming=3)
+    bpwd = 60 // width
+    bands = 2 * bpwd  # 2-word (120-bit) temporal fingerprint
+    probe = vfp_wide_probe_table(spark, 32, 2)
+    pairs = banded_hamming_pairs(
+        probe, "variant", "fp",
+        num_bands=bands, width=width, max_hamming=3,
+    )
+    cnt = (
+        t["documents"]
+        .groupBy((F.col("doc_id") % 32).alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    meta = probe.select("variant", "avi_md5")
+    return (
+        pairs.join(
+            F.broadcast(meta.select(
+                F.col("variant").alias("id_a"),
+                F.col("avi_md5").alias("md5_a"),
+            )),
+            "id_a",
+        )
+        .join(
+            F.broadcast(meta.select(
+                F.col("variant").alias("id_b"),
+                F.col("avi_md5").alias("md5_b"),
+            )),
+            "id_b",
+        )
+        .join(
+            F.broadcast(cnt.select(
+                F.col("v").alias("id_a"), F.col("n").alias("docs_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(cnt.select(
+                F.col("v").alias("id_b"), F.col("n").alias("docs_b"))),
+            "id_b",
+        )
+        .select(
+            F.col("id_a").alias("variant_a"),
+            F.col("id_b").alias("variant_b"),
+            "hamming",
+            "md5_a",
+            "md5_b",
+            "docs_a",
+            "docs_b",
+            F.lit(width).cast("long").alias("fp_width"),
+            F.lit(bands).cast("long").alias("fp_bands"),
+        )
+    )

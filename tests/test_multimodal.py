@@ -251,3 +251,27 @@ def test_banded_hamming_pairs_adaptive_recall_and_completeness(spark):
         banded_hamming_pairs(
             probe, "variant", "fp", num_bands=4, width=30, max_hamming=4
         )
+
+
+def test_vfp_wide_adaptive_pairs(spark):
+    """The adaptive video path: every one-frame-edit sibling pair is
+    within Hamming 3 at the 12x10 temporal grid and found by the
+    banded join at the ladder geometry; cross-base pairs stay far
+    (min 44) so the output is exactly the 16 siblings."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        band_geometry,
+        banded_hamming_pairs,
+        vfp_wide_probe_table,
+    )
+
+    _, _, width = band_geometry(5000, 3)
+    bands = 2 * (60 // width)
+    probe = vfp_wide_probe_table(spark, 32, 2)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in banded_hamming_pairs(
+            probe, "variant", "fp",
+            num_bands=bands, width=width, max_hamming=3,
+        ).collect()
+    }
+    assert got == {(2 * b, 2 * b + 1) for b in range(16)}
