@@ -639,7 +639,13 @@ def stream_info(data: bytes) -> dict:
 
     duration_ms is integer-exact: samples * 1000 // rate (both engines
     compute it identically).  A truncated final frame is tolerated
-    (crawl files often are) and reported via ``truncated``."""
+    (crawl files often are) and reported via ``truncated``.
+
+    Real crawl MP3s carry metadata tags around the audio: a leading
+    ID3v2 block (10-byte header, syncsafe 28-bit size, optional
+    footer) is skipped, and a trailing ID3v1 block (128 bytes, 'TAG')
+    ends the walk cleanly instead of reading as a truncated frame.
+    Both are reported (``id3v2_bytes`` / ``has_id3v1``)."""
     n_frames = 0
     total_samples = 0
     bitrates: dict[int, int] = {}
@@ -648,12 +654,26 @@ def stream_info(data: bytes) -> dict:
     mode = None
     truncated = False
     off = 0
-    while off + 4 <= len(data):
+    id3v2_bytes = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        # syncsafe 28-bit size EXCLUDES the 10-byte header; bit 4 of
+        # the flags byte signals a 10-byte footer (ID3v2.4)
+        sz = (
+            ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14)
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        )
+        id3v2_bytes = 10 + sz + (10 if data[5] & 0x10 else 0)
+        off = id3v2_bytes
+    end = len(data)
+    has_id3v1 = end >= off + 128 and data[end - 128:end - 125] == b"TAG"
+    if has_id3v1:
+        end -= 128
+    while off + 4 <= end:
         try:
             hdr = parse_header(data, off)
         except ValueError:
             break
-        if off + hdr["frame_bytes"] > len(data):
+        if off + hdr["frame_bytes"] > end:
             truncated = True
             break
         layer = hdr["layer"] if layer is None else layer
@@ -676,6 +696,8 @@ def stream_info(data: bytes) -> dict:
         "n_bitrates": len(bitrates),
         "min_bitrate": min(bitrates),
         "max_bitrate": max(bitrates),
-        "stream_bytes": off,
+        "stream_bytes": off - id3v2_bytes,
+        "id3v2_bytes": id3v2_bytes,
+        "has_id3v1": has_id3v1,
         "truncated": truncated,
     }

@@ -297,3 +297,31 @@ def test_mp4_container_round_trip_and_named_stub():
     bad[0] = 0xFF
     with _pytest.raises(ValueError, match="overruns"):
         parse_mp4(bytes(bad))
+
+
+def test_stream_info_id3_tags():
+    """Real crawl MP3s wrap audio in metadata tags: a leading ID3v2
+    block (syncsafe size, optional footer) is skipped and a trailing
+    ID3v1 'TAG' block ends the walk cleanly — same frame stats as the
+    bare stream, tags reported."""
+    import numpy as np
+
+    from cloud_optimized_data_pipelines_spark.operators.mpeg_audio import (
+        stream_info,
+    )
+
+    t = np.arange(1152 * 3)
+    pcm = (0.3 * np.sin(2 * np.pi * 0.02 * t) * 32767).astype(np.int16)
+    mp2 = encode_mp2(pcm)
+    bare = stream_info(mp2)
+    id3v2 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + b"\x00" * 100
+    id3v1 = b"TAG" + b"\x00" * 125
+    tagged = stream_info(id3v2 + mp2 + id3v1)
+    assert tagged["n_frames"] == bare["n_frames"] == 3
+    assert tagged["stream_bytes"] == bare["stream_bytes"] == len(mp2)
+    assert tagged["id3v2_bytes"] == 110 and tagged["has_id3v1"]
+    assert not tagged["truncated"]
+    # footer flag adds 10 bytes
+    id3v2f = b"ID3\x04\x00\x10" + bytes([0, 0, 0, 50]) + b"\x00" * 60
+    tf = stream_info(id3v2f + mp2)
+    assert tf["id3v2_bytes"] == 70 and tf["n_frames"] == 3
