@@ -194,6 +194,8 @@ ADDITIONS_R11 = [
     "multimodal_mpeg_stream_info",
     # adaptive video near-dup (temporal wide aHash over real AVI bytes)
     "multimodal_video_near_dup_adaptive",
+    # WARC.gz crawl ingest over the RFC 1951/1952 pure-python codec
+    "text_warc_records",
     # (the serialization-fixed queries — extract_features, stac_item_
     # raster, embedding_outliers — already ride the R9/R10 batches)
 ]

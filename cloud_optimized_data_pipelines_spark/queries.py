@@ -122,6 +122,10 @@ def query(name: str, oracle: str | None = None):
 # ORDER IS REGISTRATION ORDER: each module registers its queries via
 # the @query decorator at import; tests/test_registry_order.py pins the
 # resulting dict order against the pre-split registry.
+# Late-r11 amendment: text_warc_records (the WARC.gz crawl-ingest
+# probe over the new RFC 1951/1952 codec) takes the ninth never-green
+# slot; dedup_simhash_pairs yields its r7-sweep seat (the dedup family
+# keeps three other representatives in the window).
 # ---------------------------------------------------------------------------
 
 from cloud_optimized_data_pipelines_spark.registry import (  # noqa: E402,F401
@@ -171,6 +175,7 @@ _GRADED_WINDOW = [
     "multimodal_mp4_container",           # ISO BMFF sample tables
     "multimodal_mpeg_stream_info",        # compressed-domain walk
     "multimodal_video_near_dup_adaptive",  # adaptive triple complete
+    "text_warc_records",                  # WARC.gz ingest (RFC 1951)
     # --- changed-implementation re-proves (r11 edits) ---
     "multimodal_extract_features",  # integer-scaled serialization
     "stac_item_raster",             # bbox integer-scaled
@@ -211,7 +216,6 @@ _GRADED_WINDOW = [
     "dedup_lines",
     "dedup_lsh_clusters",
     "dedup_ngram_containment",
-    "dedup_simhash_pairs",
     "similarity_bruteforce_topk",
     "similarity_semantic_dedup",
     "similarity_knn_join",

@@ -910,3 +910,144 @@ def multimodal_video_near_dup_adaptive_q(spark, sf_dir):
             F.lit(bands).cast("long").alias("fp_bands"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC.gz crawl ingest (sources/warc.py + operators/deflate_codec.py)
+# ---------------------------------------------------------------------------
+
+
+def _warc_records_oracle() -> str:
+    """Oracle for text_warc_records: record counts, content lengths,
+    HTTP statuses and body byte sums are all integer-derivable from
+    the probe formulas (L = 40 + 7i + v, byte = (37i + 11j + v) mod
+    251), so the oracle REPLAYS them in SQL; the compressed object's
+    md5 + byte size are pinned via literals from a single-process run
+    (non-circular: the engine's aggregates come from headers and
+    payloads the warc_records/http_payload_stats operators parse back
+    out of real one-member-per-record gzip bytes on executors —
+    deflate streams our own RFC 1951 inflate decodes, cross-checked
+    against stdlib zlib in tests/test_deflate_warc.py)."""
+    import hashlib
+
+    from cloud_optimized_data_pipelines_spark.sources.warc import (
+        PROBE_HTTP_HEAD,
+        PROBE_WARCINFO,
+        warc_probe_blob,
+    )
+
+    blobs = [warc_probe_blob(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(
+            f"WHEN {v} THEN '{hashlib.md5(b).hexdigest()}'"
+            for v, b in enumerate(blobs)
+        )
+        + " END"
+    )
+    len_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {v} THEN {len(b)}" for v, b in enumerate(blobs))
+        + " END"
+    )
+    hlen = len(PROBE_HTTP_HEAD)
+    wlen = len(PROBE_WARCINFO)
+    return f"""
+WITH var AS (SELECT unnest(range(0, 8)) AS v),
+resp AS (
+  SELECT v.v, i.i FROM var v, (SELECT unnest(range(0, 4)) AS i) i
+  WHERE i.i < 2 + v.v % 3
+),
+body AS (
+  SELECT v, i, unnest(range(0, 40 + 7*i + v)) AS j FROM resp
+),
+bsum AS (
+  SELECT v,
+         CAST(SUM((37*i + 11*j + v) % 251) AS BIGINT) AS body_byte_sum
+  FROM body GROUP BY v
+),
+ragg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_responses,
+         CAST(SUM({hlen} + 40 + 7*i + v) AS BIGINT) AS resp_clen,
+         CAST(200 * COUNT(*) AS BIGINT) AS status_sum
+  FROM resp GROUP BY v
+)
+SELECT d.doc_id,
+       d.doc_id % 8 AS variant,
+       {md5_case} AS warc_md5,
+       CAST({len_case} AS BIGINT) AS warc_gz_bytes,
+       CAST(1 + r.n_responses AS BIGINT) AS n_records,
+       r.n_responses,
+       CAST(r.resp_clen + {wlen} AS BIGINT) AS content_length_sum,
+       r.status_sum,
+       b.body_byte_sum
+FROM documents d
+JOIN ragg r ON r.v = d.doc_id % 8
+JOIN bsum b ON b.v = d.doc_id % 8
+"""
+
+
+@query("text_warc_records", _warc_records_oracle)
+def text_warc_records_q(spark, sf_dir):
+    """REAL-bytes WARC.gz crawl ingest — the Common Crawl input path
+    every LLM training pipeline starts from: per variant a
+    one-gzip-member-per-record .warc.gz object (warcinfo + 2..4 HTTP
+    responses with formula bodies) builds on executors, our own RFC
+    1951/1952 inflate (operators/deflate_codec.py — conformance
+    cross-checked against stdlib zlib both directions) splits the
+    members, the warc_records operator explodes ISO 28500 records
+    inside Arrow batches, and http_payload_stats strips the HTTP
+    envelope (the WET-extraction step).  Every graded aggregate
+    derives from values PARSED back out of the compressed bytes; the
+    md5/size pins cover the encoder.  At 100 TB this is the ingest
+    scan shape: each crawl file decodes independently inside its scan
+    partition (pure map, no shuffle), and header-only consumers never
+    move payload bytes."""
+    from cloud_optimized_data_pipelines_spark.sources.warc import (
+        http_payload_stats,
+        warc_probe_table,
+        warc_records,
+    )
+
+    t = load_tables(spark, sf_dir)
+    # 8 rows of real bytes feeding three consumers (record explode,
+    # HTTP stats, md5/size): cache so the blobs build once.
+    probe = warc_probe_table(spark, 8).cache()
+    recs = warc_records(probe, "file_id", "blob")
+    hdr = recs.groupBy("file_id").agg(
+        F.count("*").cast("bigint").alias("n_records"),
+        F.sum(
+            F.when(F.col("warc_type") == "response", 1).otherwise(0)
+        ).cast("bigint").alias("n_responses"),
+        F.sum("content_length").cast("bigint").alias("content_length_sum"),
+    )
+    http = http_payload_stats(
+        recs.filter(F.col("warc_type") == "response")
+    ).groupBy("file_id").agg(
+        F.sum("status").cast("bigint").alias("status_sum"),
+        F.sum("body_byte_sum").cast("bigint").alias("body_byte_sum"),
+    )
+    meta = probe.select(
+        "file_id",
+        F.md5("blob").alias("warc_md5"),
+        F.length("blob").cast("bigint").alias("warc_gz_bytes"),
+    )
+    probe_full = (
+        meta.join(hdr, "file_id")
+        .join(http, "file_id")
+        .withColumnRenamed("file_id", "variant")
+    )
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe_full), "variant").select(
+        "doc_id",
+        "variant",
+        "warc_md5",
+        "warc_gz_bytes",
+        "n_records",
+        "n_responses",
+        "content_length_sum",
+        "status_sum",
+        "body_byte_sum",
+    )

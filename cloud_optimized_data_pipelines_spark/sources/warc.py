@@ -1,0 +1,354 @@
+"""WARC (ISO 28500 / WARC/1.0-1.1) source — the web-crawl record
+format every large-scale LLM training pipeline starts from (Common
+Crawl ships WARC, WAT and WET exactly this way).
+
+Byte format, from the public standard:
+
+- a record is ``WARC/1.0\\r\\n`` (or 1.1), then named-field headers
+  (``Name: value\\r\\n``, names case-insensitive), a blank line, then
+  exactly ``Content-Length`` payload bytes, then ``\\r\\n\\r\\n``;
+- mandatory fields: WARC-Record-ID, Content-Length, WARC-Date,
+  WARC-Type (warcinfo / request / response / resource / metadata /
+  conversion / revisit / continuation);
+- ``application/http`` payloads carry a full HTTP message: status
+  line, headers, CRLF CRLF, body (:func:`split_http_payload`);
+- the Common Crawl *.warc.gz layout concatenates ONE gzip member per
+  record (the standard's annex D recommendation), so a reader can
+  index and fan out records without decompressing the whole file —
+  ``operators/deflate_codec.gzip_members`` provides that walk and
+  :func:`parse_warc_gz` rides it.
+
+Spark surface (all Arrow-batched, no row-Python):
+
+- :func:`warc_records` — explode a binary column of WARC (or WARC.gz)
+  objects into one row per record with typed header metadata and the
+  payload as binary.  At 100 TB this is the ingest scan: each crawl
+  file decodes independently inside its input partition (pure map,
+  no shuffle), headers project without touching payload bytes, and
+  downstream filters on record type / content type prune before any
+  payload-sized data moves.
+
+Writer (:func:`encode_warc_record`, :func:`encode_warc_gz`) exists so
+tests and probe fixtures round-trip real bytes with no external
+library, per the repo's codec-module pattern.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from cloud_optimized_data_pipelines_spark.operators.deflate_codec import (
+    gzip_encode,
+    gzip_members,
+)
+
+_CRLF = b"\r\n"
+
+
+def encode_warc_record(
+    record_type: str,
+    record_id: str,
+    date: str,
+    payload: bytes,
+    target_uri: str | None = None,
+    content_type: str | None = None,
+    extra_headers: dict[str, str] | None = None,
+    version: str = "1.0",
+) -> bytes:
+    """One standards-conforming WARC record (header order: the
+    standard imposes none; we emit mandatory fields first for
+    readability)."""
+    lines = [f"WARC/{version}".encode()]
+    headers = [
+        ("WARC-Type", record_type),
+        ("WARC-Record-ID", record_id),
+        ("WARC-Date", date),
+        ("Content-Length", str(len(payload))),
+    ]
+    if target_uri is not None:
+        headers.append(("WARC-Target-URI", target_uri))
+    if content_type is not None:
+        headers.append(("Content-Type", content_type))
+    for k, v in (extra_headers or {}).items():
+        headers.append((k, v))
+    for k, v in headers:
+        lines.append(f"{k}: {v}".encode())
+    return _CRLF.join(lines) + _CRLF * 2 + payload + _CRLF * 2
+
+
+def encode_warc_gz(records: list[bytes]) -> bytes:
+    """Common Crawl layout: one gzip member per record, concatenated."""
+    return b"".join(gzip_encode(r) for r in records)
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Parse a plain (uncompressed) WARC object into record dicts:
+    ``version, headers (lower-cased names), payload, offset, length``.
+    """
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # Tolerate inter-record padding (the standard allows none, but
+        # real crawls occasionally carry stray CRLFs).
+        while pos < n and data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        start = pos
+        if not data.startswith(b"WARC/", pos):
+            raise ValueError(f"warc: bad version line at offset {pos}")
+        hdr_end = data.find(_CRLF * 2, pos)
+        if hdr_end < 0:
+            raise ValueError("warc: truncated header block")
+        head = data[pos:hdr_end].decode("utf-8", errors="replace")
+        lines = head.split("\r\n")
+        version = lines[0][5:]
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            if ":" not in line:
+                raise ValueError(f"warc: malformed header line {line!r}")
+            k, v = line.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
+        if "content-length" not in headers:
+            raise ValueError("warc: missing Content-Length")
+        clen = int(headers["content-length"])
+        body_start = hdr_end + 4
+        body_end = body_start + clen
+        if body_end + 4 > n:
+            raise ValueError("warc: truncated payload")
+        if data[body_end : body_end + 4] != _CRLF * 2:
+            raise ValueError("warc: missing record terminator")
+        records.append(
+            {
+                "version": version,
+                "headers": headers,
+                "payload": data[body_start:body_end],
+                "offset": start,
+                "length": body_end + 4 - start,
+            }
+        )
+        pos = body_end + 4
+    return records
+
+
+def parse_warc_gz(data: bytes) -> list[dict]:
+    """Parse the one-member-per-record .warc.gz layout; each record
+    additionally carries the member's (offset, comp_size) so callers
+    can build a compressed-domain record index."""
+    records = []
+    for m in gzip_members(data):
+        recs = parse_warc(m["payload"])
+        if len(recs) != 1:
+            # Annex D says one record per member; accept but flag
+            # multi-record members by expanding them in order.
+            pass
+        for r in recs:
+            r["gz_offset"] = m["offset"]
+            r["gz_comp_size"] = m["comp_size"]
+            records.append(r)
+    return records
+
+
+def split_http_payload(payload: bytes) -> tuple[dict, bytes, int]:
+    """Split an ``application/http`` payload into (headers, body,
+    status).  Header names lower-cased; status is the response code
+    (or 0 for a request message)."""
+    sep = payload.find(_CRLF * 2)
+    if sep < 0:
+        raise ValueError("http: missing header terminator")
+    head = payload[:sep].decode("latin-1")
+    lines = head.split("\r\n")
+    first = lines[0]
+    status = 0
+    if first.startswith("HTTP/"):
+        parts = first.split(" ", 2)
+        if len(parts) >= 2 and parts[1].isdigit():
+            status = int(parts[1])
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        if ":" in line:
+            k, v = line.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
+    return headers, payload[sep + 4 :], status
+
+
+WARC_RECORD_SCHEMA = (
+    "file_id bigint, record_index bigint, warc_version string, "
+    "warc_type string, record_id string, target_uri string, "
+    "warc_date string, content_type string, content_length bigint, "
+    "gz_offset bigint, gz_comp_size bigint, payload binary"
+)
+
+
+HTTP_STATS_SCHEMA = (
+    "file_id bigint, record_index bigint, status bigint, "
+    "n_http_headers bigint, body_len bigint, body_byte_sum bigint"
+)
+
+
+def http_payload_stats(df, id_col: str = "file_id",
+                       index_col: str = "record_index",
+                       payload_col: str = "payload"):
+    """Split ``application/http`` payloads (the WET-extraction step:
+    status + headers off, body stats out) — Arrow-batched map, same
+    scan-local story as :func:`warc_records`."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fid, idx, payload in zip(
+                pdf[id_col], pdf[index_col], pdf[payload_col]
+            ):
+                headers, body, status = split_http_payload(bytes(payload))
+                arr = np.frombuffer(body, dtype=np.uint8)
+                rows.append(
+                    {
+                        "file_id": int(fid),
+                        "record_index": int(idx),
+                        "status": status,
+                        "n_http_headers": len(headers),
+                        "body_len": len(body),
+                        "body_byte_sum": int(arr.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["file_id", "record_index", "status",
+                         "n_http_headers", "body_len", "body_byte_sum"],
+            )
+
+    return df.select(id_col, index_col, payload_col).mapInPandas(
+        gen, HTTP_STATS_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic probe fixtures (the codec-probe pattern: formula
+# payloads -> real bytes -> parsed back, aggregates SQL-replayable)
+# ---------------------------------------------------------------------------
+
+# The fixed HTTP response header block every probe response carries;
+# its length is a spec constant of the probe, replayed as a literal on
+# the oracle side.
+PROBE_HTTP_HEAD = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+)
+PROBE_WARCINFO = b"software: cod-pipelines-spark\r\n"
+
+
+def _probe_body(v: int, i: int) -> bytes:
+    """Response i of variant v: L = 40 + 7i + v bytes of
+    (37i + 11j + v) mod 251 — integer-derivable for the SQL oracle."""
+    ln = 40 + 7 * i + v
+    j = np.arange(ln, dtype=np.int64)
+    return bytes(((37 * i + 11 * j + v) % 251).astype(np.uint8))
+
+
+def warc_probe_blob(v: int) -> bytes:
+    """One deterministic .warc.gz object: a warcinfo record plus
+    2 + v%3 HTTP response records, one gzip member per record."""
+    n_resp = 2 + v % 3
+    records = [
+        encode_warc_record(
+            "warcinfo",
+            f"<urn:uuid:probe-{v}-info>",
+            "2026-08-16T00:00:00Z",
+            PROBE_WARCINFO,
+            content_type="application/warc-fields",
+        )
+    ]
+    for i in range(n_resp):
+        records.append(
+            encode_warc_record(
+                "response",
+                f"<urn:uuid:probe-{v}-{i}>",
+                "2026-08-16T00:00:01Z",
+                PROBE_HTTP_HEAD + _probe_body(v, i),
+                target_uri=f"http://crawl.example/{v}/{i}",
+                content_type="application/http; msgtype=response",
+            )
+        )
+    blob = encode_warc_gz(records)
+    # Round-trip guard (the codec-probe convention): parse back and
+    # verify counts + payloads before the bytes are graded.
+    parsed = parse_warc_gz(blob)
+    if len(parsed) != 1 + n_resp:
+        raise RuntimeError(f"warc probe {v}: record count mismatch")
+    for i, r in enumerate(parsed[1:]):
+        if r["payload"] != PROBE_HTTP_HEAD + _probe_body(v, i):
+            raise RuntimeError(f"warc probe {v}: payload {i} mismatch")
+    return blob
+
+
+WARC_PROBE_SCHEMA = "file_id bigint, blob binary"
+
+
+def warc_probe_table(spark, variants: int = 8):
+    """(file_id, blob) probe DataFrame; blobs build ON executors.
+    The range is partitioned by variant (not the session default) so
+    a tiny probe doesn't fan out mostly-empty Python workers."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    [
+                        {"file_id": int(x), "blob": warc_probe_blob(int(x))}
+                        for x in pdf["id"]
+                    ]
+                )
+
+    return spark.range(
+        0, int(variants), numPartitions=int(variants)
+    ).mapInPandas(gen, WARC_PROBE_SCHEMA)
+
+
+def warc_records(df, id_col: str, binary_col: str, compressed: bool = True):
+    """Explode WARC objects into one row per record.
+
+    Pure map over the binary column inside Arrow batches: at crawl
+    scale each input file decodes in place in its scan partition —
+    no shuffle, and header-only consumers never deserialize payloads
+    past the projection.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parse = parse_warc_gz if compressed else parse_warc
+        for pdf in batches:
+            rows = []
+            for fid, blob in zip(pdf[id_col], pdf[binary_col]):
+                for i, r in enumerate(parse(bytes(blob))):
+                    h = r["headers"]
+                    rows.append(
+                        {
+                            "file_id": int(fid),
+                            "record_index": i,
+                            "warc_version": r["version"],
+                            "warc_type": h.get("warc-type", ""),
+                            "record_id": h.get("warc-record-id", ""),
+                            "target_uri": h.get("warc-target-uri"),
+                            "warc_date": h.get("warc-date", ""),
+                            "content_type": h.get("content-type"),
+                            "content_length": int(h["content-length"]),
+                            "gz_offset": r.get("gz_offset"),
+                            "gz_comp_size": r.get("gz_comp_size"),
+                            "payload": r["payload"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_id", "record_index", "warc_version",
+                    "warc_type", "record_id", "target_uri", "warc_date",
+                    "content_type", "content_length", "gz_offset",
+                    "gz_comp_size", "payload",
+                ],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        gen, WARC_RECORD_SCHEMA
+    )
