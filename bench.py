@@ -196,6 +196,8 @@ ADDITIONS_R11 = [
     "multimodal_video_near_dup_adaptive",
     # WARC.gz crawl ingest over the RFC 1951/1952 pure-python codec
     "text_warc_records",
+    # lossless FLAC round trip (RFC 9639, self-checking via PCM MD5)
+    "multimodal_flac_features",
     # (the serialization-fixed queries — extract_features, stac_item_
     # raster, embedding_outliers — already ride the R9/R10 batches)
 ]

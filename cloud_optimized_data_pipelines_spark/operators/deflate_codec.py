@@ -58,6 +58,7 @@ pipeline, like the other codec modules.
 from __future__ import annotations
 
 import struct
+import zlib as _zlib
 
 import numpy as np
 
@@ -528,23 +529,43 @@ _FTEXT, _FHCRC, _FEXTRA, _FNAME, _FCOMMENT = 1, 2, 4, 8, 16
 
 
 def gzip_encode(payload: bytes, name: str | None = None,
-                mtime: int = 0) -> bytes:
-    """One gzip member around our deflate body (OS byte 255 =
-    unknown, per the RFC's recommendation for portable writers)."""
+                mtime: int = 0, engine: str = "c") -> bytes:
+    """One gzip member (OS byte 255 = unknown, per the RFC's
+    recommendation for portable writers).
+
+    ``engine="c"`` (default) compresses the body with stdlib zlib —
+    the hot path, same call png_codec.py makes for IDAT; ``"pure"``
+    uses this module's from-scratch :func:`deflate`.  Both produce
+    standard members any gunzip accepts; tests pin cross-engine
+    decode equality."""
     flg = _FNAME if name else 0
     head = _GZ_MAGIC + bytes([8, flg]) + struct.pack("<I", mtime) + b"\x00\xff"
     if name:
         head += name.encode("latin-1") + b"\x00"
+    if engine == "c":
+        body = _zlib.compress(payload, 6)[2:-4]
+        check = _zlib.crc32(payload)  # C CRC on the C path
+    elif engine == "pure":
+        body = deflate(payload)
+        check = crc32(payload)
+    else:
+        raise ValueError(f"gzip: unknown engine {engine!r}")
     return (
         head
-        + deflate(payload)
-        + struct.pack("<II", crc32(payload), len(payload) & 0xFFFFFFFF)
+        + body
+        + struct.pack("<II", check, len(payload) & 0xFFFFFFFF)
     )
 
 
-def gzip_decode_member(data: bytes, pos: int = 0) -> dict:
+def gzip_decode_member(data: bytes, pos: int = 0,
+                       engine: str = "c") -> dict:
     """Decode ONE member at ``pos``; returns payload + header fields +
-    ``end`` (offset after the trailer) for the multi-member walk."""
+    ``end`` (offset after the trailer) for the multi-member walk.
+
+    ``engine="c"`` (default) inflates with stdlib zlib (C speed — the
+    100 TB ingest path; ~3 orders faster than symbol-at-a-time python
+    and itself the RFC 1951 reference coder); ``"pure"`` uses this
+    module's :func:`inflate`, proven byte-identical in tests."""
     if data[pos : pos + 2] != _GZ_MAGIC:
         raise ValueError("gzip: bad magic")
     if data[pos + 2] != 8:
@@ -569,11 +590,33 @@ def gzip_decode_member(data: bytes, pos: int = 0) -> dict:
         if hcrc != (crc32(data[pos:p]) & 0xFFFF):
             raise ValueError("gzip: header CRC mismatch")
         p += 2
-    payload, dend = inflate(data, p)
+    if engine == "c":
+        # Feed bounded chunks off a memoryview: slicing the whole
+        # remaining buffer per member (and its unused_data echo)
+        # makes the multi-member walk O(n^2) bytes copied — fatal on
+        # a crawl file with tens of thousands of record members.
+        o = _zlib.decompressobj(-15)
+        view = memoryview(data)
+        out = []
+        q = p
+        chunk_size = 1 << 18
+        while not o.eof:
+            if q >= len(data):
+                raise ValueError("gzip: truncated deflate stream")
+            chunk = view[q : q + chunk_size]
+            out.append(o.decompress(chunk))
+            q += len(chunk)
+        payload = b"".join(out)
+        dend = q - len(o.unused_data)
+    elif engine == "pure":
+        payload, dend = inflate(data, p)
+    else:
+        raise ValueError(f"gzip: unknown engine {engine!r}")
     if dend + 8 > len(data):
         raise ValueError("gzip: truncated trailer")
     want_crc, isize = struct.unpack_from("<II", data, dend)
-    if want_crc != crc32(payload):
+    got_crc = _zlib.crc32(payload) if engine == "c" else crc32(payload)
+    if want_crc != got_crc:
         raise ValueError("gzip: payload CRC mismatch")
     if isize != (len(payload) & 0xFFFFFFFF):
         raise ValueError("gzip: ISIZE mismatch")
@@ -587,22 +630,22 @@ def gzip_decode_member(data: bytes, pos: int = 0) -> dict:
     }
 
 
-def gzip_members(data: bytes) -> list[dict]:
+def gzip_members(data: bytes, engine: str = "c") -> list[dict]:
     """Walk ALL members of a concatenated gzip object (the WARC.gz
     layout: one member per record, so (offset, comp_size) doubles as
     a record index)."""
     members = []
     pos = 0
     while pos < len(data):
-        m = gzip_decode_member(data, pos)
+        m = gzip_decode_member(data, pos, engine=engine)
         members.append(m)
         pos = m["end"]
     return members
 
 
-def gzip_decode(data: bytes) -> bytes:
+def gzip_decode(data: bytes, engine: str = "c") -> bytes:
     """All members concatenated — stdlib ``gzip.decompress`` semantics."""
-    return b"".join(m["payload"] for m in gzip_members(data))
+    return b"".join(m["payload"] for m in gzip_members(data, engine=engine))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,704 @@
+"""Pure-python/numpy FLAC codec (RFC 9639 / the xiph FLAC format) —
+LOSSLESS crawl audio for the multimodal near-dup path.
+
+Why FLAC fits this repo's codec discipline unusually well: the format
+is lossless, so conformance is checkable WITHOUT an external decoder —
+encode -> decode must reproduce the input PCM bit-exactly, and the
+format itself carries an MD5 of the unencoded PCM in STREAMINFO that
+the decoder re-derives and verifies (an integrity oracle the WAV/JPEG
+modules had to build by hand).  Everything coded here is derivable
+from the public spec text:
+
+- fixed predictors 0..4 are the binomial-difference filters — the
+  order-k coefficients are ``(-1)^(i+1) * C(k, i)`` (1; 2,-1; 3,-3,1;
+  4,-6,4,-1), built with a closed form, not transcribed;
+- Rice/Golomb residual coding (zigzag fold, unary quotient + k LSBs)
+  with the 4-bit partition method: partition order p splits a block
+  into 2^p equal partitions, the first losing ``predictor order``
+  samples; parameter 0b1111 escapes to raw n-bit residuals;
+- CRC-8 (poly x^8+x^2+x+1 = 0x07, init 0) over the frame header and
+  CRC-16 (poly x^16+x^15+x^2+1 = 0x8005, init 0) over the whole
+  frame, both MSB-first, table-driven from their polynomials;
+- the frame/sample number is the spec's UTF-8-style variable-length
+  integer (extended to 36 bits / 7 bytes);
+- stereo decorrelation: independent, left/side, right/side, mid/side
+  (side = left - right; mid = (left + right) >> 1 — the spec's
+  floor-shift, losslessly invertible BECAUSE side's LSB recovers the
+  dropped bit), side subframes carry one extra sample bit.
+
+Encoder scope (always-valid subset any conformant decoder accepts):
+STREAMINFO-only metadata, fixed blocking, explicit 16-bit block-size
+and sample-rate header fields (codes 0b0111 / 0b1101 — chosen over
+the lookup tables so the header carries its values literally),
+per-block best fixed predictor by absolute-residual sum, per-frame
+single-partition Rice parameter from the mean residual, CONSTANT and
+VERBATIM subframes where they win, and the three stereo modes tried
+per frame.  Decoder scope: everything the encoder emits plus the
+table-coded block-size/sample-rate rows, LPC subframes (the spec's
+quantized-coefficient filter), wasted-bits, and inter-frame variable
+blocking; 32-bit samples and non-STREAMINFO metadata blocks parse
+structurally.
+
+No FLAC implementation exists in this container to cross-check
+real-world streams; the honesty line mirrors rice_codec.py: round
+trips are bit-exact over every subframe type and stereo mode, golden
+bitstreams are pinned from the spec's worked layout, and the
+STREAMINFO MD5 closes the loop end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# CRCs (derived from their polynomials; MSB-first per the spec)
+# ---------------------------------------------------------------------------
+
+
+def _crc8_table() -> np.ndarray:
+    t = np.arange(256, dtype=np.uint16)
+    for _ in range(8):
+        t = np.where(t & 0x80, ((t << 1) ^ 0x07) & 0xFF, (t << 1) & 0xFF)
+    return t.astype(np.uint8)
+
+
+def _crc16_table() -> np.ndarray:
+    t = np.arange(256, dtype=np.uint32) << 8
+    for _ in range(8):
+        t = np.where(
+            t & 0x8000, ((t << 1) ^ 0x8005) & 0xFFFF, (t << 1) & 0xFFFF
+        )
+    return t.astype(np.uint16)
+
+
+_CRC8 = _crc8_table()
+_CRC16 = _crc16_table()
+
+
+def crc8(data: bytes) -> int:
+    c = np.uint8(0)
+    for b in np.frombuffer(data, dtype=np.uint8):
+        c = _CRC8[c ^ b]
+    return int(c)
+
+
+def crc16(data: bytes) -> int:
+    c = np.uint16(0)
+    for b in np.frombuffer(data, dtype=np.uint8):
+        c = _CRC16[((c >> np.uint16(8)) ^ b) & np.uint16(0xFF)] ^ (
+            (c << np.uint16(8)) & np.uint16(0xFFFF)
+        )
+    return int(c)
+
+
+# ---------------------------------------------------------------------------
+# bit IO (MSB-first, unlike deflate)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def unary(self, q: int) -> None:
+        # q zero bits then a one (the spec's unary quotient)
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        return bytes(self.out)
+
+
+class _BitReader:
+    __slots__ = ("data", "bitpos")
+
+    def __init__(self, data: bytes, bitpos: int = 0):
+        self.data = data
+        self.bitpos = bitpos
+
+    def read(self, n: int) -> int:
+        v = 0
+        pos = self.bitpos
+        data = self.data
+        for _ in range(n):
+            byte = data[pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (pos & 7))) & 1)
+            pos += 1
+        self.bitpos = pos
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        pos = self.bitpos
+        data = self.data
+        while True:
+            byte = data[pos >> 3]
+            bit = (byte >> (7 - (pos & 7))) & 1
+            pos += 1
+            if bit:
+                break
+            q += 1
+        self.bitpos = pos
+        return q
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+    def byte_pos(self) -> int:
+        return (self.bitpos + 7) >> 3
+
+
+def _signed(v: int, bits: int) -> int:
+    return v - (1 << bits) if v & (1 << (bits - 1)) else v
+
+
+# ---------------------------------------------------------------------------
+# UTF-8-style coded number (spec 9.1.5, extended to 36 bits)
+# ---------------------------------------------------------------------------
+
+
+def encode_coded_number(n: int) -> bytes:
+    if n < 0:
+        raise ValueError("flac: coded number must be non-negative")
+    if n < 0x80:
+        return bytes([n])
+    for extra in range(1, 6):  # lead byte carries 6-extra payload bits
+        if n < 1 << (6 - extra + 6 * extra):
+            lead = (0xFF << (7 - extra)) & 0xFF
+            out = [lead | (n >> (6 * extra))]
+            out += [0x80 | ((n >> (6 * i)) & 0x3F)
+                    for i in range(extra - 1, -1, -1)]
+            return bytes(out)
+    if n < 1 << 36:  # 7-byte form: lead 0xFE, six continuations
+        return bytes(
+            [0xFE] + [0x80 | ((n >> (6 * i)) & 0x3F)
+                      for i in range(5, -1, -1)]
+        )
+    raise ValueError("flac: coded number out of range")
+
+
+def decode_coded_number(br: _BitReader) -> int:
+    first = br.read(8)
+    if first < 0x80:
+        return first
+    extra = 0
+    mask = 0x40
+    while first & mask:
+        extra += 1
+        mask >>= 1
+    if extra == 0 or extra > 6:
+        raise ValueError("flac: invalid coded-number lead byte")
+    val = first & (mask - 1)
+    for _ in range(extra):
+        b = br.read(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("flac: invalid coded-number continuation")
+        val = (val << 6) | (b & 0x3F)
+    return val
+
+
+# ---------------------------------------------------------------------------
+# fixed predictors (closed form: alternating binomial coefficients)
+# ---------------------------------------------------------------------------
+
+
+def _fixed_coefs(order: int) -> np.ndarray:
+    """Order-k predictor: pred[i] = sum_j coef[j] * x[i-1-j] with
+    coef[j] = (-1)^j * C(k, j+1) — the k-th difference filter."""
+    from math import comb
+
+    return np.array(
+        [(-1) ** j * comb(order, j + 1) for j in range(order)],
+        dtype=np.int64,
+    )
+
+
+def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
+    r = x.astype(np.int64)
+    for _ in range(order):
+        r = np.diff(r)
+    return r
+
+
+def _fixed_restore(res: np.ndarray, warmup: np.ndarray, order: int) -> np.ndarray:
+    """Invert k-fold differencing given the first k original samples."""
+    out = np.empty(order + len(res), dtype=np.int64)
+    out[: order] = warmup
+    if order == 0:
+        return res.astype(np.int64)
+    # successively integrate: maintain the last `order` samples
+    coefs = _fixed_coefs(order)
+    for i in range(len(res)):
+        acc = int(res[i])
+        for j in range(order):
+            acc += int(coefs[j]) * int(out[order + i - 1 - j])
+        out[order + i] = acc
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Rice residual coding (zigzag + unary/LSB split), 4-bit method
+# ---------------------------------------------------------------------------
+
+_RICE_ESCAPE = 0b1111
+
+
+def _zigzag(r: np.ndarray) -> np.ndarray:
+    return np.where(r >= 0, r << 1, (-r << 1) - 1).astype(np.int64)
+
+
+def _best_rice_param(u: np.ndarray) -> int:
+    if len(u) == 0:
+        return 0
+    mean = float(u.mean())
+    k = 0
+    while (1 << (k + 1)) <= mean + 1 and k < 14:
+        k += 1
+    return k
+
+
+def _write_residuals(bw: _BitWriter, res: np.ndarray, order: int,
+                     block_size: int) -> None:
+    """Single-partition (order 0) 4-bit Rice method."""
+    bw.write(0b00, 2)  # residual coding method: 4-bit rice
+    bw.write(0, 4)  # partition order 0
+    u = _zigzag(res)
+    k = _best_rice_param(u)
+    # escape if any quotient would be pathological
+    if len(u) and int(u.max()) >> k > 1 << 16:
+        nbits = max(1, int(u.max()).bit_length() + 1)
+        bw.write(_RICE_ESCAPE, 4)
+        bw.write(nbits, 5)
+        for v in res:
+            bw.write(int(v) & ((1 << nbits) - 1), nbits)
+        return
+    bw.write(k, 4)
+    for v in u:
+        q = int(v) >> k
+        bw.unary(q)
+        if k:
+            bw.write(int(v) & ((1 << k) - 1), k)
+
+
+def _read_residuals(br: _BitReader, order: int, block_size: int) -> np.ndarray:
+    method = br.read(2)
+    if method not in (0b00, 0b01):
+        raise ValueError("flac: reserved residual coding method")
+    pbits = 4 if method == 0b00 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    if block_size % nparts:
+        raise ValueError("flac: block size not divisible by partitions")
+    out = np.empty(block_size - order, dtype=np.int64)
+    w = 0
+    for p in range(nparts):
+        n = block_size // nparts - (order if p == 0 else 0)
+        k = br.read(pbits)
+        if k == escape:
+            nbits = br.read(5)
+            for i in range(n):
+                out[w] = _signed(br.read(nbits), nbits) if nbits else 0
+                w += 1
+        else:
+            for i in range(n):
+                q = br.read_unary()
+                u = (q << k) | (br.read(k) if k else 0)
+                out[w] = (u >> 1) ^ -(u & 1)
+                w += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# subframes
+# ---------------------------------------------------------------------------
+
+
+def _write_subframe(bw: _BitWriter, x: np.ndarray, bits: int,
+                    block_size: int) -> None:
+    x = x.astype(np.int64)
+    if len(x) and (x == x[0]).all():
+        bw.write(0, 1)  # zero padding bit
+        bw.write(0b000000, 6)  # CONSTANT
+        bw.write(0, 1)  # no wasted bits
+        bw.write(int(x[0]) & ((1 << bits) - 1), bits)
+        return
+    # best fixed order by absolute residual sum
+    best_order, best_cost, best_res = 0, None, None
+    for order in range(5):
+        if order > len(x) - 1:
+            break
+        res = _fixed_residual(x, order)
+        # residuals must fit the coder's int range
+        if len(res) and int(np.abs(res).max()) >= 1 << 30:
+            continue
+        cost = int(np.abs(res).sum())
+        if best_cost is None or cost < best_cost:
+            best_order, best_cost, best_res = order, cost, res
+    verbatim_cost = len(x) * bits
+    if best_cost is None or best_cost * 2 > verbatim_cost * 8:
+        bw.write(0, 1)
+        bw.write(0b000001, 6)  # VERBATIM
+        bw.write(0, 1)
+        for v in x:
+            bw.write(int(v) & ((1 << bits) - 1), bits)
+        return
+    bw.write(0, 1)
+    bw.write(0b001000 | best_order, 6)  # FIXED, order 0-4
+    bw.write(0, 1)  # no wasted bits
+    for v in x[:best_order]:  # warm-up samples
+        bw.write(int(v) & ((1 << bits) - 1), bits)
+    _write_residuals(bw, best_res, best_order, block_size)
+
+
+def _read_subframe(br: _BitReader, bits: int, block_size: int) -> np.ndarray:
+    if br.read(1):
+        raise ValueError("flac: subframe padding bit set")
+    ftype = br.read(6)
+    wasted = 0
+    if br.read(1):  # wasted-bits flag: unary count - 1
+        wasted = br.read_unary() + 1
+        bits -= wasted
+    if ftype == 0b000000:  # CONSTANT
+        v = _signed(br.read(bits), bits)
+        out = np.full(block_size, v, dtype=np.int64)
+    elif ftype == 0b000001:  # VERBATIM
+        out = np.array(
+            [_signed(br.read(bits), bits) for _ in range(block_size)],
+            dtype=np.int64,
+        )
+    elif 0b001000 <= ftype <= 0b001100:  # FIXED
+        order = ftype & 0b000111
+        warm = np.array(
+            [_signed(br.read(bits), bits) for _ in range(order)],
+            dtype=np.int64,
+        )
+        res = _read_residuals(br, order, block_size)
+        out = _fixed_restore(res, warm, order)
+    elif ftype & 0b100000:  # LPC, order = (type & 31) + 1
+        order = (ftype & 0b011111) + 1
+        warm = np.array(
+            [_signed(br.read(bits), bits) for _ in range(order)],
+            dtype=np.int64,
+        )
+        precision = br.read(4) + 1
+        if precision == 16:
+            raise ValueError("flac: invalid lpc precision")
+        shift = _signed(br.read(5), 5)
+        if shift < 0:
+            raise ValueError("flac: negative lpc shift")
+        coefs = np.array(
+            [_signed(br.read(precision), precision) for _ in range(order)],
+            dtype=np.int64,
+        )
+        res = _read_residuals(br, order, block_size)
+        out = np.empty(block_size, dtype=np.int64)
+        out[:order] = warm
+        for i in range(len(res)):
+            acc = 0
+            for j in range(order):
+                acc += int(coefs[j]) * int(out[order + i - 1 - j])
+            out[order + i] = int(res[i]) + (acc >> shift)
+    else:
+        raise ValueError(f"flac: reserved subframe type {ftype:#08b}")
+    return out << wasted if wasted else out
+
+
+# ---------------------------------------------------------------------------
+# frames
+# ---------------------------------------------------------------------------
+
+# channel assignment: 0..7 = that many independent channels;
+# 8 = left/side, 9 = right/side, 10 = mid/side
+_LEFT_SIDE, _RIGHT_SIDE, _MID_SIDE = 8, 9, 10
+
+
+def _encode_frame(samples: np.ndarray, frame_no: int, sample_rate: int,
+                  bits: int) -> bytes:
+    block_size, n_ch = samples.shape
+    # pick stereo mode by total zigzag cost proxy (abs sums)
+    if n_ch == 2:
+        left = samples[:, 0].astype(np.int64)
+        right = samples[:, 1].astype(np.int64)
+        side = left - right
+        mid = (left + right) >> 1
+        costs = {
+            n_ch - 1: int(np.abs(np.diff(left)).sum())
+            + int(np.abs(np.diff(right)).sum()),
+            _LEFT_SIDE: int(np.abs(np.diff(left)).sum())
+            + int(np.abs(np.diff(side)).sum()),
+            _RIGHT_SIDE: int(np.abs(np.diff(side)).sum())
+            + int(np.abs(np.diff(right)).sum()),
+            _MID_SIDE: int(np.abs(np.diff(mid)).sum())
+            + int(np.abs(np.diff(side)).sum()),
+        }
+        assign = min(costs, key=costs.get)
+    else:
+        assign = n_ch - 1
+
+    bw = _BitWriter()
+    bw.write(0b11111111111110, 14)  # sync
+    bw.write(0, 1)  # reserved
+    bw.write(0, 1)  # fixed blocking
+    bw.write(0b0111, 4)  # block size: explicit 16-bit at header end
+    bw.write(0b1101, 4)  # sample rate: explicit 16-bit Hz
+    bw.write(assign, 4)
+    bw.write({8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110}[bits], 3)
+    bw.write(0, 1)  # reserved
+    for b in encode_coded_number(frame_no):
+        bw.write(b, 8)
+    bw.write(block_size - 1, 16)
+    bw.write(sample_rate, 16)
+    header = bw.bytes()
+    assert bw.nbits == 0
+    bw.write(crc8(header), 8)
+
+    if assign < 8:
+        for c in range(n_ch):
+            _write_subframe(bw, samples[:, c], bits, block_size)
+    elif assign == _LEFT_SIDE:
+        _write_subframe(bw, left, bits, block_size)
+        _write_subframe(bw, side, bits + 1, block_size)
+    elif assign == _RIGHT_SIDE:
+        _write_subframe(bw, side, bits + 1, block_size)
+        _write_subframe(bw, right, bits, block_size)
+    else:
+        _write_subframe(bw, mid, bits, block_size)
+        _write_subframe(bw, side, bits + 1, block_size)
+    bw.align()
+    frame = bw.bytes()
+    return frame + struct.pack(">H", crc16(frame))
+
+
+_BLOCK_SIZE_TABLE = {
+    0b0001: 192,
+    **{c: 576 << (c - 2) for c in range(0b0010, 0b0110)},
+    **{c: 256 << (c - 8) for c in range(0b1000, 0b10000)},
+}
+_SAMPLE_RATE_TABLE = {
+    0b0001: 88200, 0b0010: 176400, 0b0011: 192000, 0b0100: 8000,
+    0b0101: 16000, 0b0110: 22050, 0b0111: 24000, 0b1000: 32000,
+    0b1001: 44100, 0b1010: 48000, 0b1011: 96000,
+}
+_BITS_TABLE = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24,
+               0b111: 32}
+
+
+def _decode_frame(data: bytes, pos: int, stream_bits: int,
+                  stream_rate: int) -> tuple[np.ndarray, int, int]:
+    """Returns (samples[block, ch], frame_no, end_pos)."""
+    br = _BitReader(data, pos * 8)
+    if br.read(14) != 0b11111111111110:
+        raise ValueError("flac: lost frame sync")
+    if br.read(1):
+        raise ValueError("flac: reserved header bit set")
+    br.read(1)  # blocking strategy
+    bs_code = br.read(4)
+    sr_code = br.read(4)
+    assign = br.read(4)
+    bits_code = br.read(3)
+    if br.read(1):
+        raise ValueError("flac: reserved header bit set")
+    frame_no = decode_coded_number(br)
+    if bs_code == 0b0110:
+        block_size = br.read(8) + 1
+    elif bs_code == 0b0111:
+        block_size = br.read(16) + 1
+    elif bs_code in _BLOCK_SIZE_TABLE:
+        block_size = _BLOCK_SIZE_TABLE[bs_code]
+    else:
+        raise ValueError(f"flac: reserved block size code {bs_code}")
+    if sr_code == 0b0000:
+        pass  # from STREAMINFO
+    elif sr_code == 0b1100:
+        _ = br.read(8) * 1000
+    elif sr_code == 0b1101:
+        _ = br.read(16)
+    elif sr_code == 0b1110:
+        _ = br.read(16) * 10
+    elif sr_code in _SAMPLE_RATE_TABLE:
+        pass
+    else:
+        raise ValueError(f"flac: invalid sample rate code {sr_code}")
+    # CRC-8 covers everything up to here
+    hdr_end = br.byte_pos()
+    want = br.read(8)
+    if crc8(data[pos:hdr_end]) != want:
+        raise ValueError("flac: frame header CRC-8 mismatch")
+    bits = stream_bits if bits_code == 0 else _BITS_TABLE[bits_code]
+
+    if assign < 8:
+        n_ch = assign + 1
+        chans = [
+            _read_subframe(br, bits, block_size) for _ in range(n_ch)
+        ]
+        samples = np.stack(chans, axis=1)
+    elif assign in (_LEFT_SIDE, _RIGHT_SIDE, _MID_SIDE):
+        if assign == _LEFT_SIDE:
+            a = _read_subframe(br, bits, block_size)
+            s = _read_subframe(br, bits + 1, block_size)
+            left, right = a, a - s
+        elif assign == _RIGHT_SIDE:
+            s = _read_subframe(br, bits + 1, block_size)
+            b = _read_subframe(br, bits, block_size)
+            left, right = b + s, b
+        else:
+            m = _read_subframe(br, bits, block_size)
+            s = _read_subframe(br, bits + 1, block_size)
+            # spec inversion: mid dropped side's LSB, so restore it
+            # before un-rotating: L = (2m + (s&1) + s) / 2
+            twice_mid = (m << 1) | (s & 1)
+            left = (twice_mid + s) >> 1
+            right = (twice_mid - s) >> 1
+        samples = np.stack([left, right], axis=1)
+    else:
+        raise ValueError(f"flac: reserved channel assignment {assign}")
+    br.align()
+    body_end = br.byte_pos()
+    if body_end + 2 > len(data):
+        raise ValueError("flac: truncated frame")
+    (want16,) = struct.unpack_from(">H", data, body_end)
+    if crc16(data[pos:body_end]) != want16:
+        raise ValueError("flac: frame CRC-16 mismatch")
+    return samples, frame_no, body_end + 2
+
+
+# ---------------------------------------------------------------------------
+# stream level
+# ---------------------------------------------------------------------------
+
+
+def _pcm_md5(samples: np.ndarray, bits: int) -> bytes:
+    """MD5 of the unencoded PCM as STREAMINFO defines it: interleaved
+    samples, little-endian, ceil(bits/8) bytes each, signed two's
+    complement (12/20-bit depths hash as 2/3-byte sign-extended)."""
+    nbytes = (bits + 7) // 8
+    inter = samples.astype(np.int64).reshape(-1)
+    arr = inter & ((1 << (8 * nbytes)) - 1)  # two's complement window
+    cols = [((arr >> (8 * i)) & 0xFF).astype(np.uint8) for i in range(nbytes)]
+    out = np.stack(cols, axis=1).reshape(-1)
+    return hashlib.md5(out.tobytes()).digest()
+
+
+def encode_flac(samples: np.ndarray, sample_rate: int, bits: int = 16,
+                block_size: int = 4096) -> bytes:
+    """samples: int array shaped (n, channels) or (n,) for mono."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, n_ch = samples.shape
+    if not 1 <= n_ch <= 8:
+        raise ValueError("flac: 1..8 channels")
+    if bits not in (8, 12, 16, 20, 24):
+        raise ValueError("flac: unsupported bits per sample")
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if len(samples) and (samples.min() < lo or samples.max() > hi):
+        raise ValueError("flac: samples exceed bit depth")
+    frames = []
+    min_fs = max_fs = None
+    min_bs = block_size
+    for f, start in enumerate(range(0, n, block_size)):
+        blk = samples[start : start + block_size]
+        min_bs = min(min_bs, len(blk))
+        fr = _encode_frame(blk, f, sample_rate, bits)
+        frames.append(fr)
+        min_fs = len(fr) if min_fs is None else min(min_fs, len(fr))
+        max_fs = max(max_fs or 0, len(fr))
+    body = b"".join(frames)
+    # STREAMINFO (34 bytes)
+    si = _BitWriter()
+    si.write(min_bs, 16)
+    si.write(block_size, 16)
+    si.write(min_fs or 0, 24)
+    si.write(max_fs or 0, 24)
+    si.write(sample_rate, 20)
+    si.write(n_ch - 1, 3)
+    si.write(bits - 1, 5)
+    si.write(n, 36)
+    info = si.bytes() + _pcm_md5(samples, bits)
+    header = b"fLaC" + bytes([0x80]) + struct.pack(">I", 34)[1:] + info
+    return header + body
+
+
+def decode_flac(data: bytes, verify_md5: bool = True) -> dict:
+    """Decode a FLAC stream; returns dict with ``samples`` (n, ch),
+    ``sample_rate``, ``bits``, ``n_frames``, ``md5_ok``."""
+    if data[:4] != b"fLaC":
+        raise ValueError("flac: bad magic")
+    pos = 4
+    streaminfo = None
+    while True:
+        head = data[pos]
+        last = bool(head & 0x80)
+        btype = head & 0x7F
+        (ln,) = struct.unpack(">I", b"\x00" + data[pos + 1 : pos + 4])
+        body = data[pos + 4 : pos + 4 + ln]
+        if btype == 0:
+            streaminfo = body
+        pos += 4 + ln
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) != 34:
+        raise ValueError("flac: missing STREAMINFO")
+    br = _BitReader(streaminfo)
+    br.read(16)
+    max_bs = br.read(16)
+    br.read(24)
+    br.read(24)
+    sample_rate = br.read(20)
+    n_ch = br.read(3) + 1
+    bits = br.read(5) + 1
+    total = br.read(36)
+    want_md5 = streaminfo[18:34]
+
+    chunks = []
+    n_frames = 0
+    got = 0
+    while got < total:
+        samples, frame_no, pos = _decode_frame(data, pos, bits, sample_rate)
+        if samples.shape[1] != n_ch:
+            raise ValueError("flac: channel count changed mid-stream")
+        chunks.append(samples)
+        got += len(samples)
+        n_frames += 1
+    pcm = (
+        np.concatenate(chunks, axis=0)
+        if chunks
+        else np.empty((0, n_ch), dtype=np.int64)
+    )
+    if got != total:
+        raise ValueError("flac: sample count mismatch")
+    md5_ok = _pcm_md5(pcm, bits) == want_md5
+    if verify_md5 and not md5_ok:
+        raise ValueError("flac: PCM MD5 mismatch")
+    return {
+        "samples": pcm,
+        "sample_rate": sample_rate,
+        "bits": bits,
+        "channels": n_ch,
+        "total_samples": total,
+        "n_frames": n_frames,
+        "md5_ok": md5_ok,
+    }

@@ -2691,3 +2691,59 @@ def vfp_wide_probe_table(spark, variants: int, words: int) -> DataFrame:
     return spark.range(int(variants)).mapInPandas(
         gen, VFP_WIDE_PROBE_SCHEMA
     )
+
+
+FLAC_PROBE_SCHEMA = (
+    "variant bigint, flac_md5 string, flac_bytes bigint, "
+    "n_samples bigint, channels bigint, bits bigint, "
+    "sample_rate bigint, n_frames bigint, pcm_sum bigint"
+)
+
+
+def _flac_variant(v: int) -> dict:
+    """One deterministic FLAC round trip (operators/flac_codec.py —
+    lossless, so the decode is verified EXACT against the formula PCM
+    and against the stream's own STREAMINFO MD5 before anything is
+    graded): ch = 1 + v%2 channels, n = 1000 + 50v samples of
+    x[t,c] = ((17t + 13v + 7c) mod 251) - 125, 16-bit, block size 256
+    (multiple frames incl. a short tail).  Every graded output is
+    integer-derivable except the stream md5/size, which the oracle
+    pins as literals."""
+    from cloud_optimized_data_pipelines_spark.operators.flac_codec import (
+        decode_flac,
+        encode_flac,
+    )
+
+    ch = 1 + v % 2
+    n = 1000 + 50 * v
+    t = np.arange(n, dtype=np.int64)[:, None]
+    c = np.arange(ch, dtype=np.int64)[None, :]
+    pcm = ((17 * t + 13 * v + 7 * c) % 251) - 125
+    flac = encode_flac(pcm, 32000, bits=16, block_size=256)
+    dec = decode_flac(flac)  # raises on MD5 mismatch
+    if not np.array_equal(dec["samples"], pcm):  # pragma: no cover
+        raise RuntimeError(f"flac variant {v}: PCM round-trip mismatch")
+    return {
+        "variant": v,
+        "flac_md5": hashlib.md5(flac).hexdigest(),
+        "flac_bytes": len(flac),
+        "n_samples": dec["total_samples"],
+        "channels": dec["channels"],
+        "bits": dec["bits"],
+        "sample_rate": dec["sample_rate"],
+        "n_frames": dec["n_frames"],
+        "pcm_sum": int(dec["samples"].sum()),
+    }
+
+
+def flac_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    [_flac_variant(int(x)) for x in pdf["id"]]
+                )
+
+    return spark.range(
+        0, int(variants), numPartitions=int(variants)
+    ).mapInPandas(gen, FLAC_PROBE_SCHEMA)

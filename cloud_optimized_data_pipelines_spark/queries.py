@@ -123,9 +123,10 @@ def query(name: str, oracle: str | None = None):
 # the @query decorator at import; tests/test_registry_order.py pins the
 # resulting dict order against the pre-split registry.
 # Late-r11 amendment: text_warc_records (the WARC.gz crawl-ingest
-# probe over the new RFC 1951/1952 codec) takes the ninth never-green
-# slot; dedup_simhash_pairs yields its r7-sweep seat (the dedup family
-# keeps three other representatives in the window).
+# probe over the new RFC 1951/1952 codec) and multimodal_flac_features
+# (lossless FLAC, RFC 9639) take the ninth/tenth never-green slots;
+# dedup_simhash_pairs and similarity_knn_join yield their r7-sweep
+# seats (both families keep three other representatives each).
 # ---------------------------------------------------------------------------
 
 from cloud_optimized_data_pipelines_spark.registry import (  # noqa: E402,F401
@@ -176,6 +177,7 @@ _GRADED_WINDOW = [
     "multimodal_mpeg_stream_info",        # compressed-domain walk
     "multimodal_video_near_dup_adaptive",  # adaptive triple complete
     "text_warc_records",                  # WARC.gz ingest (RFC 1951)
+    "multimodal_flac_features",           # lossless FLAC (RFC 9639)
     # --- changed-implementation re-proves (r11 edits) ---
     "multimodal_extract_features",  # integer-scaled serialization
     "stac_item_raster",             # bbox integer-scaled
@@ -218,7 +220,6 @@ _GRADED_WINDOW = [
     "dedup_ngram_containment",
     "similarity_bruteforce_topk",
     "similarity_semantic_dedup",
-    "similarity_knn_join",
     "text_gopher_quality",
     "text_bigram_backoff",
     "text_c4_clean",

@@ -1051,3 +1051,108 @@ def text_warc_records_q(spark, sf_dir):
         "status_sum",
         "body_byte_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# FLAC lossless audio (operators/flac_codec.py)
+# ---------------------------------------------------------------------------
+
+
+def _flac_features_oracle() -> str:
+    """Oracle for multimodal_flac_features: the PCM formula
+    ((17t + 13v + 7c) mod 251) - 125 and the frame arithmetic
+    (ceil(n/256) frames at block size 256) replay directly in SQL;
+    stream md5 + byte size are pinned from a single-process run.
+    Non-circular: the engine's pcm_sum/n_frames/channel outputs come
+    from DECODING the encoded stream on executors (with the decode
+    verified both against the format's own STREAMINFO MD5 and
+    bit-exactly against the input — FLAC is lossless, so conformance
+    is self-checking in a way the lossy codecs can't be)."""
+    import hashlib
+
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _flac_variant,
+    )
+
+    rows = [_flac_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(
+            f"WHEN {r['variant']} THEN '{r['flac_md5']}'" for r in rows
+        )
+        + " END"
+    )
+    bytes_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(
+            f"WHEN {r['variant']} THEN {r['flac_bytes']}" for r in rows
+        )
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT unnest(range(0, 8)) AS v),
+dims AS (
+  SELECT v, 1000 + 50*v AS n, 1 + v % 2 AS ch FROM var
+),
+cells AS (
+  SELECT d.v, d.n, d.ch,
+         unnest(range(0, d.n)) AS t
+  FROM dims d
+),
+chan AS (
+  SELECT v, n, ch, t, unnest(range(0, ch)) AS c FROM cells
+),
+psum AS (
+  SELECT v,
+         CAST(SUM((17*t + 13*v + 7*c) % 251 - 125) AS BIGINT) AS pcm_sum
+  FROM chan GROUP BY v
+)
+SELECT d.doc_id,
+       d.doc_id % 8 AS variant,
+       {md5_case} AS flac_md5,
+       CAST({bytes_case} AS BIGINT) AS flac_bytes,
+       CAST(m.n AS BIGINT) AS n_samples,
+       CAST(m.ch AS BIGINT) AS channels,
+       CAST(16 AS BIGINT) AS bits,
+       CAST(32000 AS BIGINT) AS sample_rate,
+       CAST((m.n + 255) // 256 AS BIGINT) AS n_frames,
+       p.pcm_sum
+FROM documents d
+JOIN dims m ON m.v = d.doc_id % 8
+JOIN psum p ON p.v = d.doc_id % 8
+"""
+
+
+@query("multimodal_flac_features", _flac_features_oracle)
+def multimodal_flac_features_q(spark, sf_dir):
+    """REAL-bytes FLAC probe (operators/flac_codec.py — RFC 9639 from
+    the public spec: closed-form fixed predictors, Rice partitions,
+    derived CRC-8/CRC-16, UTF-8-style frame numbers, all three stereo
+    decorrelation modes): formula PCM encodes into actual multi-frame
+    FLAC streams on executors, decodes back through the full bitstream
+    path, and the decode is verified bit-exactly against the input AND
+    against the format's own STREAMINFO PCM MD5 before the graded
+    aggregates derive from the DECODED samples.  Lossless audio is the
+    archival layer of crawl-audio corpora; at 100 TB this is the same
+    binary-column Arrow-batch scan shape as the WAV/MPEG probes."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        flac_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = flac_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "flac_md5",
+        "flac_bytes",
+        "n_samples",
+        "channels",
+        "bits",
+        "sample_rate",
+        "n_frames",
+        "pcm_sum",
+    )

@@ -354,3 +354,31 @@ def test_warc_records_uncompressed_spark(spark):
     assert len(out) == 3
     assert out[1].warc_type == "response"
     assert out[1].gz_offset is None
+
+
+def test_gzip_engine_equivalence():
+    """The C-backed hot path and the from-scratch pure path accept
+    each other's members and agree on payload + boundaries."""
+    payloads = [b"", b"abc" * 500, _rand(5000, 9), _randtext(9000, 10)]
+    for p in payloads:
+        for enc in ("c", "pure"):
+            g = dc.gzip_encode(p, name="x", engine=enc)
+            assert stdgzip.decompress(g) == p
+            for dec in ("c", "pure"):
+                m = dc.gzip_decode_member(g, engine=dec)
+                assert m["payload"] == p
+                assert m["end"] == len(g)
+    blob = b"".join(dc.gzip_encode(p, engine="pure") for p in payloads)
+    c_walk = dc.gzip_members(blob, engine="c")
+    pure_walk = dc.gzip_members(blob, engine="pure")
+    assert [(m["offset"], m["comp_size"], m["payload"]) for m in c_walk] == [
+        (m["offset"], m["comp_size"], m["payload"]) for m in pure_walk
+    ]
+
+
+def test_gzip_unknown_engine():
+    with pytest.raises(ValueError, match="unknown engine"):
+        dc.gzip_encode(b"x", engine="jvm")
+    g = dc.gzip_encode(b"x")
+    with pytest.raises(ValueError, match="unknown engine"):
+        dc.gzip_decode_member(g, engine="jvm")
