@@ -198,6 +198,8 @@ ADDITIONS_R11 = [
     "text_warc_records",
     # lossless FLAC round trip (RFC 9639, self-checking via PCM MD5)
     "multimodal_flac_features",
+    # .jsonl.zst shard: reference-coder frames, our RFC 8878 decode
+    "text_zstd_shard",
     # (the serialization-fixed queries — extract_features, stac_item_
     # raster, embedding_outliers — already ride the R9/R10 batches)
 ]

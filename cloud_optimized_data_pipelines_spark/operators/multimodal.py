@@ -2747,3 +2747,81 @@ def flac_probe_table(spark, variants: int = 8) -> DataFrame:
     return spark.range(
         0, int(variants), numPartitions=int(variants)
     ).mapInPandas(gen, FLAC_PROBE_SCHEMA)
+
+
+ZSTD_PROBE_SCHEMA = (
+    "variant bigint, zst_md5 string, zst_bytes bigint, "
+    "payload_md5 string, n_lines bigint, payload_bytes bigint, "
+    "id_sum bigint, val_sum bigint"
+)
+
+
+def _zstd_variant(v: int) -> dict:
+    """One deterministic .jsonl.zst shard round trip — the container
+    format modern training corpora ship in: L = 500 + 100v lines of
+    '{"id":I,"v":(7I+v) mod 100}', compressed by the in-container
+    REFERENCE coder (zstd CLI, --single-thread for deterministic
+    frames; stored-frame fallback when no CLI), decoded back by OUR
+    RFC 8878 decoder (operators/zstd_codec.py), equality-checked, and
+    the graded aggregates derive from the DECODED bytes.  payload_md5
+    makes the conformance check part of the driver hash: the oracle
+    md5s the SQL-reconstructed payload, the engine md5s what the
+    decoder produced."""
+    import hashlib
+    import shutil
+    import subprocess
+
+    from cloud_optimized_data_pipelines_spark.operators.zstd_codec import (
+        zstd_compress_stored,
+        zstd_decompress,
+    )
+
+    n = 500 + 100 * v
+    payload = b"".join(
+        b'{"id":%d,"v":%d}\n' % (i, (7 * i + v) % 100) for i in range(n)
+    )
+    if shutil.which("zstd"):
+        r = subprocess.run(
+            ["zstd", "-9", "--single-thread", "-c"],
+            input=payload,
+            capture_output=True,
+        )
+        if r.returncode != 0:  # pragma: no cover - CLI guard
+            raise RuntimeError(f"zstd cli failed: {r.stderr[-200:]!r}")
+        zst = r.stdout
+    else:  # pragma: no cover - container always has the CLI
+        zst = zstd_compress_stored(payload)
+    decoded = zstd_decompress(zst)
+    if decoded != payload:  # pragma: no cover - codec guard
+        raise RuntimeError(f"zstd variant {v}: decode mismatch")
+    # aggregates from the DECODED jsonl, not the formula
+    import json as _json
+
+    ids = vals = 0
+    for line in decoded.splitlines():
+        rec = _json.loads(line)
+        ids += rec["id"]
+        vals += rec["v"]
+    return {
+        "variant": v,
+        "zst_md5": hashlib.md5(zst).hexdigest(),
+        "zst_bytes": len(zst),
+        "payload_md5": hashlib.md5(decoded).hexdigest(),
+        "n_lines": decoded.count(b"\n"),
+        "payload_bytes": len(decoded),
+        "id_sum": ids,
+        "val_sum": vals,
+    }
+
+
+def zstd_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    [_zstd_variant(int(x)) for x in pdf["id"]]
+                )
+
+    return spark.range(
+        0, int(variants), numPartitions=int(variants)
+    ).mapInPandas(gen, ZSTD_PROBE_SCHEMA)

@@ -122,11 +122,12 @@ def query(name: str, oracle: str | None = None):
 # ORDER IS REGISTRATION ORDER: each module registers its queries via
 # the @query decorator at import; tests/test_registry_order.py pins the
 # resulting dict order against the pre-split registry.
-# Late-r11 amendment: text_warc_records (the WARC.gz crawl-ingest
-# probe over the new RFC 1951/1952 codec) and multimodal_flac_features
-# (lossless FLAC, RFC 9639) take the ninth/tenth never-green slots;
-# dedup_simhash_pairs and similarity_knn_join yield their r7-sweep
-# seats (both families keep three other representatives each).
+# Late-r11 amendment: text_warc_records (WARC.gz over the new RFC
+# 1951/1952 codec), multimodal_flac_features (lossless FLAC, RFC
+# 9639) and text_zstd_shard (.jsonl.zst over the RFC 8878 decoder,
+# CLI-conformance-checked) take the ninth/tenth/eleventh never-green
+# slots; dedup_simhash_pairs, similarity_knn_join and text_c4_clean
+# yield their r7-sweep seats (each family keeps 3+ representatives).
 # ---------------------------------------------------------------------------
 
 from cloud_optimized_data_pipelines_spark.registry import (  # noqa: E402,F401
@@ -178,6 +179,7 @@ _GRADED_WINDOW = [
     "multimodal_video_near_dup_adaptive",  # adaptive triple complete
     "text_warc_records",                  # WARC.gz ingest (RFC 1951)
     "multimodal_flac_features",           # lossless FLAC (RFC 9639)
+    "text_zstd_shard",                    # .jsonl.zst (RFC 8878)
     # --- changed-implementation re-proves (r11 edits) ---
     "multimodal_extract_features",  # integer-scaled serialization
     "stac_item_raster",             # bbox integer-scaled
@@ -222,7 +224,6 @@ _GRADED_WINDOW = [
     "similarity_semantic_dedup",
     "text_gopher_quality",
     "text_bigram_backoff",
-    "text_c4_clean",
     "graph_pagerank_events",
 ]
 

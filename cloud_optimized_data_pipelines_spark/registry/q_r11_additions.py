@@ -1156,3 +1156,107 @@ def multimodal_flac_features_q(spark, sf_dir):
         "n_frames",
         "pcm_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# zstd corpus shards (operators/zstd_codec.py)
+# ---------------------------------------------------------------------------
+
+
+def _zstd_shard_oracle() -> str:
+    """Oracle for text_zstd_shard: the shard's jsonl lines are
+    formula text, so the oracle REBUILDS the payload in SQL and md5s
+    it — the engine md5s what the RFC 8878 decoder actually produced
+    from real reference-coder frames, making the driver's value hash
+    a cross-implementation conformance check.  Compressed md5/size
+    are pinned from a single-process run of the same deterministic
+    encoder (zstd CLI --single-thread, fixed in-container version)."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _zstd_variant,
+    )
+
+    rows = [_zstd_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(
+            f"WHEN {r['variant']} THEN '{r['zst_md5']}'" for r in rows
+        )
+        + " END"
+    )
+    bytes_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(
+            f"WHEN {r['variant']} THEN {r['zst_bytes']}" for r in rows
+        )
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT unnest(range(0, 8)) AS v),
+lines AS (
+  SELECT v.v, i.i,
+         '{{"id":' || CAST(i.i AS VARCHAR) || ',"v":'
+           || CAST((7*i.i + v.v) % 100 AS VARCHAR) || '}}' || chr(10)
+           AS line,
+         (7*i.i + v.v) % 100 AS val
+  FROM var v, (SELECT unnest(range(0, 1200)) AS i) i
+  WHERE i.i < 500 + 100*v.v
+),
+agg AS (
+  SELECT v,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(length(line)) AS BIGINT) AS payload_bytes,
+         CAST(SUM(i) AS BIGINT) AS id_sum,
+         CAST(SUM(val) AS BIGINT) AS val_sum,
+         md5(string_agg(line, '' ORDER BY i)) AS payload_md5
+  FROM lines GROUP BY v
+)
+SELECT d.doc_id,
+       d.doc_id % 8 AS variant,
+       {md5_case} AS zst_md5,
+       CAST({bytes_case} AS BIGINT) AS zst_bytes,
+       a.payload_md5,
+       a.n_lines,
+       a.payload_bytes,
+       a.id_sum,
+       a.val_sum
+FROM documents d
+JOIN agg a ON a.v = d.doc_id % 8
+"""
+
+
+@query("text_zstd_shard", _zstd_shard_oracle)
+def text_zstd_shard_q(spark, sf_dir):
+    """REAL-bytes .jsonl.zst shard ingest — the container format
+    modern training corpora actually ship in: per variant the
+    in-container REFERENCE zstd (CLI v1.5, deterministic
+    --single-thread frames) compresses a formula jsonl shard on
+    executors, and OUR pure-python RFC 8878 decoder
+    (operators/zstd_codec.py — FSE, 4-stream Huffman, sequences,
+    repeat offsets, XXH64, all built from the spec and CLI-conformance
+    -proven in tests/test_zstd_codec.py) decodes it back; graded
+    aggregates (line/byte counts, field sums, payload md5) derive
+    from the DECODED bytes while the oracle rebuilds the payload in
+    SQL — so the driver hash IS a cross-implementation conformance
+    check.  At 100 TB the shard scan is a pure map over the binary
+    column (engine="cli" for bulk throughput, engine="pure" as the
+    verified fallback)."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        zstd_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = zstd_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "zst_md5",
+        "zst_bytes",
+        "payload_md5",
+        "n_lines",
+        "payload_bytes",
+        "id_sum",
+        "val_sum",
+    )
