@@ -200,6 +200,8 @@ ADDITIONS_R11 = [
     "multimodal_flac_features",
     # .jsonl.zst shard: reference-coder frames, our RFC 8878 decode
     "text_zstd_shard",
+    # crawl-to-corpus composition: WARC -> WET -> gate -> dedup
+    "pipeline_crawl_ingest",
     # (the serialization-fixed queries — extract_features, stac_item_
     # raster, embedding_outliers — already ride the R9/R10 batches)
 ]

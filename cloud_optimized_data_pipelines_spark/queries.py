@@ -122,12 +122,14 @@ def query(name: str, oracle: str | None = None):
 # ORDER IS REGISTRATION ORDER: each module registers its queries via
 # the @query decorator at import; tests/test_registry_order.py pins the
 # resulting dict order against the pre-split registry.
-# Late-r11 amendment: text_warc_records (WARC.gz over the new RFC
-# 1951/1952 codec), multimodal_flac_features (lossless FLAC, RFC
-# 9639) and text_zstd_shard (.jsonl.zst over the RFC 8878 decoder,
-# CLI-conformance-checked) take the ninth/tenth/eleventh never-green
-# slots; dedup_simhash_pairs, similarity_knn_join and text_c4_clean
-# yield their r7-sweep seats (each family keeps 3+ representatives).
+# Late-r11 amendment: four new never-green rows — text_warc_records
+# (WARC.gz over the new RFC 1951/1952 codec), multimodal_flac_features
+# (lossless FLAC, RFC 9639), text_zstd_shard (.jsonl.zst over the RFC
+# 8878 decoder, CLI-conformance-checked) and pipeline_crawl_ingest
+# (the WARC -> WET -> quality gate -> global exact-dedup composition).
+# dedup_simhash_pairs, similarity_knn_join, text_c4_clean and
+# dedup_ngram_containment yield their r7-sweep seats (each family
+# keeps 2+ representatives in the window).
 # ---------------------------------------------------------------------------
 
 from cloud_optimized_data_pipelines_spark.registry import (  # noqa: E402,F401
@@ -180,6 +182,7 @@ _GRADED_WINDOW = [
     "text_warc_records",                  # WARC.gz ingest (RFC 1951)
     "multimodal_flac_features",           # lossless FLAC (RFC 9639)
     "text_zstd_shard",                    # .jsonl.zst (RFC 8878)
+    "pipeline_crawl_ingest",              # WARC->WET->gate->dedup
     # --- changed-implementation re-proves (r11 edits) ---
     "multimodal_extract_features",  # integer-scaled serialization
     "stac_item_raster",             # bbox integer-scaled
@@ -219,7 +222,6 @@ _GRADED_WINDOW = [
     "c4_item_id",
     "dedup_lines",
     "dedup_lsh_clusters",
-    "dedup_ngram_containment",
     "similarity_bruteforce_topk",
     "similarity_semantic_dedup",
     "text_gopher_quality",

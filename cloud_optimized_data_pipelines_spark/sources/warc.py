@@ -352,3 +352,109 @@ def warc_records(df, id_col: str, binary_col: str, compressed: bool = True):
     return df.select(id_col, binary_col).mapInPandas(
         gen, WARC_RECORD_SCHEMA
     )
+
+
+HTTP_BODY_SCHEMA = (
+    "file_id bigint, record_index bigint, status bigint, body string"
+)
+
+
+def http_text_bodies(df, id_col: str = "file_id",
+                     index_col: str = "record_index",
+                     payload_col: str = "payload"):
+    """Strip the HTTP envelope and return the body as TEXT — the
+    WET-conversion step that feeds the LLM text pipeline (quality
+    gates, dedup, tokenization) straight off the crawl scan."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fid, idx, payload in zip(
+                pdf[id_col], pdf[index_col], pdf[payload_col]
+            ):
+                _, body, status = split_http_payload(bytes(payload))
+                rows.append(
+                    {
+                        "file_id": int(fid),
+                        "record_index": int(idx),
+                        "status": status,
+                        "body": body.decode("utf-8", errors="replace"),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["file_id", "record_index", "status", "body"],
+            )
+
+    return df.select(id_col, index_col, payload_col).mapInPandas(
+        gen, HTTP_BODY_SCHEMA
+    )
+
+
+# 16-word probe vocabulary — mirrored as a CASE table in the SQL
+# oracle of pipeline_crawl_ingest.
+PROBE_VOCAB = (
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa",
+)
+
+
+def _probe_text_body(v: int, i: int) -> bytes:
+    """Response i of variant v: W = 30 + 10*(i%4) words drawn as
+    VOCAB[(13i + 7j + v) mod 16]; records with i%3 == 2 are EXACT
+    COPIES of record i-1 (the crawl-duplicate regime the dedup stage
+    exists for)."""
+    if i % 3 == 2:
+        return _probe_text_body(v, i - 1)
+    w = 30 + 10 * (i % 4)
+    return " ".join(
+        PROBE_VOCAB[(13 * i + 7 * j + v) % 16] for j in range(w)
+    ).encode()
+
+
+def warc_text_probe_blob(v: int) -> bytes:
+    """A .warc.gz crawl file whose responses carry TEXT bodies (the
+    pipeline_crawl_ingest fixture): 6 + v%3 responses, ~1/3 exact
+    duplicates, token counts straddling the quality gate."""
+    n_resp = 6 + v % 3
+    records = [
+        encode_warc_record(
+            "warcinfo",
+            f"<urn:uuid:tprobe-{v}-info>",
+            "2026-08-16T00:00:00Z",
+            PROBE_WARCINFO,
+            content_type="application/warc-fields",
+        )
+    ]
+    for i in range(n_resp):
+        records.append(
+            encode_warc_record(
+                "response",
+                f"<urn:uuid:tprobe-{v}-{i}>",
+                "2026-08-16T00:00:01Z",
+                PROBE_HTTP_HEAD + _probe_text_body(v, i),
+                target_uri=f"http://crawl.example/t/{v}/{i}",
+                content_type="application/http; msgtype=response",
+            )
+        )
+    return encode_warc_gz(records)
+
+
+def warc_text_probe_table(spark, variants: int = 8):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    [
+                        {
+                            "file_id": int(x),
+                            "blob": warc_text_probe_blob(int(x)),
+                        }
+                        for x in pdf["id"]
+                    ]
+                )
+
+    return spark.range(
+        0, int(variants), numPartitions=int(variants)
+    ).mapInPandas(gen, WARC_PROBE_SCHEMA)

@@ -382,3 +382,38 @@ def test_gzip_unknown_engine():
     g = dc.gzip_encode(b"x")
     with pytest.raises(ValueError, match="unknown engine"):
         dc.gzip_decode_member(g, engine="jvm")
+
+
+def test_text_probe_duplicate_rule():
+    blob = W.warc_text_probe_blob(6)
+    recs = W.parse_warc_gz(blob)
+    assert len(recs) == 1 + 6  # warcinfo + 6 responses
+    bodies = [
+        W.split_http_payload(r["payload"])[1] for r in recs[1:]
+    ]
+    # i%3==2 copies i-1
+    assert bodies[2] == bodies[1]
+    assert bodies[5] == bodies[4]
+    assert bodies[0] != bodies[1]
+    # word counts follow W = 30 + 10*(src%4)
+    assert [len(b.split()) for b in bodies] == [30, 40, 40, 60, 30, 30]
+    # every word from the probe vocabulary
+    assert set(bodies[3].split()) <= set(
+        w.encode() for w in W.PROBE_VOCAB
+    )
+
+
+def test_http_text_bodies_spark(spark):
+    from pyspark.sql import functions as F
+
+    probe = W.warc_text_probe_table(spark, 2)
+    recs = W.warc_records(probe, "file_id", "blob")
+    bodies = W.http_text_bodies(
+        recs.filter(F.col("warc_type") == "response")
+    ).collect()
+    assert len(bodies) == 6 + 7  # v=0: 6 responses, v=1: 7
+    for r in bodies:
+        assert r.status == 200
+        i = r.record_index - 1
+        src = i - 1 if i % 3 == 2 else i
+        assert len(r.body.split()) == 30 + 10 * (src % 4)
