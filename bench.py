@@ -202,6 +202,8 @@ ADDITIONS_R11 = [
     "text_zstd_shard",
     # crawl-to-corpus composition: WARC -> WET -> gate -> dedup
     "pipeline_crawl_ingest",
+    # mixed-codec corpus front door (gz/zst/lz4/xz/bz2 magic sniff)
+    "text_compressed_corpus",
     # (the serialization-fixed queries — extract_features, stac_item_
     # raster, embedding_outliers — already ride the R9/R10 batches)
 ]

@@ -2825,3 +2825,97 @@ def zstd_probe_table(spark, variants: int = 8) -> DataFrame:
     return spark.range(
         0, int(variants), numPartitions=int(variants)
     ).mapInPandas(gen, ZSTD_PROBE_SCHEMA)
+
+
+COMPRESSED_PROBE_SCHEMA = (
+    "variant bigint, codec string, comp_md5 string, comp_bytes bigint, "
+    "payload_md5 string, n_lines bigint, payload_bytes bigint, "
+    "val_sum bigint"
+)
+
+_COMPRESSED_CODECS = ("gzip", "zstd", "lz4", "xz", "bzip2")
+
+
+def _compressed_variant(v: int) -> dict:
+    """One shard of the mixed-codec corpus probe: codec = variant
+    mod 5 over the SAME formula jsonl (L = 300 + 40v lines of
+    '{"id":I,"v":(3I+v) mod 50}'), compressed by that codec's
+    deterministic writer, sniffed + decoded back through
+    sources/compressed.decompress_auto with the PURE engines, and
+    equality-checked before grading."""
+    import bz2 as _bz2
+    import hashlib
+    import lzma as _lzma
+    import shutil
+    import subprocess
+
+    from cloud_optimized_data_pipelines_spark.operators.deflate_codec import (
+        gzip_encode,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.lz4_codec import (
+        lz4_frame_compress,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.zstd_codec import (
+        zstd_compress_stored,
+    )
+    from cloud_optimized_data_pipelines_spark.sources.compressed import (
+        decompress_auto,
+        detect_codec,
+    )
+
+    n = 300 + 40 * v
+    payload = b"".join(
+        b'{"id":%d,"v":%d}\n' % (i, (3 * i + v) % 50) for i in range(n)
+    )
+    codec = _COMPRESSED_CODECS[v % 5]
+    if codec == "gzip":
+        blob = gzip_encode(payload)
+    elif codec == "zstd":
+        if shutil.which("zstd"):
+            r = subprocess.run(
+                ["zstd", "-9", "--single-thread", "-c"],
+                input=payload,
+                capture_output=True,
+            )
+            if r.returncode != 0:  # pragma: no cover - CLI guard
+                raise RuntimeError(f"zstd cli failed: {r.stderr[-200:]!r}")
+            blob = r.stdout
+        else:  # pragma: no cover - container always has the CLI
+            blob = zstd_compress_stored(payload)
+    elif codec == "lz4":
+        blob = lz4_frame_compress(payload)
+    elif codec == "xz":
+        blob = _lzma.compress(payload, preset=6)
+    else:
+        blob = _bz2.compress(payload, 9)
+    if detect_codec(blob) != codec:  # pragma: no cover - codec guard
+        raise RuntimeError(f"compressed variant {v}: magic sniff failed")
+    decoded = decompress_auto(blob)
+    if decoded != payload:  # pragma: no cover - codec guard
+        raise RuntimeError(f"compressed variant {v}: decode mismatch")
+    import json as _json
+
+    vals = sum(_json.loads(line)["v"] for line in decoded.splitlines())
+    return {
+        "variant": v,
+        "codec": codec,
+        "comp_md5": hashlib.md5(blob).hexdigest(),
+        "comp_bytes": len(blob),
+        "payload_md5": hashlib.md5(decoded).hexdigest(),
+        "n_lines": decoded.count(b"\n"),
+        "payload_bytes": len(decoded),
+        "val_sum": vals,
+    }
+
+
+def compressed_probe_table(spark, variants: int = 10) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    [_compressed_variant(int(x)) for x in pdf["id"]]
+                )
+
+    return spark.range(
+        0, int(variants), numPartitions=int(variants)
+    ).mapInPandas(gen, COMPRESSED_PROBE_SCHEMA)

@@ -1417,3 +1417,111 @@ def pipeline_crawl_ingest_q(spark, sf_dir):
         "n_unique",
         "surv_md5",
     )
+
+
+# ---------------------------------------------------------------------------
+# mixed-codec corpus (sources/compressed.py)
+# ---------------------------------------------------------------------------
+
+
+def _compressed_corpus_oracle() -> str:
+    """Oracle for text_compressed_corpus: identical formula payload
+    across five container codecs — the oracle rebuilds each shard's
+    jsonl in SQL (md5 included) and pins only the codec-specific
+    compressed md5/size from a single-process run; the engine's
+    numbers come from bytes the magic-sniffing decode path actually
+    produced (gzip/zstd/lz4 through the from-scratch codecs, xz/bz2
+    through stdlib)."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _COMPRESSED_CODECS,
+        _compressed_variant,
+    )
+
+    rows = [_compressed_variant(v) for v in range(10)]
+    md5_case = (
+        "CASE d.doc_id % 10 "
+        + " ".join(
+            f"WHEN {r['variant']} THEN '{r['comp_md5']}'" for r in rows
+        )
+        + " END"
+    )
+    bytes_case = (
+        "CASE d.doc_id % 10 "
+        + " ".join(
+            f"WHEN {r['variant']} THEN {r['comp_bytes']}" for r in rows
+        )
+        + " END"
+    )
+    codec_case = (
+        "CASE (d.doc_id % 10) % 5 "
+        + " ".join(
+            f"WHEN {k} THEN '{c}'"
+            for k, c in enumerate(_COMPRESSED_CODECS)
+        )
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT unnest(range(0, 10)) AS v),
+lines AS (
+  SELECT v.v, i.i,
+         '{{"id":' || CAST(i.i AS VARCHAR) || ',"v":'
+           || CAST((3*i.i + v.v) % 50 AS VARCHAR) || '}}' || chr(10)
+           AS line,
+         (3*i.i + v.v) % 50 AS val
+  FROM var v, (SELECT unnest(range(0, 660)) AS i) i
+  WHERE i.i < 300 + 40*v.v
+),
+agg AS (
+  SELECT v,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(length(line)) AS BIGINT) AS payload_bytes,
+         CAST(SUM(val) AS BIGINT) AS val_sum,
+         md5(string_agg(line, '' ORDER BY i)) AS payload_md5
+  FROM lines GROUP BY v
+)
+SELECT d.doc_id,
+       d.doc_id % 10 AS variant,
+       {codec_case} AS codec,
+       {md5_case} AS comp_md5,
+       CAST({bytes_case} AS BIGINT) AS comp_bytes,
+       a.payload_md5,
+       a.n_lines,
+       a.payload_bytes,
+       a.val_sum
+FROM documents d
+JOIN agg a ON a.v = d.doc_id % 10
+"""
+
+
+@query("text_compressed_corpus", _compressed_corpus_oracle)
+def text_compressed_corpus_q(spark, sf_dir):
+    """Mixed-codec corpus ingestion — one front door for the five
+    container formats training shards arrive in (.jsonl.gz/.zst/
+    .lz4/.xz/.bz2): each probe shard compresses the same formula
+    jsonl with a different codec, sources/compressed.decode sniffs
+    the magic and routes to the right decoder (the from-scratch
+    RFC 1951/8878/LZ4-frame codecs for gzip/zstd/lz4, stdlib C
+    modules for xz/bz2), and the graded aggregates derive from the
+    DECODED text with the payload md5 re-derived by the oracle in
+    SQL.  At 100 TB a mixed-provenance corpus reads as one binary
+    column, one decode per shard inside its input split, no shuffle."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        compressed_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = compressed_probe_table(spark, 10)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 10).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "codec",
+        "comp_md5",
+        "comp_bytes",
+        "payload_md5",
+        "n_lines",
+        "payload_bytes",
+        "val_sum",
+    )
