@@ -100,69 +100,161 @@ def crc16(data: bytes) -> int:
 
 
 class _BitWriter:
-    __slots__ = ("out", "acc", "nbits")
+    """MSB-first writer that ACCUMULATES (value, width) ops and
+    materializes the byte stream once via a vectorized bit explode +
+    ``np.packbits`` (the rice_codec._VecBitWriter pattern): Rice
+    residual runs append as whole numpy arrays instead of a Python
+    call per sample.  ``nbits`` tracks the sub-byte phase for align
+    and the header-CRC boundary assert; ``bytes()`` may be called at
+    any byte-aligned point (the frame header is hashed mid-stream)."""
+
+    __slots__ = ("_sv", "_sw", "_chunks", "total_bits")
 
     def __init__(self):
-        self.out = bytearray()
-        self.acc = 0
-        self.nbits = 0
+        self._sv: list[int] = []
+        self._sw: list[int] = []
+        self._chunks: list[tuple[np.ndarray, np.ndarray]] = []
+        self.total_bits = 0
+
+    @property
+    def nbits(self) -> int:
+        return self.total_bits & 7
 
     def write(self, value: int, n: int) -> None:
         if n == 0:
             return
-        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
-        self.nbits += n
-        while self.nbits >= 8:
-            self.nbits -= 8
-            self.out.append((self.acc >> self.nbits) & 0xFF)
-        self.acc &= (1 << self.nbits) - 1
+        self._sv.append(value & ((1 << n) - 1))
+        self._sw.append(n)
+        self.total_bits += n
+
+    def write_var(self, values: np.ndarray, widths: np.ndarray) -> None:
+        """Variable-width run (vectorized Rice codewords)."""
+        if len(values) == 0:
+            return
+        self._flush_scalars()
+        v = np.asarray(values, np.int64)
+        w = np.asarray(widths, np.int64)
+        self._chunks.append((v, w))
+        self.total_bits += int(w.sum())
 
     def unary(self, q: int) -> None:
-        # q zero bits then a one (the spec's unary quotient)
-        while q >= 32:
-            self.write(0, 32)
-            q -= 32
+        # q zero bits then a one: the value 1 in q+1 bits (the shift
+        # clamp in the packer yields zeros for all high positions)
         self.write(1, q + 1)
 
     def align(self) -> None:
-        if self.nbits:
-            self.write(0, 8 - self.nbits)
+        pad = -self.total_bits & 7
+        if pad:
+            self.write(0, pad)
+
+    def _flush_scalars(self) -> None:
+        if self._sv:
+            self._chunks.append(
+                (
+                    np.array(self._sv, np.int64),
+                    np.array(self._sw, np.int64),
+                )
+            )
+            self._sv = []
+            self._sw = []
 
     def bytes(self) -> bytes:
-        return bytes(self.out)
+        self._flush_scalars()
+        if not self._chunks:
+            return b""
+        v = np.concatenate([c[0] for c in self._chunks])
+        w = np.concatenate([c[1] for c in self._chunks])
+        total = int(w.sum())
+        starts = np.cumsum(w) - w
+        b = np.arange(total, dtype=np.int64) - np.repeat(starts, w)
+        shift = np.repeat(w, w) - 1 - b
+        vr = np.repeat(v, w)
+        bits = ((vr >> np.minimum(shift, 63)) & 1).astype(np.uint8)
+        return np.packbits(bits).tobytes()
 
 
 class _BitReader:
-    __slots__ = ("data", "bitpos")
+    """MSB-first reader over an unpacked bit array: fixed-width reads
+    are a slice dot-product, unary quotients come from a searchsorted
+    into the pre-indexed 1-bit positions (rice_codec._VecBitReader
+    pattern) — no per-bit Python loop."""
+
+    __slots__ = ("_bits", "_ones", "_pows", "bitpos")
 
     def __init__(self, data: bytes, bitpos: int = 0):
-        self.data = data
+        self._bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self._ones = np.flatnonzero(self._bits).astype(np.int64)
+        self._pows: dict[int, np.ndarray] = {}
         self.bitpos = bitpos
 
+    def _pow(self, n: int) -> np.ndarray:
+        p = self._pows.get(n)
+        if p is None:
+            p = (1 << np.arange(n - 1, -1, -1)).astype(np.int64)
+            self._pows[n] = p
+        return p
+
     def read(self, n: int) -> int:
-        v = 0
-        pos = self.bitpos
-        data = self.data
-        for _ in range(n):
-            byte = data[pos >> 3]
-            v = (v << 1) | ((byte >> (7 - (pos & 7))) & 1)
-            pos += 1
-        self.bitpos = pos
+        if n == 0:
+            return 0
+        end = self.bitpos + n
+        if end > self._bits.size:
+            raise ValueError("flac: bitstream truncated")
+        v = int(self._bits[self.bitpos : end] @ self._pow(n))
+        self.bitpos = end
         return v
 
     def read_unary(self) -> int:
-        q = 0
-        pos = self.bitpos
-        data = self.data
-        while True:
-            byte = data[pos >> 3]
-            bit = (byte >> (7 - (pos & 7))) & 1
-            pos += 1
-            if bit:
-                break
-            q += 1
-        self.bitpos = pos
+        i = int(np.searchsorted(self._ones, self.bitpos))
+        if i >= self._ones.size:
+            raise ValueError("flac: bitstream truncated")
+        t = int(self._ones[i])
+        q = t - self.bitpos
+        self.bitpos = t + 1
         return q
+
+    def read_many(self, count: int, width: int) -> np.ndarray:
+        if count == 0 or width == 0:
+            return np.zeros(count, np.int64)
+        end = self.bitpos + count * width
+        if end > self._bits.size:
+            raise ValueError("flac: bitstream truncated")
+        out = self._bits[self.bitpos : end].reshape(count, width) @ \
+            self._pow(width)
+        self.bitpos = end
+        return out.astype(np.int64)
+
+    def read_rice_many(self, count: int, k: int) -> np.ndarray:
+        """``count`` Rice codewords with parameter ``k``: unary
+        quotient via the ones index (skipping set bits consumed by
+        the previous k-field), then k LSBs — one light Python step
+        per sample instead of one per BIT."""
+        ones = self._ones
+        bits = self._bits
+        n_ones = ones.size
+        pw = self._pow(k) if k else None
+        out = np.empty(count, np.int64)
+        pos = self.bitpos
+        i = int(np.searchsorted(ones, pos))
+        for s in range(count):
+            while i < n_ones and ones[i] < pos:
+                i += 1
+            if i >= n_ones:
+                raise ValueError("flac: bitstream truncated")
+            t = int(ones[i])
+            q = t - pos
+            pos = t + 1
+            i += 1
+            if k:
+                if pos + k > bits.size:
+                    raise ValueError("flac: bitstream truncated")
+                v = int(bits[pos : pos + k] @ pw)
+                pos += k
+            else:
+                v = 0
+            out[s] = (q << k) | v
+        self.bitpos = pos
+        return out
 
     def align(self) -> None:
         self.bitpos = (self.bitpos + 7) & ~7
@@ -244,19 +336,21 @@ def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
 
 
 def _fixed_restore(res: np.ndarray, warmup: np.ndarray, order: int) -> np.ndarray:
-    """Invert k-fold differencing given the first k original samples."""
-    out = np.empty(order + len(res), dtype=np.int64)
-    out[: order] = warmup
+    """Invert k-fold differencing given the first k original samples —
+    vectorized as k successive cumulative sums, each seeded with the
+    last value of the corresponding difference level of the warmup."""
     if order == 0:
         return res.astype(np.int64)
-    # successively integrate: maintain the last `order` samples
-    coefs = _fixed_coefs(order)
-    for i in range(len(res)):
-        acc = int(res[i])
-        for j in range(order):
-            acc += int(coefs[j]) * int(out[order + i - 1 - j])
-        out[order + i] = acc
-    return out
+    x = res.astype(np.int64)
+    w = np.asarray(warmup, np.int64)
+    # seeds[j] = last element of diff^j(warmup), j = order-1 .. 0
+    levels = [w]
+    for _ in range(order - 1):
+        levels.append(np.diff(levels[-1]))
+    for j in range(order - 1, -1, -1):
+        seed = levels[j][-1]
+        x = np.cumsum(np.concatenate(([seed], x)))[1:]
+    return np.concatenate((w, x))
 
 
 # ---------------------------------------------------------------------------
@@ -296,11 +390,11 @@ def _write_residuals(bw: _BitWriter, res: np.ndarray, order: int,
             bw.write(int(v) & ((1 << nbits) - 1), nbits)
         return
     bw.write(k, 4)
-    for v in u:
-        q = int(v) >> k
-        bw.unary(q)
-        if k:
-            bw.write(int(v) & ((1 << k) - 1), k)
+    # vectorized codewords: [q zeros][1][k LSBs] == the value
+    # (1 << k) | low_k(u) in (q + 1 + k) bits
+    q = u >> k
+    vals = (np.int64(1) << k) | (u & ((1 << k) - 1))
+    bw.write_var(vals, q + 1 + k)
 
 
 def _read_residuals(br: _BitReader, order: int, block_size: int) -> np.ndarray:
@@ -320,15 +414,17 @@ def _read_residuals(br: _BitReader, order: int, block_size: int) -> np.ndarray:
         k = br.read(pbits)
         if k == escape:
             nbits = br.read(5)
-            for i in range(n):
-                out[w] = _signed(br.read(nbits), nbits) if nbits else 0
-                w += 1
+            if nbits:
+                raw = br.read_many(n, nbits)
+                sign = np.int64(1) << (nbits - 1)
+                out[w : w + n] = (raw ^ sign) - sign
+            else:
+                out[w : w + n] = 0
+            w += n
         else:
-            for i in range(n):
-                q = br.read_unary()
-                u = (q << k) | (br.read(k) if k else 0)
-                out[w] = (u >> 1) ^ -(u & 1)
-                w += 1
+            u = br.read_rice_many(n, k)
+            out[w : w + n] = (u >> 1) ^ -(u & 1)
+            w += n
     return out
 
 
@@ -359,18 +455,21 @@ def _write_subframe(bw: _BitWriter, x: np.ndarray, bits: int,
         if best_cost is None or cost < best_cost:
             best_order, best_cost, best_res = order, cost, res
     verbatim_cost = len(x) * bits
+    mask = (1 << bits) - 1
     if best_cost is None or best_cost * 2 > verbatim_cost * 8:
         bw.write(0, 1)
         bw.write(0b000001, 6)  # VERBATIM
         bw.write(0, 1)
-        for v in x:
-            bw.write(int(v) & ((1 << bits) - 1), bits)
+        bw.write_var(x & mask, np.full(len(x), bits, np.int64))
         return
     bw.write(0, 1)
     bw.write(0b001000 | best_order, 6)  # FIXED, order 0-4
     bw.write(0, 1)  # no wasted bits
-    for v in x[:best_order]:  # warm-up samples
-        bw.write(int(v) & ((1 << bits) - 1), bits)
+    if best_order:  # warm-up samples
+        bw.write_var(
+            x[:best_order] & mask,
+            np.full(best_order, bits, np.int64),
+        )
     _write_residuals(bw, best_res, best_order, block_size)
 
 
@@ -382,20 +481,16 @@ def _read_subframe(br: _BitReader, bits: int, block_size: int) -> np.ndarray:
     if br.read(1):  # wasted-bits flag: unary count - 1
         wasted = br.read_unary() + 1
         bits -= wasted
+    sign = np.int64(1) << (bits - 1)
     if ftype == 0b000000:  # CONSTANT
         v = _signed(br.read(bits), bits)
         out = np.full(block_size, v, dtype=np.int64)
     elif ftype == 0b000001:  # VERBATIM
-        out = np.array(
-            [_signed(br.read(bits), bits) for _ in range(block_size)],
-            dtype=np.int64,
-        )
+        raw = br.read_many(block_size, bits)
+        out = (raw ^ sign) - sign
     elif 0b001000 <= ftype <= 0b001100:  # FIXED
         order = ftype & 0b000111
-        warm = np.array(
-            [_signed(br.read(bits), bits) for _ in range(order)],
-            dtype=np.int64,
-        )
+        warm = (br.read_many(order, bits) ^ sign) - sign
         res = _read_residuals(br, order, block_size)
         out = _fixed_restore(res, warm, order)
     elif ftype & 0b100000:  # LPC, order = (type & 31) + 1
@@ -508,9 +603,16 @@ _BITS_TABLE = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24,
 
 
 def _decode_frame(data: bytes, pos: int, stream_bits: int,
-                  stream_rate: int) -> tuple[np.ndarray, int, int]:
-    """Returns (samples[block, ch], frame_no, end_pos)."""
-    br = _BitReader(data, pos * 8)
+                  stream_rate: int,
+                  br: "_BitReader | None" = None) -> tuple[np.ndarray, int, int]:
+    """Returns (samples[block, ch], frame_no, end_pos).  Pass a
+    shared ``br`` (one unpacked-bits reader per STREAM) when walking
+    many frames — constructing a fresh reader per frame re-unpacks
+    the whole byte stream and turns the walk quadratic."""
+    if br is None:
+        br = _BitReader(data, pos * 8)
+    else:
+        br.bitpos = pos * 8
     if br.read(14) != 0b11111111111110:
         raise ValueError("flac: lost frame sync")
     if br.read(1):
@@ -676,8 +778,11 @@ def decode_flac(data: bytes, verify_md5: bool = True) -> dict:
     chunks = []
     n_frames = 0
     got = 0
+    stream_br = _BitReader(data)
     while got < total:
-        samples, frame_no, pos = _decode_frame(data, pos, bits, sample_rate)
+        samples, frame_no, pos = _decode_frame(
+            data, pos, bits, sample_rate, br=stream_br
+        )
         if samples.shape[1] != n_ch:
             raise ValueError("flac: channel count changed mid-stream")
         chunks.append(samples)
