@@ -38,9 +38,16 @@ descriptions, predefined and FSE-coded sequence tables, repeat
 offsets, and checksums — i.e. every decoder path against bytes this
 module never produced.
 
-Encoder scope (always-valid subset any zstd accepts, for writing
-probe fixtures without the CLI): raw and RLE blocks with the standard
-frame envelope + checksum.  ``zstd -d`` round-trips it in the tests.
+Encoder scope — the conformance check runs BOTH directions:
+:func:`zstd_compress` emits real entropy-coded frames (greedy LZ77
+re-coded as zstd sequences under the predefined FSE distributions,
+Huffman 1-stream literals with a direct-weight tree description and
+depth-11 Kraft-repaired code lengths, raw-literal and raw-block
+fallbacks where compression does not win, multi-block with the
+standard envelope + XXH64 checksum) that the reference ``zstd -d``
+must reproduce byte-exactly — proven over a 60-trial fuzz matrix in
+the tests.  :func:`zstd_compress_stored` remains the minimal
+raw-block writer for fixtures.
 
 Dictionaries and the legacy/skippable-frame family raise named
 errors (skippable frames are SKIPPED per spec; dictionary IDs
@@ -766,6 +773,354 @@ def zstd_compress_stored(payload: bytes, checksum: bool = True) -> bytes:
         else:
             bh = last | (0 << 1) | (len(chunk) << 3)
             out += struct.pack("<I", bh)[:3]
+            out += chunk
+    if checksum:
+        out += struct.pack("<I", xxh64(payload) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# compressed-block ENCODER: Huffman literals + predefined-FSE sequences
+# ---------------------------------------------------------------------------
+
+
+class _BackWriter:
+    """Forward LSB-first bit pusher whose output a _BackStream reads
+    in reverse push order (the FSE/Huffman stream convention): fields
+    pushed last are read first.  close() adds the 1-bit sentinel."""
+
+    __slots__ = ("acc", "nbits")
+
+    def __init__(self):
+        self.acc = 0
+        self.nbits = 0
+
+    def push(self, value: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc |= (value & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+
+    def close(self) -> bytes:
+        self.acc |= 1 << self.nbits  # sentinel
+        self.nbits += 1
+        return self.acc.to_bytes((self.nbits + 7) // 8, "little")
+
+
+def _fse_build_ctable(counts: list[int], accuracy_log: int):
+    """Encode-side FSE table (the reference FSE_buildCTable shape):
+    per-symbol (delta_nb_bits, delta_find_state) + the next-state
+    table, derived from the SAME spread as the decode table."""
+    size = 1 << accuracy_log
+    table_sym = np.zeros(size, dtype=np.int64)
+    high = size - 1
+    for s, c in enumerate(counts):
+        if c == -1:
+            table_sym[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    pos = 0
+    for s, c in enumerate(counts):
+        for _ in range(max(c, 0)):
+            table_sym[pos] = s
+            pos = (pos + step) & (size - 1)
+            while pos > high:
+                pos = (pos + step) & (size - 1)
+    # cumul[s]: first state-table slot of symbol s
+    cumul = []
+    run = 0
+    for c in counts:
+        cumul.append(run)
+        run += 1 if c == -1 else c
+    # state table: scanning table positions ascending, each cell of
+    # symbol s claims the next slot; stored value = size + position
+    next_slot = list(cumul)
+    state_table = [0] * size
+    for u in range(size):
+        s = int(table_sym[u])
+        state_table[next_slot[s]] = size + u
+        next_slot[s] += 1
+    sym_tt = []
+    for s, c in enumerate(counts):
+        if c == 0:
+            sym_tt.append((0, 0))
+            continue
+        eff = 1 if c == -1 else c
+        # reference FSE_buildCTable: maxBitsOut = tableLog -
+        # highbit(eff - 1) (tableLog itself when eff == 1, since the
+        # single state always reloads a full accuracy_log of bits)
+        if eff == 1:
+            max_bits = accuracy_log
+        else:
+            max_bits = accuracy_log - ((eff - 1).bit_length() - 1)
+        min_state_plus = eff << max_bits
+        delta_nb_bits = (max_bits << 16) - min_state_plus
+        delta_find_state = cumul[s] - eff
+        sym_tt.append((delta_nb_bits, delta_find_state))
+    return sym_tt, state_table, size
+
+
+class _FseEncState:
+    __slots__ = ("sym_tt", "state_table", "size", "state")
+
+    def __init__(self, ctable, first_symbol: int):
+        self.sym_tt, self.state_table, self.size = ctable
+        delta_nb, delta_fs = self.sym_tt[first_symbol]
+        nb_out = (delta_nb + (1 << 15)) >> 16
+        value = (nb_out << 16) - delta_nb
+        self.state = self.state_table[(value >> nb_out) + delta_fs]
+
+    def encode(self, bw: _BackWriter, symbol: int) -> None:
+        delta_nb, delta_fs = self.sym_tt[symbol]
+        nb_out = (self.state + delta_nb) >> 16
+        bw.push(self.state, nb_out)
+        self.state = self.state_table[(self.state >> nb_out) + delta_fs]
+
+    def flush(self, bw: _BackWriter, accuracy_log: int) -> None:
+        bw.push(self.state, accuracy_log)
+
+
+def _ll_code(v: int) -> int:
+    if v < 16:
+        return v
+    for c in range(35, 15, -1):
+        if v >= LL_BASE[c]:
+            return c
+    return 16
+
+
+def _ml_code(v: int) -> int:
+    if v < 35:
+        return v - 3
+    for c in range(52, 31, -1):
+        if v >= ML_BASE[c]:
+            return c
+    return 32
+
+
+def _huf_build_ctable(freqs: dict[int, int]):
+    """Huffman weights from byte frequencies, capped at 11 bits via
+    the weight mapping; returns ({sym: (code, nbits)}, weights list)
+    or None when the alphabet exceeds the 128-weight direct header."""
+    syms = sorted(freqs)
+    if len(syms) < 2 or syms[-1] >= 255:
+        return None
+    n_weights = syms[-1]  # weights for 0..max_sym-1, last implied
+    if n_weights + 1 > 128:
+        return None
+    # build a depth-limited code-length set: package-merge is
+    # overkill here — use sorted-frequency halving: assign weights by
+    # frequency rank so that Kraft mass sums to a power of two.
+    # Simple scheme: give every symbol weight 1, then repeatedly
+    # raise the heaviest symbols while the implied-last rule holds.
+    # A clean constructive method: standard Huffman lengths, clamped
+    # to 11, then repaired to an exact power-of-two mass.
+    import heapq
+
+    heap = [(f, [s]) for s, f in freqs.items()]
+    heapq.heapify(heap)
+    lengths = {s: 0 for s in freqs}
+    while len(heap) > 1:
+        fa, a = heapq.heappop(heap)
+        fb, b = heapq.heappop(heap)
+        for s in a + b:
+            lengths[s] += 1
+        heapq.heappush(heap, (fa + fb, a + b))
+    max_len = max(lengths.values())
+    if max_len > 11:
+        for s in lengths:
+            lengths[s] = min(lengths[s], 11)
+        max_len = 11
+    # repair Kraft mass to exactly 1 (lengths may now overflow)
+    def mass():
+        return sum(1 << (max_len - L) for L in lengths.values())
+
+    target = 1 << max_len
+    order = sorted(lengths, key=lambda s: (lengths[s], -freqs[s]))
+    while mass() > target:
+        # lengthen the least-frequent shortest symbol
+        s = min(
+            (s for s in lengths if lengths[s] < max_len),
+            key=lambda s: (-lengths[s], freqs[s]),
+            default=None,
+        )
+        if s is None:
+            return None
+        lengths[s] += 1
+    while mass() < target:
+        # shorten the most frequent lengthenable symbol
+        s = max(
+            (s for s in lengths if lengths[s] > 1),
+            key=lambda s: (lengths[s], freqs[s]),
+        )
+        if mass() - (1 << (max_len - lengths[s])) + (
+            1 << (max_len - lengths[s] + 1)
+        ) <= target:
+            lengths[s] -= 1
+        else:
+            break
+    if mass() != target:
+        return None
+    # weights: w = max_len + 1 - length
+    weights_full = [0] * (n_weights + 1)
+    for s, L in lengths.items():
+        weights_full[s] = max_len + 1 - L
+    # the LAST nonzero weight is implied; header carries 0..max_sym-1
+    listed = weights_full[:-1]
+    implied = weights_full[-1]
+    if implied == 0:
+        return None  # last symbol must carry the implied weight
+    # verify the decoder derives the same table
+    table = _huf_table_from_weights(listed)
+    codes: dict[int, tuple[int, int]] = {}
+    # canonical codes: walk the decode table spans
+    table_sym, table_nb, max_bits = table
+    u = 0
+    size = 1 << max_bits
+    while u < size:
+        s = int(table_sym[u])
+        nb = int(table_nb[u])
+        codes[s] = (u >> (max_bits - nb), nb)
+        u += 1 << (max_bits - nb)
+    return codes, listed, max_bits
+
+
+def _encode_literals(lit: bytes) -> bytes:
+    """Literals section: Huffman 1-stream when it wins and the
+    alphabet fits the direct-weight header, else raw."""
+    n = len(lit)
+    if n >= 32:
+        freqs: dict[int, int] = {}
+        for b in lit:
+            freqs[b] = freqs.get(b, 0) + 1
+        built = _huf_build_ctable(freqs)
+        if built is not None:
+            codes, listed, max_bits = built
+            bw = _BackWriter()
+            for b in reversed(lit):
+                c, nb = codes[b]
+                bw.push(c, nb)
+            stream = bw.close()
+            # direct weights header: 127 + n, then 4-bit pairs
+            head = bytes([127 + len(listed)]) + bytes(
+                (listed[i] << 4)
+                | (listed[i + 1] if i + 1 < len(listed) else 0)
+                for i in range(0, len(listed), 2)
+            )
+            comp = head + stream
+            if len(comp) + 3 < n and n < (1 << 10) and len(comp) < (1 << 10):
+                b0 = 2 | (0 << 2) | ((n & 0xF) << 4)
+                b1 = (n >> 4) | ((len(comp) & 3) << 6)
+                b2 = len(comp) >> 2
+                return bytes([b0, b1, b2]) + comp
+    # raw literals
+    if n < 32:
+        return bytes([(n << 3) | 0]) + lit  # size_format 0
+    if n < (1 << 12):
+        return bytes([((n & 0xF) << 4) | 4, n >> 4]) + lit  # format 1
+    return bytes(
+        [((n & 0xF) << 4) | 12, (n >> 4) & 0xFF, n >> 12]
+    ) + lit  # format 3
+
+
+def _encode_block_compressed(chunk: bytes) -> bytes | None:
+    """One compressed block: deflate-style greedy LZ77 re-coded as
+    zstd sequences (predefined FSE for LL/OF/ML), Huffman/raw
+    literals.  Returns None when raw would be smaller (caller falls
+    back)."""
+    from cloud_optimized_data_pipelines_spark.operators.deflate_codec import (
+        _lz77,
+    )
+
+    tokens = _lz77(chunk)
+    lits = bytearray()
+    seqs: list[tuple[int, int, int]] = []  # (lit_len, offset, match_len)
+    run = bytearray()
+    for a, b in tokens:
+        if b == 0:
+            run.append(a)
+        else:
+            seqs.append((len(run), b, a))
+            lits += run
+            run = bytearray()
+    tail = bytes(run)
+    lits += tail
+    body = bytearray()
+    body += _encode_literals(bytes(lits))
+    n = len(seqs)
+    if n == 0:
+        body += b"\x00"
+        return bytes(body) if len(body) < len(chunk) else None
+    if n < 128:
+        body.append(n)
+    elif n < 0x7F00:
+        body.append(128 + (n >> 8))
+        body.append(n & 0xFF)
+    else:
+        body += bytes([255, n & 0xFF, (n >> 8) - 0x7F])
+    body.append(0)  # all three tables predefined
+    ll_ct = _fse_build_ctable(*_LL_DEFAULT)
+    of_ct = _fse_build_ctable(*_OF_DEFAULT)
+    ml_ct = _fse_build_ctable(*_ML_DEFAULT)
+    rows = []
+    for ll, off, ml in seqs:
+        ofv = off + 3  # no repeat-offset use: offset_value = offset+3
+        of_code = ofv.bit_length() - 1
+        rows.append(
+            (
+                _ll_code(ll), ll - LL_BASE[_ll_code(ll)],
+                LL_EXTRA[_ll_code(ll)],
+                _ml_code(ml), ml - ML_BASE[_ml_code(ml)],
+                ML_EXTRA[_ml_code(ml)],
+                of_code, ofv - (1 << of_code), of_code,
+            )
+        )
+    bw = _BackWriter()
+    llc, llv, llb, mlc, mlv, mlb, ofc, ofv_, ofb = rows[-1]
+    ll_st = _FseEncState(ll_ct, llc)
+    of_st = _FseEncState(of_ct, ofc)
+    ml_st = _FseEncState(ml_ct, mlc)
+    bw.push(llv, llb)
+    bw.push(mlv, mlb)
+    bw.push(ofv_, ofb)
+    for i in range(n - 2, -1, -1):
+        llc, llv, llb, mlc, mlv, mlb, ofc, ofv_, ofb = rows[i]
+        of_st.encode(bw, ofc)
+        ml_st.encode(bw, mlc)
+        ll_st.encode(bw, llc)
+        bw.push(llv, llb)
+        bw.push(mlv, mlb)
+        bw.push(ofv_, ofb)
+    ml_st.flush(bw, _ML_DEFAULT[1])
+    of_st.flush(bw, _OF_DEFAULT[1])
+    ll_st.flush(bw, _LL_DEFAULT[1])
+    body += bw.close()
+    return bytes(body) if len(body) < len(chunk) else None
+
+
+def zstd_compress(payload: bytes, checksum: bool = True) -> bytes:
+    """Entropy-coded zstd frame: Huffman/raw literals + predefined-FSE
+    sequences per 128 KiB block, raw-block fallback where compression
+    does not win.  The reference CLI round-trips the output
+    (tests/test_zstd_codec.py)."""
+    out = bytearray()
+    out += struct.pack("<I", _MAGIC)
+    out.append((3 << 6) | 0x20 | (0x04 if checksum else 0))
+    out += struct.pack("<Q", len(payload))
+    block = 1 << 17
+    if not payload:
+        out += struct.pack("<I", 1)[:3]
+    pos = 0
+    while pos < len(payload):
+        chunk = payload[pos : pos + block]
+        pos += len(chunk)
+        last = 1 if pos >= len(payload) else 0
+        comp = _encode_block_compressed(chunk)
+        if comp is not None:
+            out += struct.pack("<I", last | (2 << 1) | (len(comp) << 3))[:3]
+            out += comp
+        else:
+            out += struct.pack("<I", last | (0 << 1) | (len(chunk) << 3))[:3]
             out += chunk
     if checksum:
         out += struct.pack("<I", xxh64(payload) & 0xFFFFFFFF)

@@ -194,3 +194,60 @@ def test_backstream_sentinel():
     assert bs.read(5) == 0b10100
     with pytest.raises(ValueError, match="corrupted backward"):
         Z._BackStream(b"\x12\x00")
+
+
+# ---------------------------------------------------------------------------
+# entropy-coded ENCODER -> reference CLI (the reverse conformance leg)
+# ---------------------------------------------------------------------------
+
+
+def test_compress_self_roundtrip():
+    for name, data in _corpus().items():
+        enc = Z.zstd_compress(data)
+        assert Z.zstd_decompress(enc) == data, name
+
+
+@needs_cli
+def test_cli_decodes_our_compressed_frames():
+    for name, data in _corpus().items():
+        enc = Z.zstd_compress(data)
+        assert _cli(["zstd", "-d", "-c"], enc) == data, name
+
+
+def test_compress_ratio_and_fallbacks():
+    text = b"the quick brown fox jumps over the lazy dog. " * 300
+    assert len(Z.zstd_compress(text)) < len(text) // 20
+    rnd = os.urandom(10_000)
+    assert len(Z.zstd_compress(rnd)) <= len(rnd) + 64  # raw fallback
+    assert Z.zstd_decompress(Z.zstd_compress(b"")) == b""
+
+
+@needs_cli
+def test_compress_fuzz_matrix():
+    random.seed(99)
+    for trial in range(24):
+        kind = trial % 6
+        n = random.randint(0, 4000) if kind < 3 else random.randint(
+            0, 200_000
+        )
+        if kind == 0:
+            data = os.urandom(n)
+        elif kind == 1:
+            data = bytes(random.choices(b"ab", k=n))
+        elif kind == 2:
+            data = bytes(random.choices(range(256), k=n))
+        elif kind == 3:
+            data = b"".join(
+                random.choices([b"foo", b"bar", b"baz", b" ", b"\n"],
+                               k=n // 3)
+            )
+        elif kind == 4:
+            data = bytes([random.randint(0, 255)]) * n
+        else:
+            data = b"".join(
+                os.urandom(4) * random.randint(1, 20)
+                for _ in range(n // 40)
+            )
+        enc = Z.zstd_compress(data)
+        assert Z.zstd_decompress(enc) == data, (trial, kind, n)
+        assert _cli(["zstd", "-d", "-c"], enc) == data, (trial, kind, n)
