@@ -204,6 +204,8 @@ ADDITIONS_R11 = [
     "pipeline_crawl_ingest",
     # mixed-codec corpus front door (gz/zst/lz4/xz/bz2 magic sniff)
     "text_compressed_corpus",
+    # WebDataset tar shards grouped into multimodal samples
+    "multimodal_webdataset_samples",
     # (the serialization-fixed queries — extract_features, stac_item_
     # raster, embedding_outliers — already ride the R9/R10 batches)
 ]

@@ -122,15 +122,17 @@ def query(name: str, oracle: str | None = None):
 # ORDER IS REGISTRATION ORDER: each module registers its queries via
 # the @query decorator at import; tests/test_registry_order.py pins the
 # resulting dict order against the pre-split registry.
-# Late-r11 amendment: five new never-green rows — text_warc_records
+# Late-r11 amendment: six new never-green rows — text_warc_records
 # (WARC.gz over the new RFC 1951/1952 codec), multimodal_flac_features
 # (lossless FLAC, RFC 9639), text_zstd_shard (.jsonl.zst over the RFC
 # 8878 decoder, CLI-conformance-checked), pipeline_crawl_ingest (the
-# WARC -> WET -> quality gate -> global exact-dedup composition) and
+# WARC -> WET -> quality gate -> global exact-dedup composition),
 # text_compressed_corpus (5-codec magic-sniff ingest incl. the new
-# LZ4-frame codec).  dedup_simhash_pairs, similarity_knn_join,
-# text_c4_clean, dedup_ngram_containment and text_bigram_backoff
-# yield their r7-sweep seats (each family keeps 2+ representatives).
+# LZ4-frame codec) and multimodal_webdataset_samples (ustar tar
+# shards grouped into multimodal samples).  dedup_simhash_pairs,
+# similarity_knn_join, text_c4_clean, dedup_ngram_containment,
+# text_bigram_backoff and similarity_semantic_dedup yield their
+# r7-sweep seats (each family keeps 2+ representatives).
 # ---------------------------------------------------------------------------
 
 from cloud_optimized_data_pipelines_spark.registry import (  # noqa: E402,F401
@@ -185,6 +187,7 @@ _GRADED_WINDOW = [
     "text_zstd_shard",                    # .jsonl.zst (RFC 8878)
     "pipeline_crawl_ingest",              # WARC->WET->gate->dedup
     "text_compressed_corpus",             # 5-codec magic-sniff ingest
+    "multimodal_webdataset_samples",      # tar-shard sample grouping
     # --- changed-implementation re-proves (r11 edits) ---
     "multimodal_extract_features",  # integer-scaled serialization
     "stac_item_raster",             # bbox integer-scaled
@@ -225,7 +228,6 @@ _GRADED_WINDOW = [
     "dedup_lines",
     "dedup_lsh_clusters",
     "similarity_bruteforce_topk",
-    "similarity_semantic_dedup",
     "text_gopher_quality",
     "graph_pagerank_events",
 ]

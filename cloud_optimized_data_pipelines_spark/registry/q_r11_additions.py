@@ -1525,3 +1525,137 @@ def text_compressed_corpus_q(spark, sf_dir):
         "payload_bytes",
         "val_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar shards (sources/webdataset.py)
+# ---------------------------------------------------------------------------
+
+
+def _wds_samples_oracle() -> str:
+    """Oracle for multimodal_webdataset_samples: sample counts, field
+    counts, byte totals and the cls label sum all replay from the
+    probe formulas (txt length = 15 + digits(i) + digits(v); bin
+    length = 16 + i%8 on even i; label = (3i+v) mod 10); the shard
+    md5/size are pinned from a single-process run.  Non-circular: the
+    engine's aggregates come from ustar members parsed back on
+    executors (tar layer cross-checked against stdlib tarfile in
+    tests), with the label PARSED out of the decoded cls payload
+    JVM-side."""
+    import hashlib
+
+    from cloud_optimized_data_pipelines_spark.sources.webdataset import (
+        wds_probe_shard,
+    )
+
+    blobs = [wds_probe_shard(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(
+            f"WHEN {v} THEN '{hashlib.md5(b).hexdigest()}'"
+            for v, b in enumerate(blobs)
+        )
+        + " END"
+    )
+    len_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {v} THEN {len(b)}" for v, b in enumerate(blobs))
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT unnest(range(0, 8)) AS v),
+samp AS (
+  SELECT v.v, i.i FROM var v, (SELECT unnest(range(0, 35)) AS i) i
+  WHERE i.i < 20 + 5*(v.v % 4)
+),
+per AS (
+  SELECT v, i,
+         CAST(2 + CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_fields,
+         -- 'sample ' (7) + digits(i) + ' variant ' (9) + digits(v)
+         CAST(16 + length(CAST(i AS VARCHAR)) + length(CAST(v AS VARCHAR))
+              + 1
+              + CASE WHEN i % 2 = 0 THEN 16 + i % 8 ELSE 0 END
+              AS BIGINT) AS total_bytes,
+         (3*i + v) % 10 AS label
+  FROM samp
+),
+agg AS (
+  SELECT v,
+         CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM(n_fields) AS BIGINT) AS n_fields_sum,
+         CAST(SUM(total_bytes) AS BIGINT) AS total_bytes_sum,
+         CAST(SUM(label) AS BIGINT) AS label_sum,
+         CAST(SUM(CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS with_bin
+  FROM per GROUP BY v
+)
+SELECT d.doc_id,
+       d.doc_id % 8 AS variant,
+       {md5_case} AS shard_md5,
+       CAST({len_case} AS BIGINT) AS shard_bytes,
+       a.n_samples, a.n_fields_sum, a.total_bytes_sum,
+       a.label_sum, a.with_bin
+FROM documents d
+JOIN agg a ON a.v = d.doc_id % 8
+"""
+
+
+@query("multimodal_webdataset_samples", _wds_samples_oracle)
+def multimodal_webdataset_samples_q(spark, sf_dir):
+    """WebDataset tar-shard ingestion — the de-facto multimodal
+    training-sample container: probe ustar shards (txt + cls + bin
+    members grouped by key) build on executors, sources/webdataset.py
+    parses the 512-byte-block format (checksums verified; GNU/pax
+    long names handled; tar layer cross-checked against stdlib
+    tarfile both directions) and groups members into samples inside
+    Arrow batches; the graded aggregates — sample/field counts, byte
+    totals, and the cls label sum parsed JVM-side out of the decoded
+    map column — derive entirely from PARSED bytes.  At 100 TB this
+    is the multimodal ingest scan: shards decode independently in
+    their input splits, samples never straddle shards, and the
+    fields map projects per-modality without touching sibling
+    payloads."""
+    from cloud_optimized_data_pipelines_spark.sources.webdataset import (
+        wds_probe_table,
+        wds_samples,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = wds_probe_table(spark, 8).cache()
+    samples = wds_samples(probe, "file_id", "blob")
+    agg = samples.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_samples"),
+        F.sum("n_fields").cast("bigint").alias("n_fields_sum"),
+        F.sum("total_bytes").cast("bigint").alias("total_bytes_sum"),
+        F.sum(
+            F.element_at(F.col("fields"), "cls")
+            .cast("string")
+            .cast("long")
+        ).cast("bigint").alias("label_sum"),
+        F.sum(
+            F.when(F.array_contains("extensions", "bin"), 1).otherwise(0)
+        ).cast("bigint").alias("with_bin"),
+    )
+    meta = probe.select(
+        "file_id",
+        F.md5("blob").alias("shard_md5"),
+        F.length("blob").cast("bigint").alias("shard_bytes"),
+    )
+    probe_full = meta.join(
+        agg.withColumnRenamed("shard_id", "file_id"), "file_id"
+    ).withColumnRenamed("file_id", "variant")
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe_full), "variant").select(
+        "doc_id",
+        "variant",
+        "shard_md5",
+        "shard_bytes",
+        "n_samples",
+        "n_fields_sum",
+        "total_bytes_sum",
+        "label_sum",
+        "with_bin",
+    )
