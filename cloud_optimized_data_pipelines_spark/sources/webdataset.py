@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 _BLOCK = 512
@@ -51,7 +52,8 @@ def _octal(field: bytes) -> int:
 
 
 def _checksum(header: bytes) -> int:
-    return sum(header[:148]) + 8 * 32 + sum(header[156:])
+    a = np.frombuffer(header, np.uint8).astype(np.int64)
+    return int(a[:148].sum()) + 8 * 32 + int(a[156:].sum())
 
 
 def encode_tar_member(name: str, payload: bytes, mtime: int = 0) -> bytes:
