@@ -1,0 +1,123 @@
+"""Hypothesis property tests for the r11 codec family: arbitrary
+inputs must round-trip bit-exactly through every from-scratch
+encode/decode pair, and (where the reference coder is in-container)
+through the cross-implementation legs too.
+
+Kept to modest example counts — the dedicated test modules carry the
+structured conformance matrices; these guard the arbitrary-input
+corners (empty, tiny, high-entropy, pathological runs) against
+regressions."""
+
+import shutil
+import subprocess
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cloud_optimized_data_pipelines_spark.operators import (
+    deflate_codec as dc,
+)
+from cloud_optimized_data_pipelines_spark.operators import lz4_codec as L
+from cloud_optimized_data_pipelines_spark.operators import zstd_codec as Z
+from cloud_optimized_data_pipelines_spark.operators import flac_codec as fc
+from cloud_optimized_data_pipelines_spark.sources import webdataset as WD
+
+_payload = st.binary(min_size=0, max_size=4000)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_payload)
+def test_deflate_roundtrip_property(data):
+    enc = dc.deflate(data)
+    out, end = dc.inflate(enc)
+    assert out == data and end == len(enc)
+    assert zlib.decompressobj(-15).decompress(enc) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(_payload)
+def test_inflate_decodes_zlib_property(data):
+    raw = zlib.compress(data, 6)[2:-4]
+    out, end = dc.inflate(raw)
+    assert out == data and end == len(raw)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_payload)
+def test_gzip_engines_roundtrip_property(data):
+    for enc_engine in ("c", "pure"):
+        g = dc.gzip_encode(data, engine=enc_engine)
+        for dec_engine in ("c", "pure"):
+            m = dc.gzip_decode_member(g, engine=dec_engine)
+            assert m["payload"] == data and m["end"] == len(g)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_payload)
+def test_zstd_compress_roundtrip_property(data):
+    enc = Z.zstd_compress(data)
+    assert Z.zstd_decompress(enc) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(_payload)
+def test_lz4_roundtrip_property(data):
+    enc = L.lz4_frame_compress(data)
+    assert L.lz4_decompress(enc) == data
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=0,
+        max_size=2000,
+    ),
+    st.sampled_from([1, 2]),
+)
+def test_flac_roundtrip_property(samples, channels):
+    x = np.array(samples, dtype=np.int64)
+    if channels == 2:
+        if len(x) % 2:
+            x = x[:-1]
+        x = x.reshape(-1, 2)
+    enc = fc.encode_flac(x, 32000, bits=16, block_size=256)
+    dec = fc.decode_flac(enc)
+    want = x[:, None] if x.ndim == 1 else x
+    assert np.array_equal(dec["samples"], want)
+    assert dec["md5_ok"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.from_regex(r"[a-z]{1,8}(\.[a-z]{1,4}){0,2}",
+                          fullmatch=True),
+            st.binary(min_size=0, max_size=600),
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_tar_roundtrip_property(members):
+    tar = WD.encode_tar(members)
+    parsed = WD.parse_tar(tar)
+    assert [(m["name"], m["payload"]) for m in parsed] == members
+
+
+_HAVE_ZSTD = shutil.which("zstd") is not None
+
+
+@pytest.mark.skipif(not _HAVE_ZSTD, reason="zstd CLI not present")
+@settings(max_examples=15, deadline=None)
+@given(_payload)
+def test_zstd_cli_accepts_property(data):
+    enc = Z.zstd_compress(data)
+    r = subprocess.run(["zstd", "-d", "-c"], input=enc,
+                       capture_output=True)
+    assert r.returncode == 0 and r.stdout == data
