@@ -146,27 +146,54 @@ def xxh64(data: bytes, seed: int = 0) -> int:
 
 class _BackStream:
     """RFC 8878 3.1.1.7: the stream is written forward but READ
-    backward; the last byte's highest set bit is padding.  A python
-    big-int makes this exact: bit position counts down from the
-    sentinel."""
+    backward; the last byte's highest set bit is padding.
 
-    __slots__ = ("value", "bits")
+    Dual backing, picked by stream size: a python big-int for small
+    streams (weight descriptions, short sequence streams — cheap
+    shifts, no numpy call overhead) and 64-bit word-windowed reads
+    for large ones (a big-int shift per read is O(stream), which
+    made long sequence streams quadratic).  Both expose the same
+    read-backward-with-zero-overread semantics."""
+
+    __slots__ = ("value", "bits", "_words")
+
+    _SMALL = 2048  # bytes
 
     def __init__(self, data: bytes):
         if not data or data[-1] == 0:
             raise ValueError("zstd: corrupted backward bitstream")
-        self.value = int.from_bytes(data, "little")
-        self.bits = self.value.bit_length() - 1  # drop the sentinel
+        if len(data) <= self._SMALL:
+            self.value = int.from_bytes(data, "little")
+            self.bits = self.value.bit_length() - 1
+            self._words = None
+        else:
+            pad = (-len(data)) % 8
+            arr = np.frombuffer(data + b"\x00" * pad, "<u8")
+            self._words = arr.tolist()  # python ints, O(1) access
+            top = data[-1]
+            self.bits = (len(data) - 1) * 8 + top.bit_length() - 1
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
         self.bits -= n
-        if self.bits < 0:
-            # over-read past the start behaves as zero bits (the
-            # reference decoder's final reloads do the same)
-            return ((self.value << -self.bits) & ((1 << n) - 1))
-        return (self.value >> self.bits) & ((1 << n) - 1)
+        lo = self.bits
+        if self._words is None:
+            if lo < 0:
+                # over-read past the start is zero bits (reference
+                # decoder's final reloads do the same)
+                return ((self.value << -lo) & ((1 << n) - 1))
+            return (self.value >> lo) & ((1 << n) - 1)
+        if lo < 0:
+            w0 = self._words[0]
+            return (w0 << -lo) & ((1 << n) - 1)
+        wi, off = divmod(lo, 64)
+        # n <= 64 in practice; a read can span two words
+        v = self._words[wi] >> off
+        got = 64 - off
+        if got < n and wi + 1 < len(self._words):
+            v |= self._words[wi + 1] << got
+        return v & ((1 << n) - 1)
 
     def exhausted(self) -> bool:
         return self.bits <= 0
@@ -374,20 +401,37 @@ def _huf_read_weights(data: bytes) -> tuple[list[int], int]:
 
 
 def _huf_decode_stream(data: bytes, table, n_out: int) -> bytes:
+    """Per-stream decode: every max_bits-wide window of the bit array
+    is precomputed in one vectorized sliding-window matmul, so the
+    unavoidable symbol-serial loop is plain list lookups."""
     table_sym, table_nb, max_bits = table
-    bs = _BackStream(data)
+    if not data or data[-1] == 0:
+        raise ValueError("zstd: corrupted backward bitstream")
+    arr = np.unpackbits(
+        np.frombuffer(data, np.uint8), bitorder="little"
+    ).astype(np.int64)
+    bits = int(np.flatnonzero(arr)[-1])  # drop the sentinel
+    pw = (1 << np.arange(max_bits)).astype(np.int64)
+    if len(arr) >= max_bits:
+        wins = (
+            np.lib.stride_tricks.sliding_window_view(arr, max_bits) @ pw
+        ).tolist()
+    else:
+        wins = []
+    syms = table_sym.tolist()
+    nbs = table_nb.tolist()
     out = bytearray()
-    mask = (1 << max_bits) - 1
-    value = bs.value
-    bits = bs.bits
     for _ in range(n_out):
-        if bits >= max_bits:
-            idx = (value >> (bits - max_bits)) & mask
+        lo = bits - max_bits
+        if lo >= 0:
+            idx = wins[lo]
+        elif bits > 0:
+            # pw[-bits:] carries the left-alignment shift
+            idx = int(arr[0:bits] @ pw[-bits:])
         else:
-            idx = (value << (max_bits - bits)) & mask
-        nb = int(table_nb[idx])
-        out.append(int(table_sym[idx]))
-        bits -= nb
+            idx = 0
+        out.append(syms[idx])
+        bits -= nbs[idx]
         if bits < -max_bits:
             raise ValueError("zstd: Huffman stream over-read")
     return bytes(out)
