@@ -1029,9 +1029,19 @@ def _huf_build_ctable(freqs: dict[int, int]):
     return codes, listed, max_bits
 
 
+def _huf_stream(lit: bytes, codes) -> bytes:
+    bw = _BackWriter()
+    for b in reversed(lit):
+        c, nb = codes[b]
+        bw.push(c, nb)
+    return bw.close()
+
+
 def _encode_literals(lit: bytes) -> bytes:
-    """Literals section: Huffman 1-stream when it wins and the
-    alphabet fits the direct-weight header, else raw."""
+    """Literals section: Huffman-compressed when it wins and the
+    alphabet fits the direct-weight header — 1-stream (size_format 0,
+    10-bit sizes) for small sections, 4-stream with the jump table
+    (size_format 2, 14-bit sizes) for larger ones — else raw."""
     n = len(lit)
     if n >= 32:
         freqs: dict[int, int] = {}
@@ -1040,23 +1050,39 @@ def _encode_literals(lit: bytes) -> bytes:
         built = _huf_build_ctable(freqs)
         if built is not None:
             codes, listed, max_bits = built
-            bw = _BackWriter()
-            for b in reversed(lit):
-                c, nb = codes[b]
-                bw.push(c, nb)
-            stream = bw.close()
-            # direct weights header: 127 + n, then 4-bit pairs
+            # direct weights header: 127 + count, then 4-bit pairs
             head = bytes([127 + len(listed)]) + bytes(
                 (listed[i] << 4)
                 | (listed[i + 1] if i + 1 < len(listed) else 0)
                 for i in range(0, len(listed), 2)
             )
-            comp = head + stream
-            if len(comp) + 3 < n and n < (1 << 10) and len(comp) < (1 << 10):
-                b0 = 2 | (0 << 2) | ((n & 0xF) << 4)
-                b1 = (n >> 4) | ((len(comp) & 3) << 6)
-                b2 = len(comp) >> 2
-                return bytes([b0, b1, b2]) + comp
+            if n < (1 << 10):
+                comp = head + _huf_stream(lit, codes)
+                if len(comp) + 3 < n and len(comp) < (1 << 10):
+                    b0 = 2 | (0 << 2) | ((n & 0xF) << 4)
+                    b1 = (n >> 4) | ((len(comp) & 3) << 6)
+                    b2 = len(comp) >> 2
+                    return bytes([b0, b1, b2]) + comp
+            elif n < (1 << 14):
+                # 4 streams: first three carry ceil(n/4) literals
+                per = (n + 3) // 4
+                parts = [
+                    _huf_stream(lit[k * per : (k + 1) * per], codes)
+                    for k in range(3)
+                ]
+                parts.append(_huf_stream(lit[3 * per :], codes))
+                if all(len(p) < (1 << 16) for p in parts[:3]):
+                    jump = struct.pack(
+                        "<HHH", len(parts[0]), len(parts[1]),
+                        len(parts[2]),
+                    )
+                    comp = head + jump + b"".join(parts)
+                    if len(comp) + 4 < n and len(comp) < (1 << 14):
+                        b0 = 2 | (2 << 2) | ((n & 0xF) << 4)
+                        b1 = ((n >> 4) & 0xFF)
+                        b2 = (n >> 12) | ((len(comp) & 0x3F) << 2)
+                        b3 = len(comp) >> 6
+                        return bytes([b0, b1, b2, b3]) + comp
     # raw literals
     if n < 32:
         return bytes([(n << 3) | 0]) + lit  # size_format 0
