@@ -428,8 +428,12 @@ def _dist_code(dist: int) -> tuple[int, int, int]:
     raise ValueError(f"deflate: bad match distance {dist}")
 
 
-def _lz77(data: bytes) -> list[tuple[int, int]]:
-    """Greedy tokenization: (literal_byte, 0) or (length, distance)."""
+def _lz77(data: bytes, window: int = _WINDOW,
+          max_match: int = _MAX_MATCH) -> list[tuple[int, int]]:
+    """Greedy tokenization: (literal_byte, 0) or (length, distance).
+    ``window``/``max_match`` default to the DEFLATE limits; the zstd
+    path passes its larger block-sized window and unbounded match
+    cap."""
     n = len(data)
     head: dict[int, list[int]] = {}
     tokens: list[tuple[int, int]] = []
@@ -441,19 +445,19 @@ def _lz77(data: bytes) -> list[tuple[int, int]]:
             key = data[i] | (data[i + 1] << 8) | (data[i + 2] << 16)
             chain = head.get(key)
             if chain:
-                floor = i - _WINDOW
+                floor = i - window
                 tried = 0
                 for j in reversed(chain):
                     if j < floor or tried >= _MAX_CHAIN:
                         break
                     tried += 1
-                    limit = min(_MAX_MATCH, n - i)
+                    limit = min(max_match, n - i)
                     m = 0
                     while m < limit and data[j + m] == data[i + m]:
                         m += 1
                     if m > best_len:
                         best_len, best_dist = m, i - j
-                        if m == _MAX_MATCH:
+                        if m == max_match:
                             break
             head.setdefault(key, []).append(i)
         if best_len >= _MIN_MATCH:

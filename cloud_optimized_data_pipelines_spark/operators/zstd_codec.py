@@ -1093,16 +1093,22 @@ def _encode_literals(lit: bytes) -> bytes:
     ) + lit  # format 3
 
 
-def _encode_block_compressed(chunk: bytes) -> bytes | None:
+def _encode_block_compressed(
+    chunk: bytes, rep_in: list[int]
+) -> tuple[bytes, list[int]] | None:
     """One compressed block: deflate-style greedy LZ77 re-coded as
     zstd sequences (predefined FSE for LL/OF/ML), Huffman/raw
-    literals.  Returns None when raw would be smaller (caller falls
-    back)."""
+    literals.  ``rep_in`` is the FRAME-level repeat-offset history
+    (it persists across blocks in the decoder — RFC 3.1.1.5); the
+    caller commits the returned history only if it emits this block.
+    Returns None when raw would be smaller (caller falls back,
+    leaving the history untouched)."""
     from cloud_optimized_data_pipelines_spark.operators.deflate_codec import (
         _lz77,
     )
 
-    tokens = _lz77(chunk)
+    # zstd blocks allow block-sized offsets and unbounded matches
+    tokens = _lz77(chunk, window=len(chunk), max_match=1 << 17)
     lits = bytearray()
     seqs: list[tuple[int, int, int]] = []  # (lit_len, offset, match_len)
     run = bytearray()
@@ -1120,7 +1126,9 @@ def _encode_block_compressed(chunk: bytes) -> bytes | None:
     n = len(seqs)
     if n == 0:
         body += b"\x00"
-        return bytes(body) if len(body) < len(chunk) else None
+        if len(body) < len(chunk):
+            return bytes(body), list(rep_in)
+        return None
     if n < 128:
         body.append(n)
     elif n < 0x7F00:
@@ -1132,9 +1140,43 @@ def _encode_block_compressed(chunk: bytes) -> bytes | None:
     ll_ct = _fse_build_ctable(*_LL_DEFAULT)
     of_ct = _fse_build_ctable(*_OF_DEFAULT)
     ml_ct = _fse_build_ctable(*_ML_DEFAULT)
-    rows = []
+    # forward pass: choose repeat-offset codes by simulating the
+    # decoder's rep-history updates exactly (RFC 3.1.1.5), seeded
+    # with the frame-level history carried across blocks
+    rep = list(rep_in)
+    ovs = []
     for ll, off, ml in seqs:
-        ofv = off + 3  # no repeat-offset use: offset_value = offset+3
+        if ll != 0:
+            if off == rep[0]:
+                ov, idx = 1, 0
+            elif off == rep[1]:
+                ov, idx = 2, 1
+            elif off == rep[2]:
+                ov, idx = 3, 2
+            else:
+                ov, idx = off + 3, None
+        else:  # lit_len == 0 shifts the repeat index by one
+            if off == rep[1]:
+                ov, idx = 1, 1
+            elif off == rep[2]:
+                ov, idx = 2, 2
+            else:
+                ov, idx = off + 3, None
+        # decoder-mirror rep update
+        if idx is None:
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = off
+        elif idx == 1:
+            rep[1] = rep[0]
+            rep[0] = off
+        elif idx == 2:
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = off
+        ovs.append(ov)
+    rows = []
+    for (ll, off, ml), ofv in zip(seqs, ovs):
         of_code = ofv.bit_length() - 1
         rows.append(
             (
@@ -1165,7 +1207,9 @@ def _encode_block_compressed(chunk: bytes) -> bytes | None:
     of_st.flush(bw, _OF_DEFAULT[1])
     ll_st.flush(bw, _LL_DEFAULT[1])
     body += bw.close()
-    return bytes(body) if len(body) < len(chunk) else None
+    if len(body) < len(chunk):
+        return bytes(body), rep
+    return None
 
 
 def zstd_compress(payload: bytes, checksum: bool = True) -> bytes:
@@ -1181,15 +1225,18 @@ def zstd_compress(payload: bytes, checksum: bool = True) -> bytes:
     if not payload:
         out += struct.pack("<I", 1)[:3]
     pos = 0
+    rep = [1, 4, 8]  # frame-level repeat-offset history
     while pos < len(payload):
         chunk = payload[pos : pos + block]
         pos += len(chunk)
         last = 1 if pos >= len(payload) else 0
-        comp = _encode_block_compressed(chunk)
-        if comp is not None:
+        res = _encode_block_compressed(chunk, rep)
+        if res is not None:
+            comp, rep = res
             out += struct.pack("<I", last | (2 << 1) | (len(comp) << 3))[:3]
             out += comp
         else:
+            # raw fallback: the decoder's rep history is untouched
             out += struct.pack("<I", last | (0 << 1) | (len(chunk) << 3))[:3]
             out += chunk
     if checksum:
