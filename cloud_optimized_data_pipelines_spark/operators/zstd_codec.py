@@ -1136,10 +1136,6 @@ def _encode_block_compressed(
         body.append(n & 0xFF)
     else:
         body += bytes([255, n & 0xFF, (n >> 8) - 0x7F])
-    body.append(0)  # all three tables predefined
-    ll_ct = _fse_build_ctable(*_LL_DEFAULT)
-    of_ct = _fse_build_ctable(*_OF_DEFAULT)
-    ml_ct = _fse_build_ctable(*_ML_DEFAULT)
     # forward pass: choose repeat-offset codes by simulating the
     # decoder's rep-history updates exactly (RFC 3.1.1.5), seeded
     # with the frame-level history carried across blocks
@@ -1187,6 +1183,15 @@ def _encode_block_compressed(
                 of_code, ofv - (1 << of_code), of_code,
             )
         )
+    # per-stream mode selection: trained FSE table when its entropy
+    # estimate (incl. header bytes) beats the predefined one
+    ll_mode, ll_hdr, ll_ct = _build_seq_coder("ll", [r[0] for r in rows])
+    of_mode, of_hdr, of_ct = _build_seq_coder("of", [r[6] for r in rows])
+    ml_mode, ml_hdr, ml_ct = _build_seq_coder("ml", [r[3] for r in rows])
+    body.append((ll_mode << 6) | (of_mode << 4) | (ml_mode << 2))
+    body += ll_hdr
+    body += of_hdr
+    body += ml_hdr
     bw = _BackWriter()
     llc, llv, llb, mlc, mlv, mlb, ofc, ofv_, ofb = rows[-1]
     ll_st = _FseEncState(ll_ct, llc)
@@ -1242,3 +1247,150 @@ def zstd_compress(payload: bytes, checksum: bool = True) -> bytes:
     if checksum:
         out += struct.pack("<I", xxh64(payload) & 0xFFFFFFFF)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# trained FSE sequence tables (encoder side, mode 2)
+# ---------------------------------------------------------------------------
+
+
+class _FwdBitWriter:
+    """Forward little-endian bit writer (FSE table descriptions —
+    the mirror of _FwdBits)."""
+
+    __slots__ = ("acc", "nbits")
+
+    def __init__(self):
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc |= (value & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+
+    def bytes(self) -> bytes:
+        return self.acc.to_bytes((self.nbits + 7) // 8, "little")
+
+
+def fse_normalize(hist: list[int], accuracy_log: int) -> list[int] | None:
+    """Normalize symbol frequencies to sum 2^AL with every present
+    symbol >= 1 (the -1 low-prob form is never emitted — valid,
+    slightly conservative).  Returns None for degenerate inputs."""
+    total = sum(hist)
+    size = 1 << accuracy_log
+    present = [s for s, c in enumerate(hist) if c]
+    if total == 0 or len(present) < 2 or len(present) > size:
+        return None
+    norm = [0] * len(hist)
+    acc = 0
+    for s in present:
+        n = max(1, (hist[s] * size) // total)
+        norm[s] = n
+        acc += n
+    # repair drift onto the largest symbols (never below 1)
+    order = sorted(present, key=lambda s: -norm[s])
+    i = 0
+    while acc > size:
+        s = order[i % len(order)]
+        if norm[s] > 1:
+            norm[s] -= 1
+            acc -= 1
+        i += 1
+        if i > 4 * size:
+            return None
+    i = 0
+    while acc < size:
+        s = order[i % len(order)]
+        norm[s] += 1
+        acc += 1
+        i += 1
+    return norm
+
+
+def fse_write_ncount(norm: list[int], accuracy_log: int) -> bytes:
+    """Serialize normalized counts — the exact mirror of
+    :func:`fse_read_ncount` (adaptive widths, zero-repeat flags)."""
+    bw = _FwdBitWriter()
+    bw.write(accuracy_log - 5, 4)
+    remaining = (1 << accuracy_log) + 1
+    threshold = 1 << accuracy_log
+    nb_bits = accuracy_log + 1
+    sym = 0
+    while remaining > 1 and sym < len(norm):
+        c = norm[sym]
+        stored = c + 1
+        maxv = (2 * threshold - 1) - remaining
+        if stored < maxv:
+            bw.write(stored, nb_bits - 1)
+        else:
+            enc = stored if stored < threshold else stored + maxv
+            bw.write(enc, nb_bits)
+        remaining -= -c if c < 0 else c
+        sym += 1
+        while remaining < threshold:
+            nb_bits -= 1
+            threshold >>= 1
+        if c == 0 and remaining > 1:
+            # zero-repeat flags for the following zero run
+            run = 0
+            while sym + run < len(norm) and norm[sym + run] == 0:
+                run += 1
+            # never skip past the last coded symbol
+            z = run
+            while z >= 3:
+                bw.write(3, 2)
+                z -= 3
+            bw.write(z, 2)
+            sym += run
+    return bw.bytes()
+
+
+def _seq_cost_predefined(codes, extras, kind: str) -> int:
+    counts, al = _DEFAULTS[kind]
+    # approximate: per-symbol cost = AL - log2(count) bits
+    import math
+
+    cost = 0
+    for c in codes:
+        p = counts[c] if c < len(counts) else 0
+        if p <= 0:
+            return 1 << 30  # symbol outside the predefined table
+        cost += al - int(math.log2(p))
+    return cost + sum(extras)
+
+
+def _build_seq_coder(kind: str, codes: list[int]):
+    """Pick predefined vs trained FSE for one code stream; returns
+    (mode, header_bytes, ctable)."""
+    hist = [0] * (_MAX_SYM[kind] + 1)
+    for c in codes:
+        hist[c] += 1
+    al = _DEFAULTS[kind][1]
+    norm = fse_normalize(hist, al)
+    if norm is not None:
+        header = fse_write_ncount(norm, al)
+        # verify our own reader round-trips the description (cheap
+        # and guards the writer against drift)
+        back, al2, used = fse_read_ncount(header, _MAX_SYM[kind])
+        if al2 != al or back[: len(norm)] != norm or used != len(header):
+            norm = None
+    if norm is None:
+        return 0, b"", _fse_build_ctable(*_DEFAULTS[kind])
+    # size decision: trained table must beat predefined including
+    # its header cost (entropy estimate on both sides)
+    import math
+
+    trained_bits = 0
+    total = 1 << al
+    for c in codes:
+        trained_bits += al - int(math.log2(norm[c]))
+    pre = _DEFAULTS[kind][0]
+    pre_ok = all(c < len(pre) and pre[c] != 0 for c in codes)
+    pre_bits = (
+        sum(al - int(math.log2(abs(pre[c]))) for c in codes)
+        if pre_ok
+        else 1 << 30
+    )
+    if trained_bits + 8 * len(header) < pre_bits:
+        return 2, header, _fse_build_ctable(norm, al)
+    return 0, b"", _fse_build_ctable(*_DEFAULTS[kind])

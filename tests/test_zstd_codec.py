@@ -251,3 +251,35 @@ def test_compress_fuzz_matrix():
         enc = Z.zstd_compress(data)
         assert Z.zstd_decompress(enc) == data, (trial, kind, n)
         assert _cli(["zstd", "-d", "-c"], enc) == data, (trial, kind, n)
+
+
+def test_fse_ncount_writer_roundtrip():
+    """The encoder's normalized-count serializer must be the exact
+    inverse of fse_read_ncount across random histograms."""
+    random.seed(4)
+    done = 0
+    for _ in range(120):
+        nsym = random.randint(2, 50)
+        al = random.choice([5, 6, 7, 8])
+        hist = [random.choice([0, 0, 0, 1, 2, 5, 20, 100])
+                for _ in range(nsym)]
+        norm = Z.fse_normalize(hist, al)
+        if norm is None:
+            continue
+        data = Z.fse_write_ncount(norm, al)
+        back, al2, used = Z.fse_read_ncount(data, nsym - 1)
+        assert al2 == al
+        assert back[: len(norm)] == norm
+        assert used == len(data)
+        done += 1
+    assert done > 40
+
+
+@needs_cli
+def test_trained_tables_improve_ratio_and_conform():
+    jsonl = b"".join(b'{"id":%d}\n' % i for i in range(8000))
+    enc = Z.zstd_compress(jsonl)
+    assert Z.zstd_decompress(enc) == jsonl
+    assert _cli(["zstd", "-d", "-c"], enc) == jsonl
+    # trained FSE + huffman literals + repeat offsets: well under 1/4
+    assert len(enc) < len(jsonl) // 4
