@@ -950,8 +950,6 @@ def _huf_build_ctable(freqs: dict[int, int]):
     if len(syms) < 2 or syms[-1] >= 255:
         return None
     n_weights = syms[-1]  # weights for 0..max_sym-1, last implied
-    if n_weights + 1 > 128:
-        return None
     # build a depth-limited code-length set: package-merge is
     # overkill here — use sorted-frequency halving: assign weights by
     # frequency rank so that Kraft mass sums to a power of two.
@@ -1029,6 +1027,63 @@ def _huf_build_ctable(freqs: dict[int, int]):
     return codes, listed, max_bits
 
 
+def _encode_weights_fse(weights: list[int]) -> bytes | None:
+    """FSE-compress a Huffman weight list (the h < 128 tree
+    description): two interleaved states, symbols encoded in reverse,
+    states flushed C2-then-C1 so the decoder's two init reads land on
+    the right parities.  Returns the full description (1-byte size
+    header + payload) or None when it wouldn't fit/win."""
+    n = len(weights)
+    if n < 2:
+        return None
+    hist = [0] * (max(weights) + 1)
+    for w in weights:
+        hist[w] += 1
+    al = 6
+    norm = fse_normalize(hist, al)
+    if norm is None:
+        return None
+    header = fse_write_ncount(norm, al)
+    ct = _fse_build_ctable(norm, al)
+    bw = _BackWriter()
+    ip = n
+    if n & 1:
+        c1 = _FseEncState(ct, weights[ip - 1]); ip -= 1
+        c2 = _FseEncState(ct, weights[ip - 1]); ip -= 1
+        c1.encode(bw, weights[ip - 1]); ip -= 1
+    else:
+        c2 = _FseEncState(ct, weights[ip - 1]); ip -= 1
+        c1 = _FseEncState(ct, weights[ip - 1]); ip -= 1
+    while ip > 0:
+        c2.encode(bw, weights[ip - 1]); ip -= 1
+        c1.encode(bw, weights[ip - 1]); ip -= 1
+    c2.flush(bw, al)
+    c1.flush(bw, al)
+    comp = header + bw.close()
+    if len(comp) >= 128:
+        return None
+    return bytes([len(comp)]) + comp
+
+
+def _weights_description(listed: list[int]) -> bytes | None:
+    """Pick the smaller valid tree description: direct 4-bit pairs
+    (<= 128 weights) or FSE-compressed (any count, incl. the >128
+    alphabets the direct form cannot express)."""
+    direct = None
+    if len(listed) <= 128:
+        direct = bytes([127 + len(listed)]) + bytes(
+            (listed[i] << 4)
+            | (listed[i + 1] if i + 1 < len(listed) else 0)
+            for i in range(0, len(listed), 2)
+        )
+    fse = _encode_weights_fse(listed)
+    if direct is None:
+        return fse
+    if fse is not None and len(fse) < len(direct):
+        return fse
+    return direct
+
+
 def _huf_stream(lit: bytes, codes) -> bytes:
     bw = _BackWriter()
     for b in reversed(lit):
@@ -1048,14 +1103,11 @@ def _encode_literals(lit: bytes) -> bytes:
         for b in lit:
             freqs[b] = freqs.get(b, 0) + 1
         built = _huf_build_ctable(freqs)
+        head = None
         if built is not None:
             codes, listed, max_bits = built
-            # direct weights header: 127 + count, then 4-bit pairs
-            head = bytes([127 + len(listed)]) + bytes(
-                (listed[i] << 4)
-                | (listed[i + 1] if i + 1 < len(listed) else 0)
-                for i in range(0, len(listed), 2)
-            )
+            head = _weights_description(listed)
+        if head is not None:
             if n < (1 << 10):
                 comp = head + _huf_stream(lit, codes)
                 if len(comp) + 3 < n and len(comp) < (1 << 10):

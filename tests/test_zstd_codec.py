@@ -283,3 +283,38 @@ def test_trained_tables_improve_ratio_and_conform():
     assert _cli(["zstd", "-d", "-c"], enc) == jsonl
     # trained FSE + huffman literals + repeat offsets: well under 1/4
     assert len(enc) < len(jsonl) // 4
+
+
+@needs_cli
+def test_fse_weight_description_wide_alphabets():
+    """Literal alphabets past the 128-weight direct-header cap now
+    Huffman-compress through the FSE-compressed tree description —
+    the reference CLI must accept those frames too."""
+    random.seed(21)
+    wide = bytes(random.choices(range(200), weights=[50] + [1] * 199,
+                                k=30_000))
+    allb = bytes(random.choices(range(256), weights=[100] * 8 + [1] * 248,
+                                k=40_000))
+    for data in (wide, allb):
+        enc = Z.zstd_compress(data)
+        assert len(enc) < len(data)  # no longer raw fallback
+        assert Z.zstd_decompress(enc) == data
+        assert _cli(["zstd", "-d", "-c"], enc) == data
+
+
+def test_encode_weights_fse_roundtrip():
+    random.seed(8)
+    done = 0
+    for _ in range(150):
+        n = random.randint(2, 220)
+        weights = [random.choice([0, 0, 1, 1, 1, 2, 2, 3, 4, 5])
+                   for _ in range(n)]
+        if len(set(weights)) < 2:
+            continue
+        desc = Z._encode_weights_fse(weights)
+        if desc is None:
+            continue
+        got, used = Z._huf_read_weights(desc)
+        assert got == weights and used == len(desc)
+        done += 1
+    assert done > 50
