@@ -559,14 +559,34 @@ def _encode_frame(samples: np.ndarray, frame_no: int, sample_rate: int,
     bw.write(0, 1)  # reserved
     bw.write(0, 1)  # fixed blocking
     bw.write(0b0111, 4)  # block size: explicit 16-bit at header end
-    bw.write(0b1101, 4)  # sample rate: explicit 16-bit Hz
+    # sample rate: table code when one exists, else the smallest
+    # explicit form whose range holds the rate (RFC 9639 §9.1.3 —
+    # writing an out-of-range rate into the 16-bit Hz field would
+    # silently truncate it while STREAMINFO carries the true rate).
+    if sample_rate in _SR_CODE_OF_RATE:
+        bw.write(_SR_CODE_OF_RATE[sample_rate], 4)
+        sr_tail: tuple[int, int] | None = None
+    elif sample_rate < 1 << 16:
+        bw.write(0b1101, 4)  # explicit 16-bit Hz
+        sr_tail = (sample_rate, 16)
+    elif sample_rate % 10 == 0 and sample_rate // 10 < 1 << 16:
+        bw.write(0b1110, 4)  # explicit 16-bit daHz
+        sr_tail = (sample_rate // 10, 16)
+    elif sample_rate % 1000 == 0 and sample_rate // 1000 < 1 << 8:
+        bw.write(0b1100, 4)  # explicit 8-bit kHz
+        sr_tail = (sample_rate // 1000, 8)
+    else:
+        raise ValueError(
+            f"flac: sample rate {sample_rate} has no frame-header form"
+        )
     bw.write(assign, 4)
     bw.write({8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110}[bits], 3)
     bw.write(0, 1)  # reserved
     for b in encode_coded_number(frame_no):
         bw.write(b, 8)
     bw.write(block_size - 1, 16)
-    bw.write(sample_rate, 16)
+    if sr_tail is not None:
+        bw.write(*sr_tail)
     header = bw.bytes()
     assert bw.nbits == 0
     bw.write(crc8(header), 8)
@@ -600,6 +620,10 @@ _SAMPLE_RATE_TABLE = {
 }
 _BITS_TABLE = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24,
                0b111: 32}
+# frame-header table codes for the common rates (inverse of
+# _SAMPLE_RATE_TABLE); used by the encoder in preference to the
+# explicit forms so headers stay 2 bytes shorter for standard rates.
+_SR_CODE_OF_RATE = {v: k for k, v in _SAMPLE_RATE_TABLE.items()}
 
 
 def _decode_frame(data: bytes, pos: int, stream_bits: int,
@@ -650,6 +674,8 @@ def _decode_frame(data: bytes, pos: int, stream_bits: int,
     want = br.read(8)
     if crc8(data[pos:hdr_end]) != want:
         raise ValueError("flac: frame header CRC-8 mismatch")
+    if bits_code and bits_code not in _BITS_TABLE:
+        raise ValueError(f"flac: reserved bits-per-sample code {bits_code}")
     bits = stream_bits if bits_code == 0 else _BITS_TABLE[bits_code]
 
     if assign < 8:
@@ -720,19 +746,21 @@ def encode_flac(samples: np.ndarray, sample_rate: int, bits: int = 16,
         raise ValueError("flac: samples exceed bit depth")
     frames = []
     min_fs = max_fs = None
-    min_bs = block_size
     for f, start in enumerate(range(0, n, block_size)):
         blk = samples[start : start + block_size]
-        min_bs = min(min_bs, len(blk))
         fr = _encode_frame(blk, f, sample_rate, bits)
         frames.append(fr)
         min_fs = len(fr) if min_fs is None else min(min_fs, len(fr))
         max_fs = max(max_fs or 0, len(fr))
     body = b"".join(frames)
-    # STREAMINFO (34 bytes)
+    # STREAMINFO (34 bytes).  Fixed-blocksize stream: min==max==the
+    # nominal block size, the short tail block EXCLUDED per RFC 9639
+    # §8.2, and both fields >= 16 (values below 16 are invalid).  A
+    # stream whose only block is the tail uses that block's length.
     si = _BitWriter()
-    si.write(min_bs, 16)
-    si.write(block_size, 16)
+    bs_field = max(16, min(block_size, n)) if n else block_size
+    si.write(bs_field, 16)
+    si.write(bs_field, 16)
     si.write(min_fs or 0, 24)
     si.write(max_fs or 0, 24)
     si.write(sample_rate, 20)

@@ -792,17 +792,34 @@ def zstd_decompress(data: bytes, engine: str = "pure") -> bytes:
 # ---------------------------------------------------------------------------
 
 
+_SINGLE_SEGMENT_CAP = 8 << 20  # libzstd's default window limit is
+# 128 MiB (ZSTD_WINDOWLOG_LIMIT_DEFAULT=27), but a single-segment frame
+# makes Window_Size == content size, so `zstd -d` without --long would
+# reject any larger payload.  Above a conservative 8 MiB we drop the
+# single-segment flag and declare a 128 KiB window instead — matches
+# never span the encoder's 128 KiB blocks, so that window always
+# suffices (RFC 8878 §3.1.1.1.2).
+
+
+def _frame_header(content_size: int, checksum: bool) -> bytes:
+    """FHD (+ window descriptor when not single-segment) + 8-byte FCS."""
+    single = content_size < _SINGLE_SEGMENT_CAP
+    fhd = (3 << 6) | (0x20 if single else 0) | (0x04 if checksum else 0)
+    hdr = bytearray([fhd])
+    if not single:
+        hdr.append(7 << 3)  # Exponent=7 -> windowLog 17 (128 KiB)
+    hdr += struct.pack("<Q", content_size)
+    return bytes(hdr)
+
+
 def zstd_compress_stored(payload: bytes, checksum: bool = True) -> bytes:
     """Always-valid zstd frame using raw blocks (RLE where a block is
     one repeated byte).  Any conformant decoder accepts it; `zstd -d`
     round-trips it in the tests."""
     out = bytearray()
     out += struct.pack("<I", _MAGIC)
-    fhd = (3 << 6) | 0x20 | (0x04 if checksum else 0)  # FCS 8B, single seg
-    out.append(fhd)
-    out += struct.pack("<Q", len(payload))
-    max_block = (1 << 17) - 1  # block size limited by 21-bit field;
-    # window for single-segment = frame content size, fine for raw
+    out += _frame_header(len(payload), checksum)
+    max_block = (1 << 17) - 1  # block size limited by 21-bit field
     if not payload:
         out += struct.pack("<I", 1)[:3]  # last, raw, size 0
     pos = 0
@@ -1276,8 +1293,7 @@ def zstd_compress(payload: bytes, checksum: bool = True) -> bytes:
     (tests/test_zstd_codec.py)."""
     out = bytearray()
     out += struct.pack("<I", _MAGIC)
-    out.append((3 << 6) | 0x20 | (0x04 if checksum else 0))
-    out += struct.pack("<Q", len(payload))
+    out += _frame_header(len(payload), checksum)
     block = 1 << 17
     if not payload:
         out += struct.pack("<I", 1)[:3]

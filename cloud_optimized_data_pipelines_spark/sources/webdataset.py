@@ -112,11 +112,29 @@ def parse_tar(data: bytes) -> list[dict]:
         if typeflag == "L":  # GNU long name: payload is the real name
             pending_name = payload.rstrip(b"\x00").decode()
         elif typeflag == "x":  # pax extended header
-            for line in payload.split(b"\n"):
-                if b" path=" in line or line.startswith(b"path="):
-                    kv = line.split(b" ", 1)[1] if b" " in line else line
-                    if kv.startswith(b"path="):
-                        pending_name = kv[5:].decode()
+            # pax records are length-prefixed ("%d %s=%s\n" where the
+            # leading decimal counts the WHOLE record incl. itself and
+            # the trailing \n) precisely so values may contain
+            # newlines — walk by the length field, never split on \n
+            # (POSIX.1-2001 pax(1) Extended Header format).
+            rpos = 0
+            while rpos < len(payload):
+                sp = payload.find(b" ", rpos)
+                if sp < 0:
+                    raise ValueError("tar: malformed pax record length")
+                try:
+                    rlen = int(payload[rpos:sp])
+                except ValueError:
+                    raise ValueError("tar: malformed pax record length")
+                if rlen <= sp - rpos or rpos + rlen > len(payload):
+                    raise ValueError("tar: pax record length out of range")
+                record = payload[sp + 1 : rpos + rlen]
+                if record.endswith(b"\n"):
+                    record = record[:-1]
+                key, eq, value = record.partition(b"=")
+                if eq and key == b"path":
+                    pending_name = value.decode()
+                rpos += rlen
         elif typeflag in ("0", "\x00"):
             name = header[0:100].split(b"\x00")[0].decode()
             prefix = header[345:500].split(b"\x00")[0].decode()

@@ -144,11 +144,58 @@ def test_streaminfo_fields():
     t = np.arange(5000)
     enc, dec = _rt((100 * np.sin(t / 9)).astype(np.int64), sr=22050,
                    bs=2048)
-    # STREAMINFO: min block = tail (904), max = 2048
+    # STREAMINFO: fixed-blocksize stream -> min == max == 2048; the
+    # short tail block (904) is EXCLUDED per RFC 9639 §8.2
     br = fc._BitReader(enc[8:])
-    assert br.read(16) == 5000 - 2 * 2048
+    assert br.read(16) == 2048
     assert br.read(16) == 2048
     assert dec["n_frames"] == 3
+
+
+def test_streaminfo_block_fields_clamped():
+    # a stream shorter than one block still writes >= 16 into both
+    # 16-bit block fields (values below 16 are invalid per RFC 9639)
+    enc = fc.encode_flac(np.arange(10), 44100, block_size=256)
+    br = fc._BitReader(enc[8:])
+    assert br.read(16) == 16
+    assert br.read(16) == 16
+    assert np.array_equal(
+        fc.decode_flac(enc)["samples"][:, 0], np.arange(10)
+    )
+
+
+def test_high_sample_rates_roundtrip():
+    # rates >= 65536 Hz must not be truncated in the 16-bit frame
+    # header field: table form for 88200/96000/192000, daHz form for
+    # 102400, kHz form for 256000
+    x = (np.arange(700) % 97) - 48
+    for sr in (88200, 96000, 192000, 102400, 256000):
+        enc = fc.encode_flac(x, sr, block_size=256)
+        dec = fc.decode_flac(enc)
+        assert dec["sample_rate"] == sr
+        assert np.array_equal(dec["samples"][:, 0], x)
+    with pytest.raises(ValueError, match="no frame-header form"):
+        fc.encode_flac(x, 65537, block_size=256)
+
+
+def test_reserved_bits_code_named_error():
+    # a frame header carrying the reserved bits-per-sample code 0b011
+    # (valid CRC-8) raises the module's named ValueError, not KeyError
+    bw = fc._BitWriter()
+    bw.write(0b11111111111110, 14)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0b0001, 4)   # block size 192
+    bw.write(0b1001, 4)   # 44100 Hz (table)
+    bw.write(0, 4)        # mono
+    bw.write(0b011, 3)    # RESERVED bits code
+    bw.write(0, 1)
+    for b in fc.encode_coded_number(0):
+        bw.write(b, 8)
+    hdr = bw.bytes()
+    bw.write(fc.crc8(hdr), 8)
+    with pytest.raises(ValueError, match="reserved bits-per-sample"):
+        fc._decode_frame(bw.bytes(), 0, 16, 44100)
 
 
 # ---------------------------------------------------------------------------

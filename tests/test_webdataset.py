@@ -128,3 +128,25 @@ def test_wds_samples_spark(spark):
         (3 * i + 1) % 10 for i in range(25)
     )
     assert lab == expected
+
+def test_pax_records_are_length_prefixed():
+    # a pax value containing '\n' (and an embedded ' path=' decoy in
+    # another value) must parse via the length prefix, not line splits
+    name = "weird\nname/with spaces.txt"
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.PAX_FORMAT) as tf:
+        info = tarfile.TarInfo(name)
+        info.size = 5
+        info.pax_headers = {"comment": "x path=decoy.bin\nmore"}
+        tf.addfile(info, io.BytesIO(b"hello"))
+    data = buf.getvalue()
+    members = WD.parse_tar(data)
+    assert [m["name"] for m in members] == [name]
+    assert members[0]["payload"] == b"hello"
+    # a corrupted (non-decimal) length prefix raises the named error:
+    # the first 512 bytes are the 'x' header, the pax payload follows
+    assert chr(data[156]) == "x"
+    bad = bytearray(data)
+    bad[512] = ord("A")
+    with pytest.raises(ValueError, match="pax record length"):
+        WD.parse_tar(bytes(bad))

@@ -318,3 +318,20 @@ def test_encode_weights_fse_roundtrip():
         assert got == weights and used == len(desc)
         done += 1
     assert done > 50
+
+
+@needs_cli
+def test_large_payload_window_descriptor():
+    # > 8 MiB payloads must NOT be single-segment (Window_Size would
+    # equal the content size and `zstd -d` without --long rejects
+    # frames above its 128 MiB default window); instead the frame
+    # declares a 128 KiB window descriptor.
+    big = (b"abcdefgh" * 37 + b"\n") * 35_000  # ~9.9 MiB, compressible
+    for enc in (Z.zstd_compress(big), Z.zstd_compress_stored(big)):
+        fhd = enc[4]
+        assert not fhd & 0x20  # single-segment dropped
+        assert enc[5] == 7 << 3  # windowLog 17
+        assert Z.zstd_decompress(enc) == big
+        assert _cli(["zstd", "-d", "-c"], enc) == big
+    small = b"x" * 1000
+    assert Z.zstd_compress_stored(small)[4] & 0x20  # still single-seg
