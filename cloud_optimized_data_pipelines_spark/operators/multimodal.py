@@ -2791,9 +2791,14 @@ def _zstd_variant(v: int) -> dict:
         zst = r.stdout
     else:  # pragma: no cover - container always has the CLI
         zst = zstd_compress_stored(payload)
+    # default engine (auto -> CLI when present) is the graded path;
+    # the pure RFC 8878 decoder must agree byte-for-byte so the
+    # conformance check survives the fast default
     decoded = zstd_decompress(zst)
     if decoded != payload:  # pragma: no cover - codec guard
         raise RuntimeError(f"zstd variant {v}: decode mismatch")
+    if zstd_decompress(zst, engine="pure") != payload:  # pragma: no cover
+        raise RuntimeError(f"zstd variant {v}: pure-engine mismatch")
     # aggregates from the DECODED jsonl, not the formula
     import json as _json
 
@@ -2841,8 +2846,9 @@ def _compressed_variant(v: int) -> dict:
     mod 5 over the SAME formula jsonl (L = 300 + 40v lines of
     '{"id":I,"v":(3I+v) mod 50}'), compressed by that codec's
     deterministic writer, sniffed + decoded back through
-    sources/compressed.decompress_auto with the PURE engines, and
-    equality-checked before grading."""
+    sources/compressed.decompress_auto with the DEFAULT engines (zstd
+    auto -> CLI when present; the pure decoder is equality-checked
+    alongside), and equality-checked before grading."""
     import bz2 as _bz2
     import hashlib
     import lzma as _lzma
@@ -2893,6 +2899,10 @@ def _compressed_variant(v: int) -> dict:
     decoded = decompress_auto(blob)
     if decoded != payload:  # pragma: no cover - codec guard
         raise RuntimeError(f"compressed variant {v}: decode mismatch")
+    if codec == "zstd" and decompress_auto(
+        blob, zstd_engine="pure"
+    ) != payload:  # pragma: no cover - codec guard
+        raise RuntimeError(f"compressed variant {v}: pure-engine mismatch")
     import json as _json
 
     vals = sum(_json.loads(line)["v"] for line in decoded.splitlines())

@@ -758,14 +758,30 @@ def decode_frame(data: bytes, pos: int = 0) -> tuple[bytes, int]:
     return bytes(out), pos
 
 
-def zstd_decompress(data: bytes, engine: str = "pure") -> bytes:
+_CLI_PRESENT: bool | None = None
+
+
+def _have_cli() -> bool:
+    global _CLI_PRESENT
+    if _CLI_PRESENT is None:
+        import shutil
+
+        _CLI_PRESENT = shutil.which("zstd") is not None
+    return _CLI_PRESENT
+
+
+def zstd_decompress(data: bytes, engine: str = "auto") -> bytes:
     """All frames concatenated (skippable frames skipped).
 
-    ``engine="pure"`` (default) is this module's from-scratch RFC 8878
-    decoder (~0.5 MB/s — the conformance artifact); ``"cli"`` pipes
-    through the in-container reference ``zstd`` binary (hundreds of
-    MB/s — the bulk-ingest path on any cluster image that ships
-    zstd).  Both are proven byte-identical in tests."""
+    ``engine="auto"`` (default) uses the reference ``zstd`` binary
+    when the image ships one (hundreds of MB/s — the bulk-ingest
+    path) and falls back to ``"pure"``, this module's from-scratch
+    RFC 8878 decoder (~2 MB/s — the conformance artifact), mirroring
+    the C-hot-path/from-scratch-artifact split in ``deflate_codec``.
+    Both are proven byte-identical in tests; pass an explicit engine
+    to pin one."""
+    if engine == "auto":
+        engine = "cli" if _have_cli() else "pure"
     if engine == "cli":
         import subprocess
 

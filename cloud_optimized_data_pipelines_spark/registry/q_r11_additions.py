@@ -1238,8 +1238,10 @@ def text_zstd_shard_q(spark, sf_dir):
     from the DECODED bytes while the oracle rebuilds the payload in
     SQL — so the driver hash IS a cross-implementation conformance
     check.  At 100 TB the shard scan is a pure map over the binary
-    column (engine="cli" for bulk throughput, engine="pure" as the
-    verified fallback)."""
+    column riding the DEFAULT engine (auto -> reference CLI when the
+    image ships one, pure fallback otherwise); the pure decoder is
+    equality-checked alongside so the cross-implementation proof
+    survives the fast default."""
     from cloud_optimized_data_pipelines_spark.operators.multimodal import (
         zstd_probe_table,
     )

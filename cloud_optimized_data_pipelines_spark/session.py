@@ -57,7 +57,11 @@ def get_spark(
         # collection/version/temporal predicates into catalog-side
         # parameters — sources/cmr_datasource.py)
         .config("spark.sql.python.filterPushdown.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode the driver JVM IS the executor: size the heap for
+        # SPARK_GRAFT_CPUS concurrent tasks (8g gave 32 tasks 256 MB
+        # each — GC-bound on multi-GB string scans; 24g ≈ 768 MB/task
+        # on a 128 GiB box, matching a sane per-core cluster sizing)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         # bucketed-table writes (operators/bucketing.py) need a managed
         # warehouse; keep it out of the repo tree

@@ -27,6 +27,7 @@ from typing import Iterator
 
 import pandas as pd
 
+from cloud_optimized_data_pipelines_spark.batching import BatchFlusher
 from cloud_optimized_data_pipelines_spark.operators.deflate_codec import (
     gzip_decode,
 )
@@ -53,9 +54,11 @@ def detect_codec(data: bytes) -> str:
     return "raw"
 
 
-def decompress_auto(data: bytes, zstd_engine: str = "pure") -> bytes:
+def decompress_auto(data: bytes, zstd_engine: str = "auto") -> bytes:
     """Sniff + decode one shard.  ``zstd_engine`` forwards to
-    :func:`zstd_codec.zstd_decompress` ("cli" for bulk throughput)."""
+    :func:`zstd_codec.zstd_decompress` (default "auto": the
+    reference CLI when present — the bulk-throughput path — falling
+    back to the from-scratch pure decoder)."""
     codec = detect_codec(data)
     if codec == "gzip":
         return gzip_decode(data)
@@ -72,28 +75,32 @@ def decompress_auto(data: bytes, zstd_engine: str = "pure") -> bytes:
 
 COMPRESSED_TEXT_SCHEMA = "id bigint, codec string, text string"
 
-
 def decode_text_column(df, id_col: str, binary_col: str,
-                       zstd_engine: str = "pure"):
+                       zstd_engine: str = "auto"):
     """Explode a binary column of compressed text shards into
     (id, codec, text) — the uniform front door for mixed-codec
-    corpora."""
+    corpora.  Output flushes in bounded Arrow batches (see
+    ``batching.BatchFlusher``)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fl = BatchFlusher(["id", "codec", "text"])
         for pdf in batches:
-            rows = []
             for rid, blob in zip(pdf[id_col], pdf[binary_col]):
                 blob = bytes(blob)
-                rows.append(
+                raw = decompress_auto(blob, zstd_engine=zstd_engine)
+                out = fl.add(
                     {
                         "id": int(rid),
                         "codec": detect_codec(blob),
-                        "text": decompress_auto(
-                            blob, zstd_engine=zstd_engine
-                        ).decode("utf-8", errors="replace"),
-                    }
+                        "text": raw.decode("utf-8", errors="replace"),
+                    },
+                    nbytes=len(raw),
                 )
-            yield pd.DataFrame(rows, columns=["id", "codec", "text"])
+                if out is not None:
+                    yield out
+        tail = fl.tail()
+        if tail is not None:
+            yield tail
 
     return df.select(id_col, binary_col).mapInPandas(
         gen, COMPRESSED_TEXT_SCHEMA

@@ -40,6 +40,8 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
+from cloud_optimized_data_pipelines_spark.batching import BatchFlusher
+
 from cloud_optimized_data_pipelines_spark.operators.deflate_codec import (
     gzip_encode,
     gzip_members,
@@ -318,12 +320,16 @@ def warc_records(df, id_col: str, binary_col: str, compressed: bool = True):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parse = parse_warc_gz if compressed else parse_warc
+        fl = BatchFlusher([
+            "file_id", "record_index", "warc_version", "warc_type",
+            "record_id", "target_uri", "warc_date", "content_type",
+            "content_length", "gz_offset", "gz_comp_size", "payload",
+        ])
         for pdf in batches:
-            rows = []
             for fid, blob in zip(pdf[id_col], pdf[binary_col]):
                 for i, r in enumerate(parse(bytes(blob))):
                     h = r["headers"]
-                    rows.append(
+                    out = fl.add(
                         {
                             "file_id": int(fid),
                             "record_index": i,
@@ -337,17 +343,14 @@ def warc_records(df, id_col: str, binary_col: str, compressed: bool = True):
                             "gz_offset": r.get("gz_offset"),
                             "gz_comp_size": r.get("gz_comp_size"),
                             "payload": r["payload"],
-                        }
+                        },
+                        nbytes=len(r["payload"]),
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "file_id", "record_index", "warc_version",
-                    "warc_type", "record_id", "target_uri", "warc_date",
-                    "content_type", "content_length", "gz_offset",
-                    "gz_comp_size", "payload",
-                ],
-            )
+                    if out is not None:
+                        yield out
+        tail = fl.tail()
+        if tail is not None:
+            yield tail
 
     return df.select(id_col, binary_col).mapInPandas(
         gen, WARC_RECORD_SCHEMA
@@ -367,24 +370,26 @@ def http_text_bodies(df, id_col: str = "file_id",
     gates, dedup, tokenization) straight off the crawl scan."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fl = BatchFlusher(["file_id", "record_index", "status", "body"])
         for pdf in batches:
-            rows = []
             for fid, idx, payload in zip(
                 pdf[id_col], pdf[index_col], pdf[payload_col]
             ):
                 _, body, status = split_http_payload(bytes(payload))
-                rows.append(
+                out = fl.add(
                     {
                         "file_id": int(fid),
                         "record_index": int(idx),
                         "status": status,
                         "body": body.decode("utf-8", errors="replace"),
-                    }
+                    },
+                    nbytes=len(body),
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=["file_id", "record_index", "status", "body"],
-            )
+                if out is not None:
+                    yield out
+        tail = fl.tail()
+        if tail is not None:
+            yield tail
 
     return df.select(id_col, index_col, payload_col).mapInPandas(
         gen, HTTP_BODY_SCHEMA

@@ -36,6 +36,8 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
+from cloud_optimized_data_pipelines_spark.batching import BatchFlusher
+
 _BLOCK = 512
 
 
@@ -198,28 +200,29 @@ def wds_samples(df, id_col: str, binary_col: str):
     """Explode tar shards into one row per WebDataset sample."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fl = BatchFlusher(["shard_id", "key", "n_fields", "extensions",
+                           "total_bytes", "fields"])
         for pdf in batches:
-            rows = []
             for sid, blob in zip(pdf[id_col], pdf[binary_col]):
                 for s in group_samples(parse_tar(bytes(blob))):
                     exts = sorted(s["fields"])
-                    rows.append(
+                    nbytes = sum(len(v) for v in s["fields"].values())
+                    out = fl.add(
                         {
                             "shard_id": int(sid),
                             "key": s["key"],
                             "n_fields": len(exts),
                             "extensions": exts,
-                            "total_bytes": sum(
-                                len(v) for v in s["fields"].values()
-                            ),
+                            "total_bytes": nbytes,
                             "fields": s["fields"],
-                        }
+                        },
+                        nbytes=nbytes,
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=["shard_id", "key", "n_fields", "extensions",
-                         "total_bytes", "fields"],
-            )
+                    if out is not None:
+                        yield out
+        tail = fl.tail()
+        if tail is not None:
+            yield tail
 
     return df.select(id_col, binary_col).mapInPandas(
         gen, WDS_SAMPLE_SCHEMA

@@ -24,6 +24,13 @@ _HAVE_CLI = shutil.which("zstd") is not None
 needs_cli = pytest.mark.skipif(not _HAVE_CLI, reason="zstd CLI not present")
 
 
+def Z_pure(data):
+    """Pin the from-scratch decoder: these are CONFORMANCE tests of
+    the pure RFC 8878 implementation (the public default is now
+    engine="auto", which prefers the CLI)."""
+    return Z.zstd_decompress(data, engine="pure")
+
+
 def _cli(args, data):
     r = subprocess.run(args, input=data, capture_output=True)
     assert r.returncode == 0, r.stderr
@@ -73,7 +80,7 @@ def test_xxh64_matches_cli_checksum():
     # checksum verification on CLI-produced frames proves the hash
     for data in _corpus().values():
         comp = _cli(["zstd", "-3", "-c"], data)
-        assert Z.zstd_decompress(comp) == data  # raises on bad xxh64
+        assert Z_pure(comp) == data  # raises on bad xxh64
 
 
 # ---------------------------------------------------------------------------
@@ -86,19 +93,19 @@ def test_xxh64_matches_cli_checksum():
 def test_decode_cli_levels(level):
     for name, data in _corpus().items():
         comp = _cli(["zstd", f"-{level}", "-c"], data)
-        assert Z.zstd_decompress(comp) == data, (level, name)
+        assert Z_pure(comp) == data, (level, name)
 
 
 @needs_cli
 def test_decode_cli_variants():
     data = _corpus()["text"]
-    assert Z.zstd_decompress(
+    assert Z_pure(
         _cli(["zstd", "-3", "--no-check", "-c"], data)
     ) == data
-    assert Z.zstd_decompress(
+    assert Z_pure(
         _cli(["zstd", "-9", "--long=27", "-c"], data)
     ) == data
-    assert Z.zstd_decompress(
+    assert Z_pure(
         _cli(["zstd", "--ultra", "-22", "-c"], data)
     ) == data
 
@@ -113,7 +120,7 @@ def test_multi_frame_and_skippable():
         + (7).to_bytes(4, "little")
         + b"padding"
     )
-    assert Z.zstd_decompress(f1 + skip + f2) == a + b
+    assert Z_pure(f1 + skip + f2) == a + b
 
 
 @needs_cli
@@ -136,9 +143,9 @@ def test_stored_encoder_self_roundtrip():
     for data in [b"", b"x", b"a" * 10_000, os.urandom(5000),
                  os.urandom(300_000)]:
         enc = Z.zstd_compress_stored(data)
-        assert Z.zstd_decompress(enc) == data
+        assert Z_pure(enc) == data
         enc_nc = Z.zstd_compress_stored(data, checksum=False)
-        assert Z.zstd_decompress(enc_nc) == data
+        assert Z_pure(enc_nc) == data
 
 
 @needs_cli
@@ -155,21 +162,21 @@ def test_stored_encoder_cli_decodes():
 
 def test_guards():
     with pytest.raises(ValueError, match="bad magic"):
-        Z.zstd_decompress(b"\x00\x00\x00\x00rest")
+        Z_pure(b"\x00\x00\x00\x00rest")
     enc = bytearray(Z.zstd_compress_stored(b"payload bytes here"))
     enc[-6] ^= 0xFF  # flip a payload byte -> checksum mismatch
     with pytest.raises(ValueError, match="checksum"):
-        Z.zstd_decompress(bytes(enc))
+        Z_pure(bytes(enc))
     # reserved frame-header bit
     enc2 = bytearray(Z.zstd_compress_stored(b"x"))
     enc2[4] |= 0x08
     with pytest.raises(ValueError, match="reserved frame header"):
-        Z.zstd_decompress(bytes(enc2))
+        Z_pure(bytes(enc2))
     # dictionary flag
     enc3 = bytearray(Z.zstd_compress_stored(b"x"))
     enc3[4] |= 0x01
     with pytest.raises(ValueError, match="dictionaries"):
-        Z.zstd_decompress(bytes(enc3))
+        Z_pure(bytes(enc3))
 
 
 def test_fse_primitives():
@@ -204,7 +211,7 @@ def test_backstream_sentinel():
 def test_compress_self_roundtrip():
     for name, data in _corpus().items():
         enc = Z.zstd_compress(data)
-        assert Z.zstd_decompress(enc) == data, name
+        assert Z_pure(enc) == data, name
 
 
 @needs_cli
@@ -219,7 +226,7 @@ def test_compress_ratio_and_fallbacks():
     assert len(Z.zstd_compress(text)) < len(text) // 20
     rnd = os.urandom(10_000)
     assert len(Z.zstd_compress(rnd)) <= len(rnd) + 64  # raw fallback
-    assert Z.zstd_decompress(Z.zstd_compress(b"")) == b""
+    assert Z_pure(Z.zstd_compress(b"")) == b""
 
 
 @needs_cli
@@ -249,7 +256,7 @@ def test_compress_fuzz_matrix():
                 for _ in range(n // 40)
             )
         enc = Z.zstd_compress(data)
-        assert Z.zstd_decompress(enc) == data, (trial, kind, n)
+        assert Z_pure(enc) == data, (trial, kind, n)
         assert _cli(["zstd", "-d", "-c"], enc) == data, (trial, kind, n)
 
 
@@ -279,7 +286,7 @@ def test_fse_ncount_writer_roundtrip():
 def test_trained_tables_improve_ratio_and_conform():
     jsonl = b"".join(b'{"id":%d}\n' % i for i in range(8000))
     enc = Z.zstd_compress(jsonl)
-    assert Z.zstd_decompress(enc) == jsonl
+    assert Z_pure(enc) == jsonl
     assert _cli(["zstd", "-d", "-c"], enc) == jsonl
     # trained FSE + huffman literals + repeat offsets: well under 1/4
     assert len(enc) < len(jsonl) // 4
@@ -298,7 +305,7 @@ def test_fse_weight_description_wide_alphabets():
     for data in (wide, allb):
         enc = Z.zstd_compress(data)
         assert len(enc) < len(data)  # no longer raw fallback
-        assert Z.zstd_decompress(enc) == data
+        assert Z_pure(enc) == data
         assert _cli(["zstd", "-d", "-c"], enc) == data
 
 
@@ -331,7 +338,16 @@ def test_large_payload_window_descriptor():
         fhd = enc[4]
         assert not fhd & 0x20  # single-segment dropped
         assert enc[5] == 7 << 3  # windowLog 17
-        assert Z.zstd_decompress(enc) == big
+        assert Z_pure(enc) == big
         assert _cli(["zstd", "-d", "-c"], enc) == big
     small = b"x" * 1000
     assert Z.zstd_compress_stored(small)[4] & 0x20  # still single-seg
+
+
+def test_auto_engine_default(monkeypatch):
+    # default engine is auto: CLI when present, pure fallback
+    data = b"auto-engine payload " * 50
+    enc = Z.zstd_compress(data)
+    assert Z.zstd_decompress(enc, engine="auto") == data
+    monkeypatch.setattr(Z, "_CLI_PRESENT", False)
+    assert Z.zstd_decompress(enc, engine="auto") == data  # pure fallback
