@@ -210,6 +210,12 @@ ADDITIONS_R11 = [
     # raster, embedding_outliers — already ride the R9/R10 batches)
 ]
 
+ADDITIONS_R12 = [
+    # MP3 Layer III compressed-domain walk (side info, bit reservoir,
+    # region-switched Huffman, count1) over real frames
+    "multimodal_mp3_features",
+]
+
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable
 # set above so their side effects (the SemDeDup partitioned assignment
 # write, PNG codec Python workers) cannot perturb the JVM/page-cache
@@ -277,7 +283,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     batches = (HEADLINE, ADDITIONS, ADDITIONS_R6, ADDITIONS_R8,
-               ADDITIONS_R9, ADDITIONS_R10, ADDITIONS_R11)
+               ADDITIONS_R9, ADDITIONS_R10, ADDITIONS_R11, ADDITIONS_R12)
     _freeze_order(batches)
     for batch in batches:
         for name in batch:

@@ -157,7 +157,7 @@ class _BR:
 
 def _header(layer: int, bitrate_kbps: int, sample_rate: int,
             padding: int, mode: int, crc: bool) -> bytes:
-    table = BITRATES_L1 if layer == 1 else BITRATES_L2
+    table = {1: BITRATES_L1, 2: BITRATES_L2, 3: BITRATES_L3}[layer]
     try:
         br_idx = table.index(bitrate_kbps)
     except ValueError:

@@ -2929,3 +2929,106 @@ def compressed_probe_table(spark, variants: int = 10) -> DataFrame:
     return spark.range(
         0, int(variants), numPartitions=int(variants)
     ).mapInPandas(gen, COMPRESSED_PROBE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP3 Layer III probe (operators/mp3_layer3.py)
+# ---------------------------------------------------------------------------
+
+MP3_PROBE_SCHEMA = (
+    "variant bigint, mp3_md5 string, mp3_bytes bigint, "
+    "n_frames bigint, n_granules bigint, bitrate bigint, "
+    "sample_sum bigint, abs_sum bigint, nonzero bigint, "
+    "scf_sum bigint, big_values_sum bigint"
+)
+
+
+def _mp3_spectra(v: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Formula spectra/scalefactors for variant v (shared between the
+    engine builder and the oracle pin computation): n_gr granules of
+    576 quantized lines — big region |val|<=3 for i < n_big, count1
+    region |val|<=1 for the next 64 lines, zero tail."""
+    n_gr = 4 + 2 * (v % 3)
+    n_big = 80 + 8 * (v % 4)
+    g = np.arange(n_gr, dtype=np.int64)[:, None]
+    i = np.arange(576, dtype=np.int64)[None, :]
+    spectra = np.where(
+        i < n_big,
+        (7 * i + 13 * g + v) % 7 - 3,
+        np.where(i < n_big + 64, (5 * i + 3 * g + v) % 3 - 1, 0),
+    )
+    j = np.arange(21, dtype=np.int64)[None, :]
+    scf = (3 * j + g[:, :1] + v) % 8
+    return spectra, scf, n_big
+
+
+def _mp3_variant(v: int) -> dict:
+    """One deterministic MP3 Layer III round trip
+    (operators/mp3_layer3.py): formula spectra encode into conformant
+    frames (count1 table alternates A/B by variant; variants >= 4 use
+    the bit reservoir so main_data_begin > 0 is part of the graded
+    surface), decode walks header -> side info -> reservoir ->
+    scalefactors -> region-switched Huffman -> count1, and every
+    graded aggregate derives from the DECODED quantized lines after
+    an exact cross-check against the formula."""
+    from cloud_optimized_data_pipelines_spark.operators.mp3_layer3 import (
+        decode_mp3,
+        encode_mp3,
+    )
+
+    spectra, scf, _ = _mp3_spectra(v)
+    enc = encode_mp3(
+        spectra,
+        scalefactors=scf,
+        scalefac_compress=13,
+        count1table_select=v % 2,
+        global_gain=100 + v,
+        use_reservoir=v >= 4,
+        bitrate_kbps=128,
+    )
+    frames = decode_mp3(enc)
+    got = np.vstack([
+        gg["samples"] for fr in frames for chs in fr["granules"]
+        for gg in chs
+    ])[: len(spectra)]
+    got_scf = np.vstack([
+        gg["scalefactors"] for fr in frames for chs in fr["granules"]
+        for gg in chs
+    ])[: len(spectra)]
+    if not np.array_equal(got, spectra):  # pragma: no cover
+        raise RuntimeError(f"mp3 variant {v}: spectra round-trip mismatch")
+    if not np.array_equal(got_scf, scf):  # pragma: no cover
+        raise RuntimeError(f"mp3 variant {v}: scalefactor mismatch")
+    if v >= 4 and not any(
+        fr["side_info"]["main_data_begin"] > 0 for fr in frames
+    ):  # pragma: no cover
+        raise RuntimeError(f"mp3 variant {v}: reservoir unused")
+    return {
+        "variant": v,
+        "mp3_md5": hashlib.md5(enc).hexdigest(),
+        "mp3_bytes": len(enc),
+        "n_frames": len(frames),
+        "n_granules": len(spectra),
+        "bitrate": frames[0]["header"]["bitrate"],
+        "sample_sum": int(got.sum()),
+        "abs_sum": int(np.abs(got).sum()),
+        "nonzero": int(np.count_nonzero(got)),
+        "scf_sum": int(got_scf.sum()),
+        "big_values_sum": int(sum(
+            gg["side"]["big_values"] for fr in frames
+            for chs in fr["granules"] for gg in chs
+        )),
+    }
+
+
+def mp3_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    [_mp3_variant(int(x)) for x in pdf["id"]]
+                )
+
+    return spark.range(
+        0, int(variants), numPartitions=int(variants)
+    ).mapInPandas(gen, MP3_PROBE_SCHEMA)

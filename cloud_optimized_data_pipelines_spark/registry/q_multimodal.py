@@ -2808,3 +2808,135 @@ def multimodal_features_q(spark, sf_dir):
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# MP3 Layer III (r12 — VERDICT r11 "Next round #3")
+# ---------------------------------------------------------------------------
+
+
+def _mp3_features_oracle() -> str:
+    """Oracle for multimodal_mp3_features: the quantized-spectrum
+    formula (big region (7i+13g+v)%7-3, count1 region (5i+3g+v)%3-1,
+    zero tail) and the scalefactor formula (3j+g+v)%8 replay directly
+    in SQL; per-granule big_values replays as the even-rounded end of
+    the |val|>1 region; stream md5 + byte size are pinned from a
+    single-process run.  Non-circular: the engine's sums come from
+    DECODING the encoded frames (full side-info/reservoir/Huffman
+    walk) and are exactness-checked against the formula before
+    grading."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _mp3_variant,
+    )
+
+    rows = [_mp3_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['mp3_md5']}'" for r in rows)
+        + " END"
+    )
+    bytes_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(f"WHEN {r['variant']} THEN {r['mp3_bytes']}" for r in rows)
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT unnest(range(0, 8)) AS v),
+dims AS (
+  SELECT v, 4 + 2 * (v % 3) AS n_gr, 80 + 8 * (v % 4) AS n_big FROM var
+),
+cells AS (
+  SELECT d.v, d.n_big, unnest(range(0, d.n_gr)) AS g FROM dims d
+),
+lines AS (
+  SELECT v, n_big, g, unnest(range(0, 576)) AS i FROM cells
+),
+vals AS (
+  SELECT v, g, i,
+         CASE WHEN i < n_big THEN (7*i + 13*g + v) % 7 - 3
+              WHEN i < n_big + 64 THEN (5*i + 3*g + v) % 3 - 1
+              ELSE 0 END AS val
+  FROM lines
+),
+sums AS (
+  SELECT v,
+         CAST(SUM(val) AS BIGINT) AS sample_sum,
+         CAST(SUM(ABS(val)) AS BIGINT) AS abs_sum,
+         CAST(SUM(CASE WHEN val <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nonzero
+  FROM vals GROUP BY v
+),
+bigv AS (
+  SELECT v, g,
+         COALESCE((MAX(CASE WHEN ABS(val) > 1 THEN i END) + 2) // 2, 0)
+             AS bv
+  FROM vals GROUP BY v, g
+),
+bigs AS (
+  SELECT v, CAST(SUM(bv) AS BIGINT) AS big_values_sum FROM bigv GROUP BY v
+),
+scfs AS (
+  SELECT c.v,
+         CAST(SUM((3*j.j + c.g + c.v) % 8) AS BIGINT) AS scf_sum
+  FROM cells c CROSS JOIN (SELECT unnest(range(0, 21)) AS j) j
+  GROUP BY c.v
+)
+SELECT d.doc_id,
+       d.doc_id % 8 AS variant,
+       {md5_case} AS mp3_md5,
+       CAST({bytes_case} AS BIGINT) AS mp3_bytes,
+       CAST(m.n_gr // 2 AS BIGINT) AS n_frames,
+       CAST(m.n_gr AS BIGINT) AS n_granules,
+       CAST(128000 AS BIGINT) AS bitrate,
+       s.sample_sum,
+       s.abs_sum,
+       s.nonzero,
+       f.scf_sum,
+       b.big_values_sum
+FROM documents d
+JOIN dims m ON m.v = d.doc_id % 8
+JOIN sums s ON s.v = d.doc_id % 8
+JOIN scfs f ON f.v = d.doc_id % 8
+JOIN bigs b ON b.v = d.doc_id % 8
+"""
+
+
+@query("multimodal_mp3_features", _mp3_features_oracle)
+def multimodal_mp3_features_q(spark, sf_dir):
+    """REAL-bytes MP3 Layer III probe (operators/mp3_layer3.py —
+    ISO/IEC 11172-3 from the public spec: side info, bit reservoir
+    with main_data_begin back-references, scfsi scalefactor sharing,
+    slen-packed scalefactors, the three region-switched big_values
+    Huffman tables, count1 quads; tables structurally proven complete
+    + prefix-free in tests): formula quantized spectra encode into
+    conformant frames on executors (variants >= 4 through the bit
+    reservoir), decode back through the full compressed-domain walk,
+    and every graded aggregate derives from the DECODED lines after
+    an exact formula cross-check.  MP3 is the dominant crawl audio
+    format; at 100 TB this is the same binary-column Arrow-batch scan
+    shape as the WAV/MPEG-L2/FLAC probes — and the quantized-line
+    fingerprint is the compressed-domain near-dup key (no synthesis,
+    the multimodal_audio_compressed_near_dup pattern)."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        mp3_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = mp3_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "mp3_md5",
+        "mp3_bytes",
+        "n_frames",
+        "n_granules",
+        "bitrate",
+        "sample_sum",
+        "abs_sum",
+        "nonzero",
+        "scf_sum",
+        "big_values_sum",
+    )

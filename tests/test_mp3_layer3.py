@@ -1,0 +1,243 @@
+"""MP3 Layer III compressed-domain codec (operators/mp3_layer3.py)."""
+
+import numpy as np
+import pytest
+
+from cloud_optimized_data_pipelines_spark.operators import mp3_layer3 as M
+from cloud_optimized_data_pipelines_spark.operators.mpeg_audio import _BR, _BW
+
+
+# ---------------------------------------------------------------------------
+# structural proofs for every shipped Huffman table
+# ---------------------------------------------------------------------------
+
+
+def _check_complete_prefix_free(pairs, label):
+    """pairs: list of (len, code).  Kraft sum must be exactly 1 and
+    no code may prefix another — the two structural properties every
+    ISO Layer III Huffman table has."""
+    kraft = sum(2 ** -ln for ln, _ in pairs)
+    assert kraft == 1.0, f"{label}: Kraft sum {kraft}"
+    bitstrings = [format(code, f"0{ln}b") for ln, code in pairs]
+    assert len(set(bitstrings)) == len(bitstrings), f"{label}: dup code"
+    for a in bitstrings:
+        for b in bitstrings:
+            if a is not b:
+                assert not b.startswith(a), f"{label}: {a} prefixes {b}"
+
+
+def test_pair_tables_complete_and_prefix_free():
+    for t, tab in M.HUFF_PAIR.items():
+        pairs = [
+            (tab["lens"][x][y], tab["codes"][x][y])
+            for x in range(tab["n"])
+            for y in range(tab["n"])
+        ]
+        _check_complete_prefix_free(pairs, f"table {t}")
+
+
+def test_count1_tables_complete_and_prefix_free():
+    for t, tab in M.COUNT1.items():
+        _check_complete_prefix_free(
+            list(zip(tab["lens"], tab["codes"])), f"count1 {t}"
+        )
+
+
+def test_sfb_long_tables_cover_576():
+    for rate, bounds in M.SFB_LONG.items():
+        assert bounds[0] == 0 and bounds[-1] == 576, rate
+        assert len(bounds) == 23, rate
+        assert all(b < a for b, a in zip(bounds, bounds[1:])), rate
+
+
+def test_slen_table_shape():
+    assert len(M.SLEN) == 16
+    assert M.SLEN[0] == (0, 0) and M.SLEN[15] == (4, 3)
+
+
+# ---------------------------------------------------------------------------
+# fixture spectra
+# ---------------------------------------------------------------------------
+
+
+def _spectrum(seed, n_big=120, n_quad=80):
+    """Deterministic legal spectrum: big region |v|<=3 (first n_big
+    lines), count1 region |v|<=1 (next n_quad), zero tail."""
+    out = np.zeros(576, np.int64)
+    for i in range(n_big):
+        v = (7 * i + seed) % 7 - 3  # -3..3
+        out[i] = v
+    for i in range(n_big, n_big + n_quad):
+        out[i] = (5 * i + seed) % 3 - 1  # -1..1
+    # ensure the big region boundary is real: the first region must
+    # contain a |v|>1 value so big_values covers it
+    out[n_big - 1] = 3 if out[n_big - 1] >= 0 else -3
+    return out
+
+
+def _scf(seed):
+    return np.array([(3 * i + seed) % 8 for i in range(21)], np.int64)
+
+
+def _roundtrip(spectra, scf, **kw):
+    kw.setdefault("scalefac_compress", 13)  # slen (3,3): scf values <= 7
+    enc = M.encode_mp3(spectra, scalefactors=scf, **kw)
+    frames = M.decode_mp3(enc)
+    got = np.vstack([
+        g["samples"] for fr in frames for chs in fr["granules"]
+        for g in chs
+    ])
+    got_scf = np.vstack([
+        g["scalefactors"] for fr in frames for chs in fr["granules"]
+        for g in chs
+    ])
+    return enc, frames, got, got_scf
+
+
+def test_roundtrip_single_frame():
+    spectra = np.vstack([_spectrum(1), _spectrum(2)])
+    scf = np.vstack([_scf(0), _scf(1)])
+    enc, frames, got, got_scf = _roundtrip(spectra, scf)
+    assert len(frames) == 1
+    hdr = frames[0]["header"]
+    assert hdr["layer"] == 3 and hdr["sample_rate"] == 44100
+    assert np.array_equal(got, spectra)
+    assert np.array_equal(got_scf, scf)
+
+
+def test_roundtrip_multiframe_and_tables():
+    # 8 granules; exercise count1 table A and B, scalefac_compress
+    # variants, and both pair tables (1 via small values, 5 via big)
+    spectra = np.vstack([_spectrum(s, n_big=40 + 30 * (s % 3)) for s in range(8)])
+    scf = np.vstack([_scf(s) % 4 for s in range(8)])
+    for c1 in (0, 1):
+        for sfc in (9, 13):  # slen (2,2)/(3,3) hold the %4 values
+            enc, frames, got, got_scf = _roundtrip(
+                spectra, scf,
+                count1table_select=c1, scalefac_compress=sfc,
+            )
+            assert len(frames) == 4
+            assert np.array_equal(got, spectra)
+            assert np.array_equal(got_scf, scf)
+
+
+def test_roundtrip_bit_reservoir():
+    spectra = np.vstack([_spectrum(s) for s in range(12)])
+    scf = np.vstack([_scf(s) for s in range(12)])
+    enc, frames, got, got_scf = _roundtrip(
+        spectra, scf, use_reservoir=True
+    )
+    begins = [f["side_info"]["main_data_begin"] for f in frames]
+    assert begins[0] == 0
+    assert any(b > 0 for b in begins[1:]), begins  # reservoir exercised
+    assert all(b <= 511 for b in begins)
+    assert np.array_equal(got, spectra)
+    assert np.array_equal(got_scf, scf)
+
+
+def test_roundtrip_scfsi_sharing():
+    # granule pairs share scalefactor bands 1 and 3 via scfsi
+    scf = np.vstack([_scf(s) for s in range(4)])
+    scf[1] = scf[0]
+    scf[3] = scf[2]
+    spectra = np.vstack([_spectrum(s) for s in range(4)])
+    enc, frames, got, got_scf = _roundtrip(
+        spectra, scf, scfsi_bands=(1, 3)
+    )
+    assert frames[0]["side_info"]["scfsi"][0] == [0, 1, 0, 1]
+    assert np.array_equal(got, spectra)
+    assert np.array_equal(got_scf, scf)
+    # sharing must shrink part2_3_length vs the unshared stream
+    enc2 = M.encode_mp3(spectra, scalefactors=scf, scalefac_compress=13)
+    p_shared = frames[0]["granules"][1][0]["side"]["part2_3_length"]
+    p_full = M.decode_mp3(enc2)[0]["granules"][1][0]["side"][
+        "part2_3_length"
+    ]
+    assert p_shared < p_full
+
+
+def test_zero_spectrum_and_odd_granules():
+    spectra = np.zeros((3, 576), np.int64)  # odd count -> padded
+    enc = M.encode_mp3(spectra)
+    frames = M.decode_mp3(enc)
+    assert len(frames) == 2
+    for fr in frames:
+        for chs in fr["granules"]:
+            for g in chs:
+                assert g["samples"].sum() == 0
+                assert g["side"]["big_values"] == 0
+
+
+def test_region_boundaries_clamp():
+    g = {"big_values": 10, "region0_count": 7, "region1_count": 7}
+    r0, r1, bv2 = M.region_boundaries(g, 44100)
+    assert bv2 == 20
+    assert r0 == 20 and r1 == 20  # clamped at big_values*2
+    g2 = {"big_values": 200, "region0_count": 7, "region1_count": 7}
+    r0, r1, bv2 = M.region_boundaries(g2, 44100)
+    # sfb[region0_count+1] = sfb[8] = 36; sfb[r0c+r1c+2] = sfb[16] = 162
+    assert (r0, r1, bv2) == (36, 162, 400)
+
+
+def test_named_errors():
+    with pytest.raises(NotImplementedError, match="not transcribed"):
+        M.pair_table(16)
+    with pytest.raises(NotImplementedError, match="not transcribed"):
+        M.pair_table(7)
+    spectra = np.zeros((2, 576), np.int64)
+    spectra[0, 0] = 4  # beyond the shipped-table alphabet
+    with pytest.raises(ValueError, match="limited to"):
+        M.encode_mp3(spectra)
+    with pytest.raises(ValueError, match="no band table"):
+        M.region_boundaries(
+            {"big_values": 1, "region0_count": 0, "region1_count": 0},
+            12345,
+        )
+
+
+def test_esc_linbits_mechanism():
+    # the ESC/linbits framework decodes through an injected registry-
+    # shaped table (MECHANISM test only: tables 16-31 are not shipped,
+    # so this fake 16-ary table exists purely to drive the code path)
+    fake_lookup = {(4, x): (15, 0) for x in range(1)}  # '0000' -> (15,0)
+    fake_lookup[(1, 1)] = (0, 0)  # '1' -> (0,0)
+    bw = _BW()
+    bw.w(0, 4)       # codeword for (15, 0)
+    bw.w(5, 4)       # linbits value 5 -> x = 20
+    bw.w(1, 1)       # sign: negative
+    bw.pad_to_byte()
+    br = _BR(bytes(bw.buf), 0)
+    x, y = M._decode_pair(br, 1, lookup=fake_lookup, linbits=4)
+    assert (x, y) == (-20, 0)
+
+
+def test_side_info_guards():
+    spectra = np.vstack([_spectrum(1), _spectrum(2)])
+    enc = M.encode_mp3(spectra)
+    # corrupting big_values beyond 288 raises the named error: the
+    # field lives in the first side-info granule block
+    frames = M.decode_mp3(enc)
+    assert frames[0]["side_info"]["granules"][0][0]["big_values"] <= 288
+    with pytest.raises(ValueError, match="big_values"):
+        M.parse_side_info(
+            b"\x00\x00" + b"\xff" * 40, 0, 1
+        )
+
+
+def test_granule_features():
+    spectra = np.vstack([_spectrum(3), _spectrum(4)])
+    scf = np.vstack([_scf(2), _scf(3)])
+    enc = M.encode_mp3(spectra, scalefactors=scf, scalefac_compress=13)
+    rows = M.mp3_granule_features(enc)
+    assert len(rows) == 2
+    for gr, row in enumerate(rows):
+        assert row["sample_sum"] == int(spectra[gr].sum())
+        assert row["abs_sum"] == int(np.abs(spectra[gr]).sum())
+        assert row["nonzero"] == int(np.count_nonzero(spectra[gr]))
+        assert row["scf_sum"] == int(scf[gr].sum())
+        assert len(row["fingerprint"]) == 32
+    # fingerprints differ across granules, stable across calls
+    assert rows[0]["fingerprint"] != rows[1]["fingerprint"]
+    assert M.mp3_granule_features(enc)[0]["fingerprint"] == rows[0][
+        "fingerprint"
+    ]
