@@ -214,6 +214,12 @@ ADDITIONS_R12 = [
     # MP3 Layer III compressed-domain walk (side info, bit reservoir,
     # region-switched Huffman, count1) over real frames
     "multimodal_mp3_features",
+    # WARC -> WET charset resolution over mixed-charset crawl bodies
+    "text_warc_charsets",
+    # portable fixed-bin histogram percentiles (now hash-graded)
+    "agg_approx_percentile",
+    # sliding 7-day uniques from daily portable-HLL register partials
+    "sketch_hll_daily_uniques",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TWO_32 = float(1 << 32)
@@ -392,3 +392,118 @@ def portable_hll_estimate(
         F.col("present").alias("buckets_used"),
         zeros.cast("long").alias("empty_buckets"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window rollup from daily portable-HLL partials (r12)
+# ---------------------------------------------------------------------------
+
+
+def portable_hll_sliding(
+    daily_registers: DataFrame,
+    day_col: str = "day",
+    dims: Sequence[str] = (),
+    window: int = 7,
+) -> DataFrame:
+    """Merge daily register partials into SLIDING ``window``-day
+    registers: each daily register fans out to the ``window``
+    window-ends it contributes to (a small explode of integer
+    offsets), then GROUP BY + MAX merges — the production rollup win
+    of a mergeable sketch: W-day uniques for every day from ONE scan
+    of the daily partial table (register rows, not raw events), vs
+    re-scanning W days of raw data per window.  At 100 TB the fan-out
+    is ``window ×`` a register table whose size is bounded by
+    dims × 2^p, independent of the event count."""
+    fan = daily_registers.select(
+        *dims,
+        F.col(day_col),
+        "bucket",
+        "register",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(window) - 1))
+        ).alias("off"),
+    ).withColumn(
+        "window_end", F.date_add(F.col(day_col), F.col("off"))
+    )
+    return fan.groupBy(*dims, "window_end", "bucket").agg(
+        F.max("register").alias("register")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin histogram quantiles (r12) — the portable
+# approximate-percentile summary: unlike GK/KLL/t-digest (whose state
+# depends on arrival order, so no SQL oracle can replay them), a
+# fixed-bin histogram is pure integer arithmetic: deterministic,
+# mergeable by summing counts, and hash-checkable cross-engine.
+# Accuracy is a fixed ±(hi-lo)/(2*buckets) per estimate.
+# ---------------------------------------------------------------------------
+
+
+def histogram_quantile_partials(
+    df: DataFrame,
+    int_col: str,
+    dims: Sequence[str] = (),
+    lo: int = 0,
+    hi: int = 1 << 32,
+    buckets: int = 512,
+) -> DataFrame:
+    """Per-dims bucket counts over an INTEGER column (fixed [lo, hi]
+    domain; out-of-range values clamp to the edge buckets).  The
+    partials are the summary: mergeable across any partitioning by
+    GROUP BY + SUM, ``dims × buckets`` rows regardless of input
+    size."""
+    span = int(hi) - int(lo) + 1
+    bucket = F.expr(
+        f"least({int(buckets) - 1}, greatest(0, "
+        f"(CAST({int_col} AS BIGINT) - {int(lo)}) * {int(buckets)} "
+        f"DIV {span}))"
+    ).alias("bucket")
+    return df.select(*dims, bucket).groupBy(*dims, "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def histogram_quantile_estimate(
+    partials: DataFrame,
+    dims: Sequence[str] = (),
+    lo: int = 0,
+    hi: int = 1 << 32,
+    buckets: int = 512,
+    percents: Sequence[int] = (50, 95),
+) -> DataFrame:
+    """Quantile estimates from histogram partials: rank_p =
+    ceil(p% * n) over the cumulative bucket walk; the estimate is the
+    integer midpoint of the first bucket reaching the rank.  All
+    integer arithmetic — bit-identical on any engine."""
+    span = int(hi) - int(lo) + 1
+    w = Window.partitionBy(*[F.col(d) for d in dims]).orderBy("bucket")
+    cum = partials.withColumn("cum", F.sum("n").over(w))
+    tot = partials.groupBy(*dims).agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("buckets_used"),
+    )
+    j = cum.join(tot, list(dims))
+    aggs = []
+    for p in percents:
+        rank = F.expr(f"(n_rows * {int(p)} + 99) DIV 100")
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= rank, F.col("bucket"))
+            ).alias(f"_b{int(p)}")
+        )
+    aggs.append(F.first("buckets_used").alias("buckets_used"))
+    aggs.append(F.first("n_rows").alias("n_rows"))
+    hit = j.groupBy(*dims).agg(*aggs)
+    # midpoint via integer DIV (a double `/` could round across the
+    # floor at bucket edges and diverge from the oracle's `//`)
+    cols = [*dims]
+    for p in percents:
+        cols.append(
+            F.expr(
+                f"CAST({int(lo)} + ((_b{int(p)} * 2 + 1) * {span}) "
+                f"DIV {2 * int(buckets)} AS BIGINT)"
+            ).alias(f"p{int(p)}_est")
+        )
+    cols += ["buckets_used", "n_rows"]
+    return hit.select(*cols)

@@ -189,3 +189,116 @@ def token_top20_q(spark, sf_dir):
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# WARC -> WET charset correctness (r12 — VERDICT r11 "Next round #6")
+# ---------------------------------------------------------------------------
+
+
+def _warc_charsets_oracle() -> str:
+    """Oracle for text_warc_charsets: expected decoded texts derive
+    from the CHARSET_CASES design table using python's codecs DIRECTLY
+    (the reference binding — NOT through decode_http_body, so the
+    engine's charset resolution is what the hash actually checks);
+    per-variant pins become CASE literals."""
+    import hashlib
+
+    from cloud_optimized_data_pipelines_spark.sources.warc import (
+        charset_case,
+    )
+
+    rows = []
+    for v in range(8):
+        n_resp = 3 + v % 3
+        texts, charsets = [], []
+        for i in range(n_resp):
+            _ctype, _body, resolved, expected = charset_case(v, i)
+            texts.append(expected)
+            charsets.append(resolved)
+        rows.append(
+            {
+                "v": v,
+                "n_records": n_resp,
+                "charsets": ",".join(sorted(charsets)),
+                "char_sum": sum(len(t) for t in texts),
+                "bodies_md5": hashlib.md5(
+                    "\x1f".join(texts).encode("utf-8")
+                ).hexdigest(),
+            }
+        )
+
+    def case(col, quote=True):
+        return (
+            "CASE d.doc_id % 8 "
+            + " ".join(
+                f"WHEN {r['v']} THEN "
+                + (f"'{r[col]}'" if quote else str(r[col]))
+                for r in rows
+            )
+            + " END"
+        )
+
+    return f"""
+SELECT d.doc_id,
+       d.doc_id % 8 AS variant,
+       CAST({case('n_records', quote=False)} AS BIGINT) AS n_records,
+       {case('charsets')} AS charsets,
+       CAST({case('char_sum', quote=False)} AS BIGINT) AS char_sum,
+       {case('bodies_md5')} AS bodies_md5
+FROM documents d
+"""
+
+
+@query("text_warc_charsets", _warc_charsets_oracle)
+def text_warc_charsets_q(spark, sf_dir):
+    """REAL-bytes WARC->WET charset probe: per variant a .warc.gz of
+    HTTP responses whose bodies rotate through 8 charset cases
+    (declared UTF-8 / ISO-8859-1 / windows-1251 / Shift_JIS / quoted
+    EUC-JP, plus the three fallbacks: undeclared non-UTF-8 ->
+    latin-1, unknown label -> UTF-8, plain ASCII) builds on
+    executors; warc_records explodes it, http_text_bodies decodes
+    each body via the Content-Type charset chain, and the graded md5
+    is over the ORDERED decoded texts — real Common Crawl is ~30%
+    non-UTF-8, so this is the correctness gate for the WET step
+    feeding every downstream text operator.  Scan shape: pure map,
+    payload bytes never shuffle."""
+    from cloud_optimized_data_pipelines_spark.sources.warc import (
+        http_text_bodies,
+        warc_charset_probe_table,
+        warc_records,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = warc_charset_probe_table(spark, 8)
+    recs = warc_records(probe, "file_id", "blob")
+    bodies = http_text_bodies(
+        recs.filter(F.col("warc_type") == "response")
+    )
+    agg = bodies.groupBy("file_id").agg(
+        F.count("*").cast("bigint").alias("n_records"),
+        F.array_join(
+            F.array_sort(F.collect_list("charset")), ","
+        ).alias("charsets"),
+        F.sum(F.length("body")).cast("bigint").alias("char_sum"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("record_index", "body")
+                        )
+                    ),
+                    lambda x: x.body,
+                ),
+                "\x1f",
+            )
+        ).alias("bodies_md5"),
+    ).withColumnRenamed("file_id", "variant")
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(agg), "variant").select(
+        "doc_id", "variant", "n_records", "charsets", "char_sum",
+        "bodies_md5",
+    )

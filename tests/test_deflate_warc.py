@@ -417,3 +417,51 @@ def test_http_text_bodies_spark(spark):
         i = r.record_index - 1
         src = i - 1 if i % 3 == 2 else i
         assert len(r.body.split()) == 30 + 10 * (src % 4)
+
+
+def test_decode_http_body_charset_chain():
+    from cloud_optimized_data_pipelines_spark.sources.warc import (
+        decode_http_body,
+    )
+
+    # declared charset wins
+    assert decode_http_body(
+        "héllo".encode("latin-1"), "text/html; charset=ISO-8859-1"
+    ) == ("héllo", "latin-1")
+    assert decode_http_body(
+        "日本語".encode("shift_jis"), 'text/html; charset="Shift_JIS"'
+    ) == ("日本語", "shift_jis")
+    # declared charset that cannot decode the bytes -> utf-8 chain
+    assert decode_http_body(
+        "héllo".encode("utf-8"), "text/html; charset=ascii"
+    ) == ("héllo", "utf-8")
+    # unknown label -> utf-8
+    assert decode_http_body(b"plain", "text/html; charset=x-bogus") == (
+        "plain", "utf-8",
+    )
+    # undeclared non-utf-8 -> latin-1 (never fails, preserves bytes)
+    text, cs = decode_http_body(b"caf\xe9 \x97", "text/html")
+    assert cs == "latin-1" and text == "café \x97"
+    # no content type at all
+    assert decode_http_body(b"x", None) == ("x", "utf-8")
+
+
+def test_warc_charset_probe_roundtrip():
+    from cloud_optimized_data_pipelines_spark.sources.warc import (
+        charset_case,
+        decode_http_body,
+        parse_warc_gz,
+        split_http_payload,
+        warc_charset_probe_blob,
+    )
+
+    for v in range(8):
+        recs = parse_warc_gz(warc_charset_probe_blob(v))
+        assert len(recs) == 3 + v % 3
+        for i, r in enumerate(recs):
+            headers, body, status = split_http_payload(r["payload"])
+            assert status == 200
+            text, cs = decode_http_body(body, headers.get("content-type"))
+            _ctype, _body, resolved, expected = charset_case(v, i)
+            assert cs == resolved, (v, i)
+            assert text == expected, (v, i)

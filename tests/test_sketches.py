@@ -132,13 +132,29 @@ def test_hll_merge_is_partitioning_invariant(events):
 
 
 def test_approx_percentile_tracks_exact(spark, sf_dir):
+    # the graded query's histogram estimates (in cents) AND the
+    # native GK percentile_approx both track the exact percentiles
+    # within the documented bounds
     from cloud_optimized_data_pipelines_spark.queries import QUERIES, load_tables
 
-    approx = {
-        r["l_returnflag"]: (r["p50_approx"], r["p95_approx"])
+    hist = {
+        r["l_returnflag"]: (r["p50_est"] / 100.0, r["p95_est"] / 100.0)
         for r in QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
     }
     li = load_tables(spark, sf_dir)["lineitem"]
+    native = {
+        r["l_returnflag"]: (r["p50_gk"], r["p95_gk"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", 0.5, 10000
+            ).alias("p50_gk"),
+            F.percentile_approx(
+                "l_extendedprice", 0.95, 10000
+            ).alias("p95_gk"),
+        )
+        .collect()
+    }
     exact = {
         r["l_returnflag"]: (r["p50"], r["p95"])
         for r in li.groupBy("l_returnflag")
@@ -149,11 +165,16 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
         .collect()
     }
     lo, hi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
-    span = hi - lo
-    for flag, (a50, a95) in approx.items():
-        e50, e95 = exact[flag]
-        assert abs(a50 - e50) <= 0.01 * span, (flag, a50, e50)
-        assert abs(a95 - e95) <= 0.01 * span, (flag, a95, e95)
+    span = float(hi - lo)
+    # histogram bound: half a bucket of the FIXED [900, 110000] domain
+    hist_bound = (110000.0 - 900.0) / 512
+    for flag, (e50, e95) in exact.items():
+        h50, h95 = hist[flag]
+        assert abs(h50 - float(e50)) <= hist_bound, (flag, h50, e50)
+        assert abs(h95 - float(e95)) <= hist_bound, (flag, h95, e95)
+        g50, g95 = native[flag]
+        assert abs(float(g50) - float(e50)) <= 0.01 * span
+        assert abs(float(g95) - float(e95)) <= 0.01 * span
 
 
 def test_streamed_sketch_partials_merge_to_one_pass(spark, events, tmp_path):
@@ -344,3 +365,69 @@ def test_portable_hll_accuracy_and_merge(spark):
     ed = portable_hll_estimate(direct).collect()[0]["distinct_est"]
     assert em == ed  # identical registers -> identical estimate
     assert abs(em - 9000) / 9000 < 0.05
+
+
+def test_histogram_quantile_merge_invariance(spark, sf_dir):
+    # partials merged across an arbitrary re-partitioning give the
+    # same estimates — the summary's defining property
+    from cloud_optimized_data_pipelines_spark.queries import load_tables
+
+    li = load_tables(spark, sf_dir)["lineitem"].withColumn(
+        "cents", F.expr("CAST(l_extendedprice * 100 AS BIGINT)")
+    )
+    kw = dict(dims=("l_returnflag",), lo=90000, hi=11000000, buckets=512)
+    one = SK.histogram_quantile_partials(li, "cents", **kw)
+    # split the input, build partials per half, merge by SUM
+    a = SK.histogram_quantile_partials(
+        li.filter(F.col("l_orderkey") % 2 == 0), "cents", **kw
+    )
+    b = SK.histogram_quantile_partials(
+        li.filter(F.col("l_orderkey") % 2 == 1), "cents", **kw
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    est = lambda p: sorted(
+        tuple(r)
+        for r in SK.histogram_quantile_estimate(p, **kw).collect()
+    )
+    assert est(one) == est(merged)
+
+
+def test_portable_hll_sliding_matches_window_recompute(spark, events):
+    # the fan-out merge equals recomputing each 7-day window from raw
+    ev = events.filter(F.col("user_id").isNotNull()).withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = SK.portable_hll_registers(
+        ev, "user_id", dims=("event_type", "day")
+    )
+    sliding = SK.portable_hll_sliding(
+        daily, "day", dims=("event_type",), window=7
+    )
+    est = {
+        (r["event_type"], r["window_end"]): r["distinct_est"]
+        for r in SK.portable_hll_estimate(
+            sliding, dims=("event_type", "window_end")
+        ).collect()
+    }
+    # recompute three arbitrary windows from the raw events
+    some = sorted({k[1] for k in est})[2:5]
+    for wend in some:
+        raw = ev.filter(
+            (F.col("day") > F.date_sub(F.lit(wend), 7))
+            & (F.col("day") <= F.lit(wend))
+        )
+        regs = SK.portable_hll_registers(
+            raw, "user_id", dims=("event_type",)
+        )
+        direct = {
+            r["event_type"]: r["distinct_est"]
+            for r in SK.portable_hll_estimate(
+                regs, dims=("event_type",)
+            ).collect()
+        }
+        for et, v in direct.items():
+            assert est[(et, wend)] == v, (et, wend)
