@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 _WORD_RE = re.compile(r"[a-z]+")
 
 UNK = "[UNK]"
+UNK_HASH32 = 3051026889  # == piece_hash32(UNK); pinned for SQL oracles
 
 
 def wordpiece_vocab_from_corpus(

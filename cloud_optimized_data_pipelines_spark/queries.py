@@ -121,18 +121,12 @@ def query(name: str, oracle: str | None = None):
 # Family registry modules (r11 split — VERDICT r10 task 9).  IMPORT
 # ORDER IS REGISTRATION ORDER: each module registers its queries via
 # the @query decorator at import; tests/test_registry_order.py pins the
-# resulting dict order against the pre-split registry.
-# Late-r11 amendment: six new never-green rows — text_warc_records
-# (WARC.gz over the new RFC 1951/1952 codec), multimodal_flac_features
-# (lossless FLAC, RFC 9639), text_zstd_shard (.jsonl.zst over the RFC
-# 8878 decoder, CLI-conformance-checked), pipeline_crawl_ingest (the
-# WARC -> WET -> quality gate -> global exact-dedup composition),
-# text_compressed_corpus (5-codec magic-sniff ingest incl. the new
-# LZ4-frame codec) and multimodal_webdataset_samples (ustar tar
-# shards grouped into multimodal samples).  dedup_simhash_pairs,
-# similarity_knn_join, text_c4_clean, dedup_ngram_containment,
-# text_bigram_backoff and similarity_semantic_dedup yield their
-# r7-sweep seats (each family keeps 2+ representatives).
+# resulting dict order (window + source order) and the r12 snapshot.
+# r12: the round-named q_r11_additions grab-bag was folded VERBATIM
+# into its family modules (VERDICT r11 task 9) — WordPiece + crawl
+# ingest into q_text, the composed crawl pipeline into q_survey_misc,
+# the eight multimodal probes into q_multimodal; the order snapshot
+# was re-baselined for this one-time move.
 # ---------------------------------------------------------------------------
 
 from cloud_optimized_data_pipelines_spark.registry import (  # noqa: E402,F401
@@ -146,90 +140,81 @@ from cloud_optimized_data_pipelines_spark.registry import (  # noqa: E402,F401
     q_sessionize,
     q_relational_extra,
     q_survey_misc,
-    q_r11_additions,
 )
 
 # ---------------------------------------------------------------------------
 # Registration order.  The driver's correctness harness grades the FIRST
-# 50 registrations only.  Round-11 policy (VERDICT r10 task 3): 5 slots
-# to the never-driver-green r11 queries (MPEG-1 Layer II bitstream
-# probe, the compressed-domain audio near-dup, the scale-adaptive image
-# near-dup, the 5k-vocabulary WordPiece, the SOF10 progressive
-# arithmetic JPEG); 6 slots RE-PROVE every query whose implementation
-# or serialization changed this round (the two %.9f->integer-scaled
-# fixes, the DECIMAL moment sums, the MS-ADPCM header fix whose bytes
-# and md5 pins changed, the rice odd-J second-extension policy behind
-# the szip probe, and the arithmetic JPEG whose AC procedure gained
-# band parameters); 13 sweep ALL remaining r4+r5 ledger rows (the
-# VERDICT's staleness list verbatim); 7 anchors/core-pipeline keepers;
-# and 16 sweep the stalest r7 band with family representatives first
-# (privacy_k_anonymous / rollup_hourly_merge yielded their slots to the
-# late-round MP4-container and MPEG-stream-walk queries).
-# After CORRECTNESS_r11 nothing driver-graded is older than r7, and the
-# r7 band shrinks from 41 rows to 22.  Everything demoted stays
-# registered and locally oracle-checked at sf0.001/0.01/0.1
+# 50 registrations only.  Round-12 policy (VERDICT r11 task 1): 4 slots
+# to the never-driver-green r12 queries (MP3 Layer III, the WET charset
+# chain, and the two former rows-only queries now carried by portable
+# hash-graded forms — histogram percentiles and the sliding daily-HLL
+# rollup); 6 slots RE-PROVE every query whose implementation changed
+# this round (the FLAC STREAMINFO/frame-header fixes changed fixture
+# bytes and md5 pins; the zstd default-engine flip and BatchFlusher
+# output batching sit under the five crawl-ingest queries); 31 slots
+# sweep ALL remaining r7 ledger rows (the VERDICT's staleness list
+# verbatim — after CORRECTNESS_r12 nothing driver-graded is older than
+# r8); 9 ever-green anchors / family keepers.  Everything demoted
+# stays registered and locally oracle-checked at sf0.001/0.01/0.1
 # (tools/check_oracle.py covers all entries; COVERAGE.md's ledger
 # records each query's last driver-green round).
 # ---------------------------------------------------------------------------
 
 _GRADED_WINDOW = [
-    # --- never driver-green (the eight r11 queries) ---
-    "multimodal_mp2_features",            # MPEG-1 Layer II bitstream
-    "multimodal_audio_compressed_near_dup",  # scf fp + adaptive bands
-    "multimodal_image_near_dup_adaptive",  # band_geometry ladder
-    "text_wordpiece_vocab5k",             # non-toy vocabulary
-    "multimodal_jpeg_arith_progressive",  # T.81 Annex G SOF10
-    "multimodal_mp4_container",           # ISO BMFF sample tables
-    "multimodal_mpeg_stream_info",        # compressed-domain walk
-    "multimodal_video_near_dup_adaptive",  # adaptive triple complete
-    "text_warc_records",                  # WARC.gz ingest (RFC 1951)
-    "multimodal_flac_features",           # lossless FLAC (RFC 9639)
-    "text_zstd_shard",                    # .jsonl.zst (RFC 8878)
-    "pipeline_crawl_ingest",              # WARC->WET->gate->dedup
-    "text_compressed_corpus",             # 5-codec magic-sniff ingest
-    "multimodal_webdataset_samples",      # tar-shard sample grouping
-    # --- changed-implementation re-proves (r11 edits) ---
-    "multimodal_extract_features",  # integer-scaled serialization
-    "stac_item_raster",             # bbox integer-scaled
-    "similarity_embedding_outliers",  # DECIMAL(38,0) moments
-    "multimodal_wav_ms_adpcm",      # byte-rate header fix (new md5s)
-    "k1_cogify_szip",               # rice odd-J SE policy
-    "multimodal_jpeg_arithmetic",   # shared AC band refactor
-    # --- staleness sweep: ALL remaining r4 + r5 ledger rows ---
-    "j4_collection_join",
-    "multimodal_payload_meta",
-    "rollup_cascade_daily",
+    # --- never driver-green (the four r12 queries) ---
+    "multimodal_mp3_features",      # Layer III side info/reservoir/Huffman
+    "text_warc_charsets",           # WET Content-Type charset chain
+    "agg_approx_percentile",        # portable histogram quantiles (hash-graded)
+    "sketch_hll_daily_uniques",     # sliding 7-day portable-HLL rollup
+    # --- changed-implementation re-proves (r12 edits) ---
+    "multimodal_flac_features",     # STREAMINFO min/max + frame-header rate
+    "text_zstd_shard",              # default engine now auto->CLI
+    "text_compressed_corpus",       # default engine + BatchFlusher
+    "text_warc_records",            # BatchFlusher output batching
+    "pipeline_crawl_ingest",        # rides warc/http sources
+    "multimodal_webdataset_samples",  # pax length-prefix + BatchFlusher
+    # --- staleness sweep: ALL 31 remaining r7 ledger rows ---
+    "dedup_ngram_containment",
+    "dedup_ngram_jaccard_guarded",
+    "dedup_simhash_pairs",
+    "dedup_source_overlap",
+    "dedup_substring_cut",
+    "events_drift_psi",
+    "graph_pagerank_dangling",
+    "multimodal_gif_frames",
+    "multimodal_jpeg_features",
+    "multimodal_png_palette",
+    "multimodal_png_resize",
+    "multimodal_wav_downsample",
+    "privacy_k_anonymous",
+    "rollup_hourly_merge",
+    "sample_ccnet_buckets",
+    "sample_token_budget_mix",
+    "sessionize_batch_events",
+    "similarity_decontaminate_blocked",
+    "similarity_embedding_decontaminate",
+    "similarity_knn_join",
+    "similarity_semantic_dedup",
+    "similarity_semantic_dedup_indexed",
+    "sketch_cms_heavy_hitters",
+    "sketch_kmv_uniques",
+    "text_bigram_backoff",
+    "text_bm25_scores",
+    "text_c4_clean",
+    "text_classifier_score",
+    "text_decontaminate",
+    "text_distribution_shift",
+    "text_ngram_repetition",
+    # --- ever-green anchors + family/coverage keepers ---
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q18_large_volume_customer",
     "q21_waiting_supplier",
-    "dedup_lsh_survivors",
-    "dedup_substring_spans",
-    "sample_cap_per_source",
-    "multimodal_png_features",
-    "multimodal_wav_features",
-    "text_unigram_logprob",
-    # --- ever-green anchors + core-pipeline keepers ---
     "c1_extract_dates",
-    "streaming_dlq_routing",
     "s2_discovery_enrich",
-    "s4_link_explode",
-    "j1_config_join",
-    "k2_spill_flag",
-    "pipeline_corpus_preprocess",
-    # --- staleness sweep: 16 of the 41 r7 rows (family reps first:
-    # the cogify/rice chain, the core transfer plan, dedup/similarity/
-    # text/graph representatives) ---
     "k1_cogify_real_bytes",
-    "k1_cogify_stage",
     "k3_transfer_plan",
-    "a3_collection_extent",
-    "c4_item_id",
-    "dedup_lines",
-    "dedup_lsh_clusters",
-    "similarity_bruteforce_topk",
-    "text_gopher_quality",
-    "graph_pagerank_events",
+    "dedup_lsh_survivors",
+    "similarity_ivf_topk",
+    "pipeline_corpus_preprocess",
 ]
 
 

@@ -2622,7 +2622,9 @@ LEFT JOIN dup5 d5 USING (doc_id)
 
 
 _WORDPIECE_CHARS = "abcdefghijklmno"
-_WORDPIECE_UNK_HASH = 3051026889  # piece_hash32("[UNK]")
+from cloud_optimized_data_pipelines_spark.operators.wordpiece import (
+    UNK_HASH32 as _WORDPIECE_UNK_HASH,
+)
 
 _WORDPIECE_STATS = f"""
 WITH RECURSIVE
@@ -2879,3 +2881,167 @@ def dedup_bloom_gated_q(spark, sf_dir):
     return fresh.unionByName(checked).select("doc_id", "digest")
 
 
+
+
+
+# ---------------------------------------------------------------------------
+# crawl-to-corpus composition: WARC -> WET -> gate -> dedup (r11)
+# (moved verbatim from the r11 round-file in r12 — VERDICT r11 task 9)
+# ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# crawl-ingest composition: WARC -> WET text -> quality gate -> dedup
+# ---------------------------------------------------------------------------
+
+
+def _crawl_ingest_oracle() -> str:
+    """Oracle for pipeline_crawl_ingest: every stage replays in SQL —
+    record/word formulas rebuild each response body (vocab CASE +
+    string_agg), the quality gate is the token-count arithmetic
+    (W = 30 + 10*(src%4) >= 35), the duplicate rule (i%3==2 copies
+    i-1) collapses to the src key, and the survivor md5 re-derives
+    the concatenated unique bodies in min-id order.  Non-circular:
+    the engine's bodies come out of gzip members + WARC records +
+    HTTP envelopes parsed on executors, and its dedup runs on the
+    actual strings."""
+    from cloud_optimized_data_pipelines_spark.sources.warc import (
+        PROBE_VOCAB,
+    )
+
+    vocab_case = (
+        "CASE (13*s.src + 7*j.j + s.v) % 16 "
+        + " ".join(f"WHEN {k} THEN '{w}'" for k, w in enumerate(PROBE_VOCAB))
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT unnest(range(0, 8)) AS v),
+resp AS (
+  SELECT v.v, i.i FROM var v, (SELECT unnest(range(0, 8)) AS i) i
+  WHERE i.i < 6 + v.v % 3
+),
+eff AS (
+  SELECT v, i, CASE WHEN i % 3 = 2 THEN i - 1 ELSE i END AS src
+  FROM resp
+),
+kept AS (
+  SELECT v, i, src, 30 + 10*(src % 4) AS tokens
+  FROM eff WHERE 30 + 10*(src % 4) >= 35
+),
+surv0 AS (
+  SELECT v, src, MIN(i) AS i0 FROM kept GROUP BY v, src
+),
+-- dedup is GLOBAL across crawl files (the engine's exact_dedup sees
+-- every body): two (v, src) pairs carry the SAME body iff their
+-- start key (13*src + v) mod 16 and word count agree (same mod-16
+-- progression, step 7).  Keep the global min-rid owner per class.
+keyed AS (
+  SELECT v, src, i0, v*100 + i0 + 1 AS rid,
+         (13*src + v) % 16 AS k, 30 + 10*(src % 4) AS w
+  FROM surv0
+),
+surv AS (
+  SELECT q.v, q.src, q.i0 FROM keyed q
+  WHERE q.rid = (SELECT MIN(q2.rid) FROM keyed q2
+                 WHERE q2.k = q.k AND q2.w = q.w)
+),
+words AS (
+  SELECT s.v, s.src, j.j, {vocab_case} AS w
+  FROM surv s
+  JOIN (SELECT unnest(range(0, 60)) AS j) j
+    ON j.j < 30 + 10*(s.src % 4)
+),
+bodies AS (
+  SELECT v, src, string_agg(w, ' ' ORDER BY j) AS body
+  FROM words GROUP BY v, src
+),
+per_v AS (
+  SELECT r.v,
+         CAST(COUNT(*) AS BIGINT) AS n_responses
+  FROM resp r GROUP BY r.v
+),
+kept_v AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(tokens) AS BIGINT) AS tok_sum
+  FROM kept GROUP BY v
+),
+surv_v AS (
+  SELECT b.v, CAST(COUNT(*) AS BIGINT) AS n_unique,
+         md5(string_agg(b.body, chr(10) ORDER BY b.src)) AS surv_md5
+  FROM bodies b GROUP BY b.v
+)
+SELECT d.doc_id,
+       d.doc_id % 8 AS variant,
+       p.n_responses, k.n_kept, k.tok_sum, s.n_unique, s.surv_md5
+FROM documents d
+JOIN per_v p ON p.v = d.doc_id % 8
+JOIN kept_v k ON k.v = d.doc_id % 8
+JOIN surv_v s ON s.v = d.doc_id % 8
+"""
+
+
+@query("pipeline_crawl_ingest", _crawl_ingest_oracle)
+def pipeline_crawl_ingest_q(spark, sf_dir):
+    """The crawl-to-corpus COMPOSITION the new codecs exist for, as
+    one lazy plan: .warc.gz probe files (gzip members + ISO 28500
+    records + HTTP envelopes, ~1/3 exact-duplicate responses) ->
+    warc_records explode -> http_text_bodies (WET step) -> token-count
+    quality gate (engine tokens()) -> exact_dedup (lowest-id survivor
+    per body) -> per-file survivorship aggregates, with the survivor
+    md5 pinning the exact text the pipeline carried end to end.  At
+    100 TB: the scan/explode/extract stages are pure map over crawl
+    files; the ONLY shuffle is the dedup groupBy on body content
+    (md5-keyed at real scale, see operators/dedup.py) and the 8-group
+    final aggregation."""
+    from cloud_optimized_data_pipelines_spark.functions import text as TT
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        exact_dedup,
+    )
+    from cloud_optimized_data_pipelines_spark.sources.warc import (
+        http_text_bodies,
+        warc_records,
+        warc_text_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = warc_text_probe_table(spark, 8).cache()
+    recs = warc_records(probe, "file_id", "blob")
+    resp = recs.filter(F.col("warc_type") == "response")
+    bodies = http_text_bodies(resp).withColumn(
+        "tokens", TT.token_count("body")
+    )
+    kept = bodies.filter(F.col("tokens") >= 35).withColumn(
+        "rid", F.col("file_id") * 100 + F.col("record_index")
+    )
+    surv = exact_dedup(kept.select("file_id", "rid", "body"), "body", "rid")
+    n_resp = resp.groupBy("file_id").agg(
+        F.count("*").cast("bigint").alias("n_responses")
+    )
+    kept_agg = kept.groupBy("file_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("tokens").cast("bigint").alias("tok_sum"),
+    )
+    surv_agg = surv.groupBy("file_id").agg(
+        F.count("*").cast("bigint").alias("n_unique"),
+        F.expr(
+            "md5(array_join(transform(array_sort(collect_list("
+            "struct(rid, body))), x -> x.body), '\n'))"
+        ).alias("surv_md5"),
+    )
+    probe_full = (
+        n_resp.join(kept_agg, "file_id")
+        .join(surv_agg, "file_id")
+        .withColumnRenamed("file_id", "variant")
+    )
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe_full), "variant").select(
+        "doc_id",
+        "variant",
+        "n_responses",
+        "n_kept",
+        "tok_sum",
+        "n_unique",
+        "surv_md5",
+    )

@@ -1,10 +1,14 @@
-"""The r11 registry split (queries.py -> registry/q_*.py modules) must
-not change registration semantics.  Invariants are ROTATION-PROOF:
-the source-derived registration order (module import order x in-file
+"""The registry module layout (queries.py -> registry/q_*.py) must not
+change registration semantics.  Invariants are ROTATION-PROOF: the
+source-derived registration order (module import order x in-file
 @query order) is the ground truth; the runtime dict must equal the
 graded window followed by the remaining source order; and the
-split-time source-order snapshot must stay an order-preserved
-subsequence (future rounds APPEND queries, they never reshuffle)."""
+snapshot must stay an order-preserved subsequence (rounds APPEND
+queries, they never reshuffle).  The snapshot was re-baselined in r12
+when the round-named q_r11_additions module was folded verbatim into
+its family modules (VERDICT r11 task 9) — a deliberate one-time
+source-order change; the graded window (what the driver grades) is
+order-pinned independently by _GRADED_WINDOW."""
 
 import json
 import re
@@ -17,7 +21,7 @@ from cloud_optimized_data_pipelines_spark.queries import (
 )
 
 _SNAP = json.loads(
-    (Path(__file__).parent / "data_registry_order_r11.json").read_text()
+    (Path(__file__).parent / "data_registry_order_r12.json").read_text()
 )
 _REG_DIR = (
     Path(__file__).parent.parent
