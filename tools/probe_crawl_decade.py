@@ -25,7 +25,9 @@ import pandas as pd  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from cloud_optimized_data_pipelines_spark.functions import text as TT  # noqa: E402
-from cloud_optimized_data_pipelines_spark.operators.dedup import exact_dedup  # noqa: E402,E501
+from cloud_optimized_data_pipelines_spark.operators.dedup import (  # noqa: E402,E501
+    exact_dedup_by_hash,
+)
 from cloud_optimized_data_pipelines_spark.session import get_spark  # noqa: E402
 from cloud_optimized_data_pipelines_spark.sources.warc import (  # noqa: E402
     encode_warc_gz,
@@ -113,7 +115,7 @@ def main() -> None:
             F.col("file_id") * RESP_PER_FILE + F.col("record_index"),
         )
         n_kept = t("wet+gate", lambda: kept.count())
-        surv = exact_dedup(
+        surv = exact_dedup_by_hash(
             kept.select("file_id", "rid", "body"), "body", "rid"
         )
         n_unique = t("exact-dedup", lambda: surv.count())
@@ -131,7 +133,7 @@ def main() -> None:
             "rid",
             F.col("file_id") * RESP_PER_FILE + F.col("record_index"),
         )
-        surv2 = exact_dedup(
+        surv2 = exact_dedup_by_hash(
             kept2.select("file_id", "rid", "body"), "body", "rid"
         )
         t("e2e-one-plan", lambda: surv2.count())
