@@ -220,6 +220,8 @@ ADDITIONS_R12 = [
     "agg_approx_percentile",
     # sliding 7-day uniques from daily portable-HLL register partials
     "sketch_hll_daily_uniques",
+    # banded-Hamming near-dup over parsed MP3 scalefactor fingerprints
+    "multimodal_mp3_near_dup",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

@@ -3032,3 +3032,77 @@ def mp3_probe_table(spark, variants: int = 8) -> DataFrame:
     return spark.range(
         0, int(variants), numPartitions=int(variants)
     ).mapInPandas(gen, MP3_PROBE_SCHEMA)
+
+
+MP3_SCF_FP_SCHEMA = "variant bigint, mp3_md5 string, fp array<bigint>"
+
+
+def _mp3_scf_fp_variant(v: int) -> dict:
+    """Compressed-domain MP3 near-dup fingerprint (extends the Layer
+    II pattern to the dominant crawl audio format): 120 bits from the
+    PARSED scalefactors of the variant's real Layer III frames
+    (bit i = scf(granule=i//21, sfb=i%21) >= 4 over 6 granules),
+    packed into two 60-bit words.  Sibling variants (same v//2 base)
+    share scalefactors but differ in spectra — their streams differ
+    byte-wise yet fingerprints collide at Hamming 0; bases are
+    decorrelated to min Hamming 30.  No synthesis: scalefactors parse
+    straight off the side-info/scalefactor fields."""
+    from cloud_optimized_data_pipelines_spark.operators.mp3_layer3 import (
+        decode_mp3,
+        encode_mp3,
+    )
+
+    b = v // 2
+    n_gr = 6
+    g = np.arange(n_gr, dtype=np.int64)[:, None]
+    j = np.arange(21, dtype=np.int64)[None, :]
+    scf = (7 * j + 5 * g + (11 * j + 13 * g + 3) * b) % 8
+
+    n_big = 64 + 8 * (v % 4)
+    i = np.arange(576, dtype=np.int64)[None, :]
+    spectra = np.where(
+        i < n_big,
+        (7 * i + 13 * g + v) % 7 - 3,
+        np.where(i < n_big + 64, (5 * i + 3 * g + v) % 3 - 1, 0),
+    )
+    enc = encode_mp3(
+        spectra,
+        scalefactors=scf,
+        scalefac_compress=13,
+        count1table_select=v % 2,
+        global_gain=120 + b,
+        use_reservoir=v % 3 == 1,
+    )
+    frames = decode_mp3(enc)
+    parsed = np.vstack([
+        gg["scalefactors"] for fr in frames for chs in fr["granules"]
+        for gg in chs
+    ])[:n_gr]
+    if not np.array_equal(parsed, scf):  # pragma: no cover - guard
+        raise RuntimeError(f"mp3 fp variant {v}: scalefactor mismatch")
+    bits = []
+    for k in range(120):
+        gr, sfb = divmod(k, 21)
+        bits.append(1 if int(parsed[gr, sfb]) >= 4 else 0)
+    words = []
+    for w in range(2):
+        word = 0
+        for t in range(60):
+            word = (word << 1) | bits[w * 60 + t]
+        words.append(word)
+    return {
+        "variant": v,
+        "mp3_md5": hashlib.md5(enc).hexdigest(),
+        "fp": words,
+    }
+
+
+def mp3_scf_fingerprint_table(spark, variants: int = 16) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    [_mp3_scf_fp_variant(int(x)) for x in pdf["id"]]
+                )
+
+    return spark.range(int(variants)).mapInPandas(gen, MP3_SCF_FP_SCHEMA)

@@ -214,7 +214,9 @@ _GRADED_WINDOW = [
     "k3_transfer_plan",
     "dedup_lsh_survivors",
     "similarity_ivf_topk",
-    "pipeline_corpus_preprocess",
+    "multimodal_mp3_near_dup",  # yielded by pipeline_corpus_preprocess
+    # (r11-green) for the new Layer III near-dup — fingerprints off
+    # PARSED MP3 scalefactors through the reservoir machinery
 ]
 
 
