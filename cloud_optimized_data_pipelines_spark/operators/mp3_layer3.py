@@ -385,11 +385,17 @@ def _decode_granule_samples(br: "_BR", g: dict, sample_rate: int,
 # ---------------------------------------------------------------------------
 
 
-def decode_mp3(data: bytes) -> list[dict]:
+def decode_mp3(data: bytes, samples: bool = True) -> list[dict]:
     """Walk a Layer III stream; returns one dict per frame with the
     header, side info, and per granule/channel ``scalefactors`` +
     quantized ``samples`` (576 ints).  Pure compressed domain — no
-    synthesis (the fingerprint path never needs PCM)."""
+    synthesis (the fingerprint path never needs PCM).
+
+    ``samples=False`` skips the Huffman sample decode entirely and
+    jumps each granule by its ``part2_3_length`` — the scalefactor
+    fingerprint scan shape: at 100 TB the near-dup path touches only
+    headers + side info + scalefactor fields (a few % of stream
+    bytes) and never expands a frequency line."""
     frames = []
     reservoir = bytearray()
     off = 0
@@ -423,20 +429,17 @@ def decode_mp3(data: bytes) -> list[dict]:
                 )
                 prev_scf[ch] = scf
                 end = g_start + g["part2_3_length"]
-                samples, quads = _decode_granule_samples(
-                    br, g, hdr["sample_rate"], end
-                )
-                if br.pos > end:
-                    raise ValueError("mp3: part2_3_length overrun")
+                entry = {"side": g, "scalefactors": scf}
+                if samples:
+                    lines, quads = _decode_granule_samples(
+                        br, g, hdr["sample_rate"], end
+                    )
+                    if br.pos > end:
+                        raise ValueError("mp3: part2_3_length overrun")
+                    entry["samples"] = lines
+                    entry["count1_quads"] = quads
                 br.pos = end  # skip any stuffing inside the budget
-                chs.append(
-                    {
-                        "side": g,
-                        "scalefactors": scf,
-                        "samples": samples,
-                        "count1_quads": quads,
-                    }
-                )
+                chs.append(entry)
             granules.append(chs)
         # trim the reservoir: the standard bounds main_data_begin to
         # 9 bits = 511 bytes back

@@ -3073,7 +3073,9 @@ def _mp3_scf_fp_variant(v: int) -> dict:
         global_gain=120 + b,
         use_reservoir=v % 3 == 1,
     )
-    frames = decode_mp3(enc)
+    # scalefactors-only walk: the fingerprint path never expands a
+    # frequency line (samples=False skips the Huffman stage)
+    frames = decode_mp3(enc, samples=False)
     parsed = np.vstack([
         gg["scalefactors"] for fr in frames for chs in fr["granules"]
         for gg in chs

@@ -241,3 +241,21 @@ def test_granule_features():
     assert M.mp3_granule_features(enc)[0]["fingerprint"] == rows[0][
         "fingerprint"
     ]
+
+
+def test_scalefactors_only_walk():
+    # samples=False must parse identical side info + scalefactors
+    # while skipping the Huffman stage entirely
+    spectra = np.vstack([_spectrum(s) for s in range(6)])
+    scf = np.vstack([_scf(s) for s in range(6)])
+    enc = M.encode_mp3(spectra, scalefactors=scf, scalefac_compress=13,
+                       use_reservoir=True)
+    full = M.decode_mp3(enc)
+    fast = M.decode_mp3(enc, samples=False)
+    assert len(full) == len(fast)
+    for fr_a, fr_b in zip(full, fast):
+        assert fr_a["side_info"] == fr_b["side_info"]
+        for chs_a, chs_b in zip(fr_a["granules"], fr_b["granules"]):
+            for a, b in zip(chs_a, chs_b):
+                assert a["scalefactors"] == b["scalefactors"]
+                assert "samples" not in b
