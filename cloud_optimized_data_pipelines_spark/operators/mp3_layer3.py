@@ -526,85 +526,112 @@ def encode_mp3(
     use_reservoir: bool = False,
     scfsi_bands: tuple[int, ...] = (),
 ) -> bytes:
-    """Encode quantized spectra into a conformant mono Layer III
-    stream.  ``spectra``: int array (n_granules, 576); values beyond
-    the big_values split must be in {-1, 0, 1} and the big_values
-    region within |3| (the shipped-table alphabet).  Granules pair
-    into frames (a trailing odd granule gets an all-zero partner).
-    With ``use_reservoir`` each frame's main_data starts inside the
-    previous frame's ancillary space (main_data_begin > 0), proving
-    the reservoir walk."""
+    """Encode quantized spectra into a conformant Layer III stream.
+    ``spectra``: int array (n_granules, 576) for mono or
+    (n_granules, 2, 576) for stereo (mode 00, independently coded
+    channels — the decoder side of MS/intensity stereo operates on
+    requantized values, so the compressed domain is channel-
+    independent either way); values beyond the big_values split must
+    be in {-1, 0, 1} and the big_values region within |3| (the
+    shipped-table alphabet).  Granules pair into frames (a trailing
+    odd granule gets an all-zero partner).  With ``use_reservoir``
+    each frame's main_data starts inside the previous frame's
+    ancillary space (main_data_begin > 0), proving the reservoir
+    walk."""
     spectra = np.asarray(spectra, np.int64)
-    if spectra.ndim != 2 or spectra.shape[1] != 576:
-        raise ValueError("mp3: spectra must be (n_granules, 576)")
+    if spectra.ndim == 2:
+        spectra = spectra[:, None, :]
+    if (spectra.ndim != 3 or spectra.shape[2] != 576
+            or spectra.shape[1] not in (1, 2)):
+        raise ValueError(
+            "mp3: spectra must be (n_granules, 576) or (n_granules, 2, 576)"
+        )
+    n_ch = spectra.shape[1]
     if len(spectra) % 2:
-        spectra = np.vstack([spectra, np.zeros((1, 576), np.int64)])
+        spectra = np.concatenate(
+            [spectra, np.zeros((1, n_ch, 576), np.int64)]
+        )
     if scalefactors is None:
-        scalefactors = np.zeros((len(spectra), 21), np.int64)
+        scalefactors = np.zeros((len(spectra), n_ch, 21), np.int64)
     scalefactors = np.asarray(scalefactors, np.int64)
+    if scalefactors.ndim == 2:
+        scalefactors = scalefactors[:, None, :]
+    if scalefactors.shape != (len(spectra), n_ch, 21):
+        raise ValueError("mp3: scalefactors shape mismatch")
 
     frame_bytes = 144 * bitrate_kbps * 1000 // sample_rate
-    side_bytes = 17
+    side_bytes = 17 if n_ch == 1 else 32
+    mode = 0b11 if n_ch == 1 else 0b00
     area = frame_bytes - 4 - side_bytes  # main_data area per frame
 
     # Pass 1: per-frame side info + bit-exact granule payload bytes.
     sides = []
     payloads = []
     for f in range(0, len(spectra), 2):
-        scfsi = [[1 if b in scfsi_bands else 0 for b in range(4)]]
+        scfsi = [
+            [1 if b in scfsi_bands else 0 for b in range(4)]
+            for _ in range(n_ch)
+        ]
         for band in scfsi_bands:
             lo, hi = SCFSI_BANDS[band]
-            if not np.array_equal(
-                scalefactors[f, lo:hi], scalefactors[f + 1, lo:hi]
-            ):
-                raise ValueError(
-                    "mp3: scfsi band requires equal scalefactors "
-                    "across the granule pair"
-                )
-        granule_side = []
+            for ch in range(n_ch):
+                if not np.array_equal(
+                    scalefactors[f, ch, lo:hi],
+                    scalefactors[f + 1, ch, lo:hi],
+                ):
+                    raise ValueError(
+                        "mp3: scfsi band requires equal scalefactors "
+                        "across the granule pair"
+                    )
+        granule_side = [[], []]
         md = _BW()
         for gr in range(2):
-            samples = spectra[f + gr]
-            nz = np.nonzero(np.abs(samples) > 1)[0]
-            big_end = int(nz[-1]) + 1 if len(nz) else 0
-            big_end += big_end % 2
-            if np.abs(samples).max(initial=0) > 3:
-                raise ValueError("mp3: fixture spectra limited to |3|")
-            sel = 5 if np.abs(samples[:big_end]).max(initial=0) > 1 else 1
-            g = {
-                "big_values": big_end // 2,
-                "global_gain": global_gain,
-                "scalefac_compress": scalefac_compress,
-                "window_switching": 0,
-                "block_type": 0,
-                "mixed_block_flag": 0,
-                "table_select": [sel, sel, sel],
-                "region0_count": 7,
-                "region1_count": 7,
-                "preflag": 0,
-                "scalefac_scale": 0,
-                "count1table_select": count1table_select,
-            }
-            scf = [int(s) for s in scalefactors[f + gr]]
-            bw = _encode_granule_main(
-                g, scf, samples, sample_rate, scfsi[0], gr
-            )
-            g["part2_3_length"] = len(bw.buf) * 8 + bw._n
-            granule_side.append(g)
-            # append this granule's bits to the frame payload BIT-
-            # exactly (granule boundaries are not byte-aligned)
-            bits = g["part2_3_length"]
-            bw.pad_to_byte()
-            br = _BR(bytes(bw.buf), 0)
-            left = bits
-            while left:
-                take = min(16, left)
-                md.w(br.r(take), take)
-                left -= take
+            for ch in range(n_ch):
+                samples = spectra[f + gr, ch]
+                nz = np.nonzero(np.abs(samples) > 1)[0]
+                big_end = int(nz[-1]) + 1 if len(nz) else 0
+                big_end += big_end % 2
+                if np.abs(samples).max(initial=0) > 3:
+                    raise ValueError(
+                        "mp3: fixture spectra limited to |3|"
+                    )
+                sel = (
+                    5 if np.abs(samples[:big_end]).max(initial=0) > 1
+                    else 1
+                )
+                g = {
+                    "big_values": big_end // 2,
+                    "global_gain": global_gain,
+                    "scalefac_compress": scalefac_compress,
+                    "window_switching": 0,
+                    "block_type": 0,
+                    "mixed_block_flag": 0,
+                    "table_select": [sel, sel, sel],
+                    "region0_count": 7,
+                    "region1_count": 7,
+                    "preflag": 0,
+                    "scalefac_scale": 0,
+                    "count1table_select": count1table_select,
+                }
+                scf = [int(x) for x in scalefactors[f + gr, ch]]
+                bw = _encode_granule_main(
+                    g, scf, samples, sample_rate, scfsi[ch], gr
+                )
+                g["part2_3_length"] = len(bw.buf) * 8 + bw._n
+                granule_side[gr].append(g)
+                # append this granule's bits to the frame payload
+                # BIT-exactly (granule boundaries are not byte-aligned)
+                bits = g["part2_3_length"]
+                bw.pad_to_byte()
+                br = _BR(bytes(bw.buf), 0)
+                left = bits
+                while left:
+                    take = min(16, left)
+                    md.w(br.r(take), take)
+                    left -= take
         md.pad_to_byte()
         payloads.append(bytes(md.buf))
-        sides.append({"scfsi": scfsi, "granules":
-                      [[granule_side[0]], [granule_side[1]]]})
+        sides.append({"scfsi": scfsi, "granules": granule_side})
 
     # Pass 2: lay the payloads into the shared main_data pool
     # (§2.4.2.7 bit reservoir).  Frame i's area spans pool bytes
@@ -629,9 +656,9 @@ def encode_mp3(
     frames = []
     for i, si_frame in enumerate(sides):
         si = {"main_data_begin": begins[i], **si_frame}
-        hdr = _header(3, bitrate_kbps, sample_rate, 0, 0b11, False)
+        hdr = _header(3, bitrate_kbps, sample_rate, 0, mode, False)
         sbw = _BW()
-        _write_side_info(sbw, si, 1)
+        _write_side_info(sbw, si, n_ch)
         sbw.pad_to_byte()
         assert len(sbw.buf) == side_bytes
         frames.append(

@@ -259,3 +259,62 @@ def test_scalefactors_only_walk():
             for a, b in zip(chs_a, chs_b):
                 assert a["scalefactors"] == b["scalefactors"]
                 assert "samples" not in b
+
+
+def test_roundtrip_stereo():
+    # independently-coded stereo (mode 00, 32-byte side info): both
+    # channels' spectra and scalefactors survive the full walk,
+    # including the reservoir
+    n_gr = 6
+    spectra = np.stack(
+        [
+            np.stack([_spectrum(2 * g), _spectrum(2 * g + 1)])
+            for g in range(n_gr)
+        ]
+    )
+    scf = np.stack(
+        [np.stack([_scf(g), _scf(g + 7)]) for g in range(n_gr)]
+    )
+    enc = M.encode_mp3(
+        spectra, scalefactors=scf, scalefac_compress=13,
+        use_reservoir=True,
+    )
+    frames = M.decode_mp3(enc)
+    assert frames[0]["header"]["channels"] == 2
+    assert frames[0]["side_info"]["nbytes"] == 32
+    got = np.stack([
+        np.stack([chs[0]["samples"], chs[1]["samples"]])
+        for fr in frames for chs in fr["granules"]
+    ])
+    got_scf = np.stack([
+        np.stack([chs[0]["scalefactors"], chs[1]["scalefactors"]])
+        for fr in frames for chs in fr["granules"]
+    ])
+    assert np.array_equal(got, spectra)
+    assert np.array_equal(got_scf, scf)
+    assert any(
+        f["side_info"]["main_data_begin"] > 0 for f in frames[1:]
+    )
+
+
+def test_stereo_scfsi_per_channel():
+    scf = np.stack(
+        [np.stack([_scf(g % 2), _scf(3 + g % 2)]) for g in range(4)]
+    )
+    # make granule pairs share band 2 per channel
+    scf[1] = scf[0]
+    scf[3] = scf[2]
+    spectra = np.stack(
+        [np.stack([_spectrum(g), _spectrum(g + 9)]) for g in range(4)]
+    )
+    enc = M.encode_mp3(
+        spectra, scalefactors=scf, scalefac_compress=13,
+        scfsi_bands=(2,),
+    )
+    frames = M.decode_mp3(enc)
+    assert frames[0]["side_info"]["scfsi"] == [[0, 0, 1, 0]] * 2
+    got_scf = np.stack([
+        np.stack([chs[0]["scalefactors"], chs[1]["scalefactors"]])
+        for fr in frames for chs in fr["granules"]
+    ])
+    assert np.array_equal(got_scf, scf)
