@@ -547,17 +547,23 @@ def encode_mp3(
             "mp3: spectra must be (n_granules, 576) or (n_granules, 2, 576)"
         )
     n_ch = spectra.shape[1]
-    if len(spectra) % 2:
-        spectra = np.concatenate(
-            [spectra, np.zeros((1, n_ch, 576), np.int64)]
-        )
+    n_in = len(spectra)
     if scalefactors is None:
-        scalefactors = np.zeros((len(spectra), n_ch, 21), np.int64)
+        scalefactors = np.zeros((n_in, n_ch, 21), np.int64)
     scalefactors = np.asarray(scalefactors, np.int64)
     if scalefactors.ndim == 2:
         scalefactors = scalefactors[:, None, :]
-    if scalefactors.shape != (len(spectra), n_ch, 21):
+    if scalefactors.shape != (n_in, n_ch, 21):
         raise ValueError("mp3: scalefactors shape mismatch")
+    if n_in % 2:
+        # a trailing odd granule gets an all-zero partner (spectra
+        # AND scalefactors — they must stay row-aligned)
+        spectra = np.concatenate(
+            [spectra, np.zeros((1, n_ch, 576), np.int64)]
+        )
+        scalefactors = np.concatenate(
+            [scalefactors, np.zeros((1, n_ch, 21), np.int64)]
+        )
 
     frame_bytes = 144 * bitrate_kbps * 1000 // sample_rate
     side_bytes = 17 if n_ch == 1 else 32

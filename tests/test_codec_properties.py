@@ -121,3 +121,58 @@ def test_zstd_cli_accepts_property(data):
     r = subprocess.run(["zstd", "-d", "-c"], input=enc,
                        capture_output=True)
     assert r.returncode == 0 and r.stdout == data
+
+
+# --- r12: MP3 Layer III -----------------------------------------------------
+
+from cloud_optimized_data_pipelines_spark.operators import (  # noqa: E402
+    mp3_layer3 as M3,
+)
+
+
+@st.composite
+def _mp3_spectrum(draw):
+    """A legal spectrum for the shipped-table alphabet: a big-values
+    prefix in [-3, 3], a count1 region in [-1, 1], zero tail."""
+    n_big = draw(st.integers(0, 120)) * 2
+    n_quad = draw(st.integers(0, 40)) * 4
+    big = draw(st.lists(st.integers(-3, 3), min_size=n_big, max_size=n_big))
+    quad = draw(st.lists(st.integers(-1, 1), min_size=n_quad,
+                         max_size=n_quad))
+    out = np.zeros(576, np.int64)
+    out[:n_big] = big
+    out[n_big : n_big + n_quad] = quad
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(_mp3_spectrum(), min_size=1, max_size=4),
+    st.integers(0, 7),
+    st.booleans(),
+    st.booleans(),
+)
+def test_mp3_roundtrip_property(spectra, scf_seed, c1b, reservoir):
+    spectra = np.stack(spectra)
+    n = len(spectra)
+    g = np.arange(n, dtype=np.int64)[:, None]
+    j = np.arange(21, dtype=np.int64)[None, :]
+    scf = (3 * j + 5 * g + scf_seed) % 8
+    enc = M3.encode_mp3(
+        spectra,
+        scalefactors=scf,
+        scalefac_compress=13,
+        count1table_select=int(c1b),
+        use_reservoir=reservoir,
+    )
+    frames = M3.decode_mp3(enc)
+    got = np.vstack([
+        gg["samples"] for fr in frames for chs in fr["granules"]
+        for gg in chs
+    ])[:n]
+    got_scf = np.vstack([
+        gg["scalefactors"] for fr in frames for chs in fr["granules"]
+        for gg in chs
+    ])[:n]
+    assert np.array_equal(got, spectra)
+    assert np.array_equal(got_scf, scf)
