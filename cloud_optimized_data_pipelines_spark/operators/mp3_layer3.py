@@ -6,8 +6,11 @@ Everything BITSTREAM-side is implemented from the public standard
 information layout, the bit reservoir (``main_data_begin`` back-
 references into prior frames' main_data pool), scfsi scalefactor
 sharing, the slen1/slen2 scalefactor packing, the three big_values
-Huffman regions with scalefactor-band boundaries, linbits/ESC
-framework, the count1 quadruple region, and the rzero tail.  The
+Huffman regions with scalefactor-band boundaries, SHORT
+(window-switched, block_type 2) granules with their 12x3 scalefactor
+layout and fixed 36-line region split, linbits/ESC framework, the
+count1 quadruple region, and the rzero tail (mixed short/long blocks
+remain a named error).  The
 decoder emits the QUANTIZED frequency lines ``is[576]`` per granule/
 channel — the exact integer compressed domain that audio near-dup
 fingerprints scan (no synthesis, matching the Layer I/II path in
@@ -236,10 +239,21 @@ def _write_side_info(bw: "_BW", si: dict, channels: int) -> None:
 def _decode_scalefactors(br: "_BR", g: dict, scfsi_ch, gr: int,
                          prev_scf) -> list[int]:
     if g["window_switching"] and g["block_type"] == 2:
-        raise NotImplementedError(
-            "mp3: short-block scalefactors need the Table B.8 short "
-            "band table (not transcribed — see module docstring)"
-        )
+        # SHORT blocks (non-mixed): 12 scalefactor bands x 3 windows,
+        # sfb 0..5 at slen1 and 6..11 at slen2, window-minor order
+        # (§2.4.2.7).  scfsi never applies to short granules.
+        if g["mixed_block_flag"]:
+            raise NotImplementedError(
+                "mp3: mixed short/long blocks not supported"
+            )
+        if gr == 1 and any(scfsi_ch):
+            raise ValueError("mp3: scfsi set on a short-block granule")
+        slen1, slen2 = SLEN[g["scalefac_compress"]]
+        return [
+            br.r(slen1 if sfb < 6 else slen2)
+            for sfb in range(12)
+            for _w in range(3)
+        ]
     slen1, slen2 = SLEN[g["scalefac_compress"]]
     scf = [0] * 21
     for band, (lo, hi) in enumerate(SCFSI_BANDS):
@@ -336,11 +350,17 @@ def _decode_pair(br: "_BR", select: int, lookup=None,
 
 def region_boundaries(g: dict, sample_rate: int) -> tuple[int, int, int]:
     """(end of region0, end of region1, end of big_values) in
-    frequency-line index, clamped at big_values*2 (§2.4.2.7)."""
+    frequency-line index, clamped at big_values*2 (§2.4.2.7).  Short
+    non-mixed blocks use the fixed split: region0 ends at line 36
+    (= 3 x the third short-band boundary, which is 12 at every MPEG-1
+    rate) and region1 runs to the end — region2 never occurs, which
+    is why short side info carries only two table_select fields."""
+    bv2 = g["big_values"] * 2
+    if g.get("window_switching") and g.get("block_type") == 2:
+        return min(36, bv2), bv2, bv2
     sfb = SFB_LONG.get(sample_rate)
     if sfb is None:
         raise ValueError(f"mp3: no band table for rate {sample_rate}")
-    bv2 = g["big_values"] * 2
     r0 = min(sfb[min(g["region0_count"] + 1, 22)], bv2)
     r1 = min(sfb[min(g["region0_count"] + g["region1_count"] + 2, 22)],
              bv2)
@@ -467,14 +487,27 @@ def _encode_granule_main(g: dict, scf: list[int], samples: np.ndarray,
                          sample_rate: int, scfsi_ch, gr: int) -> "_BW":
     bw = _BW()
     slen1, slen2 = SLEN[g["scalefac_compress"]]
-    for band, (lo, hi) in enumerate(SCFSI_BANDS):
-        if gr == 1 and scfsi_ch[band]:
-            continue
-        slen = slen1 if band < 2 else slen2
-        for sfb in range(lo, hi):
-            if scf[sfb] >> slen:
-                raise ValueError("mp3: scalefactor exceeds slen")
-            bw.w(scf[sfb], slen)
+    if g["window_switching"] and g["block_type"] == 2:
+        # short: 12 sfb x 3 windows, window-minor (mirror of the
+        # decoder's short branch); scfsi never applies
+        if len(scf) != 36:
+            raise ValueError("mp3: short granule needs 36 scalefactors")
+        for sfb in range(12):
+            slen = slen1 if sfb < 6 else slen2
+            for w in range(3):
+                v = scf[sfb * 3 + w]
+                if v >> slen:
+                    raise ValueError("mp3: scalefactor exceeds slen")
+                bw.w(v, slen)
+    else:
+        for band, (lo, hi) in enumerate(SCFSI_BANDS):
+            if gr == 1 and scfsi_ch[band]:
+                continue
+            slen = slen1 if band < 2 else slen2
+            for sfb in range(lo, hi):
+                if scf[sfb] >> slen:
+                    raise ValueError("mp3: scalefactor exceeds slen")
+                bw.w(scf[sfb], slen)
     r0, r1, bv2 = region_boundaries(g, sample_rate)
     for i in range(0, bv2, 2):
         sel = g["table_select"][0 if i < r0 else 1 if i < r1 else 2]
@@ -525,6 +558,7 @@ def encode_mp3(
     scalefactors: "np.ndarray | None" = None,
     use_reservoir: bool = False,
     scfsi_bands: tuple[int, ...] = (),
+    block_type: int = 0,
 ) -> bytes:
     """Encode quantized spectra into a conformant Layer III stream.
     ``spectra``: int array (n_granules, 576) for mono or
@@ -537,7 +571,9 @@ def encode_mp3(
     odd granule gets an all-zero partner).  With ``use_reservoir``
     each frame's main_data starts inside the previous frame's
     ancillary space (main_data_begin > 0), proving the reservoir
-    walk."""
+    walk.  ``block_type=2`` writes SHORT (window-switched) granules:
+    scalefactors are 36 per granule (12 sfb x 3 windows) and the
+    Huffman regions use the fixed 36-line short split."""
     spectra = np.asarray(spectra, np.int64)
     if spectra.ndim == 2:
         spectra = spectra[:, None, :]
@@ -548,12 +584,17 @@ def encode_mp3(
         )
     n_ch = spectra.shape[1]
     n_in = len(spectra)
+    if block_type not in (0, 2):
+        raise ValueError("mp3: encoder supports block_type 0 or 2")
+    n_scf = 21 if block_type == 0 else 36
+    if block_type == 2 and scfsi_bands:
+        raise ValueError("mp3: scfsi never applies to short blocks")
     if scalefactors is None:
-        scalefactors = np.zeros((n_in, n_ch, 21), np.int64)
+        scalefactors = np.zeros((n_in, n_ch, n_scf), np.int64)
     scalefactors = np.asarray(scalefactors, np.int64)
     if scalefactors.ndim == 2:
         scalefactors = scalefactors[:, None, :]
-    if scalefactors.shape != (n_in, n_ch, 21):
+    if scalefactors.shape != (n_in, n_ch, n_scf):
         raise ValueError("mp3: scalefactors shape mismatch")
     if n_in % 2:
         # a trailing odd granule gets an all-zero partner (spectra
@@ -562,7 +603,7 @@ def encode_mp3(
             [spectra, np.zeros((1, n_ch, 576), np.int64)]
         )
         scalefactors = np.concatenate(
-            [scalefactors, np.zeros((1, n_ch, 21), np.int64)]
+            [scalefactors, np.zeros((1, n_ch, n_scf), np.int64)]
         )
 
     frame_bytes = 144 * bitrate_kbps * 1000 // sample_rate
@@ -609,16 +650,21 @@ def encode_mp3(
                     "big_values": big_end // 2,
                     "global_gain": global_gain,
                     "scalefac_compress": scalefac_compress,
-                    "window_switching": 0,
-                    "block_type": 0,
+                    "window_switching": 1 if block_type == 2 else 0,
+                    "block_type": block_type,
                     "mixed_block_flag": 0,
-                    "table_select": [sel, sel, sel],
-                    "region0_count": 7,
-                    "region1_count": 7,
+                    "table_select": (
+                        [sel, sel] if block_type == 2
+                        else [sel, sel, sel]
+                    ),
+                    "region0_count": 8 if block_type == 2 else 7,
+                    "region1_count": 12 if block_type == 2 else 7,
                     "preflag": 0,
                     "scalefac_scale": 0,
                     "count1table_select": count1table_select,
                 }
+                if block_type == 2:
+                    g["subblock_gain"] = [0, 0, 0]
                 scf = [int(x) for x in scalefactors[f + gr, ch]]
                 bw = _encode_granule_main(
                     g, scf, samples, sample_rate, scfsi[ch], gr

@@ -318,3 +318,55 @@ def test_stereo_scfsi_per_channel():
         for fr in frames for chs in fr["granules"]
     ])
     assert np.array_equal(got_scf, scf)
+
+
+def test_roundtrip_short_blocks():
+    # block_type 2 (window-switched short blocks, non-mixed): 36
+    # scalefactors per granule (12 sfb x 3 windows), fixed 36-line
+    # region split, two table_select fields, subblock_gain parsed
+    spectra = np.vstack([_spectrum(s, n_big=60) for s in range(4)])
+    scf = np.array(
+        [[(5 * k + g) % 8 for k in range(36)] for g in range(4)],
+        np.int64,
+    )
+    enc = M.encode_mp3(
+        spectra, scalefactors=scf, scalefac_compress=13, block_type=2,
+        use_reservoir=True,
+    )
+    frames = M.decode_mp3(enc)
+    sides = [
+        g["side"] for fr in frames for chs in fr["granules"] for g in chs
+    ]
+    assert all(s["window_switching"] and s["block_type"] == 2
+               for s in sides)
+    assert all(s["subblock_gain"] == [0, 0, 0] for s in sides)
+    assert all(len(s["table_select"]) == 2 for s in sides)
+    got = np.vstack([
+        g["samples"] for fr in frames for chs in fr["granules"]
+        for g in chs
+    ])
+    got_scf = np.vstack([
+        g["scalefactors"] for fr in frames for chs in fr["granules"]
+        for g in chs
+    ])
+    assert np.array_equal(got, spectra)
+    assert np.array_equal(got_scf, scf)
+    # fixed short split: region0 clamps at 36
+    r0, r1, bv2 = M.region_boundaries(sides[0], 44100)
+    assert r0 == 36 and r1 == bv2
+
+
+def test_short_block_guards():
+    spectra = np.zeros((2, 576), np.int64)
+    with pytest.raises(ValueError, match="block_type 0 or 2"):
+        M.encode_mp3(spectra, block_type=1)
+    with pytest.raises(ValueError, match="never applies to short"):
+        M.encode_mp3(spectra, block_type=2, scfsi_bands=(1,))
+    with pytest.raises(ValueError, match="36 scalefactors"):
+        M._encode_granule_main(
+            {"window_switching": 1, "block_type": 2,
+             "mixed_block_flag": 0, "scalefac_compress": 13,
+             "big_values": 0, "table_select": [1, 1],
+             "count1table_select": 1},
+            [0] * 21, np.zeros(576, np.int64), 44100, [0] * 4, 0,
+        )
