@@ -135,13 +135,6 @@ COUNT1 = {
 }
 
 
-def _decode_tree(lens_codes) -> dict:
-    """(code_string -> value) lookup keyed by (len, code)."""
-    return {
-        (ln, code): value for value, (ln, code) in enumerate(lens_codes)
-    }
-
-
 # ---------------------------------------------------------------------------
 # Side information (§2.4.1.7, MPEG-1)
 # ---------------------------------------------------------------------------
