@@ -370,3 +370,18 @@ def test_short_block_guards():
              "count1table_select": 1},
             [0] * 21, np.zeros(576, np.int64), 44100, [0] * 4, 0,
         )
+
+
+def test_stream_info_integration():
+    # the layer-agnostic header walk (operators/mpeg_audio.stream_info)
+    # must walk encode_mp3 output: frame count, duration, CBR detection
+    from cloud_optimized_data_pipelines_spark.operators.mpeg_audio import (
+        stream_info,
+    )
+
+    spectra = np.vstack([_spectrum(s) for s in range(8)])
+    enc = M.encode_mp3(spectra, scalefac_compress=13)
+    info = stream_info(enc)
+    assert info["n_frames"] == 4
+    assert info["total_samples"] == 4 * 1152
+    assert info["is_vbr"] is False or info["is_vbr"] == 0
