@@ -420,6 +420,8 @@ def decode_mp3(data: bytes, samples: bool = True) -> list[dict]:
         pos = off + 4
         if hdr["crc"]:
             pos += 2
+        if pos + (17 if hdr["channels"] == 1 else 32) > n:
+            raise ValueError("mp3: truncated side info")
         si = parse_side_info(data, pos, hdr["channels"])
         main = data[pos + si["nbytes"] : off + hdr["frame_bytes"]]
         if si["main_data_begin"] > len(reservoir):
@@ -437,11 +439,16 @@ def decode_mp3(data: bytes, samples: bool = True) -> list[dict]:
             for ch in range(hdr["channels"]):
                 g = si["granules"][gr][ch]
                 g_start = br.pos
+                end = g_start + g["part2_3_length"]
+                if end > len(br.data) * 8:
+                    raise ValueError(
+                        "mp3: part2_3_length runs past the reservoir "
+                        "(truncated stream?)"
+                    )
                 scf = _decode_scalefactors(
                     br, g, si["scfsi"][ch], gr, prev_scf[ch]
                 )
                 prev_scf[ch] = scf
-                end = g_start + g["part2_3_length"]
                 entry = {"side": g, "scalefactors": scf}
                 if samples:
                     lines, quads = _decode_granule_samples(

@@ -385,3 +385,12 @@ def test_stream_info_integration():
     assert info["n_frames"] == 4
     assert info["total_samples"] == 4 * 1152
     assert info["is_vbr"] is False or info["is_vbr"] == 0
+
+
+def test_truncated_stream_named_error():
+    # cutting the final frame's main_data must raise the module's
+    # named ValueError, never a bare IndexError from the bit reader
+    spectra = np.vstack([_spectrum(1), _spectrum(2)])
+    enc = M.encode_mp3(spectra, scalefac_compress=13)
+    with pytest.raises(ValueError, match="reservoir|truncated"):
+        M.decode_mp3(enc[:-300])
