@@ -167,3 +167,33 @@ def test_decode_text_column_spark(spark):
     out = decode_text_column(df, "doc", "blob").orderBy("id").collect()
     assert [r.codec for r in out] == ["gzip", "lz4", "xz", "bzip2", "raw"]
     assert all(r.text == text for r in out)
+
+
+def test_decode_text_column_flushes_bounded_batches(spark):
+    # shards whose decoded size exceeds the 8 MiB flush budget must
+    # still come back complete and correct (the BatchFlusher path:
+    # several output record batches per task instead of one giant one)
+    from cloud_optimized_data_pipelines_spark.operators.deflate_codec import (
+        gzip_encode,
+    )
+    from cloud_optimized_data_pipelines_spark.sources.compressed import (
+        decode_text_column,
+    )
+
+    from pyspark.sql import functions as F
+
+    big = ("payload row %d\n" * 1000) % tuple(range(1000))
+    big = big * 700  # ~10 MB decoded
+    blob = bytearray(gzip_encode(big.encode()))
+    df = spark.createDataFrame(
+        [(i, blob) for i in range(4)], "doc bigint, blob binary"
+    ).repartition(2)
+    out = decode_text_column(df, "doc", "blob")
+    got = out.groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("text")).alias("chars"),
+        F.count_distinct(F.md5("text")).alias("distinct_md5"),
+    ).collect()[0]
+    assert got.n == 4
+    assert got.chars == 4 * len(big)
+    assert got.distinct_md5 == 1
