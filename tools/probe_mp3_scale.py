@@ -82,8 +82,6 @@ def build_fp(v: int) -> dict:
 
 
 def main() -> None:
-    from pyspark.sql import functions as F
-
     from cloud_optimized_data_pipelines_spark.operators.multimodal import (
         band_geometry,
         banded_hamming_pairs,
