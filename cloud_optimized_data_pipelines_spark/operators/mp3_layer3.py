@@ -261,16 +261,6 @@ def _decode_scalefactors(br: "_BR", g: dict, scfsi_ch, gr: int,
     return scf
 
 
-def _part2_length(g: dict, scfsi_ch, gr: int) -> int:
-    slen1, slen2 = SLEN[g["scalefac_compress"]]
-    bits = 0
-    for band, (lo, hi) in enumerate(SCFSI_BANDS):
-        if gr == 1 and scfsi_ch[band]:
-            continue
-        bits += (hi - lo) * (slen1 if band < 2 else slen2)
-    return bits
-
-
 # ---------------------------------------------------------------------------
 # Huffman decode (§2.4.2.7 / 2.4.3.4.{10,11})
 # ---------------------------------------------------------------------------
@@ -531,17 +521,29 @@ def _encode_granule_main(g: dict, scf: list[int], samples: np.ndarray,
     nz_end = 576
     while nz_end > bv2 and samples[nz_end - 1] == 0:
         nz_end -= 1
+    # count1 quads step 4 from bv2; when 576 - bv2 is not a multiple
+    # of 4 the trailing lines past the LAST FULL quad belong to rzero
+    # and cannot be coded — a partial quad would be silently dropped
+    # by any conformant decoder (the count1 loop guard), so nonzero
+    # values there must fail loudly here instead.
+    last_full = bv2 + ((576 - bv2) // 4) * 4
+    if nz_end > last_full:
+        raise ValueError(
+            "mp3: nonzero lines past the last full count1 quad "
+            f"(lines {last_full}..575 are rzero for big_values "
+            f"{g['big_values']})"
+        )
     while i < nz_end:
         quad = samples[i : i + 4]
         if np.abs(quad).max(initial=0) > 1:
             raise ValueError("mp3: count1 region value exceeds 1")
         idx = 0
         for k in range(4):
-            v = int(quad[k]) if k < len(quad) else 0
+            v = int(quad[k])
             idx = (idx << 1) | (1 if v else 0)
         bw.w(c1["codes"][idx], c1["lens"][idx])
         for k in range(4):
-            v = int(quad[k]) if k < len(quad) else 0
+            v = int(quad[k])
             if v:
                 bw.w(1 if v < 0 else 0, 1)
         i += 4

@@ -134,8 +134,11 @@ from cloud_optimized_data_pipelines_spark.operators import (  # noqa: E402
 def _mp3_spectrum(draw):
     """A legal spectrum for the shipped-table alphabet: a big-values
     prefix in [-3, 3], a count1 region in [-1, 1], zero tail."""
-    n_big = draw(st.integers(0, 120)) * 2
-    n_quad = draw(st.integers(0, 40)) * 4
+    n_big = draw(st.integers(0, 240)) * 2
+    # quads tile from n_big in steps of 4 up to the last FULL quad;
+    # the tail past it is rzero by construction
+    max_quads = (576 - n_big) // 4
+    n_quad = draw(st.integers(0, min(max_quads, 84))) * 4
     big = draw(st.lists(st.integers(-3, 3), min_size=n_big, max_size=n_big))
     quad = draw(st.lists(st.integers(-1, 1), min_size=n_quad,
                          max_size=n_quad))
@@ -153,18 +156,27 @@ def _mp3_spectrum(draw):
     st.booleans(),
 )
 def test_mp3_roundtrip_property(spectra, scf_seed, c1b, reservoir):
+    from hypothesis import assume
+
     spectra = np.stack(spectra)
     n = len(spectra)
     g = np.arange(n, dtype=np.int64)[:, None]
     j = np.arange(21, dtype=np.int64)[None, :]
     scf = (3 * j + 5 * g + scf_seed) % 8
-    enc = M3.encode_mp3(
-        spectra,
-        scalefactors=scf,
-        scalefac_compress=13,
-        count1table_select=int(c1b),
-        use_reservoir=reservoir,
-    )
+    try:
+        enc = M3.encode_mp3(
+            spectra,
+            scalefactors=scf,
+            scalefac_compress=13,
+            count1table_select=int(c1b),
+            use_reservoir=reservoir,
+            bitrate_kbps=320,
+        )
+    except ValueError as exc:
+        # dense max-entropy spectra can legitimately exceed even the
+        # top CBR frame budget — the named capacity error, not a bug
+        assume("frame budget" not in str(exc))
+        raise
     frames = M3.decode_mp3(enc)
     got = np.vstack([
         gg["samples"] for fr in frames for chs in fr["granules"]

@@ -394,3 +394,22 @@ def test_truncated_stream_named_error():
     enc = M.encode_mp3(spectra, scalefac_compress=13)
     with pytest.raises(ValueError, match="reservoir|truncated"):
         M.decode_mp3(enc[:-300])
+
+
+def test_partial_final_quad_boundary():
+    # 576 - bv2 == 2 (mod 4): lines past the last full quad are rzero
+    # — nonzero values there must raise, zero values must round-trip
+    # (the decoder's count1 loop correctly never reads a partial quad)
+    sp = np.zeros((2, 576), np.int64)
+    sp[0, 0] = 2          # bv2 = 2 -> quads tile 2..574, tail 574-575
+    sp[0, 2:574] = np.resize([1, 0, -1, 0], 572)
+    enc = M.encode_mp3(sp, scalefac_compress=13)
+    got = np.vstack([
+        g["samples"] for fr in M.decode_mp3(enc)
+        for chs in fr["granules"] for g in chs
+    ])
+    assert np.array_equal(got, sp)
+    bad = sp.copy()
+    bad[0, 575] = 1       # in the rzero tail -> not encodable
+    with pytest.raises(ValueError, match="last full count1 quad"):
+        M.encode_mp3(bad, scalefac_compress=13)
