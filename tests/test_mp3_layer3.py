@@ -181,17 +181,133 @@ def test_region_boundaries_clamp():
 
 def test_named_errors():
     with pytest.raises(NotImplementedError, match="not transcribed"):
-        M.pair_table(16)
+        M.pair_table(16)  # ESC tables failed the transcription proofs
     with pytest.raises(NotImplementedError, match="not transcribed"):
-        M.pair_table(7)
+        M.pair_table(31)
+    with pytest.raises(NotImplementedError, match="not transcribed"):
+        M.pair_table(4)  # table 4 does not exist in the standard
     spectra = np.zeros((2, 576), np.int64)
-    spectra[0, 0] = 4  # beyond the shipped-table alphabet
+    spectra[0, 0] = 16  # beyond the shipped-table alphabet
     with pytest.raises(ValueError, match="limited to"):
         M.encode_mp3(spectra)
     with pytest.raises(ValueError, match="no band table"):
         M.region_boundaries(
             {"big_values": 1, "region0_count": 0, "region1_count": 0},
             12345,
+        )
+
+
+# ---------------------------------------------------------------------------
+# pair tables 7-15 (r13) + mixed blocks
+# ---------------------------------------------------------------------------
+
+
+def _big_spectrum(seed, nmax, n_big=120, n_quad=80):
+    """Legal spectrum with big-region values spanning the FULL
+    [-nmax, nmax] alphabet of the table under test."""
+    out = np.zeros(576, np.int64)
+    m = 2 * nmax + 1
+    for i in range(n_big):
+        out[i] = (7 * i + seed) % m - nmax
+    for i in range(n_big, n_big + n_quad):
+        out[i] = (5 * i + seed) % 3 - 1
+    out[n_big - 1] = nmax  # pin the big-region boundary
+    return out
+
+
+@pytest.mark.parametrize("sel", [7, 8, 9, 10, 11, 12, 13, 15])
+def test_roundtrip_big_tables_forced(sel):
+    nmax = M.HUFF_PAIR[sel]["n"] - 1
+    spectra = np.vstack(
+        [_big_spectrum(s, nmax, n_big=60 + 20 * s) for s in range(4)]
+    )
+    scf = np.vstack([_scf(s) for s in range(4)])
+    enc = M.encode_mp3(
+        spectra, scalefactors=scf, scalefac_compress=13,
+        pair_table_select=sel,
+    )
+    frames = M.decode_mp3(enc)
+    sides = [
+        g["side"] for fr in frames for chs in fr["granules"] for g in chs
+    ]
+    assert all(s["table_select"] == [sel] * 3 for s in sides)
+    got = np.vstack([
+        g["samples"] for fr in frames for chs in fr["granules"]
+        for g in chs
+    ])
+    assert np.array_equal(got, spectra)
+    # the alphabet was actually exercised to its extremes
+    assert int(np.abs(spectra).max()) == nmax
+
+
+def test_auto_table_choice():
+    # the encoder picks the smallest shipped table covering the
+    # big-region magnitude; the decoder round-trips each
+    for nmax, want in ((3, 5), (5, 7), (7, 10), (15, 13)):
+        spectra = _big_spectrum(1, nmax)[None, :]
+        enc = M.encode_mp3(spectra, scalefac_compress=13)
+        fr = M.decode_mp3(enc)
+        g = fr[0]["granules"][0][0]
+        assert g["side"]["table_select"][0] == want, (nmax, want)
+        assert np.array_equal(g["samples"], spectra[0])
+
+
+def test_forced_table_too_small():
+    spectra = _big_spectrum(0, 7)[None, :]
+    with pytest.raises(ValueError, match="exceeds forced table"):
+        M.encode_mp3(spectra, pair_table_select=7)
+
+
+def test_roundtrip_mixed_blocks():
+    # MIXED short/long granules: 35 scalefactors (8 long bands at
+    # slen1 + short sfb 3..5 x3 at slen1 + 6..11 x3 at slen2), the
+    # fixed 36-line region0, mixed_block_flag set, region walk exact
+    spectra = np.vstack(
+        [_big_spectrum(s, 5, n_big=80) for s in range(4)]
+    )
+    scf = np.array(
+        [[(5 * k + g) % 8 for k in range(35)] for g in range(4)],
+        np.int64,
+    )
+    enc = M.encode_mp3(
+        spectra, scalefactors=scf, scalefac_compress=13,
+        block_type=2, mixed_block=True, use_reservoir=True,
+    )
+    frames = M.decode_mp3(enc)
+    sides = [
+        g["side"] for fr in frames for chs in fr["granules"] for g in chs
+    ]
+    assert all(
+        s["window_switching"] and s["block_type"] == 2
+        and s["mixed_block_flag"] == 1
+        for s in sides
+    )
+    got = np.vstack([
+        g["samples"] for fr in frames for chs in fr["granules"]
+        for g in chs
+    ])
+    got_scf = np.vstack([
+        g["scalefactors"] for fr in frames for chs in fr["granules"]
+        for g in chs
+    ])
+    assert np.array_equal(got, spectra)
+    assert np.array_equal(got_scf, scf)
+    # mixed region0 is the 8 long bands = line 36 at every MPEG-1 rate
+    r0, r1, bv2 = M.region_boundaries(sides[0], 44100)
+    assert r0 == 36 and r1 == bv2
+
+
+def test_mixed_block_guards():
+    spectra = np.zeros((2, 576), np.int64)
+    with pytest.raises(ValueError, match="requires block_type 2"):
+        M.encode_mp3(spectra, mixed_block=True)
+    with pytest.raises(ValueError, match="35 scalefactors"):
+        M._encode_granule_main(
+            {"window_switching": 1, "block_type": 2,
+             "mixed_block_flag": 1, "scalefac_compress": 13,
+             "big_values": 0, "table_select": [1, 1],
+             "count1table_select": 1},
+            [0] * 36, np.zeros(576, np.int64), 44100, [0] * 4, 0,
         )
 
 
