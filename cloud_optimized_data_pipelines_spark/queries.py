@@ -137,6 +137,9 @@ from cloud_optimized_data_pipelines_spark.registry import (  # noqa: E402,F401
     q_similarity,
     q_text,
     q_multimodal,
+    q_multimodal_image,
+    q_multimodal_audio,
+    q_multimodal_video,
     q_sessionize,
     q_relational_extra,
     q_survey_misc,

@@ -1,10 +1,13 @@
-"""multimodal family: codecs probes (PNG/JPEG/GIF/WAV/AVI/COG/STAC), near-dup, profiling
+"""multimodal family: cross-modal probes — payload meta, raster
+(COG/STAC), feature extraction, quality profiling, WebDataset.
 
-Split out of the single-file registry in round 11 (VERDICT r10 task
-9); registration order is preserved by the import order in
+r13 split of the 4,121-line q_multimodal by media family (VERDICT r12
+task 4); registration order is the import order in
 ``cloud_optimized_data_pipelines_spark.queries`` and pinned by
 ``tests/test_registry_order.py``.  Code is unchanged — only moved.
 """
+
+from __future__ import annotations
 
 from __future__ import annotations
 
@@ -25,7 +28,6 @@ from cloud_optimized_data_pipelines_spark.queries import (  # noqa: F401
     load_tables,
     query,
 )
-
 _MULTIMODAL = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -432,132 +434,6 @@ def stac_item_raster_q(spark, sf_dir):
     )
 
 
-def _phash_pairs_oracle() -> str:
-    """Oracle for multimodal_phash_pairs: the 64-bit aHash is INTEGER
-    arithmetic over the deterministic quadratic grid, so the oracle
-    recomputes every hash from the pixel formula (fully non-circular —
-    the engine's hashes come from real PNG bytes decoded back), then
-    replays the banded Hamming join with bit_count(xor).  The PNG byte
-    streams are pinned via md5 literals from a single-process
-    reference run (the _png_probe_oracle pattern)."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _phash_variant,
-    )
-
-    rows = [_phash_variant(v) for v in range(16)]
-    md5_case = (
-        "CASE v "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['png_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT unnest(range(0, 16)) AS v),
-grid AS (
-  SELECT v, k,
-         CASE WHEN v % 2 = 1 AND (k // 40) < 6 AND (k % 40) < 5
-              THEN (((k + 13) * (k + 7 * (v // 2) + 1)) % 251 + 90) % 251
-              ELSE ((k + 13) * (k + 7 * (v // 2) + 1)) % 251 END AS s
-  FROM var, (SELECT unnest(range(0, 1920)) AS k) g
-),
-blocks AS (
-  SELECT v, (k // 40) // 6 AS i, (k % 40) // 5 AS j, SUM(s) AS bs
-  FROM grid GROUP BY 1, 2, 3
-),
-tot AS (SELECT v, SUM(s) AS total FROM grid GROUP BY v),
-bits AS (
-  SELECT b.v, b.i * 8 + b.j AS idx,
-         CASE WHEN b.bs * 64 >= t.total THEN 1 ELSE 0 END AS bit
-  FROM blocks b JOIN tot t USING (v)
-),
-hashes AS (
-  SELECT v,
-         SUM(CASE WHEN idx < 32 THEN bit << (31 - idx) ELSE 0 END)::BIGINT
-           AS hi,
-         SUM(CASE WHEN idx >= 32 THEN bit << (63 - idx) ELSE 0 END)::BIGINT
-           AS lo
-  FROM bits GROUP BY v
-),
-bands AS (
-  SELECT v, hi, lo, 0 AS band, (hi >> 16) & 65535 AS val FROM hashes
-  UNION ALL SELECT v, hi, lo, 1, hi & 65535 FROM hashes
-  UNION ALL SELECT v, hi, lo, 2, (lo >> 16) & 65535 FROM hashes
-  UNION ALL SELECT v, hi, lo, 3, lo & 65535 FROM hashes
-),
-pairs AS (
-  SELECT DISTINCT a.v AS va, b.v AS vb,
-         bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.val = b.val AND a.v < b.v
-  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
-),
-md5s AS (SELECT v, {md5_case} AS m FROM var),
-cnt AS (SELECT doc_id % 16 AS v, count(*) AS n FROM documents GROUP BY 1)
-SELECT p.va AS variant_a, p.vb AS variant_b,
-       CAST(p.hamming AS BIGINT) AS hamming,
-       ma.m AS md5_a, mb.m AS md5_b,
-       ca.n AS docs_a, cb.n AS docs_b
-FROM pairs p
-JOIN md5s ma ON ma.v = p.va
-JOIN md5s mb ON mb.v = p.vb
-JOIN cnt ca ON ca.v = p.va
-JOIN cnt cb ON cb.v = p.vb
-"""
-
-
-@query("multimodal_phash_pairs", _phash_pairs_oracle)
-def multimodal_phash_pairs_q(spark, sf_dir):
-    """Perceptual-hash IMAGE dedup over real bytes (operators/
-    multimodal.py::phash_probe_table + image_near_dup_pairs): 16 gray
-    rasters in 8 engineered near-dup pairs are encoded as actual PNGs,
-    decoded back by the pure-numpy codec, aHashed (integer-exact 8x8
-    block means), and joined by 4x16-bit banded Hamming blocking —
-    complete at the <=3 threshold by pigeonhole, popcount-verified.
-    The oracle recomputes every hash ARITHMETICALLY from the pixel
-    formula (non-circular: a decode bug flips hash bits and the join
-    output), and pins the byte streams via md5 literals.  At 100 TB:
-    decode+hash ride the asset scan via mapInPandas; the join sees
-    only (id, 2 BIGINT) rows, collision-bound by the bands."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        image_near_dup_pairs,
-        phash_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = phash_probe_table(spark, 16)
-    pairs = image_near_dup_pairs(probe, "variant", max_hamming=3)
-    cnt = (
-        t["documents"]
-        .groupBy((F.col("doc_id") % 16).alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    meta = probe.select("variant", "png_md5")
-    return (
-        pairs.join(
-            meta.select(
-                F.col("variant").alias("id_a"), F.col("png_md5").alias("md5_a")
-            ),
-            "id_a",
-        )
-        .join(
-            meta.select(
-                F.col("variant").alias("id_b"), F.col("png_md5").alias("md5_b")
-            ),
-            "id_b",
-        )
-        .join(cnt.select(F.col("v").alias("id_a"), F.col("n").alias("docs_a")), "id_a")
-        .join(cnt.select(F.col("v").alias("id_b"), F.col("n").alias("docs_b")), "id_b")
-        .select(
-            F.col("id_a").alias("variant_a"),
-            F.col("id_b").alias("variant_b"),
-            "hamming",
-            "md5_a",
-            "md5_b",
-            "docs_a",
-            "docs_b",
-        )
-    )
-
-
 def _profile_oracle() -> str:
     """Oracle for quality_column_profiles: per column, one scalar CTE
     (exact counts/min/max + rounded mean) and one histogram CTE whose
@@ -723,1954 +599,6 @@ def quality_constraint_report_q(spark, sf_dir):
     ).orderBy("rule_id")
 
 
-def _afp_pairs_oracle() -> str:
-    """Oracle for multimodal_audio_near_dup: the 64-bit energy hash is
-    integer arithmetic over the deterministic waveform formula, so
-    every fingerprint is recomputed from scratch in SQL (non-circular
-    vs the engine's decode-real-WAV-bytes path); the banded Hamming
-    join is replayed with bit_count(xor) and the RIFF byte streams are
-    pinned via md5 literals."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _afp_variant,
-    )
-
-    rows = [_afp_variant(v) for v in range(16)]
-    md5_case = (
-        "CASE v "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['wav_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT unnest(range(0, 16)) AS v),
-grid AS (
-  SELECT v, k,
-         abs(CASE WHEN v % 2 = 1 AND k < 16
-                  THEN (((k + 11) * (k + 5 * (v // 2) + 3)) % 20011 + 800)
-                       % 20011 - 10005
-                  ELSE ((k + 11) * (k + 5 * (v // 2) + 3)) % 20011 - 10005
-             END) AS a
-  FROM var, (SELECT unnest(range(0, 1024)) AS k) g
-),
-wins AS (
-  SELECT v, k // 16 AS w, SUM(a) AS e FROM grid GROUP BY 1, 2
-),
-tot AS (SELECT v, SUM(a) AS total FROM grid GROUP BY v),
-bits AS (
-  SELECT w.v, w.w AS idx,
-         CASE WHEN w.e * 64 >= t.total THEN 1 ELSE 0 END AS bit
-  FROM wins w JOIN tot t USING (v)
-),
-hashes AS (
-  SELECT v,
-         SUM(CASE WHEN idx < 32 THEN bit << (31 - idx) ELSE 0 END)::BIGINT
-           AS hi,
-         SUM(CASE WHEN idx >= 32 THEN bit << (63 - idx) ELSE 0 END)::BIGINT
-           AS lo
-  FROM bits GROUP BY v
-),
-bands AS (
-  SELECT v, hi, lo, 0 AS band, (hi >> 16) & 65535 AS val FROM hashes
-  UNION ALL SELECT v, hi, lo, 1, hi & 65535 FROM hashes
-  UNION ALL SELECT v, hi, lo, 2, (lo >> 16) & 65535 FROM hashes
-  UNION ALL SELECT v, hi, lo, 3, lo & 65535 FROM hashes
-),
-pairs AS (
-  SELECT DISTINCT a.v AS va, b.v AS vb,
-         bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.val = b.val AND a.v < b.v
-  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
-),
-md5s AS (SELECT v, {md5_case} AS m FROM var),
-cnt AS (SELECT doc_id % 16 AS v, count(*) AS n FROM documents GROUP BY 1)
-SELECT p.va AS variant_a, p.vb AS variant_b,
-       CAST(p.hamming AS BIGINT) AS hamming,
-       ma.m AS md5_a, mb.m AS md5_b,
-       ca.n AS docs_a, cb.n AS docs_b
-FROM pairs p
-JOIN md5s ma ON ma.v = p.va
-JOIN md5s mb ON mb.v = p.vb
-JOIN cnt ca ON ca.v = p.va
-JOIN cnt cb ON cb.v = p.vb
-"""
-
-
-@query("multimodal_audio_near_dup", _afp_pairs_oracle)
-def multimodal_audio_near_dup_q(spark, sf_dir):
-    """Audio fingerprint near-dup over real bytes (operators/
-    multimodal.py::audio_fingerprint_table + the modality-agnostic
-    image_near_dup_pairs banded join): 16 waveforms in 8 engineered
-    overdub pairs are encoded as actual RIFF/WAVE files, decoded back,
-    energy-hashed (integer-exact 64-window abs-energy threshold), and
-    joined by 4x16-bit banded Hamming blocking.  The oracle recomputes
-    every fingerprint ARITHMETICALLY from the waveform formula and
-    pins the byte streams via md5 literals — the audio twin of
-    multimodal_phash_pairs, completing per-modality dedup (text /
-    image / audio / embedding)."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        audio_fingerprint_table,
-        image_near_dup_pairs,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = audio_fingerprint_table(spark, 16)
-    pairs = image_near_dup_pairs(
-        probe, "variant", hi_col="afp_hi", lo_col="afp_lo", max_hamming=3
-    )
-    cnt = (
-        t["documents"]
-        .groupBy((F.col("doc_id") % 16).alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    meta = probe.select("variant", "wav_md5")
-    return (
-        pairs.join(
-            meta.select(
-                F.col("variant").alias("id_a"), F.col("wav_md5").alias("md5_a")
-            ),
-            "id_a",
-        )
-        .join(
-            meta.select(
-                F.col("variant").alias("id_b"), F.col("wav_md5").alias("md5_b")
-            ),
-            "id_b",
-        )
-        .join(cnt.select(F.col("v").alias("id_a"), F.col("n").alias("docs_a")), "id_a")
-        .join(cnt.select(F.col("v").alias("id_b"), F.col("n").alias("docs_b")), "id_b")
-        .select(
-            F.col("id_a").alias("variant_a"),
-            F.col("id_b").alias("variant_b"),
-            "hamming",
-            "md5_a",
-            "md5_b",
-            "docs_a",
-            "docs_b",
-        )
-    )
-
-
-def _vfp_pairs_oracle() -> str:
-    """Oracle for multimodal_video_near_dup: the temporal-sum aHash is
-    integer arithmetic over the per-frame pixel formula, recomputed
-    from scratch in SQL (non-circular vs the engine's
-    decode-real-AVI-container path); banded Hamming join replayed with
-    bit_count(xor), AVI byte streams pinned via md5 literals."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _vfp_variant,
-    )
-
-    rows = [_vfp_variant(v) for v in range(16)]
-    md5_case = (
-        "CASE v "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['avi_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT unnest(range(0, 16)) AS v),
-grid AS (
-  SELECT v, k, SUM(
-    CASE WHEN v % 2 = 1 AND f = 2 AND (k // 40) < 6 AND (k % 40) < 5
-         THEN (((k + 13) * (k + 7 * (v // 2) + 1) + 31 * f) % 251 + 200) % 251
-         ELSE ((k + 13) * (k + 7 * (v // 2) + 1) + 31 * f) % 251
-    END) AS s
-  FROM var,
-       (SELECT unnest(range(0, 1920)) AS k) g,
-       (SELECT unnest(range(0, 4)) AS f) fr
-  GROUP BY v, k
-),
-blocks AS (
-  SELECT v, (k // 40) // 6 AS i, (k % 40) // 5 AS j, SUM(s) AS bs
-  FROM grid GROUP BY 1, 2, 3
-),
-tot AS (SELECT v, SUM(s) AS total FROM grid GROUP BY v),
-bits AS (
-  SELECT b.v, b.i * 8 + b.j AS idx,
-         CASE WHEN b.bs * 64 >= t.total THEN 1 ELSE 0 END AS bit
-  FROM blocks b JOIN tot t USING (v)
-),
-hashes AS (
-  SELECT v,
-         SUM(CASE WHEN idx < 32 THEN bit << (31 - idx) ELSE 0 END)::BIGINT
-           AS hi,
-         SUM(CASE WHEN idx >= 32 THEN bit << (63 - idx) ELSE 0 END)::BIGINT
-           AS lo
-  FROM bits GROUP BY v
-),
-bands AS (
-  SELECT v, hi, lo, 0 AS band, (hi >> 16) & 65535 AS val FROM hashes
-  UNION ALL SELECT v, hi, lo, 1, hi & 65535 FROM hashes
-  UNION ALL SELECT v, hi, lo, 2, (lo >> 16) & 65535 FROM hashes
-  UNION ALL SELECT v, hi, lo, 3, lo & 65535 FROM hashes
-),
-pairs AS (
-  SELECT DISTINCT a.v AS va, b.v AS vb,
-         bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.val = b.val AND a.v < b.v
-  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
-),
-md5s AS (SELECT v, {md5_case} AS m FROM var),
-cnt AS (SELECT doc_id % 16 AS v, count(*) AS n FROM documents GROUP BY 1)
-SELECT p.va AS variant_a, p.vb AS variant_b,
-       CAST(p.hamming AS BIGINT) AS hamming,
-       ma.m AS md5_a, mb.m AS md5_b,
-       ca.n AS docs_a, cb.n AS docs_b
-FROM pairs p
-JOIN md5s ma ON ma.v = p.va
-JOIN md5s mb ON mb.v = p.vb
-JOIN cnt ca ON ca.v = p.va
-JOIN cnt cb ON cb.v = p.vb
-"""
-
-
-@query("multimodal_video_near_dup", _vfp_pairs_oracle)
-def multimodal_video_near_dup_q(spark, sf_dir):
-    """Video near-dup over real container bytes (operators/
-    multimodal.py::video_fingerprint_table + the modality-agnostic
-    banded join): 16 four-frame AVIs in 8 engineered one-frame-edit
-    pairs are encoded as actual RIFF/AVI containers (DIB streams,
-    idx1 index), walked + decoded back, fingerprinted by the
-    temporal-sum aHash (integer-exact), and joined by 4x16-bit banded
-    Hamming blocking.  The oracle recomputes every fingerprint
-    ARITHMETICALLY from the per-frame formula and pins the container
-    bytes via md5 literals — with phash/afp this completes
-    per-modality near-dup: text, image, audio, video, embedding."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        image_near_dup_pairs,
-        video_fingerprint_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = video_fingerprint_table(spark, 16)
-    pairs = image_near_dup_pairs(
-        probe, "variant", hi_col="vfp_hi", lo_col="vfp_lo", max_hamming=3
-    )
-    cnt = (
-        t["documents"]
-        .groupBy((F.col("doc_id") % 16).alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    meta = probe.select("variant", "avi_md5")
-    return (
-        pairs.join(
-            meta.select(
-                F.col("variant").alias("id_a"), F.col("avi_md5").alias("md5_a")
-            ),
-            "id_a",
-        )
-        .join(
-            meta.select(
-                F.col("variant").alias("id_b"), F.col("avi_md5").alias("md5_b")
-            ),
-            "id_b",
-        )
-        .join(cnt.select(F.col("v").alias("id_a"), F.col("n").alias("docs_a")), "id_a")
-        .join(cnt.select(F.col("v").alias("id_b"), F.col("n").alias("docs_b")), "id_b")
-        .select(
-            F.col("id_a").alias("variant_a"),
-            F.col("id_b").alias("variant_b"),
-            "hamming",
-            "md5_a",
-            "md5_b",
-            "docs_a",
-            "docs_b",
-        )
-    )
-
-
-def _png_probe_oracle() -> str:
-    """Oracle for multimodal_png_features, built at import (the
-    _cog_probe_oracle pattern): the 8 variant conversions run ONCE in
-    plain local python (same pure-numpy codec, no Spark) to pin the
-    exact emitted PNG bytes via md5 literals, while px_sum is
-    recomputed ARITHMETICALLY in SQL from the sample-grid formula
-    sample(k) = (k * (v+1)) % mod — so the encode->decode round-trip
-    is checked against non-circular ground truth and the byte stream
-    against a single-process reference run."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _PROBE_CHANNELS,
-        _PROBE_H,
-        _PROBE_W,
-        _png_variant,
-    )
-
-    rows = [_png_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['png_md5']}'" for r in rows)
-        + " END"
-    )
-    ch_case = (
-        "CASE v "
-        + " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(_PROBE_CHANNELS))
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v, {ch_case} AS channels,
-         CASE WHEN v >= 6 THEN 16 ELSE 8 END AS bit_depth,
-         CASE WHEN v >= 6 THEN 60013 ELSE 251 END AS mod
-  FROM var
-),
-cells AS (
-  SELECT m.v, CAST(SUM((g.k * (m.v + 1)) % m.mod) AS BIGINT) AS px_sum
-  FROM meta m,
-       (SELECT UNNEST(range(0, {_PROBE_H} * {_PROBE_W} * 4)) AS k) g
-  WHERE g.k < {_PROBE_H} * {_PROBE_W} * m.channels
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS png_md5,
-       c.px_sum,
-       CAST({_PROBE_W} AS BIGINT) AS width,
-       CAST({_PROBE_H} AS BIGINT) AS height,
-       CAST(m.channels AS BIGINT) AS channels,
-       CAST(m.bit_depth AS BIGINT) AS bit_depth
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_png_features", _png_probe_oracle)
-def multimodal_png_features_q(spark, sf_dir):
-    """REAL-bytes multimodal decode (operators/png_codec.py +
-    operators/multimodal.py::png_probe_table): per variant, a formula
-    raster is encoded as an actual PNG (filter-cycling, so the byte
-    stream exercises all five scanline filters), decoded back by the
-    pure-numpy codec, round-trip-verified executor-side; the query
-    emits the blob md5 plus decoded-pixel statistics for every
-    document.  The driver's value hash therefore covers the exact
-    encoded byte stream AND the inflate->unfilter->reconstruct decode
-    path — not a stub.  The 8-variant probe table is computed on
-    executors (mapInPandas) and broadcast against the corpus — at
-    100 TB the codec cost is per-variant, not per-row."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        png_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = png_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "png_md5",
-        "px_sum",
-        "width",
-        "height",
-        "channels",
-        "bit_depth",
-    )
-
-
-def _png_palette_probe_oracle() -> str:
-    """Oracle for multimodal_png_palette (the _png_probe_oracle
-    pattern): byte-stream md5s pinned from a single-process run of the
-    same codec; px_sum recomputed ARITHMETICALLY in SQL from the
-    palette/index formulas — palette entry i sums to ((i*7+1)%251 +
-    (i*11+3)%251 + (i*13+5)%251) and index(k) = (k*(v+1)) % 2^depth —
-    proving the indexed decode (incl. Adam7 reassembly for variants
-    4-7) against non-circular ground truth."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _PAL_H,
-        _PAL_W,
-        _png_palette_variant,
-    )
-
-    rows = [_png_palette_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['png_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v,
-         CASE v % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END
-           AS depth,
-         v % 8 >= 4 AS interlaced
-  FROM var
-),
-cells AS (
-  SELECT m.v,
-         CAST(SUM(
-           ((((g.k * (m.v + 1)) % (1 << m.depth)) * 7 + 1) % 251)
-           + ((((g.k * (m.v + 1)) % (1 << m.depth)) * 11 + 3) % 251)
-           + ((((g.k * (m.v + 1)) % (1 << m.depth)) * 13 + 5) % 251)
-         ) AS BIGINT) AS px_sum
-  FROM meta m,
-       (SELECT UNNEST(range(0, {_PAL_H} * {_PAL_W})) AS k) g
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS png_md5,
-       c.px_sum,
-       CAST({_PAL_W} AS BIGINT) AS width,
-       CAST({_PAL_H} AS BIGINT) AS height,
-       CAST(m.depth AS BIGINT) AS bit_depth,
-       CAST(1 << m.depth AS BIGINT) AS n_palette,
-       m.interlaced
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_png_palette", _png_palette_probe_oracle)
-def multimodal_png_palette_q(spark, sf_dir):
-    """REAL-bytes indexed-PNG decode (round-6 codec additions:
-    PLTE/color-type-3 expansion, sub-byte packed scanlines, Adam7
-    interlace reassembly — operators/png_codec.py): per variant a
-    formula index raster is encoded as an actual palette PNG (depths
-    1/2/4/8; variants 4-7 Adam7), decoded back, round-trip verified
-    executor-side; the query emits the blob md5 plus decoded-RGB
-    statistics for every document.  Broadcast per-variant probe —
-    codec cost per-variant, not per-row."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        png_palette_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = png_palette_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "png_md5",
-        "px_sum",
-        "width",
-        "height",
-        "bit_depth",
-        "n_palette",
-        "interlaced",
-    )
-
-
-def _gif_probe_oracle() -> str:
-    """Oracle for multimodal_gif_frames (the _png_probe_oracle
-    pattern): byte-stream md5s pinned from a single-process run;
-    sampled_px_sum recomputed ARITHMETICALLY from the palette/index
-    formulas over the SAMPLED frames {0,2,4} — valid ground truth
-    because GIF/LZW is lossless, so decode == source by construction
-    and the frame-sampling step is pure indexing."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _GIF_H,
-        _GIF_NPAL,
-        _GIF_W,
-        _gif_variant,
-    )
-
-    rows = [_gif_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['gif_md5']}'" for r in rows)
-        + " END"
-    )
-    npal_case = (
-        "CASE v "
-        + " ".join(f"WHEN {i} THEN {n}" for i, n in enumerate(_GIF_NPAL))
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (SELECT v, {npal_case} AS npal FROM var),
-cells AS (
-  SELECT m.v,
-         CAST(SUM(
-           ((((g.k * (m.v + 1) + 7 * fr.f) % m.npal) * 7 + 1) % 251)
-           + ((((g.k * (m.v + 1) + 7 * fr.f) % m.npal) * 11 + 3) % 251)
-           + ((((g.k * (m.v + 1) + 7 * fr.f) % m.npal) * 13 + 5) % 251)
-         ) AS BIGINT) AS sampled_px_sum
-  FROM meta m,
-       (SELECT UNNEST([0, 2, 4]) AS f) fr,
-       (SELECT UNNEST(range(0, {_GIF_H} * {_GIF_W})) AS k) g
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS gif_md5,
-       c.sampled_px_sum,
-       CAST(6 AS BIGINT) AS n_frames,
-       CAST(3 AS BIGINT) AS n_sampled,
-       CAST({_GIF_W} AS BIGINT) AS width,
-       CAST({_GIF_H} AS BIGINT) AS height,
-       CAST(m.npal AS BIGINT) AS n_palette
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_gif_frames", _gif_probe_oracle)
-def multimodal_gif_frames_q(spark, sf_dir):
-    """REAL-bytes ANIMATED-GIF decode + frame sampling
-    (operators/gif_codec.py + operators/multimodal.py::
-    gif_probe_table): per variant a 6-frame formula animation is
-    encoded as an actual GIF89a (LZW with early-change width growth,
-    GCE delays, loop extension), decoded back through the full
-    LZW/frame walk, round-trip verified executor-side, then SAMPLED
-    every 2nd frame — the video-pipeline decimation step on real
-    container bytes; the query emits the blob md5 plus sampled-frame
-    pixel statistics for every document.  The closest honest
-    approximation of the video modality this container allows (ffmpeg
-    codecs stay stubbed; the plumbing is identical).  Broadcast
-    per-variant probe — codec cost per-variant, not per-row."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        gif_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = gif_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "gif_md5",
-        "sampled_px_sum",
-        "n_frames",
-        "n_sampled",
-        "width",
-        "height",
-        "n_palette",
-    )
-
-
-def _gif_interlaced_oracle() -> str:
-    """Oracle for multimodal_gif_interlaced: md5s pinned from a
-    single-process run of the INTERLACED encoding; sampled_px_sum is
-    the SAME arithmetic replay as the sequential probe's — interlacing
-    permutes storage rows only, so the deinterlaced pixels (and every
-    statistic over them) must be identical, which is exactly the
-    cross-engine claim this query grades."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _GIF_H,
-        _GIF_NPAL,
-        _GIF_W,
-        _gif_interlaced_variant,
-    )
-
-    rows = [_gif_interlaced_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['gif_md5']}'" for r in rows)
-        + " END"
-    )
-    npal_case = (
-        "CASE v "
-        + " ".join(f"WHEN {i} THEN {n}" for i, n in enumerate(_GIF_NPAL))
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (SELECT v, {npal_case} AS npal FROM var),
-cells AS (
-  SELECT m.v,
-         CAST(SUM(
-           ((((g.k * (m.v + 1) + 7 * fr.f) % m.npal) * 7 + 1) % 251)
-           + ((((g.k * (m.v + 1) + 7 * fr.f) % m.npal) * 11 + 3) % 251)
-           + ((((g.k * (m.v + 1) + 7 * fr.f) % m.npal) * 13 + 5) % 251)
-         ) AS BIGINT) AS sampled_px_sum
-  FROM meta m,
-       (SELECT UNNEST([0, 2, 4]) AS f) fr,
-       (SELECT UNNEST(range(0, {_GIF_H} * {_GIF_W})) AS k) g
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS gif_md5,
-       c.sampled_px_sum,
-       CAST(6 AS BIGINT) AS n_frames,
-       CAST(3 AS BIGINT) AS n_sampled,
-       CAST({_GIF_W} AS BIGINT) AS width,
-       CAST({_GIF_H} AS BIGINT) AS height,
-       CAST(m.npal AS BIGINT) AS n_palette
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_gif_interlaced", _gif_interlaced_oracle)
-def multimodal_gif_interlaced_q(spark, sf_dir):
-    """REAL-bytes INTERLACED-GIF decode + frame sampling
-    (operators/gif_codec.py::_interlace_order + operators/
-    multimodal.py::gif_interlaced_probe_table): every frame is stored
-    in the GIF87a appendix E 4-pass row schedule; the decoder
-    deinterlaces, an executor-side hand-walk of the raw LZW payload
-    independently proves the storage permutation, and the sampled
-    pixel statistics must equal the sequential probe's (interlace is
-    transport order only) while the md5 pins the permuted bytes.
-    Closes the last GIF capability gap (was a named error through
-    round 7).  Broadcast per-variant probe."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        gif_interlaced_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = gif_interlaced_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "gif_md5",
-        "sampled_px_sum",
-        "n_frames",
-        "n_sampled",
-        "width",
-        "height",
-        "n_palette",
-    )
-
-
-def _gif_composite_oracle() -> str:
-    """Oracle for multimodal_gif_composite: md5s pinned from a
-    single-process run; sampled_px_sum recomputed ARITHMETICALLY by
-    replaying the disposal-aware compositing in SQL — for each sampled
-    frame the per-pixel index is a CASE over which patch rect covers it
-    last (frame 4's patch > frame 2's background-restored rect >
-    frame 1's patch > base), exactly the GIF89a disposal semantics,
-    then mapped through the palette formula.  Valid ground truth
-    because GIF/LZW is lossless and compositing is pure integer
-    indexing."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _GIF_H,
-        _GIF_NPAL,
-        _GIF_W,
-        _GIFC_BG,
-        _gif_composite_variant,
-        _gifc_rect,
-    )
-
-    rows = [_gif_composite_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['gif_md5']}'" for r in rows)
-        + " END"
-    )
-    npal_case = (
-        "CASE v "
-        + " ".join(f"WHEN {i} THEN {n}" for i, n in enumerate(_GIF_NPAL))
-        + " END"
-    )
-
-    def rect(f):
-        left, top = _gifc_rect(f)
-        cover = (
-            f"(g.x >= {left} AND g.x < {left + 6} "
-            f"AND g.y >= {top} AND g.y < {top + 8})"
-        )
-        j = f"((g.y - {top}) * 6 + (g.x - {left}))"
-        patch = f"(({j} * (m.v + 2) + {11 * f}) % m.npal)"
-        return cover, patch
-
-    in1, p1 = rect(1)
-    in2, p2 = rect(2)
-    in4, p4 = rect(4)
-    base = "((g.k * (m.v + 1)) % m.npal)"
-
-    def p3(i):
-        return (
-            f"(({i} * 7 + 1) % 251 + ({i} * 11 + 3) % 251 "
-            f"+ ({i} * 13 + 5) % 251)"
-        )
-
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (SELECT v, {npal_case} AS npal FROM var),
-grid AS (
-  SELECT k, k % {_GIF_W} AS x, k // {_GIF_W} AS y
-  FROM (SELECT UNNEST(range(0, {_GIF_H} * {_GIF_W})) AS k)
-),
-idx AS (
-  SELECT m.v,
-         {base} AS i0,
-         CASE WHEN {in2} THEN {p2}
-              WHEN {in1} THEN {p1}
-              ELSE {base} END AS i2,
-         CASE WHEN {in4} THEN {p4}
-              WHEN {in2} THEN {_GIFC_BG}
-              WHEN {in1} THEN {p1}
-              ELSE {base} END AS i4
-  FROM meta m, grid g
-),
-cells AS (
-  SELECT v,
-         CAST(SUM({p3('i0')} + {p3('i2')} + {p3('i4')}) AS BIGINT)
-           AS sampled_px_sum
-  FROM idx GROUP BY v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS gif_md5,
-       c.sampled_px_sum,
-       CAST(6 AS BIGINT) AS n_frames,
-       CAST(3 AS BIGINT) AS n_sampled,
-       CAST({_GIF_W} AS BIGINT) AS width,
-       CAST({_GIF_H} AS BIGINT) AS height,
-       CAST(m.npal AS BIGINT) AS n_palette
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_gif_composite", _gif_composite_oracle)
-def multimodal_gif_composite_q(spark, sf_dir):
-    """REAL-bytes PARTIAL-UPDATE GIF decode (operators/gif_codec.py::
-    encode_gif_anim/decode_gif + operators/multimodal.py::
-    gif_composite_probe_table): per variant a full-screen base frame
-    plus five 6x8 sub-rectangle patches with mixed GIF89a disposal
-    methods (leave-in-place, restore-to-background, restore-to-
-    previous) are encoded as an actual animated GIF, decoded through
-    the compositing walk, verified against an independent numpy
-    compositor, and frames {0,2,4} sampled — the form real-world
-    animations actually ship (sub-rect patches, not full refreshes).
-    The sampled sums pin the disposal semantics: frame 3's patch must
-    be absent (restore-to-previous) and frame 2's rect must read the
-    background index (restore-to-background).  Broadcast per-variant
-    probe — codec cost per-variant, not per-row."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        gif_composite_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = gif_composite_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "gif_md5",
-        "sampled_px_sum",
-        "n_frames",
-        "n_sampled",
-        "width",
-        "height",
-        "n_palette",
-    )
-
-
-def _jpeg_lossless_oracle() -> str:
-    """Oracle for multimodal_jpeg_lossless: md5s pinned from a single-
-    process run; px_sum recomputed ARITHMETICALLY from
-    px(k) = (k*(v+1)*7919) % 2^bits — valid ground truth for ARBITRARY
-    pixels because SOF3 is lossless by construction (decode == source
-    always, verified executor-side)."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _JPEGLL_HW,
-        _jpeg_lossless_variant,
-    )
-
-    rows = [_jpeg_lossless_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['jpeg_md5']}'" for r in rows)
-        + " END"
-    )
-    n = _JPEGLL_HW * _JPEGLL_HW
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v, CASE WHEN v % 2 = 0 THEN 8 ELSE 16 END AS bits,
-         (v % 7) + 1 AS predictor
-  FROM var
-),
-cells AS (
-  SELECT m.v,
-         CAST(SUM((g.k * (m.v + 1) * 7919)
-                  % CASE WHEN m.bits = 8 THEN 256 ELSE 65536 END)
-              AS BIGINT) AS px_sum
-  FROM meta m, (SELECT UNNEST(range(0, {n})) AS k) g
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS jpeg_md5,
-       c.px_sum,
-       CAST({_JPEGLL_HW} AS BIGINT) AS width,
-       CAST({_JPEGLL_HW} AS BIGINT) AS height,
-       CAST(m.bits AS BIGINT) AS bits,
-       CAST(m.predictor AS BIGINT) AS predictor
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_jpeg_lossless", _jpeg_lossless_oracle)
-def multimodal_jpeg_lossless_q(spark, sf_dir):
-    """REAL-bytes LOSSLESS JPEG (operators/jpeg_codec.py::
-    encode_jpeg_lossless + the SOF3 Annex H decoder): per variant an
-    ARBITRARY formula image (8-bit even variants, full-range 16-bit
-    odd — the DNG/medical/science precision) is prediction-residual
-    coded with the selector cycling all seven H.1 predictors, decoded
-    back, and verified BIT-EXACT executor-side — no DC-exactness
-    construction, because losslessness is the format's contract.
-    Closes the SOF3 capability gap (was a named error).  Broadcast
-    per-variant probe."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        jpeg_lossless_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = jpeg_lossless_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "jpeg_md5",
-        "px_sum",
-        "width",
-        "height",
-        "bits",
-        "predictor",
-    )
-
-
-def _jpeg12_probe_oracle() -> str:
-    """Oracle for multimodal_jpeg_12bit: md5s pinned from a single-
-    process run; px_sum recomputed ARITHMETICALLY from the 12-bit
-    uniform-block formula val(b) = 2*((b*(v+1) + 977*[v>=4]) % 2039)
-    + 16 — DC-exact at the 2048 level shift for the same Annex K
-    Q[0,0]=16 reason as the 8-bit probe."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _JPEG_H,
-        _JPEG_W,
-        _jpeg12_variant,
-    )
-
-    rows = [_jpeg12_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['jpeg_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v, CASE WHEN v % 4 >= 2 THEN 2 ELSE 0 END AS restart,
-         CASE WHEN v % 8 >= 4 THEN 977 ELSE 0 END AS hi
-  FROM var
-),
-cells AS (
-  SELECT m.v,
-         CAST(SUM(64 * (2 * ((g.b * (m.v + 1) + m.hi) % 2039) + 16))
-              AS BIGINT) AS px_sum
-  FROM meta m, (SELECT UNNEST(range(0, 64)) AS b) g
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS jpeg_md5,
-       c.px_sum,
-       CAST({_JPEG_W} AS BIGINT) AS width,
-       CAST({_JPEG_H} AS BIGINT) AS height,
-       CAST(1 AS BIGINT) AS channels,
-       CAST(m.restart AS BIGINT) AS restart
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_jpeg_12bit", _jpeg12_probe_oracle)
-def multimodal_jpeg_12bit_q(spark, sf_dir):
-    """REAL-bytes 12-BIT JPEG decode (operators/jpeg_codec.py::
-    encode_jpeg_12bit + the precision-parameterized decode path): per
-    variant a full-range 12-bit grayscale image is encoded as an
-    extended-sequential SOF1 JPEG with wide (12-bit-magnitude)
-    Huffman tables, decoded back as uint16 through the same marker
-    walk as baseline, round-trip verified executor-side — the
-    scientific/medical precision form, a named error before this
-    round.  Broadcast per-variant probe."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        jpeg12_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = jpeg12_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "jpeg_md5",
-        "px_sum",
-        "width",
-        "height",
-        "channels",
-        "restart",
-    )
-
-
-def _jpeg_probe_oracle() -> str:
-    """Oracle for multimodal_jpeg_features (the _png_probe_oracle
-    pattern): the 8 variant conversions run ONCE in plain local python
-    (same pure-numpy codec, no Spark) to pin the exact emitted JPEG
-    bytes via md5 literals, while px_sum is recomputed ARITHMETICALLY
-    in SQL from the uniform-block formula
-    val(b) = 2*((b*(v+1)) % 113) + 14, b in 0..63, 64 px per block —
-    valid ground truth because DC-only even-valued blocks survive the
-    Annex K luminance quantization exactly (jpeg_codec docstring), so
-    decode == source by construction, and the round trip is verified
-    executor-side."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _JPEG_H,
-        _JPEG_W,
-        _jpeg_variant,
-    )
-
-    rows = [_jpeg_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['jpeg_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v, CASE WHEN v % 8 < 4 THEN 1 ELSE 3 END AS channels,
-         CASE WHEN v % 4 >= 2 THEN 2 ELSE 0 END AS restart
-  FROM var
-),
-cells AS (
-  SELECT m.v,
-         CAST(SUM(m.channels * 64 * (2 * ((g.b * (m.v + 1)) % 113) + 14))
-              AS BIGINT) AS px_sum
-  FROM meta m, (SELECT UNNEST(range(0, 64)) AS b) g
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS jpeg_md5,
-       c.px_sum,
-       CAST({_JPEG_W} AS BIGINT) AS width,
-       CAST({_JPEG_H} AS BIGINT) AS height,
-       CAST(m.channels AS BIGINT) AS channels,
-       CAST(m.restart AS BIGINT) AS restart
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-def _jpeg_arith_oracle() -> str:
-    """Oracle for multimodal_jpeg_arithmetic (the _jpeg_probe_oracle
-    pattern): md5 + saved_bytes pinned from a single-process run,
-    px_sum recomputed ARITHMETICALLY from the uniform-block formula
-    val(b) = 2*((b*(v+3)) % 109) + 16 — valid ground truth because the
-    DC-exact construction survives quantization exactly, so decode ==
-    source by construction.  Coder spec conformance (QM-coder, byte
-    stuffing, Annex F models) is separately pinned by the REAL-libjpeg
-    cross-decode in test_jpeg_arith.py — an independent implementation
-    of the same public spec (the audioop precedent)."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _JPEG_H,
-        _JPEG_W,
-        _jpeg_arith_variant,
-    )
-
-    rows = [_jpeg_arith_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['jpeg_md5']}'" for r in rows)
-        + " END"
-    )
-    saved_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(
-            f"WHEN {r['variant']} THEN CAST({r['saved_bytes']} AS BIGINT)"
-            for r in rows
-        )
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v, CASE WHEN v % 8 < 4 THEN 1 ELSE 3 END AS channels FROM var
-),
-cells AS (
-  SELECT m.v,
-         CAST(SUM(m.channels * 64 * (2 * ((g.b * (m.v + 3)) % 109) + 16))
-              AS BIGINT) AS px_sum
-  FROM meta m, (SELECT UNNEST(range(0, 64)) AS b) g
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS jpeg_md5,
-       c.px_sum,
-       CAST({_JPEG_W} AS BIGINT) AS width,
-       CAST({_JPEG_H} AS BIGINT) AS height,
-       CAST(m.channels AS BIGINT) AS channels,
-       {saved_case} AS saved_bytes
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_jpeg_arithmetic", _jpeg_arith_oracle)
-def multimodal_jpeg_arithmetic_q(spark, sf_dir):
-    """REAL-bytes ARITHMETIC-coded JPEG round trip
-    (operators/jpeg_arith.py — T.81 Annex D QM-coder + Annex F
-    sequential statistical models, SOF9; the codec family's last named
-    entropy-coder stub, closed in r10): per variant a DC-exact raster
-    is encoded with the adaptive binary arithmetic coder, decoded back
-    through the full QM-decode -> dequant -> IDCT chain, verified
-    bit-exact AND equal to its Huffman twin's decode, with the
-    arithmetic stream strictly smaller (saved_bytes pins both sizes).
-    Conformance is independently proven by the container's real
-    libjpeg decoding this encoder's files to the exact pixels of the
-    Huffman twins (test_jpeg_arith.py).  Broadcast per-variant probe;
-    at 100 TB the decode rides the binary-column scan."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        jpeg_arith_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = jpeg_arith_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "jpeg_md5",
-        "px_sum",
-        "width",
-        "height",
-        "channels",
-        "saved_bytes",
-    )
-
-
-def _jpeg_arith_prog_oracle() -> str:
-    """Oracle for multimodal_jpeg_arith_progressive (the
-    _jpeg_arith_oracle pattern): md5 / n_scans / size delta pinned
-    from a single-process run, px_sum recomputed ARITHMETICALLY from
-    the uniform-block formula (DC-exact construction -> decode ==
-    source).  Annex G conformance is separately pinned by the REAL
-    libjpeg decoding this encoder's SOF10 files to the sequential
-    twins' exact pixels (test_jpeg_arith.py)."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _JPEG_H,
-        _JPEG_W,
-        _jpeg_arith_prog_variant,
-    )
-
-    rows = [_jpeg_arith_prog_variant(v) for v in range(8)]
-
-    def case(field, cast=""):
-        return (
-            "CASE d.doc_id % 8 "
-            + " ".join(
-                f"WHEN {r['variant']} THEN "
-                + (
-                    f"'{r[field]}'"
-                    if not cast
-                    else f"CAST({r[field]} AS {cast})"
-                )
-                for r in rows
-            )
-            + " END"
-        )
-
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v, CASE WHEN v % 8 < 4 THEN 1 ELSE 3 END AS channels FROM var
-),
-cells AS (
-  SELECT m.v,
-         CAST(SUM(m.channels * 64 * (2 * ((g.b * (m.v + 3)) % 109) + 16))
-              AS BIGINT) AS px_sum
-  FROM meta m, (SELECT UNNEST(range(0, 64)) AS b) g
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {case('jpeg_md5')} AS jpeg_md5,
-       c.px_sum,
-       CAST({_JPEG_W} AS BIGINT) AS width,
-       CAST({_JPEG_H} AS BIGINT) AS height,
-       CAST(m.channels AS BIGINT) AS channels,
-       {case('n_scans', 'BIGINT')} AS n_scans,
-       {case('delta_vs_seq', 'BIGINT')} AS delta_vs_seq
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_jpeg_arith_progressive", _jpeg_arith_prog_oracle)
-def multimodal_jpeg_arith_progressive_q(spark, sf_dir):
-    """REAL-bytes PROGRESSIVE arithmetic JPEG round trip
-    (operators/jpeg_arith.py::encode_jpeg_arith_progressive — T.81
-    Annex G successive-approximation + spectral-selection scans over
-    the Annex D QM-coder, SOF10; the last cell of the T.81 encode
-    matrix, VERDICT r10 task 7): per variant the DC-exact raster goes
-    through the full scan script (DC first at Al=1, split AC first
-    scans, two AC refinement passes, DC refinement — 6 scans gray, 14
-    color), decodes bit-exact, and must equal the SOF9 sequential
-    twin's decode (same coefficients, different scan decomposition).
-    Conformance independently proven by the container's real libjpeg
-    decoding these SOF10 files (test_jpeg_arith.py).  Broadcast
-    per-variant probe; scan-script metadata (n_scans, size delta vs
-    sequential) rides the driver hash."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        jpeg_arith_prog_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = jpeg_arith_prog_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "jpeg_md5",
-        "px_sum",
-        "width",
-        "height",
-        "channels",
-        "n_scans",
-        "delta_vs_seq",
-    )
-
-
-@query("multimodal_jpeg_features", _jpeg_probe_oracle)
-def multimodal_jpeg_features_q(spark, sf_dir):
-    """REAL-bytes JPEG decode (operators/jpeg_codec.py +
-    operators/multimodal.py::jpeg_probe_table): per variant a
-    DC-exact formula image is encoded as an actual baseline JFIF JPEG
-    (DCT -> Annex K quantization -> Huffman entropy coding), decoded
-    back through the full marker-parse -> Huffman -> dequant -> IDCT
-    path, round-trip-verified executor-side; the query emits the blob
-    md5 plus decoded-pixel statistics for every document.  The JPEG
-    twin of multimodal_png_features — the modality web-scale image
-    corpora actually arrive in.  Broadcast per-variant probe: codec
-    cost is per-variant, not per-row."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        jpeg_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = jpeg_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "jpeg_md5",
-        "px_sum",
-        "width",
-        "height",
-        "channels",
-        "restart",
-    )
-
-
-def _jpeg_subsampled_oracle() -> str:
-    """Oracle for multimodal_jpeg_subsampled (the _jpeg_probe_oracle
-    pattern): md5 literals pin the exact 4:2:0/4:2:2 byte streams from
-    a single local run; px_sum is recomputed ARITHMETICALLY from the
-    uniform-block formula — valid because constant-128 chroma survives
-    box-filter downsampling, zero-coefficient quantization, and
-    replication upsampling exactly (see _jpeg_subsampled_variant)."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _JPEG_H,
-        _JPEG_W,
-        _jpeg_subsampled_variant,
-    )
-
-    rows = [_jpeg_subsampled_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['jpeg_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v, CASE WHEN v % 8 < 4 THEN '420' ELSE '422' END AS subsampling,
-         CASE WHEN v % 4 >= 2 THEN 2 ELSE 0 END AS restart
-  FROM var
-),
-cells AS (
-  SELECT m.v,
-         CAST(SUM(3 * 64 * (2 * ((g.b * (m.v + 1)) % 113) + 14))
-              AS BIGINT) AS px_sum
-  FROM meta m, (SELECT UNNEST(range(0, 64)) AS b) g
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS jpeg_md5,
-       c.px_sum,
-       CAST({_JPEG_W} AS BIGINT) AS width,
-       CAST({_JPEG_H} AS BIGINT) AS height,
-       CAST(3 AS BIGINT) AS channels,
-       CAST(m.restart AS BIGINT) AS restart,
-       m.subsampling
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_jpeg_subsampled", _jpeg_subsampled_oracle)
-def multimodal_jpeg_subsampled_q(spark, sf_dir):
-    """REAL-bytes CHROMA-SUBSAMPLED JPEG decode (operators/
-    jpeg_codec.py + operators/multimodal.py::
-    jpeg_subsampled_probe_table): per variant a DC-exact color image
-    is encoded as an actual 4:2:0 or 4:2:2 baseline JFIF JPEG — the
-    T.81 A.2.3 MCU interleave with 4 (or 2) luma blocks plus one
-    Cb/Cr pair per MCU, box-filtered chroma, optionally DRI/RSTn
-    restarts across the bigger MCUs — and decoded back through the
-    sampling-factor-aware scan walk + replication upsampling.  This is
-    the layout virtually every web JPEG ships, closing the biggest
-    real-world gap the round-6 verdict named.  Broadcast per-variant
-    probe — codec cost per-variant, not per-row."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        jpeg_subsampled_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = jpeg_subsampled_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "jpeg_md5",
-        "px_sum",
-        "width",
-        "height",
-        "channels",
-        "restart",
-        "subsampling",
-    )
-
-
-def _jpeg_progressive_oracle() -> str:
-    """Oracle for multimodal_jpeg_progressive (the _jpeg_probe_oracle
-    pattern): md5 literals pin the exact SOF2 byte streams from a
-    single local run; px_sum is recomputed ARITHMETICALLY from the
-    uniform-block formula — valid because DC-only images survive every
-    progressive scan path (spectral selection, successive
-    approximation, EOB runs, restarts) bit-exactly."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _JPEG_H,
-        _JPEG_W,
-        _jpeg_progressive_variant,
-    )
-
-    rows = [_jpeg_progressive_variant(v) for v in range(8)]
-
-    def case(field, quote=False):
-        fmt = (lambda x: f"'{x}'") if quote else (lambda x: x)
-        return (
-            "CASE d.doc_id % 8 "
-            + " ".join(
-                f"WHEN {r['variant']} THEN {fmt(r[field])}" for r in rows
-            )
-            + " END"
-        )
-
-    return f"""
-WITH cells AS (
-  SELECT v.v,
-         CAST(SUM((CASE WHEN v.v < 2 THEN 1 ELSE 3 END)
-              * 64 * (2 * ((g.b * (v.v + 1)) % 113) + 14))
-              AS BIGINT) AS px_sum
-  FROM (SELECT DISTINCT doc_id % 8 AS v FROM documents) v,
-       (SELECT UNNEST(range(0, 64)) AS b) g
-  GROUP BY v.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {case('jpeg_md5', quote=True)} AS jpeg_md5,
-       c.px_sum,
-       CAST({_JPEG_W} AS BIGINT) AS width,
-       CAST({_JPEG_H} AS BIGINT) AS height,
-       CAST(CASE WHEN d.doc_id % 8 < 2 THEN 1 ELSE 3 END AS BIGINT)
-         AS channels,
-       CAST({case('n_scans')} AS BIGINT) AS n_scans,
-       {case('subsampling', quote=True)} AS subsampling,
-       CAST({case('successive')} AS BOOLEAN) AS successive
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_jpeg_progressive", _jpeg_progressive_oracle)
-def multimodal_jpeg_progressive_q(spark, sf_dir):
-    """REAL-bytes PROGRESSIVE JPEG decode (operators/jpeg_codec.py
-    Annex G decoder + operators/multimodal.py::
-    jpeg_progressive_probe_table): per variant a DC-exact image is
-    encoded as an actual SOF2 progressive JPEG — spectral-selection
-    bands, successive-approximation DC/AC first + refinement scans,
-    cross-block EOB runs, optionally DRI/RSTn restarts inside
-    progressive scans, over grayscale and 4:4:4/4:2:0/4:2:2 color —
-    and decoded back through the multi-scan coefficient-accumulation
-    walk.  Progressive was the last dominant real-web-JPEG form that
-    raised NotImplementedError (r7 verdict, missing #2).  Broadcast
-    per-variant probe — codec cost per-variant, not per-row."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        jpeg_progressive_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = jpeg_progressive_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "jpeg_md5",
-        "px_sum",
-        "width",
-        "height",
-        "channels",
-        "n_scans",
-        "subsampling",
-        "successive",
-    )
-
-
-def _wav_probe_oracle() -> str:
-    """Oracle for multimodal_wav_features (the _png/_cog pattern):
-    blob md5s pinned from a single-process reference run; sample_sum
-    recomputed ARITHMETICALLY in SQL from the waveform formula
-    (8-bit: (k*(v+1)) % 251; else ((k*(v+1)) % 20011) - 10005)."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _WAV_BITS,
-        _WAV_FRAMES,
-        _wav_variant,
-    )
-
-    rows = [_wav_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['wav_md5']}'" for r in rows)
-        + " END"
-    )
-    bits_case = (
-        "CASE v "
-        + " ".join(f"WHEN {i} THEN {b}" for i, b in enumerate(_WAV_BITS))
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v, v % 2 + 1 AS channels, {bits_case} AS bits,
-         8000 + v * 1000 AS sample_rate
-  FROM var
-),
-cells AS (
-  SELECT m.v,
-         CAST(SUM(CASE WHEN m.bits = 8 THEN (g.k * (m.v + 1)) % 251
-                       ELSE ((g.k * (m.v + 1)) % 20011) - 10005 END)
-              AS BIGINT) AS sample_sum
-  FROM meta m,
-       (SELECT UNNEST(range(0, {_WAV_FRAMES} * 2)) AS k) g
-  WHERE g.k < {_WAV_FRAMES} * m.channels
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS wav_md5,
-       c.sample_sum,
-       CAST({_WAV_FRAMES} AS BIGINT) AS n_frames,
-       CAST(m.channels AS BIGINT) AS channels,
-       CAST(m.sample_rate AS BIGINT) AS sample_rate,
-       CAST(m.bits AS BIGINT) AS bits
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_wav_features", _wav_probe_oracle)
-def multimodal_wav_features_q(spark, sf_dir):
-    """REAL-bytes audio decode (operators/wav_codec.py +
-    operators/multimodal.py::wav_probe_table): per variant a formula
-    waveform is encoded as an actual RIFF/WAVE blob (PCM 8/16/32-bit,
-    mono + stereo interleave), decoded back by the pure-numpy codec,
-    round-trip-verified executor-side; the query emits the blob md5
-    plus decoded-sample statistics for every document.  The audio twin
-    of multimodal_png_features — broadcast per-variant probe, codec
-    cost per-variant not per-row."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        wav_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = wav_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "wav_md5",
-        "sample_sum",
-        "n_frames",
-        "channels",
-        "sample_rate",
-        "bits",
-    )
-
-
-def _png_resize_oracle() -> str:
-    """Oracle for multimodal_png_resize: resized-blob md5s pinned from
-    a single-process run; the resized pixel sum is recomputed in SQL as
-    SUM(block_sum DIV 16) over the SOURCE grid formula — the 4x4 box
-    mean is floor(block_sum/16), so decode+transform+encode is checked
-    against arithmetic ground truth."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _PROBE_CHANNELS,
-        _PROBE_H,
-        _PROBE_W,
-        _png_resize_variant,
-    )
-
-    rows = [_png_resize_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['resized_md5']}'" for r in rows)
-        + " END"
-    )
-    ch_case = (
-        "CASE v "
-        + " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(_PROBE_CHANNELS))
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v, {ch_case} AS channels,
-         CASE WHEN v >= 6 THEN 16 ELSE 8 END AS bit_depth,
-         CASE WHEN v >= 6 THEN 60013 ELSE 251 END AS mod
-  FROM var
-),
-blocks AS (
-  SELECT m.v,
-         (g.k // ({_PROBE_W} * m.channels)) // 4 AS by,
-         ((g.k % ({_PROBE_W} * m.channels)) // m.channels) // 4 AS bx,
-         g.k % m.channels AS c,
-         SUM((g.k * (m.v + 1)) % m.mod) AS bsum
-  FROM meta m,
-       (SELECT UNNEST(range(0, {_PROBE_H} * {_PROBE_W} * 4)) AS k) g
-  WHERE g.k < {_PROBE_H} * {_PROBE_W} * m.channels
-  GROUP BY 1, 2, 3, 4
-),
-cells AS (
-  SELECT v, CAST(SUM(bsum // 16) AS BIGINT) AS rx_sum FROM blocks GROUP BY v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS resized_md5,
-       c.rx_sum,
-       CAST({_PROBE_W // 4} AS BIGINT) AS width,
-       CAST({_PROBE_H // 4} AS BIGINT) AS height,
-       CAST(m.channels AS BIGINT) AS channels,
-       CAST(m.bit_depth AS BIGINT) AS bit_depth
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_png_resize", _png_resize_oracle)
-def multimodal_png_resize_q(spark, sf_dir):
-    """REAL image TRANSFORM stage (operators/multimodal.py::
-    resize_images / downscale_box): decode PNG -> exact 4x4 box
-    downscale (integer means, bit-reproducible) -> re-encode PNG —
-    the multimodal analog of the cogify overview resample.  The
-    driver's value hash covers the resized byte stream md5 AND the
-    transform arithmetic (the oracle recomputes resized pixel sums
-    from the source grid formula as SUM(block_sum DIV 16))."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        png_resize_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = png_resize_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id", "variant", "resized_md5", "rx_sum",
-        "width", "height", "channels", "bit_depth",
-    )
-
-
-def _wav_downsample_oracle() -> str:
-    """Oracle for multimodal_wav_downsample: downsampled-blob md5s
-    pinned locally; decimated sample sum recomputed in SQL by keeping
-    frames where frame % 4 = 0 in the waveform formula."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _WAV_BITS,
-        _WAV_FRAMES,
-        _wav_downsample_variant,
-    )
-
-    rows = [_wav_downsample_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['down_md5']}'" for r in rows)
-        + " END"
-    )
-    bits_case = (
-        "CASE v "
-        + " ".join(f"WHEN {i} THEN {b}" for i, b in enumerate(_WAV_BITS))
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v, v % 2 + 1 AS channels, {bits_case} AS bits,
-         (8000 + v * 1000) // 4 AS sample_rate
-  FROM var
-),
-cells AS (
-  SELECT m.v,
-         CAST(SUM(CASE WHEN m.bits = 8 THEN (g.k * (m.v + 1)) % 251
-                       ELSE ((g.k * (m.v + 1)) % 20011) - 10005 END)
-              AS BIGINT) AS down_sum
-  FROM meta m,
-       (SELECT UNNEST(range(0, {_WAV_FRAMES} * 2)) AS k) g
-  WHERE g.k < {_WAV_FRAMES} * m.channels
-    AND (g.k // m.channels) % 4 = 0
-  GROUP BY m.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS down_md5,
-       c.down_sum,
-       CAST({_WAV_FRAMES // 4} AS BIGINT) AS n_frames,
-       CAST(m.channels AS BIGINT) AS channels,
-       CAST(m.sample_rate AS BIGINT) AS sample_rate,
-       CAST(m.bits AS BIGINT) AS bits
-FROM documents d
-JOIN cells c ON c.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-def _avi_probe_oracle() -> str:
-    """Oracle for multimodal_avi_frames: container md5s pinned from a
-    single-process run; sampled_px_sum recomputed ARITHMETICALLY —
-    raw variants sum the flat-index formula over sampled frames, MJPG
-    variants sum 64*3 copies of each block value (DC-exact JPEG inputs
-    decode to the source by construction, see jpeg_codec)."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _AVI_FRAMES,
-        _AVI_MJPG_HW,
-        _AVI_RAW_H,
-        _AVI_RAW_W,
-        _avi_variant,
-    )
-
-    rows = [_avi_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['avi_md5']}'" for r in rows)
-        + " END"
-    )
-    raw_n = _AVI_RAW_H * _AVI_RAW_W * 3
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-raw_sum AS (
-  SELECT v, CAST(SUM((g.k * (v + 1) + 7 * fr.f) % 256) AS BIGINT) AS s
-  FROM var,
-       (SELECT UNNEST([0, 2, 4]) AS f) fr,
-       (SELECT UNNEST(range(0, {raw_n})) AS k) g
-  WHERE v % 8 < 4
-  GROUP BY v
-),
-mjpg_sum AS (
-  SELECT v, CAST(SUM(192 * (2 * ((g.b * (v + 1) + 5 * fr.f) % 128)))
-                 AS BIGINT) AS s
-  FROM var,
-       (SELECT UNNEST([0, 2, 4]) AS f) fr,
-       (SELECT UNNEST(range(0, 4)) AS b) g
-  WHERE v % 8 >= 4
-  GROUP BY v
-),
-sums AS (SELECT * FROM raw_sum UNION ALL SELECT * FROM mjpg_sum)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS avi_md5,
-       su.s AS sampled_px_sum,
-       CAST({_AVI_FRAMES} AS BIGINT) AS n_frames,
-       CAST(3 AS BIGINT) AS n_sampled,
-       CAST(CASE WHEN d.doc_id % 8 < 4 THEN {_AVI_RAW_W}
-                 ELSE {_AVI_MJPG_HW} END AS BIGINT) AS width,
-       CAST(CASE WHEN d.doc_id % 8 < 4 THEN {_AVI_RAW_H}
-                 ELSE {_AVI_MJPG_HW} END AS BIGINT) AS height,
-       CAST(10 + d.doc_id % 8 AS BIGINT) AS fps,
-       CASE WHEN d.doc_id % 8 < 4 THEN 'raw' ELSE 'mjpg' END AS codec
-FROM documents d
-JOIN sums su ON su.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_avi_frames", _avi_probe_oracle)
-def multimodal_avi_frames_q(spark, sf_dir):
-    """REAL-bytes AVI video decode + frame sampling (operators/
-    avi_codec.py): per variant a 6-frame formula video is packed into
-    an actual RIFF/AVI container — uncompressed 24-bit DIB streams for
-    variants 0-3, Motion-JPEG (every frame a baseline JFIF payload
-    decoded by this repo's own jpeg_codec) for 4-7 — decoded back
-    through the full hdrl/strl/movi walk, round-trip verified
-    executor-side, then sampled every 2nd frame.  A real video
-    container + a real intra-frame codec with no external dependency:
-    the video modality is no longer approximated only by GIF.
-    Broadcast per-variant probe."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        avi_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = avi_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "avi_md5",
-        "sampled_px_sum",
-        "n_frames",
-        "n_sampled",
-        "width",
-        "height",
-        "fps",
-        "codec",
-    )
-
-
-def _wav_g711_oracle() -> str:
-    """Oracle for multimodal_wav_g711: blob md5s pinned from a
-    single-process run; sample_sum recomputed ARITHMETICALLY by
-    replaying the CCITT G.711 compand-quantize chain in SQL — segment
-    search (CASE over the seg_end table), mantissa truncation, and
-    reconstruction, exactly the Sun g711.c integer arithmetic the
-    codec implements (validated value-for-value over the full sample
-    range before pinning).  Non-circular: the SQL never sees the codec,
-    only the waveform formula and the published quantizer."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _WAV_FRAMES,
-        _wav_g711_variant,
-    )
-
-    rows = [_wav_g711_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['wav_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (SELECT v, (v // 2) % 2 + 1 AS channels FROM var),
-smp AS (
-  SELECT m.v, m.channels, g.k,
-         ((g.k * (m.v + 1)) % 20011) - 10005 AS x
-  FROM meta m, (SELECT UNNEST(range(0, {_WAV_FRAMES} * 2)) AS k) g
-  WHERE g.k < {_WAV_FRAMES} * m.channels
-),
-ud AS (
-  SELECT v, k, CASE WHEN x < 0 THEN -mag ELSE mag END AS dec FROM (
-    SELECT v, k, x,
-           ((val // CAST(pow(2, seg + 3) AS BIGINT)) % 16 * 8 + 132)
-           * CAST(pow(2, seg) AS BIGINT) - 132 AS mag
-    FROM (
-      SELECT v, k, x, val,
-             CASE WHEN val <= 255 THEN 0 WHEN val <= 511 THEN 1
-                  WHEN val <= 1023 THEN 2 WHEN val <= 2047 THEN 3
-                  WHEN val <= 4095 THEN 4 WHEN val <= 8191 THEN 5
-                  WHEN val <= 16383 THEN 6 ELSE 7 END AS seg
-      FROM (SELECT v, k, x,
-                   CASE WHEN x >= 0 THEN x + 132 ELSE 132 - x END AS val
-            FROM smp)))
-),
-ad AS (
-  SELECT v, k, CASE WHEN neg THEN -mag ELSE mag END AS dec FROM (
-    SELECT v, k, neg,
-           CASE WHEN seg = 0 THEN mant * 16 + 8
-                ELSE (mant * 16 + 264) * CAST(pow(2, seg - 1) AS BIGINT)
-           END AS mag
-    FROM (
-      SELECT v, k, neg, seg,
-             CASE WHEN seg < 2 THEN (val // 2) % 16
-                  ELSE (val // CAST(pow(2, seg) AS BIGINT)) % 16
-             END AS mant
-      FROM (
-        SELECT v, k, neg, val,
-               CASE WHEN val <= 31 THEN 0 WHEN val <= 63 THEN 1
-                    WHEN val <= 127 THEN 2 WHEN val <= 255 THEN 3
-                    WHEN val <= 511 THEN 4 WHEN val <= 1023 THEN 5
-                    WHEN val <= 2047 THEN 6 ELSE 7 END AS seg
-        FROM (
-          SELECT v, k, p < 0 AS neg,
-                 CASE WHEN p < 0 THEN -p - 1 ELSE p END AS val
-          FROM (SELECT v, k, CAST(floor(x / 8.0) AS BIGINT) AS p
-                FROM smp)))))
-),
-sums AS (
-  -- join on the sample index k, not the sample value x: x collisions
-  -- within a variant would silently double-count (ADVICE r8) — the
-  -- prime-modulus injectivity that made (v, x) safe is an invariant
-  -- nothing asserted, whereas (v, k) is unique by construction
-  SELECT s.v,
-         CAST(SUM(CASE WHEN s.v % 2 = 0 THEN ud.dec ELSE ad.dec END)
-              AS BIGINT) AS sample_sum
-  FROM smp s
-  JOIN ud ON ud.v = s.v AND ud.k = s.k
-  JOIN ad ON ad.v = s.v AND ad.k = s.k
-  GROUP BY s.v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS wav_md5,
-       su.sample_sum,
-       CAST({_WAV_FRAMES} AS BIGINT) AS n_frames,
-       CAST(m.channels AS BIGINT) AS channels,
-       CAST(8000 AS BIGINT) AS sample_rate,
-       CASE WHEN d.doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law
-FROM documents d
-JOIN sums su ON su.v = d.doc_id % 8
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-def _wav_adpcm_oracle() -> str:
-    """Oracle for multimodal_wav_adpcm: md5 AND sample_sum pinned as
-    literals from a single-process run — ADPCM decode is a sequential
-    nonlinear state machine (predictor + step-index recursion per
-    sample), so no closed-form SQL replay exists; non-circularity
-    comes from the variant builder's executor-side audioop cross-check
-    (an independent implementation of the DVI spec decodes every block
-    bit-identically or the probe raises).  max_abs_err IS recomputable
-    structurally: it must stay below the largest step the bounded test
-    signal can reach, and the builder computes it from decoded-vs-
-    source, both sides of which the guards pin."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _ADPCM_FRAMES,
-        _wav_adpcm_variant,
-    )
-
-    rows = [_wav_adpcm_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['wav_md5']}'" for r in rows)
-        + " END"
-    )
-    sum_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(
-            f"WHEN {r['variant']} THEN CAST({r['sample_sum']} AS BIGINT)"
-            for r in rows
-        )
-        + " END"
-    )
-    err_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(
-            f"WHEN {r['variant']} THEN CAST({r['max_abs_err']} AS BIGINT)"
-            for r in rows
-        )
-        + " END"
-    )
-    return f"""
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS wav_md5,
-       {sum_case} AS sample_sum,
-       CAST({_ADPCM_FRAMES} AS BIGINT) AS n_frames,
-       CAST(8000 AS BIGINT) AS sample_rate,
-       {err_case} AS max_abs_err
-FROM documents d
-"""
-
-
-@query("multimodal_wav_adpcm", _wav_adpcm_oracle)
-def multimodal_wav_adpcm_q(spark, sf_dir):
-    """REAL-bytes IMA/DVI ADPCM WAV decode (operators/wav_codec.py::
-    format tag 0x11): per variant a bounded formula signal is
-    companded into an actual block-structured ADPCM container
-    (predictor/step-index headers, fact-chunk crop, padded tail
-    block), decoded back, and triple-guarded executor-side — every
-    block re-decoded bit-identically by stdlib audioop (independent
-    implementation), the encode->decode round trip proven a fixed
-    point, and block headers carrying source samples verbatim.  The
-    4-bit telephony/game-audio compression form; its sibling MS-ADPCM
-    (tag 2) is graded by multimodal_wav_ms_adpcm (r10).  Broadcast
-    per-variant probe."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        wav_adpcm_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = wav_adpcm_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "wav_md5",
-        "sample_sum",
-        "n_frames",
-        "sample_rate",
-        "max_abs_err",
-    )
-
-
-def _wav_ms_adpcm_oracle() -> str:
-    """Oracle for multimodal_wav_ms_adpcm: md5 / sample_sum /
-    max_abs_err pinned as literals from a single-process run — MS-ADPCM
-    decode is a sequential nonlinear state machine (coefficient
-    prediction + delta adaptation per sample), so no closed-form SQL
-    replay exists.  Non-circularity comes from the variant builder's
-    executor-side structural inversion guard (every block's DECODED
-    samples re-encode nibble-exactly under the block's own stored
-    header state) plus the hand-walked golden-block arithmetic pinned
-    in test_wav_codec.py."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _MS_ADPCM_FRAMES,
-        _wav_ms_adpcm_variant,
-    )
-
-    rows = [_wav_ms_adpcm_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['wav_md5']}'" for r in rows)
-        + " END"
-    )
-    sum_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(
-            f"WHEN {r['variant']} THEN CAST({r['sample_sum']} AS BIGINT)"
-            for r in rows
-        )
-        + " END"
-    )
-    err_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(
-            f"WHEN {r['variant']} THEN CAST({r['max_abs_err']} AS BIGINT)"
-            for r in rows
-        )
-        + " END"
-    )
-    return f"""
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS wav_md5,
-       {sum_case} AS sample_sum,
-       CAST({_MS_ADPCM_FRAMES} AS BIGINT) AS n_frames,
-       CAST(8000 AS BIGINT) AS sample_rate,
-       {err_case} AS max_abs_err
-FROM documents d
-"""
-
-
-@query("multimodal_wav_ms_adpcm", _wav_ms_adpcm_oracle)
-def multimodal_wav_ms_adpcm_q(spark, sf_dir):
-    """REAL-bytes MS-ADPCM WAV decode (operators/wav_codec.py::format
-    tag 0x02 — a named stub through r9, now the second fully-decoded
-    4-bit WAVE codec): per variant a bounded formula signal is
-    companded into an actual MS-ADPCM container (per-block
-    predictor/idelta/sample1/sample2 headers, the standard
-    7-coefficient table carried in and READ BACK from the fmt
-    extension, fact-chunk crop), decoded back through the full
-    container walk, and double-guarded executor-side — every block's
-    decoded samples re-encode NIBBLE-EXACTLY under the block's own
-    stored header state (encoder/decoder exact inverses given state),
-    and block headers carry the first two source samples verbatim.
-    Broadcast per-variant probe; at 100 TB the decode rides the
-    binary-column scan exactly like the other codec probes."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        wav_ms_adpcm_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = wav_ms_adpcm_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "wav_md5",
-        "sample_sum",
-        "n_frames",
-        "sample_rate",
-        "max_abs_err",
-    )
-
-
-@query("multimodal_wav_g711", _wav_g711_oracle)
-def multimodal_wav_g711_q(spark, sf_dir):
-    """REAL-bytes G.711 telephony-WAV decode (operators/wav_codec.py::
-    ulaw_decode/alaw_decode + format tags 7/6): per variant the int16
-    formula waveform is companded into an actual mu-law or A-law WAVE
-    container (fact chunk included), expanded back through the full
-    container walk, and verified executor-side against a direct
-    law_decode(law_encode(x)) — the dominant compressed-audio WAV form
-    in telephony corpora, previously a named error.  The oracle
-    replays the CCITT quantizer arithmetically in SQL.  Broadcast
-    per-variant probe."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        wav_g711_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = wav_g711_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "wav_md5",
-        "sample_sum",
-        "n_frames",
-        "channels",
-        "sample_rate",
-        "law",
-    )
-
-
-@query("multimodal_wav_downsample", _wav_downsample_oracle)
-def multimodal_wav_downsample_q(spark, sf_dir):
-    """REAL audio TRANSFORM stage (operators/multimodal.py::
-    decimate_frames): decode WAV -> keep every 4th frame (exact
-    indexing, no float resampling) -> re-encode at rate/4.  Blob md5
-    + decoded sample sums hash-checked against the waveform formula
-    restricted to kept frames."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        wav_downsample_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = wav_downsample_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id", "variant", "down_md5", "down_sum",
-        "n_frames", "channels", "sample_rate", "bits",
-    )
-
-
 _EMBEDDING_OUTLIERS = """
 WITH xi AS (
   SELECT vec_id,
@@ -2810,1024 +738,6 @@ def multimodal_features_q(spark, sf_dir):
 
 
 
-# ---------------------------------------------------------------------------
-# MP3 Layer III (r12 — VERDICT r11 "Next round #3")
-# ---------------------------------------------------------------------------
-
-
-def _mp3_features_oracle() -> str:
-    """Oracle for multimodal_mp3_features: the quantized-spectrum
-    formula (big region (7i+13g+v)%7-3, count1 region (5i+3g+v)%3-1,
-    zero tail) and the scalefactor formula (3j+g+v)%8 replay directly
-    in SQL; per-granule big_values replays as the even-rounded end of
-    the |val|>1 region; stream md5 + byte size are pinned from a
-    single-process run.  Non-circular: the engine's sums come from
-    DECODING the encoded frames (full side-info/reservoir/Huffman
-    walk) and are exactness-checked against the formula before
-    grading."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _mp3_variant,
-    )
-
-    rows = [_mp3_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['mp3_md5']}'" for r in rows)
-        + " END"
-    )
-    bytes_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN {r['mp3_bytes']}" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT unnest(range(0, 8)) AS v),
-dims AS (
-  SELECT v, 4 + 2 * (v % 3) AS n_gr, 80 + 8 * (v % 4) AS n_big FROM var
-),
-cells AS (
-  SELECT d.v, d.n_big, unnest(range(0, d.n_gr)) AS g FROM dims d
-),
-lines AS (
-  SELECT v, n_big, g, unnest(range(0, 576)) AS i FROM cells
-),
-vals AS (
-  SELECT v, g, i,
-         CASE WHEN i < n_big THEN (7*i + 13*g + v) % 7 - 3
-              WHEN i < n_big + 64 THEN (5*i + 3*g + v) % 3 - 1
-              ELSE 0 END AS val
-  FROM lines
-),
-sums AS (
-  SELECT v,
-         CAST(SUM(val) AS BIGINT) AS sample_sum,
-         CAST(SUM(ABS(val)) AS BIGINT) AS abs_sum,
-         CAST(SUM(CASE WHEN val <> 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS nonzero
-  FROM vals GROUP BY v
-),
-bigv AS (
-  SELECT v, g,
-         COALESCE((MAX(CASE WHEN ABS(val) > 1 THEN i END) + 2) // 2, 0)
-             AS bv
-  FROM vals GROUP BY v, g
-),
-bigs AS (
-  SELECT v, CAST(SUM(bv) AS BIGINT) AS big_values_sum FROM bigv GROUP BY v
-),
-scfs AS (
-  SELECT c.v,
-         CAST(SUM((3*j.j + c.g + c.v) % 8) AS BIGINT) AS scf_sum
-  FROM cells c CROSS JOIN (SELECT unnest(range(0, 21)) AS j) j
-  GROUP BY c.v
-)
-SELECT d.doc_id,
-       d.doc_id % 8 AS variant,
-       {md5_case} AS mp3_md5,
-       CAST({bytes_case} AS BIGINT) AS mp3_bytes,
-       CAST(m.n_gr // 2 AS BIGINT) AS n_frames,
-       CAST(m.n_gr AS BIGINT) AS n_granules,
-       CAST(128000 AS BIGINT) AS bitrate,
-       s.sample_sum,
-       s.abs_sum,
-       s.nonzero,
-       f.scf_sum,
-       b.big_values_sum
-FROM documents d
-JOIN dims m ON m.v = d.doc_id % 8
-JOIN sums s ON s.v = d.doc_id % 8
-JOIN scfs f ON f.v = d.doc_id % 8
-JOIN bigs b ON b.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_mp3_features", _mp3_features_oracle)
-def multimodal_mp3_features_q(spark, sf_dir):
-    """REAL-bytes MP3 Layer III probe (operators/mp3_layer3.py —
-    ISO/IEC 11172-3 from the public spec: side info, bit reservoir
-    with main_data_begin back-references, scfsi scalefactor sharing,
-    slen-packed scalefactors, the three region-switched big_values
-    Huffman tables, count1 quads; tables structurally proven complete
-    + prefix-free in tests): formula quantized spectra encode into
-    conformant frames on executors (variants >= 4 through the bit
-    reservoir), decode back through the full compressed-domain walk,
-    and every graded aggregate derives from the DECODED lines after
-    an exact formula cross-check.  MP3 is the dominant crawl audio
-    format; at 100 TB this is the same binary-column Arrow-batch scan
-    shape as the WAV/MPEG-L2/FLAC probes — and the quantized-line
-    fingerprint is the compressed-domain near-dup key (no synthesis,
-    the multimodal_audio_compressed_near_dup pattern)."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        mp3_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = mp3_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "mp3_md5",
-        "mp3_bytes",
-        "n_frames",
-        "n_granules",
-        "bitrate",
-        "sample_sum",
-        "abs_sum",
-        "nonzero",
-        "scf_sum",
-        "big_values_sum",
-    )
-
-
-
-# ---------------------------------------------------------------------------
-# MPEG audio, adaptive near-dup, MP4/BMFF, FLAC, WebDataset (r11)
-# (moved verbatim from the r11 round-file in r12 — VERDICT r11 task 9)
-# ---------------------------------------------------------------------------
-
-
-def _mp2_features_oracle() -> str:
-    """Oracle for multimodal_mp2_features: the Layer II probe codes,
-    scalefactor indices and the collapsed dequant identity
-    sf * (2*code - levels + 1) / levels are all integer-derivable, so
-    the oracle REPLAYS the code formula + quantization tables in SQL
-    (non-circular: the engine's aggregates come from codes PARSED back
-    out of real Layer II frames) and pins the byte streams via md5
-    literals from a single-process run.  Table B.1 enters integer-
-    scaled (x1e6 literals) on both sides — no libm pow compared."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _mp2_sf9,
-        _mp2_variant,
-    )
-
-    rows = [_mp2_variant(v) for v in range(16)]
-    md5_case = (
-        "CASE d.doc_id % 16 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['mp2_md5']}'" for r in rows)
-        + " END"
-    )
-    sf9 = _mp2_sf9()
-    sf9_case = (
-        "CASE scfidx "
-        + " ".join(f"WHEN {i} THEN {s}" for i, s in enumerate(sf9))
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT unnest(range(0, 16)) AS v),
-base AS (
-  SELECT v.v, s.sb, t.t, v.v // 2 AS b,
-         CASE WHEN s.sb < 3 THEN 511 WHEN s.sb < 11 THEN 31
-              WHEN s.sb < 23 THEN 9 ELSE 3 END AS lv
-  FROM var v,
-       (SELECT unnest(range(0, 27)) AS sb) s,
-       (SELECT unnest(range(0, 72)) AS t) t
-),
-codes AS (
-  SELECT v, sb, t, lv,
-         CASE WHEN v % 2 = 1 AND sb = 0 AND t < 3
-              THEN (((t + 3*sb + 7*b + 1) * (sb + t + 2) + b) % lv + 1)
-                   % lv
-              ELSE ((t + 3*sb + 7*b + 1) * (sb + t + 2) + b) % lv
-         END AS c,
-         (2*sb + ((t % 36) // 12) + 3*(t // 36) + (sb + 5)*b) % 63
-           AS scfidx
-  FROM base
-),
-agg AS (
-  SELECT v, CAST(SUM(c) AS BIGINT) AS code_sum,
-         CAST(SUM(CAST(round(
-           CAST((2*c - lv + 1) * ({sf9_case}) AS DOUBLE) / lv
-         ) AS BIGINT)) AS BIGINT) AS e9_sum
-  FROM codes GROUP BY v
-),
-scfs AS (
-  SELECT v.v,
-         CAST(SUM((2*s.sb + p.p + 3*f.f + (s.sb + 5)*(v.v // 2)) % 63)
-              AS BIGINT) AS scf_sum
-  FROM var v,
-       (SELECT unnest(range(0, 27)) AS sb) s,
-       (SELECT unnest(range(0, 3)) AS p) p,
-       (SELECT unnest(range(0, 2)) AS f) f
-  GROUP BY v.v
-)
-SELECT d.doc_id,
-       d.doc_id % 16 AS variant,
-       {md5_case} AS mp2_md5,
-       CAST(2 AS BIGINT) AS n_frames,
-       CAST(192000 AS BIGINT) AS bitrate,
-       CAST(44100 AS BIGINT) AS sample_rate,
-       a.code_sum, s.scf_sum, a.e9_sum
-FROM documents d
-JOIN agg a ON a.v = d.doc_id % 16
-JOIN scfs s ON s.v = d.doc_id % 16
-"""
-
-
-@query("multimodal_mp2_features", _mp2_features_oracle)
-def multimodal_mp2_features_q(spark, sf_dir):
-    """REAL-bytes MPEG-1 Layer II probe (operators/mpeg_audio.py —
-    VERDICT r10 "What's missing #1", the largest honest multimodal
-    stub): per variant, formula-derived subband codes are packed into
-    actual Layer II frames (spec syntax end to end: header, table
-    B.2a allocation, scfsi, 6-bit scalefactors, grouped 3/9-level
-    triplets), the full bitstream is parsed BACK on executors with
-    code/scalefactor/allocation round-trip verified exactly, and the
-    graded aggregates derive from the PARSED values — so the driver
-    hash covers frame encode -> parse -> dequant identity.  The
-    requantization constants are closed-form (c = 2^nb/levels, d =
-    1-(levels-1)2^-nb reproduces Table B.4; the dequant collapses to
-    sf*(2c-L+1)/L), which is what makes a non-circular SQL oracle
-    possible.  PCM synthesis (the designed non-ISO window) is pytest-
-    bounded, not oracle-graded — see the module docstring for the
-    honest conformance story.  Broadcast probe; at 100 TB the
-    compressed-domain scan (codes + scalefactors, NO synthesis) rides
-    the binary column exactly like the other codec probes."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        mp2_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = mp2_probe_table(spark, 16)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 16).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "mp2_md5",
-        "n_frames",
-        "bitrate",
-        "sample_rate",
-        "code_sum",
-        "scf_sum",
-        "e9_sum",
-    )
-
-
-def _mp2_near_dup_oracle() -> str:
-    """Oracle for multimodal_audio_compressed_near_dup: the 120-bit
-    scalefactor fingerprint is pure integer arithmetic (bit =
-    scf-formula residue < 31), so the oracle recomputes every
-    fingerprint from the formula (non-circular: the engine's bits come
-    from scalefactors PARSED back out of real Layer II frames),
-    replays the band_geometry ladder from count(documents), and runs
-    the same banded join.  Byte streams pinned via md5 literals."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _mp2_scf_fp_variant,
-    )
-
-    rows = [_mp2_scf_fp_variant(v) for v in range(16)]
-    md5_case = (
-        "CASE v "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['mp2_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH geo AS (
-  SELECT n,
-         CASE WHEN n <= 4 THEN 10 WHEN n <= 16 THEN 12
-              WHEN n <= 128 THEN 15 WHEN n <= 4096 THEN 20
-              WHEN n <= 4194304 THEN 30 ELSE 60 END AS width
-  FROM (SELECT COUNT(*)::BIGINT AS n FROM documents)
-),
-geo2 AS (
-  SELECT n, width, 60 // width AS bpwd, 2 * (60 // width) AS num_bands
-  FROM geo
-),
-var AS (SELECT unnest(range(0, 16)) AS v),
-bits AS (
-  SELECT v.v, i.i,
-         CASE WHEN (2*(i.i // 6) + ((i.i % 6) % 3)
-                    + 3*((i.i % 6) // 3)
-                    + ((i.i // 6) + 5)*(v.v // 2)) % 63 < 31
-              THEN 1 ELSE 0 END AS bit
-  FROM var v, (SELECT unnest(range(0, 120)) AS i) i
-),
-wordsq AS (
-  SELECT v, i // 60 AS w,
-         SUM(bit * (1::BIGINT << (59 - (i % 60))))::BIGINT AS word
-  FROM bits GROUP BY 1, 2
-),
-bands AS (
-  SELECT w.v, w.w * t.bpwd + r.b AS band,
-         (w.word >> (r.b * t.width))
-           & ((1::BIGINT << t.width) - 1) AS val
-  FROM wordsq w CROSS JOIN geo2 t
-  JOIN (SELECT unnest(range(0, 6)) AS b) r ON r.b < t.bpwd
-),
-cand AS (
-  SELECT DISTINCT a.v AS va, b.v AS vb
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.val = b.val AND a.v < b.v
-),
-pairs AS (
-  SELECT c.va, c.vb,
-         SUM(bit_count(xor(wa.word, wb.word)))::BIGINT AS hamming
-  FROM cand c
-  JOIN wordsq wa ON wa.v = c.va
-  JOIN wordsq wb ON wb.v = c.vb AND wb.w = wa.w
-  GROUP BY 1, 2
-  HAVING SUM(bit_count(xor(wa.word, wb.word))) <= 3
-),
-md5s AS (SELECT v, {md5_case} AS m FROM var),
-cnt AS (SELECT doc_id % 16 AS v, count(*) AS n FROM documents GROUP BY 1)
-SELECT p.va AS variant_a, p.vb AS variant_b, p.hamming,
-       ma.m AS md5_a, mb.m AS md5_b,
-       ca.n AS docs_a, cb.n AS docs_b,
-       t.width AS fp_width, CAST(t.num_bands AS BIGINT) AS fp_bands
-FROM pairs p
-CROSS JOIN geo2 t
-JOIN md5s ma ON ma.v = p.va
-JOIN md5s mb ON mb.v = p.vb
-JOIN cnt ca ON ca.v = p.va
-JOIN cnt cb ON cb.v = p.vb
-"""
-
-
-@query("multimodal_audio_compressed_near_dup", _mp2_near_dup_oracle)
-def multimodal_audio_compressed_near_dup_q(spark, sf_dir):
-    """COMPRESSED-DOMAIN audio near-dup over real MPEG Layer II bytes
-    (VERDICT r10 tasks 1+2 composed): the 120-bit fingerprint is read
-    straight off the frames' scalefactor fields — parsed back from
-    real bitstreams on executors, NO synthesis filterbank anywhere —
-    and the pair join is the scale-adaptive banded-Hamming machinery
-    (band_geometry + banded_hamming_pairs), width derived from
-    count(documents).  Sibling variants differ only in subband codes,
-    so their scalefactor fingerprints collide at Hamming 0; bases are
-    decorrelated to min Hamming 45.  At 100 TB this is the audio-dedup
-    shape that matters: scalefactors are ~1 % of stream bytes, the
-    join sees (id, 2 BIGINT) rows, and candidates stay bounded by the
-    geometry ladder instead of exploding ~n^2/2^16."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        band_geometry,
-        banded_hamming_pairs,
-        mp2_scf_fingerprint_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    n = t["documents"].count()
-    _, _, width = band_geometry(n, max_hamming=3)
-    bpwd = 60 // width
-    bands = 2 * bpwd  # the fingerprint is fixed at 2 words (120 bits)
-    probe = mp2_scf_fingerprint_table(spark, 16)
-    pairs = banded_hamming_pairs(
-        probe, "variant", "fp",
-        num_bands=bands, width=width, max_hamming=3,
-    )
-    cnt = (
-        t["documents"]
-        .groupBy((F.col("doc_id") % 16).alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    meta = probe.select("variant", "mp2_md5")
-    return (
-        pairs.join(
-            F.broadcast(meta.select(
-                F.col("variant").alias("id_a"),
-                F.col("mp2_md5").alias("md5_a"),
-            )),
-            "id_a",
-        )
-        .join(
-            F.broadcast(meta.select(
-                F.col("variant").alias("id_b"),
-                F.col("mp2_md5").alias("md5_b"),
-            )),
-            "id_b",
-        )
-        .join(
-            F.broadcast(cnt.select(
-                F.col("v").alias("id_a"), F.col("n").alias("docs_a"))),
-            "id_a",
-        )
-        .join(
-            F.broadcast(cnt.select(
-                F.col("v").alias("id_b"), F.col("n").alias("docs_b"))),
-            "id_b",
-        )
-        .select(
-            F.col("id_a").alias("variant_a"),
-            F.col("id_b").alias("variant_b"),
-            "hamming",
-            "md5_a",
-            "md5_b",
-            "docs_a",
-            "docs_b",
-            F.lit(width).cast("long").alias("fp_width"),
-            F.lit(bands).cast("long").alias("fp_bands"),
-        )
-    )
-
-
-def _image_near_dup_adaptive_oracle() -> str:
-    """Oracle for multimodal_image_near_dup_adaptive: replays the
-    ENTIRE adaptive path in SQL — the integer band_geometry ladder
-    from count(documents), the wide aHash recomputed arithmetically
-    from the pixel formula at the geometry's grid, the dynamic-width
-    banding, the pigeonhole join and the popcount gate — so the
-    cross-engine hash covers the rule AND the machinery.  PNG byte
-    streams are pinned via md5 literals from a single-process run
-    (the _phash_pairs_oracle pattern)."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _phash_wide_variant,
-    )
-
-    rows = [_phash_wide_variant(v, 6, 10) for v in range(32)]
-    md5_case = (
-        "CASE v "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['png_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH geo AS (
-  SELECT n,
-         CASE WHEN n <= 4 THEN 10 WHEN n <= 16 THEN 12
-              WHEN n <= 128 THEN 15 WHEN n <= 4096 THEN 20
-              WHEN n <= 4194304 THEN 30 ELSE 60 END AS width
-  FROM (SELECT COUNT(*)::BIGINT AS n FROM documents)
-),
-geo2 AS (
-  SELECT n, width, 60 // width AS bpwd,
-         (4 + (60 // width) - 1) // (60 // width) AS words
-  FROM geo
-),
-geo3 AS (
-  SELECT *, words * bpwd AS num_bands,
-         CASE words WHEN 1 THEN 6 WHEN 2 THEN 12 WHEN 4 THEN 12
-              ELSE 24 END AS grows,
-         CASE words WHEN 1 THEN 10 WHEN 2 THEN 10 WHEN 4 THEN 20
-              ELSE 20 END AS gcols
-  FROM geo2
-),
-var AS (SELECT unnest(range(0, 32)) AS v),
-grid AS (
-  SELECT v, k,
-         CASE WHEN v % 2 = 1 AND (k // 40) < 4 AND (k % 40) < 4
-              THEN (((k + 13) * (k + 7 * (v // 2) + 1)) % 251 + 90) % 251
-              ELSE ((k + 13) * (k + 7 * (v // 2) + 1)) % 251 END AS s
-  FROM var, (SELECT unnest(range(0, 1920)) AS k) g
-),
-tot AS (SELECT v, SUM(s) AS total FROM grid GROUP BY v),
-blocks AS (
-  SELECT g.v,
-         ((g.k // 40) // (48 // t.grows)) * t.gcols
-           + ((g.k % 40) // (40 // t.gcols)) AS idx,
-         SUM(g.s) AS bs
-  FROM grid g CROSS JOIN geo3 t
-  GROUP BY 1, 2
-),
-wordsq AS (
-  SELECT b.v, b.idx // 60 AS w,
-         SUM(CASE WHEN b.bs * (t.grows * t.gcols) >= tt.total
-                  THEN (1::BIGINT << (59 - (b.idx % 60)))
-                  ELSE 0 END)::BIGINT AS word
-  FROM blocks b CROSS JOIN geo3 t JOIN tot tt USING (v)
-  GROUP BY 1, 2
-),
-bands AS (
-  SELECT w.v, w.w * t.bpwd + r.b AS band,
-         (w.word >> (r.b * t.width))
-           & ((1::BIGINT << t.width) - 1) AS val
-  FROM wordsq w CROSS JOIN geo3 t
-  JOIN (SELECT unnest(range(0, 6)) AS b) r ON r.b < t.bpwd
-),
-cand AS (
-  SELECT DISTINCT a.v AS va, b.v AS vb
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.val = b.val AND a.v < b.v
-),
-pairs AS (
-  SELECT c.va, c.vb,
-         SUM(bit_count(xor(wa.word, wb.word)))::BIGINT AS hamming
-  FROM cand c
-  JOIN wordsq wa ON wa.v = c.va
-  JOIN wordsq wb ON wb.v = c.vb AND wb.w = wa.w
-  GROUP BY 1, 2
-  HAVING SUM(bit_count(xor(wa.word, wb.word))) <= 3
-),
-md5s AS (SELECT v, {md5_case} AS m FROM var),
-cnt AS (SELECT doc_id % 32 AS v, count(*) AS n FROM documents GROUP BY 1)
-SELECT p.va AS variant_a, p.vb AS variant_b, p.hamming,
-       ma.m AS md5_a, mb.m AS md5_b,
-       ca.n AS docs_a, cb.n AS docs_b,
-       t.width AS fp_width, CAST(t.num_bands AS BIGINT) AS fp_bands
-FROM pairs p
-CROSS JOIN geo3 t
-JOIN md5s ma ON ma.v = p.va
-JOIN md5s mb ON mb.v = p.vb
-JOIN cnt ca ON ca.v = p.va
-JOIN cnt cb ON cb.v = p.vb
-"""
-
-
-@query("multimodal_image_near_dup_adaptive", _image_near_dup_adaptive_oracle)
-def multimodal_image_near_dup_adaptive_q(spark, sf_dir):
-    """Scale-ADAPTIVE perceptual-hash image dedup (operators/
-    multimodal.py::band_geometry + ahash_wide + banded_hamming_pairs —
-    VERDICT r10 "What's wrong #1"): band width is DERIVED from the
-    corpus size by an all-integer ladder (n<=4096 -> 20-bit bands,
-    n<=4.2M -> 30-bit, beyond -> 60-bit), and the fingerprint grows
-    (more 60-bit words) so the pigeonhole floor bands >= h+1 never
-    costs recall — candidates per item per band stay under 2^-8 by
-    construction instead of exploding ~n^2/2^16 like the fixed 4x16
-    scheme.  32 variants (16 engineered near-dup pairs) run the real
-    PNG encode->decode->wide-aHash chain on executors; the oracle
-    recomputes hashes from the pixel formula arithmetically and
-    replays the geometry ladder from count(documents), so the driver
-    hash grades BOTH the adaptive rule and the join.  The geometry is
-    surfaced (fp_width/fp_bands) and differs across SFs: sf0.001
-    picks 6x20-bit bands, sf0.01/0.1 pick 4x30-bit."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        band_geometry,
-        banded_hamming_pairs,
-        phash_wide_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    n = t["documents"].count()
-    words, bands, width = band_geometry(n, max_hamming=3)
-    probe = phash_wide_probe_table(spark, 32, words)
-    pairs = banded_hamming_pairs(
-        probe, "variant", "fp",
-        num_bands=bands, width=width, max_hamming=3,
-    )
-    cnt = (
-        t["documents"]
-        .groupBy((F.col("doc_id") % 32).alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    meta = probe.select("variant", "png_md5")
-    return (
-        pairs.join(
-            F.broadcast(meta.select(
-                F.col("variant").alias("id_a"), F.col("png_md5").alias("md5_a")
-            )),
-            "id_a",
-        )
-        .join(
-            F.broadcast(meta.select(
-                F.col("variant").alias("id_b"), F.col("png_md5").alias("md5_b")
-            )),
-            "id_b",
-        )
-        .join(
-            F.broadcast(cnt.select(
-                F.col("v").alias("id_a"), F.col("n").alias("docs_a"))),
-            "id_a",
-        )
-        .join(
-            F.broadcast(cnt.select(
-                F.col("v").alias("id_b"), F.col("n").alias("docs_b"))),
-            "id_b",
-        )
-        .select(
-            F.col("id_a").alias("variant_a"),
-            F.col("id_b").alias("variant_b"),
-            "hamming",
-            "md5_a",
-            "md5_b",
-            "docs_a",
-            "docs_b",
-            F.lit(width).cast("long").alias("fp_width"),
-            F.lit(bands).cast("long").alias("fp_bands"),
-        )
-    )
-
-
-def _mp4_container_oracle() -> str:
-    """Oracle for multimodal_mp4_container: every output is integer-
-    derivable from the probe formulas (sample i size = 20+((v+i)%9)*3,
-    payload byte j = (v*31+i*7+j*3)%251), so the oracle recomputes the
-    byte and size sums ARITHMETICALLY — non-circular, because the
-    engine's sums come from samples EXTRACTED back out of the real
-    container via the stsc/stco/stsz resolution.  Container bytes are
-    pinned via md5 literals from a single-process run."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _mp4_variant,
-    )
-
-    rows = [_mp4_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['mp4_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (SELECT v, 8 + v % 5 AS n FROM var),
-sizes AS (
-  SELECT m.v, i.i, 20 + ((m.v + i.i) % 9) * 3 AS sz
-  FROM meta m JOIN (SELECT unnest(range(0, 12)) AS i) i ON i.i < m.n
-),
-payload AS (
-  SELECT s.v,
-         CAST(SUM((s.v * 31 + s.i * 7 + j.j * 3) % 251) AS BIGINT)
-           AS payload_sum
-  FROM sizes s
-  JOIN (SELECT unnest(range(0, 44)) AS j) j ON j.j < s.sz
-  GROUP BY s.v
-),
-agg AS (
-  SELECT v, CAST(SUM(sz) AS BIGINT) AS sample_bytes_sum,
-         CAST(COUNT(*) AS BIGINT) AS n_samples
-  FROM sizes GROUP BY v
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS mp4_md5,
-       'isom' AS brand,
-       a.n_samples,
-       CAST(64 + d.doc_id % 8 AS BIGINT) AS width,
-       CAST(48 AS BIGINT) AS height,
-       CAST((3000 + d.doc_id % 8) * a.n_samples AS BIGINT) AS duration,
-       a.sample_bytes_sum,
-       p.payload_sum
-FROM documents d
-JOIN agg a ON a.v = d.doc_id % 8
-JOIN payload p ON p.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_mp4_container", _mp4_container_oracle)
-def multimodal_mp4_container_q(spark, sf_dir):
-    """REAL-bytes MP4 / ISO BMFF container round trip (operators/
-    mp4_codec.py — 14496-12 box walk, mvhd/tkhd/mdhd/hdlr metadata,
-    stsd/stts/stsz/stsc/stco sample tables, per-sample byte
-    extraction): the container layer a crawl pipeline reads BEFORE any
-    pixel work — routing, duration screens, sample-size fingerprints.
-    Per variant, formula payloads are packed under a spec-valid
-    ftyp/mdat/moov layout (uneven final chunk exercises the stsc run
-    resolution), parsed back on executors, extraction verified
-    byte-exact; payload_sum derives from the EXTRACTED bytes, so the
-    driver hash covers the whole sample-table resolution.  H.264
-    payload decode stays a named error (a real video stack is not
-    implementable from-scratch here) — the container layer is what
-    100 TB metadata/fingerprint scans actually need.  Broadcast
-    per-variant probe."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        mp4_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = mp4_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id", "variant", "mp4_md5", "brand", "n_samples",
-        "width", "height", "duration", "sample_bytes_sum", "payload_sum",
-    )
-
-
-def _mpeg_stream_info_oracle() -> str:
-    """Oracle for multimodal_mpeg_stream_info: frame-size arithmetic
-    replayed from the spec formula (144 * bitrate // 44100: 626 bytes
-    at 192 kbps, 835 at 256), duration from exact integer sample
-    counts — non-circular vs the engine's walk over real frame bytes.
-    Streams pinned via md5 literals."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _mpeg_stream_variant,
-    )
-
-    rows = [_mpeg_stream_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(
-            f"WHEN {r['variant']} THEN '{r['mpeg_md5']}'" for r in rows
-        )
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
-meta AS (
-  SELECT v, 2 + v % 3 AS fa, v % 2 AS fb FROM var
-)
-SELECT d.doc_id, d.doc_id % 8 AS variant,
-       {md5_case} AS mpeg_md5,
-       CAST(m.fa + m.fb AS BIGINT) AS n_frames,
-       CAST(1152 * (m.fa + m.fb) AS BIGINT) AS total_samples,
-       CAST(1152 * (m.fa + m.fb) * 1000 // 44100 AS BIGINT)
-         AS duration_ms,
-       m.fb = 1 AS is_vbr,
-       CAST(1 + m.fb AS BIGINT) AS n_bitrates,
-       CAST(192000 AS BIGINT) AS min_bitrate,
-       CAST(192000 + 64000 * m.fb AS BIGINT) AS max_bitrate,
-       CAST(m.fa * 626 + m.fb * 835 AS BIGINT) AS stream_bytes
-FROM documents d
-JOIN meta m ON m.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_mpeg_stream_info", _mpeg_stream_info_oracle)
-def multimodal_mpeg_stream_info_q(spark, sf_dir):
-    """Compressed-domain MPEG audio STREAM WALK (operators/
-    mpeg_audio.py::stream_info): frame count, exact sample count and
-    integer duration, VBR detection and the bitrate histogram read
-    from frame headers alone — the metadata pass that works for Layer
-    III crawl MP3s exactly as for Layers I/II, since no entropy decode
-    happens (Layer III headers now PARSE; only its Huffman sample
-    decode stays the named error).  Variants mix 192- and 256-kbps
-    real Layer II frames so VBR streams ride the driver hash; the
-    oracle replays the spec's frame-size arithmetic non-circularly.
-    Broadcast per-variant probe; at 100 TB this scan reads ~4 header
-    bytes per frame."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        mpeg_stream_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = mpeg_stream_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id", "variant", "mpeg_md5", "n_frames", "total_samples",
-        "duration_ms", "is_vbr", "n_bitrates", "min_bitrate",
-        "max_bitrate", "stream_bytes",
-    )
-
-
-def _video_near_dup_adaptive_oracle() -> str:
-    """Oracle for multimodal_video_near_dup_adaptive: the temporal-sum
-    aHash is INTEGER arithmetic over the frame formula (sum over f of
-    ((k+13)(k+7b+1)+31f)%251 with the f==2 wide-region perturbation),
-    so every wide fingerprint is recomputed from the formula and the
-    geometry ladder is replayed from count(documents) — the image
-    adaptive oracle's pattern over the video probe.  AVI byte streams
-    pinned via md5 literals."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _vfp_wide_variant,
-    )
-
-    rows = [_vfp_wide_variant(v, 2) for v in range(32)]
-    md5_case = (
-        "CASE v "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['avi_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH geo AS (
-  SELECT n,
-         CASE WHEN n <= 4 THEN 10 WHEN n <= 16 THEN 12
-              WHEN n <= 128 THEN 15 WHEN n <= 4096 THEN 20
-              WHEN n <= 4194304 THEN 30 ELSE 60 END AS width
-  FROM (SELECT COUNT(*)::BIGINT AS n FROM documents)
-),
-geo2 AS (
-  SELECT n, width, 60 // width AS bpwd, 2 * (60 // width) AS num_bands
-  FROM geo
-),
-var AS (SELECT unnest(range(0, 32)) AS v),
-grid AS (
-  SELECT g.v, g.k, SUM(
-    CASE WHEN g.v % 2 = 1 AND f.f = 2
-              AND (g.k // 40) < 4 AND (g.k % 40) < 4
-         THEN (((g.k + 13) * (g.k + 7 * (g.v // 2) + 1) + 31 * f.f)
-               % 251 + 200) % 251
-         ELSE ((g.k + 13) * (g.k + 7 * (g.v // 2) + 1) + 31 * f.f)
-              % 251 END) AS s
-  FROM (SELECT v.v, k.k
-        FROM var v, (SELECT unnest(range(0, 1920)) AS k) k) g,
-       (SELECT unnest(range(0, 4)) AS f) f
-  GROUP BY g.v, g.k
-),
-tot AS (SELECT v, SUM(s) AS total FROM grid GROUP BY v),
-blocks AS (
-  SELECT v, ((k // 40) // 4) * 10 + ((k % 40) // 4) AS idx, SUM(s) AS bs
-  FROM grid GROUP BY 1, 2
-),
-wordsq AS (
-  SELECT b.v, b.idx // 60 AS w,
-         SUM(CASE WHEN b.bs * 120 >= t.total
-                  THEN (1::BIGINT << (59 - (b.idx % 60)))
-                  ELSE 0 END)::BIGINT AS word
-  FROM blocks b JOIN tot t USING (v)
-  GROUP BY 1, 2
-),
-bands AS (
-  SELECT w.v, w.w * t.bpwd + r.b AS band,
-         (w.word >> (r.b * t.width))
-           & ((1::BIGINT << t.width) - 1) AS val
-  FROM wordsq w CROSS JOIN geo2 t
-  JOIN (SELECT unnest(range(0, 6)) AS b) r ON r.b < t.bpwd
-),
-cand AS (
-  SELECT DISTINCT a.v AS va, b.v AS vb
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.val = b.val AND a.v < b.v
-),
-pairs AS (
-  SELECT c.va, c.vb,
-         SUM(bit_count(xor(wa.word, wb.word)))::BIGINT AS hamming
-  FROM cand c
-  JOIN wordsq wa ON wa.v = c.va
-  JOIN wordsq wb ON wb.v = c.vb AND wb.w = wa.w
-  GROUP BY 1, 2
-  HAVING SUM(bit_count(xor(wa.word, wb.word))) <= 3
-),
-md5s AS (SELECT v, {md5_case} AS m FROM var),
-cnt AS (SELECT doc_id % 32 AS v, count(*) AS n FROM documents GROUP BY 1)
-SELECT p.va AS variant_a, p.vb AS variant_b, p.hamming,
-       ma.m AS md5_a, mb.m AS md5_b,
-       ca.n AS docs_a, cb.n AS docs_b,
-       t.width AS fp_width, CAST(t.num_bands AS BIGINT) AS fp_bands
-FROM pairs p
-CROSS JOIN geo2 t
-JOIN md5s ma ON ma.v = p.va
-JOIN md5s mb ON mb.v = p.vb
-JOIN cnt ca ON ca.v = p.va
-JOIN cnt cb ON cb.v = p.vb
-"""
-
-
-@query("multimodal_video_near_dup_adaptive", _video_near_dup_adaptive_oracle)
-def multimodal_video_near_dup_adaptive_q(spark, sf_dir):
-    """Scale-ADAPTIVE video near-dup (completes the per-modality
-    adaptive triple: image via the wide aHash, audio via the
-    compressed-domain scalefactor fingerprint, video here via the
-    temporal-SUM wide aHash over frames decoded from REAL AVI
-    containers): 32 variants in 16 one-frame-edit pairs run the full
-    encode->decode->sum->ahash_wide chain on executors, and the pair
-    join is banded_hamming_pairs at the band_geometry ladder width —
-    n^2/2^16 fixed-band candidate growth replaced by the documented
-    bounded geometry.  The fingerprint is 120 bits (2 words; the
-    ladder's words=2 regime covers every n <= ~4.2M — beyond that the
-    probe grid would grow with the corpus).  Oracle recomputes every
-    hash from the frame formula arithmetically and replays the
-    ladder; AVI bytes md5-pinned."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        band_geometry,
-        banded_hamming_pairs,
-        vfp_wide_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    n = t["documents"].count()
-    _, _, width = band_geometry(n, max_hamming=3)
-    bpwd = 60 // width
-    bands = 2 * bpwd  # 2-word (120-bit) temporal fingerprint
-    probe = vfp_wide_probe_table(spark, 32, 2)
-    pairs = banded_hamming_pairs(
-        probe, "variant", "fp",
-        num_bands=bands, width=width, max_hamming=3,
-    )
-    cnt = (
-        t["documents"]
-        .groupBy((F.col("doc_id") % 32).alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    meta = probe.select("variant", "avi_md5")
-    return (
-        pairs.join(
-            F.broadcast(meta.select(
-                F.col("variant").alias("id_a"),
-                F.col("avi_md5").alias("md5_a"),
-            )),
-            "id_a",
-        )
-        .join(
-            F.broadcast(meta.select(
-                F.col("variant").alias("id_b"),
-                F.col("avi_md5").alias("md5_b"),
-            )),
-            "id_b",
-        )
-        .join(
-            F.broadcast(cnt.select(
-                F.col("v").alias("id_a"), F.col("n").alias("docs_a"))),
-            "id_a",
-        )
-        .join(
-            F.broadcast(cnt.select(
-                F.col("v").alias("id_b"), F.col("n").alias("docs_b"))),
-            "id_b",
-        )
-        .select(
-            F.col("id_a").alias("variant_a"),
-            F.col("id_b").alias("variant_b"),
-            "hamming",
-            "md5_a",
-            "md5_b",
-            "docs_a",
-            "docs_b",
-            F.lit(width).cast("long").alias("fp_width"),
-            F.lit(bands).cast("long").alias("fp_bands"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# FLAC lossless audio (operators/flac_codec.py)
-# ---------------------------------------------------------------------------
-
-
-def _flac_features_oracle() -> str:
-    """Oracle for multimodal_flac_features: the PCM formula
-    ((17t + 13v + 7c) mod 251) - 125 and the frame arithmetic
-    (ceil(n/256) frames at block size 256) replay directly in SQL;
-    stream md5 + byte size are pinned from a single-process run.
-    Non-circular: the engine's pcm_sum/n_frames/channel outputs come
-    from DECODING the encoded stream on executors (with the decode
-    verified both against the format's own STREAMINFO MD5 and
-    bit-exactly against the input — FLAC is lossless, so conformance
-    is self-checking in a way the lossy codecs can't be)."""
-    import hashlib
-
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _flac_variant,
-    )
-
-    rows = [_flac_variant(v) for v in range(8)]
-    md5_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(
-            f"WHEN {r['variant']} THEN '{r['flac_md5']}'" for r in rows
-        )
-        + " END"
-    )
-    bytes_case = (
-        "CASE d.doc_id % 8 "
-        + " ".join(
-            f"WHEN {r['variant']} THEN {r['flac_bytes']}" for r in rows
-        )
-        + " END"
-    )
-    return f"""
-WITH var AS (SELECT unnest(range(0, 8)) AS v),
-dims AS (
-  SELECT v, 1000 + 50*v AS n, 1 + v % 2 AS ch FROM var
-),
-cells AS (
-  SELECT d.v, d.n, d.ch,
-         unnest(range(0, d.n)) AS t
-  FROM dims d
-),
-chan AS (
-  SELECT v, n, ch, t, unnest(range(0, ch)) AS c FROM cells
-),
-psum AS (
-  SELECT v,
-         CAST(SUM((17*t + 13*v + 7*c) % 251 - 125) AS BIGINT) AS pcm_sum
-  FROM chan GROUP BY v
-)
-SELECT d.doc_id,
-       d.doc_id % 8 AS variant,
-       {md5_case} AS flac_md5,
-       CAST({bytes_case} AS BIGINT) AS flac_bytes,
-       CAST(m.n AS BIGINT) AS n_samples,
-       CAST(m.ch AS BIGINT) AS channels,
-       CAST(16 AS BIGINT) AS bits,
-       CAST(32000 AS BIGINT) AS sample_rate,
-       CAST((m.n + 255) // 256 AS BIGINT) AS n_frames,
-       p.pcm_sum
-FROM documents d
-JOIN dims m ON m.v = d.doc_id % 8
-JOIN psum p ON p.v = d.doc_id % 8
-"""
-
-
-@query("multimodal_flac_features", _flac_features_oracle)
-def multimodal_flac_features_q(spark, sf_dir):
-    """REAL-bytes FLAC probe (operators/flac_codec.py — RFC 9639 from
-    the public spec: closed-form fixed predictors, Rice partitions,
-    derived CRC-8/CRC-16, UTF-8-style frame numbers, all three stereo
-    decorrelation modes): formula PCM encodes into actual multi-frame
-    FLAC streams on executors, decodes back through the full bitstream
-    path, and the decode is verified bit-exactly against the input AND
-    against the format's own STREAMINFO PCM MD5 before the graded
-    aggregates derive from the DECODED samples.  Lossless audio is the
-    archival layer of crawl-audio corpora; at 100 TB this is the same
-    binary-column Arrow-batch scan shape as the WAV/MPEG probes."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        flac_probe_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    probe = flac_probe_table(spark, 8)
-    docs = t["documents"].select(
-        "doc_id", (F.col("doc_id") % 8).alias("variant")
-    )
-    return docs.join(F.broadcast(probe), "variant").select(
-        "doc_id",
-        "variant",
-        "flac_md5",
-        "flac_bytes",
-        "n_samples",
-        "channels",
-        "bits",
-        "sample_rate",
-        "n_frames",
-        "pcm_sum",
-    )
-
-
-# ---------------------------------------------------------------------------
-# WebDataset tar shards (sources/webdataset.py)
-# ---------------------------------------------------------------------------
-
-
 def _wds_samples_oracle() -> str:
     """Oracle for multimodal_webdataset_samples: sample counts, field
     counts, byte totals and the cls label sum all replay from the
@@ -3965,157 +875,3 @@ def multimodal_webdataset_samples_q(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _mp3_near_dup_oracle() -> str:
-    """Oracle for multimodal_mp3_near_dup: the 120-bit scalefactor
-    fingerprint is pure integer arithmetic (bit = scf-formula residue
-    >= 4), so the oracle recomputes every fingerprint from the
-    formula (non-circular: the engine's bits come from scalefactors
-    PARSED back out of real Layer III frames — side info, reservoir
-    and slen packing in the loop), replays the band_geometry ladder
-    from count(documents), and runs the same banded join.  Byte
-    streams pinned via md5 literals."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        _mp3_scf_fp_variant,
-    )
-
-    rows = [_mp3_scf_fp_variant(v) for v in range(16)]
-    md5_case = (
-        "CASE v "
-        + " ".join(f"WHEN {r['variant']} THEN '{r['mp3_md5']}'" for r in rows)
-        + " END"
-    )
-    return f"""
-WITH geo AS (
-  SELECT n,
-         CASE WHEN n <= 4 THEN 10 WHEN n <= 16 THEN 12
-              WHEN n <= 128 THEN 15 WHEN n <= 4096 THEN 20
-              WHEN n <= 4194304 THEN 30 ELSE 60 END AS width
-  FROM (SELECT COUNT(*)::BIGINT AS n FROM documents)
-),
-geo2 AS (
-  SELECT n, width, 60 // width AS bpwd, 2 * (60 // width) AS num_bands
-  FROM geo
-),
-var AS (SELECT unnest(range(0, 16)) AS v),
-bits AS (
-  SELECT v.v, i.i,
-         CASE WHEN (7*(i.i % 21) + 5*(i.i // 21)
-                    + (11*(i.i % 21) + 13*(i.i // 21) + 3)*(v.v // 2))
-                   % 8 >= 4
-              THEN 1 ELSE 0 END AS bit
-  FROM var v, (SELECT unnest(range(0, 120)) AS i) i
-),
-wordsq AS (
-  SELECT v, i // 60 AS w,
-         SUM(bit * (1::BIGINT << (59 - (i % 60))))::BIGINT AS word
-  FROM bits GROUP BY 1, 2
-),
-bands AS (
-  SELECT w.v, w.w * t.bpwd + r.b AS band,
-         (w.word >> (r.b * t.width))
-           & ((1::BIGINT << t.width) - 1) AS val
-  FROM wordsq w CROSS JOIN geo2 t
-  JOIN (SELECT unnest(range(0, 6)) AS b) r ON r.b < t.bpwd
-),
-cand AS (
-  SELECT DISTINCT a.v AS va, b.v AS vb
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.val = b.val AND a.v < b.v
-),
-pairs AS (
-  SELECT c.va, c.vb,
-         SUM(bit_count(xor(wa.word, wb.word)))::BIGINT AS hamming
-  FROM cand c
-  JOIN wordsq wa ON wa.v = c.va
-  JOIN wordsq wb ON wb.v = c.vb AND wb.w = wa.w
-  GROUP BY 1, 2
-  HAVING SUM(bit_count(xor(wa.word, wb.word))) <= 3
-),
-md5s AS (SELECT v, {md5_case} AS m FROM var),
-cnt AS (SELECT doc_id % 16 AS v, count(*) AS n FROM documents GROUP BY 1)
-SELECT p.va AS variant_a, p.vb AS variant_b, p.hamming,
-       ma.m AS md5_a, mb.m AS md5_b,
-       ca.n AS docs_a, cb.n AS docs_b,
-       t.width AS fp_width, CAST(t.num_bands AS BIGINT) AS fp_bands
-FROM pairs p
-CROSS JOIN geo2 t
-JOIN md5s ma ON ma.v = p.va
-JOIN md5s mb ON mb.v = p.vb
-JOIN cnt ca ON ca.v = p.va
-JOIN cnt cb ON cb.v = p.vb
-"""
-
-
-@query("multimodal_mp3_near_dup", _mp3_near_dup_oracle)
-def multimodal_mp3_near_dup_q(spark, sf_dir):
-    """COMPRESSED-DOMAIN MP3 near-dup over real Layer III bytes
-    (VERDICT r11 "What's missing #1" closed end-to-end): the 120-bit
-    fingerprint reads straight off PARSED scalefactors — through the
-    full side-info / bit-reservoir / slen machinery of
-    operators/mp3_layer3.py, no synthesis anywhere — and the pair
-    join is the scale-adaptive banded-Hamming machinery with width
-    derived from count(documents).  Sibling variants share
-    scalefactors but carry different spectra (streams differ
-    byte-wise, fingerprints collide at Hamming 0); bases decorrelate
-    to min Hamming 30.  At 100 TB: scalefactors are a tiny fraction
-    of stream bytes, the join sees (id, 2 BIGINT) rows, candidates
-    bounded by the geometry ladder."""
-    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
-        band_geometry,
-        banded_hamming_pairs,
-        mp3_scf_fingerprint_table,
-    )
-
-    t = load_tables(spark, sf_dir)
-    n = t["documents"].count()
-    _, _, width = band_geometry(n, max_hamming=3)
-    bpwd = 60 // width
-    bands = 2 * bpwd
-    probe = mp3_scf_fingerprint_table(spark, 16)
-    pairs = banded_hamming_pairs(
-        probe, "variant", "fp",
-        num_bands=bands, width=width, max_hamming=3,
-    )
-    cnt = (
-        t["documents"]
-        .groupBy((F.col("doc_id") % 16).alias("v"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    meta = probe.select("variant", "mp3_md5")
-    return (
-        pairs.join(
-            F.broadcast(meta.select(
-                F.col("variant").alias("id_a"),
-                F.col("mp3_md5").alias("md5_a"),
-            )),
-            "id_a",
-        )
-        .join(
-            F.broadcast(meta.select(
-                F.col("variant").alias("id_b"),
-                F.col("mp3_md5").alias("md5_b"),
-            )),
-            "id_b",
-        )
-        .join(
-            F.broadcast(cnt.select(
-                F.col("v").alias("id_a"), F.col("n").alias("docs_a"))),
-            "id_a",
-        )
-        .join(
-            F.broadcast(cnt.select(
-                F.col("v").alias("id_b"), F.col("n").alias("docs_b"))),
-            "id_b",
-        )
-        .select(
-            F.col("id_a").alias("variant_a"),
-            F.col("id_b").alias("variant_b"),
-            "hamming",
-            "md5_a",
-            "md5_b",
-            "docs_a",
-            "docs_b",
-            F.lit(width).cast("long").alias("fp_width"),
-            F.lit(bands).cast("long").alias("fp_bands"),
-        )
-    )
