@@ -3034,6 +3034,115 @@ def mp3_probe_table(spark, variants: int = 8) -> DataFrame:
     ).mapInPandas(gen, MP3_PROBE_SCHEMA)
 
 
+MP3_BIG_TABLES_SCHEMA = (
+    "variant bigint, mp3_md5 string, mp3_bytes bigint, "
+    "n_granules bigint, table_sel bigint, block_kind string, "
+    "sample_sum bigint, abs_sum bigint, nonzero bigint, "
+    "scf_sum bigint, big_values_sum bigint"
+)
+
+# variant -> (forced pair table | None for auto, big-region |max|)
+_MP3_BIGTAB_SEL = (7, 8, 9, 10, 11, 12, 13, 15, 5, 5)
+_MP3_BIGTAB_NMAX = (5, 5, 5, 7, 7, 7, 15, 15, 3, 3)
+
+
+def _mp3_big_tables_variant(v: int) -> dict:
+    """One deterministic round trip through the r13 Huffman surface:
+    variants 0-7 force pair tables 7/8/9/10/11/12/13/15 over spectra
+    spanning each table's FULL alphabet (|value| up to 5/7/15);
+    variants 8-9 write MIXED short/long granules (35 scalefactors,
+    fixed 36-line region0).  Every graded aggregate derives from the
+    DECODED quantized lines after an exact formula cross-check — the
+    decode walks the real region-switched Huffman codewords of the
+    table under test (operators/mp3_layer3.py)."""
+    from cloud_optimized_data_pipelines_spark.operators.mp3_layer3 import (
+        decode_mp3,
+        encode_mp3,
+    )
+
+    sel = _MP3_BIGTAB_SEL[v]
+    nmax = _MP3_BIGTAB_NMAX[v]
+    mixed = v >= 8
+    n_gr = 4 + 2 * (v % 3)
+    n_big = 80 + 8 * (v % 4)
+    m = 2 * nmax + 1
+    g = np.arange(n_gr, dtype=np.int64)[:, None]
+    i = np.arange(576, dtype=np.int64)[None, :]
+    # line coefficient 4 is coprime to every alphabet size in play
+    # (7/11/15/31), so each granule's big region sweeps the FULL
+    # [-nmax, nmax] range (7 would collapse mod 7)
+    spectra = np.where(
+        i < n_big,
+        (4 * i + 13 * g + v) % m - nmax,
+        np.where(i < n_big + 64, (5 * i + 3 * g + v) % 3 - 1, 0),
+    )
+    n_scf = 35 if mixed else 21
+    j = np.arange(n_scf, dtype=np.int64)[None, :]
+    scf = (3 * j + g + v) % 8
+    enc = encode_mp3(
+        spectra,
+        scalefactors=scf,
+        scalefac_compress=13,
+        count1table_select=v % 2,
+        global_gain=110 + v,
+        use_reservoir=v % 2 == 1,
+        block_type=2 if mixed else 0,
+        mixed_block=mixed,
+        pair_table_select=None if mixed else sel,
+    )
+    frames = decode_mp3(enc)
+    got = np.vstack([
+        gg["samples"] for fr in frames for chs in fr["granules"]
+        for gg in chs
+    ])[:n_gr]
+    got_scf = np.vstack([
+        gg["scalefactors"] for fr in frames for chs in fr["granules"]
+        for gg in chs
+    ])[:n_gr]
+    sides = [
+        gg["side"] for fr in frames for chs in fr["granules"]
+        for gg in chs
+    ][:n_gr]
+    if not np.array_equal(got, spectra):  # pragma: no cover - guard
+        raise RuntimeError(f"mp3 bigtab {v}: spectra mismatch")
+    if not np.array_equal(got_scf, scf):  # pragma: no cover - guard
+        raise RuntimeError(f"mp3 bigtab {v}: scalefactor mismatch")
+    if int(np.abs(spectra[:, :n_big]).max()) != nmax:  # pragma: no cover
+        raise RuntimeError(f"mp3 bigtab {v}: alphabet not exercised")
+    if any(s["table_select"][0] != sel for s in sides):  # pragma: no cover
+        raise RuntimeError(f"mp3 bigtab {v}: table {sel} not selected")
+    if mixed and not all(
+        s["mixed_block_flag"] for s in sides
+    ):  # pragma: no cover - guard
+        raise RuntimeError(f"mp3 bigtab {v}: mixed flag lost")
+    return {
+        "variant": v,
+        "mp3_md5": hashlib.md5(enc).hexdigest(),
+        "mp3_bytes": len(enc),
+        "n_granules": n_gr,
+        "table_sel": sel,
+        "block_kind": "mixed" if mixed else "long",
+        "sample_sum": int(got.sum()),
+        "abs_sum": int(np.abs(got).sum()),
+        "nonzero": int(np.count_nonzero(got)),
+        "scf_sum": int(got_scf.sum()),
+        "big_values_sum": int(sum(s["big_values"] for s in sides)),
+    }
+
+
+def mp3_big_tables_table(spark, variants: int = 10) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    [_mp3_big_tables_variant(int(x)) for x in pdf["id"]]
+                )
+
+    return spark.range(
+        0, int(variants), numPartitions=int(variants)
+    ).mapInPandas(gen, MP3_BIG_TABLES_SCHEMA)
+
+
 MP3_SCF_FP_SCHEMA = "variant bigint, mp3_md5 string, fp array<bigint>"
 
 

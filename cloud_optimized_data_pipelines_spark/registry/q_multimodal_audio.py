@@ -1273,3 +1273,147 @@ def multimodal_mp3_near_dup_q(spark, sf_dir):
             F.lit(bands).cast("long").alias("fp_bands"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MP3 pair tables 7-15 + mixed blocks (r13 — VERDICT r12 "Next round #3")
+# ---------------------------------------------------------------------------
+
+
+def _mp3_big_tables_oracle() -> str:
+    """Oracle for multimodal_mp3_big_tables: the spectra formula
+    ((4i + 13g + v) % (2*nmax+1) - nmax big region, (5i+3g+v)%3-1
+    count1 region, zero tail) and the scalefactor formula (3j+g+v)%8
+    replay directly in SQL with per-variant nmax/granule-count/
+    scalefactor-count CASEs; per-granule big_values replays as the
+    even-rounded end of the |val|>1 region; stream md5 + byte size
+    are pinned from a single-process run.  Non-circular: the engine's
+    sums come from DECODING frames whose big_values regions ride the
+    ACTUAL table-7..15 Huffman codewords (and mixed-block granules
+    for variants 8-9) — a mis-transcribed codeword cannot reproduce
+    the formula."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _mp3_big_tables_variant,
+    )
+
+    rows = [_mp3_big_tables_variant(v) for v in range(10)]
+    md5_case = (
+        "CASE d.doc_id % 10 "
+        + " ".join(f"WHEN {r['variant']} THEN '{r['mp3_md5']}'" for r in rows)
+        + " END"
+    )
+    bytes_case = (
+        "CASE d.doc_id % 10 "
+        + " ".join(f"WHEN {r['variant']} THEN {r['mp3_bytes']}" for r in rows)
+        + " END"
+    )
+    sel_case = (
+        "CASE d.doc_id % 10 "
+        + " ".join(f"WHEN {r['variant']} THEN {r['table_sel']}" for r in rows)
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT unnest(range(0, 10)) AS v),
+dims AS (
+  SELECT v,
+         4 + 2 * (v % 3) AS n_gr,
+         80 + 8 * (v % 4) AS n_big,
+         CASE WHEN v >= 8 THEN 3 WHEN v < 3 THEN 5
+              WHEN v < 6 THEN 7 ELSE 15 END AS nmax,
+         CASE WHEN v >= 8 THEN 35 ELSE 21 END AS n_scf
+  FROM var
+),
+cells AS (SELECT d.*, unnest(range(0, d.n_gr)) AS g FROM dims d),
+lines AS (
+  SELECT v, nmax, n_big, g, unnest(range(0, 576)) AS i FROM cells
+),
+vals AS (
+  SELECT v, g, i,
+         CASE WHEN i < n_big
+                THEN (4*i + 13*g + v) % (2*nmax + 1) - nmax
+              WHEN i < n_big + 64 THEN (5*i + 3*g + v) % 3 - 1
+              ELSE 0 END AS val
+  FROM lines
+),
+sums AS (
+  SELECT v,
+         CAST(SUM(val) AS BIGINT) AS sample_sum,
+         CAST(SUM(ABS(val)) AS BIGINT) AS abs_sum,
+         CAST(SUM(CASE WHEN val <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nonzero
+  FROM vals GROUP BY v
+),
+bigv AS (
+  SELECT v, g,
+         COALESCE((MAX(CASE WHEN ABS(val) > 1 THEN i END) + 2) // 2, 0)
+             AS bv
+  FROM vals GROUP BY v, g
+),
+bigs AS (
+  SELECT v, CAST(SUM(bv) AS BIGINT) AS big_values_sum FROM bigv GROUP BY v
+),
+scfs AS (
+  SELECT c.v,
+         CAST(SUM((3*j.j + c.g + c.v) % 8) AS BIGINT) AS scf_sum
+  FROM cells c
+  JOIN (SELECT unnest(range(0, 35)) AS j) j ON j.j < c.n_scf
+  GROUP BY c.v
+)
+SELECT d.doc_id,
+       d.doc_id % 10 AS variant,
+       {md5_case} AS mp3_md5,
+       CAST({bytes_case} AS BIGINT) AS mp3_bytes,
+       CAST(m.n_gr AS BIGINT) AS n_granules,
+       CAST({sel_case} AS BIGINT) AS table_sel,
+       CASE WHEN d.doc_id % 10 >= 8 THEN 'mixed' ELSE 'long' END
+           AS block_kind,
+       s.sample_sum,
+       s.abs_sum,
+       s.nonzero,
+       f.scf_sum,
+       b.big_values_sum
+FROM documents d
+JOIN dims m ON m.v = d.doc_id % 10
+JOIN sums s ON s.v = d.doc_id % 10
+JOIN scfs f ON f.v = d.doc_id % 10
+JOIN bigs b ON b.v = d.doc_id % 10
+"""
+
+
+@query("multimodal_mp3_big_tables", _mp3_big_tables_oracle)
+def multimodal_mp3_big_tables_q(spark, sf_dir):
+    """REAL-bytes probe of the r13 MP3 Huffman surface
+    (operators/mp3_layer3.py): variants 0-7 force pair tables
+    7/8/9/10/11/12/13/15 over spectra spanning each table's FULL
+    alphabet (the two solver-repaired entries included), variants 8-9
+    write MIXED short/long granules (35 scalefactors, fixed 36-line
+    region0).  Frames encode on executors, decode back through the
+    full side-info/reservoir/Huffman walk, and every graded aggregate
+    derives from the DECODED lines after an exact formula cross-check
+    — so a single mis-transcribed (len, code) pair in any new table
+    fails the grade.  Same broadcast probe-join shape as the other
+    codec probes: at 100 TB the probe is model-sized and the scan
+    side stays a pruned parquet read."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        mp3_big_tables_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = mp3_big_tables_table(spark, 10)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 10).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "mp3_md5",
+        "mp3_bytes",
+        "n_granules",
+        "table_sel",
+        "block_kind",
+        "sample_sum",
+        "abs_sum",
+        "nonzero",
+        "scf_sum",
+        "big_values_sum",
+    )

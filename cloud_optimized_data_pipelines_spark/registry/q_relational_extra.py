@@ -187,7 +187,9 @@ def union_distinct(spark, sf_dir):
     return spark.sql(_UNION_DISTINCT)
 
 
-@query("agg_approx_distinct")  # no oracle: approximate by design (rows-only)
+@query("agg_approx_distinct")  # no oracle: native HLL++ sketch is opaque
+# (rows-only by design; the estimator math is hash-graded by the
+# portable twin agg_approx_distinct_portable below)
 def approx_distinct(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++) — the sketch the engine uses
     at 100 TB where exact COUNT(DISTINCT) would shuffle every key."""
@@ -195,6 +197,91 @@ def approx_distinct(spark, sf_dir):
     return t["orders"].groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey").alias("approx_customers"),
         F.count("*").alias("n"),
+    )
+
+
+_APPROX_DISTINCT_PORTABLE = """
+WITH o AS (
+  SELECT o_orderstatus, CAST(o_custkey AS VARCHAR) AS k FROM orders
+),
+h AS (
+  SELECT o_orderstatus,
+         ('0x' || substr(md5(k), 1, 3))::BIGINT AS bucket,
+         ('0x' || substr(md5(k), 4, 13))::BIGINT AS w
+  FROM o
+),
+regs AS (
+  SELECT o_orderstatus, bucket,
+         MAX(CASE WHEN w = 0 THEN 53
+                  ELSE 53 - length(bin(w)) END) AS register
+  FROM h GROUP BY o_orderstatus, bucket
+),
+agg AS (
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS BIGINT) AS present,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(
+               list_sort(list(struct_pack(b := bucket, r := register))),
+               s -> 1.0 / power(2.0, s.r::DOUBLE))),
+           (a, b) -> a + b) AS s_present
+  FROM regs GROUP BY o_orderstatus
+),
+est AS (
+  SELECT o_orderstatus, present,
+         (4096.0 - present) + s_present AS s,
+         CAST(4096 - present AS BIGINT) AS zeros
+  FROM agg
+),
+ex AS (
+  SELECT o_orderstatus,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT e.o_orderstatus,
+       round(CASE WHEN 12098218.894406674 / e.s <= 10240.0 AND e.zeros > 0
+                  THEN 4096.0 * ln(4096.0 / e.zeros::DOUBLE)
+                  ELSE 12098218.894406674 / e.s END, 6) AS distinct_est,
+       e.present AS buckets_used,
+       e.zeros AS empty_buckets,
+       x.n_exact,
+       x.n
+FROM est e JOIN ex x USING (o_orderstatus)
+"""
+
+
+@query("agg_approx_distinct_portable", _APPROX_DISTINCT_PORTABLE)
+def approx_distinct_portable(spark, sf_dir):
+    """HASH-GRADED twin of agg_approx_distinct (VERDICT r12 task 5 —
+    the one remaining rows-only ledger row): the SAME distinct-
+    customers-per-status shape, but through the portable
+    own-implementation HLL (operators/sketches.py::
+    portable_hll_registers/portable_hll_estimate) whose md5 bucketing,
+    52-bit rank, power-of-two fold and linear-counting correction the
+    DuckDB oracle replays exactly — so the estimator MATH sits under
+    the value hash while the native twin keeps covering Spark's
+    opaque HyperLogLog++ surface.  Exact counts join alongside as the
+    self-audit.  Same 100 TB shape: fixed 4096-register state per
+    group, map-side-combinable MAX."""
+    from cloud_optimized_data_pipelines_spark.operators import sketches as SK
+
+    t = load_tables(spark, sf_dir)
+    regs = SK.portable_hll_registers(
+        t["orders"], "o_custkey", dims=("o_orderstatus",)
+    )
+    est = SK.portable_hll_estimate(regs, dims=("o_orderstatus",))
+    exact = t["orders"].groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return est.join(exact, "o_orderstatus").select(
+        "o_orderstatus",
+        "distinct_est",
+        "buckets_used",
+        "empty_buckets",
+        "n_exact",
+        "n",
     )
 
 
