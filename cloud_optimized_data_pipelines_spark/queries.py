@@ -147,79 +147,77 @@ from cloud_optimized_data_pipelines_spark.registry import (  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registration order.  The driver's correctness harness grades the FIRST
-# 50 registrations only.  Round-12 policy (VERDICT r11 task 1): 4 slots
-# to the never-driver-green r12 queries (MP3 Layer III, the WET charset
-# chain, and the two former rows-only queries now carried by portable
-# hash-graded forms — histogram percentiles and the sliding daily-HLL
-# rollup); 6 slots RE-PROVE every query whose implementation changed
-# this round (the FLAC STREAMINFO/frame-header fixes changed fixture
-# bytes and md5 pins; the zstd default-engine flip and BatchFlusher
-# output batching sit under the five crawl-ingest queries); 31 slots
-# sweep ALL remaining r7 ledger rows (the VERDICT's staleness list
-# verbatim — after CORRECTNESS_r12 nothing driver-graded is older than
-# r8); 9 ever-green anchors / family keepers.  Everything demoted
-# stays registered and locally oracle-checked at sf0.001/0.01/0.1
+# 50 registrations only.  Round-13 policy (VERDICT r12 task 1): 46
+# slots sweep ALL remaining r8 ledger rows (the VERDICT's staleness
+# list verbatim — after CORRECTNESS_r13 nothing driver-graded is older
+# than r9); 2 slots to the never-driver-green r13 queries (the MP3
+# pair-table 7-15 / mixed-block probe and the portable hash-graded
+# approx-distinct twin); 2 slots RE-PROVE the queries whose fixture
+# bytes changed this round (encode_mp3 now auto-selects the smallest
+# covering pair table, so granules with an empty big_values region
+# carry table_select 0 where they carried 1 — both MP3 r12 queries'
+# streams shift).  No ever-green anchor slots this round: the
+# staleness sweep leaves no room, and the bench anchors in bench.py
+# cover drift detection independently.  Everything demoted stays
+# registered and locally oracle-checked at sf0.001/0.01/0.1
 # (tools/check_oracle.py covers all entries; COVERAGE.md's ledger
 # records each query's last driver-green round).
 # ---------------------------------------------------------------------------
 
 _GRADED_WINDOW = [
-    # --- never driver-green (the four r12 queries) ---
-    "multimodal_mp3_features",      # Layer III side info/reservoir/Huffman
-    "text_warc_charsets",           # WET Content-Type charset chain
-    "agg_approx_percentile",        # portable histogram quantiles (hash-graded)
-    "sketch_hll_daily_uniques",     # sliding 7-day portable-HLL rollup
-    # --- changed-implementation re-proves (r12 edits) ---
-    "multimodal_flac_features",     # STREAMINFO min/max + frame-header rate
-    "text_zstd_shard",              # default engine now auto->CLI
-    "text_compressed_corpus",       # default engine + BatchFlusher
-    "text_warc_records",            # BatchFlusher output batching
-    "pipeline_crawl_ingest",        # rides warc/http sources
-    "multimodal_webdataset_samples",  # pax length-prefix + BatchFlusher
-    # --- staleness sweep: ALL 31 remaining r7 ledger rows ---
-    "dedup_ngram_containment",
-    "dedup_ngram_jaccard_guarded",
-    "dedup_simhash_pairs",
-    "dedup_source_overlap",
-    "dedup_substring_cut",
-    "events_drift_psi",
-    "graph_pagerank_dangling",
-    "multimodal_gif_frames",
-    "multimodal_jpeg_features",
-    "multimodal_png_palette",
-    "multimodal_png_resize",
-    "multimodal_wav_downsample",
-    "privacy_k_anonymous",
-    "rollup_hourly_merge",
-    "sample_ccnet_buckets",
-    "sample_token_budget_mix",
-    "sessionize_batch_events",
-    "similarity_decontaminate_blocked",
-    "similarity_embedding_decontaminate",
-    "similarity_knn_join",
-    "similarity_semantic_dedup",
-    "similarity_semantic_dedup_indexed",
-    "sketch_cms_heavy_hitters",
-    "sketch_kmv_uniques",
-    "text_bigram_backoff",
-    "text_bm25_scores",
-    "text_c4_clean",
-    "text_classifier_score",
-    "text_decontaminate",
-    "text_distribution_shift",
-    "text_ngram_repetition",
-    # --- ever-green anchors + family/coverage keepers ---
-    "q1_pricing_summary",
-    "q21_waiting_supplier",
-    "c1_extract_dates",
-    "s2_discovery_enrich",
-    "k1_cogify_real_bytes",
-    "k3_transfer_plan",
-    "dedup_lsh_survivors",
-    "similarity_ivf_topk",
-    "multimodal_mp3_near_dup",  # yielded by pipeline_corpus_preprocess
-    # (r11-green) for the new Layer III near-dup — fingerprints off
-    # PARSED MP3 scalefactors through the reservoir machinery
+    # --- staleness sweep: ALL 46 remaining r8 ledger rows ---
+    "a1_array_extent",
+    "agg_conditional_pivot",
+    "agg_having_frequent_customers",
+    "c7_url_parse",
+    "dedup_bloom_gated",
+    "dedup_cdc_chunks",
+    "dedup_fuzzy_guard_report",
+    "dedup_fuzzy_prefix",
+    "dedup_simhash_wide_pairs",
+    "dedup_soft_weights",
+    "events_gap_stats",
+    "j3_granule_enrichment",
+    "join_range_ship_window",
+    "multimodal_avi_frames",
+    "multimodal_frame_sample",
+    "multimodal_gif_composite",
+    "multimodal_gif_interlaced",
+    "multimodal_jpeg_12bit",
+    "multimodal_jpeg_progressive",
+    "multimodal_jpeg_subsampled",
+    "multimodal_wav_g711",
+    "pipeline_corpus_prep",
+    "s3_cmr_predicates",
+    "sample_stratified_docs",
+    "sample_temperature_mix",
+    "scalar_date_functions",
+    "scalar_string_functions",
+    "set_union_distinct",
+    "similarity_ann_multiprobe",
+    "similarity_decontaminate_multiprobe",
+    "similarity_embedding_near_dup",
+    "similarity_ivf_probe",
+    "similarity_semantic_dedup_fast",
+    "sketch_bloom_membership",
+    "subquery_exists_big_orders",
+    "subquery_scalar_above_avg",
+    "text_bpe_encode_stats",
+    "text_bpe_merges",
+    "text_bpe_pair_counts",
+    "text_chunk_sliding",
+    "text_doc_top_tokens",
+    "text_fingerprint",
+    "text_pack_sequences",
+    "text_pii_redact",
+    "text_simhash",
+    "text_token_top20",
+    # --- never driver-green (the two r13 queries) ---
+    "multimodal_mp3_big_tables",    # pair tables 7-15 + mixed blocks
+    "agg_approx_distinct_portable",  # hash-graded HLL estimator math
+    # --- changed-fixture re-proves (r13 encoder auto-table choice) ---
+    "multimodal_mp3_features",
+    "multimodal_mp3_near_dup",
 ]
 
 
