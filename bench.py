@@ -19,6 +19,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cloud_optimized_data_pipelines_spark.session import get_spark  # noqa: E402
 
+# Cross-round drift anchors (r13): re-timed once per ANCHOR_EVERY
+# timed queries so every record carries its own host-noise trace —
+# a scan-bound, a shuffle-hash-bound, and a vector-CPU-bound shape.
+ANCHORS = (
+    "q1_pricing_summary",
+    "dedup_exact",
+    "similarity_bruteforce_topk",
+)
+ANCHOR_EVERY = 10
+
 HEADLINE = [
     # relational core
     "q1_pricing_summary",
@@ -224,6 +234,13 @@ ADDITIONS_R12 = [
     "multimodal_mp3_near_dup",
 ]
 
+ADDITIONS_R13 = [
+    # MP3 pair tables 7-15 at full alphabet + mixed short/long granules
+    "multimodal_mp3_big_tables",
+    # portable hash-graded HLL twin of the native approx-distinct
+    "agg_approx_distinct_portable",
+]
+
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable
 # set above so their side effects (the SemDeDup partitioned assignment
 # write, PNG codec Python workers) cannot perturb the JVM/page-cache
@@ -288,26 +305,68 @@ def main() -> None:
     # ship under "runs" so cross-round deltas can be separated from
     # session-level machine drift (the r4-vs-r5 +15% uniform-drift
     # ambiguity cost a manual A/B to resolve).
+    # r13 protocol change (judge ask — VERDICT r12 "What's wrong #1"):
+    # the three cross-round ANCHORS are re-timed every ANCHOR_EVERY
+    # timed queries, giving per-segment host-noise readings that make
+    # one record interpretable WITHOUT a fresh-session A/B.  Each
+    # segment's inflation factor is the median over anchors of
+    # (segment reading / that anchor's quietest reading this run);
+    # every query's median is reported raw AND divided by its
+    # segment's factor ("normalized").
+    def _noop(name: str) -> None:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    anchor_runs: dict[str, list[float]] = {a: [] for a in ANCHORS}
+
+    def _run_anchors() -> None:
+        for a in ANCHORS:
+            t0 = time.perf_counter()
+            _noop(a)
+            anchor_runs[a].append(round(time.perf_counter() - t0, 3))
+
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    seg_of: dict[str, int] = {}
     batches = (HEADLINE, ADDITIONS, ADDITIONS_R6, ADDITIONS_R8,
-               ADDITIONS_R9, ADDITIONS_R10, ADDITIONS_R11, ADDITIONS_R12)
+               ADDITIONS_R9, ADDITIONS_R10, ADDITIONS_R11, ADDITIONS_R12,
+               ADDITIONS_R13)
     _freeze_order(batches)
+    for a in ANCHORS:  # anchor codegen/JIT warmup, outside all timings
+        _noop(a)
+    timed = 0
     for batch in batches:
         for name in batch:
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            _noop(name)
         for name in batch:
+            if timed % ANCHOR_EVERY == 0:
+                _run_anchors()
+            seg_of[name] = len(anchor_runs[ANCHORS[0]]) - 1
             trio = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                _noop(name)
                 trio.append(round(time.perf_counter() - t0, 3))
             runs[name] = trio
             timings[name] = sorted(trio)[1]
+            timed += 1
+    _run_anchors()  # closing reading so the last segment is bracketed
 
+    ref = {a: min(anchor_runs[a]) for a in ANCHORS}
+    n_seg = len(anchor_runs[ANCHORS[0]])
+    factors = [
+        round(sorted(
+            anchor_runs[a][s] / ref[a] for a in ANCHORS
+        )[len(ANCHORS) // 2], 4)
+        for s in range(n_seg)
+    ]
+    normalized = {
+        name: round(t / factors[seg_of[name]], 3)
+        for name, t in timings.items()
+    }
     total = round(sum(timings.values()), 3)
+    norm_total = round(sum(normalized.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {
         "metric": "headline_queries_total",
@@ -315,6 +374,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs": runs,
+        "anchors": anchor_runs,
+        "anchor_factors": factors,
+        "query_segment": seg_of,
+        "normalized": normalized,
+        "norm_value": norm_total,
         "sf": sf_val,
     }
     # verbose record first (humans; the driver's tail truncates it) ...
@@ -342,16 +406,22 @@ def main() -> None:
     compact = {
         "metric": "headline_queries_total",
         "value": total,
+        "norm_value": norm_total,
         "unit": "sec",
         "queries": slowest,
         "n_queries": len(timings),
         "order_sha1": order_sha1,
         "medians": [timings[n] for n in QUERY_ORDER],
+        "anchors": anchor_runs,
+        "anchor_factors": factors,
         "sf": sf_val,
     }
     line = json.dumps(compact, separators=(",", ":"))
     while len(line) > 1900 and compact["queries"]:
         compact["queries"].popitem()
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # last resort: factors alone still carry noise
+        compact.pop("anchors", None)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 

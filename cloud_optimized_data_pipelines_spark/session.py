@@ -11,6 +11,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """~1/5 of machine RAM, clamped to [4g, 24g]: 24g on the 128 GiB
+    bench box (768 MB per local[32] task), proportionally less on dev
+    laptops so the local-mode JVM never swaps or fails to start.
+    SPARK_DRIVER_MEMORY overrides."""
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES")
+        page = os.sysconf("SC_PAGE_SIZE")
+        total_gib = pages * page / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    return f"{max(4, min(24, int(total_gib / 5)))}g"
+
+
 def get_spark(
     app_name: str = "cloud-optimized-data-pipelines-spark",
     shuffle_partitions: int | None = None,
@@ -60,8 +74,14 @@ def get_spark(
         # local-mode the driver JVM IS the executor: size the heap for
         # SPARK_GRAFT_CPUS concurrent tasks (8g gave 32 tasks 256 MB
         # each — GC-bound on multi-GB string scans; 24g ≈ 768 MB/task
-        # on a 128 GiB box, matching a sane per-core cluster sizing)
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # on a 128 GiB box, matching a sane per-core cluster sizing).
+        # The default DERIVES from machine RAM (~1/5, clamped to
+        # [4g, 24g]) so smaller dev boxes start without swapping;
+        # SPARK_DRIVER_MEMORY overrides either way (r12 ADVICE).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
         .config("spark.ui.enabled", "false")
         # bucketed-table writes (operators/bucketing.py) need a managed
         # warehouse; keep it out of the repo tree

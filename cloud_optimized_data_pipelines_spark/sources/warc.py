@@ -384,8 +384,15 @@ def decode_http_body(body: bytes, content_type: str | None
     UTF-8 silently mojibakes a third of the corpus.  Returns
     (text, charset_used).  Resolution order: declared charset (when
     python's codec registry knows it and the bytes decode), else
-    strict UTF-8, else latin-1 (the fallback that never fails and
-    preserves the byte values)."""
+    strict UTF-8, else — when the body is ALMOST valid UTF-8 (<= 2%
+    of bytes invalid: a truncated multi-byte sequence, a stray
+    continuation byte) — UTF-8 with U+FFFD repairs, else latin-1
+    (the fallback that never fails and preserves the byte values).
+    The repair branch exists because one bad byte must not mojibake
+    an entire otherwise-UTF-8 document as latin-1 (r12 ADVICE);
+    legacy single/multi-byte encodings read as far more than 2%
+    invalid (the fixture design table measures 15-67%) so they keep
+    the byte-preserving fallback."""
     if content_type:
         m = _CHARSET_RE.search(content_type)
         if m:
@@ -398,6 +405,9 @@ def decode_http_body(body: bytes, content_type: str | None
     try:
         return body.decode("utf-8"), "utf-8"
     except UnicodeDecodeError:
+        repaired = body.decode("utf-8", "replace")
+        if body and repaired.count("�") / len(body) <= 0.02:
+            return repaired, "utf-8"
         return body.decode("latin-1"), "latin-1"
 
 

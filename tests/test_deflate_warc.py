@@ -444,6 +444,18 @@ def test_decode_http_body_charset_chain():
     assert cs == "latin-1" and text == "café \x97"
     # no content type at all
     assert decode_http_body(b"x", None) == ("x", "utf-8")
+    # mostly-valid UTF-8 with ONE truncated multi-byte sequence stays
+    # UTF-8 with a U+FFFD repair — not whole-document latin-1 mojibake
+    # (r12 ADVICE); <= 2% of bytes invalid takes the repair branch
+    body = ("déjà vu " * 40).encode("utf-8")[:-5]  # cut à mid-sequence
+    text, cs = decode_http_body(body, "text/html")
+    assert cs == "utf-8" and text.endswith("déj�")
+    assert text.count("�") == 1 and "Ã" not in text
+    # ...but a thoroughly non-UTF-8 body (legacy encoding) still falls
+    # back to byte-preserving latin-1
+    noisy = ("café " * 40).encode("latin-1")
+    text, cs = decode_http_body(noisy, "text/html")
+    assert cs == "latin-1" and text == "café " * 40
 
 
 def test_warc_charset_probe_roundtrip():
