@@ -60,3 +60,22 @@ class BatchFlusher:
         out = pd.DataFrame(self._rows, columns=self.columns)
         self._rows, self._pending = [], 0
         return out
+
+
+def spread_small_scan(df):
+    """Repartition an UNDER-PARALLEL input to the cluster's default
+    parallelism before a payload exploder — the small-corpus floor fix
+    (SCALE.md r12: a 64-shard parquet scans as 2 input splits under
+    128 MB maxPartitionBytes, so 30 of 32 cores idle through the whole
+    decode).  The branch only fires when the scan yields FEWER
+    partitions than cores: at production scale (many input splits) the
+    condition is false and no shuffle is added; when it does fire the
+    one-time shuffle moves only the small corpus's compressed bytes
+    and buys cores-per-shard decode parallelism."""
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            return df.repartition(par)
+    except Exception:  # non-standard sessions: keep the plan untouched
+        pass
+    return df

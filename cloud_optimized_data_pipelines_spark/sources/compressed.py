@@ -27,7 +27,10 @@ from typing import Iterator
 
 import pandas as pd
 
-from cloud_optimized_data_pipelines_spark.batching import BatchFlusher
+from cloud_optimized_data_pipelines_spark.batching import (
+    BatchFlusher,
+    spread_small_scan,
+)
 from cloud_optimized_data_pipelines_spark.operators.deflate_codec import (
     gzip_decode,
 )
@@ -102,6 +105,6 @@ def decode_text_column(df, id_col: str, binary_col: str,
         if tail is not None:
             yield tail
 
-    return df.select(id_col, binary_col).mapInPandas(
+    return spread_small_scan(df.select(id_col, binary_col)).mapInPandas(
         gen, COMPRESSED_TEXT_SCHEMA
     )

@@ -41,7 +41,10 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from cloud_optimized_data_pipelines_spark.batching import BatchFlusher
+from cloud_optimized_data_pipelines_spark.batching import (
+    BatchFlusher,
+    spread_small_scan,
+)
 
 from cloud_optimized_data_pipelines_spark.operators.deflate_codec import (
     gzip_encode,
@@ -353,7 +356,7 @@ def warc_records(df, id_col: str, binary_col: str, compressed: bool = True):
         if tail is not None:
             yield tail
 
-    return df.select(id_col, binary_col).mapInPandas(
+    return spread_small_scan(df.select(id_col, binary_col)).mapInPandas(
         gen, WARC_RECORD_SCHEMA
     )
 

@@ -36,7 +36,10 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from cloud_optimized_data_pipelines_spark.batching import BatchFlusher
+from cloud_optimized_data_pipelines_spark.batching import (
+    BatchFlusher,
+    spread_small_scan,
+)
 
 _BLOCK = 512
 
@@ -224,7 +227,7 @@ def wds_samples(df, id_col: str, binary_col: str):
         if tail is not None:
             yield tail
 
-    return df.select(id_col, binary_col).mapInPandas(
+    return spread_small_scan(df.select(id_col, binary_col)).mapInPandas(
         gen, WDS_SAMPLE_SCHEMA
     )
 
