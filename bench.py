@@ -417,11 +417,17 @@ def main() -> None:
         "sf": sf_val,
     }
     line = json.dumps(compact, separators=(",", ":"))
-    while len(line) > 1900 and compact["queries"]:
+    # budget order: trim slowest-query entries down to a floor of 6,
+    # then drop the raw anchor traces (factors alone still carry the
+    # noise signal), then — only if still over — the remaining queries
+    while len(line) > 1900 and len(compact["queries"]) > 6:
         compact["queries"].popitem()
         line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # last resort: factors alone still carry noise
+    if len(line) > 1900:
         compact.pop("anchors", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1900 and compact["queries"]:
+        compact["queries"].popitem()
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 

@@ -12,16 +12,29 @@ from pyspark.sql import SparkSession
 
 
 def _default_driver_memory() -> str:
-    """~1/5 of machine RAM, clamped to [4g, 24g]: 24g on the 128 GiB
+    """~1/5 of AVAILABLE RAM, clamped to [4g, 24g]: 24g on the 128 GiB
     bench box (768 MB per local[32] task), proportionally less on dev
     laptops so the local-mode JVM never swaps or fails to start.
-    SPARK_DRIVER_MEMORY overrides."""
+    Available = min(physical RAM, cgroup memory limit) — inside a
+    memory-limited container sysconf reports the HOST's RAM, and
+    sizing to that gets the JVM OOM-killed.  SPARK_DRIVER_MEMORY
+    overrides."""
     try:
-        pages = os.sysconf("SC_PHYS_PAGES")
-        page = os.sysconf("SC_PAGE_SIZE")
-        total_gib = pages * page / (1 << 30)
+        total = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
     except (ValueError, OSError, AttributeError):
         return "8g"
+    for limit_file in (
+        "/sys/fs/cgroup/memory.max",  # cgroup v2
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",  # cgroup v1
+    ):
+        try:
+            with open(limit_file) as f:
+                raw = f.read().strip()
+            if raw.isdigit():
+                total = min(total, int(raw))
+        except OSError:
+            pass
+    total_gib = total / (1 << 30)
     return f"{max(4, min(24, int(total_gib / 5)))}g"
 
 

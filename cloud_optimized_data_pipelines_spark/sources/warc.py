@@ -387,15 +387,17 @@ def decode_http_body(body: bytes, content_type: str | None
     UTF-8 silently mojibakes a third of the corpus.  Returns
     (text, charset_used).  Resolution order: declared charset (when
     python's codec registry knows it and the bytes decode), else
-    strict UTF-8, else — when the body is ALMOST valid UTF-8 (<= 2%
-    of bytes invalid: a truncated multi-byte sequence, a stray
-    continuation byte) — UTF-8 with U+FFFD repairs, else latin-1
-    (the fallback that never fails and preserves the byte values).
-    The repair branch exists because one bad byte must not mojibake
-    an entire otherwise-UTF-8 document as latin-1 (r12 ADVICE);
-    legacy single/multi-byte encodings read as far more than 2%
-    invalid (the fixture design table measures 15-67%) so they keep
-    the byte-preserving fallback."""
+    strict UTF-8, else — when the ONLY invalid bytes are a truncated
+    multi-byte sequence at EOF (first invalid byte within the final
+    4 bytes; the mid-transfer-cut shape) — the valid UTF-8 prefix
+    plus one U+FFFD, else latin-1 (the fallback that never fails and
+    preserves the byte values).  The repair branch exists because one
+    cut byte must not mojibake an entire otherwise-UTF-8 document as
+    latin-1 (r12 ADVICE); it keys on the POSITION of the first
+    invalid byte, not a replacement-character ratio, so a legacy
+    cp1252 page with sparse high bytes mid-document keeps the
+    byte-preserving latin-1 path and legitimate U+FFFD characters in
+    valid UTF-8 content never skew the decision."""
     if content_type:
         m = _CHARSET_RE.search(content_type)
         if m:
@@ -407,10 +409,15 @@ def decode_http_body(body: bytes, content_type: str | None
                 pass
     try:
         return body.decode("utf-8"), "utf-8"
-    except UnicodeDecodeError:
-        repaired = body.decode("utf-8", "replace")
-        if body and repaired.count("�") / len(body) <= 0.02:
-            return repaired, "utf-8"
+    except UnicodeDecodeError as e:
+        # e.start is the FIRST invalid byte: everything before it is
+        # valid UTF-8 by construction, so a start inside the last 4
+        # bytes means exactly one sequence was cut at EOF.  The body
+        # must be long enough (16+ bytes) for "cut tail" to be the
+        # likely story — on a handful of bytes latin-1's byte
+        # preservation is the safer default.
+        if len(body) >= 16 and e.start >= len(body) - 4:
+            return body[: e.start].decode("utf-8") + "�", "utf-8"
         return body.decode("latin-1"), "latin-1"
 
 

@@ -444,15 +444,25 @@ def test_decode_http_body_charset_chain():
     assert cs == "latin-1" and text == "café \x97"
     # no content type at all
     assert decode_http_body(b"x", None) == ("x", "utf-8")
-    # mostly-valid UTF-8 with ONE truncated multi-byte sequence stays
-    # UTF-8 with a U+FFFD repair — not whole-document latin-1 mojibake
-    # (r12 ADVICE); <= 2% of bytes invalid takes the repair branch
+    # a UTF-8 body whose ONLY damage is a truncated multi-byte
+    # sequence at EOF stays UTF-8 with a single U+FFFD repair — not
+    # whole-document latin-1 mojibake (r12 ADVICE)
     body = ("déjà vu " * 40).encode("utf-8")[:-5]  # cut à mid-sequence
     text, cs = decode_http_body(body, "text/html")
     assert cs == "utf-8" and text.endswith("déj�")
     assert text.count("�") == 1 and "Ã" not in text
-    # ...but a thoroughly non-UTF-8 body (legacy encoding) still falls
-    # back to byte-preserving latin-1
+    # legitimate U+FFFD characters in the valid content must not skew
+    # the decision (they are valid UTF-8, not decode errors)
+    body = ("x" * 50 + "�" * 30).encode("utf-8") + b"\xe9"
+    text, cs = decode_http_body(body, "text/html")
+    assert cs == "utf-8" and text == "x" * 50 + "�" * 31
+    # a legacy page with SPARSE high bytes mid-document (cp1252-style
+    # curly apostrophe in ASCII text) keeps the byte-preserving
+    # latin-1 path — the repair must never destroy legacy data
+    sparse = b"it\x92s a plain ascii sentence " * 10
+    text, cs = decode_http_body(sparse, "text/html")
+    assert cs == "latin-1" and text == sparse.decode("latin-1")
+    # ...and a thoroughly non-UTF-8 body (dense legacy encoding) too
     noisy = ("café " * 40).encode("latin-1")
     text, cs = decode_http_body(noisy, "text/html")
     assert cs == "latin-1" and text == "café " * 40

@@ -1,7 +1,13 @@
 """MP3 near-dup at corpus scale: the full pipeline — encode real
 Layer III streams on executors, scalefactors-only parse-back,
 120-bit fingerprint, band_geometry-adaptive banded-Hamming join —
-at V = 2 000 and 20 000 streams (125x / 1250x the graded fixture).
+at V = 2 000 .. 5 000 000 streams (up to 312 500x the graded
+fixture).  The probe honors the FULL band_geometry contract: past the
+~4.2M width-60 transition the geometry asks for words=4 (a 240-bit
+fingerprint), which the builder satisfies with 12 granules x 21
+scalefactor bands per stream — scale buys wider bands through LONGER
+fingerprints, never through losing recall (pigeonhole floor
+num_bands >= h+1 preserved).
 
 Corpus design: V streams in sibling PAIRS (base b = v // 2).  Each
 base's scalefactors derive from md5(base, granule, sfb) — random
@@ -28,38 +34,43 @@ import pandas as pd  # noqa: E402
 from cloud_optimized_data_pipelines_spark.session import get_spark  # noqa: E402
 
 
-def _scf_bits(base: int) -> np.ndarray:
-    """120 deterministic md5-derived bits for a base (bit k -> the
+def _scf_bits(base: int, n_bits: int = 120) -> np.ndarray:
+    """n_bits deterministic md5-derived bits for a base (bit k -> the
     fingerprint bit of (granule k//21, sfb k%21))."""
     bits = []
     h = b""
     k = 0
-    while len(bits) < 120:
+    while len(bits) < n_bits:
         h = hashlib.md5(f"mp3scale:{base}:{k}".encode()).digest()
         for byte in h:
             for s in range(8):
                 bits.append((byte >> s) & 1)
-                if len(bits) == 120:
+                if len(bits) == n_bits:
                     break
-            if len(bits) == 120:
+            if len(bits) == n_bits:
                 break
         k += 1
     return np.array(bits, np.int64)
 
 
-def build_fp(v: int) -> dict:
+def build_fp(v: int, n_words: int = 2) -> dict:
     """Encode stream v, parse scalefactors back (samples=False),
-    return the fingerprint words + stream bytes."""
+    return the n_words x 60-bit fingerprint + stream bytes.  The
+    stream carries ceil(60 * n_words / 21) granules (rounded up to an
+    even count) so the fingerprint draws every bit from a REAL parsed
+    scalefactor cell."""
     from cloud_optimized_data_pipelines_spark.operators.mp3_layer3 import (
         decode_mp3,
         encode_mp3,
     )
 
     base = v // 2
-    bits = _scf_bits(base)
-    n_gr = 6
+    n_bits = 60 * n_words
+    n_gr = -(-n_bits // 21)
+    n_gr += n_gr % 2
+    bits = _scf_bits(base, n_bits)
     scf = np.zeros((n_gr, 21), np.int64)
-    for k in range(120):
+    for k in range(n_bits):
         g, j = divmod(k, 21)
         scf[g, j] = 5 if bits[k] else 2
     gg = np.arange(n_gr, dtype=np.int64)[:, None]
@@ -71,9 +82,9 @@ def build_fp(v: int) -> dict:
         g2["scalefactors"] for fr in frames for chs in fr["granules"]
         for g2 in chs
     ])[:n_gr]
-    fp_bits = (parsed.reshape(-1)[:120] >= 4).astype(np.int64)
+    fp_bits = (parsed.reshape(-1)[:n_bits] >= 4).astype(np.int64)
     words = []
-    for w in range(2):
+    for w in range(n_words):
         word = 0
         for t in range(60):
             word = (word << 1) | int(fp_bits[w * 60 + t])
@@ -91,9 +102,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     sizes = [int(a) for a in sys.argv[1:]] or [2000, 20000]
     for V in sizes:
-        def gen(batches):
+        n_words, num_bands, width = band_geometry(V, max_hamming=3)
+        n_words = max(2, n_words)  # the graded fixture floor
+        num_bands = max(num_bands, (60 // width) * n_words)
+
+        def gen(batches, n_words=n_words):
             for pdf in batches:
-                yield pd.DataFrame([build_fp(int(x)) for x in pdf["id"]])
+                yield pd.DataFrame(
+                    [build_fp(int(x), n_words) for x in pdf["id"]]
+                )
 
         t0 = time.perf_counter()
         fps = spark.range(V, numPartitions=32).mapInPandas(
@@ -102,12 +119,10 @@ def main() -> None:
         n_built = fps.count()
         t_build = time.perf_counter() - t0
 
-        _, _, width = band_geometry(V, max_hamming=3)
-        bpwd = 60 // width
         t0 = time.perf_counter()
         pairs = banded_hamming_pairs(
             fps, "variant", "fp",
-            num_bands=2 * bpwd, width=width, max_hamming=3,
+            num_bands=num_bands, width=width, max_hamming=3,
         )
         got = {(r.id_a, r.id_b) for r in pairs.collect()}
         t_join = time.perf_counter() - t0
@@ -118,7 +133,8 @@ def main() -> None:
             f"missing={len(want - got)}"
         )
         print(
-            f"PROBE mp3-scale V={V} width={width} "
+            f"PROBE mp3-scale V={V} words={n_words} width={width} "
+            f"bands={num_bands} "
             f"build+parse+fp={t_build:.1f}s "
             f"({V / t_build:.0f} streams/s) join={t_join:.1f}s "
             f"pairs={len(got)} exact-sibling-match",
