@@ -131,15 +131,18 @@ from cloud_optimized_data_pipelines_spark.operators import (  # noqa: E402
 
 
 @st.composite
-def _mp3_spectrum(draw):
+def _mp3_spectrum(draw, nmax=3):
     """A legal spectrum for the shipped-table alphabet: a big-values
-    prefix in [-3, 3], a count1 region in [-1, 1], zero tail."""
+    prefix in [-nmax, nmax] (r13 widened to 15 — the encoder
+    auto-selects among pair tables 1-15), a count1 region in [-1, 1],
+    zero tail."""
     n_big = draw(st.integers(0, 240)) * 2
     # quads tile from n_big in steps of 4 up to the last FULL quad;
     # the tail past it is rzero by construction
     max_quads = (576 - n_big) // 4
     n_quad = draw(st.integers(0, min(max_quads, 84))) * 4
-    big = draw(st.lists(st.integers(-3, 3), min_size=n_big, max_size=n_big))
+    big = draw(st.lists(st.integers(-nmax, nmax),
+                        min_size=n_big, max_size=n_big))
     quad = draw(st.lists(st.integers(-1, 1), min_size=n_quad,
                          max_size=n_quad))
     out = np.zeros(576, np.int64)
@@ -175,6 +178,97 @@ def test_mp3_roundtrip_property(spectra, scf_seed, c1b, reservoir):
     except ValueError as exc:
         # dense max-entropy spectra can legitimately exceed even the
         # top CBR frame budget — the named capacity error, not a bug
+        assume("frame budget" not in str(exc))
+        raise
+    frames = M3.decode_mp3(enc)
+    got = np.vstack([
+        gg["samples"] for fr in frames for chs in fr["granules"]
+        for gg in chs
+    ])[:n]
+    got_scf = np.vstack([
+        gg["scalefactors"] for fr in frames for chs in fr["granules"]
+        for gg in chs
+    ])[:n]
+    assert np.array_equal(got, spectra)
+    assert np.array_equal(got_scf, scf)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(_mp3_spectrum(nmax=15), min_size=1, max_size=4),
+    st.integers(0, 7),
+    st.booleans(),
+)
+def test_mp3_roundtrip_property_full_alphabet(spectra, scf_seed, c1b):
+    """r13: the encoder auto-selects among pair tables 1-15 for
+    big-region magnitudes up to |15|; every shipped table's codewords
+    must survive the round trip on arbitrary legal spectra."""
+    from hypothesis import assume
+
+    spectra = np.stack(spectra)
+    n = len(spectra)
+    g = np.arange(n, dtype=np.int64)[:, None]
+    j = np.arange(21, dtype=np.int64)[None, :]
+    scf = (3 * j + 5 * g + scf_seed) % 8
+    try:
+        enc = M3.encode_mp3(
+            spectra,
+            scalefactors=scf,
+            scalefac_compress=13,
+            count1table_select=int(c1b),
+            bitrate_kbps=320,
+        )
+    except ValueError as exc:
+        # |15| values at max entropy can exceed even the top CBR
+        # frame budget — the named capacity error, not a bug
+        assume("frame budget" not in str(exc))
+        raise
+    frames = M3.decode_mp3(enc)
+    got = np.vstack([
+        gg["samples"] for fr in frames for chs in fr["granules"]
+        for gg in chs
+    ])[:n]
+    assert np.array_equal(got, spectra)
+    # the selected table covers the big region per granule
+    sides = [
+        gg["side"] for fr in frames for chs in fr["granules"]
+        for gg in chs
+    ][:n]
+    for k, s in enumerate(sides):
+        bv2 = s["big_values"] * 2
+        if bv2:
+            sel = s["table_select"][0]
+            assert sel != 0
+            assert int(np.abs(spectra[k][:bv2]).max()) < M3.pair_table(
+                sel
+            )["n"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(_mp3_spectrum(nmax=5), min_size=2, max_size=4),
+    st.integers(0, 7),
+)
+def test_mp3_roundtrip_property_mixed_blocks(spectra, scf_seed):
+    """r13: MIXED short/long granules (35 scalefactors, fixed 36-line
+    region0) round-trip on arbitrary legal spectra."""
+    from hypothesis import assume
+
+    spectra = np.stack(spectra)
+    n = len(spectra)
+    g = np.arange(n, dtype=np.int64)[:, None]
+    j = np.arange(35, dtype=np.int64)[None, :]
+    scf = (3 * j + 5 * g + scf_seed) % 8
+    try:
+        enc = M3.encode_mp3(
+            spectra,
+            scalefactors=scf,
+            scalefac_compress=13,
+            block_type=2,
+            mixed_block=True,
+            bitrate_kbps=320,
+        )
+    except ValueError as exc:
         assume("frame budget" not in str(exc))
         raise
     frames = M3.decode_mp3(enc)
