@@ -539,9 +539,11 @@ def warc_text_probe_table(spark, variants: int = 8):
 # ---------------------------------------------------------------------------
 
 # (declared Content-Type, python codec that encodes the body, charset
-# decode_http_body must RESOLVE).  The final three rows prove the
+# decode_http_body must RESOLVE).  The final four rows prove the
 # fallbacks: undeclared non-UTF-8 bytes -> latin-1, an unknown label
-# -> UTF-8, undeclared pure-ASCII -> utf-8.
+# -> UTF-8, undeclared pure-ASCII -> utf-8, and (r13) an undeclared
+# UTF-8 body cut mid-sequence at EOF -> the valid prefix + one U+FFFD
+# (the position-rule repair branch).
 CHARSET_CASES = (
     ("text/html; charset=UTF-8", "utf-8", "utf-8"),
     ("text/html; charset=ISO-8859-1", "latin-1", "latin-1"),
@@ -551,6 +553,7 @@ CHARSET_CASES = (
     ("text/html", "windows-1252", "latin-1"),
     ("text/html; charset=x-bogus", "utf-8", "utf-8"),
     ("text/plain", "ascii", "utf-8"),
+    ("text/html", "utf-8-cut", "utf-8"),
 )
 
 _CHARSET_TEXTS = (
@@ -562,6 +565,7 @@ _CHARSET_TEXTS = (
     "dash — quote “q” {n}",
     "plain utf-8 café {n}",
     "ascii only {n}",
+    "truncated tail {n} café",
 )
 
 
@@ -574,6 +578,12 @@ def charset_case(v: int, i: int) -> tuple[str, bytes, str, str]:
     case = (v + 2 * i) % len(CHARSET_CASES)
     ctype, enc_codec, resolved = CHARSET_CASES[case]
     text = _CHARSET_TEXTS[case].format(n=100 * v + i)
+    if enc_codec == "utf-8-cut":
+        # the trailing é loses its second byte — the mid-transfer-cut
+        # shape the r13 repair rule targets.  Reference binding:
+        # python's codecs on the valid prefix, plus one U+FFFD.
+        body = text.encode("utf-8")[:-1]
+        return ctype, body, resolved, text[:-1] + "�"
     body = text.encode(enc_codec)
     expected = body.decode(resolved)
     return ctype, body, resolved, expected
