@@ -162,6 +162,10 @@ from cloud_optimized_data_pipelines_spark.registry import (  # noqa: E402,F401
 # registered and locally oracle-checked at sf0.001/0.01/0.1
 # (tools/check_oracle.py covers all entries; COVERAGE.md's ledger
 # records each query's last driver-green round).
+# r14 NOTE: text_warc_charsets' fixture table gained a ninth case in
+# r13 (undeclared UTF-8 cut mid-sequence -> tail repair) — its output
+# changed (locally 3-SF green), so give it an r14 re-grade slot along
+# with the r9-stale sweep.
 # ---------------------------------------------------------------------------
 
 _GRADED_WINDOW = [
