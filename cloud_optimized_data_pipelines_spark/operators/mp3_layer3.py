@@ -633,11 +633,18 @@ def decode_mp3(data: bytes, samples: bool = True) -> list[dict]:
     jumps each granule by its ``part2_3_length`` — the scalefactor
     fingerprint scan shape: at 100 TB the near-dup path touches only
     headers + side info + scalefactor fields (a few % of stream
-    bytes) and never expands a frequency line."""
+    bytes) and never expands a frequency line.
+
+    Real crawl MP3s carry metadata tags around the audio: a leading
+    ID3v2 block is skipped and a trailing ID3v1 block trimmed
+    (``mpeg_audio.id3_bounds``, r13) before the frame walk."""
+    from cloud_optimized_data_pipelines_spark.operators.mpeg_audio import (
+        id3_bounds,
+    )
+
     frames = []
     reservoir = bytearray()
-    off = 0
-    n = len(data)
+    off, n, _, _ = id3_bounds(data)
     while off + 4 <= n:
         hdr = parse_header(data, off)
         if hdr["layer"] != 3:

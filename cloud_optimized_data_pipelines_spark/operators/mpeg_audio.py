@@ -631,6 +631,31 @@ def decode_mpeg_audio(data: bytes) -> tuple[np.ndarray, int]:
     )
 
 
+def id3_bounds(data: bytes) -> tuple[int, int, int, int]:
+    """(first audio byte, end of audio bytes, id3v2_bytes, has_id3v1)
+    for a possibly-tagged MPEG audio object: a leading ID3v2 block
+    (10-byte header, syncsafe 28-bit size that EXCLUDES the header,
+    optional 10-byte ID3v2.4 footer signaled by bit 4 of the flags
+    byte) is skipped, and a trailing 128-byte ID3v1 'TAG' block is
+    trimmed.  Shared by :func:`stream_info` and the Layer III decoder
+    so the compressed-domain fingerprint path accepts real tagged
+    crawl MP3s."""
+    off = 0
+    id3v2_bytes = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        sz = (
+            ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14)
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        )
+        id3v2_bytes = 10 + sz + (10 if data[5] & 0x10 else 0)
+        off = id3v2_bytes
+    end = len(data)
+    has_id3v1 = end >= off + 128 and data[end - 128 : end - 125] == b"TAG"
+    if has_id3v1:
+        end -= 128
+    return off, end, id3v2_bytes, int(has_id3v1)
+
+
 def stream_info(data: bytes) -> dict:
     """Compressed-domain MPEG audio stream metadata from the frame
     walk alone — no entropy decode, so it works for Layer III (real
@@ -653,21 +678,7 @@ def stream_info(data: bytes) -> dict:
     rate = None
     mode = None
     truncated = False
-    off = 0
-    id3v2_bytes = 0
-    if data[:3] == b"ID3" and len(data) >= 10:
-        # syncsafe 28-bit size EXCLUDES the 10-byte header; bit 4 of
-        # the flags byte signals a 10-byte footer (ID3v2.4)
-        sz = (
-            ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14)
-            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
-        )
-        id3v2_bytes = 10 + sz + (10 if data[5] & 0x10 else 0)
-        off = id3v2_bytes
-    end = len(data)
-    has_id3v1 = end >= off + 128 and data[end - 128:end - 125] == b"TAG"
-    if has_id3v1:
-        end -= 128
+    off, end, id3v2_bytes, has_id3v1 = id3_bounds(data)
     while off + 4 <= end:
         try:
             hdr = parse_header(data, off)

@@ -529,3 +529,29 @@ def test_partial_final_quad_boundary():
     bad[0, 575] = 1       # in the rzero tail -> not encodable
     with pytest.raises(ValueError, match="last full count1 quad"):
         M.encode_mp3(bad, scalefac_compress=13)
+
+
+def test_decode_tagged_stream():
+    # real crawl MP3s wrap the audio in ID3 tags: a leading ID3v2
+    # block (syncsafe size) and a trailing 128-byte ID3v1 'TAG' block
+    # must be skipped by the frame walk (r13, mpeg_audio.id3_bounds)
+    spectra = np.vstack([_spectrum(1), _spectrum(2)])
+    scf = np.vstack([_scf(0), _scf(1)])
+    enc = M.encode_mp3(spectra, scalefactors=scf, scalefac_compress=13)
+    payload = b"\x00" * 100  # 100-byte tag body
+    id3v2 = b"ID3\x04\x00\x00" + bytes(
+        [(100 >> 21) & 0x7F, (100 >> 14) & 0x7F, (100 >> 7) & 0x7F,
+         100 & 0x7F]
+    ) + payload
+    id3v1 = b"TAG" + b"\x00" * 125
+    tagged = id3v2 + enc + id3v1
+    frames = M.decode_mp3(tagged)
+    got = np.vstack([
+        g["samples"] for fr in frames for chs in fr["granules"]
+        for g in chs
+    ])
+    assert np.array_equal(got, spectra)
+    assert frames[0]["offset"] == len(id3v2)
+    # samples=False walk too (the crawl fingerprint path)
+    fast = M.decode_mp3(tagged, samples=False)
+    assert len(fast) == len(frames)
