@@ -670,7 +670,15 @@ def stream_info(data: bytes) -> dict:
     ID3v2 block (10-byte header, syncsafe 28-bit size, optional
     footer) is skipped, and a trailing ID3v1 block (128 bytes, 'TAG')
     ends the walk cleanly instead of reading as a truncated frame.
-    Both are reported (``id3v2_bytes`` / ``has_id3v1``)."""
+    Both are reported (``id3v2_bytes`` / ``has_id3v1``).
+
+    A LAME/FhG-style VBR info frame ("Xing"/"Info" magic right after
+    the first Layer III frame's side info) is detected and parsed
+    (``xing_*`` keys): VBR encoders front-load the true frame/byte
+    totals there because the header walk alone cannot know them until
+    EOF — at crawl scale the info frame gives duration from the FIRST
+    kilobyte of a range request.  The info frame carries no audio, so
+    it is excluded from ``n_frames``/``total_samples``."""
     n_frames = 0
     total_samples = 0
     bitrates: dict[int, int] = {}
@@ -679,6 +687,8 @@ def stream_info(data: bytes) -> dict:
     mode = None
     truncated = False
     off, end, id3v2_bytes, has_id3v1 = id3_bounds(data)
+    xing: dict | None = None
+    first = True
     while off + 4 <= end:
         try:
             hdr = parse_header(data, off)
@@ -687,6 +697,13 @@ def stream_info(data: bytes) -> dict:
         if off + hdr["frame_bytes"] > end:
             truncated = True
             break
+        if first:
+            first = False
+            x = _parse_xing(data, off, hdr)
+            if x is not None:
+                xing = x
+                off += hdr["frame_bytes"]  # info frame carries no audio
+                continue
         layer = hdr["layer"] if layer is None else layer
         rate = hdr["sample_rate"] if rate is None else rate
         mode = hdr["mode"] if mode is None else mode
@@ -696,7 +713,7 @@ def stream_info(data: bytes) -> dict:
         off += hdr["frame_bytes"]
     if n_frames == 0:
         raise ValueError("mpeg: no decodable frame headers")
-    return {
+    info = {
         "layer": layer,
         "sample_rate": rate,
         "channels": 1 if mode == 0b11 else 2,
@@ -712,3 +729,46 @@ def stream_info(data: bytes) -> dict:
         "has_id3v1": has_id3v1,
         "truncated": truncated,
     }
+    if xing is not None:
+        info["xing_tag"] = xing["tag"]
+        info["xing_frames"] = xing["frames"]
+        info["xing_bytes"] = xing["bytes"]
+        info["xing_has_toc"] = xing["has_toc"]
+        # "Xing" magic marks true VBR; "Info" marks a CBR stream that
+        # merely carries the LAME header
+        if xing["tag"] == "Xing":
+            info["is_vbr"] = True
+    return info
+
+
+def _parse_xing(data: bytes, off: int, hdr: dict) -> dict | None:
+    """Parse a Xing/Info VBR header inside the FIRST frame: the magic
+    sits right after the side information block (whose size depends
+    on version/channels), followed by a 4-byte big-endian flags word
+    and the optional frames / bytes / 100-byte TOC / quality fields
+    in that order (public LAME header layout)."""
+    if hdr["layer"] != 3:
+        return None
+    pos = off + 4 + (2 if hdr["crc"] else 0)
+    pos += 17 if hdr["channels"] == 1 else 32
+    magic = data[pos : pos + 4]
+    if magic not in (b"Xing", b"Info"):
+        return None
+    p = pos + 4
+    if p + 4 > off + hdr["frame_bytes"]:
+        return None
+    flags = int.from_bytes(data[p : p + 4], "big")
+    p += 4
+    out = {
+        "tag": magic.decode("ascii"),
+        "frames": None,
+        "bytes": None,
+        "has_toc": bool(flags & 0x4),
+    }
+    if flags & 0x1:
+        out["frames"] = int.from_bytes(data[p : p + 4], "big")
+        p += 4
+    if flags & 0x2:
+        out["bytes"] = int.from_bytes(data[p : p + 4], "big")
+        p += 4
+    return out

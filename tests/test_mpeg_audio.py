@@ -325,3 +325,52 @@ def test_stream_info_id3_tags():
     id3v2f = b"ID3\x04\x00\x10" + bytes([0, 0, 0, 50]) + b"\x00" * 60
     tf = stream_info(id3v2f + mp2)
     assert tf["id3v2_bytes"] == 70 and tf["n_frames"] == 3
+
+
+def test_stream_info_xing_header():
+    # a LAME/FhG-style VBR info frame: first Layer III frame carries
+    # "Xing" right after the side info; stream_info must parse the
+    # frame/byte totals, flag VBR, and exclude the info frame from
+    # the audio frame count (it carries no audio)
+    import numpy as np
+
+    from cloud_optimized_data_pipelines_spark.operators.mp3_layer3 import (
+        encode_mp3,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.mpeg_audio import (
+        _header,
+        parse_header,
+        stream_info,
+    )
+
+    spectra = np.zeros((4, 576), np.int64)
+    spectra[:, 0] = 2
+    audio = encode_mp3(spectra, scalefac_compress=13)
+    base = stream_info(audio)
+    assert "xing_tag" not in base and base["n_frames"] == 2
+
+    hdr4 = _header(3, 128, 44100, 0, 0b11, False)
+    frame_bytes = parse_header(hdr4, 0)["frame_bytes"]
+    body = (
+        b"\x00" * 17  # mono side info
+        + b"Xing"
+        + (0x7).to_bytes(4, "big")   # frames | bytes | TOC
+        + (2).to_bytes(4, "big")     # frame total
+        + len(audio).to_bytes(4, "big")
+        + bytes(100)                 # TOC
+    )
+    info_frame = (hdr4 + body).ljust(frame_bytes, b"\x00")
+    tagged = info_frame + audio
+    got = stream_info(tagged)
+    assert got["xing_tag"] == "Xing"
+    assert got["xing_frames"] == 2
+    assert got["xing_bytes"] == len(audio)
+    assert got["xing_has_toc"] is True
+    assert got["is_vbr"] in (True, 1)
+    assert got["n_frames"] == 2  # info frame excluded
+    assert got["total_samples"] == base["total_samples"]
+    # "Info" magic: same layout, stream stays CBR
+    info2 = info_frame.replace(b"Xing", b"Info", 1)
+    got2 = stream_info(info2 + audio)
+    assert got2["xing_tag"] == "Info"
+    assert got2["is_vbr"] in (False, 0)
