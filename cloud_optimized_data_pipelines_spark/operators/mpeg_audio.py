@@ -755,10 +755,14 @@ def _parse_xing(data: bytes, off: int, hdr: dict) -> dict | None:
     if magic not in (b"Xing", b"Info"):
         return None
     p = pos + 4
-    if p + 4 > off + hdr["frame_bytes"]:
+    frame_end = off + hdr["frame_bytes"]
+    if p + 4 > frame_end:
         return None
     flags = int.from_bytes(data[p : p + 4], "big")
     p += 4
+    need = 4 * bin(flags & 0x3).count("1") + (100 if flags & 0x4 else 0)
+    if p + need > frame_end:
+        return None  # flags claim fields the frame cannot hold
     out = {
         "tag": magic.decode("ascii"),
         "frames": None,
