@@ -73,6 +73,8 @@ from cloud_optimized_data_pipelines_spark.operators.mpeg_audio import (
     _BR,
     _BW,
     _header,
+    _parse_xing,
+    id3_bounds,
     parse_header,
 )
 
@@ -637,18 +639,29 @@ def decode_mp3(data: bytes, samples: bool = True) -> list[dict]:
 
     Real crawl MP3s carry metadata tags around the audio: a leading
     ID3v2 block is skipped and a trailing ID3v1 block trimmed
-    (``mpeg_audio.id3_bounds``, r13) before the frame walk."""
-    from cloud_optimized_data_pipelines_spark.operators.mpeg_audio import (
-        id3_bounds,
-    )
-
+    (``mpeg_audio.id3_bounds``, r13) before the frame walk; a
+    Xing/Info VBR header frame (no audio payload) is skipped like
+    ``stream_info`` skips it, so both public walkers agree on frame
+    count and a LAME info frame never injects an all-zero frame into
+    the fingerprint.  A final frame cut short by the stream end (or
+    by the ID3v1 trim) raises the module's named truncation error —
+    decoding tag bytes as Huffman data would be silently wrong
+    samples."""
     frames = []
     reservoir = bytearray()
     off, n, _, _ = id3_bounds(data)
+    first = True
     while off + 4 <= n:
         hdr = parse_header(data, off)
         if hdr["layer"] != 3:
             raise ValueError("mp3: not a Layer III frame")
+        if off + hdr["frame_bytes"] > n:
+            raise ValueError("mp3: truncated final frame")
+        if first:
+            first = False
+            if _parse_xing(data, off, hdr) is not None:
+                off += hdr["frame_bytes"]  # info frame carries no audio
+                continue
         pos = off + 4
         if hdr["crc"]:
             pos += 2

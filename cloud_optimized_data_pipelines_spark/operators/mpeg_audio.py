@@ -702,6 +702,7 @@ def stream_info(data: bytes) -> dict:
             x = _parse_xing(data, off, hdr)
             if x is not None:
                 xing = x
+                xing_hdr = hdr
                 off += hdr["frame_bytes"]  # info frame carries no audio
                 continue
         layer = hdr["layer"] if layer is None else layer
@@ -712,7 +713,37 @@ def stream_info(data: bytes) -> dict:
         n_frames += 1
         off += hdr["frame_bytes"]
     if n_frames == 0:
-        raise ValueError("mpeg: no decodable frame headers")
+        if xing is None:
+            raise ValueError("mpeg: no decodable frame headers")
+        # a range-request prefix: the Xing/Info frame parsed but no
+        # complete audio frame followed — surface the encoder-declared
+        # totals instead of discarding them (duration estimated from
+        # xing_frames at the info frame's rate; walked counts stay 0)
+        h = xing_hdr
+        est = (
+            xing["frames"] * h["samples_per_frame"]
+            if xing["frames"] is not None else 0
+        )
+        return {
+            "layer": h["layer"],
+            "sample_rate": h["sample_rate"],
+            "channels": 1 if h["mode"] == 0b11 else 2,
+            "n_frames": 0,
+            "total_samples": 0,
+            "duration_ms": est * 1000 // h["sample_rate"],
+            "is_vbr": xing["tag"] == "Xing",
+            "n_bitrates": 0,
+            "min_bitrate": h["bitrate"],
+            "max_bitrate": h["bitrate"],
+            "stream_bytes": off - id3v2_bytes,
+            "id3v2_bytes": id3v2_bytes,
+            "has_id3v1": has_id3v1,
+            "truncated": truncated,
+            "xing_tag": xing["tag"],
+            "xing_frames": xing["frames"],
+            "xing_bytes": xing["bytes"],
+            "xing_has_toc": xing["has_toc"],
+        }
     info = {
         "layer": layer,
         "sample_rate": rate,

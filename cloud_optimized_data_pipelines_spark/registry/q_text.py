@@ -256,10 +256,11 @@ FROM documents d
 @query("text_warc_charsets", _warc_charsets_oracle)
 def text_warc_charsets_q(spark, sf_dir):
     """REAL-bytes WARC->WET charset probe: per variant a .warc.gz of
-    HTTP responses whose bodies rotate through 8 charset cases
+    HTTP responses whose bodies rotate through 9 charset cases
     (declared UTF-8 / ISO-8859-1 / windows-1251 / Shift_JIS / quoted
-    EUC-JP, plus the three fallbacks: undeclared non-UTF-8 ->
-    latin-1, unknown label -> UTF-8, plain ASCII) builds on
+    EUC-JP, plus the four fallbacks: undeclared non-UTF-8 ->
+    latin-1, unknown label -> UTF-8, plain ASCII, and (r13) undeclared
+    UTF-8 cut mid-sequence at EOF -> tail repair) builds on
     executors; warc_records explodes it, http_text_bodies decodes
     each body via the Content-Type charset chain, and the graded md5
     is over the ORDERED decoded texts — real Common Crawl is ~30%

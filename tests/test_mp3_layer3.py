@@ -555,3 +555,71 @@ def test_decode_tagged_stream():
     # samples=False walk too (the crawl fingerprint path)
     fast = M.decode_mp3(tagged, samples=False)
     assert len(fast) == len(frames)
+
+
+def test_decode_truncated_final_frame_named_error():
+    # a final frame cut short (by the stream end or the ID3v1 trim)
+    # must raise the named error, never decode tag bytes as audio
+    spectra = np.vstack([_spectrum(1), _spectrum(2)])
+    enc = M.encode_mp3(spectra, scalefac_compress=13)
+    cut = enc[:-50]
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_mp3(cut)
+    # appending an ID3v1 tag to the CUT stream must not resurrect it:
+    # the trim exposes the truncation instead of silently decoding
+    # 'TAG' bytes as Huffman main data
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_mp3(cut + b"TAG" + b"\x00" * 125)
+
+
+def test_decode_skips_xing_info_frame():
+    # both public walkers (stream_info and decode_mp3) must agree: a
+    # LAME Xing/Info first frame carries no audio and never injects an
+    # all-zero leading frame into the fingerprint
+    from cloud_optimized_data_pipelines_spark.operators.mpeg_audio import (
+        _header,
+        parse_header,
+        stream_info,
+    )
+
+    spectra = np.vstack([_spectrum(3), _spectrum(4)])
+    audio = M.encode_mp3(spectra, scalefac_compress=13)
+    hdr4 = _header(3, 128, 44100, 0, 0b11, False)
+    frame_bytes = parse_header(hdr4, 0)["frame_bytes"]
+    body = (
+        b"\x00" * 17 + b"Info" + (0x3).to_bytes(4, "big")
+        + (1).to_bytes(4, "big") + len(audio).to_bytes(4, "big")
+    )
+    info_frame = (hdr4 + body).ljust(frame_bytes, b"\x00")
+    frames = M.decode_mp3(info_frame + audio)
+    assert len(frames) == 1  # the one audio frame; info frame skipped
+    got = np.vstack([
+        g["samples"] for fr in frames for chs in fr["granules"]
+        for g in chs
+    ])
+    assert np.array_equal(got, spectra)
+    assert stream_info(info_frame + audio)["n_frames"] == len(frames) * 2 // 2
+
+
+def test_stream_info_xing_only_prefix():
+    # range-request shape: the info frame arrives whole, the first
+    # audio frame is cut — the encoder-declared totals must survive
+    from cloud_optimized_data_pipelines_spark.operators.mpeg_audio import (
+        _header,
+        parse_header,
+        stream_info,
+    )
+
+    spectra = np.vstack([_spectrum(5), _spectrum(6)])
+    audio = M.encode_mp3(spectra, scalefac_compress=13)
+    hdr4 = _header(3, 128, 44100, 0, 0b11, False)
+    frame_bytes = parse_header(hdr4, 0)["frame_bytes"]
+    body = (
+        b"\x00" * 17 + b"Xing" + (0x3).to_bytes(4, "big")
+        + (200).to_bytes(4, "big") + len(audio).to_bytes(4, "big")
+    )
+    info_frame = (hdr4 + body).ljust(frame_bytes, b"\x00")
+    got = stream_info(info_frame + audio[:100])
+    assert got["n_frames"] == 0 and got["xing_frames"] == 200
+    assert got["duration_ms"] == 200 * 1152 * 1000 // 44100
+    assert got["is_vbr"] in (True, 1)
