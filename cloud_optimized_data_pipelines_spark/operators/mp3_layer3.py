@@ -655,6 +655,13 @@ def decode_mp3(data: bytes, samples: bool = True) -> list[dict]:
         hdr = parse_header(data, off)
         if hdr["layer"] != 3:
             raise ValueError("mp3: not a Layer III frame")
+        if hdr["version"] != "1":
+            raise NotImplementedError(
+                "mp3: MPEG-2/2.5 (LSF) side-info layout not "
+                "supported (1 granule, 9/17-byte side info, 9-bit "
+                "scalefac_compress); the header walk (stream_info) "
+                "handles LSF streams"
+            )
         if off + hdr["frame_bytes"] > n:
             raise ValueError("mp3: truncated final frame")
         if first:

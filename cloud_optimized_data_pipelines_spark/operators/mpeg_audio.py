@@ -173,38 +173,67 @@ def _header(layer: int, bitrate_kbps: int, sample_rate: int,
     return struct.pack(">I", h)
 
 
+# MPEG-2 (LSF) / MPEG-2.5 header tables — public ISO 13818-3 (+ the
+# de facto 2.5 extension): Layer I keeps its own bitrate ladder,
+# Layers II and III share one (the v1 tables above stay untouched).
+BITRATES_L1_V2 = (0, 32, 48, 56, 64, 80, 96, 112,
+                  128, 144, 160, 176, 192, 224, 256)
+BITRATES_L23_V2 = (0, 8, 16, 24, 32, 40, 48, 56,
+                   64, 80, 96, 112, 128, 144, 160)
+SAMPLE_RATES_BY_VERSION = {
+    "1": SAMPLE_RATES,
+    "2": (22050, 24000, 16000),
+    "2.5": (11025, 12000, 8000),
+}
+
+
 def parse_header(data: bytes, off: int = 0) -> dict:
-    """Parse one 32-bit MPEG audio frame header at byte ``off``."""
+    """Parse one 32-bit MPEG audio frame header at byte ``off``.
+
+    All three header versions parse (MPEG-1 = bits 11, MPEG-2 LSF =
+    10, MPEG-2.5 = 00 — low-bitrate voice/podcast crawl MP3s are
+    routinely 2/2.5), with version-correct bitrate/sample-rate tables
+    and frame sizes (LSF Layer III frames carry ONE granule: 576
+    samples, 72*bitrate/rate bytes).  SAMPLE decode stays MPEG-1-only
+    (the LSF side-info layout is a named error in the decoders); the
+    header walk — stream_info, tag/Xing detection, duration — works
+    for every version."""
     if len(data) < off + 4:
         raise ValueError("mpeg: truncated header")
     (h,) = struct.unpack_from(">I", data, off)
     if (h >> 21) & 0x7FF != 0x7FF:
         raise ValueError("mpeg: bad sync")
-    version = (h >> 19) & 3
-    if version != 0b11:
-        raise NotImplementedError(
-            "mpeg: only MPEG-1 (version bits 11) is supported"
-        )
+    vbits = (h >> 19) & 3
+    if vbits == 0b01:
+        raise ValueError("mpeg: reserved version bits")
+    version = {0b11: "1", 0b10: "2", 0b00: "2.5"}[vbits]
     layer = {0b11: 1, 0b10: 2, 0b01: 3}.get((h >> 17) & 3)
     if layer is None:
         raise ValueError("mpeg: reserved layer bits")
     crc = ((h >> 16) & 1) == 0
-    table = {1: BITRATES_L1, 2: BITRATES_L2, 3: BITRATES_L3}[layer]
+    if version == "1":
+        table = {1: BITRATES_L1, 2: BITRATES_L2, 3: BITRATES_L3}[layer]
+    else:
+        table = BITRATES_L1_V2 if layer == 1 else BITRATES_L23_V2
     br_idx = (h >> 12) & 0xF
     sr_idx = (h >> 10) & 3
     if br_idx in (0, 15) or sr_idx == 3:
         raise ValueError("mpeg: free-format/reserved bitrate or rate")
     mode = (h >> 6) & 3
     bitrate = table[br_idx] * 1000
-    sample_rate = SAMPLE_RATES[sr_idx]
+    sample_rate = SAMPLE_RATES_BY_VERSION[version][sr_idx]
     padding = (h >> 9) & 1
     if layer == 1:
         frame_bytes = (12 * bitrate // sample_rate + padding) * 4
         spf = 384
-    else:  # layers II and III share the 144*bitrate/rate frame size
+    elif layer == 2 or version == "1":
         frame_bytes = 144 * bitrate // sample_rate + padding
         spf = 1152
+    else:  # LSF Layer III: one granule per frame
+        frame_bytes = 72 * bitrate // sample_rate + padding
+        spf = 576
     return {
+        "version": version,
         "layer": layer,
         "bitrate": bitrate,
         "sample_rate": sample_rate,
@@ -338,12 +367,18 @@ def decode_frame_subbands(data: bytes, off: int = 0):
     stereo raises a named error."""
     hdr = parse_header(data, off)
     ch = hdr["channels"]
+    if hdr["version"] != "1":
+        raise NotImplementedError(
+            "mpeg: MPEG-2/2.5 (LSF) Layer I/II sample decode not "
+            "supported (different allocation tables); the header "
+            "walk (parse_header, stream_info) handles every version"
+        )
     if hdr["layer"] == 3:
         raise NotImplementedError(
-            "mpeg: Layer III sample decode needs its 32 tabulated "
-            "Huffman tables — pure data with no public derivation; "
-            "headers/stream walk ARE supported (parse_header, "
-            "stream_info)"
+            "mpeg: Layer III sample decode lives in "
+            "operators/mp3_layer3.decode_mp3 (r12/r13: pair tables "
+            "1-15 shipped with structural proofs; ESC tables 16-31 "
+            "remain named errors there)"
         )
     if hdr["mode"] == 0b01:
         raise NotImplementedError(
@@ -781,7 +816,10 @@ def _parse_xing(data: bytes, off: int, hdr: dict) -> dict | None:
     if hdr["layer"] != 3:
         return None
     pos = off + 4 + (2 if hdr["crc"] else 0)
-    pos += 17 if hdr["channels"] == 1 else 32
+    if hdr["version"] == "1":
+        pos += 17 if hdr["channels"] == 1 else 32
+    else:  # LSF side info is 9 (mono) / 17 (stereo) bytes
+        pos += 9 if hdr["channels"] == 1 else 17
     magic = data[pos : pos + 4]
     if magic not in (b"Xing", b"Info"):
         return None

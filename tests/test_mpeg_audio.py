@@ -77,12 +77,14 @@ def test_header_roundtrip_and_named_errors():
     h3 = parse_header(l3)
     assert h3["layer"] == 3 and h3["bitrate"] == 128000
     assert h3["frame_bytes"] == 144 * 128000 // 44100
-    with pytest.raises(NotImplementedError, match="Huffman"):
+    with pytest.raises(NotImplementedError, match="mp3_layer3"):
         decode_frame_subbands(l3 + b"\x00" * 512)
-    # MPEG-2 (version bits 10) -> named error
+    # MPEG-2 (version bits 10) headers PARSE as of r13 (LSF support in
+    # the header walk); only the sample decode stays a named error
     v2 = bytes([0xFF, 0xF3, 0x90, 0x00])
-    with pytest.raises(NotImplementedError, match="MPEG-1"):
-        parse_header(v2)
+    h2 = parse_header(v2)
+    assert h2["version"] == "2" and h2["layer"] == 3
+    assert h2["samples_per_frame"] == 576
     with pytest.raises(ValueError, match="sync"):
         parse_header(b"\x00\x00\x00\x00")
 
@@ -374,3 +376,76 @@ def test_stream_info_xing_header():
     got2 = stream_info(info2 + audio)
     assert got2["xing_tag"] == "Info"
     assert got2["is_vbr"] in (False, 0)
+
+
+def test_parse_header_lsf_versions():
+    # MPEG-2 (version bits 10) and MPEG-2.5 (00) headers parse with
+    # version-correct tables: LSF Layer III = one 576-sample granule,
+    # 72*bitrate/rate frame bytes; stream_info walks a whole stream
+    import struct
+
+    from cloud_optimized_data_pipelines_spark.operators.mpeg_audio import (
+        parse_header,
+        stream_info,
+    )
+
+    def mk(vbits, layer_code, br_idx, sr_idx):
+        h = (0x7FF << 21) | (vbits << 19) | (layer_code << 17)
+        h |= 1 << 16  # no CRC
+        h |= br_idx << 12 | sr_idx << 10
+        h |= 0b11 << 6  # mono
+        return struct.pack(">I", h)
+
+    # MPEG-2 Layer III, 64 kbps (idx 8 in the shared v2 ladder), 22050
+    hdr = parse_header(mk(0b10, 0b01, 8, 0), 0)
+    assert hdr["version"] == "2" and hdr["layer"] == 3
+    assert hdr["sample_rate"] == 22050 and hdr["bitrate"] == 64000
+    assert hdr["samples_per_frame"] == 576
+    assert hdr["frame_bytes"] == 72 * 64000 // 22050
+    # MPEG-2.5 Layer III, 8 kbps (idx 1), 8000 Hz
+    hdr25 = parse_header(mk(0b00, 0b01, 1, 2), 0)
+    assert hdr25["version"] == "2.5" and hdr25["sample_rate"] == 8000
+    assert hdr25["samples_per_frame"] == 576
+    # MPEG-2 Layer II keeps 1152 samples and the 144 formula
+    hdr2 = parse_header(mk(0b10, 0b10, 8, 1), 0)
+    assert hdr2["samples_per_frame"] == 1152
+    assert hdr2["frame_bytes"] == 144 * 64000 // 24000
+    # reserved version bits stay a named error
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="reserved version"):
+        parse_header(mk(0b01, 0b01, 8, 0), 0)
+
+    # stream_info over 3 LSF frames: frame count, duration, version
+    frame = mk(0b10, 0b01, 8, 0)
+    frame = frame.ljust(parse_header(frame, 0)["frame_bytes"], b"\x00")
+    info = stream_info(frame * 3)
+    assert info["n_frames"] == 3
+    assert info["total_samples"] == 3 * 576
+    assert info["sample_rate"] == 22050
+    assert info["duration_ms"] == 3 * 576 * 1000 // 22050
+
+
+def test_lsf_sample_decode_named_errors():
+    import struct
+
+    from cloud_optimized_data_pipelines_spark.operators.mp3_layer3 import (
+        decode_mp3,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.mpeg_audio import (
+        decode_frame_subbands,
+        parse_header,
+    )
+
+    def mk(layer_code):
+        h = (0x7FF << 21) | (0b10 << 19) | (layer_code << 17)
+        h |= 1 << 16 | 8 << 12 | 0 << 10 | 0b11 << 6
+        return struct.pack(">I", h)
+
+    l3 = mk(0b01)
+    l3 = l3.ljust(parse_header(l3, 0)["frame_bytes"], b"\x00")
+    with pytest.raises(NotImplementedError, match="LSF"):
+        decode_mp3(l3)
+    l2 = mk(0b10)
+    l2 = l2.ljust(parse_header(l2, 0)["frame_bytes"], b"\x00")
+    with pytest.raises(NotImplementedError, match="LSF"):
+        decode_frame_subbands(l2, 0)
