@@ -667,7 +667,16 @@ def decode_mp3(data: bytes, samples: bool = True) -> list[dict]:
         if first:
             first = False
             if _parse_xing(data, off, hdr) is not None:
-                off += hdr["frame_bytes"]  # info frame carries no audio
+                # the info frame carries no audio, but its bytes after
+                # header/CRC/side-info are legal main_data POOL bytes:
+                # LAME may stash reservoir data there, so the first
+                # audio frame's main_data_begin can legally reach back
+                # into the info frame (r13 ADVICE).  Feed them to the
+                # reservoir instead of discarding the frame outright.
+                pool = off + 4 + (2 if hdr["crc"] else 0)
+                pool += 17 if hdr["channels"] == 1 else 32
+                reservoir += data[pool : off + hdr["frame_bytes"]]
+                off += hdr["frame_bytes"]
                 continue
         pos = off + 4
         if hdr["crc"]:

@@ -820,6 +820,12 @@ def _parse_xing(data: bytes, off: int, hdr: dict) -> dict | None:
         pos += 17 if hdr["channels"] == 1 else 32
     else:  # LSF side info is 9 (mono) / 17 (stereo) bytes
         pos += 9 if hdr["channels"] == 1 else 17
+    if pos + 4 > off + hdr["frame_bytes"]:
+        # a frame too small to hold the magic AFTER its side info can
+        # never be an info frame — and slicing past frame_end could
+        # read a coincidental 'Xing' from the NEXT frame's payload
+        # (r13 ADVICE)
+        return None
     magic = data[pos : pos + 4]
     if magic not in (b"Xing", b"Info"):
         return None

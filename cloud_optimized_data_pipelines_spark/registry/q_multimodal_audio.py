@@ -1287,11 +1287,17 @@ def _mp3_big_tables_oracle() -> str:
     replay directly in SQL with per-variant nmax/granule-count/
     scalefactor-count CASEs; per-granule big_values replays as the
     even-rounded end of the |val|>1 region; stream md5 + byte size
-    are pinned from a single-process run.  Non-circular: the engine's
-    sums come from DECODING frames whose big_values regions ride the
-    ACTUAL table-7..15 Huffman codewords (and mixed-block granules
-    for variants 8-9) — a mis-transcribed codeword cannot reproduce
-    the formula."""
+    are pinned from a single-process run.  What this query checks:
+    the engine's sums come from DECODING frames whose big_values
+    regions ride the actual table-7..15 Huffman codewords (and
+    mixed-block granules for variants 8-9), so a transcription slip
+    that breaks completeness/prefix-freedom, or changes the encoded
+    stream bytes, fails here.  Encoder and decoder share HUFF_PAIR,
+    so a SELF-CONSISTENT mis-transcription that stayed complete and
+    prefix-free would still round-trip (r13 ADVICE) — external
+    correctness rests on the per-table Kraft==1 + prefix-freedom
+    proofs and the ISO/LAME-listing match asserted in
+    tests/test_mp3_layer3.py, not on this query alone."""
     from cloud_optimized_data_pipelines_spark.operators.multimodal import (
         _mp3_big_tables_variant,
     )

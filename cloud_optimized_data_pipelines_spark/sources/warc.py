@@ -397,7 +397,15 @@ def decode_http_body(body: bytes, content_type: str | None
     invalid byte, not a replacement-character ratio, so a legacy
     cp1252 page with sparse high bytes mid-document keeps the
     byte-preserving latin-1 path and legitimate U+FFFD characters in
-    valid UTF-8 content never skew the decision."""
+    valid UTF-8 content never skew the decision.  Two further guards
+    (r13 ADVICE): the tail bytes must LOOK like a cut sequence (a
+    0xC2-0xF4 lead byte followed only by 0x80-0xBF continuation bytes,
+    fewer than the sequence needs — '...\\xe9abc' fails this), AND the
+    valid prefix must itself contain a multi-byte UTF-8 sequence,
+    proving the document demonstrably uses UTF-8 — a pure-ASCII cp1252
+    page whose only high byte is a trailing é ('...caf\\xe9') is
+    byte-wise indistinguishable from a 2-byte-sequence cut, and there
+    the byte-preserving latin-1 path is the safer story."""
     if content_type:
         m = _CHARSET_RE.search(content_type)
         if m:
@@ -416,9 +424,33 @@ def decode_http_body(body: bytes, content_type: str | None
         # must be long enough (16+ bytes) for "cut tail" to be the
         # likely story — on a handful of bytes latin-1's byte
         # preservation is the safer default.
-        if len(body) >= 16 and e.start >= len(body) - 4:
+        if (len(body) >= 16 and e.start >= len(body) - 4
+                and _is_truncated_utf8_tail(body[e.start:])
+                and any(b >= 0x80 for b in body[: e.start])):
             return body[: e.start].decode("utf-8") + "�", "utf-8"
         return body.decode("latin-1"), "latin-1"
+
+
+def _is_truncated_utf8_tail(tail: bytes) -> bool:
+    """True iff ``tail`` is a PREFIX of one valid multi-byte UTF-8
+    sequence cut at EOF: a lead byte 0xC2-0xF4 followed only by
+    continuation bytes (0x80-0xBF), fewer than the sequence needs.
+    Anything else (isolated latin-1 high byte, overlong/invalid lead,
+    stray continuation) is not a truncation."""
+    if not tail:
+        return False
+    lead = tail[0]
+    if 0xC2 <= lead <= 0xDF:
+        need = 2
+    elif 0xE0 <= lead <= 0xEF:
+        need = 3
+    elif 0xF0 <= lead <= 0xF4:
+        need = 4
+    else:
+        return False
+    if len(tail) >= need:
+        return False  # full-length sequence that still failed: not a cut
+    return all(0x80 <= b <= 0xBF for b in tail[1:])
 
 
 def http_text_bodies(df, id_col: str = "file_id",
@@ -565,7 +597,9 @@ _CHARSET_TEXTS = (
     "dash — quote “q” {n}",
     "plain utf-8 café {n}",
     "ascii only {n}",
-    "truncated tail {n} café",
+    # the ü proves the prefix uses UTF-8 multi-byte sequences, so the
+    # r14 repair guard (prefix-demonstrably-UTF-8) accepts the cut
+    "trüncated tail {n} café",
 )
 
 

@@ -462,6 +462,28 @@ def test_decode_http_body_charset_chain():
     sparse = b"it\x92s a plain ascii sentence " * 10
     text, cs = decode_http_body(sparse, "text/html")
     assert cs == "latin-1" and text == sparse.decode("latin-1")
+    # r13 ADVICE guards: a cp1252 page whose ONLY high byte is a
+    # trailing latin-1 letter is NOT a truncation — the pure-ASCII
+    # prefix proves nothing about UTF-8 use, so the byte-preserving
+    # path wins and the real trailing byte survives
+    text, cs = decode_http_body(b"a plain ascii sentence ending caf\xe9",
+                                "text/html")
+    assert cs == "latin-1" and text.endswith("café")
+    # ...and a high byte followed by ASCII inside the last 4 bytes is
+    # not a plausible cut sequence either (continuation bytes only)
+    text, cs = decode_http_body(b"a plain ascii sentence with caf\xe9abc",
+                                "text/html")
+    assert cs == "latin-1" and "é" in text and text.endswith("éabc")
+    # a full-length-but-invalid trailing sequence (lead + enough
+    # non-continuation bytes) must not be mistaken for a cut
+    text, cs = decode_http_body(
+        "déjà vu ".encode("utf-8") * 4 + b"tail\xe9ab", "text/html")
+    assert cs == "latin-1"
+    # a genuine 2-byte-sequence cut leaves a LONE lead byte — with a
+    # demonstrably-UTF-8 prefix that still repairs
+    body = ("déjà vu " * 5).encode("utf-8") + "café".encode("utf-8")[:-1]
+    text, cs = decode_http_body(body, "text/html")
+    assert cs == "utf-8" and text.endswith("caf�") and text.count("�") == 1
     # ...and a thoroughly non-UTF-8 body (dense legacy encoding) too
     noisy = ("café " * 40).encode("latin-1")
     text, cs = decode_http_body(noisy, "text/html")

@@ -623,3 +623,76 @@ def test_stream_info_xing_only_prefix():
     assert got["n_frames"] == 0 and got["xing_frames"] == 200
     assert got["duration_ms"] == 200 * 1152 * 1000 // 44100
     assert got["is_vbr"] in (True, 1)
+
+
+def test_xing_frame_feeds_bit_reservoir():
+    # LAME may stash bit-reservoir bytes in the info frame's ancillary
+    # region: the first AUDIO frame's main_data_begin can legally
+    # reach back into the skipped Xing/Info frame's post-side-info
+    # pool (r13 ADVICE).  Hand-shift the first k main-data bytes of a
+    # real encoded frame into the tail of an Info frame and decode.
+    from cloud_optimized_data_pipelines_spark.operators.mpeg_audio import (
+        _header,
+        parse_header,
+    )
+
+    spectra = np.vstack([_spectrum(3), _spectrum(4)])
+    audio = M.encode_mp3(spectra, scalefac_compress=13)
+    ref = M.decode_mp3(audio)
+    # mono MPEG-1, no CRC: header 4, side info 17 (main_data_begin is
+    # the first 9 bits and is 0 as encoded)
+    k = 5
+    side = bytearray(audio[4:21])
+    assert side[0] == 0 and side[1] >> 7 == 0  # encoder wrote mdb=0
+    side[0] |= k >> 1
+    side[1] |= (k & 1) << 7
+    moved, rest = audio[21 : 21 + k], audio[21 + k :]
+    shifted = audio[:4] + bytes(side) + rest + b"\x00" * k
+    assert len(shifted) == len(audio)
+    hdr4 = _header(3, 128, 44100, 0, 0b11, False)
+    frame_bytes = parse_header(hdr4, 0)["frame_bytes"]
+    body = (
+        b"\x00" * 17 + b"Info" + (0x3).to_bytes(4, "big")
+        + (1).to_bytes(4, "big") + len(audio).to_bytes(4, "big")
+    )
+    info_frame = (hdr4 + body).ljust(frame_bytes - k, b"\x00") + moved
+    frames = M.decode_mp3(info_frame + shifted)
+    assert len(frames) == 1
+    got = np.vstack([
+        g["samples"] for fr in frames for chs in fr["granules"]
+        for g in chs
+    ])
+    assert np.array_equal(got, spectra)
+    # the granules decode IDENTICALLY to the unshifted stream
+    for fr_ref, fr_got in zip(ref, frames):
+        for chs_ref, chs_got in zip(fr_ref["granules"], fr_got["granules"]):
+            for g_ref, g_got in zip(chs_ref, chs_got):
+                assert g_ref["scalefactors"] == g_got["scalefactors"]
+    # without the info-frame pool the same shifted stream must raise
+    # the named reservoir error, not decode garbage
+    with pytest.raises(ValueError, match="reservoir"):
+        M.decode_mp3(shifted)
+
+
+def test_parse_xing_magic_read_stays_in_frame():
+    # the magic read must be bounded to THIS frame: a coincidental
+    # 'Xing' whose bytes straddle into the next frame's payload must
+    # not classify the frame as an info frame (r13 ADVICE)
+    from cloud_optimized_data_pipelines_spark.operators.mpeg_audio import (
+        _header,
+        _parse_xing,
+        parse_header,
+    )
+
+    hdr4 = _header(3, 128, 44100, 0, 0b11, False)
+    hdr = parse_header(hdr4, 0)
+    # synthetic undersized frame: pool ends 2 bytes after the side
+    # info, so pos+4 crosses frame_end while data[pos:pos+4] == 'Xing'
+    small = dict(hdr, frame_bytes=23)
+    data = hdr4 + b"\x00" * 17 + b"Xi" + b"ng" + b"\x00" * 16
+    assert data[21:25] == b"Xing"
+    assert _parse_xing(data, 0, small) is None
+    # the same bytes with the frame large enough DO parse (flags 0)
+    big = dict(hdr, frame_bytes=40)
+    got = _parse_xing(data, 0, big)
+    assert got is not None and got["tag"] == "Xing"
