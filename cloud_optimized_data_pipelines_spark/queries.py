@@ -147,81 +147,76 @@ from cloud_optimized_data_pipelines_spark.registry import (  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registration order.  The driver's correctness harness grades the FIRST
-# 50 registrations only.  Round-13 policy (VERDICT r12 task 1): 46
-# slots sweep ALL remaining r8 ledger rows (the VERDICT's staleness
-# list verbatim — after CORRECTNESS_r13 nothing driver-graded is older
-# than r9); 2 slots to the never-driver-green r13 queries (the MP3
-# pair-table 7-15 / mixed-block probe and the portable hash-graded
-# approx-distinct twin); 2 slots RE-PROVE the queries whose fixture
-# bytes changed this round (encode_mp3 now auto-selects the smallest
-# covering pair table, so granules with an empty big_values region
-# carry table_select 0 where they carried 1 — both MP3 r12 queries'
-# streams shift).  No ever-green anchor slots this round: the
-# staleness sweep leaves no room, and the bench anchors in bench.py
-# cover drift detection independently.  Everything demoted stays
-# registered and locally oracle-checked at sf0.001/0.01/0.1
-# (tools/check_oracle.py covers all entries; COVERAGE.md's ledger
-# records each query's last driver-green round).
-# r14 NOTE: text_warc_charsets' fixture table gained a ninth case in
-# r13 (undeclared UTF-8 cut mid-sequence -> tail repair) — its output
-# changed (locally 3-SF green), so give it an r14 re-grade slot along
-# with the r9-stale sweep.
+# 50 registrations only.  Round-14 policy (VERDICT r13 task 1):
+# text_warc_charsets FIRST (its fixture gained a ninth case in r13 and
+# two r14 changes touch it again — the tail-repair guards narrowed per
+# r13 ADVICE and the cut-case text gained a non-ASCII prefix char — so
+# its driver-green bytes are two rounds behind its actual bytes); then
+# ALL 33 rows last driver-graded r9 (the VERDICT's staleness list
+# verbatim); the remaining 16 slots fill from the r10 cohort in ledger
+# order.  After CORRECTNESS_r14 nothing driver-graded is older than
+# r10.  Everything demoted stays registered and locally oracle-checked
+# at sf0.001/0.01/0.1 (tools/check_oracle.py covers all entries;
+# COVERAGE.md's ledger records each query's last driver-green round).
+# New r14 queries land mid-round by SWAPPING OUT trailing r10 fills
+# (never the warc re-grade or the r9 sweep).
 # ---------------------------------------------------------------------------
 
 _GRADED_WINDOW = [
-    # --- staleness sweep: ALL 46 remaining r8 ledger rows ---
-    "a1_array_extent",
-    "agg_conditional_pivot",
-    "agg_having_frequent_customers",
-    "c7_url_parse",
-    "dedup_bloom_gated",
-    "dedup_cdc_chunks",
-    "dedup_fuzzy_guard_report",
-    "dedup_fuzzy_prefix",
-    "dedup_simhash_wide_pairs",
-    "dedup_soft_weights",
-    "events_gap_stats",
-    "j3_granule_enrichment",
-    "join_range_ship_window",
-    "multimodal_avi_frames",
-    "multimodal_frame_sample",
-    "multimodal_gif_composite",
-    "multimodal_gif_interlaced",
-    "multimodal_jpeg_12bit",
-    "multimodal_jpeg_progressive",
-    "multimodal_jpeg_subsampled",
-    "multimodal_wav_g711",
-    "pipeline_corpus_prep",
-    "s3_cmr_predicates",
-    "sample_stratified_docs",
-    "sample_temperature_mix",
-    "scalar_date_functions",
-    "scalar_string_functions",
-    "set_union_distinct",
-    "similarity_ann_multiprobe",
-    "similarity_decontaminate_multiprobe",
-    "similarity_embedding_near_dup",
-    "similarity_ivf_probe",
-    "similarity_semantic_dedup_fast",
-    "sketch_bloom_membership",
-    "subquery_exists_big_orders",
-    "subquery_scalar_above_avg",
-    "text_bpe_encode_stats",
-    "text_bpe_merges",
-    "text_bpe_pair_counts",
-    "text_chunk_sliding",
-    "text_doc_top_tokens",
-    "text_fingerprint",
-    "text_pack_sequences",
-    "text_pii_redact",
-    "text_simhash",
-    "text_token_top20",
-    # --- never driver-green (the two r13 queries) ---
-    "multimodal_mp3_big_tables",    # pair tables 7-15 + mixed blocks
-    "agg_approx_distinct_portable",  # hash-graded HLL estimator math
-    # --- changed-fixture re-proves (r13 encoder auto-table choice) ---
-    "multimodal_mp3_features",
-    "multimodal_mp3_near_dup",
+    # --- changed-fixture re-grade (r13 ninth case + r14 repair guards) ---
+    "text_warc_charsets",
+    # --- staleness sweep: ALL 33 remaining r9 ledger rows ---
+    "agg_cube_orders",
+    "dedup_lsh_verified",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_wide_pairs_fast",
+    "events_dedup_first_per_key",
+    "events_funnel_conversion",
+    "join_lateral_top2_orders",
+    "multimodal_jpeg_lossless",
+    "multimodal_wav_adpcm",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_lines_priority",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_promo_suppliers",
+    "q22_idle_customers",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "similarity_pq_refine",
+    "similarity_quantized_topk",
+    "similarity_random_projection",
+    "similarity_truncated_rerank",
+    "sort_limit_top20_orders",
+    "window_rank_functions",
+    "window_running_total",
+    # --- r10-cohort fills (ledger order; trailing ones swap for new
+    # r14 queries as they land) ---
+    "agg_distinct_by_segment",
+    "agg_grouping_sets_orders",
+    "agg_modern_functions",
+    "agg_percentiles",
+    "agg_rollup_supplier",
+    "asof_join_last_click",
+    "dedup_duplicate_clusters",
+    "dedup_exact",
+    "dedup_incremental",
+    "events_hourly_window",
+    "events_json_extract",
+    "events_retention_cohorts",
+    "join_semi_anti_customers",
+    "multimodal_audio_near_dup",
+    "multimodal_phash_pairs",
+    "multimodal_video_near_dup",
 ]
 
 
