@@ -3219,3 +3219,141 @@ def mp3_scf_fingerprint_table(spark, variants: int = 16) -> DataFrame:
                 )
 
     return spark.range(int(variants)).mapInPandas(gen, MP3_SCF_FP_SCHEMA)
+
+
+MP3_LSF_SCHEMA = (
+    "variant bigint, mp3_md5 string, mp3_bytes bigint, "
+    "version string, sample_rate bigint, n_frames bigint, "
+    "block_kind string, preflag_sum bigint, mdb_max bigint, "
+    "sample_sum bigint, abs_sum bigint, nonzero bigint, "
+    "scf_sum bigint, big_values_sum bigint"
+)
+
+# (version, sample_rate, kbps) — the full LSF rate ladder
+_LSF_RATE_LADDER = (
+    ("2", 22050, 64), ("2", 24000, 64), ("2", 16000, 48),
+    ("2.5", 11025, 32), ("2.5", 12000, 32), ("2.5", 8000, 16),
+)
+
+
+def _mp3_lsf_params(v: int) -> tuple[str, int, int, str, int]:
+    """Design constants for LSF probe variant v — (version, rate,
+    kbps, block_kind, scalefac_compress).  Shared between the engine
+    builder and the oracle pin computation.  Variants 0-5 are long
+    blocks across the full six-rate ladder with scalefac_compress
+    rotating through all three blocknumber ranges (203 -> bn0 slens
+    2,2,2,3; 450 -> bn1 with a slen-0 tail group; 507 -> bn2 with
+    DERIVED preflag); 6-7 are short blocks at 24000 and 8000 Hz (the
+    latter exercises the 72-line wide-band region split); 8 is a
+    mixed short/long granule (33 scalefactors, 6 long bands); 9 runs
+    the 8-bit bit reservoir."""
+    if v == 6:
+        return (*_LSF_RATE_LADDER[1], "short", 203)
+    if v == 7:
+        return (*_LSF_RATE_LADDER[5], "short", 203)
+    if v == 8:
+        return (*_LSF_RATE_LADDER[0], "mixed", 203)
+    if v == 9:
+        return (*_LSF_RATE_LADDER[0], "long", 203)
+    return (*_LSF_RATE_LADDER[v], "long", (203, 450, 507)[v % 3])
+
+
+def _mp3_lsf_variant(v: int) -> dict:
+    """One deterministic MPEG-2/2.5 (LSF) Layer III round trip
+    (operators/mp3_layer3.py, r14): formula spectra encode into
+    conformant ONE-granule LSF frames, decode walks the 9-byte side
+    info -> blocknumber slen groups -> region-switched Huffman ->
+    count1, and every graded aggregate derives from the DECODED
+    quantized lines after an exact formula cross-check.  Scalefactor
+    values are the formula (3j+g+v)%4 masked per slen group
+    (% 2^slen), so every blocknumber's group layout is exercised and
+    SQL-replayable."""
+    from cloud_optimized_data_pipelines_spark.operators.mp3_layer3 import (
+        decode_mp3,
+        encode_mp3,
+        lsf_scale_layout,
+    )
+
+    ver, rate, kbps, block, sc = _mp3_lsf_params(v)
+    n_gr = 3 + v % 3
+    n_big = 80 + 8 * (v % 4)
+    g = np.arange(n_gr, dtype=np.int64)[:, None]
+    i = np.arange(576, dtype=np.int64)[None, :]
+    spectra = np.where(
+        i < n_big,
+        (4 * i + 13 * g + v) % 7 - 3,
+        np.where(i < n_big + 64, (5 * i + 3 * g + v) % 3 - 1, 0),
+    )
+    bt = 2 if block != "long" else 0
+    mixed = 1 if block == "mixed" else 0
+    slens, nr, preflag = lsf_scale_layout(sc, bt, mixed)
+    seq = [slens[k] for k in range(4) for _ in range(nr[k])]
+    j = np.arange(len(seq), dtype=np.int64)[None, :]
+    caps = np.array([1 << s for s in seq], dtype=np.int64)[None, :]
+    scf = ((3 * j + g + v) % 4) % caps
+    enc = encode_mp3(
+        spectra,
+        sample_rate=rate,
+        bitrate_kbps=kbps,
+        scalefac_compress=sc,
+        scalefactors=scf,
+        version=ver,
+        block_type=bt,
+        mixed_block=bool(mixed),
+        use_reservoir=v == 9,
+        global_gain=90 + v,
+    )
+    frames = decode_mp3(enc)
+    got = np.vstack([
+        gg["samples"] for fr in frames for chs in fr["granules"]
+        for gg in chs
+    ])
+    got_scf = np.vstack([
+        gg["scalefactors"] for fr in frames for chs in fr["granules"]
+        for gg in chs
+    ])
+    if not np.array_equal(got, spectra):  # pragma: no cover - guard
+        raise RuntimeError(f"mp3 lsf variant {v}: spectra mismatch")
+    if not np.array_equal(got_scf, scf):  # pragma: no cover - guard
+        raise RuntimeError(f"mp3 lsf variant {v}: scalefactor mismatch")
+    preflags = [
+        gg["side"]["preflag"] for fr in frames for chs in fr["granules"]
+        for gg in chs
+    ]
+    if any(p != preflag for p in preflags):  # pragma: no cover - guard
+        raise RuntimeError(f"mp3 lsf variant {v}: preflag mismatch")
+    mdbs = [fr["side_info"]["main_data_begin"] for fr in frames]
+    if v == 9 and not any(mdbs):  # pragma: no cover - guard
+        raise RuntimeError("mp3 lsf variant 9: reservoir unused")
+    return {
+        "variant": v,
+        "mp3_md5": hashlib.md5(enc).hexdigest(),
+        "mp3_bytes": len(enc),
+        "version": ver,
+        "sample_rate": rate,
+        "n_frames": len(frames),
+        "block_kind": block,
+        "preflag_sum": int(sum(preflags)),
+        "mdb_max": int(max(mdbs)),
+        "sample_sum": int(got.sum()),
+        "abs_sum": int(np.abs(got).sum()),
+        "nonzero": int(np.count_nonzero(got)),
+        "scf_sum": int(got_scf.sum()),
+        "big_values_sum": int(sum(
+            gg["side"]["big_values"] for fr in frames
+            for chs in fr["granules"] for gg in chs
+        )),
+    }
+
+
+def mp3_lsf_probe_table(spark, variants: int = 10) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    [_mp3_lsf_variant(int(x)) for x in pdf["id"]]
+                )
+
+    return spark.range(
+        0, int(variants), numPartitions=int(variants)
+    ).mapInPandas(gen, MP3_LSF_SCHEMA)

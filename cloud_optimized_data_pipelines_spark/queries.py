@@ -216,7 +216,8 @@ _GRADED_WINDOW = [
     "join_semi_anti_customers",
     "multimodal_audio_near_dup",
     "multimodal_phash_pairs",
-    "multimodal_video_near_dup",
+    # --- new r14 queries (swapped for trailing r10 fills) ---
+    "multimodal_mp3_lsf",  # LSF sample decode (VERDICT r13 task 3)
 ]
 
 

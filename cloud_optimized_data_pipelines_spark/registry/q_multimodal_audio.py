@@ -734,6 +734,177 @@ def multimodal_mp3_features_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# MPEG-2/2.5 (LSF) sample decode (r14 — VERDICT r13 task 3)
+# ---------------------------------------------------------------------------
+
+
+def _mp3_lsf_oracle() -> str:
+    """Oracle for multimodal_mp3_lsf: the quantized-spectrum formula
+    (big region (4i+13g+v)%7-3, count1 region (5i+3g+v)%3-1, zero
+    tail) and the slen-group-masked scalefactor formula
+    ((3j+g+v)%4 % 2^slen) replay in SQL; per-granule big_values
+    replays as the even-rounded end of the |val|>1 region; stream
+    md5 + byte size + reservoir mdb_max are pinned from a
+    single-process run.  The slen-group boundaries per variant are
+    DESIGN constants (from lsf_scale_layout — the same table the
+    decoder uses), so like the big-tables oracle this query checks
+    that the engine DECODES the real LSF frames back to the formula,
+    while the layout's external correctness rests on the ISO 13818-3
+    structural tests in tests/test_mp3_layer3.py."""
+    from cloud_optimized_data_pipelines_spark.operators.mp3_layer3 import (
+        lsf_scale_layout,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _mp3_lsf_params,
+        _mp3_lsf_variant,
+    )
+
+    rows = [_mp3_lsf_variant(v) for v in range(10)]
+
+    def case(col, quote=False):
+        return (
+            "CASE d.doc_id % 10 "
+            + " ".join(
+                f"WHEN {r['variant']} THEN "
+                + (f"'{r[col]}'" if quote else str(r[col]))
+                for r in rows
+            )
+            + " END"
+        )
+
+    # per-variant slen-group j-ranges: (v, lo, hi, 2^slen) rows
+    grp_rows = []
+    bn2 = []
+    for v in range(10):
+        _ver, _rate, _kbps, block, sc = _mp3_lsf_params(v)
+        bt = 2 if block != "long" else 0
+        slens, nr, preflag = lsf_scale_layout(
+            sc, bt, 1 if block == "mixed" else 0
+        )
+        if preflag:
+            bn2.append(v)
+        lo = 0
+        for k in range(4):
+            if nr[k]:
+                grp_rows.append(f"({v}, {lo}, {lo + nr[k]}, {1 << slens[k]})")
+                lo += nr[k]
+    preflag_flag = (
+        "CASE WHEN d.doc_id % 10 IN (" + ",".join(map(str, bn2)) + ") "
+        "THEN 1 ELSE 0 END"
+    )
+
+    return f"""
+WITH var AS (SELECT unnest(range(0, 10)) AS v),
+dims AS (
+  SELECT v, 3 + v % 3 AS n_gr, 80 + 8 * (v % 4) AS n_big FROM var
+),
+cells AS (
+  SELECT d.v, d.n_big, unnest(range(0, d.n_gr)) AS g FROM dims d
+),
+lines AS (
+  SELECT v, n_big, g, unnest(range(0, 576)) AS i FROM cells
+),
+vals AS (
+  SELECT v, g, i,
+         CASE WHEN i < n_big THEN (4*i + 13*g + v) % 7 - 3
+              WHEN i < n_big + 64 THEN (5*i + 3*g + v) % 3 - 1
+              ELSE 0 END AS val
+  FROM lines
+),
+sums AS (
+  SELECT v,
+         CAST(SUM(val) AS BIGINT) AS sample_sum,
+         CAST(SUM(ABS(val)) AS BIGINT) AS abs_sum,
+         CAST(SUM(CASE WHEN val <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nonzero
+  FROM vals GROUP BY v
+),
+bigv AS (
+  SELECT v, g,
+         COALESCE((MAX(CASE WHEN ABS(val) > 1 THEN i END) + 2) // 2, 0)
+             AS bv
+  FROM vals GROUP BY v, g
+),
+bigs AS (
+  SELECT v, CAST(SUM(bv) AS BIGINT) AS big_values_sum FROM bigv GROUP BY v
+),
+sgrp AS (
+  SELECT * FROM (VALUES {", ".join(grp_rows)}) AS t(v, lo, hi, p2)
+),
+sjs AS (SELECT v, unnest(range(lo, hi)) AS j, p2 FROM sgrp),
+scfs AS (
+  SELECT c.v,
+         CAST(SUM(((3*s.j + c.g + c.v) % 4) % s.p2) AS BIGINT) AS scf_sum
+  FROM cells c JOIN sjs s ON s.v = c.v
+  GROUP BY c.v
+)
+SELECT d.doc_id,
+       d.doc_id % 10 AS variant,
+       {case('mp3_md5', quote=True)} AS mp3_md5,
+       CAST({case('mp3_bytes')} AS BIGINT) AS mp3_bytes,
+       {case('version', quote=True)} AS version,
+       CAST({case('sample_rate')} AS BIGINT) AS sample_rate,
+       CAST(m.n_gr AS BIGINT) AS n_frames,
+       {case('block_kind', quote=True)} AS block_kind,
+       CAST(m.n_gr * {preflag_flag} AS BIGINT) AS preflag_sum,
+       CAST({case('mdb_max')} AS BIGINT) AS mdb_max,
+       s.sample_sum,
+       s.abs_sum,
+       s.nonzero,
+       f.scf_sum,
+       b.big_values_sum
+FROM documents d
+JOIN dims m ON m.v = d.doc_id % 10
+JOIN sums s ON s.v = d.doc_id % 10
+JOIN scfs f ON f.v = d.doc_id % 10
+JOIN bigs b ON b.v = d.doc_id % 10
+"""
+
+
+@query("multimodal_mp3_lsf", _mp3_lsf_oracle)
+def multimodal_mp3_lsf_q(spark, sf_dir):
+    """REAL-bytes MPEG-2/2.5 (LSF) Layer III probe (r14 —
+    operators/mp3_layer3.py from the public ISO 13818-3 spec): ten
+    variants cover the full six-rate LSF ladder (22050/24000/16000
+    MPEG-2, 11025/12000/8000 MPEG-2.5), all three scalefac_compress
+    blocknumber layouts (incl. the slen-0 tail group and the DERIVED
+    preflag), short blocks at 8000 Hz (the 72-line wide-band region
+    split), a mixed short/long granule (33 scalefactors, 6 long
+    bands), and the 8-bit bit reservoir.  Streams build and decode on
+    executors; every graded aggregate derives from the DECODED
+    quantized lines after an exact formula cross-check.  Voice and
+    podcast crawl MP3s are routinely LSF — this closes full
+    compressed-domain decode for that share of a real crawl; the scan
+    shape is the same binary-column Arrow-batch map as every other
+    codec probe (payload bytes never shuffle)."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        mp3_lsf_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = mp3_lsf_probe_table(spark, 10)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 10).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id",
+        "variant",
+        "mp3_md5",
+        "mp3_bytes",
+        "version",
+        "sample_rate",
+        "n_frames",
+        "block_kind",
+        "preflag_sum",
+        "mdb_max",
+        "sample_sum",
+        "abs_sum",
+        "nonzero",
+        "scf_sum",
+        "big_values_sum",
+    )
+
 
 # ---------------------------------------------------------------------------
 # MPEG audio, adaptive near-dup, MP4/BMFF, FLAC, WebDataset (r11)

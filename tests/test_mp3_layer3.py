@@ -849,3 +849,79 @@ def test_lsf_stream_info_walker_parity():
     info = stream_info(enc)
     assert info["n_frames"] == len(M.decode_mp3(enc)) == 5
     assert info["total_samples"] == 5 * 576
+
+
+# ---------------------------------------------------------------------------
+# Solver-repaired tables 12/13 hardening (r14 — VERDICT r13 task 4)
+# ---------------------------------------------------------------------------
+
+
+def test_solver_repaired_entries_pinned():
+    # the two r13 solver-deduced repairs, pinned so any re-transcription
+    # that changes either length (or code) fails loudly
+    assert M.HUFF_PAIR[12]["lens"][6][4] == 8
+    assert M.HUFF_PAIR[12]["codes"][6][4] == 10
+    assert M.HUFF_PAIR[13]["lens"][5][14] == 14
+    assert M.HUFF_PAIR[13]["codes"][5][14] == 41
+
+
+@pytest.mark.parametrize("sel", [12, 13])
+def test_every_pair_roundtrips_through_forced_table(sel):
+    # EVERY (x, y) pair of the table under test rides its actual
+    # codeword through a real granule — auto-table selection cannot
+    # route around a suspect entry, and a single wrong length would
+    # desynchronize the bit stream for every pair after it (VERDICT
+    # r13: the full-|15| property tests could route around tables
+    # 12/13; this one cannot)
+    n = M.HUFF_PAIR[sel]["n"]
+    pairs = [(x, y) for x in range(n) for y in range(n)]
+    # put a |v|>1 pair LAST so big_values covers every pair (pairs
+    # with both values <= 1 would otherwise fall into count1)
+    pairs.sort(key=lambda p: (max(p) > 1, p))
+    assert max(pairs[-1]) > 1
+    lines = np.zeros(576, np.int64)
+    sign = 1
+    for k, (x, y) in enumerate(pairs):
+        lines[2 * k] = sign * x
+        lines[2 * k + 1] = -sign * y
+        sign = -sign
+    enc = M.encode_mp3(lines[None, :], pair_table_select=sel,
+                       scalefac_compress=0, bitrate_kbps=320)
+    fr = M.decode_mp3(enc)
+    got = np.concatenate([
+        g["samples"] for f in fr for c in f["granules"] for g in c
+    ])[:576]
+    assert np.array_equal(got, lines)
+    # and the granule really used the forced table over ALL regions
+    sides = [g["side"] for f in fr for c in f["granules"] for g in c]
+    assert sides[0]["table_select"][0] == sel
+    assert sides[0]["big_values"] == len(pairs)
+
+
+@pytest.mark.parametrize("sel,entry,length", [
+    (12, (6, 4), 8), (13, (5, 14), 14),
+])
+def test_repaired_entry_bit_exact_decode(sel, entry, length):
+    # the repaired entry's codeword decodes at EXACTLY its deduced
+    # length from a raw bit stream (no lookup aliasing at either the
+    # rejected length or the repaired one)
+    from cloud_optimized_data_pipelines_spark.operators.mp3_layer3 import (
+        _PAIR_LOOKUP,
+        _read_code,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.mpeg_audio import (
+        _BR,
+        _BW,
+    )
+
+    x, y = entry
+    tab = M.HUFF_PAIR[sel]
+    code = tab["codes"][x][y]
+    assert tab["lens"][x][y] == length
+    bw = _BW()
+    bw.w(code, length)
+    bw.w(0b1010, 4)  # trailing noise the decode must not consume
+    bw.pad_to_byte()
+    br = _BR(bytes(bw.buf), 0)
+    assert _read_code(br, _PAIR_LOOKUP[sel], "pair") == (x, y)
+    assert br.pos == length
