@@ -127,6 +127,12 @@ def query(name: str, oracle: str | None = None):
 # ingest into q_text, the composed crawl pipeline into q_survey_misc,
 # the eight multimodal probes into q_multimodal; the order snapshot
 # was re-baselined for this one-time move.
+# r14: the 3,049-line q_survey_misc grab-bag was split VERBATIM into
+# five theme modules (VERDICT r13 task 5) — refops-extra / sketches-
+# graph / text-quality / sampling / dedup-extra (q_text_quality
+# precedes q_sampling because the CCNet-bucket oracle shares
+# _UNIGRAM_CTES); the order snapshot was re-baselined for this
+# one-time move (the graded window is order-pinned independently).
 # ---------------------------------------------------------------------------
 
 from cloud_optimized_data_pipelines_spark.registry import (  # noqa: E402,F401
@@ -142,7 +148,11 @@ from cloud_optimized_data_pipelines_spark.registry import (  # noqa: E402,F401
     q_multimodal_video,
     q_sessionize,
     q_relational_extra,
-    q_survey_misc,
+    q_refops_extra,
+    q_sketches_graph,
+    q_text_quality,
+    q_sampling,
+    q_dedup_extra,
 )
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,690 @@
+"""remaining SURVEY section-2 line items (CMR predicates, URL parse, array extent, granule enrichment), relational extras, and the composed corpus/crawl pipelines
+
+Split out of q_survey_misc.py in round 14 (VERDICT r13 task 5); registration order is preserved by the import order in
+``cloud_optimized_data_pipelines_spark.queries`` and pinned by
+``tests/test_registry_order.py``.  Code is unchanged — only moved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from cloud_optimized_data_pipelines_spark.functions.dates import extract_dates  # noqa: F401,E501
+from cloud_optimized_data_pipelines_spark.functions.ids import item_id  # noqa: F401
+from cloud_optimized_data_pipelines_spark.functions import text as T  # noqa: F401
+from cloud_optimized_data_pipelines_spark.functions import vectors as V  # noqa: F401
+from cloud_optimized_data_pipelines_spark.operators import dedup as D  # noqa: F401
+from cloud_optimized_data_pipelines_spark.operators import similarity as S  # noqa: F401,E501
+from cloud_optimized_data_pipelines_spark.operators.transfer import plan_transfer  # noqa: F401,E501
+from cloud_optimized_data_pipelines_spark.sources import cmr as cmr_src  # noqa: F401
+from cloud_optimized_data_pipelines_spark.sources import inventory as inv_src  # noqa: F401,E501
+
+from cloud_optimized_data_pipelines_spark.queries import (  # noqa: F401
+    load_tables,
+    query,
+)
+from cloud_optimized_data_pipelines_spark.registry.q_similarity import (  # noqa: F401,E501
+    _DUCK_LTOKS,
+    _LANG_CASE,
+    _duck_lang_count,
+)
+
+# ---------------------------------------------------------------------------
+# Remaining SURVEY section-2 line items as oracle-checked queries:
+# S3 (CMR predicate pushdown shape), C7 (URL parse), A1 (array extent),
+# J3 (granule enrichment join).
+# ---------------------------------------------------------------------------
+
+_CMR_PREDICATES = """
+WITH g AS (
+  SELECT 'G' || CAST(o_orderkey AS STRING) AS granule_id,
+         'OMDOAO3e' AS collection, '003' AS version,
+         o_orderdate AS time_start,
+         o_orderdate + INTERVAL 1 DAY AS time_end,
+         [CAST(CAST(o_orderkey % 360 AS INT) AS DOUBLE) - 180.0,
+          CAST(CAST(o_orderkey % 170 AS INT) AS DOUBLE) - 85.0,
+          CAST(CAST(o_orderkey % 360 AS INT) AS DOUBLE) - 170.0,
+          CAST(CAST(o_orderkey % 170 AS INT) AS DOUBLE) - 75.0] AS bbox
+  FROM orders
+)
+SELECT granule_id, time_start
+FROM g
+WHERE collection = 'OMDOAO3e' AND version = '003'
+  AND time_start >= TIMESTAMP '1996-01-01 00:00:00'
+  AND time_start <= TIMESTAMP '1999-01-01 00:00:00'
+  AND bbox[1] <= 90.0 AND bbox[3] >= -90.0
+  AND bbox[2] <= 45.0 AND bbox[4] >= -45.0
+"""
+
+
+@query("s3_cmr_predicates", _CMR_PREDICATES)
+def cmr_predicates_q(spark, sf_dir):
+    """S3/F4/F5: the CMR temporal + bbox + collection/version predicates
+    via the engine's query_granules operator."""
+    t = load_tables(spark, sf_dir)
+    okey = F.col("o_orderkey")
+    granules = t["orders"].select(
+        F.concat(F.lit("G"), okey.cast("string")).alias("granule_id"),
+        F.lit("OMDOAO3e").alias("collection"),
+        F.lit("003").alias("version"),
+        F.col("o_orderdate").alias("time_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("time_end"),
+        F.array(
+            (okey % 360).cast("int").cast("double") - 180.0,
+            (okey % 170).cast("int").cast("double") - 85.0,
+            (okey % 360).cast("int").cast("double") - 170.0,
+            (okey % 170).cast("int").cast("double") - 75.0,
+        ).alias("bbox"),
+        F.lit(None).cast(
+            "array<struct<rel:string,href:string>>"
+        ).alias("links"),
+    )
+    hits = cmr_src.query_granules(
+        granules,
+        collection="OMDOAO3e",
+        version="003",
+        temporal=("1996-01-01T00:00:00Z", "1999-01-01T00:00:00Z"),
+        bounding_box=(-90.0, -45.0, 90.0, 45.0),
+    )
+    return hits.select("granule_id", "time_start")
+
+
+_URL_PARSE = """
+SELECT p_partkey,
+       regexp_extract(url, '^[a-z0-9]+://([^/]+)', 1) AS bucket,
+       regexp_extract(url, '^[a-z0-9]+://[^/]+/(.*)$', 1) AS key,
+       regexp_extract(url, '([^/]+)$', 1) AS filename
+FROM (
+  SELECT p_partkey,
+         's3://bucket-' || CAST(CAST(p_partkey % 5 AS INT) AS STRING)
+         || '/parts/deep/p_' || CAST(p_partkey AS STRING) || '.tif' AS url
+  FROM part
+) t
+"""
+
+
+@query("c7_url_parse", _URL_PARSE)
+def url_parse_q(spark, sf_dir):
+    """C7/C8: urlparse semantics via the engine's URL scalars (the oracle
+    uses the equivalent regexes — DuckDB has no parse_url)."""
+    from cloud_optimized_data_pipelines_spark.functions.ids import path_basename
+    from cloud_optimized_data_pipelines_spark.functions.urls import url_bucket, url_key
+
+    t = load_tables(spark, sf_dir)
+    url = F.concat(
+        F.lit("s3://bucket-"),
+        (F.col("p_partkey") % 5).cast("int").cast("string"),
+        F.lit("/parts/deep/p_"),
+        F.col("p_partkey").cast("string"),
+        F.lit(".tif"),
+    )
+    return t["part"].select(
+        "p_partkey",
+        url_bucket(url).alias("bucket"),
+        url_key(url).alias("key"),
+        path_basename(url).alias("filename"),
+    )
+
+
+_ARRAY_EXTENT = """
+SELECT vec_id,
+       list_min(embedding) AS dim_min,
+       list_max(embedding) AS dim_max,
+       CAST(len(embedding) AS BIGINT) AS n_dims
+FROM embeddings
+"""
+
+
+@query("a1_array_extent", _ARRAY_EXTENT)
+def array_extent_q(spark, sf_dir):
+    """A1: min/max over array columns (the raster-extent analog,
+    cogify/handler.py:96-101) — array_min/array_max, no UDF."""
+    t = load_tables(spark, sf_dir)
+    return t["embeddings"].select(
+        "vec_id",
+        F.array_min("embedding").alias("dim_min"),
+        F.array_max("embedding").alias("dim_max"),
+        F.size("embedding").cast("long").alias("n_dims"),
+    )
+
+
+_GRANULE_ENRICH = """
+WITH ev AS (
+  SELECT 'G' || CAST(o_orderkey AS STRING) AS granule_id, o_orderkey
+  FROM orders WHERE o_orderkey % 3 = 0
+), g AS (
+  SELECT 'G' || CAST(o_orderkey AS STRING) AS granule_id,
+         o_orderdate AS time_start,
+         o_orderdate + INTERVAL 1 DAY AS time_end
+  FROM orders WHERE o_orderkey % 6 = 0
+)
+SELECT ev.o_orderkey, g.time_start AS start_datetime, g.time_end AS end_datetime
+FROM ev LEFT JOIN g ON g.granule_id = ev.granule_id
+"""
+
+
+@query("j3_granule_enrichment", _GRANULE_ENRICH)
+def granule_enrichment_q(spark, sf_dir):
+    """J3: CMR metadata enrichment as a broadcast left join filling item
+    datetimes from granule temporal ranges (only half the events have a
+    matching granule — the others stay NULL)."""
+    from cloud_optimized_data_pipelines_spark.operators.build_stac import (
+        enrich_from_granules,
+    )
+
+    t = load_tables(spark, sf_dir)
+    okey = F.col("o_orderkey")
+    events = (
+        t["orders"]
+        .filter(okey % 3 == 0)
+        .select(
+            F.concat(F.lit("G"), okey.cast("string")).alias("granule_id"),
+            "o_orderkey",
+            F.lit(None).cast("timestamp_ntz").alias("start_datetime"),
+            F.lit(None).cast("timestamp_ntz").alias("end_datetime"),
+        )
+    )
+    granules = (
+        t["orders"]
+        .filter(okey % 6 == 0)
+        .select(
+            F.concat(F.lit("G"), okey.cast("string")).alias("granule_id"),
+            F.col("o_orderdate").alias("time_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("time_end"),
+        )
+    )
+    out = enrich_from_granules(events, granules)
+    return out.select("o_orderkey", "start_datetime", "end_datetime")
+
+
+_WINDOW_RANKS = """
+SELECT c_custkey,
+       c_mktsegment,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       PERCENT_RANK() OVER w AS prnk,
+       CUME_DIST() OVER w AS cdist,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       LEAD(c_custkey, 1) OVER w AS next_custkey,
+       FIRST_VALUE(c_custkey) OVER w AS top_custkey
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+@query("window_rank_functions", _WINDOW_RANKS)
+def window_rank_functions_q(spark, sf_dir):
+    """The full analytic-ranking surface in one pass: rank/dense_rank/
+    percent_rank/cume_dist/ntile/lead/first_value share ONE window
+    frame, so Catalyst plans a single sort per partition — adding
+    functions to a shared frame is free at scale, re-sorting per
+    function is not."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_WINDOW_RANKS)
+
+
+_FUNNEL = """
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(COUNT(t_view) AS BIGINT) AS stage_view,
+  CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT) AS stage_click,
+  CAST(COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END) AS BIGINT) AS stage_purchase
+FROM stages
+"""
+
+
+@query("events_funnel_conversion", _FUNNEL)
+def events_funnel_q(spark, sf_dir):
+    """Ordered funnel (view → click → purchase): first-touch timestamps
+    per stage in ONE conditional aggregation pass, then ordering
+    predicates — no per-stage self-joins (the naive 3-way join shuffles
+    the fact three times; this shuffles user-sized rows once)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    first = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
+    stages = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    ordered_click = F.col("t_click") > F.col("t_view")
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("stage_view"),
+        F.count(F.when(ordered_click, 1)).alias("stage_click"),
+        F.count(
+            F.when((F.col("t_purchase") > F.col("t_click")) & ordered_click, 1)
+        ).alias("stage_purchase"),
+    )
+
+
+_RETENTION = """
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_day
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id,
+         f.cohort_day,
+         date_diff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS TIMESTAMP)) AS day_offset
+  FROM events e JOIN firsts f USING (user_id)
+  WHERE e.user_id IS NOT NULL
+)
+SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM activity
+WHERE day_offset IN (0, 1, 7)
+GROUP BY cohort_day, day_offset
+"""
+
+
+@query("events_retention_cohorts", _RETENTION)
+def events_retention_q(spark, sf_dir):
+    """Cohort retention (D0/D1/D7): cohort = first active day per user
+    (one agg), activity joined back on the user key — both shuffles are
+    user-sized, the fact is scanned twice but never self-joined on
+    time.  Day arithmetic via datediff, identical in both engines."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset").isin(0, 1, 7))
+        .groupBy("cohort_day", F.col("day_offset").cast("long").alias("day_offset"))
+        .agg(F.count("*").alias("active_users"))
+    )
+
+
+_MODERN_AGGS = """
+WITH agg AS (
+  SELECT event_type,
+         CAST(count_if(value > 100) AS BIGINT) AS n_big,
+         median(value) AS med_value
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY event_type
+), best AS (
+  SELECT event_type, user_id AS biggest_user FROM (
+    SELECT event_type, user_id,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value DESC, event_id DESC) AS rn
+    FROM events WHERE user_id IS NOT NULL
+  ) t WHERE rn = 1
+)
+SELECT agg.event_type, agg.n_big, agg.med_value, best.biggest_user
+FROM agg JOIN best USING (event_type)
+"""
+
+
+@query("agg_modern_functions", _MODERN_AGGS)
+def agg_modern_functions_q(spark, sf_dir):
+    """Modern aggregate surface: count_if, exact median (==
+    percentile_cont 0.5, bit-identical to DuckDB median on doubles),
+    and deterministic max_by via a (value, event_id) struct key —
+    struct comparison breaks value ties by the unique event id, which
+    the oracle mirrors with a ROW_NUMBER window."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).alias("n_big"),
+        F.median("value").alias("med_value"),
+        F.max_by("user_id", F.struct("value", "event_id")).alias("biggest_user"),
+    )
+
+
+
+
+def _corpus_preprocess_oracle() -> str:
+    """Composed-pipeline oracle: the lang-ID, exact-dedup, gopher, and
+    per-source-cap oracle fragments chained exactly as
+    plans/corpus.py::corpus_preprocess composes the operators."""
+    counts = ", ".join(
+        f"{_duck_lang_count(lang)} AS c_{lang}" for lang in T.LANG_ORDER
+    )
+    best = ", ".join(f"c_{lang}" for lang in T.LANG_ORDER)
+    return f"""
+WITH t1 AS (SELECT doc_id, {_DUCK_LTOKS} AS ltoks FROM documents),
+t2 AS (SELECT doc_id, {counts} FROM t1),
+t3 AS (SELECT doc_id, {best}, greatest({best}) AS best FROM t2),
+langf AS (SELECT doc_id, ({_LANG_CASE}) = 'en' AS lang_ok FROM t3),
+canon AS (
+  SELECT doc_id,
+         doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+  FROM documents
+),
+words AS (
+  SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+per_word AS (SELECT doc_id, word, COUNT(*) AS cnt FROM words GROUP BY doc_id, word),
+stats AS (
+  SELECT doc_id, SUM(cnt) AS n_words, MAX(cnt) AS top_cnt,
+         SUM(length(word) * cnt) AS char_sum
+  FROM per_word GROUP BY doc_id
+),
+q AS (
+  SELECT d.doc_id,
+         COALESCE(s.n_words, 0) >= 50 AND COALESCE(s.n_words, 0) <= 100000
+           AND (CASE WHEN COALESCE(s.n_words, 0) > 0
+                     THEN CAST(s.char_sum AS DOUBLE) / s.n_words ELSE 0.0 END)
+               BETWEEN 3.0 AND 10.0
+           AND (CASE WHEN COALESCE(s.n_words, 0) > 0
+                     THEN CAST(s.top_cnt AS DOUBLE) / s.n_words ELSE 1.0 END)
+               < 0.2 AS quality_ok
+  FROM documents d LEFT JOIN stats s USING (doc_id)
+),
+flags AS (
+  SELECT d.doc_id, d.source, l.lang_ok, c.is_canonical, q.quality_ok,
+         (l.lang_ok AND c.is_canonical AND q.quality_ok) AS eligible
+  FROM documents d
+  JOIN langf l USING (doc_id)
+  JOIN canon c USING (doc_id)
+  JOIN q USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM flags WHERE eligible
+)
+SELECT f.doc_id, f.source, f.lang_ok, f.is_canonical, f.quality_ok,
+       f.eligible, COALESCE(r.rn <= 15, FALSE) AS selected
+FROM flags f LEFT JOIN ranked r USING (doc_id)
+"""
+
+
+@query("pipeline_corpus_preprocess", _corpus_preprocess_oracle)
+def pipeline_corpus_preprocess_q(spark, sf_dir):
+    """The composed training-data preprocessing pipeline
+    (plans/corpus.py::corpus_preprocess — CCNet/C4/RefinedWeb recipe):
+    language ID -> exact dedup -> Gopher quality gate -> per-source
+    cap, as ONE lazy plan with survivorship flags per stage (no silent
+    drops; every rejection auditable).  The oracle chains the four
+    stages' individual oracle fragments identically — the cross-engine
+    proof that operator COMPOSITION preserves each operator's
+    semantics."""
+    from cloud_optimized_data_pipelines_spark.plans.corpus import (
+        corpus_preprocess,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return corpus_preprocess(t["documents"])
+
+
+_CORPUS_PREP = """
+WITH toks AS (
+  SELECT doc_id, source, text,
+         list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> ''), t -> lower(t)) AS lt
+  FROM documents
+),
+cls AS (
+  SELECT doc_id, source, text,
+         CAST(len(lt) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN len(lt) > 0 THEN list_reduce(
+                list_transform(lt, t ->
+                  ('0x' || substr(md5(t), 1, 8))::BIGINT % 2001 - 1000),
+                (a, b) -> a + b)
+              ELSE 0 END AS BIGINT) AS margin
+  FROM toks
+),
+scored AS (
+  SELECT doc_id, source, text, n_tokens,
+         CASE WHEN n_tokens > 0
+              THEN margin::DOUBLE / (n_tokens::DOUBLE * 1000.0)
+              ELSE 0.0 END AS score
+  FROM cls
+),
+quality AS (
+  SELECT * FROM scored WHERE n_tokens >= 10 AND score >= -0.05
+),
+sole AS (
+  SELECT doc_id, source, n_tokens, score,
+         ROW_NUMBER() OVER (PARTITION BY md5(text)
+                            ORDER BY doc_id) AS rn
+  FROM quality
+),
+surv AS (SELECT doc_id, source, n_tokens, score FROM sole WHERE rn = 1),
+sampled AS (
+  SELECT * FROM surv
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 8
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+FROM sampled GROUP BY source
+"""
+
+
+@query("pipeline_corpus_prep", _CORPUS_PREP)
+def pipeline_corpus_prep_q(spark, sf_dir):
+    """END-TO-END corpus preparation — the composition a real
+    training-data run executes, as ONE lazy plan: quality gate
+    (classifier score + length floor, both scan-side expressions) ->
+    exact dedup (lowest-id survivor per content hash, one digest-keyed
+    shuffle) -> 80% deterministic sample (md5 threshold, narrow
+    filter) -> per-source corpus stats.  Catalyst fuses the two
+    filters into the scan and the whole pipeline runs in two shuffle
+    stages (dedup window + final agg); the oracle rebuilds every stage
+    in SQL, so the hash proves the full composition, not just the
+    pieces."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        exact_dedup_by_hash,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        classifier_score,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    t = load_tables(spark, sf_dir)
+    scored = classifier_score(
+        t["documents"].select("doc_id", "source", "text"), "doc_id", "text"
+    )
+    quality = scored.filter(
+        (F.col("n_tokens") >= 10) & (F.col("score") >= -0.05)
+    )
+    survivors = exact_dedup_by_hash(quality, "text", "doc_id")
+    sampled = survivors.filter(hash_bucket("doc_id", 10) < 8)
+    return sampled.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id"))),
+                    lambda x: x["doc_id"].cast("string"),
+                ),
+            )
+        ).alias("ids_md5"),
+    )
+
+
+
+
+
+# ---------------------------------------------------------------------------
+# crawl-to-corpus composition: WARC -> WET -> gate -> dedup (r11)
+# (moved verbatim from the r11 round-file in r12 — VERDICT r11 task 9)
+# ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# crawl-ingest composition: WARC -> WET text -> quality gate -> dedup
+# ---------------------------------------------------------------------------
+
+
+def _crawl_ingest_oracle() -> str:
+    """Oracle for pipeline_crawl_ingest: every stage replays in SQL —
+    record/word formulas rebuild each response body (vocab CASE +
+    string_agg), the quality gate is the token-count arithmetic
+    (W = 30 + 10*(src%4) >= 35), the duplicate rule (i%3==2 copies
+    i-1) collapses to the src key, and the survivor md5 re-derives
+    the concatenated unique bodies in min-id order.  Non-circular:
+    the engine's bodies come out of gzip members + WARC records +
+    HTTP envelopes parsed on executors, and its dedup runs on the
+    actual strings."""
+    from cloud_optimized_data_pipelines_spark.sources.warc import (
+        PROBE_VOCAB,
+    )
+
+    vocab_case = (
+        "CASE (13*s.src + 7*j.j + s.v) % 16 "
+        + " ".join(f"WHEN {k} THEN '{w}'" for k, w in enumerate(PROBE_VOCAB))
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT unnest(range(0, 8)) AS v),
+resp AS (
+  SELECT v.v, i.i FROM var v, (SELECT unnest(range(0, 8)) AS i) i
+  WHERE i.i < 6 + v.v % 3
+),
+eff AS (
+  SELECT v, i, CASE WHEN i % 3 = 2 THEN i - 1 ELSE i END AS src
+  FROM resp
+),
+kept AS (
+  SELECT v, i, src, 30 + 10*(src % 4) AS tokens
+  FROM eff WHERE 30 + 10*(src % 4) >= 35
+),
+surv0 AS (
+  SELECT v, src, MIN(i) AS i0 FROM kept GROUP BY v, src
+),
+-- dedup is GLOBAL across crawl files (the engine's exact_dedup sees
+-- every body): two (v, src) pairs carry the SAME body iff their
+-- start key (13*src + v) mod 16 and word count agree (same mod-16
+-- progression, step 7).  Keep the global min-rid owner per class.
+keyed AS (
+  SELECT v, src, i0, v*100 + i0 + 1 AS rid,
+         (13*src + v) % 16 AS k, 30 + 10*(src % 4) AS w
+  FROM surv0
+),
+surv AS (
+  SELECT q.v, q.src, q.i0 FROM keyed q
+  WHERE q.rid = (SELECT MIN(q2.rid) FROM keyed q2
+                 WHERE q2.k = q.k AND q2.w = q.w)
+),
+words AS (
+  SELECT s.v, s.src, j.j, {vocab_case} AS w
+  FROM surv s
+  JOIN (SELECT unnest(range(0, 60)) AS j) j
+    ON j.j < 30 + 10*(s.src % 4)
+),
+bodies AS (
+  SELECT v, src, string_agg(w, ' ' ORDER BY j) AS body
+  FROM words GROUP BY v, src
+),
+per_v AS (
+  SELECT r.v,
+         CAST(COUNT(*) AS BIGINT) AS n_responses
+  FROM resp r GROUP BY r.v
+),
+kept_v AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(tokens) AS BIGINT) AS tok_sum
+  FROM kept GROUP BY v
+),
+surv_v AS (
+  SELECT b.v, CAST(COUNT(*) AS BIGINT) AS n_unique,
+         md5(string_agg(b.body, chr(10) ORDER BY b.src)) AS surv_md5
+  FROM bodies b GROUP BY b.v
+)
+SELECT d.doc_id,
+       d.doc_id % 8 AS variant,
+       p.n_responses, k.n_kept, k.tok_sum, s.n_unique, s.surv_md5
+FROM documents d
+JOIN per_v p ON p.v = d.doc_id % 8
+JOIN kept_v k ON k.v = d.doc_id % 8
+JOIN surv_v s ON s.v = d.doc_id % 8
+"""
+
+
+@query("pipeline_crawl_ingest", _crawl_ingest_oracle)
+def pipeline_crawl_ingest_q(spark, sf_dir):
+    """The crawl-to-corpus COMPOSITION the new codecs exist for, as
+    one lazy plan: .warc.gz probe files (gzip members + ISO 28500
+    records + HTTP envelopes, ~1/3 exact-duplicate responses) ->
+    warc_records explode -> http_text_bodies (WET step) -> token-count
+    quality gate (engine tokens()) -> exact_dedup_by_hash (lowest-id
+    survivor per body, ONE md5-keyed shuffle — measured 5x faster than
+    the groupBy+semi-join form at the 400k-record ladder rung, and the
+    shape that holds at 100 TB: 16-byte digests shuffle once, the
+    corpus is never re-scanned for the join probe side) -> per-file
+    survivorship aggregates, with the survivor md5 pinning the exact
+    text the pipeline carried end to end."""
+    from cloud_optimized_data_pipelines_spark.functions import text as TT
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        exact_dedup_by_hash,
+    )
+    from cloud_optimized_data_pipelines_spark.sources.warc import (
+        http_text_bodies,
+        warc_records,
+        warc_text_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = warc_text_probe_table(spark, 8).cache()
+    recs = warc_records(probe, "file_id", "blob")
+    resp = recs.filter(F.col("warc_type") == "response")
+    bodies = http_text_bodies(resp).withColumn(
+        "tokens", TT.token_count("body")
+    )
+    kept = bodies.filter(F.col("tokens") >= 35).withColumn(
+        "rid", F.col("file_id") * 100 + F.col("record_index")
+    )
+    surv = exact_dedup_by_hash(
+        kept.select("file_id", "rid", "body"), "body", "rid"
+    )
+    n_resp = resp.groupBy("file_id").agg(
+        F.count("*").cast("bigint").alias("n_responses")
+    )
+    kept_agg = kept.groupBy("file_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("tokens").cast("bigint").alias("tok_sum"),
+    )
+    surv_agg = surv.groupBy("file_id").agg(
+        F.count("*").cast("bigint").alias("n_unique"),
+        F.expr(
+            "md5(array_join(transform(array_sort(collect_list("
+            "struct(rid, body))), x -> x.body), '\n'))"
+        ).alias("surv_md5"),
+    )
+    probe_full = (
+        n_resp.join(kept_agg, "file_id")
+        .join(surv_agg, "file_id")
+        .withColumnRenamed("file_id", "variant")
+    )
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe_full), "variant").select(
+        "doc_id",
+        "variant",
+        "n_responses",
+        "n_kept",
+        "tok_sum",
+        "n_unique",
+        "surv_md5",
+    )

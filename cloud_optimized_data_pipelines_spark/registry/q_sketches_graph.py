@@ -1,0 +1,706 @@
+"""mergeable sketches, rollups, percentiles, graph (PageRank), drift and privacy screens
+
+Split out of q_survey_misc.py in round 14 (VERDICT r13 task 5); registration order is preserved by the import order in
+``cloud_optimized_data_pipelines_spark.queries`` and pinned by
+``tests/test_registry_order.py``.  Code is unchanged — only moved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from cloud_optimized_data_pipelines_spark.functions.dates import extract_dates  # noqa: F401,E501
+from cloud_optimized_data_pipelines_spark.functions.ids import item_id  # noqa: F401
+from cloud_optimized_data_pipelines_spark.functions import text as T  # noqa: F401
+from cloud_optimized_data_pipelines_spark.functions import vectors as V  # noqa: F401
+from cloud_optimized_data_pipelines_spark.operators import dedup as D  # noqa: F401
+from cloud_optimized_data_pipelines_spark.operators import similarity as S  # noqa: F401,E501
+from cloud_optimized_data_pipelines_spark.operators.transfer import plan_transfer  # noqa: F401,E501
+from cloud_optimized_data_pipelines_spark.sources import cmr as cmr_src  # noqa: F401
+from cloud_optimized_data_pipelines_spark.sources import inventory as inv_src  # noqa: F401,E501
+
+from cloud_optimized_data_pipelines_spark.queries import (  # noqa: F401
+    load_tables,
+    query,
+)
+from cloud_optimized_data_pipelines_spark.registry.q_similarity import (  # noqa: F401,E501
+    _DUCK_LTOKS,
+    _LANG_CASE,
+    _duck_lang_count,
+)
+
+_ROLLUP_MERGE = """
+SELECT
+  date_trunc('hour', ts) AS bucket,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+    / COUNT(*) AS avg_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+@query("rollup_hourly_merge", _ROLLUP_MERGE)
+def rollup_hourly_merge_q(spark, sf_dir):
+    """Hypertable-style continuous aggregate (operators/rollup.py): a
+    materialized-history partial rollup merged with a fresh raw-tail
+    rollup.  The oracle is the DIRECT aggregation over all raw rows —
+    proving the mergeable-state path (count/decimal-sum/min/max partials,
+    avg re-derived post-merge) is exact, including the cutoff landing
+    mid-bucket so the same hour exists in both partials."""
+    from cloud_optimized_data_pipelines_spark.operators.rollup import (
+        continuous_aggregate,
+    )
+
+    t = load_tables(spark, sf_dir)
+    out = continuous_aggregate(t["events"], "2024-01-25 13:30:00")
+    return out.withColumn(
+        "total_value", F.col("total_value").cast("double")
+    )
+
+
+_KMV_UNIQUES = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+  FROM events WHERE user_id IS NOT NULL
+), s AS (
+  SELECT event_type, list_sort(list(hv))[1:64] AS kmv
+  FROM h GROUP BY event_type
+), x AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_uniques
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+)
+SELECT s.event_type,
+       CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS DOUBLE)
+            ELSE 63.0 * 4294967296.0 / CAST(kmv[64] AS DOUBLE) END AS est_uniques,
+       x.exact_uniques
+FROM s JOIN x USING (event_type)
+"""
+
+
+@query("sketch_kmv_uniques", _KMV_UNIQUES)
+def sketch_kmv_uniques_q(spark, sf_dir):
+    """KMV distinct sketch (operators/sketches.py): Spark builds DAILY
+    partial sketches and merges them; the oracle builds the sketch in
+    ONE pass.  They hash-match because k-smallest-of-distinct-union is
+    exactly mergeable — the cross-engine proof that the rollup path
+    loses nothing.  exact_uniques rides along for scale context."""
+    from cloud_optimized_data_pipelines_spark.operators import sketches as SK
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    daily = SK.kmv_partial(
+        ev.withColumn("day", F.to_date("ts")),
+        "user_id",
+        dims=("event_type", "day"),
+        k=64,
+    )
+    merged = SK.kmv_merge(daily, dims=("event_type",), k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_uniques")
+    )
+    return merged.select(
+        "event_type", SK.kmv_estimate("kmv", k=64).alias("est_uniques")
+    ).join(F.broadcast(exact), "event_type")
+
+
+_CMS_HEAVY = """
+WITH ints AS (SELECT unnest(range(4)) AS i),
+cells AS (
+  SELECT i,
+         ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 512 AS bucket,
+         COUNT(*) AS c
+  FROM events, ints
+  WHERE user_id IS NOT NULL
+  GROUP BY 1, 2
+), top AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 20
+), probes AS (
+  SELECT t.user_id, t.exact_n, ints.i,
+         ('0x' || substr(md5(CAST(ints.i AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)), 1, 8))::BIGINT % 512 AS bucket
+  FROM top t, ints
+)
+SELECT p.user_id, p.exact_n, CAST(MIN(s.c) AS BIGINT) AS cms_estimate
+FROM probes p JOIN cells s ON s.i = p.i AND s.bucket = p.bucket
+GROUP BY p.user_id, p.exact_n
+"""
+
+
+@query("sketch_cms_heavy_hitters", _CMS_HEAVY)
+def sketch_cms_heavy_q(spark, sf_dir):
+    """Count-min sketch built AS a DataFrame (4×512 counter grid,
+    portable md5 hash family) probed for the top-20 users.  Estimates —
+    not just bounds — hash-match the oracle because both engines build
+    the identical sketch.  cms_estimate ≥ exact_n always (collisions
+    only ever add)."""
+    from cloud_optimized_data_pipelines_spark.operators import sketches as SK
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    sketch = SK.cms_build(ev, "user_id", depth=4, width=512)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(20)
+    )
+    return SK.cms_probe(sketch, top, "user_id", depth=4, width=512)
+
+
+_HLL_PORTABLE = """
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS k
+  FROM events WHERE user_id IS NOT NULL
+),
+h AS (
+  SELECT event_type, day,
+         ('0x' || substr(md5(k), 1, 3))::BIGINT AS bucket,
+         ('0x' || substr(md5(k), 4, 13))::BIGINT AS w
+  FROM ev
+),
+daily AS (
+  SELECT event_type, day, bucket,
+         MAX(CASE WHEN w = 0 THEN 53
+                  ELSE 53 - length(bin(w)) END) AS register
+  FROM h GROUP BY event_type, day, bucket
+),
+merged AS (
+  SELECT event_type, bucket, MAX(register) AS register
+  FROM daily GROUP BY event_type, bucket
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS present,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(
+               list_sort(list(struct_pack(b := bucket, r := register))),
+               s -> 1.0 / power(2.0, s.r::DOUBLE))),
+           (a, b) -> a + b) AS s_present
+  FROM merged GROUP BY event_type
+),
+est AS (
+  SELECT event_type, present,
+         (4096.0 - present) + s_present AS s,
+         CAST(4096 - present AS BIGINT) AS zeros
+  FROM agg
+),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_type,
+       round(CASE WHEN 12098218.894406674 / e.s <= 10240.0 AND e.zeros > 0
+                  THEN 4096.0 * ln(4096.0 / e.zeros::DOUBLE)
+                  ELSE 12098218.894406674 / e.s END, 6) AS distinct_est,
+       e.present AS buckets_used,
+       e.zeros AS empty_buckets,
+       x.n_exact
+FROM est e JOIN ex x USING (event_type)
+"""
+
+
+@query("sketch_hll_portable", _HLL_PORTABLE)
+def sketch_hll_portable_q(spark, sf_dir):
+    """PORTABLE own-implementation HyperLogLog (operators/sketches.py::
+    portable_hll_registers/portable_hll_estimate, r10): per-day
+    register partials MERGED across days by GROUP BY + MAX — the
+    sketch's defining mergeability, the production distinct-count
+    rollup shape — with every step (md5 bucketing, 52-bit rank,
+    power-of-two fold in bucket order, linear-counting correction)
+    exactly replayed by the DuckDB oracle.  The DataSketches twin
+    (sketch_hll_daily_uniques) keeps the opaque-binary production
+    path; THIS query puts the HLL math itself under the value hash,
+    with the exact distinct count joined alongside as the
+    self-audit."""
+    from cloud_optimized_data_pipelines_spark.operators import sketches as SK
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    daily = SK.portable_hll_registers(
+        ev.withColumn("day", F.to_date("ts")),
+        "user_id",
+        dims=("event_type", "day"),
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.max("register").alias("register")
+    )
+    est = SK.portable_hll_estimate(merged, dims=("event_type",))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "distinct_est",
+        "buckets_used",
+        "empty_buckets",
+        "n_exact",
+    )
+
+
+_HLL_SLIDING = """
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS k
+  FROM events WHERE user_id IS NOT NULL
+),
+h AS (
+  SELECT event_type, day,
+         ('0x' || substr(md5(k), 1, 3))::BIGINT AS bucket,
+         ('0x' || substr(md5(k), 4, 13))::BIGINT AS w
+  FROM ev
+),
+daily AS (
+  SELECT event_type, day, bucket,
+         MAX(CASE WHEN w = 0 THEN 53
+                  ELSE 53 - length(bin(w)) END) AS register
+  FROM h GROUP BY event_type, day, bucket
+),
+fan AS (
+  SELECT event_type, day + CAST(o.off AS INT) AS window_end,
+         bucket, register
+  FROM daily CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o
+),
+merged AS (
+  SELECT event_type, window_end, bucket, MAX(register) AS register
+  FROM fan GROUP BY event_type, window_end, bucket
+),
+agg AS (
+  SELECT event_type, window_end,
+         CAST(COUNT(*) AS BIGINT) AS present,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(
+               list_sort(list(struct_pack(b := bucket, r := register))),
+               s -> 1.0 / power(2.0, s.r::DOUBLE))),
+           (a, b) -> a + b) AS s_present
+  FROM merged GROUP BY event_type, window_end
+),
+est AS (
+  SELECT event_type, window_end, present,
+         (4096.0 - present) + s_present AS s,
+         CAST(4096 - present AS BIGINT) AS zeros
+  FROM agg
+)
+SELECT event_type,
+       window_end,
+       round(CASE WHEN 12098218.894406674 / s <= 10240.0 AND zeros > 0
+                  THEN 4096.0 * ln(4096.0 / zeros::DOUBLE)
+                  ELSE 12098218.894406674 / s END, 6) AS distinct_est,
+       present AS buckets_used,
+       zeros AS empty_buckets
+FROM est
+"""
+
+
+@query("sketch_hll_daily_uniques", _HLL_SLIDING)
+def sketch_hll_daily_q(spark, sf_dir):
+    """Sliding 7-day distinct-user rollup from DAILY portable-HLL
+    register partials (operators/sketches.py::portable_hll_sliding,
+    r12 — closes the VERDICT r11 rows-only gap by putting the daily
+    rollup under the value hash): daily registers are computed ONCE,
+    then each fans out to the 7 window-ends it contributes to and a
+    GROUP BY + MAX merges — W-day uniques for every day from one scan
+    of a register table bounded by dims x 2^p rows, instead of
+    re-scanning W days of raw events per window (the production
+    rollup shape at 100 TB).  Every step is md5 + integer arithmetic
+    the DuckDB oracle replays exactly; the left-fold sum and 6-digit
+    round follow sketch_hll_portable (the JVM-vs-libm ln ulp trap).
+    The opaque DataSketches path (hll_sketch_agg / hll_union_agg)
+    stays covered by operators/sketches.py::hll_partial +
+    test_sketches.py accuracy gates."""
+    from cloud_optimized_data_pipelines_spark.operators import sketches as SK
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    daily = SK.portable_hll_registers(
+        ev.withColumn("day", F.to_date("ts")),
+        "user_id",
+        dims=("event_type", "day"),
+    )
+    sliding = SK.portable_hll_sliding(
+        daily, "day", dims=("event_type",), window=7
+    )
+    est = SK.portable_hll_estimate(
+        sliding, dims=("event_type", "window_end")
+    )
+    return est.select(
+        "event_type",
+        "window_end",
+        "distinct_est",
+        "buckets_used",
+        "empty_buckets",
+    )
+
+
+_HIST_PCT = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice * 100 AS BIGINT) AS cents
+  FROM lineitem
+),
+b AS (
+  SELECT l_returnflag,
+         LEAST(511, GREATEST(0, (cents - 90000) * 512 // 10910001))
+             AS bucket
+  FROM base
+),
+parts AS (
+  SELECT l_returnflag, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM b GROUP BY l_returnflag, bucket
+),
+cum AS (
+  SELECT l_returnflag, bucket, n,
+         CAST(SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bucket)
+              AS BIGINT) AS cum,
+         CAST(SUM(n) OVER (PARTITION BY l_returnflag) AS BIGINT)
+             AS n_rows,
+         CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT)
+             AS buckets_used
+  FROM parts
+)
+SELECT l_returnflag,
+       CAST(90000 + (MIN(CASE WHEN cum >= (n_rows * 50 + 99) // 100
+                              THEN bucket END) * 2 + 1) * 10910001
+            // 1024 AS BIGINT) AS p50_est,
+       CAST(90000 + (MIN(CASE WHEN cum >= (n_rows * 95 + 99) // 100
+                              THEN bucket END) * 2 + 1) * 10910001
+            // 1024 AS BIGINT) AS p95_est,
+       MIN(buckets_used) AS buckets_used,
+       MIN(n_rows) AS n_rows
+FROM cum GROUP BY l_returnflag
+"""
+
+
+@query("agg_approx_percentile", _HIST_PCT)
+def agg_approx_percentile_q(spark, sf_dir):
+    """Mergeable approximate percentiles as a PORTABLE fixed-bin
+    histogram summary (operators/sketches.py::histogram_quantile_*,
+    r12 — closes the VERDICT r11 rows-only gap): order-dependent
+    GK/KLL/t-digest state can never hash-match across engines, but a
+    fixed-domain integer histogram is deterministic, merges by
+    GROUP BY + SUM (dims x 512 rows regardless of input — the 100 TB
+    summary shape where an exact percentile is a full global sort),
+    and carries a fixed +-span/1024 error bound.  Domain: lineitem
+    extended price in integer cents over [900.00, 110000.00].  Every
+    step is integer arithmetic replayed exactly by the oracle.
+    Spark's native percentile_approx (GK) stays pytest-gated for
+    accuracy in test_sketches.py."""
+    from cloud_optimized_data_pipelines_spark.operators import sketches as SK
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].withColumn(
+        "cents", F.expr("CAST(l_extendedprice * 100 AS BIGINT)")
+    )
+    parts = SK.histogram_quantile_partials(
+        li, "cents", dims=("l_returnflag",),
+        lo=90000, hi=11000000, buckets=512,
+    )
+    est = SK.histogram_quantile_estimate(
+        parts, dims=("l_returnflag",),
+        lo=90000, hi=11000000, buckets=512, percents=(50, 95),
+    )
+    return est.select(
+        "l_returnflag", "p50_est", "p95_est", "buckets_used", "n_rows"
+    )
+
+
+_ROLLUP_CASCADE = """
+SELECT
+  CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+    / COUNT(*) AS avg_value
+FROM events
+GROUP BY CAST(date_trunc('day', ts) AS TIMESTAMP), event_type
+"""
+
+
+@query("rollup_cascade_daily", _ROLLUP_CASCADE)
+def rollup_cascade_daily_q(spark, sf_dir):
+    """Grain cascade (operators/rollup.py::cascade_rollup): the DAILY
+    aggregate is derived from HOURLY partials by re-truncation +
+    partial re-aggregation — the raw table is scanned once for the
+    hourly grain and never again.  Oracle = direct daily aggregation
+    over raw rows, proving the cascade is exact."""
+    from cloud_optimized_data_pipelines_spark.operators.rollup import (
+        cascade_rollup,
+        hourly_rollup,
+        merge_rollups,
+    )
+
+    t = load_tables(spark, sf_dir)
+    hourly = hourly_rollup(t["events"])
+    out = merge_rollups(cascade_rollup(hourly, "day"))
+    return out.withColumn(
+        "total_value", F.col("total_value").cast("double")
+    )
+
+
+_QUANTILE_SAMPLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events
+),
+samp AS (SELECT event_type, value FROM ranked WHERE rn <= 64),
+est AS (
+  SELECT event_type,
+         quantile_cont(CAST(value AS DOUBLE), 0.5) AS est_median,
+         CAST(COUNT(*) AS BIGINT) AS sample_n
+  FROM samp GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, median(CAST(value AS DOUBLE)) AS exact_median
+  FROM events GROUP BY event_type
+)
+SELECT est.event_type, est.sample_n, est.est_median, ex.exact_median
+FROM est JOIN ex USING (event_type)
+"""
+
+
+@query("sketch_quantile_sample", _QUANTILE_SAMPLE)
+def sketch_quantile_sample_q(spark, sf_dir):
+    """Deterministic bottom-k quantile sample (operators/sketches.py::
+    kmin_sample_*): the 64 smallest-md5-ranked rows per group are a
+    uniform without-replacement sample that is mergeable (k smallest of
+    the union) and engine-reproducible — no reservoir RNG.  Spark
+    builds DAILY partials and MERGES them; the oracle samples in one
+    pass — they hash-match because merge == one-pass, the same
+    cross-engine proof as sketch_kmv_uniques.  exact_median rides along
+    for error context."""
+    from cloud_optimized_data_pipelines_spark.operators import sketches as SK
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    daily = SK.kmin_sample_partial(
+        ev.withColumn("day", F.to_date("ts")),
+        "event_id",
+        "value",
+        dims=("event_type", "day"),
+        k=64,
+    )
+    merged = SK.kmin_sample_merge(daily, dims=("event_type",), k=64)
+    est = merged.select(
+        "event_type",
+        F.size("sample").cast("long").alias("sample_n"),
+        SK.kmin_sample_quantile("sample", 0.5).alias("est_median"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.median(F.col("value").cast("double")).alias("exact_median")
+    )
+    return est.join(exact, "event_type")
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-CTE oracle for the integer-scaled PageRank: the fixed
+    5 iterations are generated as plain chained CTEs (aggregates are
+    not allowed in recursive terms), every contribution is BIGINT
+    floor division, and each iteration's SUM is cast back to BIGINT
+    (DuckDB widens SUM(BIGINT) to HUGEINT — the round-4 hasher
+    lesson)."""
+    head = """
+WITH e AS (
+  SELECT 'u:' || CAST(user_id AS VARCHAR) AS src, 't:' || event_type AS dst
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  UNION
+  SELECT 't:' || event_type, 'u:' || CAST(user_id AS VARCHAR)
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)"""
+    steps = []
+    for i in range(1, 6):
+        steps.append(f""",
+r{i} AS (
+  SELECT n.node,
+         CAST(150000000 + COALESCE(SUM((17 * p.r) // (20 * d.deg)), 0)
+              AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN r{i - 1} p ON p.node = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY n.node
+)""")
+    return head + "".join(steps) + "\nSELECT node, r AS rank FROM r5"
+
+
+@query("graph_pagerank_events", _pagerank_oracle)
+def graph_pagerank_q(spark, sf_dir):
+    """Integer-scaled PageRank (operators/graph.py::pagerank) over the
+    symmetrized user <-> event-type bipartite graph — the
+    Common-Crawl-style link-quality prior, made cross-engine
+    hash-checkable by running the whole recurrence in BIGINT
+    micro-units (integer sums are associative; float PageRank is
+    reduction-order-dependent and un-oracle-able).  5 iterations,
+    damping 17/20; the oracle unrolls them as chained CTEs."""
+    from cloud_optimized_data_pipelines_spark.operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    fwd = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iters=5)
+
+
+def _pagerank_dangling_oracle() -> str:
+    """Unrolled-CTE oracle for the teleport-corrected PageRank on the
+    DIRECTED user->event-type graph (event-type nodes are sinks): per
+    iteration a 1-row dangling-mass CTE (rank sum over nodes with no
+    out-edges) feeds an equal integer share into every node's base —
+    all BIGINT, so the parallel/serial sums still agree bit-exactly."""
+    head = """
+WITH e AS (
+  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                  't:' || event_type AS dst
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)"""
+    steps = []
+    for i in range(1, 5):
+        steps.append(f""",
+d{i} AS (
+  SELECT CAST(COALESCE(SUM(p.r), 0) AS BIGINT) AS dm
+  FROM r{i - 1} p LEFT JOIN deg d ON d.src = p.node
+  WHERE d.src IS NULL
+),
+r{i} AS (
+  SELECT n0.node,
+         CAST(150000000 + (17 * dd.dm) // (20 * nn.n)
+              + COALESCE(SUM((17 * p.r) // (20 * dg.deg)), 0)
+              AS BIGINT) AS r
+  FROM nodes n0
+  CROSS JOIN d{i} dd CROSS JOIN nn
+  LEFT JOIN e ON e.dst = n0.node
+  LEFT JOIN r{i - 1} p ON p.node = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n0.node, dd.dm, nn.n
+)""")
+    return head + "".join(steps) + "\nSELECT node, r AS rank FROM r4"
+
+
+@query("graph_pagerank_dangling", _pagerank_dangling_oracle)
+def graph_pagerank_dangling_q(spark, sf_dir):
+    """Teleport-corrected integer PageRank (operators/graph.py::
+    pagerank(dangling='redistribute')) on the DIRECTED user ->
+    event-type graph, where every event-type node is a sink: each
+    iteration aggregates the rank mass sitting on sinks (one 1-row
+    BIGINT sum) and hands every node an equal integer share — the
+    textbook dangling-mass correction, kept associative so the
+    unrolled-CTE oracle hash-matches.  4 iterations, damping 17/20."""
+    from cloud_optimized_data_pipelines_spark.operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    fwd = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    )
+    return pagerank(fwd, iters=4, dangling="redistribute")
+
+
+_PSI = """
+WITH labeled AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'before'
+              ELSE 'after' END AS w,
+         event_type AS cat
+  FROM events
+),
+counts AS (
+  SELECT cat,
+         CAST(SUM(CASE WHEN w = 'before' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_before,
+         CAST(SUM(CASE WHEN w = 'after' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_after
+  FROM labeled GROUP BY cat
+),
+scalars AS (
+  SELECT CAST(SUM(cnt_before) AS BIGINT) AS tot_b,
+         CAST(SUM(cnt_after) AS BIGINT) AS tot_a,
+         CAST(COUNT(*) AS BIGINT) AS ncat
+  FROM counts
+)
+SELECT cat, cnt_before, cnt_after,
+       CAST(cnt_before + 1 AS DOUBLE) / (tot_b + ncat) AS p_before,
+       CAST(cnt_after + 1 AS DOUBLE) / (tot_a + ncat) AS p_after,
+       (CAST(cnt_after + 1 AS DOUBLE) / (tot_a + ncat)
+        - CAST(cnt_before + 1 AS DOUBLE) / (tot_b + ncat))
+       * (round(ln(CAST(cnt_after + 1 AS DOUBLE) / (tot_a + ncat)), 9)
+          - round(ln(CAST(cnt_before + 1 AS DOUBLE) / (tot_b + ncat)), 9))
+       AS psi_term
+FROM counts CROSS JOIN scalars
+"""
+
+
+@query("events_drift_psi", _PSI)
+def events_drift_psi_q(spark, sf_dir):
+    """Population Stability Index drift monitor (operators/drift.py::
+    psi_by_window): the event-type distribution of the stream's second
+    half vs its first — per-category PSI decomposition with Laplace
+    smoothing over the union category set and term-rounded logs (the
+    cross-engine ln discipline).  One partial-aggregated category count
+    + a 1-row scalar broadcast; output is category-set-sized, so the
+    monitor costs one scan at any stream size."""
+    from cloud_optimized_data_pipelines_spark.operators.drift import (
+        psi_by_window,
+    )
+
+    t = load_tables(spark, sf_dir)
+    split = F.when(
+        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), "before"
+    ).otherwise("after")
+    return psi_by_window(t["events"], "event_type", split)
+
+
+_K_ANON = """
+WITH counts AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM documents GROUP BY source, lang
+)
+SELECT d.doc_id, d.source, d.lang, c.group_size,
+       c.group_size >= 25 AS k_anonymous
+FROM documents d JOIN counts c
+  ON d.source IS NOT DISTINCT FROM c.source
+ AND d.lang IS NOT DISTINCT FROM c.lang
+"""
+
+
+@query("privacy_k_anonymous", _K_ANON)
+def privacy_k_anonymous_q(spark, sf_dir):
+    """k-anonymity flags (operators/privacy.py::k_anonymous_flags,
+    Sweeney 2002): rows whose (source, lang) quasi-identifier
+    combination occurs fewer than k times are flagged before a data
+    release.  One map-side-combined count + a key join reusing the same
+    shuffle partitioning; k=25 is binding at sf0.01 (several
+    source x lang cells fall under it), so both flag values are
+    exercised."""
+    from cloud_optimized_data_pipelines_spark.operators.privacy import (
+        k_anonymous_flags,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "source", "lang")
+    return k_anonymous_flags(docs, ["source", "lang"], k=25)

@@ -6,11 +6,13 @@ graded window followed by the remaining source order; and the
 snapshot must stay an order-preserved subsequence (rounds APPEND
 queries, they never reshuffle).  The snapshot was re-baselined in r12
 when the round-named q_r11_additions module was folded verbatim into
-its family modules (VERDICT r11 task 9), and again in r13 when the
+its family modules (VERDICT r11 task 9), again in r13 when the
 4,121-line q_multimodal was split verbatim into image/audio/video
-family modules (VERDICT r12 task 4) — deliberate one-time
-source-order changes; the graded window (what the driver grades) is
-order-pinned independently by _GRADED_WINDOW."""
+family modules (VERDICT r12 task 4), and again in r14 when the
+3,049-line q_survey_misc grab-bag was split verbatim into five theme
+modules (VERDICT r13 task 5) — deliberate one-time source-order
+changes; the graded window (what the driver grades) is order-pinned
+independently by _GRADED_WINDOW."""
 
 import json
 import re
@@ -23,7 +25,7 @@ from cloud_optimized_data_pipelines_spark.queries import (
 )
 
 _SNAP = json.loads(
-    (Path(__file__).parent / "data_registry_order_r13.json").read_text()
+    (Path(__file__).parent / "data_registry_order_r14.json").read_text()
 )
 _REG_DIR = (
     Path(__file__).parent.parent
