@@ -225,9 +225,9 @@ _GRADED_WINDOW = [
     "events_retention_cohorts",
     "join_semi_anti_customers",
     "multimodal_audio_near_dup",
-    "multimodal_phash_pairs",
     # --- new r14 queries (swapped for trailing r10 fills) ---
     "multimodal_mp3_lsf",  # LSF sample decode (VERDICT r13 task 3)
+    "egress_shard_plan",  # corpus shard egress (new r14 family)
 ]
 
 

@@ -284,3 +284,48 @@ def sample_ccnet_buckets_q(spark, sf_dir):
         "doc_id", "mean_logprob"
     )
     return perplexity_buckets(scored, "mean_logprob")
+
+
+_EGRESS_PLAN = """
+WITH s AS (
+  SELECT doc_id,
+         octet_length(encode(text)) + 1 AS b,
+         SUM(octet_length(encode(text)) + 1)
+           OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+SELECT CAST(cum - b AS BIGINT) // 8192 AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(b) AS BIGINT) AS plan_bytes,
+       MIN(doc_id) AS first_id,
+       MAX(doc_id) AS last_id
+FROM s GROUP BY 1
+"""
+
+
+@query("egress_shard_plan", _EGRESS_PLAN)
+def egress_shard_plan_q(spark, sf_dir):
+    """Corpus egress packing plan (operators/egress.py::shard_plan —
+    the write-side twin of decode_text_column; the reference's only
+    write path is per-record side files, queries/handler.py K2): shard
+    k gets the docs whose exclusive running byte total (utf-8 payload
+    + newline, doc_id order) lies in [k*8192, (k+1)*8192) — contiguous
+    id ranges, fat docs never split.  The engine computes the running
+    total with the two-pass contiguous-bucket cumsum (bucket sums ->
+    metadata-sized base offsets -> in-bucket window); the oracle
+    replays it as ONE global window, proving the decomposition exact.
+    write_packed_shards turns this plan into deterministic gzip/zstd
+    jsonl shards + manifest (md5-pinned round trip in
+    tests/test_egress.py)."""
+    from cloud_optimized_data_pipelines_spark.operators.egress import (
+        shard_plan,
+    )
+
+    t = load_tables(spark, sf_dir)
+    plan = shard_plan(t["documents"], "doc_id", "text", 8192)
+    return plan.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_bytes").alias("plan_bytes"),
+        F.min("doc_id").alias("first_id"),
+        F.max("doc_id").alias("last_id"),
+    )
