@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cloud_optimized_data_pipelines_spark.functions.text import tokens
+
 
 def hash_bucket(key: Column | str, num_buckets: int = 100) -> Column:
     """Stable bucket in [0, num_buckets) from the md5 of the key —
@@ -638,3 +640,139 @@ def gumbel_topk(
         "gumbel_key", F.round(F.col(weight_col) + g, 9)
     )
     return out.orderBy(F.col("gumbel_key").desc(), F.col(key)).limit(k)
+
+
+def doremi_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    domain_col: str,
+    eta: float = 1.0,
+    smoothing: float = 0.01,
+    bucket_hex: int = 1,
+) -> DataFrame:
+    """DoReMi-style domain mixture reweighting (Xie et al. 2023,
+    "Doremi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"): upweight domains with the most learning headroom.
+
+    DoReMi's per-domain EXCESS LOSS (proxy loss under the generic
+    model minus loss under the domain-fit model) has an exact
+    closed form at the unigram proxy level: cross-entropy
+    H(p_d, p_corpus) - H(p_d, p_d) = KL(p_d || p_corpus) — the
+    divergence of the domain's token distribution from the corpus
+    mixture, >= 0 by Gibbs' inequality, no training loop needed.
+    The output weight is one exponential-tilting step with uniform
+    smoothing: w(d) = (1-c) * softmax(eta * KL(d)) + c/k.
+
+    Cross-engine float determinism, same recipe as
+    ``quality.unigram_logprob``: each token's term is built from
+    ROUNDED logs of exact integer ratios (ln(c_dw/N_d) - ln(c_w/N),
+    each rounded to 9 decimals — JVM Math.log vs libm ln differ by
+    1 ulp on a few %% of arguments), and every float SUM is a left
+    fold over a SORTED array, never a shuffle-order SUM().  The
+    per-domain fold is TWO-LEVEL so array sizes stay bounded at
+    scale: fold word-sorted terms within (domain, md5-prefix bucket),
+    then fold the 16^bucket_hex bucket partials in bucket order — at
+    a 1e8-word domain vocabulary raise ``bucket_hex``; each level's
+    array length is vocab/16^bucket_hex and 16^bucket_hex.  exp() is
+    also rounded at 9 (same 1-ulp exposure as ln), and the softmax
+    denominator folds over the domain-name-sorted k rows.
+
+    Returns one row per domain: (domain, n_tokens, kl_excess,
+    weight).  Scale shape: two token-keyed shuffles (domain counts,
+    corpus counts — the second reuses the first's exchange), then
+    everything is vocab- or k-sized; the final denominator is a
+    1-row broadcast fold.
+    """
+    words = df.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(tokens(text_col)).alias("word"),
+    )
+    dom_counts = words.groupBy("domain", "word").agg(
+        F.count("*").alias("c_dw")
+    )
+    corpus_counts = dom_counts.groupBy("word").agg(
+        F.sum("c_dw").alias("c_w")
+    )
+    dom_totals = dom_counts.groupBy("domain").agg(
+        F.sum("c_dw").alias("n_d")
+    )
+    grand = corpus_counts.agg(F.sum("c_w").alias("n"))
+
+    # per-(domain, word) KL term: (c_dw/N_d) * (rounded ln diff)
+    terms = (
+        dom_counts.join(corpus_counts, "word")
+        .join(F.broadcast(dom_totals), "domain")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "domain",
+            "word",
+            F.substring(F.md5("word"), 1, bucket_hex).alias("bkt"),
+            (
+                (F.col("c_dw").cast("double") / F.col("n_d").cast("double"))
+                * (
+                    F.round(
+                        F.log(
+                            F.col("c_dw").cast("double")
+                            / F.col("n_d").cast("double")
+                        ),
+                        9,
+                    )
+                    - F.round(
+                        F.log(
+                            F.col("c_w").cast("double")
+                            / F.col("n").cast("double")
+                        ),
+                        9,
+                    )
+                )
+            ).alias("term"),
+        )
+    )
+    bucket_partials = terms.groupBy("domain", "bkt").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(word, term))),"
+            " s -> s.term), cast(0.0 as double), (a, x) -> a + x)"
+        ).alias("partial")
+    )
+    per_domain = (
+        bucket_partials.groupBy("domain")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(bkt, partial))), s -> s.partial),"
+                " cast(0.0 as double), (a, x) -> a + x)"
+            ).alias("kl_raw")
+        )
+        .join(dom_totals, "domain")
+        .select(
+            "domain",
+            F.col("n_d").alias("n_tokens"),
+            F.round("kl_raw", 9).alias("kl_excess"),
+        )
+    )
+    tilted = per_domain.withColumn(
+        "wexp", F.round(F.exp(F.lit(float(eta)) * F.col("kl_excess")), 9)
+    )
+    denom = tilted.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(domain, wexp))), s -> s.wexp),"
+            " cast(0.0 as double), (a, x) -> a + x)"
+        ).alias("den"),
+        F.count("*").alias("k"),
+    )
+    c = float(smoothing)
+    return (
+        tilted.crossJoin(F.broadcast(denom))
+        .select(
+            "domain",
+            "n_tokens",
+            "kl_excess",
+            F.round(
+                F.lit(1.0 - c) * F.col("wexp") / F.col("den")
+                + F.lit(c) / F.col("k").cast("double"),
+                9,
+            ).alias("weight"),
+        )
+    )

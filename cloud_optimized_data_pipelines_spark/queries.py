@@ -224,10 +224,10 @@ _GRADED_WINDOW = [
     "events_json_extract",
     "events_retention_cohorts",
     "join_semi_anti_customers",
-    "multimodal_audio_near_dup",
     # --- new r14 queries (swapped for trailing r10 fills) ---
     "multimodal_mp3_lsf",  # LSF sample decode (VERDICT r13 task 3)
     "egress_shard_plan",  # corpus shard egress (new r14 family)
+    "sample_doremi_weights",  # DoReMi mixture reweighting (new r14)
 ]
 
 

@@ -329,3 +329,73 @@ def egress_shard_plan_q(spark, sf_dir):
         F.min("doc_id").alias("first_id"),
         F.max("doc_id").alias("last_id"),
     )
+
+
+_DOREMI = """
+WITH words AS (
+  SELECT source AS domain,
+         UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+dc AS (SELECT domain, word, COUNT(*) AS c_dw FROM words GROUP BY domain, word),
+cc AS (SELECT word, SUM(c_dw) AS c_w FROM dc GROUP BY word),
+dt AS (SELECT domain, SUM(c_dw) AS n_d FROM dc GROUP BY domain),
+g AS (SELECT SUM(c_w) AS n FROM cc),
+terms AS (
+  SELECT dc.domain, dc.word, substr(md5(dc.word), 1, 1) AS bkt,
+         (CAST(c_dw AS DOUBLE) / CAST(n_d AS DOUBLE)) *
+         (round(ln(CAST(c_dw AS DOUBLE) / CAST(n_d AS DOUBLE)), 9)
+          - round(ln(CAST(c_w AS DOUBLE) / CAST(n AS DOUBLE)), 9)) AS term
+  FROM dc JOIN cc USING (word) JOIN dt USING (domain) CROSS JOIN g
+),
+bp AS (
+  SELECT domain, bkt,
+         list_reduce(list_transform(list_sort(
+           list(struct_pack(w := word, t := term))), s -> s.t),
+           (a, b) -> a + b) AS partial
+  FROM terms GROUP BY domain, bkt
+),
+pd AS (
+  SELECT domain,
+         round(list_reduce(list_transform(list_sort(
+           list(struct_pack(b := bkt, p := partial))), s -> s.p),
+           (a, b) -> a + b), 9) AS kl_excess
+  FROM bp GROUP BY domain
+),
+til AS (
+  SELECT domain, n_d AS n_tokens, kl_excess,
+         round(exp(1.0 * kl_excess), 9) AS wexp
+  FROM pd JOIN dt USING (domain)
+),
+den AS (
+  SELECT list_reduce(list_transform(list_sort(
+           list(struct_pack(d := domain, w := wexp))), s -> s.w),
+           (a, b) -> a + b) AS den,
+         COUNT(*) AS k
+  FROM til
+)
+SELECT domain, CAST(n_tokens AS BIGINT) AS n_tokens, kl_excess,
+       round(0.99 * wexp / den + 0.01 / CAST(k AS DOUBLE), 9) AS weight
+FROM til CROSS JOIN den
+"""
+
+
+@query("sample_doremi_weights", _DOREMI)
+def sample_doremi_weights_q(spark, sf_dir):
+    """DoReMi domain mixture reweighting (operators/sampling.py::
+    doremi_weights; Xie et al. 2023): per-domain excess loss collapses
+    to KL(p_domain || p_corpus) at the unigram proxy level (Gibbs:
+    always >= 0), then one exponential-tilting step with uniform
+    smoothing gives the training mixture weights.  Float determinism
+    is the unigram_logprob recipe extended to exp(): ln and exp of
+    exact integer-count ratios rounded at 9 decimals (both are 1-ulp
+    JVM-vs-libm hazards), every float sum a fold over a sorted array —
+    per-domain terms fold TWO-LEVEL (word-sorted within md5 bucket,
+    then bucket-sorted partials) so array sizes stay bounded at a
+    web-scale vocabulary."""
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        doremi_weights,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return doremi_weights(t["documents"], "doc_id", "text", "source")

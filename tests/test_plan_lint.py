@@ -80,6 +80,11 @@ NESTED_LOOP_OK = {
         "integer-total scalar crossJoin (1-row broadcast) against the"
         " stratum-sized weight table"
     ),
+    "sample_doremi_weights": (
+        "grand-total and softmax-denominator scalar crossJoins (1-row"
+        " broadcasts) against the (domain, word) count table and the"
+        " k-domain weight table"
+    ),
 }
 
 

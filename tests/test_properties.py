@@ -396,3 +396,51 @@ def test_cut_duplicate_spans_invariants(spark, texts):
         assert all(any(k == t for t in it) for k in kept)
         if i not in span_docs:
             assert r.text_dedup == " ".join(toks)
+
+
+def test_doremi_weights_properties(spark):
+    """KL >= 0 per domain (Gibbs), weights form a smoothed softmax
+    (sum ~1, each >= smoothing/k), and the domain farthest from the
+    corpus mixture gets the largest weight."""
+    import math
+
+    from pyspark.sql import Row
+
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        doremi_weights,
+    )
+
+    rows = []
+    # two near-identical domains + one wildly different vocabulary
+    for i in range(40):
+        rows.append(Row(doc_id=i, text="the cat sat on the mat", dom="a"))
+    for i in range(40, 80):
+        rows.append(Row(doc_id=i, text="the cat sat on the rug", dom="b"))
+    for i in range(80, 120):
+        rows.append(
+            Row(doc_id=i, text="zx qv jkl wpt mnb vcx", dom="weird")
+        )
+    df = spark.createDataFrame(rows)
+    got = {
+        r.domain: r
+        for r in doremi_weights(
+            df, "doc_id", "text", "dom", smoothing=0.01
+        ).collect()
+    }
+    assert set(got) == {"a", "b", "weird"}
+    for r in got.values():
+        assert r.kl_excess >= 0.0
+        assert r.weight >= 0.01 / 3 - 1e-9
+    assert abs(sum(r.weight for r in got.values()) - 1.0) < 1e-6
+    assert got["weird"].kl_excess > got["a"].kl_excess
+    assert got["weird"].weight == max(r.weight for r in got.values())
+    # same token counts per domain
+    assert got["a"].n_tokens == 240 and got["weird"].n_tokens == 240
+    # eta tilts harder: higher eta -> more mass on the outlier
+    hot = {
+        r.domain: r.weight
+        for r in doremi_weights(
+            df, "doc_id", "text", "dom", eta=5.0, smoothing=0.01
+        ).collect()
+    }
+    assert hot["weird"] > got["weird"].weight
