@@ -285,3 +285,45 @@ def approx_distinct_portable(spark, sf_dir):
     )
 
 
+
+
+_SKEW_SALTED = """
+WITH dim AS (
+  SELECT event_type, MAX(value) AS type_max, COUNT(*) AS type_n
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(d.type_max - e.value, 9) AS below_peak,
+       d.type_n
+FROM events e JOIN dim d USING (event_type)
+"""
+
+
+@query("join_skew_salted", _SKEW_SALTED)
+def join_skew_salted_q(spark, sf_dir):
+    """Skew-proof salted equi-join (operators/relational.py::
+    salted_join): events joined to a 5-row per-type dimension — EVERY
+    key is hot (2k rows/key here, 1e10 rows/key at 100 TB), the shape
+    where one reducer would otherwise receive an entire key.  The
+    large side gets a deterministic xxhash64 salt, the dim side is
+    replicated num_salts times, the join runs on (key, salt) — and
+    the oracle proves the result set is EXACTLY the plain join's.
+    The dim carries only order-independent aggregates (MAX, COUNT) so
+    the comparison is float-exact without term rounding games."""
+    from cloud_optimized_data_pipelines_spark.operators.relational import (
+        salted_join,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_id", "event_type", "value")
+    dim = ev.groupBy("event_type").agg(
+        F.max("value").alias("type_max"),
+        F.count("*").alias("type_n"),
+    )
+    joined = salted_join(ev, dim, "event_type", num_salts=8)
+    return joined.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("type_max") - F.col("value"), 9).alias("below_peak"),
+        "type_n",
+    )
