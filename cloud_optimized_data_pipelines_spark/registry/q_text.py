@@ -787,3 +787,82 @@ def text_compressed_corpus_q(spark, sf_dir):
         "payload_bytes",
         "val_sum",
     )
+
+
+_UNIGRAM_VITERBI = """
+WITH RECURSIVE docs AS MATERIALIZED (
+  SELECT doc_id, substr(text, 1, 48) AS s,
+         CAST(length(substr(text, 1, 48)) AS INT) AS n
+  FROM documents
+),
+cand AS MATERIALIZED (
+  SELECT substr(d.s, CAST(r.i AS INT), CAST(l.l AS INT)) AS piece
+  FROM docs d, range(1, 49) r(i), range(1, 4) l(l)
+  WHERE r.i + l.l - 1 <= d.n
+),
+vc AS MATERIALIZED (SELECT piece, COUNT(*) AS cnt FROM cand GROUP BY piece),
+vk AS MATERIALIZED (SELECT piece, cnt FROM vc WHERE cnt >= 5 OR length(piece) = 1),
+tot AS (SELECT SUM(cnt) AS total FROM vk),
+vcost AS MATERIALIZED (
+  SELECT piece,
+         -round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 9) AS cost
+  FROM vk CROSS JOIN tot
+),
+pos AS MATERIALIZED (
+  SELECT d.doc_id, d.s, CAST(r.i AS INT) AS i
+  FROM docs d, range(1, 49) r(i)
+  WHERE r.i <= d.n
+),
+pc AS MATERIALIZED (
+  SELECT p.doc_id, p.i,
+         v1.cost AS c1, v2.cost AS c2, v3.cost AS c3
+  FROM pos p
+  LEFT JOIN vcost v1 ON v1.piece = substr(p.s, p.i, 1)
+  LEFT JOIN vcost v2 ON p.i >= 2 AND v2.piece = substr(p.s, p.i - 1, 2)
+  LEFT JOIN vcost v3 ON p.i >= 3 AND v3.piece = substr(p.s, p.i - 2, 3)
+),
+dp AS (
+  SELECT doc_id, 0 AS i, CAST(0.0 AS DOUBLE) AS c0,
+         CAST(1e18 AS DOUBLE) AS p1, CAST(1e18 AS DOUBLE) AS p2
+  FROM docs
+  UNION ALL
+  SELECT dp.doc_id, dp.i + 1,
+         LEAST(dp.c0 + COALESCE(pc.c1, 1e18),
+               dp.p1 + COALESCE(pc.c2, 1e18),
+               dp.p2 + COALESCE(pc.c3, 1e18)),
+         dp.c0, dp.p1
+  FROM dp JOIN pc ON pc.doc_id = dp.doc_id AND pc.i = dp.i + 1
+)
+SELECT dp.doc_id, d.n AS prefix_len, round(dp.c0, 9) AS best_cost
+FROM dp JOIN docs d ON d.doc_id = dp.doc_id AND dp.i = d.n
+"""
+
+
+@query("text_unigram_viterbi", _UNIGRAM_VITERBI)
+def text_unigram_viterbi_q(spark, sf_dir):
+    """Unigram-LM (SentencePiece) Viterbi segmentation
+    (operators/unigram_lm.py; Kudo 2018) — the third tokenizer next
+    to BPE and WordPiece.  Vocab = all substrings of length 1-3 of
+    each doc's 48-char prefix with count >= 5 (single chars always
+    kept), cost = -round(ln(cnt/total), 9); each doc's best_cost is
+    the max-probability segmentation cost via per-doc DP, Arrow-
+    batched with the vocab broadcast as a dict.  The oracle is
+    GENUINELY Viterbi: a recursive CTE carries the last three DP
+    cells as columns (linear recursion, one row per doc per
+    position) and must land on bit-identical costs — same rounded
+    piece costs, same fixed addition order, LEAST == min."""
+    from cloud_optimized_data_pipelines_spark.operators.unigram_lm import (
+        build_vocab,
+        candidate_pieces,
+        viterbi_segment,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    vocab = build_vocab(
+        candidate_pieces(docs, "doc_id", "text", 3, 48), min_count=5
+    )
+    seg = viterbi_segment(docs, "doc_id", "text", vocab, 3, 48)
+    return seg.select(
+        "doc_id", "prefix_len", F.round("best_cost", 9).alias("best_cost")
+    )

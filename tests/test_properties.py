@@ -444,3 +444,65 @@ def test_doremi_weights_properties(spark):
         ).collect()
     }
     assert hot["weird"] > got["weird"].weight
+
+
+def test_unigram_viterbi_properties(spark):
+    """Segmentation pieces reconstruct the text, best_cost is the
+    true DP optimum (<= any manual split, == brute force on short
+    strings), and hard-EM keeps the dominant piece."""
+    import itertools
+    import math
+
+    from pyspark.sql import Row
+
+    from cloud_optimized_data_pipelines_spark.operators.unigram_lm import (
+        build_vocab,
+        candidate_pieces,
+        hard_em_train,
+        viterbi_segment,
+    )
+
+    texts = ["abcabcabc", "abcxyzabc", "xyzxyzxyz", "abcabcxyz"] * 3
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    vocab = build_vocab(
+        candidate_pieces(df, "doc_id", "text", 3), min_count=5
+    )
+    costs = {p: c for p, _, c in vocab}
+    assert all(len(p) == 1 or cnt >= 5 for p, cnt, _ in vocab)
+    assert "abc" in costs  # frequent trigram survives the threshold
+
+    segs = viterbi_segment(df, "doc_id", "text", vocab, 3).collect()
+    for r in segs:
+        t = texts[r.doc_id]
+        assert r.prefix_len == len(t)
+        assert "".join(r.pieces.split("|")) == t
+        assert r.n_pieces == len(r.pieces.split("|"))
+        # exhaustive check: enumerate every split of the 9-char text
+        def all_splits(s):
+            if not s:
+                yield []
+                return
+            for l in range(1, min(3, len(s)) + 1):
+                if s[:l] in costs:
+                    for rest in all_splits(s[l:]):
+                        yield [s[:l]] + rest
+        brute = min(
+            sum(costs[p] for p in sp) for sp in all_splits(t)
+        )
+        assert math.isclose(r.best_cost, brute, rel_tol=0, abs_tol=1e-12)
+
+    trained = hard_em_train(
+        df, "doc_id", "text", max_len=3, min_count=5, iters=2
+    )
+    tp = {p: (c, cost) for p, c, cost in trained}
+    assert "abc" in tp  # the dominant piece survives EM pruning
+    # every char still present (segmentability invariant)
+    for ch in "abcxyz":
+        assert ch in tp
+    # EM is deterministic
+    again = hard_em_train(
+        df, "doc_id", "text", max_len=3, min_count=5, iters=2
+    )
+    assert trained == again
