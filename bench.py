@@ -241,6 +241,19 @@ ADDITIONS_R13 = [
     "agg_approx_distinct_portable",
 ]
 
+ADDITIONS_R14 = [
+    # MPEG-2/2.5 (LSF) Layer III sample decode over real frames
+    "multimodal_mp3_lsf",
+    # size-budgeted corpus shard egress packing plan
+    "egress_shard_plan",
+    # DoReMi domain mixture reweighting (KL excess + tilt)
+    "sample_doremi_weights",
+    # salted hot-key join == plain join
+    "join_skew_salted",
+    # unigram-LM (SentencePiece) Viterbi segmentation
+    "text_unigram_viterbi",
+]
+
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable
 # set above so their side effects (the SemDeDup partitioned assignment
 # write, PNG codec Python workers) cannot perturb the JVM/page-cache
@@ -331,7 +344,7 @@ def main() -> None:
     seg_of: dict[str, int] = {}
     batches = (HEADLINE, ADDITIONS, ADDITIONS_R6, ADDITIONS_R8,
                ADDITIONS_R9, ADDITIONS_R10, ADDITIONS_R11, ADDITIONS_R12,
-               ADDITIONS_R13)
+               ADDITIONS_R13, ADDITIONS_R14)
     _freeze_order(batches)
     for a in ANCHORS:  # anchor codegen/JIT warmup, outside all timings
         _noop(a)
