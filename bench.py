@@ -252,6 +252,8 @@ ADDITIONS_R14 = [
     "join_skew_salted",
     # unigram-LM (SentencePiece) Viterbi segmentation
     "text_unigram_viterbi",
+    # watermark drop semantics batch twin (T-family driver row)
+    "streaming_watermark_replay",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

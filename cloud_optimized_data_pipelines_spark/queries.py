@@ -221,13 +221,13 @@ _GRADED_WINDOW = [
     "dedup_exact",
     "dedup_incremental",
     "events_hourly_window",
-    "events_json_extract",
     # --- new r14 queries (swapped for trailing r10 fills) ---
     "multimodal_mp3_lsf",  # LSF sample decode (VERDICT r13 task 3)
     "egress_shard_plan",  # corpus shard egress (new r14 family)
     "sample_doremi_weights",  # DoReMi mixture reweighting (new r14)
     "join_skew_salted",  # salted hot-key join == plain join (new r14)
     "text_unigram_viterbi",  # unigram-LM Viterbi tokenizer (new r14)
+    "streaming_watermark_replay",  # watermark drop semantics (new r14)
 ]
 
 

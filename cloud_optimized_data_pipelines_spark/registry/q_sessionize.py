@@ -152,3 +152,65 @@ def streaming_dlq_routing_q(spark, sf_dir):
     )
 
 
+
+
+_WATERMARK_REPLAY = """
+WITH e AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us,
+         event_id // 500
+           + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 4
+           AS b
+  FROM events
+),
+bm AS (SELECT b, MAX(us) AS bmax FROM e GROUP BY b),
+wm AS (
+  SELECT b,
+         MAX(bmax) OVER (ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+           - 172800000000 AS wm_prev
+  FROM bm
+),
+j AS (
+  SELECT (e.us // 3600000000) * 3600000000 AS window_us, e.event_type,
+         (wm.wm_prev IS NOT NULL AND
+          (e.us // 3600000000) * 3600000000 + 3600000000 <= wm.wm_prev)
+           AS late
+  FROM e JOIN wm USING (b)
+)
+SELECT window_us, event_type,
+       CAST(SUM(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS accepted,
+       CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+FROM j GROUP BY window_us, event_type
+"""
+
+
+@query("streaming_watermark_replay", _WATERMARK_REPLAY)
+def streaming_watermark_replay_q(spark, sf_dir):
+    """SURVEY 2.8 watermark semantics as an oracle-checkable batch
+    query (streaming/queues.py::watermark_replay — the dlq_routing
+    precedent).  Arrival order is a deterministic straggler model:
+    micro-batch = event_id div 500 plus an md5-derived lateness of
+    0-3 batches, so ~half the late rows land beyond the 2-day
+    watermark delay and get dropped by the WINDOW-FINALIZATION rule
+    (window end <= the watermark in effect during their batch, which
+    lags TWO batches behind — batch k-1's event-time stats commit at
+    batch k+1; the empirical Spark 4 rule, discriminated and pinned
+    by the equivalence test — and a late row whose window is still
+    open IS aggregated).  The REAL withWatermark stream path is proven
+    equivalent on finalized windows in tests/test_streaming.py."""
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        hash_bucket,
+    )
+    from cloud_optimized_data_pipelines_spark.streaming.queues import (
+        watermark_replay,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].withColumn(
+        "arrival_batch",
+        F.expr("event_id div 500") + hash_bucket("event_id", 4),
+    )
+    return watermark_replay(
+        ev, "arrival_batch", "ts", "event_type",
+        delay_seconds=172800, window_seconds=3600,
+    ).select("window_us", "event_type", "accepted", "dropped")

@@ -226,3 +226,63 @@ def attribution_interval_join(
         & (F.col("conv_ts") >= F.col("imp_ts"))
         & (F.col("conv_ts") <= F.col("imp_ts") + F.expr(f"INTERVAL {max_delay}")),
     )
+
+
+def watermark_replay(
+    events: DataFrame,
+    batch_col: str,
+    ts_col: str,
+    key_col: str,
+    delay_seconds: int,
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Deterministic batch twin of ``watermarked_window_counts`` WITH
+    late-data drop accounting — the oracle-checkable replay of
+    Spark's watermark rule (the dlq_routing precedent: the streaming
+    path shares semantics, this gives the family a driver-graded row).
+
+    Replay model, matching Structured Streaming's OBSERVED
+    micro-batch semantics (pinned by the equivalence test against the
+    real withWatermark stream, Spark 4.x): the watermark in effect
+    during batch k is max(event time through batch k-2) - delay —
+    event-time stats of batch k-1 commit when batch k+1 is planned,
+    so the filter lags one batch behind the naive rule — and a row
+    arriving in batch k is DROPPED iff its WINDOW END <= that
+    watermark (state eviction by window finalization, not row
+    lateness: a late row whose window is still open IS aggregated,
+    and rides the window's final emission).
+
+    Scale shape: one groupBy(batch) for per-batch max times
+    (metadata-sized), a cumulative-max window over THAT metadata, a
+    broadcast join back, then the windowed aggregation — no
+    corpus-sized ordered window.  Output: (window_us, key, accepted,
+    dropped) with window_us the tumbling-window start in epoch
+    micros."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    e = events.select(
+        F.col(batch_col).alias("_b"),
+        F.col(key_col).alias("_k"),
+        us.alias("_us"),
+    )
+    bmax = e.groupBy("_b").agg(F.max("_us").alias("_bmax"))
+    from pyspark.sql import Window as W
+
+    prior = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -2)
+    wm = bmax.select(
+        "_b",
+        (F.max("_bmax").over(prior) - F.lit(delay_seconds * 1_000_000))
+        .alias("_wm_prev"),
+    )
+    w_us = window_seconds * 1_000_000
+    j = e.join(F.broadcast(wm), "_b").select(
+        F.expr(f"(_us div {w_us}) * {w_us}").alias("window_us"),
+        F.col("_k"),
+        (
+            F.col("_wm_prev").isNotNull()
+            & (F.expr(f"(_us div {w_us}) * {w_us} + {w_us}") <= F.col("_wm_prev"))
+        ).alias("_late"),
+    )
+    return j.groupBy("window_us", "_k").agg(
+        F.sum(F.when(~F.col("_late"), 1).otherwise(0)).alias("accepted"),
+        F.sum(F.when(F.col("_late"), 1).otherwise(0)).alias("dropped"),
+    ).withColumnRenamed("_k", key_col)

@@ -543,3 +543,111 @@ def test_bloom_gate_auto_resizes_and_stays_exact(spark, tmp_path):
     admitted = spark.read.parquet(out).filter(F.col("batch_id") == 1)
     assert sorted((r.doc_id, r.text) for r in admitted.collect()
                   ) == [(n + 2, "fresh-doc")]
+
+
+def test_watermark_replay_matches_real_stream(spark, tmp_path):
+    """The graded batch twin (watermark_replay) and the REAL
+    withWatermark stream agree on every finalized window: same
+    accepted counts, and the replay's dropped rows are exactly the
+    ones the stream never aggregates.  Batch order is forced via file
+    modification times + maxFilesPerTrigger=1."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cloud_optimized_data_pipelines_spark.streaming.queues import (
+        watermark_replay,
+        windowed_event_counts,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(h, m=30):
+        return base + dt.timedelta(hours=h, minutes=m)
+
+    # (event_id, ts, type, arrival_batch); delay 2h, hourly windows.
+    # The watermark in effect during batch k lags TWO batches (batch
+    # k-1's stats commit at batch k+1): wm(b0)=wm(b1)=-inf,
+    # wm(b2) = max(b0) - 2h = 1:30.  Discriminators:
+    #   row 8  (0:40 in b1): wm -inf            -> ACCEPTED (late, open)
+    #   row 12 (3:15 in b2): end 4:00 > 1:30    -> ACCEPTED
+    #   row 14 (0:50 in b2): end 1:00 <= 1:30   -> DROPPED
+    #   row 15 (2:15 in b2): end 3:00 > 1:30    -> ACCEPTED (the case
+    #     that separates the two-batch lag from the naive one-batch
+    #     rule, under which wm(b2) would be 5:30 and this would drop)
+    rows = [
+        (0, t(0), "a", 0), (1, t(1), "a", 0), (2, t(2), "b", 0),
+        (3, t(3), "a", 0),
+        (4, t(4), "b", 1), (5, t(5), "a", 1), (6, t(6), "b", 1),
+        (7, t(7), "a", 1),
+        (8, t(0, 40), "a", 1), (9, t(1, 40), "b", 1),
+        (10, t(8), "a", 2), (11, t(9), "b", 2),
+        (12, t(3, 15), "a", 2), (13, t(5, 15), "b", 2),
+        (14, t(0, 50), "a", 2), (15, t(2, 15), "a", 2),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, et, 1.0, b) for i, ts, et, b in rows],
+        "event_id long, ts timestamp, event_type string, value double, b int",
+    )
+
+    rep = {
+        (r.window_us, r.event_type): r
+        for r in watermark_replay(
+            df, "b", "ts", "event_type", delay_seconds=7200
+        ).collect()
+    }
+    h = 3_600_000_000
+
+    def us(hour):
+        return int((base + dt.timedelta(hours=hour)).timestamp() * 1e6)
+
+    assert rep[(us(0), "a")].accepted == 2  # 0:40 straggler aggregated
+    assert rep[(us(0), "a")].dropped == 1  # 0:50 in b2: window finalized
+    assert rep[(us(1), "b")].accepted == 1  # the 1:40 straggler lands
+    assert rep[(us(3), "a")].accepted == 2  # 3:15 still open under 1:30
+    assert rep[(us(2), "a")].accepted == 1  # 2:15 — the lag discriminator
+    assert rep[(us(5), "b")].accepted == 1  # 5:15 late-but-open
+    assert sum(r.dropped for r in rep.values()) == 1
+
+    # real stream: one file per batch, mtime-ordered
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    for k in range(3):
+        part = str(tmp_path / f"b{k}")
+        df.filter(F.col("b") == k).drop("b").coalesce(1).write.parquet(part)
+        (pf,) = glob.glob(os.path.join(part, "part-*.parquet"))
+        dst = os.path.join(src, f"batch_{k}.parquet")
+        shutil.copyfile(pf, dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        windowed_event_counts(
+            stream, window_duration="1 hour", watermark_delay="2 hours"
+        )
+        .writeStream.format("memory")
+        .queryName("wm_equiv")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    emitted = spark.table("wm_equiv").collect()
+    assert emitted, "append mode emitted no finalized windows"
+    for r in emitted:
+        key = (int(r.window_start.timestamp() * 1e6), r.event_type)
+        assert key in rep, f"stream emitted unexpected window {key}"
+        assert r.n_events == rep[key].accepted, key
+    # every emitted window is finalized: end <= final watermark 7:30
+    for r in emitted:
+        assert int(r.window_end.timestamp() * 1e6) <= us(7) + h // 2
