@@ -254,6 +254,8 @@ ADDITIONS_R14 = [
     "text_unigram_viterbi",
     # watermark drop semantics batch twin (T-family driver row)
     "streaming_watermark_replay",
+    # ADTS/AAC compressed-domain header walk + tag-invariant fp
+    "multimodal_adts_stream_info",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

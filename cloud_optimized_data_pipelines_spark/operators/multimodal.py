@@ -3357,3 +3357,83 @@ def mp3_lsf_probe_table(spark, variants: int = 10) -> DataFrame:
     return spark.range(
         0, int(variants), numPartitions=int(variants)
     ).mapInPandas(gen, MP3_LSF_SCHEMA)
+
+
+ADTS_PROBE_SCHEMA = (
+    "variant bigint, adts_md5 string, n_frames bigint, "
+    "total_samples bigint, duration_ms bigint, sample_rate bigint, "
+    "channels bigint, profile string, mpeg_version bigint, "
+    "is_vbr boolean, stream_bytes bigint, id3v2_bytes bigint, "
+    "has_id3v1 boolean, fp bigint"
+)
+
+
+def _adts_variant(v: int) -> dict:
+    """One deterministic ADTS/AAC stream walk (operators/
+    adts_codec.py): formula payloads wrapped in conformant ADTS
+    frames — profile/rate/channel/protection/raw-block-count spread
+    over 8 variants, v%4==0 fixed-length (CBR shape), v%4==3 wrapped
+    in ID3v2+ID3v1 tags (the podcast-feed shape) — walked back by
+    stream_info; every output is integer-derivable so the oracle
+    replays the header arithmetic non-circularly, and the payload
+    fingerprint is pinned tag-invariant (the tagged variant's fp must
+    equal its bare twin's)."""
+    from cloud_optimized_data_pipelines_spark.operators.adts_codec import (
+        PROFILES,
+        encode_adts_stream,
+        fingerprint,
+        stream_info,
+    )
+
+    sr_index = (3, 4, 8, 11)[v % 4]
+    profile = PROFILES[(v + 1) % 4]
+    channels = 1 + v % 2
+    mpeg2 = (v // 4) % 2 == 1
+    protect = v % 3 == 0
+    blocks = 1 + (1 if v % 3 == 2 else 0)
+    n = 3 + v % 4
+    payloads = []
+    for k in range(n):
+        plen = 32 if v % 4 == 0 else 20 + (v * 7 + k * 13) % 40
+        payloads.append(
+            bytes((i * 5 + k * 11 + v) % 256 for i in range(plen))
+        )
+    adts = encode_adts_stream(
+        payloads, profile, sr_index, channels, mpeg2, protect, blocks
+    )
+    bare_fp = fingerprint(adts)
+    if v % 4 == 3:
+        id3v2 = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 54]) + b"\x00" * 54
+        id3v1 = b"TAG" + b"\x00" * 125
+        adts = id3v2 + adts + id3v1
+        if fingerprint(adts) != bare_fp:
+            raise RuntimeError(f"adts variant {v}: tags perturbed fp")
+    info = stream_info(adts)
+    if info["n_frames"] != n:
+        raise RuntimeError(f"adts variant {v}: walk mismatch")
+    return {
+        "variant": v,
+        "adts_md5": hashlib.md5(adts).hexdigest(),
+        "n_frames": info["n_frames"],
+        "total_samples": info["total_samples"],
+        "duration_ms": info["duration_ms"],
+        "sample_rate": info["sample_rate"],
+        "channels": info["channels"],
+        "profile": info["profile"],
+        "mpeg_version": info["mpeg_version"],
+        "is_vbr": info["is_vbr"],
+        "stream_bytes": info["stream_bytes"],
+        "id3v2_bytes": info["id3v2_bytes"],
+        "has_id3v1": info["has_id3v1"],
+        "fp": bare_fp >> 64,  # top 56 of the 120-bit payload digest
+    }
+
+
+def adts_probe_table(spark, variants: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [_adts_variant(int(x)) for x in pdf["id"]]
+            )
+
+    return spark.range(int(variants)).mapInPandas(gen, ADTS_PROBE_SCHEMA)

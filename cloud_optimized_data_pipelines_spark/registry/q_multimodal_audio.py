@@ -1594,3 +1594,106 @@ def multimodal_mp3_big_tables_q(spark, sf_dir):
         "scf_sum",
         "big_values_sum",
     )
+
+
+def _adts_stream_info_oracle() -> str:
+    """Oracle for multimodal_adts_stream_info: every metadata field
+    replays from the variant formula (frame count 3+v%4, raw blocks
+    1+[v%3=2], 1024 samples/block, the four-rate sr table, frame
+    lengths 7+2*crc+payload with the k-formula payload sizes summed
+    over a range) — non-circular vs the engine's walk over real ADTS
+    bytes.  Stream bytes + the tag-invariant payload fingerprint are
+    pinned as literals from a single driver-side build (the
+    mpeg_stream_info precedent; fp's tag-invariance itself is
+    asserted inside _adts_variant and test_adts_codec.py)."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        _adts_variant,
+    )
+
+    rows = [_adts_variant(v) for v in range(8)]
+    md5_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(
+            f"WHEN {r['variant']} THEN '{r['adts_md5']}'" for r in rows
+        )
+        + " END"
+    )
+    fp_case = (
+        "CASE d.doc_id % 8 "
+        + " ".join(
+            f"WHEN {r['variant']} THEN CAST({r['fp']} AS BIGINT)"
+            for r in rows
+        )
+        + " END"
+    )
+    return f"""
+WITH var AS (SELECT DISTINCT doc_id % 8 AS v FROM documents),
+meta AS (
+  SELECT v,
+         3 + v % 4 AS n,
+         1 + CASE WHEN v % 3 = 2 THEN 1 ELSE 0 END AS blocks,
+         CASE v % 4 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+                    WHEN 2 THEN 16000 ELSE 8000 END AS sr,
+         CASE WHEN v % 3 = 0 THEN 2 ELSE 0 END AS crc
+  FROM var
+),
+fb AS (
+  SELECT m.v,
+         SUM(7 + m.crc + CASE WHEN m.v % 4 = 0 THEN 32
+             ELSE 20 + (m.v * 7 + CAST(k.k AS BIGINT) * 13) % 40 END)
+           AS stream_bytes
+  FROM meta m, range(0, 7) k(k)
+  WHERE k.k < m.n
+  GROUP BY m.v
+)
+SELECT d.doc_id, d.doc_id % 8 AS variant,
+       {md5_case} AS adts_md5,
+       CAST(m.n AS BIGINT) AS n_frames,
+       CAST(m.n * m.blocks * 1024 AS BIGINT) AS total_samples,
+       CAST(m.n * m.blocks * 1024 * 1000 // m.sr AS BIGINT)
+         AS duration_ms,
+       CAST(m.sr AS BIGINT) AS sample_rate,
+       CAST(1 + m.v % 2 AS BIGINT) AS channels,
+       CASE (m.v + 1) % 4 WHEN 0 THEN 'main' WHEN 1 THEN 'lc'
+                          WHEN 2 THEN 'ssr' ELSE 'ltp' END AS profile,
+       CAST(CASE WHEN (m.v // 4) % 2 = 1 THEN 2 ELSE 4 END AS BIGINT)
+         AS mpeg_version,
+       m.v % 4 <> 0 AS is_vbr,
+       CAST(fb.stream_bytes AS BIGINT) AS stream_bytes,
+       CAST(CASE WHEN m.v % 4 = 3 THEN 64 ELSE 0 END AS BIGINT)
+         AS id3v2_bytes,
+       m.v % 4 = 3 AS has_id3v1,
+       {fp_case} AS fp
+FROM documents d
+JOIN meta m ON m.v = d.doc_id % 8
+JOIN fb ON fb.v = m.v
+"""
+
+
+@query("multimodal_adts_stream_info", _adts_stream_info_oracle())
+def multimodal_adts_stream_info_q(spark, sf_dir):
+    """ADTS/AAC compressed-domain stream walk (operators/
+    adts_codec.py): frame counts, exact sample counts (1024 per raw
+    data block), integer durations, VBR detection, profile/rate/
+    channel extraction and ID3v2/v1 tag handling read from the 7-byte
+    headers alone — the metadata + dedup pass for the AAC share of a
+    crawl's audio (AAC SPECTRAL decode stays a named error by design,
+    the same boundary as H.264 in mp4_codec).  The fingerprint hashes
+    PAYLOAD bytes only, so the tagged variant collides exactly with
+    its bare twin (retagged-podcast near-dup).  Broadcast per-variant
+    probe; at 100 TB this scan reads 7 bytes per frame."""
+    from cloud_optimized_data_pipelines_spark.operators.multimodal import (
+        adts_probe_table,
+    )
+
+    t = load_tables(spark, sf_dir)
+    probe = adts_probe_table(spark, 8)
+    docs = t["documents"].select(
+        "doc_id", (F.col("doc_id") % 8).alias("variant")
+    )
+    return docs.join(F.broadcast(probe), "variant").select(
+        "doc_id", "variant", "adts_md5", "n_frames", "total_samples",
+        "duration_ms", "sample_rate", "channels", "profile",
+        "mpeg_version", "is_vbr", "stream_bytes", "id3v2_bytes",
+        "has_id3v1", "fp",
+    )
