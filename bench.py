@@ -256,6 +256,8 @@ ADDITIONS_R14 = [
     "streaming_watermark_replay",
     # ADTS/AAC compressed-domain header walk + tag-invariant fp
     "multimodal_adts_stream_info",
+    # curate -> pack composition (gate, dedup, sample, egress plan)
+    "pipeline_corpus_publish",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

@@ -430,8 +430,7 @@ def pipeline_corpus_preprocess_q(spark, sf_dir):
     return corpus_preprocess(t["documents"])
 
 
-_CORPUS_PREP = """
-WITH toks AS (
+_PREP_CTES = """toks AS (
   SELECT doc_id, source, text,
          list_transform(list_filter(string_split_regex(text, '\\s+'),
                                     x -> x <> ''), t -> lower(t)) AS lt
@@ -467,7 +466,10 @@ surv AS (SELECT doc_id, source, n_tokens, score FROM sole WHERE rn = 1),
 sampled AS (
   SELECT * FROM surv
   WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 8
-)
+)"""
+
+_CORPUS_PREP = f"""
+WITH {_PREP_CTES}
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
@@ -687,4 +689,82 @@ def pipeline_crawl_ingest_q(spark, sf_dir):
         "tok_sum",
         "n_unique",
         "surv_md5",
+    )
+
+
+_CORPUS_PUBLISH = f"""
+WITH {_PREP_CTES},
+pub AS (
+  SELECT s.doc_id, octet_length(encode(d.text)) + 1 AS b
+  FROM sampled s JOIN documents d USING (doc_id)
+),
+c AS (
+  SELECT doc_id, b,
+         SUM(b) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM pub
+)
+SELECT CAST(cum - b AS BIGINT) // 8192 AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b) AS BIGINT) AS plan_bytes,
+       MIN(doc_id) AS first_id,
+       MAX(doc_id) AS last_id,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         AS ids_md5
+FROM c GROUP BY 1
+"""
+
+
+@query("pipeline_corpus_publish", _CORPUS_PUBLISH)
+def pipeline_corpus_publish_q(spark, sf_dir):
+    """END-TO-END corpus PUBLISH — pipeline_corpus_prep's gate ->
+    exact dedup -> 80% deterministic sample, then the r14 egress
+    packing plan over the survivors as the final stage: the full
+    curate-then-ship composition a training-data run executes before
+    write_packed_shards turns the plan into bytes.  Survivor ids are
+    sparse (gate + dedup holes), which exercises shard_plan's
+    contiguous-bucket cumsum off the dense-id happy path; ids_md5
+    pins per-shard membership exactly.  One lazy plan: two filter
+    stages fused into the scan, digest-window dedup, the bucket
+    cumsum, final agg."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        exact_dedup_by_hash,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.egress import (
+        shard_plan,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.quality import (
+        classifier_score,
+    )
+    from cloud_optimized_data_pipelines_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    t = load_tables(spark, sf_dir)
+    scored = classifier_score(
+        t["documents"].select("doc_id", "source", "text"), "doc_id", "text"
+    )
+    quality = scored.filter(
+        (F.col("n_tokens") >= 10) & (F.col("score") >= -0.05)
+    )
+    survivors = exact_dedup_by_hash(quality, "text", "doc_id")
+    sampled = survivors.filter(hash_bucket("doc_id", 10) < 8)
+    docs = t["documents"].select("doc_id", "text")
+    plan = shard_plan(
+        sampled.select("doc_id").join(docs, "doc_id"),
+        "doc_id", "text", 8192,
+    )
+    return plan.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_bytes").alias("plan_bytes"),
+        F.min("doc_id").alias("first_id"),
+        F.max("doc_id").alias("last_id"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id"))),
+                    lambda x: x["doc_id"].cast("string"),
+                ),
+            )
+        ).alias("ids_md5"),
     )
