@@ -258,6 +258,8 @@ ADDITIONS_R14 = [
     "multimodal_adts_stream_info",
     # curate -> pack composition (gate, dedup, sample, egress plan)
     "pipeline_corpus_publish",
+    # integer-exact two-sample KS drift between month halves
+    "events_ks_drift",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

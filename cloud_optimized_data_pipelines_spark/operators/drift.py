@@ -145,3 +145,125 @@ def token_distribution_shift(
         )
         .select("word", "cnt_a", "cnt_b", "p_a", "p_b", "kl_term")
     )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    side_col: Column | str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the rows where
+    ``side_col`` is true (sample A) and false (sample B), optionally
+    per ``group_col`` — the CONTINUOUS leg of the drift family next to
+    PSI (categorical) and token KL: "did the distribution of event
+    values / doc lengths / scores move between these two corpus
+    slices, and by how much".
+
+    INTEGER-EXACT determinism: D = max_x |F_a(x) - F_b(x)| is computed
+    as max over distinct values of |cum_a * n_b - cum_b * n_a| — all
+    BIGINT — and divided by n_a * n_b ONCE at the end, so the max is
+    taken over exact integers (no float comparisons anywhere; the
+    single final division is correctly-rounded IEEE on both engines).
+    Output per group: (n_a, n_b, d_num, d_den, ks_d).
+
+    Scale shape: one (group, value, side) count aggregation, then a
+    cumulative window PARTITIONED BY GROUP over distinct values —
+    parallel across groups; within one group the window walks that
+    group's distinct-value set.  At a 100 TB single-group extreme,
+    pre-bucket values into ~65k quantile bins first (the binned
+    variant below) — KS over bin boundaries bounds the error by the
+    max bin mass, and the window shrinks to bin count.
+    """
+    side = F.col(side_col) if isinstance(side_col, str) else side_col
+    gcols = [group_col] if group_col else []
+    counts = (
+        df.select(
+            *gcols,
+            F.col(value_col).alias("_v"),
+            side.cast("boolean").alias("_a"),
+        )
+        .groupBy(*gcols, "_v")
+        .agg(
+            F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("_ca"),
+            F.sum(F.when(~F.col("_a"), 1).otherwise(0)).alias("_cb"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        (W.partitionBy(*gcols) if gcols else W.partitionBy())
+        .orderBy("_v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = counts.select(
+        *gcols,
+        F.sum("_ca").over(w).alias("_cuma"),
+        F.sum("_cb").over(w).alias("_cumb"),
+    )
+    totals = counts.groupBy(*gcols).agg(
+        F.sum("_ca").alias("n_a"), F.sum("_cb").alias("n_b")
+    )
+    joined = (
+        cum.join(F.broadcast(totals), gcols)
+        if gcols
+        else cum.crossJoin(F.broadcast(totals))
+    )
+    return (
+        joined.select(
+            *gcols,
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("_cuma") * F.col("n_b")
+                - F.col("_cumb") * F.col("n_a")
+            ).alias("_num"),
+        )
+        .groupBy(*gcols, "n_a", "n_b")
+        .agg(F.max("_num").alias("d_num"))
+        .select(
+            *gcols,
+            "n_a",
+            "n_b",
+            "d_num",
+            (F.col("n_a") * F.col("n_b")).alias("d_den"),
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("ks_d"),
+        )
+    )
+
+
+def ks_statistic_binned(
+    df: DataFrame,
+    value_col: str,
+    side_col: Column | str,
+    group_col: str | None = None,
+    bins: int = 65536,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """The 100 TB path: equi-width value bins bound the per-group
+    window at ``bins`` rows; the KS estimate's error is bounded by the
+    largest bin's mass (exact when every distinct value maps to its
+    own bin).  Same integer-exact max as :func:`ks_statistic`."""
+    if lo is None or hi is None:
+        b = df.agg(
+            F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+        ).collect()[0]
+        lo = float(b.lo) if lo is None else lo
+        hi = float(b.hi) if hi is None else hi
+    span = (hi - lo) or 1.0
+    binned = df.withColumn(
+        "_bin",
+        F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                ((F.col(value_col) - F.lit(lo)) / F.lit(span)
+                 * F.lit(bins)).cast("long"),
+            ),
+        ),
+    )
+    return ks_statistic(binned, "_bin", side_col, group_col)

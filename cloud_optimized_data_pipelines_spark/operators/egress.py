@@ -96,14 +96,14 @@ def shard_plan(
     )
 
 
-def _compress(raw: bytes, codec: str) -> tuple[bytes, str]:
+def _compress(raw: bytes, codec: str, level: int = 6) -> tuple[bytes, str]:
     if codec == "gzip":
-        return gzip.compress(raw, compresslevel=9, mtime=0), "gz"
+        return gzip.compress(raw, compresslevel=level, mtime=0), "gz"
     if codec == "zstd":
         import subprocess
 
         r = subprocess.run(
-            ["zstd", "-3", "-c"], input=raw, capture_output=True
+            ["zstd", f"-{level}", "-c"], input=raw, capture_output=True
         )
         if r.returncode != 0:
             raise ValueError(f"zstd: cli encode failed: {r.stderr[-200:]!r}")
@@ -119,6 +119,7 @@ def write_packed_shards(
     target_bytes: int,
     codec: str = "gzip",
     id_bucket: int = 4096,
+    level: int = 6,
 ) -> DataFrame:
     """Pack ``df`` into ~``target_bytes`` compressed jsonl shards under
     ``path`` and return the manifest (one row per shard).  Each output
@@ -139,7 +140,7 @@ def write_packed_shards(
             for r, t in zip(pdf[id_col], pdf[text_col])
         ]
         raw = ("\n".join(lines) + "\n").encode()
-        comp, ext = _compress(raw, codec)
+        comp, ext = _compress(raw, codec, level)
         fname = f"shard_{sid:06d}.jsonl.{ext}"
         os.makedirs(path, exist_ok=True)
         tmp = os.path.join(path, f".{fname}.tmp")

@@ -218,7 +218,6 @@ _GRADED_WINDOW = [
     "agg_rollup_supplier",
     "asof_join_last_click",
     "dedup_duplicate_clusters",
-    "dedup_exact",
     # --- new r14 queries (swapped for trailing r10 fills) ---
     "multimodal_mp3_lsf",  # LSF sample decode (VERDICT r13 task 3)
     "egress_shard_plan",  # corpus shard egress (new r14 family)
@@ -228,6 +227,7 @@ _GRADED_WINDOW = [
     "streaming_watermark_replay",  # watermark drop semantics (new r14)
     "multimodal_adts_stream_info",  # ADTS/AAC header walk (new r14)
     "pipeline_corpus_publish",  # curate -> pack composition (new r14)
+    "events_ks_drift",  # integer-exact two-sample KS drift (new r14)
 ]
 
 

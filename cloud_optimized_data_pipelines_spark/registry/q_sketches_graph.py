@@ -704,3 +704,61 @@ def privacy_k_anonymous_q(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     docs = t["documents"].select("doc_id", "source", "lang")
     return k_anonymous_flags(docs, ["source", "lang"], k=25)
+
+
+_KS_DRIFT = """
+WITH c AS (
+  SELECT event_type, value AS v,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS cb
+  FROM events GROUP BY event_type, value
+),
+t AS (
+  SELECT event_type, SUM(ca) AS n_a, SUM(cb) AS n_b
+  FROM c GROUP BY event_type
+),
+cum AS (
+  SELECT event_type,
+         SUM(ca) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cuma,
+         SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cumb
+  FROM c
+)
+SELECT cum.event_type,
+       CAST(t.n_a AS BIGINT) AS n_a,
+       CAST(t.n_b AS BIGINT) AS n_b,
+       CAST(MAX(ABS(cum.cuma * t.n_b - cum.cumb * t.n_a)) AS BIGINT)
+         AS d_num,
+       CAST(t.n_a * t.n_b AS BIGINT) AS d_den,
+       CAST(MAX(ABS(cum.cuma * t.n_b - cum.cumb * t.n_a)) AS DOUBLE)
+         / CAST(t.n_a * t.n_b AS DOUBLE) AS ks_d
+FROM cum JOIN t USING (event_type)
+GROUP BY cum.event_type, t.n_a, t.n_b
+"""
+
+
+@query("events_ks_drift", _KS_DRIFT)
+def events_ks_drift_q(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift (operators/drift.py::
+    ks_statistic) — the CONTINUOUS leg of the drift family next to
+    PSI (categorical) and token KL: did the per-type value
+    distribution move between the first and second half of the month?
+    D = max |F_a - F_b| computed INTEGER-EXACT as
+    max |cum_a * n_b - cum_b * n_a| over distinct values (BIGINT
+    throughout; one final IEEE division) — no float comparisons, no
+    rounding games.  The cumulative window partitions by event_type,
+    so groups scan in parallel; ks_statistic_binned (pytest-gated vs
+    exact) bounds the window at 65k quantile bins for the
+    single-group 100 TB extreme."""
+    from cloud_optimized_data_pipelines_spark.operators.drift import (
+        ks_statistic,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return ks_statistic(
+        t["events"],
+        "value",
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp_ntz"),
+        "event_type",
+    )

@@ -506,3 +506,62 @@ def test_unigram_viterbi_properties(spark):
         df, "doc_id", "text", max_len=3, min_count=5, iters=2
     )
     assert trained == again
+
+
+def test_ks_statistic_properties(spark):
+    """Integer-exact KS: hand-checkable D on a tiny sample, identical
+    samples give 0, disjoint supports give 1, and the binned variant
+    equals exact when every value gets its own bin."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from cloud_optimized_data_pipelines_spark.operators.drift import (
+        ks_statistic,
+        ks_statistic_binned,
+    )
+
+    # A = {1,2,3}, B = {2,3,4}: D = 1/3 at x=1 (and x=3)
+    df = spark.createDataFrame(
+        [Row(v=float(x), a=True) for x in (1, 2, 3)]
+        + [Row(v=float(x), a=False) for x in (2, 3, 4)]
+    )
+    r = ks_statistic(df, "v", "a").collect()[0]
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert r.d_num == 3 and r.d_den == 9
+    assert abs(r.ks_d - 1 / 3) < 1e-15
+
+    same = spark.createDataFrame(
+        [Row(v=float(x % 7), a=x % 2 == 0) for x in range(100)]
+    )
+    # x%2 alternates over the same x%7 values -> nearly identical
+    # empirical distributions; with 100 evenly split they are EQUAL
+    # within each value class up to the odd remainder
+    r2 = ks_statistic(same, "v", "a").collect()[0]
+    assert r2.ks_d <= 0.05
+
+    disjoint = spark.createDataFrame(
+        [Row(v=float(x), a=True) for x in range(5)]
+        + [Row(v=float(x + 100), a=False) for x in range(5)]
+    )
+    r3 = ks_statistic(disjoint, "v", "a").collect()[0]
+    assert r3.ks_d == 1.0
+
+    # grouped: per-group results match per-group exact runs
+    g = spark.createDataFrame(
+        [Row(grp="x", v=float(x), a=x < 50) for x in range(100)]
+        + [Row(grp="y", v=float(x % 10), a=x % 2 == 0) for x in range(100)]
+    )
+    by_group = {
+        r.grp: r for r in ks_statistic(g, "v", "a", "grp").collect()
+    }
+    for key in ("x", "y"):
+        solo = ks_statistic(
+            g.filter(F.col("grp") == key), "v", "a"
+        ).collect()[0]
+        assert (by_group[key].d_num, by_group[key].d_den) == (
+            solo.d_num, solo.d_den,
+        )
+
+    # binned == exact when bins resolve every distinct value
+    rb = ks_statistic_binned(df, "v", "a", bins=1024).collect()[0]
+    assert (rb.d_num, rb.d_den) == (r.d_num, r.d_den)
