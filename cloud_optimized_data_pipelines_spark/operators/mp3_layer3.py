@@ -1217,6 +1217,15 @@ def encode_mp3(
                 nz = np.nonzero(np.abs(samples) > 1)[0]
                 big_end = int(nz[-1]) + 1 if len(nz) else 0
                 big_end += big_end % 2
+                # count1 quads step 4 from big_end: when big_end % 4
+                # == 2 the grid cannot reach lines 574-575, so a
+                # nonzero there would be uncodable rzero — realign by
+                # absorbing two more lines (always |<=1|, legal in any
+                # big region) into big_values
+                if big_end % 4 and np.any(
+                    samples[big_end + (576 - big_end) // 4 * 4:]
+                ):
+                    big_end += 2
                 if np.abs(samples).max(initial=0) > 15:
                     raise ValueError(
                         "mp3: fixture spectra limited to |15| (the "

@@ -513,9 +513,9 @@ def test_truncated_stream_named_error():
 
 
 def test_partial_final_quad_boundary():
-    # 576 - bv2 == 2 (mod 4): lines past the last full quad are rzero
-    # — nonzero values there must raise, zero values must round-trip
-    # (the decoder's count1 loop correctly never reads a partial quad)
+    # 576 - bv2 == 2 (mod 4): without realignment lines past the last
+    # full quad would be uncodable rzero; the encoder absorbs two more
+    # lines into big_values (r14) so both shapes round-trip
     sp = np.zeros((2, 576), np.int64)
     sp[0, 0] = 2          # bv2 = 2 -> quads tile 2..574, tail 574-575
     sp[0, 2:574] = np.resize([1, 0, -1, 0], 572)
@@ -525,10 +525,14 @@ def test_partial_final_quad_boundary():
         for chs in fr["granules"] for g in chs
     ])
     assert np.array_equal(got, sp)
-    bad = sp.copy()
-    bad[0, 575] = 1       # in the rzero tail -> not encodable
-    with pytest.raises(ValueError, match="last full count1 quad"):
-        M.encode_mp3(bad, scalefac_compress=13)
+    tail1 = sp.copy()
+    tail1[0, 575] = 1     # in the tail -> encoder realigns the quad
+    enc2 = M.encode_mp3(tail1, scalefac_compress=13)  # r14: absorbs
+    got2 = np.vstack([
+        g["samples"] for fr in M.decode_mp3(enc2)
+        for chs in fr["granules"] for g in chs
+    ])
+    assert np.array_equal(got2, tail1)
 
 
 def test_decode_tagged_stream():
@@ -925,3 +929,28 @@ def test_repaired_entry_bit_exact_decode(sel, entry, length):
     br = _BR(bytes(bw.buf), 0)
     assert _read_code(br, _PAIR_LOOKUP[sel], "pair") == (x, y)
     assert br.pos == length
+
+
+def test_partial_count1_quad_tail_realigns():
+    """r14 hypothesis find: big_end % 4 == 2 leaves lines 574-575
+    outside the count1 quad grid; a nonzero there must be absorbed
+    into big_values (grid realigned), not raised or silently zeroed."""
+    import numpy as np
+
+    from cloud_optimized_data_pipelines_spark.operators.mp3_layer3 import (
+        decode_mp3,
+        encode_mp3,
+    )
+
+    sp = np.zeros((1, 576), np.int64)
+    sp[0, 472] = 2   # big_end -> 474 (== 2 mod 4)
+    sp[0, 574] = 1   # in the would-be unreachable tail
+    enc = encode_mp3(sp, bitrate_kbps=320)
+    got = decode_mp3(enc)[0]["granules"][0][0]["samples"]
+    assert np.array_equal(got, sp[0])
+    # the sibling shape with the tail zero still encodes (no bump)
+    sp2 = np.zeros((1, 576), np.int64)
+    sp2[0, 472] = 2
+    enc2 = encode_mp3(sp2, bitrate_kbps=320)
+    got2 = decode_mp3(enc2)[0]["granules"][0][0]["samples"]
+    assert np.array_equal(got2, sp2[0])
