@@ -260,6 +260,8 @@ ADDITIONS_R14 = [
     "pipeline_corpus_publish",
     # integer-exact two-sample KS drift between month halves
     "events_ks_drift",
+    # deterministic synchronous label propagation communities
+    "graph_label_propagation",
 ]
 
 # r05 additions, warmed + timed in a SEPARATE phase AFTER the comparable

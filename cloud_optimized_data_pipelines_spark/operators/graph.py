@@ -146,3 +146,48 @@ def pagerank(
             )
         )
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Deterministic SYNCHRONOUS label propagation (Raghavan 2007's
+    community detection, made engine-checkable): every node starts as
+    its own label; each round every node adopts the most frequent
+    label among its in-neighbors (edge multiplicity = weight), ties
+    broken by SMALLEST label — a total order, so the fixed iteration
+    count unrolls into a plain-CTE oracle with zero randomness (the
+    classic formulation's random visit order is exactly what makes it
+    un-oracle-able; synchronous min-tie-break is the standard
+    deterministic variant).
+
+    Scale shape per round: one edge->label equi-join (the edge list
+    re-partitions by src once and AQE reuses the exchange), a
+    (node,label) partial-agg count, and a per-node window argmax —
+    parallelism is node-wide, no global state.  ``iters`` is fixed
+    and small (communities stabilize in O(log n) rounds; at 100 TB
+    run rounds until the label-change count converges, checkpointing
+    like ``pagerank``)."""
+    from pyspark.sql import Window
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(iters):
+        msgs = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        counts = msgs.groupBy("node", "label").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("node").orderBy(
+            F.desc("c"), F.asc("label")
+        )
+        best = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        labels = nodes.join(best, "node", "left").select(
+            "node", F.coalesce("label", "node").alias("label")
+        )
+    return labels

@@ -217,7 +217,6 @@ _GRADED_WINDOW = [
     "agg_percentiles",
     "agg_rollup_supplier",
     "asof_join_last_click",
-    "dedup_duplicate_clusters",
     # --- new r14 queries (swapped for trailing r10 fills) ---
     "multimodal_mp3_lsf",  # LSF sample decode (VERDICT r13 task 3)
     "egress_shard_plan",  # corpus shard egress (new r14 family)
@@ -228,6 +227,7 @@ _GRADED_WINDOW = [
     "multimodal_adts_stream_info",  # ADTS/AAC header walk (new r14)
     "pipeline_corpus_publish",  # curate -> pack composition (new r14)
     "events_ks_drift",  # integer-exact two-sample KS drift (new r14)
+    "graph_label_propagation",  # deterministic sync LPA (new r14)
 ]
 
 

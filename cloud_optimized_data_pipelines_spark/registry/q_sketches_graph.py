@@ -762,3 +762,97 @@ def events_ks_drift_q(spark, sf_dir):
         F.col("ts") < F.lit("2024-01-16").cast("timestamp_ntz"),
         "event_type",
     )
+
+
+def _label_propagation_oracle() -> str:
+    """3 synchronous LPA rounds unrolled as CTE blocks over the
+    dominant-type graph: per round a (node,label) count and a
+    ROW_NUMBER argmax with the (count DESC, label ASC) total order —
+    bit-identical tie-breaks on both engines."""
+    rounds = []
+    prev = "l0"
+    for r in (1, 2, 3):
+        rounds.append(f"""
+m{r} AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS c
+  FROM edges e JOIN {prev} l ON l.node = e.src
+  GROUP BY e.dst, l.label
+),
+l{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, label) AS rn
+    FROM m{r}
+  ) WHERE rn = 1
+)""")
+        prev = f"l{r}"
+    return f"""
+WITH pref AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY user_id, event_type
+),
+dom AS (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY c DESC, event_type) AS rn
+    FROM pref
+  ) WHERE rn = 1
+),
+fwd AS (
+  SELECT 'u:' || CAST(user_id AS VARCHAR) AS src,
+         't:' || event_type AS dst
+  FROM dom
+),
+edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+l0 AS (SELECT node, node AS label FROM nodes),{",".join(rounds)}
+SELECT n.node, COALESCE(l.label, n.node) AS label
+FROM nodes n LEFT JOIN l3 l USING (node)
+"""
+
+
+@query("graph_label_propagation", _label_propagation_oracle())
+def graph_label_propagation_q(spark, sf_dir):
+    """Deterministic synchronous label propagation (operators/
+    graph.py::label_propagation; Raghavan 2007) — community detection
+    for domain/user clustering, the third graph op next to PageRank
+    and connected components.  The graph links each user to their
+    DOMINANT event type (per-user argmax with deterministic
+    tie-break), so LPA resolves behavioral communities instead of
+    collapsing the dense bipartite graph into one label.  The
+    classic algorithm's random visit order is replaced by the
+    synchronous min-tie-break variant — a total order, so the 3
+    rounds unroll into the plain-CTE oracle with zero randomness."""
+    from pyspark.sql import Window
+
+    from cloud_optimized_data_pipelines_spark.operators.graph import (
+        label_propagation,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    pref = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("c"), F.asc("event_type")
+    )
+    dom = (
+        pref.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type")
+    )
+    fwd = dom.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return label_propagation(edges, 3)

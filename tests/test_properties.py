@@ -565,3 +565,29 @@ def test_ks_statistic_properties(spark):
     # binned == exact when bins resolve every distinct value
     rb = ks_statistic_binned(df, "v", "a", bins=1024).collect()[0]
     assert (rb.d_num, rb.d_den) == (r.d_num, r.d_den)
+
+
+def test_label_propagation_planted_communities(spark):
+    """Two planted cliques joined by one weak bridge resolve into two
+    communities; the result is deterministic across runs."""
+    from pyspark.sql import Row
+
+    from cloud_optimized_data_pipelines_spark.operators.graph import (
+        label_propagation,
+    )
+
+    def clique(names):
+        return [
+            (a, b) for a in names for b in names if a != b
+        ]
+
+    edges_l = clique(["a1", "a2", "a3", "a4"]) + clique(
+        ["b1", "b2", "b3", "b4"]
+    ) + [("a1", "b1"), ("b1", "a1")]
+    edges = spark.createDataFrame(edges_l, "src string, dst string")
+    lab = {r.node: r.label for r in label_propagation(edges, 4).collect()}
+    a = {lab[n] for n in ("a1", "a2", "a3", "a4")}
+    b = {lab[n] for n in ("b1", "b2", "b3", "b4")}
+    assert len(a) == 1 and len(b) == 1 and a != b
+    lab2 = {r.node: r.label for r in label_propagation(edges, 4).collect()}
+    assert lab == lab2
