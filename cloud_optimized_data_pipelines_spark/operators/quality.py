@@ -691,6 +691,32 @@ def train_quality_classifier(
     base = df.withColumn("_tk", tokens(text_col)).withColumn(
         "_y", F.col(label_col).cast("double")
     )
+    # Iterative-loop working set (optimization r14, guide §5/§2.6): the
+    # GD loop re-reads ONLY (_tk, _y) once per iteration, so persist
+    # that narrow projection instead of re-scanning + re-tokenizing the
+    # corpus ``iters`` times, and spread an under-parallel scan first
+    # (a tiny corpus reads as 1-3 input splits, serializing the whole
+    # Python margin/gradient stage — the spread_small_scan floor).  The
+    # partition target derives from the DATA (~1k docs per GD task,
+    # capped at the cluster's parallelism), not from local[32]; at
+    # production scale the scan already has >= that many partitions and
+    # no shuffle is added.  Row VALUES are unchanged — only partition
+    # placement moves, and every shuffle-order-dependent float sum
+    # downstream is already pinned by grad_round (see determinism note
+    # above) — so the trained weights and scores are identical.
+    # Unpersisted after the loop: the returned ``scored`` plan derives
+    # from the original lineage, leaving no cache behind.
+    loop_base = base
+    if impl == "numpy":
+        loop_base = base.select("_tk", "_y")
+        ideal = max(1, -(-n_docs // 1000))
+        if ideal < df.sparkSession.sparkContext.defaultParallelism:
+            # corpus smaller than ~1k docs/core: right-size the loop
+            # stages (32 near-empty Python tasks cost more in worker
+            # round trips than they buy); the shuffle moves < 1k-doc
+            # partitions.  Never fires at production corpus sizes.
+            loop_base = loop_base.repartition(ideal)
+        loop_base = loop_base.persist()
 
     def margin_expr(w: list[float]):
         if impl == "numpy":
@@ -718,7 +744,7 @@ def train_quality_classifier(
     w = [0.0] * n_features
     for _ in range(iters):
         if impl == "numpy":
-            partials = base.select(
+            partials = loop_base.select(
                 prob_expr(w).alias("_p"), "_y", "_tk"
             ).mapInPandas(
                 _clf_grad_partials(n_features), "_b int, _partial double"
@@ -746,6 +772,8 @@ def train_quality_classifier(
         )
         g = {r["_b"]: r["_g"] for r in grads}
         w = [w[b] - lr * g.get(b, 0.0) for b in range(n_features)]
+    if loop_base is not base:
+        loop_base.unpersist()
     scored = base.select(
         *df.columns,
         F.round(margin_expr(w), 6).alias("margin"),
