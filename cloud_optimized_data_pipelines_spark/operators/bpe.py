@@ -110,16 +110,26 @@ def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
-    checkpoint_every: int = 8,
+    checkpoint_every: int = 4,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``n_merges`` merge rules; returns (rules, final vocab).
 
     Driver traffic is one row per iteration (the argmax); ties break
-    deterministically (count desc, then pair lexicographic).  The fold
-    lineage deepens per merge, so the vocab is localCheckpointed every
-    ``checkpoint_every`` iterations — the table is vocab-sized, cheap.
+    deterministically (count desc, then pair lexicographic).
+
+    The vocab working set is localCheckpointed EAGERLY up front: the
+    corpus is scanned exactly once (the word_freq_table build) and
+    every merge iteration then runs on the vocab-sized table.  Without
+    this, each iteration's pair_counts action replayed the corpus
+    explode + word groupBy from scratch — n_merges corpus scans for
+    one (optimization r14; the same persisted-working-set shape as
+    quality.train_quality_classifier).  Each merge nests one fold into
+    the plan, so the vocab is re-checkpointed every
+    ``checkpoint_every`` iterations to keep expression depth bounded
+    (checkpoint blocks are vocab-sized — KBs, left to Spark's storage
+    management).
     """
-    vocab = word_freq_table(docs, text_col)
+    vocab = word_freq_table(docs, text_col).localCheckpoint(eager=True)
     rules: list[tuple[str, str]] = []
     for it in range(n_merges):
         top = (
