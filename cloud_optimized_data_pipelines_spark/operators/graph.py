@@ -95,19 +95,27 @@ def pagerank(
             "(e.g. 10^6 at 10^9 nodes)"
         )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # loop-invariant hoists (optimization r14, guide §2.4): the
+    # edge |x| outdeg join and the sink-node set do not change across
+    # iterations — materialize each once instead of re-joining /
+    # re-anti-joining every round (saves one shuffle join per
+    # iteration; deg attached before vs after the rank join is the
+    # same integer per edge, so every contribution is unchanged).
+    edeg = ckpt(e.join(outdeg, "src"))
     sinks = (
-        nodes.join(
-            outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+        ckpt(
+            nodes.join(
+                outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+            )
         )
         if dangling == "redistribute"
         else None
     )
     base = scale * (damping_den - damping_num) // damping_den
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(outdeg, "src")
+            edeg.join(ranks, edeg["src"] == ranks["node"])
             .select(
                 F.col("dst"),
                 F.expr(
@@ -137,14 +145,19 @@ def pagerank(
             share = F.col("_share")
         else:
             share = F.lit(0).cast("long")
-        ranks = ckpt(
-            nxt.select(
-                "node",
-                (F.lit(base) + share + F.coalesce(F.col("s"), F.lit(0)))
-                .cast("long")
-                .alias("r"),
-            )
+        ranks = nxt.select(
+            "node",
+            (F.lit(base) + share + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long")
+            .alias("r"),
         )
+        # lineage truncation every OTHER round (optimization r14): a
+        # two-round plan is still shallow, and halving the eager
+        # checkpoint actions halves the per-iteration job barrier
+        # count; the final round stays lazy (the caller's action
+        # computes it).
+        if (it + 1) % 2 == 0 and (it + 1) < iters:
+            ranks = ckpt(ranks)
     return ranks.select("node", F.col("r").alias("rank"))
 
 
