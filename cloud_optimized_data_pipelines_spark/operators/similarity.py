@@ -303,7 +303,7 @@ def ivf_build(
     iters: int = 2,
     id_col: str = "vec_id",
     centroid_round: int | None = None,
-    impl: str = "fold",
+    impl: str = "numpy",
 ) -> tuple[DataFrame, list[list[float]]]:
     """Deterministic IVF coarse quantizer (the second ANN scale path,
     complementing the sign-bucket LSH).
@@ -325,14 +325,25 @@ def ivf_build(
     makes the whole learned-IVF result DuckDB-oracle-checkable with
     no measurable effect on recall (the centroids are coarse list
     anchors, not scored results).
+
+    ``impl='numpy'`` (default, optimization r14) assigns in Arrow
+    batches with the sequential-fold argmin — BIT-EXACT to
+    ``impl='fold'`` (the declarative zip_with/aggregate form, kept as
+    the property-test cross-check; see :func:`pq_encode`) but far
+    faster: Catalyst higher-order lambdas run interpreted and
+    assignment is k_lists folds of dim terms per row.
     """
-    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     seeds = (
         df.select(vec_col, id_col)
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(k_lists)
         .collect()
     )
+    if not seeds:
+        raise ValueError("ivf_build: empty input — nothing to seed from")
+    # dim from the seed rows already on the driver (was a separate
+    # first() job — optimization r14)
+    dim = len(seeds[0][0])
     centroids = [[float(x) for x in r[0]] for r in seeds]
 
     def assign(frame, cents):
@@ -374,7 +385,7 @@ def ivf_topk(
     centroids: list[list[float]] | None = None,
     round_digits: int | None = 6,
     centroid_round: int | None = None,
-    impl: str = "fold",
+    impl: str = "numpy",
 ) -> DataFrame:
     """IVF probe: rank centroids driver-side (k x dim floats — trivial),
     score only the ``nprobe`` nearest inverted lists.  ``nprobe ==
@@ -1181,16 +1192,20 @@ def pq_train(
 
     Returns ``codebooks[s][j]`` = centroid j of subspace s.
     """
-    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
-    if dim % m_sub:
-        raise ValueError(f"pq_train: dim {dim} not divisible by m_sub {m_sub}")
-    sub = dim // m_sub
     seeds = (
         df.select(vec_col, id_col)
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(k_codes)
         .collect()
     )
+    if not seeds:
+        raise ValueError("pq_train: empty input — nothing to seed from")
+    # dim from the seed rows already on the driver (was a separate
+    # first() job — optimization r14)
+    dim = len(seeds[0][0])
+    if dim % m_sub:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
     books = [
         [[float(x) for x in r[0][s * sub: (s + 1) * sub]] for r in seeds]
         for s in range(m_sub)
