@@ -197,31 +197,39 @@ def profile_columns(
                 mean_round,
             ).alias(f"_mean_{c}"),
         ]
-    stats = {r: v for r, v in zip(
-        ["_n"] + [f"_{k}_{c}" for c in cols for k in ("nn", "nd", "min", "max", "mean")],
-        df.agg(*aggs).first(),
-    )}
+    # ONE lazy plan (optimization r14): the 1-row scalar aggregate is
+    # attached as a broadcast crossJoin (the oracle's scalar-CTE shape)
+    # instead of collected to the driver — no separate action, and the
+    # two broadcast sites share one ReusedExchange, so the table is
+    # still scanned exactly twice.  Bucket arithmetic reads lo/hi from
+    # the stats row with the identical per-row double ops the literal
+    # form compiled to (span = hi - lo is the same IEEE subtract the
+    # driver performed), so every bucket index is unchanged.
+    stats_row = df.agg(*aggs)
     entries = []
     for c in cols:
-        lo, hi = stats[f"_min_{c}"], stats[f"_max_{c}"]
         col = F.col(c).cast("double")
-        if lo is None or hi is None or hi == lo:
-            bucket = F.when(col.isNotNull(), F.lit(0).cast("long"))
-        else:
-            span = float(hi) - float(lo)
-            bucket = F.when(
+        lo = F.col(f"_min_{c}")
+        hi = F.col(f"_max_{c}")
+        bucket = F.when(
+            lo.isNull() | hi.isNull() | (hi == lo),
+            F.when(col.isNotNull(), F.lit(0).cast("long")),
+        ).otherwise(
+            F.when(
                 col.isNotNull(),
                 F.least(
-                    F.floor((col - F.lit(float(lo))) / F.lit(span)
+                    F.floor((col - lo) / (hi - lo)
                             * F.lit(float(hist_buckets))).cast("long"),
                     F.lit(int(hist_buckets) - 1).cast("long"),
                 ),
             )
+        )
         entries.append(
             F.struct(F.lit(c).alias("column"), bucket.alias("bucket"))
         )
     hist = (
-        df.select(F.explode(F.array(*entries)).alias("_e"))
+        df.crossJoin(F.broadcast(stats_row))
+        .select(F.explode(F.array(*entries)).alias("_e"))
         .select(F.col("_e.column").alias("column"),
                 F.col("_e.bucket").alias("bucket"))
         .filter(F.col("bucket").isNotNull())
@@ -233,20 +241,20 @@ def profile_columns(
         pairs = [
             x
             for c, v in zip(cols, values)
-            for x in (F.lit(c), F.lit(v).cast(cast))
+            for x in (F.lit(c), v.cast(cast))
         ]
         return F.element_at(F.create_map(*pairs), F.col("column"))
 
-    return hist.select(
+    return hist.crossJoin(F.broadcast(stats_row)).select(
         "column",
-        F.lit(stats["_n"]).cast("long").alias("n"),
+        F.col("_n").alias("n"),
         lookup(
-            [stats["_n"] - stats[f"_nn_{c}"] for c in cols], "long"
+            [F.col("_n") - F.col(f"_nn_{c}") for c in cols], "long"
         ).alias("nulls"),
-        lookup([stats[f"_nd_{c}"] for c in cols], "long").alias("n_distinct"),
-        lookup([stats[f"_min_{c}"] for c in cols], "double").alias("min"),
-        lookup([stats[f"_max_{c}"] for c in cols], "double").alias("max"),
-        lookup([stats[f"_mean_{c}"] for c in cols], "double").alias("mean"),
+        lookup([F.col(f"_nd_{c}") for c in cols], "long").alias("n_distinct"),
+        lookup([F.col(f"_min_{c}") for c in cols], "double").alias("min"),
+        lookup([F.col(f"_max_{c}") for c in cols], "double").alias("max"),
+        lookup([F.col(f"_mean_{c}") for c in cols], "double").alias("mean"),
         F.col("bucket").cast("long").alias("bucket"),
         "bucket_n",
     )

@@ -80,6 +80,11 @@ NESTED_LOOP_OK = {
         "integer-total scalar crossJoin (1-row broadcast) against the"
         " stratum-sized weight table"
     ),
+    "quality_column_profiles": (
+        "column-stats scalar crossJoins (1-row broadcast, shared via"
+        " ReusedExchange) feeding the bucket arithmetic and the output"
+        " scalars — the oracle's scalar-CTE shape, no driver collect"
+    ),
     "sample_doremi_weights": (
         "grand-total and softmax-denominator scalar crossJoins (1-row"
         " broadcasts) against the (domain, word) count table and the"
