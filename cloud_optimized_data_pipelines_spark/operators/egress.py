@@ -100,14 +100,25 @@ def _compress(raw: bytes, codec: str, level: int = 6) -> tuple[bytes, str]:
     if codec == "gzip":
         return gzip.compress(raw, compresslevel=level, mtime=0), "gz"
     if codec == "zstd":
+        import shutil
         import subprocess
 
-        r = subprocess.run(
-            ["zstd", f"-{level}", "-c"], input=raw, capture_output=True
+        if shutil.which("zstd"):
+            r = subprocess.run(
+                ["zstd", f"-{level}", "-c"], input=raw, capture_output=True
+            )
+            if r.returncode != 0:
+                raise ValueError(
+                    f"zstd: cli encode failed: {r.stderr[-200:]!r}"
+                )
+            return r.stdout, "zst"
+        # no CLI on this host: our own RFC 8878 encoder (level-less),
+        # same fallback the multimodal fixture builders use
+        from cloud_optimized_data_pipelines_spark.operators.zstd_codec import (
+            zstd_compress,
         )
-        if r.returncode != 0:
-            raise ValueError(f"zstd: cli encode failed: {r.stderr[-200:]!r}")
-        return r.stdout, "zst"
+
+        return zstd_compress(raw), "zst"
     raise ValueError(f"egress: unknown codec {codec!r}")
 
 
