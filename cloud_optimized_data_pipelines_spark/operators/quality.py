@@ -8,12 +8,15 @@ the document taken by its single most frequent word).  Documents
 failing any rule get ``keep = false``; the decision thresholds are
 arguments so a pipeline can tune per-source.
 
-Scale shape: one explode + two doc-keyed hash aggregations (word
-counts, then doc stats) — both partial-aggregated, shuffle keyed on
-(doc, word) then doc.  No windows, no joins against the corpus, no
-Python.  The explode's row blow-up (one row per token) is the standard
-inverted-index cost already paid by dedup; at 100 TB the stage is
-scan + two map-side-combined shuffles of count-sized rows.
+Scale shape (r14, guide §2.4): the document rules are computed as
+per-row ARRAY expressions on the scan — tokenize once, fold for the
+character sum, sort + run-length fold for the top-word count.  Zero
+exchanges: the previous explode -> groupBy(doc, word) ->
+groupBy(doc) -> join-back shape shuffled corpus-token-scale rows
+twice and re-joined on doc; every statistic is a function of one
+document, so no shuffle is fundamentally required (guide §1.1).
+:func:`word_stats` keeps the aggregation form for callers that want
+the token-level relation.
 """
 
 from __future__ import annotations
@@ -48,29 +51,111 @@ def gopher_quality_flags(
     min_mean_word_len: float = 3.0,
     max_mean_word_len: float = 10.0,
     max_top_word_frac: float = 0.2,
+    impl: str = "rows",
 ) -> DataFrame:
     """MassiveText word-level rules as one declarative pass.
 
     Adds n_words, n_unique_words, mean_word_len, top_word_frac and the
     combined ``keep`` flag.  Empty documents (no tokens) are kept in
     the output with zero counts and keep=false — filters must never
-    silently drop rows they rejected."""
-    stats = word_stats(df, id_col, text_col)
-    out = df.join(stats, df[id_col] == stats["doc"], "left").drop("doc")
-    n_words = F.coalesce(F.col("n_words"), F.lit(0)).cast("long")
+    silently drop rows they rejected.
+
+    Two bit-identical implementations (parity-pinned in
+    tests/test_quality_decontaminate.py):
+
+    - ``impl='rows'`` (default): per-row array expressions (tokenize
+      once, fold for the char sum, sorted run-length fold for the top
+      word), ZERO exchanges — no shuffle is fundamentally required
+      because every statistic is a function of one document (guide
+      §1.1, §2.4).  Caveat: Catalyst inlines the fold into every
+      reference, so a consumer should read the flag COLUMNS, not
+      re-derive them.
+    - ``impl='agg'``: the :func:`word_stats` explode + two partial-
+      aggregated corpus-token-scale shuffles + doc join.  The
+      exchanges are materialization points shared via ReusedExchange
+      when the flags fan out into many plan branches.
+
+    Measured r14 (sf0.1, local[32], interleaved medians): standalone
+    gopher query 2.5 s (agg) -> 1.6 s (rows); composed
+    pipeline_corpus_preprocess 4.8 s (agg) -> 4.1 s (rows) — rows wins
+    in both shapes and removes two corpus-token shuffles at 100 TB.
+    """
+    if impl == "agg":
+        stats = word_stats(df, id_col, text_col)
+        out = df.join(stats, df[id_col] == stats["doc"], "left").drop("doc")
+        n_words = F.coalesce(F.col("n_words"), F.lit(0)).cast("long")
+        mean_len = F.when(
+            n_words > 0,
+            F.col("char_sum").cast("double") / n_words.cast("double"),
+        ).otherwise(F.lit(0.0))
+        top_frac = F.when(
+            n_words > 0,
+            F.col("top_word_cnt").cast("double") / n_words.cast("double"),
+        ).otherwise(F.lit(0.0))
+        return (
+            out.withColumn("n_words", n_words)
+            .withColumn(
+                "n_unique_words",
+                F.coalesce(F.col("n_unique_words"), F.lit(0)).cast("long"),
+            )
+            .withColumn("mean_word_len", mean_len)
+            .withColumn("top_word_frac", top_frac)
+            .withColumn(
+                "keep",
+                (n_words >= min_words)
+                & (n_words <= max_words)
+                & (mean_len >= min_mean_word_len)
+                & (mean_len <= max_mean_word_len)
+                & (top_frac < max_top_word_frac),
+            )
+            .drop("top_word_cnt", "char_sum")
+        )
+    if impl != "rows":
+        raise ValueError(f"gopher_quality_flags: unknown impl {impl!r}")
+    toks = tokens(F.col(text_col))
+    n_words = F.coalesce(F.size(toks), F.lit(0)).cast("long")
+    char_sum = F.coalesce(
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ),
+        F.lit(0).cast("long"),
+    )
+    n_unique = F.coalesce(F.size(F.array_distinct(toks)), F.lit(0)).cast(
+        "long"
+    )
+    # top word count = longest equal-run in the sorted token array
+    # (tokens are non-empty, so the "" sentinel never matches)
+    run = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_cnt = F.coalesce(run, F.lit(0).cast("long"))
     mean_len = F.when(
-        n_words > 0, F.col("char_sum").cast("double") / n_words.cast("double")
+        n_words > 0, char_sum.cast("double") / n_words.cast("double")
     ).otherwise(F.lit(0.0))
     top_frac = F.when(
-        n_words > 0,
-        F.col("top_word_cnt").cast("double") / n_words.cast("double"),
+        n_words > 0, top_cnt.cast("double") / n_words.cast("double")
     ).otherwise(F.lit(0.0))
     return (
-        out.withColumn("n_words", n_words)
-        .withColumn(
-            "n_unique_words",
-            F.coalesce(F.col("n_unique_words"), F.lit(0)).cast("long"),
-        )
+        df.withColumn("n_words", n_words)
+        .withColumn("n_unique_words", n_unique)
         .withColumn("mean_word_len", mean_len)
         .withColumn("top_word_frac", top_frac)
         .withColumn(
@@ -81,7 +166,6 @@ def gopher_quality_flags(
             & (mean_len <= max_mean_word_len)
             & (top_frac < max_top_word_frac),
         )
-        .drop("top_word_cnt", "char_sum")
     )
 
 

@@ -47,6 +47,7 @@ def corpus_preprocess(
     source_col: str = "source",
     target_lang: str = "en",
     max_per_source: int = 15,
+    quality_impl: str = "rows",
 ) -> DataFrame:
     """Flag-composed preprocessing pipeline; see module docstring.
 
@@ -60,9 +61,9 @@ def corpus_preprocess(
     hashed = docs.withColumn("_h", F.md5(F.col(text_col)))
     canon = hashed.groupBy("_h").agg(F.min(id_col).alias("_canon_id"))
 
-    quality = gopher_quality_flags(docs, id_col, text_col).select(
-        id_col, F.col("keep").alias("quality_ok")
-    )
+    quality = gopher_quality_flags(
+        docs, id_col, text_col, impl=quality_impl
+    ).select(id_col, F.col("keep").alias("quality_ok"))
 
     flagged = (
         hashed.join(canon, "_h")

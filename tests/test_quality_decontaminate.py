@@ -43,6 +43,60 @@ def test_gopher_flags_rules(spark):
     assert len(out) == 4
 
 
+def test_gopher_flags_match_word_stats_aggregation(spark):
+    """r14 parity pin: gopher_quality_flags computes its statistics as
+    per-row array expressions (zero shuffles); this asserts they equal
+    the explode/groupBy word_stats relation exactly — including ties in
+    the top-word count, unicode tokens, repeated runs, single-token and
+    whitespace-only docs."""
+    docs = [
+        (1, "a bb a ccc a bb"),            # top run 3 among interleaved
+        (2, ""),                            # no tokens
+        (3, "   \t \n "),                   # whitespace only
+        (4, None),                          # null text
+        (5, "solo"),                        # single token
+        (6, "x y z x y z x"),               # tie-breaking run lengths
+        (7, "héllo wörld héllo жест жест жест"),  # unicode lengths
+        (8, "a " * 500 + "b"),              # long run + tail
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    stats = {r.doc: r for r in word_stats(df, "doc_id", "text").collect()}
+    results = {}
+    for impl in ("agg", "rows"):
+        flags = {
+            r.doc_id: r
+            for r in gopher_quality_flags(
+                df, "doc_id", "text", impl=impl
+            ).collect()
+        }
+        results[impl] = flags
+        for did, _ in docs:
+            got = flags[did]
+            if did in stats:
+                exp = stats[did]
+                assert got.n_words == exp.n_words, (impl, did)
+                assert got.n_unique_words == exp.n_unique_words, (impl, did)
+                assert got.mean_word_len == exp.char_sum / exp.n_words, (
+                    impl,
+                    did,
+                )
+                assert got.top_word_frac == exp.top_word_cnt / exp.n_words, (
+                    impl,
+                    did,
+                )
+            else:  # token-less docs: zero counts, keep false
+                assert got.n_words == 0 and got.n_unique_words == 0, (
+                    impl,
+                    did,
+                )
+                assert (
+                    got.mean_word_len == 0.0 and got.top_word_frac == 0.0
+                ), (impl, did)
+                assert not got.keep, (impl, did)
+    for did, _ in docs:  # the two impls are bit-identical row-for-row
+        assert results["agg"][did] == results["rows"][did], did
+
+
 def test_contamination_flags(spark):
     train = spark.createDataFrame(
         [
