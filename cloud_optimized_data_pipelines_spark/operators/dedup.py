@@ -136,15 +136,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard similarity join on word n-grams.
 
-    Plan shape (the scalable classic):
-      shingle explode -> self-equi-join on shingle (id_a < id_b)
-      -> count common shingles per pair -> join per-doc set sizes
+    Semantics (the scalable classic):
+      shingle index -> common-shingle count per (id_a < id_b) pair
+      -> join per-doc set sizes
       -> jaccard = common / (|A| + |B| - common) >= threshold
 
-    ``max_shingle_freq`` drops ubiquitous shingles before the join —
-    the skew guard at corpus scale (a shingle appearing in 1M docs
-    would otherwise emit 10^12 candidate pairs).  Guarded BY DEFAULT
-    (1000): the unguarded all-postings join is opt-in via
+    ``max_shingle_freq`` drops ubiquitous shingles before the pair
+    expansion — the skew guard at corpus scale (a shingle appearing in
+    1M docs would otherwise emit 10^12 candidate pairs).  Guarded BY
+    DEFAULT (1000): the unguarded all-postings form is opt-in via
     ``max_shingle_freq=None`` and is only safe on bounded corpora.
     Pruned shingles are near-stopword n-grams carrying little
     discriminative signal; Jaccard is then exact over the pruned
@@ -152,17 +152,43 @@ def ngram_jaccard_pairs(
     lock-step: a guarded call pairs with an oracle applying the same
     HAVING COUNT(*) <= k shingle filter, an unguarded call
     (max_shingle_freq=None) with an unpruned oracle.
-    """
-    idx = _guard_shingle_freq(
-        shingle_index(df, id_col, text_col, n), max_shingle_freq
-    )
-    sizes = idx.groupBy("doc").agg(F.count("*").alias("set_size"))
 
-    a = idx.alias("a")
-    b = idx.alias("b")
+    Plan shape (r14, guide §2.4): posting lists instead of a
+    self-equi-join — ``groupBy(shingle).collect_list(doc)`` builds the
+    per-shingle occurrence list in one map-side-combined exchange, the
+    frequency guard becomes a free ``size <= k`` filter (previously a
+    window count over the full index), and the ``doc_a < doc_b``
+    occurrence pairs are expanded in place from each list (exactly the
+    rows the self-join produced).  The arrays are list-valued, not
+    set-valued: the synthetic-corpus dup factor is 1.0 (see
+    :func:`shingle_index`) but on real text the occurrence-pair
+    semantics match the oracle's occurrence self-join bit-for-bit.
+    """
+    posts = (
+        shingle_index(df, id_col, text_col, n)
+        .groupBy("shingle")
+        .agg(F.collect_list("doc").alias("_docs"))
+    )
+    if max_shingle_freq is not None:
+        posts = posts.filter(F.size("_docs") <= max_shingle_freq)
+    sizes = (
+        posts.select(F.explode("_docs").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count("*").alias("set_size"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_docs"),
+            lambda a: F.transform(
+                F.filter(F.col("_docs"), lambda b: a < b),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        posts.select(F.explode(pair_structs).alias("_p"))
+        .select("_p.doc_a", "_p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"))
@@ -194,40 +220,62 @@ def ngram_containment_pairs(
     when |B| >> |A| — the RefinedWeb/ExactSubstr motivation viewed at
     document granularity.
 
-    Same plan skeleton as :func:`ngram_jaccard_pairs` (inverted shingle
-    index -> self-equi-join -> per-pair count -> size join); only the
-    normalizer changes, and the pair condition is ``!=`` rather than
-    ``<`` because containment is directional — both (a, b) and (b, a)
-    rows are emitted with their own scores.  The ``max_shingle_freq``
-    guard applies identically (oracle kept in lock-step).
+    Same plan skeleton as :func:`ngram_jaccard_pairs` (posting lists
+    -> in-place pair expansion -> per-pair count -> size join); only
+    the normalizer changes, and the pair condition is ``!=`` rather
+    than ``<`` because containment is directional — both (a, b) and
+    (b, a) rows are emitted with their own scores.  The
+    ``max_shingle_freq`` guard applies identically (oracle kept in
+    lock-step).
 
-    Unlike the Jaccard join, the index here is deduped to DISTINCT
-    (doc, shingle) pairs BEFORE the guard and the self-join: Broder
-    containment is a SET measure (|A n B| / |A| <= 1 by definition),
-    and on real corpora with repeated n-grams the occurrence-level
-    index would count occurrence pairs — "common" could exceed |A| and
-    containment exceed 1.0, silently distorting the threshold.  The
-    distinct costs one extra shuffle on the (doc, shingle) key; the
-    guard's frequency is then DOC frequency (the standard DF guard),
-    which is also the tighter skew bound.
+    Unlike the Jaccard join, the index here is SET-valued: Broder
+    containment is a set measure (|A n B| / |A| <= 1 by definition),
+    and on real corpora with repeated n-grams occurrence-level
+    counting would let "common" exceed |A| and containment exceed 1.0,
+    silently distorting the threshold.  The guard's frequency is DOC
+    frequency (the standard DF guard), the tighter skew bound.
+
+    Plan shape (r14, guide §2.4): posting lists instead of a
+    self-equi-join — ``groupBy(shingle).collect_set(doc)`` builds the
+    per-shingle doc set in ONE map-side-combined exchange (the
+    collect_set also IS the distinct), the DF guard becomes a free
+    ``size(docs) <= k`` filter (previously a window count over the
+    full index), ordered pairs are expanded in place from each posting
+    list (exactly the rows the self-join produced — the guard bounds
+    the fan-out at k^2 per shingle either way), and per-doc set sizes
+    re-aggregate the exploded postings.  3 exchanges total vs 5 plus a
+    sorted window and an SMJ sort in the self-join form; measured
+    9.2 s -> see OPTIMIZATION_r14.md at sf0.1.
 
     Output: (doc_a, doc_b, common, size_a, containment) where
     containment = common / size_a >= threshold — "doc_a is contained
     in doc_b".
     """
-    idx = _guard_shingle_freq(
-        shingle_index(df, id_col, text_col, n).distinct(), max_shingle_freq
+    posts = (
+        shingle_index(df, id_col, text_col, n)
+        .groupBy("shingle")
+        .agg(F.collect_set("doc").alias("_docs"))
     )
-    sizes = idx.groupBy("doc").agg(F.count("*").alias("set_size"))
-    a = idx.alias("a")
-    b = idx.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc") != F.col("b.doc")),
+    if max_shingle_freq is not None:
+        posts = posts.filter(F.size("_docs") <= max_shingle_freq)
+    sizes = (
+        posts.select(F.explode("_docs").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count("*").alias("set_size"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_docs"),
+            lambda a: F.transform(
+                F.filter(F.col("_docs"), lambda b: b != a),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
         )
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+    )
+    common = (
+        posts.select(F.explode(pair_structs).alias("_p"))
+        .select("_p.doc_a", "_p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"))

@@ -1159,6 +1159,62 @@ def test_connected_components_checkpoint_dir(spark, tmp_path):
     assert any(os.scandir(tmp_path / "ckpt"))
 
 
+def test_ngram_posting_list_pair_semantics(spark):
+    """r14 posting-list rewrite pin: the in-place pair expansion must
+    reproduce the self-equi-join's rows exactly — shared-shingle
+    counting for Jaccard and containment (word_shingles dedupes within
+    a doc, so both are set measures over the index), and the
+    doc-frequency guard boundary (freq == k kept, freq == k+1
+    dropped)."""
+    from cloud_optimized_data_pipelines_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "a b c a b c a b"),   # distinct shingles {abc, bca, cab}
+        (2, "a b c x y z"),
+        (3, "x y z a b c"),
+        (4, "p q r s t u"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    jac = {
+        (r.doc_a, r.doc_b): (r.common, r.size_a, r.size_b)
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.0, max_shingle_freq=None
+        ).collect()
+    }
+    # doc1 {abc,bca,cab} n doc2 {abc,bcx,cxy,xyz} = {abc}
+    assert jac[(1, 2)] == (1, 3, 4)
+    # containment agrees on the same set measure
+    cont = {
+        (r.doc_a, r.doc_b): (r.common, r.size_a)
+        for r in ngram_containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.0, max_shingle_freq=None
+        ).collect()
+    }
+    assert cont[(1, 2)] == (1, 3)  # set size 3, one shared shingle
+    assert cont[(2, 1)] == (1, 4)
+    # guard boundary: "x y z" appears in docs 2 and 3 (doc freq 2);
+    # with max_shingle_freq=1 every shared shingle is dropped -> no
+    # pairs at all survive between 2 and 3
+    guarded = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.0, max_shingle_freq=1
+        ).collect()
+    }
+    assert guarded == set()
+    # freq == k boundary kept: max_shingle_freq=2 keeps doc-freq-2
+    guarded2 = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.0, max_shingle_freq=2
+        ).collect()
+    }
+    assert (2, 3) in guarded2 and (3, 2) in guarded2
+
+
 def test_ngram_containment_doc_in_doc(spark):
     """A document quoted verbatim inside a larger one: containment 1.0
     in the contained->container direction, fractional the other way —
