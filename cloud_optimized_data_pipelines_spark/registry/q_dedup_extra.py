@@ -380,10 +380,16 @@ def dedup_bloom_gated_q(spark, sf_dir):
     )
     bloom = bloom_partial(hist, "digest", m_bits=m, k_hashes=k)
     flagged = bloom_contains(bloom, surv, "digest", m_bits=m, k_hashes=k)
-    fresh = flagged.filter(~F.col("maybe_present")).drop("maybe_present")
-    checked = (
-        flagged.filter(F.col("maybe_present"))
-        .drop("maybe_present")
-        .join(hist, "digest", "left_anti")
-    )
-    return fresh.unionByName(checked).select("doc_id", "digest")
+    # r14 (guide §2.4): one left-anti join with the gate folded into
+    # the join condition, instead of union(fresh, checked) — the union
+    # form referenced `flagged` twice, planning the whole probe chain
+    # (explode, broadcast join, groupBy, join-back) in two branches.
+    # A maybe_present=false row can never match the compound
+    # condition, so it survives without a history comparison — the
+    # identical row set, with the probe chain planned once.
+    h = hist.select(F.col("digest").alias("_hist_digest"))
+    return flagged.join(
+        h,
+        (flagged["digest"] == h["_hist_digest"]) & F.col("maybe_present"),
+        "left_anti",
+    ).select("doc_id", "digest")

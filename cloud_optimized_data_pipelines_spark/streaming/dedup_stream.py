@@ -215,17 +215,17 @@ def process_dedup_batch(
             flagged = bloom_contains(
                 bloom, survivors, "_h", m_bits=m, k_hashes=k
             )
-            # definitely-new keys skip the digest-table scan entirely;
-            # no false negatives => the union equals the plain anti-join
-            fresh = flagged.filter(~F.col("maybe_present")).drop(
-                "maybe_present"
-            )
-            checked = (
-                flagged.filter(F.col("maybe_present"))
-                .drop("maybe_present")
-                .join(seen, "_h", "left_anti")
-            )
-            survivors = fresh.unionByName(checked)
+            # definitely-new keys can never match the compound anti-
+            # join condition, so they survive without a history
+            # comparison; no false negatives => identical to the plain
+            # anti-join.  One join, probe chain planned once (the
+            # union(fresh, checked) form duplicated it — r14).
+            s = seen.select(F.col("_h").alias("_seen_h"))
+            survivors = flagged.join(
+                s,
+                (flagged["_h"] == s["_seen_h"]) & F.col("maybe_present"),
+                "left_anti",
+            ).drop("maybe_present")
         else:
             survivors = survivors.join(seen, "_h", "left_anti")
     elif bloom_path is not None:
