@@ -404,17 +404,24 @@ def cdc_chunks(
     integer, mod ``divisor``) — bit-reproducible across engines, so
     the whole operator is DuckDB-oracle-checkable.
 
-    Plan shape: per-doc position explode (struct built from ONE
-    let-bound token array — no repeated re-tokenization), boundary
-    flag as a scan expression, chunk ids via a per-doc running sum
-    window (partition = one document, bounded by doc length — never a
-    corpus-wide window), ordered re-assembly with array_sort.  Output:
-    one row per (doc, chunk_idx) with start_pos, n_tokens, chunk_md5.
-    Docs with no tokens emit no chunks (compose survivorship at the
-    stats level, :func:`cdc_dup_stats`).
+    Plan shape (optimization r14, guide §2.4): chunk boundaries are a
+    pure function of ONE document's token array, so the whole chunk
+    table is computed as scan expressions — boundary positions via a
+    filter over the position sequence, chunk spans via a transform
+    over the (let-bound) boundary array, digests via md5 of the token
+    slice — and exploded once at CHUNK granularity (~1/divisor of the
+    token count).  No token-level explode, no per-doc running-sum
+    window (a corpus-token-scale sort+shuffle), no re-assembly
+    groupBy: the operator is a single narrow map over the corpus.
+    Output: one row per (doc, chunk_idx) with start_pos, n_tokens,
+    chunk_md5 — identical rows to the r13 explode/window/groupBy form
+    (the running sum of boundary flags over preceding positions IS the
+    index into the boundary-position array).  Docs with no tokens emit
+    no chunks (compose survivorship at the stats level,
+    :func:`cdc_dup_stats`).
     """
 
-    def _rows(toks):
+    def _chunks(toks):
         k = F.size(toks)
         gram = lambda p: F.concat_ws(  # noqa: E731
             " ", F.slice(toks, p - F.lit(window - 1), window)
@@ -423,59 +430,71 @@ def cdc_chunks(
             F.conv(F.substring(F.md5(gram(p)), 1, 8), 16, 10).cast("long")
             % divisor
         )
-        return F.when(
-            k >= 1,
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda p: F.struct(
-                    p.cast("long").alias("pos"),
-                    F.element_at(toks, p).alias("tok"),
-                    F.when(
-                        (p >= window) & (bucket(p) == 0), F.lit(1)
-                    )
-                    .otherwise(F.lit(0))
+        bpos = F.filter(
+            F.sequence(F.lit(1), k),
+            lambda p: (p >= window) & (bucket(p) == 0),
+        )
+        # chunk ends = boundary positions, plus a trailing chunk for
+        # any tokens after the last boundary (or the whole doc when no
+        # boundary fired).
+        ends_expr = F.when(
+            (F.size(bpos) > 0) & (F.element_at(bpos, -1) == k), bpos
+        ).otherwise(F.concat(bpos, F.array(k)))
+
+        def from_ends(ends):
+            return F.transform(
+                ends,
+                lambda e, i: F.struct(
+                    i.cast("long").alias("chunk_idx"),
+                    F.when(i == 0, F.lit(1))
+                    .otherwise(F.element_at(ends, i) + 1)
                     .cast("long")
-                    .alias("bnd"),
+                    .alias("start_pos"),
+                    (
+                        e
+                        - F.when(i == 0, F.lit(1)).otherwise(
+                            F.element_at(ends, i) + 1
+                        )
+                        + 1
+                    )
+                    .cast("long")
+                    .alias("n_tokens"),
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.slice(
+                                toks,
+                                F.when(i == 0, F.lit(1)).otherwise(
+                                    F.element_at(ends, i) + 1
+                                ),
+                                e
+                                - F.when(i == 0, F.lit(1)).otherwise(
+                                    F.element_at(ends, i) + 1
+                                )
+                                + 1,
+                            ),
+                        )
+                    ).alias("chunk_md5"),
                 ),
-            ),
+            )
+
+        # ends is let-bound through a single-element transform: an
+        # inlined expression would re-evaluate the md5-per-position
+        # boundary filter once per chunk (O(tokens * chunks) digests).
+        return F.when(
+            k >= 1, F.transform(F.array(ends_expr), from_ends)[0]
         ).otherwise(
             F.expr(
-                "CAST(array() AS ARRAY<STRUCT<pos BIGINT, tok STRING,"
-                " bnd BIGINT>>)"
+                "CAST(array() AS ARRAY<STRUCT<chunk_idx BIGINT,"
+                " start_pos BIGINT, n_tokens BIGINT, chunk_md5 STRING>>)"
             )
         )
 
-    rows = F.transform(F.array(tokens(F.col(text_col))), _rows)[0]
-    exploded = (
-        _spread(df)
-        .select(F.col(id_col).alias("doc"), F.explode(rows).alias("g"))
-        .select("doc", "g.pos", "g.tok", "g.bnd")
-    )
-    w = (
-        Window.partitionBy("doc")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    assigned = exploded.withColumn(
-        "chunk_idx", F.coalesce(F.sum("bnd").over(w), F.lit(0)).cast("long")
-    )
+    rows = F.transform(F.array(tokens(F.col(text_col))), _chunks)[0]
     return (
-        assigned.groupBy("doc", "chunk_idx")
-        .agg(
-            F.min("pos").alias("start_pos"),
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "tok"))
-                        ),
-                        lambda s: s["tok"],
-                    ),
-                )
-            ).alias("chunk_md5"),
-        )
+        _spread(df)
+        .select(F.col(id_col).alias("doc"), F.explode(rows).alias("c"))
+        .select("doc", "c.chunk_idx", "c.start_pos", "c.n_tokens", "c.chunk_md5")
     )
 
 

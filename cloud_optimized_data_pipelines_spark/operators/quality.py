@@ -618,25 +618,56 @@ def bigram_logprob(
     IDENTICAL argument association on both engines, per-doc sum as a
     fold over the sorted bigram array.
 
-    Scale shape: counts are groupBy aggregations off the n-gram
-    explode (map-side combined); the three model joins are keyed on
-    the bigram/context/word columns with NO broadcast hint — a
-    web-corpus bigram table is billions of rows, so AQE decides; only
-    the 1-row total is broadcast.  Docs with < 2 tokens survive with
-    ``n_bigrams = 0`` and NULL score (never silently dropped).
+    Scale shape (optimization r14, guide §2.3/§2.4): the model is
+    estimated in ONE corpus pass — bigram occurrences and unigram
+    tokens ride a single tagged explode into one (kind, key) count
+    (map-side combined), the context counts ``c_ctx(w1)`` are derived
+    from the MODEL-sized bigram table (``sum(bcnt) group by w1`` —
+    identical integers, since every bigram starting with w1 is one w1
+    context occurrence), and the counted table is truncated with an
+    eager ``localCheckpoint`` so the three downstream consumers
+    (bcnt / uni / total) read the materialized counts instead of
+    replaying the corpus explode.  Doc-side scoring pre-joins
+    bcnt⋈ctx at model scale into a ``(bg, logp_seen)`` table, so the
+    corpus-scale bigram stream is shuffle-joined twice (bg, then w2
+    for backoff), not three times.  No broadcast hint on the model
+    joins — a web-corpus bigram table is billions of rows, so AQE
+    decides; only the 1-row total is broadcast.  Docs with < 2 tokens
+    survive with ``n_bigrams = 0`` and NULL score (never silently
+    dropped).
     """
     from cloud_optimized_data_pipelines_spark.functions.text import word_ngrams
 
     train = train if train is not None else df
-    train_bi = train.select(F.explode(word_ngrams(text_col, 2)).alias("bg"))
-    bcnt = train_bi.groupBy("bg").agg(F.count("*").alias("bcnt"))
-    ctx = train_bi.groupBy(
-        F.substring_index("bg", " ", 1).alias("w1")
-    ).agg(F.count("*").alias("ccnt"))
-    uni = train.select(F.explode(tokens(text_col)).alias("w2")).groupBy("w2").agg(
-        F.count("*").alias("ucnt")
+    # Tokens never contain whitespace and bigrams always do, so the
+    # two count families share one explode without key collisions;
+    # the kind tag keeps the branches' filters trivially disjoint.
+    tagged = F.concat(
+        F.transform(
+            word_ngrams(text_col, 2),
+            lambda g: F.struct(F.lit(0).alias("kind"), g.alias("key")),
+        ),
+        F.transform(
+            tokens(text_col),
+            lambda w: F.struct(F.lit(1).alias("kind"), w.alias("key")),
+        ),
     )
-    total = uni.agg(F.sum("ucnt").alias("total"))
+    cnts = (
+        train.select(F.explode(tagged).alias("t"))
+        .groupBy(F.col("t.kind").alias("kind"), F.col("t.key").alias("key"))
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    bcnt = cnts.filter(F.col("kind") == 0).select(
+        F.col("key").alias("bg"), F.col("cnt").alias("bcnt")
+    )
+    uni = cnts.filter(F.col("kind") == 1).select(
+        F.col("key").alias("w2"), F.col("cnt").alias("ucnt")
+    )
+    ctx = bcnt.groupBy(F.substring_index("bg", " ", 1).alias("w1")).agg(
+        F.sum("bcnt").alias("ccnt")
+    )
+    total = uni.agg(F.sum("ucnt").cast("long").alias("total"))
 
     doc_bi = df.select(
         F.col(id_col).alias("doc"), F.explode(word_ngrams(text_col, 2)).alias("bg")
@@ -644,6 +675,9 @@ def bigram_logprob(
     seen = F.round(
         F.log(F.col("bcnt").cast("double") / F.col("ccnt").cast("double")), 9
     )
+    model = bcnt.join(
+        ctx, F.substring_index(bcnt["bg"], " ", 1) == ctx["w1"]
+    ).select("bg", seen.alias("logp_seen"))
     backoff = F.round(
         F.log(
             F.lit(float(alpha))
@@ -655,14 +689,15 @@ def bigram_logprob(
         9,
     )
     scored = (
-        doc_bi.join(bcnt, "bg", "left")
-        .join(ctx, F.substring_index(doc_bi["bg"], " ", 1) == ctx["w1"], "left")
+        doc_bi.join(model, "bg", "left")
         .join(uni, F.substring_index(doc_bi["bg"], " ", -1) == uni["w2"], "left")
         .crossJoin(F.broadcast(total))
         .select(
             "doc",
             "bg",
-            F.when(F.col("bcnt").isNotNull(), seen).otherwise(backoff).alias("logp"),
+            F.when(F.col("logp_seen").isNotNull(), F.col("logp_seen"))
+            .otherwise(backoff)
+            .alias("logp"),
         )
     )
     per_doc = scored.groupBy("doc").agg(
