@@ -172,19 +172,24 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     un-oracle-able; synchronous min-tie-break is the standard
     deterministic variant).
 
-    Scale shape per round: one edge->label equi-join (the edge list
-    re-partitions by src once and AQE reuses the exchange), a
-    (node,label) partial-agg count, and a per-node window argmax —
-    parallelism is node-wide, no global state.  ``iters`` is fixed
-    and small (communities stabilize in O(log n) rounds; at 100 TB
-    run rounds until the label-change count converges, checkpointing
-    like ``pagerank``)."""
-    from pyspark.sql import Window
-
+    Scale shape per round (optimization r14, guide §2.4/§5): the edge
+    list — often an expensive derived subquery — and the node set are
+    materialized ONCE with an eager ``localCheckpoint`` before the
+    loop (the lazy form re-executed the edge derivation for every
+    round's join plus twice for the node union — 5x at 3 rounds);
+    each round is then one edge->label equi-join, a (node,label)
+    partial-agg count, and a per-node ``min_by`` argmax over the
+    ``(-c, label)`` key — the same max-count/min-label total order as
+    the previous row_number window, but partial-aggregable and
+    sort-free.  ``iters`` is fixed and small (communities stabilize
+    in O(log n) rounds; at 100 TB run rounds until the label-change
+    count converges, checkpointing like ``pagerank``)."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = nodes.withColumn("label", F.col("node"))
     for _ in range(iters):
@@ -192,13 +197,10 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
             labels.withColumnRenamed("node", "src"), "src"
         ).select(F.col("dst").alias("node"), "label")
         counts = msgs.groupBy("node", "label").agg(F.count("*").alias("c"))
-        w = Window.partitionBy("node").orderBy(
-            F.desc("c"), F.asc("label")
-        )
-        best = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+        best = counts.groupBy("node").agg(
+            F.min_by(
+                "label", F.struct((-F.col("c")).alias("nc"), F.col("label"))
+            ).alias("label")
         )
         labels = nodes.join(best, "node", "left").select(
             "node", F.coalesce("label", "node").alias("label")

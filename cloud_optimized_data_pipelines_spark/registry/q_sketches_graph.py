@@ -827,8 +827,6 @@ def graph_label_propagation_q(spark, sf_dir):
     classic algorithm's random visit order is replaced by the
     synchronous min-tie-break variant — a total order, so the 3
     rounds unroll into the plain-CTE oracle with zero randomness."""
-    from pyspark.sql import Window
-
     from cloud_optimized_data_pipelines_spark.operators.graph import (
         label_propagation,
     )
@@ -840,13 +838,14 @@ def graph_label_propagation_q(spark, sf_dir):
     pref = ev.groupBy("user_id", "event_type").agg(
         F.count("*").alias("c")
     )
-    w = Window.partitionBy("user_id").orderBy(
-        F.desc("c"), F.asc("event_type")
-    )
-    dom = (
-        pref.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_type")
+    # per-user argmax as a partial-aggregable min_by over (-c, type) —
+    # the same max-count/min-type total order as a row_number window,
+    # without the per-user sort shuffle (optimization r14, guide §2.4)
+    dom = pref.groupBy("user_id").agg(
+        F.min_by(
+            "event_type",
+            F.struct((-F.col("c")).alias("nc"), F.col("event_type")),
+        ).alias("event_type")
     )
     fwd = dom.select(
         F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
