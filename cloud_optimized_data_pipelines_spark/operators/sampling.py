@@ -688,8 +688,14 @@ def doremi_weights(
         F.col(domain_col).alias("domain"),
         F.explode(tokens(text_col)).alias("word"),
     )
-    dom_counts = words.groupBy("domain", "word").agg(
-        F.count("*").alias("c_dw")
+    # materialized once (optimization r14, guide §5): three consumers
+    # (corpus counts, domain totals, the KL term join) each replayed
+    # the corpus-token explode + count otherwise; the counted table is
+    # vocab x domains — shuffle-output-sized, not corpus-sized
+    dom_counts = (
+        words.groupBy("domain", "word")
+        .agg(F.count("*").alias("c_dw"))
+        .localCheckpoint(eager=True)
     )
     corpus_counts = dom_counts.groupBy("word").agg(
         F.sum("c_dw").alias("c_w")

@@ -493,7 +493,17 @@ def semantic_dedup(
     dedup).  Returns every input row with (id, cid, is_dup) — filters
     never silently drop rows.
     """
-    assigned = _semantic_assign(df, vec_col, id_col, k_lists)
+    # assignment materialized ONCE with an eager localCheckpoint
+    # (optimization r14, guide §5): the flags stage references it four
+    # times (both sides of the semi AND anti joins), and each lazy
+    # reference replayed the full n x k crossJoin scoring — the
+    # dominant cost at SemDeDup's k ~ sqrt(n) design point, paid 4x.
+    # Values unchanged (same rows, stored instead of recomputed);
+    # semantic_dedup_indexed gets the same effect from its parquet
+    # round-trip.
+    assigned = _semantic_assign(df, vec_col, id_col, k_lists).localCheckpoint(
+        eager=True
+    )
     return _semantic_dedup_flags(
         assigned, vec_col, id_col, threshold, round_digits
     )

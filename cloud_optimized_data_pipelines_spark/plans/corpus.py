@@ -61,19 +61,35 @@ def corpus_preprocess(
     hashed = docs.withColumn("_h", F.md5(F.col(text_col)))
     canon = hashed.groupBy("_h").agg(F.min(id_col).alias("_canon_id"))
 
-    quality = gopher_quality_flags(
-        docs, id_col, text_col, impl=quality_impl
-    ).select(id_col, F.col("keep").alias("quality_ok"))
-
+    # Optimization r14 (guide §2.4/§5): the quality flags are computed
+    # INLINE on the hashed rows (the default 'rows' impl is a pure
+    # per-document expression — joining a (doc_id, keep) table back in
+    # cost a corpus-scale shuffle for a value already derivable on the
+    # row), and the flag table is projected narrow and materialized
+    # ONCE with an eager localCheckpoint: three consumers (the
+    # eligible filter feeding the cap, the cap's second cumsum pass,
+    # and the final selected join) each replayed the whole
+    # hash+dedup+quality subtree otherwise — 7 corpus scans in the
+    # lazy plan, 2 now.  Per-row values are unchanged.
     flagged = (
-        hashed.join(canon, "_h")
+        gopher_quality_flags(hashed, id_col, text_col, impl=quality_impl)
+        .join(canon, "_h")
         .withColumn("lang_ok", lang_ok)
         .withColumn("is_canonical", F.col(id_col) == F.col("_canon_id"))
-        .join(quality, id_col)
+        .withColumn("quality_ok", F.col("keep"))
         .withColumn(
             "eligible",
             F.col("lang_ok") & F.col("is_canonical") & F.col("quality_ok"),
         )
+        .select(
+            id_col,
+            source_col,
+            "lang_ok",
+            "is_canonical",
+            "quality_ok",
+            "eligible",
+        )
+        .localCheckpoint(eager=True)
     )
     # cap over the eligible subset only, via the two-pass bucket cumsum
     # (a cap is a token budget with unit weights): per-source
