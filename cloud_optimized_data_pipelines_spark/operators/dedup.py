@@ -1069,18 +1069,26 @@ def incremental_dedup(
     The corpus side reduces to DISTINCT digests BEFORE the anti-join —
     at 100 TB you keep exactly that digest table materialized (16 bytes
     a row) instead of ever re-reading corpus text; history is never
-    re-deduped.  Both the anti-join and the within-batch window shuffle
-    digests, not documents.
+    re-deduped.  Both the anti-join and the within-batch survivor pick
+    shuffle digests, not documents; the survivor is a partial-
+    aggregable ``min_by`` (smallest id per digest — identical row to
+    the previous row_number window, but duplicate-heavy batches reduce
+    map-side instead of sort-shuffling every replica; optimization
+    r14, guide §2.3/§2.4).
     """
     digest = F.md5(F.col(content_col))
     seen = corpus.select(digest.alias("__digest")).distinct()
     batch = new_batch.withColumn("__digest", digest)
-    w = Window.partitionBy("__digest").orderBy(id_col)
+    cols = new_batch.columns
     return (
         batch.join(seen, "__digest", "left_anti")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__digest", "__rn")
+        .groupBy("__digest")
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in cols]), F.col(id_col)
+            ).alias("_r")
+        )
+        .select("_r.*")
     )
 
 

@@ -649,7 +649,13 @@ def pipeline_crawl_ingest_q(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     probe = warc_text_probe_table(spark, 8).cache()
     recs = warc_records(probe, "file_id", "blob")
-    resp = recs.filter(F.col("warc_type") == "response")
+    # decode ONCE (optimization r14, guide §5): the response records
+    # feed three branches (response counts, kept aggregates, survivor
+    # digests), and mapInPandas has no exchange for Spark to reuse —
+    # each lazy reference re-ran the gzip+WARC+HTTP decode
+    resp = recs.filter(F.col("warc_type") == "response").localCheckpoint(
+        eager=True
+    )
     bodies = http_text_bodies(resp).withColumn(
         "tokens", TT.token_count("body")
     )
