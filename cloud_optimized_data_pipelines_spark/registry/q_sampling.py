@@ -280,8 +280,13 @@ def sample_ccnet_buckets_q(spark, sf_dir):
     )
 
     t = load_tables(spark, sf_dir)
-    scored = unigram_logprob(t["documents"], "doc_id", "text").select(
-        "doc_id", "mean_logprob"
+    # scored ONCE (optimization r14, guide §5): both consumers (the
+    # tercile-cutoff aggregate and the labeling pass) otherwise replay
+    # the whole unigram-LM scoring subtree
+    scored = (
+        unigram_logprob(t["documents"], "doc_id", "text")
+        .select("doc_id", "mean_logprob")
+        .localCheckpoint(eager=True)
     )
     return perplexity_buckets(scored, "mean_logprob")
 
