@@ -351,6 +351,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    mins: dict[str, float] = {}
     seg_of: dict[str, int] = {}
     batches = (HEADLINE, ADDITIONS, ADDITIONS_R6, ADDITIONS_R8,
                ADDITIONS_R9, ADDITIONS_R10, ADDITIONS_R11, ADDITIONS_R12,
@@ -373,6 +374,7 @@ def main() -> None:
                 trio.append(round(time.perf_counter() - t0, 3))
             runs[name] = trio
             timings[name] = sorted(trio)[1]
+            mins[name] = min(trio)
             timed += 1
     _run_anchors()  # closing reading so the last segment is bracketed
 
@@ -397,6 +399,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs": runs,
+        # r15 (VERDICT r14 item 3, addition-only): per-query min-of-3 —
+        # a single host-noise burst inflates the median of 3 when it
+        # hits 2 of the runs, but almost never all 3; the min is the
+        # burst-robust reading.  Derivable from "runs", surfaced as a
+        # first-class field so cross-round tooling needn't recompute.
+        "mins": mins,
         "anchors": anchor_runs,
         "anchor_factors": factors,
         "query_segment": seg_of,
@@ -435,19 +443,43 @@ def main() -> None:
         "n_queries": len(timings),
         "order_sha1": order_sha1,
         "medians": [timings[n] for n in QUERY_ORDER],
+        # r15 (VERDICT r14 item 3): positional min-of-3 per query, same
+        # order as "medians" — the burst-robust reading (see "mins" in
+        # the full record above).  Budget fallback below sparsifies it.
+        "mins": [mins[n] for n in QUERY_ORDER],
         "anchors": anchor_runs,
         "anchor_factors": factors,
         "sf": sf_val,
     }
     line = json.dumps(compact, separators=(",", ":"))
     # budget order: trim slowest-query entries down to a floor of 6,
-    # then drop the raw anchor traces (factors alone still carry the
-    # noise signal), then — only if still over — the remaining queries
+    # then sparsify the positional mins to just the burst-suspect
+    # entries where median >> min (exactly the rows the min exists to
+    # defend), then drop the raw anchor traces (factors alone still
+    # carry the noise signal), then drop mins entirely, then — only if
+    # still over — the remaining queries
     while len(line) > 1900 and len(compact["queries"]) > 6:
         compact["queries"].popitem()
         line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900 and "mins" in compact:
+        compact.pop("mins")
+        ratio = 1.2
+        while True:
+            sparse = {
+                str(i): mins[n]
+                for i, n in enumerate(QUERY_ORDER)
+                if timings[n] > ratio * mins[n]
+            }
+            compact["mins_lo"] = sparse
+            line = json.dumps(compact, separators=(",", ":"))
+            if len(line) <= 1900 or not sparse:
+                break
+            ratio *= 1.5
     if len(line) > 1900:
         compact.pop("anchors", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        compact.pop("mins_lo", None)
         line = json.dumps(compact, separators=(",", ":"))
     while len(line) > 1900 and compact["queries"]:
         compact["queries"].popitem()

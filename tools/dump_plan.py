@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for queries to plans/r14/<q>_<tag>.txt.
+"""Dump .explain('formatted') for queries to plans/r15/<q>_<tag>.txt.
 
 Usage: python tools/dump_plan.py <tag> [sf_dir] query [query ...]
 """
@@ -28,7 +28,7 @@ def main() -> None:
     load_tables(spark, sf_dir)
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r14",
+        "plans", "r15",
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in args:
