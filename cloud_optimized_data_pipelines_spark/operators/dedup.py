@@ -163,14 +163,28 @@ def ngram_jaccard_pairs(
     set-valued: the synthetic-corpus dup factor is 1.0 (see
     :func:`shingle_index`) but on real text the occurrence-pair
     semantics match the oracle's occurrence self-join bit-for-bit.
+
+    Guard order (r15, guide §2.2/§5): the frequency guard is applied
+    BEFORE the list build — a map-side-combinable count finds the hot
+    shingles (near-stopword n-grams) and a left-anti join drops their
+    occurrences from the index, so no ``collect_list`` aggregation
+    buffer ever holds a hot shingle's full posting array (at corpus
+    scale a ubiquitous shingle's array is corpus-sized and collect_list
+    cannot spill within a group — the r14 ``size <= k`` post-filter
+    materialized it before dropping it).  The hot set is tiny (total
+    occurrences / k at most), so the anti-join broadcasts; identical
+    output rows (the filter condition is the same count).
     """
-    posts = (
-        shingle_index(df, id_col, text_col, n)
-        .groupBy("shingle")
-        .agg(F.collect_list("doc").alias("_docs"))
-    )
+    idx = shingle_index(df, id_col, text_col, n)
     if max_shingle_freq is not None:
-        posts = posts.filter(F.size("_docs") <= max_shingle_freq)
+        hot = (
+            idx.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") > max_shingle_freq)
+            .select("shingle")
+        )
+        idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
+    posts = idx.groupBy("shingle").agg(F.collect_list("doc").alias("_docs"))
     sizes = (
         posts.select(F.explode("_docs").alias("doc"))
         .groupBy("doc")
@@ -247,17 +261,28 @@ def ngram_containment_pairs(
     sorted window and an SMJ sort in the self-join form; measured
     9.2 s -> see OPTIMIZATION_r14.md at sf0.1.
 
+    Guard order (r15, guide §2.2/§5): the DF guard runs BEFORE the set
+    build — ``count_distinct`` (two-phase, spillable hash aggregation
+    keyed on (shingle, doc)) finds shingles in more than k docs and a
+    broadcast left-anti join drops them from the index, so no
+    ``collect_set`` buffer ever holds a ubiquitous shingle's full doc
+    set (see :func:`ngram_jaccard_pairs` — same hazard, same fix).
+    Identical output rows: size(collect_set) IS the distinct doc count.
+
     Output: (doc_a, doc_b, common, size_a, containment) where
     containment = common / size_a >= threshold — "doc_a is contained
     in doc_b".
     """
-    posts = (
-        shingle_index(df, id_col, text_col, n)
-        .groupBy("shingle")
-        .agg(F.collect_set("doc").alias("_docs"))
-    )
+    idx = shingle_index(df, id_col, text_col, n)
     if max_shingle_freq is not None:
-        posts = posts.filter(F.size("_docs") <= max_shingle_freq)
+        hot = (
+            idx.groupBy("shingle")
+            .agg(F.count_distinct("doc").alias("_f"))
+            .filter(F.col("_f") > max_shingle_freq)
+            .select("shingle")
+        )
+        idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
+    posts = idx.groupBy("shingle").agg(F.collect_set("doc").alias("_docs"))
     sizes = (
         posts.select(F.explode("_docs").alias("doc"))
         .groupBy("doc")

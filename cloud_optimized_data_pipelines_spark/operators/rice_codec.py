@@ -156,20 +156,29 @@ def _map_nn_rows(scans: np.ndarray, n_bits: int) -> np.ndarray:
 def _unmap_nn(mapped: np.ndarray, n_bits: int) -> np.ndarray:
     """Inverse of :func:`_map_nn` (sequential — each sample's theta
     depends on the previous reconstruction)."""
+    return _unmap_nn_rows(
+        np.asarray(mapped, np.int64).reshape(1, -1), n_bits
+    )[0]
+
+
+def _unmap_nn_rows(mapped: np.ndarray, n_bits: int) -> np.ndarray:
+    """Row-vectorized :func:`_unmap_nn` (optimization r15, guide §4.2):
+    the recurrence is sequential WITHIN a scanline but independent
+    ACROSS scanlines, so one chunk's scanlines unmap together — the
+    Python loop runs pixels_per_scanline times over numpy rows instead
+    of n_samples times over scalars.  Same integer ops, bit-exact."""
     xmax = (1 << n_bits) - 1
-    out = np.empty(len(mapped), np.int64)
-    out[0] = mapped[0]
-    prev = int(mapped[0])
-    for i in range(1, len(mapped)):
-        d = int(mapped[i])
-        theta = prev if prev <= xmax - prev else xmax - prev
-        if d <= 2 * theta:
-            delta = d // 2 if d % 2 == 0 else -((d + 1) // 2)
-        else:
-            mag = d - theta
-            delta = mag if prev + mag <= xmax else -mag
-        prev = prev + delta
-        out[i] = prev
+    out = np.empty_like(mapped)
+    out[:, 0] = mapped[:, 0]
+    prev = mapped[:, 0].copy()
+    for i in range(1, mapped.shape[1]):
+        d = mapped[:, i]
+        theta = np.minimum(prev, xmax - prev)
+        delta_le = np.where(d % 2 == 0, d // 2, -((d + 1) // 2))
+        mag = d - theta
+        delta_gt = np.where(prev + mag <= xmax, mag, -mag)
+        prev = prev + np.where(d <= 2 * theta, delta_le, delta_gt)
+        out[:, i] = prev
     return out
 
 
@@ -461,10 +470,15 @@ def rice_decode(
             "does not guess that rule)"
         )
     r = _VecBitReader(data)
-    out = np.empty(n_samples, np.int64)
-    for s0 in range(0, n_samples, pixels_per_scanline):
-        nblocks = pixels_per_scanline // j
-        mapped = np.zeros(pixels_per_scanline, np.int64)
+    ppl = pixels_per_scanline
+    nscan = n_samples // ppl
+    nblocks = ppl // j
+    # decode every scanline's MAPPED residuals first, then unmap all
+    # scanlines in one row-vectorized pass (optimization r15 — the
+    # per-scanline _unmap_nn scalar loop was the decode hot spot)
+    M = np.zeros((nscan, ppl), np.int64)
+    for s in range(nscan):
+        mapped = M[s]
         b = 0
         while b < nblocks:
             ref = nn and b == 0
@@ -536,8 +550,6 @@ def rice_decode(
                     hi << k
                 ) | lo
             b += 1
-        if nn:
-            out[s0 : s0 + pixels_per_scanline] = _unmap_nn(mapped, n_bits)
-        else:
-            out[s0 : s0 + pixels_per_scanline] = mapped
-    return out
+    if nn:
+        return _unmap_nn_rows(M, n_bits).reshape(-1)
+    return M.reshape(-1)

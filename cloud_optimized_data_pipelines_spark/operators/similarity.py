@@ -332,7 +332,16 @@ def ivf_build(
     the property-test cross-check; see :func:`pq_encode`) but far
     faster: Catalyst higher-order lambdas run interpreted and
     assignment is k_lists folds of dim terms per row.
+
+    Optimization r15 (guide §5, the iterative-trainer working set):
+    the input is pinned once with a LAZY ``localCheckpoint`` — the
+    seed job materializes it, and every Lloyd iteration plus the
+    final assignment then reads executor-resident blocks instead of
+    re-running the upstream scan per pass (the standard persist-the-
+    training-set recipe; rows, order and partitioning are unchanged,
+    so the rounded means are byte-identical).
     """
+    df = df.localCheckpoint(eager=False)
     seeds = (
         df.select(vec_col, id_col)
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
@@ -1004,6 +1013,11 @@ def ivf_write_index(
     its nprobe list directories.  Returns the centroids.
     """
     assigned, centroids = ivf_build(df, vec_col, k_lists, iters, id_col)
+    # Optimization r15 (guide §5): the assigned frame feeds BOTH the
+    # partitioned write and the per-list stats aggregation below; pin
+    # it so the Arrow assignment UDF runs once, not twice (the write —
+    # the first consumer — materializes the lazy checkpoint).
+    assigned = assigned.localCheckpoint(eager=False)
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(
         f"{path}/lists"
     )
@@ -1500,6 +1514,13 @@ def ivf_pq_topk(
             lambda x, c: x - c,
         ),
     )
+    # Optimization r15 (guide §5): the residual frame is consumed three
+    # times (pq_train's seed job, its Lloyd aggregation, and the final
+    # encode+ADC scan) and each consumption re-ran the Arrow assignment
+    # UDF plus the interpreted zip_with residual — pin it once; the
+    # first consumer (pq_train's seed TakeOrdered) materializes the
+    # lazy checkpoint, so no extra job is spent.  Values unchanged.
+    res = res.localCheckpoint(eager=False)
     books = pq_train(
         res, "_res", m_sub=m_sub, k_codes=k_codes, iters=1,
         id_col=id_col, centroid_round=centroid_round, impl=impl,

@@ -138,7 +138,8 @@ def dedup_jaccard_q(spark, sf_dir):
     separately registered dedup_ngram_jaccard_guarded."""
     t = load_tables(spark, sf_dir)
     out = D.ngram_jaccard_pairs(
-        t["documents"], "doc_id", "text", n=3, threshold=0.2, max_shingle_freq=None
+        t["documents"], "doc_id", "text", n=3, threshold=0.2,
+        max_shingle_freq=None,
     )
     return out.select(
         "doc_a",
@@ -588,7 +589,8 @@ def dedup_jaccard_guarded_q(spark, sf_dir):
     over the pruned shingle space on BOTH engines."""
     t = load_tables(spark, sf_dir)
     out = D.ngram_jaccard_pairs(
-        t["documents"], "doc_id", "text", n=3, threshold=0.2, max_shingle_freq=10
+        t["documents"], "doc_id", "text", n=3, threshold=0.2,
+        max_shingle_freq=10,
     )
     return out.select(
         "doc_a",
@@ -665,11 +667,18 @@ def dedup_simhash_pairs_q(spark, sf_dir):
     max_hamming = num_bands - 1 the blocking is COMPLETE (pigeonhole),
     so the banded Spark plan must exactly reproduce the oracle's naive
     all-pairs scan — the cross-engine proof that banding loses
-    nothing."""
+    nothing.
+
+    impl='numpy' (r15, guide §4.2): the Arrow/hashlib fingerprint
+    path — BIT-EXACT to the fold form (pinned fold==numpy for this
+    exact call shape in tests/test_quality_decontaminate.py), already
+    the path split_leakage_safe and dedup_duplicate_clusters ride;
+    the 60 interpreted per-bit fold lambdas dominated this query's
+    wall time."""
     t = load_tables(spark, sf_dir)
     return D.simhash_near_dup_pairs(
         t["documents"], "doc_id", "text", num_bands=4, max_hamming=3,
-        materialize=True,
+        materialize=True, impl="numpy",
     )
 
 
