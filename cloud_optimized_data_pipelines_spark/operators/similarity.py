@@ -1410,6 +1410,7 @@ def random_projection(
     in_dims: int | None = None,
     id_col: str = "vec_id",
     out_col: str = "projected",
+    impl: str = "numpy",
 ) -> DataFrame:
     """Sign random projection (Achlioptas 2003's database-friendly
     Johnson-Lindenstrauss transform): ``y_j = (1/sqrt(out_dims)) *
@@ -1425,6 +1426,14 @@ def random_projection(
     no shuffle, no broadcast — and both engines derive the IDENTICAL
     matrix, making the output bit-exact without rounding (every fold
     is the same ordered sequence of IEEE double ops).
+
+    ``impl='numpy'`` (default, optimization r15, guide §4.2): projects
+    in Arrow batches with the same sequential multiply-add —
+    ``acc = acc + x_i * s_ij`` in dimension order, each step one
+    elementwise IEEE op, so every row's accumulation is the IDENTICAL
+    instruction sequence as the fold (and the oracle's list_reduce):
+    BIT-EXACT, pinned by a fold-vs-numpy parity test.  The fold form
+    is out_dims interpreted Catalyst lambdas of in_dims terms per row.
     """
     import hashlib as _hashlib
     import math as _math
@@ -1442,6 +1451,13 @@ def random_projection(
         ]
         for j in range(out_dims)
     ]
+    if impl == "numpy":
+        return df.select(
+            F.col(id_col),
+            _project_signs_udf(signs, scale)(F.col(vec_col)).alias(out_col),
+        )
+    if impl != "fold":
+        raise ValueError(f"impl must be 'fold' or 'numpy', got {impl!r}")
     vc = F.col(vec_col)
     comps = [
         (
@@ -1461,6 +1477,33 @@ def random_projection(
     return df.select(F.col(id_col), *[c for c in comps]).select(
         id_col, F.array(*[F.col(f"_p{j}") for j in range(out_dims)]).alias(out_col)
     )
+
+
+def _project_signs_udf(signs: list[list[float]], scale: float):
+    """Arrow-batched sign projection — the ±1 matrix in the closure,
+    sequential-over-dims multiply-add per batch (see
+    :func:`random_projection`: bit-exact to the fold form; ``x * ±1.0``
+    and the power-of-two ``scale`` multiply are exact IEEE ops)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    S = np.array(signs, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def proj(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype=object)
+        X = np.array(list(col), dtype=np.float64)
+        n = X.shape[0]
+        out = np.empty((n, S.shape[0]), dtype=np.float64)
+        for j in range(S.shape[0]):
+            acc = np.zeros(n, dtype=np.float64)
+            for i in range(S.shape[1]):
+                acc = acc + X[:, i] * S[j, i]
+            out[:, j] = acc * scale
+        return pd.Series(list(out))
+
+    return proj
 
 
 def ivf_pq_topk(

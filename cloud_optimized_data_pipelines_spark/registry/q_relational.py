@@ -797,23 +797,37 @@ WHERE rn <= 3
 
 @query("window_topk_per_customer", _TOPK_PER_CUST)
 def topk_per_customer(spark, sf_dir):
+    """Window BEFORE join (r15, guide §2.4/§3.3): rank orders by
+    o_custkey first, keep the top 3, and only then join customer —
+    the join's probe side shrinks from every order to <= 3 per
+    customer, and the window never carries joined columns.  Row-
+    identical to the join-first shape for ANY data: c_custkey is the
+    join key AND the partition key, so orders of a given customer see
+    the same rn either way (orders without a customer row form their
+    own partitions and vanish at the inner join in both shapes, and a
+    1:1 key join cannot reorder or duplicate a partition)."""
     t = load_tables(spark, sf_dir)
-    w = Window.partitionBy("c_custkey").orderBy(
+    w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.col("o_orderkey")
     )
-    return (
-        t["customer"]
-        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey)
+    top = (
+        t["orders"]
         .select(
-            "c_custkey",
+            "o_custkey",
             "o_orderkey",
             F.col("o_totalprice")
             .cast("decimal(18,2)")
             .cast("double")
             .alias("o_totalprice"),
-            F.row_number().over(w).alias("rn"),
         )
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
+    )
+    return (
+        t["customer"]
+        .select("c_custkey")
+        .join(top, t["customer"].c_custkey == top.o_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "rn")
     )
 
 

@@ -982,6 +982,30 @@ def test_pq_adc_and_refine_recall(spark, sf_dir):
     assert full == exact
 
 
+def test_random_projection_numpy_fold_parity(spark, sf_dir):
+    """The Arrow fast path (impl='numpy', r15 default) must be
+    BIT-EXACT to the declarative fold: both accumulate
+    acc = acc + x_i * s_ij in dimension order with exact ±1.0
+    multiplies and a power-of-two scale, so every double must match
+    to the last bit — not epsilon-close."""
+    from cloud_optimized_data_pipelines_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    fold = {
+        r["vec_id"]: list(r["projected"])
+        for r in S.random_projection(
+            emb, "embedding", out_dims=16, impl="fold"
+        ).collect()
+    }
+    fast = {
+        r["vec_id"]: list(r["projected"])
+        for r in S.random_projection(
+            emb, "embedding", out_dims=16, impl="numpy"
+        ).collect()
+    }
+    assert fast == fold
+
+
 def test_random_projection_preserves_distances(spark, sf_dir):
     """JL distance preservation at 64 -> 16 dims: squared distances
     after projection track the originals within a generous (1 +- eps)
