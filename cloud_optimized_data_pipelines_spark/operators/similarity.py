@@ -304,9 +304,16 @@ def ivf_build(
     id_col: str = "vec_id",
     centroid_round: int | None = None,
     impl: str = "numpy",
+    seed_vectors: list[list[float]] | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Deterministic IVF coarse quantizer (the second ANN scale path,
     complementing the sign-bucket LSH).
+
+    ``seed_vectors`` (r15): the caller may hand in the k_lists seed
+    vectors (MUST be the ``(md5(id), id)``-smallest rows, in that
+    order) to skip the seed TakeOrdered job — :func:`ivf_pq_topk`
+    collects one 16-row seed set and shares it between the coarse
+    quantizer and PQ training (§5 driver round-trips).
 
     Seeds are the ``k_lists`` rows with the smallest md5(id) — a
     reproducible pseudo-random sample, no RNG state — then ``iters``
@@ -342,18 +349,21 @@ def ivf_build(
     so the rounded means are byte-identical).
     """
     df = df.localCheckpoint(eager=False)
-    seeds = (
-        df.select(vec_col, id_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(k_lists)
-        .collect()
-    )
-    if not seeds:
+    if seed_vectors is not None:
+        centroids = [[float(x) for x in v] for v in seed_vectors[:k_lists]]
+    else:
+        seeds = (
+            df.select(vec_col, id_col)
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(k_lists)
+            .collect()
+        )
+        centroids = [[float(x) for x in r[0]] for r in seeds]
+    if not centroids:
         raise ValueError("ivf_build: empty input — nothing to seed from")
     # dim from the seed rows already on the driver (was a separate
     # first() job — optimization r14)
-    dim = len(seeds[0][0])
-    centroids = [[float(x) for x in r[0]] for r in seeds]
+    dim = len(centroids[0])
 
     def assign(frame, cents):
         if impl == "numpy":
@@ -1195,6 +1205,7 @@ def pq_train(
     id_col: str = "vec_id",
     centroid_round: int | None = 6,
     impl: str = "numpy",
+    seed_vectors: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jégou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): split each vector into
@@ -1215,23 +1226,33 @@ def pq_train(
     DuckDB-oracle-checkable.  Empty cells keep their seed subvector.
 
     Returns ``codebooks[s][j]`` = centroid j of subspace s.
+
+    ``seed_vectors`` (r15): the caller may hand in the k_codes seed
+    vectors of ``vec_col`` (the ``(md5(id), id)``-smallest rows, in
+    order) to skip the seed TakeOrdered job — see :func:`ivf_pq_topk`,
+    which derives the residual seeds driver-side from one shared
+    collect (§5 driver round-trips).
     """
-    seeds = (
-        df.select(vec_col, id_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(k_codes)
-        .collect()
-    )
-    if not seeds:
+    if seed_vectors is not None:
+        svecs = [[float(x) for x in v] for v in seed_vectors[:k_codes]]
+    else:
+        seeds = (
+            df.select(vec_col, id_col)
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(k_codes)
+            .collect()
+        )
+        svecs = [[float(x) for x in r[0]] for r in seeds]
+    if not svecs:
         raise ValueError("pq_train: empty input — nothing to seed from")
     # dim from the seed rows already on the driver (was a separate
     # first() job — optimization r14)
-    dim = len(seeds[0][0])
+    dim = len(svecs[0])
     if dim % m_sub:
         raise ValueError(f"pq_train: dim {dim} not divisible by m_sub {m_sub}")
     sub = dim // m_sub
     books = [
-        [[float(x) for x in r[0][s * sub: (s + 1) * sub]] for r in seeds]
+        [v[s * sub: (s + 1) * sub] for v in svecs]
         for s in range(m_sub)
     ]
     vc = F.col(vec_col)
@@ -1538,9 +1559,26 @@ def ivf_pq_topk(
     Lloyd means) and :func:`pq_train`'s recipe on the residual frame,
     so the whole pipeline stays deterministic and oracle-checkable.
     """
+    # ONE seed TakeOrdered shared by the coarse quantizer and PQ
+    # training (r15, §5 driver round-trips): both seed sets are the
+    # (md5(id), id)-smallest rows — ivf_build takes the first k_lists
+    # vectors, and pq_train's residual seeds are derived DRIVER-side
+    # below with the same numpy ops the executors run (bit-exact:
+    # _seq_sqdist_argmin is the assignment UDF's own kernel, and the
+    # residual subtract is the identical float64 x - c per element).
+    import numpy as np
+
+    seed_rows = (
+        df.select(vec_col, id_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(max(k_lists, k_codes))
+        .collect()
+    )
+    seed_vecs = [[float(x) for x in r[0]] for r in seed_rows]
     assigned, centroids = ivf_build(
         df, vec_col, k_lists, iters=1, id_col=id_col,
         centroid_round=centroid_round, impl=impl,
+        seed_vectors=seed_vecs,
     )
     dim = len(centroids[0])
     if dim % m_sub:
@@ -1564,9 +1602,18 @@ def ivf_pq_topk(
     # first consumer (pq_train's seed TakeOrdered) materializes the
     # lazy checkpoint, so no extra job is spent.  Values unchanged.
     res = res.localCheckpoint(eager=False)
+    # residual seeds for pq_train from the SAME seed rows, computed
+    # driver-side: assign each seed vector with the executors' exact
+    # argmin kernel and subtract its (rounded, plan-literal) centroid —
+    # float64 ops in the same order as the _res column's zip_with
+    X = np.array(seed_vecs[:k_codes], dtype=np.float64)
+    C = np.array(centroids, dtype=np.float64)
+    lids = _seq_sqdist_argmin(X, C)
+    res_seeds = [list(X[i] - C[lids[i]]) for i in range(X.shape[0])]
     books = pq_train(
         res, "_res", m_sub=m_sub, k_codes=k_codes, iters=1,
         id_col=id_col, centroid_round=centroid_round, impl=impl,
+        seed_vectors=res_seeds,
     )
     coded = pq_encode(res, "_res", books, code_col="_codes", impl=impl)
     # probe the nprobe nearest lists to the query (driver-side: the
